@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata layout (`<sfDir>/<name>.parquet`,
+  * see /root/repo/TESTDATA.md). Plain parquet scans so Catalyst gets full
+  * filter pushdown / column pruning; no caching here — each query owns
+  * its plan.
+  */
+object Tables {
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * does not map to TimestampType. We read it as raw nanos (LongType) via
+    * `spark.sql.legacy.parquet.nanosAsLong` and convert to a microsecond
+    * TimestampType column. The generator emits µs-aligned values (verified:
+    * ns % 1000 == 0 for all rows), so the conversion is lossless and
+    * DuckDB's `CAST(ts AS TIMESTAMP)` agrees exactly.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      read(spark, sfDir, "events")
+        .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => () // leave set; harmless for other tables
+      }
+    }
+  }
+}

@@ -1,0 +1,491 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Parity._
+
+/** Relational analytics catalog over the TPC-H-ish testdata
+  * (/root/repo/TESTDATA.md). Covers the operator classes inventoried in
+  * SURVEY.md §2 that the reference declares-or-implies but never implements
+  * (joins J1, aggregations A3-A5, windows §2.5, sorts/limits §2.6, set ops
+  * §2.7, scalar lib F7): each entry is a named query with a DuckDB oracle.
+  *
+  * Determinism rules (see SURVEY.md §7.3): every query ends in a total
+  * ORDER BY; double aggregates go through [[Parity]] (decimal-exact sums);
+  * null ordering is spelled explicitly wherever a key can be null.
+  *
+  * Scale posture: joins against region/nation/supplier/part are broadcast
+  * (dimension tables); fact-fact joins shuffle on their keys and rely on
+  * AQE for skew/coalesce at cluster scale.
+  */
+object TpchCatalog {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- scans
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate + sort.
+    * Flagship query (SparkEntry.entry runs it on sf0.001). */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit("2000-06-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"), lit(1.0) + col("l_tax")).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSumProd("l_extendedprice", "1.0 - l_discount")} AS sum_disc_price,
+       |  ${sqlSumProd("l_extendedprice", "1.0 - l_discount", "1.0 + l_tax")} AS sum_charge,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  ${sqlAvg("l_extendedprice")} AS avg_price,
+       |  ${sqlAvg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-06-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Predicate + projection pushdown to the parquet scan (P4, F7). */
+  def scanFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-07-01").cast("timestamp") &&
+              col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Derived-column projection (P2-style arithmetic; per-row IEEE ops are
+    * bit-identical across engines so no decimal guard needed). */
+  def deriveMargin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(5000)
+
+  val deriveMarginSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS revenue,
+      |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 5000""".stripMargin
+
+  /** Top-k: orderBy+limit compiles to TakeOrderedAndProject (no full sort
+    * materialization — L2/§2.6). */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+
+  /** Inner equi-join fact⋈dim + grouped agg (J1). customer is small enough
+    * to broadcast at any SF where it fits (dimension-style); the groupBy
+    * then shuffles only the joined projection. */
+  def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinInnerSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q5-style 5-table join: broadcast the dimension chain
+    * (region⋈nation⋈customer), shuffle-join the fact tables. */
+  def joinMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val r  = Tables.region(spark, sfDir)
+    val n  = Tables.nation(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val joinMultiSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${sqlSumProd("l_extendedprice", "1.0 - l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having at least one big order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-outer join preserving order-less customers (J1 outer variant). */
+  def outerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val outerJoinSql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Equi+theta join (J1 range/theta variant): same-nation supplier/customer
+    * pairs where the supplier out-balances the customer. Equi key keeps it
+    * hash-joinable; the theta predicate is a post-join filter. */
+  def thetaJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    s.join(c, s("s_nationkey") === c("c_nationkey") && s("s_acctbal") > c("c_acctbal"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("n_name")
+  }
+
+  val thetaJoinSql: String =
+    """SELECT n_name, COUNT(*) AS n_pairs
+      |FROM supplier
+      |JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------------- aggregations
+
+  /** ROLLUP hierarchy totals (A4). NULLS FIRST is spelled on both sides:
+    * Spark defaults ASC→nulls-first but DuckDB defaults ASC→nulls-last. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val aggRollupSql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_customers, ${sqlSum("c_acctbal")} AS acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** CUBE over two independent dimensions (A4). */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val aggCubeSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Exact distinct counts per group (A1/A2 exact path). */
+  def countDistinct_(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val countDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate distinct via HyperLogLog++ (A5). Sketch values are
+    * engine-specific, so this entry has NO oracle (driver does a rows-only
+    * check); correctness vs exact counts is asserted in ApproxSpec. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- set ops
+
+  /** UNION ALL of two tagged slices then re-aggregate (§2.7). */
+  def unionSlices(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.filter(year(col("l_shipdate")) === 1995)
+      .select(lit("y1995").as("slice"), col("l_returnflag"), col("l_quantity"))
+    val b = li.filter(year(col("l_shipdate")) === 1996)
+      .select(lit("y1996").as("slice"), col("l_returnflag"), col("l_quantity"))
+    a.union(b)
+      .groupBy(col("slice"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("slice", "l_returnflag")
+  }
+
+  val unionSlicesSql: String =
+    s"""SELECT slice, l_returnflag, COUNT(*) AS n, ${sqlSum("l_quantity")} AS qty
+       |FROM (
+       |  SELECT 'y1995' AS slice, l_returnflag, l_quantity FROM lineitem
+       |  WHERE EXTRACT(year FROM l_shipdate) = 1995
+       |  UNION ALL
+       |  SELECT 'y1996' AS slice, l_returnflag, l_quantity FROM lineitem
+       |  WHERE EXTRACT(year FROM l_shipdate) = 1996
+       |)
+       |GROUP BY slice, l_returnflag
+       |ORDER BY slice, l_returnflag""".stripMargin
+
+  /** INTERSECT (set semantics in both engines): customers with both an open
+    * and a fulfilled order. */
+  def intersectKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  val intersectKeysSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** EXCEPT (set semantics): customers with open orders but no fulfilled ones. */
+  def exceptKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  val exceptKeysSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- windows
+
+  /** Top-3 orders per market segment via row_number (§2.5). Deterministic
+    * tie-break on o_orderkey. */
+  def windowTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val windowTopKSql: String =
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** lag() per customer: price delta vs previous order (§2.5). Per-row
+    * double subtraction is IEEE-identical across engines. */
+  def windowLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("delta", col("o_totalprice") - col("prev_price"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "delta")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowLagSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+      |  o_totalprice - LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_orderdate ASC, o_orderkey ASC) AS delta
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- strings
+
+  /** Scalar string/regex breadth (F7): regexp_extract, split, upper,
+    * substring — all Catalyst built-ins, all codegen'd. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+        split(col("p_type"), " ").getItem(0).as("type_first"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"))
+      .orderBy("p_partkey")
+      .limit(2000)
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INTEGER) AS brand_num,
+      |  string_split(p_type, ' ')[1] AS type_first,
+      |  upper(substring(p_name, 1, 8)) AS name_prefix
+      |FROM part
+      |ORDER BY p_partkey
+      |LIMIT 2000""".stripMargin
+
+  /** Date function breadth (F3/F5/F7): date_trunc, datediff, split+cast. */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        date_trunc("month", col("o_orderdate")).as("omonth"),
+        split(col("o_orderpriority"), "-").getItem(0).cast("int").as("pri"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+      .groupBy(col("omonth"), col("pri"))
+      .agg(count(lit(1)).as("n"), max(col("days_since")).as("max_days"))
+      .orderBy("omonth", "pri")
+
+  val dateFuncsSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS omonth,
+      |  CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS pri,
+      |  COUNT(*) AS n,
+      |  MAX(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)) AS max_days
+      |FROM orders
+      |GROUP BY omonth, pri
+      |ORDER BY omonth, pri""".stripMargin
+
+  // ---------------------------------------------------------------- export
+
+  val queries: Map[String, Q] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_scan_filter"     -> (scanFilter _),
+    "q_derive_margin"   -> (deriveMargin _),
+    "q_topk"            -> (topK _),
+    "q_join_inner"      -> (joinInner _),
+    "q_join_multi"      -> (joinMulti _),
+    "q_semi_join"       -> (semiJoin _),
+    "q_anti_join"       -> (antiJoin _),
+    "q_outer_join"      -> (outerJoin _),
+    "q_theta_join"      -> (thetaJoin _),
+    "q_agg_rollup"      -> (aggRollup _),
+    "q_agg_cube"        -> (aggCube _),
+    "q_count_distinct"  -> (countDistinct_ _),
+    "q_approx_distinct" -> (approxDistinct _),
+    "q_union_slices"    -> (unionSlices _),
+    "q_intersect"       -> (intersectKeys _),
+    "q_except"          -> (exceptKeys _),
+    "q_window_topk"     -> (windowTopK _),
+    "q_window_lag"      -> (windowLag _),
+    "q_string_funcs"    -> (stringFuncs _),
+    "q_date_funcs"      -> (dateFuncs _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pricing_summary" -> pricingSummarySql,
+    "q_scan_filter"     -> scanFilterSql,
+    "q_derive_margin"   -> deriveMarginSql,
+    "q_topk"            -> topKSql,
+    "q_join_inner"      -> joinInnerSql,
+    "q_join_multi"      -> joinMultiSql,
+    "q_semi_join"       -> semiJoinSql,
+    "q_anti_join"       -> antiJoinSql,
+    "q_outer_join"      -> outerJoinSql,
+    "q_theta_join"      -> thetaJoinSql,
+    "q_agg_rollup"      -> aggRollupSql,
+    "q_agg_cube"        -> aggCubeSql,
+    "q_count_distinct"  -> countDistinctSql,
+    "q_union_slices"    -> unionSlicesSql,
+    "q_intersect"       -> intersectKeysSql,
+    "q_except"          -> exceptKeysSql,
+    "q_window_topk"     -> windowTopKSql,
+    "q_window_lag"      -> windowLagSql,
+    "q_string_funcs"    -> stringFuncsSql,
+    "q_date_funcs"      -> dateFuncsSql
+  )
+}
