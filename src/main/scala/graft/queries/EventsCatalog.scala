@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.core.Tables
+import Parity._
+
+/** Time-series / event-stream analytics over the `events` table — the batch
+  * equivalents of the streaming stage the reference declares but never
+  * implements (`/root/reference/README.md:17-23`: "Clean data /
+  * Transformations / UDFs, Aggregates" over a stream of listings).
+  *
+  * Each query here is the exact batch form of a streaming job in
+  * [[graft.streaming.Jobs]]: tumbling/sliding windows via `window()`,
+  * sessionization via gap detection, JSON payload parsing via `from_json`
+  * (F6 — the Kafka value-decoding path). Keeping them batch-expressible
+  * means the DuckDB oracle still checks them.
+  *
+  * Scale posture: every aggregation groups on (window/user) keys with
+  * map-side partial aggregation; the window functions partition by
+  * `user_id` — at 100 TB that is the natural shuffle key (high cardinality,
+  * mild skew), and AQE handles residual skew.
+  */
+object EventsCatalog {
+
+  /** F6: parse the JSON `props` payload with an explicit schema (never
+    * schema inference on a stream), then aggregate the extracted field. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** ST3 batch form: tumbling 1-day window per event type. `window()` is
+    * the same operator Structured Streaming uses; its `start` equals
+    * `date_trunc` for aligned windows, which is what the oracle spells. */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+      .orderBy("wstart", "event_type")
+
+  val tumblingWindowSql: String =
+    s"""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS total
+       |FROM events
+       |GROUP BY wstart, event_type
+       |ORDER BY wstart, event_type""".stripMargin
+
+  /** ST3 sliding form: 1-hour windows sliding every 30 minutes. Each event
+    * lands in exactly two windows; the oracle materializes both via
+    * time_bucket and a shifted UNION ALL. */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("n"), col("total"))
+      .orderBy("wstart")
+
+  val slidingWindowSql: String =
+    s"""SELECT wstart, COUNT(*) AS n, ${sqlSum("value")} AS total
+       |FROM (
+       |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS wstart, value FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes', value FROM events
+       |)
+       |GROUP BY wstart
+       |ORDER BY wstart""".stripMargin
+
+  /** §2.5 frame window: 7-row moving average of `value` per user. The frame
+    * sum goes through decimal so Spark's sequential frame evaluation and
+    * DuckDB's segment-tree window aggregation agree bit-for-bit. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("mov_avg",
+        (sum(col("value").cast(Dec)).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .select("user_id", "event_id", "value", "mov_avg")
+      .orderBy("user_id", "event_id")
+  }
+
+  val movingAvgSql: String =
+    """SELECT user_id, event_id, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Sessionization: a new session starts after a >6-hour silence per user;
+    * session ids are a running sum of session-start flags. This is the
+    * batch form of `session_window` / `mapGroupsWithState` in streaming. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(byTime).cast("long"))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > 6L * 3600, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+      |      - CAST(epoch(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) AS BIGINT) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), s AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN gap_s IS NULL OR gap_s > 6 * 3600 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+      |FROM s
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** A1/ST7: exact stream dedup by event id, then a per-type profile —
+    * mirrors the reference's crawl-dedup (`CrawlData.py:12,32-34`). */
+  def dedupEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val dedupEventsSql: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT * FROM events QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY event_id) = 1)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract"    -> (jsonExtract _),
+    "q_tumbling_window" -> (tumblingWindow _),
+    "q_sliding_window"  -> (slidingWindow _),
+    "q_moving_avg"      -> (movingAvg _),
+    "q_sessionize"      -> (sessionize _),
+    "q_dedup_events"    -> (dedupEvents _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_json_extract"    -> jsonExtractSql,
+    "q_tumbling_window" -> tumblingWindowSql,
+    "q_sliding_window"  -> slidingWindowSql,
+    "q_moving_avg"      -> movingAvgSql,
+    "q_sessionize"      -> sessionizeSql,
+    "q_dedup_events"    -> dedupEventsSql
+  )
+}
