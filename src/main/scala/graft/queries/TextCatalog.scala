@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextOps._
+
+/** Training-data curation catalog over `documents`: exact + near
+  * deduplication (MinHash/LSH, SimHash, n-gram Jaccard), token counting,
+  * quality scoring, language ID, and winnowing-style fingerprints.
+  *
+  * Oracle coverage: md5-based and list-arithmetic queries have DuckDB
+  * oracles; xxhash64-based sketches (minhash/simhash) have no SQL
+  * equivalent in DuckDB → rows-only driver check + ScalaTest oracles
+  * (TextSpec) instead.
+  *
+  * Scale posture (100 TB): every per-doc computation is a narrow map over
+  * the corpus. Exact dedup shuffles on a 128-bit content hash (uniform —
+  * no skew). LSH shuffles on band keys (8×) and never materializes the
+  * O(n²) pair space — only within-bucket candidates; the direct pairwise
+  * query is deliberately restricted to a per-source block and exists as
+  * the small-scale baseline the LSH path is checked against.
+  */
+object TextCatalog {
+
+  /** A1 at corpus scale: exact dedup via content hash, profiled per lang.
+    * At 100 TB dedup keys on md5(text) (128-bit, collision-negligible),
+    * never on the raw text — the shuffle moves 16-byte keys, not documents. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
+  val exactDedupSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+      |  SUM(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token stream
+    * (letter runs / digit runs / single punctuation). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_re_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+      |  n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: word count, stopword ratio, average word length —
+    * the standard cheap filters of a pretraining-data pipeline. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val en = LangProfiles.toMap.apply("en")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(t).as("n_words"),
+        (stopwordHits(t, en).cast("double") / size(t)).as("stop_ratio"),
+        ((length(col("text")) - (size(t) - 1)).cast("double") / size(t)).as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stop_ratio,
+       |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS avg_word_len
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Winnowing-style document fingerprint: minimum md5 over the 5-word
+    * shingle set — one stable 128-bit id per document that survives
+    * reordering of unrelated edits far from the minimal shingle. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        array_min(transform(shingles(col("text"), 5), s => md5(s))).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_aggregate(list_transform(
+      |    CASE WHEN len(string_split(text, ' ')) >= 5
+      |         THEN list_distinct(list_transform(range(0, len(string_split(text,' ')) - 4),
+      |                i -> array_to_string(string_split(text,' ')[i+1:i+5], ' ')))
+      |         ELSE [text] END,
+      |    s -> md5(s)), 'min') AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** n-gram Jaccard near-dup baseline: exact pairwise similarity within a
+    * source block (block-local O(n²) — the LSH query below is the path
+    * that scales; this one exists to validate it). */
+  def ngramSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), shingles(col("text"), 3).as("sh"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        size(array_union(col("a.sh"), col("b.sh"))).as("uni"),
+        jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  val ngramSimilaritySql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |         THEN list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2),
+      |                i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))
+      |         ELSE [text] END AS sh
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  len(list_intersect(a.sh, b.sh)) AS inter,
+      |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  /** MinHash + LSH near-dup detection — the scale path. 64-hash signature,
+    * 8 bands × 8 rows (threshold ≈ 0.77); candidates from shared band keys
+    * only, then exact-Jaccard verification at 0.8. No oracle: xxhash64 has
+    * no DuckDB equivalent — TextSpec asserts LSH recovers exactly the
+    * ≥0.8 pairs the exact pairwise query finds. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val sigs = docs.select(col("doc_id"), col("sh"), minhash(col("sh"), 64).as("mh"))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(bandKeys(col("mh"), bands = 8, rows = 8)).as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash sketch per document (rows-only; TextSpec asserts near-dup
+    * pairs land within small hamming distance and exact dups at 0). */
+  def simhashSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), simhash64("text").as("simhash"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (rows-only; the synthetic corpus text is
+    * English word soup regardless of its `lang` label, so TextSpec checks
+    * the mechanism on constructed fixtures, not label recovery). */
+  def langIdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_exact_dedup" -> (exactDedup _),
+    "q_doc_tokens"      -> (tokenCounts _),
+    "q_doc_quality"     -> (qualityScore _),
+    "q_doc_fingerprint" -> (fingerprint _),
+    "q_doc_ngram_sim"   -> (ngramSimilarity _),
+    "q_doc_minhash_lsh" -> (minhashLsh _),
+    "q_doc_simhash"     -> (simhashSketch _),
+    "q_doc_langid"      -> (langIdQuery _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_doc_exact_dedup" -> exactDedupSql,
+    "q_doc_tokens"      -> tokenCountsSql,
+    "q_doc_quality"     -> qualityScoreSql,
+    "q_doc_fingerprint" -> fingerprintSql,
+    "q_doc_ngram_sim"   -> ngramSimilaritySql
+  )
+}
