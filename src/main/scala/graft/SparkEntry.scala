@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries
+    TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries ++ VectorCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle
+    TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle ++ VectorCatalog.oracle
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorOps._
+import Parity._
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  *
+  * Brute-force cosine top-k is the exactness baseline (O(N·Q) narrow map —
+  * broadcast the query set, never shuffle the corpus); the
+  * random-hyperplane LSH variant is the scale path (bucket shuffle +
+  * within-bucket candidates only). VectorSpec measures LSH recall against
+  * the brute-force truth.
+  */
+object VectorCatalog {
+
+  /** Per-vector L2 norm + label profile — the sanity scan (the corpus is
+    * unit-normalized; the oracle proves the decimal dot path end-to-end). */
+  def vecNorms(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        normDec(col("embedding")).as("nrm"))
+      .orderBy("vec_id")
+
+  val vecNormsSql: String =
+    """SELECT vec_id, label,
+      |  sqrt(CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)) AS nrm
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** Brute-force cosine top-10 for a 5-vector query set. The query side is
+    * broadcast; the corpus is scanned once with a per-row cosine (narrow),
+    * and only (qid, cos) pairs reach the per-query top-k shuffle. */
+  def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  val knnBruteSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |c AS (
+      |  SELECT qid, vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(qe)+1),
+      |      i -> CAST(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)
+      |    / (sqrt(CAST(list_sum(list_transform(qe,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE))
+      |       * sqrt(CAST(list_sum(list_transform(embedding,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE))) AS cos
+      |  FROM q, embeddings
+      |  WHERE vec_id <> qid
+      |)
+      |SELECT qid, rn, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+      |  FROM c)
+      |WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin
+
+  /** Per-label centroid norm via posexplode + two-level aggregation — the
+    * generator (F9) surface plus an elementwise-mean reduction. Decimal
+    * sums keep both aggregation levels order-independent. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("int").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(dsum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(sqrt(sum((col("s") / col("n") * (col("s") / col("n")))
+        .cast(Parity.Dec)).cast("double")).as("centroid_norm"),
+        max(col("n")).as("n_vecs"))
+      .orderBy("label")
+
+  val labelCentroidsSql: String =
+    """WITH px AS (
+      |  SELECT label, i, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS s,
+      |         COUNT(*) AS n
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY label, i
+      |)
+      |SELECT label,
+      |  sqrt(CAST(SUM(CAST((s/n)*(s/n) AS DECIMAL(18,4))) AS DOUBLE)) AS centroid_norm,
+      |  MAX(n) AS n_vecs
+      |FROM px
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  /** ANN via random-hyperplane LSH: 4 independent tables × 6 sign bits
+    * with single-bit multiprobe. A neighbor is a candidate if any table
+    * buckets it with the query; candidates get exact cosine, then top-10.
+    * No oracle (xxhash-derived hyperplanes); VectorSpec measures recall vs
+    * brute force. At scale the corpus bucketing is the stored index and
+    * the join shuffles on (table, bucket) — never the O(N·Q) pair space. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val Tables_ = 4; val Bits = 6
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        explode(lshTables(col("embedding"), Tables_, Bits)).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        col("sig.t").as("tbl"), col("sig.bucket").as("bucket"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("tbl"),
+        explode(multiprobe(col("bucket"), Bits)).as("probe"))
+    val cand = q.join(e,
+        q("tbl") === e("tbl") && col("probe") === col("bucket") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id"), col("embedding"))
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_norms"     -> (vecNorms _),
+    "q_vec_knn_brute" -> (knnBrute _),
+    "q_vec_centroids" -> (labelCentroids _),
+    "q_vec_ann_lsh"   -> (annLsh _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_vec_norms"     -> vecNormsSql,
+    "q_vec_knn_brute" -> knnBruteSql,
+    "q_vec_centroids" -> labelCentroidsSql
+  )
+}
