@@ -121,6 +121,11 @@ object Listings {
       .option("header", "true")
       .option("multiLine", "true")
       .option("escape", "\"")
+      // the reference data has fields with trailing spaces ("Tựu Liệt ");
+      // Spark's CSV reader trims them by default, which would break the
+      // byte-exact round-trip the golden test asserts
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   /** A1: crawl pagination overlaps, so ids repeat — keep one row per id
@@ -140,5 +145,9 @@ object Listings {
     df.write.mode("overwrite")
       .option("header", "true")
       .option("escape", "\"")
+      // Spark's CSV writer ALSO trims by default — same round-trip hazard
+      // as the reader (see readCsv)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(out)
 }

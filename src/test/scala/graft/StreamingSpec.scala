@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Jobs
+import graft.streaming.Jobs.Event
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming suites driven through MemoryStream (§5.5): the
+  * incremental jobs must agree with their batch forms and respect
+  * watermarks. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0): Event =
+    Event(id, ts(t), user, typ, v, s"""{"k": ${id % 100}}""")
+
+  test("windowed aggregate emits closed windows and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.windowedAgg(in.toDF())
+      .writeStream.format("memory").queryName("wagg").outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:10:00"), ev(2, "2024-01-01 00:50:00"))
+      q.processAllAvailable()
+      // watermark = max(ts) - 10min = 00:40 → hour window [00:00,01:00) still open
+      assert(spark.table("wagg").count() == 0)
+      in.addData(ev(3, "2024-01-01 02:00:00")) // advances watermark to 01:50
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 00:55:00")) // late beyond watermark → dropped
+      q.processAllAvailable()
+      val rows = spark.table("wagg").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n") == 2) // the late event did not count
+      assert(rows(0).getAs[Timestamp]("wstart") == ts("2024-01-01 00:00:00"))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.sessionAgg(in.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // one session: 10:00,10:20,10:45 (gaps < 30m); a second: 12:00
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"),
+        ev(3, "2024-01-01 10:45:00"), ev(4, "2024-01-01 12:00:00"))
+      in.addData(ev(5, "2024-01-02 00:00:00")) // push watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("sstart") < ts("2024-01-01 23:00:00"))
+        .orderBy("sstart").collect()
+      assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(3L, 1L))
+      assert(rows(0).getAs[Timestamp]("send") == ts("2024-01-01 11:15:00")) // 10:45 + 30m
+    } finally q.stop()
+  }
+
+  test("within-watermark dedup keeps one row per event id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:00:00"), ev(1, "2024-01-01 00:00:30"),
+        ev(2, "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 00:02:00")) // still within watermark → dup
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stateful user profile accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.statefulUserProfile(in.toDS())
+      .writeStream.format("memory").queryName("prof").outputMode("update").start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:00:00", user = 7, v = 2.0))
+      q.processAllAvailable()
+      in.addData(ev(2, "2024-01-01 00:01:00", user = 7, v = 3.0))
+      q.processAllAvailable()
+      val last = spark.table("prof").filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).head
+      assert(last.getAs[Long]("n_events") == 2)
+      assert(last.getAs[Double]("total_value") == 5.0)
+    } finally q.stop()
+  }
+
+  test("foreachBatch dual sink lands raw rows and serving aggregates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val src = s"$dir/src"
+    spark.createDataset(Seq(
+      ev(1, "2024-01-01 00:00:00", typ = "click", v = 1.5),
+      ev(2, "2024-01-01 00:01:00", typ = "view", v = 2.5),
+      ev(3, "2024-01-01 00:02:00", typ = "click", v = 3.0)))
+      .toDF().write.json(src)
+    val stream = Jobs.clean(Jobs.readEventStream(spark, src))
+    val q = Jobs.dualSinkQuery(stream, s"$dir/raw", s"$dir/serving", s"$dir/cp")
+    q.awaitTermination(60000)
+    val raw = spark.read.parquet(s"$dir/raw")
+    assert(raw.count() == 3)
+    assert(raw.columns.contains("k")) // clean() extracted the JSON payload
+    val serving = spark.read.parquet(s"$dir/serving").orderBy("event_type").collect()
+    assert(serving.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("click", 2L), ("view", 1L)))
+  }
+
+  test("streaming windowed agg agrees with the batch form on replayed data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_replay").toString
+    val events = spark.createDataset((0 until 200).map { i =>
+      ev(i, f"2024-01-01 ${i / 25}%02d:${(i * 7) % 60}%02d:00", user = i % 10,
+        typ = if (i % 3 == 0) "click" else "view", v = i * 0.5)
+    })
+    events.toDF().write.json(s"$dir/src")
+    val stream = Jobs.windowedAgg(Jobs.readEventStream(spark, s"$dir/src", maxFilesPerTrigger = 1))
+    val q = stream.writeStream.format("memory").queryName("replay")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("replay").orderBy("wstart", "event_type").collect()
+    val batch = Jobs.windowedAgg(events.toDF()).orderBy("wstart", "event_type").collect()
+    assert(streamed.sameElements(batch))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps._
+import graft.queries.TextCatalog
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: count, distinctness, short-doc fallback") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(shingles(col("text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1) == Seq("a b")) // shorter than n → whole text
+  }
+
+  test("jaccard exact values") {
+    val df = Seq(("a b c", "b c d")).toDF("x", "y")
+      .select(jaccard(split(col("x"), " "), split(col("y"), " ")).as("j"))
+    assert(df.head.getDouble(0) == 0.5) // {b,c} / {a,b,c,d}
+  }
+
+  test("simhash: identical docs collide, unrelated docs differ") {
+    val df = Seq("spark scales out very well", "spark scales out very well",
+      "completely different words entirely here").toDF("text")
+      .select(simhash64("text").as("h"))
+    val h = df.collect().map(_.getLong(0))
+    assert(h(0) == h(1))
+    assert(h(0) != h(2))
+  }
+
+  test("simhash: near-dup pairs land at small hamming distance") {
+    val pairs = TextCatalog.ngramSimilarity(spark, sf0001)
+      .filter(col("jac") >= 0.8).select("d1", "d2")
+    val sketch = TextCatalog.simhashSketch(spark, sf0001)
+    val joined = pairs
+      .join(sketch.withColumnRenamed("doc_id", "d1").withColumnRenamed("simhash", "h1"), "d1")
+      .join(sketch.withColumnRenamed("doc_id", "d2").withColumnRenamed("simhash", "h2"), "d2")
+      .select(hamming(col("h1"), col("h2")).as("d"))
+      .collect().map(_.getInt(0))
+    assert(joined.forall(_ <= 12), s"hamming distances: ${joined.mkString(",")}")
+  }
+
+  test("LSH recovers every >=0.8 near-dup pair the exact pairwise scan finds") {
+    // ground truth: unblocked exact pairwise (feasible at sf0.001 only)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val truth = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextCatalog.minhashLsh(spark, sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture has no near-dups — test is vacuous")
+    assert(lsh == truth, s"LSH missed ${truth -- lsh}, extra ${lsh -- truth}")
+  }
+
+  test("language-ID heuristic on constructed fixtures") {
+    val df = Seq(
+      "the cat sat on the mat and the dog is here",
+      "le chat et la souris sont dans les jardins de paris",
+      "el gato y los perros de madrid que corren",
+      "der hund und die katze das haus",
+      "xyzzy qwerty plugh").toDF("text")
+      .select(langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "fr", "es", "de", "und"))
+  }
+}

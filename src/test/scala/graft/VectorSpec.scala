@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+import graft.queries.VectorCatalog
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity, orthogonality, scale invariance") {
+    val df = Seq(
+      (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
+      .select(cosine(col("a"), col("b")).as("c"))
+    val c = df.collect().map(_.getDouble(0))
+    assert(c(0) == 1.0)
+    assert(c(1) == 0.0)
+    assert(math.abs(c(2) - 1.0) < 1e-9)
+  }
+
+  test("dot product is repartition-invariant (decimal chain)") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), dotDec(col("embedding"), col("embedding")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(e) == byId(e.repartition(7)))
+  }
+
+  test("brute-force knn: self excluded, ranks contiguous, cosine descending") {
+    val r = VectorCatalog.knnBrute(spark, sf0001).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to 10))
+      assert(rows.forall(_.getLong(2) != q))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH ANN recall@10 >= 0.5 vs brute force") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorCatalog.knnBrute(spark, sf0001))
+    val ann = pairs(VectorCatalog.annLsh(spark, sf0001))
+    val recall = (truth & ann).size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+}
