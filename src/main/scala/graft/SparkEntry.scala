@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries ++ VectorCatalog.queries ++ Map("q_media_features" -> (graft.multimodal.Multimodal.featureProfile _))
+    TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries ++ VectorCatalog.queries ++ MiscCatalog.queries ++ Map("q_media_features" -> (graft.multimodal.Multimodal.featureProfile _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle ++ VectorCatalog.oracle
+    TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle ++ VectorCatalog.oracle ++ MiscCatalog.oracle
 }
