@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
 import graft.queries._
 
 /** Physical-plan audit: asserts the scale-critical plan properties the
@@ -76,6 +78,24 @@ object PlanAudit {
     val semi = plan(TpchCatalog.semiJoin(spark, sfDir))
     check("q_semi_join", semi, "left-semi strategy",
       p => p.contains("LeftSemi"))
+
+    // bucketed co-located join: same bucket count both sides → no shuffle
+    import graft.core.IO
+    IO.writeBucketed(Tables.orders(spark, sfDir).limit(1000), "b_orders", "o_custkey", 8)
+    IO.writeBucketed(Tables.customer(spark, sfDir), "b_customer", "c_custkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    val bjoin = plan(IO.bucketedJoin(spark, "b_orders", "b_customer", "o_custkey", "c_custkey"))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    check("bucketed_join", bjoin, "co-located SortMergeJoin with ZERO exchange",
+      p => p.contains("SortMergeJoin") && !p.contains("Exchange"))
+
+    // date-partitioned layout: time predicate prunes at directory level
+    val pdir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    IO.writePartitioned(
+      Tables.events(spark, sfDir).withColumn("d", to_date(col("ts"))), s"$pdir/ev", "d")
+    val pread = plan(IO.readPartition(spark, s"$pdir/ev", "d", "2024-01-05"))
+    check("partition_pruning", pread, "date predicate prunes partitions at the scan",
+      p => p.contains("PartitionFilters: [isnotnull(d") && p.contains("= 2024-01-05"))
 
     println(if (failures == 0) "ALL PLAN AUDITS PASS" else s"$failures AUDIT(S) FAILED")
     spark.stop()

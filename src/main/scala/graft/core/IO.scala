@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout utilities for the 100 TB posture: date-partitioned
+  * layouts for pruning, bucketed tables for exchange-free co-located
+  * joins, and the layout conventions every sink in the engine follows.
+  *
+  * Layout rules:
+  *  - fact tables: partition by a low-cardinality time column
+  *    (`ingest_date`) → partition pruning turns time-range queries into
+  *    directory listings;
+  *  - join-heavy tables: bucket by the join key with identical bucket
+  *    counts on both sides → SortMergeJoin with NO shuffle exchange
+  *    (verified by PlanAudit);
+  *  - never `coalesce(1)` in engine paths; file sizing is the writer's
+  *    `maxRecordsPerFile` / AQE's job.
+  */
+object IO {
+
+  /** Date-partitioned parquet sink (the engine's default fact layout). */
+  def writePartitioned(df: DataFrame, out: String, dateCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(dateCol).parquet(out)
+
+  /** Read with a partition predicate — prunes at the directory level
+    * (PartitionFilters in the scan, not a data filter). */
+  def readPartition(spark: SparkSession, path: String, dateCol: String,
+                    date: String): DataFrame =
+    spark.read.parquet(path).filter(col(dateCol) === date)
+
+  /** Bucketed table sink: co-locates rows by join key so equal-bucketed
+    * joins skip the exchange entirely. Requires a table catalog (works
+    * with the default in-memory catalog + spark.sql.warehouse.dir). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — the plan this
+    * produces (SortMergeJoin, zero Exchange) is the point. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      col(leftKey) === col(rightKey))
+}
