@@ -123,7 +123,10 @@ object VectorCatalog {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand
-      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+      // hot path: the codegen'd fused expression (no oracle on this query;
+      // the oracle-checked knnBrute keeps the decimal-exact HOF form)
+      .select(col("qid"), col("vec_id"),
+        graft.plans.CosineSimilarity.cosineSim(col("qe"), col("embedding")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
