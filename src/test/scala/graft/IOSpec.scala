@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{IO, Sampling}
+import java.nio.file.Files
+
+class IOSpec extends SparkSpec {
+
+  test("ORC round-trip (format breadth beyond parquet/json/csv)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = spark.read.parquet(s"$sf0001/orders.parquet")
+    df.write.orc(s"$dir/o")
+    val back = spark.read.orc(s"$dir/o")
+    assert(back.count() == df.count())
+    assert(back.schema == df.schema)
+    assert(back.agg(sum("o_totalprice")).head.getDouble(0)
+      == df.agg(sum("o_totalprice")).head.getDouble(0))
+  }
+
+  test("partitioned write + partition read return exactly the partition") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .withColumn("d", to_date(col("ts")))
+    IO.writePartitioned(ev, s"$dir/ev", "d")
+    val day = IO.readPartition(spark, s"$dir/ev", "d", "2024-01-05")
+    val expect = ev.filter(col("d") === "2024-01-05").count()
+    assert(day.count() == expect)
+    assert(expect > 0)
+  }
+
+  test("bucketed join equals plain join") {
+    IO.writeBucketed(spark.read.parquet(s"$sf0001/orders.parquet"), "t_orders", "o_custkey", 4)
+    IO.writeBucketed(spark.read.parquet(s"$sf0001/customer.parquet"), "t_customer", "c_custkey", 4)
+    val bucketed = IO.bucketedJoin(spark, "t_orders", "t_customer", "o_custkey", "c_custkey").count()
+    val plain = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/customer.parquet"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(bucketed == plain)
+  }
+
+  test("stratified sampling: seeded determinism + per-stratum rates") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val fr = Map("en" -> 0.5, "fr" -> 1.0, "es" -> 0.1, "zh" -> 0.0, "de" -> 1.0)
+    val a = Sampling.stratified(docs, "lang", fr, seed = 42)
+    val b = Sampling.stratified(docs, "lang", fr, seed = 42)
+    assert(a.select("doc_id").collect().toSeq == b.select("doc_id").collect().toSeq)
+    val got = a.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("zh"))
+    val base = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("fr") == base("fr")) // fraction 1.0 keeps everything
+    assert(math.abs(got("en").toDouble / base("en") - 0.5) < 0.15)
+  }
+
+  test("train/val split is a partition of the input") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val (tr, va) = Sampling.split(docs, 0.8, seed = 7)
+    assert(tr.count() + va.count() == docs.count())
+    assert(tr.intersect(va).count() == 0)
+  }
+}
