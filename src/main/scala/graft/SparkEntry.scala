@@ -17,7 +17,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries ++ VectorCatalog.queries ++ MiscCatalog.queries ++ Map("q_media_features" -> (graft.multimodal.Multimodal.featureProfile _))
+    TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries ++ VectorCatalog.queries ++ MiscCatalog.queries ++ Map(
+      "q_media_features" -> (graft.multimodal.Multimodal.featureProfile _),
+      // seeded stratified downsample profile (rows-only: engine RNG streams
+      // aren't ANSI-SQL-reproducible; determinism proven in IOSpec)
+      "q_doc_sample" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        graft.core.Sampling.stratified(
+            graft.core.Tables.documents(s, dir), "lang",
+            Map("en" -> 0.5, "fr" -> 1.0, "es" -> 0.1, "zh" -> 0.25, "de" -> 1.0),
+            seed = 42L)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy("lang")
+      }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

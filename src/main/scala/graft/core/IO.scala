@@ -33,12 +33,21 @@ object IO {
     * joins skip the exchange entirely. Requires a table catalog (works
     * with the default in-memory catalog + spark.sql.warehouse.dir). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets tables across sessions but their
+    // warehouse directories survive — drop BOTH or re-creation fails with
+    // LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — the plan this
     * produces (SortMergeJoin, zero Exchange) is the point. */
