@@ -106,6 +106,53 @@ object TpchCatalog {
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q3-style shipping priority: revenue of not-yet-shipped items
+    * for one segment's orders — filter-heavy 3-way join + top-10. */
+  def shipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val shipPrioritySql: String =
+    s"""SELECT o_orderkey, o_orderdate,
+       |  ${sqlSumProd("l_extendedprice", "1.0 - l_discount")} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01'
+       |  AND l_shipdate  > TIMESTAMP '1996-01-01'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q6-style revenue forecast: tight scan-side predicate band →
+    * single global aggregate (the pushdown-and-prune showcase). */
+  def revenueForecast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(dsumProd(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val revenueForecastSql: String =
+    s"""SELECT ${sqlSumProd("l_extendedprice", "l_discount")} AS revenue, COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+       |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
+
   // ---------------------------------------------------------------- joins
 
   /** Inner equi-join fact⋈dim + grouped agg (J1). customer is small enough
@@ -443,7 +490,9 @@ object TpchCatalog {
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
-    "q_pricing_summary" -> (pricingSummary _),
+    "q_pricing_summary"   -> (pricingSummary _),
+    "q_ship_priority"     -> (shipPriority _),
+    "q_revenue_forecast"  -> (revenueForecast _),
     "q_scan_filter"     -> (scanFilter _),
     "q_derive_margin"   -> (deriveMargin _),
     "q_topk"            -> (topK _),
@@ -467,7 +516,9 @@ object TpchCatalog {
   )
 
   val oracle: Map[String, String] = Map(
-    "q_pricing_summary" -> pricingSummarySql,
+    "q_pricing_summary"   -> pricingSummarySql,
+    "q_ship_priority"     -> shipPrioritySql,
+    "q_revenue_forecast"  -> revenueForecastSql,
     "q_scan_filter"     -> scanFilterSql,
     "q_derive_margin"   -> deriveMarginSql,
     "q_topk"            -> topKSql,

@@ -57,6 +57,25 @@ object Jobs {
       .withColumn("k",
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k"))
 
+  /** S5: decode a Kafka-shaped frame (binary key/value + metadata — the
+    * exact schema `format("kafka")` produces) into typed events. Swap
+    * `readEventStream` for the Kafka source and insert this; everything
+    * downstream is unchanged. Explicit schema, never inference. */
+  def decodeKafkaFrame(df: DataFrame): DataFrame =
+    df.select(
+        from_json(col("value").cast("string"), eventSchema).as("e"),
+        col("timestamp").as("ingest_ts"))
+      .select(col("e.*"), col("ingest_ts"))
+      .filter(col("event_id").isNotNull) // undecodable payloads drop, not crash
+
+  /** ST3 sliding form: 1-hour windows every 30 minutes (each event lands
+    * in exactly two windows — the batch twin is q_sliding_window). */
+  def slidingAgg(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
   /** ST3+ST4: tumbling 1-hour aggregate with a 10-minute watermark —
     * append-mode capable; late rows beyond the watermark are dropped. */
   def windowedAgg(df: DataFrame): DataFrame =

@@ -60,6 +60,28 @@ class CoreSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("P5 bad-record handling: PERMISSIVE captures corrupt rows, DROPMALFORMED drops") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_bad").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      ("""{"id": 1, "title": "ok", "price": 100}""" + "\n" +
+       """this is not json""" + "\n" +
+       """{"id": 2, "title": "also ok", "price": 200}""" + "\n").getBytes("UTF-8"))
+    val s = StructType(Listings.schema.fields :+ StructField("_corrupt_record", StringType))
+    val permissive = spark.read.schema(s)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/in.jsonl").cache()
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad(0).getAs[Any]("id") == null)
+    permissive.unpersist()
+    val dropped = spark.read.schema(Listings.schema)
+      .option("mode", "DROPMALFORMED")
+      .json(s"$dir/in.jsonl")
+    assert(dropped.count() == 2)
+  }
+
   test("CSV sink/source round-trip preserves multiline unicode descriptions") {
     val df = Listings.readJson(spark, Listings.ReferenceRun)
     val dir = Files.createTempDirectory("graft_csv").toString

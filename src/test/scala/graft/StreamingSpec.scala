@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("kafka-frame decode: valid payloads parse, undecodable ones drop") {
+    import spark.implicits._
+    // the exact column shape format("kafka") produces
+    val frame = Seq(
+      (Array[Byte](1), """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":7,"event_type":"click","value":1.5,"props":"{}"}""".getBytes("UTF-8"), ts("2024-01-01 00:00:01")),
+      (Array[Byte](2), "not json at all".getBytes("UTF-8"), ts("2024-01-01 00:00:02")))
+      .toDF("key", "value", "timestamp")
+    val out = Jobs.decodeKafkaFrame(frame).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("event_id") == 1L)
+    assert(out(0).getAs[Long]("user_id") == 7L)
+    assert(out(0).getAs[Timestamp]("ingest_ts") == ts("2024-01-01 00:00:01"))
+  }
+
+  test("sliding windows place each event in exactly two windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.slidingAgg(in.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    try {
+      in.addData(ev(1, "2024-01-01 00:40:00"), ev(2, "2024-01-01 00:50:00"))
+      q.processAllAvailable()
+      val rows = spark.table("slide").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 4) // 2 events × 2 windows
+      assert(rows.map(_.getAs[Timestamp]("wstart")).distinct.length == 2) // 00:00 and 00:30
+    } finally q.stop()
+  }
+
   test("streaming windowed agg agrees with the batch form on replayed data") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_replay").toString
