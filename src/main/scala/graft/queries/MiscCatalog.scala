@@ -146,7 +146,73 @@ object MiscCatalog {
       |                           ORDER BY c_acctbal DESC, c_custkey DESC) = 1
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Ranking-function breadth: ntile/percent_rank/cume_dist over a total
+    * order (deterministic tie-break on custkey). */
+  def windowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val windowStatsSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** Histogram via explicit binning (floor division — portable, unlike
+    * engine-specific histogram aggregates). */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy((floor(col("o_totalprice") / 50000) * 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val histogramSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** Null/conditional breadth: coalesce, nullif, least/greatest, CASE. */
+  def nullFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped"),
+        greatest(col("o_totalprice") - 100000.0, lit(0.0)).as("excess"),
+        when(col("o_orderpriority").startsWith("1"), "urgent")
+          .when(col("o_orderpriority").startsWith("2"), "high")
+          .otherwise("normal").as("pri_class"))
+      .orderBy("o_orderkey")
+      .limit(3000)
+
+  val nullFuncsSql: String =
+    """SELECT o_orderkey,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status2,
+      |  LEAST(o_totalprice, 100000.0) AS capped,
+      |  GREATEST(o_totalprice - 100000.0, 0.0) AS excess,
+      |  CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+      |       WHEN o_orderpriority LIKE '2%' THEN 'high'
+      |       ELSE 'normal' END AS pri_class
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 3000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_stats"  -> (windowStats _),
+    "q_histogram"     -> (histogram _),
+    "q_null_funcs"    -> (nullFuncs _),
     "q_pivot"         -> (pivotStatus _),
     "q_word_topk"     -> (wordTopK _),
     "q_percentiles"   -> (percentiles _),
@@ -157,6 +223,9 @@ object MiscCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_stats"  -> windowStatsSql,
+    "q_histogram"     -> histogramSql,
+    "q_null_funcs"    -> nullFuncsSql,
     "q_pivot"         -> pivotStatusSql,
     "q_word_topk"     -> wordTopKSql,
     "q_percentiles"   -> percentilesSql,

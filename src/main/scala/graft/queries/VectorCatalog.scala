@@ -133,7 +133,31 @@ object VectorCatalog {
       .orderBy("qid", "rn")
   }
 
+  /** Embedding-cosine near-duplicate detection — the vector-space member
+    * of the dedup family: bucket the corpus with the LSH tables, compare
+    * only within-bucket pairs with the codegen'd fused cosine, keep
+    * pairs ≥ 0.95. Same no-O(n²) shape as text MinHash/LSH. Rows-only;
+    * VectorSpec checks against the brute-force threshold pairs. */
+  def vecNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val Tables_ = 4; val Bits = 6
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        explode(lshTables(col("embedding"), Tables_, Bits)).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        col("sig.t").as("tbl"), col("sig.bucket").as("bucket"))
+    e.as("x").join(e.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        graft.plans.CosineSimilarity.cosineSim(
+          col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .dropDuplicates("v1", "v2")
+      .orderBy("v1", "v2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_neardup"   -> (vecNearDup _),
     "q_vec_norms"     -> (vecNorms _),
     "q_vec_knn_brute" -> (knnBrute _),
     "q_vec_centroids" -> (labelCentroids _),
