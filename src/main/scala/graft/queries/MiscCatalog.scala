@@ -146,6 +146,38 @@ object MiscCatalog {
       |                           ORDER BY c_acctbal DESC, c_custkey DESC) = 1
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** As-of join (composed from equi-join + max_by — option (a) in the
+    * custom-operator preference order, since built-ins express it): for
+    * each order, the customer's latest event at or before the order date.
+    * Deterministic via the (ts, event_id) composite. At scale this is a
+    * hash join on the user key with per-key reduction — no sort-merge
+    * range scan needed until event history per key stops fitting a
+    * reduce task, at which point bucket both sides by key. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    o.join(e, col("o_custkey") === col("user_id") && col("ts") <= col("o_orderdate"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("asof_event"),
+        max(col("ts")).as("asof_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  val asofJoinSql: String =
+    """SELECT o_orderkey, event_id AS asof_event, ts AS asof_ts
+      |FROM (
+      |  SELECT o_orderkey, e.event_id, e.ts,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      |  FROM orders o JOIN events e
+      |    ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      |)
+      |WHERE rn = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Ranking-function breadth: ntile/percent_rank/cume_dist over a total
     * order (deterministic tie-break on custkey). */
   def windowStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -210,6 +242,7 @@ object MiscCatalog {
       |LIMIT 3000""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"     -> (asofJoin _),
     "q_window_stats"  -> (windowStats _),
     "q_histogram"     -> (histogram _),
     "q_null_funcs"    -> (nullFuncs _),
@@ -223,6 +256,7 @@ object MiscCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join"     -> asofJoinSql,
     "q_window_stats"  -> windowStatsSql,
     "q_histogram"     -> histogramSql,
     "q_null_funcs"    -> nullFuncsSql,
