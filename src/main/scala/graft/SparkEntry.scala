@@ -21,6 +21,16 @@ object SparkEntry {
       "q_media_features" -> (graft.multimodal.Multimodal.featureProfile _),
       // seeded stratified downsample profile (rows-only: engine RNG streams
       // aren't ANSI-SQL-reproducible; determinism proven in IOSpec)
+      // bounded per-group reservoir sample via the TypedImperativeAggregate
+      // (rows-only: valid samples vary with partitioning; ReservoirSpec
+      // proves size/membership/uniformity)
+      "q_reservoir" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        graft.core.Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(graft.plans.ReservoirSampleAgg.reservoirSample(col("l_orderkey"), 10).as("sample_ids"))
+          .orderBy("l_returnflag")
+      }),
       "q_doc_sample" -> ((s: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions._
         graft.core.Sampling.stratified(

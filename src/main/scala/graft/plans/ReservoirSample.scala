@@ -1,0 +1,140 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Bounded uniform reservoir sample of a long column per group — the
+  * TypedImperativeAggregate surface (SURVEY.md §7.2's sketch candidate).
+  *
+  * Why custom: `slice(shuffle(collect_list(x)), 1, k)` materializes the
+  * whole group before truncating — unbounded memory on a hot key at
+  * 100 TB. The reservoir holds exactly ≤ k elements per partial buffer,
+  * merges weighted by seen-counts, and ships compactly through the
+  * aggregation exchange (serialize/deserialize below).
+  *
+  * Randomness is a deterministic splitmix64 stream keyed by (seed, seen),
+  * so a fixed partitioning reproduces exactly; across different
+  * partitionings the result is a different-but-valid uniform sample
+  * (inherent to mergeable reservoirs).
+  */
+case class ReservoirSampleAgg(
+    child: Expression,
+    k: Int,
+    seed: Long = 42L,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ReservoirBuf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "reservoir_sample"
+
+  override def createAggregationBuffer(): ReservoirBuf = new ReservoirBuf(k)
+
+  override def update(buf: ReservoirBuf, input: InternalRow): ReservoirBuf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], seed)
+    buf
+  }
+
+  override def merge(a: ReservoirBuf, b: ReservoirBuf): ReservoirBuf = a.merge(b, seed)
+
+  override def eval(buf: ReservoirBuf): Any =
+    new GenericArrayData(buf.sorted)
+
+  override def serialize(buf: ReservoirBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.seen)
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) { out.writeLong(buf.items(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ReservoirBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new ReservoirBuf(k)
+    buf.seen = in.readLong()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.items(i) = in.readLong(); i += 1 }
+    buf.size = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ReservoirSampleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ReservoirSampleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Mutable reservoir: ≤ k items + count of elements seen. */
+final class ReservoirBuf(val k: Int) {
+  var items: Array[Long] = new Array[Long](k)
+  var size: Int = 0
+  var seen: Long = 0L
+
+  private def rng(seed: Long, x: Long): Long =
+    graft.functions.TextOps.MinHasher.splitmix64(seed ^ x)
+
+  def add(v: Long, seed: Long): Unit = {
+    seen += 1
+    if (size < k) { items(size) = v; size += 1 }
+    else {
+      // replace with probability k/seen — standard Algorithm R
+      val r = java.lang.Math.floorMod(rng(seed, seen * 0x9E3779B97F4A7C15L), seen)
+      if (r < k) items(r.toInt) = v
+    }
+  }
+
+  /** Weighted merge: keep each candidate with probability proportional to
+    * its source reservoir's seen-count (standard mergeable-reservoir
+    * scheme; exact when either side is below capacity). */
+  def merge(other: ReservoirBuf, seed: Long): ReservoirBuf = {
+    if (other.size == 0) return this
+    if (size < k && other.size <= k - size) {
+      var i = 0
+      while (i < other.size) { items(size) = other.items(i); size += 1; i += 1 }
+      seen += other.seen
+      this
+    } else {
+      val total = seen + other.seen
+      val out = new ReservoirBuf(k)
+      out.seen = total
+      // draw k slots, each from this side w.p. seen/total, else other
+      var i = 0
+      var mix = rng(seed, total)
+      while (out.size < k && out.size < size + other.size) {
+        mix = rng(seed, mix + i)
+        val fromThis = java.lang.Math.floorMod(mix, total) < seen
+        val src = if (fromThis && size > 0) this else other
+        val idx = java.lang.Math.floorMod(rng(seed, mix ^ 0x5851F42D4C957F2DL), src.size.toLong).toInt
+        out.items(out.size) = src.items(idx)
+        out.size += 1
+        i += 1
+      }
+      items = out.items; size = out.size; seen = out.seen
+      this
+    }
+  }
+
+  def sorted: Array[Long] = java.util.Arrays.copyOf(items, size).sorted
+}
+
+object ReservoirSampleAgg {
+  /** Column handle: `reservoirSample(col("id"), 10)`. */
+  def reservoirSample(c: Column, k: Int, seed: Long = 42L): Column =
+    GraftBridge.column(
+      ReservoirSampleAgg(GraftBridge.expression(c), k, seed).toAggregateExpression())
+}
