@@ -116,10 +116,13 @@ object EventsCatalog {
       .orderBy(col("ts").asc, col("event_id").asc)
     val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, sfDir)
-      .withColumn("gap_s",
-        col("ts").cast("long") - lag(col("ts"), 1).over(byTime).cast("long"))
+      // exact integer microseconds: Spark's ts→long cast truncates seconds
+      // while DuckDB's epoch() rounds fractional seconds — gaps straddling
+      // the 6h boundary would flip between engines
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byTime))
       .withColumn("new_sess",
-        when(col("gap_s").isNull || col("gap_s") > 6L * 3600, 1L).otherwise(0L))
+        when(col("gap_us").isNull || col("gap_us") > 6L * 3600 * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"))
       .agg(
@@ -131,18 +134,18 @@ object EventsCatalog {
   val sessionizeSql: String =
     """WITH g AS (
       |  SELECT user_id, event_id, ts,
-      |    CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
-      |      - CAST(epoch(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) AS BIGINT) AS gap_s
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - epoch_us(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) AS gap_us
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |), s AS (
-      |  SELECT user_id,
-      |    SUM(CASE WHEN gap_s IS NULL OR gap_s > 6 * 3600 THEN 1 ELSE 0 END)
+      |  SELECT user_id, ts, event_id,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 21600000000::BIGINT THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM g
       |)
-      |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+      |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM s
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin

@@ -39,12 +39,20 @@ object Parity {
     * (18+8(+8) digits stays under precision 38, no loss).
     */
   def dsumProd(first: Column, rest: Column*): Column =
-    sum(rest.foldLeft(first.cast(Dec))((acc, c) => acc * c.cast(Fac))).cast(DoubleType)
+    sum(rest.foldLeft(first.cast(Dec))((acc, c) => acc * c.cast(Fac)))
+      // squeeze the exact scale-8/12 sum back to scale 4 BEFORE the double
+      // conversion: above ~15 significant digits DuckDB's decimal→double
+      // isn't correctly rounded, so the last ulp can differ. Rounding the
+      // single final value is tie-safe in practice (unlike per-row casts).
+      .cast(DecimalType(38, 4))
+      .cast(DoubleType)
 
   /** Oracle SQL fragment mirroring [[dsumProd]]. */
   def sqlSumProd(first: String, rest: String*): String = {
     val factors = s"CAST($first AS DECIMAL(18,4))" +: rest.map(r => s"CAST($r AS DECIMAL(8,4))")
-    s"CAST(SUM(${factors.mkString(" * ")}) AS DOUBLE)"
+    // ROUND, not CAST-to-decimal(38,4): DuckDB's decimal downscale cast
+    // truncates, while ROUND is half-away — matching Spark's HALF_UP cast
+    s"CAST(ROUND(SUM(${factors.mkString(" * ")}), 4) AS DOUBLE)"
   }
 
   /** Oracle SQL fragment mirroring [[dsum]]. */
