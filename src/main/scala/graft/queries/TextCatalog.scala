@@ -206,6 +206,33 @@ object TextCatalog {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs — the sketch completed into a dedup operator:
+    * split each 64-bit simhash into 4×16-bit bands; docs sharing any band
+    * (pigeonhole: hamming ≤ 3 guarantees a shared band; larger distances
+    * are found probabilistically) are candidates, verified by exact
+    * hamming ≤ 6. Shuffles (band, key) pairs — never O(n²). Rows-only;
+    * TextSpec checks consistency with the Jaccard ground truth. */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sk = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64Fast(text)) }
+      .toDF("doc_id", "simhash")
+    val bands = sk.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+      .filter(col("dist") <= 6)
+      .dropDuplicates("d1", "d2")
+      .orderBy("d1", "d2")
+  }
+
   /** Language-ID heuristic (rows-only; the synthetic corpus text is
     * English word soup regardless of its `lang` label, so TextSpec checks
     * the mechanism on constructed fixtures, not label recovery). */
@@ -222,6 +249,7 @@ object TextCatalog {
     "q_doc_ngram_sim"   -> (ngramSimilarity _),
     "q_doc_minhash_lsh" -> (minhashLsh _),
     "q_doc_simhash"     -> (simhashSketch _),
+    "q_doc_simhash_nd"  -> (simhashNearDup _),
     "q_doc_langid"      -> (langIdQuery _)
   )
 

@@ -118,6 +118,62 @@ object Jobs {
       }
   }
 
+  /** Closed session record emitted by [[statefulSessions]]. */
+  case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Long)
+
+  /** Internal session-state record (public: Catalyst's generated encoder
+    * code must reach the accessors). */
+  case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState with an EVENT-TIME
+    * timeout — unlike `session_window` (which only aggregates), this emits
+    * a full closed-session record exactly once, when the watermark passes
+    * sessionEnd + gap. The state per user is three longs; the watermark
+    * bounds its lifetime. This is the general shape for any
+    * emit-on-condition stateful operator (cart abandonment, outage spans,
+    * conversation turns). */
+  def statefulSessions(ds: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapUs = gapMinutes * 60L * 1000000L
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[Event], state: GroupState[SessState]) =>
+          def close(s: SessState) = ClosedSession(user,
+            new java.sql.Timestamp(s.startUs / 1000),
+            new java.sql.Timestamp(s.lastUs / 1000), s.n)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(s))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if tUs - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, tUs), n = s.n + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(SessState(tUs, tUs, 1))
+                case None =>
+                  cur = Some(SessState(tUs, tUs, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** ST5: one micro-batch, two sinks ("HDFS" raw + "MongoDB" serving in
     * the declared architecture — two parquet roots here). foreachBatch
     * runs once per epoch; the batch is persisted so the two writes don't

@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessions close on event-time timeout and on in-batch gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.statefulSessions(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("closed").outputMode("append").start()
+    try {
+      // one user: session A (10:00,10:20), then a 2.5h gap to 13:00 in the
+      // SAME batch → A closes immediately via the in-batch gap path
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"),
+        ev(3, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("closed").collect()
+      assert(afterBatch1.length == 1)
+      assert(afterBatch1(0).getAs[Long]("n_events") == 2)
+      assert(afterBatch1(0).getAs[Timestamp]("end") == ts("2024-01-01 10:20:00"))
+      // advance the watermark far past 13:00+gap → session B closes via
+      // the event-time timeout path
+      in.addData(ev(4, "2024-01-01 20:00:00", user = 99))
+      q.processAllAvailable()
+      in.addData(ev(5, "2024-01-01 23:00:00", user = 99))
+      q.processAllAvailable()
+      val all = spark.table("closed").filter(col("user_id") === 1).collect()
+      assert(all.length == 2, s"got ${all.length} closed sessions")
+      assert(all.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("foreachBatch dual sink lands raw rows and serving aggregates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream").toString

@@ -57,6 +57,18 @@ class TextSpec extends SparkSpec {
     assert(lsh == truth, s"LSH missed ${truth -- lsh}, extra ${lsh -- truth}")
   }
 
+  test("simhash near-dup pairs cover the strongest jaccard near-dups") {
+    val jacPairs = TextCatalog.ngramSimilarity(spark, sf0001)
+      .filter(col("jac") >= 0.95).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shPairs = TextCatalog.simhashNearDup(spark, sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // very-high-jaccard pairs have near-identical token multisets → tiny
+    // hamming distance → banding finds them
+    assert(jacPairs.subsetOf(shPairs),
+      s"simhash missed ${jacPairs -- shPairs}")
+  }
+
   test("language-ID heuristic on constructed fixtures") {
     val df = Seq(
       "the cat sat on the mat and the dog is here",
