@@ -233,6 +233,62 @@ object TextCatalog {
       .orderBy("d1", "d2")
   }
 
+  /** The full dedup decision: MinHash/LSH pairs → connected components →
+    * one kept representative per cluster (min doc_id). Output is the
+    * cluster inventory; subtracting `keep=false` docs from the corpus IS
+    * the dedup. Rows-only; GraphSpec proves the clustering. */
+  def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select(col("d1"), col("d2"))
+    graft.functions.Graph.dedupClusters(pairs, "d1", "d2")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("comp")
+  }
+
+  /** TF-IDF top terms per document — the classic text-analysis reduction
+    * (term frequency × inverse document frequency), fully oracle-able.
+    * Scores round to 6 decimals so libm ln() last-ulp differences can't
+    * surface. */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // corpus size: tiny scalar, computed once
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("doc_id") < 50)
+      .select(col("doc_id"), col("rn"), col("term"), col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+      |  GROUP BY term
+      |), n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, rn, term, score FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC,
+      |               tf.term ASC) AS rn
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |)
+      |WHERE rn <= 3 AND doc_id < 50
+      |ORDER BY doc_id, rn""".stripMargin
+
   /** Language-ID heuristic (rows-only; the synthetic corpus text is
     * English word soup regardless of its `lang` label, so TextSpec checks
     * the mechanism on constructed fixtures, not label recovery). */
@@ -250,6 +306,8 @@ object TextCatalog {
     "q_doc_minhash_lsh" -> (minhashLsh _),
     "q_doc_simhash"     -> (simhashSketch _),
     "q_doc_simhash_nd"  -> (simhashNearDup _),
+    "q_dedup_clusters"  -> (dedupClustersQ _),
+    "q_tfidf"           -> (tfidf _),
     "q_doc_langid"      -> (langIdQuery _)
   )
 
@@ -258,6 +316,7 @@ object TextCatalog {
     "q_doc_tokens"      -> tokenCountsSql,
     "q_doc_quality"     -> qualityScoreSql,
     "q_doc_fingerprint" -> fingerprintSql,
-    "q_doc_ngram_sim"   -> ngramSimilaritySql
+    "q_doc_ngram_sim"   -> ngramSimilaritySql,
+    "q_tfidf"           -> tfidfSql
   )
 }
