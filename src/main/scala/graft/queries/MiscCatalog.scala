@@ -178,6 +178,23 @@ object MiscCatalog {
       |WHERE rn = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Unpivot/melt — pivot's inverse: the per-status totals back to long
+    * form (wide→narrow reshaping for the dashboard layer). */
+  def unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    pivotStatus(spark, sfDir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "status", "total")
+      .filter(col("total").isNotNull)
+      .orderBy("o_orderpriority", "status")
+
+  val unpivotSql: String =
+    s"""WITH wide AS (${pivotStatusSql.replace("ORDER BY o_orderpriority", "")})
+       |SELECT o_orderpriority, status, total
+       |FROM wide UNPIVOT (total FOR status IN (F, O, P))
+       |ORDER BY o_orderpriority, status""".stripMargin
+
   /** Ranking-function breadth: ntile/percent_rank/cume_dist over a total
     * order (deterministic tie-break on custkey). */
   def windowStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -243,6 +260,7 @@ object MiscCatalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"     -> (asofJoin _),
+    "q_unpivot"       -> (unpivot _),
     "q_window_stats"  -> (windowStats _),
     "q_histogram"     -> (histogram _),
     "q_null_funcs"    -> (nullFuncs _),
@@ -257,6 +275,7 @@ object MiscCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_asof_join"     -> asofJoinSql,
+    "q_unpivot"       -> unpivotSql,
     "q_window_stats"  -> windowStatsSql,
     "q_histogram"     -> histogramSql,
     "q_null_funcs"    -> nullFuncsSql,
