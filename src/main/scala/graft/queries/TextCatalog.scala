@@ -166,7 +166,12 @@ object TextCatalog {
     * only, then exact-Jaccard verification at 0.8. No oracle: xxhash64 has
     * no DuckDB equivalent — TextSpec asserts LSH recovers exactly the
     * ≥0.8 pairs the exact pairwise query finds. */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir).orderBy("d1", "d2")
+
+  /** The unsorted pair stage — shared by [[minhashLsh]] (which presents
+    * them ordered) and [[dedupClustersQ]] (which doesn't need the sort). */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
@@ -191,7 +196,6 @@ object TextCatalog {
       .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jac"))
       .filter(col("jac") >= 0.8)
-      .orderBy("d1", "d2")
   }
 
   /** SimHash sketch per document (rows-only; TextSpec asserts near-dup
@@ -238,7 +242,7 @@ object TextCatalog {
     * cluster inventory; subtracting `keep=false` docs from the corpus IS
     * the dedup. Rows-only; GraphSpec proves the clustering. */
   def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir).select(col("d1"), col("d2"))
+    val pairs = minhashPairs(spark, sfDir).select(col("d1"), col("d2"))
     graft.functions.Graph.dedupClusters(pairs, "d1", "d2")
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"),
