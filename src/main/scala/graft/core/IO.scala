@@ -29,6 +29,15 @@ object IO {
                     date: String): DataFrame =
     spark.read.parquet(path).filter(col(dateCol) === date)
 
+  /** Small-files control: bound rows per output file (the 100 TB sink
+    * problem is too MANY files, not too few — a 10k-task job writing
+    * per-task files melts the namenode/listing path). Pair with AQE
+    * coalescing; never `coalesce(1)`. */
+  def writeCompacted(df: DataFrame, out: String, maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(out)
+
   /** Bucketed table sink: co-locates rows by join key so equal-bucketed
     * joins skip the exchange entirely. Requires a table catalog (works
     * with the default in-memory catalog + spark.sql.warehouse.dir). */

@@ -38,6 +38,31 @@ class IOSpec extends SparkSpec {
     assert(bucketed == plain)
   }
 
+  test("compacted write bounds rows per file") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val df = spark.range(10000).toDF("id").repartition(2)
+    IO.writeCompacted(df, s"$dir/out", maxRecordsPerFile = 1500)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 7) // 10000/1500 → at least ceil
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 10000)
+    // no single file exceeds the bound
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 1500)
+    }
+  }
+
+  test("approx percentiles track exact within the accuracy bound") {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val r = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx")).head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
+  }
+
   test("stratified sampling: seeded determinism + per-stratum rates") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val fr = Map("en" -> 0.5, "fr" -> 1.0, "es" -> 0.1, "zh" -> 0.0, "de" -> 1.0)
