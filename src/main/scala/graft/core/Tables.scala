@@ -25,16 +25,18 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
     * does not map to TimestampType. We read it as raw nanos (LongType) via
     * `spark.sql.legacy.parquet.nanosAsLong` and convert to a microsecond
-    * TimestampType column. The generator emits µs-aligned values (verified:
-    * ns % 1000 == 0 for all rows), so the conversion is lossless and
-    * DuckDB's `CAST(ts AS TIMESTAMP)` agrees exactly.
+    * TimestampType column. The nanos are NOT µs-aligned, and DuckDB's
+    * `CAST(ts AS TIMESTAMP)` TRUNCATES ns→µs — so the division here must
+    * be integer `div` (truncation), not `/` (double division, rounds to
+    * nearest: ~12% of rows would land 1 µs high and diverge from the
+    * oracle).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
       read(spark, sfDir, "events")
-        .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

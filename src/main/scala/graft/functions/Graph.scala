@@ -44,6 +44,11 @@ object Graph {
       labels = updated.select(col("id"), col("comp2").as("comp"))
       i += 1
     }
+    // silent non-convergence would split components and corrupt the dedup
+    // decision downstream — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter (graph diameter exceeds it)")
     labels
   }
 

@@ -98,11 +98,13 @@ final class ReservoirBuf(val k: Int) {
     }
   }
 
-  /** Weighted merge: keep each candidate with probability proportional to
-    * its source reservoir's seen-count (standard mergeable-reservoir
-    * scheme; exact when either side is below capacity). */
+  /** Weighted merge WITHOUT replacement: shuffle each side, then fill the
+    * output by drawing the next unconsumed element from a side chosen
+    * with probability proportional to its remaining weight (standard
+    * mergeable-reservoir scheme; exact when the sides fit together). No
+    * element can be selected twice — each draw consumes its slot. */
   def merge(other: ReservoirBuf, seed: Long): ReservoirBuf = {
-    if (other.size == 0) return this
+    if (other.size == 0) { seen += other.seen; return this }
     if (size < k && other.size <= k - size) {
       var i = 0
       while (i < other.size) { items(size) = other.items(i); size += 1; i += 1 }
@@ -110,22 +112,40 @@ final class ReservoirBuf(val k: Int) {
       this
     } else {
       val total = seen + other.seen
+      shuffleInPlace(seed ^ 0x1234567L)
+      other.shuffleInPlace(seed ^ 0x89ABCDEFL)
       val out = new ReservoirBuf(k)
       out.seen = total
-      // draw k slots, each from this side w.p. seen/total, else other
-      var i = 0
+      var i1 = 0; var i2 = 0
+      var w1 = seen; var w2 = other.seen
       var mix = rng(seed, total)
-      while (out.size < k && out.size < size + other.size) {
-        mix = rng(seed, mix + i)
-        val fromThis = java.lang.Math.floorMod(mix, total) < seen
-        val src = if (fromThis && size > 0) this else other
-        val idx = java.lang.Math.floorMod(rng(seed, mix ^ 0x5851F42D4C957F2DL), src.size.toLong).toInt
-        out.items(out.size) = src.items(idx)
+      while (out.size < k && (i1 < size || i2 < other.size)) {
+        mix = rng(seed, mix)
+        val pickThis =
+          if (i1 >= size) false
+          else if (i2 >= other.size) true
+          else java.lang.Math.floorMod(mix, w1 + w2) < w1
+        if (pickThis) {
+          out.items(out.size) = items(i1); i1 += 1
+          w1 = math.max(1L, w1 - math.max(1L, seen / k))
+        } else {
+          out.items(out.size) = other.items(i2); i2 += 1
+          w2 = math.max(1L, w2 - math.max(1L, other.seen / k))
+        }
         out.size += 1
-        i += 1
       }
       items = out.items; size = out.size; seen = out.seen
       this
+    }
+  }
+
+  /** Deterministic Fisher-Yates over the filled prefix. */
+  private def shuffleInPlace(seed: Long): Unit = {
+    var i = size - 1
+    while (i > 0) {
+      val j = java.lang.Math.floorMod(rng(seed, i.toLong), (i + 1).toLong).toInt
+      val t = items(i); items(i) = items(j); items(j) = t
+      i -= 1
     }
   }
 

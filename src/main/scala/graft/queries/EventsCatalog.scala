@@ -151,17 +151,28 @@ object EventsCatalog {
       |ORDER BY user_id""".stripMargin
 
   /** A1/ST7: exact stream dedup by event id, then a per-type profile —
-    * mirrors the reference's crawl-dedup (`CrawlData.py:12,32-34`). */
-  def dedupEvents(spark: SparkSession, sfDir: String): DataFrame =
+    * mirrors the reference's crawl-dedup (`CrawlData.py:12,32-34`).
+    * DETERMINISTIC row choice: `dropDuplicates` keeps an arbitrary row
+    * per key (partitioning-dependent), so both engines instead keep the
+    * (ts, event_type, value)-minimal row — same result on any cluster,
+    * any partitioning, and exercised even if duplicates ever disagree. */
+  def dedupEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("ts").asc, col("event_type").asc, col("value").asc)
     Tables.events(spark, sfDir)
-      .dropDuplicates("event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
+  }
 
   val dedupEventsSql: String =
     """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
-      |FROM (SELECT * FROM events QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY event_id) = 1)
+      |FROM (SELECT * FROM events QUALIFY ROW_NUMBER() OVER (
+      |        PARTITION BY event_id
+      |        ORDER BY CAST(ts AS TIMESTAMP) ASC, event_type ASC, value ASC) = 1)
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

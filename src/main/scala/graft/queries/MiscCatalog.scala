@@ -148,35 +148,43 @@ object MiscCatalog {
 
   /** As-of join (composed from equi-join + max_by — option (a) in the
     * custom-operator preference order, since built-ins express it): for
-    * each order, the customer's latest event at or before the order date.
-    * Deterministic via the (ts, event_id) composite. At scale this is a
-    * hash join on the user key with per-key reduction — no sort-merge
-    * range scan needed until event history per key stops fitting a
-    * reduce task, at which point bucket both sides by key. */
+    * each purchase event, the same user's latest click at or before it
+    * (attribution's classic shape). Deterministic via the (ts, event_id)
+    * composite. At scale this is a hash join on the user key with
+    * per-key reduction — no sort-merge range scan needed until event
+    * history per key stops fitting a reduce task, at which point bucket
+    * both sides by key. */
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val e = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-    o.join(e, col("o_custkey") === col("user_id") && col("ts") <= col("o_orderdate"))
-      .groupBy(col("o_orderkey"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts"))
+      .groupBy(col("p_id"))
       .agg(
-        max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("asof_event"),
-        max(col("ts")).as("asof_ts"))
-      .orderBy("o_orderkey")
+        max_by(col("c_id"), struct(col("c_ts"), col("c_id"))).as("asof_click"),
+        max(col("c_ts")).as("asof_ts"))
+      .orderBy("p_id")
   }
 
+  // ts is CAST to µs-truncated TIMESTAMP everywhere (comparisons, ordering,
+  // output) so DuckDB's ns-precision view can't order or emit differently
+  // than Spark's µs column
   val asofJoinSql: String =
-    """SELECT o_orderkey, event_id AS asof_event, ts AS asof_ts
+    """SELECT p_id, c_id AS asof_click, c_ts AS asof_ts
       |FROM (
-      |  SELECT o_orderkey, e.event_id, e.ts,
-      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey
-      |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
-      |  FROM orders o JOIN events e
-      |    ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      |  SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |    CAST(c.ts AS TIMESTAMP) AS c_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                       ORDER BY CAST(c.ts AS TIMESTAMP) DESC, c.event_id DESC) AS rn
+      |  FROM events p JOIN events c
+      |    ON p.user_id = c.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+      |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |)
       |WHERE rn = 1
-      |ORDER BY o_orderkey""".stripMargin
+      |ORDER BY p_id""".stripMargin
 
   /** Unpivot/melt — pivot's inverse: the per-status totals back to long
     * form (wide→narrow reshaping for the dashboard layer). */

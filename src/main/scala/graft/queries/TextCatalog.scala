@@ -173,8 +173,14 @@ object TextCatalog {
     * them ordered) and [[dedupClustersQ]] (which doesn't need the sort). */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // null/empty text can't participate (it would shingle to [NULL] and
+    // make all null docs mutual "near-dups" at jac 1.0)
     val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && col("text") =!= "")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      // reused by the self-join and both verification joins — checkpoint
+      // or the dominant shingle+signature stage recomputes up to 4×
+      .localCheckpoint(false)
     // shingles hashed once by Catalyst; the 64-way signature + banding is
     // a JIT'd per-row loop (see MinHasher — 60x over nested HOF lambdas)
     val bands = docs
@@ -186,6 +192,7 @@ object TextCatalog {
           .zipWithIndex.map { case (key, b) => (id, b, key) }
       }
       .toDF("doc_id", "band", "key")
+      .localCheckpoint(false)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -203,6 +210,7 @@ object TextCatalog {
   def simhashSketch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull) // typed map below would NPE
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64Fast(text)) }
@@ -219,6 +227,7 @@ object TextCatalog {
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sk = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64Fast(text)) }

@@ -142,19 +142,27 @@ object Jobs {
       .flatMapGroupsWithState[SessState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[Event], state: GroupState[SessState]) =>
-          def close(s: SessState) = ClosedSession(user,
-            new java.sql.Timestamp(s.startUs / 1000),
-            new java.sql.Timestamp(s.lastUs / 1000), s.n)
+          def tsOf(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+            t.setNanos(((us % 1000000L) * 1000L).toInt)
+            t
+          }
+          def close(s: SessState) = ClosedSession(user, tsOf(s.startUs), tsOf(s.lastUs), s.n)
+          // exact microseconds: getTime alone is ms-truncated, which would
+          // mis-decide gaps within 1ms of the boundary vs the µs-exact
+          // batch sessionize
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(close(s))
           } else {
-            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
-              val tUs = e.ts.getTime * 1000L
+              val tUs = micros(e.ts)
               cur match {
                 case Some(s) if tUs - s.lastUs <= gapUs =>
                   cur = Some(s.copy(lastUs = math.max(s.lastUs, tUs), n = s.n + 1))
@@ -175,22 +183,30 @@ object Jobs {
   }
 
   /** ST5: one micro-batch, two sinks ("HDFS" raw + "MongoDB" serving in
-    * the declared architecture — two parquet roots here). foreachBatch
-    * runs once per epoch; the batch is persisted so the two writes don't
-    * recompute the lineage. */
+    * the declared architecture — two parquet roots here).
+    *
+    * Exactly-once mechanics (foreachBatch is only at-least-once unless
+    * the writes are epoch-idempotent, per the Structured Streaming docs):
+    *  - raw: each epoch overwrites its own `epoch=<id>` partition dir, so
+    *    a retried epoch replaces its previous partial output instead of
+    *    appending duplicates;
+    *  - serving: re-aggregated from the raw store after the epoch lands —
+    *    cumulative over the whole stream (not just the last batch) and a
+    *    retry converges to the same state. (A kv serving store would use
+    *    an update-mode agg + upsert instead.)
+    */
   def dualSinkQuery(df: DataFrame, rawDir: String, servingDir: String,
                     checkpointDir: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.persist()
-        try {
-          batch.write.mode("append").parquet(rawDir)
-          batch.groupBy(col("event_type"))
-            .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
-            .write.mode("overwrite").parquet(servingDir)
-        } finally batch.unpersist()
+        val spark = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$rawDir/epoch=$epochId")
+        spark.read.parquet(rawDir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .write.mode("overwrite").parquet(servingDir)
         ()
       }
       .start()

@@ -130,13 +130,16 @@ class StreamingSpec extends SparkSpec {
       ev(1, "2024-01-01 00:00:00", typ = "click", v = 1.5),
       ev(2, "2024-01-01 00:01:00", typ = "view", v = 2.5),
       ev(3, "2024-01-01 00:02:00", typ = "click", v = 3.0)))
-      .toDF().write.json(src)
-    val stream = Jobs.clean(Jobs.readEventStream(spark, src))
+      .repartition(3).toDF().write.json(src)
+    // one file per trigger → THREE epochs: proves the serving aggregate is
+    // cumulative over the stream, not just the last micro-batch
+    val stream = Jobs.clean(Jobs.readEventStream(spark, src, maxFilesPerTrigger = 1))
     val q = Jobs.dualSinkQuery(stream, s"$dir/raw", s"$dir/serving", s"$dir/cp")
     q.awaitTermination(60000)
     val raw = spark.read.parquet(s"$dir/raw")
     assert(raw.count() == 3)
     assert(raw.columns.contains("k")) // clean() extracted the JSON payload
+    assert(raw.columns.contains("epoch")) // epoch-keyed layout = retry-idempotent
     val serving = spark.read.parquet(s"$dir/serving").orderBy("event_type").collect()
     assert(serving.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("click", 2L), ("view", 1L)))
