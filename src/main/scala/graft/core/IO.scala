@@ -29,6 +29,22 @@ object IO {
                     date: String): DataFrame =
     spark.read.parquet(path).filter(col(dateCol) === date)
 
+  /** Upsert (latest-version-wins merge) — the reference's implicit
+    * multi-day semantic: a listing re-crawled on a later day supersedes
+    * the earlier record with the same id (`CrawlData.py` re-runs land in
+    * new date partitions; A1 dedup keeps one per id). Without a
+    * table-format MERGE this is union + per-key argmax: one shuffle on
+    * the key, deterministic via the (version, tiebreak-on-key) composite. */
+  def upsert(existing: DataFrame, updates: DataFrame, key: String,
+             versionCol: String): DataFrame = {
+    val all = existing.unionByName(updates)
+    val others = all.columns.filter(c => c != key)
+    all.groupBy(col(key))
+      .agg(
+        max_by(struct(others.map(col): _*), struct(col(versionCol), col(key))).as("_r"))
+      .select(col(key) +: others.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
   /** Small-files control: bound rows per output file (the 100 TB sink
     * problem is too MANY files, not too few — a 10k-task job writing
     * per-task files melts the namenode/listing path). Pair with AQE

@@ -38,6 +38,24 @@ class IOSpec extends SparkSpec {
     assert(bucketed == plain)
   }
 
+  test("upsert keeps the latest version per key and passes new keys through") {
+    import spark.implicits._
+    val day1 = Seq((1L, "old-title", 100L), (2L, "keep-me", 200L))
+      .toDF("id", "title", "post_time")
+    val day2 = Seq((1L, "new-title", 300L), (3L, "brand-new", 150L))
+      .toDF("id", "title", "post_time")
+    val merged = IO.upsert(day1, day2, "id", "post_time")
+      .orderBy("id").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq == Seq(
+      (1L, "new-title", 300L),  // updated
+      (2L, "keep-me", 200L),    // untouched
+      (3L, "brand-new", 150L))) // inserted
+    // idempotent: re-applying the same updates changes nothing
+    val again = IO.upsert(IO.upsert(day1, day2, "id", "post_time"), day2, "id", "post_time")
+      .orderBy("id").collect()
+    assert(again.sameElements(merged))
+  }
+
   test("compacted write bounds rows per file") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val df = spark.range(10000).toDF("id").repartition(2)
