@@ -118,6 +118,27 @@ object Jobs {
       }
   }
 
+  /** The reference's own pipeline as a stream (entry point 3 in
+    * SURVEY.md §3): the crawler lands one pretty-printed JSON file per
+    * listing (`CrawlData.py:129-134`); this picks them up as they
+    * arrive, stamps event time from `post_time` (epoch ms), and dedups
+    * re-crawled ids within the watermark (A1's streaming form). */
+  def readListingStream(spark: SparkSession, dir: String,
+                        maxFilesPerTrigger: Int = 50): DataFrame =
+    spark.readStream
+      .schema(graft.core.Listings.schema)
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(s"$dir/house_*.json")
+      .withColumn("post_ts", timestamp_millis(col("post_time")))
+
+  /** Clean + watermark + id-dedup for the listing stream. */
+  def listingPipeline(stream: DataFrame): DataFrame =
+    stream
+      .filter(col("id").isNotNull)
+      .withWatermark("post_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+
   /** Closed session record emitted by [[statefulSessions]]. */
   case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long)

@@ -145,6 +145,29 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("listing stream ingests the reference's per-file layout and dedups ids") {
+    import graft.core.Listings
+    val dir = Files.createTempDirectory("graft_liststream").toString
+    // land 3 real reference files, one of them twice (re-crawl)
+    val refFiles = new java.io.File(Listings.ReferenceRun)
+      .listFiles().filter(_.getName.endsWith(".json")).take(3)
+    refFiles.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$dir/house_$i.json"))
+    }
+    java.nio.file.Files.copy(refFiles(0).toPath,
+      java.nio.file.Paths.get(s"$dir/house_redo.json"))
+    val q = Jobs.listingPipeline(Jobs.readListingStream(spark, dir))
+      .writeStream.format("memory").queryName("listings").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("listings")
+      assert(got.count() == 3) // 4 files, 1 duplicate id dropped
+      assert(got.select("id").distinct().count() == 3)
+      assert(got.columns.contains("post_ts"))
+    } finally q.stop()
+  }
+
   test("kafka-frame decode: valid payloads parse, undecodable ones drop") {
     import spark.implicits._
     // the exact column shape format("kafka") produces
