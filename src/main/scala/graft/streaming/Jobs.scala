@@ -132,11 +132,18 @@ object Jobs {
       .json(s"$dir/house_*.json")
       .withColumn("post_ts", timestamp_millis(col("post_time")))
 
-  /** Clean + watermark + id-dedup for the listing stream. */
-  def listingPipeline(stream: DataFrame): DataFrame =
+  /** Clean + id-dedup for the listing stream. Dedup state is keyed on
+    * ARRIVAL time, not `post_ts`: crawl arrival order is uncorrelated
+    * with post order (a post_time watermark would late-drop valid
+    * listings and expire before real re-crawls, which carry their OLD
+    * post_time). Arrival time is monotonic, so nothing can be late, and
+    * the horizon bounds state at [ids seen per horizon]; re-crawls beyond
+    * it are handled downstream by the batch `IO.upsert` merge. */
+  def listingPipeline(stream: DataFrame, recrawlHorizon: String = "24 hours"): DataFrame =
     stream
       .filter(col("id").isNotNull)
-      .withWatermark("post_ts", "1 hour")
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", recrawlHorizon)
       .dropDuplicatesWithinWatermark("id")
 
   /** Closed session record emitted by [[statefulSessions]]. */

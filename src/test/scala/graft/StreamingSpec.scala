@@ -157,12 +157,15 @@ class StreamingSpec extends SparkSpec {
     }
     java.nio.file.Files.copy(refFiles(0).toPath,
       java.nio.file.Paths.get(s"$dir/house_redo.json"))
-    val q = Jobs.listingPipeline(Jobs.readListingStream(spark, dir))
+    // ONE file per trigger → 4 micro-batches: the duplicate arrives in a
+    // LATER batch than its original, so this exercises cross-batch dedup
+    // state, not just within-batch dedup
+    val q = Jobs.listingPipeline(Jobs.readListingStream(spark, dir, maxFilesPerTrigger = 1))
       .writeStream.format("memory").queryName("listings").outputMode("append").start()
     try {
       q.processAllAvailable()
       val got = spark.table("listings")
-      assert(got.count() == 3) // 4 files, 1 duplicate id dropped
+      assert(got.count() == 3) // 4 files over 4 batches, 1 duplicate id dropped
       assert(got.select("id").distinct().count() == 3)
       assert(got.columns.contains("post_ts"))
     } finally q.stop()
