@@ -36,9 +36,14 @@ object VectorOps {
   /** L2 norm. */
   def normDec(a: Column): Column = sqrt(dotDec(a, a))
 
-  /** Cosine similarity (exact, order-independent). */
-  def cosine(a: Column, b: Column): Column =
-    dotDec(a, b) / (normDec(a) * normDec(b))
+  /** Cosine similarity (exact, order-independent). Null on a zero-norm
+    * input — under ANSI mode (Spark 4 default) an unguarded division
+    * would THROW at runtime, not return NaN. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = normDec(a); val nb = normDec(b)
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dotDec(a, b) / (na * nb))
+  }
 
   /** Random-hyperplane LSH signature of `bits` sign bits, as a '0'/'1'
     * string bucket key. Hyperplane component r(i,j,t) is a deterministic
