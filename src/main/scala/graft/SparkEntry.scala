@@ -26,9 +26,18 @@ object SparkEntry {
       // proves size/membership/uniformity)
       "q_reservoir" -> ((s: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions._
+        // driver-comparable output: the harness sorts/hashes columns via
+        // pandas, which can't hash an array<long> cell — so present the
+        // sample as scalars + a comma-joined string, never a raw array
         graft.core.Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
-          .agg(graft.plans.ReservoirSampleAgg.reservoirSample(col("l_orderkey"), 10).as("sample_ids"))
+          .agg(graft.plans.ReservoirSampleAgg.reservoirSample(col("l_orderkey"), 10).as("ids"))
+          .select(
+            col("l_returnflag"),
+            size(col("ids")).as("sample_size"),
+            array_min(col("ids")).as("min_id"),
+            array_max(col("ids")).as("max_id"),
+            concat_ws(",", transform(array_sort(col("ids")), _.cast("string"))).as("sample_ids"))
           .orderBy("l_returnflag")
       }),
       "q_doc_sample" -> ((s: SparkSession, dir: String) => {

@@ -34,14 +34,17 @@ object IO {
     * the earlier record with the same id (`CrawlData.py` re-runs land in
     * new date partitions; A1 dedup keeps one per id). Without a
     * table-format MERGE this is union + per-key argmax: one shuffle on
-    * the key, deterministic via the (version, tiebreak-on-key) composite. */
+    * the key. Version TIES resolve to the update side (priority 1 > 0) —
+    * a same-day re-crawl must win deterministically; tiebreaking on the
+    * key would be vacuous (it's constant within the group). */
   def upsert(existing: DataFrame, updates: DataFrame, key: String,
              versionCol: String): DataFrame = {
-    val all = existing.unionByName(updates)
-    val others = all.columns.filter(c => c != key)
+    val all = existing.withColumn("_prio", lit(0))
+      .unionByName(updates.withColumn("_prio", lit(1)))
+    val others = all.columns.filter(c => c != key && c != "_prio")
     all.groupBy(col(key))
       .agg(
-        max_by(struct(others.map(col): _*), struct(col(versionCol), col(key))).as("_r"))
+        max_by(struct(others.map(col): _*), struct(col(versionCol), col("_prio"))).as("_r"))
       .select(col(key) +: others.map(c => col(s"_r.$c").as(c)): _*)
   }
 

@@ -107,7 +107,12 @@ object Listings {
         col("ad.category").as("category"),
         col("ad.list_time").as("post_time"),                 // F5: epoch ms
         coalesce(size(col("ad.images")), lit(0)).as("images")) // F2
-      .filter(col("id").isNotNull)                           // P3 (extract_one -> None)
+      // Deliberate engine-side strictness DEVIATION (not P3 parity): the
+      // reference's extract_one keeps id-null records (a truthy dict even
+      // when list_id is absent — CrawlData.py:71-88; only a missing "ad"
+      // payload yields None). A keyless record can't be deduped, upserted,
+      // or joined, so this engine drops it at the door instead.
+      .filter(col("id").isNotNull)
 
   /** Read the per-record pretty-printed JSON layout (S3's output). Explicit
     * schema — never inference in production paths. */
@@ -129,8 +134,35 @@ object Listings {
       .csv(path)
 
   /** A1: crawl pagination overlaps, so ids repeat — keep one row per id
-    * (the reference dedupes with a set before fetching, CrawlData.py:32-34). */
-  def dedup(df: DataFrame): DataFrame = df.dropDuplicates("id")
+    * (the reference dedupes with a set before fetching, CrawlData.py:32-34).
+    *
+    * DETERMINISTIC representative: `dropDuplicates` keeps an arbitrary
+    * partitioning-dependent row per key, which only looks correct while
+    * duplicate ids carry identical payloads. Instead keep the latest
+    * `post_time`, tiebreaking on every remaining column — the same result
+    * on any cluster and any partitioning (mirrors dedupEvents). */
+  def dedup(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hasPost = df.columns.contains("post_time")
+    val tiebreak = df.columns.filter(c => c != "id" && c != "post_time")
+      .map(c => col(c).asc_nulls_first)
+    val ordering =
+      (if (hasPost) Seq(col("post_time").desc_nulls_last) else Nil) ++ tiebreak
+    if (ordering.isEmpty) df.dropDuplicates("id") // key-only frame: rows identical
+    else {
+      val w = Window.partitionBy(col("id")).orderBy(ordering: _*)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
+  /** The DuckDB spelling of [[dedup]]'s representative choice, for oracle
+    * queries over the same data (NULLS pinned — Spark's ASC default is
+    * NULLS FIRST, DuckDB's is NULLS LAST). */
+  def dedupQualifySql: String = {
+    val tiebreak = schema.fieldNames.filter(c => c != "id" && c != "post_time")
+      .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+    s"QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY post_time DESC NULLS LAST, $tiebreak) = 1"
+  }
 
   /** S3 engine-side: date-partitioned JSONL sink (splittable at scale,
     * unlike the reference's one-pretty-file-per-record layout). */

@@ -32,16 +32,15 @@ object Tables {
     * oracle).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      read(spark, sfDir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None    => () // leave set; harmless for other tables
-      }
+    // Set once and never restored: reading NANOS as long is the only way
+    // Spark's parquet reader handles this physical type at all, and the
+    // conf is inert for every other table. (A set-then-restore here was
+    // racy — concurrent plan-building threads could observe the restore
+    // mid-read and fail the scan.)
+    Tables.synchronized {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
+    read(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

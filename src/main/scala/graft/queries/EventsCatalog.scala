@@ -43,7 +43,7 @@ object EventsCatalog {
     """SELECT event_type, COUNT(*) AS n,
       |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -176,7 +176,29 @@ object EventsCatalog {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** J3 batch twin of [[graft.streaming.Jobs.streamStreamJoin]]: the SAME
+    * function run on batch frames (watermarks are a no-op in batch), so the
+    * DuckDB oracle checks the join semantics the streaming form uses.
+    * StreamingSpec separately proves the incremental behavior (watermark
+    * drops the late side). */
+  def streamJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    graft.streaming.Jobs.streamStreamJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  val streamJoinBatchSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '5 minutes'
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join"     -> (streamJoinBatch _),
     "q_json_extract"    -> (jsonExtract _),
     "q_tumbling_window" -> (tumblingWindow _),
     "q_sliding_window"  -> (slidingWindow _),
@@ -186,6 +208,7 @@ object EventsCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_join"     -> streamJoinBatchSql,
     "q_json_extract"    -> jsonExtractSql,
     "q_tumbling_window" -> tumblingWindowSql,
     "q_sliding_window"  -> slidingWindowSql,

@@ -40,6 +40,11 @@ object ListingCatalog {
 
   private val refJson = s"read_json('${Listings.ReferenceRun}/house_*.json')"
 
+  // deterministic per-id representative — must spell the exact ordering
+  // Listings.dedup uses or a fixture with differing duplicate payloads
+  // would hash-flake (see dedupEvents for the same rule on events)
+  private val dedupQualify = Listings.dedupQualifySql
+
   val normalizeSql: String =
     s"""SELECT id, title, description, price, area_m2,
        |  CASE WHEN price IS NOT NULL AND price <> 0 AND area_m2 > 0
@@ -48,7 +53,7 @@ object ListingCatalog {
        |  CAST(property_type AS VARCHAR) AS property_type,
        |  category, post_time, images
        |FROM $refJson
-       |QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY id) = 1
+       |$dedupQualify
        |ORDER BY id""".stripMargin
 
   /** A3 (the declared dashboard aggregates): per-district/category listing
@@ -69,8 +74,7 @@ object ListingCatalog {
        |  CAST(SUM(price) AS BIGINT) AS total_price,
        |  CAST(CAST(SUM(price) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_price,
        |  MIN(price) AS min_price, MAX(price) AS max_price
-       |FROM (SELECT * FROM $refJson
-       |      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY id) = 1)
+       |FROM (SELECT * FROM $refJson $dedupQualify)
        |GROUP BY district, category
        |ORDER BY district, category""".stripMargin
 
@@ -92,8 +96,7 @@ object ListingCatalog {
        |  SELECT district, id, price,
        |    ROW_NUMBER() OVER (PARTITION BY district
        |                       ORDER BY price DESC, id ASC) AS rn
-       |  FROM (SELECT * FROM $refJson
-       |        QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY id) = 1)
+       |  FROM (SELECT * FROM $refJson $dedupQualify)
        |  WHERE category IN (1010, 1020, 1040)
        |)
        |WHERE rn <= 3

@@ -37,7 +37,7 @@ object TextCatalog {
 
   val exactDedupSql: String =
     """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
-      |  SUM(n_chars) AS total_chars
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -125,8 +125,14 @@ object TextCatalog {
       .select(col("doc_id"), col("source"), shingles(col("text"), 3).as("sh"))
       .withColumn("ns", size(col("sh")))
     // (measured: pre-pruning df==1 shingles via an extra groupBy+join costs
-    // more than the self-join saves at this corpus shape — skew-prone
-    // corpora at larger scale would revisit that, plus prefix filtering)
+    // more than the self-join saves at this corpus shape — the extra
+    // shuffle outweighs the postings it removes. DECISION, revisit at real
+    // scale: a corpus-wide stopword shingle ("in the house") is a hot join
+    // key whose bucket grows O(df²); the 100 TB plan is (1) drop postings
+    // with df > ~10k — they contribute ≤ 1/|union| each to Jaccard and
+    // can't flip a 0.5 threshold for realistic doc sizes, then (2) prefix
+    // filtering: only the lexicographically-first ceil((1-t)·|sh|)+1
+    // shingles per doc need to join to guarantee recall at threshold t.)
     val posts = d.select(col("source"), col("doc_id"), col("ns"),
       explode(transform(col("sh"), s => xxhash64(s))).as("h"))
     posts.as("a").join(posts.as("b"),
@@ -266,7 +272,9 @@ object TextCatalog {
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count() // corpus size: tiny scalar, computed once
+    // corpus size as a broadcast 1-row aggregate INSIDE the plan — a
+    // docs.count() here would run a separate driver-side job per call
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -274,8 +282,8 @@ object TextCatalog {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df_, "term")
-      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3 && col("doc_id") < 50)
       .select(col("doc_id"), col("rn"), col("term"), col("score"))

@@ -222,10 +222,14 @@ object TpchCatalog {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no order above 300k.
+    * The anti side is FILTERED so the result is non-trivial at every SF
+    * (the unfiltered "no orders at all" form is vacuously empty below
+    * sf0.1 — every customer has an order — and a 0-row match proves
+    * nothing about anti-join semantics). */
   def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
-    val o = Tables.orders(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
@@ -234,7 +238,8 @@ object TpchCatalog {
   val antiJoinSql: String =
     """SELECT c_custkey, c_mktsegment
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
 
   /** Left-outer join preserving order-less customers (J1 outer variant). */

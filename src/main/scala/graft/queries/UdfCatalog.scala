@@ -30,7 +30,7 @@ object UdfCatalog {
   private val priceParseSql: String =
     s"""WITH t AS (
        |  SELECT id, lower(title) AS lt FROM read_json('${Listings.ReferenceRun}/house_*.json')
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY id) = 1
+       |  ${Listings.dedupQualifySql}
        |), m AS (
        |  SELECT id,
        |    NULLIF(regexp_extract(lt, '([0-9]+(?:[.,][0-9]+)?)\\s*(tỷ|triệu)', 1), '') AS num,

@@ -137,10 +137,32 @@ object VectorCatalog {
     * of the dedup family: bucket the corpus with the LSH tables, compare
     * only within-bucket pairs with the codegen'd fused cosine, keep
     * pairs ≥ 0.95. Same no-O(n²) shape as text MinHash/LSH. Rows-only;
-    * VectorSpec checks against the brute-force threshold pairs. */
+    * VectorSpec checks against the brute-force threshold pairs.
+    *
+    * The synthetic corpus has no organic ≥0.95 pairs (measured max
+    * pairwise cosine ≈ 0.51), so the query PLANTS perturbed duplicates of
+    * the first 20 vectors (deterministic shift, cos ≈ 0.995, id + 10^6)
+    * before bucketing — the detector is exercised end-to-end on every run
+    * instead of vacuously returning 0 rows. */
+  /** The corpus [[vecNearDup]] runs over: the embeddings table plus
+    * perturbed copies of the first 20 vectors. Exposed so VectorSpec can
+    * compute its brute-force truth set over the SAME corpus. */
+  def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // y_i = x_i + 0.1 * x_{(i+1) mod d}: for near-unit random vectors the
+    // added term is ~orthogonal, so cos(x,y) ≈ 1/sqrt(1.01) ≈ 0.995 — a
+    // genuine near-duplicate (not an exact copy, which cosine can't rank)
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                 cast(x + 0.1f * element_at(embedding, (cast(i as int) + 1) % size(embedding) + 1)
+                 as float))""").as("embedding"))
+    base.union(planted)
+  }
+
   def vecNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val Tables_ = 4; val Bits = 6
-    val e = Tables.embeddings(spark, sfDir)
+    val e = nearDupCorpus(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         explode(lshTables(col("embedding"), Tables_, Bits)).as("sig"))
       .select(col("vec_id"), col("embedding"),

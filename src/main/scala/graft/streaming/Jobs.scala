@@ -218,10 +218,18 @@ object Jobs {
     *  - raw: each epoch overwrites its own `epoch=<id>` partition dir, so
     *    a retried epoch replaces its previous partial output instead of
     *    appending duplicates;
-    *  - serving: re-aggregated from the raw store after the epoch lands —
-    *    cumulative over the whole stream (not just the last batch) and a
-    *    retry converges to the same state. (A kv serving store would use
-    *    an update-mode agg + upsert instead.)
+    *  - serving: INCREMENTAL — each epoch writes only its own partial
+    *    aggregate (idempotent epoch-partition overwrite), and the serving
+    *    view folds the partials. Per-trigger work is O(batch rows) +
+    *    O(epochs × keys) tiny partial rows; the raw history is NEVER
+    *    re-read (round 1 re-aggregated the whole raw store per epoch —
+    *    O(epochs × history) total, a scale-killer on a long stream).
+    *    Partial totals stay DECIMAL until the final fold: decimal sums are
+    *    exact and associative, so two-level == one-level aggregation
+    *    bit-for-bit (a double partial would drift in the last ulp).
+    *    On a stream with many epochs the partials themselves are compacted
+    *    by [[compactServingPartials]] (fold N epoch dirs into one base —
+    *    same idempotence, bounded file count).
     */
   def dualSinkQuery(df: DataFrame, rawDir: String, servingDir: String,
                     checkpointDir: String): StreamingQuery =
@@ -231,11 +239,57 @@ object Jobs {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         batch.write.mode("overwrite").parquet(s"$rawDir/epoch=$epochId")
-        spark.read.parquet(rawDir)
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_dec"))
+          .write.mode("overwrite").parquet(s"$servingDir.partials/epoch=$epochId")
+        servingFromPartials(spark, servingDir)
           .write.mode("overwrite").parquet(servingDir)
         ()
       }
       .start()
+
+  /** Fold the per-epoch partial aggregates into the serving aggregate.
+    * Input is epochs × keys rows (not the raw history). */
+  def servingFromPartials(spark: SparkSession, servingDir: String): DataFrame =
+    spark.read.parquet(s"$servingDir.partials")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("total_dec")).cast("double").as("total"))
+
+  /** Compact the partial-aggregate epochs into a single base partial —
+    * run periodically (e.g. every N epochs) to bound the partial-store
+    * file count on a long-lived stream. Idempotent: the compacted base
+    * carries the max epoch id it covers, and re-running replaces it. */
+  def compactServingPartials(spark: SparkSession, servingDir: String): Unit = {
+    val partials = spark.read.parquet(s"$servingDir.partials")
+    val compacted = partials.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
+    val tmp = s"$servingDir.partials.compact"
+    compacted.write.mode("overwrite").parquet(s"$tmp/epoch=-1")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$servingDir.partials")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** J3 stream-stream: watermarked interval join — each view pairs with
+    * the clicks the same user makes within 5 minutes after it. Both sides
+    * carry watermarks and the join condition time-bounds the buffered
+    * state on BOTH sides (view state expires 5 min + watermark after its
+    * event time; click state as soon as the view watermark passes it) —
+    * without the interval the state would grow forever. Works identically
+    * on batch frames (watermarks are a no-op there), which is what the
+    * oracled batch twin `q_stream_join` runs. */
+  def streamStreamJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "10 minutes")
+    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "10 minutes")
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
 }

@@ -39,6 +39,21 @@ class CosineExprSpec extends SparkSpec {
     assert(math.abs(gen(0) - expected) < 1e-12)
   }
 
+  test("mismatched dimensions yield null, not a prefix similarity") {
+    // truncating to the common prefix would mask an upstream dimension bug
+    // with a plausible score — fail loudly instead (both eval paths)
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    assert(df.select(CosineSimilarity.cosineSim(col("a"), col("b"))).head.isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try
+      assert(df.select(CosineSimilarity.cosineSim(col("a"), col("b"))).head.isNullAt(0))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("null arrays propagate null") {
     val df = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val r = df.select(CosineSimilarity.cosineSim(col("a"), col("b"))).head

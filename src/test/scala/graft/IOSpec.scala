@@ -56,6 +56,20 @@ class IOSpec extends SparkSpec {
     assert(again.sameElements(merged))
   }
 
+  test("upsert: version TIES resolve to the update side, deterministically") {
+    import spark.implicits._
+    // same-day re-crawl: same id, same post_time, DIFFERENT payload — the
+    // update must win (round-1 tiebreak was struct(version, key), vacuous
+    // because key is constant within the group → partition-dependent pick)
+    val existing = Seq((1L, "stale-payload", 100L)).toDF("id", "title", "post_time")
+    val update = Seq((1L, "fresh-payload", 100L)).toDF("id", "title", "post_time")
+    (1 to 5).foreach { i =>
+      val r = IO.upsert(existing.repartition(i), update.repartition(6 - i), "id", "post_time")
+        .collect()
+      assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq == Seq((1L, "fresh-payload")))
+    }
+  }
+
   test("compacted write bounds rows per file") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val df = spark.range(10000).toDF("id").repartition(2)

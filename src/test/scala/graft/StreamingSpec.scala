@@ -145,6 +145,91 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("serving sink is incremental: survives deletion of the raw history") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val src = s"$dir/src"
+    spark.createDataset(Seq(
+      ev(1, "2024-01-01 00:00:00", typ = "click", v = 1.5),
+      ev(2, "2024-01-01 00:01:00", typ = "view", v = 2.5)))
+      .toDF().write.json(src)
+    Jobs.dualSinkQuery(Jobs.clean(Jobs.readEventStream(spark, src, 1)),
+      s"$dir/raw", s"$dir/serving", s"$dir/cp").awaitTermination(60000)
+    // DESTROY the raw history: if the serving store were rebuilt by
+    // re-aggregating the raw dir (round 1's O(epochs × history) design),
+    // the next epoch would lose these rows. Incremental partials must not.
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/raw")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/raw"), true))
+    spark.createDataset(Seq(
+      ev(3, "2024-01-01 00:02:00", typ = "click", v = 3.0)))
+      .toDF().write.mode("append").json(src)
+    Jobs.dualSinkQuery(Jobs.clean(Jobs.readEventStream(spark, src, 1)),
+      s"$dir/raw", s"$dir/serving", s"$dir/cp").awaitTermination(60000)
+    val serving = spark.read.parquet(s"$dir/serving").orderBy("event_type").collect()
+    assert(serving.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("click", 2L, 4.5), ("view", 1L, 2.5)))
+    // compaction folds the per-epoch partials without changing the result
+    Jobs.compactServingPartials(spark, s"$dir/serving")
+    val compacted = Jobs.servingFromPartials(spark, s"$dir/serving")
+      .orderBy("event_type").collect()
+    assert(compacted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("click", 2L, 4.5), ("view", 1L, 2.5)))
+  }
+
+  test("stream-stream join pairs views with clicks and drops the late side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Jobs.streamStreamJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      views.addData(ev(1, "2024-01-01 10:00:00", user = 1, typ = "view"))
+      clicks.addData(ev(100, "2024-01-01 10:02:00", user = 1, typ = "click"),
+        ev(101, "2024-01-01 10:20:00", user = 1, typ = "click")) // outside 5-min interval
+      q.processAllAvailable()
+      assert(spark.table("ssj").select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+      // advance both watermarks to ~10:50 (distinct users → no new pairs)
+      views.addData(ev(2, "2024-01-01 11:00:00", user = 8, typ = "view"))
+      clicks.addData(ev(102, "2024-01-01 11:00:00", user = 9, typ = "click"))
+      q.processAllAvailable()
+      // a click at 10:01 is now far behind the watermark → dropped, even
+      // though it would pair with view 1 in batch
+      clicks.addData(ev(103, "2024-01-01 10:01:00", user = 1, typ = "click"))
+      q.processAllAvailable()
+      assert(spark.table("ssj").select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("kafka-shaped frames flow end-to-end: decode -> window -> sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def frame(id: Long, t: String, typ: String): (Array[Byte], Array[Byte], Timestamp) =
+      (id.toString.getBytes("UTF-8"),
+        s"""{"event_id":$id,"ts":"${t.replace(' ', 'T')}Z","user_id":${id % 5},"event_type":"$typ","value":1.0,"props":"{}"}""".getBytes("UTF-8"),
+        ts(t))
+    val in = MemoryStream[(Array[Byte], Array[Byte], Timestamp)]
+    val decoded = Jobs.decodeKafkaFrame(in.toDF().toDF("key", "value", "timestamp"))
+    val q = Jobs.windowedAgg(decoded)
+      .writeStream.format("memory").queryName("kafka_e2e").outputMode("append").start()
+    try {
+      in.addData(frame(1, "2024-01-01 00:10:00", "click"),
+        frame(2, "2024-01-01 00:20:00", "click"),
+        (Array[Byte](9), "garbage not json".getBytes("UTF-8"), ts("2024-01-01 00:21:00")))
+      q.processAllAvailable()
+      in.addData(frame(3, "2024-01-01 02:00:00", "view")) // closes the 00:00 window
+      q.processAllAvailable()
+      val rows = spark.table("kafka_e2e").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("event_type") == "click")
+      assert(rows(0).getAs[Long]("n") == 2) // the undecodable frame dropped
+      assert(rows(0).getAs[Timestamp]("wstart") == ts("2024-01-01 00:00:00"))
+    } finally q.stop()
+  }
+
   test("listing stream ingests the reference's per-file layout and dedups ids") {
     import graft.core.Listings
     val dir = Files.createTempDirectory("graft_liststream").toString

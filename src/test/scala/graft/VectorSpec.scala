@@ -40,18 +40,19 @@ class VectorSpec extends SparkSpec {
   }
 
   test("embedding near-dup: LSH pairs are a high-recall subset of brute-force >=0.95 pairs") {
-    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    // truth over the SAME planted corpus the query uses — and it must be
+    // non-empty, or the recall check (and the whole query) is vacuous
+    val e = VectorCatalog.nearDupCorpus(spark, sf0001)
     val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         cosine(col("a.embedding"), col("b.embedding")).as("c"))
       .filter(col("c") >= 0.95)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "brute-force truth set is empty — the fixture no longer plants near-dups")
     val lsh = VectorCatalog.vecNearDup(spark, sf0001)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(truth)) // no false positives (exact verify step)
-    if (truth.nonEmpty)
-      assert(lsh.size.toDouble / truth.size >= 0.5, s"recall ${lsh.size}/${truth.size}")
+    assert(lsh.size.toDouble / truth.size >= 0.5, s"recall ${lsh.size}/${truth.size}")
   }
 
   test("LSH ANN recall@10 >= 0.5 vs brute force") {

@@ -65,6 +65,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             failures += 1
             continue
+        # dtype gate: the driver's hash is type-sensitive ACROSS kinds (a
+        # DuckDB HUGEINT lands as float64/object vs Spark's int64 and
+        # hash-mismatches on identical values — bit us in round 1 on
+        # q_doc_exact_dedup/q_json_extract) but NOT across widths (int32 vs
+        # int64 hash the same — round-1 rn/int columns passed the driver).
+        # So compare by kind: all ints alike, all floats alike, datetimes
+        # alike (parquet→pandas and duckdb→pandas pick different
+        # resolutions for the same instant).
+        def norm_dtype(dt):
+            return {"i": "int", "u": "int", "f": "float", "M": "datetime"}.get(
+                dt.kind, str(dt))
+        dtbad = [(c, got[c].dtype, exp[c].dtype) for c in got.columns
+                 if norm_dtype(got[c].dtype) != norm_dtype(exp[c].dtype)]
+        if dtbad:
+            c, g, e = dtbad[0]
+            print(f"FAIL {name}: dtype mismatch col={c}: spark={g} duckdb={e}")
+            failures += 1
+            continue
         bad = None
         for ci, c in enumerate(got.columns):
             gv, ev = got[c].tolist(), exp[c].tolist()
