@@ -7,7 +7,9 @@ import graft.queries._
 
 /** Physical-plan audit: asserts the scale-critical plan properties the
   * catalog is designed around, by inspecting `explain(formatted)` output.
-  * Run: sbt "runMain graft.PlanAudit [sfDir]".
+  * Run standalone: sbt "runMain graft.PlanAudit [sfDir]" — and PlanSpec
+  * runs the same checks inside `sbt test`, so a plan regression fails CI
+  * instead of rotting in a side main.
   *
   * Checks (per SURVEY.md §4 / the 100 TB posture):
   *  - filter + projection pushdown reach the parquet scan
@@ -15,10 +17,14 @@ import graft.queries._
   *  - dimension joins broadcast (BroadcastHashJoin), fact joins shuffle
   *  - top-k compiles to TakeOrderedAndProject (no global sort)
   *  - aggregates are partial+final HashAggregate pairs
+  *  - the bounded-heap top-k is partial+final ObjectHashAggregate (the
+  *    map-side k-row combine is its whole reason to exist vs row_number)
   *  - hot paths sit inside WholeStageCodegen spans
   */
 object PlanAudit {
-  private var failures = 0
+
+  /** One audited plan property. */
+  case class Audit(query: String, what: String, ok: Boolean)
 
   private def plan(df: org.apache.spark.sql.DataFrame): String = {
     val out = new java.io.ByteArrayOutputStream()
@@ -29,24 +35,14 @@ object PlanAudit {
     out.toString("UTF-8")
   }
 
-  private def check(name: String, p: String, what: String, pred: String => Boolean): Unit = {
-    val ok = pred(p)
-    if (!ok) failures += 1
-    println(f"${if (ok) "PASS" else "FAIL"}%s  $name%-22s $what")
-  }
-
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // AQE hides codegen *(n) markers until execution; this audit reads
-      // the static plan (prod sessions keep AQE on — see Bench/Verify)
-      .config("spark.sql.adaptive.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** Run every audit against a session. The session must have AQE DISABLED
+    * (AQE hides codegen *(n) markers and join strategies until execution;
+    * prod sessions keep AQE on — see Bench/Verify) and a small fixed
+    * shuffle-partition count. `main` and PlanSpec both set this up. */
+  def run(spark: SparkSession, sfDir: String): Seq[Audit] = {
+    val audits = Seq.newBuilder[Audit]
+    def check(name: String, p: String, what: String, pred: String => Boolean): Unit =
+      audits += Audit(name, what, pred(p))
 
     val scan = plan(TpchCatalog.scanFilter(spark, sfDir))
     check("q_scan_filter", scan, "filters pushed to parquet scan",
@@ -70,6 +66,14 @@ object PlanAudit {
     check("q_pricing_summary", agg, "partial aggregation before exchange",
       p => p.indexOf("HashAggregate") < p.indexOf("Exchange") ||
         p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+
+    // the bounded-heap top-k must plan as partial+final ObjectHashAggregate:
+    // a partial-only or sort-based plan would shuffle every row and erase
+    // the k×keys-per-map-partition win over the row_number window form
+    val gtopk = plan(TpchCatalog.groupTopK(spark, sfDir))
+    check("q_group_topk", gtopk, "partial+final ObjectHashAggregate (heap combine map-side)",
+      p => p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2 &&
+        p.contains("partial_top_k"))
 
     val knn = plan(VectorCatalog.knnBrute(spark, sfDir))
     check("q_vec_knn_brute", knn, "query set broadcast (no corpus shuffle for the join)",
@@ -97,6 +101,25 @@ object PlanAudit {
     check("partition_pruning", pread, "date predicate prunes partitions at the scan",
       p => p.contains("PartitionFilters: [isnotnull(d") && p.contains("= 2024-01-05"))
 
+    audits.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val audits = run(spark, sfDir)
+    audits.foreach { a =>
+      println(f"${if (a.ok) "PASS" else "FAIL"}%s  ${a.query}%-22s ${a.what}")
+    }
+    val failures = audits.count(!_.ok)
     println(if (failures == 0) "ALL PLAN AUDITS PASS" else s"$failures AUDIT(S) FAILED")
     spark.stop()
     if (failures > 0) sys.exit(1)

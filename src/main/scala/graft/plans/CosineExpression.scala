@@ -96,11 +96,18 @@ object CosineSimilarity {
 }
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injects the
-  * engine's custom expressions into every session of a deployment. */
+  * engine's custom expressions into every session of a deployment:
+  * `cosine_sim(a, b)` (codegen'd fused cosine) and `top_k(ord, id, k)`
+  * (bounded-heap grouped top-k aggregate). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (children: Seq[Expression]) => TopKAgg.fromSql(children)))
+  }
 }

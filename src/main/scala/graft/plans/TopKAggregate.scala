@@ -157,4 +157,27 @@ object TopKAgg {
     GraftBridge.column(
       TopKAgg(GraftBridge.expression(ord), GraftBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** SQL builder: `top_k(ord, id, k)` with k a foldable integer literal
+    * (the buffer size must be known at plan time — a per-row k cannot
+    * bound the heap). */
+  private[plans] def fromSql(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "top_k(ord, id, k) takes exactly 3 arguments")
+    val k = children(2) match {
+      case e if e.foldable && e.dataType == IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case e if e.foldable && e.dataType == LongType =>
+        e.eval().asInstanceOf[Long].toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"top_k: k must be an integer literal, got $other")
+    }
+    require(k > 0, s"top_k: k must be positive, got $k")
+    TopKAgg(children(0), children(1), k).toAggregateExpression()
+  }
+
+  /** Per-session SQL registration: `SELECT top_k(price, id, 3)`. Deployments
+    * should prefer `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "top_k", fromSql)
 }

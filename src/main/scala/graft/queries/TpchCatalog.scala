@@ -427,6 +427,43 @@ object TpchCatalog {
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** Top-3 lineitems per return flag via the bounded-heap aggregate
+    * ([[graft.plans.TopKAgg]]) — the SCALE form of `q_window_topk`'s
+    * row_number: each map partition shuffles at most k×keys heap entries
+    * instead of every row, and the plan is partial+final
+    * ObjectHashAggregate (PlanSpec asserts it). Same semantics as the
+    * window form, so the oracle is the row_number SQL shape.
+    *
+    * `(l_orderkey, l_linenumber)` is not unique in the synthetic data, but
+    * ranking is over VALUE pairs (ord DESC, id ASC): duplicate pairs emit
+    * identical output rows at whichever ranks they occupy, so both engines
+    * hash identically. The array<struct> result is flattened to scalars
+    * via posexplode — the driver harness can't hash array cells. */
+  def groupTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").as("price"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("li_id"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.plans.TopKAgg.topK(col("price"), col("li_id"), 3).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("l_returnflag"), (col("pos") + 1).as("rn"),
+        col("p.id").as("li_id"), col("p.ord").as("price"))
+      .orderBy("l_returnflag", "rn")
+
+  val groupTopKSql: String =
+    """SELECT l_returnflag, rn, li_id, price FROM (
+      |  SELECT l_returnflag,
+      |    l_orderkey * 10 + l_linenumber AS li_id,
+      |    l_extendedprice AS price,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice DESC,
+      |                                l_orderkey * 10 + l_linenumber ASC) AS rn
+      |  FROM lineitem
+      |)
+      |WHERE rn <= 3
+      |ORDER BY l_returnflag, rn""".stripMargin
+
   /** lag() per customer: price delta vs previous order (§2.5). Per-row
     * double subtraction is IEEE-identical across engines. */
   def windowLag(spark: SparkSession, sfDir: String): DataFrame = {
@@ -515,6 +552,7 @@ object TpchCatalog {
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
     "q_window_topk"     -> (windowTopK _),
+    "q_group_topk"      -> (groupTopK _),
     "q_window_lag"      -> (windowLag _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_date_funcs"      -> (dateFuncs _)
@@ -540,6 +578,7 @@ object TpchCatalog {
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,
     "q_window_topk"     -> windowTopKSql,
+    "q_group_topk"      -> groupTopKSql,
     "q_window_lag"      -> windowLagSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_date_funcs"      -> dateFuncsSql
