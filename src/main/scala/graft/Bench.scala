@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   * min of two runs is robust to any single stall while still measuring
   * cold-cache plan cost on at least one pass; both raw runs are reported
   * under "runs" so the noise itself stays visible.
+  *
+  * Output-line layout is capture-aware: times round to 3 decimals and the
+  * headline "value" (total) prints LAST — the driver's capture window
+  * truncates long lines from the LEFT, so the total must sit at the tail
+  * to survive (round 3's artifact lost it to exactly this).
+  *
+  * Micro-mode: pass query names as argv to time only those — one-command
+  * anomaly adjudication (`runMain graft.Bench q_listing_normalize`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +42,13 @@ object Bench {
     // the query, not JIT compilation of Spark itself.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    args.filterNot(SparkEntry.queries.contains)
+      .foreach(n => System.err.println(s"[bench] no such query: $n"))
+    def r3(d: Double): Double = math.round(d * 1000.0) / 1000.0
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -44,14 +58,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val r1 = once(); val r2 = once()
-      (name, math.min(r1, r2), r1, r2)
+      (name, r3(math.min(r1, r2)), r3(r1), r3(r2))
     }
     val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, r1, r2) => "\"" + k + "\":[" + r1 + "," + r2 + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"runs":$runs,"value":$total}""")
     spark.stop()
   }
 }
