@@ -177,6 +177,38 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L, 4.5), ("view", 1L, 2.5)))
   }
 
+  test("in-line compaction bounds the partial store over many epochs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val src = s"$dir/src"
+    val events = (1 to 9).map(i => ev(i, s"2024-01-01 00:0$i:00",
+      typ = if (i % 2 == 0) "view" else "click", v = i * 0.5))
+    // 9 single-row files + maxFilesPerTrigger=1 → 9 epochs = 3× compactEvery+
+    spark.createDataset(events).repartition(9).toDF().write.json(src)
+    val q = Jobs.dualSinkQuery(
+      Jobs.clean(Jobs.readEventStream(spark, src, maxFilesPerTrigger = 1)),
+      s"$dir/raw", s"$dir/serving", s"$dir/cp", compactEvery = 2)
+    q.awaitTermination(120000)
+    // without in-line compaction this would be 9 dirs — one per epoch
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partialDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/serving.partials"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+    assert(partialDirs.length <= 3,
+      s"partial store not bounded: ${partialDirs.length} epoch dirs")
+    // and the compacted serving aggregate is identical to the all-at-once
+    // batch aggregate over the same events (decimal fold = exact)
+    val serving = spark.read.parquet(s"$dir/serving").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = spark.createDataset(events).toDF()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(graft.queries.Parity.Dec)).cast("double").as("total"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(serving == batch)
+  }
+
   test("stream-stream join pairs views with clicks and drops the late side") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
