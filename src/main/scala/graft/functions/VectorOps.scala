@@ -70,6 +70,31 @@ object VectorOps {
     transform(sequence(lit(0), lit(tables - 1)), t =>
       struct(t.as("t"), lshBucket(emb, bits, t).as("bucket")))
 
+  /** LSH geometry for a corpus of `n` vectors. `maxBucket` is the
+    * fail-loud occupancy ceiling enforced in-plan by
+    * [[graft.queries.VectorCatalog.bucketize]]. */
+  final case class LshGeometry(tables: Int, bits: Int, maxBucket: Long)
+
+  /** Derive the geometry from corpus size: `bits` ≈ log2(n /
+    * targetBucket), so expected bucket occupancy tracks `targetBucket` as
+    * the corpus grows instead of going quadratic within buckets — a
+    * fixed bit width that works at 10^6 vectors floods its buckets at
+    * 10^9. Clamped to [minBits, maxBits]: tiny corpora degrade gracefully
+    * toward exhaustive comparison (which is also the correct answer
+    * there), and the string bucket key caps the useful width. At
+    * deployment scale `corpusSize` comes from table statistics, not a
+    * count job. */
+  def lshGeometry(corpusSize: Long, tables: Int = 4, targetBucket: Long = 32,
+                  minBits: Int = 2, maxBits: Int = 32,
+                  maxBucketFactor: Long = 64): LshGeometry = {
+    require(corpusSize > 0, s"corpusSize must be positive, got $corpusSize")
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    val raw = math.round(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt
+    val bits = math.min(maxBits, math.max(minBits, raw))
+    LshGeometry(tables, bits, targetBucket * maxBucketFactor)
+  }
+
   /** Multiprobe keys: the bucket itself plus every single-bit flip —
     * recovers neighbors that land one sign bit away at the cost of
     * (bits+1) probes instead of 2^bits exhaustion. */

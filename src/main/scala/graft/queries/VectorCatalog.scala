@@ -99,22 +99,47 @@ object VectorCatalog {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
-  /** ANN via random-hyperplane LSH: 4 independent tables × 6 sign bits
-    * with single-bit multiprobe. A neighbor is a candidate if any table
-    * buckets it with the query; candidates get exact cosine, then top-10.
-    * No oracle (xxhash-derived hyperplanes); VectorSpec measures recall vs
-    * brute force. At scale the corpus bucketing is the stored index and
-    * the join shuffles on (table, bucket) — never the O(N·Q) pair space. */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val Tables_ = 4; val Bits = 6
-    val e = Tables.embeddings(spark, sfDir)
+  /** Explode a corpus into its per-table LSH buckets with the occupancy
+    * guard in-plan: a window count over (tbl, bucket) — which reuses the
+    * exchange the downstream bucket join needs anyway — feeds
+    * `assert_true`, so an over-occupied bucket (geometry mis-sized for
+    * the corpus, or degenerate data like a near-duplicate flood) kills
+    * the job with a message instead of silently going quadratic inside
+    * the bucket. The guard rides a filter, which Catalyst cannot prune
+    * away (VectorSpec proves it fires). */
+  def bucketize(corpus: DataFrame, geo: LshGeometry): DataFrame = {
+    val w = Window.partitionBy(col("tbl"), col("bucket"))
+    corpus
       .select(col("vec_id"), col("embedding"),
-        explode(lshTables(col("embedding"), Tables_, Bits)).as("sig"))
+        explode(lshTables(col("embedding"), geo.tables, geo.bits)).as("sig"))
       .select(col("vec_id"), col("embedding"),
         col("sig.t").as("tbl"), col("sig.bucket").as("bucket"))
+      .withColumn("_guard",
+        assert_true(count(lit(1)).over(w) <= lit(geo.maxBucket),
+          lit(s"LSH bucket exceeds ${geo.maxBucket} vectors — geometry " +
+            s"(${geo.tables} tables x ${geo.bits} bits) too coarse for this corpus")))
+      .filter(col("_guard").isNull)
+      .drop("_guard")
+  }
+
+  /** ANN via random-hyperplane LSH with single-bit multiprobe, geometry
+    * derived from the corpus size (bits ≈ log2(N / targetBucket) — see
+    * [[graft.functions.VectorOps.lshGeometry]]). A neighbor is a
+    * candidate if any table buckets it with the query; candidates get
+    * exact cosine, then top-10. No oracle (xxhash-derived hyperplanes);
+    * VectorSpec measures recall vs brute force at two geometries. At
+    * scale the corpus bucketing is the stored index and the join shuffles
+    * on (table, bucket) — never the O(N·Q) pair space. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+    annLshWith(corpus, lshGeometry(corpus.count()))
+  }
+
+  def annLshWith(corpus: DataFrame, geo: LshGeometry): DataFrame = {
+    val e = bucketize(corpus, geo)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("tbl"),
-        explode(multiprobe(col("bucket"), Bits)).as("probe"))
+        explode(multiprobe(col("bucket"), geo.bits)).as("probe"))
     val cand = q.join(e,
         q("tbl") === e("tbl") && col("probe") === col("bucket") &&
           col("vec_id") =!= col("qid"))
@@ -161,12 +186,12 @@ object VectorCatalog {
   }
 
   def vecNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val Tables_ = 4; val Bits = 6
-    val e = nearDupCorpus(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        explode(lshTables(col("embedding"), Tables_, Bits)).as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        col("sig.t").as("tbl"), col("sig.bucket").as("bucket"))
+    val corpus = nearDupCorpus(spark, sfDir)
+    vecNearDupWith(corpus, lshGeometry(corpus.count()))
+  }
+
+  def vecNearDupWith(corpus: DataFrame, geo: LshGeometry): DataFrame = {
+    val e = bucketize(corpus, geo)
     e.as("x").join(e.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
