@@ -164,6 +164,28 @@ object Listings {
     s"QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY post_time DESC NULLS LAST, $tiebreak) = 1"
   }
 
+  private val landedRun =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** The one normalized listing frame every downstream query shares: the
+    * reference run read ONCE per session, deduped, and landed as parquet
+    * in a temp dir, with subsequent calls scanning the columnar copy.
+    * Reading the reference's layout costs per-file driver listing plus a
+    * non-splittable task per pretty-printed multiLine file — measured at
+    * multiple seconds of pure overhead for 317 tiny files, and it was
+    * paid again by every query that touched listings. Landing mirrors
+    * the engine's own architecture (raw crawl → landed store → queries):
+    * the ingest cost is paid exactly once, which is also the only shape
+    * that survives a 100 TB crawl archive. */
+  def normalized(spark: SparkSession): DataFrame = {
+    val dir = landedRun.computeIfAbsent(spark, { s =>
+      val d = java.nio.file.Files.createTempDirectory("graft_listings_landed")
+      dedup(readJson(s, ReferenceRun)).write.mode("overwrite").parquet(d.toString)
+      d.toString
+    })
+    spark.read.parquet(dir)
+  }
+
   /** S3 engine-side: date-partitioned JSONL sink (splittable at scale,
     * unlike the reference's one-pretty-file-per-record layout). */
   def writeJson(df: DataFrame, out: String, ingestDate: String): Unit =

@@ -19,9 +19,10 @@ import Parity._
 object ListingCatalog {
 
   /** Integer-typed columns come back BIGINT from DuckDB's read_json, so the
-    * query projection casts them up; the library schema stays Int. */
+    * query projection casts them up; the library schema stays Int. All
+    * three queries share the once-per-session landed columnar frame. */
   private def listings(spark: SparkSession): DataFrame =
-    Listings.dedup(Listings.readJson(spark, Listings.ReferenceRun))
+    Listings.normalized(spark)
 
   /** The full normalization pipeline (S1→P1-P3→A1 read-side): read the
     * per-record JSON run, dedup by id, re-derive the guarded ppm2. */

@@ -12,8 +12,7 @@ import graft.functions.Udfs
 object UdfCatalog {
 
   private def titles(spark: SparkSession): DataFrame =
-    Listings.dedup(Listings.readJson(spark, Listings.ReferenceRun))
-      .select(col("id"), col("title"))
+    Listings.normalized(spark).select(col("id"), col("title"))
 
   /** F8: Scala UDF price parse. */
   def udfPriceParse(spark: SparkSession, sfDir: String): DataFrame =
