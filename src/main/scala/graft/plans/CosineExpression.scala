@@ -97,8 +97,9 @@ object CosineSimilarity {
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injects the
   * engine's custom expressions into every session of a deployment:
-  * `cosine_sim(a, b)` (codegen'd fused cosine) and `top_k(ord, id, k)`
-  * (bounded-heap grouped top-k aggregate). */
+  * `cosine_sim(a, b)` (codegen'd fused cosine), `top_k(ord, id, k)`
+  * (bounded-heap grouped top-k aggregate), and
+  * `reservoir_sample(x, k[, seed])` (bounded uniform group sample). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -109,5 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (children: Seq[Expression]) => TopKAgg.fromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("reservoir_sample"),
+      new ExpressionInfo(classOf[ReservoirSampleAgg].getName, "reservoir_sample"),
+      (children: Seq[Expression]) => ReservoirSampleAgg.fromSql(children)))
   }
 }

@@ -157,6 +157,11 @@ class TopKSpec extends SparkSpec {
           |  (1.0D, 1L), (9.0D, 2L), (5.0D, 3L) AS t(o, i)""".stripMargin)
         .head().getSeq[org.apache.spark.sql.Row](0)
       assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((9.0, 2L), (5.0, 3L)))
+      val rs = s2.sql(
+        "SELECT reservoir_sample(x, 2) AS s FROM VALUES (1L), (2L), (3L) AS t(x)")
+        .head().getSeq[Long](0)
+      assert(rs.length == 2 && rs.distinct.length == 2 &&
+        rs.forall(Set(1L, 2L, 3L)), s"bad sample $rs")
     } finally {
       SparkSession.setActiveSession(prior)
       SparkSession.setDefaultSession(prior)
