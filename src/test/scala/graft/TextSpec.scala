@@ -42,6 +42,49 @@ class TextSpec extends SparkSpec {
     assert(joined.forall(_ <= 12), s"hamming distances: ${joined.mkString(",")}")
   }
 
+  test("prefix-filter bound is lossless: no Jaccard >= t pair lacks a shared prefix") {
+    // adversarial pure-set check of the PPJoin bound the prefix plan
+    // relies on: for sets in one global order with prefix length
+    // |X| - ceil(t*|X|) + 1, every pair with jac >= t must intersect
+    // within the prefixes. Deterministic LCG sampling (scalacheck-style
+    // generators are not on the offline classpath).
+    val t = 0.5
+    var state = 0x9E3779B97F4A7C15L
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      java.lang.Math.floorMod(state >>> 33, bound.toLong).toInt
+    }
+    def prefix(s: Vector[Int]): Set[Int] = {
+      val sorted = s.sorted
+      sorted.take(sorted.size - math.ceil(t * sorted.size).toInt + 1).toSet
+    }
+    var checked = 0
+    for (_ <- 1 to 2000) {
+      // overlapping draws from a small universe → many pairs near the
+      // threshold, the regime where an off-by-one in the bound shows
+      val a = Vector.fill(2 + next(12))(next(24)).distinct
+      val b0 = Vector.fill(2 + next(12))(next(24)).distinct
+      // force some high-jaccard pairs by splicing a's elements into b
+      val b = (b0 ++ a.take(next(a.size + 1))).distinct
+      val jac = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+      if (jac >= t) {
+        checked += 1
+        assert((prefix(a) & prefix(b)).nonEmpty,
+          s"pair with jac=$jac filtered out: a=$a b=$b")
+      }
+    }
+    assert(checked >= 100, s"only $checked above-threshold pairs — fixture too weak")
+  }
+
+  test("prefix-filtered ngram similarity equals the count-based plan") {
+    val base = TextCatalog.ngramSimilarityCount(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pref = TextCatalog.ngramSimilarityPrefix(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(base.nonEmpty, "no >=0.5 pairs in fixture — comparison is vacuous")
+    assert(pref == base, s"prefix plan diverged: missing ${base -- pref}, extra ${pref -- base}")
+  }
+
   test("LSH recovers every >=0.8 near-dup pair the exact pairwise scan finds") {
     // ground truth: unblocked exact pairwise (feasible at sf0.001 only)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
