@@ -93,13 +93,34 @@ object TextOps {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Little-endian u64 of md5-digest bytes 0..7 — numerically identical
+    * to DuckDB's `md5_number_upper()`, which is what lets the simhash
+    * queries graduate from rows-only to full hash-checked oracles. */
+  def md5Upper64(t: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var out = 0L
+    var i = 7
+    while (i >= 0) { out = (out << 8) | (bytes(i) & 0xffL); i -= 1 }
+    out
+  }
+
   /** SimHash as a JIT'd per-row function (for the typed fast path — same
     * rationale as [[MinHasher]]; the column form above documents the
-    * declarative alternative). Token hash = splitmix64 of murmur3. */
+    * declarative alternative). Token hash = [[md5Upper64]], and the
+    * split keeps trailing empty tokens, both chosen to agree exactly
+    * with DuckDB (`string_split` + `md5_number_upper`) so the sketch is
+    * cross-engine deterministic. */
   def simhash64Fast(text: String): Long = {
     val votes = new Array[Int](64)
-    text.split(' ').foreach { t =>
-      val h = MinHasher.splitmix64(scala.util.hashing.MurmurHash3.stringHash(t).toLong)
+    text.split(" ", -1).foreach { t =>
+      val h = md5Upper64(t)
       var b = 0
       while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
     }

@@ -10,8 +10,10 @@ import graft.functions.TextOps._
   * quality scoring, language ID, and winnowing-style fingerprints.
   *
   * Oracle coverage: md5-based and list-arithmetic queries have DuckDB
-  * oracles; xxhash64-based sketches (minhash/simhash) have no SQL
-  * equivalent in DuckDB → rows-only driver check + ScalaTest oracles
+  * oracles — including the simhash sketch + near-dup pair queries (the
+  * token hash is md5-derived = DuckDB's md5_number_upper) and the
+  * language-ID argmax. Only the xxhash64-based minhash family has no
+  * DuckDB equivalent → rows-only driver check + ScalaTest oracles
   * (TextSpec) instead.
   *
   * Scale posture (100 TB): every per-doc computation is a narrow map over
@@ -254,8 +256,10 @@ object TextCatalog {
       .filter(col("jac") >= 0.8)
   }
 
-  /** SimHash sketch per document (rows-only; TextSpec asserts near-dup
-    * pairs land within small hamming distance and exact dups at 0). */
+  /** SimHash sketch per document. Fully oracled: the token hash is
+    * md5-derived (= DuckDB's `md5_number_upper`), so DuckDB can rebuild
+    * the exact 64-bit signature with bit arithmetic — graduated from
+    * rows-only in round 4. */
   def simhashSketch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -267,12 +271,39 @@ object TextCatalog {
       .orderBy("doc_id")
   }
 
+  /** The common signature pipeline both simhash oracles share: votes per
+    * bit over the token multiset, then the HUGEINT bit-sum wrapped back
+    * into a signed BIGINT (DuckDB raises on `1::BIGINT << 63`; the
+    * two's-complement wrap is exact in HUGEINT). */
+  private val simhashSigSql: String =
+    """toks AS (
+      |  SELECT doc_id, md5_number_upper(unnest(string_split(text, ' '))) AS h
+      |  FROM documents WHERE text IS NOT NULL
+      |), votes AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM toks, range(0, 64) r(b)
+      |  GROUP BY doc_id, b
+      |), acc AS (
+      |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+      |  FROM votes GROUP BY doc_id
+      |), sig AS (
+      |  SELECT doc_id,
+      |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+      |                  THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+      |      AS simhash
+      |  FROM acc
+      |)""".stripMargin
+
+  val simhashSketchSql: String =
+    s"""WITH $simhashSigSql
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs — the sketch completed into a dedup operator:
     * split each 64-bit simhash into 4×16-bit bands; docs sharing any band
     * (pigeonhole: hamming ≤ 3 guarantees a shared band; larger distances
     * are found probabilistically) are candidates, verified by exact
-    * hamming ≤ 6. Shuffles (band, key) pairs — never O(n²). Rows-only;
-    * TextSpec checks consistency with the Jaccard ground truth. */
+    * hamming ≤ 6. Shuffles (band, key) pairs — never O(n²). Oracled
+    * since round 4 (md5-derived signature + DuckDB bit_count/xor). */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sk = Tables.documents(spark, sfDir)
@@ -294,6 +325,18 @@ object TextCatalog {
       .dropDuplicates("d1", "d2")
       .orderBy("d1", "d2")
   }
+
+  val simhashNearDupSql: String =
+    s"""WITH $simhashSigSql, bands AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS key
+       |  FROM sig, range(0, 4) r(b)
+       |)
+       |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS dist
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+       |ORDER BY d1, d2""".stripMargin
 
   /** The full dedup decision: MinHash/LSH pairs → connected components →
     * one kept representative per cluster (min doc_id). Output is the
@@ -353,13 +396,38 @@ object TextCatalog {
       |WHERE rn <= 3 AND doc_id < 50
       |ORDER BY doc_id, rn""".stripMargin
 
-  /** Language-ID heuristic (rows-only; the synthetic corpus text is
-    * English word soup regardless of its `lang` label, so TextSpec checks
-    * the mechanism on constructed fixtures, not label recovery). */
+  /** Language-ID heuristic — deterministic stopword-hit argmax with
+    * profile-order ties, so it oracles exactly (graduated from rows-only
+    * in round 4). The synthetic corpus text is English word soup
+    * regardless of its `lang` label; TextSpec checks the mechanism on
+    * constructed fixtures, the oracle checks the computation. */
   def langIdQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val hits = LangProfiles.map { case (lang, ws) =>
+      s"    len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS $lang"
+    }.mkString(",\n")
+    val names = LangProfiles.map(_._1)
+    val best = s"greatest(${names.mkString(", ")})"
+    // COALESCE: null text yields null hit counts in DuckDB but "und" in
+    // the engine (its when-chain falls through to the otherwise)
+    val arms = names.map(l => s"    WHEN $l = $best THEN '$l'").mkString("\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |$hits
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN COALESCE($best, 0) = 0 THEN 'und'
+       |$arms
+       |  END AS pred_lang
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_exact_dedup" -> (exactDedup _),
@@ -381,6 +449,9 @@ object TextCatalog {
     "q_doc_quality"     -> qualityScoreSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_doc_ngram_sim"   -> ngramSimilaritySql,
+    "q_doc_simhash"     -> simhashSketchSql,
+    "q_doc_simhash_nd"  -> simhashNearDupSql,
+    "q_doc_langid"      -> langIdSql,
     "q_tfidf"           -> tfidfSql
   )
 }
