@@ -93,6 +93,26 @@ object PlanAudit {
     check("bucketed_join", bjoin, "co-located SortMergeJoin with ZERO exchange",
       p => p.contains("SortMergeJoin") && !p.contains("Exchange"))
 
+    // the prefix-filtered similarity join must stay keyed on
+    // (source, prefix-hash) — a cartesian or nested-loop fallback here is
+    // exactly the O(n²) blowup the prefix bound exists to avoid
+    val ngram = plan(TextCatalog.ngramSimilarityPrefix(spark, sfDir))
+    check("q_doc_ngram_sim", ngram, "postings self-join keyed (no cartesian/BNLJ)",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
+    // listing queries must scan the landed parquet copy, not re-read the
+    // 317 multiLine JSON files (the round-3 bench anomaly)
+    val listing = plan(ListingCatalog.normalize(spark, sfDir))
+    check("q_listing_normalize", listing, "landed columnar scan (parquet, not multiLine json)",
+      p => p.contains("FileScan parquet") && !p.contains("FileScan json"))
+
+    // the LSH bucket-occupancy guard must survive optimization: its
+    // assert_true lowers to raise_error, which must appear in the final
+    // physical plan (VectorSpec separately proves it fires at runtime)
+    val ann = plan(VectorCatalog.annLsh(spark, sfDir))
+    check("q_vec_ann_lsh", ann, "bucket-occupancy guard in final plan (raise_error)",
+      p => p.contains("raise_error"))
+
     // date-partitioned layout: time predicate prunes at directory level
     val pdir = java.nio.file.Files.createTempDirectory("graft_part").toString
     IO.writePartitioned(
