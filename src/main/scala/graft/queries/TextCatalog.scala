@@ -271,14 +271,15 @@ object TextCatalog {
       .orderBy("doc_id")
   }
 
-  /** The common signature pipeline both simhash oracles share: votes per
-    * bit over the token multiset, then the HUGEINT bit-sum wrapped back
-    * into a signed BIGINT (DuckDB raises on `1::BIGINT << 63`; the
-    * two's-complement wrap is exact in HUGEINT). */
-  private val simhashSigSql: String =
-    """toks AS (
+  /** The common signature pipeline the simhash oracles share (src = any
+    * relation with doc_id + text): votes per bit over the token multiset,
+    * then the HUGEINT bit-sum wrapped back into a signed BIGINT (DuckDB
+    * raises on `1::BIGINT << 63`; the two's-complement wrap is exact in
+    * HUGEINT). */
+  private def simhashSigSqlOver(src: String): String =
+    s"""toks AS (
       |  SELECT doc_id, md5_number_upper(unnest(string_split(text, ' '))) AS h
-      |  FROM documents WHERE text IS NOT NULL
+      |  FROM $src WHERE text IS NOT NULL
       |), votes AS (
       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
       |  FROM toks, range(0, 64) r(b)
@@ -295,7 +296,7 @@ object TextCatalog {
       |)""".stripMargin
 
   val simhashSketchSql: String =
-    s"""WITH $simhashSigSql
+    s"""WITH ${simhashSigSqlOver("documents")}
        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs — the sketch completed into a dedup operator:
@@ -304,9 +305,15 @@ object TextCatalog {
     * are found probabilistically) are candidates, verified by exact
     * hamming ≤ 6. Shuffles (band, key) pairs — never O(n²). Oracled
     * since round 4 (md5-derived signature + DuckDB bit_count/xor). */
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sk = Tables.documents(spark, sfDir)
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsOf(Tables.documents(spark, sfDir)).orderBy("d1", "d2")
+
+  /** The banded near-dup pair stage over ANY frame with (doc_id, text) —
+    * shared by [[simhashNearDup]] (whole corpus) and
+    * [[curationPipeline]] (the post-dedup survivor set). */
+  def simhashPairsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sk = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -323,11 +330,10 @@ object TextCatalog {
         hamming(col("x.simhash"), col("y.simhash")).as("dist"))
       .filter(col("dist") <= 6)
       .dropDuplicates("d1", "d2")
-      .orderBy("d1", "d2")
   }
 
   val simhashNearDupSql: String =
-    s"""WITH $simhashSigSql, bands AS (
+    s"""WITH ${simhashSigSqlOver("documents")}, bands AS (
        |  SELECT doc_id, simhash, b AS band, (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS key
        |  FROM sig, range(0, 4) r(b)
        |)
@@ -429,6 +435,72 @@ object TextCatalog {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The flagship end-to-end curation pipeline — the composition a
+    * training-data run actually executes, as ONE oracled query:
+    * quality gate (≥5 words, stopword ratio ≤ 0.6) → exact dedup
+    * (min doc_id per md5(text)) → simhash near-dup drop (any doc with a
+    * hamming≤6 neighbor of smaller id is dropped) → per-lang survivor
+    * stats. Every stage is md5-derived, so DuckDB replays the whole
+    * pipeline bit-for-bit. Scale: quality is a narrow map, exact dedup
+    * shuffles 16-byte hashes, the near-dup stage shuffles (band, key)
+    * pairs — nothing materializes O(n²). */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val en = LangProfiles.toMap.apply("en")
+    val quality = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .withColumn("n_words", size(t))
+      .withColumn("stop_ratio", stopwordHits(t, en).cast("double") / size(t))
+      .filter(col("n_words") >= 5 && col("stop_ratio") <= 0.6)
+    val exact = quality
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+    val dropped = simhashPairsOf(exact.select(col("doc_id"), col("text")))
+      .select(col("d2")).distinct()
+    val kept = exact.join(dropped, exact("doc_id") === dropped("d2"), "left_anti")
+    kept.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"))
+      .orderBy("lang")
+  }
+
+  val curationPipelineSql: String = {
+    val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH quality AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop_ratio
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |), qf AS (
+       |  SELECT * FROM quality WHERE n_words >= 5 AND stop_ratio <= 0.6
+       |), exact AS (
+       |  SELECT * FROM qf
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+       |), ${simhashSigSqlOver("exact")}, bands AS (
+       |  SELECT doc_id, simhash, b AS band,
+       |    (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS key
+       |  FROM sig, range(0, 4) r(b)
+       |), dropped AS (
+       |  SELECT DISTINCT y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+       |)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_words
+       |FROM exact
+       |WHERE doc_id NOT IN (SELECT d2 FROM dropped)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_exact_dedup" -> (exactDedup _),
     "q_doc_tokens"      -> (tokenCounts _),
@@ -439,6 +511,7 @@ object TextCatalog {
     "q_doc_simhash"     -> (simhashSketch _),
     "q_doc_simhash_nd"  -> (simhashNearDup _),
     "q_dedup_clusters"  -> (dedupClustersQ _),
+    "q_curation"        -> (curationPipeline _),
     "q_tfidf"           -> (tfidf _),
     "q_doc_langid"      -> (langIdQuery _)
   )
@@ -452,6 +525,7 @@ object TextCatalog {
     "q_doc_simhash"     -> simhashSketchSql,
     "q_doc_simhash_nd"  -> simhashNearDupSql,
     "q_doc_langid"      -> langIdSql,
+    "q_curation"        -> curationPipelineSql,
     "q_tfidf"           -> tfidfSql
   )
 }

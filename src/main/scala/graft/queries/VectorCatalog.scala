@@ -203,9 +203,52 @@ object VectorCatalog {
       .orderBy("v1", "v2")
   }
 
+  /** Symmetric int8 quantization profile — the storage form of a 100 TB
+    * embedding corpus (4× smaller than float32, and int8 dot kernels):
+    * per-vector scale = max|x|/127, q_i = round(x_i/scale), plus the
+    * saturation count and max reconstruction error that tell you whether
+    * the corpus tolerates the quantizer. Pure double arithmetic in one
+    * narrow map; both engines follow IEEE-754 + round-half-away, so the
+    * oracle is exact. NULLIF guards the all-zero vector (divide-by-zero
+    * nulls out identically on both sides). */
+  def vecQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val qv = transform(v, x => round(x / nullif(scale, lit(0.0))))
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        scale.as("scale"),
+        aggregate(qv, lit(0L), (a, q) => a + q.cast("long")).as("qsum"),
+        size(filter(qv, q => abs(q) === 127.0)).cast("long").as("n_sat"),
+        array_max(zip_with(v, qv, (x, q) => abs(x - q * scale))).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  val vecQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, v, scale,
+      |    list_transform(v, x -> round(x / NULLIF(scale, 0.0))) AS qv
+      |  FROM s
+      |)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS qsum,
+      |  len(list_filter(qv, x -> abs(x) = 127.0)) AS n_sat,
+      |  list_max(list_transform(range(1, len(v) + 1),
+      |    i -> abs(v[i] - qv[i] * scale))) AS recon_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_neardup"   -> (vecNearDup _),
     "q_vec_norms"     -> (vecNorms _),
+    "q_vec_quantize"  -> (vecQuantize _),
     "q_vec_knn_brute" -> (knnBrute _),
     "q_vec_centroids" -> (labelCentroids _),
     "q_vec_ann_lsh"   -> (annLsh _)
@@ -213,6 +256,7 @@ object VectorCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_vec_norms"     -> vecNormsSql,
+    "q_vec_quantize"  -> vecQuantizeSql,
     "q_vec_knn_brute" -> knnBruteSql,
     "q_vec_centroids" -> labelCentroidsSql
   )
