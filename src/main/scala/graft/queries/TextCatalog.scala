@@ -435,6 +435,97 @@ object TextCatalog {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Document chunking — the step between curation and tokenized shards:
+    * split each doc into fixed-size token windows (100 tokens, stride 80
+    * → 20-token overlap so no boundary context is lost). A doc of n
+    * tokens yields 1 chunk if n ≤ 100, else ⌈(n−100)/80⌉ + 1. Pure
+    * integer arithmetic + list slicing → exact oracle; emits the chunk
+    * md5 rather than the text so the result stays narrow. Narrow map +
+    * generator per doc: embarrassingly parallel at any scale. */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    docChunksOf(Tables.documents(spark, sfDir))
+
+  /** Chunker over any frame with (doc_id, text) — the fixture docs all
+    * fit one chunk, so TextSpec drives the multi-chunk/overlap/short-tail
+    * branches through this with constructed long documents. */
+  def docChunksOf(docs: DataFrame, chunk: Int = 100, stride: Int = 80): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val nChunks = when(n <= chunk, lit(1))
+      .otherwise(ceil((n - lit(chunk)).cast("double") / stride).cast("int") + lit(1))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), t.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("toks"), i * stride + 1, lit(chunk)))).as(Seq("chunk_id", "ctoks")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).as("n_toks"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val docChunksSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL
+      |), c AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN n <= 100 THEN 1
+      |         ELSE CAST(ceil(CAST(n - 100 AS DOUBLE) / 80) AS INTEGER) + 1 END AS nc
+      |  FROM d
+      |), x AS (
+      |  -- scalar-list range + unnest: DuckDB's lateral range() cannot
+      |  -- take a column argument
+      |  SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c
+      |)
+      |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+      |  len(toks[i*80 + 1 : i*80 + 100]) AS n_toks,
+      |  md5(array_to_string(toks[i*80 + 1 : i*80 + 100], ' ')) AS chunk_md5
+      |FROM x
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Sequence packing — assign docs to fixed-capacity context bins
+    * (2048 tokens) by cumulative token count in doc_id order: bin =
+    * ⌊(cumsum − n_toks) / capacity⌋, i.e. contiguous fill where a doc
+    * spanning a boundary counts toward the bin it started in. This is
+    * the scalable deterministic variant of greedy first-fit (true
+    * first-fit is a sequential scan; contiguous fill is one window
+    * cumsum — the standard trade at corpus scale). Reports per-bin
+    * occupancy so a packing run can see its fill efficiency. */
+  def docPack(spark: SparkSession, sfDir: String, capacity: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      // integer division on BOTH engines: `/` would go through double,
+      // where Spark's long cast truncates but DuckDB's rounds
+      .withColumn("bin", expr(s"(cum - n_toks) div $capacity"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_toks"))
+      .orderBy("bin")
+  }
+
+  val docPackSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), c AS (
+      |  SELECT doc_id, n_toks,
+      |    SUM(n_toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d
+      |)
+      |SELECT CAST((cum - n_toks) // 2048 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_toks
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
   /** The flagship end-to-end curation pipeline — the composition a
     * training-data run actually executes, as ONE oracled query:
     * quality gate (≥5 words, stopword ratio ≤ 0.6) → exact dedup
@@ -512,6 +603,8 @@ object TextCatalog {
     "q_doc_simhash_nd"  -> (simhashNearDup _),
     "q_dedup_clusters"  -> (dedupClustersQ _),
     "q_curation"        -> (curationPipeline _),
+    "q_doc_chunks"      -> ((s, dir) => docChunks(s, dir)),
+    "q_doc_pack"        -> ((s, dir) => docPack(s, dir)),
     "q_tfidf"           -> (tfidf _),
     "q_doc_langid"      -> (langIdQuery _)
   )
@@ -526,6 +619,8 @@ object TextCatalog {
     "q_doc_simhash_nd"  -> simhashNearDupSql,
     "q_doc_langid"      -> langIdSql,
     "q_curation"        -> curationPipelineSql,
+    "q_doc_chunks"      -> docChunksSql,
+    "q_doc_pack"        -> docPackSql,
     "q_tfidf"           -> tfidfSql
   )
 }

@@ -42,6 +42,25 @@ class TextSpec extends SparkSpec {
     assert(joined.forall(_ <= 12), s"hamming distances: ${joined.mkString(",")}")
   }
 
+  test("chunker: stride, 20-token overlap, and short tail on a long doc") {
+    // the fixture docs all fit one chunk — drive the multi-chunk branch
+    // with a constructed 250-token doc: chunks [1,100], [81,180], [161,250]
+    val text = (1 to 250).map(i => s"w$i").mkString(" ")
+    val out = TextCatalog.docChunksOf(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getAs[Int]("chunk_id")).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getAs[Int]("n_toks")).toSeq == Seq(100, 100, 90))
+    def m(lo: Int, hi: Int): String = java.security.MessageDigest.getInstance("MD5")
+      .digest((lo to hi).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.map(_.getAs[String]("chunk_md5")).toSeq ==
+      Seq(m(1, 100), m(81, 180), m(161, 250)))
+    // an exactly-capacity doc yields one chunk, not an empty second one
+    val one = TextCatalog.docChunksOf(
+      Seq((2L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")).collect()
+    assert(one.length == 1 && one(0).getAs[Int]("n_toks") == 100)
+  }
+
   test("prefix-filter bound is lossless: no Jaccard >= t pair lacks a shared prefix") {
     // adversarial pure-set check of the PPJoin bound the prefix plan
     // relies on: for sets in one global order with prefix length
