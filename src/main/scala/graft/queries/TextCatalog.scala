@@ -496,12 +496,32 @@ object TextCatalog {
     * occupancy so a packing run can see its fill efficiency. */
   def docPack(spark: SparkSession, sfDir: String, capacity: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+    // Distributed prefix sum, NOT `Window.orderBy(doc_id)` with no
+    // partition key — that plans as Exchange SinglePartition + one task
+    // holding the whole corpus, the textbook window scale-killer.
+    // Two-phase instead: range-partition by doc_id (partition i holds
+    // strictly smaller ids than i+1), cumsum locally per partition, and
+    // add each partition's starting offset — computed from the tiny
+    // per-partition totals frame (n_partitions rows), the only thing
+    // that ever passes through a single task.
+    val d = Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
-      .withColumn("cum", sum(col("n_toks")).over(w))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // pin ONE materialization: the offsets branch and the main branch
+      // must see identical sampled range boundaries / pid assignments
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("pid")).agg(sum(col("n_toks")).as("ptot"))
+      .withColumn("offset", coalesce(sum(col("ptot")).over(wOffset), lit(0L)))
+      .select(col("pid"), col("offset"))
+    d.withColumn("lcum", sum(col("n_toks")).over(wLocal))
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum", col("lcum") + col("offset"))
       // integer division on BOTH engines: `/` would go through double,
       // where Spark's long cast truncates but DuckDB's rounds
       .withColumn("bin", expr(s"(cum - n_toks) div $capacity"))
