@@ -211,19 +211,25 @@ object VectorCatalog {
     * narrow map; both engines follow IEEE-754 + round-half-away, so the
     * oracle is exact. NULLIF guards the all-zero vector (divide-by-zero
     * nulls out identically on both sides). */
-  def vecQuantize(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
-    val qv = transform(v, x => round(x / nullif(scale, lit(0.0))))
+  def vecQuantize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
+      // staged projections: scale and qv must be computed ONCE per row —
+      // written inline, the array_max subtree lands inside the transform
+      // lambdas and re-evaluates per ELEMENT (O(d²) per row, measured ~5×
+      // slower at sf0.1)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("qv",
+        transform(col("v"), x => round(x / nullif(col("scale"), lit(0.0)))))
       .select(
         col("vec_id"),
-        scale.as("scale"),
-        aggregate(qv, lit(0L), (a, q) => a + q.cast("long")).as("qsum"),
-        size(filter(qv, q => abs(q) === 127.0)).cast("long").as("n_sat"),
-        array_max(zip_with(v, qv, (x, q) => abs(x - q * scale))).as("recon_err"))
+        col("scale"),
+        aggregate(col("qv"), lit(0L), (a, q) => a + q.cast("long")).as("qsum"),
+        size(filter(col("qv"), q => abs(q) === 127.0)).cast("long").as("n_sat"),
+        array_max(zip_with(col("v"), col("qv"),
+          (x, q) => abs(x - q * col("scale")))).as("recon_err"))
       .orderBy("vec_id")
-  }
 
   val vecQuantizeSql: String =
     """WITH e AS (
