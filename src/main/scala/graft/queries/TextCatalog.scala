@@ -546,6 +546,41 @@ object TextCatalog {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin
 
+  /** Benchmark decontamination — the pretraining hygiene op: flag every
+    * training doc sharing at least one 8-gram with the held-out eval
+    * set, reporting how many distinct grams leak. The eval set here is
+    * every 10th doc_id (a corpus-internal stand-in — in production it is
+    * an external benchmark corpus, which only strengthens the plan
+    * shape: eval gram sets are tiny, so the distinct gram side
+    * BROADCASTS and the corpus side stays one narrow explode — no
+    * corpus-vs-corpus shuffle, no O(n²)). */
+  def decontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(shingles(col("text"), 8)).as("gram"))
+    val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
+    g.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(ev), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val decontamSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text,' ')) >= 8
+      |         THEN list_distinct(list_transform(range(0, len(string_split(text,' ')) - 7),
+      |                i -> array_to_string(string_split(text,' ')[i+1:i+8], ' ')))
+      |         ELSE [text] END AS sh
+      |  FROM documents WHERE text IS NOT NULL
+      |), ev AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 10 <> 0)
+      |SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS n_shared
+      |FROM tr JOIN ev ON tr.gram = ev.gram
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** The flagship end-to-end curation pipeline — the composition a
     * training-data run actually executes, as ONE oracled query:
     * quality gate (≥5 words, stopword ratio ≤ 0.6) → exact dedup
@@ -625,6 +660,7 @@ object TextCatalog {
     "q_curation"        -> (curationPipeline _),
     "q_doc_chunks"      -> ((s, dir) => docChunks(s, dir)),
     "q_doc_pack"        -> ((s, dir) => docPack(s, dir)),
+    "q_doc_decontam"    -> (decontam _),
     "q_tfidf"           -> (tfidf _),
     "q_doc_langid"      -> (langIdQuery _)
   )
@@ -641,6 +677,7 @@ object TextCatalog {
     "q_curation"        -> curationPipelineSql,
     "q_doc_chunks"      -> docChunksSql,
     "q_doc_pack"        -> docPackSql,
+    "q_doc_decontam"    -> decontamSql,
     "q_tfidf"           -> tfidfSql
   )
 }
