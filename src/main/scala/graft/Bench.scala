@@ -47,6 +47,13 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     args.filterNot(SparkEntry.queries.contains)
       .foreach(n => System.err.println(s"[bench] no such query: $n"))
+    if (args.nonEmpty && selected.isEmpty) {
+      // all names misspelled: a plausible-looking {"value":0.0} line would
+      // be recorded as a real measurement — fail instead
+      System.err.println("[bench] no selected query exists; refusing to emit an empty result")
+      spark.stop()
+      sys.exit(1)
+    }
     def r3(d: Double): Double = math.round(d * 1000.0) / 1000.0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {

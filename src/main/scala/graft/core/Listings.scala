@@ -164,8 +164,14 @@ object Listings {
     s"QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY post_time DESC NULLS LAST, $tiebreak) = 1"
   }
 
-  private val landedRun =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // bounded insertion-order memo: evicting an entry only costs a re-land;
+  // an unbounded map would pin stopped SparkSessions (and their block
+  // storage) for the life of a long-running JVM hosting many sessions
+  private val landedRun = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[SparkSession, String](8, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, String]): Boolean = size > 4
+    })
 
   /** The one normalized listing frame every downstream query shares: the
     * reference run read ONCE per session, deduped, and landed as parquet
@@ -176,11 +182,14 @@ object Listings {
     * paid again by every query that touched listings. Landing mirrors
     * the engine's own architecture (raw crawl → landed store → queries):
     * the ingest cost is paid exactly once, which is also the only shape
-    * that survives a 100 TB crawl archive. */
+    * that survives a 100 TB crawl archive. The landed dir is deleted on
+    * JVM exit. */
   def normalized(spark: SparkSession): DataFrame = {
     val dir = landedRun.computeIfAbsent(spark, { s =>
       val d = java.nio.file.Files.createTempDirectory("graft_listings_landed")
       dedup(readJson(s, ReferenceRun)).write.mode("overwrite").parquet(d.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
       d.toString
     })
     spark.read.parquet(dir)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Bounded uniform reservoir sample of a long column per group — the
   * TypedImperativeAggregate surface (SURVEY.md §7.2's sketch candidate).
@@ -164,17 +164,11 @@ object ReservoirSampleAgg {
   private[plans] def fromSql(children: Seq[Expression]): Expression = {
     require(children.length == 2 || children.length == 3,
       "reservoir_sample(x, k[, seed]) takes 2 or 3 arguments")
-    def intLit(e: Expression, what: String): Long = e match {
-      case e if e.foldable && e.dataType == IntegerType =>
-        e.eval().asInstanceOf[Int].toLong
-      case e if e.foldable && e.dataType == LongType =>
-        e.eval().asInstanceOf[Long]
-      case other => throw new IllegalArgumentException(
-        s"reservoir_sample: $what must be an integer literal, got $other")
-    }
-    val k = intLit(children(1), "k").toInt
+    val k = SqlLiterals.int(children(1), "reservoir_sample", "k")
     require(k > 0, s"reservoir_sample: k must be positive, got $k")
-    val seed = if (children.length == 3) intLit(children(2), "seed") else 42L
+    val seed =
+      if (children.length == 3) SqlLiterals.long(children(2), "reservoir_sample", "seed")
+      else 42L
     ReservoirSampleAgg(children(0), k, seed).toAggregateExpression()
   }
 

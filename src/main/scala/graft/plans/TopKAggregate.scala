@@ -150,6 +150,33 @@ final class TopKBuf(val k: Int) {
       .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
 }
 
+/** Shared literal extraction for the SQL builders of the custom
+  * aggregates: plan-time sizes (k) must be foldable integer literals, and
+  * a LongType literal beyond Int range is an ERROR — `.toInt` would wrap
+  * silently (2^32+1 → 1) and run with a wrong buffer size. */
+private[plans] object SqlLiterals {
+  def int(e: Expression, fn: String, what: String): Int = e match {
+    case e if e.foldable && e.dataType == IntegerType =>
+      e.eval().asInstanceOf[Int]
+    case e if e.foldable && e.dataType == LongType =>
+      val v = e.eval().asInstanceOf[Long]
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$fn: $what out of int range: $v")
+      v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+
+  def long(e: Expression, fn: String, what: String): Long = e match {
+    case e if e.foldable && e.dataType == IntegerType =>
+      e.eval().asInstanceOf[Int].toLong
+    case e if e.foldable && e.dataType == LongType =>
+      e.eval().asInstanceOf[Long]
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+}
+
 object TopKAgg {
   /** Column handle: `topK(col("price"), col("id"), 3)` → array<struct<ord,id>>
     * ranked best-first under (ord DESC, id ASC). */
@@ -163,15 +190,7 @@ object TopKAgg {
     * bound the heap). */
   private[plans] def fromSql(children: Seq[Expression]): Expression = {
     require(children.length == 3, "top_k(ord, id, k) takes exactly 3 arguments")
-    val k = children(2) match {
-      case e if e.foldable && e.dataType == IntegerType =>
-        e.eval().asInstanceOf[Int]
-      case e if e.foldable && e.dataType == LongType =>
-        e.eval().asInstanceOf[Long].toInt
-      case other =>
-        throw new IllegalArgumentException(
-          s"top_k: k must be an integer literal, got $other")
-    }
+    val k = SqlLiterals.int(children(2), "top_k", "k")
     require(k > 0, s"top_k: k must be positive, got $k")
     TopKAgg(children(0), children(1), k).toAggregateExpression()
   }

@@ -220,14 +220,23 @@ object TextCatalog {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy("d1", "d2")
 
-  private val minhashIndex =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  // bounded insertion-order memo (same rationale as Listings.landedRun):
+  // unbounded, it would pin stopped sessions and their checkpoint blocks
+  // for the JVM's life. Eviction only costs an index rebuild.
+  private val minhashIndex = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)](8, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, DataFrame)]): Boolean =
+        size > 4
+    })
 
   /** The shingled corpus + banded MinHash signature index, built ONCE per
     * (session, corpus) and cached — at scale the LSH band index is a
     * stored artifact built by one job and consumed by many (near-dup
     * listing, cluster dedup, incremental re-index), not something every
-    * query rebuilds. The checkpointed frames hold ~(doc, 8 band keys). */
+    * query rebuilds. The checkpointed frames hold ~(doc, 8 band keys).
+    * Assumes the corpus under `sfDir` is immutable for the session's
+    * life — true for landed artifacts, which is what this models. */
   private def minhashIndexOf(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     minhashIndex.computeIfAbsent((spark, sfDir), { case (s, dir) =>
       import s.implicits._

@@ -275,18 +275,21 @@ object Jobs {
     * folded into the base (the retry overwrites it instead — exactly-once
     * is preserved across retries). Decimal totals keep the fold exact.
     *
-    * The delete-covered-then-rename swap at the end is not transactional:
-    * a crash inside that window (after deletes, before the rename) parks
-    * the folded base at the `.compact` tmp path. Production would back
-    * the partial store with a transactional table format; here the window
-    * is a single metadata op wide and compaction is only ever invoked
-    * from the driver between epochs. */
+    * Crash safety: the fold is parked under `.compact_tmp/upto=<maxCov>`
+    * BEFORE any covered dir is deleted, and every entry first calls
+    * [[recoverCrashedCompaction]]. A crash anywhere in the
+    * delete-then-rename window leaves either (a) an incomplete fold (no
+    * _SUCCESS) with all covered dirs intact — discarded and redone — or
+    * (b) a complete fold whose coverage is recorded in its dir name —
+    * finished by deleting the remaining `epoch<=maxCov` remnants and
+    * renaming the fold into place. Nothing committed is ever lost. */
   def compactServingPartials(spark: SparkSession, servingDir: String,
                              uptoEpoch: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(s"$servingDir.partials")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    recoverCrashedCompaction(spark, servingDir)
     val covered = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
       .map(s => (s.getPath, s.getPath.getName.stripPrefix("epoch=").toLong))
@@ -299,11 +302,40 @@ object Jobs {
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
       .repartition(1) // keys-sized frame → one file per compacted base
-    val tmp = new Path(s"$servingDir.partials.compact")
-    fs.delete(tmp, true)
+    val tmp = new Path(s"$servingDir.compact_tmp/upto=$maxCov")
     folded.write.mode("overwrite").parquet(tmp.toString)
     covered.foreach { case (p, _) => fs.delete(p, true) }
     fs.rename(tmp, new Path(s"$servingDir.partials/epoch=$maxCov"))
+    fs.delete(new Path(s"$servingDir.compact_tmp"), true) // now-empty park dir
+  }
+
+  /** Finish or discard a compaction interrupted by a crash. A COMPLETE
+    * parked fold (has _SUCCESS) covers exactly the epoch dirs ≤ the
+    * `upto` in its name as of when it was written, so the swap can be
+    * replayed: delete the remnants it covers, rename it into place. An
+    * INCOMPLETE fold is deleted — its covered dirs were never touched.
+    * At most one complete fold can exist (every compaction recovers
+    * before parking a new one). */
+  private[streaming] def recoverCrashedCompaction(spark: SparkSession,
+                                                  servingDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val troot = new Path(s"$servingDir.compact_tmp")
+    val fs = troot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(troot)) return
+    fs.listStatus(troot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("upto="))
+      .foreach { st =>
+        val upto = st.getPath.getName.stripPrefix("upto=").toLong
+        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) {
+          val root = new Path(s"$servingDir.partials")
+          if (fs.exists(root)) fs.listStatus(root).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+            .filter(_.getPath.getName.stripPrefix("epoch=").toLong <= upto)
+            .foreach(s => fs.delete(s.getPath, true))
+          fs.rename(st.getPath, new Path(s"$servingDir.partials/epoch=$upto"))
+        } else fs.delete(st.getPath, true)
+      }
+    fs.delete(troot, true)
   }
 
   /** J3 stream-stream: watermarked interval join — each view pairs with

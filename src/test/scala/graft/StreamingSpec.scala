@@ -177,6 +177,36 @@ class StreamingSpec extends SparkSpec {
       Seq(("click", 2L, 4.5), ("view", 1L, 2.5)))
   }
 
+  test("compaction recovery: a crash between deletes and rename loses nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_recover").toString
+    val serving = s"$dir/serving"
+    def writePartial(epoch: Int, typ: String, n: Long, total: Double): Unit =
+      Seq((typ, n, total)).toDF("event_type", "n", "total_dec")
+        .withColumn("total_dec", col("total_dec").cast(graft.queries.Parity.Dec))
+        .write.mode("overwrite").parquet(s"$serving.partials/epoch=$epoch")
+    writePartial(0, "click", 1L, 10.0)
+    writePartial(1, "click", 1L, 20.0)
+    writePartial(2, "view", 1L, 5.0)
+    // simulate a compaction of epochs {0,1} that crashed mid-swap: the
+    // complete fold is parked (with _SUCCESS), epoch=0 was deleted, but
+    // epoch=1 and the final rename never happened
+    spark.read.parquet(s"$serving.partials/epoch=0", s"$serving.partials/epoch=1")
+      .groupBy("event_type").agg(sum("n").as("n"), sum("total_dec").as("total_dec"))
+      .write.parquet(s"$serving.compact_tmp/upto=1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$serving.partials/epoch=0"), true))
+    // the next compaction entry must recover (finish the swap) BEFORE
+    // folding — refolding the epoch=1 remnant would double-count it, and
+    // the old code deleted the parked fold, losing epoch=0 entirely
+    Jobs.compactServingPartials(spark, serving, uptoEpoch = 3)
+    val out = Jobs.servingFromPartials(spark, serving).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("click", 2L, 30.0), ("view", 1L, 5.0)), s"got $out")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$serving.compact_tmp")))
+  }
+
   test("in-line compaction bounds the partial store over many epochs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_compact").toString
