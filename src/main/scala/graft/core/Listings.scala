@@ -164,14 +164,12 @@ object Listings {
     s"QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY post_time DESC NULLS LAST, $tiebreak) = 1"
   }
 
-  // bounded insertion-order memo: evicting an entry only costs a re-land;
-  // an unbounded map would pin stopped SparkSessions (and their block
-  // storage) for the life of a long-running JVM hosting many sessions
-  private val landedRun = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[SparkSession, String](8, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[SparkSession, String]): Boolean = size > 4
-    })
+  // bounded per-key memo: evicting an entry costs a re-land AND deletes
+  // the aged-out landed dir (an unbounded map would pin stopped sessions;
+  // exit-hook-only cleanup would accumulate orphan dirs on a long-lived
+  // multi-session JVM); the land itself runs outside the shared lock
+  private val landedRun = new BoundedMemo[SparkSession, String](4)(dir =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
 
   /** The one normalized listing frame every downstream query shares: the
     * reference run read ONCE per session, deduped, and landed as parquet
@@ -185,13 +183,15 @@ object Listings {
     * that survives a 100 TB crawl archive. The landed dir is deleted on
     * JVM exit. */
   def normalized(spark: SparkSession): DataFrame = {
-    val dir = landedRun.computeIfAbsent(spark, { s =>
+    val dir = landedRun.get(spark) {
       val d = java.nio.file.Files.createTempDirectory("graft_listings_landed")
-      dedup(readJson(s, ReferenceRun)).write.mode("overwrite").parquet(d.toString)
+      dedup(readJson(spark, ReferenceRun)).write.mode("overwrite").parquet(d.toString)
+      // exit-hook backstop for entries never evicted (deleteQuietly on an
+      // already-evicted dir is a no-op, so the two cleanups coexist)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
       d.toString
-    })
+    }
     spark.read.parquet(dir)
   }
 

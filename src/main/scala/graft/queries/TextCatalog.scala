@@ -220,14 +220,12 @@ object TextCatalog {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy("d1", "d2")
 
-  // bounded insertion-order memo (same rationale as Listings.landedRun):
-  // unbounded, it would pin stopped sessions and their checkpoint blocks
-  // for the JVM's life. Eviction only costs an index rebuild.
-  private val minhashIndex = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)](8, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, DataFrame)]): Boolean =
-        size > 4
+  // bounded per-key memo (same rationale as Listings.landedRun): the
+  // index build runs outside the shared lock, and eviction unpersists the
+  // aged-out entry's checkpoint blocks instead of pinning them JVM-life
+  private val minhashIndex =
+    new graft.core.BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](4)({
+      case (docs, bands) => docs.unpersist(); bands.unpersist(): Unit
     })
 
   /** The shingled corpus + banded MinHash signature index, built ONCE per
@@ -238,7 +236,8 @@ object TextCatalog {
     * Assumes the corpus under `sfDir` is immutable for the session's
     * life — true for landed artifacts, which is what this models. */
   private def minhashIndexOf(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
-    minhashIndex.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+    minhashIndex.get((spark, sfDir)) {
+      val (s, dir) = (spark, sfDir)
       import s.implicits._
       // null/empty text can't participate (it would shingle to [NULL] and
       // make all null docs mutual "near-dups" at jac 1.0)
@@ -261,7 +260,7 @@ object TextCatalog {
         .toDF("doc_id", "band", "key")
         .localCheckpoint(false)
       (docs, bands)
-    })
+    }
 
   /** The unsorted pair stage — shared by [[minhashLsh]] (which presents
     * them ordered) and [[dedupClustersQ]] (which doesn't need the sort). */
@@ -471,7 +470,16 @@ object TextCatalog {
   /** Chunker over any frame with (doc_id, text) — the fixture docs all
     * fit one chunk, so TextSpec drives the multi-chunk/overlap/short-tail
     * branches through this with constructed long documents. */
-  def docChunksOf(docs: DataFrame, chunk: Int = 100, stride: Int = 80): DataFrame = {
+  // One definition feeds BOTH engines: the Scala defaults and the oracle
+  // SQL interpolate these (same pattern as curationPipelineSql's stopword
+  // list) — a future default change diverging the two would otherwise be
+  // silent until the driver's hash check.
+  val DefaultChunk = 100
+  val DefaultStride = 80
+  val DefaultPackCapacity = 2048
+
+  def docChunksOf(docs: DataFrame, chunk: Int = DefaultChunk,
+                  stride: Int = DefaultStride): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     val nChunks = when(n <= chunk, lit(1))
@@ -489,14 +497,14 @@ object TextCatalog {
   }
 
   val docChunksSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |    len(string_split(text, ' ')) AS n
       |  FROM documents WHERE text IS NOT NULL
       |), c AS (
       |  SELECT doc_id, toks,
-      |    CASE WHEN n <= 100 THEN 1
-      |         ELSE CAST(ceil(CAST(n - 100 AS DOUBLE) / 80) AS INTEGER) + 1 END AS nc
+      |    CASE WHEN n <= $DefaultChunk THEN 1
+      |         ELSE CAST(ceil(CAST(n - $DefaultChunk AS DOUBLE) / $DefaultStride) AS INTEGER) + 1 END AS nc
       |  FROM d
       |), x AS (
       |  -- scalar-list range + unnest: DuckDB's lateral range() cannot
@@ -504,8 +512,8 @@ object TextCatalog {
       |  SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c
       |)
       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
-      |  len(toks[i*80 + 1 : i*80 + 100]) AS n_toks,
-      |  md5(array_to_string(toks[i*80 + 1 : i*80 + 100], ' ')) AS chunk_md5
+      |  len(toks[i*$DefaultStride + 1 : i*$DefaultStride + $DefaultChunk]) AS n_toks,
+      |  md5(array_to_string(toks[i*$DefaultStride + 1 : i*$DefaultStride + $DefaultChunk], ' ')) AS chunk_md5
       |FROM x
       |ORDER BY doc_id, chunk_id""".stripMargin
 
@@ -517,7 +525,8 @@ object TextCatalog {
     * first-fit is a sequential scan; contiguous fill is one window
     * cumsum — the standard trade at corpus scale). Reports per-bin
     * occupancy so a packing run can see its fill efficiency. */
-  def docPack(spark: SparkSession, sfDir: String, capacity: Int = 2048): DataFrame = {
+  def docPack(spark: SparkSession, sfDir: String,
+              capacity: Int = DefaultPackCapacity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Distributed prefix sum, NOT `Window.orderBy(doc_id)` with no
     // partition key — that plans as Exchange SinglePartition + one task
@@ -554,7 +563,7 @@ object TextCatalog {
   }
 
   val docPackSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks
       |  FROM documents WHERE text IS NOT NULL
       |), c AS (
@@ -563,7 +572,7 @@ object TextCatalog {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM d
       |)
-      |SELECT CAST((cum - n_toks) // 2048 AS BIGINT) AS bin,
+      |SELECT CAST((cum - n_toks) // $DefaultPackCapacity AS BIGINT) AS bin,
       |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_toks
       |FROM c
       |GROUP BY 1

@@ -305,7 +305,15 @@ object Jobs {
     val tmp = new Path(s"$servingDir.compact_tmp/upto=$maxCov")
     folded.write.mode("overwrite").parquet(tmp.toString)
     covered.foreach { case (p, _) => fs.delete(p, true) }
-    fs.rename(tmp, new Path(s"$servingDir.partials/epoch=$maxCov"))
+    // Hadoop rename signals failure by RETURNING false (quota, permission,
+    // cross-FS, missing dst parent) — not by throwing. At this point the
+    // covered dirs are gone and the parked fold is the ONLY copy of the
+    // committed partials, so a silent false here followed by the park-dir
+    // delete below would destroy committed data. Fail loudly instead: a
+    // leftover .compact_tmp fold is recoverable on the next entry; a
+    // deleted one is not.
+    val dst = new Path(s"$servingDir.partials/epoch=$maxCov")
+    require(fs.rename(tmp, dst), s"compaction rename $tmp -> $dst failed; parked fold kept for recovery")
     fs.delete(new Path(s"$servingDir.compact_tmp"), true) // now-empty park dir
   }
 
@@ -332,7 +340,13 @@ object Jobs {
             .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
             .filter(_.getPath.getName.stripPrefix("epoch=").toLong <= upto)
             .foreach(s => fs.delete(s.getPath, true))
-          fs.rename(st.getPath, new Path(s"$servingDir.partials/epoch=$upto"))
+          // rename needs an existing dst parent, and reports failure by
+          // returning false — this fold is the only copy of the covered
+          // partials, so a false here must abort (keeping the park dir)
+          // rather than fall through to the troot delete below.
+          fs.mkdirs(root)
+          val dst = new Path(s"$servingDir.partials/epoch=$upto")
+          require(fs.rename(st.getPath, dst), s"compaction recovery rename ${st.getPath} -> $dst failed; parked fold kept")
         } else fs.delete(st.getPath, true)
       }
     fs.delete(troot, true)
