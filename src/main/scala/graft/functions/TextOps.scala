@@ -33,9 +33,15 @@ object TextOps {
     * "genuine per-row imperative logic" carve-out; everything around it
     * (shingling, shuffles, joins) stays declarative.
     *
-    * Mixing is splitmix64 (Steele/Lea/Flajolet, public domain) seeded per
-    * signature position — a standard pairwise-independent-enough family
-    * for MinHash.
+    * Cross-engine deterministic (what graduated minhash from rows-only to
+    * a full DuckDB oracle in round 5): shingle hash = [[md5Upper64]]
+    * (= DuckDB `md5_number_upper`), permutation i = XOR with a fixed
+    * seed — a bijection of the already-uniform md5 space, reproducible
+    * bit-for-bit by DuckDB's `xor()` on signed BIGINT — and band key =
+    * md5 hex of the '|'-joined signature slice (= `md5(string_agg(...))`).
+    * Seed generation stays splitmix64 (Steele/Lea/Flajolet, public
+    * domain); the seeds are interpolated into the oracle SQL from this
+    * one definition.
     */
   object MinHasher extends Serializable {
     final def splitmix64(x0: Long): Long = {
@@ -45,14 +51,19 @@ object TextOps {
       x ^ (x >>> 31)
     }
 
-    /** k-wide signature over shingle hashes: sig(i) = min over shingles of
-      * splitmix64(h ^ seed_i). */
+    /** Fixed per-position XOR seeds — the single source of truth for both
+      * the JIT'd loop and the DuckDB oracle's VALUES list. */
+    val XorSeeds: Array[Long] = Array.tabulate(64)(i => splitmix64(i.toLong))
+
+    /** k-wide signature over shingle hashes: sig(i) = min over shingles
+      * of (h XOR seed_i), min under SIGNED 64-bit order (both engines
+      * compare BIGINT signed). */
     def signature(shingleHashes: Seq[Long], k: Int): Array[Long] = {
       val sig = Array.fill(k)(Long.MaxValue)
       shingleHashes.foreach { h =>
         var i = 0
         while (i < k) {
-          val m = splitmix64(h ^ (i * 0xC2B2AE3D27D4EB4FL))
+          val m = h ^ XorSeeds(i)
           if (m < sig(i)) sig(i) = m
           i += 1
         }
@@ -60,18 +71,13 @@ object TextOps {
       sig
     }
 
-    /** Band keys: one combined hash per `rows`-wide signature slice. Docs
-      * sharing any band key are candidate near-duplicates; with b bands of
-      * r rows the detection threshold is ~(1/b)^(1/r). */
-    def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    /** Band keys: md5 hex of the '|'-joined `rows`-wide signature slice.
+      * Docs sharing any band key are candidate near-duplicates; with b
+      * bands of r rows the detection threshold is ~(1/b)^(1/r). */
+    def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[String] =
       Array.tabulate(bands) { b =>
-        var acc = b.toLong
-        var i = b * rows
-        val end = math.min(sig.length, i + rows)
-        while (i < end) { acc = splitmix64(acc ^ sig(i)); i += 1 }
-        acc
+        md5Hex(sig.slice(b * rows, math.min(sig.length, (b + 1) * rows)).mkString("|"))
       }
-    }
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -109,6 +115,17 @@ object TextOps {
     var i = 7
     while (i >= 0) { out = (out << 8) | (bytes(i) & 0xffL); i -= 1 }
     out
+  }
+
+  /** Lowercase md5 hex — identical to Spark's `md5()` and DuckDB's
+    * `md5()`, for JVM-loop code that must agree with both. */
+  def md5Hex(t: String): String = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
   }
 
   /** SimHash as a JIT'd per-row function (for the typed fast path — same

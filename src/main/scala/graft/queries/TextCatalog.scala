@@ -214,11 +214,67 @@ object TextCatalog {
 
   /** MinHash + LSH near-dup detection — the scale path. 64-hash signature,
     * 8 bands × 8 rows (threshold ≈ 0.77); candidates from shared band keys
-    * only, then exact-Jaccard verification at 0.8. No oracle: xxhash64 has
-    * no DuckDB equivalent — TextSpec asserts LSH recovers exactly the
-    * ≥0.8 pairs the exact pairwise query finds. */
+    * only, then exact-Jaccard verification at 0.8. Fully oracled as of
+    * round 5: the whole sketch is md5-derived (shingle hash =
+    * `md5_number_upper`, permutations = XOR with fixed interpolated
+    * seeds, band key = md5 of the joined slice), so DuckDB rebuilds the
+    * exact candidate set and the exact-Jaccard verification is engine-
+    * independent arithmetic. TextSpec additionally asserts LSH recovers
+    * exactly the ≥0.8 pairs the unblocked pairwise scan finds. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy("d1", "d2")
+
+  /** The DuckDB spelling of the [[minhashIndexOf]]→[[minhashPairs]]
+    * pipeline, through the verified ≥0.8 pairs — shared by the LSH and
+    * cluster oracles. Seeds interpolate from [[MinHasher.XorSeeds]] (one
+    * definition for both engines); `md5_number_upper` is the u64 twin of
+    * [[graft.functions.TextOps.md5Upper64]], wrapped to signed BIGINT via
+    * HUGEINT so `xor()` and `MIN()` see the same bit patterns and order
+    * the JVM loop does. */
+  private def minhashPairsCte: String = {
+    val seeds = MinHasher.XorSeeds.zipWithIndex
+      .map { case (c, i) => s"($i, ${c}::BIGINT)" }.mkString(", ")
+    s"""seeds(i, c) AS (VALUES $seeds),
+      |mh_d AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND text <> ''
+      |), mh_sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |                i -> array_to_string(toks[i : i + 2], ' ')))
+      |         ELSE [text] END AS sh
+      |  FROM mh_d
+      |), mh_h AS (
+      |  SELECT doc_id,
+      |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+      |             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+      |         AS BIGINT) AS h
+      |  FROM (SELECT doc_id, md5_number_upper(unnest(sh)) AS u FROM mh_sh) t
+      |), mh_sig AS (
+      |  SELECT doc_id, i, MIN(xor(h, c)) AS sv
+      |  FROM mh_h, seeds GROUP BY doc_id, i
+      |), mh_bands AS (
+      |  SELECT doc_id, i // 8 AS band,
+      |    md5(string_agg(sv::VARCHAR, '|' ORDER BY i)) AS key
+      |  FROM mh_sig GROUP BY doc_id, i // 8
+      |), mh_cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM mh_bands x JOIN mh_bands y
+      |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      |), mh_pairs AS (
+      |  SELECT d1, d2,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      |  FROM mh_cand JOIN mh_sh a ON a.doc_id = mh_cand.d1
+      |               JOIN mh_sh b ON b.doc_id = mh_cand.d2
+      |  WHERE jac >= 0.8  -- DuckDB allows lateral alias reuse in WHERE
+      |)""".stripMargin
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashPairsCte
+      |SELECT d1, d2, jac FROM mh_pairs ORDER BY d1, d2""".stripMargin
 
   // bounded per-key memo (same rationale as Listings.landedRun): the
   // index build runs outside the shared lock, and eviction unpersists the
@@ -247,13 +303,13 @@ object TextCatalog {
         // reused by the self-join and both verification joins — checkpoint
         // or the dominant shingle+signature stage recomputes up to 4×
         .localCheckpoint(false)
-      // shingles hashed once by Catalyst; the 64-way signature + banding is
-      // a JIT'd per-row loop (see MinHasher — 60x over nested HOF lambdas)
+      // shingle hashing (md5-u64 — cross-engine deterministic, see
+      // MinHasher scaladoc) + 64-way signature + banding as one JIT'd
+      // per-row loop (60x over nested HOF lambdas)
       val bands = docs
-        .select(col("doc_id"), transform(col("sh"), s2 => xxhash64(s2)).as("hs"))
-        .as[(Long, Seq[Long])]
-        .flatMap { case (id, hs) =>
-          val sig = MinHasher.signature(hs, 64)
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, sh) =>
+          val sig = MinHasher.signature(sh.map(md5Upper64), 64)
           MinHasher.bandKeys(sig, bands = 8, rows = 8)
             .zipWithIndex.map { case (key, b) => (id, b, key) }
         }
@@ -369,7 +425,12 @@ object TextCatalog {
   /** The full dedup decision: MinHash/LSH pairs → connected components →
     * one kept representative per cluster (min doc_id). Output is the
     * cluster inventory; subtracting `keep=false` docs from the corpus IS
-    * the dedup. Rows-only; GraphSpec proves the clustering. */
+    * the dedup. Fully oracled as of round 5: the pair set is md5-derived
+    * (see [[minhashPairsCte]]) and DuckDB computes the same min-label
+    * components with a recursive transitive-closure CTE — tractable at
+    * oracle SF because near-dup clusters are tiny; the engine side keeps
+    * the iterative join+agg form that scales. GraphSpec additionally
+    * proves convergence/lineage behavior. */
   def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).select(col("d1"), col("d2"))
     graft.functions.Graph.dedupClusters(pairs, "d1", "d2")
@@ -378,6 +439,26 @@ object TextCatalog {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
       .orderBy("comp")
   }
+
+  /** Min-label connected components in DuckDB: transitive closure by
+    * recursive CTE (node reaches anc), comp = min reachable id. The
+    * UNION (not UNION ALL) dedups the frontier, guaranteeing
+    * termination. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+      |cc_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM mh_pairs
+      |  UNION ALL SELECT d2, d1 FROM mh_pairs
+      |), cc_reach(id, anc) AS (
+      |  SELECT DISTINCT src, src FROM cc_edges
+      |  UNION
+      |  SELECT r.id, e.dst FROM cc_reach r JOIN cc_edges e ON e.src = r.anc
+      |), cc AS (
+      |  SELECT id, MIN(anc) AS comp FROM cc_reach GROUP BY id
+      |)
+      |SELECT comp, COUNT(*) AS cluster_size,
+      |  COUNT(*) - 1 AS n_dropped  -- exactly one kept (id = comp) per cluster
+      |FROM cc GROUP BY comp ORDER BY comp""".stripMargin
 
   /** TF-IDF top terms per document — the classic text-analysis reduction
     * (term frequency × inverse document frequency), fully oracle-able.
@@ -703,6 +784,8 @@ object TextCatalog {
     "q_doc_quality"     -> qualityScoreSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_doc_ngram_sim"   -> ngramSimilaritySql,
+    "q_doc_minhash_lsh" -> minhashLshSql,
+    "q_dedup_clusters"  -> dedupClustersSql,
     "q_doc_simhash"     -> simhashSketchSql,
     "q_doc_simhash_nd"  -> simhashNearDupSql,
     "q_doc_langid"      -> langIdSql,
