@@ -45,30 +45,56 @@ object VectorOps {
       .otherwise(dotDec(a, b) / (na * nb))
   }
 
-  /** Random-hyperplane LSH signature of `bits` sign bits, as a '0'/'1'
-    * string bucket key. Hyperplane component r(i,j,t) is a deterministic
-    * pseudo-random value in [-1,1] derived from xxhash64 — no stored
-    * model, reproducible across runs and executors. Vectors with small
-    * angle agree on most sign bits (probability 1 - θ/π per bit). */
-  def lshBucket(emb: Column, bits: Int, table: Column): Column =
-    concat_ws("",
-      transform(sequence(lit(0), lit(bits - 1)), j =>
-        when(
-          aggregate(
-            zip_with(emb, sequence(lit(0), size(emb) - 1),
-              (x, i) => x.cast("double") *
-                (xxhash64(i, j, table).cast("double") / lit(9.223372036854776e18))),
-            lit(0.0),
-            (acc, v) => acc + v) > 0,
-          lit("1")).otherwise(lit("0"))))
+  /** Deterministic random-hyperplane component r(t,j,i) ∈ [-1,1]: the
+    * signed md5-u64 of "t|j|i" scaled by 2^63. md5-derived (not xxhash)
+    * so DuckDB reproduces it bit-for-bit —
+    * `CAST(<signed md5_number_upper(t||'|'||j||'|'||i)> AS DOUBLE) /
+    * 9.223372036854776e18` — which is what graduated both ANN queries to
+    * full oracles in round 5. No stored model: reproducible across runs,
+    * executors, and engines. */
+  def hyperplane(t: Int, j: Int, i: Int): Double =
+    graft.functions.TextOps.md5Upper64(s"$t|$j|$i").toDouble / 9.223372036854776e18
 
-  /** L independent LSH tables as an array of (t, bucket) structs — the
-    * standard recall lever: a neighbor is a candidate if ANY table puts it
-    * in the same (possibly multiprobed) bucket. Index-build cost is
-    * tables×bits×dim hash evaluations per vector, paid once. */
-  def lshTables(emb: Column, tables: Int, bits: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      struct(t.as("t"), lshBucket(emb, bits, t).as("bucket")))
+  /** The full projection matrix for `tables` LSH tables of `bits`
+    * hyperplanes over `dim`-dimensional vectors. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, dim)(hyperplane)
+
+  /** JIT'd per-row LSH bucketizer: for each of the L tables, a '0'/'1'
+    * string of `bits` sign bits (bit j = sign of emb·r(t,j,·)). Vectors
+    * with small angle agree on most sign bits (probability 1 - θ/π per
+    * bit); L independent tables are the standard recall lever.
+    *
+    * Why a JVM loop, not column HOFs: tables×bits×dim multiply-adds per
+    * vector ran interpreted inside nested lambdas (the same trap as
+    * MinHash — re-evaluated per element); the loop is the per-row
+    * imperative carve-out. Cross-engine parity: the dot product
+    * accumulates in DOUBLE over ASCENDING index — exactly DuckDB's
+    * `list_reduce` over the ordered product list — so the sign bit (all
+    * that's kept) is bit-identical. The projection matrix is built once
+    * per (executor, dim) and shared across rows. */
+  final class Bucketizer(tables: Int, bits: Int) extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Array[Double]]]]
+    private def planes(dim: Int): Array[Array[Array[Double]]] =
+      cache.computeIfAbsent(dim, d => hyperplanes(tables, bits, d))
+    def buckets(emb: Array[Float]): Array[String] = {
+      val r = planes(emb.length)
+      Array.tabulate(tables) { t =>
+        val sb = new java.lang.StringBuilder(bits)
+        var j = 0
+        while (j < bits) {
+          val rj = r(t)(j)
+          var acc = 0.0
+          var i = 0
+          while (i < emb.length) { acc += emb(i).toDouble * rj(i); i += 1 }
+          sb.append(if (acc > 0) '1' else '0')
+          j += 1
+        }
+        sb.toString
+      }
+    }
+  }
 
   /** LSH geometry for a corpus of `n` vectors. `maxBucket` is the
     * fail-loud occupancy ceiling enforced in-plan by

@@ -108,12 +108,17 @@ object VectorCatalog {
     * the bucket. The guard rides a filter, which Catalyst cannot prune
     * away (VectorSpec proves it fires). */
   def bucketize(corpus: DataFrame, geo: LshGeometry): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy(col("tbl"), col("bucket"))
+    val bk = new Bucketizer(geo.tables, geo.bits)
     corpus
-      .select(col("vec_id"), col("embedding"),
-        explode(lshTables(col("embedding"), geo.tables, geo.bits)).as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        col("sig.t").as("tbl"), col("sig.bucket").as("bucket"))
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        bk.buckets(emb).zipWithIndex.map { case (b, t) => (id, emb, t, b) }
+      }
+      .toDF("vec_id", "embedding", "tbl", "bucket")
       .withColumn("_guard",
         assert_true(count(lit(1)).over(w) <= lit(geo.maxBucket),
           lit(s"LSH bucket exceeds ${geo.maxBucket} vectors — geometry " +
@@ -126,10 +131,15 @@ object VectorCatalog {
     * derived from the corpus size (bits ≈ log2(N / targetBucket) — see
     * [[graft.functions.VectorOps.lshGeometry]]). A neighbor is a
     * candidate if any table buckets it with the query; candidates get
-    * exact cosine, then top-10. No oracle (xxhash-derived hyperplanes);
-    * VectorSpec measures recall vs brute force at two geometries. At
-    * scale the corpus bucketing is the stored index and the join shuffles
-    * on (table, bucket) — never the O(N·Q) pair space. */
+    * exact cosine, then top-10. Fully oracled as of round 5: hyperplanes
+    * are md5-derived (see [[graft.functions.VectorOps.hyperplane]]), the
+    * bucket dot products fold in ascending-index double order (= DuckDB
+    * `list_reduce`), and candidate scoring uses the decimal-exact cosine,
+    * so DuckDB rebuilds the identical candidate set and ranking.
+    * VectorSpec additionally measures recall vs brute force at two
+    * geometries. At scale the corpus bucketing is the stored index and
+    * the join shuffles on (table, bucket) — never the O(N·Q) pair
+    * space. */
   // Geometry derivation needs the corpus cardinality — production would
   // read it from table statistics; here a full count. The session-scoped
   // corpus under sfDir is immutable, so memoize the count per
@@ -157,10 +167,12 @@ object VectorCatalog {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand
-      // hot path: the codegen'd fused expression (no oracle on this query;
-      // the oracle-checked knnBrute keeps the decimal-exact HOF form)
+      // decimal-exact cosine (order-independent → cross-engine identical,
+      // which the oracle needs); cost is bounded by the CANDIDATE count —
+      // tables×probes×bucket hits per query, a few thousand pairs — not
+      // the corpus, so the scale shape is unchanged
       .select(col("qid"), col("vec_id"),
-        graft.plans.CosineSimilarity.cosineSim(col("qe"), col("embedding")).as("cos"))
+        cosine(col("qe"), col("embedding")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
@@ -170,8 +182,10 @@ object VectorCatalog {
   /** Embedding-cosine near-duplicate detection — the vector-space member
     * of the dedup family: bucket the corpus with the LSH tables, compare
     * only within-bucket pairs with the codegen'd fused cosine, keep
-    * pairs ≥ 0.95. Same no-O(n²) shape as text MinHash/LSH. Rows-only;
-    * VectorSpec checks against the brute-force threshold pairs.
+    * pairs ≥ 0.95. Same no-O(n²) shape as text MinHash/LSH. Fully
+    * oracled as of round 5 (md5-derived hyperplanes + decimal-exact
+    * verification cosine); VectorSpec additionally checks against the
+    * brute-force threshold pairs.
     *
     * The synthetic corpus has no organic ≥0.95 pairs (measured max
     * pairwise cosine ≈ 0.51), so the query PLANTS perturbed duplicates of
@@ -186,10 +200,15 @@ object VectorCatalog {
     // y_i = x_i + 0.1 * x_{(i+1) mod d}: for near-unit random vectors the
     // added term is ~orthogonal, so cos(x,y) ≈ 1/sqrt(1.01) ≈ 0.995 — a
     // genuine near-duplicate (not an exact copy, which cosine can't rank)
+    // double arithmetic with ONE final float cast: float ops differ
+    // between engines (single- vs double-rounding), but double ops are
+    // IEEE-identical and the final double→float rounding is too — so the
+    // planted vectors are bit-identical to the oracle's
     val planted = base.filter(col("vec_id") < 20)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         expr("""transform(embedding, (x, i) ->
-                 cast(x + 0.1f * element_at(embedding, (cast(i as int) + 1) % size(embedding) + 1)
+                 cast(cast(x as double) + 0.1d * cast(element_at(embedding,
+                   (cast(i as int) + 1) % size(embedding) + 1) as double)
                  as float))""").as("embedding"))
     base.union(planted)
   }
@@ -206,10 +225,16 @@ object VectorCatalog {
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        graft.plans.CosineSimilarity.cosineSim(
-          col("x.embedding"), col("y.embedding")).as("cos"))
-      .filter(col("cos") >= 0.95)
+        col("x.embedding").as("e1"), col("y.embedding").as("e2"))
       .dropDuplicates("v1", "v2")
+      // two-stage scoring: the codegen'd fused cosine pre-filters the
+      // within-bucket pair flood at 0.94 (its relative error is ~1e-15,
+      // so nothing with exact cos ≥ 0.95 can fall below it), then the
+      // decimal-exact cosine — which the oracle reproduces — scores only
+      // the handful of survivors
+      .filter(graft.plans.CosineSimilarity.cosineSim(col("e1"), col("e2")) >= 0.94)
+      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= 0.95)
       .orderBy("v1", "v2")
   }
 
