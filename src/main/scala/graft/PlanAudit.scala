@@ -113,6 +113,32 @@ object PlanAudit {
     check("q_vec_ann_lsh", ann, "bucket-occupancy guard in final plan (raise_error)",
       p => p.contains("raise_error"))
 
+    // every catalog query's ANALYZED plan must be free of trivially-true
+    // join equalities (left semantically equal to right): when a self-join
+    // condition like q("tbl") === e("tbl") resolves both sides to the SAME
+    // attribute, Spark silently drops the predicate (it only logs
+    // "Constructing trivially true equals predicate") — which is how the
+    // round-5 ANN candidate join lost its table constraint and matched
+    // probes against every table's buckets. Analyzed (pre-optimizer) plans
+    // still carry the degenerate predicate, so it is detectable here.
+    val trivialEqs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      scala.util.Try(f(spark, sfDir)).toOption.toSeq.flatMap { df =>
+        df.queryExecution.analyzed.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            j.condition.toSeq.flatMap(_.collect {
+              case e: org.apache.spark.sql.catalyst.expressions.EqualTo
+                  if e.left.semanticEquals(e.right) => s"$name: ${e.sql}"
+              case e: org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+                  if e.left.semanticEquals(e.right) => s"$name: ${e.sql}"
+            })
+        }.flatten
+      }
+    }
+    audits += Audit("catalog",
+      "no trivially-true join equalities (silently dropped predicates)" +
+        (if (trivialEqs.isEmpty) "" else s": ${trivialEqs.mkString("; ")}"),
+      trivialEqs.isEmpty)
+
     // date-partitioned layout: time predicate prunes at directory level
     val pdir = java.nio.file.Files.createTempDirectory("graft_part").toString
     IO.writePartitioned(

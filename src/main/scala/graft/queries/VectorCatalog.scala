@@ -159,10 +159,16 @@ object VectorCatalog {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("tbl"),
         explode(multiprobe(col("bucket"), geo.bits)).as("probe"))
-    val cand = q.join(e,
-        q("tbl") === e("tbl") && col("probe") === col("bucket") &&
-          col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qe"), col("vec_id"), col("embedding"))
+    // explicit aliases: `q` is derived from `e`, so `q("tbl") === e("tbl")`
+    // resolves BOTH sides to the same attribute — Spark drops it as
+    // trivially true and a probe would match same-bit-pattern buckets of
+    // every table (~tables× candidate inflation; recall unharmed, cost
+    // not). PlanSpec now gates this bug class across the catalog.
+    val cand = q.as("q").join(e.as("e"),
+        col("q.tbl") === col("e.tbl") && col("q.probe") === col("e.bucket") &&
+          col("e.vec_id") =!= col("q.qid"))
+      .select(col("q.qid").as("qid"), col("q.qe").as("qe"),
+        col("e.vec_id").as("vec_id"), col("e.embedding").as("embedding"))
       .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
