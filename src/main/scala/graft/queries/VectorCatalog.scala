@@ -131,15 +131,16 @@ object VectorCatalog {
     * derived from the corpus size (bits ≈ log2(N / targetBucket) — see
     * [[graft.functions.VectorOps.lshGeometry]]). A neighbor is a
     * candidate if any table buckets it with the query; candidates get
-    * exact cosine, then top-10. Fully oracled as of round 5: hyperplanes
-    * are md5-derived (see [[graft.functions.VectorOps.hyperplane]]), the
-    * bucket dot products fold in ascending-index double order (= DuckDB
-    * `list_reduce`), and candidate scoring uses the decimal-exact cosine,
-    * so DuckDB rebuilds the identical candidate set and ranking.
-    * VectorSpec additionally measures recall vs brute force at two
-    * geometries. At scale the corpus bucketing is the stored index and
-    * the join shuffles on (table, bucket) — never the O(N·Q) pair
-    * space. */
+    * exact cosine, then top-10. Fully oracled as of round 7 via
+    * [[annLshSql]]: hyperplanes are md5-derived (see
+    * [[graft.functions.VectorOps.hyperplane]]), the bucket dot products
+    * fold in ascending-index double order (= DuckDB `list_reduce`), and
+    * candidate scoring uses the decimal-exact cosine, so DuckDB rebuilds
+    * the identical candidate set and ranking (verified cell-exact at all
+    * three SFs). VectorSpec additionally measures recall vs brute force
+    * at two geometries. At scale the corpus bucketing is the stored
+    * index and the join shuffles on (table, bucket) — never the O(N·Q)
+    * pair space. */
   // Geometry derivation needs the corpus cardinality — production would
   // read it from table statistics; here a full count. The session-scoped
   // corpus under sfDir is immutable, so memoize the count per
@@ -185,12 +186,107 @@ object VectorCatalog {
       .orderBy("qid", "rn")
   }
 
+  /** The DuckDB spelling of [[bucketize]] over an arbitrary corpus CTE —
+    * shared by [[annLshSql]] and [[vecNearDupSql]]. Mirrors the engine
+    * stage for stage: `geo` recomputes [[graft.functions.VectorOps.lshGeometry]]
+    * from the corpus count (`floor(x + 0.5)` = JVM `math.round`, clamped
+    * to [2, 32]); `planes` rebuilds the md5-derived hyperplanes
+    * (`md5_number_upper` wrapped to signed BIGINT via HUGEINT — the u64
+    * twin of [[graft.functions.TextOps.md5Upper64]] — scaled by 2^63);
+    * `dots` folds each projection in ascending-index double order
+    * (`list_reduce` = the Bucketizer's ascending JVM loop, so every sign
+    * bit is bit-identical); `bkt` assembles the '0'/'1' bucket strings
+    * in bit order. */
+  private def lshBucketCte(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
+      |geo AS (
+      |  SELECT 4 AS tables,
+      |    LEAST(32, GREATEST(2, CAST(floor(ln(n / 32.0) / ln(2.0) + 0.5) AS INTEGER))) AS bits,
+      |    dim
+      |  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n, MAX(len(embedding)) AS dim FROM corpus)
+      |),
+      |planes AS (
+      |  SELECT t, j, list(r ORDER BY i) AS pv
+      |  FROM (
+      |    SELECT t, j, i,
+      |      CAST(CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+      |               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS DOUBLE)
+      |        / 9.223372036854776e18 AS r
+      |    FROM (
+      |      SELECT t, j, i,
+      |        md5_number_upper(t::VARCHAR || '|' || j::VARCHAR || '|' || i::VARCHAR) AS u
+      |      FROM (SELECT unnest(range(0, tables)) AS t FROM geo),
+      |           (SELECT unnest(range(0, bits)) AS j FROM geo),
+      |           (SELECT unnest(range(0, dim)) AS i FROM geo)
+      |    )
+      |  )
+      |  GROUP BY t, j
+      |),
+      |embd AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corpus
+      |),
+      |dots AS (
+      |  SELECT e.vec_id, p.t, p.j,
+      |    list_reduce(list_transform(range(1, len(e.v) + 1), k -> e.v[k] * p.pv[k]),
+      |      (a, b) -> a + b) AS dot
+      |  FROM embd e, planes p
+      |),
+      |bkt AS (
+      |  SELECT vec_id, t,
+      |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+      |  FROM dots GROUP BY vec_id, t
+      |)""".stripMargin
+
+  /** [[graft.functions.VectorOps.cosine]]'s decimal-exact spelling over
+    * aliases `a`/`b` — the [[knnBruteSql]] pattern, shared by both ANN
+    * oracles. */
+  private def decCosineSql: String =
+    """    CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)
+      |    / (sqrt(CAST(list_sum(list_transform(a.embedding,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE))
+      |       * sqrt(CAST(list_sum(list_transform(b.embedding,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)))""".stripMargin
+
+  /** DuckDB oracle for [[annLsh]]: rebuild the buckets bit-identically
+    * ([[lshBucketCte]]), expand the query side through the same
+    * single-bit multiprobe, take DISTINCT within-bucket candidates, score
+    * with the decimal-exact cosine, rank top-10. */
+  val annLshSql: String =
+    s"""WITH ${lshBucketCte("SELECT vec_id, embedding FROM embeddings")},
+      |probes AS (
+      |  SELECT qid, t,
+      |    CASE WHEN f = 0 THEN bucket
+      |         ELSE substr(bucket, 1, CAST(f AS INTEGER) - 1) ||
+      |              CASE WHEN substr(bucket, CAST(f AS INTEGER), 1) = '1' THEN '0' ELSE '1' END ||
+      |              substr(bucket, CAST(f AS INTEGER) + 1) END AS probe
+      |  FROM (SELECT vec_id AS qid, t, bucket FROM bkt WHERE vec_id < 5),
+      |       (SELECT unnest(range(0, bits + 1)) AS f FROM geo)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, e.vec_id
+      |  FROM probes p JOIN bkt e ON p.t = e.t AND p.probe = e.bucket AND e.vec_id <> p.qid
+      |),
+      |scored AS (
+      |  SELECT c.qid, c.vec_id,
+      |$decCosineSql AS cos
+      |  FROM cand c JOIN corpus a ON a.vec_id = c.qid
+      |              JOIN corpus b ON b.vec_id = c.vec_id
+      |)
+      |SELECT qid, rn, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+      |  FROM scored)
+      |WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin
+
   /** Embedding-cosine near-duplicate detection — the vector-space member
     * of the dedup family: bucket the corpus with the LSH tables, compare
     * only within-bucket pairs with the codegen'd fused cosine, keep
     * pairs ≥ 0.95. Same no-O(n²) shape as text MinHash/LSH. Fully
-    * oracled as of round 5 (md5-derived hyperplanes + decimal-exact
-    * verification cosine); VectorSpec additionally checks against the
+    * oracled as of round 7 via [[vecNearDupSql]] (md5-derived
+    * hyperplanes + decimal-exact verification cosine + bit-identical
+    * planted duplicates); VectorSpec additionally checks against the
     * brute-force threshold pairs.
     *
     * The synthetic corpus has no organic ≥0.95 pairs (measured max
