@@ -7,15 +7,12 @@ import graft.queries._
   * `queries` aggregates the per-module catalogs; every key has either a
   * DuckDB oracle in `oracleSql` (hash-checked by the driver) or a
   * deliberate omission (rows-only check) for ops whose values are not
-  * ANSI-SQL-expressible. The 6 rows-only queries, and why each cannot
+  * ANSI-SQL-expressible. The 4 rows-only queries, and why each cannot
   * oracle (every one is spec-proven in ScalaTest instead):
   *
   *  - q_approx_distinct — HLL sketch internals are implementation-
   *    defined; DuckDB's approx_count_distinct uses a different sketch
   *    (spec: ±10% of exact).
-  *  - q_vec_ann_lsh, q_vec_neardup — hyperplanes derive from xxhash64,
-  *    which DuckDB does not implement (spec: recall bounds at two
-  *    geometries + no false positives).
   *  - q_reservoir, q_doc_sample — valid samples depend on the engine's
   *    RNG stream and partitioning; no cross-engine replay (specs:
   *    determinism under fixed seed+partitioning, size/membership/
@@ -28,7 +25,10 @@ import graft.queries._
   * oracles in round 4 by making their hashes md5-derived;
   * q_doc_minhash_lsh and q_dedup_clusters followed in round 5 — md5-u64
   * shingle hashes, XOR-seed permutations, and a recursive-CTE
-  * connected-components oracle — see TextCatalog.)
+  * connected-components oracle — see TextCatalog. q_vec_ann_lsh and
+  * q_vec_neardup graduated in round 8: the md5-derived hyperplanes and
+  * ascending-index double dot folds replay bit-identically in DuckDB —
+  * see VectorCatalog.annLshSql / vecNearDupSql.)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -9,12 +9,15 @@ import graft.functions.TextOps._
   * deduplication (MinHash/LSH, SimHash, n-gram Jaccard), token counting,
   * quality scoring, language ID, and winnowing-style fingerprints.
   *
-  * Oracle coverage: md5-based and list-arithmetic queries have DuckDB
-  * oracles — including the simhash sketch + near-dup pair queries (the
-  * token hash is md5-derived = DuckDB's md5_number_upper) and the
-  * language-ID argmax. Only the xxhash64-based minhash family has no
-  * DuckDB equivalent → rows-only driver check + ScalaTest oracles
-  * (TextSpec) instead.
+  * Oracle coverage: EVERY TextCatalog query has a registered DuckDB
+  * oracle, hash-checked by the driver each round. The shingle/token
+  * hashes are md5-derived ([[graft.functions.TextOps.md5Upper64]] =
+  * DuckDB's `md5_number_upper`), the MinHash permutations are XOR-seed
+  * bijections of that space, band keys are md5 hex of the joined
+  * signature slice, and the dedup-cluster connected components replay as
+  * a recursive CTE — the full family graduated from rows-only to oracled
+  * in round 5. TextSpec holds the independent ScalaTest oracles
+  * (LSH == exact truth, prefix-filter losslessness) on top.
   *
   * Scale posture (100 TB): every per-doc computation is a narrow map over
   * the corpus. Exact dedup shuffles on a 128-bit content hash (uniform —

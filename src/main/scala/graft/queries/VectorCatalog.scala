@@ -131,13 +131,14 @@ object VectorCatalog {
     * derived from the corpus size (bits ≈ log2(N / targetBucket) — see
     * [[graft.functions.VectorOps.lshGeometry]]). A neighbor is a
     * candidate if any table buckets it with the query; candidates get
-    * exact cosine, then top-10. Fully oracled as of round 7 via
-    * [[annLshSql]]: hyperplanes are md5-derived (see
+    * exact cosine, then top-10. Oracled via [[annLshSql]], registered in
+    * [[oracle]] so the driver's DuckDB harness hash-checks it every
+    * round: hyperplanes are md5-derived (see
     * [[graft.functions.VectorOps.hyperplane]]), the bucket dot products
     * fold in ascending-index double order (= DuckDB `list_reduce`), and
     * candidate scoring uses the decimal-exact cosine, so DuckDB rebuilds
-    * the identical candidate set and ranking (verified cell-exact at all
-    * three SFs). VectorSpec additionally measures recall vs brute force
+    * the identical candidate set and ranking. VectorSpec additionally
+    * measures recall vs brute force
     * at two geometries. At scale the corpus bucketing is the stored
     * index and the join shuffles on (table, bucket) — never the O(N·Q)
     * pair space. */
@@ -239,14 +240,16 @@ object VectorCatalog {
 
   /** [[graft.functions.VectorOps.cosine]]'s decimal-exact spelling over
     * aliases `a`/`b` — the [[knnBruteSql]] pattern, shared by both ANN
-    * oracles. */
+    * oracles. Each norm is wrapped in NULLIF(..., 0) to mirror the
+    * engine's NULL-on-zero-norm semantics (cosine `when`-guards the
+    * division; an unguarded DuckDB divide would return inf instead). */
   private def decCosineSql: String =
     """    CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
       |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)
-      |    / (sqrt(CAST(list_sum(list_transform(a.embedding,
-      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE))
-      |       * sqrt(CAST(list_sum(list_transform(b.embedding,
-      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)))""".stripMargin
+      |    / (NULLIF(sqrt(CAST(list_sum(list_transform(a.embedding,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)), 0)
+      |       * NULLIF(sqrt(CAST(list_sum(list_transform(b.embedding,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)), 0))""".stripMargin
 
   /** DuckDB oracle for [[annLsh]]: rebuild the buckets bit-identically
     * ([[lshBucketCte]]), expand the query side through the same
@@ -280,13 +283,57 @@ object VectorCatalog {
       |WHERE rn <= 10
       |ORDER BY qid, rn""".stripMargin
 
+  /** The DuckDB spelling of [[nearDupCorpus]]: embeddings plus perturbed
+    * copies of the first 20 vectors. The perturbation replays
+    * [[nearDupCorpus]]'s transform index-for-index — Spark's 0-based
+    * lambda index `i` with 1-based `element_at((i+1) % d + 1)` is
+    * DuckDB's 1-based `i` with `embedding[(i % d) + 1]` — in double
+    * arithmetic with one final float cast, so the planted vectors are
+    * bit-identical cross-engine. */
+  private val nearDupCorpusSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(CAST(embedding[i] AS DOUBLE)
+      |           + 0.1 * CAST(embedding[(i % len(embedding)) + 1] AS DOUBLE) AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id < 20""".stripMargin
+
+  /** DuckDB oracle for [[vecNearDup]]: plant the perturbed duplicates
+    * ([[nearDupCorpusSql]]), rebuild the buckets bit-identically
+    * ([[lshBucketCte]] — the geometry CTE sees the planted corpus, so it
+    * derives the same bits as the engine's `lshGeometry(n + 20)`),
+    * self-join within (table, bucket) on `v1 < v2`, dedup the pair set
+    * across tables, score with the decimal-exact cosine, keep ≥ 0.95.
+    * The engine's 0.94 fused-cosine pre-filter needs no mirror: its
+    * relative error is ~1e-15, so no pair with exact cos ≥ 0.95 is ever
+    * dropped by it, and survivors below 0.95 are cut by the final filter
+    * on both sides. */
+  val vecNearDupSql: String =
+    s"""WITH ${lshBucketCte(nearDupCorpusSql)},
+      |pairs AS (
+      |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+      |  FROM bkt x JOIN bkt y
+      |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |),
+      |scored AS (
+      |  SELECT p.v1, p.v2,
+      |$decCosineSql AS cos
+      |  FROM pairs p JOIN corpus a ON a.vec_id = p.v1
+      |               JOIN corpus b ON b.vec_id = p.v2
+      |)
+      |SELECT v1, v2, cos FROM scored
+      |WHERE cos >= 0.95
+      |ORDER BY v1, v2""".stripMargin
+
   /** Embedding-cosine near-duplicate detection — the vector-space member
     * of the dedup family: bucket the corpus with the LSH tables, compare
     * only within-bucket pairs with the codegen'd fused cosine, keep
-    * pairs ≥ 0.95. Same no-O(n²) shape as text MinHash/LSH. Fully
-    * oracled as of round 7 via [[vecNearDupSql]] (md5-derived
-    * hyperplanes + decimal-exact verification cosine + bit-identical
-    * planted duplicates); VectorSpec additionally checks against the
+    * pairs ≥ 0.95. Same no-O(n²) shape as text MinHash/LSH. Oracled via
+    * [[vecNearDupSql]], registered in [[oracle]] so the driver's DuckDB
+    * harness hash-checks it every round (md5-derived hyperplanes +
+    * decimal-exact verification cosine + bit-identical planted
+    * duplicates); VectorSpec additionally checks against the
     * brute-force threshold pairs.
     *
     * The synthetic corpus has no organic ≥0.95 pairs (measured max
@@ -401,6 +448,8 @@ object VectorCatalog {
     "q_vec_norms"     -> vecNormsSql,
     "q_vec_quantize"  -> vecQuantizeSql,
     "q_vec_knn_brute" -> knnBruteSql,
-    "q_vec_centroids" -> labelCentroidsSql
+    "q_vec_centroids" -> labelCentroidsSql,
+    "q_vec_ann_lsh"   -> annLshSql,
+    "q_vec_neardup"   -> vecNearDupSql
   )
 }
