@@ -29,6 +29,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Micro-mode: pass query names as argv to time only those — one-command
   * anomaly adjudication (`runMain graft.Bench q_listing_normalize`).
+  *
+  * NOISE TRIAGE (read before calling a delta a regression): even with
+  * min-of-2, per-query times at these magnitudes (0.1–3 s on a shared
+  * 32-thread box) swing ±3 s per round on JIT state, GC phase, and
+  * machine load — empirically proven twice by rounds where ZERO engine
+  * code changed: r5→r6 `q_percentiles` "regressed" 4.12→1.07 s with no
+  * code change, and r6→r7 `q_window_topk` moved 0.48→1.63 s (with
+  * `q_word_topk`, `q_window_stats`, `q_vec_centroids`, `q_vec_ann_lsh`
+  * shifting in the same doc-only diff). A cross-round delta is evidence
+  * only if it REPRODUCES in a controlled re-run: adjudicate with
+  * micro-mode (`runMain graft.Bench <query>`) repeated 2-3×, and treat
+  * only a stable, repeatable delta — or a plan change in
+  * `.explain("formatted")` — as a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

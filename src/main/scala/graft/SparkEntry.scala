@@ -7,12 +7,16 @@ import graft.queries._
   * `queries` aggregates the per-module catalogs; every key has either a
   * DuckDB oracle in `oracleSql` (hash-checked by the driver) or a
   * deliberate omission (rows-only check) for ops whose values are not
-  * ANSI-SQL-expressible. The 4 rows-only queries, and why each cannot
+  * ANSI-SQL-expressible. The 5 rows-only queries, and why each cannot
   * oracle (every one is spec-proven in ScalaTest instead):
   *
   *  - q_approx_distinct — HLL sketch internals are implementation-
   *    defined; DuckDB's approx_count_distinct uses a different sketch
   *    (spec: ±10% of exact).
+  *  - q_percentiles_approx — quantile-summary contents depend on merge
+  *    order; not ANSI-reproducible (spec: GK rank guarantee vs the exact
+  *    order statistics; the exact q_percentiles twin IS oracled and is
+  *    scaladoc'd oracle-SF-only).
   *  - q_reservoir, q_doc_sample — valid samples depend on the engine's
   *    RNG stream and partitioning; no cross-engine replay (specs:
   *    determinism under fixed seed+partitioning, size/membership/

@@ -164,12 +164,18 @@ object Listings {
     s"QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY post_time DESC NULLS LAST, $tiebreak) = 1"
   }
 
-  // bounded per-key memo: evicting an entry costs a re-land AND deletes
-  // the aged-out landed dir (an unbounded map would pin stopped sessions;
-  // exit-hook-only cleanup would accumulate orphan dirs on a long-lived
-  // multi-session JVM); the land itself runs outside the shared lock
-  private val landedRun = new BoundedMemo[SparkSession, String](4)(dir =>
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
+  // bounded per-key memo: evicting an entry costs a re-land, and — ONLY
+  // when the evicted session is stopped — deletes the aged-out landed dir
+  // (an unbounded map would pin stopped sessions; exit-hook-only cleanup
+  // would accumulate orphan dirs on a long-lived multi-session JVM). A
+  // LIVE session's dir is left alone: DataFrames it already returned
+  // still scan it, and deleting it under them fails their re-execution
+  // with FileNotFound (MemoSpec proves the 5-concurrent-session case);
+  // the per-dir exit hook below is the backstop for those. The land
+  // itself runs outside the shared lock.
+  private val landedRun = new BoundedMemo[SparkSession, String](4)((spark, dir) =>
+    if (spark.sparkContext.isStopped)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
 
   /** The one normalized listing frame every downstream query shares: the
     * reference run read ONCE per session, deduped, and landed as parquet

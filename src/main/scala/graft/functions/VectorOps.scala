@@ -74,10 +74,8 @@ object VectorOps {
     * that's kept) is bit-identical. The projection matrix is built once
     * per (executor, dim) and shared across rows. */
   final class Bucketizer(tables: Int, bits: Int) extends Serializable {
-    @transient private lazy val cache =
-      new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Array[Double]]]]
     private def planes(dim: Int): Array[Array[Array[Double]]] =
-      cache.computeIfAbsent(dim, d => hyperplanes(tables, bits, d))
+      Bucketizer.planes(tables, bits, dim)
     def buckets(emb: Array[Float]): Array[String] = {
       val r = planes(emb.length)
       Array.tabulate(tables) { t =>
@@ -94,6 +92,22 @@ object VectorOps {
         sb.toString
       }
     }
+  }
+
+  /** JVM-wide (per-executor) projection-matrix cache keyed by the full
+    * geometry (tables, bits, dim) — NOT per Bucketizer instance. Each
+    * query builds its own deserialized Bucketizer per task, so an
+    * instance-held cache rebuilt tables×bits×dim md5 derivations for
+    * every query over the same geometry; keying the companion makes the
+    * matrix a build-once executor artifact shared by the ANN query, the
+    * near-dup query, and every session on the JVM. Values are immutable
+    * after construction, so sharing is safe. */
+  object Bucketizer {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int, Int), Array[Array[Array[Double]]]]
+    private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+      cache.computeIfAbsent((tables, bits, dim),
+        { case (t, b, d) => hyperplanes(t, b, d) })
   }
 
   /** LSH geometry for a corpus of `n` vectors. `maxBucket` is the

@@ -44,7 +44,14 @@ object MiscCatalog {
       |ORDER BY n DESC, word ASC
       |LIMIT 20""".stripMargin
 
-  /** Exact interpolated percentiles per group (the dashboards' median). */
+  /** Exact interpolated percentiles per group (the dashboards' median).
+    *
+    * ORACLE-SF-ONLY: Spark's exact `percentile` buffers EVERY group value
+    * in executor memory — with 3 order-status groups, one group holds
+    * ~1/3 of all orders, which OOMs long before 100 TB. The exact form
+    * exists because exact linear interpolation is what DuckDB's
+    * `quantile_cont` reproduces cell-for-cell; the bounded-memory scale
+    * path is [[percentilesApprox]], its rows-only + spec-bounded twin. */
   def percentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus"))
@@ -52,6 +59,29 @@ object MiscCatalog {
         expr("percentile(o_totalprice, 0.25)").as("p25"),
         expr("percentile(o_totalprice, 0.5)").as("p50"),
         expr("percentile(o_totalprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Rank-error guarantee of [[percentilesApprox]]: 1/PctAccuracy. */
+  val PctAccuracy = 10000
+
+  /** The 100 TB percentile path: `percentile_approx` keeps a BOUNDED
+    * O(accuracy·log n) Greenwald–Khanna quantile summary per group
+    * instead of buffering every value, with a hard rank-error guarantee —
+    * the returned value's rank is within n/[[PctAccuracy]] of the target
+    * rank. Sketch contents depend on merge order, so the values are not
+    * ANSI-SQL-reproducible (rows-only driver check); MiscSpec pins the
+    * guarantee instead, asserting each approx percentile falls between
+    * the EXACT (p ± 1/accuracy) order statistics per group. Same output
+    * shape as [[percentiles]] so dashboards can swap the twin in
+    * unchanged. */
+  def percentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr(s"percentile_approx(o_totalprice, 0.25, $PctAccuracy)").as("p25"),
+        expr(s"percentile_approx(o_totalprice, 0.5, $PctAccuracy)").as("p50"),
+        expr(s"percentile_approx(o_totalprice, 0.75, $PctAccuracy)").as("p75"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
@@ -275,6 +305,7 @@ object MiscCatalog {
     "q_pivot"         -> (pivotStatus _),
     "q_word_topk"     -> (wordTopK _),
     "q_percentiles"   -> (percentiles _),
+    "q_percentiles_approx" -> (percentilesApprox _),
     "q_string_agg"    -> (stringAgg _),
     "q_event_pairs"   -> (eventPairs _),
     "q_sql_subquery"  -> (sqlScalarSubquery _),

@@ -281,10 +281,17 @@ object TextCatalog {
 
   // bounded per-key memo (same rationale as Listings.landedRun): the
   // index build runs outside the shared lock, and eviction unpersists the
-  // aged-out entry's checkpoint blocks instead of pinning them JVM-life
+  // aged-out entry's checkpoint blocks instead of pinning them JVM-life —
+  // but ONLY when the owning session is stopped. The frames are
+  // localCheckpoint'd, so their blocks ARE their lineage: unpersisting a
+  // live session's entry makes every plan still holding the frames fail
+  // with missing-block on re-execution (a stopped session's blocks are
+  // already released with its context, so skipping it there loses
+  // nothing).
   private val minhashIndex =
     new graft.core.BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](4)({
-      case (docs, bands) => docs.unpersist(); bands.unpersist(): Unit
+      case ((spark, _), (docs, bands)) =>
+        if (spark.sparkContext.isStopped) { docs.unpersist(); bands.unpersist(): Unit }
     })
 
   /** The shingled corpus + banded MinHash signature index, built ONCE per

@@ -148,7 +148,7 @@ object VectorCatalog {
   // (session, corpus, planted?) rather than re-scanning on every call
   // (the re-scan landed inside the benchmarked time for both ANN queries).
   private val corpusCount =
-    new graft.core.BoundedMemo[(SparkSession, String, Boolean), Long](8)(_ => ())
+    new graft.core.BoundedMemo[(SparkSession, String, Boolean), Long](8)((_, _) => ())
 
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Tables.embeddings(spark, sfDir)

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.MiscCatalog
+
+/** Pins the guarantee that lets `q_percentiles_approx` replace the
+  * exact `q_percentiles` at scale: percentile_approx's Greenwald–Khanna
+  * summary returns a REAL element of the group whose rank is within
+  * n/accuracy of the target rank. The exact query stays oracle-SF-only
+  * (it buffers every group value); this spec is the approx twin's
+  * correctness story. */
+class MiscSpec extends SparkSpec {
+
+  test("q_percentiles_approx: every value is a group element within the GK rank guarantee") {
+    val eps = 1.0 / MiscCatalog.PctAccuracy
+    val approx = MiscCatalog.percentilesApprox(spark, sf001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val status = r.getString(0)
+      val vals = spark.read.parquet(s"$sf001/orders.parquet")
+        .filter(col("o_orderstatus") === status)
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      assert(r.getLong(4) == n.toLong)
+      Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2), 0.75 -> r.getDouble(3)).foreach {
+        case (p, v) =>
+          val lt = vals.count(_ < v)
+          val le = vals.count(_ <= v)
+          // a quantile summary returns an element it actually saw, never
+          // an interpolated value
+          assert(le > lt, s"$status p=$p: approx $v is not an element of the group")
+          // the element's rank interval must intersect the guaranteed
+          // window target ± eps*n (+1 for the floor/ceil edge)
+          val target = p * n
+          val slack = eps * n + 1
+          assert(lt + 1 <= target + slack && le >= target - slack,
+            s"$status p=$p: approx=$v has rank in [${lt + 1},$le], " +
+              s"outside target $target ± $slack (n=$n)")
+      }
+    }
+  }
+
+  test("q_percentiles_approx matches q_percentiles' shape and group cardinality") {
+    val exact = MiscCatalog.percentiles(spark, sf001)
+    val approx = MiscCatalog.percentilesApprox(spark, sf001)
+    assert(exact.columns.toSeq == approx.columns.toSeq)
+    assert(exact.select("o_orderstatus", "n").collect().toSeq ==
+      approx.select("o_orderstatus", "n").collect().toSeq)
+  }
+}
