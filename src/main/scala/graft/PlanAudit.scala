@@ -20,6 +20,9 @@ import graft.queries._
   *  - the bounded-heap top-k is partial+final ObjectHashAggregate (the
   *    map-side k-row combine is its whole reason to exist vs row_number)
   *  - hot paths sit inside WholeStageCodegen spans
+  *  - catalog-wide: no trivially-true join equalities, and no inner-join
+  *    conjuncts referencing only one side's attributes (both are
+  *    alias-resolution bugs that silently degrade the join)
   */
 object PlanAudit {
 
@@ -138,6 +141,42 @@ object PlanAudit {
       "no trivially-true join equalities (silently dropped predicates)" +
         (if (trivialEqs.isEmpty) "" else s": ${trivialEqs.mkString("; ")}"),
       trivialEqs.isEmpty)
+
+    // ...and no INNER-join condition conjunct referencing only ONE side's
+    // attributes: such a conjunct is not a join key — Catalyst rewrites
+    // it as a filter, and if no two-sided conjunct remains the join
+    // degenerates toward a cartesian. It is the alias-collapse bug class
+    // one notch past trivially-true equality (a condition meant as
+    // q.x === e.x where BOTH attributes resolved to the same side —
+    // distinct attributes, so semanticEquals misses it). Inner joins
+    // only: for outer/semi/anti joins a one-sided conjunct is
+    // load-bearing (it limits which rows MATCH, not which rows appear)
+    // and cannot be rewritten as a pre-filter.
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val oneSided = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      scala.util.Try(f(spark, sfDir)).toOption.toSeq.flatMap { df =>
+        df.queryExecution.analyzed.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+                j.condition.isDefined =>
+            conjuncts(j.condition.get).collect {
+              case c if c.references.nonEmpty &&
+                  (c.references.subsetOf(j.left.outputSet) ||
+                    c.references.subsetOf(j.right.outputSet)) =>
+                s"$name: ${c.sql}"
+            }
+        }.flatten
+      }
+    }
+    audits += Audit("catalog",
+      "no one-sided inner-join conjuncts (filters masquerading as join keys)" +
+        (if (oneSided.isEmpty) "" else s": ${oneSided.mkString("; ")}"),
+      oneSided.isEmpty)
 
     // date-partitioned layout: time predicate prunes at directory level
     val pdir = java.nio.file.Files.createTempDirectory("graft_part").toString
