@@ -116,6 +116,14 @@ object PlanAudit {
     check("q_vec_ann_lsh", ann, "bucket-occupancy guard in final plan (raise_error)",
       p => p.contains("raise_error"))
 
+    // IVF candidate selection must broadcast the tiny probe side and hash
+    // the corpus on list_id — a nested-loop or cartesian fallback would
+    // re-create the O(N·Q) scan the inverted lists exist to avoid
+    val ivf = plan(VectorCatalog.annIvf(spark, sfDir))
+    check("q_vec_ann_ivf", ivf, "probe side broadcast (hash join, no cartesian/BNLJ)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+
     // every catalog query's ANALYZED plan must be free of trivially-true
     // join equalities (left semantically equal to right): when a self-join
     // condition like q("tbl") === e("tbl") resolves both sides to the SAME

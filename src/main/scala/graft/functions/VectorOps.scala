@@ -135,6 +135,88 @@ object VectorOps {
     LshGeometry(tables, bits, targetBucket * maxBucketFactor)
   }
 
+  /** IVF geometry for a corpus of `n` vectors: `nlist ≈ sqrt(n)` coarse
+    * cells (the classic IVF-Flat sizing — build cost O(N·sqrt(N)), search
+    * cost O(nprobe·N/nlist) ≈ O(sqrt(N)) per query), centroids picked by
+    * the deterministic stride `vec_id % stride == 0`, and
+    * `nprobe = max(4, nlist/8)` probed cells per query. All three derive
+    * from the corpus count alone, so a DuckDB oracle recomputes the
+    * identical geometry from `COUNT(*)`. */
+  final case class IvfGeometry(nlist: Int, stride: Long, nprobe: Int)
+
+  def ivfGeometry(corpusSize: Long): IvfGeometry = {
+    require(corpusSize > 0, s"corpusSize must be positive, got $corpusSize")
+    val nlist = math.max(1L, math.round(math.sqrt(corpusSize.toDouble))).toInt
+    val stride = math.max(1L, corpusSize / nlist)
+    val nprobe = math.max(4, nlist / 8)
+    IvfGeometry(nlist, stride, nprobe)
+  }
+
+  /** The IVF coarse quantizer: assign a vector to its highest-cosine
+    * centroid; probe the top-`nprobe` centroids at query time. A
+    * per-row JVM loop over the broadcast centroid array (the same
+    * carve-out as [[Bucketizer]] — nlist×dim multiply-adds per vector
+    * would run interpreted inside nested column HOFs).
+    *
+    * Cross-engine parity (what lets the oracle replay the assignment):
+    * every dot and norm accumulates in DOUBLE over ASCENDING index —
+    * bit-identical to DuckDB's `list_reduce` over the ordered product
+    * list — `sqrt` is IEEE correctly-rounded in both engines, and ties
+    * break on the lower centroid id, matching
+    * `ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC)`. A zero-norm
+    * input scores -inf against every centroid (DuckDB: the same CASE),
+    * so it deterministically lands in the lowest-id cell instead of
+    * dividing by zero.
+    *
+    * `centroids` must be sorted ascending by id. Centroid vectors and
+    * norms are precomputed once per deserialized instance and shared
+    * across the task's rows. */
+  final class IvfAssigner(centroids: Array[(Long, Array[Float])]) extends Serializable {
+    require(centroids.nonEmpty, "IVF needs at least one centroid")
+    private val ids: Array[Long] = centroids.map(_._1)
+    private val vecs: Array[Array[Float]] = centroids.map(_._2)
+    @transient private lazy val norms: Array[Double] = vecs.map(normAsc)
+
+    private def normAsc(v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      math.sqrt(acc)
+    }
+    private def dotAsc(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    private def cosTo(emb: Array[Float], nEmb: Double, k: Int): Double =
+      if (nEmb == 0.0 || norms(k) == 0.0) Double.NegativeInfinity
+      else dotAsc(emb, vecs(k)) / (nEmb * norms(k))
+
+    /** The centroid id of the cell `emb` belongs to (strict `>` keeps
+      * the FIRST max — the lowest id, since `ids` is ascending). */
+    def assign(emb: Array[Float]): Long = {
+      val nEmb = normAsc(emb)
+      var best = 0; var bestCos = cosTo(emb, nEmb, 0)
+      var k = 1
+      while (k < ids.length) {
+        val c = cosTo(emb, nEmb, k)
+        if (c > bestCos) { best = k; bestCos = c }
+        k += 1
+      }
+      ids(best)
+    }
+
+    /** The top-`nprobe` centroid ids for a query (cos desc, id asc) —
+      * capped at the centroid count for tiny corpora. */
+    def probe(emb: Array[Float], nprobe: Int): Array[Long] = {
+      val nEmb = normAsc(emb)
+      val cos = Array.tabulate(ids.length)(cosTo(emb, nEmb, _))
+      ids.indices.toArray
+        .sortBy(k => (-cos(k), ids(k)))
+        .take(math.min(nprobe, ids.length))
+        .map(ids)
+    }
+  }
+
   /** Multiprobe keys: the bucket itself plus every single-bit flip —
     * recovers neighbors that land one sign bit away at the cost of
     * (bits+1) probes instead of 2^bits exhaustion. */

@@ -387,6 +387,145 @@ object VectorCatalog {
       .orderBy("v1", "v2")
   }
 
+  /** ANN via IVF-Flat with a deterministic coarse quantizer — the
+    * second scale path next to [[annLsh]], trading LSH's probabilistic
+    * buckets for data-adaptive cells: `nlist ≈ sqrt(N)` centroids are
+    * stride-sampled from the corpus itself (`vec_id % stride == 0` — no
+    * k-means iterations, so no cross-engine float-convergence hazard),
+    * every vector joins its highest-cosine cell, and a query scans only
+    * its `nprobe` nearest cells. Search cost per query is
+    * O(nprobe·N/nlist) ≈ O(sqrt(N)) instead of O(N).
+    *
+    * Shape at 100 TB: the assignment is a narrow map over the corpus
+    * with the centroid model broadcast (nlist·dim floats — ~25 MB at
+    * nlist=100k, dim=64 — the standard IVF train/search split; MLlib
+    * KMeans broadcasts its model the same way, which is why the small
+    * driver-side centroid collect below is the right call, not an
+    * anti-pattern). The assigned table IS the stored index: persisted
+    * partitioned by `list_id`, a query's candidate read prunes to its
+    * nprobe partitions. Here candidate selection broadcasts the tiny
+    * probe set instead, so the corpus is never shuffled at all.
+    *
+    * Oracled via [[annIvfSql]]: geometry, assignment, and probing all
+    * derive from `COUNT(*)` + ascending-index double dots (=DuckDB
+    * `list_reduce`), and final scoring is the decimal-exact cosine —
+    * so DuckDB rebuilds the identical index and ranking. VectorSpec
+    * additionally checks recall vs brute force and assignment
+    * optimality vs an in-plan argmax. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val n = corpusCount.get((spark, sfDir, false))(corpus.count())
+    annIvfWith(corpus, ivfGeometry(n))
+  }
+
+  def annIvfWith(corpus: DataFrame, geo: IvfGeometry): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the coarse-quantizer "model": a few KB here, ~25 MB at 100 TB —
+    // collected once, broadcast to every task (see scaladoc above)
+    val cents = corpus.filter(col("vec_id") % geo.stride === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(new IvfAssigner(cents))
+    val assigned = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, emb, bc.value.assign(emb)) }
+      .toDF("vec_id", "embedding", "list_id")
+    val probes = assigned.filter(col("vec_id") < 5)
+      .as[(Long, Array[Float], Long)]
+      .flatMap { case (id, emb, _) =>
+        bc.value.probe(emb, geo.nprobe).map(l => (id, emb, l)) }
+      .toDF("qid", "qe", "probe")
+    // broadcast the probe side: candidate selection is a narrow hash
+    // lookup over the corpus — no shuffle. Each vector lives in exactly
+    // ONE cell and a query's probes are distinct, so (qid, vec_id)
+    // candidates are unique by construction — no dedup pass (one fewer
+    // exchange than the LSH variant needs).
+    val cand = assigned.as("e").join(broadcast(probes.as("q")),
+        col("q.probe") === col("e.list_id") && col("e.vec_id") =!= col("q.qid"))
+      .select(col("q.qid").as("qid"), col("q.qe").as("qe"),
+        col("e.vec_id").as("vec_id"), col("e.embedding").as("embedding"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  /** DuckDB oracle for [[annIvf]]: recompute the geometry from
+    * `COUNT(*)` (`floor(x+0.5)` = JVM `math.round`; `//` = JVM long
+    * division for the stride and nprobe), rebuild every assignment and
+    * probe with ascending-index double dots (`list_reduce` = the
+    * [[graft.functions.VectorOps.IvfAssigner]] loops, so each cos is
+    * bit-identical and the `ROW_NUMBER ... ORDER BY cos DESC, cid ASC`
+    * tie-break matches the assigner's first-max/-id-ascending rules),
+    * then score candidates with the decimal-exact cosine and rank
+    * top-10 exactly like the engine. The zero-norm CASE mirrors the
+    * assigner's -inf guard. */
+  val annIvfSql: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |par AS (
+      |  SELECT GREATEST(1, cnt // nlist0) AS stride,
+      |         GREATEST(4, nlist0 // 8) AS nprobe
+      |  FROM (SELECT cnt,
+      |          GREATEST(1, CAST(floor(sqrt(CAST(cnt AS DOUBLE)) + 0.5) AS BIGINT)) AS nlist0
+      |        FROM (SELECT COUNT(*) AS cnt FROM corpus))
+      |),
+      |nrm AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nv
+      |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM corpus)
+      |),
+      |cents AS (
+      |  SELECT vec_id AS cid, v AS cv, nv AS nc FROM nrm
+      |  WHERE vec_id % (SELECT stride FROM par) = 0
+      |),
+      |cc AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CASE WHEN e.nv = 0 OR c.nc = 0 THEN CAST('-infinity' AS DOUBLE)
+      |         ELSE list_reduce(list_transform(range(1, len(e.v) + 1),
+      |                k -> e.v[k] * c.cv[k]), (a, b) -> a + b) / (e.nv * c.nc)
+      |    END AS cos
+      |  FROM nrm e, cents c
+      |),
+      |assign AS (
+      |  SELECT vec_id, cid AS list_id FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      |    FROM cc)
+      |  WHERE rn = 1
+      |),
+      |probes AS (
+      |  SELECT vec_id AS qid, cid AS probe FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      |    FROM cc WHERE vec_id < 5)
+      |  WHERE rn <= (SELECT nprobe FROM par)
+      |),
+      |cand AS (
+      |  SELECT p.qid, a.vec_id
+      |  FROM probes p JOIN assign a ON a.list_id = p.probe AND a.vec_id <> p.qid
+      |),
+      |scored AS (
+      |  SELECT c.qid, c.vec_id,
+      |$decCosineSql AS cos
+      |  FROM cand c JOIN corpus a ON a.vec_id = c.qid
+      |              JOIN corpus b ON b.vec_id = c.vec_id
+      |)
+      |SELECT qid, rn, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+      |  FROM scored)
+      |WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin
+
   /** Symmetric int8 quantization profile — the storage form of a 100 TB
     * embedding corpus (4× smaller than float32, and int8 dot kernels):
     * per-vector scale = max|x|/127, q_i = round(x_i/scale), plus the
@@ -441,7 +580,8 @@ object VectorCatalog {
     "q_vec_quantize"  -> (vecQuantize _),
     "q_vec_knn_brute" -> (knnBrute _),
     "q_vec_centroids" -> (labelCentroids _),
-    "q_vec_ann_lsh"   -> (annLsh _)
+    "q_vec_ann_lsh"   -> (annLsh _),
+    "q_vec_ann_ivf"   -> (annIvf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -450,6 +590,7 @@ object VectorCatalog {
     "q_vec_knn_brute" -> knnBruteSql,
     "q_vec_centroids" -> labelCentroidsSql,
     "q_vec_ann_lsh"   -> annLshSql,
-    "q_vec_neardup"   -> vecNearDupSql
+    "q_vec_neardup"   -> vecNearDupSql,
+    "q_vec_ann_ivf"   -> annIvfSql
   )
 }

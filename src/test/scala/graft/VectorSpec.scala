@@ -91,6 +91,58 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("IVF geometry: sqrt-nlist sizing, long-division stride/nprobe, floors") {
+    assert(ivfGeometry(1) == IvfGeometry(1, 1, 4))            // degenerate floor
+    assert(ivfGeometry(500) == IvfGeometry(22, 22, 4))        // round(sqrt(500))=22
+    assert(ivfGeometry(2000) == IvfGeometry(45, 44, 5))       // 2000/45=44; 45/8=5
+    assert(ivfGeometry(1000000) == IvfGeometry(1000, 1000, 125))
+  }
+
+  test("IVF assignment: every vector lands in its argmax-cosine cell") {
+    // independent truth: a from-scratch re-derivation over the collected
+    // corpus with the same IEEE double ascending-index semantics —
+    // validates the production plumbing (centroid collect, broadcast,
+    // Dataset map, tie rules) against a second implementation
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val geo = ivfGeometry(corpus.count())
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    def nrm(v: Array[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val cents = rows.filter(_._1 % geo.stride == 0).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+      if (nrm(a) == 0.0 || nrm(b) == 0.0) Double.NegativeInfinity else d / (nrm(a) * nrm(b))
+    }
+    val truth = rows.map { case (id, emb) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(emb, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    }.toMap
+    val assigner = new IvfAssigner(cents)
+    val got = rows.map { case (id, emb) => id -> assigner.assign(emb) }.toMap
+    assert(got == truth)
+    // and probing is a superset of assignment: a query's own cell is
+    // always among its top-nprobe probes
+    rows.take(20).foreach { case (id, emb) =>
+      assert(assigner.probe(emb, geo.nprobe).contains(got(id)), s"vec $id")
+    }
+  }
+
+  test("IVF ANN recall@10 >= 0.5 vs brute force; ranks well-formed") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorCatalog.knnBrute(spark, sf0001))
+    val r = VectorCatalog.annIvf(spark, sf0001).collect()
+    r.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val rn = rows.map(_.getInt(1)).toSeq.sorted
+      assert(rn == (1 to rn.max), s"ranks not contiguous for $q")
+      assert(rows.forall(_.getLong(2) != q), s"self in results for $q")
+    }
+    val recall = (truth & r.map(x => (x.getLong(0), x.getLong(2))).toSet).size.toDouble /
+      truth.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
