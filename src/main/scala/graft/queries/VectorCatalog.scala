@@ -419,20 +419,52 @@ object VectorCatalog {
     annIvfWith(corpus, ivfGeometry(n))
   }
 
-  def annIvfWith(corpus: DataFrame, geo: IvfGeometry): DataFrame = {
+  /** The coarse-quantizer "model" for a corpus: a few KB here, ~25 MB at
+    * 100 TB — collected once, broadcast to every task (see [[annIvf]]
+    * scaladoc for why the driver-side collect is the right call). */
+  def ivfModel(corpus: DataFrame, geo: IvfGeometry): IvfAssigner = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // the coarse-quantizer "model": a few KB here, ~25 MB at 100 TB —
-    // collected once, broadcast to every task (see scaladoc above)
     val cents = corpus.filter(col("vec_id") % geo.stride === 0)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(new IvfAssigner(cents))
-    val assigned = corpus
+    new IvfAssigner(cents)
+  }
+
+  /** Tag every corpus row with its IVF cell — a stateless narrow map
+    * with the model broadcast. */
+  private def ivfAssign(corpus: DataFrame, assigner: IvfAssigner): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(assigner)
+    corpus
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, emb) => (id, emb, bc.value.assign(emb)) }
       .toDF("vec_id", "embedding", "list_id")
+  }
+
+  /** Decimal-exact cosine + per-query top-k over candidate rows
+    * (qid, qe, vec_id, embedding) — shared by the in-memory and
+    * persisted-index search paths so both rank identically. */
+  private def topKByCosine(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  def annIvfWith(corpus: DataFrame, geo: IvfGeometry): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigner = ivfModel(corpus, geo)
+    val bc = spark.sparkContext.broadcast(assigner)
+    val assigned = ivfAssign(corpus, assigner)
     val probes = assigned.filter(col("vec_id") < 5)
       .as[(Long, Array[Float], Long)]
       .flatMap { case (id, emb, _) =>
@@ -447,15 +479,47 @@ object VectorCatalog {
         col("q.probe") === col("e.list_id") && col("e.vec_id") =!= col("q.qid"))
       .select(col("q.qid").as("qid"), col("q.qe").as("qe"),
         col("e.vec_id").as("vec_id"), col("e.embedding").as("embedding"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cand
-      .select(col("qid"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
-      .orderBy("qid", "rn")
+    topKByCosine(cand, 10)
+  }
+
+  /** Persist the IVF index: the assigned corpus written PARTITIONED BY
+    * `list_id` — the layout that makes [[searchIvfIndex]]'s candidate
+    * read a directory-level prune instead of a corpus scan. Returns the
+    * coarse-quantizer model; callers keep it (or rebuild it from the
+    * same corpus — it is deterministic) for query-time probing.
+    * [[graft.streaming.Jobs.ivfIndexAppend]] is the streaming twin that
+    * keeps this layout growing in place. */
+  def buildIvfIndex(corpus: DataFrame, geo: IvfGeometry, indexDir: String): IvfAssigner = {
+    val assigner = ivfModel(corpus, geo)
+    ivfAssign(corpus, assigner).write
+      .mode("overwrite").partitionBy("list_id").parquet(indexDir)
+    assigner
+  }
+
+  /** Search a persisted IVF index: probe cells are computed driver-side
+    * from the broadcast-scale model (queries arrive from OUTSIDE the
+    * cluster in a serving path — they are a handful of vectors, not a
+    * DataFrame), the index read prunes to the union of probed
+    * partitions (`PartitionFilters` on `list_id` — gated by PlanAudit),
+    * and scoring/ranking shares [[topKByCosine]] with the in-memory
+    * plan, so results are identical to [[annIvfWith]] over the same
+    * corpus (VectorSpec proves equality). */
+  def searchIvfIndex(spark: SparkSession, indexDir: String, assigner: IvfAssigner,
+                     queries: Seq[(Long, Array[Float])], nprobe: Int,
+                     k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, qe) =>
+      assigner.probe(qe, nprobe).map(l => (qid, qe, l)) }
+    val touched = probes.map(_._3).distinct.sorted
+    val probeDf = probes.toDF("qid", "qe", "probe")
+    val cand = spark.read.parquet(indexDir)
+      // partition-column predicate → directory-level pruning: only the
+      // probed cells are listed and read
+      .filter(col("list_id").isin(touched: _*))
+      .join(broadcast(probeDf),
+        col("probe") === col("list_id") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id"), col("embedding"))
+    topKByCosine(cand, k)
   }
 
   /** DuckDB oracle for [[annIvf]]: recompute the geometry from

@@ -372,4 +372,37 @@ object Jobs {
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
+
+  /** Streaming IVF index maintenance — the ST twin of
+    * [[graft.queries.VectorCatalog.buildIvfIndex]]: arriving vectors are
+    * tagged with their cell by the broadcast coarse-quantizer model (a
+    * stateless narrow map — no watermark, no state store) and APPENDED
+    * to the same `list_id`-partitioned parquet layout the batch builder
+    * writes, under the file sink's exactly-once checkpoint. The index
+    * therefore stays partition-prunable for
+    * [[graft.queries.VectorCatalog.searchIvfIndex]] while it ingests,
+    * and each micro-batch touches only the partitions its rows land in.
+    * The model is fixed for the stream's lifetime (the standard IVF
+    * contract — re-training means re-building the index); at 100 TB the
+    * same broadcast bounds apply as in the batch path. */
+  def ivfIndexAppend(vectors: DataFrame,
+                     assigner: graft.functions.VectorOps.IvfAssigner,
+                     indexDir: String, checkpointDir: String): StreamingQuery = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(assigner)
+    vectors
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, emb, bc.value.assign(emb)) }
+      .toDF("vec_id", "embedding", "list_id")
+      .writeStream
+      .format("parquet")
+      .option("path", indexDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("list_id")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

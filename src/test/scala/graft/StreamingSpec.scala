@@ -363,4 +363,31 @@ class StreamingSpec extends SparkSpec {
     val batch = Jobs.windowedAgg(events.toDF()).orderBy("wstart", "event_type").collect()
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming IVF append: restart-safe, cells match the batch assigner") {
+    import spark.implicits._
+    import graft.functions.VectorOps.ivfGeometry
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ivf_stream").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val assigner = graft.queries.VectorCatalog.ivfModel(corpus, ivfGeometry(corpus.count()))
+    val rows = corpus.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Array[Float])]
+    def run(): Unit =
+      Jobs.ivfIndexAppend(in.toDF().toDF("vec_id", "embedding"), assigner,
+        s"$dir/idx", s"$dir/cp").awaitTermination(60000)
+    // two separate AvailableNow runs over ONE checkpoint: the second must
+    // append only the new rows (file-sink exactly-once across restarts)
+    in.addData(rows.take(30).toIndexedSeq: _*)
+    run()
+    in.addData(rows.slice(30, 50).toIndexedSeq: _*)
+    run()
+    val idx = spark.read.parquet(s"$dir/idx")
+    assert(idx.count() == 50, "rows duplicated or lost across the restart")
+    val got = idx.select(col("vec_id"), col("list_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expect = rows.take(50).map { case (id, emb) => id -> assigner.assign(emb) }.toMap
+    assert(got == expect)
+  }
 }

@@ -143,6 +143,37 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 = $recall")
   }
 
+  test("persisted IVF index: partition-pruned search equals the in-memory plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val geo = ivfGeometry(corpus.count())
+    val assigner = VectorCatalog.buildIvfIndex(corpus, geo, s"$dir/index")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val res = VectorCatalog.searchIvfIndex(spark, s"$dir/index", assigner,
+      queries, geo.nprobe)
+    // directory-level pruning proof on the scan node itself: partition
+    // filters are populated and the scan selects exactly the probed
+    // cells — a strict subset of the index (DataFrame.inputFiles can't
+    // show this; it lists the base relation unpruned)
+    val touched = queries.flatMap { case (_, qe) => assigner.probe(qe, geo.nprobe) }
+      .distinct.toSet
+    val scan = res.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no parquet scan in the search plan"))
+    assert(scan.partitionFilters.nonEmpty, "scan has no partition filters")
+    val allCells = spark.read.parquet(s"$dir/index")
+      .select("list_id").distinct().count()
+    assert(scan.selectedPartitions.partitionCount == touched.size,
+      s"scan reads ${scan.selectedPartitions.partitionCount} cells, probed ${touched.size}")
+    assert(touched.size < allCells, "no pruning — every cell was probed")
+    // and the pruned search ranks identically to the in-memory plan
+    val a = res.collect().map(_.toSeq).toSeq
+    val b = VectorCatalog.annIvf(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
