@@ -459,7 +459,11 @@ object VectorCatalog {
       .orderBy("qid", "rn")
   }
 
-  def annIvfWith(corpus: DataFrame, geo: IvfGeometry): DataFrame = {
+  /** The IVF candidate set for the `vec_id < 5` query set: assign,
+    * probe, and join within probed cells — shared by the exact
+    * ([[annIvfWith]]) and int8-quantized ([[annIvfQ8With]]) scorers, so
+    * both rank the SAME candidates and differ only in scoring. */
+  private def ivfCandidates(corpus: DataFrame, geo: IvfGeometry): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val assigner = ivfModel(corpus, geo)
@@ -475,12 +479,14 @@ object VectorCatalog {
     // ONE cell and a query's probes are distinct, so (qid, vec_id)
     // candidates are unique by construction — no dedup pass (one fewer
     // exchange than the LSH variant needs).
-    val cand = assigned.as("e").join(broadcast(probes.as("q")),
+    assigned.as("e").join(broadcast(probes.as("q")),
         col("q.probe") === col("e.list_id") && col("e.vec_id") =!= col("q.qid"))
       .select(col("q.qid").as("qid"), col("q.qe").as("qe"),
         col("e.vec_id").as("vec_id"), col("e.embedding").as("embedding"))
-    topKByCosine(cand, 10)
   }
+
+  def annIvfWith(corpus: DataFrame, geo: IvfGeometry): DataFrame =
+    topKByCosine(ivfCandidates(corpus, geo), 10)
 
   /** Persist the IVF index: the assigned corpus written PARTITIONED BY
     * `list_id` — the layout that makes [[searchIvfIndex]]'s candidate
@@ -532,8 +538,10 @@ object VectorCatalog {
     * then score candidates with the decimal-exact cosine and rank
     * top-10 exactly like the engine. The zero-norm CASE mirrors the
     * assigner's -inf guard. */
-  val annIvfSql: String =
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+  /** The candidate-generation CTEs shared by [[annIvfSql]] and
+    * [[annIvfQ8Sql]] — the SQL spelling of [[ivfCandidates]]. */
+  private val ivfCandSql: String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
       |par AS (
       |  SELECT GREATEST(1, cnt // nlist0) AS stride,
       |         GREATEST(4, nlist0 // 8) AS nprobe
@@ -576,7 +584,10 @@ object VectorCatalog {
       |cand AS (
       |  SELECT p.qid, a.vec_id
       |  FROM probes p JOIN assign a ON a.list_id = p.probe AND a.vec_id <> p.qid
-      |),
+      |)""".stripMargin
+
+  val annIvfSql: String =
+    s"""WITH $ivfCandSql,
       |scored AS (
       |  SELECT c.qid, c.vec_id,
       |$decCosineSql AS cos
@@ -586,6 +597,91 @@ object VectorCatalog {
       |SELECT qid, rn, vec_id, cos FROM (
       |  SELECT qid, vec_id, cos,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+      |  FROM scored)
+      |WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin
+
+  /** ANN over int8-QUANTIZED vectors — the memory-bound search path
+    * that [[vecQuantize]]'s storage profile exists for: a 100 TB float32
+    * corpus searched as 25 TB of int8 with integer dot kernels. Same
+    * IVF candidate generation as [[annIvf]] (shared [[ivfCandidates]]),
+    * but scoring quantizes both sides symmetrically (per-vector
+    * scale = max|x|/127, q_i = round(x_i/scale)) and ranks by the
+    * quantized cosine qa·qb / (|qa|·|qb|) — the per-vector scales
+    * cancel, so the rank needs no dequantization. Every quantized dot
+    * and squared norm is EXACT INTEGER arithmetic (|q| ≤ 127, dim 64 →
+    * |qdot| ≤ ~10^6, far inside long), which is what makes this fully
+    * oracle-able: DuckDB reproduces the integers digit-for-digit and
+    * the final divide/sqrt are single deterministic double ops.
+    * VectorSpec measures the rank agreement against the exact-cosine
+    * scorer over the same candidates. */
+  def annIvfQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val n = corpusCount.get((spark, sfDir, false))(corpus.count())
+    annIvfQ8With(corpus, ivfGeometry(n))
+  }
+
+  def annIvfQ8With(corpus: DataFrame, geo: IvfGeometry): DataFrame = {
+    // staged projections, same trap as vecQuantize: inline, the
+    // array_max subtree lands inside the transform lambdas and
+    // re-evaluates per ELEMENT
+    val q = ivfCandidates(corpus, geo)
+      .withColumn("va", transform(col("qe"), x => x.cast("double")))
+      .withColumn("vb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("sa", array_max(transform(col("va"), x => abs(x))) / lit(127.0))
+      .withColumn("sb", array_max(transform(col("vb"), x => abs(x))) / lit(127.0))
+      .withColumn("qa", transform(col("va"),
+        x => round(x / nullif(col("sa"), lit(0.0))).cast("long")))
+      .withColumn("qb", transform(col("vb"),
+        x => round(x / nullif(col("sb"), lit(0.0))).cast("long")))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v).as("qdot"),
+        sqrt(aggregate(col("qa"), lit(0L), (a, x) => a + x * x).cast("double")).as("qna"),
+        sqrt(aggregate(col("qb"), lit(0L), (a, x) => a + x * x).cast("double")).as("qnb"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos8").desc, col("vec_id").asc)
+    q.select(col("qid"), col("vec_id"),
+        when(col("qna") === 0.0 || col("qnb") === 0.0, lit(null).cast("double"))
+          .otherwise(col("qdot").cast("double") / (col("qna") * col("qnb"))).as("cos8"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos8"))
+      .orderBy("qid", "rn")
+  }
+
+  /** DuckDB oracle for [[annIvfQ8]]: the shared IVF candidate CTEs,
+    * then the same symmetric quantization ([[vecQuantizeSql]]'s round
+    * parity — both engines round half away from zero) and the
+    * exact-integer quantized cosine. The zero-norm CASE mirrors the
+    * engine's null guard. */
+  val annIvfQ8Sql: String =
+    s"""WITH $ivfCandSql,
+      |quant AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x / NULLIF(scale, 0.0)) AS BIGINT)) AS qv
+      |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |              FROM corpus))
+      |),
+      |qnorm AS (
+      |  SELECT vec_id, qv,
+      |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qn
+      |  FROM quant
+      |),
+      |scored AS (
+      |  SELECT c.qid, c.vec_id,
+      |    CASE WHEN a.qn = 0 OR b.qn = 0 THEN NULL
+      |         ELSE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |                k -> a.qv[k] * b.qv[k])) AS DOUBLE) / (a.qn * b.qn)
+      |    END AS cos8
+      |  FROM cand c JOIN qnorm a ON a.vec_id = c.qid
+      |              JOIN qnorm b ON b.vec_id = c.vec_id
+      |)
+      |SELECT qid, rn, vec_id, cos8 FROM (
+      |  SELECT qid, vec_id, cos8,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos8 DESC, vec_id ASC) AS rn
       |  FROM scored)
       |WHERE rn <= 10
       |ORDER BY qid, rn""".stripMargin
@@ -645,7 +741,8 @@ object VectorCatalog {
     "q_vec_knn_brute" -> (knnBrute _),
     "q_vec_centroids" -> (labelCentroids _),
     "q_vec_ann_lsh"   -> (annLsh _),
-    "q_vec_ann_ivf"   -> (annIvf _)
+    "q_vec_ann_ivf"   -> (annIvf _),
+    "q_vec_ann_q8"    -> (annIvfQ8 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -655,6 +752,7 @@ object VectorCatalog {
     "q_vec_centroids" -> labelCentroidsSql,
     "q_vec_ann_lsh"   -> annLshSql,
     "q_vec_neardup"   -> vecNearDupSql,
-    "q_vec_ann_ivf"   -> annIvfSql
+    "q_vec_ann_ivf"   -> annIvfSql,
+    "q_vec_ann_q8"    -> annIvfQ8Sql
   )
 }

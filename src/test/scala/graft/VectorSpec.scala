@@ -143,6 +143,24 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 = $recall")
   }
 
+  test("int8-quantized IVF scoring agrees with the exact scorer over the same candidates") {
+    val exact = VectorCatalog.annIvf(spark, sf0001).collect()
+    val quant = VectorCatalog.annIvfQ8(spark, sf0001).collect()
+    val te = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val tq = quant.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (te & tq).size.toDouble / te.size
+    assert(overlap >= 0.9, s"top-10 rank agreement = $overlap")
+    // and on pairs both scorers surfaced, the quantized cosine sits inside
+    // the int8 error envelope (measured max ~0.002; the bound is a loose 5x)
+    val ce = exact.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    quant.foreach { r =>
+      ce.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(r.getDouble(3) - c) < 0.01,
+          s"cos8 ${r.getDouble(3)} vs exact $c for (${r.getLong(0)}, ${r.getLong(2)})")
+      }
+    }
+  }
+
   test("persisted IVF index: partition-pruned search equals the in-memory plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
