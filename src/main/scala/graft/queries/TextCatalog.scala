@@ -770,7 +770,125 @@ object TextCatalog {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Gopher-style repetition signals — the standard pretraining-data
+    * repetition filters at word and 2-gram granularity (duplicate-word
+    * fraction, most-frequent-word fraction, duplicate-2-gram fraction).
+    * The corpus is single-line synthetic text, so the line-level Gopher
+    * rules land on their word/n-gram counterparts.
+    *
+    * Scale shape: the word stats go explode → (doc_id, word) partial
+    * count → per-doc aggregate — the two-level aggregation handles a
+    * pathological 1 GB document without buffering its word list in one
+    * task, unlike a per-row HOF histogram (O(distinct²) per row). The
+    * 2-gram fraction IS a narrow per-row map (array_distinct over the
+    * gram array — bounded by doc length, no shuffle), and the final
+    * equi-join on doc_id is 1:1. All ratios are single double divides
+    * of exact integers — cross-engine deterministic. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    val wordStats = docs
+      .select(col("doc_id"), explode(t).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_words"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("n"))).as("dup_word_frac"),
+        (max(col("n")).cast("double") / sum(col("n"))).as("top_word_frac"))
+    val grams = transform(sequence(lit(0), size(t) - 2),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(2))))
+    val gramStats = docs.select(
+      col("doc_id"),
+      when(size(t) >= 2,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+    wordStats.join(gramStats, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_word_frac"), col("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), c AS (
+      |  SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+      |), ws AS (
+      |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+      |    CAST(1.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS dup_word_frac,
+      |    CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS top_word_frac
+      |  FROM c GROUP BY doc_id
+      |), gs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(g) >= 1 THEN
+      |      CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
+      |  FROM (SELECT doc_id,
+      |          list_transform(range(1, len(string_split(text, ' '))),
+      |            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS g
+      |        FROM documents)
+      |)
+      |SELECT ws.doc_id, n_words, dup_word_frac, top_word_frac, dup_2gram_frac
+      |FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+      |ORDER BY ws.doc_id""".stripMargin
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction — the scrubbing stage of a training-data pipeline:
+    * mask emails and phone-shaped tokens, report per-doc counts plus the
+    * md5 of the fully redacted text (the strongest cross-engine check —
+    * one flipped character anywhere fails the hash). The synthetic
+    * corpus contains no organic PII, so the query PLANTS a
+    * deterministic contact line on every 7th document (pure string
+    * concat — byte-identical cross-engine) before scrubbing; the other
+    * six sevenths exercise the no-op path. Both regexes stay in the
+    * Java∩RE2 common dialect so Spark and DuckDB match identically, and
+    * scrubbing is a narrow per-row map — no shuffle at any scale. */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val withPii = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or call 555-"),
+        lpad(col("doc_id").cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    val redacted = regexp_replace(
+      regexp_replace(withPii, lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_count(withPii, lit(emailRe)).as("n_emails"),
+        regexp_count(withPii, lit(phoneRe)).as("n_phones"),
+        length(redacted).as("n_chars_redacted"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val redactPiiSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      text || ' contact user' || doc_id || '@example.com or call 555-' ||
+      |      lpad(CAST(doc_id AS VARCHAR), 4, '0')
+      |    ELSE text END AS t
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+      |      '$phoneRe', '<PHONE>', 'g') AS red
+      |  FROM p
+      |)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '$emailRe')) AS n_emails,
+      |  len(regexp_extract_all(t, '$phoneRe')) AS n_phones,
+      |  length(red) AS n_chars_redacted,
+      |  md5(red) AS redacted_md5
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_repetition"  -> (repetitionSignals _),
+    "q_doc_redact"      -> (redactPii _),
     "q_doc_exact_dedup" -> (exactDedup _),
     "q_doc_tokens"      -> (tokenCounts _),
     "q_doc_quality"     -> (qualityScore _),
@@ -789,6 +907,8 @@ object TextCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_doc_repetition"  -> repetitionSignalsSql,
+    "q_doc_redact"      -> redactPiiSql,
     "q_doc_exact_dedup" -> exactDedupSql,
     "q_doc_tokens"      -> tokenCountsSql,
     "q_doc_quality"     -> qualityScoreSql,

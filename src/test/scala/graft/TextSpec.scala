@@ -141,4 +141,48 @@ class TextSpec extends SparkSpec {
       .select(langId(col("text")).as("l"))
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "fr", "es", "de", "und"))
   }
+
+  test("repetition signals match a from-scratch re-derivation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val got = TextCatalog.repetitionSignals(spark, sf0001).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val words = docs(r.getLong(0)).split(" ", -1).toSeq
+      val n = words.length
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - (1.0 - words.distinct.size.toDouble / n)) < 1e-12)
+      val top = words.groupBy(identity).valuesIterator.map(_.size).max
+      assert(math.abs(r.getDouble(3) - top.toDouble / n) < 1e-12)
+      val grams = words.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val expected = if (n >= 2) 1.0 - grams.distinct.size.toDouble / grams.size else 0.0
+      assert(math.abs(r.getDouble(4) - expected) < 1e-12, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("PII redaction scrubs planted contacts and leaves clean docs byte-identical") {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val got = TextCatalog.redactPii(spark, sf0001).collect()
+    var planted = 0
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val isPlanted = id % 7 == 0
+      assert(r.getInt(1) == (if (isPlanted) 1 else 0), s"n_emails for $id")
+      assert(r.getInt(2) == (if (isPlanted) 1 else 0), s"n_phones for $id")
+      val source =
+        if (isPlanted) { planted += 1
+          docs(id) + s" contact user$id@example.com or call 555-${"%04d".format(id)}" }
+        else docs(id)
+      val expected = source.replaceAll(emailRe, "<EMAIL>").replaceAll(phoneRe, "<PHONE>")
+      assert(r.getInt(3) == expected.length, s"n_chars_redacted for $id")
+      assert(r.getString(4) == md5hex(expected), s"redacted_md5 for $id")
+    }
+    assert(planted > 0, "fixture no longer plants any PII")
+  }
 }
