@@ -44,6 +44,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries ++ VectorCatalog.queries ++ MiscCatalog.queries ++ Map(
       "q_media_features" -> (graft.multimodal.Multimodal.featureProfile _),
+      "q_media_bytes" -> (graft.multimodal.Multimodal.byteProfile _),
       // seeded stratified downsample profile (rows-only: engine RNG streams
       // aren't ANSI-SQL-reproducible; determinism proven in IOSpec)
       // bounded per-group reservoir sample via the TypedImperativeAggregate
@@ -78,5 +79,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle ++ VectorCatalog.oracle ++ MiscCatalog.oracle
+    TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle ++ VectorCatalog.oracle ++ MiscCatalog.oracle ++ Map(
+      "q_media_bytes" -> graft.multimodal.Multimodal.byteProfileSql)
 }

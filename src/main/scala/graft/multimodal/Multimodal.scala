@@ -119,6 +119,47 @@ object Multimodal {
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("length"), col("content"))
 
+  /** The ORACLED slice of the multimodal family: the binary layer.
+    * Per-payload byte profile — length, byte sum, and md5 of the
+    * lowercase hex spelling (DuckDB's md5 takes VARCHAR only, so the
+    * digest rides the hex string; one flipped byte anywhere still flips
+    * the hash). [[syntheticMedia]]'s payloads are pure integer
+    * arithmetic, so DuckDB rebuilds them digit-for-digit and the driver
+    * hash-checks that the typed-Dataset plumbing (case-class encoder,
+    * map, binary column round-trip) delivers exactly the declared
+    * bytes. The DECODE stub stays rows-only — this proves the layer
+    * beneath it. */
+  def byteProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(spark, 300)
+      .map(m => (m.media_id, m.kind, m.content.length,
+        m.content.foldLeft(0L)((a, b) => a + (b & 0xff)),
+        m.content.map(b => f"${b & 0xff}%02x").mkString))
+      .toDF("media_id", "kind", "n_bytes", "byte_sum", "hx")
+      .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+        col("byte_sum"), md5(col("hx")).as("hex_md5"))
+      .orderBy("media_id")
+  }
+
+  val byteProfileSql: String =
+    """WITH m AS (
+      |  SELECT i AS media_id,
+      |    CASE WHEN i % 3 = 0 THEN 'image'
+      |         WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    256 + (i * 37 % 512) AS len
+      |  FROM range(0, 300) t(i)
+      |), b AS (
+      |  SELECT media_id, kind, len,
+      |    string_agg(format('{:02x}', (media_id * 131 + j * 17) % 251), '' ORDER BY j) AS hx,
+      |    SUM((media_id * 131 + j * 17) % 251) AS byte_sum
+      |  FROM m, (SELECT unnest(range(0, len)) AS j)
+      |  GROUP BY media_id, kind, len
+      |)
+      |SELECT media_id, kind, CAST(len AS BIGINT) AS n_bytes,
+      |  CAST(byte_sum AS BIGINT) AS byte_sum, md5(hx) AS hex_md5
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   /** Rows-only catalog query: synthesize → batch-extract → profile per
     * kind. Deterministic, so the driver's rows-only check is stable; no
     * SQL oracle (binary payloads + custom features). */

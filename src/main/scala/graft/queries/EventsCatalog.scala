@@ -197,7 +197,35 @@ object EventsCatalog {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '5 minutes'
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  /** Hot-key aggregation through the salted two-phase path
+    * ([[graft.core.Skew.saltedSumCount]]): `event_type` has a handful of
+    * values over the whole table — exactly the shape where one reduce
+    * key owns a large fraction of 100 TB and AQE cannot re-split a
+    * groupBy (it only re-splits join sides). The salt spreads each key
+    * over 16 sub-keys for phase 1, phase 2 collapses 16 partials per
+    * key. Values are decimal-cast BEFORE salting, so both phases sum
+    * exactly and the result is independent of the salt split — which is
+    * what lets a plain `GROUP BY` DuckDB oracle hash-check the salted
+    * plan (and SkewSpec separately proves salted == direct). */
+  def skewAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("v", col("value").cast(Dec))
+    graft.core.Skew.saltedSumCount(ev, "event_type", "v",
+        salts = 16, spread = Seq("event_id"))
+      .select(col("event_type"), col("sum_v").cast("double").as("total"), col("n"))
+      .orderBy("event_type")
+  }
+
+  val skewAggSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg"        -> (skewAgg _),
     "q_stream_join"     -> (streamJoinBatch _),
     "q_json_extract"    -> (jsonExtract _),
     "q_tumbling_window" -> (tumblingWindow _),
@@ -208,6 +236,7 @@ object EventsCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skew_agg"        -> skewAggSql,
     "q_stream_join"     -> streamJoinBatchSql,
     "q_json_extract"    -> jsonExtractSql,
     "q_tumbling_window" -> tumblingWindowSql,
