@@ -224,7 +224,38 @@ object EventsCatalog {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** SCD2-style dimension-history reconstruction: each user's event
+    * stream becomes validity intervals — a row is valid from its own
+    * timestamp until the next event for the same user (NULL + is_current
+    * for the open-ended latest row), the standard
+    * slowly-changing-dimension type-2 build from a change log. One
+    * window pass partitioned by `user_id` (high cardinality — even state
+    * spread at 100 TB). Validity bounds are exact integer microseconds
+    * (the [[sessionize]] parity rule: Spark second-casts truncate while
+    * DuckDB rounds, so raw ts arithmetic would drift cross-engine). */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  val scd2HistorySql: String =
+    """SELECT user_id, event_id, event_type,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+      |  LEAD(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS valid_to_us,
+      |  LEAD(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"            -> (scd2History _),
     "q_skew_agg"        -> (skewAgg _),
     "q_stream_join"     -> (streamJoinBatch _),
     "q_json_extract"    -> (jsonExtract _),
@@ -236,6 +267,7 @@ object EventsCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2"            -> scd2HistorySql,
     "q_skew_agg"        -> skewAggSql,
     "q_stream_join"     -> streamJoinBatchSql,
     "q_json_extract"    -> jsonExtractSql,

@@ -400,6 +400,57 @@ object TpchCatalog {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  /** EXCEPT ALL (bag semantics — multiplicity-aware, unlike [[exceptKeys]]):
+    * each open order's custkey survives once per unmatched occurrence.
+    * Aggregated to per-key multiplicities for a deterministic compare. */
+  def exceptAllKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  val exceptAllKeysSql: String =
+    """SELECT o_custkey, COUNT(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** FULL OUTER join (completes the J1 outer family next to the left
+    * outer): per-customer open vs fulfilled order counts, with genuinely
+    * unmatched keys on BOTH sides (only-open and only-fulfilled
+    * customers), coalesced to zeros. Both inputs pre-aggregate before
+    * the join, so the shuffle carries one row per (status, custkey). */
+  def fullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("k1")).agg(count(lit(1)).as("cnt_open"))
+    val ful = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("cnt_fulfilled"))
+    open.join(ful, col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k1"), col("k2")).as("custkey"),
+        coalesce(col("cnt_open"), lit(0L)).as("n_open"),
+        coalesce(col("cnt_fulfilled"), lit(0L)).as("n_fulfilled"))
+      .orderBy("custkey")
+  }
+
+  val fullOuterJoinSql: String =
+    """SELECT COALESCE(k1, k2) AS custkey,
+      |  COALESCE(cnt_open, 0) AS n_open,
+      |  COALESCE(cnt_fulfilled, 0) AS n_fulfilled
+      |FROM (SELECT o_custkey AS k1, COUNT(*) AS cnt_open FROM orders
+      |      WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+      |FULL JOIN (SELECT o_custkey AS k2, COUNT(*) AS cnt_fulfilled FROM orders
+      |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+      |  ON k1 = k2
+      |ORDER BY custkey""".stripMargin
+
   // ---------------------------------------------------------------- windows
 
   /** Top-3 orders per market segment via row_number (§2.5). Deterministic
@@ -551,6 +602,8 @@ object TpchCatalog {
     "q_union_slices"    -> (unionSlices _),
     "q_intersect"       -> (intersectKeys _),
     "q_except"          -> (exceptKeys _),
+    "q_except_all"      -> (exceptAllKeys _),
+    "q_full_outer"      -> (fullOuterJoin _),
     "q_window_topk"     -> (windowTopK _),
     "q_group_topk"      -> (groupTopK _),
     "q_window_lag"      -> (windowLag _),
@@ -577,6 +630,8 @@ object TpchCatalog {
     "q_union_slices"    -> unionSlicesSql,
     "q_intersect"       -> intersectKeysSql,
     "q_except"          -> exceptKeysSql,
+    "q_except_all"      -> exceptAllKeysSql,
+    "q_full_outer"      -> fullOuterJoinSql,
     "q_window_topk"     -> windowTopKSql,
     "q_group_topk"      -> groupTopKSql,
     "q_window_lag"      -> windowLagSql,
