@@ -776,35 +776,49 @@ object TextCatalog {
     * The corpus is single-line synthetic text, so the line-level Gopher
     * rules land on their word/n-gram counterparts.
     *
-    * Scale shape: the word stats go explode → (doc_id, word) partial
-    * count → per-doc aggregate — the two-level aggregation handles a
-    * pathological 1 GB document without buffering its word list in one
-    * task, unlike a per-row HOF histogram (O(distinct²) per row). The
-    * 2-gram fraction IS a narrow per-row map (array_distinct over the
-    * gram array — bounded by doc length, no shuffle), and the final
-    * equi-join on doc_id is 1:1. All ratios are single double divides
-    * of exact integers — cross-engine deterministic. */
+    * Scale shape: ONE narrow per-row map, zero shuffles before the
+    * compare-determinism sort. Per row this is token-linear hash-set
+    * work — the per-row imperative carve-out ([[graft.functions.TextOps.MinHasher]]
+    * precedent): the same logic as column HOFs ran interpreted inside
+    * the lambdas (measured 7.6 s at sf0.1), and the explode → groupBy →
+    * groupBy histogram form costs two shuffles + a 1:1 self-join
+    * (measured ~3 s; worth it only when single documents are too large
+    * for one task). This map benches sub-second. All ratios are single
+    * double divides of exact integers — cross-engine deterministic
+    * (`String.split(" ", -1)` = Spark `split` = DuckDB `string_split`,
+    * the established token parity). */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val t = tokens(col("text"))
-    val wordStats = docs
-      .select(col("doc_id"), explode(t).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("n")).as("n_words"),
-        (lit(1.0) - count(lit(1)).cast("double") / sum(col("n"))).as("dup_word_frac"),
-        (max(col("n")).cast("double") / sum(col("n"))).as("top_word_frac"))
-    val grams = transform(sequence(lit(0), size(t) - 2),
-      i => concat_ws(" ", slice(t, i + lit(1), lit(2))))
-    val gramStats = docs.select(
-      col("doc_id"),
-      when(size(t) >= 2,
-        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
-        .otherwise(lit(0.0)).as("dup_2gram_frac"))
-    wordStats.join(gramStats, "doc_id")
-      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
-        col("top_word_frac"), col("dup_2gram_frac"))
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ", -1)
+        val n = words.length
+        val distinct = new java.util.HashSet[String]()
+        words.foreach(distinct.add)
+        // longest equal-run in the sorted array = max word multiplicity
+        val sorted = words.sorted
+        var best = 1L; var run = 1L; var i = 1
+        while (i < n) {
+          if (sorted(i) == sorted(i - 1)) { run += 1; if (run > best) best = run }
+          else run = 1
+          i += 1
+        }
+        val dup2 =
+          if (n >= 2) {
+            val grams = new java.util.HashSet[String]()
+            var j = 0
+            while (j < n - 1) { grams.add(words(j) + " " + words(j + 1)); j += 1 }
+            1.0 - grams.size.toDouble / (n - 1)
+          } else 0.0
+        (id, n.toLong,
+          1.0 - distinct.size.toDouble / n,
+          best.toDouble / n,
+          dup2)
+      }
+      .toDF("doc_id", "n_words", "dup_word_frac", "top_word_frac", "dup_2gram_frac")
       .orderBy("doc_id")
   }
 
