@@ -10,10 +10,14 @@ import Parity._
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
   * Brute-force cosine top-k is the exactness baseline (O(N·Q) narrow map —
-  * broadcast the query set, never shuffle the corpus); the
-  * random-hyperplane LSH variant is the scale path (bucket shuffle +
-  * within-bucket candidates only). VectorSpec measures LSH recall against
-  * the brute-force truth.
+  * broadcast the query set, never shuffle the corpus). Two scale paths sit
+  * next to it: the random-hyperplane LSH variant (bucket shuffle +
+  * within-bucket candidates only) and the IVF-Flat variant (stride-sampled
+  * coarse quantizer, broadcast centroid model, nprobe cell scan — with a
+  * persisted cell-partitioned index, [[buildIvfIndex]]/[[searchIvfIndex]],
+  * and an int8-quantized scorer, [[annIvfQ8]]). Every query here is
+  * DuckDB-oracled; VectorSpec additionally measures LSH and IVF recall
+  * against the brute-force truth.
   */
 object VectorCatalog {
 
