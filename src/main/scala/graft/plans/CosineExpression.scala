@@ -114,5 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("reservoir_sample"),
       new ExpressionInfo(classOf[ReservoirSampleAgg].getName, "reservoir_sample"),
       (children: Seq[Expression]) => ReservoirSampleAgg.fromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (children: Seq[Expression]) => HeavyHittersAgg.fromSql(children)))
   }
 }

@@ -490,6 +490,29 @@ object TpchCatalog {
     * identical output rows at whichever ranks they occupy, so both engines
     * hash identically. The array<struct> result is flattened to scalars
     * via posexplode — the driver harness can't hash array cells. */
+  /** Heavy hitters over `l_returnflag` via the bounded SpaceSaving
+    * aggregate ([[graft.plans.HeavyHittersAgg]]): one pass, m=16
+    * counters per partial buffer regardless of input size — the
+    * 100 TB shape for "which items dominate this column" when the
+    * column's cardinality forbids an exact groupBy. The 3-flag column
+    * sits far below m, so the sketch runs in its EXACT regime (no
+    * eviction, err = 0, deterministic) and the driver oracles it
+    * against a plain GROUP BY; the eviction/merge machinery and its
+    * guarantee are pinned by SpaceSavingSpec on over-cardinality
+    * fixtures. */
+  def heavyHittersQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(graft.plans.HeavyHittersAgg.heavyHitters(col("l_returnflag"), 16).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.est").as("est"), col("h.err").as("err"))
+      .orderBy(desc("est"), asc("item"))
+
+  val heavyHittersSql: String =
+    """SELECT l_returnflag AS item, COUNT(*) AS est, CAST(0 AS BIGINT) AS err
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY est DESC, item ASC""".stripMargin
+
   def groupTopK(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"),
@@ -606,6 +629,7 @@ object TpchCatalog {
     "q_full_outer"      -> (fullOuterJoin _),
     "q_window_topk"     -> (windowTopK _),
     "q_group_topk"      -> (groupTopK _),
+    "q_heavy_hitters"   -> (heavyHittersQ _),
     "q_window_lag"      -> (windowLag _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_date_funcs"      -> (dateFuncs _)
@@ -634,6 +658,7 @@ object TpchCatalog {
     "q_full_outer"      -> fullOuterJoinSql,
     "q_window_topk"     -> windowTopKSql,
     "q_group_topk"      -> groupTopKSql,
+    "q_heavy_hitters"   -> heavyHittersSql,
     "q_window_lag"      -> windowLagSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_date_funcs"      -> dateFuncsSql
