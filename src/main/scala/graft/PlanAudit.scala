@@ -116,6 +116,14 @@ object PlanAudit {
     check("q_vec_ann_lsh", ann, "bucket-occupancy guard in final plan (raise_error)",
       p => p.contains("raise_error"))
 
+    // the SpaceSaving sketch must combine map-side like the top-k heap:
+    // partial+final ObjectHashAggregate, so the exchange carries m-counter
+    // buffers per map partition instead of raw rows
+    val hh = plan(TpchCatalog.heavyHittersQ(spark, sfDir))
+    check("q_heavy_hitters", hh, "partial+final ObjectHashAggregate (sketch combine map-side)",
+      p => p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2 &&
+        p.contains("partial_heavy_hitters"))
+
     // IVF candidate selection must broadcast the tiny probe side and hash
     // the corpus on list_id — a nested-loop or cartesian fallback would
     // re-create the O(N·Q) scan the inverted lists exist to avoid

@@ -316,6 +316,37 @@ object TpchCatalog {
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping() flags — the general form
+    * that [[aggRollup]]/[[aggCube]] specialize: an asymmetric set list
+    * ((flag, status), (flag), (status)) that neither rollup nor cube
+    * produces (cube adds the grand total; rollup skips the
+    * status-only cut). Through the spark.sql entry point; the
+    * grouping() flags disambiguate a genuine NULL group key from a
+    * superaggregate row. Same shuffle shape as cube: one expand +
+    * partial/final aggregation. */
+  def groupingSetsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+         |  COUNT(*) AS n, ${sqlSum("l_quantity")} AS qty
+         |FROM v_lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+         |ORDER BY g_flag, g_status,
+         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       |  COUNT(*) AS n, ${sqlSum("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+       |ORDER BY g_flag, g_status,
+       |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Exact distinct counts per group (A1/A2 exact path). */
   def countDistinct_(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -620,6 +651,7 @@ object TpchCatalog {
     "q_theta_join"      -> (thetaJoin _),
     "q_agg_rollup"      -> (aggRollup _),
     "q_agg_cube"        -> (aggCube _),
+    "q_grouping_sets"   -> (groupingSetsQ _),
     "q_count_distinct"  -> (countDistinct_ _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_union_slices"    -> (unionSlices _),
@@ -650,6 +682,7 @@ object TpchCatalog {
     "q_theta_join"      -> thetaJoinSql,
     "q_agg_rollup"      -> aggRollupSql,
     "q_agg_cube"        -> aggCubeSql,
+    "q_grouping_sets"   -> groupingSetsSql,
     "q_count_distinct"  -> countDistinctSql,
     "q_union_slices"    -> unionSlicesSql,
     "q_intersect"       -> intersectKeysSql,
