@@ -84,6 +84,21 @@ object Jobs {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
 
+  /** Windowed heavy hitters on a stream — the custom SpaceSaving
+    * aggregate ([[graft.plans.HeavyHittersAgg]]) running INSIDE a
+    * Structured Streaming stateful aggregation: the typed buffer
+    * serializes into the state store between micro-batches and merges
+    * with each batch's partials, so a per-window frequent-items summary
+    * stays bounded (m counters) no matter how many distinct items the
+    * window sees. StreamingSpec proves incremental == batch. */
+  def windowedHeavyHitters(df: DataFrame, m: Int = 16): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.plans.HeavyHittersAgg.heavyHitters(col("event_type"), m).as("hh"))
+      .select(col("window.start").as("wstart"), explode(col("hh")).as("h"))
+      .select(col("wstart"), col("h.item").as("item"),
+        col("h.est").as("est"), col("h.err").as("err"))
+
   /** ST3 session form: per-user sessions closed by a 30-minute gap. */
   def sessionAgg(df: DataFrame): DataFrame =
     df.withWatermark("ts", "10 minutes")

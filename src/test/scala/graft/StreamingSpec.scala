@@ -364,6 +364,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming heavy hitters: typed sketch buffer survives the state store, == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.windowedHeavyHitters(in.toDF())
+      .writeStream.format("memory").queryName("hh_stream").outputMode("complete").start()
+    try {
+      // two micro-batches into the SAME window: the second must merge
+      // with the sketch buffer deserialized from the state store
+      val batch1 = Seq(ev(1, "2024-01-01 00:05:00", typ = "click"),
+        ev(2, "2024-01-01 00:10:00", typ = "click"),
+        ev(3, "2024-01-01 00:15:00", typ = "view"))
+      val batch2 = Seq(ev(4, "2024-01-01 00:20:00", typ = "click"),
+        ev(5, "2024-01-01 00:25:00", typ = "scroll"))
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hh_stream")
+        .select("item", "est", "err").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Jobs.windowedHeavyHitters(
+          spark.createDataset(batch1 ++ batch2).toDF())
+        .select("item", "est", "err").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("click", 3L, 0L), ("view", 1L, 0L), ("scroll", 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming IVF append: restart-safe, cells match the batch assigner") {
     import spark.implicits._
     import graft.functions.VectorOps.ivfGeometry
