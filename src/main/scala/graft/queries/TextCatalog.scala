@@ -301,32 +301,76 @@ object TextCatalog {
     * query rebuilds. The checkpointed frames hold ~(doc, 8 band keys).
     * Assumes the corpus under `sfDir` is immutable for the session's
     * life — true for landed artifacts, which is what this models. */
+  /** Shingled (doc_id, sh) view of a (doc_id, text) frame. Null/empty
+    * text can't participate (it would shingle to [NULL] and make all
+    * null docs mutual "near-dups" at jac 1.0). */
+  private def shingleFrame(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+
+  /** Banded MinHash signatures of a shingled frame — shingle hashing
+    * (md5-u64 — cross-engine deterministic, see MinHasher scaladoc) +
+    * 64-way signature + banding as one JIT'd per-row loop (60x over
+    * nested HOF lambdas). */
+  private def bandsOf(shingled: DataFrame): DataFrame = {
+    val spark = shingled.sparkSession
+    import spark.implicits._
+    shingled
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        val sig = MinHasher.signature(sh.map(md5Upper64), 64)
+        MinHasher.bandKeys(sig, bands = 8, rows = 8)
+          .zipWithIndex.map { case (key, b) => (id, b, key) }
+      }
+      .toDF("doc_id", "band", "key")
+  }
+
   private def minhashIndexOf(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     minhashIndex.get((spark, sfDir)) {
-      val (s, dir) = (spark, sfDir)
-      import s.implicits._
-      // null/empty text can't participate (it would shingle to [NULL] and
-      // make all null docs mutual "near-dups" at jac 1.0)
-      val docs = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "")
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        // reused by the self-join and both verification joins — checkpoint
-        // or the dominant shingle+signature stage recomputes up to 4×
+      // reused by the self-join and both verification joins — checkpoint
+      // or the dominant shingle+signature stage recomputes up to 4×
+      val docs = shingleFrame(Tables.documents(spark, sfDir))
         .localCheckpoint(false)
-      // shingle hashing (md5-u64 — cross-engine deterministic, see
-      // MinHasher scaladoc) + 64-way signature + banding as one JIT'd
-      // per-row loop (60x over nested HOF lambdas)
-      val bands = docs
-        .as[(Long, Seq[String])]
-        .flatMap { case (id, sh) =>
-          val sig = MinHasher.signature(sh.map(md5Upper64), 64)
-          MinHasher.bandKeys(sig, bands = 8, rows = 8)
-            .zipWithIndex.map { case (key, b) => (id, b, key) }
-        }
-        .toDF("doc_id", "band", "key")
-        .localCheckpoint(false)
+      val bands = bandsOf(docs).localCheckpoint(false)
       (docs, bands)
     }
+
+  /** Persist the MinHash band index — the stored-artifact form of the
+    * session-memoized [[minhashIndexOf]]: band keys + shingled docs as
+    * parquet, built by one job and probed by every subsequent
+    * [[dedupAgainstIndex]] batch. */
+  def buildBandIndex(docs: DataFrame, indexDir: String): Unit = {
+    val sh = shingleFrame(docs).localCheckpoint(false)
+    bandsOf(sh).write.mode("overwrite").parquet(s"$indexDir/bands")
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+  }
+
+  /** Incremental near-dup detection: find each NEW document's ≥ t
+    * near-duplicates in the persisted historical index WITHOUT ever
+    * shuffling the history — the shape that matters at 100 TB, where
+    * re-running the full self-join per arriving batch would re-shuffle
+    * the entire corpus. The new batch's bands and shingles are tiny, so
+    * they BROADCAST: candidate selection is a narrow hash probe over
+    * the index band scan, and exact verification is a narrow probe over
+    * the stored shingle scan. Returns (d1 = historical id, d2 = new id,
+    * jac). New-batch ids must not collide with historical ids. */
+  def dedupAgainstIndex(newDocs: DataFrame, indexDir: String,
+                        t: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSh = shingleFrame(newDocs).localCheckpoint(false)
+    val cand = spark.read.parquet(s"$indexDir/bands").as("x")
+      .join(broadcast(bandsOf(newSh).as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    spark.read.parquet(s"$indexDir/shingles")
+      .select(col("doc_id").as("d1"), col("sh").as("sh1"))
+      .join(broadcast(cand), "d1")
+      .join(broadcast(newSh.select(col("doc_id").as("d2"), col("sh").as("sh2"))), "d2")
+      .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jac"))
+      .filter(col("jac") >= t)
+      .orderBy("d1", "d2")
+  }
 
   /** The unsorted pair stage — shared by [[minhashLsh]] (which presents
     * them ordered) and [[dedupClustersQ]] (which doesn't need the sort). */

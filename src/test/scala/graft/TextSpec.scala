@@ -142,6 +142,33 @@ class TextSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "fr", "es", "de", "und"))
   }
 
+  test("incremental dedup against a persisted band index: no history shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    TextCatalog.buildBandIndex(corpus, s"$dir/idx")
+    // new batch: exact copies of 10 historical docs under fresh ids, plus
+    // 3 genuinely new docs that must match nothing
+    val copies = corpus.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val fresh = Seq(
+      (200001L, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh"),
+      (200002L, "zz xx cc vv bb nn mm ll kk jj qq2 ww2 ee2 rr2 tt2 yy2"),
+      (200003L, "one1 two2 three3 four4 five5 six6 seven7 eight8 nine9 ten10 e1 e2")
+    ).toDF("doc_id", "text")
+    val res = TextCatalog.dedupAgainstIndex(copies.union(fresh), s"$dir/idx")
+    // the history side must not shuffle: both probes broadcast the new side
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "new side not broadcast")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every copy maps to exactly its original at jac 1.0 (plus any organic
+    // near-dup of that original); the fresh docs match nothing
+    (0L until 10L).foreach { id =>
+      assert(got.contains((id, id + 100000L, 1.0)), s"copy of $id not found")
+    }
+    assert(!got.exists(_._2 >= 200000L), s"fresh docs matched: $got")
+  }
+
   test("repetition signals match a from-scratch re-derivation") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
