@@ -45,6 +45,34 @@ object VectorOps {
       .otherwise(dotDec(a, b) / (na * nb))
   }
 
+  /** [[cosine]]'s JVM twin — bit-identical values, none of the
+    * interpreted-lambda overhead of the column HOFs (the decimal chain
+    * inside `aggregate`/`zip_with` lambdas runs interpreted and
+    * allocation-heavy; the brute-force kNN scan measured ~3 s at sf0.1
+    * on it). Mirrors the column semantics EXACTLY: a float×float
+    * product is exact in double; Spark's `cast(DECIMAL(26,12))` is
+    * `Decimal.fromDouble` = `BigDecimal.valueOf(d)` (shortest-string
+    * double rep) + `changePrecision` = `setScale(12, HALF_UP)`; decimal
+    * addition at a common scale is exact; the final `cast("double")` is
+    * `BigDecimal.doubleValue`. VectorSpec asserts JVM == column output
+    * pairwise over the fixture corpus. */
+  def cosineDecJvm(a: Array[Float], b: Array[Float]): Option[Double] = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < x.length) {
+        val p = x(i).toDouble * y(i).toDouble
+        acc = acc.add(java.math.BigDecimal.valueOf(p)
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        i += 1
+      }
+      acc.doubleValue
+    }
+    val na = math.sqrt(dot(a, a))
+    val nb = math.sqrt(dot(b, b))
+    if (na == 0.0 || nb == 0.0) None else Some(dot(a, b) / (na * nb))
+  }
+
   /** Deterministic random-hyperplane component r(t,j,i) ∈ [-1,1]: the
     * signed md5-u64 of "t|j|i" scaled by 2^63. md5-derived (not xxhash)
     * so DuckDB reproduces it bit-for-bit —

@@ -36,18 +36,30 @@ object VectorCatalog {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
-  /** Brute-force cosine top-10 for a 5-vector query set. The query side is
-    * broadcast; the corpus is scanned once with a per-row cosine (narrow),
-    * and only (qid, cos) pairs reach the per-query top-k shuffle. */
+  /** Brute-force cosine top-10 for a 5-vector query set. The query side
+    * is collected (5 vectors) and broadcast; the corpus is scanned once
+    * with a per-row JVM scoring loop (narrow — the labeled O(N·Q)
+    * exactness baseline), and only (qid, cos) pairs reach the per-query
+    * top-k shuffle. Scoring is [[graft.functions.VectorOps.cosineDecJvm]],
+    * the bit-identical JVM twin of the decimal-exact [[cosine]] column
+    * (the column form's interpreted HOF lambdas measured ~3 s at sf0.1
+    * for this scan; the loop is sub-second) — so the DuckDB oracle is
+    * unchanged. */
   def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5).as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(q)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+    e.as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        bc.value.iterator.filter(_._1 != id).map { case (qid, qe) =>
+          (qid, id, cosineDecJvm(qe, emb))
+        }
+      }
+      .toDF("qid", "vec_id", "cos")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))

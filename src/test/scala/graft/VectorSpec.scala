@@ -27,6 +27,21 @@ class VectorSpec extends SparkSpec {
     assert(byId(e) == byId(e.repartition(7)))
   }
 
+  test("cosineDecJvm is bit-identical to the decimal cosine column") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val pairs = rows.take(20).flatMap(a => rows.slice(100, 120).map(b => (a, b)))
+    val colVals = pairs.toSeq.map { case ((_, a), (_, b)) => (a.toSeq, b.toSeq) }
+      .toDF("a", "b")
+      .select(cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    pairs.zip(colVals).foreach { case (((ia, a), (ib, b)), cv) =>
+      val jv = cosineDecJvm(a, b)
+      assert(jv == cv, s"JVM $jv != column $cv for ($ia, $ib)") // EXACT, not approx
+    }
+  }
+
   test("brute-force knn: self excluded, ranks contiguous, cosine descending") {
     val r = VectorCatalog.knnBrute(spark, sf0001).collect()
     val byQ = r.groupBy(_.getLong(0))
