@@ -25,6 +25,47 @@ object TextOps {
       .otherwise(array(text))
   }
 
+  /** [[shingles]]' JVM twin — element-for-element identical output
+    * (Spark `split(text, " ")` = Java `split(" ", -1)`; `transform` then
+    * `array_distinct` keeps first occurrences in index order =
+    * LinkedHashSet insertion order; `concat_ws` = `mkString`), none of
+    * the interpreted-lambda overhead: the column form constructs every
+    * shingle string inside a `transform` lambda, which runs interpreted
+    * per ELEMENT — converting the shingle-heavy queries to typed maps
+    * over this measured 2-4× (fingerprint, decontam, prefix-join).
+    * TextSpec asserts JVM == column on fixtures and corpus samples. */
+  def shingleSet(text: String, n: Int): Array[String] = {
+    val w = text.split(" ", -1)
+    if (w.length >= n) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= w.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(w(j)); j += 1
+        }
+        seen.add(sb.toString); i += 1
+      }
+      seen.toArray(Array.empty[String])
+    } else Array(text)
+  }
+
+  /** FNV-1a 64-bit — the internal shingle-key hash for the prefix-
+    * filtered similarity join. INTERNAL ONLY: the hash provides candidate
+    * pruning and intersection keys, and correctness is hash-agnostic
+    * modulo 64-bit collisions (~1e-8 over the corpus — the same accepted
+    * risk class as the previous xxhash64 keys; the DuckDB oracle
+    * intersects the shingle STRINGS, so any total order works). */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** MinHash + banding over pre-hashed shingles, as a tight JIT'd loop.
     *
     * Why not column HOFs: k×|shingles| hash evaluations per document run

@@ -95,15 +95,23 @@ object TextCatalog {
   /** Winnowing-style document fingerprint: minimum md5 over the 5-word
     * shingle set — one stable 128-bit id per document that survives
     * reordering of unrelated edits far from the minimal shingle. */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, sfDir)
-      // explode keeps md5 in codegen'd row-at-a-time form (md5 inside a
-      // transform() lambda runs interpreted — measured 2.5× slower); the
-      // min-agg shuffles only (doc_id, 32-byte hash) pairs
-      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("s"))
+      // typed flatMap shingling (shingleSet — the column form built every
+      // shingle inside an interpreted transform() lambda); md5 stays a
+      // codegen'd column over the exploded rows (md5 inside a lambda
+      // measured 2.5× slower); the min-agg shuffles only
+      // (doc_id, 32-byte hash) pairs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleSet(t, 5).map(s => (id, s)) }
+      .toDF("doc_id", "s")
       .groupBy(col("doc_id"))
       .agg(min(md5(col("s"))).as("fp"))
       .orderBy("doc_id")
+  }
 
   val fingerprintSql: String =
     """SELECT doc_id,
@@ -167,9 +175,17 @@ object TextCatalog {
     * whole query equal to the count-based plan on the fixture corpus. */
   def ngramSimilarityPrefix(spark: SparkSession, sfDir: String,
                             t: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    // typed shingle+hash+sort loop (shingleSet/fnv64 — the internal keys
+    // are hash-agnostic, see fnv64 scaladoc; the column form ran the
+    // shingle construction AND the hash inside interpreted lambdas)
     val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        array_sort(transform(shingles(col("text"), 3), s => xxhash64(s))).as("sh"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, txt) =>
+        (id, src, shingleSet(txt, 3).map(fnv64).sorted) }
+      .toDF("doc_id", "source", "sh")
       .withColumn("ns", size(col("sh")))
       // reused by the posting explode and the verify join (see minhashPairs)
       .localCheckpoint(false)
@@ -304,9 +320,15 @@ object TextCatalog {
   /** Shingled (doc_id, sh) view of a (doc_id, text) frame. Null/empty
     * text can't participate (it would shingle to [NULL] and make all
     * null docs mutual "near-dups" at jac 1.0). */
-  private def shingleFrame(docs: DataFrame): DataFrame =
+  private def shingleFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.filter(col("text").isNotNull && col("text") =!= "")
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shingleSet(t, 3)) }
+      .toDF("doc_id", "sh")
+  }
 
   /** Banded MinHash signatures of a shingled frame — shingle hashing
     * (md5-u64 — cross-engine deterministic, see MinHasher scaladoc) +
@@ -722,9 +744,13 @@ object TextCatalog {
     * BROADCASTS and the corpus side stays one narrow explode — no
     * corpus-vs-corpus shuffle, no O(n²)). */
   def decontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val g = Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(shingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleSet(t, 8).map(s => (id, s)) }
+      .toDF("doc_id", "gram")
     val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
     g.filter(col("doc_id") % 10 =!= 0)
       .join(broadcast(ev), "gram")

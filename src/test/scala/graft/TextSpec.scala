@@ -142,6 +142,22 @@ class TextSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "fr", "es", "de", "und"))
   }
 
+  test("shingleSet is element-for-element identical to the shingles column") {
+    val fixtures = Seq("a b c d e", "a b", "", "x x x x x", "a  b c",
+      "one two three one two three one")
+    val corpusSamples = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").limit(50).collect().map(_.getString(0))
+    for (n <- Seq(3, 5, 8)) {
+      val texts = fixtures ++ corpusSamples
+      val colForm = texts.toDF("text")
+        .select(shingles(col("text"), n).as("sh"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      texts.zip(colForm).foreach { case (t, expected) =>
+        assert(shingleSet(t, n).toSeq == expected, s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("incremental dedup against a persisted band index: no history shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
