@@ -360,11 +360,21 @@ object TextCatalog {
   /** Persist the MinHash band index — the stored-artifact form of the
     * session-memoized [[minhashIndexOf]]: band keys + shingled docs as
     * parquet, built by one job and probed by every subsequent
-    * [[dedupAgainstIndex]] batch. */
-  def buildBandIndex(docs: DataFrame, indexDir: String): Unit = {
+    * [[dedupAgainstIndex]] batch. The layout is epoch-partitioned
+    * (`epoch=0` for the base build) so [[appendBandIndex]] can extend it
+    * idempotently. */
+  def buildBandIndex(docs: DataFrame, indexDir: String): Unit =
+    appendBandIndex(docs, indexDir, epoch = 0L)
+
+  /** Extend a persisted band index with a new batch under an
+    * epoch-keyed OVERWRITE — re-running the same epoch (a streaming
+    * retry) replaces its own output instead of double-appending, which
+    * keeps [[dedupAgainstIndex]] exactly-once downstream of
+    * checkpointed streams ([[graft.streaming.Jobs.dedupIngest]]). */
+  def appendBandIndex(docs: DataFrame, indexDir: String, epoch: Long): Unit = {
     val sh = shingleFrame(docs).localCheckpoint(false)
-    bandsOf(sh).write.mode("overwrite").parquet(s"$indexDir/bands")
-    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    bandsOf(sh).write.mode("overwrite").parquet(s"$indexDir/bands/epoch=$epoch")
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles/epoch=$epoch")
   }
 
   /** Incremental near-dup detection: find each NEW document's ≥ t

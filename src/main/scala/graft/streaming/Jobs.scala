@@ -388,6 +388,30 @@ object Jobs {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Streaming incremental near-dup ingestion — the end-to-end form of
+    * [[graft.queries.TextCatalog.dedupAgainstIndex]]: every micro-batch
+    * of arriving documents is (1) deduped against the persisted band
+    * index — which contains the base corpus AND every previously
+    * streamed batch — with the history never shuffled, then (2) folded
+    * into the index so later batches dedup against it. Both writes are
+    * epoch-keyed overwrites, so a retried epoch replaces its own output
+    * (exactly-once under the stream's checkpoint); the verdicts land
+    * before the index extension, so a crash between them redoes the
+    * whole epoch idempotently. Index epochs are offset +1 from stream
+    * epochs (the base build owns `epoch=0`). */
+  def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
+                  checkpointDir: String, t: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.queries.TextCatalog.dedupAgainstIndex(batch, indexDir, t)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        graft.queries.TextCatalog.appendBandIndex(batch, indexDir, epochId + 1)
+        ()
+      }
+      .start()
+
   /** Streaming IVF index maintenance — the ST twin of
     * [[graft.queries.VectorCatalog.buildIvfIndex]]: arriving vectors are
     * tagged with their cell by the broadcast coarse-quantizer model (a

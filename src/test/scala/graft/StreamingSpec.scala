@@ -394,6 +394,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: later batches dedup against streamed history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_dedup_ingest").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.queries.TextCatalog.buildBandIndex(corpus, s"$dir/idx")
+    val doc3 = corpus.filter(col("doc_id") === 3).collect()(0).getString(1)
+    val doc7 = corpus.filter(col("doc_id") === 7).collect()(0).getString(1)
+    val freshText = "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8 uniq9 uniq10 uniq11"
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit =
+      Jobs.dedupIngest(in.toDF().toDF("doc_id", "text"), s"$dir/idx",
+        s"$dir/out", s"$dir/cp").awaitTermination(60000)
+    // batch 1: a copy of base doc 3, plus a genuinely fresh doc
+    in.addData((300001L, doc3), (300002L, freshText))
+    run()
+    // batch 2: a copy of the STREAMED fresh doc (only findable if batch 1
+    // extended the index), plus a copy of base doc 7
+    in.addData((300003L, freshText), (300004L, doc7))
+    run()
+    val pairs = spark.read.parquet(s"$dir/out")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 300001L)), s"base copy not caught: $pairs")
+    assert(pairs.contains((7L, 300004L)), s"second-batch base copy not caught: $pairs")
+    assert(pairs.contains((300002L, 300003L)),
+      s"streamed-history near-dup not caught — index did not grow: $pairs")
+    assert(!pairs.exists(_._2 == 300002L), s"fresh doc false-matched: $pairs")
+  }
+
   test("streaming IVF append: restart-safe, cells match the batch assigner") {
     import spark.implicits._
     import graft.functions.VectorOps.ivfGeometry
