@@ -250,13 +250,13 @@ object TextCatalog {
     * [[graft.functions.TextOps.md5Upper64]], wrapped to signed BIGINT via
     * HUGEINT so `xor()` and `MIN()` see the same bit patterns and order
     * the JVM loop does. */
-  private def minhashPairsCte: String = {
+  private def minhashPairsCte(src: String = "documents"): String = {
     val seeds = MinHasher.XorSeeds.zipWithIndex
       .map { case (c, i) => s"($i, ${c}::BIGINT)" }.mkString(", ")
     s"""seeds(i, c) AS (VALUES $seeds),
       |mh_d AS (
       |  SELECT doc_id, text, string_split(text, ' ') AS toks
-      |  FROM documents WHERE text IS NOT NULL AND text <> ''
+      |  FROM $src WHERE text IS NOT NULL AND text <> ''
       |), mh_sh AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) >= 3
@@ -292,7 +292,7 @@ object TextCatalog {
   }
 
   val minhashLshSql: String =
-    s"""WITH $minhashPairsCte
+    s"""WITH ${minhashPairsCte()}
       |SELECT d1, d2, jac FROM mh_pairs ORDER BY d1, d2""".stripMargin
 
   // bounded per-key memo (same rationale as Listings.landedRun): the
@@ -390,18 +390,58 @@ object TextCatalog {
                         t: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
     val newSh = shingleFrame(newDocs).localCheckpoint(false)
-    val cand = spark.read.parquet(s"$indexDir/bands").as("x")
+    dedupProbe(spark.read.parquet(s"$indexDir/bands"),
+      spark.read.parquet(s"$indexDir/shingles"), newSh, t)
+  }
+
+  /** The incremental probe join [[dedupAgainstIndex]] and [[dedupIncrQ]]
+    * share: history bands/shingles are probed by the BROADCAST new side
+    * (candidate selection and exact verification are both narrow — the
+    * history never shuffles). */
+  private def dedupProbe(histBands: DataFrame, histSh: DataFrame,
+                         newSh: DataFrame, t: Double): DataFrame = {
+    val cand = histBands.as("x")
       .join(broadcast(bandsOf(newSh).as("y")),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    spark.read.parquet(s"$indexDir/shingles")
+    histSh
       .select(col("doc_id").as("d1"), col("sh").as("sh1"))
       .join(broadcast(cand), "d1")
       .join(broadcast(newSh.select(col("doc_id").as("d2"), col("sh").as("sh2"))), "d2")
       .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jac"))
       .filter(col("jac") >= t)
       .orderBy("d1", "d2")
+  }
+
+  /** The driver-checked form of incremental dedup: a deterministic "new
+    * batch" (exact copies of docs 0-9 under ids +10^6) probed against
+    * the session-memoized history index through the SAME
+    * [[dedupProbe]] join the persisted path uses. The DuckDB oracle
+    * replays the full MinHash pipeline over the union corpus and keeps
+    * only cross pairs (historical d1, new d2) — so candidate banding,
+    * verification, and thresholding of the incremental path are all
+    * hash-checked cell-exact, not just spec'd. Expected output: each
+    * copy pairs with its original at jac 1.0, plus any organic ≥ 0.8
+    * near-dup of those ten docs. */
+  def dedupIncrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (histSh, histBands) = minhashIndexOf(spark, sfDir)
+    val newDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 10)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val newSh = shingleFrame(newDocs).localCheckpoint(false)
+    dedupProbe(histBands, histSh, newSh, 0.8)
+  }
+
+  val dedupIncrSql: String = {
+    val union =
+      """SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10""".stripMargin
+    s"""WITH ${minhashPairsCte(s"($union)")}
+      |SELECT d1, d2, jac FROM mh_pairs
+      |WHERE d1 < 1000000 AND d2 >= 1000000
+      |ORDER BY d1, d2""".stripMargin
   }
 
   /** The unsorted pair stage — shared by [[minhashLsh]] (which presents
@@ -531,7 +571,7 @@ object TextCatalog {
     * UNION (not UNION ALL) dedups the frontier, guaranteeing
     * termination. */
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashPairsCte,
+    s"""WITH RECURSIVE ${minhashPairsCte()},
       |cc_edges AS (
       |  SELECT d1 AS src, d2 AS dst FROM mh_pairs
       |  UNION ALL SELECT d2, d1 FROM mh_pairs
@@ -983,6 +1023,7 @@ object TextCatalog {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
+    "q_doc_dedup_incr"  -> (dedupIncrQ _),
     "q_doc_exact_dedup" -> (exactDedup _),
     "q_doc_tokens"      -> (tokenCounts _),
     "q_doc_quality"     -> (qualityScore _),
@@ -1003,6 +1044,7 @@ object TextCatalog {
   val oracle: Map[String, String] = Map(
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,
+    "q_doc_dedup_incr"  -> dedupIncrSql,
     "q_doc_exact_dedup" -> exactDedupSql,
     "q_doc_tokens"      -> tokenCountsSql,
     "q_doc_quality"     -> qualityScoreSql,
