@@ -1020,7 +1020,51 @@ object TextCatalog {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic hash-based train/val/test split (90/5/5).
+    *
+    * Training pipelines split by HASH, not by random sample: the
+    * assignment is a pure function of the document key, so it is stable
+    * across runs, engines, and re-partitionings, needs no RNG state or
+    * seed plumbing, and new documents land in splits without touching
+    * old assignments. The plan is a narrow map — zero shuffles at any
+    * scale. The hash is salted (`'|split'`) so the split stream is
+    * independent of every other doc_id-derived hash in the pipeline.
+    *
+    * Bucket = little-endian u64 of md5 bytes 0..7 (= DuckDB
+    * `md5_number_upper`, the [[graft.functions.TextOps.md5Upper64]]
+    * convention) mod 100 — here built from codegen'd column functions
+    * alone (md5 → byte-reversed hex via substring → conv base 16→10):
+    * no UDF, no JVM loop, stays inside whole-stage codegen.
+    *
+    * Near-dup leakage guard at 100 TB: hash the dedup-cluster
+    * representative (q_dedup_clusters' min-doc_id) instead of doc_id, so
+    * near-duplicates can never straddle train/val. Same expression,
+    * different key column. */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|split")))
+    // md5 hex chars: byte i = chars [2i+1, 2i+2] (1-based); little-endian
+    // u64 of bytes 0..7 = bytes reversed 7..0
+    val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
+    val bucket = (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % 100)
+      .cast("int").as("bucket")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  val trainSplitSql: String =
+    """SELECT doc_id,
+      |  CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '|split') % 100 AS INTEGER) AS bucket,
+      |  CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || '|split') % 100 < 90 THEN 'train'
+      |       WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || '|split') % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_split"       -> (trainSplit _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
     "q_doc_dedup_incr"  -> (dedupIncrQ _),
@@ -1042,6 +1086,7 @@ object TextCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_doc_split"       -> trainSplitSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,
     "q_doc_dedup_incr"  -> dedupIncrSql,

@@ -634,6 +634,35 @@ object TpchCatalog {
       |GROUP BY omonth, pri
       |ORDER BY omonth, pri""".stripMargin
 
+  /** Bloom-pruned selective join ([[graft.plans.BloomJoin]]): revenue by
+    * supplier for one nation. The dim predicate keeps ~3% of suppliers,
+    * so ~97% of lineitem is dropped by a codegen'd xxhash64 bit-test
+    * inside the scan stage — before any exchange — instead of surviving
+    * to the join. Semantically identical to the plain inner join (Bloom
+    * filters have no false negatives; the join clears false positives),
+    * which is exactly what the oracle checks. `expectedItems` is an upper
+    * bound on dim keys — at 100 TB pass the dim-side row estimate;
+    * overestimating costs ~9.6 bits/key, never correctness. */
+  def bloomJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.BloomJoin.reducedJoin(
+        Tables.lineitem(spark, sfDir),
+        Tables.supplier(spark, sfDir).filter(col("s_nationkey") === 3),
+        col("l_suppkey"), col("s_suppkey"), expectedItems = 100000L)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_suppkey"))
+
+  val bloomJoinSql: String =
+    s"""SELECT s_suppkey, s_name,
+       |  ${sqlSumProd("l_extendedprice", "1.0 - l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE s_nationkey = 3
+       |GROUP BY s_suppkey, s_name
+       |ORDER BY s_suppkey""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
@@ -664,7 +693,8 @@ object TpchCatalog {
     "q_heavy_hitters"   -> (heavyHittersQ _),
     "q_window_lag"      -> (windowLag _),
     "q_string_funcs"    -> (stringFuncs _),
-    "q_date_funcs"      -> (dateFuncs _)
+    "q_date_funcs"      -> (dateFuncs _),
+    "q_bloom_join"      -> (bloomJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -694,6 +724,7 @@ object TpchCatalog {
     "q_heavy_hitters"   -> heavyHittersSql,
     "q_window_lag"      -> windowLagSql,
     "q_string_funcs"    -> stringFuncsSql,
-    "q_date_funcs"      -> dateFuncsSql
+    "q_date_funcs"      -> dateFuncsSql,
+    "q_bloom_join"      -> bloomJoinSql
   )
 }

@@ -158,6 +158,19 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("trainSplit: bucket column equals JVM md5Upper64, fractions near 90/5/5") {
+    val rows = TextCatalog.trainSplit(spark, sf001).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = java.lang.Long.remainderUnsigned(md5Upper64(s"$id|split"), 100L).toInt
+      assert(r.getInt(1) == expected, s"doc_id=$id declarative bucket != md5Upper64")
+    }
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.05, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0 && frac.getOrElse("test", 0.0) > 0)
+  }
+
   test("incremental dedup against a persisted band index: no history shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
