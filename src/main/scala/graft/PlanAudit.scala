@@ -132,6 +132,15 @@ object PlanAudit {
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
 
+    // the Bloom probe must survive into the physical plan as a filter on
+    // the fact side (that pre-exchange prune is the operator's entire
+    // point), with the join itself a broadcast — never a fallback that
+    // re-shuffles the rows the probe was built to drop
+    val bloom = plan(TpchCatalog.bloomJoin(spark, sfDir))
+    check("q_bloom_join", bloom, "might_contain probe filter + broadcast join",
+      p => p.contains("might_contain") && p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
     // every catalog query's ANALYZED plan must be free of trivially-true
     // join equalities (left semantically equal to right): when a self-join
     // condition like q("tbl") === e("tbl") resolves both sides to the SAME
