@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextOps._
@@ -1040,19 +1040,25 @@ object TextCatalog {
     * representative (q_dedup_clusters' min-doc_id) instead of doc_id, so
     * near-duplicates can never straddle train/val. Same expression,
     * different key column. */
-  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Salted md5-u64(doc_id) mod 100: the split bucket. Factored out so
+    * every query that must AGREE with the split (e.g. [[lmScore]] training
+    * only on `bucket < 90`) derives it from the same expression.
+    * md5 hex chars: byte i = chars [2i+1, 2i+2] (1-based); little-endian
+    * u64 of bytes 0..7 = the bytes reversed 7..0. */
+  private def splitBucket: Column = {
     val h = md5(concat(col("doc_id").cast("string"), lit("|split")))
-    // md5 hex chars: byte i = chars [2i+1, 2i+2] (1-based); little-endian
-    // u64 of bytes 0..7 = bytes reversed 7..0
     val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
-    val bucket = (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % 100)
-      .cast("int").as("bucket")
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), bucket)
-      .withColumn("split",
-        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
-      .orderBy("doc_id")
+    (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % 100).cast("int")
   }
+
+  private def splitName(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitBucket.as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
+      .orderBy("doc_id")
 
   val trainSplitSql: String =
     """SELECT doc_id,
@@ -1063,8 +1069,113 @@ object TextCatalog {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram language-model quality score (perplexity-style filter).
+    *
+    * The canonical curation step this models: train a cheap n-gram LM on
+    * in-distribution text, score every candidate document by average
+    * token log-probability, and filter/re-weight on that score. Counts
+    * here come from the TRAIN split only ([[splitBucket]] < 90 — the
+    * same expression as `q_doc_split`, so the two queries can never
+    * disagree about membership), and ALL documents are scored; val/test
+    * docs genuinely exercise the unseen-bigram backoff.
+    *
+    * Model: stupid backoff (Brants et al. 2007, "Large Language Models in
+    * Machine Translation" — designed precisely for distributed map-reduce
+    * LM scoring). S(w2|w1) = c(w1,w2)/c(w1·) when the bigram was seen,
+    * else 0.4·c(w2)/N over train unigrams, else an OOV half-count floor
+    * 0.4·0.5/N.
+    *
+    * Scale shape: the count tables grow with corpus vocabulary, so they
+    * are NOT broadcastable at 100 TB — the scoring joins are deliberate
+    * shuffle hash joins on the bigram/unigram keys, the standard
+    * distributed-LM layout. Only the 1-row token total broadcasts.
+    *
+    * Oracle parity: JVM `Math.log` and DuckDB `ln` are bit-identical
+    * (probed over 20k inputs), integer→double division is correctly
+    * rounded in both, and each per-bigram log-prob is cast to
+    * DECIMAL(20,10) before summing (the [[graft.queries.Parity]] move) so
+    * the per-doc sum is order-independent — double sums would drift with
+    * Spark's partial-aggregation order. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(20, 10)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), splitBucket.as("bucket"), split(col("text"), " ").as("ws"))
+    val bi = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("bucket"),
+        explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("bucket"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bi.filter(col("bucket") < 90)
+    val bc = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cc = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val trainToks = docs.filter(col("bucket") < 90).select(explode(col("ws")).as("w2"))
+    val uc = trainToks.groupBy("w2").agg(count(lit(1)).as("cu"))
+    val n = trainToks.agg(count(lit(1)).as("nt"))
+    val lp = log(
+      when(col("c2").isNotNull, col("c2").cast("double") / col("c1").cast("double"))
+        .when(col("cu").isNotNull, lit(0.4) * (col("cu").cast("double") / col("nt").cast("double")))
+        .otherwise(lit(0.4) * (lit(0.5) / col("nt").cast("double"))))
+      .cast(Dec)
+    bi.join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
+      .join(uc, Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("bucket"), lp.as("lp"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), splitName(col("bucket")).as("split"), col("n_bigrams"),
+        col("slp").cast("double").as("logprob_sum"),
+        round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5_number_upper(CAST(doc_id AS VARCHAR) || '|split') % 100 AS bucket,
+      |    string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL
+      |), pos AS (
+      |  SELECT doc_id, bucket, ws, unnest(range(2, len(ws)+1)) AS i
+      |  FROM d WHERE len(ws) >= 2
+      |), bi AS (
+      |  SELECT doc_id, bucket, ws[i-1] AS w1, ws[i] AS w2 FROM pos
+      |), bc AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bi WHERE bucket < 90 GROUP BY w1, w2
+      |), cc AS (
+      |  SELECT w1, COUNT(*) AS c1 FROM bi WHERE bucket < 90 GROUP BY w1
+      |), tok AS (
+      |  SELECT unnest(ws) AS w2 FROM d WHERE bucket < 90
+      |), uc AS (
+      |  SELECT w2, COUNT(*) AS cu FROM tok GROUP BY w2
+      |), n AS (SELECT COUNT(*) AS nt FROM tok),
+      |scored AS (
+      |  SELECT bi.doc_id, bi.bucket,
+      |    CAST(ln(CASE
+      |      WHEN bc.c2 IS NOT NULL THEN CAST(bc.c2 AS DOUBLE) / CAST(cc.c1 AS DOUBLE)
+      |      WHEN uc.cu IS NOT NULL THEN CAST(0.4 AS DOUBLE) * (CAST(uc.cu AS DOUBLE) / CAST(n.nt AS DOUBLE))
+      |      ELSE CAST(0.4 AS DOUBLE) * (CAST(0.5 AS DOUBLE) / CAST(n.nt AS DOUBLE))
+      |    END) AS DECIMAL(20,10)) AS lp
+      |  FROM bi
+      |  LEFT JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+      |  LEFT JOIN cc ON bi.w1 = cc.w1
+      |  LEFT JOIN uc ON bi.w2 = uc.w2
+      |  CROSS JOIN n
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_bigrams,
+      |  CAST(SUM(lp) AS DOUBLE) AS logprob_sum,
+      |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      |FROM scored
+      |GROUP BY doc_id, bucket
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_split"       -> (trainSplit _),
+    "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
     "q_doc_dedup_incr"  -> (dedupIncrQ _),
@@ -1087,6 +1198,7 @@ object TextCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_doc_split"       -> trainSplitSql,
+    "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,
     "q_doc_dedup_incr"  -> dedupIncrSql,

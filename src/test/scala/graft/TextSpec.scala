@@ -171,6 +171,29 @@ class TextSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) > 0 && frac.getOrElse("test", 0.0) > 0)
   }
 
+  test("lmScore: every split scored, scores finite-negative, backoff not vacuous") {
+    val out = TextCatalog.lmScore(spark, sf001).collect()
+    assert(out.map(_.getString(1)).toSet == Set("train", "val", "test"))
+    out.foreach { r =>
+      val avg = r.getDouble(4)
+      assert(avg < 0 && !avg.isInfinity && !avg.isNaN, s"doc ${r.getLong(0)}: $avg")
+      assert(r.getLong(2) > 0)
+    }
+    // the unseen-bigram backoff must actually fire for some held-out doc,
+    // or the oracle never tests that branch: at least one val/test bigram
+    // must be absent from the train bigram set
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    def trainDoc(id: Long) = java.lang.Long.remainderUnsigned(md5Upper64(s"$id|split"), 100L) < 90
+    val trainBigrams = docs.filter(d => trainDoc(d._1))
+      .flatMap { case (_, ws) => ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }.toSet
+    val heldOutUnseen = docs.filter(d => !trainDoc(d._1))
+      .flatMap { case (_, ws) => ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+      .exists(!trainBigrams.contains(_))
+    assert(heldOutUnseen, "no held-out bigram is unseen — the backoff branch is untested")
+  }
+
   test("incremental dedup against a persisted band index: no history shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
