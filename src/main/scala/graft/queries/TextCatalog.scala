@@ -1088,7 +1088,10 @@ object TextCatalog {
     * Scale shape: the count tables grow with corpus vocabulary, so they
     * are NOT broadcastable at 100 TB — the scoring joins are deliberate
     * shuffle hash joins on the bigram/unigram keys, the standard
-    * distributed-LM layout. Only the 1-row token total broadcasts.
+    * distributed-LM layout. Only the 1-row token total broadcasts. The
+    * backoff CASE + ln are evaluated once per bigram TYPE (a scored
+    * dictionary); the occurrence-sized row set joins that dictionary
+    * once rather than passing through every count table.
     *
     * Oracle parity: JVM `Math.log` and DuckDB `ln` are bit-identical
     * (probed over 20k inputs), integer→double division is correctly
@@ -1117,11 +1120,18 @@ object TextCatalog {
         .when(col("cu").isNotNull, lit(0.4) * (col("cu").cast("double") / col("nt").cast("double")))
         .otherwise(lit(0.4) * (lit(0.5) / col("nt").cast("double"))))
       .cast(Dec)
-    bi.join(bc, Seq("w1", "w2"), "left")
+    // score each bigram TYPE once, then join occurrences against the
+    // scored dictionary: at scale, distinct bigrams ≪ token occurrences,
+    // so the backoff CASE + ln run per type and the corpus-sized row set
+    // shuffles once (the dictionary join) instead of through every count
+    // table
+    val dict = bi.select(col("w1"), col("w2")).distinct()
+      .join(bc, Seq("w1", "w2"), "left")
       .join(cc, Seq("w1"), "left")
       .join(uc, Seq("w2"), "left")
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("bucket"), lp.as("lp"))
+      .select(col("w1"), col("w2"), lp.as("lp"))
+    bi.join(dict, Seq("w1", "w2"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       .select(col("doc_id"), splitName(col("bucket")).as("split"), col("n_bigrams"),
