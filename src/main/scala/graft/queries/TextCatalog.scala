@@ -1038,18 +1038,21 @@ object TextCatalog {
     *
     * Near-dup leakage guard at 100 TB: hash the dedup-cluster
     * representative (q_dedup_clusters' min-doc_id) instead of doc_id, so
-    * near-duplicates can never straddle train/val. Same expression,
-    * different key column. */
-  /** Salted md5-u64(doc_id) mod 100: the split bucket. Factored out so
+    * near-duplicates can never straddle train/val — that variant is
+    * [[clusterSplit]] (`q_doc_split_safe`): same expression, different
+    * key column. */
+  /** Salted md5-u64(key) mod 100: the split bucket. Factored out so
     * every query that must AGREE with the split (e.g. [[lmScore]] training
     * only on `bucket < 90`) derives it from the same expression.
     * md5 hex chars: byte i = chars [2i+1, 2i+2] (1-based); little-endian
     * u64 of bytes 0..7 = the bytes reversed 7..0. */
-  private def splitBucket: Column = {
-    val h = md5(concat(col("doc_id").cast("string"), lit("|split")))
+  private def splitBucketOf(key: Column): Column = {
+    val h = md5(concat(key.cast("string"), lit("|split")))
     val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
     (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % 100).cast("int")
   }
+
+  private def splitBucket: Column = splitBucketOf(col("doc_id"))
 
   private def splitName(bucket: Column): Column =
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
@@ -1067,6 +1070,66 @@ object TextCatalog {
       |       WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || '|split') % 100 < 95 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Leakage-guarded train/val/test split (`q_doc_split_safe`): the
+    * near-dup-aware variant of [[trainSplit]] the plain split's scaladoc
+    * promises. A hash split keyed on doc_id leaks: two near-duplicate
+    * documents hash independently, so one can land in train and its
+    * twin in val/test — the eval set then contains (near-)copies of
+    * training data and every metric on it is inflated. The guard: key
+    * the SAME salted-md5 bucket expression ([[splitBucketOf]]) on the
+    * document's dedup-cluster representative (the min-doc_id connected
+    * component over MinHash/LSH ≥0.8 pairs, exactly `q_dedup_clusters`'
+    * labeling) instead of the doc_id itself. Whole clusters then move
+    * between splits atomically; singletons (rep = own doc_id, the
+    * overwhelming majority) keep the identical assignment the plain
+    * split gives them.
+    *
+    * Scale shape: the cluster map is proportional to DUPLICATED docs
+    * only (pairs → components), a small fraction of the corpus, so the
+    * left join against it shuffles the corpus once on doc_id and
+    * nothing else; the bucket expression stays a codegen'd narrow map.
+    * At 100 TB the pair/component stages are the already-banded LSH
+    * pipeline — never O(n²).
+    *
+    * Oracle: same recursive transitive-closure CTE as
+    * [[dedupClustersSql]], COALESCE(comp, doc_id) as the rep, then the
+    * `md5_number_upper` bucket — cell-exact, including every rep id. */
+  def clusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select(col("d1"), col("d2"))
+    val comps = graft.functions.Graph.dedupClusters(pairs, "d1", "d2")
+      .select(col("id").as("doc_id"), col("comp"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+      .withColumn("bucket", splitBucketOf(col("rep")))
+      .withColumn("split", splitName(col("bucket")))
+      .orderBy("doc_id")
+  }
+
+  val clusterSplitSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCte()},
+      |cc_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM mh_pairs
+      |  UNION ALL SELECT d2, d1 FROM mh_pairs
+      |), cc_reach(id, anc) AS (
+      |  SELECT DISTINCT src, src FROM cc_edges
+      |  UNION
+      |  SELECT r.id, e.dst FROM cc_reach r JOIN cc_edges e ON e.src = r.anc
+      |), cc AS (
+      |  SELECT id, MIN(anc) AS comp FROM cc_reach GROUP BY id
+      |), reps AS (
+      |  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS rep
+      |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+      |)
+      |SELECT doc_id, rep,
+      |  CAST(md5_number_upper(CAST(rep AS VARCHAR) || '|split') % 100 AS INTEGER) AS bucket,
+      |  CASE WHEN md5_number_upper(CAST(rep AS VARCHAR) || '|split') % 100 < 90 THEN 'train'
+      |       WHEN md5_number_upper(CAST(rep AS VARCHAR) || '|split') % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM reps
       |ORDER BY doc_id""".stripMargin
 
   /** Bigram language-model quality score (perplexity-style filter).
@@ -1185,6 +1248,7 @@ object TextCatalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_split"       -> (trainSplit _),
+    "q_doc_split_safe"  -> (clusterSplit _),
     "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
@@ -1208,6 +1272,7 @@ object TextCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_doc_split"       -> trainSplitSql,
+    "q_doc_split_safe"  -> clusterSplitSql,
     "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,

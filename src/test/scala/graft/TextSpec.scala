@@ -171,6 +171,33 @@ class TextSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) > 0 && frac.getOrElse("test", 0.0) > 0)
   }
 
+  test("clusterSplit: clusters atomic, singletons match plain split, guard non-vacuous") {
+    val safe = TextCatalog.clusterSplit(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    val plain = TextCatalog.trainSplit(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    val pairs = TextCatalog.minhashLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // atomicity: near-duplicates can never straddle — same rep, same split
+    pairs.foreach { case (d1, d2) =>
+      assert(safe(d1) == safe(d2), s"pair ($d1,$d2) straddles the safe split")
+    }
+    // singletons (not in any near-dup pair) keep the plain assignment
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val singletons = safe.keySet -- clustered
+    assert(singletons.nonEmpty)
+    singletons.foreach { id =>
+      assert(safe(id)._1 == id, s"singleton $id has foreign rep ${safe(id)._1}")
+      assert((safe(id)._2, safe(id)._3) == plain(id), s"singleton $id diverges from plain split")
+    }
+    // non-vacuity: the plain split DOES leak on this corpus (some pair
+    // straddles train/val/test under doc_id hashing), so the guard is
+    // doing real work, not passing trivially
+    assert(pairs.exists { case (d1, d2) => plain(d1)._2 != plain(d2)._2 },
+      "no near-dup pair straddles the plain split — guard untested")
+  }
+
   test("lmScore: every split scored, scores finite-negative, backoff not vacuous") {
     val out = TextCatalog.lmScore(spark, sf001).collect()
     assert(out.map(_.getString(1)).toSet == Set("train", "val", "test"))
