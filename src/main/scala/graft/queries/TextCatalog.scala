@@ -1046,11 +1046,13 @@ object TextCatalog {
     * only on `bucket < 90`) derives it from the same expression.
     * md5 hex chars: byte i = chars [2i+1, 2i+2] (1-based); little-endian
     * u64 of bytes 0..7 = the bytes reversed 7..0. */
-  private def splitBucketOf(key: Column): Column = {
-    val h = md5(concat(key.cast("string"), lit("|split")))
+  private def hashMod(key: Column, salt: String, mod: Int): Column = {
+    val h = md5(concat(key.cast("string"), lit(salt)))
     val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
-    (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % 100).cast("int")
+    (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % mod).cast("int")
   }
+
+  private def splitBucketOf(key: Column): Column = hashMod(key, "|split", 100)
 
   private def splitBucket: Column = splitBucketOf(col("doc_id"))
 
@@ -1131,6 +1133,80 @@ object TextCatalog {
       |       ELSE 'test' END AS split
       |FROM reps
       |ORDER BY doc_id""".stripMargin
+
+  /** Data-mixture resampling (`q_doc_mixture`) — the "data mixing" step
+    * every LLM training run performs between curation and tokenization:
+    * given target token-share weights per group (here `lang`), resample
+    * the corpus so each group contributes its target share of the token
+    * budget (budget = the corpus's own total, i.e. resample-in-place).
+    *
+    * Per group g: rate r_g = (w_g · total_toks) / toks_g. A document in
+    * g is emitted floor(r_g) times, plus one more copy iff its salted
+    * hash fraction falls below frac(r_g) — deterministic Bernoulli, the
+    * same hash-not-RNG discipline as [[trainSplit]], so the resample is
+    * reproducible across runs, engines, and partitionings, and both the
+    * downsampling branch (r < 1: overrepresented group, some docs emit
+    * zero copies) and the integer-upsampling branch (r > 1: each doc at
+    * least once, hash decides the extra copy) are pure column math.
+    * Groups absent from the weight map get rate 0 and drop out.
+    *
+    * Scale shape: two tiny aggregates (per-group token sums; the 1-row
+    * total) broadcast back onto the corpus — the corpus itself never
+    * shuffles; copy expansion is a narrow explode. At 100 TB this is a
+    * single pass over the documents.
+    *
+    * Oracle parity: rates are IEEE-double expressions with identical
+    * shape on both engines ((w · T) / toks — each op correctly rounded,
+    * so bit-identical); the Bernoulli threshold is integerized
+    * (floor(frac·1e6) vs hash mod 1e6) so the comparison is exact. */
+  def mixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val weights = Seq("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
+    val langToks = docs.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
+    val total = docs.agg(sum("n_toks").as("total_toks"))
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (l, v)) =>
+      when(col("lang") === l, lit(v)).otherwise(acc)
+    }
+    val rate = (w * col("total_toks").cast("double")) / col("lang_toks").cast("double")
+    val thr = floor((rate - floor(rate)) * 1000000.0)
+    val copies = (floor(rate).cast("int") +
+      when(hashMod(col("doc_id"), "|mix", 1000000) < thr, 1).otherwise(0)).as("copies")
+    docs.join(langToks, Seq("lang")).crossJoin(total)
+      .select(col("doc_id"), col("lang"), col("n_toks"), copies)
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), explode(expr("sequence(1, copies)")).as("copy"),
+        col("lang"), col("n_toks"))
+      .orderBy("doc_id", "copy")
+  }
+
+  val mixtureSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), lt AS (
+      |  SELECT lang, SUM(n_toks) AS lang_toks FROM d GROUP BY lang
+      |), t AS (
+      |  SELECT SUM(n_toks) AS total_toks FROM d
+      |), r AS (
+      |  SELECT d.doc_id, d.lang, d.n_toks,
+      |    (CASE d.lang WHEN 'en' THEN 0.30::DOUBLE WHEN 'zh' THEN 0.20::DOUBLE
+      |                 WHEN 'es' THEN 0.20::DOUBLE WHEN 'de' THEN 0.15::DOUBLE
+      |                 WHEN 'fr' THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
+      |     * CAST(t.total_toks AS DOUBLE)) / CAST(lt.lang_toks AS DOUBLE) AS rate
+      |  FROM d JOIN lt USING (lang) CROSS JOIN t
+      |), c AS (
+      |  SELECT doc_id, lang, n_toks,
+      |    CAST(floor(rate) AS INTEGER)
+      |      + CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || '|mix') % 1000000
+      |               < CAST(floor((rate - floor(rate)) * 1000000.0) AS BIGINT)
+      |             THEN 1 ELSE 0 END AS copies
+      |  FROM r
+      |)
+      |SELECT doc_id, CAST(unnest(range(1, copies + 1)) AS INTEGER) AS copy, lang, n_toks
+      |FROM c
+      |ORDER BY doc_id, copy""".stripMargin
 
   /** Bigram language-model quality score (perplexity-style filter).
     *
@@ -1249,6 +1325,7 @@ object TextCatalog {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_split"       -> (trainSplit _),
     "q_doc_split_safe"  -> (clusterSplit _),
+    "q_doc_mixture"     -> (mixture _),
     "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
@@ -1273,6 +1350,7 @@ object TextCatalog {
   val oracle: Map[String, String] = Map(
     "q_doc_split"       -> trainSplitSql,
     "q_doc_split_safe"  -> clusterSplitSql,
+    "q_doc_mixture"     -> mixtureSql,
     "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,

@@ -198,6 +198,30 @@ class TextSpec extends SparkSpec {
       "no near-dup pair straddles the plain split — guard untested")
   }
 
+  test("mixture: deterministic, shares near targets, both resample branches fire") {
+    val targets = Map("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15)
+    val out = TextCatalog.mixture(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // hash-not-RNG: a second run is row-identical
+    val again = TextCatalog.mixture(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == again.toSeq)
+    // realized token share per lang lands near its target weight
+    val toks = out.groupBy(_._3).view.mapValues(_.map(_._4.toLong).sum).toMap
+    val total = toks.values.sum.toDouble
+    targets.foreach { case (lang, w) =>
+      val realized = toks.getOrElse(lang, 0L) / total
+      assert(math.abs(realized - w) < 0.05, s"$lang share $realized vs target $w")
+    }
+    // downsampling is real: overrepresented en emits fewer docs than it has
+    val enCorpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("lang") === "en" && col("text").isNotNull).count()
+    val enEmitted = out.filter(_._3 == "en").map(_._1).distinct.length
+    assert(enEmitted < enCorpus, s"en not downsampled ($enEmitted of $enCorpus)")
+    // upsampling is real: some doc is emitted more than once
+    assert(out.exists(_._2 >= 2), "no doc upsampled — integer-copy branch untested")
+  }
+
   test("lmScore: every split scored, scores finite-negative, backoff not vacuous") {
     val out = TextCatalog.lmScore(spark, sf001).collect()
     assert(out.map(_.getString(1)).toSet == Set("train", "val", "test"))
