@@ -1208,6 +1208,57 @@ object TextCatalog {
       |FROM c
       |ORDER BY doc_id, copy""".stripMargin
 
+  /** Per-source token-budget cap (`q_doc_source_cap`) — quota curation:
+    * cap every source's contribution by keeping its most valuable
+    * documents (longest first — n_chars DESC, doc_id tiebreak) until the
+    * running token total crosses 60% of that source's own token mass
+    * (the crossing document is kept, so a budget is never left unfilled
+    * by one doc). The budget is RELATIVE, so the query is scale-free —
+    * the same 60% rule at any SF — and the standard guard against one
+    * crawl dump swamping the mixture.
+    *
+    * Shape: one window pass partitioned by source computes both the
+    * source total and the exclusive running sum — one shuffle, no join,
+    * no second aggregation. Caveat at 100 TB: a mega-source serializes
+    * its running sum into one partition's sort; for bounded-k caps use
+    * the [[graft.plans.TopKAggregate]] bounded-heap aggregate instead —
+    * this form is for token-mass (not count) budgets, where the full
+    * per-source ordering is inherent to the semantics. */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val ord = bySrc.orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .withColumn("src_toks", sum(col("n_toks")).over(bySrc))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rank_in_source", row_number().over(ord))
+      .filter(col("cum_before").cast("double") < lit(0.6) * col("src_toks").cast("double"))
+      .select(col("source"), col("rank_in_source"), col("doc_id"), col("n_toks"))
+      .orderBy("source", "rank_in_source")
+  }
+
+  val sourceCapSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars, len(string_split(text, ' ')) AS n_toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), w AS (
+      |  SELECT doc_id, source, n_toks,
+      |    SUM(n_toks) OVER (PARTITION BY source) AS src_toks,
+      |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+      |      AS rank_in_source
+      |  FROM d
+      |)
+      |SELECT source, rank_in_source, doc_id, n_toks
+      |FROM w
+      |WHERE CAST(cum_before AS DOUBLE) < 0.6 * CAST(src_toks AS DOUBLE)
+      |ORDER BY source, rank_in_source""".stripMargin
+
   /** Bigram language-model quality score (perplexity-style filter).
     *
     * The canonical curation step this models: train a cheap n-gram LM on
@@ -1326,6 +1377,7 @@ object TextCatalog {
     "q_doc_split"       -> (trainSplit _),
     "q_doc_split_safe"  -> (clusterSplit _),
     "q_doc_mixture"     -> (mixture _),
+    "q_doc_source_cap"  -> (sourceCap _),
     "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
@@ -1351,6 +1403,7 @@ object TextCatalog {
     "q_doc_split"       -> trainSplitSql,
     "q_doc_split_safe"  -> clusterSplitSql,
     "q_doc_mixture"     -> mixtureSql,
+    "q_doc_source_cap"  -> sourceCapSql,
     "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,

@@ -222,6 +222,35 @@ class TextSpec extends SparkSpec {
     assert(out.exists(_._2 >= 2), "no doc upsampled — integer-copy branch untested")
   }
 
+  test("sourceCap: kept set is the minimal budget-crossing prefix per source") {
+    val kept = TextCatalog.sourceCap(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._2)
+    assert(kept.keySet == corpus.keySet, "some source lost entirely")
+    corpus.foreach { case (src, docs) =>
+      val ordered = docs.sortBy(d => (-d._3, d._1)) // n_chars DESC, doc_id ASC
+      val target = 0.6 * docs.map(_._4.toLong).sum
+      val ks = kept(src)
+      // prefix property: kept docs are exactly the first k in quality order
+      assert(ks.map(_._3).toSeq == ordered.take(ks.length).map(_._1).toSeq,
+        s"$src kept set is not a prefix of the quality order")
+      // minimal crossing: kept total reaches the budget, dropping the
+      // last kept doc would not
+      val keptToks = ks.map(_._4.toLong).sum
+      assert(keptToks >= target || ks.length == docs.length, s"$src budget unfilled")
+      assert(keptToks - ks.last._4 < target, s"$src kept more than the crossing doc")
+      // and something was actually dropped somewhere (cap non-vacuous)
+    }
+    assert(kept.values.map(_.length).sum < corpus.values.map(_.size).sum,
+      "cap dropped nothing — vacuous")
+  }
+
   test("lmScore: every split scored, scores finite-negative, backoff not vacuous") {
     val out = TextCatalog.lmScore(spark, sf001).collect()
     assert(out.map(_.getString(1)).toSet == Set("train", "val", "test"))
