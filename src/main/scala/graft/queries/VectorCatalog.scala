@@ -750,6 +750,126 @@ object VectorCatalog {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** Lloyd's k-means over the embedding corpus (`q_vec_kmeans`) — the
+    * clustering step training-data pipelines run for semantic dedup
+    * (SemDeDup-style: near-dups cluster together), topic balancing, and
+    * training the IVF coarse quantizer that [[annIvf]] stride-samples.
+    * Deterministic init (every stride-th vector, the [[annIvf]]
+    * convention), then `iters` rounds of assign-to-nearest /
+    * recompute-means, then a final assignment whose per-cluster size and
+    * inertia (sum of squared L2 distances) is the output.
+    *
+    * Scale shape: classic distributed Lloyd — the k×d centroid model
+    * broadcasts; each round is one narrow pass over the corpus (assign)
+    * plus one k×d-sized shuffle (posexplode → per-(cluster,dim) partial
+    * sums). The corpus is never collected and never self-joined; cost is
+    * iters × (scan + tiny shuffle).
+    *
+    * Oracle parity, the load-bearing part: distances are exact decimal
+    * sums of per-element squared diffs (the [[knnBrute]] move), so
+    * argmin — ties broken by cluster id — agrees across engines; each
+    * centroid mean is an exact decimal per-dimension sum ROUNDed to
+    * scale 6 (HALF_UP in both engines) BEFORE one double division, so
+    * the next round's distances see bit-identical centroids (an
+    * unrounded decimal→double at ~15 significant digits is where
+    * DuckDB's conversion stops being correctly rounded — the dsumProd
+    * lesson). Inertia rounds the exact decimal sum to 4. */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val n = corpusCount.get((spark, sfDir, false))(corpus.count())
+    kmeansWith(corpus, n, k = 8, iters = 2)
+  }
+
+  def kmeansWith(corpus: DataFrame, n: Long, k: Int, iters: Int): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val stride = math.max(1L, n / k)
+    var cent = emb
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < k * stride)
+      .select(expr(s"cast((vec_id div $stride) as int)").as("c"),
+        expr("transform(embedding, x -> cast(x as double))").as("cent"))
+    def assign(cs: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cs))
+        // element precision (20,12) + merge re-cast to (30,12): the
+        // addition's natural type is (31,12) — no precision cap, no
+        // scale loss — and the cast back is value-preserving (sums are
+        // ≤ 64·4, far under 18 integer digits), so every step is EXACT;
+        // a (38,12) accumulator would hit Spark's precision-loss rule
+        // ((38,12)+(26,12) → (38,11)) and round each step
+        .withColumn("dist", expr(
+          """aggregate(
+            |  zip_with(embedding, cent,
+            |    (a, b) -> cast((cast(a as double) - b) * (cast(a as double) - b)
+            |              as decimal(20,12))),
+            |  cast(0 as decimal(30,12)),
+            |  (acc, x) -> cast(acc + x as decimal(30,12)))""".stripMargin))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c"), col("dist"))
+    for (_ <- 1 to iters)
+      cent = assign(cent)
+        .select(col("c"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("c"), col("i"))
+        .agg(sum(col("x").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(26, 12))).as("s"),
+          count(lit(1)).as("nv"))
+        .select(col("c"), col("i"), (round(col("s"), 6).cast("double") / col("nv")).as("m"))
+        .groupBy(col("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), p -> p.m)").as("cent"))
+    assign(cent)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("dist")), 4).cast("double").as("inertia"))
+      .orderBy("c")
+  }
+
+  /** One DuckDB Lloyd round: argmin assignment against centroid CTE
+    * `centCte` (exact-decimal distances, c-id tiebreak) named `out`. */
+  private def kmAssignSql(centCte: String, out: String): String =
+    s"""$out AS (
+      |  SELECT vec_id, embedding, c, dist FROM (
+      |    SELECT vec_id, embedding, c, dist,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+      |    FROM (
+      |      SELECT e.vec_id, e.embedding, cc.c,
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> CAST((CAST(e.embedding[i] AS DOUBLE) - cc.cent[i])
+      |                  * (CAST(e.embedding[i] AS DOUBLE) - cc.cent[i])
+      |                AS DECIMAL(26,12)))) AS dist
+      |      FROM embeddings e CROSS JOIN $centCte cc) t0) t1
+      |  WHERE rn = 1)""".stripMargin
+
+  /** Centroid update: per-(c, dim) exact decimal sums rounded to scale 6
+    * before the single double division, reassembled in dim order. */
+  private def kmUpdateSql(assignCte: String, out: String): String =
+    s"""${out}_m AS (
+      |  SELECT c, i,
+      |    CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(26,12))), 6) AS DOUBLE)
+      |      / COUNT(*) AS m
+      |  FROM $assignCte, range(1, 65) r(i)
+      |  GROUP BY c, i
+      |), $out AS (
+      |  SELECT c, list(m ORDER BY i) AS cent FROM ${out}_m GROUP BY c)""".stripMargin
+
+  val kmeansSql: String =
+    s"""WITH p AS (SELECT COUNT(*) // 8 AS stride FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(vec_id // stride AS INTEGER) AS c,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      |  FROM embeddings, p
+      |  WHERE vec_id % stride = 0 AND vec_id < 8 * stride
+      |),
+      |${kmAssignSql("c0", "a1")},
+      |${kmUpdateSql("a1", "c1")},
+      |${kmAssignSql("c1", "a2")},
+      |${kmUpdateSql("a2", "c2")},
+      |${kmAssignSql("c2", "a3")}
+      |SELECT c, COUNT(*) AS n_vecs,
+      |  CAST(ROUND(SUM(dist), 4) AS DOUBLE) AS inertia
+      |FROM a3
+      |GROUP BY c
+      |ORDER BY c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_neardup"   -> (vecNearDup _),
     "q_vec_norms"     -> (vecNorms _),
@@ -758,7 +878,8 @@ object VectorCatalog {
     "q_vec_centroids" -> (labelCentroids _),
     "q_vec_ann_lsh"   -> (annLsh _),
     "q_vec_ann_ivf"   -> (annIvf _),
-    "q_vec_ann_q8"    -> (annIvfQ8 _)
+    "q_vec_ann_q8"    -> (annIvfQ8 _),
+    "q_vec_kmeans"    -> (kmeans _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -769,6 +890,7 @@ object VectorCatalog {
     "q_vec_ann_lsh"   -> annLshSql,
     "q_vec_neardup"   -> vecNearDupSql,
     "q_vec_ann_ivf"   -> annIvfSql,
-    "q_vec_ann_q8"    -> annIvfQ8Sql
+    "q_vec_ann_q8"    -> annIvfQ8Sql,
+    "q_vec_kmeans"    -> kmeansSql
   )
 }

@@ -207,6 +207,35 @@ class VectorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("kmeans: all clusters live, Lloyd inertia monotone, deterministic") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = corpus.count()
+    def total(iters: Int): (Double, Map[Int, Long]) = {
+      val rows = VectorCatalog.kmeansWith(corpus, n, k = 8, iters = iters).collect()
+      (rows.map(_.getDouble(2)).sum, rows.map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    }
+    val (i0, _) = total(0)
+    val (i1, _) = total(1)
+    val (i2, sizes) = total(2)
+    // every cluster survives and the sizes cover the corpus
+    assert(sizes.size == 8, s"dead cluster: ${sizes.keySet}")
+    assert(sizes.values.sum == n)
+    // Lloyd's algorithm never increases inertia (assignment and update
+    // steps each minimize it; mean rounding at scale 6 is far below the
+    // inertia deltas here)
+    assert(i1 <= i0 + 1e-6, s"iter1 inertia $i1 > init $i0")
+    assert(i2 <= i1 + 1e-6, s"iter2 inertia $i2 > iter1 $i1")
+    // refinement does something: the init assignment is not already a
+    // fixpoint on this corpus
+    assert(i2 < i0, "two Lloyd rounds changed nothing — refinement vacuous")
+    // hash-free determinism: same plan, same answer
+    val again = VectorCatalog.kmeansWith(corpus, n, 8, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = VectorCatalog.kmeansWith(corpus, n, 8, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == first)
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
