@@ -780,7 +780,17 @@ object VectorCatalog {
     kmeansWith(corpus, n, k = 8, iters = 2)
   }
 
-  def kmeansWith(corpus: DataFrame, n: Long, k: Int, iters: Int): DataFrame = {
+  def kmeansWith(corpus: DataFrame, n: Long, k: Int, iters: Int): DataFrame =
+    kmeansAssignWith(corpus, n, k, iters)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("dist")), 4).cast("double").as("inertia"))
+      .orderBy("c")
+
+  /** The Lloyd loop itself, ending in a final assignment frame
+    * (vec_id, embedding, c, dist) — shared by [[kmeansWith]] (which
+    * aggregates it) and [[semDedup]] (which pairs within clusters). */
+  def kmeansAssignWith(corpus: DataFrame, n: Long, k: Int, iters: Int): DataFrame = {
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val stride = math.max(1L, n / k)
     var cent = emb
@@ -817,15 +827,12 @@ object VectorCatalog {
         .groupBy(col("c"))
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), p -> p.m)").as("cent"))
     assign(cent)
-      .groupBy(col("c"))
-      .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("dist")), 4).cast("double").as("inertia"))
-      .orderBy("c")
   }
 
-  /** One DuckDB Lloyd round: argmin assignment against centroid CTE
-    * `centCte` (exact-decimal distances, c-id tiebreak) named `out`. */
-  private def kmAssignSql(centCte: String, out: String): String =
+  /** One DuckDB Lloyd round over source relation `src`: argmin
+    * assignment against centroid CTE `centCte` (exact-decimal distances,
+    * c-id tiebreak) named `out`. */
+  private def kmAssignSql(centCte: String, out: String, src: String): String =
     s"""$out AS (
       |  SELECT vec_id, embedding, c, dist FROM (
       |    SELECT vec_id, embedding, c, dist,
@@ -836,7 +843,7 @@ object VectorCatalog {
       |          i -> CAST((CAST(e.embedding[i] AS DOUBLE) - cc.cent[i])
       |                  * (CAST(e.embedding[i] AS DOUBLE) - cc.cent[i])
       |                AS DECIMAL(26,12)))) AS dist
-      |      FROM embeddings e CROSS JOIN $centCte cc) t0) t1
+      |      FROM $src e CROSS JOIN $centCte cc) t0) t1
       |  WHERE rn = 1)""".stripMargin
 
   /** Centroid update: per-(c, dim) exact decimal sums rounded to scale 6
@@ -851,24 +858,86 @@ object VectorCatalog {
       |), $out AS (
       |  SELECT c, list(m ORDER BY i) AS cent FROM ${out}_m GROUP BY c)""".stripMargin
 
-  val kmeansSql: String =
-    s"""WITH p AS (SELECT COUNT(*) // 8 AS stride FROM embeddings),
-      |c0 AS (
-      |  SELECT CAST(vec_id // stride AS INTEGER) AS c,
-      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-      |  FROM embeddings, p
-      |  WHERE vec_id % stride = 0 AND vec_id < 8 * stride
-      |),
-      |${kmAssignSql("c0", "a1")},
-      |${kmUpdateSql("a1", "c1")},
-      |${kmAssignSql("c1", "a2")},
-      |${kmUpdateSql("a2", "c2")},
-      |${kmAssignSql("c2", "a3")}
+  /** The full unrolled Lloyd CTE chain over `src` (stride init, `iters`
+    * assign/update rounds, one final assignment). Returns the WITH-body
+    * fragment and the name of the final assignment CTE. */
+  private def kmeansCtesSql(src: String, iters: Int): (String, String) = {
+    val header =
+      s"""km_p AS (SELECT COUNT(*) // 8 AS stride FROM $src),
+        |c0 AS (
+        |  SELECT CAST(vec_id // stride AS INTEGER) AS c,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        |  FROM $src, km_p
+        |  WHERE vec_id % stride = 0 AND vec_id < 8 * stride
+        |)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      kmAssignSql(s"c${r - 1}", s"a$r", src) + ",\n" + kmUpdateSql(s"a$r", s"c$r")
+    }
+    val fin = s"a${iters + 1}"
+    val body = (header +: rounds :+ kmAssignSql(s"c$iters", fin, src)).mkString(",\n")
+    (body, fin)
+  }
+
+  val kmeansSql: String = {
+    val (ctes, fin) = kmeansCtesSql("embeddings", 2)
+    s"""WITH $ctes
       |SELECT c, COUNT(*) AS n_vecs,
       |  CAST(ROUND(SUM(dist), 4) AS DOUBLE) AS inertia
-      |FROM a3
+      |FROM $fin
       |GROUP BY c
       |ORDER BY c""".stripMargin
+  }
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * instead of hashing (LSH buckets, [[vecNearDup]]), bucket the corpus
+    * by its LEARNED structure — k-means cells — and compare only
+    * within-cell pairs. One Lloyd refinement round assigns every vector
+    * (planted near-dups land in the same cell as their original: their
+    * distance-to-centroid profiles are ~identical), then the same
+    * two-stage scoring as [[vecNearDupWith]]: fused-cosine pre-filter at
+    * 0.94 cuts the within-cell pair flood, decimal-exact cosine keeps
+    * pairs ≥ 0.95. Same corpus and output shape as `q_vec_neardup`, so
+    * the two bucketing strategies are directly comparable.
+    *
+    * Scale: within-cell pair count is Σ|cell|², bounded by sizing k with
+    * the corpus (k ≈ N / target-cell-size, exactly how the [[annIvf]]
+    * geometry derives nlist) — never global O(N²). */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, sfDir)
+    val n = corpusCount.get((spark, sfDir, true))(corpus.count())
+    val a = kmeansAssignWith(corpus, n, k = 8, iters = 1)
+      .select(col("vec_id"), col("embedding"), col("c"))
+    a.as("x").join(a.as("y"),
+        col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        col("x.embedding").as("e1"), col("y.embedding").as("e2"))
+      .filter(graft.plans.CosineSimilarity.cosineSim(col("e1"), col("e2")) >= 0.94)
+      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .orderBy("v1", "v2")
+  }
+
+  val semDedupSql: String = {
+    val (ctes, fin) = kmeansCtesSql("corpus", 1)
+    s"""WITH corpus AS (
+      |$nearDupCorpusSql
+      |),
+      |$ctes,
+      |sd_pairs AS (
+      |  SELECT x.vec_id AS v1, y.vec_id AS v2
+      |  FROM $fin x JOIN $fin y ON x.c = y.c AND x.vec_id < y.vec_id
+      |),
+      |sd_scored AS (
+      |  SELECT p.v1, p.v2,
+      |$decCosineSql AS cos
+      |  FROM sd_pairs p JOIN corpus a ON a.vec_id = p.v1
+      |                  JOIN corpus b ON b.vec_id = p.v2
+      |)
+      |SELECT v1, v2, cos FROM sd_scored
+      |WHERE cos >= 0.95
+      |ORDER BY v1, v2""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_neardup"   -> (vecNearDup _),
@@ -879,7 +948,8 @@ object VectorCatalog {
     "q_vec_ann_lsh"   -> (annLsh _),
     "q_vec_ann_ivf"   -> (annIvf _),
     "q_vec_ann_q8"    -> (annIvfQ8 _),
-    "q_vec_kmeans"    -> (kmeans _)
+    "q_vec_kmeans"    -> (kmeans _),
+    "q_vec_semdedup"  -> (semDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -891,6 +961,7 @@ object VectorCatalog {
     "q_vec_neardup"   -> vecNearDupSql,
     "q_vec_ann_ivf"   -> annIvfSql,
     "q_vec_ann_q8"    -> annIvfQ8Sql,
-    "q_vec_kmeans"    -> kmeansSql
+    "q_vec_kmeans"    -> kmeansSql,
+    "q_vec_semdedup"  -> semDedupSql
   )
 }

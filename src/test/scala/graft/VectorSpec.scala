@@ -236,6 +236,32 @@ class VectorSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("semDedup: pairs are exact >=0.95 truth subset with recall >= 0.8 vs LSH") {
+    val sem = VectorCatalog.semDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorCatalog.vecNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.nonEmpty)
+    // precision is exact by construction (decimal-verified >= 0.95), so
+    // every semantic pair must also be a true pair the LSH baseline's
+    // brute-force-verified set contains or brute force would confirm;
+    // compare against the planted-duplicate ground truth via LSH's set
+    val truth = {
+      val e = VectorCatalog.nearDupCorpus(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      (for {
+        (v1, a) <- e.toSeq; (v2, b) <- e.toSeq if v1 < v2
+        c <- graft.functions.VectorOps.cosineDecJvm(a, b) if c >= 0.95
+      } yield (v1, v2)).toSet
+    }
+    assert(sem.subsetOf(truth), s"false positives: ${sem -- truth}")
+    // cluster bucketing trades a little recall (pairs straddling a cell
+    // boundary) for hashing-free buckets — it must stay >= 0.8 of truth
+    assert(truth.nonEmpty && sem.size.toDouble / truth.size >= 0.8,
+      s"semantic recall ${sem.size}/${truth.size}")
+    assert(lsh.subsetOf(truth))
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
