@@ -73,6 +73,25 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) None else Some(dot(a, b) / (na * nb))
   }
 
+  /** Exact-decimal squared-L2 distance from a float vector to a double
+    * centroid — the JVM twin of the k-means assignment expression, same
+    * cast/round discipline as [[cosineDecJvm]]: the double subtraction
+    * and square are IEEE-identical cross-engine, `BigDecimal.valueOf` +
+    * `setScale(12, HALF_UP)` is exactly Spark's `cast(DECIMAL(_,12))`,
+    * and same-scale decimal addition is exact, so the returned decimal
+    * equals the column/DuckDB value as a rational. */
+  def l2DecJvm(x: Array[Float], cent: Array[Double]): java.math.BigDecimal = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < x.length) {
+      val d = x(i).toDouble - cent(i)
+      acc = acc.add(java.math.BigDecimal.valueOf(d * d)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc
+  }
+
   /** Deterministic random-hyperplane component r(t,j,i) ∈ [-1,1]: the
     * signed md5-u64 of "t|j|i" scaled by 2^63. md5-derived (not xxhash)
     * so DuckDB reproduces it bit-for-bit —

@@ -789,44 +789,81 @@ object VectorCatalog {
 
   /** The Lloyd loop itself, ending in a final assignment frame
     * (vec_id, embedding, c, dist) — shared by [[kmeansWith]] (which
-    * aggregates it) and [[semDedup]] (which pairs within clusters). */
+    * aggregates it) and [[semDedup]] (which pairs within clusters).
+    *
+    * The k×d centroid model lives on the driver and broadcasts each
+    * round — the canonical distributed-Lloyd split (Spark MLlib's
+    * KMeans does exactly this): assignment is a narrow per-row JVM loop
+    * over the broadcast model ([[graft.functions.VectorOps.l2DecJvm]] —
+    * the decimal chain as column HOFs ran interpreted per element and
+    * dominated the bench), the mean update is a k×d-sized declarative
+    * aggregation whose 512-row result is collected back. Ties in the
+    * argmin go to the lowest cluster id (strict `<` over ascending c —
+    * the same (dist, c) order the oracle's ROW_NUMBER uses). */
   def kmeansAssignWith(corpus: DataFrame, n: Long, k: Int, iters: Int): DataFrame = {
-    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val stride = math.max(1L, n / k)
-    var cent = emb
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < k * stride)
-      .select(expr(s"cast((vec_id div $stride) as int)").as("c"),
-        expr("transform(embedding, x -> cast(x as double))").as("cent"))
-    def assign(cs: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cs))
-        // element precision (20,12) + merge re-cast to (30,12): the
-        // addition's natural type is (31,12) — no precision cap, no
-        // scale loss — and the cast back is value-preserving (sums are
-        // ≤ 64·4, far under 18 integer digits), so every step is EXACT;
-        // a (38,12) accumulator would hit Spark's precision-loss rule
-        // ((38,12)+(26,12) → (38,11)) and round each step
-        .withColumn("dist", expr(
-          """aggregate(
-            |  zip_with(embedding, cent,
-            |    (a, b) -> cast((cast(a as double) - b) * (cast(a as double) - b)
-            |              as decimal(20,12))),
-            |  cast(0 as decimal(30,12)),
-            |  (acc, x) -> cast(acc + x as decimal(30,12)))""".stripMargin))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c"), col("dist"))
-    for (_ <- 1 to iters)
-      cent = assign(cent)
+    var cents: Array[(Int, Array[Double])] = emb
+      .filter(r => r._1 % stride == 0 && r._1 / stride < k)
+      .collect()
+      .map { case (id, e) => ((id / stride).toInt, e.map(_.toDouble)) }
+      .sortBy(_._1)
+    def assign(cs: Array[(Int, Array[Double])]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cs)
+      emb.map { case (id, e) =>
+        val k = bc.value
+        // double pre-screen: decimal-evaluate only centroids within ε of
+        // the double minimum. Sound: |decimal − double| per distance is
+        // ≤ 64·5e-13 (scale-12 element rounding) + float-sum error, so
+        // with ε = 1e-6 no possible decimal argmin is screened out; the
+        // exact decimal compare then decides (ties → lowest c, the
+        // oracle's ROW_NUMBER order), independent of the screen's
+        // summation order
+        val dd = new Array[Double](k.length)
+        var minD = Double.MaxValue
+        var j = 0
+        while (j < k.length) {
+          val cent = k(j)._2
+          var s = 0.0
+          var i = 0
+          while (i < cent.length) {
+            val d = e(i).toDouble - cent(i); s += d * d; i += 1
+          }
+          dd(j) = s
+          if (s < minD) minD = s
+          j += 1
+        }
+        var bestC = -1
+        var bestD: java.math.BigDecimal = null
+        j = 0
+        while (j < k.length) {
+          if (dd(j) <= minD + 1e-6) {
+            val d = l2DecJvm(e, k(j)._2)
+            if (bestD == null || d.compareTo(bestD) < 0) { bestC = k(j)._1; bestD = d }
+          }
+          j += 1
+        }
+        (id, e, bestC, new scala.math.BigDecimal(bestD))
+      }.toDF("vec_id", "embedding", "c", "dist")
+    }
+    for (_ <- 1 to iters) {
+      val mRows = assign(cents)
         .select(col("c"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("c"), col("i"))
         .agg(sum(col("x").cast("double")
           .cast(org.apache.spark.sql.types.DecimalType(26, 12))).as("s"),
           count(lit(1)).as("nv"))
+        // exact decimal sum ROUNDed to scale 6 before ONE double
+        // division: both engines then iterate on bit-identical centroids
         .select(col("c"), col("i"), (round(col("s"), 6).cast("double") / col("nv")).as("m"))
-        .groupBy(col("c"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), p -> p.m)").as("cent"))
-    assign(cent)
+        .collect()
+      cents = mRows.groupBy(_.getInt(0)).map { case (c, rows) =>
+        (c, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }.toArray.sortBy(_._1)
+    }
+    assign(cents)
   }
 
   /** One DuckDB Lloyd round over source relation `src`: argmin
@@ -859,16 +896,20 @@ object VectorCatalog {
       |  SELECT c, list(m ORDER BY i) AS cent FROM ${out}_m GROUP BY c)""".stripMargin
 
   /** The full unrolled Lloyd CTE chain over `src` (stride init, `iters`
-    * assign/update rounds, one final assignment). Returns the WITH-body
-    * fragment and the name of the final assignment CTE. */
-  private def kmeansCtesSql(src: String, iters: Int): (String, String) = {
+    * assign/update rounds, one final assignment). `kSql` is a SQL
+    * expression over `n` (the corpus count) giving the cluster count —
+    * "8" for the fixed-k clustering query, corpus-derived for
+    * [[semDedup]]'s cell sizing. Returns the WITH-body fragment and the
+    * name of the final assignment CTE. */
+  private def kmeansCtesSql(src: String, iters: Int, kSql: String = "8"): (String, String) = {
     val header =
-      s"""km_p AS (SELECT COUNT(*) // 8 AS stride FROM $src),
+      s"""km_n AS (SELECT COUNT(*) AS n FROM $src),
+        |km_p AS (SELECT ($kSql) AS k, GREATEST(1, n // ($kSql)) AS stride FROM km_n),
         |c0 AS (
         |  SELECT CAST(vec_id // stride AS INTEGER) AS c,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
         |  FROM $src, km_p
-        |  WHERE vec_id % stride = 0 AND vec_id < 8 * stride
+        |  WHERE vec_id % stride = 0 AND vec_id // stride < k
         |)""".stripMargin
     val rounds = (1 to iters).map { r =>
       kmAssignSql(s"c${r - 1}", s"a$r", src) + ",\n" + kmUpdateSql(s"a$r", s"c$r")
@@ -903,10 +944,16 @@ object VectorCatalog {
     * Scale: within-cell pair count is Σ|cell|², bounded by sizing k with
     * the corpus (k ≈ N / target-cell-size, exactly how the [[annIvf]]
     * geometry derives nlist) — never global O(N²). */
+  /** SemDeDup cell count: grows with the corpus so cells stay ~64
+    * vectors (the IVF-nlist discipline) and within-cell pair work stays
+    * linear-ish, clamped to [8, 128] for fixture geometry. */
+  private def semDedupK(n: Long): Int =
+    math.max(8L, math.min(128L, n / 64)).toInt
+
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = nearDupCorpus(spark, sfDir)
     val n = corpusCount.get((spark, sfDir, true))(corpus.count())
-    val a = kmeansAssignWith(corpus, n, k = 8, iters = 1)
+    val a = kmeansAssignWith(corpus, n, k = semDedupK(n), iters = 1)
       .select(col("vec_id"), col("embedding"), col("c"))
     a.as("x").join(a.as("y"),
         col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
@@ -919,7 +966,7 @@ object VectorCatalog {
   }
 
   val semDedupSql: String = {
-    val (ctes, fin) = kmeansCtesSql("corpus", 1)
+    val (ctes, fin) = kmeansCtesSql("corpus", 1, "GREATEST(8, LEAST(128, n // 64))")
     s"""WITH corpus AS (
       |$nearDupCorpusSql
       |),
