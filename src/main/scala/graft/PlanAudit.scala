@@ -141,6 +141,28 @@ object PlanAudit {
       p => p.contains("might_contain") && p.contains("BroadcastHashJoin") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
 
+    // the mixture's per-group rate tables are tiny aggregates that must
+    // come back to the corpus as broadcasts — a sort-merge join here
+    // would shuffle the full corpus for a 5-row dimension
+    val mix = plan(TextCatalog.mixture(spark, sfDir))
+    check("q_doc_mixture", mix, "rate tables broadcast back (no corpus SMJ)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+
+    // the source cap computes source total, running sum, and rank in ONE
+    // window pass: exactly one hash-partitioning exchange (the final
+    // presentation sort adds a range exchange, which is fine)
+    val cap = plan(TextCatalog.sourceCap(spark, sfDir))
+    check("q_doc_source_cap", cap, "single window shuffle (one hashpartitioning exchange)",
+      p => p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning")) == 1)
+
+    // semantic dedup must pair within k-means cells via a KEYED join on
+    // the cell id — a cartesian/BNLJ fallback is the O(N²) scan the
+    // cells exist to avoid
+    val sem = plan(VectorCatalog.semDedup(spark, sfDir))
+    check("q_vec_semdedup", sem, "within-cell pair join keyed on c (no cartesian/BNLJ)",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
     // every catalog query's ANALYZED plan must be free of trivially-true
     // join equalities (left semantically equal to right): when a self-join
     // condition like q("tbl") === e("tbl") resolves both sides to the SAME
