@@ -986,6 +986,81 @@ object VectorCatalog {
       |ORDER BY v1, v2""".stripMargin
   }
 
+  /** Semantic benchmark decontamination (`q_vec_decontam`) — the
+    * embedding-space twin of the 8-gram [[TextCatalog.decontam]]: n-gram
+    * overlap misses paraphrased eval leakage, so score every training
+    * document against the eval set's embeddings and flag high-cosine
+    * hits. Eval set = vectors 0-4; corpus = [[nearDupCorpus]] minus the
+    * eval rows, which plants perturbed copies of the eval vectors
+    * (cos ≈ 0.995 — paraphrase-grade leakage) so the detector is
+    * exercised end-to-end; organic max similarity in the fixture is
+    * ~0.40, far under the 0.9 flag threshold.
+    *
+    * Output is corpus-centric (per training doc: nearest eval id, its
+    * exact cosine, the flag) — the shape a curation pipeline filters
+    * on — vs [[knnBrute]]'s query-centric top-k. Scale: the eval model
+    * (|eval|×d floats) broadcasts; scoring is one narrow JVM-loop pass
+    * over the corpus, no join, no shuffle; ties go to the lowest eval
+    * id (the oracle's ROW_NUMBER order). */
+  def vecDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = nearDupCorpus(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val eval = corpus.filter(_._1 < 5).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(eval)
+    corpus.filter(_._1 >= 5)
+      .map { case (id, e) =>
+        var bestQ = -1L
+        var best = Double.NegativeInfinity
+        for ((qid, qe) <- bc.value) {
+          val c = cosineDecJvm(e, qe).getOrElse(Double.NegativeInfinity)
+          if (c > best) { best = c; bestQ = qid }
+        }
+        (id, bestQ, best, best >= 0.9)
+      }
+      .toDF("vec_id", "eval_id", "max_cos", "contaminated")
+      .orderBy("vec_id")
+  }
+
+  /** [[decCosineSql]] with VALUEOF-semantics element rounding: Spark's
+    * double→decimal cast goes through the double's SHORTEST string
+    * (`BigDecimal.valueOf`) then HALF_UP, while DuckDB's plain cast
+    * rounds the EXACT binary expansion — the two disagree precisely when
+    * the shortest repr ends in a bare `…5` at the target scale whose
+    * exact expansion continues below it (first observed: element 58 of
+    * the (137, 4) decontam dot, product 0.0443377983005 → Spark
+    * …301 / plain-cast …300). `CAST(CAST(x AS VARCHAR) AS DECIMAL)`
+    * makes DuckDB round the same shortest string Java does. The
+    * exhaustive per-pair scoring here (515×5×3 sums × 64 elements) is
+    * what surfaced the tie; the top-k oracles keep the plain cast, which
+    * the driver's cell-exact gate would flag if a tie ever landed in
+    * their kept rows. */
+  private def decCosineStrSql: String =
+    """    CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(26,12)))) AS DOUBLE)
+      |    / (NULLIF(sqrt(CAST(list_sum(list_transform(a.embedding,
+      |         x -> CAST(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(26,12)))) AS DOUBLE)), 0)
+      |       * NULLIF(sqrt(CAST(list_sum(list_transform(b.embedding,
+      |         x -> CAST(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(26,12)))) AS DOUBLE)), 0))""".stripMargin
+
+  val vecDecontamSql: String =
+    s"""WITH corpus AS (
+      |$nearDupCorpusSql
+      |),
+      |scored AS (
+      |  SELECT a.vec_id, b.vec_id AS eval_id,
+      |$decCosineStrSql AS cos
+      |  FROM corpus a CROSS JOIN corpus b
+      |  WHERE a.vec_id >= 5 AND b.vec_id < 5
+      |)
+      |SELECT vec_id, eval_id, cos AS max_cos, cos >= 0.9 AS contaminated
+      |FROM (
+      |  SELECT vec_id, eval_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC) AS rn
+      |  FROM scored)
+      |WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_neardup"   -> (vecNearDup _),
     "q_vec_norms"     -> (vecNorms _),
@@ -996,7 +1071,8 @@ object VectorCatalog {
     "q_vec_ann_ivf"   -> (annIvf _),
     "q_vec_ann_q8"    -> (annIvfQ8 _),
     "q_vec_kmeans"    -> (kmeans _),
-    "q_vec_semdedup"  -> (semDedup _)
+    "q_vec_semdedup"  -> (semDedup _),
+    "q_vec_decontam"  -> (vecDecontam _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1009,6 +1085,7 @@ object VectorCatalog {
     "q_vec_ann_ivf"   -> annIvfSql,
     "q_vec_ann_q8"    -> annIvfQ8Sql,
     "q_vec_kmeans"    -> kmeansSql,
-    "q_vec_semdedup"  -> semDedupSql
+    "q_vec_semdedup"  -> semDedupSql,
+    "q_vec_decontam"  -> vecDecontamSql
   )
 }

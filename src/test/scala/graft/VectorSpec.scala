@@ -262,6 +262,25 @@ class VectorSpec extends SparkSpec {
     assert(lsh.subsetOf(truth))
   }
 
+  test("vecDecontam: exactly the planted eval copies flag, organic corpus stays clean") {
+    val rows = VectorCatalog.vecDecontam(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // the perturbed copies of eval vectors 0-4 live at id + 1e6 and are
+    // paraphrase-grade leaks (cos ≈ 0.995); nothing else in the fixture
+    // comes near the 0.9 flag
+    val flagged = rows.filter(_._4)
+    assert(flagged.map(_._1).toSet == Set(1000000L, 1000001L, 1000002L, 1000003L, 1000004L))
+    flagged.foreach { case (id, evalId, cos, _) =>
+      assert(evalId == id - 1000000L, s"planted $id matched wrong eval $evalId")
+      assert(cos > 0.99, s"planted $id cos $cos")
+    }
+    rows.filterNot(_._4).foreach { case (id, _, cos, _) =>
+      assert(cos < 0.9, s"unflagged $id at $cos")
+    }
+    // eval rows themselves are excluded from the scored corpus
+    assert(!rows.exists(_._1 < 5))
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
