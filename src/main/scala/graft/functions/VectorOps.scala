@@ -57,20 +57,24 @@ object VectorOps {
     * `BigDecimal.doubleValue`. VectorSpec asserts JVM == column output
     * pairwise over the fixture corpus. */
   def cosineDecJvm(a: Array[Float], b: Array[Float]): Option[Double] = {
-    def dot(x: Array[Float], y: Array[Float]): Double = {
-      var acc = java.math.BigDecimal.ZERO
-      var i = 0
-      while (i < x.length) {
-        val p = x(i).toDouble * y(i).toDouble
-        acc = acc.add(java.math.BigDecimal.valueOf(p)
-          .setScale(12, java.math.RoundingMode.HALF_UP))
-        i += 1
-      }
-      acc.doubleValue
+    val na = math.sqrt(dotDecJvm(a, a))
+    val nb = math.sqrt(dotDecJvm(b, b))
+    if (na == 0.0 || nb == 0.0) None else Some(dotDecJvm(a, b) / (na * nb))
+  }
+
+  /** The decimal-exact dot [[cosineDecJvm]] is built from, exposed so
+    * callers scoring one vector against many can hoist the norms instead
+    * of recomputing both inside every cosine. */
+  def dotDecJvm(x: Array[Float], y: Array[Float]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < x.length) {
+      val p = x(i).toDouble * y(i).toDouble
+      acc = acc.add(java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
     }
-    val na = math.sqrt(dot(a, a))
-    val nb = math.sqrt(dot(b, b))
-    if (na == 0.0 || nb == 0.0) None else Some(dot(a, b) / (na * nb))
+    acc.doubleValue
   }
 
   /** Exact-decimal squared-L2 distance from a float vector to a double

@@ -1006,15 +1006,37 @@ object VectorCatalog {
     import spark.implicits._
     val corpus = nearDupCorpus(spark, sfDir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // eval norms hoisted once, decimal-exact (= what cosineDecJvm uses)
     val eval = corpus.filter(_._1 < 5).collect().sortBy(_._1)
+      .map { case (qid, qe) => (qid, qe, math.sqrt(dotDecJvm(qe, qe))) }
     val bc = spark.sparkContext.broadcast(eval)
     corpus.filter(_._1 >= 5)
       .map { case (id, e) =>
+        val qs = bc.value
+        val na = math.sqrt(dotDecJvm(e, e))
+        // double pre-screen (same soundness argument as the k-means
+        // argmin): plain-double cosine is within ~1e-12 of the decimal
+        // one, so only candidates within 1e-9 of the double max can be
+        // the decimal argmax — usually one — and only those pay the
+        // decimal dot; ties go to the lowest eval id
+        val dd = qs.map { case (_, qe, nb) =>
+          var s = 0.0
+          var i = 0
+          while (i < e.length) { s += e(i).toDouble * qe(i).toDouble; i += 1 }
+          if (na == 0.0 || nb == 0.0) Double.NegativeInfinity else s / (na * nb)
+        }
+        val maxD = dd.max
         var bestQ = -1L
         var best = Double.NegativeInfinity
-        for ((qid, qe) <- bc.value) {
-          val c = cosineDecJvm(e, qe).getOrElse(Double.NegativeInfinity)
-          if (c > best) { best = c; bestQ = qid }
+        var j = 0
+        while (j < qs.length) {
+          if (dd(j) >= maxD - 1e-9) {
+            val (qid, qe, nb) = qs(j)
+            val c = if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+                    else dotDecJvm(e, qe) / (na * nb)
+            if (c > best) { best = c; bestQ = qid }
+          }
+          j += 1
         }
         (id, bestQ, best, best >= 0.9)
       }
