@@ -833,7 +833,11 @@ object TextCatalog {
     * pipeline bit-for-bit. Scale: quality is a narrow map, exact dedup
     * shuffles 16-byte hashes, the near-dup stage shuffles (band, key)
     * pairs — nothing materializes O(n²). */
-  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The curation survivor set (quality filter → exact dedup → simhash
+    * near-dup drop) — shared by [[curationPipeline]] (which reduces it
+    * to per-lang stats) and [[pipelineE2e]] (which carries it on through
+    * split + mixture). */
+  private def curationKept(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = tokens(col("text"))
     val en = LangProfiles.toMap.apply("en")
@@ -848,18 +852,23 @@ object TextCatalog {
       .filter(col("_rn") === 1).drop("_rn")
     val dropped = simhashPairsOf(exact.select(col("doc_id"), col("text")))
       .select(col("d2")).distinct()
-    val kept = exact.join(dropped, exact("doc_id") === dropped("d2"), "left_anti")
-    kept.groupBy(col("lang"))
+    exact.join(dropped, exact("doc_id") === dropped("d2"), "left_anti")
+  }
+
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    curationKept(spark, sfDir).groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_kept"),
         sum(col("n_chars")).as("total_chars"),
         (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"))
       .orderBy("lang")
-  }
 
-  val curationPipelineSql: String = {
+  /** The curation WITH-body (quality → exact → simhash-dropped) shared
+    * by [[curationPipelineSql]] and [[pipelineE2eSql]]; survivors =
+    * `exact` rows whose doc_id is not in `dropped`. */
+  private val curationCtesSql: String = {
     val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH quality AS (
+    s"""quality AS (
        |  SELECT doc_id, lang, n_chars, text,
        |    len(string_split(text, ' ')) AS n_words,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS DOUBLE)
@@ -880,7 +889,11 @@ object TextCatalog {
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
-       |)
+       |)""".stripMargin
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH $curationCtesSql
        |SELECT lang, COUNT(*) AS n_kept,
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_words
@@ -888,7 +901,6 @@ object TextCatalog {
        |WHERE doc_id NOT IN (SELECT d2 FROM dropped)
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
-  }
 
   /** Gopher-style repetition signals — the standard pretraining-data
     * repetition filters at word and 2-gram granularity (duplicate-word
@@ -1159,14 +1171,17 @@ object TextCatalog {
     * shape on both engines ((w · T) / toks — each op correctly rounded,
     * so bit-identical); the Bernoulli threshold is integerized
     * (floor(frac·1e6) vs hash mod 1e6) so the comparison is exact. */
-  def mixture(spark: SparkSession, sfDir: String): DataFrame = {
-    val weights = Seq("en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15)
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
+  private val MixWeights = Seq(
+    "en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15)
+
+  /** The mixture's copy computation over ANY (doc_id, lang, n_toks)
+    * frame — shared by [[mixture]] (whole corpus) and [[pipelineE2e]]
+    * (the curated train split). Adds `copies`; rows with 0 copies are
+    * sampled out. */
+  private def mixtureCopies(docs: DataFrame): DataFrame = {
     val langToks = docs.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
     val total = docs.agg(sum("n_toks").as("total_toks"))
-    val w = weights.foldLeft(lit(0.0)) { case (acc, (l, v)) =>
+    val w = MixWeights.foldLeft(lit(0.0)) { case (acc, (l, v)) =>
       when(col("lang") === l, lit(v)).otherwise(acc)
     }
     val rate = (w * col("total_toks").cast("double")) / col("lang_toks").cast("double")
@@ -1176,37 +1191,110 @@ object TextCatalog {
     docs.join(langToks, Seq("lang")).crossJoin(total)
       .select(col("doc_id"), col("lang"), col("n_toks"), copies)
       .filter(col("copies") >= 1)
+  }
+
+  def mixture(spark: SparkSession, sfDir: String): DataFrame =
+    mixtureCopies(
+      Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks")))
       .select(col("doc_id"), explode(expr("sequence(1, copies)")).as("copy"),
         col("lang"), col("n_toks"))
       .orderBy("doc_id", "copy")
-  }
 
-  val mixtureSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
-      |  FROM documents WHERE text IS NOT NULL
-      |), lt AS (
-      |  SELECT lang, SUM(n_toks) AS lang_toks FROM d GROUP BY lang
-      |), t AS (
-      |  SELECT SUM(n_toks) AS total_toks FROM d
-      |), r AS (
+  /** The mixture copy-count CTE chain over docs CTE `src` (doc_id, lang,
+    * n_toks), ending in `mx_c` with a `copies` column — the SQL twin of
+    * [[mixtureCopies]], weights interpolated from [[MixWeights]]. */
+  private def mixtureCtesSql(src: String): String = {
+    val cases = MixWeights
+      .map { case (l, v) => s"WHEN '$l' THEN $v::DOUBLE" }.mkString(" ")
+    s"""mx_lt AS (
+      |  SELECT lang, SUM(n_toks) AS lang_toks FROM $src GROUP BY lang
+      |), mx_t AS (
+      |  SELECT SUM(n_toks) AS total_toks FROM $src
+      |), mx_r AS (
       |  SELECT d.doc_id, d.lang, d.n_toks,
-      |    (CASE d.lang WHEN 'en' THEN 0.30::DOUBLE WHEN 'zh' THEN 0.20::DOUBLE
-      |                 WHEN 'es' THEN 0.20::DOUBLE WHEN 'de' THEN 0.15::DOUBLE
-      |                 WHEN 'fr' THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
+      |    (CASE d.lang $cases ELSE 0.0::DOUBLE END
       |     * CAST(t.total_toks AS DOUBLE)) / CAST(lt.lang_toks AS DOUBLE) AS rate
-      |  FROM d JOIN lt USING (lang) CROSS JOIN t
-      |), c AS (
+      |  FROM $src d JOIN mx_lt lt USING (lang) CROSS JOIN mx_t t
+      |), mx_c AS (
       |  SELECT doc_id, lang, n_toks,
       |    CAST(floor(rate) AS INTEGER)
       |      + CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || '|mix') % 1000000
       |               < CAST(floor((rate - floor(rate)) * 1000000.0) AS BIGINT)
       |             THEN 1 ELSE 0 END AS copies
-      |  FROM r
-      |)
+      |  FROM mx_r
+      |)""".stripMargin
+  }
+
+  val mixtureSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), ${mixtureCtesSql("d")}
       |SELECT doc_id, CAST(unnest(range(1, copies + 1)) AS INTEGER) AS copy, lang, n_toks
-      |FROM c
+      |FROM mx_c
       |ORDER BY doc_id, copy""".stripMargin
+
+  /** The full training-data pipeline as ONE query (`q_pipeline_e2e`) —
+    * the flagship composition a user of this engine actually runs:
+    * quality filter → exact dedup → simhash near-dup drop (the
+    * [[curationKept]] survivor set) → deterministic hash split
+    * ([[splitBucket]]) → data-mixture resampling of the TRAIN portion
+    * ([[mixtureCopies]], rates computed over the curated train tokens —
+    * you mix what you train on, not the raw corpus) → per-(lang, split)
+    * doc/copy/token accounting. Every stage is the same shared code its
+    * standalone query uses, so this proves the operators COMPOSE — one
+    * plan, no materialization barriers between stages.
+    *
+    * Scale: inherits each stage's shape — banded simhash (never O(n²)),
+    * zero-shuffle split expr, broadcast mixture rates; the only
+    * additions are the final small aggregation. */
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = curationKept(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_words").as("n_toks"))
+      .withColumn("split", splitName(splitBucket))
+    val train = mixtureCopies(sp.filter(col("split") === "train")
+        .select(col("doc_id"), col("lang"), col("n_toks")))
+      .select(col("lang"), lit("train").as("split"), col("doc_id"),
+        col("copies"), col("n_toks"))
+    val rest = sp.filter(col("split") =!= "train")
+      .select(col("lang"), col("split"), col("doc_id"),
+        lit(1).as("copies"), col("n_toks"))
+    train.unionByName(rest)
+      .groupBy(col("lang"), col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("copies")).cast("long").as("n_copies"),
+        sum(col("copies") * col("n_toks")).cast("long").as("n_toks"))
+      .orderBy("lang", "split")
+  }
+
+  val pipelineE2eSql: String =
+    s"""WITH $curationCtesSql,
+      |kept AS (
+      |  SELECT doc_id, lang, n_words AS n_toks,
+      |    CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || '|split') % 100 < 90 THEN 'train'
+      |         WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || '|split') % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM exact
+      |  WHERE doc_id NOT IN (SELECT d2 FROM dropped)
+      |), tr AS (
+      |  SELECT doc_id, lang, n_toks FROM kept WHERE split = 'train'
+      |), ${mixtureCtesSql("tr")},
+      |fin AS (
+      |  SELECT lang, 'train' AS split, doc_id, copies, n_toks
+      |  FROM mx_c WHERE copies >= 1
+      |  UNION ALL
+      |  SELECT lang, split, doc_id, 1 AS copies, n_toks
+      |  FROM kept WHERE split <> 'train'
+      |)
+      |SELECT lang, split,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(SUM(copies) AS BIGINT) AS n_copies,
+      |  CAST(SUM(copies * n_toks) AS BIGINT) AS n_toks
+      |FROM fin
+      |GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
 
   /** Per-source token-budget cap (`q_doc_source_cap`) — quota curation:
     * cap every source's contribution by keeping its most valuable
@@ -1378,6 +1466,7 @@ object TextCatalog {
     "q_doc_split_safe"  -> (clusterSplit _),
     "q_doc_mixture"     -> (mixture _),
     "q_doc_source_cap"  -> (sourceCap _),
+    "q_pipeline_e2e"    -> (pipelineE2e _),
     "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
@@ -1404,6 +1493,7 @@ object TextCatalog {
     "q_doc_split_safe"  -> clusterSplitSql,
     "q_doc_mixture"     -> mixtureSql,
     "q_doc_source_cap"  -> sourceCapSql,
+    "q_pipeline_e2e"    -> pipelineE2eSql,
     "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,

@@ -251,6 +251,31 @@ class TextSpec extends SparkSpec {
       "cap dropped nothing — vacuous")
   }
 
+  test("pipelineE2e: consistent with standalone curation, mixture semantics hold") {
+    val pipe = TextCatalog.pipelineE2e(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val cur = TextCatalog.curationPipeline(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pipe.keySet.map(_._2) == Set("train", "val", "test"))
+    // val/test pass through the mixture untouched: one copy per doc
+    pipe.foreach { case ((l, s), (d, c, _)) =>
+      if (s != "train") assert(c == d, s"($l,$s) resampled outside train")
+    }
+    // doc conservation per lang: the pipeline's docs across splits can't
+    // exceed the standalone curation's kept count (train may lose docs
+    // to mixture downsampling, never gain)
+    pipe.keySet.map(_._1).foreach { lang =>
+      val docs = pipe.collect { case ((`lang`, _), (d, _, _)) => d }.sum
+      assert(docs <= cur(lang), s"$lang: pipeline $docs > curated ${cur(lang)}")
+      assert(docs >= cur(lang) / 2, s"$lang: implausible attrition $docs of ${cur(lang)}")
+    }
+    // the train-side mixture really fires inside the composition:
+    // somewhere a doc was duplicated (copies > docs)
+    assert(pipe.exists { case ((_, s), (d, c, _)) => s == "train" && c > d },
+      "no train upsampling anywhere — mixture stage vacuous in the pipeline")
+  }
+
   test("lmScore: every split scored, scores finite-negative, backoff not vacuous") {
     val out = TextCatalog.lmScore(spark, sf001).collect()
     assert(out.map(_.getString(1)).toSet == Set("train", "val", "test"))
