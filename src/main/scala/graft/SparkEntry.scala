@@ -45,6 +45,7 @@ object SparkEntry {
     TpchCatalog.queries ++ EventsCatalog.queries ++ ListingCatalog.queries ++ UdfCatalog.queries ++ TextCatalog.queries ++ VectorCatalog.queries ++ MiscCatalog.queries ++ Map(
       "q_media_features" -> (graft.multimodal.Multimodal.featureProfile _),
       "q_media_bytes" -> (graft.multimodal.Multimodal.byteProfile _),
+      "q_media_dedup" -> (graft.multimodal.Multimodal.mediaDedup _),
       // seeded stratified downsample profile (rows-only: engine RNG streams
       // aren't ANSI-SQL-reproducible; determinism proven in IOSpec)
       // bounded per-group reservoir sample via the TypedImperativeAggregate
@@ -80,5 +81,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle ++ VectorCatalog.oracle ++ MiscCatalog.oracle ++ Map(
-      "q_media_bytes" -> graft.multimodal.Multimodal.byteProfileSql)
+      "q_media_bytes" -> graft.multimodal.Multimodal.byteProfileSql,
+      "q_media_dedup" -> graft.multimodal.Multimodal.mediaDedupSql)
 }

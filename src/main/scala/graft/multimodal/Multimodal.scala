@@ -160,6 +160,129 @@ object Multimodal {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  /** Payload for the media-dedup corpus: md5-derived bytes, so distinct
+    * ids give statistically independent content (the [[syntheticMedia]]
+    * LCG payloads are all rotations of ONE cyclic sequence — every pair
+    * is a structural near-dup, useless for testing a detector). `pert`
+    * bumps one byte per 128 — a sparse corruption standing in for
+    * re-encoding noise. */
+  private def dedupPayload(i: Long, pert: Boolean): Array[Byte] = {
+    val ln = 256 + (i * 37 % 512).toInt
+    val b = Array.tabulate(ln) { j =>
+      java.lang.Long.remainderUnsigned(
+        graft.functions.TextOps.md5Upper64(s"$i|$j"), 251L).toByte
+    }
+    if (pert) {
+      var j = 0
+      while (j < ln) { b(j) = (((b(j) & 0xff) + 1) % 251).toByte; j += 128 }
+    }
+    b
+  }
+
+  /** Byte-level simhash: votes over md5-hashed overlapping 4-byte grams
+    * (hex-spelled — the TextOps discipline, so DuckDB rebuilds the exact
+    * signature). With real codecs this would be a perceptual hash over
+    * decoded pixels/spectra; the gram signature is the honest analog on
+    * the layer below the stub, and the banding/verify machinery is
+    * identical either way. */
+  def mediaSimhash64(content: Array[Byte]): Long = {
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j + 3 < content.length) {
+      val sb = new java.lang.StringBuilder(8)
+      var t = 0
+      while (t < 4) { sb.append(f"${content(j + t) & 0xff}%02x"); t += 1 }
+      val h = graft.functions.TextOps.md5Upper64(sb.toString)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Near-duplicate media detection over the binary layer
+    * (`q_media_dedup`) — the multimodal member of the dedup family:
+    * byte-gram simhash per payload, banded 8×8 (pigeonhole: hamming ≤ 7
+    * always shares a band; the planted corruptions measure ≤ 9 and all
+    * share bands), within-band candidates verified by exact
+    * hamming ≤ 12. Planted: 5 exact copies (ids 10000-10004) and 5
+    * sparse corruptions (ids 10005-10009); unrelated md5-derived
+    * payloads measure hamming ≥ ~25, so the detector separates cleanly
+    * and the driver hash-checks the whole decision. Scale shape: the
+    * signature is one narrow pass, the join shuffles (band, key) pairs —
+    * never O(n²) payload comparisons; payload bytes never shuffle at
+    * all. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(300)
+      .map(i => (i.toLong, dedupPayload(i, pert = false)))
+    val exact = spark.range(5)
+      .map(i => (i + 10000L, dedupPayload(i, pert = false)))
+    val near = spark.range(5, 10)
+      .map(i => (i + 10000L, dedupPayload(i, pert = true)))
+    val sigs = base.union(exact).union(near)
+      .map { case (id, c) => (id, mediaSimhash64(c)) }
+      .toDF("media_id", "sig")
+    val bands = sigs.select(col("media_id"), col("sig"),
+      explode(expr("transform(sequence(0, 7), b -> " +
+        "struct(b AS band, shiftright(sig, b * 8) & 255 AS key))")).as("bk"))
+      .select(col("media_id"), col("sig"), col("bk.band"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("m1"), col("y.media_id").as("m2"),
+        graft.functions.TextOps.hamming(col("x.sig"), col("y.sig")).as("dist"))
+      .filter(col("dist") <= 12)
+      .dropDuplicates("m1", "m2")
+      .orderBy("m1", "m2")
+  }
+
+  val mediaDedupSql: String =
+    """WITH m AS (
+      |  SELECT i AS media_id, i AS orig, 256 + (i * 37 % 512) AS len, FALSE AS pert
+      |  FROM range(0, 300) t(i)
+      |  UNION ALL SELECT i + 10000, i, 256 + (i * 37 % 512), FALSE FROM range(0, 5) t(i)
+      |  UNION ALL SELECT i + 10000, i, 256 + (i * 37 % 512), TRUE FROM range(5, 10) t(i)
+      |), byts AS (
+      |  SELECT media_id, j,
+      |    CAST(CASE WHEN pert AND j % 128 = 0
+      |         THEN (md5_number_upper(CAST(orig AS VARCHAR) || '|' || CAST(j AS VARCHAR)) % 251 + 1) % 251
+      |         ELSE md5_number_upper(CAST(orig AS VARCHAR) || '|' || CAST(j AS VARCHAR)) % 251 END
+      |      AS BIGINT) AS v
+      |  FROM m, (SELECT unnest(range(0, len)) AS j)
+      |), g AS (
+      |  SELECT media_id, j,
+      |    md5_number_upper(format('{:02x}{:02x}{:02x}{:02x}', v,
+      |      lead(v, 1) OVER w, lead(v, 2) OVER w, lead(v, 3) OVER w)) AS h
+      |  FROM byts
+      |  WINDOW w AS (PARTITION BY media_id ORDER BY j)
+      |  QUALIFY lead(v, 3) OVER w IS NOT NULL
+      |), votes AS (
+      |  SELECT media_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vt
+      |  FROM g, range(0, 64) r(b)
+      |  GROUP BY media_id, b
+      |), acc AS (
+      |  SELECT media_id, SUM(CASE WHEN vt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+      |  FROM votes GROUP BY media_id
+      |), sg AS (
+      |  SELECT media_id,
+      |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+      |                  THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS sig
+      |  FROM acc
+      |), bands AS (
+      |  SELECT media_id, sig, b AS band, (sig >> CAST(b * 8 AS INTEGER)) & 255 AS key
+      |  FROM sg, range(0, 8) r(b)
+      |)
+      |SELECT DISTINCT x.media_id AS m1, y.media_id AS m2,
+      |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS dist
+      |FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.key = y.key AND x.media_id < y.media_id
+      |WHERE bit_count(xor(x.sig, y.sig)) <= 12
+      |ORDER BY m1, m2""".stripMargin
+
   /** Rows-only catalog query: synthesize → batch-extract → profile per
     * kind. Deterministic, so the driver's rows-only check is stable; no
     * SQL oracle (binary payloads + custom features). */

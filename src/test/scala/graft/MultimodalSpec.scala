@@ -59,4 +59,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
+
+  test("media dedup finds exactly the planted copies: exact at 0, corruptions under 12") {
+    val pairs = Multimodal.mediaDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // each planted duplicate pairs with its original and nothing else
+    assert(pairs.map(p => (p._1, p._2)).toSeq ==
+      (0L until 10L).map(i => (i, i + 10000L)),
+      s"wrong pair set: ${pairs.mkString(", ")}")
+    // exact copies at hamming 0; sparse corruptions strictly positive but
+    // separated by a wide margin from unrelated payloads (~32 expected)
+    pairs.foreach { case (m1, _, d) =>
+      if (m1 < 5) assert(d == 0, s"exact copy $m1 at hamming $d")
+      else assert(d > 0 && d <= 12, s"corruption $m1 at hamming $d")
+    }
+  }
 }
