@@ -1296,6 +1296,53 @@ object TextCatalog {
       |GROUP BY lang, split
       |ORDER BY lang, split""".stripMargin
 
+  /** Corpus profile / dataset card (`q_corpus_profile`): the summary
+    * every dataset release ships — doc/token/char mass and short-doc
+    * counts per language, per source, and overall, in ONE grouping-sets
+    * pass (no three separate scans). Exact integer sums; the one double
+    * (avg tokens) is an exact bigint→double division, identical in both
+    * engines. At 100 TB this is the same single-shuffle shape as any
+    * grouped aggregate — grouping sets replicate rows per matching set
+    * inside the partial aggregation, not via re-scans. */
+  def corpusProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).as("n_toks"), col("n_chars"))
+      .createOrReplaceTempView("v_docs_profile")
+    spark.sql(
+      """SELECT lang, source,
+        |  CAST(grouping(lang) AS INT) AS g_lang,
+        |  CAST(grouping(source) AS INT) AS g_source,
+        |  COUNT(*) AS n_docs,
+        |  SUM(n_toks) AS n_tokens,
+        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_toks,
+        |  SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS n_short
+        |FROM v_docs_profile
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY g_lang, g_source,
+        |  lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
+  }
+
+  val corpusProfileSql: String =
+    """WITH d AS (
+      |  SELECT lang, source, len(string_split(text, ' ')) AS n_toks, n_chars
+      |  FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT lang, source,
+      |  CAST(grouping(lang) AS INT) AS g_lang,
+      |  CAST(grouping(source) AS INT) AS g_source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(CAST(SUM(n_toks) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_toks,
+      |  CAST(SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |FROM d
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY g_lang, g_source,
+      |  lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   /** Per-source token-budget cap (`q_doc_source_cap`) — quota curation:
     * cap every source's contribution by keeping its most valuable
     * documents (longest first — n_chars DESC, doc_id tiebreak) until the
@@ -1467,6 +1514,7 @@ object TextCatalog {
     "q_doc_mixture"     -> (mixture _),
     "q_doc_source_cap"  -> (sourceCap _),
     "q_pipeline_e2e"    -> (pipelineE2e _),
+    "q_corpus_profile"  -> (corpusProfile _),
     "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
@@ -1494,6 +1542,7 @@ object TextCatalog {
     "q_doc_mixture"     -> mixtureSql,
     "q_doc_source_cap"  -> sourceCapSql,
     "q_pipeline_e2e"    -> pipelineE2eSql,
+    "q_corpus_profile"  -> corpusProfileSql,
     "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,
