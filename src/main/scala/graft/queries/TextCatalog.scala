@@ -1175,13 +1175,15 @@ object TextCatalog {
     "en" -> 0.30, "zh" -> 0.20, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.15)
 
   /** The mixture's copy computation over ANY (doc_id, lang, n_toks)
-    * frame — shared by [[mixture]] (whole corpus) and [[pipelineE2e]]
-    * (the curated train split). Adds `copies`; rows with 0 copies are
-    * sampled out. */
-  private def mixtureCopies(docs: DataFrame): DataFrame = {
+    * frame — shared by [[mixture]] (whole corpus), [[pipelineE2e]]
+    * (the curated train split), and PropertySpec (random weight maps).
+    * Adds `copies`; rows with 0 copies are sampled out. */
+  private[graft] def mixtureCopies(
+      docs: DataFrame,
+      weights: Seq[(String, Double)] = MixWeights): DataFrame = {
     val langToks = docs.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
     val total = docs.agg(sum("n_toks").as("total_toks"))
-    val w = MixWeights.foldLeft(lit(0.0)) { case (acc, (l, v)) =>
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (l, v)) =>
       when(col("lang") === l, lit(v)).otherwise(acc)
     }
     val rate = (w * col("total_toks").cast("double")) / col("lang_toks").cast("double")
@@ -1359,7 +1361,11 @@ object TextCatalog {
     * the [[graft.plans.TopKAggregate]] bounded-heap aggregate instead —
     * this form is for token-mass (not count) budgets, where the full
     * per-source ordering is inherent to the semantics. */
-  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame =
+    sourceCapAt(spark, sfDir, 0.6)
+
+  private[graft] def sourceCapAt(spark: SparkSession, sfDir: String,
+      frac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("source"))
     val ord = bySrc.orderBy(col("n_chars").desc, col("doc_id").asc)
@@ -1371,7 +1377,7 @@ object TextCatalog {
       .withColumn("cum_before",
         coalesce(sum(col("n_toks")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("rank_in_source", row_number().over(ord))
-      .filter(col("cum_before").cast("double") < lit(0.6) * col("src_toks").cast("double"))
+      .filter(col("cum_before").cast("double") < lit(frac) * col("src_toks").cast("double"))
       .select(col("source"), col("rank_in_source"), col("doc_id"), col("n_toks"))
       .orderBy("source", "rank_in_source")
   }

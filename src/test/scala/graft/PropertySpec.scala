@@ -51,6 +51,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixture copies re-derive exactly under random weight maps") {
+    import graft.functions.TextOps.md5Upper64
+    val langs = Seq("en", "zh", "es", "de", "fr")
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
+    val base = raw.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val wGen = Gen.listOfN(5, Gen.choose(0.0, 3.0))
+    samples(wGen, 6).foreach { ws =>
+      val weights = langs.zip(ws)
+      val out = graft.queries.TextCatalog.mixtureCopies(raw, weights).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      // JVM re-derivation with the IDENTICAL expression shape: rate =
+      // (w * total) / langToks in doubles, threshold integerized
+      val total = base.map(_._3.toLong).sum
+      val langToks = base.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+      val wMap = weights.toMap
+      val expected = base.flatMap { case (id, lang, toks) =>
+        val rate = (wMap.getOrElse(lang, 0.0) * total.toDouble) / langToks(lang).toDouble
+        val thr = math.floor((rate - math.floor(rate)) * 1000000.0).toLong
+        val extra =
+          if (java.lang.Long.remainderUnsigned(md5Upper64(s"$id|mix"), 1000000L) < thr) 1 else 0
+        val copies = math.floor(rate).toInt + extra
+        if (copies >= 1) Some((id, lang, toks, copies)) else None
+      }
+      assert(out.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq,
+        s"mixture disagrees with re-derivation for weights $weights")
+    }
+  }
+
+  test("sourceCap keeps the minimal crossing prefix at random budget fractions") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._2)
+    samples(Gen.choose(0.05, 0.95), 6).foreach { frac =>
+      val kept = graft.queries.TextCatalog.sourceCapAt(spark, sf0001, frac).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      corpus.foreach { case (src, docs) =>
+        val ordered = docs.sortBy(d => (-d._3, d._1))
+        val target = frac * docs.map(_._4.toLong).sum
+        val ks = kept.getOrElse(src, Seq.empty)
+        assert(ks.nonEmpty, s"$src lost entirely at frac $frac")
+        assert(ks == ordered.take(ks.length).map(_._1).toSeq,
+          s"$src kept set not a prefix at frac $frac")
+        val keptToks = ordered.take(ks.length).map(_._4.toLong).sum
+        val lastToks = ordered(ks.length - 1)._4.toLong
+        assert(keptToks >= target || ks.length == docs.length,
+          s"$src budget unfilled at frac $frac")
+        assert(keptToks - lastToks < target,
+          s"$src kept beyond the crossing doc at frac $frac")
+      }
+    }
+  }
+
   test("approx_count_distinct within 10% of exact on lineitem") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val exact = li.select(countDistinct("l_orderkey")).head.getLong(0)
