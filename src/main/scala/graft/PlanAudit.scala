@@ -163,6 +163,14 @@ object PlanAudit {
     check("q_vec_semdedup", sem, "within-cell pair join keyed on c (no cartesian/BNLJ)",
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
 
+    // the incremental media probe must broadcast the new batch into the
+    // history scan — a sort-merge fallback would shuffle the history,
+    // which is the exact anti-pattern the incremental path exists to
+    // avoid
+    val mincr = plan(graft.multimodal.Multimodal.mediaDedupIncr(spark, sfDir))
+    check("q_media_dedup_incr", mincr, "new batch broadcast into history scan (no SMJ)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+
     // every catalog query's ANALYZED plan must be free of trivially-true
     // join equalities (left semantically equal to right): when a self-join
     // condition like q("tbl") === e("tbl") resolves both sides to the SAME

@@ -46,6 +46,7 @@ object SparkEntry {
       "q_media_features" -> (graft.multimodal.Multimodal.featureProfile _),
       "q_media_bytes" -> (graft.multimodal.Multimodal.byteProfile _),
       "q_media_dedup" -> (graft.multimodal.Multimodal.mediaDedup _),
+      "q_media_dedup_incr" -> (graft.multimodal.Multimodal.mediaDedupIncr _),
       // seeded stratified downsample profile (rows-only: engine RNG streams
       // aren't ANSI-SQL-reproducible; determinism proven in IOSpec)
       // bounded per-group reservoir sample via the TypedImperativeAggregate
@@ -82,5 +83,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchCatalog.oracle ++ EventsCatalog.oracle ++ ListingCatalog.oracle ++ UdfCatalog.oracle ++ TextCatalog.oracle ++ VectorCatalog.oracle ++ MiscCatalog.oracle ++ Map(
       "q_media_bytes" -> graft.multimodal.Multimodal.byteProfileSql,
-      "q_media_dedup" -> graft.multimodal.Multimodal.mediaDedupSql)
+      "q_media_dedup" -> graft.multimodal.Multimodal.mediaDedupSql,
+      "q_media_dedup_incr" -> graft.multimodal.Multimodal.mediaDedupIncrSql)
 }

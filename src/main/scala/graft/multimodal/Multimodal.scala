@@ -226,10 +226,7 @@ object Multimodal {
     val sigs = base.union(exact).union(near)
       .map { case (id, c) => (id, mediaSimhash64(c)) }
       .toDF("media_id", "sig")
-    val bands = sigs.select(col("media_id"), col("sig"),
-      explode(expr("transform(sequence(0, 7), b -> " +
-        "struct(b AS band, shiftright(sig, b * 8) & 255 AS key))")).as("bk"))
-      .select(col("media_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val bands = mediaBandsOf(sigs)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.media_id") < col("y.media_id"))
@@ -282,6 +279,47 @@ object Multimodal {
       |  ON x.band = y.band AND x.key = y.key AND x.media_id < y.media_id
       |WHERE bit_count(xor(x.sig, y.sig)) <= 12
       |ORDER BY m1, m2""".stripMargin
+
+  /** Band explosion of a (media_id, sig) frame — shared by the one-shot
+    * [[mediaDedup]] self-join and the incremental probe. */
+  private def mediaBandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id"), col("sig"),
+      explode(expr("transform(sequence(0, 7), b -> " +
+        "struct(b AS band, shiftright(sig, b * 8) & 255 AS key))")).as("bk"))
+      .select(col("media_id"), col("sig"), col("bk.band"), col("bk.key"))
+
+  /** Incremental media dedup (`q_media_dedup_incr`) — the probe-shaped
+    * twin of [[mediaDedup]], mirroring the text family's
+    * `q_doc_dedup_incr`: the historical signature index is only ever
+    * SCANNED (at 100 TB it is the persisted band index; re-shuffling it
+    * per arriving batch is the anti-pattern), while the new batch's
+    * bands BROADCAST into a narrow hash probe. Same planted batch as
+    * [[mediaDedup]], so the decision is identical — what this query
+    * oracle-checks is the incremental JOIN SHAPE producing it. */
+  def mediaDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val histSigs = spark.range(300)
+      .map(i => (i.toLong, mediaSimhash64(dedupPayload(i, pert = false))))
+      .toDF("media_id", "sig")
+    val newSigs = spark.range(10)
+      .map(i => (i + 10000L,
+        mediaSimhash64(dedupPayload(i, pert = i >= 5))))
+      .toDF("media_id", "sig")
+    mediaBandsOf(histSigs).as("x")
+      .join(broadcast(mediaBandsOf(newSigs).as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.media_id").as("m1"), col("y.media_id").as("m2"),
+        graft.functions.TextOps.hamming(col("x.sig"), col("y.sig")).as("dist"))
+      .filter(col("dist") <= 12)
+      .dropDuplicates("m1", "m2")
+      .orderBy("m1", "m2")
+  }
+
+  val mediaDedupIncrSql: String =
+    mediaDedupSql.replace(
+      "ON x.band = y.band AND x.key = y.key AND x.media_id < y.media_id",
+      "ON x.band = y.band AND x.key = y.key\n" +
+        "  AND x.media_id < 10000 AND y.media_id >= 10000")
 
   /** Rows-only catalog query: synthesize → batch-extract → profile per
     * kind. Deterministic, so the driver's rows-only check is stable; no

@@ -74,4 +74,10 @@ class MultimodalSpec extends SparkSpec {
       else assert(d > 0 && d <= 12, s"corruption $m1 at hamming $d")
     }
   }
+
+  test("incremental media probe reaches the same decision as the one-shot dedup") {
+    val once = Multimodal.mediaDedup(spark, sf0001).collect().map(_.toSeq).toSeq
+    val incr = Multimodal.mediaDedupIncr(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(incr == once)
+  }
 }
