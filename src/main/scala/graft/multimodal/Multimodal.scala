@@ -166,7 +166,7 @@ object Multimodal {
     * is a structural near-dup, useless for testing a detector). `pert`
     * bumps one byte per 128 — a sparse corruption standing in for
     * re-encoding noise. */
-  private def dedupPayload(i: Long, pert: Boolean): Array[Byte] = {
+  private[graft] def dedupPayload(i: Long, pert: Boolean): Array[Byte] = {
     val ln = 256 + (i * 37 % 512).toInt
     val b = Array.tabulate(ln) { j =>
       java.lang.Long.remainderUnsigned(
@@ -288,6 +288,42 @@ object Multimodal {
         "struct(b AS band, shiftright(sig, b * 8) & 255 AS key))")).as("bk"))
       .select(col("media_id"), col("sig"), col("bk.band"), col("bk.key"))
 
+  /** The shared incremental probe: historical bands are only ever
+    * SCANNED, the new batch's bands BROADCAST into a narrow hash
+    * probe — hamming verification needs nothing but the signatures
+    * already in the index (unlike text MinHash, which re-reads stored
+    * shingles for the exact-Jaccard verify). */
+  private def mediaProbe(histBands: DataFrame, newSigs: DataFrame,
+      maxDist: Int): DataFrame =
+    histBands.as("x")
+      .join(broadcast(mediaBandsOf(newSigs).as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.media_id").as("m1"), col("y.media_id").as("m2"),
+        graft.functions.TextOps.hamming(col("x.sig"), col("y.sig")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .dropDuplicates("m1", "m2")
+      .orderBy("m1", "m2")
+
+  /** Persist (or extend) the media signature band index — the stored
+    * form of the banding [[mediaDedup]] computes in-session, epoch-keyed
+    * OVERWRITE like the text band index so streaming retries replace
+    * their own output ([[graft.streaming.Jobs.mediaIngest]] exactly-once
+    * semantics). */
+  private[graft] def appendMediaIndex(sigs: DataFrame, indexDir: String,
+      epoch: Long): Unit =
+    mediaBandsOf(sigs).write.mode("overwrite")
+      .parquet(s"$indexDir/bands/epoch=$epoch")
+
+  /** Probe a persisted media index with a new batch's signatures —
+    * history never shuffles; each arriving batch costs one index scan
+    * plus a broadcast. */
+  def mediaDedupAgainstIndex(newSigs: DataFrame, indexDir: String,
+      maxDist: Int = 12): DataFrame =
+    mediaProbe(
+      newSigs.sparkSession.read.parquet(s"$indexDir/bands")
+        .select("media_id", "sig", "band", "key"),
+      newSigs, maxDist)
+
   /** Incremental media dedup (`q_media_dedup_incr`) — the probe-shaped
     * twin of [[mediaDedup]], mirroring the text family's
     * `q_doc_dedup_incr`: the historical signature index is only ever
@@ -305,14 +341,7 @@ object Multimodal {
       .map(i => (i + 10000L,
         mediaSimhash64(dedupPayload(i, pert = i >= 5))))
       .toDF("media_id", "sig")
-    mediaBandsOf(histSigs).as("x")
-      .join(broadcast(mediaBandsOf(newSigs).as("y")),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
-      .select(col("x.media_id").as("m1"), col("y.media_id").as("m2"),
-        graft.functions.TextOps.hamming(col("x.sig"), col("y.sig")).as("dist"))
-      .filter(col("dist") <= 12)
-      .dropDuplicates("m1", "m2")
-      .orderBy("m1", "m2")
+    mediaProbe(mediaBandsOf(histSigs), newSigs, maxDist = 12)
   }
 
   val mediaDedupIncrSql: String =

@@ -412,6 +412,36 @@ object Jobs {
       }
       .start()
 
+  /** Streaming media ingestion through the growing signature index —
+    * the multimodal twin of [[dedupIngest]]: each micro-batch of
+    * (media_id, content) payloads is signed
+    * ([[graft.multimodal.Multimodal.mediaSimhash64]], a narrow map —
+    * payload bytes never shuffle), probed against the persisted band
+    * index (history scanned, batch broadcast), its near-dup pairs
+    * written under the epoch key, and its signatures appended as the
+    * next index epoch — so later batches dedup against STREAMED history
+    * too. Epoch-keyed overwrites keep retries exactly-once. */
+  def mediaIngest(media: DataFrame, indexDir: String, outDir: String,
+                  checkpointDir: String, maxDist: Int = 12): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val sigs = batch.as[(Long, Array[Byte])]
+          .map { case (id, c) =>
+            (id, graft.multimodal.Multimodal.mediaSimhash64(c))
+          }
+          .toDF("media_id", "sig")
+          .localCheckpoint(false)
+        graft.multimodal.Multimodal.mediaDedupAgainstIndex(sigs, indexDir, maxDist)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        graft.multimodal.Multimodal.appendMediaIndex(sigs, indexDir, epochId + 1)
+        ()
+      }
+      .start()
+
   /** Streaming IVF index maintenance — the ST twin of
     * [[graft.queries.VectorCatalog.buildIvfIndex]]: arriving vectors are
     * tagged with their cell by the broadcast coarse-quantizer model (a

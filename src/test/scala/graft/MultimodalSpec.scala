@@ -80,4 +80,44 @@ class MultimodalSpec extends SparkSpec {
     val incr = Multimodal.mediaDedupIncr(spark, sf0001).collect().map(_.toSeq).toSeq
     assert(incr == once)
   }
+
+  test("streaming media ingest dedups later batches against streamed history") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_media_ingest").toString
+    // base index: the 300 organic payloads at epoch 0
+    val baseSigs = spark.range(300)
+      .map(i => (i.toLong, Multimodal.mediaSimhash64(
+        Multimodal.dedupPayload(i, pert = false))))
+      .toDF("media_id", "sig")
+    Multimodal.appendMediaIndex(baseSigs, s"$dir/idx", epoch = 0L)
+    val fresh = Multimodal.dedupPayload(900L, pert = false) // not in the base
+    val in = MemoryStream[(Long, Array[Byte])]
+    def run(): Unit =
+      graft.streaming.Jobs.mediaIngest(in.toDF().toDF("media_id", "content"),
+        s"$dir/idx", s"$dir/out", s"$dir/cp").awaitTermination(60000)
+    // batch 1: an exact copy of base payload 3, plus the fresh payload
+    in.addData((30001L, Multimodal.dedupPayload(3L, pert = false)), (30002L, fresh))
+    run()
+    // batch 2: a sparse corruption of the STREAMED fresh payload (only
+    // findable if batch 1 extended the index), plus a corruption of base 7
+    val freshPert = fresh.clone()
+    var j = 0
+    while (j < freshPert.length) {
+      freshPert(j) = (((freshPert(j) & 0xff) + 1) % 251).toByte; j += 128
+    }
+    in.addData((30003L, freshPert),
+      (30004L, Multimodal.dedupPayload(7L, pert = true)))
+    run()
+    val pairs = spark.read.parquet(s"$dir/out")
+      .select(col("m1"), col("m2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 30001L)), s"base copy not caught: $pairs")
+    assert(pairs.contains((7L, 30004L)), s"second-batch corruption not caught: $pairs")
+    assert(pairs.contains((30002L, 30003L)),
+      s"streamed-history near-dup not caught — index did not grow: $pairs")
+    assert(!pairs.exists(_._2 == 30002L), s"fresh payload false-matched: $pairs")
+  }
 }
