@@ -1083,6 +1083,182 @@ object VectorCatalog {
       |WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Product quantization profile (`q_vec_pq`) — the FAISS-style
+    * compression step beside the scalar int8 profile ([[vecQuantize]]):
+    * split each 64-dim vector into 8 subvectors of 8 dims, train a
+    * 16-centroid codebook per subspace (stride init + ONE Lloyd round —
+    * the [[kmeansAssignWith]] discipline per subspace), encode every
+    * vector as 8 code bytes, and report the exact squared reconstruction
+    * error (= the sum of the 8 chosen per-subspace distances — no
+    * re-derivation needed). 64 floats become 8 bytes, the 32× shrink
+    * that makes billion-vector ANN RAM-resident.
+    *
+    * Parity discipline is the k-means one per subspace: exact-decimal
+    * distances with double pre-screen (screen margin 1e-6 ≫ the ~1e-11
+    * decimal-vs-double drift), argmin ties to the lowest code,
+    * scale-6-rounded means before one double division, recon error as
+    * the exact decimal sum rounded to 6. The m×ksub×sub model (~4 KB)
+    * lives on the driver and broadcasts — the corpus never self-joins;
+    * one update shuffle is m×ksub×sub-sized. */
+  def pqProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val n = corpusCount.get((spark, sfDir, false))(corpus.count())
+    pqProfileWith(corpus, n)
+  }
+
+  def pqProfileWith(corpus: DataFrame, n: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = 8; val sub = 8; val ksub = 16
+    val emb = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val stride = math.max(1L, n / ksub)
+    def sliceD(e: Array[Float], s: Int): Array[Double] =
+      Array.tabulate(sub)(t => e(s * sub + t).toDouble)
+    // init codebooks: subvectors of the stride-sampled vectors
+    var books: Array[Array[Array[Double]]] = {
+      val init = emb.filter(r => r._1 % stride == 0 && r._1 / stride < ksub)
+        .collect().sortBy(_._1)
+      Array.tabulate(m)(s => init.map { case (_, e) => sliceD(e, s) })
+    }
+    // per-row encode against broadcast codebooks: double pre-screen per
+    // subspace, exact-decimal argmin among the epsilon-close candidates
+    def encode(bks: Array[Array[Array[Double]]]) = {
+      val bc = spark.sparkContext.broadcast(bks)
+      emb.map { case (id, e) =>
+        val bk = bc.value
+        val code = new Array[Int](m)
+        var recon = java.math.BigDecimal.ZERO
+        var s = 0
+        while (s < m) {
+          val cents = bk(s)
+          val dd = new Array[Double](cents.length)
+          var minD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var acc = 0.0
+            var t = 0
+            while (t < sub) {
+              val d = e(s * sub + t).toDouble - cents(c)(t); acc += d * d; t += 1
+            }
+            dd(c) = acc
+            if (acc < minD) minD = acc
+            c += 1
+          }
+          var bestC = -1
+          var bestD: java.math.BigDecimal = null
+          c = 0
+          while (c < cents.length) {
+            if (dd(c) <= minD + 1e-6) {
+              var acc = java.math.BigDecimal.ZERO
+              var t = 0
+              while (t < sub) {
+                val d = e(s * sub + t).toDouble - cents(c)(t)
+                acc = acc.add(java.math.BigDecimal.valueOf(d * d)
+                  .setScale(12, java.math.RoundingMode.HALF_UP))
+                t += 1
+              }
+              if (bestD == null || acc.compareTo(bestD) < 0) { bestC = c; bestD = acc }
+            }
+            c += 1
+          }
+          code(s) = bestC
+          recon = recon.add(bestD)
+          s += 1
+        }
+        (id, e, code, new scala.math.BigDecimal(recon))
+      }
+    }
+    // one Lloyd round: per-(subspace, code, dim) decimal means, rounded
+    // to scale 6 before the single double division (bit-identical
+    // centroids both engines), collected back into the driver model
+    val mRows = encode(books)
+      .flatMap { case (_, e, code, _) =>
+        for (d <- 0 until m * sub)
+          yield (d / sub, code(d / sub), d % sub, e(d).toDouble)
+      }
+      .toDF("s", "c", "t", "x")
+      .groupBy(col("s"), col("c"), col("t"))
+      .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(26, 12))).as("sm"),
+        count(lit(1)).as("nv"))
+      .select(col("s"), col("c"), col("t"),
+        (round(col("sm"), 6).cast("double") / col("nv")).as("mv"))
+      .collect()
+    books = Array.tabulate(m) { s =>
+      val bySub = mRows.filter(_.getInt(0) == s)
+      Array.tabulate(ksub) { c =>
+        val rows = bySub.filter(_.getInt(1) == c)
+        if (rows.isEmpty) books(s)(c) // empty code cell keeps its init centroid
+        else rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      }
+    }
+    encode(books)
+      .map { case (id, _, code, recon) =>
+        (id, code.mkString("-"),
+          recon.setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("vec_id", "code", "recon_err")
+      .orderBy("vec_id")
+  }
+
+  /** One subspace's CTE chain for [[pqProfileSql]]: stride init over the
+    * dim slice, one assign/update round (empty code cells keep their
+    * init centroid, mirroring the engine), final assignment carrying
+    * (vec_id, c, dist). */
+  private def pqSubspaceSql(s: Int): String = {
+    val lo = s * 8 + 1
+    val hi = s * 8 + 8
+    def assign(centCte: String, out: String, keepEmb: Boolean): String = {
+      val embCol = if (keepEmb) "embedding, " else ""
+      s"""$out AS (
+        |  SELECT vec_id, ${embCol}c, dist FROM (
+        |    SELECT vec_id, ${embCol}c, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+        |    FROM (
+        |      SELECT e.vec_id, ${if (keepEmb) "e.embedding, " else ""}cc.c,
+        |        list_sum(list_transform(range($lo, ${hi + 1}),
+        |          i -> CAST((CAST(e.embedding[i] AS DOUBLE) - cc.cent[i - $lo + 1])
+        |                  * (CAST(e.embedding[i] AS DOUBLE) - cc.cent[i - $lo + 1])
+        |                AS DECIMAL(26,12)))) AS dist
+        |      FROM embeddings e CROSS JOIN $centCte cc) t0) t1
+        |  WHERE rn = 1)""".stripMargin
+    }
+    s"""pq_c0_$s AS (
+      |  SELECT CAST(vec_id // stride AS INTEGER) AS c,
+      |    list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS cent
+      |  FROM embeddings, pq_p
+      |  WHERE vec_id % stride = 0 AND vec_id // stride < 16
+      |),
+      |${assign(s"pq_c0_$s", s"pq_a1_$s", keepEmb = true)},
+      |pq_m1_$s AS (
+      |  SELECT c, t,
+      |    CAST(ROUND(SUM(CAST(CAST(embedding[$lo - 1 + t] AS DOUBLE) AS DECIMAL(26,12))), 6)
+      |         AS DOUBLE) / COUNT(*) AS mv
+      |  FROM pq_a1_$s, range(1, 9) r(t)
+      |  GROUP BY c, t
+      |), pq_c1_$s AS (
+      |  SELECT c, list(mv ORDER BY t) AS cent FROM pq_m1_$s GROUP BY c
+      |  UNION ALL
+      |  SELECT c, cent FROM pq_c0_$s WHERE c NOT IN (SELECT c FROM pq_m1_$s)
+      |),
+      |${assign(s"pq_c1_$s", s"pq_a2_$s", keepEmb = false)}""".stripMargin
+  }
+
+  val pqProfileSql: String = {
+    val chains = (0 until 8).map(pqSubspaceSql).mkString(",\n")
+    val joins = (0 until 8)
+      .map(s => s"JOIN pq_a2_$s a$s ON a$s.vec_id = e.vec_id").mkString("\n")
+    val code = (0 until 8)
+      .map(s => s"CAST(a$s.c AS VARCHAR)").mkString(" || '-' || ")
+    val recon = (0 until 8).map(s => s"a$s.dist").mkString(" + ")
+    s"""WITH pq_p AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM embeddings),
+      |$chains
+      |SELECT e.vec_id, $code AS code,
+      |  CAST(ROUND($recon, 6) AS DOUBLE) AS recon_err
+      |FROM embeddings e
+      |$joins
+      |ORDER BY e.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_neardup"   -> (vecNearDup _),
     "q_vec_norms"     -> (vecNorms _),
@@ -1094,7 +1270,8 @@ object VectorCatalog {
     "q_vec_ann_q8"    -> (annIvfQ8 _),
     "q_vec_kmeans"    -> (kmeans _),
     "q_vec_semdedup"  -> (semDedup _),
-    "q_vec_decontam"  -> (vecDecontam _)
+    "q_vec_decontam"  -> (vecDecontam _),
+    "q_vec_pq"        -> (pqProfile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1108,6 +1285,7 @@ object VectorCatalog {
     "q_vec_ann_q8"    -> annIvfQ8Sql,
     "q_vec_kmeans"    -> kmeansSql,
     "q_vec_semdedup"  -> semDedupSql,
-    "q_vec_decontam"  -> vecDecontamSql
+    "q_vec_decontam"  -> vecDecontamSql,
+    "q_vec_pq"        -> pqProfileSql
   )
 }

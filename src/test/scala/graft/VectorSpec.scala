@@ -281,6 +281,29 @@ class VectorSpec extends SparkSpec {
     assert(!rows.exists(_._1 < 5))
   }
 
+  test("pq: codes in range, reconstruction informative, deterministic") {
+    val rows = VectorCatalog.pqProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // every code is 8 segments, each a valid codebook index
+    rows.foreach { case (id, code, err) =>
+      val segs = code.split("-")
+      assert(segs.length == 8, s"vec $id code $code")
+      segs.foreach(s => assert(s.toInt >= 0 && s.toInt < 16, s"vec $id code $code"))
+      assert(err >= 0.0, s"vec $id negative recon $err")
+    }
+    // 8 bytes must carry real information: mean squared reconstruction
+    // error clearly below the vectors' own mean squared norm (the
+    // zero-code baseline, ~1.0 on this ~unit-norm corpus). Random
+    // vectors are PQ's worst case — no manifold structure for the
+    // codebooks to exploit — so ~0.6 (40% of the energy captured in
+    // 8 bytes) is the honest bar here, not the ~0.1 real embeddings give
+    val meanErr = rows.map(_._3).sum / rows.length
+    assert(meanErr < 0.8, s"PQ reconstruction uninformative: mean err $meanErr")
+    val again = VectorCatalog.pqProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
