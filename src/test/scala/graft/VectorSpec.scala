@@ -304,6 +304,25 @@ class VectorSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("pq ADC: ranks carry real signal (recall far above random), deterministic") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val truth = pairs(VectorCatalog.knnBrute(spark, sf0001))
+    val adc = pairs(VectorCatalog.annPq(spark, sf0001))
+    val recalls = truth.keys.toSeq.sorted.map { q =>
+      (adc(q) & truth(q)).size.toDouble / truth(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // random 64-dim vectors are PQ's worst case (distances concentrate,
+    // nothing for the codebooks to exploit): absolute recall is low by
+    // construction, but 8-byte codes must still beat the random-top-10
+    // baseline (10/500 = 0.02) by a wide multiple — measured ~0.18 ≈ 9×
+    assert(mean >= 0.08, s"ADC recall $mean barely above random — codes carry no signal")
+    val again = pairs(VectorCatalog.annPq(spark, sf0001))
+    assert(adc == again)
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
