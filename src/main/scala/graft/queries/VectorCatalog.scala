@@ -1345,29 +1345,48 @@ object VectorCatalog {
       .orderBy("qid", "rn")
   }
 
-  val annPqSql: String = {
-    val lutCtes = (0 until 8).map { s =>
-      val lo = s * 8 + 1
-      val hi = s * 8 + 8
-      s"""pq_lut_$s AS MATERIALIZED (
-        |  SELECT q.vec_id AS qid, cc.c,
-        |    list_sum(list_transform(range($lo, ${hi + 1}),
-        |      i -> CAST((CAST(q.embedding[i] AS DOUBLE) - cc.cent[i - $lo + 1])
-        |              * (CAST(q.embedding[i] AS DOUBLE) - cc.cent[i - $lo + 1])
-        |            AS DECIMAL(26,12)))) AS d
-        |  FROM embeddings q CROSS JOIN pq_c1_$s cc
-        |  WHERE q.vec_id < 5
-        |)""".stripMargin
-    }.mkString(",\n")
-    val codeJoins = (1 until 8)
-      .map(s => s"JOIN pq_a2_$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n")
+  /** Per-query LUT CTEs (exact-decimal subvector-to-centroid distances)
+    * — shared by [[annPqSql]] and [[annIvfPqSql]]. */
+  private def pqLutCtesSql: String = (0 until 8).map { s =>
+    val lo = s * 8 + 1
+    val hi = s * 8 + 8
+    s"""pq_lut_$s AS MATERIALIZED (
+      |  SELECT q.vec_id AS qid, cc.c,
+      |    list_sum(list_transform(range($lo, ${hi + 1}),
+      |      i -> CAST((CAST(q.embedding[i] AS DOUBLE) - cc.cent[i - $lo + 1])
+      |              * (CAST(q.embedding[i] AS DOUBLE) - cc.cent[i - $lo + 1])
+      |            AS DECIMAL(26,12)))) AS d
+      |  FROM embeddings q CROSS JOIN pq_c1_$s cc
+      |  WHERE q.vec_id < 5
+      |)""".stripMargin
+  }.mkString(",\n")
+
+  /** The 8 code joins + 8 LUT joins + the ADC sum expression. `qidAnchor`
+    * is what l0's qid must equal: empty when the LUTs INTRODUCE the
+    * query axis (pure ADC scans every query × vector), or the candidate
+    * set's qid column when candidates already carry it (IVF-PQ). */
+  private def pqAdcJoinsSql(candSide: String, qidAnchor: String): (String, String, String) = {
+    val codeJoins = (0 until 8)
+      .map(s => s"JOIN pq_a2_$s a$s ON a$s.vec_id = $candSide").mkString("\n")
     val lutJoins = (0 until 8)
-      .map(s => s"JOIN pq_lut_$s l$s ON l$s.c = a$s.c" +
-        (if (s == 0) "" else " AND l$s.qid = l0.qid").replace("$s", s.toString))
+      .map { s =>
+        val base = s"JOIN pq_lut_$s l$s ON l$s.c = a$s.c"
+        val qc =
+          if (s == 0) { if (qidAnchor.isEmpty) "" else s" AND l0.qid = $qidAnchor" }
+          else s" AND l$s.qid = l0.qid"
+        base + qc
+      }
       .mkString("\n")
     val adc = (0 until 8).map(s => s"l$s.d").mkString(" + ")
+    (codeJoins, lutJoins, adc)
+  }
+
+  val annPqSql: String = {
+    val (codeJoins0, lutJoins, adc) = pqAdcJoinsSql("a0.vec_id", qidAnchor = "")
+    // the a0 relation is the FROM side, so drop its self-join
+    val codeJoins = codeJoins0.linesIterator.drop(1).mkString("\n")
     s"""WITH $pqCtesSql,
-      |$lutCtes,
+      |$pqLutCtesSql,
       |pq_scored AS (
       |  SELECT l0.qid, a0.vec_id, $adc AS adc
       |  FROM pq_a2_0 a0
@@ -1380,6 +1399,68 @@ object VectorCatalog {
       |  SELECT qid, vec_id, adc,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
       |  FROM pq_scored)
+      |WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin
+  }
+
+  /** IVF-PQ (`q_vec_ann_ivf_pq`) — the two index halves composed into
+    * the production billion-vector shape: IVF cells prune the corpus to
+    * the nprobe-cell candidate set ([[ivfCandidates]], broadcast probe,
+    * no shuffle), and PQ codes + per-query LUTs score those candidates
+    * without touching the stored floats ([[annPq]]'s ADC). At 100 TB the
+    * scan reads 8-byte codes from only the probed cell partitions —
+    * both reductions at once. Approximation compounds (cell recall ×
+    * ADC ranking quality); the spec measures it against brute force,
+    * and the LUT arithmetic stays oracle-exact. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val n = corpusCount.get((spark, sfDir, false))(corpus.count())
+    val emb = corpus.as[(Long, Array[Float])]
+    val books = pqModelMemo.get((spark, sfDir))(pqTrain(emb, n))
+    val coded = pqEncode(emb, books)
+      .map { case (id, _, code, _) => (id, code) }.toDF("vec_id", "code")
+    val queries = emb.filter(_._1 < 5).collect().sortBy(_._1)
+    val luts = queries.map { case (qid, qe) =>
+      (qid, Array.tabulate(PqM)(s => books(s).map(c => pqDistDec(qe, s, c))))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(luts)
+    ivfCandidates(corpus, ivfGeometry(n))
+      .select(col("qid"), col("vec_id"))
+      .join(coded, "vec_id")
+      .as[(Long, Long, Array[Int])]
+      .map { case (vid, qid, code) =>
+        val lut = bc.value(qid)
+        var adc = java.math.BigDecimal.ZERO
+        var s = 0
+        while (s < PqM) { adc = adc.add(lut(s)(code(s))); s += 1 }
+        (qid, vid, new scala.math.BigDecimal(adc))
+      }
+      .toDF("qid", "vec_id", "adc")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"),
+        round(col("adc"), 6).cast("double").as("adc"))
+      .orderBy("qid", "rn")
+  }
+
+  val annIvfPqSql: String = {
+    val (codeJoins, lutJoins, adc) = pqAdcJoinsSql("c.vec_id", qidAnchor = "c.qid")
+    s"""WITH $ivfCandSql,
+      |$pqCtesSql,
+      |$pqLutCtesSql,
+      |ivfpq_scored AS (
+      |  SELECT c.qid, c.vec_id, $adc AS adc
+      |  FROM cand c
+      |$codeJoins
+      |$lutJoins
+      |)
+      |SELECT qid, rn, vec_id, CAST(ROUND(adc, 6) AS DOUBLE) AS adc
+      |FROM (
+      |  SELECT qid, vec_id, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+      |  FROM ivfpq_scored)
       |WHERE rn <= 10
       |ORDER BY qid, rn""".stripMargin
   }
@@ -1397,7 +1478,8 @@ object VectorCatalog {
     "q_vec_semdedup"  -> (semDedup _),
     "q_vec_decontam"  -> (vecDecontam _),
     "q_vec_pq"        -> (pqProfile _),
-    "q_vec_ann_pq"    -> (annPq _)
+    "q_vec_ann_pq"    -> (annPq _),
+    "q_vec_ann_ivf_pq" -> (annIvfPq _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1413,6 +1495,7 @@ object VectorCatalog {
     "q_vec_semdedup"  -> semDedupSql,
     "q_vec_decontam"  -> vecDecontamSql,
     "q_vec_pq"        -> pqProfileSql,
-    "q_vec_ann_pq"    -> annPqSql
+    "q_vec_ann_pq"    -> annPqSql,
+    "q_vec_ann_ivf_pq" -> annIvfPqSql
   )
 }

@@ -323,6 +323,24 @@ class VectorSpec extends SparkSpec {
     assert(adc == again)
   }
 
+  test("ivf-pq: composed pruning+coding keeps ADC-level recall, deterministic") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val truth = pairs(VectorCatalog.knnBrute(spark, sf0001))
+    val ivfpq = pairs(VectorCatalog.annIvfPq(spark, sf0001))
+    val recalls = truth.keys.toSeq.sorted.map { q =>
+      (ivfpq(q) & truth(q)).size.toDouble / truth(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // compounded approximation (cell pruning × code ranking) must not
+    // collapse below the pure-ADC floor: same wide-multiple-of-random
+    // bar (10/500 baseline; measured ~0.2 on the worst-case random data)
+    assert(mean >= 0.08, s"IVF-PQ recall $mean — composition destroyed the signal")
+    val again = pairs(VectorCatalog.annIvfPq(spark, sf0001))
+    assert(ivfpq == again)
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
