@@ -163,6 +163,14 @@ object PlanAudit {
     check("q_vec_semdedup", sem, "within-cell pair join keyed on c (no cartesian/BNLJ)",
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
 
+    // the composed IVF-PQ search keeps IVF's candidate contract: probe
+    // side broadcast, no cartesian/BNLJ resurrection through the extra
+    // code join
+    val ivfpq = plan(VectorCatalog.annIvfPq(spark, sfDir))
+    check("q_vec_ann_ivf_pq", ivfpq, "probe broadcast + keyed code join (no cartesian/BNLJ)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+
     // the incremental media probe must broadcast the new batch into the
     // history scan — a sort-merge fallback would shuffle the history,
     // which is the exact anti-pattern the incremental path exists to
