@@ -24,9 +24,17 @@ class MetricsSpec extends SparkSpec {
     assert(p.scanRows > 0, "scan metric not wired")
   }
 
-  test("narrow-map claim holds for quality scoring") {
-    val p = Metrics.measure(TextCatalog.qualityScore(spark, sf0001))
-    assert(p.rowsOut > 0 && p.nHashExchanges == 0, s"quality scoring shuffled: $p")
+  test("narrow-map claims hold for quality, repetition, and decontam scoring") {
+    val q = Metrics.measure(TextCatalog.qualityScore(spark, sf0001))
+    assert(q.rowsOut > 0 && q.nHashExchanges == 0, s"quality scoring shuffled: $q")
+    // q_doc_repetition was rewritten in r8 precisely to be a zero-shuffle
+    // per-row map — hold it to that
+    val r = Metrics.measure(TextCatalog.repetitionSignals(spark, sf0001))
+    assert(r.rowsOut > 0 && r.nHashExchanges == 0, s"repetition signals shuffled: $r")
+    // semantic decontam scores against a broadcast eval model — one
+    // narrow pass, no hash exchange
+    val d = Metrics.measure(graft.queries.VectorCatalog.vecDecontam(spark, sf0001))
+    assert(d.rowsOut > 0 && d.nHashExchanges == 0, s"decontam scoring shuffled: $d")
   }
 
   test("a shuffling query reports real shuffle traffic (probe not vacuous)") {
