@@ -254,7 +254,79 @@ object EventsCatalog {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
+  /** Ordered funnel analysis (`q_funnel`) — the event-analytics staple
+    * the declared dashboards (`README.md:37-42` in the reference) imply:
+    * how many users progressed view → click → purchase IN ORDER (each
+    * stage strictly after the previous one's first occurrence — a user
+    * who clicked before ever viewing hasn't entered the funnel's step
+    * 2). Classic min-timestamp cascade: t1 = first view; t2 = first
+    * click after t1; t3 = first purchase after t2; depth = furthest
+    * stage reached.
+    *
+    * Scale shape: every aggregation and join keys on user_id, so the
+    * first shuffle's partitioning is REUSED down the whole cascade (no
+    * re-exchange per stage), and each stage's input is pre-filtered to
+    * one event type. Output is one row of counts + conversion rates. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+
+  /** The cascade over ANY (user_id, event_type, ts) frame — EventsSpec
+    * drives it with a constructed fixture where the ORDER constraints
+    * actually bite (the organic fixture converts everyone, which proves
+    * the counts but not the strictly-after semantics). */
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("step1_users"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("step2_users"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("step3_users"))
+      .select(col("step1_users"), col("step2_users"), col("step3_users"),
+        round(col("step2_users").cast("double") / col("step1_users"), 6).as("conv_1_2"),
+        round(col("step3_users").cast("double") /
+          when(col("step2_users") === 0, lit(null)).otherwise(col("step2_users")), 6)
+          .as("conv_2_3"))
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id
+      |), d AS (
+      |  SELECT s1.user_id, s2.t2, s3.t3
+      |  FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |          LEFT JOIN s3 ON s3.user_id = s1.user_id
+      |)
+      |SELECT
+      |  COUNT(*) AS step1_users,
+      |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step2_users,
+      |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step3_users,
+      |  ROUND(CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS conv_1_2,
+      |  ROUND(CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / NULLIF(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END), 0), 6) AS conv_2_3
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"          -> (funnel _),
     "q_scd2"            -> (scd2History _),
     "q_skew_agg"        -> (skewAgg _),
     "q_stream_join"     -> (streamJoinBatch _),
@@ -267,6 +339,7 @@ object EventsCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel"          -> funnelSql,
     "q_scd2"            -> scd2HistorySql,
     "q_skew_agg"        -> skewAggSql,
     "q_stream_join"     -> streamJoinBatchSql,

@@ -47,4 +47,24 @@ class MiscSpec extends SparkSpec {
     assert(exact.select("o_orderstatus", "n").collect().toSeq ==
       approx.select("o_orderstatus", "n").collect().toSeq)
   }
+
+  test("funnel: strictly-after ordering bites on a constructed fixture") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1 completes in order; u2's only click PRECEDES its first view
+    // (never enters step 2); u3 stops at click; u4's only purchase
+    // precedes its first click (stops at step 2)
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      (2L, "click", t(1)), (2L, "view", t(2)),
+      (3L, "view", t(1)), (3L, "click", t(2)),
+      (4L, "purchase", t(1)), (4L, "view", t(2)), (4L, "click", t(3))
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.queries.EventsCatalog.funnelOf(ev).collect()(0)
+    assert(r.getLong(0) == 4, s"step1 ${r.getLong(0)}")
+    assert(r.getLong(1) == 3, s"step2 ${r.getLong(1)} — pre-view click counted?")
+    assert(r.getLong(2) == 1, s"step3 ${r.getLong(2)} — pre-click purchase counted?")
+    assert(r.getDouble(3) == 0.75 && r.getDouble(4) == 0.333333)
+  }
 }
