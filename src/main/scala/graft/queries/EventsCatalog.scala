@@ -325,8 +325,50 @@ object EventsCatalog {
       |        / NULLIF(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END), 0), 6) AS conv_2_3
       |FROM d""".stripMargin
 
+  /** Cohort retention (`q_retention`) — the other dashboard staple
+    * beside [[funnel]]: bucket each user by first-activity day, then
+    * count distinct users of each cohort active again k days later
+    * (offsets 0-7, the weekly retention triangle). Two shuffles total —
+    * one on user_id (first-day + activity join, partitioning reused),
+    * one on (cohort_day, offset) for the final distinct-count — both on
+    * keys that shrink the data, the standard cohort shape at any
+    * scale. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val activity = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohort = activity.groupBy("user_id").agg(min("d").as("cohort_day"))
+    activity.join(cohort, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"), col("user_id"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      // ISO string: Spark DATE and DuckDB DATE reach the comparing
+      // harness as different physical types; the string form is
+      // identical in both
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset"), col("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionSql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(d) AS cohort_day FROM activity GROUP BY user_id
+      |)
+      |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+      |  datediff('day', c.cohort_day, a.d) AS day_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM activity a JOIN cohort c ON c.user_id = a.user_id
+      |WHERE datediff('day', c.cohort_day, a.d) <= 7
+      |GROUP BY c.cohort_day, datediff('day', c.cohort_day, a.d)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"          -> (funnel _),
+    "q_retention"       -> (retention _),
     "q_scd2"            -> (scd2History _),
     "q_skew_agg"        -> (skewAgg _),
     "q_stream_join"     -> (streamJoinBatch _),
@@ -340,6 +382,7 @@ object EventsCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_funnel"          -> funnelSql,
+    "q_retention"       -> retentionSql,
     "q_scd2"            -> scd2HistorySql,
     "q_skew_agg"        -> skewAggSql,
     "q_stream_join"     -> streamJoinBatchSql,

@@ -48,6 +48,24 @@ class MiscSpec extends SparkSpec {
       approx.select("o_orderstatus", "n").collect().toSeq)
   }
 
+  test("retention: triangle invariants — day-0 is the cohort size and bounds every offset") {
+    val rows = graft.queries.EventsCatalog.retention(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byCohort = rows.groupBy(_._1)
+    assert(byCohort.nonEmpty)
+    byCohort.foreach { case (day, rs) =>
+      val d0 = rs.find(_._2 == 0).map(_._3)
+      assert(d0.isDefined, s"cohort $day missing day-0 row")
+      rs.foreach { case (_, off, n) =>
+        assert(n <= d0.get, s"cohort $day offset $off: $n > day-0 ${d0.get}")
+      }
+    }
+    // cohorts partition the user base: day-0 sizes sum to all users
+    val users = spark.read.parquet(s"$sf001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
+  }
+
   test("funnel: strictly-after ordering bites on a constructed fixture") {
     import spark.implicits._
     import java.sql.Timestamp
