@@ -23,7 +23,12 @@ object Metrics {
   /** `nHashExchanges` counts hash-partitioning exchanges only — the
     * COMPUTATION shuffles; a deterministic catalog query's presentation
     * ORDER BY adds one range exchange that a zero-shuffle claim does not
-    * cover. */
+    * cover. `scanRows` SUMS across every scan node (a self-joining plan
+    * counts its table twice) and reflects parquet's row-group/page-stat
+    * pushdown granularity — at fixture scale a pushed filter may prune
+    * nothing (one row group), so pushdown claims stay with PlanAudit's
+    * static PushedFilters gate; this metric is for watching actual IO at
+    * deployment scale. */
   case class Profile(rowsOut: Long, scanRows: Long,
                      shuffleBytes: Long, shuffleRecords: Long,
                      nExchanges: Int, nHashExchanges: Int)
