@@ -304,6 +304,29 @@ class VectorSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("pq: empty code cells keep their init centroid (fallback provably fires)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 16 vectors, stride-1 init → 16 centroids, with vector 15 an EXACT
+    // copy of vector 0: every assignment ties between centroids 0 and 15
+    // and ties go to the lower code, so cell 15 is empty after round 1 —
+    // the fallback branch runs in every subspace, deterministically
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 15)
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(15L).as("vec_id"), col("embedding"))
+    val rows = VectorCatalog.pqProfileWith(base.union(dup), 16).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 16)
+    // code 15 must never win (its centroid equals centroid 0 after the
+    // fallback, and ties keep preferring 0)
+    rows.foreach { case (id, code, _) =>
+      code.split("-").foreach(s => assert(s.toInt != 15, s"vec $id used code 15"))
+    }
+    // the duplicate encodes identically to its original
+    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(15L) == byId(0L))
+  }
+
   test("pq ADC: ranks carry real signal (recall far above random), deterministic") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
