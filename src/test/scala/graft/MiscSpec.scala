@@ -84,5 +84,10 @@ class MiscSpec extends SparkSpec {
     assert(r.getLong(1) == 3, s"step2 ${r.getLong(1)} — pre-view click counted?")
     assert(r.getLong(2) == 1, s"step3 ${r.getLong(2)} — pre-click purchase counted?")
     assert(r.getDouble(3) == 0.75 && r.getDouble(4) == 0.333333)
+    // nobody past step 1: conv_2_3's divide-by-zero guard yields null
+    val lonely = Seq((9L, "view", t(1))).toDF("user_id", "event_type", "ts")
+    val l = graft.queries.EventsCatalog.funnelOf(lonely).collect()(0)
+    assert(l.getLong(0) == 1 && l.getLong(1) == 0 && l.getLong(2) == 0)
+    assert(l.getDouble(3) == 0.0 && l.isNullAt(4), s"guard failed: $l")
   }
 }

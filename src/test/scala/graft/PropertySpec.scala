@@ -59,8 +59,11 @@ class PropertySpec extends SparkSpec {
       .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
     val base = raw.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     val wGen = Gen.listOfN(5, Gen.choose(0.0, 3.0))
-    samples(wGen, 6).foreach { ws =>
-      val weights = langs.zip(ws)
+    // one draw with a language OMITTED from the map entirely: its docs
+    // must be sampled out via the zero-weight default branch
+    val draws = samples(wGen, 6).map(langs.zip(_)) :+
+      langs.filterNot(_ == "fr").map(_ -> 0.5)
+    draws.foreach { weights =>
       val out = graft.queries.TextCatalog.mixtureCopies(raw, weights).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
       // JVM re-derivation with the IDENTICAL expression shape: rate =
@@ -78,6 +81,11 @@ class PropertySpec extends SparkSpec {
       }
       assert(out.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq,
         s"mixture disagrees with re-derivation for weights $weights")
+      val mapped = weights.map(_._1).toSet
+      langs.filterNot(mapped).foreach { missing =>
+        assert(!out.exists(_._2 == missing),
+          s"unmapped lang $missing survived the zero-weight default")
+      }
     }
   }
 
