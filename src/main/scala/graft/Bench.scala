@@ -21,11 +21,13 @@ import org.apache.spark.sql.SparkSession
   * Output-line layout is capture-aware: times round to 3 decimals and the
   * headline "value" (total) prints LAST — the driver's capture window
   * truncates long lines from the LEFT, so the total must sit at the tail
-  * to survive (round 3's artifact lost it to exactly this). Round 4's
-  * artifact was STILL unparseable: carrying the per-run detail inside the
-  * same line doubled its length past the window, truncating the line head
-  * (and the opening brace) away. The raw runs therefore go to stderr; the
-  * stdout line holds only the min-per-query map and the total.
+  * to survive (round 3's artifact lost it to exactly this). Rounds 4-8
+  * were STILL unparseable: even min-only, a 100+-query map overruns the
+  * window and truncates the line head (and the opening brace) away. As of
+  * r9 the stdout line is therefore TINY — {metric, sf, n, profile path,
+  * empty queries map, total} — and the full per-query detail (min of two
+  * plus both raw runs) goes to a committed JSON file
+  * ($SPARK_GRAFT_BENCH_PROFILE, default bench_profile_r9.json).
   *
   * Micro-mode: pass query names as argv to time only those — one-command
   * anomaly adjudication (`runMain graft.Bench q_listing_normalize`).
@@ -89,11 +91,26 @@ object Bench {
     val runs = results.map { case (k, _, r1, r2) => "\"" + k + "\":[" + r1 + "," + r2 + "]" }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    // Raw per-run detail is diagnostic, not the official measurement:
-    // keep it OFF the stdout line so the official JSON stays inside the
-    // driver's capture window (see scaladoc).
-    System.err.println(s"""[bench] runs: $runs""")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
+    // The per-query profile goes to a COMMITTED FILE, not the stdout line:
+    // rounds 1-8 all produced "parsed": null artifacts because the 104-query
+    // map pushed the line past the driver's capture window, which truncates
+    // from the LEFT (r8 lost ~19 per-query entries plus the opening brace).
+    // The stdout line now stays tiny — total, sf, n, and a pointer to the
+    // profile file — so it parses; the file carries every per-query min and
+    // both raw runs recoverably.
+    val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile_r9.json")
+    val profileJson =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},""" +
+        s""""queries":$qs,"runs":$runs,"value":$total}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(profilePath),
+        (profileJson + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] per-query profile written to $profilePath")
+    } catch { case e: Throwable =>
+      // fall back to stderr so the detail is never silently lost
+      System.err.println(s"[bench] profile write failed (${e.getMessage}); runs: $runs")
+    }
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"profile":"$profilePath","queries":{},"value":$total}""")
     spark.stop()
   }
 }

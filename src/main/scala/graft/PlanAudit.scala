@@ -81,6 +81,13 @@ object PlanAudit {
     val knn = plan(VectorCatalog.knnBrute(spark, sfDir))
     check("q_vec_knn_brute", knn, "one narrow scoring pass (no join operator at all)",
       p => !p.contains("Join") && !p.contains("CartesianProduct"))
+    // ...and the per-query top-k must be the bounded-heap aggregate with a
+    // map-side partial: a window/row_number or partial-less plan funnels
+    // all N·Q scored pairs into |Q| reducers — the unbounded shuffle this
+    // rewrite removed (r9)
+    check("q_vec_knn_brute", knn, "bounded top-k: partial+final ObjectHashAggregate, no window",
+      p => p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2 &&
+        p.contains("partial_top_k") && !p.contains("Window"))
 
     val semi = plan(TpchCatalog.semiJoin(spark, sfDir))
     check("q_semi_join", semi, "left-semi strategy",

@@ -39,20 +39,27 @@ object VectorCatalog {
   /** Brute-force cosine top-10 for a 5-vector query set. The query side
     * is collected (5 vectors) and broadcast; the corpus is scanned once
     * with a per-row JVM scoring loop (narrow — the labeled O(N·Q)
-    * exactness baseline), and only (qid, cos) pairs reach the per-query
-    * top-k shuffle. Scoring is [[graft.functions.VectorOps.cosineDecJvm]],
-    * the bit-identical JVM twin of the decimal-exact [[cosine]] column
-    * (the column form's interpreted HOF lambdas measured ~3 s at sf0.1
-    * for this scan; the loop is sub-second) — so the DuckDB oracle is
-    * unchanged. */
+    * exactness baseline). Scoring is
+    * [[graft.functions.VectorOps.cosineDecJvm]], the bit-identical JVM
+    * twin of the decimal-exact [[cosine]] column (the column form's
+    * interpreted HOF lambdas measured ~3 s at sf0.1 for this scan; the
+    * loop is sub-second) — so the DuckDB oracle is unchanged.
+    *
+    * The per-query top-k is the bounded-heap [[graft.plans.TopKAgg]]
+    * keyed on qid, NOT `row_number() OVER (PARTITION BY qid)`: the window
+    * form shuffles all N·Q scored pairs into |Q| reducer partitions
+    * (5 reducers sorting the whole corpus each at any scale — the
+    * catalog's last unbounded-shuffle plan until r9); the aggregate keeps
+    * a ≤k heap per map partition, so the exchange carries k×|Q| rows per
+    * partition and the |Q| reducers merge k-sized buffers. Same
+    * (cos DESC, vec_id ASC) ranking → cell-identical result, and
+    * PlanAudit gates the partial+final ObjectHashAggregate shape. */
   def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").cast("long"), col("embedding"))
     val q = e.filter(col("vec_id") < 5).as[(Long, Array[Float])].collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(q)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
     e.as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         bc.value.iterator.filter(_._1 != id).map { case (qid, qe) =>
@@ -60,9 +67,11 @@ object VectorCatalog {
         }
       }
       .toDF("qid", "vec_id", "cos")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.plans.TopKAgg.topK(col("cos"), col("vec_id"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("qid"), (col("i") + 1).as("rn"),
+        col("p.id").as("vec_id"), col("p.ord").as("cos"))
       .orderBy("qid", "rn")
   }
 
