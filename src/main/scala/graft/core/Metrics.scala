@@ -46,10 +46,16 @@ object Metrics {
   /** Execute `df`'s plan (discarding rows) and read back its metrics.
     * Runs the SAME QueryExecution whose metrics are inspected — a
     * `df.write`/`df.count` would plan a fresh tree and leave this one's
-    * counters at zero. */
+    * counters at zero. The logical plan is RE-PLANNED internally into a
+    * fresh QueryExecution first: SQLMetrics accumulate across executions
+    * of one physical plan instance, so measuring the caller's own
+    * (possibly already-executed) tree would double-count scanRows /
+    * shuffleBytes — with the re-plan, measure is idempotent and safe on
+    * any df. */
   def measure(df: DataFrame): Profile = {
     val spark = df.sparkSession
-    val qe = df.queryExecution
+    val qe = org.apache.spark.sql.GraftBridge
+      .ofRows(spark, df.queryExecution.logical).queryExecution
     val rows = spark.sparkContext.longAccumulator("graft.metrics.rows")
     qe.executedPlan.execute().foreachPartition { it =>
       while (it.hasNext) { it.next(); rows.add(1L) }

@@ -316,11 +316,17 @@ object Multimodal {
 
   /** Probe a persisted media index with a new batch's signatures —
     * history never shuffles; each arriving batch costs one index scan
-    * plus a broadcast. */
+    * plus a broadcast. `maxEpoch` bounds the history to index epochs
+    * <= maxEpoch (partition-pruned): [[graft.streaming.Jobs.mediaIngest]]
+    * extends the index before its checkpoint commits, so a retried batch
+    * would otherwise probe an index already holding its own signatures
+    * and emit self-pairs (m1 == m2, dist 0) — the ingest passes its
+    * stream epoch so a retry reads exactly what the first attempt read. */
   def mediaDedupAgainstIndex(newSigs: DataFrame, indexDir: String,
-      maxDist: Int = 12): DataFrame =
+      maxDist: Int = 12, maxEpoch: Long = Long.MaxValue): DataFrame =
     mediaProbe(
       newSigs.sparkSession.read.parquet(s"$indexDir/bands")
+        .filter(col("epoch") <= maxEpoch)
         .select("media_id", "sig", "band", "key"),
       newSigs, maxDist)
 
@@ -344,11 +350,20 @@ object Multimodal {
     mediaProbe(mediaBandsOf(histSigs), newSigs, maxDist = 12)
   }
 
-  val mediaDedupIncrSql: String =
-    mediaDedupSql.replace(
+  val mediaDedupIncrSql: String = {
+    val derived = mediaDedupSql.replace(
       "ON x.band = y.band AND x.key = y.key AND x.media_id < y.media_id",
       "ON x.band = y.band AND x.key = y.key\n" +
         "  AND x.media_id < 10000 AND y.media_id >= 10000")
+    // the derivation is a literal-string replace: if the join-condition
+    // line in mediaDedupSql is ever reworded the replace silently no-ops
+    // and the incremental oracle reverts to one-shot semantics — which
+    // this fixture cannot distinguish, so fail loudly instead
+    require(derived != mediaDedupSql,
+      "mediaDedupIncrSql derivation no-oped: the join-condition line in " +
+        "mediaDedupSql changed without updating the replace target")
+    derived
+  }
 
   /** Rows-only catalog query: synthesize → batch-extract → profile per
     * kind. Deterministic, so the driver's rows-only check is stable; no

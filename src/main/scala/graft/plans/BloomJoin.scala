@@ -40,7 +40,13 @@ object BloomJoin {
 
   /** Distributed Bloom-filter build over `key`; returns the serialized
     * filter (spark.util.sketch format), or None if `dim` has no rows
-    * (the aggregate yields NULL — there is nothing to probe). */
+    * (the aggregate yields NULL — there is nothing to probe).
+    *
+    * EAGER: this runs a Spark job NOW (aggregate + head) — callers that
+    * compose it into a DataFrame ([[reducedJoin]]) therefore do cluster
+    * work at construction time, not first execution. That is inherent to
+    * embedding the filter as a plan literal; the filter must exist before
+    * the probe side can be planned. */
   def buildFilter(dim: DataFrame, key: Column, expectedItems: Long): Option[Array[Byte]] = {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(key))), expectedItems)

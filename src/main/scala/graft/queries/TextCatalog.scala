@@ -385,13 +385,24 @@ object TextCatalog {
     * they BROADCAST: candidate selection is a narrow hash probe over
     * the index band scan, and exact verification is a narrow probe over
     * the stored shingle scan. Returns (d1 = historical id, d2 = new id,
-    * jac). New-batch ids must not collide with historical ids. */
+    * jac). New-batch ids must not collide with historical ids.
+    *
+    * `maxEpoch` bounds the history to index epochs <= maxEpoch (a
+    * partition-pruned directory filter — excluded epochs are never
+    * read). Streaming retries NEED this: [[graft.streaming.Jobs
+    * .dedupIngest]] extends the index (epoch = stream epoch + 1) before
+    * its checkpoint commits, so a retried batch would otherwise probe an
+    * index already holding its own signatures and emit self/intra-batch
+    * pairs. The ingest passes its stream epoch, making the retry read
+    * exactly what the first attempt read. */
   def dedupAgainstIndex(newDocs: DataFrame, indexDir: String,
-                        t: Double = 0.8): DataFrame = {
+                        t: Double = 0.8,
+                        maxEpoch: Long = Long.MaxValue): DataFrame = {
     val spark = newDocs.sparkSession
     val newSh = shingleFrame(newDocs).localCheckpoint(false)
-    dedupProbe(spark.read.parquet(s"$indexDir/bands"),
-      spark.read.parquet(s"$indexDir/shingles"), newSh, t)
+    dedupProbe(spark.read.parquet(s"$indexDir/bands").filter(col("epoch") <= maxEpoch),
+      spark.read.parquet(s"$indexDir/shingles").filter(col("epoch") <= maxEpoch),
+      newSh, t)
   }
 
   /** The incremental probe join [[dedupAgainstIndex]] and [[dedupIncrQ]]

@@ -642,7 +642,13 @@ object TpchCatalog {
     * filters have no false negatives; the join clears false positives),
     * which is exactly what the oracle checks. `expectedItems` is an upper
     * bound on dim keys — at 100 TB pass the dim-side row estimate;
-    * overestimating costs ~9.6 bits/key, never correctness. */
+    * overestimating costs ~9.6 bits/key, never correctness.
+    *
+    * EAGER: unlike every sibling catalog entry, CONSTRUCTING this
+    * DataFrame runs a Spark job (the distributed Bloom build is a 1-row
+    * dim aggregate collected to embed the filter as a plan literal —
+    * see [[graft.plans.BloomJoin.buildFilter]]), so merely planning /
+    * explaining q_bloom_join triggers cluster work. */
   def bloomJoin(spark: SparkSession, sfDir: String): DataFrame =
     graft.plans.BloomJoin.reducedJoin(
         Tables.lineitem(spark, sfDir),

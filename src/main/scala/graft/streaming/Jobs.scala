@@ -398,14 +398,20 @@ object Jobs {
     * (exactly-once under the stream's checkpoint); the verdicts land
     * before the index extension, so a crash between them redoes the
     * whole epoch idempotently. Index epochs are offset +1 from stream
-    * epochs (the base build owns `epoch=0`). */
+    * epochs (the base build owns `epoch=0`). The probe is bounded to
+    * index epochs <= the stream epoch: the index extension lands BEFORE
+    * the checkpoint commits, so an unbounded retry would probe its own
+    * previous attempt's signatures and emit self/intra-batch pairs —
+    * the bound makes the retry read exactly what the first attempt
+    * read (StreamingSpec proves the replayed epoch is self-pair-free). */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
                   checkpointDir: String, t: Double = 0.8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        graft.queries.TextCatalog.dedupAgainstIndex(batch, indexDir, t)
+        graft.queries.TextCatalog.dedupAgainstIndex(batch, indexDir, t,
+            maxEpoch = epochId)
           .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
         graft.queries.TextCatalog.appendBandIndex(batch, indexDir, epochId + 1)
         ()
@@ -420,7 +426,10 @@ object Jobs {
     * index (history scanned, batch broadcast), its near-dup pairs
     * written under the epoch key, and its signatures appended as the
     * next index epoch — so later batches dedup against STREAMED history
-    * too. Epoch-keyed overwrites keep retries exactly-once. */
+    * too. Epoch-keyed overwrites keep retries exactly-once, and the
+    * probe is bounded to index epochs <= the stream epoch so a retried
+    * batch cannot match its own previous attempt's signatures (same
+    * retry window as [[dedupIngest]]; StreamingSpec proves it). */
   def mediaIngest(media: DataFrame, indexDir: String, outDir: String,
                   checkpointDir: String, maxDist: Int = 12): StreamingQuery =
     media.writeStream
@@ -435,7 +444,8 @@ object Jobs {
           }
           .toDF("media_id", "sig")
           .localCheckpoint(false)
-        graft.multimodal.Multimodal.mediaDedupAgainstIndex(sigs, indexDir, maxDist)
+        graft.multimodal.Multimodal.mediaDedupAgainstIndex(sigs, indexDir,
+            maxDist, maxEpoch = epochId)
           .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
         graft.multimodal.Multimodal.appendMediaIndex(sigs, indexDir, epochId + 1)
         ()

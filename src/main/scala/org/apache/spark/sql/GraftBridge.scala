@@ -22,4 +22,11 @@ object GraftBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(name),
         new ExpressionInfo("graft.plans", name), builder)
+
+  /** Fresh DataFrame over an existing logical plan — a new QueryExecution
+    * with zero-valued SQLMetrics (metrics accumulate per physical plan
+    * instance; profilers need a plan that has never executed). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -81,6 +81,33 @@ class MultimodalSpec extends SparkSpec {
     assert(incr == once)
   }
 
+  test("a retried media epoch does not probe its own previous attempt's signatures") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_media_retry").toString
+    val baseSigs = spark.range(300)
+      .map(i => (i.toLong, Multimodal.mediaSimhash64(
+        Multimodal.dedupPayload(i, pert = false))))
+      .toDF("media_id", "sig")
+    Multimodal.appendMediaIndex(baseSigs, s"$dir/idx", epoch = 0L)
+    // stream epoch 0's batch: two copies of base payload 3
+    val batch = spark.createDataset(Seq(
+        (30001L, Multimodal.mediaSimhash64(Multimodal.dedupPayload(3L, pert = false))),
+        (30002L, Multimodal.mediaSimhash64(Multimodal.dedupPayload(3L, pert = false)))))
+      .toDF("media_id", "sig")
+    def probe(maxEpoch: Long) =
+      Multimodal.mediaDedupAgainstIndex(batch, s"$dir/idx", 12, maxEpoch)
+        .select("m1", "m2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val firstAttempt = probe(maxEpoch = 0L)
+    // first attempt appended epoch 1 then crashed before checkpoint commit
+    Multimodal.appendMediaIndex(batch, s"$dir/idx", epoch = 1L)
+    val unbounded = probe(maxEpoch = Long.MaxValue)
+    assert(unbounded.exists(p => p._1 >= 30001L),
+      s"expected the unbounded retry to self-match (fixture lost its teeth): $unbounded")
+    assert(probe(maxEpoch = 0L) == firstAttempt)
+    assert(firstAttempt == Set((3L, 30001L), (3L, 30002L)),
+      s"unexpected first-attempt pairs: $firstAttempt")
+  }
+
   test("streaming media ingest dedups later batches against streamed history") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -424,6 +424,35 @@ class StreamingSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 300002L), s"fresh doc false-matched: $pairs")
   }
 
+  test("a retried dedup epoch does not probe its own previous attempt's index extension") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup_retry").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.queries.TextCatalog.buildBandIndex(corpus, s"$dir/idx") // epoch 0
+    val doc3 = corpus.filter(col("doc_id") === 3).collect()(0).getString(1)
+    // stream epoch 0's batch: two copies of base doc 3 (so it also has an
+    // INTRA-batch near-dup pair, the other leak mode of a self-probe)
+    val batch = Seq((300001L, doc3), (300002L, doc3)).toDF("doc_id", "text")
+    def probe(maxEpoch: Long) =
+      graft.queries.TextCatalog.dedupAgainstIndex(batch, s"$dir/idx", 0.8, maxEpoch)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val firstAttempt = probe(maxEpoch = 0L)
+    // first attempt extended the index (epoch = streamEpoch + 1), then
+    // crashed BEFORE the checkpoint committed — the retry re-probes
+    graft.queries.TextCatalog.appendBandIndex(batch, s"$dir/idx", epoch = 1L)
+    // unbounded, the retry sees its own signatures: self-pairs and
+    // intra-batch pairs appear (this is the window the bound closes)
+    val unbounded = probe(maxEpoch = Long.MaxValue)
+    assert(unbounded.exists(p => p._1 >= 300001L),
+      s"expected the unbounded retry to self-match (fixture lost its teeth): $unbounded")
+    // bounded to epochs <= the stream epoch, the retry reads exactly what
+    // the first attempt read — exactly-once output under retry
+    assert(probe(maxEpoch = 0L) == firstAttempt)
+    assert(firstAttempt == Set((3L, 300001L), (3L, 300002L)),
+      s"unexpected first-attempt pairs: $firstAttempt")
+  }
+
   test("streaming IVF append: restart-safe, cells match the batch assigner") {
     import spark.implicits._
     import graft.functions.VectorOps.ivfGeometry
