@@ -1474,6 +1474,114 @@ object VectorCatalog {
       |ORDER BY qid, rn""".stripMargin
   }
 
+  // ------------------------------------------------- persisted IVF-PQ index
+
+  /** The PQ-coded persisted IVF index — the layout a 100 TB deployment
+    * actually stores: per probed cell the search reads 8 CODE BYTES per
+    * vector instead of 256 float bytes (the raw-float [[buildIvfIndex]]
+    * is the labeled exact variant beside it). Layout:
+    *
+    *   indexDir/codebook/              m×ksub rows (s, c, cent[8])  — ~4 KB
+    *   indexDir/codes/epoch=0/list_id=L/  (vec_id, code[8]) per cell
+    *
+    * Codes are epoch-keyed like the band index ([[graft.queries
+    * .TextCatalog.appendBandIndex]] discipline): epoch 0 is the base
+    * build, [[graft.streaming.Jobs.ivfPqIngest]] appends one epoch per
+    * micro-batch under an epoch-keyed OVERWRITE (retry-idempotent), and
+    * [[graft.streaming.Jobs.compactIvfPqIndex]] folds committed epochs
+    * so the file count stays bounded on a long stream. `list_id` stays a
+    * partition column in EVERY epoch dir, so a probe's candidate read is
+    * a directory-level prune regardless of how many epochs exist.
+    *
+    * The model (coarse quantizer + codebooks) is fixed at build time —
+    * the standard IVF contract; re-training means re-building. */
+  def buildIvfPqIndex(corpus: DataFrame, geo: IvfGeometry, indexDir: String)
+      : (IvfAssigner, Array[Array[Array[Double]]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val assigner = ivfModel(corpus, geo)
+    val books = pqTrain(emb, emb.count())
+    val bkRows = for (s <- 0 until PqM; c <- 0 until PqK)
+      yield (s, c, books(s)(c).toSeq)
+    bkRows.toDF("s", "c", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    appendIvfPqCodes(corpus, assigner, books, indexDir, epoch = 0L)
+    (assigner, books)
+  }
+
+  /** Encode a batch against the fixed model and land it as one code
+    * epoch (epoch-keyed overwrite — a retry replaces its own output).
+    * Assignment + encoding are one narrow map with both models
+    * broadcast; the only wide step is the partitioned write. */
+  def appendIvfPqCodes(batch: DataFrame, assigner: IvfAssigner,
+      books: Array[Array[Array[Double]]], indexDir: String, epoch: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bcA = spark.sparkContext.broadcast(assigner)
+    pqEncode(batch.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])], books)
+      .map { case (id, e, code, _) => (id, code, bcA.value.assign(e)) }
+      .toDF("vec_id", "code", "list_id")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/codes/epoch=$epoch")
+  }
+
+  /** Rebuild the codebook model from its persisted form (deterministic
+    * ~4 KB artifact — a driver-side read, broadcast by the searcher). */
+  def readPqCodebook(spark: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    Array.tabulate(PqM)(s => Array.tabulate(PqK)(c => rows((s, c))))
+  }
+
+  /** Search the persisted PQ-coded index: probe cells computed
+    * driver-side from the broadcast-scale coarse model, per-query exact-
+    * decimal LUTs from the stored codebook, candidate read pruned to the
+    * probed `list_id` partitions (every epoch dir is partitioned the
+    * same way), ADC scoring over codes only — the floats are never read.
+    * Ranks identically to the in-memory [[annIvfPq]] over the same
+    * corpus (VectorSpec proves cell-exact equality). `maxEpoch` bounds
+    * the read to committed epochs, mirroring [[graft.queries.TextCatalog
+    * .dedupAgainstIndex]]'s retry discipline. */
+  def searchIvfPqIndex(spark: SparkSession, indexDir: String, assigner: IvfAssigner,
+                       queries: Seq[(Long, Array[Float])], nprobe: Int,
+                       k: Int = 10, maxEpoch: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val books = readPqCodebook(spark, indexDir)
+    val luts = queries.map { case (qid, qe) =>
+      (qid, Array.tabulate(PqM)(s => books(s).map(c => pqDistDec(qe, s, c))))
+    }.toMap
+    val probes = queries.flatMap { case (qid, qe) =>
+      assigner.probe(qe, nprobe).map(l => (qid, l)) }
+    val touched = probes.map(_._2).distinct.sorted
+    val probeDf = probes.toDF("qid", "probe")
+    val bc = spark.sparkContext.broadcast(luts)
+    spark.read.parquet(s"$indexDir/codes")
+      .filter(col("epoch") <= maxEpoch)
+      // partition-column predicate → directory-level pruning per epoch
+      .filter(col("list_id").isin(touched: _*))
+      .join(broadcast(probeDf),
+        col("probe") === col("list_id") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("code"))
+      .as[(Long, Long, Seq[Int])]
+      .map { case (qid, vid, code) =>
+        val lut = bc.value(qid)
+        var adc = java.math.BigDecimal.ZERO
+        var s = 0
+        while (s < PqM) { adc = adc.add(lut(s)(code(s))); s += 1 }
+        (qid, vid, new scala.math.BigDecimal(adc))
+      }
+      .toDF("qid", "vec_id", "adc")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"),
+        round(col("adc"), 6).cast("double").as("adc"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_neardup"   -> (vecNearDup _),
     "q_vec_norms"     -> (vecNorms _),

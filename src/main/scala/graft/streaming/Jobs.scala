@@ -299,37 +299,78 @@ object Jobs {
     * finished by deleting the remaining `epoch<=maxCov` remnants and
     * renaming the fold into place. Nothing committed is ever lost. */
   def compactServingPartials(spark: SparkSession, servingDir: String,
-                             uptoEpoch: Long = Long.MaxValue): Unit = {
+                             uptoEpoch: Long = Long.MaxValue): Unit =
+    compactEpochStore(spark, s"$servingDir.partials", s"$servingDir.compact_tmp",
+      uptoEpoch, writePartitionBy = Nil) { df =>
+      df.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
+        .repartition(1) // keys-sized frame → one file per compacted base
+    }
+
+  /** The generic rename-protocol epoch compaction behind
+    * [[compactServingPartials]], [[compactBandIndex]],
+    * [[compactMediaIndex]], and [[compactIvfPqIndex]]: fold the
+    * `epoch=N` dirs under `storeDir` with N < `uptoEpoch` into a single
+    * `epoch=<max covered>` dir. The base dir name can never collide with
+    * a future epoch (epoch ids only grow) and a re-run sees one covered
+    * dir and no-ops (idempotent). Callers inside `foreachBatch` pass an
+    * `uptoEpoch` that covers only checkpoint-COMMITTED epochs, so a
+    * leftover dir from a failed attempt of the current epoch is never
+    * folded (the retry overwrites it — exactly-once preserved).
+    *
+    * `fold` turns the union of the covered rows into the base's rows —
+    * identity for indexes (bounded via coalesce by the callers),
+    * re-aggregation for the serving partials. `writePartitionBy` keeps a
+    * partition layout (e.g. the IVF `list_id`) intact through the fold,
+    * so directory-level pruning works on the compacted base exactly as
+    * on the epochs it replaced.
+    *
+    * Crash safety (the serving sink's original protocol, now shared):
+    * the fold is parked under `parkDir/upto=<maxCov>` BEFORE any covered
+    * dir is deleted, and every entry first calls
+    * [[recoverCrashedCompaction]]. A crash anywhere in the
+    * delete-then-rename window leaves either (a) an incomplete fold (no
+    * _SUCCESS) with all covered dirs intact — discarded and redone — or
+    * (b) a complete fold whose coverage is recorded in its dir name —
+    * finished by deleting the remaining `epoch<=maxCov` remnants and
+    * renaming the fold into place. Nothing committed is ever lost. */
+  def compactEpochStore(spark: SparkSession, storeDir: String, parkDir: String,
+                        uptoEpoch: Long = Long.MaxValue,
+                        writePartitionBy: Seq[String] = Nil)
+                       (fold: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(s"$servingDir.partials")
+    val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    recoverCrashedCompaction(spark, servingDir)
+    recoverCrashedCompaction(spark, storeDir, parkDir)
     val covered = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
       .map(s => (s.getPath, s.getPath.getName.stripPrefix("epoch=").toLong))
       .filter(_._2 < uptoEpoch)
     if (covered.size <= 1) return // already compact — makes re-runs no-ops
     val maxCov = covered.map(_._2).max
-    // read the leaf dirs directly (no partition discovery — the epoch ids
-    // are consumed above, not needed in the fold)
-    val folded = spark.read.parquet(covered.map(_._1.toString): _*)
-      .groupBy(col("event_type"))
-      .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
-      .repartition(1) // keys-sized frame → one file per compacted base
-    val tmp = new Path(s"$servingDir.compact_tmp/upto=$maxCov")
-    folded.write.mode("overwrite").parquet(tmp.toString)
+    // read the covered dirs ONE BY ONE and union — the epoch ids are
+    // consumed above, not needed in the fold, and a multi-root read over
+    // dirs with sub-partitions (e.g. list_id) trips Spark's global
+    // partition inference (CONFLICTING_DIRECTORY_STRUCTURES); per-dir
+    // reads discover each dir's own partition columns cleanly
+    val folded = fold(covered.map(p => spark.read.parquet(p._1.toString))
+      .reduce(_ unionByName _))
+    val tmp = new Path(s"$parkDir/upto=$maxCov")
+    val w0 = folded.write.mode("overwrite")
+    val w = if (writePartitionBy.isEmpty) w0 else w0.partitionBy(writePartitionBy: _*)
+    w.parquet(tmp.toString)
     covered.foreach { case (p, _) => fs.delete(p, true) }
     // Hadoop rename signals failure by RETURNING false (quota, permission,
     // cross-FS, missing dst parent) — not by throwing. At this point the
     // covered dirs are gone and the parked fold is the ONLY copy of the
-    // committed partials, so a silent false here followed by the park-dir
+    // committed rows, so a silent false here followed by the park-dir
     // delete below would destroy committed data. Fail loudly instead: a
-    // leftover .compact_tmp fold is recoverable on the next entry; a
-    // deleted one is not.
-    val dst = new Path(s"$servingDir.partials/epoch=$maxCov")
+    // leftover parked fold is recoverable on the next entry; a deleted
+    // one is not.
+    val dst = new Path(s"$storeDir/epoch=$maxCov")
     require(fs.rename(tmp, dst), s"compaction rename $tmp -> $dst failed; parked fold kept for recovery")
-    fs.delete(new Path(s"$servingDir.compact_tmp"), true) // now-empty park dir
+    fs.delete(new Path(parkDir), true) // now-empty park dir
   }
 
   /** Finish or discard a compaction interrupted by a crash. A COMPLETE
@@ -340,9 +381,9 @@ object Jobs {
     * At most one complete fold can exist (every compaction recovers
     * before parking a new one). */
   private[streaming] def recoverCrashedCompaction(spark: SparkSession,
-                                                  servingDir: String): Unit = {
+      storeDir: String, parkDir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val troot = new Path(s"$servingDir.compact_tmp")
+    val troot = new Path(parkDir)
     val fs = troot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(troot)) return
     fs.listStatus(troot).toSeq
@@ -350,22 +391,55 @@ object Jobs {
       .foreach { st =>
         val upto = st.getPath.getName.stripPrefix("upto=").toLong
         if (fs.exists(new Path(st.getPath, "_SUCCESS"))) {
-          val root = new Path(s"$servingDir.partials")
+          val root = new Path(storeDir)
           if (fs.exists(root)) fs.listStatus(root).toSeq
             .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
             .filter(_.getPath.getName.stripPrefix("epoch=").toLong <= upto)
             .foreach(s => fs.delete(s.getPath, true))
           // rename needs an existing dst parent, and reports failure by
           // returning false — this fold is the only copy of the covered
-          // partials, so a false here must abort (keeping the park dir)
+          // rows, so a false here must abort (keeping the park dir)
           // rather than fall through to the troot delete below.
           fs.mkdirs(root)
-          val dst = new Path(s"$servingDir.partials/epoch=$upto")
+          val dst = new Path(s"$storeDir/epoch=$upto")
           require(fs.rename(st.getPath, dst), s"compaction recovery rename ${st.getPath} -> $dst failed; parked fold kept")
         } else fs.delete(st.getPath, true)
       }
     fs.delete(troot, true)
   }
+
+  /** Bound the file/dir count of the persisted text band index on a long
+    * stream: fold the committed band and shingle epochs (< `uptoEpoch`)
+    * into single base dirs under the shared rename protocol
+    * ([[compactEpochStore]]). Search results are identical pre/post —
+    * the fold is row identity; only the dir layout changes. The coalesce
+    * bounds the folded FILE count by the session's shuffle parallelism
+    * regardless of how many epochs were covered. */
+  def compactBandIndex(spark: SparkSession, indexDir: String,
+                       uptoEpoch: Long = Long.MaxValue): Unit = {
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Seq("bands", "shingles").foreach { store =>
+      compactEpochStore(spark, s"$indexDir/$store", s"$indexDir/$store.compact_tmp",
+        uptoEpoch)(_.coalesce(par))
+    }
+  }
+
+  /** [[compactBandIndex]] for the media signature index. */
+  def compactMediaIndex(spark: SparkSession, indexDir: String,
+                        uptoEpoch: Long = Long.MaxValue): Unit = {
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    compactEpochStore(spark, s"$indexDir/bands", s"$indexDir/bands.compact_tmp",
+      uptoEpoch)(_.coalesce(par))
+  }
+
+  /** Bound the epoch count of the PQ-coded IVF index's code store
+    * ([[graft.queries.VectorCatalog.buildIvfPqIndex]] layout): the fold
+    * keeps `list_id` as a partition column, so the compacted base prunes
+    * at directory level exactly like the epochs it replaced. */
+  def compactIvfPqIndex(spark: SparkSession, indexDir: String,
+                        uptoEpoch: Long = Long.MaxValue): Unit =
+    compactEpochStore(spark, s"$indexDir/codes", s"$indexDir/codes.compact_tmp",
+      uptoEpoch, writePartitionBy = Seq("list_id"))(_.coalesce(8))
 
   /** J3 stream-stream: watermarked interval join — each view pairs with
     * the clicks the same user makes within 5 minutes after it. Both sides
@@ -405,11 +479,18 @@ object Jobs {
     * the bound makes the retry read exactly what the first attempt
     * read (StreamingSpec proves the replayed epoch is self-pair-free). */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
-                  checkpointDir: String, t: Double = 0.8): StreamingQuery =
+                  checkpointDir: String, t: Double = 0.8,
+                  compactEvery: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // compact BEFORE probing, covering only committed index epochs
+        // (<= stream epoch — this epoch's own extension is epochId + 1
+        // and a leftover from a failed attempt must not be folded); the
+        // fold lands at epoch=<=epochId, inside the probe's bound
+        if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+          compactBandIndex(batch.sparkSession, indexDir, uptoEpoch = epochId + 1)
         graft.queries.TextCatalog.dedupAgainstIndex(batch, indexDir, t,
             maxEpoch = epochId)
           .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
@@ -431,13 +512,16 @@ object Jobs {
     * batch cannot match its own previous attempt's signatures (same
     * retry window as [[dedupIngest]]; StreamingSpec proves it). */
   def mediaIngest(media: DataFrame, indexDir: String, outDir: String,
-                  checkpointDir: String, maxDist: Int = 12): StreamingQuery =
+                  checkpointDir: String, maxDist: Int = 12,
+                  compactEvery: Int = 8): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+          compactMediaIndex(spark, indexDir, uptoEpoch = epochId + 1)
         val sigs = batch.as[(Long, Array[Byte])]
           .map { case (id, c) =>
             (id, graft.multimodal.Multimodal.mediaSimhash64(c))
@@ -484,4 +568,35 @@ object Jobs {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming maintenance of the PQ-CODED IVF index
+    * ([[graft.queries.VectorCatalog.buildIvfPqIndex]] layout — the 100 TB
+    * deployment's 8-bytes-per-vector read path): each micro-batch is
+    * assigned + PQ-encoded in one narrow map against the broadcast fixed
+    * model and landed as code epoch `epochId + 1` (epoch 0 is the base
+    * build) under an epoch-keyed OVERWRITE — a retried epoch replaces its
+    * own output, so the index is exactly-once without a file-sink
+    * metadata log, which is precisely what lets [[compactIvfPqIndex]]
+    * fold committed epochs (a metadata-logged sink pins its file set
+    * forever; this one's epochs are plain dirs under the rename
+    * protocol). Compaction runs every `compactEvery` epochs covering only
+    * committed epochs, so the store's dir count stays bounded for the
+    * stream's lifetime while every epoch dir keeps the `list_id`
+    * partition layout that search pruning needs. */
+  def ivfPqIngest(vectors: DataFrame,
+                  assigner: graft.functions.VectorOps.IvfAssigner,
+                  books: Array[Array[Array[Double]]],
+                  indexDir: String, checkpointDir: String,
+                  compactEvery: Int = 8): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+          compactIvfPqIndex(batch.sparkSession, indexDir, uptoEpoch = epochId + 1)
+        graft.queries.VectorCatalog.appendIvfPqCodes(
+          batch, assigner, books, indexDir, epoch = epochId + 1)
+        ()
+      }
+      .start()
 }

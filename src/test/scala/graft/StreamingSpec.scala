@@ -453,6 +453,58 @@ class StreamingSpec extends SparkSpec {
       s"unexpected first-attempt pairs: $firstAttempt")
   }
 
+  test("band index compaction: bounded dirs, identical probes, crash recovery") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_band_compact").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def epochs(store: String): Seq[String] =
+      fs.listStatus(new Path(s"$dir/idx/$store")).toSeq
+        .filter(_.getPath.getName.startsWith("epoch="))
+        .map(_.getPath.getName).sorted
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.queries.TextCatalog.buildBandIndex(corpus, s"$dir/idx") // epoch 0
+    def append(e: Int): Unit =
+      graft.queries.TextCatalog.appendBandIndex(
+        corpus.filter(col("doc_id") < 5)
+          .select((col("doc_id") + lit(e * 100000L)).as("doc_id"), col("text")),
+        s"$dir/idx", e)
+    (1 to 3).foreach(append)
+    val probeBatch = corpus.filter(col("doc_id") === 3)
+      .select((col("doc_id") + lit(900000L)).as("doc_id"), col("text"))
+    def probe() = graft.queries.TextCatalog.dedupAgainstIndex(probeBatch, s"$dir/idx")
+      .collect().map(_.toSeq).toSeq
+    val pre = probe()
+    // every epoch's copy of doc 3 must be in the pre-compaction history
+    // (organic ≥0.8 near-dups of doc 3 may legitimately ride along)
+    assert(Set(3L, 100003L, 200003L, 300003L)
+      .subsetOf(pre.map(_.head.asInstanceOf[Long]).toSet), s"probe: $pre")
+    // crash DURING the fold write: an incomplete parked fold (no _SUCCESS)
+    // must be discarded — its covered dirs were never touched
+    fs.mkdirs(new Path(s"$dir/idx/bands.compact_tmp/upto=2"))
+    graft.streaming.Jobs.compactBandIndex(spark, s"$dir/idx", uptoEpoch = 4L)
+    assert(epochs("bands") == Seq("epoch=3"), s"bands: ${epochs("bands")}")
+    assert(epochs("shingles") == Seq("epoch=3"), s"shingles: ${epochs("shingles")}")
+    assert(probe() == pre, "compaction changed probe results")
+    // crash BETWEEN park and swap: a complete fold parked, covered dirs
+    // intact — the next compaction must finish the swap, not redo the fold
+    (4 to 5).foreach(append)
+    val pre2 = probe()
+    // each appended epoch contributes the same matches as any other epoch
+    val perEpoch = pre.count { r =>
+      val d = r.head.asInstanceOf[Long]; d >= 100000L && d < 200000L
+    }
+    assert(pre2.size == pre.size + 2 * perEpoch)
+    spark.read.parquet((3 to 5).map(e => s"$dir/idx/bands/epoch=$e"): _*)
+      .write.parquet(s"$dir/idx/bands.compact_tmp/upto=5")
+    graft.streaming.Jobs.compactBandIndex(spark, s"$dir/idx", uptoEpoch = 6L)
+    assert(epochs("bands") == Seq("epoch=5"), s"bands: ${epochs("bands")}")
+    assert(epochs("shingles") == Seq("epoch=5"), s"shingles: ${epochs("shingles")}")
+    assert(probe() == pre2, "crash recovery lost or duplicated history")
+    assert(!fs.exists(new Path(s"$dir/idx/bands.compact_tmp")))
+    assert(!fs.exists(new Path(s"$dir/idx/shingles.compact_tmp")))
+  }
+
   test("streaming IVF append: restart-safe, cells match the batch assigner") {
     import spark.implicits._
     import graft.functions.VectorOps.ivfGeometry

@@ -207,6 +207,87 @@ class VectorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("persisted PQ-coded IVF index: code-only search equals the in-memory IVF-PQ plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val geo = ivfGeometry(corpus.count())
+    val (assigner, _) = VectorCatalog.buildIvfPqIndex(corpus, geo, s"$dir/index")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val res = VectorCatalog.searchIvfPqIndex(spark, s"$dir/index", assigner,
+      queries, geo.nprobe)
+    // the search never reads the floats: the scanned schema carries only
+    // (vec_id, code) + partition cols — no embedding column anywhere
+    val scan = res.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no parquet scan in the search plan"))
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      s"code-only search read ${scan.schema.fieldNames.mkString(",")}")
+    // directory-level pruning on list_id, as in the raw-float index
+    val touched = queries.flatMap { case (_, qe) => assigner.probe(qe, geo.nprobe) }
+      .distinct.toSet
+    assert(scan.partitionFilters.nonEmpty, "scan has no partition filters")
+    assert(scan.selectedPartitions.partitionCount == touched.size,
+      s"scan reads ${scan.selectedPartitions.partitionCount} cells, probed ${touched.size}")
+    // and code-only ADC ranking is cell-identical to the in-memory plan
+    val a = res.collect().map(_.toSeq).toSeq
+    val b = VectorCatalog.annIvfPq(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("streaming PQ-code append: exactly-once across restart, compaction preserves search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val geo = ivfGeometry(corpus.count())
+    // fixed model from the base corpus (first 450 rows); the last 50 arrive
+    // as two streamed batches against that model
+    val base = corpus.filter(col("vec_id") < 450)
+    val (assigner, books) = VectorCatalog.buildIvfPqIndex(base, geo, s"$dir/idx")
+    val late = corpus.filter(col("vec_id") >= 450)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Array[Float])]
+    def run(): Unit =
+      graft.streaming.Jobs.ivfPqIngest(in.toDF().toDF("vec_id", "embedding"),
+        assigner, books, s"$dir/idx", s"$dir/cp").awaitTermination(60000)
+    // two AvailableNow runs over ONE checkpoint: the second must append
+    // only the new rows (epoch-keyed overwrite exactly-once)
+    in.addData(late.take(30).toIndexedSeq: _*)
+    run()
+    in.addData(late.drop(30).toIndexedSeq: _*)
+    run()
+    val codes = spark.read.parquet(s"$dir/idx/codes")
+    assert(codes.count() == 500, "code rows duplicated or lost across the restart")
+    // reference: the same 500 rows coded in one shot with the same model —
+    // the streamed store must hold row-identical codes and cells
+    val refDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ref").toString
+    VectorCatalog.appendIvfPqCodes(corpus, assigner, books, refDir, 0L)
+    def rows(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("code"), col("list_id").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().sortBy(_._1).toSeq
+    assert(rows(s"$dir/idx/codes") == rows(s"$refDir/codes"), "streamed codes drifted")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    def search() = VectorCatalog.searchIvfPqIndex(spark, s"$dir/idx", assigner,
+      queries, geo.nprobe).collect().map(_.toSeq).toSeq
+    val pre = search()
+    // codebook round-trips through its persisted form exactly
+    val rb = VectorCatalog.readPqCodebook(spark, s"$dir/idx")
+    assert(rb.flatten.flatten.toSeq == books.flatten.flatten.toSeq)
+    // compact the three epochs (0 base + 2 streamed, all committed) into
+    // one — results must be identical and the epoch-dir count bounded
+    graft.streaming.Jobs.compactIvfPqIndex(spark, s"$dir/idx", uptoEpoch = 3L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val epochDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx/codes"))
+      .filter(_.getPath.getName.startsWith("epoch=")).map(_.getPath.getName).toSeq
+    assert(epochDirs == Seq("epoch=2"), s"epoch dirs after compaction: $epochDirs")
+    assert(search() == pre, "compaction changed search results")
+    assert(spark.read.parquet(s"$dir/idx/codes").count() == 500)
+  }
+
   test("kmeans: all clusters live, Lloyd inertia monotone, deterministic") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val n = corpus.count()
