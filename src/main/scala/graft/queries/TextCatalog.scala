@@ -835,6 +835,189 @@ object TextCatalog {
       |GROUP BY tr.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- deterministic sampling & segment dedup
+
+  /** Deterministic hash-threshold Bernoulli sampling — the 100 TB
+    * sampling path: keep a doc iff salted-md5(doc_id) mod 100 < 20. No
+    * RNG state, no seed plumbing, no shuffle — one narrow codegen'd
+    * map, reproducible across runs, engines, and re-partitionings (the
+    * same [[hashMod]] family as the train/val/test split, a different
+    * salt so the two streams are independent). The oracled deterministic
+    * sibling of the RNG-based `q_doc_sample` (rows-only by design):
+    * when a sample must be auditable and replayable — the normal
+    * training-data requirement — hash-threshold is the op to use. */
+  def hashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        hashMod(col("doc_id"), "|sample", 100).as("bucket"))
+      .filter(col("bucket") < 20)
+      .orderBy("doc_id")
+
+  val hashSampleSql: String =
+    """SELECT doc_id, source,
+      |  CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '|sample') % 100 AS INTEGER) AS bucket
+      |FROM documents
+      |WHERE md5_number_upper(CAST(doc_id AS VARCHAR) || '|sample') % 100 < 20
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact per-stratum quota sampling: within every source, rank docs
+    * by an independent salted hash and keep the first ⌈20%⌉ — exact
+    * quota per stratum, deterministic, no RNG. The rank is a
+    * per-stratum sort (window over `source`): right when strata are
+    * plentiful and individually bounded (the usual source/domain
+    * layout). If one stratum dominates the corpus, switch that stratum
+    * to [[hashSample]]'s threshold form (approximate quota, zero sort)
+    * — the window form funnels each stratum through one reducer.
+    * Integer quota arithmetic ((n+4) div 5) keeps both engines exact. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStratum = Window.partitionBy(col("source"))
+    val w = byStratum.orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit("|strat"))).as("h"))
+      .withColumn("cnt", count(lit(1)).over(byStratum))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= expr("(cnt + 4) div 5"))
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+      .orderBy("source", "rn")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH strat AS (
+      |  SELECT doc_id, source,
+      |    md5(CAST(doc_id AS VARCHAR) || '|strat') AS h
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM strat
+      |)
+      |SELECT doc_id, source, rn FROM ranked
+      |WHERE rn <= (cnt + 4) // 5
+      |ORDER BY source, rn""".stripMargin
+
+  /** C4-style segment-level exact dedup: split every doc into disjoint
+    * [[SegWords]]-word segments, keep only the globally FIRST occurrence
+    * of each distinct segment (order: doc_id, position), and report per
+    * doc the surviving segment count plus an md5 over the kept segment
+    * hashes in position order — the reconstruction fingerprint a
+    * downstream rewrite pass would verify against. Unlike whole-doc
+    * dedup this removes boilerplate repeated ACROSS different documents
+    * (headers, licence blocks, injected templates) — the near-dup spans
+    * the fixture plants are exactly what it catches. Scale:
+    * segmentation is a narrow generator ([[docChunksOf]] with
+    * stride = chunk); the first-occurrence rank partitions on the
+    * 128-bit segment hash — uniform, skew-free — and shuffles
+    * (hash, doc_id, pos) triples, never text; the rebuild groups by
+    * doc_id. Nothing is O(n²) anywhere. */
+  val SegWords = 32
+
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
+    docChunksOf(Tables.documents(spark, sfDir), SegWords, SegWords)
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_segs"),
+        // collect_list drops the nulls the `when` leaves for dropped
+        // segments; array_sort on (chunk_id, md5) structs restores
+        // position order deterministically under any aggregation order
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("chunk_id"), col("chunk_md5"))))),
+            x => x.getField("chunk_md5")))).as("dedup_md5"))
+      .orderBy("doc_id")
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL
+      |), c AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN n <= $SegWords THEN 1
+      |         ELSE CAST(ceil(CAST(n - $SegWords AS DOUBLE) / $SegWords) AS INTEGER) + 1 END AS nc
+      |  FROM d
+      |), x AS (
+      |  SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c
+      |), s AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+      |    md5(array_to_string(toks[i*$SegWords + 1 : i*$SegWords + $SegWords], ' ')) AS chunk_md5
+      |  FROM x
+      |), r AS (
+      |  SELECT doc_id, chunk_id, chunk_md5,
+      |    ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) AS rn
+      |  FROM s
+      |)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+      |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_md5 END, ' ' ORDER BY chunk_id), '')) AS dedup_md5
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Fuzzy-dedup canonical selection: for every near-dup cluster
+    * (`q_dedup_clusters`' connected components over the MinHash/LSH
+    * pair graph), keep the highest-quality member — stopword-ratio
+    * argmax, doc_id tie-break — instead of the arbitrary min-id. This
+    * is the curation decision a production dedup actually wants:
+    * near-dup groups contain degraded variants (truncations,
+    * boilerplate-injected copies) and the kept one should be the best,
+    * not the first-crawled. Scale: inherits the LSH pair graph (never
+    * O(n²)); cluster membership is a tiny fraction of the corpus, so
+    * the quality join and the per-cluster argmax window both run over
+    * clusters of bounded size, not the corpus. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(spark, sfDir).select(col("d1"), col("d2"))
+    val members = graft.functions.Graph.dedupClusters(pairs, "d1", "d2")
+      .select(col("id"), col("comp"))
+    val quality = qualityScore(spark, sfDir).select(col("doc_id"), col("stop_ratio"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("stop_ratio").desc, col("id").asc)
+    members.join(quality, col("id") === col("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("cluster_size"), col("id").as("best_doc"),
+        round(col("stop_ratio"), 6).as("best_stop_ratio"))
+      .orderBy("comp")
+  }
+
+  val dedupKeepBestSql: String = {
+    val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE ${minhashPairsCte()},
+      |kb_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM mh_pairs
+      |  UNION ALL SELECT d2, d1 FROM mh_pairs
+      |), kb_reach(id, anc) AS (
+      |  SELECT DISTINCT src, src FROM kb_edges
+      |  UNION
+      |  SELECT r.id, e.dst FROM kb_reach r JOIN kb_edges e ON e.src = r.anc
+      |), kb_cc AS (
+      |  SELECT id, MIN(anc) AS comp FROM kb_reach GROUP BY id
+      |), kb_q AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio
+      |  FROM documents
+      |), kb AS (
+      |  SELECT c.comp, c.id, q.stop_ratio,
+      |    COUNT(*) OVER (PARTITION BY c.comp) AS cluster_size,
+      |    ROW_NUMBER() OVER (PARTITION BY c.comp
+      |      ORDER BY q.stop_ratio DESC, c.id ASC) AS rn
+      |  FROM kb_cc c JOIN kb_q q ON q.doc_id = c.id
+      |)
+      |SELECT comp, cluster_size, id AS best_doc,
+      |  ROUND(stop_ratio, 6) AS best_stop_ratio
+      |FROM kb WHERE rn = 1 ORDER BY comp""".stripMargin
+  }
+
   /** The flagship end-to-end curation pipeline — the composition a
     * training-data run actually executes, as ONE oracled query:
     * quality gate (≥5 words, stopword ratio ≤ 0.6) → exact dedup
@@ -1550,7 +1733,11 @@ object TextCatalog {
     "q_doc_pack"        -> ((s, dir) => docPack(s, dir)),
     "q_doc_decontam"    -> (decontam _),
     "q_tfidf"           -> (tfidf _),
-    "q_doc_langid"      -> (langIdQuery _)
+    "q_doc_langid"      -> (langIdQuery _),
+    "q_doc_sample_hash"  -> (hashSample _),
+    "q_doc_sample_strat" -> (stratifiedSample _),
+    "q_doc_seg_dedup"    -> (chunkDedup _),
+    "q_dedup_keep_best"  -> (dedupKeepBest _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1578,6 +1765,10 @@ object TextCatalog {
     "q_doc_chunks"      -> docChunksSql,
     "q_doc_pack"        -> docPackSql,
     "q_doc_decontam"    -> decontamSql,
-    "q_tfidf"           -> tfidfSql
+    "q_tfidf"           -> tfidfSql,
+    "q_doc_sample_hash"  -> hashSampleSql,
+    "q_doc_sample_strat" -> stratifiedSampleSql,
+    "q_doc_seg_dedup"    -> chunkDedupSql,
+    "q_dedup_keep_best"  -> dedupKeepBestSql
   )
 }

@@ -369,4 +369,80 @@ class TextSpec extends SparkSpec {
     }
     assert(planted > 0, "fixture no longer plants any PII")
   }
+
+  test("hashSample: deterministic, partition-independent, disjoint from the split stream") {
+    val a = TextCatalog.hashSample(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val b = TextCatalog.hashSample(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash sample not deterministic")
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // 20% threshold over a uniform hash: loose 3-sigma band
+    assert(math.abs(a.size - 0.2 * n) < 3 * math.sqrt(n * 0.2 * 0.8),
+      s"sample rate off: ${a.size}/$n")
+    // the '|sample' salt must give a stream independent of '|split':
+    // if they collapsed, the sample would be exactly the bucket<20 split slice
+    val split = TextCatalog.trainSplit(spark, sf0001)
+      .filter(col("bucket") < 20).collect().map(_.getLong(0)).toSet
+    assert(a.toSet != split, "sample stream collapsed onto the split stream")
+  }
+
+  test("stratifiedSample: exact ceil(20%) quota per stratum, hash-ranked prefix") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val perSource = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextCatalog.stratifiedSample(spark, sf0001).collect()
+      .groupBy(_.getString(1))
+    perSource.foreach { case (src, cnt) =>
+      val quota = (cnt + 4) / 5
+      assert(got(src).length == quota, s"$src: ${got(src).length} != $quota")
+      assert(got(src).map(_.getLong(2)).sorted.toSeq == (1L to quota),
+        s"$src ranks not a dense 1..quota prefix")
+    }
+    assert(got.keySet == perSource.keySet, "a stratum lost all rows")
+  }
+
+  test("chunkDedup: drops exactly the duplicate segments, keeps first occurrences") {
+    import TextCatalog.SegWords
+    val rows = TextCatalog.chunkDedup(spark, sf0001).collect()
+    // independent truth: segment the corpus in the JVM and count first
+    // occurrences per doc in (doc_id, position) order
+    val segs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy(_._1)
+      .flatMap { case (id, t) =>
+        t.split(" ").grouped(SegWords).zipWithIndex
+          .map { case (seg, i) => (id, i, seg.mkString(" ")) } }
+    val seen = scala.collection.mutable.Set[String]()
+    val expKept = segs.map { case (id, _, s) => (id, seen.add(s)) }
+      .groupBy(_._1).map { case (id, xs) => id -> xs.count(_._2) }
+    rows.foreach { r =>
+      assert(r.getLong(2) == expKept(r.getLong(0)),
+        s"doc ${r.getLong(0)}: kept ${r.getLong(2)} != ${expKept(r.getLong(0))}")
+    }
+    val dropped = rows.map(r => r.getLong(1) - r.getLong(2)).sum
+    assert(dropped > 0, "fixture has no cross-doc duplicate segments — test is vacuous")
+    // a fully-kept doc's fingerprint differs from a partially-dropped one's
+    assert(rows.map(_.getString(3)).distinct.length > 1)
+  }
+
+  test("dedupKeepBest: picks the max-stop-ratio member of every cluster") {
+    val best = TextCatalog.dedupKeepBest(spark, sf0001).collect()
+    assert(best.nonEmpty, "no near-dup clusters in fixture")
+    val pairs = TextCatalog.minhashPairs(spark, sf0001)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect()
+    val members = graft.functions.Graph
+      .dedupClusters(pairs.toSeq.toDF("d1", "d2"), "d1", "d2")
+      .select(col("id"), col("comp")).as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    val quality = TextCatalog.qualityScore(spark, sf0001)
+      .select(col("doc_id"), col("stop_ratio")).as[(Long, Double)].collect().toMap
+    best.foreach { r =>
+      val (comp, size, doc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val m = members(comp)
+      assert(m.size == size, s"cluster $comp size")
+      val top = m.map(quality).max
+      assert(quality(doc) == top, s"cluster $comp: kept $doc is not argmax quality")
+      // tie-break: smallest id among the argmax set
+      assert(doc == m.filter(d => quality(d) == top).min, s"cluster $comp tie-break")
+    }
+  }
 }
