@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * r9 the stdout line is therefore TINY — {metric, sf, n, profile path,
   * empty queries map, total} — and the full per-query detail (min of two
   * plus both raw runs) goes to a committed JSON file
-  * ($SPARK_GRAFT_BENCH_PROFILE, default bench_profile_r9.json).
+  * ($SPARK_GRAFT_BENCH_PROFILE, default bench_profile_r10.json).
   *
   * Micro-mode: pass query names as argv to time only those — one-command
   * anomaly adjudication (`runMain graft.Bench q_listing_normalize`).
@@ -98,7 +98,7 @@ object Bench {
     // The stdout line now stays tiny — total, sf, n, and a pointer to the
     // profile file — so it parses; the file carries every per-query min and
     // both raw runs recoverably.
-    val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile_r9.json")
+    val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile_r10.json")
     val profileJson =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},""" +
         s""""queries":$qs,"runs":$runs,"value":$total}"""

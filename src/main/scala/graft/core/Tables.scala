@@ -22,25 +22,36 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * does not map to TimestampType. We read it as raw nanos (LongType) via
-    * `spark.sql.legacy.parquet.nanosAsLong` and convert to a microsecond
-    * TimestampType column. The nanos are NOT µs-aligned, and DuckDB's
-    * `CAST(ts AS TIMESTAMP)` TRUNCATES ns→µs — so the division here must
-    * be integer `div` (truncation), not `/` (double division, rounds to
-    * nearest: ~12% of rows would land 1 µs high and diverge from the
-    * oracle).
+  /** `events.ts` has shipped in two physical parquet layouts, so the load
+    * dispatches on the observed Spark type rather than assuming either:
+    *
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) — current fixtures. Spark
+    *    reads TIMESTAMP_NTZ; we cast to TimestampType (session TZ is UTC
+    *    everywhere in this repo, so the cast is wall-clock identity and the
+    *    DuckDB oracle's `CAST(ts AS TIMESTAMP)` sees the same instants).
+    *  - TIMESTAMP(NANOS) — older fixtures. Spark's parquet reader has no
+    *    TimestampType mapping for NANOS at all; with
+    *    `spark.sql.legacy.parquet.nanosAsLong` it surfaces as raw-nanos
+    *    LongType, which we truncate to µs. Integer `div`, not `/`: DuckDB
+    *    TRUNCATES ns→µs, and double division would round ~12% of rows
+    *    1 µs high and diverge from the oracle.
+    *
+    * Post-load contract (asserted in CatalogSpec): `ts` is TimestampType.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // Set once and never restored: reading NANOS as long is the only way
-    // Spark's parquet reader handles this physical type at all, and the
-    // conf is inert for every other table. (A set-then-restore here was
-    // racy — concurrent plan-building threads could observe the restore
-    // mid-read and fail the scan.)
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Set once and never restored: the conf is required for the NANOS
+    // layout and inert for every other table/layout. (A set-then-restore
+    // was racy — concurrent plan-building threads could observe the
+    // restore mid-read and fail the scan.)
     Tables.synchronized {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    read(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }

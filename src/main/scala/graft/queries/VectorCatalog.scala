@@ -1574,11 +1574,19 @@ object VectorCatalog {
         (qid, vid, new scala.math.BigDecimal(adc))
       }
       .toDF("qid", "vec_id", "adc")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("vec_id"),
-        round(col("adc"), 6).cast("double").as("adc"))
+      // Bounded-heap top-k keyed on qid (same shape as knnBrute), not a
+      // row_number window: candidates are already nprobe-cell-bounded, but
+      // the heap keeps the catalog uniformly map-side-partial — the
+      // exchange carries ≤ k×|Q| rows per partition at any corpus size.
+      // TopKAgg ranks (ord DESC, id ASC); ADC ranks ascending, so the heap
+      // sees -adc. double↔decimal is order-monotonic, so the ranking (and
+      // the cell-exact parity with annIvfPq) is unchanged.
+      .groupBy(col("qid"))
+      .agg(graft.plans.TopKAgg.topK(negate(col("adc")).cast("double"),
+        col("vec_id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("qid"), (col("i") + 1).as("rn"), col("p.id").as("vec_id"),
+        round(negate(col("p.ord")), 6).cast("double").as("adc"))
       .orderBy("qid", "rn")
   }
 

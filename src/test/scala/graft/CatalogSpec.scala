@@ -23,4 +23,17 @@ class CatalogSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  // Fixture contract: Tables.events must surface `ts` as TimestampType at
+  // every SF regardless of the fixture's physical parquet layout (the
+  // driver has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS,ntz)).
+  // A silent fixture regeneration should fail THIS named test, not 17
+  // downstream ones.
+  for (sf <- Seq(sf0001, sf001, sf01)) {
+    test(s"events.ts loads as TimestampType at $sf") {
+      import org.apache.spark.sql.types.TimestampType
+      val dt = graft.core.Tables.events(spark, sf).schema("ts").dataType
+      assert(dt == TimestampType, s"events.ts is $dt, expected TimestampType")
+    }
+  }
 }

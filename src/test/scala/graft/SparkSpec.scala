@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
   def sf001 = "/root/testdata/sf0.01"
+  def sf01 = "/root/testdata/sf0.1"
 }
 
 object SparkSpec {
