@@ -225,6 +225,87 @@ object Jobs {
       }
   }
 
+  /** Per-user funnel-cascade state. `t1/t2/t3` are the cascade's first-
+    * occurrence timestamps in µs (-1 = stage not reached); `pending`
+    * holds (tsUs, stageCode) events not yet finalized by the watermark;
+    * `rev` is a per-user monotone revision so a sink (or a test) can
+    * pick the latest update without ordering assumptions. */
+  case class FunnelSt(t1: Long, t2: Long, t3: Long, rev: Long,
+                      pending: Seq[(Long, Int)])
+
+  /** Update-mode emission of [[statefulFunnel]]: the user's current
+    * cascade timestamps (µs, -1 = unset). */
+  case class FunnelUpdate(user_id: Long, rev: Long,
+                          t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** Streaming twin of [[graft.queries.EventsCatalog.funnelOf]]'s
+    * per-user cascade (t1 = first view; t2 = first click strictly after
+    * t1; t3 = first purchase strictly after t2).
+    *
+    * The cascade is ORDER-SENSITIVE: folding events in arrival order is
+    * wrong under out-of-order delivery (a click seen before a lower
+    * late view gets rejected forever, though the batch cascade admits
+    * it). The watermark is what makes incremental evaluation exact:
+    * events BUFFER in per-user state until the watermark passes them —
+    * at which point no earlier event can still arrive — and only then
+    * fold, in event-time order, into the (t1,t2,t3) state machine. The
+    * result per user is therefore identical to the batch cascade over
+    * the same events for ANY arrival order whose lateness stays inside
+    * the watermark delay (StreamingSpec replays the real fixture under
+    * bounded shuffling and asserts map-equality).
+    *
+    * Scale shape: one shuffle keyed on user_id (high cardinality);
+    * state per user = 4 longs + the pending buffer, which the watermark
+    * bounds at [events per user per lateness window] — the same bound
+    * every watermarked stateful operator carries. Emission is an
+    * Update-mode delta per touched user per batch; the global funnel
+    * counts are a fold over users' latest rows (= [[graft.queries
+    * .EventsCatalog.funnelOf]]'s step counts). Ties at equal ts are
+    * immaterial: the cascade's strict `>` rejects an equal-ts pair in
+    * every processing order. */
+  def statefulFunnel(ds: Dataset[Event], lateness: String = "10 minutes")
+      : Dataset[FunnelUpdate] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    ds.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, FunnelUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[Event], state: GroupState[FunnelSt]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          val prev = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L, 0L, Nil))
+          val incoming = events.map { e =>
+            (micros(e.ts), e.event_type match {
+              case "view" => 1; case "click" => 2; case "purchase" => 3
+              case _ => 0
+            })
+          }.filter(_._2 > 0).toSeq
+          // finalize everything the watermark has passed; hold the rest.
+          // (A row arriving with ts <= watermark — possible only when the
+          // source's disorder exceeds the lateness bound — folds at its
+          // sorted position among this batch's ready set, the best
+          // available approximation of the order guarantee it broke.)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, hold) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
+          var t1 = prev.t1; var t2 = prev.t2; var t3 = prev.t3
+          ready.sorted.foreach { case (ts, code) =>
+            code match {
+              case 1 => if (t1 < 0) t1 = ts
+              case 2 => if (t2 < 0 && t1 >= 0 && ts > t1) t2 = ts
+              case 3 => if (t3 < 0 && t2 >= 0 && ts > t2) t3 = ts
+            }
+          }
+          val next = FunnelSt(t1, t2, t3, prev.rev + 1, hold)
+          state.update(next)
+          // re-fire when the watermark passes the earliest held event,
+          // even if this user never receives another row
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          Iterator(FunnelUpdate(user, next.rev, t1, t2, t3))
+      }
+  }
+
   /** ST5: one micro-batch, two sinks ("HDFS" raw + "MongoDB" serving in
     * the declared architecture — two parquet roots here).
     *

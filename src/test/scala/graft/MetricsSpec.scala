@@ -45,4 +45,37 @@ class MetricsSpec extends SparkSpec {
       s"aggregation shuffled nothing — metric wiring broken: $p")
     assert(p.scanRows > 0)
   }
+
+  test("SCALE.md top shufflers: per-key windows move at most input-linear records") {
+    // q_window_lag / q_scd2 / q_moving_avg head the SCALE.md table with
+    // shufRecords == 2x scanRows exactly: one user_id/key hash exchange
+    // carrying every row once, plus the presentation range exchange
+    // carrying every output row once. A third pass-through of the data
+    // (an accidental repartition, a self-join) would break the bound.
+    for ((name, df) <- Seq(
+        ("q_window_lag", TpchCatalog.windowLag(spark, sf0001)),
+        ("q_scd2", graft.queries.EventsCatalog.scd2History(spark, sf0001)),
+        ("q_moving_avg", graft.queries.EventsCatalog.movingAvg(spark, sf0001)))) {
+      val p = Metrics.measure(df)
+      assert(p.rowsOut > 0, s"$name vacuous")
+      assert(p.shuffleRecords <= 2L * p.scanRows,
+        s"$name moved more than 2x its input through shuffles: $p")
+    }
+  }
+
+  test("SCALE.md top shufflers: LSH pair generation stays bucket-bounded") {
+    // q_vec_neardup and q_vec_ann_lsh are the catalog's biggest byte
+    // shufflers BY DESIGN (candidate pairs within LSH buckets). The scale
+    // contract is that candidates stay bucket-bounded: at sf0.001 the
+    // corpus is ~520 vectors per scan side, so an all-pairs regression
+    // is ~270k pairs — two orders past the 64x-input cap held here.
+    for ((name, df) <- Seq(
+        ("q_vec_neardup", graft.queries.VectorCatalog.vecNearDup(spark, sf0001)),
+        ("q_vec_ann_lsh", graft.queries.VectorCatalog.annLsh(spark, sf0001)))) {
+      val p = Metrics.measure(df)
+      assert(p.rowsOut > 0, s"$name vacuous")
+      assert(p.shuffleRecords <= 64L * p.scanRows,
+        s"$name candidate expansion beyond the bucket bound: $p")
+    }
+  }
 }

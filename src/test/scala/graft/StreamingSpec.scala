@@ -266,6 +266,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful funnel equals the batch cascade under bounded-disorder replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq
+    // independent driver-side truth: the cascade by its definition, no
+    // ordering involved (t1 = min view; t2 = min click > t1; t3 = min
+    // purchase > t2)
+    val truth = events.groupBy(_.user_id).map { case (u, es) =>
+      def minAfter(typ: String, after: Long): Long = {
+        val c = es.filter(e => e.event_type == typ && micros(e.ts) > after)
+        if (c.isEmpty) -1L else c.map(e => micros(e.ts)).min
+      }
+      val t1 = {
+        val v = es.filter(_.event_type == "view")
+        if (v.isEmpty) -1L else v.map(e => micros(e.ts)).min
+      }
+      val t2 = if (t1 < 0) -1L else minAfter("click", t1)
+      val t3 = if (t2 < 0) -1L else minAfter("purchase", t2)
+      u -> (t1, t2, t3)
+    }
+    // arrival order: event-time order perturbed by shuffling WITHIN
+    // 2-minute buckets — max disorder ~4 min, safely inside the 10-min
+    // watermark delay, so nothing is genuinely late and the stream must
+    // reproduce the batch cascade EXACTLY despite the scrambling
+    val rnd = new scala.util.Random(7L)
+    val perturbed = events.groupBy(e => micros(e.ts) / (120L * 1000000L)).toSeq
+      .sortBy(_._1).flatMap { case (_, g) => rnd.shuffle(g) }
+    val in = MemoryStream[Event]
+    val q = Jobs.statefulFunnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      perturbed.grouped(250).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // sentinel one hour past the last event pushes the watermark over
+      // everything still pending (and times out every buffered user)
+      val lastUs = events.map(e => micros(e.ts)).max
+      val flush = new Timestamp((lastUs + 3600L * 1000000L) / 1000L)
+      in.addData(Event(-1L, flush, -999L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (u, rows) =>
+          val last = rows.maxBy(_._2)
+          u -> (last._3, last._4, last._5)
+        } - (-999L)
+      assert(got == truth, {
+        val diff = (truth.keySet ++ got.keySet)
+          .filter(u => truth.get(u) != got.get(u)).take(5)
+        s"stream cascade diverged for users $diff: " +
+          diff.map(u => s"$u truth=${truth.get(u)} got=${got.get(u)}").mkString("; ")
+      })
+      // and the folded step counts are funnelOf's numbers over the same frame
+      val batch = graft.queries.EventsCatalog.funnelOf(
+        spark.createDataset(events).toDF()).collect()(0)
+      assert(batch.getLong(0) == truth.count(_._2._1 >= 0))
+      assert(batch.getLong(1) == truth.count(_._2._2 >= 0))
+      assert(batch.getLong(2) == truth.count(_._2._3 >= 0))
+    } finally q.stop()
+  }
+
   test("kafka-shaped frames flow end-to-end: decode -> window -> sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
