@@ -306,6 +306,60 @@ object Jobs {
       }
   }
 
+  /** Per-user retention state: `cohortDay` = epoch day of first activity
+    * (-1 unset), `mask` = bitset of day offsets 0-7 with activity,
+    * `pending` = event-time µs not yet finalized by the watermark. */
+  case class RetentionSt(cohortDay: Long, mask: Int, rev: Long,
+                         pending: Seq[Long])
+
+  /** Update-mode emission of [[statefulRetention]]. */
+  case class RetentionUpdate(user_id: Long, rev: Long,
+                             cohort_day: Long, mask: Int)
+
+  /** Streaming twin of [[graft.queries.EventsCatalog.retention]]'s
+    * per-user half: cohort day = first activity day, plus the set of day
+    * offsets 0-7 with any activity — the weekly retention triangle's
+    * per-user row, as 8 BITS of state.
+    *
+    * Same watermark discipline as [[statefulFunnel]]: the cohort day is
+    * order-sensitive (a late earlier event re-bases every offset), so
+    * event times buffer in `pending` until the watermark passes them and
+    * only then fold — the first FINALIZED day is genuinely the user's
+    * min, and offsets computed against it are final. Per-user state is
+    * two longs + an int + the watermark-bounded buffer; the global
+    * triangle is `groupBy(cohort_day) × popcount(mask bits)` over users'
+    * latest rows, which StreamingSpec checks cell-equal to the batch
+    * query over the same events under bounded-disorder replay. */
+  def statefulRetention(ds: Dataset[Event], lateness: String = "10 minutes")
+      : Dataset[RetentionUpdate] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    ds.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionSt, RetentionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[Event], state: GroupState[RetentionSt]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          val prev = state.getOption.getOrElse(RetentionSt(-1L, 0, 0L, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, hold) =
+            (prev.pending ++ events.map(e => micros(e.ts))).partition(_ <= wmUs)
+          var cohort = prev.cohortDay; var mask = prev.mask
+          ready.sorted.foreach { tsUs =>
+            val day = Math.floorDiv(tsUs, 86_400_000_000L)
+            if (cohort < 0) cohort = day
+            val off = day - cohort
+            if (off <= 7) mask |= (1 << off.toInt)
+          }
+          val next = RetentionSt(cohort, mask, prev.rev + 1, hold)
+          state.update(next)
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.min / 1000L + 1L)
+          Iterator(RetentionUpdate(user, next.rev, cohort, mask))
+      }
+  }
+
   /** ST5: one micro-batch, two sinks ("HDFS" raw + "MongoDB" serving in
     * the declared architecture — two parquet roots here).
     *

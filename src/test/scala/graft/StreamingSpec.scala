@@ -331,6 +331,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful retention equals the batch triangle under bounded-disorder replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq
+    // same bounded-disorder replay discipline as the funnel test
+    val rnd = new scala.util.Random(11L)
+    val perturbed = events.groupBy(e => micros(e.ts) / (120L * 1000000L)).toSeq
+      .sortBy(_._1).flatMap { case (_, g) => rnd.shuffle(g) }
+    val in = MemoryStream[Event]
+    val q = Jobs.statefulRetention(in.toDS())
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("update").start()
+    try {
+      perturbed.grouped(250).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val lastUs = events.map(e => micros(e.ts)).max
+      val flush = new Timestamp((lastUs + 3600L * 1000000L) / 1000L)
+      in.addData(Event(-1L, flush, -999L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      // latest per-user row -> fold the masks into the (cohort, offset, n)
+      // triangle
+      val perUser = spark.table("retention_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .groupBy(_._1).map { case (u, rows) =>
+          val last = rows.maxBy(_._2); u -> (last._3, last._4)
+        } - (-999L)
+      val gotTriangle = perUser.toSeq
+        .flatMap { case (_, (cohort, mask)) =>
+          (0 to 7).filter(o => (mask & (1 << o)) != 0).map(o => (cohort, o.toLong)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val batchTriangle = graft.queries.EventsCatalog.retention(spark, sf0001)
+        .collect().map { r =>
+          (java.time.LocalDate.parse(r.getString(0)).toEpochDay, r.getInt(1).toLong) ->
+            r.getLong(2)
+        }.toMap
+      assert(gotTriangle == batchTriangle, {
+        val keys = (gotTriangle.keySet ++ batchTriangle.keySet)
+          .filter(k => gotTriangle.get(k) != batchTriangle.get(k)).take(5)
+        s"triangle diverged at $keys: stream=${keys.map(gotTriangle.get)} " +
+          s"batch=${keys.map(batchTriangle.get)}"
+      })
+    } finally q.stop()
+  }
+
   test("kafka-shaped frames flow end-to-end: decode -> window -> sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
