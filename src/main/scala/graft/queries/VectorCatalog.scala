@@ -400,15 +400,27 @@ object VectorCatalog {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         col("x.embedding").as("e1"), col("y.embedding").as("e2"))
-      .dropDuplicates("v1", "v2")
       // two-stage scoring: the codegen'd fused cosine pre-filters the
       // within-bucket pair flood at 0.94 (its relative error is ~1e-15,
       // so nothing with exact cos ≥ 0.95 can fall below it), then the
       // decimal-exact cosine — which the oracle reproduces — scores only
-      // the handful of survivors
+      // the handful of survivors.
+      //
+      // Both stages run BEFORE the cross-table pair dedup, not after:
+      // each is a pure function of (e1, e2), so every duplicate of a pair
+      // scores identically and dedup-then-score == score-then-dedup. The
+      // payoff is the shuffle payload — the dedup exchange carries
+      // (v1, v2, cos) at ~24 B/row instead of two embedding vectors at
+      // ~520 B/row, and only for pre-filter SURVIVORS instead of the
+      // whole candidate flood (sf0.1: 52 MiB -> ~2 MiB measured; at
+      // corpus scale it is the difference between shuffling ids and
+      // shuffling the vector store). The duplicate-factor cost is
+      // bounded by `tables` (≤4 extra cosine evals per near-dup pair) on
+      // codegen'd columns that never leave their bucket partition.
       .filter(graft.plans.CosineSimilarity.cosineSim(col("e1"), col("e2")) >= 0.94)
       .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
       .filter(col("cos") >= 0.95)
+      .dropDuplicates("v1", "v2")
       .orderBy("v1", "v2")
   }
 

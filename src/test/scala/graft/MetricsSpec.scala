@@ -64,11 +64,13 @@ class MetricsSpec extends SparkSpec {
   }
 
   test("SCALE.md top shufflers: LSH pair generation stays bucket-bounded") {
-    // q_vec_neardup and q_vec_ann_lsh are the catalog's biggest byte
-    // shufflers BY DESIGN (candidate pairs within LSH buckets). The scale
-    // contract is that candidates stay bucket-bounded: at sf0.001 the
-    // corpus is ~520 vectors per scan side, so an all-pairs regression
-    // is ~270k pairs — two orders past the 64x-input cap held here.
+    // q_vec_ann_lsh shuffles its bucketed candidate pairs by design, and
+    // q_vec_neardup shuffles its scored survivor pairs (r10: scoring
+    // moved BEFORE the pair dedup so the exchange carries ids+scores,
+    // not embedding payloads). The scale contract is that candidates
+    // stay bucket-bounded: at sf0.001 the corpus is ~520 vectors per
+    // scan side, so an all-pairs regression is ~270k pairs — two orders
+    // past the 64x-input cap held here.
     for ((name, df) <- Seq(
         ("q_vec_neardup", graft.queries.VectorCatalog.vecNearDup(spark, sf0001)),
         ("q_vec_ann_lsh", graft.queries.VectorCatalog.annLsh(spark, sf0001)))) {
