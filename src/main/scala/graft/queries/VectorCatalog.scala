@@ -125,29 +125,41 @@ object VectorCatalog {
       |ORDER BY label""".stripMargin
 
   /** Explode a corpus into its per-table LSH buckets with the occupancy
-    * guard in-plan: a window count over (tbl, bucket) — which reuses the
-    * exchange the downstream bucket join needs anyway — feeds
-    * `assert_true`, so an over-occupied bucket (geometry mis-sized for
-    * the corpus, or degenerate data like a near-duplicate flood) kills
-    * the job with a message instead of silently going quadratic inside
-    * the bucket. The guard rides a filter, which Catalyst cannot prune
-    * away (VectorSpec proves it fires). */
+    * guard in-plan: an over-occupied bucket (geometry mis-sized for the
+    * corpus, or degenerate data like a near-duplicate flood) kills the
+    * job with a message instead of silently going quadratic inside the
+    * bucket.
+    *
+    * The guard is a SLIM side-aggregate, not a window over the wide
+    * frame: `max(count) OVER (tbl, bucket)` would force a full-corpus
+    * exchange CARRYING THE EMBEDDINGS on every use of the bucketized
+    * frame (r10 measured 2×2 MiB of pure guard traffic in the ANN probe
+    * plan, whose join no longer co-partitions on (tbl, bucket)). Instead
+    * the occupancy check aggregates a 2-column (tbl, bucket) projection
+    * — map-side combine reduces it to distinct-buckets-per-partition
+    * before its exchange — folds to ONE row, and rides back onto every
+    * output row via a broadcast cross join + filter, which Catalyst
+    * cannot prune away (VectorSpec proves the guard still fires). The
+    * embeddings themselves never shuffle here. */
   def bucketize(corpus: DataFrame, geo: LshGeometry): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy(col("tbl"), col("bucket"))
     val bk = new Bucketizer(geo.tables, geo.bits)
-    corpus
+    val raw = corpus
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         bk.buckets(emb).zipWithIndex.map { case (b, t) => (id, emb, t, b) }
       }
       .toDF("vec_id", "embedding", "tbl", "bucket")
-      .withColumn("_guard",
-        assert_true(count(lit(1)).over(w) <= lit(geo.maxBucket),
-          lit(s"LSH bucket exceeds ${geo.maxBucket} vectors — geometry " +
-            s"(${geo.tables} tables x ${geo.bits} bits) too coarse for this corpus")))
+    val guard = raw.select(col("tbl"), col("bucket"))
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxc"))
+      .select(assert_true(col("maxc") <= lit(geo.maxBucket),
+        lit(s"LSH bucket exceeds ${geo.maxBucket} vectors — geometry " +
+          s"(${geo.tables} tables x ${geo.bits} bits) too coarse for this corpus"))
+        .as("_guard"))
+    raw.crossJoin(broadcast(guard))
       .filter(col("_guard").isNull)
       .drop("_guard")
   }
@@ -191,21 +203,37 @@ object VectorCatalog {
     // trivially true and a probe would match same-bit-pattern buckets of
     // every table (~tables× candidate inflation; recall unharmed, cost
     // not). PlanSpec now gates this bug class across the catalog.
-    val cand = q.as("q").join(e.as("e"),
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Score BEFORE the (qid, vec_id) dedup, not after: the cosine is a
+    // pure function of the pair, so every duplicate (same pair surfacing
+    // from multiple tables/probes) scores identically and the dedup
+    // exchange carries (qid, vec_id, cos) at ~24 B/row instead of two
+    // embedding vectors at ~520 B/row (sf0.1: 5 MiB -> ~1 MiB). Scoring
+    // is cosineDecJvm — the bit-identical JVM twin of the decimal-exact
+    // `cosine` column (VectorSpec proves exact equality), so the DuckDB
+    // oracle is unchanged; the JVM loop is also ~10x the interpreted HOF
+    // column's speed, which more than covers the ≤ tables×probes
+    // duplicate-factor of extra evals. Cost stays bounded by the
+    // CANDIDATE count — tables×probes×bucket hits per query — never the
+    // corpus, so the scale shape is unchanged.
+    // …and BROADCAST the probe side (queries×tables×probes — a few
+    // hundred rows at any corpus size), the same shape ivfCandidates
+    // uses: the bucketized corpus is never shuffled at all; candidates
+    // form map-side in the scan partitions and only scored id-pairs
+    // ever reach an exchange.
+    val cand = broadcast(q.as("q")).join(e.as("e"),
         col("q.tbl") === col("e.tbl") && col("q.probe") === col("e.bucket") &&
           col("e.vec_id") =!= col("q.qid"))
-      .select(col("q.qid").as("qid"), col("q.qe").as("qe"),
-        col("e.vec_id").as("vec_id"), col("e.embedding").as("embedding"))
+      .select(col("q.qid").as("qid"), col("e.vec_id").as("vec_id"),
+        col("q.qe").as("qe"), col("e.embedding").as("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, vid, qe, emb) => (qid, vid, cosineDecJvm(qe, emb)) }
+      .toDF("qid", "vec_id", "cos")
       .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand
-      // decimal-exact cosine (order-independent → cross-engine identical,
-      // which the oracle needs); cost is bounded by the CANDIDATE count —
-      // tables×probes×bucket hits per query, a few thousand pairs — not
-      // the corpus, so the scale shape is unchanged
-      .select(col("qid"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
