@@ -63,6 +63,36 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("shuffle traffic scales linearly across a 10x input step (empirical exponent gate)") {
+    // The question the 100 TB design review asks of every plan — "what
+    // happens at 10x?" — answered by measurement: run the same query at
+    // sf0.001 and sf0.01 (10x the input) and bound the growth of shuffle
+    // RECORDS by the growth of scanned rows with 2x slack. A linear plan
+    // lands at ~10x records for 10x input; anything with a quadratic
+    // term (an unbucketed pair join, a dedup that re-pairs the corpus)
+    // lands near 100x and fails by an order of magnitude. Queries chosen
+    // for deterministic record counts (rows/tokens/segments, no
+    // sampling) and non-trivial shuffles at both SFs.
+    // documents is 500 rows at BOTH sf0.001 and sf0.01 (only sf0.1 steps
+    // 10x), so doc queries step sf0.01 -> sf0.1; events scales at every
+    // SF, so its queries use the cheaper sf0.001 -> sf0.01 step
+    for ((name, fn, lo, hi) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, String, String)](
+        ("q_doc_seg_dedup", (s, d) => TextCatalog.queries("q_doc_seg_dedup")(s, d), sf001, sf01),
+        ("q_tfidf", (s, d) => TextCatalog.queries("q_tfidf")(s, d), sf001, sf01),
+        ("q_doc_exact_dedup", (s, d) => TextCatalog.queries("q_doc_exact_dedup")(s, d), sf001, sf01),
+        ("q_sessionize", (s, d) => graft.queries.EventsCatalog.queries("q_sessionize")(s, d), sf0001, sf001),
+        ("q_moving_avg", (s, d) => graft.queries.EventsCatalog.queries("q_moving_avg")(s, d), sf0001, sf001))) {
+      val small = Metrics.measure(fn(spark, lo))
+      val big = Metrics.measure(fn(spark, hi))
+      assert(small.scanRows > 0 && big.scanRows > small.scanRows, s"$name: bad fixture step")
+      val inputRatio = big.scanRows.toDouble / small.scanRows
+      val shufRatio = big.shuffleRecords.toDouble / math.max(1L, small.shuffleRecords)
+      assert(shufRatio <= 2.0 * inputRatio,
+        s"$name shuffle grew ${shufRatio}x for ${inputRatio}x input — " +
+          s"super-linear plan would not survive a 100x scale-up: small=$small big=$big")
+    }
+  }
+
   test("SCALE.md top shufflers: LSH pair generation stays bucket-bounded") {
     // q_vec_ann_lsh shuffles its bucketed candidate pairs by design, and
     // q_vec_neardup shuffles its scored survivor pairs (r10: scoring
