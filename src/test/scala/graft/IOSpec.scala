@@ -108,6 +108,29 @@ class IOSpec extends SparkSpec {
     assert(math.abs(got("en").toDouble / base("en") - 0.5) < 0.15)
   }
 
+  test("Verify records a deliberately-broken query as an explicit failure, not an absence") {
+    // the r9 failure mode: a throwing query silently VANISHED from the
+    // correctness artifact. Verify.run must land it in failures.json and
+    // still dump the healthy queries.
+    import org.apache.spark.sql.functions._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_verify").toString
+    val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "q_ok" -> ((s, d) => graft.core.Tables.region(s, d).select(col("r_name"))),
+      "q_broken" -> ((s, d) =>
+        graft.core.Tables.region(s, d).select(col("no_such_column"))))
+    val failures = Verify.run(spark, queries,
+      Map("q_ok" -> "SELECT r_name FROM region"), sf0001, outDir)
+    assert(failures.keySet == Set("q_broken"))
+    assert(failures("q_broken").nonEmpty)
+    val failJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/failures.json"))
+    assert(failJson.contains("\"q_broken\""), s"failures.json: $failJson")
+    // the healthy query still dumped, and its oracle landed
+    assert(spark.read.parquet(s"$outDir/q_ok").count() > 0)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json")).contains("q_ok"))
+  }
+
   test("train/val split is a partition of the input") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val (tr, va) = Sampling.split(docs, 0.8, seed = 7)
