@@ -122,6 +122,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessions replay the real fixture to the batch session counts") {
+    // third stateful op under the replay discipline (after funnel and
+    // retention): statefulSessions at the batch query's 6h gap over the
+    // real events, fed in bounded-disorder arrival order, must close
+    // exactly the sessions q_sessionize counts. Disorder (≤ ~4 min) is
+    // far under both the 10-min watermark and the 6h gap, so no event
+    // can cross a session boundary by arriving late.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq
+    val rnd = new scala.util.Random(13L)
+    val perturbed = events.groupBy(e => micros(e.ts) / (120L * 1000000L)).toSeq
+      .sortBy(_._1).flatMap { case (_, g) => rnd.shuffle(g) }
+    val in = MemoryStream[Event]
+    val q = Jobs.statefulSessions(in.toDS(), gapMinutes = 360)
+      .writeStream.format("memory").queryName("sessions_replay")
+      .outputMode("append").start()
+    try {
+      perturbed.grouped(250).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // sentinel 7h past the last event: watermark passes every open
+      // session's end + 6h gap, so the timeout path closes them all
+      val lastUs = events.map(e => micros(e.ts)).max
+      in.addData(Event(-1L, new Timestamp((lastUs + 7L * 3600 * 1000000L) / 1000L),
+        -999L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("sessions_replay")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap - (-999L)
+      val batch = graft.queries.EventsCatalog.sessionize(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch, {
+        val keys = (got.keySet ++ batch.keySet)
+          .filter(u => got.get(u) != batch.get(u)).take(5)
+        s"session replay diverged for users $keys: " +
+          keys.map(u => s"$u stream=${got.get(u)} batch=${batch.get(u)}").mkString("; ")
+      })
+    } finally q.stop()
+  }
+
   test("foreachBatch dual sink lands raw rows and serving aggregates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream").toString
