@@ -152,10 +152,13 @@ object VectorCatalog {
         bk.buckets(emb).zipWithIndex.map { case (b, t) => (id, emb, t, b) }
       }
       .toDF("vec_id", "embedding", "tbl", "bucket")
+    // coalesce: max over an EMPTY corpus is NULL, and assert_true(NULL)
+    // throws — an empty frame must pass the guard (0 buckets can't be
+    // over-occupied), not die with a misleading "too coarse" error
     val guard = raw.select(col("tbl"), col("bucket"))
       .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("maxc"))
-      .select(assert_true(col("maxc") <= lit(geo.maxBucket),
+      .select(assert_true(coalesce(col("maxc"), lit(0L)) <= lit(geo.maxBucket),
         lit(s"LSH bucket exceeds ${geo.maxBucket} vectors — geometry " +
           s"(${geo.tables} tables x ${geo.bits} bits) too coarse for this corpus"))
         .as("_guard"))
@@ -195,14 +198,20 @@ object VectorCatalog {
 
   def annLshWith(corpus: DataFrame, geo: LshGeometry): DataFrame = {
     val e = bucketize(corpus, geo)
-    val q = e.filter(col("vec_id") < 5)
+    // bucketize ONLY the query rows for the probe side — hyperplane
+    // hashing is deterministic and per-row, so this is row-identical to
+    // filtering the bucketized corpus, without the broadcast build side
+    // re-hashing (and re-guarding) all N corpus vectors to extract 5.
+    // The corpus-side occupancy guard still runs, on `e`.
+    val q = bucketize(corpus.filter(col("vec_id") < 5), geo)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("tbl"),
         explode(multiprobe(col("bucket"), geo.bits)).as("probe"))
-    // explicit aliases: `q` is derived from `e`, so `q("tbl") === e("tbl")`
-    // resolves BOTH sides to the same attribute — Spark drops it as
-    // trivially true and a probe would match same-bit-pattern buckets of
-    // every table (~tables× candidate inflation; recall unharmed, cost
-    // not). PlanSpec now gates this bug class across the catalog.
+    // explicit aliases: `q` was once derived from `e`, where
+    // `q("tbl") === e("tbl")` resolves BOTH sides to the same attribute —
+    // Spark drops it as trivially true and a probe would match
+    // same-bit-pattern buckets of every table (~tables× candidate
+    // inflation; recall unharmed, cost not). PlanSpec gates this bug
+    // class across the catalog, and the aliases stay as a second fence.
     val spark = corpus.sparkSession
     import spark.implicits._
     // Score BEFORE the (qid, vec_id) dedup, not after: the cosine is a
@@ -1619,8 +1628,15 @@ object VectorCatalog {
       // the heap keeps the catalog uniformly map-side-partial — the
       // exchange carries ≤ k×|Q| rows per partition at any corpus size.
       // TopKAgg ranks (ord DESC, id ASC); ADC ranks ascending, so the heap
-      // sees -adc. double↔decimal is order-monotonic, so the ranking (and
-      // the cell-exact parity with annIvfPq) is unchanged.
+      // sees -adc. decimal→double is MONOTONIC (no rank inversions) but
+      // not injective: two ADC values closer than a double ULP collapse
+      // to a tie and break by vec_id. At this codebook's scale-12 LUTs
+      // that needs ADC magnitudes ≳ 2^12 (double ULP > 1e-12) — far
+      // above anything near-unit embeddings produce — so parity with the
+      // decimal-ordered annIvfPq holds across the operating envelope
+      // (VectorSpec asserts it cell-exact); corpora with unnormalized
+      // 1e4-magnitude distances would need the decimal kept as the
+      // ranking key.
       .groupBy(col("qid"))
       .agg(graft.plans.TopKAgg.topK(negate(col("adc")).cast("double"),
         col("vec_id"), k).as("tk"))

@@ -34,6 +34,14 @@ object Jobs {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double, props: String)
 
+  /** Exact event-time microseconds of a Timestamp. `getTime` alone is
+    * ms-truncated, which would mis-decide session gaps and cascade
+    * comparisons within 1 ms of a boundary vs the µs-exact batch
+    * queries. ONE definition shared by every stateful operator here and
+    * their replay specs — a fix to this conversion must not fork. */
+  def eventTimeMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -191,11 +199,7 @@ object Jobs {
             t
           }
           def close(s: SessState) = ClosedSession(user, tsOf(s.startUs), tsOf(s.lastUs), s.n)
-          // exact microseconds: getTime alone is ms-truncated, which would
-          // mis-decide gaps within 1ms of the boundary vs the µs-exact
-          // batch sessionize
-          def micros(t: java.sql.Timestamp): Long =
-            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          def micros(t: java.sql.Timestamp): Long = eventTimeMicros(t)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -272,20 +276,20 @@ object Jobs {
       .flatMapGroupsWithState[FunnelSt, FunnelUpdate](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[Event], state: GroupState[FunnelSt]) =>
-          def micros(t: java.sql.Timestamp): Long =
-            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
           val prev = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L, 0L, Nil))
           val incoming = events.map { e =>
-            (micros(e.ts), e.event_type match {
+            (eventTimeMicros(e.ts), e.event_type match {
               case "view" => 1; case "click" => 2; case "purchase" => 3
               case _ => 0
             })
           }.filter(_._2 > 0).toSeq
           // finalize everything the watermark has passed; hold the rest.
-          // (A row arriving with ts <= watermark — possible only when the
-          // source's disorder exceeds the lateness bound — folds at its
-          // sorted position among this batch's ready set, the best
-          // available approximation of the order guarantee it broke.)
+          // (Rows later than the watermark never reach this function:
+          // FlatMapGroupsWithStateExec filters late input under
+          // EventTimeTimeout — the standard watermark contract all three
+          // stateful operators here inherit. The partition below handles
+          // the normal case: events inside the lateness bound that the
+          // watermark has not yet finalized.)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, hold) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
           var t1 = prev.t1; var t2 = prev.t2; var t3 = prev.t3
@@ -339,18 +343,20 @@ object Jobs {
       .flatMapGroupsWithState[RetentionSt, RetentionUpdate](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[Event], state: GroupState[RetentionSt]) =>
-          def micros(t: java.sql.Timestamp): Long =
-            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
           val prev = state.getOption.getOrElse(RetentionSt(-1L, 0, 0L, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, hold) =
-            (prev.pending ++ events.map(e => micros(e.ts))).partition(_ <= wmUs)
+            (prev.pending ++ events.map(e => eventTimeMicros(e.ts))).partition(_ <= wmUs)
           var cohort = prev.cohortDay; var mask = prev.mask
           ready.sorted.foreach { tsUs =>
             val day = Math.floorDiv(tsUs, 86_400_000_000L)
             if (cohort < 0) cohort = day
             val off = day - cohort
-            if (off <= 7) mask |= (1 << off.toInt)
+            // off >= 0 is structural (the first finalized day is the min)
+            // but guarded anyway: a negative shift would set bit 31 and
+            // corrupt the mask, and a guard is cheaper than trusting
+            // every future caller's ordering
+            if (off >= 0 && off <= 7) mask |= (1 << off.toInt)
           }
           val next = RetentionSt(cohort, mask, prev.rev + 1, hold)
           state.update(next)

@@ -131,7 +131,7 @@ class StreamingSpec extends SparkSpec {
     // can cross a session boundary by arriving late.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def micros(t: Timestamp): Long = Jobs.eventTimeMicros(t)
     val events = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[Event].collect().toSeq
@@ -314,7 +314,7 @@ class StreamingSpec extends SparkSpec {
   test("stateful funnel equals the batch cascade under bounded-disorder replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def micros(t: Timestamp): Long = Jobs.eventTimeMicros(t)
     val events = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[Event].collect().toSeq
@@ -379,7 +379,7 @@ class StreamingSpec extends SparkSpec {
   test("stateful retention equals the batch triangle under bounded-disorder replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def micros(t: Timestamp): Long = Jobs.eventTimeMicros(t)
     val events = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[Event].collect().toSeq

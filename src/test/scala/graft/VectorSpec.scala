@@ -509,6 +509,16 @@ class VectorSpec extends SparkSpec {
     println(s"[clustered-recall] ivf=$ivfRecall ivfpq=$pqRecall")
   }
 
+  test("bucketize of an EMPTY corpus passes the guard (0 buckets, 0 rows, no spurious assert)") {
+    // regression: the slim-aggregate guard's max over zero buckets is
+    // NULL, and assert_true(NULL) throws — an empty frame must yield an
+    // empty result, not a misleading "geometry too coarse" failure
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 0)
+    assert(VectorCatalog.bucketize(corpus, lshGeometry(520)).count() == 0)
+  }
+
   test("bucket-occupancy guard fails loudly on a deliberately coarse geometry") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
