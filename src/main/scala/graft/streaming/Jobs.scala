@@ -37,10 +37,15 @@ object Jobs {
   /** Exact event-time microseconds of a Timestamp. `getTime` alone is
     * ms-truncated, which would mis-decide session gaps and cascade
     * comparisons within 1 ms of a boundary vs the µs-exact batch
-    * queries. ONE definition shared by every stateful operator here and
-    * their replay specs — a fix to this conversion must not fork. */
+    * queries. `floorDiv`, not `/`: plain division truncates toward zero,
+    * so a PRE-EPOCH timestamp's seconds and (always-positive) nanos
+    * would disagree in sign — 1969-12-31T23:59:59.5 would convert to
+    * +0.5 s instead of -0.5 s, a 1-second forward jump on any corrupt or
+    * zero-adjacent event time. ONE definition shared by every stateful
+    * operator here and their replay specs — a fix to this conversion
+    * must not fork. */
   def eventTimeMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -193,23 +198,25 @@ object Jobs {
       .flatMapGroupsWithState[SessState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[Event], state: GroupState[SessState]) =>
+          // floorDiv/floorMod mirror eventTimeMicros' pre-epoch rule:
+          // truncating division would pass setNanos a NEGATIVE value for
+          // µs values below zero (IllegalArgumentException)
           def tsOf(us: Long): java.sql.Timestamp = {
-            val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-            t.setNanos(((us % 1000000L) * 1000L).toInt)
+            val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
             t
           }
           def close(s: SessState) = ClosedSession(user, tsOf(s.startUs), tsOf(s.lastUs), s.n)
-          def micros(t: java.sql.Timestamp): Long = eventTimeMicros(t)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(close(s))
           } else {
-            val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val sorted = events.toSeq.sortBy(e => (eventTimeMicros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
-              val tUs = micros(e.ts)
+              val tUs = eventTimeMicros(e.ts)
               cur match {
                 case Some(s) if tUs - s.lastUs <= gapUs =>
                   cur = Some(s.copy(lastUs = math.max(s.lastUs, tUs), n = s.n + 1))
@@ -284,12 +291,16 @@ object Jobs {
             })
           }.filter(_._2 > 0).toSeq
           // finalize everything the watermark has passed; hold the rest.
-          // (Rows later than the watermark never reach this function:
-          // FlatMapGroupsWithStateExec filters late input under
-          // EventTimeTimeout — the standard watermark contract all three
-          // stateful operators here inherit. The partition below handles
-          // the normal case: events inside the lateness bound that the
-          // watermark has not yet finalized.)
+          // Late-row contract, precisely: FlatMapGroupsWithState filters
+          // input against the PREVIOUS batch's watermark, while
+          // getCurrentWatermarkMs() returns the advanced eviction
+          // watermark — so a row in (previous, current] DOES reach this
+          // function with ts <= wmUs and the partition below finalizes
+          // it immediately at its sorted position among this batch's
+          // ready set (correct: nothing older can still arrive). Rows
+          // older than the previous watermark are dropped by the
+          // operator before the function runs. Do NOT "simplify" the
+          // partition to assume incoming rows are all > wmUs.
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, hold) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
           var t1 = prev.t1; var t2 = prev.t2; var t3 = prev.t3
