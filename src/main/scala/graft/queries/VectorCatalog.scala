@@ -81,10 +81,10 @@ object VectorCatalog {
       |  SELECT qid, vec_id,
       |    CAST(list_sum(list_transform(range(1, len(qe)+1),
       |      i -> CAST(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)
-      |    / (sqrt(CAST(list_sum(list_transform(qe,
+      |    / NULLIF(sqrt(CAST(list_sum(list_transform(qe,
       |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE))
       |       * sqrt(CAST(list_sum(list_transform(embedding,
-      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE))) AS cos
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)), 0) AS cos
       |  FROM q, embeddings
       |  WHERE vec_id <> qid
       |)
@@ -506,11 +506,14 @@ object VectorCatalog {
   }
 
   /** Tag every corpus row with its IVF cell — a stateless narrow map
-    * with the model broadcast. */
-  private def ivfAssign(corpus: DataFrame, assigner: IvfAssigner): DataFrame = {
+    * with the model broadcast. Takes the CALLER's broadcast handle: the
+    * model is ~25 MB at deployment scale (see [[annIvf]] scaladoc), and
+    * a path that probes and assigns must ship it to executors once, not
+    * once per helper. */
+  private def ivfAssign(corpus: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[IvfAssigner]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(assigner)
     corpus
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -542,10 +545,15 @@ object VectorCatalog {
     import spark.implicits._
     val assigner = ivfModel(corpus, geo)
     val bc = spark.sparkContext.broadcast(assigner)
-    val assigned = ivfAssign(corpus, assigner)
-    val probes = assigned.filter(col("vec_id") < 5)
-      .as[(Long, Array[Float], Long)]
-      .flatMap { case (id, emb, _) =>
+    val assigned = ivfAssign(corpus, bc)
+    // probe from the FILTERED corpus, not the assigned frame: a filter
+    // above the opaque typed map cannot push through SerializeFromObject,
+    // so probing `assigned` would run the full O(N·nlist·d) assignment
+    // pass a second time just to keep 5 rows
+    val probes = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
         bc.value.probe(emb, geo.nprobe).map(l => (id, emb, l)) }
       .toDF("qid", "qe", "probe")
     // broadcast the probe side: candidate selection is a narrow hash
@@ -562,17 +570,25 @@ object VectorCatalog {
   def annIvfWith(corpus: DataFrame, geo: IvfGeometry): DataFrame =
     topKByCosine(ivfCandidates(corpus, geo), 10)
 
-  /** Persist the IVF index: the assigned corpus written PARTITIONED BY
-    * `list_id` — the layout that makes [[searchIvfIndex]]'s candidate
-    * read a directory-level prune instead of a corpus scan. Returns the
-    * coarse-quantizer model; callers keep it (or rebuild it from the
-    * same corpus — it is deterministic) for query-time probing.
-    * [[graft.streaming.Jobs.ivfIndexAppend]] is the streaming twin that
-    * keeps this layout growing in place. */
+  /** Persist the IVF index: the assigned corpus written under
+    * `epoch=0`, PARTITIONED BY `list_id` — the layout that makes
+    * [[searchIvfIndex]]'s candidate read a directory-level prune
+    * instead of a corpus scan. Returns the coarse-quantizer model;
+    * callers keep it (or rebuild it from the same corpus — it is
+    * deterministic) for query-time probing.
+    *
+    * Epoch-keyed like the PQ index ([[buildIvfPqIndex]]), for the same
+    * reason: [[graft.streaming.Jobs.ivfIndexAppend]] grows this layout
+    * with one plain batch-written epoch dir per micro-batch. (Its
+    * earlier form was a parquet file SINK into the same dir — whose
+    * `_spark_metadata` log takes over any later `spark.read.parquet` of
+    * the root and silently EXCLUDES the batch-built base files from
+    * every search. Epoch dirs under the rename protocol compose with
+    * batch writes and stay exactly-once via epoch-keyed overwrite.) */
   def buildIvfIndex(corpus: DataFrame, geo: IvfGeometry, indexDir: String): IvfAssigner = {
     val assigner = ivfModel(corpus, geo)
-    ivfAssign(corpus, assigner).write
-      .mode("overwrite").partitionBy("list_id").parquet(indexDir)
+    ivfAssign(corpus, corpus.sparkSession.sparkContext.broadcast(assigner)).write
+      .mode("overwrite").partitionBy("list_id").parquet(s"$indexDir/epoch=0")
     assigner
   }
 
@@ -1262,9 +1278,14 @@ object VectorCatalog {
       .select(col("s"), col("c"), col("t"),
         (round(col("sm"), 6).cast("double") / col("nv")).as("mv"))
       .collect()
+    // effective cell count = init size, which is min(n, PqK): a corpus
+    // smaller than PqK=16 yields fewer init centroids, and tabulating a
+    // hardcoded PqK here would index past the init array on the
+    // empty-cell fallback (AIOOBE for any sub-16-vector batch)
+    val k = books(0).length
     Array.tabulate(PqM) { s =>
       val bySub = mRows.filter(_.getInt(0) == s)
-      Array.tabulate(PqK) { c =>
+      Array.tabulate(k) { c =>
         val rows = bySub.filter(_.getInt(1) == c)
         if (rows.isEmpty) books(s)(c) // empty code cell keeps its init centroid
         else rows.sortBy(_.getInt(2)).map(_.getDouble(3))
@@ -1395,11 +1416,18 @@ object VectorCatalog {
         }
       }
       .toDF("qid", "vec_id", "adc")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("rn"), col("vec_id"),
-        round(col("adc"), 6).cast("double").as("adc"))
+      // Bounded-heap top-k, not a row_number window: pure ADC scores
+      // every vector per query, and the window form would shuffle all
+      // N·Q scored rows into |Q| reducer partitions — the exact
+      // unbounded-reducer shape knnBrute eliminated in r9. Same
+      // negate-and-cast trick as searchIvfPqIndex (decimal→double is
+      // monotonic; see the tie-collapse envelope note there).
+      .groupBy(col("qid"))
+      .agg(graft.plans.TopKAgg.topK(negate(col("adc")).cast("double"),
+        col("vec_id"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("qid"), (col("i") + 1).as("rn"), col("p.id").as("vec_id"),
+        round(negate(col("p.ord")), 6).cast("double").as("adc"))
       .orderBy("qid", "rn")
   }
 
@@ -1495,11 +1523,18 @@ object VectorCatalog {
         (qid, vid, new scala.math.BigDecimal(adc))
       }
       .toDF("qid", "vec_id", "adc")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("rn"), col("vec_id"),
-        round(col("adc"), 6).cast("double").as("adc"))
+      // Bounded-heap top-k, not a row_number window: pure ADC scores
+      // every vector per query, and the window form would shuffle all
+      // N·Q scored rows into |Q| reducer partitions — the exact
+      // unbounded-reducer shape knnBrute eliminated in r9. Same
+      // negate-and-cast trick as searchIvfPqIndex (decimal→double is
+      // monotonic; see the tie-collapse envelope note there).
+      .groupBy(col("qid"))
+      .agg(graft.plans.TopKAgg.topK(negate(col("adc")).cast("double"),
+        col("vec_id"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("qid"), (col("i") + 1).as("rn"), col("p.id").as("vec_id"),
+        round(negate(col("p.ord")), 6).cast("double").as("adc"))
       .orderBy("qid", "rn")
   }
 
@@ -1552,7 +1587,7 @@ object VectorCatalog {
       .as[(Long, Array[Float])]
     val assigner = ivfModel(corpus, geo)
     val books = pqTrain(emb, emb.count())
-    val bkRows = for (s <- 0 until PqM; c <- 0 until PqK)
+    val bkRows = for (s <- 0 until PqM; c <- books(s).indices)
       yield (s, c, books(s)(c).toSeq)
     bkRows.toDF("s", "c", "cent").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
@@ -1582,7 +1617,10 @@ object VectorCatalog {
   def readPqCodebook(spark: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$indexDir/codebook")
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
-    Array.tabulate(PqM)(s => Array.tabulate(PqK)(c => rows((s, c))))
+    // cell count from the stored artifact, not the PqK constant — a
+    // codebook trained on a sub-16-vector corpus has fewer cells
+    val k = rows.keys.map(_._2).max + 1
+    Array.tabulate(PqM)(s => Array.tabulate(k)(c => rows((s, c))))
   }
 
   /** Search the persisted PQ-coded index: probe cells computed

@@ -691,33 +691,43 @@ object Jobs {
   /** Streaming IVF index maintenance — the ST twin of
     * [[graft.queries.VectorCatalog.buildIvfIndex]]: arriving vectors are
     * tagged with their cell by the broadcast coarse-quantizer model (a
-    * stateless narrow map — no watermark, no state store) and APPENDED
-    * to the same `list_id`-partitioned parquet layout the batch builder
-    * writes, under the file sink's exactly-once checkpoint. The index
-    * therefore stays partition-prunable for
-    * [[graft.queries.VectorCatalog.searchIvfIndex]] while it ingests,
-    * and each micro-batch touches only the partitions its rows land in.
-    * The model is fixed for the stream's lifetime (the standard IVF
-    * contract — re-training means re-building the index); at 100 TB the
-    * same broadcast bounds apply as in the batch path. */
+    * stateless narrow map — no watermark, no state store) and landed as
+    * epoch dir `epoch=<id+1>` (the batch build owns `epoch=0`), each
+    * epoch `list_id`-partitioned — so the index stays partition-prunable
+    * for [[graft.queries.VectorCatalog.searchIvfIndex]] while it
+    * ingests, and each micro-batch writes only the cells its rows land
+    * in.
+    *
+    * foreachBatch + epoch-keyed OVERWRITE, NOT a parquet file sink: a
+    * file sink's `_spark_metadata` log takes over every later
+    * `spark.read.parquet(indexDir)` and silently EXCLUDES the
+    * batch-built base files — searches would return streamed rows only.
+    * The epoch-keyed overwrite keeps retries exactly-once (a replayed
+    * epoch replaces its own dir) with plain batch-composable writes —
+    * the same discipline as [[ivfPqIngest]]. The model is fixed for the
+    * stream's lifetime (the standard IVF contract — re-training means
+    * re-building); at 100 TB the same broadcast bounds apply as in the
+    * batch path. */
   def ivfIndexAppend(vectors: DataFrame,
                      assigner: graft.functions.VectorOps.IvfAssigner,
                      indexDir: String, checkpointDir: String): StreamingQuery = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(assigner)
-    vectors
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, emb) => (id, emb, bc.value.assign(emb)) }
-      .toDF("vec_id", "embedding", "list_id")
-      .writeStream
-      .format("parquet")
-      .option("path", indexDir)
+    vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .partitionBy("list_id")
-      .outputMode("append")
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        import batch.sparkSession.implicits._
+        batch
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, emb) => (id, emb, bc.value.assign(emb)) }
+          .toDF("vec_id", "embedding", "list_id")
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$indexDir/epoch=${epochId + 1}")
+        ()
+      }
       .start()
   }
 

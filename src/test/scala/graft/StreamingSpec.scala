@@ -663,30 +663,47 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$dir/idx/shingles.compact_tmp")))
   }
 
-  test("streaming IVF append: restart-safe, cells match the batch assigner") {
+  test("streaming IVF append: restart-safe, composes with the batch-built base index") {
     import spark.implicits._
     import graft.functions.VectorOps.ivfGeometry
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_ivf_stream").toString
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val assigner = graft.queries.VectorCatalog.ivfModel(corpus, ivfGeometry(corpus.count()))
-    val rows = corpus.as[(Long, Array[Float])].collect().sortBy(_._1)
+    // production shape: the BATCH build owns epoch=0 and its model; the
+    // stream appends later epochs against that fixed model
+    val base = corpus.filter(col("vec_id") >= 50)
+    val geo = ivfGeometry(base.count())
+    val assigner = graft.queries.VectorCatalog.buildIvfIndex(base, geo, s"$dir/idx")
+    val rows = corpus.filter(col("vec_id") < 50)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
     val in = MemoryStream[(Long, Array[Float])]
     def run(): Unit =
       Jobs.ivfIndexAppend(in.toDF().toDF("vec_id", "embedding"), assigner,
         s"$dir/idx", s"$dir/cp").awaitTermination(60000)
     // two separate AvailableNow runs over ONE checkpoint: the second must
-    // append only the new rows (file-sink exactly-once across restarts)
+    // append only the new rows (epoch-keyed overwrite exactly-once)
     in.addData(rows.take(30).toIndexedSeq: _*)
     run()
     in.addData(rows.slice(30, 50).toIndexedSeq: _*)
     run()
+    // one read of the root sees base AND streamed epochs — the regression
+    // this guards: the old parquet file SINK left a _spark_metadata log
+    // that silently excluded every batch-built base file from reads
     val idx = spark.read.parquet(s"$dir/idx")
-    assert(idx.count() == 50, "rows duplicated or lost across the restart")
-    val got = idx.select(col("vec_id"), col("list_id").cast("long"))
+    assert(idx.count() == corpus.count(), "base + streamed rows lost or duplicated")
+    val got = idx.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("list_id").cast("long"))
       .as[(Long, Long)].collect().toMap
-    val expect = rows.take(50).map { case (id, emb) => id -> assigner.assign(emb) }.toMap
+    val expect = rows.map { case (id, emb) => id -> assigner.assign(emb) }.toMap
     assert(got == expect)
+    // and a search over the composed index returns BASE vectors (the
+    // sink-metadata bug's symptom was streamed-rows-only results)
+    val queries = rows.take(2).toSeq
+    val res = graft.queries.VectorCatalog.searchIvfIndex(
+      spark, s"$dir/idx", assigner, queries, geo.nprobe).collect()
+    assert(res.nonEmpty)
+    assert(res.exists(_.getLong(2) >= 50),
+      "search results contain no base-index vectors — base epoch invisible")
   }
 }
