@@ -240,12 +240,23 @@ object VectorCatalog {
       .map { case (qid, vid, qe, emb) => (qid, vid, cosineDecJvm(qe, emb)) }
       .toDF("qid", "vec_id", "cos")
       .dropDuplicates("qid", "vec_id")
+    rankTopK(cand, "cos")
+  }
+
+  /** Per-query top-k + presentation over scored candidate rows
+    * (qid, vec_id, <score>) — the ONE definition of the catalog's
+    * (score DESC, vec_id ASC) ANN ranking contract, shared by every
+    * window-ranked path. The window is legitimate here because every
+    * caller's candidates are bucket/cell-bounded BEFORE ranking; the
+    * unpruned scorers (knnBrute, annPq) use the bounded-heap TopKAgg
+    * instead. */
+  private def rankTopK(scored: DataFrame, score: String, k: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cand
+      .orderBy(col(score).desc, col("vec_id").asc)
+    scored
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col(score))
       .orderBy("qid", "rn")
   }
 
@@ -524,17 +535,9 @@ object VectorCatalog {
   /** Decimal-exact cosine + per-query top-k over candidate rows
     * (qid, qe, vec_id, embedding) — shared by the in-memory and
     * persisted-index search paths so both rank identically. */
-  private def topKByCosine(cand: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cand
-      .select(col("qid"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
-      .orderBy("qid", "rn")
-  }
+  private def topKByCosine(cand: DataFrame, k: Int): DataFrame =
+    rankTopK(cand.select(col("qid"), col("vec_id"),
+      cosine(col("qe"), col("embedding")).as("cos")), "cos", k)
 
   /** The IVF candidate set for the `vec_id < 5` query set: assign,
     * probe, and join within probed cells — shared by the exact
@@ -730,15 +733,10 @@ object VectorCatalog {
           lit(0L), (a, v) => a + v).as("qdot"),
         sqrt(aggregate(col("qa"), lit(0L), (a, x) => a + x * x).cast("double")).as("qna"),
         sqrt(aggregate(col("qb"), lit(0L), (a, x) => a + x * x).cast("double")).as("qnb"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos8").desc, col("vec_id").asc)
-    q.select(col("qid"), col("vec_id"),
-        when(col("qna") === 0.0 || col("qnb") === 0.0, lit(null).cast("double"))
-          .otherwise(col("qdot").cast("double") / (col("qna") * col("qnb"))).as("cos8"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("rn"), col("vec_id"), col("cos8"))
-      .orderBy("qid", "rn")
+    rankTopK(q.select(col("qid"), col("vec_id"),
+      when(col("qna") === 0.0 || col("qnb") === 0.0, lit(null).cast("double"))
+        .otherwise(col("qdot").cast("double") / (col("qna") * col("qnb"))).as("cos8")),
+      "cos8")
   }
 
   /** DuckDB oracle for [[annIvfQ8]]: the shared IVF candidate CTEs,
@@ -1112,7 +1110,14 @@ object VectorCatalog {
           }
           j += 1
         }
-        (id, bestQ, best, best >= 0.9)
+        // zero-norm rows (this vector, or every eval vector) have no
+        // defined cosine: emit what the oracle's NULLIF + NULLS LAST
+        // ROW_NUMBER produces — eval_id 0 (lowest id among the all-NULL
+        // ties), NULL score, NULL flag — instead of a private
+        // (-1, -Infinity, false) convention the oracle can't reproduce
+        if (best == Double.NegativeInfinity)
+          (id, 0L, None: Option[Double], None: Option[Boolean])
+        else (id, bestQ, Some(best), Some(best >= 0.9))
       }
       .toDF("vec_id", "eval_id", "max_cos", "contaminated")
       .orderBy("vec_id")
