@@ -122,6 +122,7 @@ object TextCatalog {
       |         ELSE [text] END,
       |    s -> md5(s)), 'min') AS fp
       |FROM documents
+      |WHERE text IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
   /** n-gram Jaccard near-dup: exact pairwise similarity within a source
@@ -296,19 +297,18 @@ object TextCatalog {
       |SELECT d1, d2, jac FROM mh_pairs ORDER BY d1, d2""".stripMargin
 
   // bounded per-key memo (same rationale as Listings.landedRun): the
-  // index build runs outside the shared lock, and eviction unpersists the
-  // aged-out entry's checkpoint blocks instead of pinning them JVM-life —
-  // but ONLY when the owning session is stopped. The frames are
-  // localCheckpoint'd, so their blocks ARE their lineage: unpersisting a
-  // live session's entry makes every plan still holding the frames fail
-  // with missing-block on re-execution (a stopped session's blocks are
-  // already released with its context, so skipping it there loses
-  // nothing).
+  // index build runs outside the shared lock. Eviction deliberately does
+  // NOT try to free the aged-out entry's checkpoint blocks eagerly: the
+  // frames are localCheckpoint'd, so their blocks ARE their lineage —
+  // an eager unpersist would make any plan still holding the frames fail
+  // with missing-block on re-execution (and Dataset.unpersist doesn't
+  // release localCheckpoint blocks anyway; they are RDD storage, not
+  // CacheManager entries). Reclamation is the JVM's: once eviction drops
+  // the only strong reference, the checkpointed RDD becomes unreachable
+  // and Spark's ContextCleaner unpersists its blocks at the next GC —
+  // lazily, but safely, and bounded by the memo's 4-entry cap.
   private val minhashIndex =
-    new graft.core.BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](4)({
-      case ((spark, _), (docs, bands)) =>
-        if (spark.sparkContext.isStopped) { docs.unpersist(); bands.unpersist(): Unit }
-    })
+    new graft.core.BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](4)((_, _) => ())
 
   /** The shingled corpus + banded MinHash signature index, built ONCE per
     * (session, corpus) and cached — at scale the LSH band index is a
@@ -577,25 +577,33 @@ object TextCatalog {
       .orderBy("comp")
   }
 
-  /** Min-label connected components in DuckDB: transitive closure by
-    * recursive CTE (node reaches anc), comp = min reachable id. The
-    * UNION (not UNION ALL) dedups the frontier, guaranteeing
-    * termination. */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE ${minhashPairsCte()},
-      |cc_edges AS (
+  /** Min-label connected components in DuckDB over `mh_pairs`:
+    * transitive closure by recursive CTE (node reaches anc), comp = min
+    * reachable id. The UNION (not UNION ALL) dedups the frontier,
+    * guaranteeing termination. ONE definition shared by the three
+    * cluster-consuming oracles (`dedupClustersSql`, `clusterSplitSql`,
+    * `dedupKeepBestSql`) — the same single-source rule
+    * [[minhashPairsCte]] established for the band pipeline: a clustering
+    * tweak applied to one copy must not silently diverge the other two.
+    * Emits `<p>edges`, `<p>reach`, `<p>cc(id, comp)`. */
+  private def ccCteSql(p: String): String =
+    s"""${p}edges AS (
       |  SELECT d1 AS src, d2 AS dst FROM mh_pairs
       |  UNION ALL SELECT d2, d1 FROM mh_pairs
-      |), cc_reach(id, anc) AS (
-      |  SELECT DISTINCT src, src FROM cc_edges
+      |), ${p}reach(id, anc) AS (
+      |  SELECT DISTINCT src, src FROM ${p}edges
       |  UNION
-      |  SELECT r.id, e.dst FROM cc_reach r JOIN cc_edges e ON e.src = r.anc
-      |), cc AS (
-      |  SELECT id, MIN(anc) AS comp FROM cc_reach GROUP BY id
-      |)
+      |  SELECT r.id, e.dst FROM ${p}reach r JOIN ${p}edges e ON e.src = r.anc
+      |), ${p}cc AS (
+      |  SELECT id, MIN(anc) AS comp FROM ${p}reach GROUP BY id
+      |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCte()},
+      |${ccCteSql("cc_")}
       |SELECT comp, COUNT(*) AS cluster_size,
       |  COUNT(*) - 1 AS n_dropped  -- exactly one kept (id = comp) per cluster
-      |FROM cc GROUP BY comp ORDER BY comp""".stripMargin
+      |FROM cc_cc GROUP BY comp ORDER BY comp""".stripMargin
 
   /** TF-IDF top terms per document — the classic text-analysis reduction
     * (term frequency × inverse document frequency), fully oracle-able.
@@ -992,16 +1000,8 @@ object TextCatalog {
   val dedupKeepBestSql: String = {
     val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
     s"""WITH RECURSIVE ${minhashPairsCte()},
-      |kb_edges AS (
-      |  SELECT d1 AS src, d2 AS dst FROM mh_pairs
-      |  UNION ALL SELECT d2, d1 FROM mh_pairs
-      |), kb_reach(id, anc) AS (
-      |  SELECT DISTINCT src, src FROM kb_edges
-      |  UNION
-      |  SELECT r.id, e.dst FROM kb_reach r JOIN kb_edges e ON e.src = r.anc
-      |), kb_cc AS (
-      |  SELECT id, MIN(anc) AS comp FROM kb_reach GROUP BY id
-      |), kb_q AS (
+      |${ccCteSql("kb_")},
+      |kb_q AS (
       |  SELECT doc_id,
       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS DOUBLE)
       |      / len(string_split(text, ' ')) AS stop_ratio
@@ -1319,18 +1319,10 @@ object TextCatalog {
 
   val clusterSplitSql: String =
     s"""WITH RECURSIVE ${minhashPairsCte()},
-      |cc_edges AS (
-      |  SELECT d1 AS src, d2 AS dst FROM mh_pairs
-      |  UNION ALL SELECT d2, d1 FROM mh_pairs
-      |), cc_reach(id, anc) AS (
-      |  SELECT DISTINCT src, src FROM cc_edges
-      |  UNION
-      |  SELECT r.id, e.dst FROM cc_reach r JOIN cc_edges e ON e.src = r.anc
-      |), cc AS (
-      |  SELECT id, MIN(anc) AS comp FROM cc_reach GROUP BY id
-      |), reps AS (
+      |${ccCteSql("cc_")},
+      |reps AS (
       |  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS rep
-      |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+      |  FROM documents d LEFT JOIN cc_cc cc ON cc.id = d.doc_id
       |)
       |SELECT doc_id, rep,
       |  CAST(md5_number_upper(CAST(rep AS VARCHAR) || '|split') % 100 AS INTEGER) AS bucket,
@@ -1440,8 +1432,14 @@ object TextCatalog {
     * ([[mixtureCopies]], rates computed over the curated train tokens —
     * you mix what you train on, not the raw corpus) → per-(lang, split)
     * doc/copy/token accounting. Every stage is the same shared code its
-    * standalone query uses, so this proves the operators COMPOSE — one
-    * plan, no materialization barriers between stages.
+    * standalone query uses, so this proves the operators COMPOSE.
+    *
+    * The curated survivor frame is localCheckpoint'd (the file's
+    * standard reused-frame discipline, see [[minhashIndexOf]]): it feeds
+    * the train branch, the rest branch, AND mixtureCopies' three scans
+    * of its input — uncheckpointed, the whole quality+dedup+near-dup
+    * subplan re-executes ~4-5× per run (branch-specific filter pushdowns
+    * defeat exchange reuse).
     *
     * Scale: inherits each stage's shape — banded simhash (never O(n²)),
     * zero-shuffle split expr, broadcast mixture rates; the only
@@ -1450,6 +1448,7 @@ object TextCatalog {
     val sp = curationKept(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_words").as("n_toks"))
       .withColumn("split", splitName(splitBucket))
+      .localCheckpoint(false)
     val train = mixtureCopies(sp.filter(col("split") === "train")
         .select(col("doc_id"), col("lang"), col("n_toks")))
       .select(col("lang"), lit("train").as("split"), col("doc_id"),
@@ -1500,26 +1499,28 @@ object TextCatalog {
     * engines. At 100 TB this is the same single-shuffle shape as any
     * grouped aggregate — grouping sets replicate rows per matching set
     * inside the partial aggregation, not via re-scans. */
-  def corpusProfile(spark: SparkSession, sfDir: String): DataFrame = {
+  def corpusProfile(spark: SparkSession, sfDir: String): DataFrame =
+    // pure DataFrame composition via Dataset.groupingSets — the earlier
+    // spark.sql form registered a session-global temp view, the
+    // catalog's only name-keyed side effect: two concurrent calls on one
+    // session raced on the name and could silently profile each other's
+    // corpus
     Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .select(col("lang"), col("source"),
         size(split(col("text"), " ")).as("n_toks"), col("n_chars"))
-      .createOrReplaceTempView("v_docs_profile")
-    spark.sql(
-      """SELECT lang, source,
-        |  CAST(grouping(lang) AS INT) AS g_lang,
-        |  CAST(grouping(source) AS INT) AS g_source,
-        |  COUNT(*) AS n_docs,
-        |  SUM(n_toks) AS n_tokens,
-        |  SUM(n_chars) AS total_chars,
-        |  CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_toks,
-        |  SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS n_short
-        |FROM v_docs_profile
-        |GROUP BY GROUPING SETS ((lang), (source), ())
-        |ORDER BY g_lang, g_source,
-        |  lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
-  }
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(
+        grouping(col("lang")).cast("int").as("g_lang"),
+        grouping(col("source")).cast("int").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_toks"),
+        sum(when(col("n_toks") < 10, 1).otherwise(0)).as("n_short"))
+      .orderBy(col("g_lang"), col("g_source"),
+        col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
   val corpusProfileSql: String =
     """WITH d AS (
