@@ -98,7 +98,12 @@ object Bench {
     // The stdout line now stays tiny — total, sf, n, and a pointer to the
     // profile file — so it parses; the file carries every per-query min and
     // both raw runs recoverably.
-    val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile_r10.json")
+    // micro-mode runs get their own default file: a 2-query adjudication
+    // run must never clobber the committed full-catalog profile (it did,
+    // twice — r9's committed profile was overwritten by an sf0.001
+    // iteration run, and r10's by a micro run)
+    val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE",
+      if (args.isEmpty) "bench_profile_r10.json" else "bench_profile_micro.json")
     val profileJson =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},""" +
         s""""queries":$qs,"runs":$runs,"value":$total}"""
