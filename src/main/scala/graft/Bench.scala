@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): run every catalog query at the
   * SPARK_GRAFT_SF_DIR scale factor and print ONE JSON line.
@@ -18,6 +18,15 @@ import org.apache.spark.sql.SparkSession
   * cold-cache plan cost on at least one pass; both raw runs are reported
   * under "runs" so the noise itself stays visible.
   *
+  * FAILURE HONESTY: a run that throws is a FAILURE, not a measurement.
+  * r9's profile recorded 13 broken queries at 0.06-0.07 s — their
+  * time-to-error — and only the correctness gate exposed them. A failed
+  * run now appears as `null` in its "runs" array, a query with no
+  * successful run is dropped from "queries" and the total and listed
+  * under "err" (query -> message), and the stdout line carries an
+  * "errors" count so a non-zero is visible even in the tiny summary.
+  * BenchSpec proves the path with a deliberately-broken query.
+  *
   * Output-line layout is capture-aware: times round to 3 decimals and the
   * headline "value" (total) prints LAST — the driver's capture window
   * truncates long lines from the LEFT, so the total must sit at the tail
@@ -25,9 +34,9 @@ import org.apache.spark.sql.SparkSession
   * were STILL unparseable: even min-only, a 100+-query map overruns the
   * window and truncates the line head (and the opening brace) away. As of
   * r9 the stdout line is therefore TINY — {metric, sf, n, profile path,
-  * empty queries map, total} — and the full per-query detail (min of two
-  * plus both raw runs) goes to a committed JSON file
-  * ($SPARK_GRAFT_BENCH_PROFILE, default bench_profile_r10.json).
+  * errors, empty queries map, total} — and the full per-query detail (min
+  * of two plus both raw runs) goes to a committed JSON file
+  * ($SPARK_GRAFT_BENCH_PROFILE, default bench_profile_<Round>.json).
   *
   * Micro-mode: pass query names as argv to time only those — one-command
   * anomaly adjudication (`runMain graft.Bench q_listing_normalize`).
@@ -46,6 +55,79 @@ import org.apache.spark.sql.SparkSession
   * `.explain("formatted")` — as a regression.
   */
 object Bench {
+  /** The ONE per-round edit point for the committed profile's default
+    * filename — r9 and r10 each hardcoded it inline and a later commit
+    * had to chase the stale name. */
+  private val Round = "r11"
+
+  /** One query's two timed attempts: `Right(seconds)` per successful
+    * run, `Left(message)` per failed one. */
+  final case class QResult(name: String, runs: Seq[Either[String, Double]]) {
+    def best: Option[Double] = {
+      val ok = runs.collect { case Right(t) => t }
+      if (ok.isEmpty) None else Some(ok.min)
+    }
+    def firstErr: Option[String] = runs.collectFirst { case Left(m) => m }
+  }
+
+  /** Time every query twice through the noop sink. Factored out of main
+    * (mirroring `Verify.run`) so BenchSpec can prove the failure path. */
+  def measure(spark: SparkSession,
+              queries: Map[String, (SparkSession, String) => DataFrame],
+              sfDir: String): Seq[QResult] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[bench] $name failed: $msg")
+          Left(msg.linesIterator.take(2).mkString(" | ").take(300))
+        }
+      }
+      QResult(name, Seq(once(), once()))
+    }
+
+  private def r3(d: Double): Double = math.round(d * 1000.0) / 1000.0
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** (profile JSON, tiny stdout line) for a measurement set. Failed runs
+    * render as `null` in "runs"; fully-failed queries move from "queries"
+    * to "err" and contribute nothing to "value". */
+  def render(results: Seq[QResult], sfDir: String,
+             profilePath: String): (String, String) = {
+    val measured = results.filter(_.best.isDefined)
+    val failed = results.filter(_.best.isEmpty)
+    val qs = measured.map(q => jstr(q.name) + ":" + r3(q.best.get))
+      .mkString("{", ",", "}")
+    val runs = results.map { q =>
+      jstr(q.name) + ":[" +
+        q.runs.map { case Right(t) => r3(t).toString; case Left(_) => "null" }
+          .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val err = failed.map(q => jstr(q.name) + ":" + jstr(q.firstErr.getOrElse("")))
+      .mkString("{", ",", "}")
+    val total = r3(measured.map(_.best.get).sum)
+    val profileJson =
+      s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},"n":${results.size},""" +
+        s""""errors":${failed.size},"err":$err,"queries":$qs,"runs":$runs,"value":$total}"""
+    val stdoutLine =
+      s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},"n":${results.size},""" +
+        s""""profile":${jstr(profilePath)},"errors":${failed.size},"queries":{},"value":$total}"""
+    (profileJson, stdoutLine)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,49 +155,30 @@ object Bench {
       spark.stop()
       sys.exit(1)
     }
-    def r3(d: Double): Double = math.round(d * 1000.0) / 1000.0
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val r1 = once(); val r2 = once()
-      (name, r3(math.min(r1, r2)), r3(r1), r3(r2))
-    }
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, r1, r2) => "\"" + k + "\":[" + r1 + "," + r2 + "]" }
-      .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val results = measure(spark, selected, sfDir)
     // The per-query profile goes to a COMMITTED FILE, not the stdout line:
     // rounds 1-8 all produced "parsed": null artifacts because the 104-query
     // map pushed the line past the driver's capture window, which truncates
     // from the LEFT (r8 lost ~19 per-query entries plus the opening brace).
-    // The stdout line now stays tiny — total, sf, n, and a pointer to the
-    // profile file — so it parses; the file carries every per-query min and
-    // both raw runs recoverably.
+    // The stdout line now stays tiny — total, sf, n, errors, and a pointer
+    // to the profile file — so it parses; the file carries every per-query
+    // min and both raw runs recoverably.
     // micro-mode runs get their own default file: a 2-query adjudication
     // run must never clobber the committed full-catalog profile (it did,
     // twice — r9's committed profile was overwritten by an sf0.001
     // iteration run, and r10's by a micro run)
     val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE",
-      if (args.isEmpty) "bench_profile_r10.json" else "bench_profile_micro.json")
-    val profileJson =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},""" +
-        s""""queries":$qs,"runs":$runs,"value":$total}"""
+      if (args.isEmpty) s"bench_profile_$Round.json" else "bench_profile_micro.json")
+    val (profileJson, stdoutLine) = render(results, sfDir, profilePath)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(profilePath),
         (profileJson + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] per-query profile written to $profilePath")
     } catch { case e: Throwable =>
       // fall back to stderr so the detail is never silently lost
-      System.err.println(s"[bench] profile write failed (${e.getMessage}); runs: $runs")
+      System.err.println(s"[bench] profile write failed (${e.getMessage}); profile: $profileJson")
     }
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"profile":"$profilePath","queries":{},"value":$total}""")
+    println(stdoutLine)
     spark.stop()
   }
 }

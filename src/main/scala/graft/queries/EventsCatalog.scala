@@ -179,8 +179,9 @@ object EventsCatalog {
   /** J3 batch twin of [[graft.streaming.Jobs.streamStreamJoin]]: the SAME
     * function run on batch frames (watermarks are a no-op in batch), so the
     * DuckDB oracle checks the join semantics the streaming form uses.
-    * StreamingSpec separately proves the incremental behavior (watermark
-    * drops the late side). */
+    * StreamingSpec separately proves the incremental behavior twice over:
+    * the watermark drops the late side, and a bounded-disorder replay of
+    * the whole events fixture reproduces this batch result exactly. */
   def streamJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
     graft.streaming.Jobs.streamStreamJoin(
@@ -196,6 +197,23 @@ object EventsCatalog {
       |WHERE v.event_type = 'view' AND c.event_type = 'click'
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '5 minutes'
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
+  /** J3 batch twin of [[graft.streaming.Jobs.streamStaticJoin]]: the SAME
+    * function on a batch events frame and the customer dimension, so the
+    * oracle checks the enrichment semantics the streaming form applies
+    * per micro-batch. The dimension is broadcast inside the job (no
+    * shuffle on the stream side — PlanSpec gates it). */
+  def streamStaticJoinBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.Jobs.streamStaticJoin(
+        Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy("event_id")
+
+  val streamStaticJoinBatchSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
 
   /** Hot-key aggregation through the salted two-phase path
     * ([[graft.core.Skew.saltedSumCount]]): `event_type` has a handful of
@@ -371,7 +389,8 @@ object EventsCatalog {
     "q_retention"       -> (retention _),
     "q_scd2"            -> (scd2History _),
     "q_skew_agg"        -> (skewAgg _),
-    "q_stream_join"     -> (streamJoinBatch _),
+    "q_stream_stream_join" -> (streamJoinBatch _),
+    "q_stream_static_join" -> (streamStaticJoinBatch _),
     "q_json_extract"    -> (jsonExtract _),
     "q_tumbling_window" -> (tumblingWindow _),
     "q_sliding_window"  -> (slidingWindow _),
@@ -385,7 +404,8 @@ object EventsCatalog {
     "q_retention"       -> retentionSql,
     "q_scd2"            -> scd2HistorySql,
     "q_skew_agg"        -> skewAggSql,
-    "q_stream_join"     -> streamJoinBatchSql,
+    "q_stream_stream_join" -> streamJoinBatchSql,
+    "q_stream_static_join" -> streamStaticJoinBatchSql,
     "q_json_extract"    -> jsonExtractSql,
     "q_tumbling_window" -> tumblingWindowSql,
     "q_sliding_window"  -> slidingWindowSql,

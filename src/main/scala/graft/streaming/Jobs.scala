@@ -594,14 +594,17 @@ object Jobs {
       uptoEpoch, writePartitionBy = Seq("list_id"))(_.coalesce(8))
 
   /** J3 stream-stream: watermarked interval join — each view pairs with
-    * the clicks the same user makes within 5 minutes after it. Both sides
+    * the clicks the same user makes within `within` after it. Both sides
     * carry watermarks and the join condition time-bounds the buffered
-    * state on BOTH sides (view state expires 5 min + watermark after its
-    * event time; click state as soon as the view watermark passes it) —
-    * without the interval the state would grow forever. Works identically
-    * on batch frames (watermarks are a no-op there), which is what the
-    * oracled batch twin `q_stream_join` runs. */
-  def streamStreamJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    * state on BOTH sides (view state expires `within` + watermark after
+    * its event time; click state as soon as the view watermark passes
+    * it) — without the interval the state would grow forever. Works
+    * identically on batch frames (watermarks are a no-op there), which is
+    * what the oracled batch twin `q_stream_stream_join` runs; the
+    * StreamingSpec fixture-replay proof widens `within` to densify the
+    * pair set without changing the operator under test. */
+  def streamStreamJoin(views: DataFrame, clicks: DataFrame,
+                       within: String = "5 minutes"): DataFrame = {
     val v = views.select(col("user_id"), col("event_id").as("view_id"),
       col("ts").as("view_ts")).withWatermark("view_ts", "10 minutes")
     val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -609,10 +612,26 @@ object Jobs {
     v.join(c,
       col("user_id") === col("c_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr("INTERVAL 5 MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL '$within'"))
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
+
+  /** J3 stream-static: enrich the event stream with a slowly-changing
+    * dimension loaded once in batch — the classic serving-layer shape
+    * (`/root/reference/README.md:17-23` joins cleaned stream records to
+    * reference data before the sink). The static side is explicitly
+    * broadcast: a dimension is model-sized next to a 100 TB stream, and
+    * broadcasting keeps the stream side's partitioning intact — no
+    * shuffle enters the micro-batch plan, so each trigger is a narrow
+    * map over the arriving rows. No watermark is needed: the join holds
+    * no state (the static side is resident, nothing buffers). Works
+    * identically in batch, which is what the oracled twin
+    * `q_stream_static_join` runs. */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
 
   /** Streaming incremental near-dup ingestion — the end-to-end form of
     * [[graft.queries.TextCatalog.dedupAgainstIndex]]: every micro-batch

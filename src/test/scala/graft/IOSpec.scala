@@ -131,6 +131,37 @@ class IOSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json")).contains("q_ok"))
   }
 
+  test("Bench marks a deliberately-broken query as an error, not a measurement") {
+    // the r9 failure mode on the BENCH side: 13 broken queries were
+    // "measured" at their 0.06 s time-to-error and the profile looked
+    // plausibly fast. A failed run must surface as null in "runs", move
+    // the query from "queries" to "err", drop out of the total, and
+    // raise the stdout line's errors count.
+    import org.apache.spark.sql.functions._
+    val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "q_ok" -> ((s, d) => graft.core.Tables.region(s, d).select(col("r_name"))),
+      "q_broken" -> ((s, d) =>
+        graft.core.Tables.region(s, d).select(col("no_such_column"))))
+    val results = Bench.measure(spark, queries, sf0001)
+    val byName = results.map(q => q.name -> q).toMap
+    assert(byName("q_ok").best.isDefined)
+    assert(byName("q_broken").best.isEmpty &&
+      byName("q_broken").firstErr.exists(_.nonEmpty))
+    val (profile, line) = Bench.render(results, sf0001, "unused.json")
+    // well-formed JSON with the broken query under err, null run markers,
+    // and a total that excludes it
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = mapper.readTree(profile)
+    assert(p.get("errors").asInt == 1)
+    assert(p.get("err").has("q_broken") && !p.get("queries").has("q_broken"))
+    assert(p.get("queries").has("q_ok"))
+    assert(p.get("runs").get("q_broken").get(0).isNull)
+    assert(math.abs(p.get("value").asDouble -
+      p.get("queries").get("q_ok").asDouble) < 1e-9)
+    val l = mapper.readTree(line)
+    assert(l.get("errors").asInt == 1 && l.get("n").asInt == 2)
+  }
+
   test("train/val split is a partition of the input") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val (tr, va) = Sampling.split(docs, 0.8, seed = 7)

@@ -311,6 +311,99 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join equals the batch interval join under bounded-disorder replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long = Jobs.eventTimeMicros(t)
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq
+    val viewsAll = events.filter(_.event_type == "view")
+    val clicksAll = events.filter(_.event_type == "click")
+    // independent driver-side truth: every (view, click) of the same user
+    // with the click inside [view_ts, view_ts + 12 h] — the interval is
+    // widened from the catalog twin's 5 minutes to densify the pair set
+    // (43 pairs at sf0.001 instead of 1) without changing the operator
+    val boundUs = 12L * 3600L * 1000000L
+    val truth = (for {
+      v <- viewsAll; c <- clicksAll
+      if c.user_id == v.user_id &&
+        micros(c.ts) >= micros(v.ts) && micros(c.ts) <= micros(v.ts) + boundUs
+    } yield (v.user_id, v.event_id, c.event_id)).toSet
+    assert(truth.size > 20, s"fixture drifted: only ${truth.size} truth pairs")
+    // bounded-disorder replay on BOTH sides: shuffle within 2-minute
+    // buckets (max disorder ~4 min < the 10-min watermark delay) and feed
+    // the two streams in lockstep so the global watermark — the min over
+    // both sources — advances past every buffered row by the end
+    val rnd = new scala.util.Random(13L)
+    def perturb(es: Seq[Event]): Seq[Seq[Event]] =
+      es.groupBy(e => micros(e.ts) / (120L * 1000000L)).toSeq.sortBy(_._1)
+        .flatMap { case (_, g) => rnd.shuffle(g) }.grouped(40).toSeq
+    val vChunks = perturb(viewsAll)
+    val cChunks = perturb(clicksAll)
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Jobs.streamStreamJoin(views.toDF(), clicks.toDF(), within = "12 hours")
+      .writeStream.format("memory").queryName("ssj_replay")
+      .outputMode("append").start()
+    try {
+      vChunks.zipAll(cChunks, Seq.empty[Event], Seq.empty[Event]).foreach {
+        case (vc, cc) =>
+          if (vc.nonEmpty) views.addData(vc: _*)
+          if (cc.nonEmpty) clicks.addData(cc: _*)
+          q.processAllAvailable()
+      }
+      // sentinel on BOTH sides pushes the global watermark an hour past
+      // the last event, flushing every still-buffered pair
+      val lastUs = events.map(e => micros(e.ts)).max
+      val flush = new Timestamp((lastUs + 3600L * 1000000L) / 1000L)
+      views.addData(Event(-1L, flush, -999L, "view", 0.0, "{}"))
+      clicks.addData(Event(-2L, flush, -999L, "click", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("ssj_replay")
+        .select("user_id", "view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filterNot(_._1 == -999L).toSet
+      assert(got == truth, {
+        val miss = (truth -- got).take(5); val extra = (got -- truth).take(5)
+        s"stream join diverged: missing=$miss extra=$extra"
+      })
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches each micro-batch from the broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq
+    val dim = graft.core.Tables.customer(spark, sf0001)
+    val in = MemoryStream[Event]
+    val q = Jobs.streamStaticJoin(in.toDF(), dim)
+      .writeStream.format("memory").queryName("ss_static")
+      .outputMode("append").start()
+    try {
+      events.grouped(200).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("ss_static")
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+        .toSet
+      val batch = graft.queries.EventsCatalog.streamStaticJoinBatch(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+        .toSet
+      assert(got == batch && got.nonEmpty)
+      // the enrichment must stay a broadcast join — a shuffle on the
+      // stream side would repartition every micro-batch of a 100 TB feed
+      val plan = graft.queries.EventsCatalog.streamStaticJoinBatch(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    } finally q.stop()
+  }
+
   test("stateful funnel equals the batch cascade under bounded-disorder replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
