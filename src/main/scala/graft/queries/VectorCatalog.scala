@@ -442,6 +442,8 @@ object VectorCatalog {
   }
 
   def vecNearDupWith(corpus: DataFrame, geo: LshGeometry): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val e = bucketize(corpus, geo)
     e.as("x").join(e.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -452,7 +454,13 @@ object VectorCatalog {
       // within-bucket pair flood at 0.94 (its relative error is ~1e-15,
       // so nothing with exact cos ≥ 0.95 can fall below it), then the
       // decimal-exact cosine — which the oracle reproduces — scores only
-      // the handful of survivors.
+      // the handful of survivors. The exact stage is cosineDecJvm, the
+      // bit-identical JVM twin of the decimal `cosine` column (VectorSpec
+      // proves pairwise equality), not the column itself: the column's
+      // aggregate/zip_with decimal chain runs as interpreted lambdas and
+      // measured +2 s at sf0.1 to score 62 survivors — the JVM loop
+      // scores the same rows for free, and only survivors ever
+      // deserialize (the typed map sits above the pre-filter).
       //
       // Both stages run BEFORE the cross-table pair dedup, not after:
       // each is a pure function of (e1, e2), so every duplicate of a pair
@@ -466,7 +474,9 @@ object VectorCatalog {
       // bounded by `tables` (≤4 extra cosine evals per near-dup pair) on
       // codegen'd columns that never leave their bucket partition.
       .filter(graft.plans.CosineSimilarity.cosineSim(col("e1"), col("e2")) >= 0.94)
-      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (v1, v2, a, b) => (v1, v2, cosineDecJvm(a, b)) }
+      .toDF("v1", "v2", "cos")
       .filter(col("cos") >= 0.95)
       .dropDuplicates("v1", "v2")
       .orderBy("v1", "v2")
