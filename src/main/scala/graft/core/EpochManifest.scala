@@ -1,0 +1,138 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Snapshot-isolated epoch store — the commit protocol the persisted
+  * IVF-PQ serving index reads through.
+  *
+  * The plain `epoch=N` dir layout ([[graft.streaming.Jobs.compactEpochStore]])
+  * cannot give a CONCURRENT reader isolation: its swap is
+  * delete-covered-dirs-then-rename-fold, so a searcher that opened the
+  * index just before a compaction reads files that vanish mid-scan.
+  * A long-running serving index needs the property real table formats
+  * (Iceberg, Delta) are built around: immutable data dirs + an atomic
+  * manifest commit + garbage collection that lags live snapshots. This
+  * is that idea at the ~100-line scale this engine needs.
+  *
+  * Layout under `root/`:
+  *   d<epoch>-<attempt>/...        immutable data dirs (inner layout free,
+  *                                 e.g. list_id=L partitions)
+  *   _manifests/m<G>.json          one complete entry list per commit
+  *
+  * Rules:
+  *   - A data dir is VISIBLE iff the highest complete manifest names it.
+  *     Manifests are written whole to a tmp path and renamed into place —
+  *     rename is atomic on HDFS and local FS, so readers see the old or
+  *     the new manifest, never a partial one.
+  *   - Committed data dirs are never mutated. A retried epoch writes a
+  *     NEW attempt dir and commits a manifest that replaces the epoch's
+  *     entry; the orphaned attempt is gc()'d later.
+  *   - Compaction writes its fold as a new dir and commits the swap as
+  *     ONE manifest. [[gc]] deletes only dirs referenced by NEITHER of
+  *     the two most recent manifests — so every dir a reader could have
+  *     resolved from the previous manifest survives one full compaction
+  *     cycle. A snapshot older than that must reopen (the documented
+  *     isolation window; VectorSpec pins both sides of it).
+  */
+object EpochManifest {
+
+  /** One visible data dir: `dir` is relative to the store root. */
+  final case class Entry(epoch: Long, dir: String)
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = new Path(s"$root/_manifests")
+
+  private def gen(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("m") && n.endsWith(".json"))
+      n.stripPrefix("m").stripSuffix(".json").toLongOption
+    else None
+  }
+
+  /** All complete manifests, ascending by generation. */
+  private def manifests(spark: SparkSession, root: String): Seq[(Long, Path)] = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap(s => gen(s.getPath).map(_ -> s.getPath))
+      .sortBy(_._1)
+  }
+
+  private def parse(spark: SparkSession, p: Path): Seq[Entry] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      // fixed shape {"epoch":N,"dir":"..."} written by commit() below —
+      // not a general JSON parser, and dir names never contain quotes
+      val e = line.split("\"epoch\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
+      val d = line.split("\"dir\":\"")(1).takeWhile(_ != '"')
+      Entry(e, d)
+    }.toSeq
+  }
+
+  /** The current snapshot: entries of the highest complete manifest. */
+  def entries(spark: SparkSession, root: String): Seq[Entry] =
+    manifests(spark, root).lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)
+
+  /** Commit a full entry list as the next manifest generation
+    * (write-tmp-then-rename — appears atomically or not at all). */
+  def commit(spark: SparkSession, root: String, es: Seq[Entry]): Long = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    fs.mkdirs(md)
+    val next = manifests(spark, root).lastOption.map(_._1).getOrElse(0L) + 1L
+    val body = es.sortBy(_.epoch)
+      .map(e => s"""{"epoch":${e.epoch},"dir":"${e.dir}"}""").mkString("", "\n", "\n")
+    val tmp = new Path(md, s".m$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(md, s"m$next.json")
+    require(fs.rename(tmp, dst), s"manifest commit rename $tmp -> $dst failed")
+    next
+  }
+
+  /** An unused data-dir name for `epoch` (retries bump the attempt). */
+  def newDataDir(spark: SparkSession, root: String, epoch: Long): String = {
+    val fs = fsOf(spark, root)
+    var a = 1
+    while (fs.exists(new Path(s"$root/d$epoch-$a"))) a += 1
+    s"d$epoch-$a"
+  }
+
+  /** Read the snapshot's dirs with epochs ≤ `maxEpoch` — one parquet
+    * read per entry (each discovers its OWN inner partition columns, so
+    * e.g. list_id pruning stays directory-level), unioned by name. The
+    * explicit schema keeps a committed-but-empty epoch dir readable
+    * (schema inference has no files to look at there). */
+  def read(spark: SparkSession, root: String, schema: StructType,
+           maxEpoch: Long = Long.MaxValue): DataFrame = {
+    val live = entries(spark, root).filter(_.epoch <= maxEpoch)
+    require(live.nonEmpty, s"no committed manifest entries under $root (maxEpoch=$maxEpoch)")
+    live.map(e => spark.read.schema(schema).parquet(s"$root/${e.dir}"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Delete data dirs referenced by NEITHER of the two newest manifests,
+    * then manifests older than those two. Called from compaction — never
+    * from appends — so between compactions nothing is ever deleted, and
+    * across one compaction the previous snapshot's dirs all survive. */
+  def gc(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    val ms = manifests(spark, root)
+    if (ms.isEmpty) return
+    val keepManifests = ms.takeRight(2)
+    val keepDirs = keepManifests.flatMap(m => parse(spark, m._2)).map(_.dir).toSet
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d"))
+      .filterNot(s => keepDirs.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
+    val keepGen = keepManifests.map(_._1).toSet
+    ms.filterNot(m => keepGen.contains(m._1)).foreach(m => fs.delete(m._2, false))
+  }
+}

@@ -140,7 +140,19 @@ object VectorCatalog {
     * before its exchange — folds to ONE row, and rides back onto every
     * output row via a broadcast cross join + filter, which Catalyst
     * cannot prune away (VectorSpec proves the guard still fires). The
-    * embeddings themselves never shuffle here. */
+    * embeddings themselves never shuffle here.
+    *
+    * DELIBERATE 2x-CPU tradeoff: the guard's slim aggregate re-evaluates
+    * the flatMap subplan, so each use of the bucketized frame hyperplane-
+    * hashes the corpus twice (guard pass + output pass). The
+    * alternatives are worse at scale: a window over the wide frame
+    * forces a full-corpus exchange CARRYING THE EMBEDDINGS (what r10
+    * removed — shuffle is the scarcer resource than CPU at 100 TB), and
+    * checkpointing the slim projection still costs a full hashing pass
+    * to materialize while adding eager evaluation and cache lifetime
+    * management. Hashing is ~tables×bits×dim flops/vector — trivially
+    * rerunnable, exactly the kind of narrow recompute Spark's lineage
+    * model prices at zero. */
   def bucketize(corpus: DataFrame, geo: LshGeometry): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1580,17 +1592,21 @@ object VectorCatalog {
     * vector instead of 256 float bytes (the raw-float [[buildIvfIndex]]
     * is the labeled exact variant beside it). Layout:
     *
-    *   indexDir/codebook/              m×ksub rows (s, c, cent[8])  — ~4 KB
-    *   indexDir/codes/epoch=0/list_id=L/  (vec_id, code[8]) per cell
+    *   indexDir/codebook/                 m×ksub rows (s, c, cent[8]) — ~4 KB
+    *   indexDir/codes/d<epoch>-<n>/list_id=L/  (vec_id, code[8]) per cell
+    *   indexDir/codes/_manifests/m<G>.json     snapshot commits
     *
-    * Codes are epoch-keyed like the band index ([[graft.queries
-    * .TextCatalog.appendBandIndex]] discipline): epoch 0 is the base
-    * build, [[graft.streaming.Jobs.ivfPqIngest]] appends one epoch per
-    * micro-batch under an epoch-keyed OVERWRITE (retry-idempotent), and
-    * [[graft.streaming.Jobs.compactIvfPqIndex]] folds committed epochs
-    * so the file count stays bounded on a long stream. `list_id` stays a
-    * partition column in EVERY epoch dir, so a probe's candidate read is
-    * a directory-level prune regardless of how many epochs exist.
+    * Codes live in a snapshot-isolated [[graft.core.EpochManifest]]
+    * store: epoch 0 is the base build, [[graft.streaming.Jobs
+    * .ivfPqIngest]] appends one immutable epoch dir per micro-batch and
+    * commits it with an atomic manifest rename (a retried epoch commits
+    * a REPLACEMENT entry — still exactly-once), and [[graft.streaming
+    * .Jobs.compactIvfPqIndex]] folds committed epochs as a single
+    * manifest swap, so the file count stays bounded on a long stream
+    * while concurrent searches keep the snapshot they opened. `list_id`
+    * stays a partition column in EVERY data dir, so a probe's candidate
+    * read is a directory-level prune regardless of how many epochs
+    * exist.
     *
     * The model (coarse quantizer + codebooks) is fixed at build time —
     * the standard IVF contract; re-training means re-building. */
@@ -1610,21 +1626,49 @@ object VectorCatalog {
     (assigner, books)
   }
 
+  /** The codes store root under an index dir — a snapshot-isolated
+    * [[graft.core.EpochManifest]] store since r11 (immutable data dirs +
+    * atomic manifest commits), replacing bare `epoch=N` dirs whose
+    * compaction swap raced concurrent searches. */
+  def codesRoot(indexDir: String): String = s"$indexDir/codes"
+
+  /** The stored code row shape — explicit so manifest reads never need
+    * schema inference (a committed-but-empty epoch has no files to
+    * infer from). */
+  val codesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("list_id",
+        org.apache.spark.sql.types.LongType)))
+
   /** Encode a batch against the fixed model and land it as one code
-    * epoch (epoch-keyed overwrite — a retry replaces its own output).
-    * Assignment + encoding are one narrow map with both models
-    * broadcast; the only wide step is the partitioned write. */
+    * epoch: write an immutable attempt dir, then commit a manifest that
+    * makes it visible — replacing any previous entry for the same epoch,
+    * so a retried epoch is still exactly-once, and the swap is atomic
+    * under concurrent searches (the old attempt dir survives until the
+    * next compaction's gc). Assignment + encoding are one narrow map
+    * with both models broadcast; the only wide step is the partitioned
+    * write. */
   def appendIvfPqCodes(batch: DataFrame, assigner: IvfAssigner,
       books: Array[Array[Array[Double]]], indexDir: String, epoch: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    import graft.core.EpochManifest
     val bcA = spark.sparkContext.broadcast(assigner)
+    val root = codesRoot(indexDir)
+    val dir = EpochManifest.newDataDir(spark, root, epoch)
     pqEncode(batch.select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])], books)
       .map { case (id, e, code, _) => (id, code, bcA.value.assign(e)) }
       .toDF("vec_id", "code", "list_id")
       .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$indexDir/codes/epoch=$epoch")
+      .parquet(s"$root/$dir")
+    val kept = EpochManifest.entries(spark, root).filterNot(_.epoch == epoch)
+    EpochManifest.commit(spark, root, kept :+ EpochManifest.Entry(epoch, dir))
   }
 
   /** Rebuild the codebook model from its persisted form (deterministic
@@ -1646,7 +1690,14 @@ object VectorCatalog {
     * Ranks identically to the in-memory [[annIvfPq]] over the same
     * corpus (VectorSpec proves cell-exact equality). `maxEpoch` bounds
     * the read to committed epochs, mirroring [[graft.queries.TextCatalog
-    * .dedupAgainstIndex]]'s retry discipline. */
+    * .dedupAgainstIndex]]'s retry discipline.
+    *
+    * The read resolves the store's manifest snapshot
+    * ([[graft.core.EpochManifest.read]]): the search plan holds exactly
+    * the immutable dirs one manifest names, so a compaction committing
+    * mid-search swaps the NEXT reader's view without disturbing this
+    * one (VectorSpec proves a pinned search through a concurrent
+    * compaction; snapshots older than one compaction must reopen). */
   def searchIvfPqIndex(spark: SparkSession, indexDir: String, assigner: IvfAssigner,
                        queries: Seq[(Long, Array[Float])], nprobe: Int,
                        k: Int = 10, maxEpoch: Long = Long.MaxValue): DataFrame = {
@@ -1660,9 +1711,8 @@ object VectorCatalog {
     val touched = probes.map(_._2).distinct.sorted
     val probeDf = probes.toDF("qid", "probe")
     val bc = spark.sparkContext.broadcast(luts)
-    spark.read.parquet(s"$indexDir/codes")
-      .filter(col("epoch") <= maxEpoch)
-      // partition-column predicate → directory-level pruning per epoch
+    graft.core.EpochManifest.read(spark, codesRoot(indexDir), codesSchema, maxEpoch)
+      // partition-column predicate → directory-level pruning per entry dir
       .filter(col("list_id").isin(touched: _*))
       .join(broadcast(probeDf),
         col("probe") === col("list_id") && col("vec_id") =!= col("qid"))

@@ -242,7 +242,7 @@ object Jobs {
     * `rev` is a per-user monotone revision so a sink (or a test) can
     * pick the latest update without ordering assumptions. */
   case class FunnelSt(t1: Long, t2: Long, t3: Long, rev: Long,
-                      pending: Seq[(Long, Int)])
+                      pending: Seq[(Long, Int)], lastUs: Long = -1L)
 
   /** Update-mode emission of [[statefulFunnel]]: the user's current
     * cascade timestamps (µs, -1 = unset). */
@@ -273,8 +273,20 @@ object Jobs {
     * counts are a fold over users' latest rows (= [[graft.queries
     * .EventsCatalog.funnelOf]]'s step counts). Ties at equal ts are
     * immaterial: the cascade's strict `>` rejects an equal-ts pair in
-    * every processing order. */
-  def statefulFunnel(ds: Dataset[Event], lateness: String = "10 minutes")
+    * every processing order.
+    *
+    * TOTAL state is bounded per user but grows with LIFETIME user
+    * cardinality when `ttl` is None (the default — and what every
+    * exactness proof runs with). A month-long deployment over an
+    * unbounded user population passes `ttl`: a user inactive for that
+    * long (event time) gets a FINAL update emitted and their state
+    * removed — downstream folds keyed on latest-rev rows see the same
+    * totals — at the standard TTL price that a user returning after
+    * expiry restarts their cascade. MetricsSpec gates the no-TTL state
+    * bound; StreamingSpec proves TTL eviction keeps the emitted finals
+    * identical when every user's activity fits inside the TTL. */
+  def statefulFunnel(ds: Dataset[Event], lateness: String = "10 minutes",
+                     ttl: Option[java.time.Duration] = None)
       : Dataset[FunnelUpdate] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
@@ -311,12 +323,27 @@ object Jobs {
               case 3 => if (t3 < 0 && t2 >= 0 && ts > t2) t3 = ts
             }
           }
-          val next = FunnelSt(t1, t2, t3, prev.rev + 1, hold)
-          state.update(next)
-          // re-fire when the watermark passes the earliest held event,
-          // even if this user never receives another row
-          if (hold.nonEmpty)
-            state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          val lastUs = (prev.lastUs +: incoming.map(_._1)).max
+          val next = FunnelSt(t1, t2, t3, prev.rev + 1, hold, lastUs)
+          val ttlUs = ttl.map(d => d.toNanos / 1000L)
+          val expired = ttlUs.exists(t =>
+            hold.isEmpty && lastUs >= 0 && wmUs >= lastUs + t)
+          if (expired) {
+            // final update, then drop the state: totals folded from
+            // latest-rev rows downstream are unchanged
+            state.remove()
+          } else {
+            state.update(next)
+            // re-fire when the watermark passes the earliest held event
+            // (even if this user never receives another row), or — with a
+            // TTL — when the inactivity horizon passes; timestamps must
+            // sit past the current watermark or the operator rejects them
+            val refire = hold.map(_._1 / 1000L + 1L).minOption
+            val expire =
+              if (lastUs >= 0) ttlUs.map(t => (lastUs + t) / 1000L + 1L) else None
+            (refire.toSeq ++ expire.toSeq).minOption.foreach(ms =>
+              state.setTimeoutTimestamp(math.max(ms, state.getCurrentWatermarkMs() + 1L)))
+          }
           Iterator(FunnelUpdate(user, next.rev, t1, t2, t3))
       }
   }
@@ -325,7 +352,7 @@ object Jobs {
     * (-1 unset), `mask` = bitset of day offsets 0-7 with activity,
     * `pending` = event-time µs not yet finalized by the watermark. */
   case class RetentionSt(cohortDay: Long, mask: Int, rev: Long,
-                         pending: Seq[Long])
+                         pending: Seq[Long], lastUs: Long = -1L)
 
   /** Update-mode emission of [[statefulRetention]]. */
   case class RetentionUpdate(user_id: Long, rev: Long,
@@ -345,7 +372,8 @@ object Jobs {
     * triangle is `groupBy(cohort_day) × popcount(mask bits)` over users'
     * latest rows, which StreamingSpec checks cell-equal to the batch
     * query over the same events under bounded-disorder replay. */
-  def statefulRetention(ds: Dataset[Event], lateness: String = "10 minutes")
+  def statefulRetention(ds: Dataset[Event], lateness: String = "10 minutes",
+                        ttl: Option[java.time.Duration] = None)
       : Dataset[RetentionUpdate] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
@@ -356,8 +384,8 @@ object Jobs {
         (user: Long, events: Iterator[Event], state: GroupState[RetentionSt]) =>
           val prev = state.getOption.getOrElse(RetentionSt(-1L, 0, 0L, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, hold) =
-            (prev.pending ++ events.map(e => eventTimeMicros(e.ts))).partition(_ <= wmUs)
+          val incoming = events.map(e => eventTimeMicros(e.ts)).toSeq
+          val (ready, hold) = (prev.pending ++ incoming).partition(_ <= wmUs)
           var cohort = prev.cohortDay; var mask = prev.mask
           ready.sorted.foreach { tsUs =>
             val day = Math.floorDiv(tsUs, 86_400_000_000L)
@@ -369,10 +397,22 @@ object Jobs {
             // every future caller's ordering
             if (off >= 0 && off <= 7) mask |= (1 << off.toInt)
           }
-          val next = RetentionSt(cohort, mask, prev.rev + 1, hold)
-          state.update(next)
-          if (hold.nonEmpty)
-            state.setTimeoutTimestamp(hold.min / 1000L + 1L)
+          val lastUs = (prev.lastUs +: incoming).max
+          val next = RetentionSt(cohort, mask, prev.rev + 1, hold, lastUs)
+          val ttlUs = ttl.map(d => d.toNanos / 1000L)
+          val expired = ttlUs.exists(t =>
+            hold.isEmpty && lastUs >= 0 && wmUs >= lastUs + t)
+          if (expired) {
+            // same TTL contract as statefulFunnel: final update, state gone
+            state.remove()
+          } else {
+            state.update(next)
+            val refire = hold.map(_ / 1000L + 1L).minOption
+            val expire =
+              if (lastUs >= 0) ttlUs.map(t => (lastUs + t) / 1000L + 1L) else None
+            (refire.toSeq ++ expire.toSeq).minOption.foreach(ms =>
+              state.setTimeoutTimestamp(math.max(ms, state.getCurrentWatermarkMs() + 1L)))
+          }
           Iterator(RetentionUpdate(user, next.rev, cohort, mask))
       }
   }
@@ -587,11 +627,38 @@ object Jobs {
   /** Bound the epoch count of the PQ-coded IVF index's code store
     * ([[graft.queries.VectorCatalog.buildIvfPqIndex]] layout): the fold
     * keeps `list_id` as a partition column, so the compacted base prunes
-    * at directory level exactly like the epochs it replaced. */
+    * at directory level exactly like the epochs it replaced.
+    *
+    * Unlike the other epoch stores (which use [[compactEpochStore]]'s
+    * delete-then-rename swap under a no-concurrent-readers contract),
+    * the codes store serves SEARCHES while it ingests, so its compaction
+    * goes through the [[graft.core.EpochManifest]] snapshot protocol:
+    * the fold lands as a new immutable dir, ONE manifest commit swaps
+    * the covered entries for it, and gc() deletes only dirs invisible
+    * to both of the two newest manifests — a searcher holding the
+    * pre-compaction snapshot keeps every file it resolved. Crash safety
+    * falls out: a crash before the commit leaves an orphan fold dir
+    * (gc'd later) and the old manifest fully live — there is no
+    * park/recover dance because no committed dir is ever mutated. */
   def compactIvfPqIndex(spark: SparkSession, indexDir: String,
-                        uptoEpoch: Long = Long.MaxValue): Unit =
-    compactEpochStore(spark, s"$indexDir/codes", s"$indexDir/codes.compact_tmp",
-      uptoEpoch, writePartitionBy = Seq("list_id"))(_.coalesce(8))
+                        uptoEpoch: Long = Long.MaxValue): Unit = {
+    import graft.core.EpochManifest
+    val root = graft.queries.VectorCatalog.codesRoot(indexDir)
+    val es = EpochManifest.entries(spark, root)
+    val covered = es.filter(_.epoch < uptoEpoch)
+    if (covered.size <= 1) return // already compact — makes re-runs no-ops
+    val maxCov = covered.map(_.epoch).max
+    val schema = graft.queries.VectorCatalog.codesSchema
+    val folded = covered
+      .map(e => spark.read.schema(schema).parquet(s"$root/${e.dir}"))
+      .reduce(_ unionByName _)
+      .coalesce(8)
+    val foldDir = EpochManifest.newDataDir(spark, root, maxCov)
+    folded.write.mode("overwrite").partitionBy("list_id").parquet(s"$root/$foldDir")
+    EpochManifest.commit(spark, root,
+      es.filterNot(_.epoch < uptoEpoch) :+ EpochManifest.Entry(maxCov, foldDir))
+    EpochManifest.gc(spark, root)
+  }
 
   /** J3 stream-stream: watermarked interval join — each view pairs with
     * the clicks the same user makes within `within` after it. Both sides
@@ -738,13 +805,29 @@ object Jobs {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         import batch.sparkSession.implicits._
+        val sp = batch.sparkSession
+        // land the epoch via write-tmp-then-rename so a concurrent
+        // searchIvfIndex never observes a half-written epoch dir: the
+        // rename publishes the dir atomically. (A RETRIED epoch first
+        // drops its failed attempt's dir — that delete+rename window is
+        // the one residual nonatomicity, entered only after a crash;
+        // the snapshot-isolated manifest protocol the PQ codes store
+        // uses is the full answer where search-during-ingest is the
+        // steady state.)
+        import org.apache.hadoop.fs.Path
+        val root = new Path(indexDir)
+        val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val tmp = new Path(s"$indexDir/.tmp-epoch-${epochId + 1}")
         batch
           .select(col("vec_id").cast("long"), col("embedding"))
           .as[(Long, Array[Float])]
           .map { case (id, emb) => (id, emb, bc.value.assign(emb)) }
           .toDF("vec_id", "embedding", "list_id")
           .write.mode("overwrite").partitionBy("list_id")
-          .parquet(s"$indexDir/epoch=${epochId + 1}")
+          .parquet(tmp.toString)
+        val dst = new Path(s"$indexDir/epoch=${epochId + 1}")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        require(fs.rename(tmp, dst), s"epoch publish rename $tmp -> $dst failed")
         ()
       }
       .start()

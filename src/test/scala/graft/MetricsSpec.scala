@@ -110,4 +110,40 @@ class MetricsSpec extends SparkSpec {
         s"$name candidate expansion beyond the bucket bound: $p")
     }
   }
+
+  test("streaming state grows with key cardinality, not lifetime event count") {
+    // The SCALE.md streaming section's gate: after replaying the whole
+    // events fixture, a custom-state job's state-store rows must track
+    // its KEY cardinality (users), never the event count — the property
+    // that keeps a month-long stream's state flat while events keep
+    // arriving. statefulFunnel keys state by user (plus one watermark
+    // timer row per user under the timeout), so the bound is a small
+    // per-user constant; the fixture has ~67x more events than users.
+    val spark0 = spark
+    import spark0.implicits._
+    val feed = StreamScale.eventFeed(spark, sf0001)
+    val users = feed.map(_.user_id).distinct.size
+    assert(feed.size >= 20L * users, "fixture no longer events-heavy; gate vacuous")
+    val funnel = StreamScale.profileJob(spark, "statefulFunnel", feed, chunk = 200)(
+      ds => Jobs2.funnel(ds))
+    assert(funnel.inputRows == feed.size)
+    assert(funnel.stateRows <= 2L * users,
+      s"funnel state ${funnel.stateRows} rows for $users users — state leaks with events")
+    // and the within-watermark dedup holds only the in-horizon window,
+    // not every id ever seen
+    val dedup = StreamScale.profileJob(spark, "dedupStream", feed, chunk = 200)(
+      ds => Jobs2.dedup(ds))
+    assert(dedup.stateRows < feed.size / 2,
+      s"dedup state ${dedup.stateRows} ≈ event count ${feed.size} — horizon not bounding")
+  }
+
+  private object Jobs2 {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    def funnel(ds: org.apache.spark.sql.Dataset[graft.streaming.Jobs.Event]): StreamingQuery =
+      graft.streaming.Jobs.statefulFunnel(ds).toDF()
+        .writeStream.format("noop").outputMode("update").start()
+    def dedup(ds: org.apache.spark.sql.Dataset[graft.streaming.Jobs.Event]): StreamingQuery =
+      graft.streaming.Jobs.dedupStream(ds.toDF())
+        .writeStream.format("noop").outputMode("append").start()
+  }
 }

@@ -517,6 +517,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel TTL evicts inactive users after a final update; finals match the no-TTL run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long = Jobs.eventTimeMicros(t)
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq.sortBy(e => micros(e.ts))
+    val lastUs = events.map(e => micros(e.ts)).max
+    // two far-future sentinels: the first pushes the watermark a month
+    // past the fixture (every user inactive >> the 3-day TTL), the second
+    // triggers the timeout pass that fires the evictions
+    val s1 = new Timestamp((lastUs + 30L * 86400L * 1000000L) / 1000L)
+    val s2 = new Timestamp((lastUs + 30L * 86400L * 1000000L + 3600L * 1000000L) / 1000L)
+    def replay(ttl: Option[java.time.Duration]): (Map[Long, (Long, Long, Long)], Long) = {
+      val in = MemoryStream[Event]
+      val q = Jobs.statefulFunnel(in.toDS(), ttl = ttl)
+        .writeStream.format("memory").queryName(s"funnel_ttl_${ttl.isDefined}")
+        .outputMode("update").start()
+      try {
+        events.grouped(250).foreach { c => in.addData(c: _*); q.processAllAvailable() }
+        in.addData(Event(-1L, s1, -999L, "view", 0.0, "{}")); q.processAllAvailable()
+        in.addData(Event(-2L, s2, -999L, "view", 0.0, "{}")); q.processAllAvailable()
+        val finals = spark.table(s"funnel_ttl_${ttl.isDefined}")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .groupBy(_._1).map { case (u, rows) =>
+            val last = rows.maxBy(_._2); u -> (last._3, last._4, last._5)
+          } - (-999L)
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        (finals.toMap, stateRows)
+      } finally q.stop()
+    }
+    val (noTtlFinals, noTtlState) = replay(None)
+    val (ttlFinals, ttlState) = replay(Some(java.time.Duration.ofDays(3)))
+    // eviction emitted a final update carrying the SAME cascade values
+    assert(ttlFinals == noTtlFinals, "TTL eviction changed emitted cascades")
+    // no-TTL state holds every user ever seen; TTL state holds only the
+    // sentinel user (still inside its own TTL) — the footprint a
+    // long-running deployment needs
+    val users = events.map(_.user_id).distinct.size
+    assert(noTtlState >= users.toLong, s"no-TTL state $noTtlState < $users users")
+    assert(ttlState <= 1L, s"TTL left $ttlState state rows, expected <= 1")
+  }
+
   test("kafka-shaped frames flow end-to-end: decode -> window -> sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -259,16 +259,18 @@ class VectorSpec extends SparkSpec {
     run()
     in.addData(late.drop(30).toIndexedSeq: _*)
     run()
-    val codes = spark.read.parquet(s"$dir/idx/codes")
-    assert(codes.count() == 500, "code rows duplicated or lost across the restart")
+    def codesDf(idx: String) = graft.core.EpochManifest.read(spark,
+      VectorCatalog.codesRoot(idx), VectorCatalog.codesSchema)
+    assert(codesDf(s"$dir/idx").count() == 500,
+      "code rows duplicated or lost across the restart")
     // reference: the same 500 rows coded in one shot with the same model —
     // the streamed store must hold row-identical codes and cells
     val refDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ref").toString
     VectorCatalog.appendIvfPqCodes(corpus, assigner, books, refDir, 0L)
-    def rows(path: String) = spark.read.parquet(path)
+    def rows(idx: String) = codesDf(idx)
       .select(col("vec_id"), col("code"), col("list_id").cast("long"))
       .as[(Long, Seq[Int], Long)].collect().sortBy(_._1).toSeq
-    assert(rows(s"$dir/idx/codes") == rows(s"$refDir/codes"), "streamed codes drifted")
+    assert(rows(s"$dir/idx") == rows(refDir), "streamed codes drifted")
     val queries = corpus.filter(col("vec_id") < 5)
       .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
     def search() = VectorCatalog.searchIvfPqIndex(spark, s"$dir/idx", assigner,
@@ -278,14 +280,64 @@ class VectorSpec extends SparkSpec {
     val rb = VectorCatalog.readPqCodebook(spark, s"$dir/idx")
     assert(rb.flatten.flatten.toSeq == books.flatten.flatten.toSeq)
     // compact the three epochs (0 base + 2 streamed, all committed) into
-    // one — results must be identical and the epoch-dir count bounded
+    // one — results must be identical and the visible entry set bounded
     graft.streaming.Jobs.compactIvfPqIndex(spark, s"$dir/idx", uptoEpoch = 3L)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val epochDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx/codes"))
-      .filter(_.getPath.getName.startsWith("epoch=")).map(_.getPath.getName).toSeq
-    assert(epochDirs == Seq("epoch=2"), s"epoch dirs after compaction: $epochDirs")
+    val entries = graft.core.EpochManifest.entries(spark,
+      VectorCatalog.codesRoot(s"$dir/idx"))
+    assert(entries.map(_.epoch) == Seq(2L), s"entries after compaction: $entries")
     assert(search() == pre, "compaction changed search results")
-    assert(spark.read.parquet(s"$dir/idx/codes").count() == 500)
+    assert(codesDf(s"$dir/idx").count() == 500)
+  }
+
+  test("persisted IVF-PQ search snapshot survives a concurrent compaction; gc lags one cycle") {
+    // The serving-index isolation property: a searcher that resolved its
+    // snapshot just before a compaction commits must still read every
+    // file it planned — the swap is a manifest commit, and gc() keeps
+    // everything the PREVIOUS manifest names. One cycle later those dirs
+    // are reclaimed (the documented isolation window).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_snap").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val geo = ivfGeometry(corpus.count())
+    val base = corpus.filter(col("vec_id") < 450)
+    val (assigner, books) = VectorCatalog.buildIvfPqIndex(base, geo, s"$dir/idx")
+    VectorCatalog.appendIvfPqCodes(
+      corpus.filter(col("vec_id") >= 450 && col("vec_id") < 475),
+      assigner, books, s"$dir/idx", epoch = 1L)
+    VectorCatalog.appendIvfPqCodes(corpus.filter(col("vec_id") >= 475),
+      assigner, books, s"$dir/idx", epoch = 2L)
+    val root = VectorCatalog.codesRoot(s"$dir/idx")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    def searchDf() = VectorCatalog.searchIvfPqIndex(spark, s"$dir/idx", assigner,
+      queries, geo.nprobe)
+    val pre = searchDf().collect().map(_.toSeq).toSeq
+    // pin a snapshot: the DataFrame resolves the CURRENT manifest (three
+    // entries) and lists its files now; it executes only after the swap
+    val pinned = searchDf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val preDirs = graft.core.EpochManifest.entries(spark, root)
+      .map(e => new org.apache.hadoop.fs.Path(s"$root/${e.dir}"))
+    assert(preDirs.size == 3)
+    graft.streaming.Jobs.compactIvfPqIndex(spark, s"$dir/idx", uptoEpoch = 3L)
+    // the fold is live for NEW readers...
+    assert(graft.core.EpochManifest.entries(spark, root).map(_.epoch) == Seq(2L))
+    assert(searchDf().collect().map(_.toSeq).toSeq == pre)
+    // ...and the pinned pre-compaction snapshot still reads its own dirs
+    assert(preDirs.forall(fs.exists), "gc reclaimed dirs the previous manifest names")
+    assert(pinned.collect().map(_.toSeq).toSeq == pre,
+      "pinned snapshot diverged under concurrent compaction")
+    // next cycle: one more epoch + compaction — NOW the old dirs go
+    VectorCatalog.appendIvfPqCodes(
+      corpus.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(2000L)),
+      assigner, books, s"$dir/idx", epoch = 3L)
+    graft.streaming.Jobs.compactIvfPqIndex(spark, s"$dir/idx", uptoEpoch = 4L)
+    assert(preDirs.forall(p => !fs.exists(p)),
+      "dirs two manifest generations old must be reclaimed")
+    // the store remains exact: all 520 committed rows, no duplicates
+    assert(graft.core.EpochManifest.read(spark, root,
+      VectorCatalog.codesSchema).count() == 520)
   }
 
   test("kmeans: all clusters live, Lloyd inertia monotone, deterministic") {
