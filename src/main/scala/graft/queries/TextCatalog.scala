@@ -47,6 +47,79 @@ object TextCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** URL-canonicalized dedup — the one common curation key the catalog
+    * had not exercised: crawled corpora carry the same page under
+    * scheme/case/www/port/tracking-param/trailing-slash variants, and
+    * dedup must key on the CANONICAL url, not the raw string. The
+    * fixture has no url column, so the query PLANTS deterministic
+    * variants (4 per (source, id-bucket) family, mixed case, `:80`,
+    * `utm_*` params, `#fragment`, trailing slash — the same
+    * plant-then-detect pattern [[graft.queries.VectorCatalog
+    * .nearDupCorpus]] uses) and canonicalizes: lowercase scheme+host,
+    * strip `www.`/default ports/fragments/`utm_*` params/trailing
+    * slashes. Every regex rewrite matches at most once, so Spark's
+    * replace-all and DuckDB's replace-first agree and the oracle is
+    * cell-exact.
+    *
+    * Scale shape: canonicalization is a narrow per-row map; the dedup
+    * groupBy shuffles one short url string + 8-byte id per doc (never
+    * the document payload) on a key whose cardinality is
+    * near-input-linear — the same input-linear class as
+    * [[exactDedup]]'s hash key. */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val n = (col("doc_id") % 50).cast("string")
+    val raw = d.withColumn("url",
+      when(col("doc_id") % 4 === 0, concat(lit("https://WWW.Example-"),
+        col("source"), lit(".com/docs/"), n, lit("?id="), n, lit("&utm_source=feed")))
+      .when(col("doc_id") % 4 === 1, concat(lit("http://www.example-"),
+        col("source"), lit(".com:80/docs/"), n, lit("/?id="), n))
+      .when(col("doc_id") % 4 === 2, concat(lit("https://example-"),
+        col("source"), lit(".com/docs/"), n, lit("?id="), n,
+        lit("&utm_campaign=y#frag")))
+      .otherwise(concat(lit("HTTPS://Example-"), col("source"),
+        lit(".COM/docs/"), n, lit("?id="), n)))
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+    val rest = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
+      "#.*", ""), "&utm_[^&]*", ""), "/\\?", "?"), "/$", "")
+    raw.withColumn("norm_url", concat(lit("https://"), host, rest))
+      .groupBy(col("norm_url"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .orderBy("norm_url")
+  }
+
+  val urlDedupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://WWW.Example-' || source || '.com/docs/' ||
+      |        (doc_id % 50) || '?id=' || (doc_id % 50) || '&utm_source=feed'
+      |      WHEN 1 THEN 'http://www.example-' || source || '.com:80/docs/' ||
+      |        (doc_id % 50) || '/?id=' || (doc_id % 50)
+      |      WHEN 2 THEN 'https://example-' || source || '.com/docs/' ||
+      |        (doc_id % 50) || '?id=' || (doc_id % 50) || '&utm_campaign=y#frag'
+      |      ELSE 'HTTPS://Example-' || source || '.COM/docs/' ||
+      |        (doc_id % 50) || '?id=' || (doc_id % 50)
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      |      '^www\.', ''), ':(80|443)$', '') AS host,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(.*)$', 1),
+      |      '#.*', ''), '&utm_[^&]*', ''), '/\?', '?'), '/$', '') AS rest
+      |  FROM raw)
+      |SELECT 'https://' || host || rest AS norm_url,
+      |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+      |FROM parts
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Token counting: whitespace tokens + a BPE-ish regex token stream
     * (letter runs / digit runs / single punctuation). */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -1721,6 +1794,7 @@ object TextCatalog {
     "q_doc_redact"      -> (redactPii _),
     "q_doc_dedup_incr"  -> (dedupIncrQ _),
     "q_doc_exact_dedup" -> (exactDedup _),
+    "q_doc_urldedup"    -> (urlDedup _),
     "q_doc_tokens"      -> (tokenCounts _),
     "q_doc_quality"     -> (qualityScore _),
     "q_doc_fingerprint" -> (fingerprint _),
@@ -1753,6 +1827,7 @@ object TextCatalog {
     "q_doc_redact"      -> redactPiiSql,
     "q_doc_dedup_incr"  -> dedupIncrSql,
     "q_doc_exact_dedup" -> exactDedupSql,
+    "q_doc_urldedup"    -> urlDedupSql,
     "q_doc_tokens"      -> tokenCountsSql,
     "q_doc_quality"     -> qualityScoreSql,
     "q_doc_fingerprint" -> fingerprintSql,

@@ -95,6 +95,66 @@ object VectorCatalog {
       |WHERE rn <= 10
       |ORDER BY qid, rn""".stripMargin
 
+  /** Multi-tenant ANN: each `label` is a tenant, the tenant's min-id
+    * vector is its query, and candidates come ONLY from the same tenant
+    * — the isolation shape a shared serving index needs (tenant A's
+    * neighbors must never leak into tenant B's results). The per-tenant
+    * query model is two model-sized driver collects (|tenants| ids, then
+    * |tenants| vectors — the same broadcast-model pattern as [[ivfModel]]);
+    * scoring is a narrow flatMap where each row scores against ITS OWN
+    * tenant's query (exactly one cosine per row), and the bounded-heap
+    * [[graft.plans.TopKAgg]] keyed on (label, qid) keeps the exchange at
+    * k×|tenants| rows per partition at any corpus size. At 100 TB the
+    * same plan runs per-tenant over a label-partitioned store; nothing
+    * here shuffles embeddings. */
+  def annGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long"), col("embedding"),
+        col("label").cast("int").as("label"))
+    val qids = e.groupBy(col("label")).agg(min(col("vec_id")).as("qid"))
+      .as[(Int, Long)].collect().map(_._2).toSet
+    val qvecs = e.filter(col("vec_id").isin(qids.toSeq: _*))
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, emb, lbl) => lbl -> ((id, emb)) }.toMap
+    val bc = spark.sparkContext.broadcast(qvecs)
+    e.as[(Long, Array[Float], Int)]
+      .flatMap { case (id, emb, lbl) =>
+        bc.value.get(lbl).iterator.filter(_._1 != id).map { case (qid, qe) =>
+          (lbl, qid, id, cosineDecJvm(qe, emb))
+        }
+      }
+      .toDF("label", "qid", "vec_id", "cos")
+      .groupBy(col("label"), col("qid"))
+      .agg(graft.plans.TopKAgg.topK(col("cos"), col("vec_id"), 10).as("tk"))
+      .select(col("label"), col("qid"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("label"), col("qid"), (col("i") + 1).as("rn"),
+        col("p.id").as("vec_id"), col("p.ord").as("cos"))
+      .orderBy("label", "rn")
+  }
+
+  val annGroupedSql: String =
+    """WITH e AS (SELECT vec_id, embedding, CAST(label AS INT) AS label FROM embeddings),
+      |q AS (SELECT label, MIN(vec_id) AS qid FROM e GROUP BY label),
+      |qv AS (SELECT q.label, q.qid, e.embedding AS qe
+      |       FROM q JOIN e ON e.vec_id = q.qid),
+      |c AS (
+      |  SELECT qv.label, qv.qid, e.vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(qe)+1),
+      |      i -> CAST(CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)
+      |    / NULLIF(sqrt(CAST(list_sum(list_transform(qe,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE))
+      |       * sqrt(CAST(list_sum(list_transform(e.embedding,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(26,12)))) AS DOUBLE)), 0) AS cos
+      |  FROM qv JOIN e ON e.label = qv.label AND e.vec_id <> qv.qid
+      |)
+      |SELECT label, qid, rn, vec_id, cos FROM (
+      |  SELECT label, qid, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rn
+      |  FROM c)
+      |WHERE rn <= 10
+      |ORDER BY label, rn""".stripMargin
+
   /** Per-label centroid norm via posexplode + two-level aggregation — the
     * generator (F9) surface plus an elementwise-mean reduction. Decimal
     * sums keep both aggregation levels order-independent. */
@@ -1754,6 +1814,7 @@ object VectorCatalog {
     "q_vec_norms"     -> (vecNorms _),
     "q_vec_quantize"  -> (vecQuantize _),
     "q_vec_knn_brute" -> (knnBrute _),
+    "q_vec_ann_grouped" -> (annGrouped _),
     "q_vec_centroids" -> (labelCentroids _),
     "q_vec_ann_lsh"   -> (annLsh _),
     "q_vec_ann_ivf"   -> (annIvf _),
@@ -1770,6 +1831,7 @@ object VectorCatalog {
     "q_vec_norms"     -> vecNormsSql,
     "q_vec_quantize"  -> vecQuantizeSql,
     "q_vec_knn_brute" -> knnBruteSql,
+    "q_vec_ann_grouped" -> annGroupedSql,
     "q_vec_centroids" -> labelCentroidsSql,
     "q_vec_ann_lsh"   -> annLshSql,
     "q_vec_neardup"   -> vecNearDupSql,

@@ -445,4 +445,23 @@ class TextSpec extends SparkSpec {
       assert(doc == m.filter(d => quality(d) == top).min, s"cluster $comp tie-break")
     }
   }
+
+  test("url dedup: every planted variant family collapses to one canonical url") {
+    import org.apache.spark.sql.functions._
+    val res = graft.queries.TextCatalog.urlDedup(spark, sf0001).collect()
+    assert(res.nonEmpty)
+    // canonical form: https, lowercase host, no www/port/utm/fragment/
+    // trailing slash — none of the planted noise survives normalization
+    res.map(_.getString(0)).foreach { u =>
+      assert(u.startsWith("https://example-"), u)
+      assert(!u.contains("www.") && !u.contains(":80") && !u.contains("utm_") &&
+        !u.contains("#") && !u.endsWith("/"), s"noise survived: $u")
+    }
+    // the dedup is REAL: the fixture plants 4 url variants per family,
+    // so distinct normalized urls << documents, and every family keeps
+    // its min doc_id as canonical
+    val docs = graft.core.Tables.documents(spark, sf0001).count()
+    assert(res.length < docs / 2, s"${res.length} groups for $docs docs — nothing collapsed")
+    assert(res.map(_.getLong(2)).sum == docs, "group sizes must partition the corpus")
+  }
 }

@@ -561,6 +561,36 @@ class VectorSpec extends SparkSpec {
     println(s"[clustered-recall] ivf=$ivfRecall ivfpq=$pqRecall")
   }
 
+  test("grouped ANN: tenant isolation holds and per-tenant ranking matches brute force") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val labelOf = corpus.select(col("vec_id"), col("label").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val res = VectorCatalog.annGrouped(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(res.nonEmpty)
+    // isolation: every neighbor belongs to its row's tenant, and the
+    // query id is the tenant's min vec_id
+    res.foreach { case (label, qid, _, vid, _) =>
+      assert(labelOf(vid) == label, s"tenant leak: vec $vid (label ${labelOf(vid)}) in tenant $label")
+      assert(labelOf(qid) == label && vid != qid)
+    }
+    // per-tenant ranking equals a driver-side brute force over the tenant
+    val all = corpus.select(col("vec_id"), col("embedding"), col("label").cast("int"))
+      .as[(Long, Array[Float], Int)].collect()
+    val byTenant = res.groupBy(_._1)
+    byTenant.foreach { case (label, rows) =>
+      val members = all.filter(_._3 == label)
+      val qid = members.map(_._1).min
+      val qe = members.find(_._1 == qid).get._2
+      val truth = members.filter(_._1 != qid)
+        .map { case (id, emb, _) =>
+          (id, graft.functions.VectorOps.cosineDecJvm(qe, emb).getOrElse(Double.NaN)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+      assert(rows.sortBy(_._3).map(_._4).toSeq == truth,
+        s"tenant $label ranking diverged from brute force")
+    }
+  }
+
   test("bucketize of an EMPTY corpus passes the guard (0 buckets, 0 rows, no spurious assert)") {
     // regression: the slim-aggregate guard's max over zero buckets is
     // NULL, and assert_true(NULL) throws — an empty frame must yield an
