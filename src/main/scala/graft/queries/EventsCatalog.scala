@@ -198,6 +198,28 @@ object EventsCatalog {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '5 minutes'
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  /** J3 batch twin of [[graft.streaming.Jobs.streamStreamJoinOuter]]:
+    * the left-outer interval join, where streaming must DEFER the
+    * null-extension until the watermark closes the view's interval —
+    * batch needs no deferral, so the oracle checks the join semantics
+    * and StreamingSpec separately proves the deferred emission. */
+  def streamOuterJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    graft.streaming.Jobs.streamStreamJoinOuter(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  val streamOuterJoinBatchSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events v LEFT JOIN events c ON v.user_id = c.user_id
+      |  AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '5 minutes'
+      |WHERE v.event_type = 'view'
+      |ORDER BY v.user_id, view_id, click_id NULLS FIRST""".stripMargin
+
   /** J3 batch twin of [[graft.streaming.Jobs.streamStaticJoin]]: the SAME
     * function on a batch events frame and the customer dimension, so the
     * oracle checks the enrichment semantics the streaming form applies
@@ -390,6 +412,7 @@ object EventsCatalog {
     "q_scd2"            -> (scd2History _),
     "q_skew_agg"        -> (skewAgg _),
     "q_stream_stream_join" -> (streamJoinBatch _),
+    "q_stream_stream_outer" -> (streamOuterJoinBatch _),
     "q_stream_static_join" -> (streamStaticJoinBatch _),
     "q_json_extract"    -> (jsonExtract _),
     "q_tumbling_window" -> (tumblingWindow _),
@@ -405,6 +428,7 @@ object EventsCatalog {
     "q_scd2"            -> scd2HistorySql,
     "q_skew_agg"        -> skewAggSql,
     "q_stream_stream_join" -> streamJoinBatchSql,
+    "q_stream_stream_outer" -> streamOuterJoinBatchSql,
     "q_stream_static_join" -> streamStaticJoinBatchSql,
     "q_json_extract"    -> jsonExtractSql,
     "q_tumbling_window" -> tumblingWindowSql,

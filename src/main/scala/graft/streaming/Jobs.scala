@@ -684,6 +684,30 @@ object Jobs {
         col("view_ts"), col("click_ts"))
   }
 
+  /** [[streamStreamJoin]]'s LEFT OUTER form — the semantically distinct
+    * half of watermarked stream-stream joins: a view with NO click inside
+    * its interval must still emit, null-extended, and streaming can only
+    * know "no click will ever arrive" once the watermark passes the end
+    * of the view's interval — so unmatched rows emit at state eviction
+    * time, not arrival time (matched pairs still emit immediately).
+    * Batch twin `q_stream_stream_outer` runs the same function where the
+    * outer join needs no deferral; StreamingSpec proves the deferred
+    * null-extension and fixture-replay equality with the batch result. */
+  def streamStreamJoinOuter(views: DataFrame, clicks: DataFrame,
+                            within: String = "5 minutes"): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "10 minutes")
+    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "10 minutes")
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL '$within'"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** J3 stream-static: enrich the event stream with a slowly-changing
     * dimension loaded once in batch — the classic serving-layer shape
     * (`/root/reference/README.md:17-23` joins cleaned stream records to

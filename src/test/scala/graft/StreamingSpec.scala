@@ -371,6 +371,90 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join defers the null-extension to watermark close; replay equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long = Jobs.eventTimeMicros(t)
+    // small-scale semantics first: a matched view emits immediately; an
+    // unmatched view emits null-extended ONLY once the watermark passes
+    // the end of its interval
+    locally {
+      val views = MemoryStream[Event]
+      val clicks = MemoryStream[Event]
+      val q = Jobs.streamStreamJoinOuter(views.toDF(), clicks.toDF())
+        .writeStream.format("memory").queryName("ssj_outer")
+        .outputMode("append").start()
+      try {
+        views.addData(ev(1, "2024-01-01 10:00:00", user = 1, typ = "view"),
+          ev(2, "2024-01-01 10:00:00", user = 2, typ = "view")) // never clicks
+        clicks.addData(ev(100, "2024-01-01 10:02:00", user = 1, typ = "click"))
+        q.processAllAvailable()
+        val got1 = spark.table("ssj_outer").select("view_id", "click_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+        assert(got1 == Set((1L, 100L)),
+          s"unmatched view must NOT emit before watermark close: $got1")
+        // advance the watermark far past view 2's interval on both sides
+        views.addData(ev(3, "2024-01-01 12:00:00", user = 8, typ = "view"))
+        clicks.addData(ev(101, "2024-01-01 12:00:00", user = 9, typ = "click"))
+        q.processAllAvailable()
+        views.addData(ev(4, "2024-01-01 13:00:00", user = 8, typ = "view"))
+        clicks.addData(ev(102, "2024-01-01 13:00:00", user = 9, typ = "click"))
+        q.processAllAvailable()
+        val got2 = spark.table("ssj_outer").select("view_id", "click_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+        assert(got2.contains((2L, -1L)), s"unmatched view never null-extended: $got2")
+      } finally q.stop()
+    }
+    // fixture-replay equality vs the batch twin's semantics (12 h bound
+    // densifies matches; unmatched views must all surface by the flush)
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq
+    val viewsAll = events.filter(_.event_type == "view")
+    val clicksAll = events.filter(_.event_type == "click")
+    val boundUs = 12L * 3600L * 1000000L
+    val truth = viewsAll.flatMap { v =>
+      val cs = clicksAll.filter(c => c.user_id == v.user_id &&
+        micros(c.ts) >= micros(v.ts) && micros(c.ts) <= micros(v.ts) + boundUs)
+      if (cs.isEmpty) Seq((v.user_id, v.event_id, -1L))
+      else cs.map(c => (v.user_id, v.event_id, c.event_id))
+    }.toSet
+    val rnd = new scala.util.Random(17L)
+    def perturb(es: Seq[Event]): Seq[Seq[Event]] =
+      es.groupBy(e => micros(e.ts) / (120L * 1000000L)).toSeq.sortBy(_._1)
+        .flatMap { case (_, g) => rnd.shuffle(g) }.grouped(40).toSeq
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Jobs.streamStreamJoinOuter(views.toDF(), clicks.toDF(), within = "12 hours")
+      .writeStream.format("memory").queryName("ssj_outer_replay")
+      .outputMode("append").start()
+    try {
+      perturb(viewsAll).zipAll(perturb(clicksAll), Seq.empty[Event], Seq.empty[Event])
+        .foreach { case (vc, cc) =>
+          if (vc.nonEmpty) views.addData(vc: _*)
+          if (cc.nonEmpty) clicks.addData(cc: _*)
+          q.processAllAvailable()
+        }
+      // flush: two sentinel rounds push the watermark past every view's
+      // interval end (+12 h) so all unmatched views null-extend
+      val lastUs = events.map(e => micros(e.ts)).max
+      for (h <- Seq(13L, 14L)) {
+        val flush = new Timestamp((lastUs + h * 3600L * 1000000L) / 1000L)
+        views.addData(Event(-1L - h, flush, -999L, "view", 0.0, "{}"))
+        clicks.addData(Event(-100L - h, flush, -999L, "click", 0.0, "{}"))
+        q.processAllAvailable()
+      }
+      val got = spark.table("ssj_outer_replay")
+        .select("user_id", "view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .filterNot(_._1 == -999L).toSet
+      assert(got == truth, {
+        val miss = (truth -- got).take(5); val extra = (got -- truth).take(5)
+        s"outer stream join diverged: missing=$miss extra=$extra"
+      })
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch from the broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
