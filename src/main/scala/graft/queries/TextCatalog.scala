@@ -66,6 +66,21 @@ object TextCatalog {
     * the document payload) on a key whose cardinality is
     * near-input-linear — the same input-linear class as
     * [[exactDedup]]'s hash key. */
+  /** Canonicalize a url column: https scheme, lowercase host, strip
+    * `www.`/default ports/fragment/`utm_*` params/trailing slash. Every
+    * rewrite matches at most once per url, so the Spark (replace-all)
+    * and DuckDB (replace-first) spellings agree; PropertySpec proves
+    * idempotence — canonical urls are fixed points. */
+  def normalizeUrl(url: Column): Column = {
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+    val rest = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
+      "#.*", ""), "&utm_[^&]*", ""), "/\\?", "?"), "/$", "")
+    concat(lit("https://"), host, rest)
+  }
+
   def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     val n = (col("doc_id") % 50).cast("string")
@@ -79,13 +94,7 @@ object TextCatalog {
         lit("&utm_campaign=y#frag")))
       .otherwise(concat(lit("HTTPS://Example-"), col("source"),
         lit(".COM/docs/"), n, lit("?id="), n)))
-    val host = regexp_replace(regexp_replace(
-      lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)),
-      "^www\\.", ""), ":(80|443)$", "")
-    val rest = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
-      "#.*", ""), "&utm_[^&]*", ""), "/\\?", "?"), "/$", "")
-    raw.withColumn("norm_url", concat(lit("https://"), host, rest))
+    raw.withColumn("norm_url", normalizeUrl(col("url")))
       .groupBy(col("norm_url"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
       .orderBy("norm_url")

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EpochManifest
+import graft.core.EpochManifest.Entry
+
+/** Direct protocol tests for the snapshot store under the persisted
+  * IVF-PQ index (VectorSpec holds the end-to-end proofs; these pin the
+  * commit/visibility/gc rules in isolation so a regression names the
+  * broken rule, not a 500-row search diff). */
+class EpochManifestSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("part", LongType)))
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+
+  private def writeDir(root: String, dir: String, ids: Range): Unit = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, (i % 2).toLong)).toDF("id", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$root/$dir")
+  }
+
+  test("visibility: only the highest complete manifest's entries are read") {
+    val root = tmp()
+    writeDir(root, "d0-1", 0 until 10)
+    EpochManifest.commit(spark, root, Seq(Entry(0L, "d0-1")))
+    writeDir(root, "d1-1", 10 until 15)
+    // dir exists but is uncommitted — invisible
+    assert(EpochManifest.read(spark, root, schema).count() == 10)
+    EpochManifest.commit(spark, root,
+      EpochManifest.entries(spark, root) :+ Entry(1L, "d1-1"))
+    assert(EpochManifest.read(spark, root, schema).count() == 15)
+    // maxEpoch bounds to committed prefixes
+    assert(EpochManifest.read(spark, root, schema, maxEpoch = 0L).count() == 10)
+  }
+
+  test("a retried epoch commits a REPLACEMENT entry, not a duplicate") {
+    val root = tmp()
+    writeDir(root, "d0-1", 0 until 10)
+    EpochManifest.commit(spark, root, Seq(Entry(0L, "d0-1")))
+    // first attempt of epoch 1 landed and committed, then the stream
+    // checkpoint failed — the retry writes attempt 2 and replaces
+    writeDir(root, EpochManifest.newDataDir(spark, root, 1L), 10 until 20)
+    EpochManifest.commit(spark, root,
+      EpochManifest.entries(spark, root) :+ Entry(1L, "d1-1"))
+    val retry = EpochManifest.newDataDir(spark, root, 1L)
+    assert(retry == "d1-2", s"attempt naming: $retry")
+    writeDir(root, retry, 20 until 30)
+    val kept = EpochManifest.entries(spark, root).filterNot(_.epoch == 1L)
+    EpochManifest.commit(spark, root, kept :+ Entry(1L, retry))
+    val ids = EpochManifest.read(spark, root, schema)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == ((0 until 10) ++ (20 until 30)).map(_.toLong).toSet,
+      "retry must fully replace the failed attempt's rows")
+  }
+
+  test("an empty committed epoch reads as zero rows, not a schema error") {
+    val root = tmp()
+    writeDir(root, "d0-1", 0 until 5)
+    import spark.implicits._
+    // empty write: no data files, only _SUCCESS
+    Seq.empty[(Long, Long)].toDF("id", "part")
+      .write.mode("overwrite").parquet(s"$root/d1-1")
+    EpochManifest.commit(spark, root, Seq(Entry(0L, "d0-1"), Entry(1L, "d1-1")))
+    assert(EpochManifest.read(spark, root, schema).count() == 5)
+  }
+
+  test("gc keeps the two newest manifests' dirs and reclaims the rest") {
+    val root = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    writeDir(root, "d0-1", 0 until 5)
+    EpochManifest.commit(spark, root, Seq(Entry(0L, "d0-1")))          // m1
+    writeDir(root, "d1-1", 5 until 10)
+    EpochManifest.commit(spark, root,
+      Seq(Entry(0L, "d0-1"), Entry(1L, "d1-1")))                       // m2
+    // compaction: fold both into a new dir, swap in one commit           m3
+    writeDir(root, "d1-2", 0 until 10)
+    EpochManifest.commit(spark, root, Seq(Entry(1L, "d1-2")))
+    EpochManifest.gc(spark, root)
+    // d0-1/d1-1 are in m2 (one of the two newest) — still alive
+    assert(fs.exists(new Path(s"$root/d0-1")) && fs.exists(new Path(s"$root/d1-1")))
+    // one more commit + gc ages m2 out: originals reclaimed, fold kept
+    writeDir(root, "d2-1", 10 until 12)
+    EpochManifest.commit(spark, root,
+      Seq(Entry(1L, "d1-2"), Entry(2L, "d2-1")))                       // m4
+    EpochManifest.gc(spark, root)
+    assert(!fs.exists(new Path(s"$root/d0-1")) && !fs.exists(new Path(s"$root/d1-1")))
+    assert(fs.exists(new Path(s"$root/d1-2")) && fs.exists(new Path(s"$root/d2-1")))
+    assert(EpochManifest.read(spark, root, schema).count() == 12)
+    // old manifests are pruned with their dirs (only the two newest remain)
+    val gens = fs.listStatus(new Path(s"$root/_manifests")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json")).sorted
+    assert(gens == Seq("m3.json", "m4.json"), s"manifests: $gens")
+  }
+
+  test("an orphan dir from a crash before commit is invisible, then gc'd") {
+    val root = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    writeDir(root, "d0-1", 0 until 5)
+    EpochManifest.commit(spark, root, Seq(Entry(0L, "d0-1")))
+    writeDir(root, "d1-1", 5 until 50) // crashed before its commit
+    assert(EpochManifest.read(spark, root, schema).count() == 5)
+    EpochManifest.commit(spark, root, EpochManifest.entries(spark, root)) // m2
+    EpochManifest.gc(spark, root)
+    assert(!fs.exists(new Path(s"$root/d1-1")), "orphan survived gc")
+    assert(EpochManifest.read(spark, root, schema).count() == 5)
+  }
+}

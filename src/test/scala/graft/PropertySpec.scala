@@ -117,6 +117,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("url normalization is idempotent over randomized messy urls") {
+    import spark.implicits._
+    // generated cross-product of noise dimensions: scheme case, www,
+    // default port, utm params, fragments, trailing slash — every
+    // canonical output must be a fixed point of the normalizer
+    val rnd = new scala.util.Random(23L)
+    val urls = (0 until 200).map { i =>
+      val scheme = Seq("https", "HTTP", "HtTpS")(rnd.nextInt(3))
+      val www = if (rnd.nextBoolean()) "WWW." else ""
+      val host = s"Site-${i % 17}.Example.com"
+      val port = Seq("", ":80", ":443")(rnd.nextInt(3))
+      val slash = if (rnd.nextBoolean()) "/" else ""
+      val utm = Seq("", "&utm_source=a", "&utm_x=b")(rnd.nextInt(3))
+      val frag = if (rnd.nextBoolean()) "#sec" else ""
+      s"$scheme://$www$host$port/p/${i % 13}$slash?id=${i % 13}$utm$frag"
+    }
+    val once = urls.toDF("url")
+      .select(graft.queries.TextCatalog.normalizeUrl(col("url")).as("n"))
+    val twice = once
+      .select(col("n"), graft.queries.TextCatalog.normalizeUrl(col("n")).as("n2"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"not a fixed point: ${r.getString(0)} -> ${r.getString(1)}")
+      assert(r.getString(0).startsWith("https://site-"), r.getString(0))
+    }
+    // noise variants of the same (host, path, id) collapse to ONE form
+    val distinct = twice.map(_.getString(0)).distinct.length
+    assert(distinct <= 17 * 13, s"$distinct canonical forms — noise survived")
+  }
+
   test("approx_count_distinct within 10% of exact on lineitem") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val exact = li.select(countDistinct("l_orderkey")).head.getLong(0)
