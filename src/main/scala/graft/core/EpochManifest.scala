@@ -118,6 +118,45 @@ object EpochManifest {
       .reduce(_ unionByName _)
   }
 
+  /** Fold every committed entry with epoch < `uptoEpoch` into ONE new
+    * data dir and swap it in with a single manifest commit, then gc —
+    * the snapshot-isolated compaction every manifest store shares
+    * (IVF-PQ codes, text band/shingle, media signatures). Readers
+    * holding the pre-compaction manifest keep every dir they resolved
+    * ([[gc]]'s two-manifest lag); crash before the commit leaves an
+    * orphan fold dir for a later gc and the old manifest fully live. */
+  def compact(spark: SparkSession, root: String, schema: StructType,
+              uptoEpoch: Long = Long.MaxValue,
+              partitionBy: Seq[String] = Nil, coalesceTo: Int = 8): Unit = {
+    val es = entries(spark, root)
+    val covered = es.filter(_.epoch < uptoEpoch)
+    if (covered.size <= 1) return // already compact — makes re-runs no-ops
+    val maxCov = covered.map(_.epoch).max
+    val folded = covered
+      .map(e => spark.read.schema(schema).parquet(s"$root/${e.dir}"))
+      .reduce(_ unionByName _)
+      .coalesce(coalesceTo)
+    val foldDir = newDataDir(spark, root, maxCov)
+    val w = folded.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(s"$root/$foldDir")
+    commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+ Entry(maxCov, foldDir))
+    gc(spark, root)
+  }
+
+  /** Write a data frame as `epoch`'s attempt dir and commit it as the
+    * epoch's (replacement) entry — the shared append step. */
+  def append(df: DataFrame, root: String, epoch: Long,
+             partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val dir = newDataDir(spark, root, epoch)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(s"$root/$dir")
+    val kept = entries(spark, root).filterNot(_.epoch == epoch)
+    commit(spark, root, kept :+ Entry(epoch, dir))
+  }
+
   /** Delete data dirs referenced by NEITHER of the two newest manifests,
     * then manifests older than those two. Called from compaction — never
     * from appends — so between compactions nothing is ever deleted, and

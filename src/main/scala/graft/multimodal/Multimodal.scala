@@ -304,15 +304,32 @@ object Multimodal {
       .dropDuplicates("m1", "m2")
       .orderBy("m1", "m2")
 
+  /** The media signature index's manifest-store root and row shape —
+    * a snapshot-isolated [[graft.core.EpochManifest]] store since r11,
+    * like the text band index and the IVF-PQ codes store. */
+  def mediaBandsRoot(indexDir: String): String = s"$indexDir/bands"
+
+  val mediaBandsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType)))
+
   /** Persist (or extend) the media signature band index — the stored
-    * form of the banding [[mediaDedup]] computes in-session, epoch-keyed
-    * OVERWRITE like the text band index so streaming retries replace
-    * their own output ([[graft.streaming.Jobs.mediaIngest]] exactly-once
-    * semantics). */
+    * form of the banding [[mediaDedup]] computes in-session. Each epoch
+    * is an immutable attempt dir committed by an atomic manifest rename,
+    * so streaming retries replace their own entry ([[graft.streaming
+    * .Jobs.mediaIngest]] exactly-once semantics) and a concurrent probe
+    * keeps its snapshot. */
   private[graft] def appendMediaIndex(sigs: DataFrame, indexDir: String,
       epoch: Long): Unit =
-    mediaBandsOf(sigs).write.mode("overwrite")
-      .parquet(s"$indexDir/bands/epoch=$epoch")
+    graft.core.EpochManifest.append(mediaBandsOf(sigs),
+      mediaBandsRoot(indexDir), epoch)
 
   /** Probe a persisted media index with a new batch's signatures —
     * history never shuffles; each arriving batch costs one index scan
@@ -325,9 +342,8 @@ object Multimodal {
   def mediaDedupAgainstIndex(newSigs: DataFrame, indexDir: String,
       maxDist: Int = 12, maxEpoch: Long = Long.MaxValue): DataFrame =
     mediaProbe(
-      newSigs.sparkSession.read.parquet(s"$indexDir/bands")
-        .filter(col("epoch") <= maxEpoch)
-        .select("media_id", "sig", "band", "key"),
+      graft.core.EpochManifest.read(newSigs.sparkSession,
+        mediaBandsRoot(indexDir), mediaBandsSchema, maxEpoch),
       newSigs, maxDist)
 
   /** Incremental media dedup (`q_media_dedup_incr`) — the probe-shaped

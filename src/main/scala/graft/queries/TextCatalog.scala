@@ -439,24 +439,51 @@ object TextCatalog {
       (docs, bands)
     }
 
+  /** The band index's two manifest-store roots and their stored row
+    * shapes — snapshot-isolated [[graft.core.EpochManifest]] stores
+    * since r11, like the IVF-PQ codes store. */
+  def bandsRoot(indexDir: String): String = s"$indexDir/bands"
+  def shinglesRoot(indexDir: String): String = s"$indexDir/shingles"
+
+  val bandsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType)))
+
+  val shinglesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sh",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false))))
+
   /** Persist the MinHash band index — the stored-artifact form of the
     * session-memoized [[minhashIndexOf]]: band keys + shingled docs as
     * parquet, built by one job and probed by every subsequent
-    * [[dedupAgainstIndex]] batch. The layout is epoch-partitioned
-    * (`epoch=0` for the base build) so [[appendBandIndex]] can extend it
-    * idempotently. */
+    * [[dedupAgainstIndex]] batch. Epoch 0 is the base build;
+    * [[appendBandIndex]] extends it idempotently. */
   def buildBandIndex(docs: DataFrame, indexDir: String): Unit =
     appendBandIndex(docs, indexDir, epoch = 0L)
 
-  /** Extend a persisted band index with a new batch under an
-    * epoch-keyed OVERWRITE — re-running the same epoch (a streaming
-    * retry) replaces its own output instead of double-appending, which
-    * keeps [[dedupAgainstIndex]] exactly-once downstream of
-    * checkpointed streams ([[graft.streaming.Jobs.dedupIngest]]). */
+  /** Extend a persisted band index with a new batch: each store lands
+    * an immutable attempt dir committed by an atomic manifest rename —
+    * a streaming retry commits a REPLACEMENT entry for its epoch instead
+    * of double-appending, keeping [[dedupAgainstIndex]] exactly-once
+    * downstream of checkpointed streams ([[graft.streaming.Jobs
+    * .dedupIngest]]), and a concurrent probe keeps the snapshot it
+    * opened. Shingles commit BEFORE bands: the probe finds candidates
+    * in bands and verifies against shingles, so any epoch visible on
+    * the candidate side must already be visible on the verify side. */
   def appendBandIndex(docs: DataFrame, indexDir: String, epoch: Long): Unit = {
+    import graft.core.EpochManifest
     val sh = shingleFrame(docs).localCheckpoint(false)
-    bandsOf(sh).write.mode("overwrite").parquet(s"$indexDir/bands/epoch=$epoch")
-    sh.write.mode("overwrite").parquet(s"$indexDir/shingles/epoch=$epoch")
+    EpochManifest.append(sh, shinglesRoot(indexDir), epoch)
+    EpochManifest.append(bandsOf(sh), bandsRoot(indexDir), epoch)
   }
 
   /** Incremental near-dup detection: find each NEW document's ≥ t
@@ -470,8 +497,8 @@ object TextCatalog {
     * jac). New-batch ids must not collide with historical ids.
     *
     * `maxEpoch` bounds the history to index epochs <= maxEpoch (a
-    * partition-pruned directory filter — excluded epochs are never
-    * read). Streaming retries NEED this: [[graft.streaming.Jobs
+    * manifest-entry filter — excluded epochs are never listed, let
+    * alone read). Streaming retries NEED this: [[graft.streaming.Jobs
     * .dedupIngest]] extends the index (epoch = stream epoch + 1) before
     * its checkpoint commits, so a retried batch would otherwise probe an
     * index already holding its own signatures and emit self/intra-batch
@@ -482,8 +509,9 @@ object TextCatalog {
                         maxEpoch: Long = Long.MaxValue): DataFrame = {
     val spark = newDocs.sparkSession
     val newSh = shingleFrame(newDocs).localCheckpoint(false)
-    dedupProbe(spark.read.parquet(s"$indexDir/bands").filter(col("epoch") <= maxEpoch),
-      spark.read.parquet(s"$indexDir/shingles").filter(col("epoch") <= maxEpoch),
+    dedupProbe(
+      graft.core.EpochManifest.read(spark, bandsRoot(indexDir), bandsSchema, maxEpoch),
+      graft.core.EpochManifest.read(spark, shinglesRoot(indexDir), shinglesSchema, maxEpoch),
       newSh, t)
   }
 

@@ -1719,16 +1719,12 @@ object VectorCatalog {
     import spark.implicits._
     import graft.core.EpochManifest
     val bcA = spark.sparkContext.broadcast(assigner)
-    val root = codesRoot(indexDir)
-    val dir = EpochManifest.newDataDir(spark, root, epoch)
-    pqEncode(batch.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])], books)
-      .map { case (id, e, code, _) => (id, code, bcA.value.assign(e)) }
-      .toDF("vec_id", "code", "list_id")
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$root/$dir")
-    val kept = EpochManifest.entries(spark, root).filterNot(_.epoch == epoch)
-    EpochManifest.commit(spark, root, kept :+ EpochManifest.Entry(epoch, dir))
+    EpochManifest.append(
+      pqEncode(batch.select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])], books)
+        .map { case (id, e, code, _) => (id, code, bcA.value.assign(e)) }
+        .toDF("vec_id", "code", "list_id"),
+      codesRoot(indexDir), epoch, partitionBy = Seq("list_id"))
   }
 
   /** Rebuild the codebook model from its persisted form (deterministic

@@ -499,23 +499,27 @@ object Jobs {
         .repartition(1) // keys-sized frame → one file per compacted base
     }
 
-  /** The generic rename-protocol epoch compaction behind
-    * [[compactServingPartials]], [[compactBandIndex]],
-    * [[compactMediaIndex]], and [[compactIvfPqIndex]]: fold the
-    * `epoch=N` dirs under `storeDir` with N < `uptoEpoch` into a single
-    * `epoch=<max covered>` dir. The base dir name can never collide with
-    * a future epoch (epoch ids only grow) and a re-run sees one covered
-    * dir and no-ops (idempotent). Callers inside `foreachBatch` pass an
-    * `uptoEpoch` that covers only checkpoint-COMMITTED epochs, so a
-    * leftover dir from a failed attempt of the current epoch is never
-    * folded (the retry overwrites it — exactly-once preserved).
+  /** The rename-protocol epoch compaction behind
+    * [[compactServingPartials]] — the one epoch store whose reads are
+    * the stream's own foreachBatch folds (never a concurrent external
+    * searcher), so the delete-then-rename swap needs no snapshot
+    * isolation. Every SEARCHED store (text bands/shingles, media
+    * signatures, IVF-PQ codes) compacts through
+    * [[graft.core.EpochManifest.compact]] instead, whose manifest swap
+    * is atomic under concurrent readers. Folds the `epoch=N` dirs under
+    * `storeDir` with N < `uptoEpoch` into a single `epoch=<max covered>`
+    * dir. The base dir name can never collide with a future epoch
+    * (epoch ids only grow) and a re-run sees one covered dir and no-ops
+    * (idempotent). Callers inside `foreachBatch` pass an `uptoEpoch`
+    * that covers only checkpoint-COMMITTED epochs, so a leftover dir
+    * from a failed attempt of the current epoch is never folded (the
+    * retry overwrites it — exactly-once preserved).
     *
     * `fold` turns the union of the covered rows into the base's rows —
-    * identity for indexes (bounded via coalesce by the callers),
     * re-aggregation for the serving partials. `writePartitionBy` keeps a
-    * partition layout (e.g. the IVF `list_id`) intact through the fold,
-    * so directory-level pruning works on the compacted base exactly as
-    * on the epochs it replaced.
+    * partition layout intact through the fold, so directory-level
+    * pruning works on the compacted base exactly as on the epochs it
+    * replaced.
     *
     * Crash safety (the serving sink's original protocol, now shared):
     * the fold is parked under `parkDir/upto=<maxCov>` BEFORE any covered
@@ -600,28 +604,35 @@ object Jobs {
     fs.delete(troot, true)
   }
 
-  /** Bound the file/dir count of the persisted text band index on a long
+  /** Bound the dir count of the persisted text band index on a long
     * stream: fold the committed band and shingle epochs (< `uptoEpoch`)
-    * into single base dirs under the shared rename protocol
-    * ([[compactEpochStore]]). Search results are identical pre/post —
-    * the fold is row identity; only the dir layout changes. The coalesce
-    * bounds the folded FILE count by the session's shuffle parallelism
-    * regardless of how many epochs were covered. */
+    * into single base dirs under the manifest snapshot protocol
+    * ([[graft.core.EpochManifest.compact]] — one atomic commit per
+    * store, concurrent probes keep their snapshot). Search results are
+    * identical pre/post — the fold is row identity. The coalesce bounds
+    * the folded FILE count by the session's shuffle parallelism
+    * regardless of how many epochs were covered. Shingles compact FIRST
+    * for the same reason appends commit shingles first: every epoch
+    * visible on the candidate (bands) side must be visible on the
+    * verify (shingles) side. */
   def compactBandIndex(spark: SparkSession, indexDir: String,
                        uptoEpoch: Long = Long.MaxValue): Unit = {
+    import graft.core.EpochManifest
+    import graft.queries.TextCatalog
     val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    Seq("bands", "shingles").foreach { store =>
-      compactEpochStore(spark, s"$indexDir/$store", s"$indexDir/$store.compact_tmp",
-        uptoEpoch)(_.coalesce(par))
-    }
+    EpochManifest.compact(spark, TextCatalog.shinglesRoot(indexDir),
+      TextCatalog.shinglesSchema, uptoEpoch, coalesceTo = par)
+    EpochManifest.compact(spark, TextCatalog.bandsRoot(indexDir),
+      TextCatalog.bandsSchema, uptoEpoch, coalesceTo = par)
   }
 
   /** [[compactBandIndex]] for the media signature index. */
   def compactMediaIndex(spark: SparkSession, indexDir: String,
                         uptoEpoch: Long = Long.MaxValue): Unit = {
+    import graft.multimodal.Multimodal
     val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    compactEpochStore(spark, s"$indexDir/bands", s"$indexDir/bands.compact_tmp",
-      uptoEpoch)(_.coalesce(par))
+    graft.core.EpochManifest.compact(spark, Multimodal.mediaBandsRoot(indexDir),
+      Multimodal.mediaBandsSchema, uptoEpoch, coalesceTo = par)
   }
 
   /** Bound the epoch count of the PQ-coded IVF index's code store
@@ -641,24 +652,11 @@ object Jobs {
     * (gc'd later) and the old manifest fully live — there is no
     * park/recover dance because no committed dir is ever mutated. */
   def compactIvfPqIndex(spark: SparkSession, indexDir: String,
-                        uptoEpoch: Long = Long.MaxValue): Unit = {
-    import graft.core.EpochManifest
-    val root = graft.queries.VectorCatalog.codesRoot(indexDir)
-    val es = EpochManifest.entries(spark, root)
-    val covered = es.filter(_.epoch < uptoEpoch)
-    if (covered.size <= 1) return // already compact — makes re-runs no-ops
-    val maxCov = covered.map(_.epoch).max
-    val schema = graft.queries.VectorCatalog.codesSchema
-    val folded = covered
-      .map(e => spark.read.schema(schema).parquet(s"$root/${e.dir}"))
-      .reduce(_ unionByName _)
-      .coalesce(8)
-    val foldDir = EpochManifest.newDataDir(spark, root, maxCov)
-    folded.write.mode("overwrite").partitionBy("list_id").parquet(s"$root/$foldDir")
-    EpochManifest.commit(spark, root,
-      es.filterNot(_.epoch < uptoEpoch) :+ EpochManifest.Entry(maxCov, foldDir))
-    EpochManifest.gc(spark, root)
-  }
+                        uptoEpoch: Long = Long.MaxValue): Unit =
+    graft.core.EpochManifest.compact(spark,
+      graft.queries.VectorCatalog.codesRoot(indexDir),
+      graft.queries.VectorCatalog.codesSchema, uptoEpoch,
+      partitionBy = Seq("list_id"))
 
   /** J3 stream-stream: watermarked interval join — each view pairs with
     * the clicks the same user makes within `within` after it. Both sides

@@ -831,14 +831,14 @@ class StreamingSpec extends SparkSpec {
       s"unexpected first-attempt pairs: $firstAttempt")
   }
 
-  test("band index compaction: bounded dirs, identical probes, crash recovery") {
+  test("band index compaction: bounded entries, identical probes, snapshot + crash safety") {
     import org.apache.hadoop.fs.Path
+    import graft.core.EpochManifest
+    import graft.queries.TextCatalog
     val dir = Files.createTempDirectory("graft_band_compact").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    def epochs(store: String): Seq[String] =
-      fs.listStatus(new Path(s"$dir/idx/$store")).toSeq
-        .filter(_.getPath.getName.startsWith("epoch="))
-        .map(_.getPath.getName).sorted
+    def entryEpochs(root: String): Seq[Long] =
+      EpochManifest.entries(spark, root).map(_.epoch).sorted
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
     graft.queries.TextCatalog.buildBandIndex(corpus, s"$dir/idx") // epoch 0
@@ -857,30 +857,32 @@ class StreamingSpec extends SparkSpec {
     // (organic ≥0.8 near-dups of doc 3 may legitimately ride along)
     assert(Set(3L, 100003L, 200003L, 300003L)
       .subsetOf(pre.map(_.head.asInstanceOf[Long]).toSet), s"probe: $pre")
-    // crash DURING the fold write: an incomplete parked fold (no _SUCCESS)
-    // must be discarded — its covered dirs were never touched
-    fs.mkdirs(new Path(s"$dir/idx/bands.compact_tmp/upto=2"))
+    // crash DURING a fold write: an orphan uncommitted dir must be
+    // invisible to probes and reclaimed by the next compaction's gc
+    fs.mkdirs(new Path(s"$dir/idx/bands/d3-9"))
+    // a probe PINNED before the compaction (its manifest snapshot and
+    // file listing resolved now) must read through the swap unchanged
+    val pinned = graft.queries.TextCatalog.dedupAgainstIndex(probeBatch, s"$dir/idx")
     graft.streaming.Jobs.compactBandIndex(spark, s"$dir/idx", uptoEpoch = 4L)
-    assert(epochs("bands") == Seq("epoch=3"), s"bands: ${epochs("bands")}")
-    assert(epochs("shingles") == Seq("epoch=3"), s"shingles: ${epochs("shingles")}")
+    assert(entryEpochs(TextCatalog.bandsRoot(s"$dir/idx")) == Seq(3L))
+    assert(entryEpochs(TextCatalog.shinglesRoot(s"$dir/idx")) == Seq(3L))
     assert(probe() == pre, "compaction changed probe results")
-    // crash BETWEEN park and swap: a complete fold parked, covered dirs
-    // intact — the next compaction must finish the swap, not redo the fold
+    assert(pinned.collect().map(_.toSeq).toSeq == pre,
+      "pinned probe diverged under concurrent compaction")
+    // next cycle: two more epochs + compaction — entries fold again,
+    // results extend by exactly the per-epoch contribution, and the
+    // crash orphan is gone
     (4 to 5).foreach(append)
     val pre2 = probe()
-    // each appended epoch contributes the same matches as any other epoch
     val perEpoch = pre.count { r =>
       val d = r.head.asInstanceOf[Long]; d >= 100000L && d < 200000L
     }
     assert(pre2.size == pre.size + 2 * perEpoch)
-    spark.read.parquet((3 to 5).map(e => s"$dir/idx/bands/epoch=$e"): _*)
-      .write.parquet(s"$dir/idx/bands.compact_tmp/upto=5")
     graft.streaming.Jobs.compactBandIndex(spark, s"$dir/idx", uptoEpoch = 6L)
-    assert(epochs("bands") == Seq("epoch=5"), s"bands: ${epochs("bands")}")
-    assert(epochs("shingles") == Seq("epoch=5"), s"shingles: ${epochs("shingles")}")
-    assert(probe() == pre2, "crash recovery lost or duplicated history")
-    assert(!fs.exists(new Path(s"$dir/idx/bands.compact_tmp")))
-    assert(!fs.exists(new Path(s"$dir/idx/shingles.compact_tmp")))
+    assert(entryEpochs(TextCatalog.bandsRoot(s"$dir/idx")) == Seq(5L))
+    assert(entryEpochs(TextCatalog.shinglesRoot(s"$dir/idx")) == Seq(5L))
+    assert(probe() == pre2, "second compaction lost or duplicated history")
+    assert(!fs.exists(new Path(s"$dir/idx/bands/d3-9")), "crash orphan survived gc")
   }
 
   test("streaming IVF append: restart-safe, composes with the batch-built base index") {
