@@ -98,8 +98,10 @@ object CosineSimilarity {
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` injects the
   * engine's custom expressions into every session of a deployment:
   * `cosine_sim(a, b)` (codegen'd fused cosine), `top_k(ord, id, k)`
-  * (bounded-heap grouped top-k aggregate), and
-  * `reservoir_sample(x, k[, seed])` (bounded uniform group sample). */
+  * (bounded-heap grouped top-k aggregate),
+  * `reservoir_sample(x, k[, seed])` (bounded uniform group sample),
+  * `heavy_hitters(item, m)` (SpaceSaving frequent items), and
+  * `count_min(item, depth, width)` (Count-Min frequency sketch). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -118,5 +120,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
       (children: Seq[Expression]) => HeavyHittersAgg.fromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
+      (children: Seq[Expression]) => CountMinAgg.fromSql(children)))
   }
 }

@@ -296,7 +296,32 @@ object MiscCatalog {
       |ORDER BY o_orderkey
       |LIMIT 3000""".stripMargin
 
+  /** Z-order (Morton) curve position per row ([[graft.core.Layout]]) —
+    * the expression the z-ordered WRITE clusters on, surfaced as a query
+    * so the driver hash-checks the curve itself: DuckDB replays the
+    * identical 32-term interleave ([[graft.core.Layout.zvalueSql]]),
+    * proving the two engines agree on every row's curve position and
+    * therefore on the physical order a z-ordered table lands in. The
+    * layout's PAYOFF — a 2-D box predicate reading strictly fewer rows
+    * from a z-ordered copy than from a single-key sort — is measured in
+    * LayoutSpec via `Metrics.scanRows` over real parquet writes. */
+  def zorderQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.core.Layout.zvalue(col("l_partkey"), col("l_suppkey"), 16).as("zval"))
+      .orderBy("zval", "l_orderkey", "l_linenumber")
+
+  val zorderSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${graft.core.Layout.zvalueSql("l_partkey", "l_suppkey", 16)} AS zval
+       |FROM lineitem
+       |WHERE l_orderkey <= 2000
+       |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder"        -> (zorderQ _),
     "q_asof_join"     -> (asofJoin _),
     "q_unpivot"       -> (unpivot _),
     "q_window_stats"  -> (windowStats _),
@@ -313,6 +338,7 @@ object MiscCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder"        -> zorderSql,
     "q_asof_join"     -> asofJoinSql,
     "q_unpivot"       -> unpivotSql,
     "q_window_stats"  -> windowStatsSql,

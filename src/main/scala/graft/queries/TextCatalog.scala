@@ -923,16 +923,51 @@ object TextCatalog {
     * BROADCASTS and the corpus side stays one narrow explode — no
     * corpus-vs-corpus shuffle, no O(n²)). */
   def decontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = decontamGramFrame(spark, sfDir)
+    val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
+    g.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(ev), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, gram) exploded 8-gram frame both decontamination variants
+    * share (short docs contribute their whole text, mirroring the
+    * oracle's CASE arm). */
+  private[graft] def decontamGramFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val g = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) => shingleSet(t, 8).map(s => (id, s)) }
       .toDF("doc_id", "gram")
+  }
+
+  /** [[decontam]]'s scale path for when the eval side does NOT broadcast
+    * — a real regime: decontaminating against the union of every eval
+    * benchmark plus their paraphrases can reach billions of distinct
+    * grams, far past broadcast limits, while a Bloom filter over those
+    * grams stays a broadcast-trivial few MB at ANY eval size. The
+    * corpus gram stream is pre-filtered by the distributed
+    * [[graft.plans.BloomJoin]] filter INSIDE its scan stage (codegen'd
+    * `might_contain`, upstream of any exchange), so the shuffle join
+    * that follows moves only candidate grams — overwhelmingly true
+    * leaks plus the filter's ~3% false positives — instead of the whole
+    * corpus. The equi-join then removes the false positives exactly:
+    * the result is cell-identical to [[decontam]] (same DuckDB oracle
+    * checks both), which DecontamBloomSpec pins together with the
+    * pruning factor. */
+  def decontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = decontamGramFrame(spark, sfDir)
     val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
-    g.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(ev), "gram")
+    val tr = g.filter(col("doc_id") % 10 =!= 0)
+    val pruned = graft.plans.BloomJoin.buildFilter(ev, col("gram"), 1000000L) match {
+      case Some(bf) => tr.filter(graft.plans.BloomJoin.mightContain(bf, col("gram")))
+      case None     => tr.filter(lit(false))
+    }
+    pruned.join(ev, "gram") // shuffle join: at scale `ev` is beyond broadcast
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
       .orderBy("doc_id")
@@ -1844,6 +1879,7 @@ object TextCatalog {
     "q_doc_chunks"      -> ((s, dir) => docChunks(s, dir)),
     "q_doc_pack"        -> ((s, dir) => docPack(s, dir)),
     "q_doc_decontam"    -> (decontam _),
+    "q_doc_decontam_bloom" -> (decontamBloom _),
     "q_tfidf"           -> (tfidf _),
     "q_doc_langid"      -> (langIdQuery _),
     "q_doc_sample_hash"  -> (hashSample _),
@@ -1878,6 +1914,7 @@ object TextCatalog {
     "q_doc_chunks"      -> docChunksSql,
     "q_doc_pack"        -> docPackSql,
     "q_doc_decontam"    -> decontamSql,
+    "q_doc_decontam_bloom" -> decontamSql,
     "q_tfidf"           -> tfidfSql,
     "q_doc_sample_hash"  -> hashSampleSql,
     "q_doc_sample_strat" -> stratifiedSampleSql,

@@ -544,6 +544,52 @@ object TpchCatalog {
       |GROUP BY l_returnflag
       |ORDER BY est DESC, item ASC""".stripMargin
 
+  /** Count-Min point estimates over `l_suppkey`
+    * ([[graft.plans.CountMinAgg]]): the per-key frequency complement to
+    * [[heavyHittersQ]] — 4×64 counters total regardless of key
+    * cardinality, distributed build (elementwise-add merge), probes
+    * evaluated in-plan against the collected few-KB matrix (the
+    * [[graft.plans.BloomJoin]] build-then-probe posture; the collect is
+    * the 2 KB model, never data). Width 64 sits BELOW the supplier
+    * cardinality at sf0.01, so hash collisions are real and the
+    * min-over-rows estimate genuinely exercises the sketch — and because
+    * the row hashes are md5-derived, DuckDB rebuilds the exact counter
+    * matrix (bucket sums, then min over rows) and the driver hash-checks
+    * the estimates cell-exact. Overestimate-only + merge-invariance are
+    * pinned in CountMinSpec. */
+  def cmsCountsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.CountMinAgg
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").cast("long").as("l_suppkey"))
+    val counters = keys
+      .agg(CountMinAgg.countMin(col("l_suppkey").cast("string"), CmsDepth, CmsWidth).as("sk"))
+      .head.getSeq[Long](0).toArray
+    keys.filter(col("l_suppkey") <= 25).distinct()
+      .select(col("l_suppkey"),
+        CountMinAgg.estimateCol(counters, col("l_suppkey"), CmsDepth, CmsWidth).as("est"))
+      .orderBy("l_suppkey")
+  }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  val cmsCountsSql: String =
+    s"""WITH c AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS k, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1
+      |), h AS (
+      |  SELECT k, cnt, d,
+      |    md5_number_upper(k || '|cms' || CAST(d AS VARCHAR)) % $CmsWidth AS b
+      |  FROM c, range(0, $CmsDepth) r(d)
+      |), cell AS (
+      |  SELECT d, b, SUM(cnt) AS s FROM h GROUP BY d, b
+      |)
+      |SELECT CAST(h.k AS BIGINT) AS l_suppkey, CAST(MIN(cell.s) AS BIGINT) AS est
+      |FROM h JOIN cell ON h.d = cell.d AND h.b = cell.b
+      |WHERE CAST(h.k AS BIGINT) <= 25
+      |GROUP BY h.k
+      |ORDER BY l_suppkey""".stripMargin
+
   def groupTopK(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"),
@@ -697,6 +743,7 @@ object TpchCatalog {
     "q_window_topk"     -> (windowTopK _),
     "q_group_topk"      -> (groupTopK _),
     "q_heavy_hitters"   -> (heavyHittersQ _),
+    "q_cms_counts"      -> (cmsCountsQ _),
     "q_window_lag"      -> (windowLag _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_date_funcs"      -> (dateFuncs _),
@@ -728,6 +775,7 @@ object TpchCatalog {
     "q_window_topk"     -> windowTopKSql,
     "q_group_topk"      -> groupTopKSql,
     "q_heavy_hitters"   -> heavyHittersSql,
+    "q_cms_counts"      -> cmsCountsSql,
     "q_window_lag"      -> windowLagSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_date_funcs"      -> dateFuncsSql,

@@ -464,4 +464,25 @@ class TextSpec extends SparkSpec {
     assert(res.length < docs / 2, s"${res.length} groups for $docs docs — nothing collapsed")
     assert(res.map(_.getLong(2)).sum == docs, "group sizes must partition the corpus")
   }
+
+  test("bloom decontam: cell-identical to the broadcast path, and the filter actually prunes") {
+    val exact = TextCatalog.decontam(spark, sf0001).collect()
+    val bloom = TextCatalog.decontamBloom(spark, sf0001).collect()
+    assert(bloom.length == exact.length)
+    bloom.zip(exact).foreach { case (b, e) =>
+      assert(b.getLong(0) == e.getLong(0) && b.getLong(1) == e.getLong(1),
+        s"bloom row $b vs exact row $e")
+    }
+    // the scale claim: might_contain must drop most of the training gram
+    // stream before the shuffle join (the fixture's eval/train gram
+    // overlap is small, so a working filter passes only leaks + ~3% FPs)
+    import graft.plans.BloomJoin
+    val g = TextCatalog.decontamGramFrame(spark, sf0001)
+    val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
+    val tr = g.filter(col("doc_id") % 10 =!= 0)
+    val bf = BloomJoin.buildFilter(ev, col("gram"), 1000000L).get
+    val total = tr.count()
+    val kept = tr.filter(BloomJoin.mightContain(bf, col("gram"))).count()
+    assert(kept < total / 2, s"filter kept $kept of $total grams — no pruning")
+  }
 }
