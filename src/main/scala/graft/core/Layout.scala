@@ -43,6 +43,20 @@ object Layout {
     }
   }
 
+  /** Exact inverse of [[zvalue]] (JVM-side; for debugging a curve
+    * position back into its (x, y) cell — e.g. reading a file's min/max
+    * z-stats as the rectangle it covers). LayoutSpec round-trips random
+    * points through interleave→deinterleave. */
+  def deinterleave(z: Long, bits: Int = 16): (Long, Long) = {
+    var x = 0L; var y = 0L; var i = 0
+    while (i < bits) {
+      x |= ((z >>> (2 * i)) & 1L) << i
+      y |= ((z >>> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (x, y)
+  }
+
   /** The DuckDB spelling of [[zvalue]] over column expressions `x` and
     * `y` — the identical 2·bits-term OR of masked shifts, so oracle SQL
     * replays the curve bit-exactly. */

@@ -49,4 +49,31 @@ object Skew {
       .agg(countDistinct(col(value)).as("_pd"))
       .groupBy(col(key))
       .agg(sum(col("_pd")).as(s"nd_$value"))
+
+  /** The DETECTION step the mitigations above need: which keys are hot
+    * enough to salt, WITHOUT an exact per-key count (which is itself the
+    * skewed shuffle we are trying to avoid). One bounded-memory pass via
+    * the SpaceSaving aggregate ([[graft.plans.HeavyHittersAgg]]): any
+    * key holding more than n/m of the rows is guaranteed to survive the
+    * m-counter summary, and est ≥ true ≥ est − err brackets each
+    * survivor. A key is reported when its LOWER bound clears the share
+    * threshold, so every report is certainly hot (true ≥ minShare·n —
+    * no false positives); with `m` ≥ 2/minShare the error term is at
+    * most minShare·n/2, so any key at ≥ 1.5× the threshold share is
+    * certainly reported — only keys hovering at the margin can be
+    * missed, and salting one key too few/too many is a cost nudge, not
+    * a correctness event. Returns (key, lowerBound) for the model-sized
+    * hot set; SkewSpec pins detection on planted skew and silence on
+    * uniform data. */
+  def hotKeys(df: DataFrame, key: String, minShare: Double = 0.05,
+              m: Int = 64): Seq[(String, Long)] = {
+    require(m >= math.ceil(2.0 / minShare), s"m=$m too small to guarantee share $minShare")
+    val row = df.agg(
+      graft.plans.HeavyHittersAgg.heavyHitters(col(key).cast("string"), m).as("hh"),
+      count(lit(1)).as("n")).head
+    val n = row.getLong(1)
+    row.getSeq[org.apache.spark.sql.Row](0)
+      .map(h => (h.getString(0), h.getLong(1) - h.getLong(2))) // est − err: certain mass
+      .filter { case (_, lower) => lower.toDouble >= minShare * n }
+  }
 }

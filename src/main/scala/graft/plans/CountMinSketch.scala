@@ -132,6 +132,27 @@ object CountMinAgg {
   def estimate(counters: Array[Long], key: String, depth: Int, width: Int): Long =
     (0 until depth).map(d => counters(d * width + bucket(key, d, width))).min
 
+  /** Equi-join SIZE estimate from two same-geometry sketches — the
+    * row-wise inner product, minimized over rows (Cormode &
+    * Muthukrishnan §4.2): Σ_b a[d][b]·b[d][b] counts every true key
+    * match plus hash-collision cross terms, so each row OVERestimates
+    * |R ⋈_k S| and the min is the tightest certificate. This is the
+    * cardinality input a 100 TB planner consults BEFORE committing to a
+    * join strategy (broadcast vs shuffle vs salted) — two O(KB)
+    * sketches built in one pass each, no key shuffle; a self-join
+    * (a = b) estimates the F2 moment Σ_k c_k², the standard skew
+    * statistic. Never underestimates; exact when no bucket holds two
+    * distinct keys (CountMinSpec pins both). */
+  def joinSizeEstimate(a: Array[Long], b: Array[Long], depth: Int, width: Int): Long = {
+    require(a.length == depth * width && b.length == depth * width, "geometry mismatch")
+    (0 until depth).map { d =>
+      var s = 0L
+      var i = d * width
+      while (i < (d + 1) * width) { s += a(i) * b(i); i += 1 }
+      s
+    }.min
+  }
+
   /** SQL builder: `count_min(item, depth, width)` with foldable integer
     * geometry (the counter matrix must size at plan time). */
   private[plans] def fromSql(children: Seq[Expression]): Expression = {

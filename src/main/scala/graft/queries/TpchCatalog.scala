@@ -572,6 +572,7 @@ object TpchCatalog {
 
   private val CmsDepth = 4
   private val CmsWidth = 64
+  private val CmsJoinWidth = 256
 
   val cmsCountsSql: String =
     s"""WITH c AS (
@@ -589,6 +590,48 @@ object TpchCatalog {
       |WHERE CAST(h.k AS BIGINT) <= 25
       |GROUP BY h.k
       |ORDER BY l_suppkey""".stripMargin
+
+  /** Join-size estimation from sketches
+    * ([[graft.plans.CountMinAgg.joinSizeEstimate]]): |lineitem ⋈ supplier|
+    * on suppkey predicted by the min-over-rows inner product of two
+    * independently-built Count-Min sketches — the pre-join cardinality
+    * check a planner runs before choosing broadcast/shuffle/salted,
+    * costing one narrow pass per side and zero key shuffle. The exact
+    * size rides along for honesty (at 100 TB it is the expensive number
+    * the estimate replaces; at oracle scale both engines compute both,
+    * cell-exact — the estimate's determinism comes from the same
+    * md5-derived buckets as [[cmsCountsQ]]). */
+  def cmsJoinSizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.CountMinAgg
+    val a = Tables.lineitem(spark, sfDir).select(col("l_suppkey").cast("string").as("k"))
+    val b = Tables.supplier(spark, sfDir).select(col("s_suppkey").cast("string").as("k"))
+    def sk(df: DataFrame) = df
+      .agg(CountMinAgg.countMin(col("k"), CmsDepth, CmsJoinWidth).as("sk"))
+      .head.getSeq[Long](0).toArray
+    val est = CountMinAgg.joinSizeEstimate(sk(a), sk(b), CmsDepth, CmsJoinWidth)
+    val exact = a.join(b, "k").count()
+    a.sparkSession.range(1).select(lit(est).as("est"), lit(exact).as("exact"))
+  }
+
+  val cmsJoinSizeSql: String =
+    s"""WITH ca AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+      |), cb AS (
+      |  SELECT CAST(s_suppkey AS VARCHAR) AS k, COUNT(*) AS cnt FROM supplier GROUP BY 1
+      |), ha AS (
+      |  SELECT d, md5_number_upper(k || '|cms' || CAST(d AS VARCHAR)) % $CmsJoinWidth AS b,
+      |    SUM(cnt) AS s
+      |  FROM ca, range(0, $CmsDepth) r(d) GROUP BY 1, 2
+      |), hb AS (
+      |  SELECT d, md5_number_upper(k || '|cms' || CAST(d AS VARCHAR)) % $CmsJoinWidth AS b,
+      |    SUM(cnt) AS s
+      |  FROM cb, range(0, $CmsDepth) r(d) GROUP BY 1, 2
+      |), ip AS (
+      |  SELECT ha.d, SUM(ha.s * hb.s) AS p
+      |  FROM ha JOIN hb ON ha.d = hb.d AND ha.b = hb.b GROUP BY 1
+      |)
+      |SELECT CAST((SELECT MIN(p) FROM ip) AS BIGINT) AS est,
+      |  CAST((SELECT SUM(ca.cnt * cb.cnt) FROM ca JOIN cb ON ca.k = cb.k) AS BIGINT) AS exact""".stripMargin
 
   def groupTopK(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -744,6 +787,7 @@ object TpchCatalog {
     "q_group_topk"      -> (groupTopK _),
     "q_heavy_hitters"   -> (heavyHittersQ _),
     "q_cms_counts"      -> (cmsCountsQ _),
+    "q_cms_join_size"   -> (cmsJoinSizeQ _),
     "q_window_lag"      -> (windowLag _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_date_funcs"      -> (dateFuncs _),
@@ -776,6 +820,7 @@ object TpchCatalog {
     "q_group_topk"      -> groupTopKSql,
     "q_heavy_hitters"   -> heavyHittersSql,
     "q_cms_counts"      -> cmsCountsSql,
+    "q_cms_join_size"   -> cmsJoinSizeSql,
     "q_window_lag"      -> windowLagSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_date_funcs"      -> dateFuncsSql,

@@ -69,6 +69,35 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("join-size estimate: never under, exact without bucket sharing, F2 on self") {
+    val (depth, width) = (4, 32)
+    val other: Seq[String] = (0 until 40).flatMap(i => Seq.fill(2 + i % 3)(s"k$i"))
+    val skA = sketch(items, depth, width, parts = 4)
+    val skB = sketch(other, depth, width, parts = 4)
+    val otherTruth = other.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exactJoin = truth.keySet.intersect(otherTruth.keySet)
+      .toSeq.map(k => truth(k) * otherTruth(k)).sum
+    val est = CountMinAgg.joinSizeEstimate(skA, skB, depth, width)
+    assert(est >= exactJoin, s"join-size underestimate: $est < $exactJoin")
+
+    // self inner product bounds F2 = Σ c_k² from above
+    val f2 = truth.values.map(c => c * c).sum
+    assert(CountMinAgg.joinSizeEstimate(skA, skA, depth, width) >= f2)
+
+    // collision-free regime: two disjoint singleton keys per known bucket
+    // is hard to construct portably, so use width far above cardinality —
+    // if no bucket holds two distinct keys the inner product IS exact
+    val few = Seq("a", "a", "b", "c", "c", "c")
+    val wBig = 4096
+    val skF = sketch(few, depth, wBig, parts = 2)
+    val collisionFree = (0 until depth).forall { d =>
+      val bs = Seq("a", "b", "c").map(CountMinAgg.bucket(_, d, wBig))
+      bs.distinct.size == bs.size
+    }
+    if (collisionFree)
+      assert(CountMinAgg.joinSizeEstimate(skF, skF, depth, wBig) == 4L + 1L + 9L)
+  }
+
   test("SQL registration: count_min(item, depth, width) plans and matches the column form") {
     CountMinAgg.register(spark)
     items.toDF("item").createOrReplaceTempView("cms_in")

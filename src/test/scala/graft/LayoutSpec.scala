@@ -20,6 +20,19 @@ class LayoutSpec extends SparkSpec {
     assert(rows((3L, 5L)) == (1L | 2L | 4L | 32L)) // x=11b, y=101b → 100111b
   }
 
+  test("zvalue/deinterleave round-trip on random 16-bit points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val back = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zvalue(col("x"), col("y"), 16).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Layout.deinterleave(r.getLong(2), 16)))
+    back.foreach { case (x, y, (dx, dy)) =>
+      assert((dx, dy) == (x, y), s"round-trip broke at ($x, $y) → ($dx, $dy)")
+    }
+  }
+
   test("z-ordered write: a 2-D box reads fewer rows than a single-key sort, same answer") {
     val li = Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))

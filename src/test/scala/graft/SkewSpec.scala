@@ -96,4 +96,25 @@ class SkewSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("hotKeys: planted hot keys detected, no false positives, uniform data silent") {
+    import spark.implicits._
+    // two hot keys (30% + 15%) over a 1000-key uniform tail
+    val rows = Seq.fill(3000)("hot-a") ++ Seq.fill(1500)("hot-b") ++
+      (0 until 1000).flatMap(i => Seq.fill(5)(s"cold$i"))
+    val df = rows.toDF("k").repartition(8)
+    val n = rows.size
+    val hot = Skew.hotKeys(df, "k", minShare = 0.05, m = 64).toMap
+    assert(hot.contains("hot-a") && hot.contains("hot-b"), s"missed a planted hot key: $hot")
+    // every report is certainly hot: lower bound ≤ true count, and the
+    // report condition requires lower ≥ minShare·n
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    hot.foreach { case (k, lower) =>
+      assert(lower <= truth(k), s"lower bound above truth for $k")
+      assert(truth(k) >= 0.05 * n, s"false positive: $k at ${truth(k)} of $n")
+    }
+    // uniform data: nothing clears the share bar
+    val uniform = (0 until 500).flatMap(i => Seq.fill(10)(s"u$i")).toDF("k")
+    assert(Skew.hotKeys(uniform, "k", minShare = 0.05, m = 64).isEmpty)
+  }
 }
