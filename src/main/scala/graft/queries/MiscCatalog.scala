@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Parity._
@@ -320,8 +320,73 @@ object MiscCatalog {
        |WHERE l_orderkey <= 2000
        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
 
+  /** Snapshot reconciliation — the operational diff a 100 TB pipeline
+    * runs between yesterday's and today's landed table (backfill audit,
+    * replication check, CDC validation): full-outer join on the row
+    * KEY with each side reduced to a 16-byte content fingerprint
+    * first, so the shuffle moves (key, md5) pairs — fixed ~24 bytes per
+    * row regardless of row width — never the rows themselves.
+    * Added/removed/changed/unchanged classify from null-ness and
+    * fingerprint inequality. The two "snapshots" here are deterministic
+    * perturbations of the same fixture (≈1% membership drift per side
+    * via coprime moduli, ≈1% value drift), so every class is non-empty
+    * and both engines rebuild the exact counts. */
+  def tableDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    // snapshot = keyed aggregate state (the fixture's (orderkey,
+    // linenumber) is not unique, so the diffable unit is the per-key
+    // group: quantity mass + row count, fingerprinted to 16 bytes).
+    // Map-side partial aggregation shrinks each side BEFORE its shuffle.
+    def snap(dropMod: Int, bump: Boolean, hname: String): DataFrame = {
+      val qty = if (bump)
+        col("l_quantity") + when(col("l_orderkey") % 101 === 0, 1).otherwise(0)
+      else col("l_quantity")
+      li.filter(col("l_orderkey") % dropMod =!= 0)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(qty.cast("long")).as("q"), count(lit(1)).as("c"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          md5(concat_ws("|", col("q").cast("string"), col("c").cast("string"))).as(hname))
+    }
+    val prev = snap(89, bump = false, "h_old")
+    val cur = snap(97, bump = true, "h_new")
+    prev.join(cur, Seq("l_orderkey", "l_linenumber"), "full_outer")
+      .select(when(col("h_new").isNull, "removed")
+        .when(col("h_old").isNull, "added")
+        .when(col("h_old") =!= col("h_new"), "changed")
+        .otherwise("unchanged").as("diff_class"))
+      .groupBy("diff_class")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("diff_class")
+  }
+
+  val tableDiffSql: String = {
+    def fp(qty: String) =
+      s"md5(CAST(CAST(SUM(CAST($qty AS BIGINT)) AS BIGINT) AS VARCHAR) || '|' || " +
+        "CAST(COUNT(*) AS VARCHAR))"
+    s"""WITH o AS (
+      |  SELECT l_orderkey, l_linenumber, ${fp("l_quantity")} AS h_old
+      |  FROM lineitem WHERE l_orderkey % 89 <> 0
+      |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    ${fp("l_quantity + CASE WHEN l_orderkey % 101 = 0 THEN 1 ELSE 0 END")} AS h_new
+      |  FROM lineitem WHERE l_orderkey % 97 <> 0
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CASE WHEN c.h_new IS NULL THEN 'removed'
+      |            WHEN o.h_old IS NULL THEN 'added'
+      |            WHEN o.h_old <> c.h_new THEN 'changed'
+      |            ELSE 'unchanged' END AS diff_class,
+      |  COUNT(*) AS n
+      |FROM o FULL OUTER JOIN c
+      |  ON o.l_orderkey = c.l_orderkey AND o.l_linenumber = c.l_linenumber
+      |GROUP BY 1
+      |ORDER BY diff_class""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder"        -> (zorderQ _),
+    "q_table_diff"    -> (tableDiffQ _),
     "q_asof_join"     -> (asofJoin _),
     "q_unpivot"       -> (unpivot _),
     "q_window_stats"  -> (windowStats _),
@@ -339,6 +404,7 @@ object MiscCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_zorder"        -> zorderSql,
+    "q_table_diff"    -> tableDiffSql,
     "q_asof_join"     -> asofJoinSql,
     "q_unpivot"       -> unpivotSql,
     "q_window_stats"  -> windowStatsSql,

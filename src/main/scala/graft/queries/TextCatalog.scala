@@ -957,8 +957,11 @@ object TextCatalog {
     * leaks plus the filter's ~3% false positives — instead of the whole
     * corpus. The equi-join then removes the false positives exactly:
     * the result is cell-identical to [[decontam]] (same DuckDB oracle
-    * checks both), which DecontamBloomSpec pins together with the
-    * pruning factor. */
+    * checks both), which TextSpec pins together with the pruning
+    * factor. The eval gram frame is evaluated twice (filter build, then
+    * verify join) — at deployment scale the build pass is amortized
+    * over the corpus scan it saves, and a long-lived pipeline would
+    * persist the eval grams to disk once. */
   def decontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val g = decontamGramFrame(spark, sfDir)
     val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()

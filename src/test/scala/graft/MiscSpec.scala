@@ -90,4 +90,21 @@ class MiscSpec extends SparkSpec {
     assert(l.getLong(0) == 1 && l.getLong(1) == 0 && l.getLong(2) == 0)
     assert(l.getDouble(3) == 0.0 && l.isNullAt(4), s"guard failed: $l")
   }
+
+  test("table diff: every class non-empty, classes partition the key union, drift is real") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.MiscCatalog.tableDiffQ(spark, sf0001)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set("added", "removed", "changed", "unchanged"),
+      s"missing a diff class: $r")
+    // the union of both snapshots' keys is exactly what the full-outer
+    // join emits — re-derive it independently
+    val li = graft.core.Tables.lineitem(spark, sf0001)
+    val unionKeys = li.filter(col("l_orderkey") % 89 =!= 0 || col("l_orderkey") % 97 =!= 0)
+      .select("l_orderkey", "l_linenumber").distinct().count()
+    assert(r.values.sum == unionKeys, s"${r.values.sum} classified vs $unionKeys keys")
+    // drift magnitudes: ~1% membership each way, ~1% value changes —
+    // unchanged must dominate by an order of magnitude
+    assert(r("unchanged") > 10 * (r("added") + r("removed") + r("changed")), r.toString)
+  }
 }
