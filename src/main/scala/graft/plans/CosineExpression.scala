@@ -124,5 +124,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
       (children: Seq[Expression]) => CountMinAgg.fromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers"),
+      (children: Seq[Expression]) => HllRegistersAgg.fromSql(children)))
   }
 }

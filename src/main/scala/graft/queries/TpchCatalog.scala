@@ -375,6 +375,47 @@ object TpchCatalog {
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** The engine's OWN distinct-count sketch with hash-checkable state
+    * ([[graft.plans.HllRegistersAgg]]) — the oracle-graduated complement
+    * to [[approxDistinct]] (whose built-in sketch internals are
+    * engine-specific by nature): md5-derived item hashes make every
+    * register (bucket → max rank) pure integer arithmetic, so DuckDB
+    * rebuilds the full 2^p register vector and the driver hash-checks
+    * the sketch STATE cell-exact. The float estimate stays out of the
+    * oracle on purpose (ln/pow are last-ULP territory); HllSpec pins
+    * its accuracy and the max-merge's partition invariance. */
+  def hllRegistersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.HllRegistersAgg
+    Tables.lineitem(spark, sfDir)
+      .agg(HllRegistersAgg.hllRegisters(col("l_partkey").cast("string"), HllP).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("bucket", "rank")))
+      .select(col("bucket").cast("long").as("bucket"), col("rank"))
+      .orderBy("bucket")
+  }
+
+  private val HllP = 6
+
+  val hllRegistersSql: String = {
+    val m = 1 << HllP
+    val wBits = 64 - HllP
+    // rank = wBits − bitlength(w) + 1, spelled as an exact integer
+    // threshold chain (2^i ≤ w → bitlength i+1); w = 0 ranks wBits + 1
+    val chain = (wBits - 1 to 0 by -1)
+      .map(i => s"WHEN w >= ${1L << i} THEN ${wBits - i}").mkString(" ")
+    s"""WITH h AS (
+      |  SELECT md5_number_upper(CAST(l_partkey AS VARCHAR) || '|hll') AS h
+      |  FROM lineitem
+      |), br AS (
+      |  SELECT CAST(h % $m AS BIGINT) AS bucket, h // $m AS w FROM h
+      |)
+      |SELECT r.range AS bucket,
+      |  CAST(COALESCE(MAX(CASE WHEN w = 0 THEN ${wBits + 1} $chain END), 0) AS INTEGER) AS rank
+      |FROM range(0, $m) r
+      |LEFT JOIN br ON br.bucket = r.range
+      |GROUP BY r.range
+      |ORDER BY bucket""".stripMargin
+  }
+
   // ---------------------------------------------------------------- set ops
 
   /** UNION ALL of two tagged slices then re-aggregate (§2.7). */
@@ -788,6 +829,7 @@ object TpchCatalog {
     "q_heavy_hitters"   -> (heavyHittersQ _),
     "q_cms_counts"      -> (cmsCountsQ _),
     "q_cms_join_size"   -> (cmsJoinSizeQ _),
+    "q_hll_registers"   -> (hllRegistersQ _),
     "q_window_lag"      -> (windowLag _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_date_funcs"      -> (dateFuncs _),
@@ -821,6 +863,7 @@ object TpchCatalog {
     "q_heavy_hitters"   -> heavyHittersSql,
     "q_cms_counts"      -> cmsCountsSql,
     "q_cms_join_size"   -> cmsJoinSizeSql,
+    "q_hll_registers"   -> hllRegistersSql,
     "q_window_lag"      -> windowLagSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_date_funcs"      -> dateFuncsSql,
