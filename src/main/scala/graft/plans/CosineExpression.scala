@@ -128,5 +128,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hll_registers"),
       new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers"),
       (children: Seq[Expression]) => HllRegistersAgg.fromSql(children)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => KmvSketchAgg.fromSql(children)))
   }
 }

@@ -1688,6 +1688,39 @@ object TextCatalog {
       |ORDER BY g_lang, g_source,
       |  lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  /** Per-source KMV minhash sketches ([[graft.plans.KmvSketchAgg]]) —
+    * the set-operation summary of the dataset card: each source's
+    * k-minimum document hashes are a fixed k·8-byte sample of its
+    * content-identity space, from which cross-source overlap /
+    * dedup-rate / union cardinality answer in O(k) per pair, with no
+    * join over the raw corpora (KmvSpec exercises the distinct /
+    * Jaccard / intersection estimators). The hashes are 63-bit
+    * md5-derived (`md5_number_upper // 2` — nonnegative, so BIGINT
+    * order IS hash order in both engines), and DuckDB rebuilds the
+    * exact k-minimum set with a windowed rank: the driver hash-checks
+    * the sketch STATE cell-exact. */
+  def kmvMinhashesQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(graft.plans.KmvSketchAgg.kmv(col("text"), KmvK).as("mins"))
+      .select(col("source"), posexplode(col("mins")).as(Seq("pos", "h")))
+      .orderBy("source", "pos")
+
+  private val KmvK = 16
+
+  val kmvMinhashesSql: String =
+    s"""WITH d AS (
+      |  SELECT DISTINCT source, md5_number_upper(text || '|kmv') // 2 AS h
+      |  FROM documents WHERE text IS NOT NULL
+      |), r AS (
+      |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM d
+      |)
+      |SELECT source, CAST(rn - 1 AS INTEGER) AS pos, CAST(h AS BIGINT) AS h
+      |FROM r WHERE rn <= $KmvK
+      |ORDER BY source, pos""".stripMargin
+
   /** Per-source token-budget cap (`q_doc_source_cap`) — quota curation:
     * cap every source's contribution by keeping its most valuable
     * documents (longest first — n_chars DESC, doc_id tiebreak) until the
@@ -1864,6 +1897,7 @@ object TextCatalog {
     "q_doc_source_cap"  -> (sourceCap _),
     "q_pipeline_e2e"    -> (pipelineE2e _),
     "q_corpus_profile"  -> (corpusProfile _),
+    "q_kmv_minhashes"   -> (kmvMinhashesQ _),
     "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
@@ -1898,6 +1932,7 @@ object TextCatalog {
     "q_doc_source_cap"  -> sourceCapSql,
     "q_pipeline_e2e"    -> pipelineE2eSql,
     "q_corpus_profile"  -> corpusProfileSql,
+    "q_kmv_minhashes"   -> kmvMinhashesSql,
     "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,
