@@ -112,6 +112,22 @@ object Jobs {
       .select(col("wstart"), col("h.item").as("item"),
         col("h.est").as("est"), col("h.err").as("err"))
 
+  /** Windowed distinct users on a stream via the engine's own HLL
+    * ([[graft.plans.HllRegistersAgg]]) — the production "unique visitors
+    * per window" job at state-store cost 2^p bytes per window instead
+    * of one state row per distinct user: the register buffer serializes
+    * into the state store between micro-batches and max-merges with
+    * each batch's partials (idempotent, so replayed batches cannot
+    * inflate the count the way a naive counter would). Emits the
+    * registers (deterministic — StreamingSpec proves incremental ==
+    * batch cell-exact) plus the float estimate per window. */
+  def windowedDistinct(df: DataFrame, p: Int = 6): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.plans.HllRegistersAgg
+        .hllRegisters(col("user_id").cast("string"), p).as("regs"))
+      .select(col("window.start").as("wstart"), col("regs"))
+
   /** ST3 session form: per-user sessions closed by a 30-minute gap. */
   def sessionAgg(df: DataFrame): DataFrame =
     df.withWatermark("ts", "10 minutes")

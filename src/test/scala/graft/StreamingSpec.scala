@@ -772,6 +772,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed distinct: HLL registers survive the state store, == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.windowedDistinct(in.toDF())
+      .writeStream.format("memory").queryName("hll_stream").outputMode("complete").start()
+    try {
+      // users split across two micro-batches of the same window, with a
+      // repeat (user 2) that the idempotent max-merge must not double-count
+      val batch1 = (1 to 40).map(u => ev(u, "2024-01-01 00:05:00", user = u))
+      val batch2 = (30 to 70).map(u => ev(u, "2024-01-01 00:40:00", user = u))
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .select("wstart", "regs").collect()
+        .map(r => r.getTimestamp(0) -> r.getSeq[Int](1).toArray).toMap
+      val batch = Jobs.windowedDistinct(spark.createDataset(batch1 ++ batch2).toDF())
+        .collect().map(r => r.getTimestamp(0) -> r.getSeq[Int](1).toArray).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (w, regs) =>
+        assert(regs.sameElements(batch(w)), s"registers diverge in window $w")
+      }
+      // the estimate is sane for the 70 true distinct users
+      val est = graft.plans.HllRegistersAgg.estimate(streamed.values.head)
+      assert(math.abs(est - 70) / 70.0 <= 0.35, s"windowed estimate $est for 70 users")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: later batches dedup against streamed history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
