@@ -1721,6 +1721,51 @@ object TextCatalog {
       |FROM r WHERE rn <= $KmvK
       |ORDER BY source, pos""".stripMargin
 
+  /** Pairwise source overlap FROM the KMV sketches — the sketch algebra
+    * run as a plan, not driver code: per-source k-min arrays (20×16
+    * longs — model-sized) pair up in a tiny sources² join, the union's
+    * k-min re-minimizes with `array_union`+`slice`, and the shared-member
+    * count (the integer numerator of the Jaccard estimate — every union
+    * k-min member is below both thresholds, so membership is decidable
+    * exactly) comes from two `array_intersect`s. At 100 TB the ONE pass
+    * over raw data is the sketch build; this cross-source comparison
+    * touches only summaries. All-integer output → cell-exact oracle
+    * (DuckDB replays the identical list algebra). */
+  def kmvOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(graft.plans.KmvSketchAgg.kmv(col("text"), KmvK).as("mins"))
+    val a = m.select(col("source").as("src1"), col("mins").as("am"))
+    val b = m.select(col("source").as("src2"), col("mins").as("bm"))
+    a.join(b, col("src1") < col("src2"))
+      .withColumn("u", slice(array_sort(array_union(col("am"), col("bm"))), 1, KmvK))
+      .select(col("src1"), col("src2"),
+        size(array_intersect(array_intersect(col("u"), col("am")), col("bm"))).as("shared"),
+        size(col("u")).as("union_size"))
+      .orderBy("src1", "src2")
+  }
+
+  val kmvOverlapSql: String =
+    s"""WITH d AS (
+      |  SELECT DISTINCT source, md5_number_upper(text || '|kmv') // 2 AS h
+      |  FROM documents WHERE text IS NOT NULL
+      |), r AS (
+      |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM d
+      |), m AS (
+      |  SELECT source, list_sort(list(h)) AS mins FROM r WHERE rn <= $KmvK GROUP BY source
+      |), p AS (
+      |  SELECT a.source AS src1, b.source AS src2, a.mins AS am, b.mins AS bm,
+      |    list_sort(list_distinct(a.mins || b.mins))[1:$KmvK] AS u
+      |  FROM m a JOIN m b ON a.source < b.source
+      |)
+      |SELECT src1, src2,
+      |  CAST(len(list_intersect(list_intersect(u, am), bm)) AS INTEGER) AS shared,
+      |  CAST(len(u) AS INTEGER) AS union_size
+      |FROM p
+      |ORDER BY src1, src2""".stripMargin
+
   /** Per-source token-budget cap (`q_doc_source_cap`) — quota curation:
     * cap every source's contribution by keeping its most valuable
     * documents (longest first — n_chars DESC, doc_id tiebreak) until the
@@ -1898,6 +1943,7 @@ object TextCatalog {
     "q_pipeline_e2e"    -> (pipelineE2e _),
     "q_corpus_profile"  -> (corpusProfile _),
     "q_kmv_minhashes"   -> (kmvMinhashesQ _),
+    "q_kmv_overlap"     -> (kmvOverlapQ _),
     "q_doc_lm_score"    -> (lmScore _),
     "q_doc_repetition"  -> (repetitionSignals _),
     "q_doc_redact"      -> (redactPii _),
@@ -1933,6 +1979,7 @@ object TextCatalog {
     "q_pipeline_e2e"    -> pipelineE2eSql,
     "q_corpus_profile"  -> corpusProfileSql,
     "q_kmv_minhashes"   -> kmvMinhashesSql,
+    "q_kmv_overlap"     -> kmvOverlapSql,
     "q_doc_lm_score"    -> lmScoreSql,
     "q_doc_repetition"  -> repetitionSignalsSql,
     "q_doc_redact"      -> redactPiiSql,
