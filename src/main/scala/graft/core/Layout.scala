@@ -75,7 +75,10 @@ object Layout {
     * stats, which is all pruning needs. */
   def writeZOrdered(df: DataFrame, out: String, x: Column, y: Column,
                     bits: Int = 16, parts: Int = 8,
-                    maxRecordsPerFile: Long = 0L): Unit =
+                    maxRecordsPerFile: Long = 0L): Unit = {
+    // fail fast rather than silently overwrite-and-drop a caller column
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: input already has a '__z' column — rename it first")
     df.withColumn("__z", zvalue(x, y, bits))
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions("__z")
@@ -83,4 +86,5 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(out)
+  }
 }

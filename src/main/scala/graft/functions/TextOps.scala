@@ -125,6 +125,19 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Salted md5-u64(key) mod `mod`, as a pure column expression — the
+    * ONE spelling of the cross-engine hash-bucket contract (DuckDB:
+    * `md5_number_upper(key || salt) % mod`): md5 hex chars → bytes 0..7
+    * reversed (little-endian u64) → decimal mod. Shared by the split
+    * family (TextCatalog), the Count-Min probe path, and any future
+    * bucketizer — one place to fix if the byte-order contract ever
+    * changes. JVM twin: [[md5Upper64]] + `Long.remainderUnsigned`. */
+  def md5ModCol(key: Column, salt: String, mod: Int): Column = {
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
+    (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % mod).cast("int")
+  }
+
   /** 64-bit SimHash over the token multiset: bit b is set when more token
     * hashes have bit b set than clear. Near-duplicate docs differ in few
     * bits (compare with hamming()). Expressed as a SQL expression because

@@ -100,8 +100,10 @@ object CosineSimilarity {
   * `cosine_sim(a, b)` (codegen'd fused cosine), `top_k(ord, id, k)`
   * (bounded-heap grouped top-k aggregate),
   * `reservoir_sample(x, k[, seed])` (bounded uniform group sample),
-  * `heavy_hitters(item, m)` (SpaceSaving frequent items), and
-  * `count_min(item, depth, width)` (Count-Min frequency sketch). */
+  * `heavy_hitters(item, m)` (SpaceSaving frequent items),
+  * `count_min(item, depth, width)` (Count-Min frequency sketch),
+  * `hll_registers(item, p)` (HyperLogLog, oracle-checkable registers),
+  * and `kmv_sketch(item, k)` (KMV k-minimum set-operation sketch). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

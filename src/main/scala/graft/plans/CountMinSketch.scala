@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.functions.{concat, conv, element_at, least, lit, md5, substring}
+import org.apache.spark.sql.functions.{element_at, least, lit}
 import org.apache.spark.sql.types._
 
 import graft.functions.TextOps.md5Upper64
@@ -44,6 +44,11 @@ case class CountMinAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
+
+  // validated HERE (not only in fromSql) so the Scala column API fails
+  // at construction, not with an ArithmeticException inside an executor
+  require(depth > 0 && width > 0,
+    s"count_min: geometry must be positive, got ($depth, $width)")
 
   override def children: Seq[Expression] = Seq(item)
   override def nullable: Boolean = false
@@ -109,15 +114,11 @@ object CountMinAgg {
       CountMinAgg(GraftBridge.expression(item), depth, width).toAggregateExpression())
 
   /** The SAME bucket as [[bucket]], as a pure (codegen'd) column
-    * expression over a string key: md5 hex → little-endian u64 (bytes
-    * 0..7 reversed) → decimal mod. Identical spelling to the split
-    * family's `hashMod` so the probe side of a collected sketch can be
-    * evaluated in-plan without a UDF. */
-  def bucketCol(key: Column, d: Int, width: Int): Column = {
-    val h = md5(concat(key.cast("string"), lit("|cms" + d)))
-    val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
-    (conv(le, 16, 10).cast(DecimalType(20, 0)) % width).cast("int")
-  }
+    * expression — the shared [[graft.functions.TextOps.md5ModCol]]
+    * contract, so the probe side of a collected sketch evaluates
+    * in-plan without a UDF. */
+  def bucketCol(key: Column, d: Int, width: Int): Column =
+    graft.functions.TextOps.md5ModCol(key, "|cms" + d, width)
 
   /** Point-estimate column against a COLLECTED counter matrix (a
     * depth×width long array — a few KB, the same model-sized-literal

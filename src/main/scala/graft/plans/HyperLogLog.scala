@@ -41,6 +41,10 @@ case class HllRegistersAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
+  // validated HERE (not only in fromSql) so the Scala column API fails
+  // at construction, not via a silent 1 << p overflow in an executor
+  require(p >= 2 && p <= 16, s"hll_registers: p must be in [2, 16], got $p")
+
   private val m = 1 << p
 
   override def children: Seq[Expression] = Seq(item)

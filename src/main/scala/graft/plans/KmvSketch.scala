@@ -36,6 +36,10 @@ case class KmvSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
+  // validated HERE (not only in fromSql) so the Scala column API fails
+  // at construction, not with buf.last() on an empty TreeSet in a task
+  require(k > 0, s"kmv_sketch: k must be positive, got $k")
+
   override def children: Seq[Expression] = Seq(item)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -1397,14 +1397,10 @@ object TextCatalog {
     * key column. */
   /** Salted md5-u64(key) mod 100: the split bucket. Factored out so
     * every query that must AGREE with the split (e.g. [[lmScore]] training
-    * only on `bucket < 90`) derives it from the same expression.
-    * md5 hex chars: byte i = chars [2i+1, 2i+2] (1-based); little-endian
-    * u64 of bytes 0..7 = the bytes reversed 7..0. */
-  private def hashMod(key: Column, salt: String, mod: Int): Column = {
-    val h = md5(concat(key.cast("string"), lit(salt)))
-    val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
-    (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % mod).cast("int")
-  }
+    * only on `bucket < 90`) derives it from the same expression — which
+    * is the shared [[graft.functions.TextOps.md5ModCol]] contract. */
+  private def hashMod(key: Column, salt: String, mod: Int): Column =
+    graft.functions.TextOps.md5ModCol(key, salt, mod)
 
   private def splitBucketOf(key: Column): Column = hashMod(key, "|split", 100)
 

@@ -668,8 +668,14 @@ object TpchCatalog {
       |    SUM(cnt) AS s
       |  FROM cb, range(0, $CmsDepth) r(d) GROUP BY 1, 2
       |), ip AS (
-      |  SELECT ha.d, SUM(ha.s * hb.s) AS p
-      |  FROM ha JOIN hb ON ha.d = hb.d AND ha.b = hb.b GROUP BY 1
+      |  -- LEFT JOIN from every depth row: a row with ZERO overlapping
+      |  -- buckets must contribute p = 0 to the min (the JVM estimator
+      |  -- includes zero-product rows), not silently vanish
+      |  SELECT r.range AS d, COALESCE(SUM(ha.s * hb.s), 0) AS p
+      |  FROM range(0, $CmsDepth) r
+      |  LEFT JOIN ha ON ha.d = r.range
+      |  LEFT JOIN hb ON hb.d = ha.d AND hb.b = ha.b
+      |  GROUP BY 1
       |)
       |SELECT CAST((SELECT MIN(p) FROM ip) AS BIGINT) AS est,
       |  CAST((SELECT SUM(ca.cnt * cb.cnt) FROM ca JOIN cb ON ca.k = cb.k) AS BIGINT) AS exact""".stripMargin

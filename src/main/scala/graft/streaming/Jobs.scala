@@ -118,9 +118,10 @@ object Jobs {
     * of one state row per distinct user: the register buffer serializes
     * into the state store between micro-batches and max-merges with
     * each batch's partials (idempotent, so replayed batches cannot
-    * inflate the count the way a naive counter would). Emits the
-    * registers (deterministic — StreamingSpec proves incremental ==
-    * batch cell-exact) plus the float estimate per window. */
+    * inflate the count the way a naive counter would). Emits (wstart,
+    * registers) — deterministic, so StreamingSpec proves incremental ==
+    * batch cell-exact; consumers derive the float estimate with
+    * [[graft.plans.HllRegistersAgg.estimate]]. */
   def windowedDistinct(df: DataFrame, p: Int = 6): DataFrame =
     df.withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
