@@ -103,9 +103,15 @@ object CosineSimilarity {
   * `heavy_hitters(item, m)` (SpaceSaving frequent items),
   * `count_min(item, depth, width)` (Count-Min frequency sketch),
   * `hll_registers(item, p)` (HyperLogLog, oracle-checkable registers),
-  * and `kmv_sketch(item, k)` (KMV k-minimum set-operation sketch). */
+  * and `kmv_sketch(item, k)` (KMV k-minimum set-operation sketch);
+  * plus the plan-level operator stack: [[AsOfJoinStrategy]] (native
+  * sort-merge as-of join) and [[PushLeftFiltersThroughAsOfJoin]]
+  * (operator-batch predicate pushdown through the custom node, composing
+  * with Catalyst's own rules down to the source scan). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushLeftFiltersThroughAsOfJoin)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

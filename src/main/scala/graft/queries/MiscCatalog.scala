@@ -216,6 +216,58 @@ object MiscCatalog {
       |WHERE rn = 1
       |ORDER BY p_id""".stripMargin
 
+  /** As-of join on the NATIVE sort-merge operator ([[graft.plans.AsOfJoin]]:
+    * logical node + strategy + physical exec — the (c) option of the
+    * custom-operator preference order) — same semantics and the same
+    * DuckDB oracle as [[asofJoin]], the plan-twin pattern F8 uses for the
+    * UDF/codegen pair. Where the compositional form materializes every
+    * qualifying (purchase, earlier click) pair before `max_by` discards
+    * all but one — saved at this SF only by a broadcast join, quadratic
+    * per hot key once neither side broadcasts — the native exec is one
+    * hash exchange + sort per side and a zero-expansion forward merge
+    * holding a single candidate row. */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", rightTieBreaks = Seq("c_id"))
+      .select(col("p_id"), col("c_id").as("asof_click"), col("c_ts").as("asof_ts"))
+      .orderBy("p_id")
+  }
+
+  /** Left-outer as-of: every purchase appears, null-extended when the
+    * user has no prior click (the point-in-time feature-lookup contract —
+    * a missing feature row must not drop the example). */
+  def asofNativeOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", rightTieBreaks = Seq("c_id"), outer = true)
+      .select(col("p_id"), col("c_id").as("asof_click"), col("c_ts").as("asof_ts"))
+      .orderBy("p_id")
+  }
+
+  val asofNativeOuterSql: String =
+    """SELECT p_id, c_id AS asof_click, c_ts AS asof_ts
+      |FROM (
+      |  SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |    CAST(c.ts AS TIMESTAMP) AS c_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                       ORDER BY CAST(c.ts AS TIMESTAMP) DESC, c.event_id DESC) AS rn
+      |  FROM events p LEFT JOIN events c
+      |    ON p.user_id = c.user_id AND c.event_type = 'click'
+      |   AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+      |  WHERE p.event_type = 'purchase'
+      |)
+      |WHERE rn = 1
+      |ORDER BY p_id""".stripMargin
+
   /** Unpivot/melt — pivot's inverse: the per-status totals back to long
     * form (wide→narrow reshaping for the dashboard layer). */
   def unpivot(spark: SparkSession, sfDir: String): DataFrame =
@@ -388,6 +440,8 @@ object MiscCatalog {
     "q_zorder"        -> (zorderQ _),
     "q_table_diff"    -> (tableDiffQ _),
     "q_asof_join"     -> (asofJoin _),
+    "q_asof_native"   -> (asofNative _),
+    "q_asof_native_outer" -> (asofNativeOuter _),
     "q_unpivot"       -> (unpivot _),
     "q_window_stats"  -> (windowStats _),
     "q_histogram"     -> (histogram _),
@@ -406,6 +460,8 @@ object MiscCatalog {
     "q_zorder"        -> zorderSql,
     "q_table_diff"    -> tableDiffSql,
     "q_asof_join"     -> asofJoinSql,
+    "q_asof_native"   -> asofJoinSql,
+    "q_asof_native_outer" -> asofNativeOuterSql,
     "q_unpivot"       -> unpivotSql,
     "q_window_stats"  -> windowStatsSql,
     "q_histogram"     -> histogramSql,

@@ -23,6 +23,36 @@ object GraftBridge {
       .registerFunction(FunctionIdentifier(name),
         new ExpressionInfo("graft.plans", name), builder)
 
+  /** Per-session planner-strategy registration (idempotent) — the
+    * post-creation path for sessions built without
+    * `spark.sql.extensions=graft.plans.GraftExtensions`;
+    * `experimental.extraStrategies` is consulted at every plan. */
+  def addStrategy(spark: SparkSession,
+                  strategy: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(strategy))
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
+
+  /** Per-session optimizer-rule registration (idempotent). Experimental
+    * rules run as a LATE fixed-point batch, after the standard operator
+    * optimization — a pushed predicate lands upstream of the custom node
+    * but past the scan-pushdown rules; the `spark.sql.extensions` path
+    * (`injectOptimizerRule`) instead joins the operator batch and
+    * composes with built-in pushdown. */
+  def addOptimization(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
   /** Fresh DataFrame over an existing logical plan — a new QueryExecution
     * with zero-valued SQLMetrics (metrics accumulate per physical plan
     * instance; profilers need a plan that has never executed). */
