@@ -138,6 +138,26 @@ object TextOps {
     (conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0)) % mod).cast("int")
   }
 
+  /** Salted md5-derived uniform in (0,1], as a pure column expression —
+    * the cross-engine RNG for derandomized sampling: 53 bits of the
+    * md5-u64 (the largest width a double holds exactly), shifted into
+    * (0,1] as (u64 mod 2^53 + 1) / 2^53. The mod, the +1, and the
+    * power-of-two scale are all exact in both engines, so the doubles
+    * are bit-identical. DuckDB twin:
+    * `CAST(md5_number_upper(key || salt) % 9007199254740992 + 1 AS DOUBLE)
+    *  / 9007199254740992.0`; JVM twin: [[md5Uniform]]. */
+  def md5UniformCol(key: Column, salt: String): Column = {
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    val le = concat((7 to 0 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
+    val u64 = conv(le, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    ((u64 % lit(9007199254740992L)).cast("double") + lit(1.0)) / lit(9007199254740992.0)
+  }
+
+  /** JVM twin of [[md5UniformCol]] (same salt-concat contract). */
+  def md5Uniform(t: String): Double =
+    (java.lang.Long.remainderUnsigned(md5Upper64(t), 9007199254740992L) + 1L)
+      .toDouble / 9007199254740992.0
+
   /** 64-bit SimHash over the token multiset: bit b is set when more token
     * hashes have bit b set than clear. Near-duplicate docs differ in few
     * bits (compare with hamming()). Expressed as a SQL expression because

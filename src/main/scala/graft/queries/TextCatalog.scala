@@ -1016,6 +1016,37 @@ object TextCatalog {
       |WHERE md5_number_upper(CAST(doc_id AS VARCHAR) || '|sample') % 100 < 20
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic weighted sample ([[graft.core.Sampling.weightedTopK]],
+    * hash-derandomized A-ES): per language, the 20 documents drawn
+    * without replacement with probability proportional to length — the
+    * curation move for "sample a review set biased to the long docs" or
+    * token-weighted mixture draws. Cell-exact in DuckDB because the
+    * A-ES keys are ln(md5-uniform)/weight: the uniform is 53 exact bits
+    * (bit-identical doubles in both engines), and ln + IEEE division
+    * replay identically (the `q_doc_lm_score` ln-parity precedent). */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Sampling.weightedTopK(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", 20, "|aes")
+      .select(col("doc_id"), col("lang"), col("aes_rank").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+
+  val weightedSampleSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang,
+      |    ln(CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '|aes') % 9007199254740992 + 1 AS DOUBLE)
+      |       / 9007199254740992.0) / CAST(n_chars AS DOUBLE) AS aes_key
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars > 0
+      |)
+      |SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY aes_key DESC, doc_id ASC) AS rk
+      |  FROM keyed)
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
   /** Exact per-stratum quota sampling: within every source, rank docs
     * by an independent salted hash and keep the first ⌈20%⌉ — exact
     * quota per stratum, deterministic, no RNG. The rank is a
@@ -1962,6 +1993,7 @@ object TextCatalog {
     "q_tfidf"           -> (tfidf _),
     "q_doc_langid"      -> (langIdQuery _),
     "q_doc_sample_hash"  -> (hashSample _),
+    "q_doc_sample_weighted" -> (weightedSample _),
     "q_doc_sample_strat" -> (stratifiedSample _),
     "q_doc_seg_dedup"    -> (chunkDedup _),
     "q_dedup_keep_best"  -> (dedupKeepBest _)
@@ -1998,6 +2030,7 @@ object TextCatalog {
     "q_doc_decontam_bloom" -> decontamSql,
     "q_tfidf"           -> tfidfSql,
     "q_doc_sample_hash"  -> hashSampleSql,
+    "q_doc_sample_weighted" -> weightedSampleSql,
     "q_doc_sample_strat" -> stratifiedSampleSql,
     "q_doc_seg_dedup"    -> chunkDedupSql,
     "q_dedup_keep_best"  -> dedupKeepBestSql
