@@ -406,7 +406,40 @@ object EventsCatalog {
       |GROUP BY c.cohort_day, datediff('day', c.cohort_day, a.d)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Sketch-advised join (`q_join_advised`): the
+    * [[graft.core.JoinAdvisor]] consultation exercised end-to-end in the
+    * catalog. `broadcastRows` is set below the dim size so the decision
+    * must come from the key distribution, and the fixture's event_type
+    * skew (a handful of values owning the whole table) makes
+    * HybridSalted the chosen plan: hot types join via a broadcast dim
+    * slice (their mass never shuffles), rare types take the cold
+    * co-partitioned path, and the union is oracled against the plain SQL
+    * join — the advice moves bytes, never answers (AdvisorSpec pins the
+    * branch choices; this row pins the answer). */
+  def joinAdvised(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val dim = Seq(("view", 1), ("click", 5), ("purchase", 25), ("refund", 100))
+      .toDF("event_type", "w")
+    val (joined, _) = graft.core.JoinAdvisor.autoJoin(e, dim, "event_type",
+      broadcastRows = 2, minShare = 0.2)
+    joined.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsumProd(col("value"), col("w").cast("double")).as("weighted"))
+      .orderBy("event_type")
+  }
+
+  val joinAdvisedSql: String =
+    s"""SELECT e.event_type, COUNT(*) AS n,
+       |  ${Parity.sqlSumProd("value", "w")} AS weighted
+       |FROM events e
+       |JOIN (VALUES ('view', 1), ('click', 5), ('purchase', 25), ('refund', 100))
+       |  AS d(event_type, w) ON e.event_type = d.event_type
+       |GROUP BY e.event_type
+       |ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_advised"    -> (joinAdvised _),
     "q_funnel"          -> (funnel _),
     "q_retention"       -> (retention _),
     "q_scd2"            -> (scd2History _),
@@ -423,6 +456,7 @@ object EventsCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_advised"    -> joinAdvisedSql,
     "q_funnel"          -> funnelSql,
     "q_retention"       -> retentionSql,
     "q_scd2"            -> scd2HistorySql,

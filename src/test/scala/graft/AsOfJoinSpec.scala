@@ -123,6 +123,49 @@ class AsOfJoinSpec extends SparkSpec {
     assert(prof.nHashExchanges == 2, s"expected 2 hash exchanges, got ${prof.nHashExchanges}")
   }
 
+  test("SCD2 point-in-time probe: as-of picks the version whose validity " +
+       "interval contains the probe ts") {
+    // dimension history: non-purchase events as SCD2 versions (validity =
+    // own ts until next version); probe: purchases. The as-of answer must
+    // satisfy the interval-containment law valid_from <= p_ts < valid_to
+    // — the feature-store lookup contract, checked against the interval
+    // join done the expensive way.
+    val e = graft.core.Tables.events(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us").asc, col("dim_id").asc)
+    val dim = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("dim_id"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+    val probes = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val got = graft.plans.AsOfJoin.asofBackward(probes, dim, Seq("user_id"),
+        "p_us", "valid_from_us", rightTieBreaks = Seq("dim_id"))
+      .select(col("p_id"), col("dim_id"), col("valid_from_us"), col("valid_to_us"), col("p_us"))
+      .collect()
+    assert(got.nonEmpty)
+    // containment law on every row
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(4), s"valid_from after probe: $r")
+      assert(r.isNullAt(3) || r.getLong(4) < r.getLong(3) ||
+        // equal-ts versions share valid_from == valid_to boundaries; the
+        // tie-break then picks the LAST version at that instant, whose
+        // interval is the one containing ts
+        r.getLong(3) == r.getLong(2), s"probe outside interval: $r")
+    }
+    // cross-check against the interval join done the expensive way
+    val expensive = probes.join(dim, Seq("user_id"))
+      .filter(col("valid_from_us") <= col("p_us") &&
+        (col("valid_to_us").isNull || col("p_us") < col("valid_to_us") ||
+         col("valid_to_us") === col("valid_from_us")))
+      .groupBy(col("p_id"))
+      .agg(max_by(col("dim_id"), struct(col("valid_from_us"), col("dim_id"))).as("dim_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expensive)
+  }
+
   test("pushdown rule: left-only filters move below the as-of node") {
     val (l, r) = planted
     val df = AsOfJoin.asofBackward(l, r, Seq("k"), "ts", "ts")
