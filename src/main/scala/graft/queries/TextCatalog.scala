@@ -1016,6 +1016,68 @@ object TextCatalog {
       |WHERE md5_number_upper(CAST(doc_id AS VARCHAR) || '|sample') % 100 < 20
       |ORDER BY doc_id""".stripMargin
 
+  /** Hashed-linear quality classifier (`q_doc_ml_quality`) — the
+    * fastText/CCNet scoring shape every curation stack runs as its
+    * model-based filter, with the full plumbing real and the weights
+    * derandomized: features are unigrams + word bigrams pushed through
+    * the hashing trick (bucket = md5-u64(gram|salt) mod D, so the model
+    * is a FIXED D-vector regardless of vocabulary), the model ships as a
+    * plan-literal int array (the broadcast-model deployment shape — swap
+    * the array for trained weights and nothing else changes), and the
+    * logit is summed in integer centi-units, only divided at the end —
+    * bit-exact in any engine, no float accumulation anywhere. The
+    * md5-derived pseudo-weights let DuckDB rebuild the model BY FORMULA,
+    * so the oracle cross-checks the literal array against the derivation
+    * as well as the scoring. Scale: pure narrow map (hash + array lookup
+    * per gram), zero shuffle before the presentation sort; the model is
+    * D×4 bytes in the task binary. */
+  def mlQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val D = 4096
+    val weights: Array[Int] = Array.tabulate(D)(j =>
+      (java.lang.Long.remainderUnsigned(
+        graft.functions.TextOps.md5Upper64(s"$j|wt"), 2001L) - 1000L).toInt)
+    val wLit = lit(weights)
+    val contrib = (t: Column) =>
+      element_at(wLit, graft.functions.TextOps.md5ModCol(t, "|qf", D) + 1)
+        .cast("long")
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("grams", concat(col("ws"),
+        when(size(col("ws")) >= 2,
+          expr("transform(sequence(1, size(ws)-1), i -> concat(ws[i-1], ' ', ws[i]))"))
+          .otherwise(array().cast("array<string>"))))
+      .withColumn("lm", aggregate(transform(col("grams"), contrib),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_feats"),
+        (col("lm").cast("double") / 1000.0).as("logit"),
+        (col("lm") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val mlQualitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL
+      |), g AS (
+      |  SELECT doc_id, ws || CASE WHEN len(ws) >= 2
+      |    THEN list_transform(range(2, len(ws)+1), i -> ws[i-1] || ' ' || ws[i])
+      |    ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM d
+      |), f AS (
+      |  SELECT doc_id, len(grams) AS n_feats, unnest(grams) AS t FROM g
+      |), s AS (
+      |  SELECT doc_id, MAX(n_feats) AS n_feats,
+      |    SUM(CAST(md5_number_upper(
+      |          CAST(md5_number_upper(t || '|qf') % 4096 AS VARCHAR) || '|wt')
+      |        % 2001 AS BIGINT) - 1000) AS lm
+      |  FROM f GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_feats, CAST(lm AS DOUBLE) / 1000.0 AS logit,
+      |  lm > 0 AS keep
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic weighted sample ([[graft.core.Sampling.weightedTopK]],
     * hash-derandomized A-ES): per language, the 20 documents drawn
     * without replacement with probability proportional to length — the
@@ -1994,6 +2056,7 @@ object TextCatalog {
     "q_doc_langid"      -> (langIdQuery _),
     "q_doc_sample_hash"  -> (hashSample _),
     "q_doc_sample_weighted" -> (weightedSample _),
+    "q_doc_ml_quality"   -> (mlQuality _),
     "q_doc_sample_strat" -> (stratifiedSample _),
     "q_doc_seg_dedup"    -> (chunkDedup _),
     "q_dedup_keep_best"  -> (dedupKeepBest _)
@@ -2031,6 +2094,7 @@ object TextCatalog {
     "q_tfidf"           -> tfidfSql,
     "q_doc_sample_hash"  -> hashSampleSql,
     "q_doc_sample_weighted" -> weightedSampleSql,
+    "q_doc_ml_quality"   -> mlQualitySql,
     "q_doc_sample_strat" -> stratifiedSampleSql,
     "q_doc_seg_dedup"    -> chunkDedupSql,
     "q_dedup_keep_best"  -> dedupKeepBestSql
