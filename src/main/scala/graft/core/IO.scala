@@ -61,7 +61,7 @@ object IO {
     * joins skip the exchange entirely. Requires a table catalog (works
     * with the default in-memory catalog + spark.sql.warehouse.dir). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     // the in-memory catalog forgets tables across sessions but their
     // warehouse directories survive — drop BOTH or re-creation fails with
@@ -72,7 +72,9 @@ object IO {
     wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
-      .sortBy(key)
+      // extra sort columns serve ordering-hungry operators (e.g. the
+      // as-of join's (key, ts) requirement) straight off the scan
+      .sortBy(key, sortCols: _*)
       .format("parquet")
       .saveAsTable(table)
   }

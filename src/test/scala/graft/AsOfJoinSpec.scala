@@ -188,6 +188,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.select(col("lid")).collect().map(_.getLong(0)).toSet == Set(2001L, 7001L))
   }
 
+  test("bucketed co-located as-of: ZERO exchanges — the 100 TB serving shape") {
+    // both sides land bucketed by the join key (sorted by (key, ts)), so
+    // the scan's HashPartitioning already satisfies the exec's
+    // ClusteredDistribution pair and EnsureRequirements inserts no
+    // exchange at all — the whole join is scan → (local sort) → merge
+    val e = graft.core.Tables.events(spark, sf0001)
+    graft.core.IO.writeBucketed(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts")),
+      "asof_purch_b", "user_id", 4, sortCols = Seq("p_ts"))
+    graft.core.IO.writeBucketed(
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts")),
+      "asof_click_b", "user_id", 4, sortCols = Seq("c_ts", "c_id"))
+    val df = AsOfJoin.asofBackward(
+      spark.table("asof_purch_b"), spark.table("asof_click_b"),
+      Seq("user_id"), "p_ts", "c_ts", rightTieBreaks = Seq("c_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), "native exec not planned")
+    assert(!plan.contains("Exchange"), s"bucketed as-of still shuffles:\n$plan")
+    // and the answer is the same one the shuffled plan produces
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val shuffled = AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", rightTieBreaks = Seq("c_id"))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(df.select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == shuffled)
+  }
+
   test("extension session: strategy + rule injected via spark.sql.extensions, " +
        "filter reaches the parquet scan") {
     import org.apache.spark.sql.SparkSession
