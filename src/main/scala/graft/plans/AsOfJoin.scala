@@ -115,6 +115,37 @@ object PushLeftFiltersThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHe
   }
 }
 
+/** Prunes unreferenced columns out of [[AsOfJoinPlan]]'s children — the
+  * column half of what Catalyst's `ColumnPruning` cannot do through an
+  * unknown node. When a Project above the join uses only some output
+  * columns, each child is narrowed to (its join keys ∪ ts ∪ tie-breaks ∪
+  * the referenced columns); the inserted child Projects then merge into
+  * the source scans via the standard rules (`ReadSchema` narrows, and at
+  * 100 TB an as-of enrichment that reads 3 of 40 history columns scans
+  * 3). Fires only when it actually removes a column, so the batch
+  * reaches fixpoint. */
+object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, a: AsOfJoinPlan) =>
+      // AttributeSet compares by exprId — a plain Set would miss the
+      // outer join's nullability-adjusted output copies of child attrs
+      val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        projList.flatMap(_.references) ++
+          (a.leftKeys ++ a.rightKeys ++ Seq(a.leftTs, a.rightTs) ++
+            a.rightTieBreaks).flatMap(_.references))
+      val keepL = a.left.output.filter(needed.contains)
+      val keepR = a.right.output.filter(needed.contains)
+      if (keepL.size == a.left.output.size && keepR.size == a.right.output.size) p
+      else {
+        val newLeft = if (keepL.size == a.left.output.size) a.left
+                      else Project(keepL, a.left)
+        val newRight = if (keepR.size == a.right.output.size) a.right
+                       else Project(keepR, a.right)
+        Project(projList, a.copy(left = newLeft, right = newRight))
+      }
+  }
+}
+
 /** Sort-merge backward as-of join. See [[AsOfJoinPlan]] for semantics and
   * the scale argument. */
 case class AsOfJoinExec(
@@ -270,6 +301,7 @@ object AsOfJoin {
   def register(spark: SparkSession): Unit = {
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
     GraftBridge.addOptimization(spark, PushLeftFiltersThroughAsOfJoin)
+    GraftBridge.addOptimization(spark, PruneAsOfJoinColumns)
   }
 
   /** Backward as-of join of `left` to `right` on equal `on` columns with

@@ -249,6 +249,21 @@ class AsOfJoinSpec extends SparkSpec {
       assert(plan.contains("GreaterThan(event_id,1") && plan.contains("> 100)"),
         s"filter did not reach the scan:\n$plan")
       assert(df.count() > 0)
+
+      // column pruning through the node: drag a WIDE right side in, select
+      // almost nothing — PruneAsOfJoinColumns (operator batch) must narrow
+      // the right child so `props`/`value` never reach the scan's ReadSchema
+      val wideClicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"), col("value"), col("props"))
+      val slim = AsOfJoin.asofBackward(purchases, wideClicks, Seq("user_id"),
+          "p_ts", "c_ts", rightTieBreaks = Seq("c_id"))
+        .select(col("p_id"), col("c_id"))
+      val slimPlan = slim.queryExecution.executedPlan.toString
+      assert(slimPlan.contains("AsOfJoin"))
+      assert(!slimPlan.contains("props"),
+        s"unused right column reached the physical plan:\n$slimPlan")
+      assert(slim.count() > 0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
