@@ -739,6 +739,37 @@ object Jobs {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("c_name"), col("c_mktsegment"))
 
+  /** Streaming point-in-time enrichment — the as-of join in the
+    * streaming path: each micro-batch of probe events (user_id, p_id,
+    * p_ts) is enriched with the latest history row (user_id, c_id, c_ts)
+    * at or before its timestamp via the NATIVE sort-merge as-of exec
+    * ([[graft.plans.AsOfJoin]]), and lands as an epoch-keyed overwrite
+    * (exactly-once under the checkpoint — a retried epoch replaces its
+    * own output; the [[dedupIngest]] contract).
+    *
+    * Deliberately foreachBatch + batch operator, NOT state-store as-of:
+    * the history is a landed table that may precede the stream by years
+    * — buffering it in stream state would hold the whole table per key
+    * forever. The per-batch join shuffles only the micro-batch and the
+    * history's matching partitions; land the history bucketed by
+    * (key, ts) ([[graft.core.IO.writeBucketed]] with sort columns) and
+    * the history side joins exchange-free every trigger (AsOfJoinSpec's
+    * bucketed zero-exchange proof). `outer=true` keeps probes with no
+    * history (the feature-lookup contract: a missing feature must not
+    * drop the event). */
+  def asofEnrich(probes: DataFrame, history: DataFrame, outDir: String,
+                 checkpointDir: String, outer: Boolean = true): StreamingQuery =
+    probes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.plans.AsOfJoin.asofBackward(batch, history, Seq("user_id"),
+            "p_ts", "c_ts", rightTieBreaks = Seq("c_id"), outer = outer)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        ()
+      }
+      .start()
+
   /** Streaming incremental near-dup ingestion — the end-to-end form of
     * [[graft.queries.TextCatalog.dedupAgainstIndex]]: every micro-batch
     * of arriving documents is (1) deduped against the persisted band

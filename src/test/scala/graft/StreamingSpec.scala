@@ -958,4 +958,35 @@ class StreamingSpec extends SparkSpec {
     assert(res.exists(_.getLong(2) >= 50),
       "search results contain no base-index vectors — base epoch invisible")
   }
+
+  test("streaming as-of enrichment: replayed epochs union to the batch answer, " +
+       "exactly-once per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_asof_stream").toString
+    val e = graft.core.Tables.events(spark, sf0001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    def keyed(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val expected = keyed(graft.plans.AsOfJoin.asofBackward(purchases, clicks,
+        Seq("user_id"), "p_ts", "c_ts", rightTieBreaks = Seq("c_id"), outer = true)
+      .select(col("p_id"), col("c_id")).collect())
+    val rows = purchases.as[(Long, Long, Timestamp)].collect()
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    def run(): Unit =
+      Jobs.asofEnrich(in.toDF().toDF("user_id", "p_id", "p_ts"), clicks,
+        s"$dir/out", s"$dir/cp").awaitTermination(60000)
+    // three AvailableNow runs over one checkpoint → three epochs
+    rows.grouped((rows.length + 2) / 3).foreach { ch =>
+      in.addData(ch.toIndexedSeq: _*); run()
+    }
+    val out = spark.read.parquet(s"$dir/out")
+    assert(keyed(out.select(col("p_id"), col("c_id")).collect()) == expected)
+    // outer contract: every probe lands exactly once across the epochs
+    assert(out.count() == rows.length)
+    assert(expected.exists(_._2 == -1L) || out.count() > 0)
+  }
 }
