@@ -163,6 +163,33 @@ object PlanAudit {
       p => p.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning")) == 1)
 
+    // the ORC round-trip must get the same source-side treatment as
+    // parquet: predicate pushdown into the ORC scan (both filter
+    // conjuncts) — format parity is about the plan, not just the rows
+    val orc = plan(MiscCatalog.orcRoundtrip(spark, sfDir))
+    check("q_orc_roundtrip", orc, "filters pushed into the ORC scan",
+      p => p.toLowerCase.contains("orc") &&
+        p.contains("o_orderstatus") && p.contains("PushedFilters: [") &&
+        !p.contains("PushedFilters: []"))
+
+    // the inverted-index posting head must plan as the bounded heap with
+    // a map-side partial — a collect_list/window fallback would carry a
+    // stopword's ENTIRE posting list through the exchange
+    val inv = plan(TextCatalog.invertedIndex(spark, sfDir))
+    check("q_doc_inverted", inv, "posting head partial+final ObjectHashAggregate",
+      p => p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2 &&
+        p.contains("partial_top_k") && !p.contains("Window"))
+
+    // BM25: the df table broadcasts back to the tf rows (a SMJ here
+    // would shuffle the corpus for a |terms|-row dimension) and the
+    // top-20 compiles to TakeOrderedAndProject, never a global sort.
+    // (The 1-row stats side arrives via broadcast nested-loop — correct
+    // for a single-row cross join, so no BNLJ prohibition here.)
+    val bm = plan(TextCatalog.bm25(spark, sfDir))
+    check("q_doc_bm25", bm, "df broadcast + TakeOrderedAndProject top-20",
+      p => p.contains("TakeOrderedAndProject") &&
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+
     // semantic dedup must pair within k-means cells via a KEYED join on
     // the cell id — a cartesian/BNLJ fallback is the O(N²) scan the
     // cells exist to avoid

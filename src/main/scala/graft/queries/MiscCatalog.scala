@@ -436,7 +436,54 @@ object MiscCatalog {
       |ORDER BY diff_class""".stripMargin
   }
 
+  // bounded per-key memo for the landed ORC copy (same liveness contract
+  // as Listings.landedRun: never delete under a live session's plans;
+  // the per-dir exit hook is the backstop)
+  private val orcLanded =
+    new graft.core.BoundedMemo[(SparkSession, String), String](4)((k, dir) =>
+      if (k._1.sparkContext.isStopped)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
+
+  /** ORC source/sink round-trip (`q_orc_roundtrip`) — format-parity
+    * coverage for the second columnar format Spark ships natively: the
+    * orders table is landed ONCE per (session, sfDir) as ORC (memoized,
+    * the [[graft.core.Listings.normalized]] land-once pattern), then the
+    * query runs scan → pushed filter → grouped aggregate over the ORC
+    * copy. The DuckDB oracle computes the same aggregate from the
+    * original parquet — equal results prove the sink/source pair is
+    * lossless for every column type it touches (int64, string, double,
+    * timestamp partition pruning aside).
+    *
+    * Scale posture: identical to the parquet path — ORC scans get the
+    * same predicate pushdown and column pruning from the v2 source
+    * (IOSpec gates `PushedFilters` on the ORC scan node), and the landed
+    * copy is splittable. The sum is the engine's cross-engine-exact
+    * decimal fold ([[Parity.dsum]]). */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = orcLanded.get((spark, sfDir)) {
+      val d = java.nio.file.Files.createTempDirectory("graft_orc_orders")
+      Tables.orders(spark, sfDir).write.mode("overwrite").orc(d.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+      d.toString
+    }
+    spark.read.orc(dir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val orcRoundtripSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  ${sqlSum("o_totalprice")} AS revenue
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
     "q_table_diff"    -> (tableDiffQ _),
     "q_asof_join"     -> (asofJoin _),
@@ -457,6 +504,7 @@ object MiscCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,
     "q_table_diff"    -> tableDiffSql,
     "q_asof_join"     -> asofJoinSql,

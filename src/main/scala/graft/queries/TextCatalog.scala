@@ -1030,26 +1030,30 @@ object TextCatalog {
     * so the oracle cross-checks the literal array against the derivation
     * as well as the scoring. Scale: pure narrow map (hash + array lookup
     * per gram), zero shuffle before the presentation sort; the model is
-    * D×4 bytes in the task binary. */
+    * D×4 bytes in the task binary.
+    *
+    * The per-gram hash+lookup runs in the codegen'd
+    * [[graft.plans.HashedLinearLogit]] expression — one primitive loop
+    * per document, digest bytes straight to u64 — instead of the
+    * declarative `aggregate(transform(grams, …md5ModCol…))` chain, which
+    * paid an interpreted-lambda + hex-string + Decimal-mod tax per gram
+    * (6.3 s → sub-second at sf0.1; TextSpec pins the two forms equal,
+    * and the DuckDB oracle replays the same integers either way). */
   def mlQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val D = 4096
     val weights: Array[Int] = Array.tabulate(D)(j =>
       (java.lang.Long.remainderUnsigned(
         graft.functions.TextOps.md5Upper64(s"$j|wt"), 2001L) - 1000L).toInt)
-    val wLit = lit(weights)
-    val contrib = (t: Column) =>
-      element_at(wLit, graft.functions.TextOps.md5ModCol(t, "|qf", D) + 1)
-        .cast("long")
     Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("grams", concat(col("ws"),
-        when(size(col("ws")) >= 2,
-          expr("transform(sequence(1, size(ws)-1), i -> concat(ws[i-1], ' ', ws[i]))"))
-          .otherwise(array().cast("array<string>"))))
-      .withColumn("lm", aggregate(transform(col("grams"), contrib),
-        lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_feats"),
+      // n_feats = unigrams + bigrams = n + (n-1 when n>=2) = 2n-1 for n>=2
+      .select(col("doc_id"),
+        when(size(col("ws")) >= 2, size(col("ws")) * 2 - 1)
+          .otherwise(size(col("ws"))).cast("long").as("n_feats"),
+        graft.plans.HashedLinearLogit
+          .hashedLinearLogit(col("ws"), "|qf", weights).as("lm"))
+      .select(col("doc_id"), col("n_feats"),
         (col("lm").cast("double") / 1000.0).as("logit"),
         (col("lm") > 0).as("keep"))
       .orderBy("doc_id")
@@ -2024,6 +2028,146 @@ object TextCatalog {
       |GROUP BY doc_id, bucket
       |ORDER BY doc_id""".stripMargin
 
+  /** Inverted-index build (`q_doc_inverted`) — the search-side structure
+    * a curation stack materializes for keyword filtering, contamination
+    * lookup, and corpus exploration: token → document frequency, total
+    * term frequency, and the head of the (ascending) posting list. The
+    * per-token posting head is bounded by the engine's own heap
+    * aggregate ([[graft.plans.TopKAgg]] on ord = −doc_id, so the k
+    * smallest doc ids survive) — NEVER `collect_list`/`collect_set`,
+    * whose per-group state is unbounded exactly where an inverted index
+    * hurts (a stopword's posting list is the whole corpus). The df ≥ 20
+    * floor keeps the catalog result head-sized; a real index build drops
+    * the floor and writes every token's postings to a bucketed sink.
+    *
+    * Scale shape: two shuffles, both on token-keyed SHORT rows — the
+    * (token, doc_id) pre-aggregation collapses within-doc repeats
+    * map-side (combiner), the second pass carries one 8-byte tf per
+    * (token, doc) plus the fixed-k heap per token. Nothing carries
+    * text payloads past the tokenizer. */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf_doc")).as("tf"),
+        graft.plans.TopKAgg.topK((-col("doc_id")).cast("double"),
+          col("doc_id"), 5).as("top"))
+      .filter(col("df") >= 20)
+      .select(col("token"), col("df"), col("tf"),
+        concat_ws(",",
+          transform(col("top"), x => x.getField("id").cast("string")))
+          .as("posting_head"))
+      .orderBy("token")
+
+  val invertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL
+      |), pd AS (
+      |  SELECT token, doc_id, COUNT(*) AS tf_doc
+      |  FROM t GROUP BY token, doc_id
+      |)
+      |SELECT token, COUNT(*) AS df, CAST(SUM(tf_doc) AS BIGINT) AS tf,
+      |  array_to_string(
+      |    list_transform(list_sort(list(doc_id))[1:5], x -> CAST(x AS VARCHAR)),
+      |    ',') AS posting_head
+      |FROM pd
+      |GROUP BY token
+      |HAVING COUNT(*) >= 20
+      |ORDER BY token""".stripMargin
+
+  /** BM25 ranked retrieval (`q_doc_bm25`) — the scoring half of the
+    * search stack the inverted index ([[invertedIndex]]) is built for,
+    * and the standard "rank corpus docs against a probe query" curation
+    * move (e.g. retrieving docs similar to a benchmark prompt before
+    * decontamination review). Okapi BM25 with k1=1.2, b=0.75 over a
+    * fixed 3-term query; idf = ln((N − df + ½)/(df + ½) + 1) (the
+    * non-negative Lucene variant).
+    *
+    * Scale shape: the corpus-level stats (N, total length) fold to ONE
+    * row and broadcast back in-plan ([[tfidf]]'s corpus-count move); the
+    * per-term df table is |terms| rows and broadcasts; the only
+    * corpus-sized shuffle is the (doc, term) tf aggregation, keyed on
+    * (doc_id, term) with map-side combine — rows carry 8-byte ids and
+    * short terms, never text. Top-20 compiles to TakeOrderedAndProject
+    * (PlanAudit-gated), not a global sort.
+    *
+    * Oracle parity: every arithmetic step is written with the SAME
+    * literal constants and operation order in both engines (IEEE double
+    * ops are deterministic given the tree; JVM `Math.log` == DuckDB `ln`
+    * — the [[lmScore]] precedent), and each per-(doc,term) component is
+    * cast to DECIMAL(20,10) before the per-doc sum, so the fold is
+    * order-independent under Spark's partial aggregation. */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(20, 10)
+    val terms = Seq("vector", "stream", "join")
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val comp = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(
+          (col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                (col("tdl").cast("double") / col("nd").cast("double")))))
+          .cast(Dec).as("comp"))
+    comp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("comp")).as("sc"))
+      .select(col("doc_id"), col("n_terms"), col("sc").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val bm25Sql: String =
+    """WITH dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents WHERE text IS NOT NULL
+      |), stats AS (
+      |  SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tdl FROM dd
+      |), tok AS (
+      |  SELECT doc_id, dl, unnest(ws) AS token FROM dd
+      |), tf AS (
+      |  SELECT doc_id, dl, token, COUNT(*) AS tf FROM tok
+      |  WHERE token IN ('vector', 'stream', 'join')
+      |  GROUP BY doc_id, dl, token
+      |), dfreq AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), comp AS (
+      |  SELECT tf.doc_id,
+      |    CAST(
+      |      ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 *
+      |          (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |            / (CAST(tdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+      |      AS DECIMAL(20,10)) AS comp
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+      |)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(comp) AS DOUBLE) AS score
+      |FROM comp GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_split"       -> (trainSplit _),
     "q_doc_split_safe"  -> (clusterSplit _),
@@ -2059,7 +2203,9 @@ object TextCatalog {
     "q_doc_ml_quality"   -> (mlQuality _),
     "q_doc_sample_strat" -> (stratifiedSample _),
     "q_doc_seg_dedup"    -> (chunkDedup _),
-    "q_dedup_keep_best"  -> (dedupKeepBest _)
+    "q_dedup_keep_best"  -> (dedupKeepBest _),
+    "q_doc_inverted"     -> (invertedIndex _),
+    "q_doc_bm25"         -> (bm25 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2097,6 +2243,8 @@ object TextCatalog {
     "q_doc_ml_quality"   -> mlQualitySql,
     "q_doc_sample_strat" -> stratifiedSampleSql,
     "q_doc_seg_dedup"    -> chunkDedupSql,
-    "q_dedup_keep_best"  -> dedupKeepBestSql
+    "q_dedup_keep_best"  -> dedupKeepBestSql,
+    "q_doc_inverted"     -> invertedIndexSql,
+    "q_doc_bm25"         -> bm25Sql
   )
 }

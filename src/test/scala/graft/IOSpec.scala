@@ -17,6 +17,22 @@ class IOSpec extends SparkSpec {
       == df.agg(sum("o_totalprice")).head.getDouble(0))
   }
 
+  test("q_orc_roundtrip: ORC-landed aggregate equals the parquet-side plan") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.MiscCatalog.orcRoundtrip(spark, sf001).collect()
+    assert(got.nonEmpty)
+    // same aggregate straight off the parquet table — lossless land proof
+    // that doesn't depend on the driver's DuckDB pass
+    val want = graft.core.Tables.orders(spark, sf001)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.queries.Parity.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("partitioned write + partition read return exactly the partition") {
     val dir = Files.createTempDirectory("graft_part").toString
     val ev = graft.core.Tables.events(spark, sf0001)

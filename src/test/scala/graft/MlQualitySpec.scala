@@ -79,4 +79,27 @@ class MlQualitySpec extends SparkSpec {
     assert(got(1L) == 2000L) // "the" twice × weight 1000
     assert(got(2L) == 0L)
   }
+
+  test("native HashedLinearLogit == declarative derivation (one-hot + bigrams)") {
+    import spark.implicits._
+    // one-hot on a BIGRAM bucket proves the expression's byte-concat
+    // "prev ++ ' ' ++ cur" spelling hashes identically to the string join
+    val hot = jvmBucket("quick brown")
+    val oneHot = Array.tabulate(D)(j => if (j == hot) 7 else 0)
+    val got = Seq((1L, "the quick brown fox"), (2L, "quick, brown"), (3L, "único tokén ütf"))
+      .toDF("id", "text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("id"),
+        graft.plans.HashedLinearLogit.hashedLinearLogit(col("ws"), "|qf", oneHot).as("lm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 7L)  // exactly the "quick brown" bigram fires
+    assert(got(2L) == 0L)  // punctuation breaks the gram
+    // multi-byte UTF-8 tokens: replay the full model through the JVM twin
+    val full = Array.tabulate(D)(j => jvmWeight(j).toInt)
+    val utf = Seq((1L, "único tokén ütf")).toDF("id", "text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(graft.plans.HashedLinearLogit.hashedLinearLogit(col("ws"), "|qf", full))
+      .as[Long].head()
+    assert(utf == jvmLogit("único tokén ütf")._2)
+  }
 }

@@ -485,4 +485,64 @@ class TextSpec extends SparkSpec {
     val kept = tr.filter(BloomJoin.mightContain(bf, col("gram"))).count()
     assert(kept < total / 2, s"filter kept $kept of $total grams — no pruning")
   }
+
+  test("invertedIndex: cell-exact vs a JVM rebuild, posting heads bounded+ascending") {
+    val got = TextCatalog.invertedIndex(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty, "df>=20 floor left no tokens at sf0.01 — fixture drifted?")
+    // JVM rebuild from the raw fixture (500 docs — test-sized)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getString(1)) }
+    val postings = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Long, Long]]
+    docs.foreach { case (id, text) =>
+      text.split(" ", -1).foreach { tok =>
+        val m = postings.getOrElseUpdate(tok, scala.collection.mutable.Map.empty)
+        m(id) = m.getOrElse(id, 0L) + 1L
+      }
+    }
+    val want = postings.iterator
+      .filter(_._2.size >= 20)
+      .map { case (tok, m) =>
+        (tok, m.size.toLong, m.values.sum,
+          m.keys.toSeq.sorted.take(5).mkString(","))
+      }
+      .toSeq.sortBy(_._1)
+    // re-sort both sides under Scala's String ordering: Spark's orderBy is
+    // UTF8-binary, which can disagree with compareTo on non-ASCII tokens
+    assert(got.toSeq.sortBy(_._1) == want,
+      s"inverted index drifted: got ${got.length} rows, want ${want.length}")
+    got.foreach { case (tok, df, tf, head) =>
+      val ids = head.split(",").map(_.toLong)
+      assert(ids.length <= 5 && (ids sameElements ids.sorted), s"posting head of '$tok' unbounded/unsorted")
+      assert(tf >= df, s"'$tok': tf $tf < df $df")
+    }
+  }
+
+  test("bm25: top-20 matches an exact JVM replay (decimal-fold parity)") {
+    val terms = Set("vector", "stream", "join")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getString(1).split(" ", -1)) }
+    val nd = docs.length.toLong
+    val tdl = docs.map(_._2.length.toLong).sum
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.filter(terms).groupBy(identity).map { case (t, g) => (id, ws.length.toLong, t, g.length.toLong) }
+    }
+    val dfreq = tf.groupBy(_._3).map { case (t, g) => (t, g.length.toLong) }
+    def comp(t: String, tfv: Long, dl: Long): BigDecimal = {
+      val df = dfreq(t).toDouble
+      val raw = math.log((nd.toDouble - df + 0.5) / (df + 0.5) + 1.0) *
+        (tfv.toDouble * 2.2) /
+        (tfv.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / (tdl.toDouble / nd.toDouble)))
+      BigDecimal(raw).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = tf.groupBy(_._1).map { case (id, g) =>
+      (id, g.length.toLong, g.map(x => comp(x._3, x._4, x._2)).sum.toDouble)
+    }.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = TextCatalog.bm25(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"bm25 drifted:\n got=$got\nwant=$want")
+  }
 }
