@@ -2081,6 +2081,89 @@ object TextCatalog {
       |HAVING COUNT(*) >= 20
       |ORDER BY token""".stripMargin
 
+  // ------------------------------------------- persisted inverted index
+
+  /** The persisted inverted index's manifest root and stored row shape —
+    * the serving-grade form of [[invertedIndex]], completing the text
+    * search stack the way the persisted IVF stores complete the vector
+    * one: built once in batch, extended by [[graft.streaming.Jobs
+    * .invertedIngest]] micro-batches, compacted under the
+    * [[graft.core.EpochManifest]] snapshot protocol, and probed by
+    * [[searchInvertedIndexStore]] reading ONLY the token-hash bucket
+    * partitions of the probe terms. */
+  def postingsRoot(indexDir: String): String = s"$indexDir/postings"
+
+  /** Token-hash partition fanout. 64 keeps the fixture's directory count
+    * test-sized; a 100 TB index raises it (the probe cost is independent
+    * of the fanout — a term still reads exactly one bucket per epoch). */
+  val InvBuckets = 64
+
+  val postingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** A doc batch's postings rows: (token, doc_id, tf) plus the md5
+    * token-hash bucket that becomes the stored partition directory.
+    * Same two-shuffle shape as [[invertedIndex]]'s first pass; rows
+    * never carry text past the tokenizer. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", md5ModCol(col("token"), "|inv", InvBuckets))
+
+  /** Base build = epoch 0; [[appendInvertedIndex]] extends it. */
+  def buildInvertedIndexStore(docs: DataFrame, indexDir: String): Unit =
+    appendInvertedIndex(docs, indexDir, epoch = 0L)
+
+  /** Extend the persisted index with a batch as epoch `epoch` — an
+    * immutable bucket-partitioned attempt dir committed by one atomic
+    * manifest rename, so a streaming retry REPLACES its epoch's entry
+    * (exactly-once under the checkpoint, the [[appendBandIndex]]
+    * contract) and a concurrent search keeps the snapshot it opened. */
+  def appendInvertedIndex(docs: DataFrame, indexDir: String, epoch: Long): Unit =
+    graft.core.EpochManifest.append(postingsOf(docs), postingsRoot(indexDir),
+      epoch, partitionBy = Seq("bucket"))
+
+  /** Probe the persisted index: per term, the top-`k` documents by term
+    * frequency (ties broken by ascending doc_id). Reads ONLY the probe
+    * terms' bucket partitions of each committed epoch — `bucket` is a
+    * stored partition directory, computed driver-side for the terms, so
+    * the scan never lists the other buckets (TextSpec proves
+    * `selectedPartitions` == probed buckets, the persisted-IVF pruning
+    * proof). Epochs merge by SUMMING tf per (token, doc): a document
+    * whose text arrives split across epochs accumulates, and a
+    * compacted store returns identical sums (fold = union). The per-term
+    * ranking is the bounded [[graft.plans.TopKAgg]] heap — the probe
+    * result is k rows per term no matter how long the posting list. */
+  def searchInvertedIndexStore(spark: SparkSession, indexDir: String,
+                               terms: Seq[String], k: Int = 10,
+                               maxEpoch: Long = Long.MaxValue): DataFrame = {
+    val buckets = terms.map(t => java.lang.Long.remainderUnsigned(
+      md5Upper64(s"$t|inv"), InvBuckets.toLong).toInt).distinct
+    graft.core.EpochManifest.read(spark, postingsRoot(indexDir),
+        postingsSchema, maxEpoch)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"))
+      .groupBy(col("token"))
+      .agg(graft.plans.TopKAgg.topK(col("tf").cast("double"),
+        col("doc_id"), k).as("top"))
+      .select(col("token"), posexplode(col("top")))
+      .select(col("token"), (col("pos") + 1).as("rank"),
+        col("col.id").as("doc_id"), col("col.ord").cast("long").as("tf"))
+      .orderBy("token", "rank")
+  }
+
   /** BM25 ranked retrieval (`q_doc_bm25`) — the scoring half of the
     * search stack the inverted index ([[invertedIndex]]) is built for,
     * and the standard "rank corpus docs against a probe query" curation

@@ -933,4 +933,41 @@ object Jobs {
         ()
       }
       .start()
+
+  /** Streaming maintenance of the persisted INVERTED TEXT index
+    * ([[graft.queries.TextCatalog.postingsRoot]] layout — the keyword
+    * half of the serving stack, beside the vector stores): each doc
+    * micro-batch is tokenized and aggregated to (token, doc_id, tf)
+    * postings, landed token-hash-bucket-partitioned as epoch
+    * `epochId + 1` (epoch 0 is the batch base build) under the
+    * [[graft.core.EpochManifest]] snapshot protocol — a retried epoch
+    * commits a REPLACEMENT manifest entry, so the index is exactly-once
+    * under the checkpoint, and a concurrent
+    * [[graft.queries.TextCatalog.searchInvertedIndexStore]] keeps the
+    * snapshot it opened. Compaction every `compactEvery` epochs folds
+    * committed epochs into one base dir (keeping the `bucket` partition
+    * layout the probe pruning needs), bounding the store's dir count for
+    * the stream's lifetime; searches return identical tf sums pre/post
+    * (the fold is row identity — per-(token,doc) sums happen at probe
+    * time, so fold order can't matter). */
+  def invertedIngest(docs: DataFrame, indexDir: String,
+                     checkpointDir: String,
+                     compactEvery: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        import graft.queries.TextCatalog
+        if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0) {
+          val par = batch.sparkSession.conf
+            .get("spark.sql.shuffle.partitions", "32").toInt
+          graft.core.EpochManifest.compact(batch.sparkSession,
+            TextCatalog.postingsRoot(indexDir), TextCatalog.postingsSchema,
+            uptoEpoch = epochId + 1, partitionBy = Seq("bucket"),
+            coalesceTo = par)
+        }
+        TextCatalog.appendInvertedIndex(batch, indexDir, epoch = epochId + 1)
+        ()
+      }
+      .start()
 }

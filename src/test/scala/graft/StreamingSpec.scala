@@ -915,6 +915,42 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$dir/idx/bands/d3-9")), "crash orphan survived gc")
   }
 
+  test("inverted ingest: streamed epochs + mid-stream compaction equal a batch rebuild") {
+    import spark.implicits._
+    import graft.queries.TextCatalog
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_inv_ingest").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch build owns epoch 0; the stream appends the rest in 4 batches
+    // with compactEvery=2, so stream epoch 2 folds the store mid-run
+    TextCatalog.buildInvertedIndexStore(corpus.filter(col("doc_id") < 10), s"$dir/idx")
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit =
+      graft.streaming.Jobs.invertedIngest(in.toDF().toDF("doc_id", "text"),
+        s"$dir/idx", s"$dir/cp", compactEvery = 2).awaitTermination(60000)
+    val batches = rows.filter(_._1 >= 10).grouped(12).toSeq
+    assert(batches.size >= 3, "fixture too small to cross the compaction boundary")
+    batches.foreach { b => in.addData(b.toSeq); run() }
+    val terms = Seq("vector", "join", "scan", "window")
+    val streamed = TextCatalog.searchInvertedIndexStore(spark, s"$dir/idx", terms, k = 8)
+      .collect().map(_.toSeq).toSeq
+    // batch twin: one build over the whole corpus in a fresh store
+    val dir2 = Files.createTempDirectory("graft_inv_twin").toString
+    TextCatalog.buildInvertedIndexStore(corpus, s"$dir2/idx")
+    val batchRes = TextCatalog.searchInvertedIndexStore(spark, s"$dir2/idx", terms, k = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batchRes,
+      s"streamed index diverged from batch rebuild:\n $streamed\n vs $batchRes")
+    // the mid-stream fold bounded the manifest: fewer entries than epochs
+    // written (base + 4 appends = 5 without compaction)
+    val entries = graft.core.EpochManifest.entries(
+      spark, TextCatalog.postingsRoot(s"$dir/idx"))
+    assert(entries.size < 1 + batches.size,
+      s"compaction never fired: ${entries.size} manifest entries")
+  }
+
   test("streaming IVF append: restart-safe, composes with the batch-built base index") {
     import spark.implicits._
     import graft.functions.VectorOps.ivfGeometry

@@ -520,6 +520,46 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("persisted inverted index: bucket-pruned probe, epoch merge, JVM parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv").toString
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // two epochs so the probe genuinely merges across manifest entries
+    TextCatalog.buildInvertedIndexStore(corpus.filter(col("doc_id") % 2 === 0), dir)
+    TextCatalog.appendInvertedIndex(corpus.filter(col("doc_id") % 2 === 1), dir, epoch = 1L)
+    val terms = Seq("vector", "stream", "join")
+    val res = TextCatalog.searchInvertedIndexStore(spark, dir, terms, k = 5)
+    // pruning proof on each per-epoch scan (the persisted-IVF pattern):
+    // partition filters populated, and no scan reads more bucket dirs
+    // than the probe terms hash to
+    val buckets = terms.map(t => java.lang.Long.remainderUnsigned(
+      graft.functions.TextOps.md5Upper64(s"$t|inv"),
+      TextCatalog.InvBuckets.toLong).toInt).distinct.toSet
+    val scans = res.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size >= 2, s"expected one scan per epoch, got ${scans.size}")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, "scan has no partition filters")
+      assert(s.selectedPartitions.partitionCount <= buckets.size,
+        s"scan reads ${s.selectedPartitions.partitionCount} buckets, probed ${buckets.size}")
+    }
+    // JVM parity: per-term top-5 docs by (tf desc, doc_id asc) over the
+    // full corpus — the two epochs must merge to exactly this
+    val docs = corpus.collect()
+      .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getString(1)) }
+    val got = res.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    terms.foreach { t =>
+      val want = docs.flatMap { case (id, txt) =>
+        val c = txt.split(" ", -1).count(_ == t).toLong
+        if (c > 0) Some((id, c)) else None
+      }.sortBy { case (id, tf) => (-tf, id) }.take(5).toSeq
+      val rows = got.filter(_._1 == t).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(rows == want, s"term '$t': got $rows want $want")
+    }
+  }
+
   test("bm25: top-20 matches an exact JVM replay (decimal-fold parity)") {
     val terms = Set("vector", "stream", "join")
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
