@@ -2109,6 +2109,18 @@ object TextCatalog {
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.IntegerType)))
 
+  /** Document-length sidecar root: (doc_id, dl) per epoch — the BM25
+    * length norms ([[searchInvertedIndexBm25]]). 16 bytes/doc, the slim
+    * store class. */
+  def doclensRoot(indexDir: String): String = s"$indexDir/doclens"
+
+  val doclensSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.LongType)))
+
   /** A doc batch's postings rows: (token, doc_id, tf) plus the md5
     * token-hash bucket that becomes the stored partition directory.
     * Same two-shuffle shape as [[invertedIndex]]'s first pass; rows
@@ -2128,10 +2140,19 @@ object TextCatalog {
     * immutable bucket-partitioned attempt dir committed by one atomic
     * manifest rename, so a streaming retry REPLACES its epoch's entry
     * (exactly-once under the checkpoint, the [[appendBandIndex]]
-    * contract) and a concurrent search keeps the snapshot it opened. */
-  def appendInvertedIndex(docs: DataFrame, indexDir: String, epoch: Long): Unit =
+    * contract) and a concurrent search keeps the snapshot it opened.
+    * Doclens commit BEFORE postings for the same reason shingles commit
+    * before bands: the BM25 probe finds candidates in postings and
+    * norms them from doclens, so any epoch visible on the candidate
+    * side must already be visible on the norm side. */
+  def appendInvertedIndex(docs: DataFrame, indexDir: String, epoch: Long): Unit = {
+    graft.core.EpochManifest.append(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl")),
+      doclensRoot(indexDir), epoch)
     graft.core.EpochManifest.append(postingsOf(docs), postingsRoot(indexDir),
       epoch, partitionBy = Seq("bucket"))
+  }
 
   /** Probe the persisted index: per term, the top-`k` documents by term
     * frequency (ties broken by ascending doc_id). Reads ONLY the probe
@@ -2164,6 +2185,121 @@ object TextCatalog {
       .orderBy("token", "rank")
   }
 
+  // bounded memo for the catalog query's landed index store (the
+  // Listings.landedRun liveness contract: never delete under a live
+  // session; per-dir exit hook as backstop)
+  private val invStoreMemo =
+    new graft.core.BoundedMemo[(SparkSession, String), String](4)((k, dir) =>
+      if (k._1.sparkContext.isStopped)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
+
+  /** Persisted-index keyword search as an oracled catalog row
+    * (`q_doc_search`): builds the inverted store ONCE per
+    * (session, sfDir) from the documents table, then probes it for a
+    * fixed 5-term query — per term, the top-8 docs by (tf DESC, doc_id
+    * ASC). This is the driver-checkable twin of the store's spec
+    * coverage: DuckDB recomputes the ranking straight from the raw
+    * documents, so a store that dropped, duplicated, or mis-merged a
+    * posting fails the oracle — the same build-once/probe-every-round
+    * shape as [[graft.queries.MiscCatalog.orcRoundtrip]]. Scale notes
+    * live on [[searchInvertedIndexStore]] (bucket-pruned probe, bounded
+    * heap ranking). */
+  def docSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = invStoreMemo.get((spark, sfDir)) {
+      val d = java.nio.file.Files.createTempDirectory("graft_inv_store")
+      buildInvertedIndexStore(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        d.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+      d.toString
+    }
+    searchInvertedIndexStore(spark, dir,
+      Seq("vector", "stream", "join", "window", "hash"), k = 8)
+  }
+
+  val docSearchSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL
+      |), pd AS (
+      |  SELECT token, doc_id, COUNT(*) AS tf FROM t
+      |  WHERE token IN ('vector', 'stream', 'join', 'window', 'hash')
+      |  GROUP BY token, doc_id
+      |), r AS (
+      |  SELECT token, doc_id, tf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY token
+      |                            ORDER BY tf DESC, doc_id ASC) AS INT) AS rank
+      |  FROM pd
+      |)
+      |SELECT token, rank, doc_id, tf FROM r
+      |WHERE rank <= 8
+      |ORDER BY token, rank""".stripMargin
+
+  /** The ONE spelling of the per-(doc, term) Okapi BM25 component
+    * (k1=1.2, b=0.75, Lucene non-negative idf), shared by the
+    * declarative [[bm25]] and the persisted-index
+    * [[searchInvertedIndexBm25]] so the two paths produce bit-identical
+    * doubles: IEEE ops are deterministic given the expression tree, and
+    * the DECIMAL(20,10) cast makes the later per-doc sum
+    * order-independent. */
+  private def bm25Component(tf: Column, df: Column, dl: Column,
+                            nd: Column, tdl: Column): Column =
+    (log(
+      (nd.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)) + lit(1.0))
+      * (tf.cast("double") * lit(2.2))
+      / (tf.cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * dl.cast("double") /
+            (tdl.cast("double") / nd.cast("double")))))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 10))
+
+  /** BM25 over the PERSISTED index — the serving-path twin of [[bm25]]:
+    * candidate postings come bucket-pruned from the manifest store
+    * ([[searchInvertedIndexStore]]'s probe contract), length norms from
+    * the doclens sidecar, corpus stats (N, total length) fold from the
+    * slim doclens scan to one broadcast row, and the score is the SAME
+    * [[bm25Component]] expression — TextSpec proves the index path
+    * returns bit-identical (doc, n_terms, score) rows to the
+    * declarative query over the same corpus. A user can switch from
+    * recomputing BM25 per query to probing the maintained index (epochs
+    * streaming in via [[graft.streaming.Jobs.invertedIngest]]) without
+    * scores moving by one ulp.
+    *
+    * Scale: probe reads |terms| bucket dirs per epoch plus the
+    * 16-byte/doc doclens store; df and stats are broadcast-sized; the
+    * doclens join shuffles only candidate (doc, tf) rows and the slim
+    * norms — never text or full postings. */
+  def searchInvertedIndexBm25(spark: SparkSession, indexDir: String,
+                              terms: Seq[String], k: Int = 20,
+                              maxEpoch: Long = Long.MaxValue): DataFrame = {
+    val buckets = terms.map(t => java.lang.Long.remainderUnsigned(
+      md5Upper64(s"$t|inv"), InvBuckets.toLong).toInt).distinct
+    val posts = graft.core.EpochManifest.read(spark, postingsRoot(indexDir),
+        postingsSchema, maxEpoch)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"))
+    val lens = graft.core.EpochManifest.read(spark, doclensRoot(indexDir),
+        doclensSchema, maxEpoch)
+      .groupBy(col("doc_id")).agg(sum(col("dl")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tdl"))
+    val dfreq = posts.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    posts
+      .join(broadcast(dfreq), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Component(col("tf"), col("df"), col("dl"),
+          col("nd"), col("tdl")).as("comp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("comp")).as("sc"))
+      .select(col("doc_id"), col("n_terms"), col("sc").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BM25 ranked retrieval (`q_doc_bm25`) — the scoring half of the
     * search stack the inverted index ([[invertedIndex]]) is built for,
     * and the standard "rank corpus docs against a probe query" curation
@@ -2187,7 +2323,6 @@ object TextCatalog {
     * cast to DECIMAL(20,10) before the per-doc sum, so the fold is
     * order-independent under Spark's partial aggregation. */
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val Dec = org.apache.spark.sql.types.DecimalType(20, 10)
     val terms = Seq("vector", "stream", "join")
     val docs = Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
@@ -2204,14 +2339,8 @@ object TextCatalog {
       .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(
-          (col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)) + lit(1.0))
-          * (col("tf").cast("double") * lit(2.2))
-          / (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
-                (col("tdl").cast("double") / col("nd").cast("double")))))
-          .cast(Dec).as("comp"))
+        bm25Component(col("tf"), col("df"), col("dl"),
+          col("nd"), col("tdl")).as("comp"))
     comp.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("comp")).as("sc"))
       .select(col("doc_id"), col("n_terms"), col("sc").cast("double").as("score"))
@@ -2288,7 +2417,8 @@ object TextCatalog {
     "q_doc_seg_dedup"    -> (chunkDedup _),
     "q_dedup_keep_best"  -> (dedupKeepBest _),
     "q_doc_inverted"     -> (invertedIndex _),
-    "q_doc_bm25"         -> (bm25 _)
+    "q_doc_bm25"         -> (bm25 _),
+    "q_doc_search"       -> (docSearch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2328,6 +2458,7 @@ object TextCatalog {
     "q_doc_seg_dedup"    -> chunkDedupSql,
     "q_dedup_keep_best"  -> dedupKeepBestSql,
     "q_doc_inverted"     -> invertedIndexSql,
-    "q_doc_bm25"         -> bm25Sql
+    "q_doc_bm25"         -> bm25Sql,
+    "q_doc_search"       -> docSearchSql
   )
 }

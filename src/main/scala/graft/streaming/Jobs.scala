@@ -961,6 +961,11 @@ object Jobs {
         if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0) {
           val par = batch.sparkSession.conf
             .get("spark.sql.shuffle.partitions", "32").toInt
+          // doclens fold first — the append-side visibility order
+          // (norms before candidates) must hold across compaction too
+          graft.core.EpochManifest.compact(batch.sparkSession,
+            TextCatalog.doclensRoot(indexDir), TextCatalog.doclensSchema,
+            uptoEpoch = epochId + 1, coalesceTo = par)
           graft.core.EpochManifest.compact(batch.sparkSession,
             TextCatalog.postingsRoot(indexDir), TextCatalog.postingsSchema,
             uptoEpoch = epochId + 1, partitionBy = Seq("bucket"),

@@ -560,6 +560,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("persisted-index BM25 is bit-identical to the declarative query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_bm25").toString
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // two epochs: the probe must merge tf and dl across manifest entries
+    // before scoring, or the norms drift
+    TextCatalog.buildInvertedIndexStore(corpus.filter(col("doc_id") % 3 === 0), dir)
+    TextCatalog.appendInvertedIndex(corpus.filter(col("doc_id") % 3 =!= 0), dir, epoch = 1L)
+    val viaIndex = TextCatalog.searchInvertedIndexBm25(
+        spark, dir, Seq("vector", "stream", "join"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val declarative = TextCatalog.bm25(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // == on doubles — the shared component expression + decimal fold
+    // must make the serving path exact, not approximately equal
+    assert(viaIndex == declarative,
+      s"index BM25 drifted from declarative:\n $viaIndex\n vs $declarative")
+  }
+
   test("bm25: top-20 matches an exact JVM replay (decimal-fold parity)") {
     val terms = Set("vector", "stream", "join")
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
