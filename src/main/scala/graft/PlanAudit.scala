@@ -180,6 +180,12 @@ object PlanAudit {
       p => p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2 &&
         p.contains("partial_top_k") && !p.contains("Window"))
 
+    // the MV roll-up must be REWRITTEN off the base table: the plan's
+    // only file scan is the materialized store, never lineitem
+    val mvq = plan(TpchCatalog.mvRollup(spark, sfDir))
+    check("q_mv_rollup", mvq, "aggregate rewritten to the MV scan (base table gone)",
+      p => !p.contains("lineitem.parquet") && p.contains("graft_mv_store"))
+
     // BM25: the df table broadcasts back to the tf rows (a SMJ here
     // would shuffle the corpus for a |terms|-row dimension) and the
     // top-20 compiles to TakeOrderedAndProject, never a global sort.

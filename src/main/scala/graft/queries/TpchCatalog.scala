@@ -805,9 +805,58 @@ object TpchCatalog {
        |GROUP BY s_suppkey, s_name
        |ORDER BY s_suppkey""".stripMargin
 
+  // bounded memo for the landed+registered materialized view (the
+  // Listings.landedRun liveness contract)
+  private val mvMemo =
+    new graft.core.BoundedMemo[(SparkSession, String), String](4)((k, dir) =>
+      if (k._1.sparkContext.isStopped)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
+
+  /** Materialized-view roll-up (`q_mv_rollup`) — the rewrite rule
+    * ([[graft.plans.MaterializedAgg]]) exercised as a catalog row: the
+    * query is WRITTEN against the base lineitem table (grouped on
+    * `l_returnflag`, a strict subset of the registered
+    * (l_returnflag, l_linestatus) cube), and the armed rule rewrites it
+    * to re-aggregate the ~6-row materialized store — the base table
+    * disappears from the plan (MvSpec's scan-set proof). The DuckDB
+    * oracle computes from the RAW lineitem, so the row matching the
+    * oracle is itself the proof the rewrite answered correctly. The MV
+    * lands + registers once per (session, sfDir); measures use the
+    * decimal-exact long-sum idiom and order-insensitive min/max, so the
+    * re-aggregation is cell-exact by construction. */
+  def mvRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    mvMemo.get((spark, sfDir)) {
+      val d = java.nio.file.Files.createTempDirectory("graft_mv_store")
+      graft.plans.MaterializedAgg.register(
+        Tables.lineitem(spark, sfDir), Seq("l_returnflag", "l_linestatus"),
+        s"$d/mv", sumLongCols = Seq("l_quantity"),
+        minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+      d.toString
+    }
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val mvRollupSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
+    "q_mv_rollup"         -> (mvRollup _),
     "q_pricing_summary"   -> (pricingSummary _),
     "q_ship_priority"     -> (shipPriority _),
     "q_revenue_forecast"  -> (revenueForecast _),
@@ -843,6 +892,7 @@ object TpchCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mv_rollup"         -> mvRollupSql,
     "q_pricing_summary"   -> pricingSummarySql,
     "q_ship_priority"     -> shipPrioritySql,
     "q_revenue_forecast"  -> revenueForecastSql,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.plans.MaterializedAgg
+
+/** Materialized-aggregate rewrite ([[graft.plans.MaterializedAgg]]):
+  * rewritten results must equal the base plan row-for-row, the base path
+  * must disappear from the rewritten plan's scan set, and everything
+  * outside the soundness envelope must be REFUSED (kept on the base
+  * plan), never silently wrong. */
+class MvSpec extends SparkSpec {
+
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def base = graft.core.Tables.lineitem(spark, sf001)
+
+  private def rollup() = base
+    .groupBy(col("l_returnflag"))
+    .agg(count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").cast("long")).as("qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+    .orderBy("l_returnflag")
+
+  test("roll-up over the base rewrites to the MV scan with identical rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val want = rollup().collect().map(_.toSeq).toSeq // pre-registration: base plan
+    MaterializedAgg.register(base, Seq("l_returnflag", "l_linestatus"),
+      s"$dir/mv", sumLongCols = Seq("l_quantity"),
+      minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"))
+    try {
+      val df = rollup()
+      assert(df.collect().map(_.toSeq).toSeq == want, "rewrite changed the answer")
+      val paths = scannedPaths(df)
+      assert(paths.exists(_.contains("graft_mv")), s"MV not scanned: $paths")
+      assert(!paths.exists(_.contains("lineitem.parquet")),
+        s"base still scanned after rewrite: $paths")
+
+      // exact-grouping (non-roll-up) shape with a group-col filter: the
+      // filter must ride onto the MV scan
+      def filtered() = base
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+      val fdf = filtered()
+      assert(!scannedPaths(fdf).exists(_.contains("lineitem.parquet")),
+        "group-col filter prevented the rewrite")
+      MaterializedAgg.unregister(base)
+      assert(fdf.collect().map(_.toSeq).toSeq ==
+        filtered().collect().map(_.toSeq).toSeq)
+      // re-arm for the refusal block below
+      MaterializedAgg.register(base, Seq("l_returnflag", "l_linestatus"),
+        s"$dir/mv2", sumLongCols = Seq("l_quantity"),
+        minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"))
+
+      // refusals — each keeps the base scan (and therefore stays correct)
+      val measureFilter = base.filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(scannedPaths(measureFilter).exists(_.contains("lineitem.parquet")),
+        "filter on a measure column must refuse the rewrite")
+      val foreignGroup = base.groupBy(col("l_shipdate"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(foreignGroup).exists(_.contains("lineitem.parquet")),
+        "grouping outside the MV columns must refuse the rewrite")
+      val nonDecomposable = base.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("a"))
+      assert(scannedPaths(nonDecomposable).exists(_.contains("lineitem.parquet")),
+        "an unregistered aggregate (avg) must refuse the rewrite")
+      val distinctAgg = base.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("d"))
+      assert(scannedPaths(distinctAgg).exists(_.contains("lineitem.parquet")),
+        "DISTINCT aggregates must refuse the rewrite")
+    } finally MaterializedAgg.unregister(base)
+  }
+}
