@@ -54,16 +54,22 @@ import org.apache.spark.sql.types.LongType
 object MaterializedAgg {
 
   /** One registered MV: the decomposition-legend of what the store can
-    * answer, plus its (analyzed) scan plan. `sumLongCols` are measures
+    * answer (ordered Seqs — [[cube]] rebuilds the same aggregate list
+    * for delta batches), its manifest root + stored schema, and a thunk
+    * yielding a FRESH analyzed scan plan per use (fresh exprIds, fresh
+    * manifest snapshot — an epoch appended by [[append]] is visible to
+    * the next query without re-registration). `sumLongCols` are measures
     * stored as `sum(cast(c as long))` — the engine's decimal-exact
     * integer-sum idiom ([[graft.queries.Parity]]). */
   private final case class Meta(
-      groupCols: Set[String],
-      sumCols: Set[String],
-      sumLongCols: Set[String],
-      minCols: Set[String],
-      maxCols: Set[String],
-      mvRel: LogicalRelation)
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      sumLongCols: Seq[String],
+      minCols: Seq[String],
+      maxCols: Seq[String],
+      mvRoot: String,
+      schema: org.apache.spark.sql.types.StructType,
+      freshPlan: () => LogicalPlan)
 
   // keyed by the base relation's root-path set — JVM-global so every
   // session sharing the warehouse sees the store (rule injection itself
@@ -76,34 +82,100 @@ object MaterializedAgg {
       case _ => None
     }
 
-  /** Build the MV parquet at `mvPath` from `base` (which must be a plain
-    * file-relation scan — the fact table read), register it for the
-    * rewrite, and arm the rule on `base`'s session. Re-registering the
-    * same base replaces the entry (the rebuild path). */
+  private def basePathsOf(base: DataFrame): Set[String] =
+    base.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => rootPaths(lr).getOrElse(Set.empty)
+    }.flatten.toSet
+
+  /** The partial cube of one row batch under `meta`'s spec — what epoch
+    * 0 stores for the base and [[append]] stores per delta batch.
+    * Partials COMPOSE under the rewrite's own re-aggregation (counts
+    * and sums re-sum, min/max re-fold), which is exactly why appending
+    * partial cubes keeps the view current with no recompute. */
+  private def cube(rows: DataFrame, meta: Meta): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__cnt")) ++
+      meta.sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+      meta.sumLongCols.map(c => sum(col(c).cast("long")).as(s"__suml_$c")) ++
+      meta.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+      meta.maxCols.map(c => max(col(c)).as(s"__max_$c"))
+    rows.groupBy(meta.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the MV store at manifest root `mvPath` from `base` (which
+    * must contain the fact table's file-relation scan) as epoch 0,
+    * register it for the rewrite, and arm the rule on `base`'s session.
+    * Re-registering the same base replaces the entry (the rebuild
+    * path). The store is an [[graft.core.EpochManifest]] root, so
+    * [[append]] / [[graft.streaming.Jobs.mvMaintain]] extend it with
+    * exactly-once delta epochs and [[compact]] re-folds them. */
   def register(base: DataFrame, groupCols: Seq[String], mvPath: String,
                sumCols: Seq[String] = Nil, sumLongCols: Seq[String] = Nil,
                minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Unit = {
     val spark = base.sparkSession
-    val aggs = Seq(count(lit(1)).as("__cnt")) ++
-      sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
-      sumLongCols.map(c => sum(col(c).cast("long")).as(s"__suml_$c")) ++
-      minCols.map(c => min(col(c)).as(s"__min_$c")) ++
-      maxCols.map(c => max(col(c)).as(s"__max_$c"))
-    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
-    val basePaths = base.queryExecution.analyzed.collect {
-      case lr: LogicalRelation => rootPaths(lr).getOrElse(Set.empty)
-    }.flatten.toSet
+    val basePaths = basePathsOf(base)
     require(basePaths.nonEmpty,
       "MaterializedAgg.register: base is not a file-relation scan")
-    val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed match {
-      case lr: LogicalRelation => lr
-      case other => throw new IllegalStateException(s"unexpected MV plan: $other")
-    }
-    registry.put(basePaths,
-      Meta(groupCols.toSet, sumCols.toSet, sumLongCols.toSet,
-        minCols.toSet, maxCols.toSet, mvRel))
+    val meta0 = Meta(groupCols, sumCols, sumLongCols, minCols, maxCols,
+      mvPath, null, null)
+    val cube0 = cube(base, meta0)
+    graft.core.EpochManifest.append(cube0, mvPath, epoch = 0L)
+    val schema = cube0.schema
+    val meta = meta0.copy(schema = schema, freshPlan = () =>
+      graft.core.EpochManifest.read(spark, mvPath, schema)
+        .queryExecution.analyzed)
+    registry.put(basePaths, meta)
     GraftBridge.addOptimization(spark, RewriteToMaterializedAgg)
+  }
+
+  /** Extend the MV with a DELTA batch (rows appended to the base since
+    * the last epoch) as manifest epoch `epoch`: the batch's partial cube
+    * lands as an immutable attempt dir committed by one atomic manifest
+    * rename — a streaming retry REPLACES its epoch's entry, so the view
+    * is exactly-once under a checkpoint, and queries see the new epoch
+    * on their next plan (the rewrite re-reads the manifest per query). */
+  def append(base: DataFrame, delta: DataFrame, epoch: Long): Unit = {
+    val meta = registry.getOrElse(basePathsOf(base),
+      throw new IllegalStateException(
+        "MaterializedAgg.append: base has no registered view"))
+    graft.core.EpochManifest.append(cube(delta, meta), meta.mvRoot, epoch)
+  }
+
+  /** Fold all committed epochs < `uptoEpoch` into ONE re-aggregated
+    * partial cube (counts/sums re-summed, min/max re-folded — a valid
+    * partial again) and swap it in with a single manifest commit: the
+    * MV's row count returns to |distinct group keys| no matter how many
+    * delta epochs streamed in. Readers keep their snapshot
+    * ([[graft.core.EpochManifest]]'s two-manifest gc lag). */
+  def compact(base: DataFrame, uptoEpoch: Long = Long.MaxValue): Unit = {
+    val meta = registry.getOrElse(basePathsOf(base),
+      throw new IllegalStateException(
+        "MaterializedAgg.compact: base has no registered view"))
+    val spark = base.sparkSession
+    import graft.core.EpochManifest
+    val es = EpochManifest.entries(spark, meta.mvRoot)
+    val covered = es.filter(_.epoch < uptoEpoch)
+    if (covered.size <= 1) return
+    val maxCov = covered.map(_.epoch).max
+    val partials = covered
+      .map(e => spark.read.schema(meta.schema).parquet(s"${meta.mvRoot}/${e.dir}"))
+      .reduce(_ unionByName _)
+    val refold = Seq(sum(col("__cnt")).as("__cnt")) ++
+      meta.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")) ++
+      meta.sumLongCols.map(c => sum(col(s"__suml_$c")).as(s"__suml_$c")) ++
+      meta.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
+      meta.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c"))
+    val folded = partials.groupBy(meta.groupCols.map(col): _*)
+      .agg(refold.head, refold.tail: _*)
+      // __cnt re-sums to long — cast back so the fold's schema stays
+      // byte-identical to an epoch-0 cube
+      .withColumn("__cnt", col("__cnt").cast("long"))
+      .select(meta.schema.fieldNames.map(col).toSeq: _*)
+    val foldDir = EpochManifest.newDataDir(spark, meta.mvRoot, maxCov)
+    folded.write.mode("overwrite").parquet(s"${meta.mvRoot}/$foldDir")
+    EpochManifest.commit(spark, meta.mvRoot,
+      es.filterNot(_.epoch < uptoEpoch) :+
+        graft.core.EpochManifest.Entry(maxCov, foldDir))
+    EpochManifest.gc(spark, meta.mvRoot)
   }
 
   /** Drop a registration (tests; a production drop-MV). */
@@ -141,8 +213,10 @@ object MaterializedAgg {
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val (conds, baseRel) = unwrap(agg.child, Nil).getOrElse(return None)
       val meta = rootPaths(baseRel).flatMap(lookup).getOrElse(return None)
-      // fresh exprIds per use — two rewrites in one plan must not collide
-      val mv = meta.mvRel.newInstance()
+      // fresh plan per use — fresh exprIds (two rewrites in one query
+      // must not collide) AND a fresh manifest snapshot (epochs appended
+      // since registration are picked up without re-registering)
+      val mv = meta.freshPlan()
       // registered names are derived from the same meta that built the
       // store, so a miss means the MV file was replaced externally —
       // fail loudly rather than silently compute from a wrong column

@@ -975,4 +975,30 @@ object Jobs {
         ()
       }
       .start()
+
+  /** Streaming maintenance of a MATERIALIZED VIEW
+    * ([[graft.plans.MaterializedAgg]]): each micro-batch of new fact
+    * rows is collapsed to its partial cube and appended as manifest
+    * epoch `epochId + 1` (epoch 0 is the batch build) — exactly-once
+    * under the checkpoint (a retried epoch commits a replacement
+    * entry), and because the rewrite rule re-aggregates the store on
+    * every query, the appended partials are LIVE immediately: a
+    * dashboard aggregate over the base table answers current through
+    * the last committed epoch without anyone recomputing the view.
+    * Compaction every `compactEvery` epochs re-folds the partials to
+    * |distinct group keys| rows (a re-aggregation, not a union — the
+    * fold is itself a valid partial cube), bounding both dir count and
+    * per-query merge work for the stream's lifetime. */
+  def mvMaintain(deltas: DataFrame, base: DataFrame,
+                 checkpointDir: String, compactEvery: Int = 8): StreamingQuery =
+    deltas.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+          graft.plans.MaterializedAgg.compact(base, uptoEpoch = epochId + 1)
+        graft.plans.MaterializedAgg.append(base, batch, epoch = epochId + 1)
+        ()
+      }
+      .start()
 }

@@ -80,4 +80,48 @@ class MvSpec extends SparkSpec {
         "DISTINCT aggregates must refuse the rewrite")
     } finally MaterializedAgg.unregister(base)
   }
+
+  test("streaming-maintained MV: appended epochs are live, compaction re-folds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_stream").toString
+    val want = rollup().collect().map(_.toSeq).toSeq // truth: full base, plain plan
+    // register the cube built from HALF the fact table (the base scan's
+    // path set is what's registered, so the rewrite still matches full-
+    // table queries); stream the other half in as delta epochs
+    MaterializedAgg.register(
+      base.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_returnflag", "l_linestatus"), s"$dir/mv",
+      sumLongCols = Seq("l_quantity"),
+      minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"))
+    try {
+      // before the deltas arrive the MV answers only half the base —
+      // visibly different, proving the later equality isn't vacuous
+      assert(rollup().collect().map(_.toSeq).toSeq != want,
+        "half-base MV already equals the full answer — fixture lost its teeth")
+      val deltaRows = base.filter(col("l_orderkey") % 2 =!= 0)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      val in = MemoryStream[(String, String, Double, Double)]
+      def run(): Unit = graft.streaming.Jobs.mvMaintain(
+        in.toDF().toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
+        base, s"$dir/cp", compactEvery = 2).awaitTermination(60000)
+      val batches = deltaRows.grouped((deltaRows.length / 3).max(1)).toSeq
+      assert(batches.size >= 3, "need enough delta batches to cross the compaction boundary")
+      batches.foreach { b => in.addData(b.toSeq); run() }
+      // the rewrite answers current — and still off the MV, not the base
+      val df = rollup()
+      assert(df.collect().map(_.toSeq).toSeq == want,
+        "streaming-maintained MV diverged from the full-base answer")
+      assert(!scannedPaths(df).exists(_.contains("lineitem.parquet")),
+        "query fell back to the base after streaming maintenance")
+      // the mid-stream compaction bounded the manifest
+      val entries = graft.core.EpochManifest.entries(spark, s"$dir/mv")
+      assert(entries.size < 1 + batches.size,
+        s"compaction never fired: ${entries.size} manifest entries")
+    } finally MaterializedAgg.unregister(base)
+  }
 }
