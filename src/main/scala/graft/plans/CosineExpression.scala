@@ -113,6 +113,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushLeftFiltersThroughAsOfJoin)
     ext.injectOptimizerRule(_ => PruneAsOfJoinColumns)
+    // no-op until a view is registered (the registry starts empty)
+    ext.injectOptimizerRule(_ => MaterializedAgg.RewriteToMaterializedAgg)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
