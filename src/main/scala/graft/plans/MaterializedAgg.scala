@@ -4,15 +4,15 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Attribute, AttributeReference, Cast, Expression, Literal}
+  Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+  AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Materialized-aggregate (roll-up) rewrite — the warehouse accelerator,
   * engine-native: register a pre-aggregated copy of a fact table once
@@ -67,6 +67,7 @@ object MaterializedAgg {
       sumLongCols: Seq[String],
       minCols: Seq[String],
       maxCols: Seq[String],
+      cntCols: Seq[String],
       mvRoot: String,
       schema: org.apache.spark.sql.types.StructType,
       freshPlan: () => LogicalPlan)
@@ -97,7 +98,8 @@ object MaterializedAgg {
       meta.sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
       meta.sumLongCols.map(c => sum(col(c).cast("long")).as(s"__suml_$c")) ++
       meta.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
-      meta.maxCols.map(c => max(col(c)).as(s"__max_$c"))
+      meta.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
+      meta.cntCols.map(c => count(col(c)).as(s"__cntn_$c"))
     rows.groupBy(meta.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -110,13 +112,14 @@ object MaterializedAgg {
     * exactly-once delta epochs and [[compact]] re-folds them. */
   def register(base: DataFrame, groupCols: Seq[String], mvPath: String,
                sumCols: Seq[String] = Nil, sumLongCols: Seq[String] = Nil,
-               minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Unit = {
+               minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+               cntCols: Seq[String] = Nil): Unit = {
     val spark = base.sparkSession
     val basePaths = basePathsOf(base)
     require(basePaths.nonEmpty,
       "MaterializedAgg.register: base is not a file-relation scan")
     val meta0 = Meta(groupCols, sumCols, sumLongCols, minCols, maxCols,
-      mvPath, null, null)
+      cntCols, mvPath, null, null)
     val cube0 = cube(base, meta0)
     graft.core.EpochManifest.append(cube0, mvPath, epoch = 0L)
     val schema = cube0.schema
@@ -163,7 +166,8 @@ object MaterializedAgg {
       meta.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")) ++
       meta.sumLongCols.map(c => sum(col(s"__suml_$c")).as(s"__suml_$c")) ++
       meta.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
-      meta.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c"))
+      meta.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c")) ++
+      meta.cntCols.map(c => sum(col(s"__cntn_$c")).as(s"__cntn_$c"))
     val folded = partials.groupBy(meta.groupCols.map(col): _*)
       .agg(refold.head, refold.tail: _*)
       // __cnt re-sums to long — cast back so the fold's schema stays
@@ -233,6 +237,10 @@ object MaterializedAgg {
         if (ae.isDistinct || ae.filter.nonEmpty) return None
         ae.aggregateFunction match {
           case Count(Seq(Literal(_, _))) => Some(Sum(mvAttr("__cnt")))
+          // non-null count: re-sum the stored per-column count partials
+          case Count(Seq(a: AttributeReference))
+              if meta.cntCols.contains(a.name) =>
+            Some(Sum(mvAttr(s"__cntn_${a.name}")))
           case s: Sum => s.child match {
             case a: AttributeReference if meta.sumCols.contains(a.name) =>
               Some(Sum(mvAttr(s"__sum_${a.name}")))
@@ -257,6 +265,29 @@ object MaterializedAgg {
         case al @ Alias(a: AttributeReference, name)
             if meta.groupCols.contains(a.name) =>
           Alias(mvAttr(a.name), name)(exprId = al.exprId, qualifier = al.qualifier)
+        // avg decomposes to a COMPOSITE result expression over two new
+        // aggregates: sum(partial sums) / sum(non-null count partials)
+        // — the null semantics of avg (divisor counts non-null values
+        // only; all-null groups yield NULL via null-sum / 0-divide).
+        // Allowed ONLY when the stored partial sum is integral (long):
+        // long partial sums re-sum EXACTLY, so one final IEEE divide
+        // reproduces the base result bit-for-bit, while double partials
+        // would re-fold in a different order and drift in the last ulp.
+        case al @ Alias(ae: AggregateExpression, name)
+            if ae.aggregateFunction.isInstanceOf[Average] &&
+              !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction.asInstanceOf[Average].child match {
+            case a: AttributeReference
+                if meta.sumCols.contains(a.name) &&
+                  meta.cntCols.contains(a.name) &&
+                  mvAttr(s"__sum_${a.name}").dataType == LongType &&
+                  ae.dataType == DoubleType =>
+              val sumAe = Sum(mvAttr(s"__sum_${a.name}")).toAggregateExpression()
+              val cntAe = Sum(mvAttr(s"__cntn_${a.name}")).toAggregateExpression()
+              Alias(Divide(Cast(sumAe, DoubleType), Cast(cntAe, DoubleType)),
+                name)(exprId = al.exprId, qualifier = al.qualifier)
+            case _ => return None
+          }
         case al @ Alias(ae: AggregateExpression, name) =>
           val fn = rewriteAgg(ae).getOrElse(return None)
           // exact type preservation or downstream consumers of this

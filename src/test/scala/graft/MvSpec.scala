@@ -31,10 +31,20 @@ class MvSpec extends SparkSpec {
 
   test("roll-up over the base rewrites to the MV scan with identical rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    // avg/count(col) coverage: integral measure registered as a plain
+    // sum (long partial sums → bit-exact decomposed average)
+    def stats() = base
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_linenumber")).as("avg_ln"),
+        count(col("l_linenumber")).as("cnt_ln"),
+        sum(col("l_linenumber")).as("sum_ln"))
+      .orderBy("l_returnflag")
     val want = rollup().collect().map(_.toSeq).toSeq // pre-registration: base plan
+    val wantStats = stats().collect().map(_.toSeq).toSeq
     MaterializedAgg.register(base, Seq("l_returnflag", "l_linestatus"),
       s"$dir/mv", sumLongCols = Seq("l_quantity"),
-      minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"))
+      minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"),
+      sumCols = Seq("l_linenumber"), cntCols = Seq("l_linenumber"))
     try {
       val df = rollup()
       assert(df.collect().map(_.toSeq).toSeq == want, "rewrite changed the answer")
@@ -42,6 +52,11 @@ class MvSpec extends SparkSpec {
       assert(paths.exists(_.contains("graft_mv")), s"MV not scanned: $paths")
       assert(!paths.exists(_.contains("lineitem.parquet")),
         s"base still scanned after rewrite: $paths")
+      val sdf = stats()
+      assert(!scannedPaths(sdf).exists(_.contains("lineitem.parquet")),
+        "avg/count(col) decomposition did not rewrite")
+      assert(sdf.collect().map(_.toSeq).toSeq == wantStats,
+        "decomposed avg/count(col) changed the answer")
 
       // exact-grouping (non-roll-up) shape with a group-col filter: the
       // filter must ride onto the MV scan
