@@ -155,4 +155,35 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.1,
       s"approx=$approx exact=$exact")
   }
+
+  test("HashedLinearLogit == pure-JVM replay on random docs and random models") {
+    import graft.functions.TextOps
+    val D = 256
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("", " ", "ütf", "多字节", "a-b", "##", "a'b"))
+    val docGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    val caseGen = for {
+      doc <- docGen
+      seed <- Gen.choose(0, 1000)
+    } yield (doc, seed)
+    samples(caseGen, 30).foreach { case (doc, seed) =>
+      val weights = Array.tabulate(D)(j =>
+        (java.lang.Long.remainderUnsigned(
+          TextOps.md5Upper64(s"$j|$seed"), 2001L) - 1000L).toInt)
+      def jvm(text: String): Long = {
+        val ws = text.split(" ", -1)
+        val grams = ws.toSeq ++
+          (if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+        grams.map(g => weights(java.lang.Long.remainderUnsigned(
+          TextOps.md5Upper64(s"$g|qf"), D.toLong).toInt).toLong).sum
+      }
+      val got = Seq(Tuple1(doc)).toDF("text")
+        .withColumn("ws", split(col("text"), " "))
+        .select(graft.plans.HashedLinearLogit
+          .hashedLinearLogit(col("ws"), "|qf", weights))
+        .as[Long].head()
+      assert(got == jvm(doc), s"doc='$doc' seed=$seed: $got != ${jvm(doc)}")
+    }
+  }
 }
