@@ -74,8 +74,9 @@ object MaterializedAgg {
 
   // keyed by the base relation's root-path set — JVM-global so every
   // session sharing the warehouse sees the store (rule injection itself
-  // stays per-session)
-  private val registry = TrieMap.empty[Set[String], Meta]
+  // stays per-session). A base may carry SEVERAL views (a cube
+  // lattice); the rewrite tries the narrowest covering one first.
+  private val registry = TrieMap.empty[Set[String], List[Meta]]
 
   private def rootPaths(lr: LogicalRelation): Option[Set[String]] =
     lr.relation match {
@@ -126,8 +127,23 @@ object MaterializedAgg {
     val meta = meta0.copy(schema = schema, freshPlan = () =>
       graft.core.EpochManifest.read(spark, mvPath, schema)
         .queryExecution.analyzed)
-    registry.put(basePaths, meta)
+    registry.synchronized {
+      val cur = registry.getOrElse(basePaths, Nil).filterNot(_.mvRoot == mvPath)
+      registry.put(basePaths, meta :: cur)
+    }
     GraftBridge.addOptimization(spark, RewriteToMaterializedAgg)
+  }
+
+  /** Resolve one view of `base` for a maintenance op: unambiguous when
+    * one view is registered; multi-view bases must name the root. */
+  private def metaFor(base: DataFrame, mvRoot: String, op: String): Meta = {
+    val ms = registry.getOrElse(basePathsOf(base), Nil)
+    val m =
+      if (mvRoot == null) ms match { case only :: Nil => Some(only); case _ => None }
+      else ms.find(_.mvRoot == mvRoot)
+    m.getOrElse(throw new IllegalStateException(
+      s"MaterializedAgg.$op: base has ${ms.size} registered view(s)" +
+        (if (mvRoot == null) " — name the mvRoot" else s"; none at $mvRoot")))
   }
 
   /** Extend the MV with a DELTA batch (rows appended to the base since
@@ -136,10 +152,9 @@ object MaterializedAgg {
     * rename — a streaming retry REPLACES its epoch's entry, so the view
     * is exactly-once under a checkpoint, and queries see the new epoch
     * on their next plan (the rewrite re-reads the manifest per query). */
-  def append(base: DataFrame, delta: DataFrame, epoch: Long): Unit = {
-    val meta = registry.getOrElse(basePathsOf(base),
-      throw new IllegalStateException(
-        "MaterializedAgg.append: base has no registered view"))
+  def append(base: DataFrame, delta: DataFrame, epoch: Long,
+             mvRoot: String = null): Unit = {
+    val meta = metaFor(base, mvRoot, "append")
     graft.core.EpochManifest.append(cube(delta, meta), meta.mvRoot, epoch)
   }
 
@@ -149,10 +164,9 @@ object MaterializedAgg {
     * MV's row count returns to |distinct group keys| no matter how many
     * delta epochs streamed in. Readers keep their snapshot
     * ([[graft.core.EpochManifest]]'s two-manifest gc lag). */
-  def compact(base: DataFrame, uptoEpoch: Long = Long.MaxValue): Unit = {
-    val meta = registry.getOrElse(basePathsOf(base),
-      throw new IllegalStateException(
-        "MaterializedAgg.compact: base has no registered view"))
+  def compact(base: DataFrame, uptoEpoch: Long = Long.MaxValue,
+              mvRoot: String = null): Unit = {
+    val meta = metaFor(base, mvRoot, "compact")
     val spark = base.sparkSession
     import graft.core.EpochManifest
     val es = EpochManifest.entries(spark, meta.mvRoot)
@@ -191,7 +205,6 @@ object MaterializedAgg {
     ()
   }
 
-  private def lookup(paths: Set[String]): Option[Meta] = registry.get(paths)
 
   /** The rewrite rule. Runs in the late per-session experimental batch
     * ([[GraftBridge.addOptimization]]) — after standard optimization, so
@@ -216,7 +229,17 @@ object MaterializedAgg {
 
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val (conds, baseRel) = unwrap(agg.child, Nil).getOrElse(return None)
-      val meta = rootPaths(baseRel).flatMap(lookup).getOrElse(return None)
+      val candidates = rootPaths(baseRel)
+        .map(p => registry.getOrElse(p, Nil)).getOrElse(Nil)
+      // narrowest covering view wins: fewer grouping columns = fewer
+      // distinct keys = the smallest store that can still answer
+      candidates.sortBy(_.groupCols.size).view
+        .flatMap(m => rewriteWith(agg, conds, m))
+        .headOption
+    }
+
+    private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
+                            meta: Meta): Option[LogicalPlan] = {
       // fresh plan per use — fresh exprIds (two rewrites in one query
       // must not collide) AND a fresh manifest snapshot (epochs appended
       // since registration are picked up without re-registering)

@@ -96,6 +96,40 @@ class MvSpec extends SparkSpec {
     } finally MaterializedAgg.unregister(base)
   }
 
+  test("cube lattice: the narrowest covering view answers each roll-up") {
+    val wide = java.nio.file.Files.createTempDirectory("graft_mv_wide").toString
+    val narrow = java.nio.file.Files.createTempDirectory("graft_mv_narrow").toString
+    def q(cols: String*) = base
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy(cols.map(col): _*)
+    val wantRf = q("l_returnflag").collect().map(_.toSeq).toSeq
+    val wantBoth = q("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+    MaterializedAgg.register(base, Seq("l_returnflag", "l_linestatus"),
+      s"$wide/mv", sumLongCols = Seq("l_quantity"))
+    MaterializedAgg.register(base, Seq("l_returnflag"),
+      s"$narrow/mv", sumLongCols = Seq("l_quantity"))
+    try {
+      // single-col roll-up: both views cover it; the 3-row narrow one wins
+      val rf = q("l_returnflag")
+      val rfPaths = scannedPaths(rf)
+      assert(rfPaths.exists(_.contains("graft_mv_narrow")),
+        s"narrow view not chosen: $rfPaths")
+      assert(!rfPaths.exists(_.contains("graft_mv_wide")) &&
+        !rfPaths.exists(_.contains("lineitem.parquet")),
+        s"wrong relation scanned: $rfPaths")
+      assert(rf.collect().map(_.toSeq).toSeq == wantRf)
+      // two-col grouping: only the wide view covers it
+      val both = q("l_returnflag", "l_linestatus")
+      val bothPaths = scannedPaths(both)
+      assert(bothPaths.exists(_.contains("graft_mv_wide")),
+        s"wide view not chosen: $bothPaths")
+      assert(!bothPaths.exists(_.contains("lineitem.parquet")),
+        s"base still scanned: $bothPaths")
+      assert(both.collect().map(_.toSeq).toSeq == wantBoth)
+    } finally MaterializedAgg.unregister(base)
+  }
+
   test("streaming-maintained MV: appended epochs are live, compaction re-folds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
