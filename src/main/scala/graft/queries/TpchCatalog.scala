@@ -853,10 +853,35 @@ object TpchCatalog {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** [[mvRollup]]'s filtered shape (`q_mv_rollup_filtered`): a group-col
+    * predicate plus the exact (non-subset) grouping — the rewrite must
+    * carry the filter onto the MV scan, and the oracle still computes
+    * from the raw base, so the matching row proves the filtered rewrite
+    * path end-to-end under the driver's gate (MvSpec proves the plan
+    * side). Shares [[mvRollup]]'s registered store via the same memo. */
+  def mvRollupFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val _ = mvRollup(spark, sfDir) // ensure the store is registered
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val mvRollupFilteredSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
     "q_mv_rollup"         -> (mvRollup _),
+    "q_mv_rollup_filtered" -> (mvRollupFiltered _),
     "q_pricing_summary"   -> (pricingSummary _),
     "q_ship_priority"     -> (shipPriority _),
     "q_revenue_forecast"  -> (revenueForecast _),
@@ -893,6 +918,7 @@ object TpchCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_mv_rollup"         -> mvRollupSql,
+    "q_mv_rollup_filtered" -> mvRollupFilteredSql,
     "q_pricing_summary"   -> pricingSummarySql,
     "q_ship_priority"     -> shipPrioritySql,
     "q_revenue_forecast"  -> revenueForecastSql,

@@ -560,6 +560,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("inverted store: a probe pinned before compaction reads through the swap unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_snap").toString
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    TextCatalog.buildInvertedIndexStore(corpus.filter(col("doc_id") % 3 === 0), dir)
+    TextCatalog.appendInvertedIndex(corpus.filter(col("doc_id") % 3 === 1), dir, 1L)
+    TextCatalog.appendInvertedIndex(corpus.filter(col("doc_id") % 3 === 2), dir, 2L)
+    val terms = Seq("vector", "join")
+    def probe() = TextCatalog.searchInvertedIndexStore(spark, dir, terms, k = 8)
+    val pre = probe().collect().map(_.toSeq).toSeq
+    // pin a DataFrame (manifest snapshot + file listing resolved NOW),
+    // then compact underneath it — the reader-isolation property a
+    // long-running serving index needs
+    val pinned = probe()
+    import graft.core.EpochManifest
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "4").toInt
+    EpochManifest.compact(spark, TextCatalog.doclensRoot(dir),
+      TextCatalog.doclensSchema, coalesceTo = par)
+    EpochManifest.compact(spark, TextCatalog.postingsRoot(dir),
+      TextCatalog.postingsSchema, partitionBy = Seq("bucket"), coalesceTo = par)
+    assert(EpochManifest.entries(spark, TextCatalog.postingsRoot(dir)).size == 1,
+      "compaction did not fold the postings store")
+    assert(pinned.collect().map(_.toSeq).toSeq == pre,
+      "pinned probe diverged under concurrent compaction")
+    assert(probe().collect().map(_.toSeq).toSeq == pre,
+      "post-compaction probe changed results")
+  }
+
   test("persisted-index BM25 is bit-identical to the declarative query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inv_bm25").toString
     val corpus = spark.read.parquet(s"$sf001/documents.parquet")
