@@ -167,10 +167,11 @@ object PlanAudit {
     // parquet: predicate pushdown into the ORC scan (both filter
     // conjuncts) — format parity is about the plan, not just the rows
     val orc = plan(MiscCatalog.orcRoundtrip(spark, sfDir))
-    check("q_orc_roundtrip", orc, "filters pushed into the ORC scan",
-      p => p.toLowerCase.contains("orc") &&
-        p.contains("o_orderstatus") && p.contains("PushedFilters: [") &&
-        !p.contains("PushedFilters: []"))
+    check("q_orc_roundtrip", orc, "both filter conjuncts pushed into the ORC scan",
+      p => p.linesIterator.exists(l =>
+          l.contains("Scan") && l.toLowerCase.contains("orc")) &&
+        p.linesIterator.exists(l => l.contains("PushedFilters: [") &&
+          l.contains("o_orderstatus") && l.contains("o_totalprice")))
 
     // the inverted-index posting head must plan as the bounded heap with
     // a map-side partial — a collect_list/window fallback would carry a

@@ -44,6 +44,10 @@ case class HashedLinearLogit(child: Expression, salt: String, weights: Seq[Int])
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "hashed_linear_logit"
+  // a null TOKEN nulls the whole score (the declarative twin's
+  // null-propagation: one null gram nulled its aggregate fold), so the
+  // result is nullable even over a non-null array column
+  override def nullable: Boolean = true
 
   @transient private lazy val w: Array[Int] = weights.toArray
   @transient private lazy val saltBytes =
@@ -66,19 +70,20 @@ case class HashedLinearLogit(child: Expression, salt: String, weights: Seq[Int])
     w(java.lang.Long.remainderUnsigned(u, w.length.toLong).toInt).toLong
   }
 
-  private val space = Array[Byte](' ')
-
   /** One pass over the token array: unigrams, then each adjacent bigram
     * as `ws[i-1] ++ " " ++ ws[i]` (byte-concat — UTF-8 concat of the
     * parts IS the UTF-8 of the joined string, so no String round-trip).
-    * Public for the generated code's reference-object call. */
-  def score(a: ArrayData): Long = {
+    * Returns null (boxed) when any token is null — matching the
+    * declarative twin's null propagation instead of crashing. Public
+    * for the generated code's reference-object call. */
+  def score(a: ArrayData): java.lang.Long = {
     val d = md5Local.get()
     val n = a.numElements()
     var lm = 0L
     var prev: Array[Byte] = null
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val cur = a.getUTF8String(i).getBytes
       lm += contrib(d, cur)
       if (prev != null) {
@@ -98,7 +103,14 @@ case class HashedLinearLogit(child: Expression, salt: String, weights: Seq[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hashedLinear", this, classOf[HashedLinearLogit].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.score($a);")
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("hll")
+      s"""
+         |java.lang.Long $r = $ref.score($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

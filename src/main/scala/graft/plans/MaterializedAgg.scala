@@ -4,7 +4,8 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal}
+  Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression,
+  Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -104,6 +105,27 @@ object MaterializedAgg {
     rows.groupBy(meta.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Run `body` with every view of `basePaths` unregistered, restoring
+    * them after (minus any a concurrent register replaced). The cube
+    * builds in [[register]]/[[append]] aggregate the base/delta scan in
+    * EXACTLY the shape the armed rule rewrites — without the suspension
+    * a REBUILD's cube query is answered by the stale view it is
+    * supposed to replace, silently persisting the stale totals as the
+    * "fresh" epoch 0 (caught by MvSpec's re-register test). Queries
+    * racing the window just use the base: correct, merely slower. */
+  private def withRewriteSuspended[T](basePaths: Set[String])(body: => T): T = {
+    val snapshot = registry.synchronized {
+      val cur = registry.getOrElse(basePaths, Nil)
+      registry.put(basePaths, Nil)
+      cur
+    }
+    try body finally registry.synchronized {
+      val now = registry.getOrElse(basePaths, Nil)
+      registry.put(basePaths,
+        now ++ snapshot.filterNot(m => now.exists(_.mvRoot == m.mvRoot)))
+    }
+  }
+
   /** Build the MV store at manifest root `mvPath` from `base` (which
     * must contain the fact table's file-relation scan) as epoch 0,
     * register it for the rewrite, and arm the rule on `base`'s session.
@@ -121,9 +143,22 @@ object MaterializedAgg {
       "MaterializedAgg.register: base is not a file-relation scan")
     val meta0 = Meta(groupCols, sumCols, sumLongCols, minCols, maxCols,
       cntCols, mvPath, null, null)
-    val cube0 = cube(base, meta0)
-    graft.core.EpochManifest.append(cube0, mvPath, epoch = 0L)
-    val schema = cube0.schema
+    // build + land the fresh cube with the base's views SUSPENDED (a
+    // rebuild's cube aggregate must scan the base, not be answered by
+    // the stale view it replaces), and RESET the manifest to exactly
+    // the new epoch 0 — append() would merge with existing entries, so
+    // a re-register on a store holding delta/fold epochs would
+    // double-count every stale epoch; gc's two-manifest lag reclaims
+    // the old dirs without pulling them out from under a pinned reader
+    val schema = withRewriteSuspended(basePaths) {
+      import graft.core.EpochManifest
+      val cube0 = cube(base, meta0)
+      val dir = EpochManifest.newDataDir(spark, mvPath, 0L)
+      cube0.write.mode("overwrite").parquet(s"$mvPath/$dir")
+      EpochManifest.commit(spark, mvPath, Seq(EpochManifest.Entry(0L, dir)))
+      EpochManifest.gc(spark, mvPath)
+      cube0.schema
+    }
     val meta = meta0.copy(schema = schema, freshPlan = () =>
       graft.core.EpochManifest.read(spark, mvPath, schema)
         .queryExecution.analyzed)
@@ -154,8 +189,13 @@ object MaterializedAgg {
     * on their next plan (the rewrite re-reads the manifest per query). */
   def append(base: DataFrame, delta: DataFrame, epoch: Long,
              mvRoot: String = null): Unit = {
+    val basePaths = basePathsOf(base)
     val meta = metaFor(base, mvRoot, "append")
-    graft.core.EpochManifest.append(cube(delta, meta), meta.mvRoot, epoch)
+    // a delta that happens to be a (filtered) base scan would otherwise
+    // have its partial cube answered by the view being extended
+    withRewriteSuspended(basePaths) {
+      graft.core.EpochManifest.append(cube(delta, meta), meta.mvRoot, epoch)
+    }
   }
 
   /** Fold all committed epochs < `uptoEpoch` into ONE re-aggregated
@@ -198,10 +238,7 @@ object MaterializedAgg {
 
   /** Drop a registration (tests; a production drop-MV). */
   def unregister(base: DataFrame): Unit = {
-    val basePaths = base.queryExecution.analyzed.collect {
-      case lr: LogicalRelation => rootPaths(lr).getOrElse(Set.empty)
-    }.flatten.toSet
-    registry.remove(basePaths)
+    registry.remove(basePathsOf(base))
     ()
   }
 
@@ -254,7 +291,11 @@ object MaterializedAgg {
         case a: AttributeReference if meta.groupCols.contains(a.name) => a
         case _ => return None
       }
-      if (!conds.forall(_.references.forall(r => meta.groupCols.contains(r.name))))
+      // filters must reference only grouping columns AND be deterministic:
+      // a nondeterministic condition (rand() < p) evaluated per MV group
+      // row instead of per base row silently changes the answer
+      if (!conds.forall(c => c.deterministic &&
+          c.references.forall(r => meta.groupCols.contains(r.name))))
         return None
       def rewriteAgg(ae: AggregateExpression): Option[AggregateFunction] = {
         if (ae.isDistinct || ae.filter.nonEmpty) return None
@@ -316,8 +357,17 @@ object MaterializedAgg {
           // exact type preservation or downstream consumers of this
           // exprId see a different schema (decimal sums re-widen here)
           if (fn.dataType != ae.dataType) return None
-          Alias(ae.copy(aggregateFunction = fn), name)(
-            exprId = al.exprId, qualifier = al.qualifier)
+          val rewritten = ae.aggregateFunction match {
+            // count is the one aggregate whose empty-input value is not
+            // NULL: a GLOBAL count over zero matching rows returns 0,
+            // but its Sum-over-partials rewrite returns NULL — coalesce
+            // restores the contract (per-group sums of the never-null
+            // partials can't be NULL, so this only fires on empty input)
+            case _: Count =>
+              Coalesce(Seq(ae.copy(aggregateFunction = fn), Literal(0L)))
+            case _ => ae.copy(aggregateFunction = fn)
+          }
+          Alias(rewritten, name)(exprId = al.exprId, qualifier = al.qualifier)
         case _ => return None
       }
       val newGrp: Seq[Expression] = grpAttrs.map(a => mvAttr(a.name))

@@ -436,14 +436,6 @@ object MiscCatalog {
       |ORDER BY diff_class""".stripMargin
   }
 
-  // bounded per-key memo for the landed ORC copy (same liveness contract
-  // as Listings.landedRun: never delete under a live session's plans;
-  // the per-dir exit hook is the backstop)
-  private val orcLanded =
-    new graft.core.BoundedMemo[(SparkSession, String), String](4)((k, dir) =>
-      if (k._1.sparkContext.isStopped)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
-
   /** ORC source/sink round-trip (`q_orc_roundtrip`) — format-parity
     * coverage for the second columnar format Spark ships natively: the
     * orders table is landed ONCE per (session, sfDir) as ORC (memoized,
@@ -460,13 +452,8 @@ object MiscCatalog {
     * copy is splittable. The sum is the engine's cross-engine-exact
     * decimal fold ([[Parity.dsum]]). */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = orcLanded.get((spark, sfDir)) {
-      val d = java.nio.file.Files.createTempDirectory("graft_orc_orders")
-      Tables.orders(spark, sfDir).write.mode("overwrite").orc(d.toString)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
-      d.toString
-    }
+    val dir = graft.core.Landed.dir(spark, s"orc_orders:$sfDir", "graft_orc_orders")(
+      d => Tables.orders(spark, sfDir).write.mode("overwrite").orc(d))
     spark.read.orc(dir)
       .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
       .groupBy(col("o_orderpriority"))

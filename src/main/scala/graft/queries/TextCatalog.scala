@@ -2185,14 +2185,6 @@ object TextCatalog {
       .orderBy("token", "rank")
   }
 
-  // bounded memo for the catalog query's landed index store (the
-  // Listings.landedRun liveness contract: never delete under a live
-  // session; per-dir exit hook as backstop)
-  private val invStoreMemo =
-    new graft.core.BoundedMemo[(SparkSession, String), String](4)((k, dir) =>
-      if (k._1.sparkContext.isStopped)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
-
   /** Persisted-index keyword search as an oracled catalog row
     * (`q_doc_search`): builds the inverted store ONCE per
     * (session, sfDir) from the documents table, then probes it for a
@@ -2205,15 +2197,9 @@ object TextCatalog {
     * live on [[searchInvertedIndexStore]] (bucket-pruned probe, bounded
     * heap ranking). */
   def docSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = invStoreMemo.get((spark, sfDir)) {
-      val d = java.nio.file.Files.createTempDirectory("graft_inv_store")
-      buildInvertedIndexStore(
-        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-        d.toString)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
-      d.toString
-    }
+    val dir = graft.core.Landed.dir(spark, s"inv_store:$sfDir", "graft_inv_store")(
+      d => buildInvertedIndexStore(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), d))
     searchInvertedIndexStore(spark, dir,
       Seq("vector", "stream", "join", "window", "hash"), k = 8)
   }

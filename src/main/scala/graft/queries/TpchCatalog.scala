@@ -805,13 +805,6 @@ object TpchCatalog {
        |GROUP BY s_suppkey, s_name
        |ORDER BY s_suppkey""".stripMargin
 
-  // bounded memo for the landed+registered materialized view (the
-  // Listings.landedRun liveness contract)
-  private val mvMemo =
-    new graft.core.BoundedMemo[(SparkSession, String), String](4)((k, dir) =>
-      if (k._1.sparkContext.isStopped)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
-
   /** Materialized-view roll-up (`q_mv_rollup`) — the rewrite rule
     * ([[graft.plans.MaterializedAgg]]) exercised as a catalog row: the
     * query is WRITTEN against the base lineitem table (grouped on
@@ -825,16 +818,11 @@ object TpchCatalog {
     * decimal-exact long-sum idiom and order-insensitive min/max, so the
     * re-aggregation is cell-exact by construction. */
   def mvRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    mvMemo.get((spark, sfDir)) {
-      val d = java.nio.file.Files.createTempDirectory("graft_mv_store")
-      graft.plans.MaterializedAgg.register(
+    graft.core.Landed.dir(spark, s"mv_store:$sfDir", "graft_mv_store")(
+      d => graft.plans.MaterializedAgg.register(
         Tables.lineitem(spark, sfDir), Seq("l_returnflag", "l_linestatus"),
         s"$d/mv", sumLongCols = Seq("l_quantity"),
-        minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
-      d.toString
-    }
+        minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice")))
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),

@@ -101,5 +101,12 @@ class MlQualitySpec extends SparkSpec {
       .select(graft.plans.HashedLinearLogit.hashedLinearLogit(col("ws"), "|qf", full))
       .as[Long].head()
     assert(utf == jvmLogit("único tokén ütf")._2)
+    // a null TOKEN nulls the score (the declarative twin's propagation),
+    // never crashes — the array type admits containsNull arrays
+    val withNull = Seq((1L, "a b c")).toDF("id", "text")
+      .withColumn("ws", expr("transform(split(text, ' '), x -> nullif(x, 'b'))"))
+      .select(graft.plans.HashedLinearLogit.hashedLinearLogit(col("ws"), "|qf", full).as("lm"))
+      .head()
+    assert(withNull.isNullAt(0), "null token must null the score")
   }
 }

@@ -93,7 +93,62 @@ class MvSpec extends SparkSpec {
         .agg(countDistinct(col("l_orderkey")).as("d"))
       assert(scannedPaths(distinctAgg).exists(_.contains("lineitem.parquet")),
         "DISTINCT aggregates must refuse the rewrite")
+      val nonDet = base.filter(rand() < 0.5)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(scannedPaths(nonDet).exists(_.contains("lineitem.parquet")),
+        "a nondeterministic filter must refuse the rewrite (per-group rand() lies)")
+      // GLOBAL count with an empty-match group-col filter: the rewrite
+      // fires (no grouping, group-col predicate) and must still return
+      // 0 — Sum-over-partials alone would yield NULL on empty input
+      val emptyCount = base.filter(col("l_returnflag") === "Z")
+        .agg(count(lit(1)).as("n"))
+      assert(!scannedPaths(emptyCount).exists(_.contains("lineitem.parquet")),
+        "empty-match global count should still rewrite")
+      assert(emptyCount.head.getLong(0) == 0L,
+        "empty-match global count must be 0, not NULL")
     } finally MaterializedAgg.unregister(base)
+  }
+
+  test("re-register resets the store: stale delta epochs cannot double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_rereg").toString
+    def q() = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy("l_returnflag")
+    val want = q().collect().map(_.toSeq).toSeq
+    MaterializedAgg.register(base, Seq("l_returnflag"), s"$dir/mv",
+      sumLongCols = Seq("l_quantity"))
+    try {
+      // a delta epoch duplicating the whole base: counts visibly double
+      MaterializedAgg.append(base, base, epoch = 1L)
+      val doubled = q().collect().map(_.toSeq).toSeq
+      assert(doubled != want, "duplicate delta invisible — fixture lost its teeth")
+      // the rebuild path: re-register after a base change must RESET the
+      // manifest to the fresh cube, not merge with the stale epochs
+      MaterializedAgg.register(base, Seq("l_returnflag"), s"$dir/mv",
+        sumLongCols = Seq("l_quantity"))
+      assert(q().collect().map(_.toSeq).toSeq == want,
+        "re-register left stale epochs double-counting")
+    } finally MaterializedAgg.unregister(base)
+  }
+
+  test("decomposed avg: all-null group returns NULL, no divide-by-zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_nullavg").toString
+    Seq(("a", Some(1L)), ("a", Some(3L)), ("b", None: Option[Long]))
+      .toDF("g", "m").write.parquet(s"$dir/t")
+    def t = spark.read.parquet(s"$dir/t")
+    def q() = t.groupBy(col("g"))
+      .agg(avg(col("m")).as("a"), count(col("m")).as("c")).orderBy("g")
+    val want = q().collect().map(_.toSeq).toSeq // (a, 2.0-ish) and (b, null)
+    assert(want.exists(r => r(1) == null), "fixture must have an all-null group")
+    MaterializedAgg.register(t, Seq("g"), s"$dir/mv",
+      sumCols = Seq("m"), cntCols = Seq("m"))
+    try {
+      val df = q()
+      assert(!scannedPaths(df).exists(_.endsWith("/t")), "avg did not rewrite")
+      assert(df.collect().map(_.toSeq).toSeq == want,
+        "decomposed avg diverged on the all-null group")
+    } finally MaterializedAgg.unregister(t)
   }
 
   test("cube lattice: the narrowest covering view answers each roll-up") {
