@@ -19,7 +19,19 @@ import org.apache.spark.sql.types.StructType
   * Layout under `root/`:
   *   d<epoch>-<attempt>/...        immutable data dirs (inner layout free,
   *                                 e.g. list_id=L partitions)
+  *   f<epoch>-<attempt>/...        compaction folds (append refuses to
+  *                                 replace these — they hold many epochs)
   *   _manifests/m<G>.json          one complete entry list per commit
+  *
+  * Writer contract: ONE writer process per root at a time. commit() is a
+  * read-modify-write of the entry list and generation allocation is
+  * last+1 with no lock — two concurrent writers can allocate the same
+  * generation and the later rename silently wins (local-FS rename
+  * overwrites), losing the other's entries. The shipped flows satisfy
+  * this by construction (each store is maintained by one checkpointed
+  * streaming query, whose foreachBatch serializes append + compact);
+  * multi-writer deployments need a coordination layer, the same contract
+  * as Delta on a filesystem without a lock provider.
   *
   * Rules:
   *   - A data dir is VISIBLE iff the highest complete manifest names it.
@@ -105,6 +117,17 @@ object EpochManifest {
     s"d$epoch-$a"
   }
 
+  /** An unused FOLD-dir name for `epoch` — the `f` prefix marks an
+    * entry that holds MANY folded epochs' rows, which [[append]] must
+    * never replace (a retried epoch that replaced a fold would silently
+    * discard every earlier epoch the fold covered). */
+  def newFoldDir(spark: SparkSession, root: String, epoch: Long): String = {
+    val fs = fsOf(spark, root)
+    var a = 1
+    while (fs.exists(new Path(s"$root/f$epoch-$a"))) a += 1
+    s"f$epoch-$a"
+  }
+
   /** Read the snapshot's dirs with epochs ≤ `maxEpoch` — one parquet
     * read per entry (each discovers its OWN inner partition columns, so
     * e.g. list_id pruning stays directory-level), unioned by name. The
@@ -113,7 +136,12 @@ object EpochManifest {
   def read(spark: SparkSession, root: String, schema: StructType,
            maxEpoch: Long = Long.MaxValue): DataFrame = {
     val live = entries(spark, root).filter(_.epoch <= maxEpoch)
-    require(live.nonEmpty, s"no committed manifest entries under $root (maxEpoch=$maxEpoch)")
+    require(live.nonEmpty,
+      s"no committed manifest entries under $root with epoch <= $maxEpoch — " +
+        "either the store is empty or a compaction folded the requested " +
+        "epochs into a later fold entry (point-in-time reads below a " +
+        "compaction boundary are gone by design; raise maxEpoch or " +
+        "compact less aggressively)")
     live.map(e => spark.read.schema(schema).parquet(s"$root/${e.dir}"))
       .reduce(_ unionByName _)
   }
@@ -136,7 +164,7 @@ object EpochManifest {
       .map(e => spark.read.schema(schema).parquet(s"$root/${e.dir}"))
       .reduce(_ unionByName _)
       .coalesce(coalesceTo)
-    val foldDir = newDataDir(spark, root, maxCov)
+    val foldDir = newFoldDir(spark, root, maxCov)
     val w = folded.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(s"$root/$foldDir")
@@ -145,10 +173,20 @@ object EpochManifest {
   }
 
   /** Write a data frame as `epoch`'s attempt dir and commit it as the
-    * epoch's (replacement) entry — the shared append step. */
+    * epoch's (replacement) entry — the shared append step. REFUSES to
+    * replace a compaction fold (an `f`-prefixed entry): the fold holds
+    * every earlier covered epoch's rows, so "replacing" it with one
+    * retried epoch would silently discard all of them. A retry landing
+    * on a fold means the compaction boundary overtook the epoch — the
+    * caller's sequencing bug, surfaced loudly. */
   def append(df: DataFrame, root: String, epoch: Long,
              partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    entries(spark, root).find(_.epoch == epoch).foreach { e =>
+      require(!e.dir.startsWith("f"),
+        s"epoch $epoch under $root is a compaction fold covering earlier " +
+          "epochs — a retried append must not replace it")
+    }
     val dir = newDataDir(spark, root, epoch)
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
@@ -168,10 +206,18 @@ object EpochManifest {
     val keepManifests = ms.takeRight(2)
     val keepDirs = keepManifests.flatMap(m => parse(spark, m._2)).map(_.dir).toSet
     fs.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d"))
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("d") || s.getPath.getName.startsWith("f")))
       .filterNot(s => keepDirs.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, true))
     val keepGen = keepManifests.map(_._1).toSet
     ms.filterNot(m => keepGen.contains(m._1)).foreach(m => fs.delete(m._2, false))
+    // a writer that crashed between creating .m<G>.tmp and the rename
+    // leaves the tmp behind forever otherwise (gen() filters it from
+    // listings, so nothing else ever touches it); under the
+    // single-writer contract no live writer's tmp can be here
+    fs.listStatus(manifestDir(root)).toSeq
+      .filter(_.getPath.getName.endsWith(".tmp"))
+      .foreach(s => fs.delete(s.getPath, false))
   }
 }

@@ -105,12 +105,20 @@ object AsOfJoinStrategy extends SparkStrategy {
 object PushLeftFiltersThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, a: AsOfJoinPlan) =>
-      val (pushable, kept) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      // span, not partition: only the DETERMINISTIC PREFIX of the
+      // conjunction may move (Catalyst's PushPredicateThroughNonJoin
+      // convention) — pushing a deterministic conjunct past a preceding
+      // nondeterministic one changes how often/on which rows the
+      // nondeterministic expression evaluates
+      val (detPrefix, rest) = splitConjunctivePredicates(cond)
+        .span(_.deterministic)
+      val (pushable, keptPrefix) = detPrefix
+        .partition(_.references.subsetOf(a.left.outputSet))
       if (pushable.isEmpty) f
       else {
         val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))
-        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        (keptPrefix ++ rest).reduceOption(And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
 }
@@ -243,11 +251,12 @@ case class AsOfJoinExec(
           while (nextRow == null && lIter.hasNext) {
             val l = lIter.next()
             val lk = lKeyProj(l)
-            if (lk.anyNull || lTsProj(l).isNullAt(0)) {
+            val lt = lTsProj(l) // one projection per row (buffer reuse is
+                                // fine: consumed before the next l)
+            if (lk.anyNull || lt.isNullAt(0)) {
               // null key / null ts never matches (null-rejecting, like SQL)
               if (outer) nextRow = resultProj(joined(l, nullRight))
             } else {
-              val lt = lTsProj(l)
               // consume right rows up to and including the last one with
               // key == lk && ts <= lt; rows with smaller keys (or null
               // keys/ts, which sort first) are discarded for good — left
@@ -308,10 +317,21 @@ object AsOfJoin {
     * `right.rightTsCol <= left.leftTsCol`, keeping the right row with the
     * greatest (ts, tieBreaks...). Output: all left columns, then the
     * right columns except its key columns (which would duplicate the
-    * left's names, à la pandas `merge_asof`). The right side is re-aliased
-    * with fresh expression ids, so self-as-of (both sides carved from the
-    * same source) is legal. Column pruning does not see through the
-    * custom node — pre-select the columns each side needs. */
+    * left's names, à la pandas `merge_asof`); any OTHER right column
+    * sharing a left column's name (commonly the ts column) comes back
+    * suffixed `_r` — pandas' suffix behavior — so the output never
+    * carries ambiguous duplicate names.
+    * The right side is re-aliased with fresh expression ids, so
+    * self-as-of (both sides carved from the same source) is legal.
+    * Column pruning composes via [[PruneAsOfJoinColumns]] (installed by
+    * [[register]]/[[GraftExtensions]]), so unreferenced child columns
+    * narrow down to the source scans — no manual pre-select needed.
+    * Float/double KEY columns are rejected: the custom node bypasses
+    * Catalyst's NormalizeFloatingNumbers, so -0.0/0.0 and NaN-payload
+    * variants would hash to different partitions and silently miss
+    * (normalize or cast the key first; a float TS column has the same
+    * -0.0 boundary caveat at the `<=` comparison and is left to the
+    * caller). */
   def asofBackward(
       left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
@@ -322,8 +342,14 @@ object AsOfJoin {
     register(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan0 = right.queryExecution.analyzed
+    // resolve like the rest of the session: case-insensitively unless
+    // spark.sql.caseSensitive is on
+    val caseSensitive =
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    def nameEq(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     def attr(out: Seq[Attribute], n: String, side: String): Attribute =
-      out.filter(_.name == n) match {
+      out.filter(a => nameEq(a.name, n)) match {
         case Seq(a) => a
         case Seq() => throw new IllegalArgumentException(
           s"$side column '$n' not found among ${out.map(_.name).mkString(", ")}")
@@ -336,7 +362,13 @@ object AsOfJoin {
     val rKeys = on.map(attr(rOut, _, "right"))
     lKeys.zip(rKeys).foreach { case (a, b) =>
       require(a.dataType == b.dataType,
-        s"as-of key type mismatch on '${a.name}': ${a.dataType} vs ${b.dataType}") }
+        s"as-of key type mismatch on '${a.name}': ${a.dataType} vs ${b.dataType}")
+      require(a.dataType != org.apache.spark.sql.types.FloatType &&
+          a.dataType != org.apache.spark.sql.types.DoubleType,
+        s"as-of key '${a.name}' is floating-point: the native node bypasses " +
+          "NormalizeFloatingNumbers, so -0.0/NaN variants would silently " +
+          "miss — normalize or cast the key first")
+    }
     val lt = attr(lPlan.output, leftTsCol, "left")
     val rt = attr(rOut, rightTsCol, "right")
     require(lt.dataType == rt.dataType,
@@ -344,6 +376,23 @@ object AsOfJoin {
     val node = AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt,
       rightTieBreaks.map(attr(rOut, _, "right")), outer)
     val dropIds = rKeys.map(_.exprId).toSet
-    GraftBridge.ofRows(spark, Project(node.output.filterNot(a => dropIds(a.exprId)), node))
+    // a surviving right column sharing a left name (commonly ts == ts)
+    // would make the output ambiguous for select/write — suffix it "_r"
+    // (pandas merge_asof's behavior), bumping until free
+    val rIds = rOut.map(_.exprId).toSet
+    val kept = node.output.filterNot(a => dropIds(a.exprId))
+    val taken = scala.collection.mutable.Set.empty[String]
+    val outCols = kept.map { a =>
+      val fromRight = rIds(a.exprId)
+      var n = a.name
+      while (taken.exists(nameEq(_, n))) {
+        require(fromRight,
+          s"duplicate LEFT column name '${a.name}' in the as-of input")
+        n = n + "_r"
+      }
+      taken += n
+      if (n == a.name) a else Alias(a, n)()
+    }
+    GraftBridge.ofRows(spark, Project(outCols, node))
   }
 }

@@ -228,7 +228,7 @@ object MaterializedAgg {
       // byte-identical to an epoch-0 cube
       .withColumn("__cnt", col("__cnt").cast("long"))
       .select(meta.schema.fieldNames.map(col).toSeq: _*)
-    val foldDir = EpochManifest.newDataDir(spark, meta.mvRoot, maxCov)
+    val foldDir = EpochManifest.newFoldDir(spark, meta.mvRoot, maxCov)
     folded.write.mode("overwrite").parquet(s"${meta.mvRoot}/$foldDir")
     EpochManifest.commit(spark, meta.mvRoot,
       es.filterNot(_.epoch < uptoEpoch) :+

@@ -271,4 +271,53 @@ class AsOfJoinSpec extends SparkSpec {
       SparkSession.setDefaultSession(prior)
     }
   }
+
+  test("colliding right columns come back suffixed _r, never duplicated") {
+    val (l, r) = planted
+    val df = AsOfJoin.asofBackward(l, r, Seq("k"), "ts", "ts")
+    assert(df.columns.count(_ == "ts") == 1, s"duplicate ts in ${df.columns.toSeq}")
+    assert(df.columns.contains("ts_r"), s"right ts not suffixed: ${df.columns.toSeq}")
+    // both columns are selectable, and the suffixed one is the RIGHT ts
+    // (match ts <= left ts by the join contract)
+    val rows = df.select(col("ts"), col("ts_r"), col("lid")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(x => assert(x.getLong(1) <= x.getLong(0),
+      s"ts_r must be the matched right ts: $x"))
+  }
+
+  test("floating-point keys are rejected loudly (NormalizeFloatingNumbers bypass)") {
+    import spark.implicits._
+    val l = Seq((0.0, 10L, 1L)).toDF("k", "ts", "lid")
+    val r = Seq((-0.0, 5L, 2L)).toDF("k", "ts", "rid")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.asofBackward(l, r, Seq("k"), "ts", "ts"))
+    assert(e.getMessage.contains("floating-point"))
+  }
+
+  test("column resolution follows spark.sql.caseSensitive (off by default)") {
+    val (l, r) = planted
+    val got = AsOfJoin.asofBackward(l, r, Seq("K"), "TS", "ts",
+        rightTieBreaks = Seq("RID"))
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.get(1))).toSet
+    assert(got == expectedInner, "upper-cased names must resolve like any other op")
+  }
+
+  test("pushdown stops at a nondeterministic conjunct (span, not partition)") {
+    val (l, r) = planted
+    // an always-true but NONDETERMINISTIC predicate (a nondeterministic
+    // UDF — rand() < 2.0 won't do: Spark folds out-of-range rand
+    // comparisons to true); the deterministic conjunct BEHIND it must
+    // not move below the join
+    val alwaysTrue = udf(() => true).asNondeterministic()
+    val df = AsOfJoin.asofBackward(l, r, Seq("k"), "ts", "ts")
+      .filter(alwaysTrue() && col("lid") > 2000L)
+    val optimized = df.queryExecution.optimizedPlan
+    val asof = optimized.collect { case a: AsOfJoinPlan => a }
+    assert(asof.nonEmpty)
+    assert(asof.head.left.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isEmpty,
+      s"conjunct pushed past a nondeterministic predicate:\n$optimized")
+    assert(df.select(col("lid")).collect().map(_.getLong(0)).toSet == Set(2001L, 7001L))
+  }
 }

@@ -108,4 +108,43 @@ class EpochManifestSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$root/d1-1")), "orphan survived gc")
     assert(EpochManifest.read(spark, root, schema).count() == 5)
   }
+
+  test("append refuses to replace a compaction fold (it holds many epochs)") {
+    import spark.implicits._
+    val root = tmp()
+    writeDir(root, "d1-1", 0 until 10)
+    EpochManifest.commit(spark, root, Seq(Entry(1L, "d1-1")))
+    writeDir(root, "d2-1", 10 until 20)
+    EpochManifest.commit(spark, root,
+      EpochManifest.entries(spark, root) :+ Entry(2L, "d2-1"))
+    EpochManifest.compact(spark, root, schema, uptoEpoch = 3L)
+    val folded = EpochManifest.entries(spark, root)
+    assert(folded.map(_.epoch) == Seq(2L) && folded.head.dir.startsWith("f"),
+      s"expected one f-prefixed fold entry at epoch 2, got $folded")
+    // a delayed retry for epoch 2 would "replace" the fold and silently
+    // discard epoch 1's rows — the store must refuse it loudly
+    val df = Seq((99L, 0L)).toDF("id", "part")
+    val e = intercept[IllegalArgumentException](
+      EpochManifest.append(df, root, epoch = 2L))
+    assert(e.getMessage.contains("compaction fold"))
+    assert(EpochManifest.read(spark, root, schema).count() == 20,
+      "refused append must leave the store intact")
+    // appending a NEW epoch still works, and the next compaction's gc
+    // reclaims superseded fold dirs like any other
+    EpochManifest.append(df, root, epoch = 3L)
+    assert(EpochManifest.read(spark, root, schema).count() == 21)
+  }
+
+  test("gc reclaims a crashed writer's .tmp manifest") {
+    val root = tmp()
+    writeDir(root, "d0-1", 0 until 5)
+    EpochManifest.commit(spark, root, Seq(Entry(0L, "d0-1")))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanTmp = new Path(s"$root/_manifests/.m99.tmp")
+    fs.create(orphanTmp, true).close() // writer died before its rename
+    assert(EpochManifest.read(spark, root, schema).count() == 5)
+    EpochManifest.gc(spark, root)
+    assert(!fs.exists(orphanTmp), "crashed writer's tmp manifest survived gc")
+    assert(EpochManifest.read(spark, root, schema).count() == 5)
+  }
 }
