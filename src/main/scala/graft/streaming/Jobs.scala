@@ -235,8 +235,18 @@ object Jobs {
             sorted.foreach { e =>
               val tUs = eventTimeMicros(e.ts)
               cur match {
-                case Some(s) if tUs - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = math.max(s.lastUs, tUs), n = s.n + 1))
+                // within a gap of the open session's INTERVAL — extend it
+                // on either end (an admitted late row may precede start:
+                // the two-watermark contract delivers rows in (previous,
+                // current] watermark, so tUs can sit well before startUs)
+                case Some(s) if tUs >= s.startUs - gapUs && tUs - s.lastUs <= gapUs =>
+                  cur = Some(SessState(math.min(s.startUs, tUs),
+                    math.max(s.lastUs, tUs), s.n + 1))
+                // a straggler more than a gap BEFORE the open session:
+                // it can never merge with it — close it as its own
+                // session immediately (its gap horizon is already past)
+                case Some(s) if tUs < s.startUs - gapUs =>
+                  closed += ClosedSession(user, tsOf(tUs), tsOf(tUs), 1)
                 case Some(s) =>
                   closed += close(s)
                   cur = Some(SessState(tUs, tUs, 1))
@@ -246,7 +256,13 @@ object Jobs {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+              // clamp past the ADVANCED eviction watermark: an admitted
+              // late row can put lastUs + gap behind it, and the operator
+              // rejects a timeout at/behind the watermark (the
+              // statefulFunnel clamp, same two-watermark asymmetry)
+              val ms = s.lastUs / 1000L + gapMinutes * 60L * 1000L
+              state.setTimeoutTimestamp(
+                math.max(ms, state.getCurrentWatermarkMs() + 1L))
             }
             closed.result().iterator
           }
@@ -299,7 +315,14 @@ object Jobs {
     * long (event time) gets a FINAL update emitted and their state
     * removed — downstream folds keyed on latest-rev rows see the same
     * totals — at the standard TTL price that a user returning after
-    * expiry restarts their cascade. MetricsSpec gates the no-TTL state
+    * expiry restarts their cascade. Two TTL fine-prints, explicit: the
+    * clock is FUNNEL-event inactivity (non-funnel event types neither
+    * create state — a user with no funnel events ever holds none — nor
+    * extend the horizon), and `rev` is monotone only within ONE cascade
+    * lifetime: the expiry row is that cascade's terminal update, and a
+    * returning user's fresh cascade restarts rev at 1 — a consumer
+    * folding ACROSS expiries must key on arrival (epoch, rev), not raw
+    * rev comparison. MetricsSpec gates the no-TTL state
     * bound; StreamingSpec proves TTL eviction keeps the emitted finals
     * identical when every user's activity fits inside the TTL. */
   def statefulFunnel(ds: Dataset[Event], lateness: String = "10 minutes",
@@ -319,6 +342,12 @@ object Jobs {
               case _ => 0
             })
           }.filter(_._2 > 0).toSeq
+          // a user whose batch carried ONLY non-funnel events and who has
+          // no prior state must not materialize any: with lastUs stuck at
+          // -1 no TTL expiry would ever fire, so such users would leak
+          // state forever — the exact growth the TTL exists to bound
+          if (incoming.isEmpty && state.getOption.isEmpty) Iterator.empty
+          else {
           // finalize everything the watermark has passed; hold the rest.
           // Late-row contract, precisely: FlatMapGroupsWithState filters
           // input against the PREVIOUS batch's watermark, while
@@ -362,6 +391,7 @@ object Jobs {
               state.setTimeoutTimestamp(math.max(ms, state.getCurrentWatermarkMs() + 1L)))
           }
           Iterator(FunnelUpdate(user, next.rev, t1, t2, t3))
+          }
       }
   }
 
@@ -472,10 +502,16 @@ object Jobs {
         // overwritten below — folding it would double-count on retry.
         if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
           compactServingPartials(spark, servingDir, uptoEpoch = epochId)
-        batch.write.mode("overwrite").parquet(s"$rawDir/epoch=$epochId")
-        batch.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_dec"))
-          .write.mode("overwrite").parquet(s"$servingDir.partials/epoch=$epochId")
+        // two sinks consume this batch — persist it or each write
+        // recomputes the micro-batch from source (the standard
+        // foreachBatch multi-sink discipline)
+        batch.persist()
+        try {
+          batch.write.mode("overwrite").parquet(s"$rawDir/epoch=$epochId")
+          batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_dec"))
+            .write.mode("overwrite").parquet(s"$servingDir.partials/epoch=$epochId")
+        } finally batch.unpersist()
         servingFromPartials(spark, servingDir)
           .write.mode("overwrite").parquet(servingDir)
         ()
@@ -686,7 +722,15 @@ object Jobs {
     * StreamingSpec fixture-replay proof widens `within` to densify the
     * pair set without changing the operator under test. */
   def streamStreamJoin(views: DataFrame, clicks: DataFrame,
-                       within: String = "5 minutes"): DataFrame = {
+                       within: String = "5 minutes"): DataFrame =
+    streamStreamJoinOf(views, clicks, within, "inner")
+
+  /** The one spelling of the watermarked interval join both public
+    * forms share — join type is the ONLY difference between inner and
+    * left-outer, so the watermark delays, interval condition, and
+    * projection can never drift apart. */
+  private def streamStreamJoinOf(views: DataFrame, clicks: DataFrame,
+                                 within: String, joinType: String): DataFrame = {
     val v = views.select(col("user_id"), col("event_id").as("view_id"),
       col("ts").as("view_ts")).withWatermark("view_ts", "10 minutes")
     val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -694,7 +738,8 @@ object Jobs {
     v.join(c,
       col("user_id") === col("c_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL '$within'"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL '$within'"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
@@ -709,19 +754,8 @@ object Jobs {
     * outer join needs no deferral; StreamingSpec proves the deferred
     * null-extension and fixture-replay equality with the batch result. */
   def streamStreamJoinOuter(views: DataFrame, clicks: DataFrame,
-                            within: String = "5 minutes"): DataFrame = {
-    val v = views.select(col("user_id"), col("event_id").as("view_id"),
-      col("ts").as("view_ts")).withWatermark("view_ts", "10 minutes")
-    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-      col("ts").as("click_ts")).withWatermark("click_ts", "10 minutes")
-    v.join(c,
-      col("user_id") === col("c_user") &&
-        col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL '$within'"),
-      "left_outer")
-      .select(col("user_id"), col("view_id"), col("click_id"),
-        col("view_ts"), col("click_ts"))
-  }
+                            within: String = "5 minutes"): DataFrame =
+    streamStreamJoinOf(views, clicks, within, "left_outer")
 
   /** J3 stream-static: enrich the event stream with a slowly-changing
     * dimension loaded once in batch — the classic serving-layer shape
@@ -799,10 +833,16 @@ object Jobs {
         // fold lands at epoch=<=epochId, inside the probe's bound
         if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
           compactBandIndex(batch.sparkSession, indexDir, uptoEpoch = epochId + 1)
-        graft.queries.TextCatalog.dedupAgainstIndex(batch, indexDir, t,
-            maxEpoch = epochId)
-          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-        graft.queries.TextCatalog.appendBandIndex(batch, indexDir, epochId + 1)
+        // the probe and the index extension both shingle this batch —
+        // persist it so the second pass reads the cached rows instead of
+        // recomputing the micro-batch from source
+        batch.persist()
+        try {
+          graft.queries.TextCatalog.dedupAgainstIndex(batch, indexDir, t,
+              maxEpoch = epochId)
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+          graft.queries.TextCatalog.appendBandIndex(batch, indexDir, epochId + 1)
+        } finally batch.unpersist()
         ()
       }
       .start()

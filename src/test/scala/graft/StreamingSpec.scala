@@ -122,6 +122,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessions: cross-batch late rows extend the start, distant " +
+      "stragglers close alone, and a far-advanced watermark cannot crash the timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.statefulSessions(in.toDS(), gapMinutes = 5)
+      .writeStream.format("memory").queryName("late_sess").outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session [10:00, 10:02]; watermark → 09:52
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      // batch 2 (input filtered against the PREVIOUS watermark, so both
+      // admitted): 09:58 is within gap of the interval → the session
+      // start must move BACK to 09:58; 09:53 is > gap before the start →
+      // its own singleton, closed immediately
+      in.addData(ev(3, "2024-01-01 09:58:00"), ev(4, "2024-01-01 09:53:00"))
+      q.processAllAvailable()
+      val singletons = spark.table("late_sess").filter(col("user_id") === 1).collect()
+      assert(singletons.length == 1 && singletons(0).getAs[Long]("n_events") == 1L,
+        s"distant straggler must close alone: ${singletons.toSeq}")
+      assert(singletons(0).getAs[Timestamp]("start") == ts("2024-01-01 09:53:00"))
+      // batch 3: another user far in the future — the eviction watermark
+      // jumps hours past user 1's session end + gap. The un-clamped
+      // timeout registration would throw here and kill the query.
+      in.addData(ev(5, "2024-01-01 20:00:00", user = 99))
+      q.processAllAvailable()
+      in.addData(ev(6, "2024-01-01 23:00:00", user = 99))
+      q.processAllAvailable()
+      val closed = spark.table("late_sess")
+        .filter(col("user_id") === 1 && col("n_events") > 1).collect()
+      assert(closed.length == 1, s"main session not closed: ${closed.toSeq}")
+      assert(closed(0).getAs[Timestamp]("start") == ts("2024-01-01 09:58:00"),
+        "late row must extend the session start backward")
+      assert(closed(0).getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
   test("stateful sessions replay the real fixture to the batch session counts") {
     // third stateful op under the replay discipline (after funnel and
     // retention): statefulSessions at the batch query's 6h gap over the
