@@ -50,8 +50,17 @@ import org.apache.spark.sql.types.StructType
   */
 object EpochManifest {
 
-  /** One visible data dir: `dir` is relative to the store root. */
-  final case class Entry(epoch: Long, dir: String)
+  /** One visible data dir: `dir` is relative to the store root. `lo` is
+    * the LOWEST epoch whose rows the dir holds (-1 = just `epoch`, the
+    * plain-append case); a compaction fold spans [lo, epoch], and
+    * [[append]] keys its must-not-replace guard on that span rather than
+    * on the dir-name prefix — coverage travels in the manifest itself,
+    * so a store whose fold dirs were written under an older naming
+    * scheme is still protected once its NEXT compaction commits. */
+  final case class Entry(epoch: Long, dir: String, lo: Long = -1L) {
+    /** Lowest covered epoch ([[lo]] defaulted to [[epoch]]). */
+    def minEpoch: Long = if (lo < 0L) epoch else lo
+  }
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -80,11 +89,16 @@ object EpochManifest {
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     body.linesIterator.filter(_.nonEmpty).map { line =>
-      // fixed shape {"epoch":N,"dir":"..."} written by commit() below —
-      // not a general JSON parser, and dir names never contain quotes
+      // fixed shape {"epoch":N[,"lo":M],"dir":"..."} written by commit()
+      // below — not a general JSON parser, and dir names never contain
+      // quotes; "lo" absent (every pre-coverage manifest) defaults to -1
       val e = line.split("\"epoch\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
       val d = line.split("\"dir\":\"")(1).takeWhile(_ != '"')
-      Entry(e, d)
+      val lo =
+        if (line.contains("\"lo\":"))
+          line.split("\"lo\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
+        else -1L
+      Entry(e, d, lo)
     }.toSeq
   }
 
@@ -100,7 +114,10 @@ object EpochManifest {
     fs.mkdirs(md)
     val next = manifests(spark, root).lastOption.map(_._1).getOrElse(0L) + 1L
     val body = es.sortBy(_.epoch)
-      .map(e => s"""{"epoch":${e.epoch},"dir":"${e.dir}"}""").mkString("", "\n", "\n")
+      .map(e => if (e.minEpoch != e.epoch)
+        s"""{"epoch":${e.epoch},"lo":${e.minEpoch},"dir":"${e.dir}"}"""
+      else s"""{"epoch":${e.epoch},"dir":"${e.dir}"}""")
+      .mkString("", "\n", "\n")
     val tmp = new Path(md, s".m$next.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -168,24 +185,31 @@ object EpochManifest {
     val w = folded.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(s"$root/$foldDir")
-    commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+ Entry(maxCov, foldDir))
+    commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+
+      Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min))
     gc(spark, root)
   }
 
   /** Write a data frame as `epoch`'s attempt dir and commit it as the
     * epoch's (replacement) entry — the shared append step. REFUSES to
-    * replace a compaction fold (an `f`-prefixed entry): the fold holds
-    * every earlier covered epoch's rows, so "replacing" it with one
-    * retried epoch would silently discard all of them. A retry landing
-    * on a fold means the compaction boundary overtook the epoch — the
-    * caller's sequencing bug, surfaced loudly. */
+    * replace a compaction fold: the fold holds every earlier covered
+    * epoch's rows, so "replacing" it with one retried epoch would
+    * silently discard all of them. A retry landing on a fold means the
+    * compaction boundary overtook the epoch — the caller's sequencing
+    * bug, surfaced loudly. Folds are recognized by the manifest-carried
+    * coverage span (`Entry.lo` < epoch) with the `f` dir prefix as a
+    * second line of defense; a store compacted ONLY by a pre-coverage
+    * build (folds named `d<epoch>-<n>`, no `lo` in the manifest) is not
+    * detectable from the manifest alone — migrate such a store by
+    * running one [[compact]] (which re-commits every fold with its
+    * span) before resuming appends against it. */
   def append(df: DataFrame, root: String, epoch: Long,
              partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     entries(spark, root).find(_.epoch == epoch).foreach { e =>
-      require(!e.dir.startsWith("f"),
-        s"epoch $epoch under $root is a compaction fold covering earlier " +
-          "epochs — a retried append must not replace it")
+      require(!e.dir.startsWith("f") && e.minEpoch == e.epoch,
+        s"epoch $epoch under $root is a compaction fold covering epochs " +
+          s"[${e.minEpoch}, ${e.epoch}] — a retried append must not replace it")
     }
     val dir = newDataDir(spark, root, epoch)
     val w = df.write.mode("overwrite")

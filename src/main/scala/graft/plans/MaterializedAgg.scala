@@ -159,8 +159,13 @@ object MaterializedAgg {
       EpochManifest.gc(spark, mvPath)
       cube0.schema
     }
+    // resolve the QUERYING session at rewrite time, never the registering
+    // one: the registry is JVM-global and outlives sessions, so a thunk
+    // that captured `spark` here would plan scans against a session the
+    // user may since have stopped — SparkSession.active inside an
+    // optimizer rule is the session running that optimization
     val meta = meta0.copy(schema = schema, freshPlan = () =>
-      graft.core.EpochManifest.read(spark, mvPath, schema)
+      graft.core.EpochManifest.read(SparkSession.active, mvPath, schema)
         .queryExecution.analyzed)
     registry.synchronized {
       val cur = registry.getOrElse(basePaths, Nil).filterNot(_.mvRoot == mvPath)
@@ -232,15 +237,28 @@ object MaterializedAgg {
     folded.write.mode("overwrite").parquet(s"${meta.mvRoot}/$foldDir")
     EpochManifest.commit(spark, meta.mvRoot,
       es.filterNot(_.epoch < uptoEpoch) :+
-        graft.core.EpochManifest.Entry(maxCov, foldDir))
+        graft.core.EpochManifest.Entry(maxCov, foldDir,
+          lo = covered.map(_.minEpoch).min))
     EpochManifest.gc(spark, meta.mvRoot)
   }
 
-  /** Drop a registration (tests; a production drop-MV). */
-  def unregister(base: DataFrame): Unit = {
-    registry.remove(basePathsOf(base))
-    ()
+  /** Drop a registration (tests; a production drop-MV). `mvRoot = null`
+    * drops EVERY view of the base; naming a root drops just that view —
+    * the cube-lattice case, where the other lattice members keep
+    * serving. */
+  def unregister(base: DataFrame, mvRoot: String = null): Unit = {
+    val key = basePathsOf(base)
+    if (mvRoot == null) { registry.remove(key); () }
+    else drop(key, mvRoot)
   }
+
+  /** Remove one view from a base's list, dropping the key when empty. */
+  private def drop(key: Set[String], mvRoot: String): Unit =
+    registry.synchronized {
+      val now = registry.getOrElse(key, Nil).filterNot(_.mvRoot == mvRoot)
+      if (now.isEmpty) registry.remove(key) else registry.put(key, now)
+      ()
+    }
 
 
   /** The rewrite rule. Runs in the late per-session experimental batch
@@ -266,12 +284,27 @@ object MaterializedAgg {
 
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val (conds, baseRel) = unwrap(agg.child, Nil).getOrElse(return None)
-      val candidates = rootPaths(baseRel)
-        .map(p => registry.getOrElse(p, Nil)).getOrElse(Nil)
+      val key = rootPaths(baseRel).getOrElse(return None)
+      val candidates = registry.getOrElse(key, Nil)
       // narrowest covering view wins: fewer grouping columns = fewer
-      // distinct keys = the smallest store that can still answer
+      // distinct keys = the smallest store that can still answer.
+      // A candidate whose store no longer opens (dir deleted by another
+      // session's workspace eviction, manifest externally removed) must
+      // not crash an unrelated aggregate — the contract is "non-matching
+      // query silently keeps its base plan", so an unreadable view is
+      // dropped from the registry and the search falls through to the
+      // next candidate or the base table
       candidates.sortBy(_.groupCols.size).view
-        .flatMap(m => rewriteWith(agg, conds, m))
+        .flatMap { m =>
+          try rewriteWith(agg, conds, m)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"materialized view at ${m.mvRoot} is unreadable " +
+                s"(${e.getMessage}); unregistering it and keeping the base plan")
+              drop(key, m.mvRoot)
+              None
+          }
+        }
         .headOption
     }
 

@@ -229,29 +229,35 @@ object Jobs {
             state.remove()
             Iterator(close(s))
           } else {
-            val sorted = events.toSeq.sortBy(e => (eventTimeMicros(e.ts), e.event_id))
-            var cur = state.getOption
+            // gap-merge over INTERVALS: the carried open session plus the
+            // batch's points, sorted by start. Ascending-start order makes
+            // the merge rule one-sided (next.start >= cur.start always, so
+            // "within gap of the interval" is just next.start − cur.last ≤
+            // gap — which also covers an admitted late point that precedes
+            // the open session's start: the point sorts FIRST and the open
+            // interval merges into ITS running session by the same rule).
+            // Stragglers more than a gap before the open session thereby
+            // sessionize among THEMSELVES — two late points within a gap
+            // of each other close as ONE 2-event session, and a bridging
+            // point chains a straggler into the open session — instead of
+            // each closing as its own singleton (the r11 shape). Every
+            // merged-out session closes; the LAST one stays open as state.
+            val items = (state.getOption.toSeq ++
+              events.toSeq.sortBy(e => (eventTimeMicros(e.ts), e.event_id))
+                .map { e => val t = eventTimeMicros(e.ts); SessState(t, t, 1L) })
+              .sortBy(s => (s.startUs, s.lastUs))
+            var cur: Option[SessState] = None
             val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { e =>
-              val tUs = eventTimeMicros(e.ts)
+            items.foreach { it =>
               cur match {
-                // within a gap of the open session's INTERVAL — extend it
-                // on either end (an admitted late row may precede start:
-                // the two-watermark contract delivers rows in (previous,
-                // current] watermark, so tUs can sit well before startUs)
-                case Some(s) if tUs >= s.startUs - gapUs && tUs - s.lastUs <= gapUs =>
-                  cur = Some(SessState(math.min(s.startUs, tUs),
-                    math.max(s.lastUs, tUs), s.n + 1))
-                // a straggler more than a gap BEFORE the open session:
-                // it can never merge with it — close it as its own
-                // session immediately (its gap horizon is already past)
-                case Some(s) if tUs < s.startUs - gapUs =>
-                  closed += ClosedSession(user, tsOf(tUs), tsOf(tUs), 1)
+                case Some(s) if it.startUs - s.lastUs <= gapUs =>
+                  cur = Some(SessState(s.startUs,
+                    math.max(s.lastUs, it.lastUs), s.n + it.n))
                 case Some(s) =>
                   closed += close(s)
-                  cur = Some(SessState(tUs, tUs, 1))
+                  cur = Some(it)
                 case None =>
-                  cur = Some(SessState(tUs, tUs, 1))
+                  cur = Some(it)
               }
             }
             cur.foreach { s =>
@@ -1030,14 +1036,21 @@ object Jobs {
     * fold is itself a valid partial cube), bounding both dir count and
     * per-query merge work for the stream's lifetime. */
   def mvMaintain(deltas: DataFrame, base: DataFrame,
-                 checkpointDir: String, compactEvery: Int = 8): StreamingQuery =
+                 checkpointDir: String, compactEvery: Int = 8,
+                 mvRoot: String = null): StreamingQuery =
     deltas.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // mvRoot names WHICH view of the base this stream maintains — a
+        // cube-lattice base has several, and metaFor refuses ambiguity,
+        // so a lattice runs one mvMaintain stream per member (null stays
+        // the single-view shorthand)
         if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
-          graft.plans.MaterializedAgg.compact(base, uptoEpoch = epochId + 1)
-        graft.plans.MaterializedAgg.append(base, batch, epoch = epochId + 1)
+          graft.plans.MaterializedAgg.compact(base, uptoEpoch = epochId + 1,
+            mvRoot = mvRoot)
+        graft.plans.MaterializedAgg.append(base, batch, epoch = epochId + 1,
+          mvRoot = mvRoot)
         ()
       }
       .start()

@@ -135,6 +135,32 @@ class EpochManifestSpec extends SparkSpec {
     assert(EpochManifest.read(spark, root, schema).count() == 21)
   }
 
+  test("fold protection travels in the manifest: a d-named entry with a " +
+      "coverage span still refuses replacement, and lo round-trips") {
+    import spark.implicits._
+    val root = tmp()
+    // simulate a fold that does NOT carry the f prefix (the pre-f naming
+    // scheme): protection must come from the manifest's lo span alone
+    writeDir(root, "d2-1", 0 until 20)
+    EpochManifest.commit(spark, root, Seq(Entry(2L, "d2-1", lo = 1L)))
+    val round = EpochManifest.entries(spark, root)
+    assert(round == Seq(Entry(2L, "d2-1", lo = 1L)), s"lo must round-trip: $round")
+    val df = Seq((99L, 0L)).toDF("id", "part")
+    val e = intercept[IllegalArgumentException](
+      EpochManifest.append(df, root, epoch = 2L))
+    assert(e.getMessage.contains("[1, 2]"), e.getMessage)
+    // a plain entry (lo absent → minEpoch == epoch) replaces fine
+    EpochManifest.commit(spark, root, Seq(Entry(2L, "d2-1")))
+    EpochManifest.append(df, root, epoch = 2L)
+    assert(EpochManifest.read(spark, root, schema).count() == 1)
+    // and compact() records the full covered span on its fold entry
+    EpochManifest.append(Seq((1L, 0L)).toDF("id", "part"), root, 3L)
+    EpochManifest.compact(spark, root, schema, uptoEpoch = 4L)
+    val fold = EpochManifest.entries(spark, root)
+    assert(fold.size == 1 && fold.head.epoch == 3L && fold.head.minEpoch == 2L,
+      s"fold must span [2,3]: $fold")
+  }
+
   test("gc reclaims a crashed writer's .tmp manifest") {
     val root = tmp()
     writeDir(root, "d0-1", 0 until 5)

@@ -185,6 +185,48 @@ class MvSpec extends SparkSpec {
     } finally MaterializedAgg.unregister(base)
   }
 
+  test("an unreadable MV store falls back to the base plan and unregisters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_gone").toString
+    def q() = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    val want = q().collect().map(_.toSeq).toSeq
+    MaterializedAgg.register(base, Seq("l_returnflag"), s"$dir/mv")
+    try {
+      assert(!scannedPaths(q()).exists(_.contains("lineitem.parquet")))
+      // the store vanishes out from under the registry (another session's
+      // workspace eviction, an operator rm) — the documented contract is
+      // "non-matching query keeps its base plan", not an exception from
+      // inside the optimizer
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm); p.delete(); ()
+      }
+      rm(new java.io.File(s"$dir/mv"))
+      val df = q()
+      assert(df.collect().map(_.toSeq).toSeq == want,
+        "query over a lost store must still answer from the base")
+      assert(scannedPaths(df).exists(_.contains("lineitem.parquet")),
+        "lost store must fall back to the base scan")
+    } finally MaterializedAgg.unregister(base)
+  }
+
+  test("unregister(mvRoot) drops one lattice member; the rest keep serving") {
+    val wide = java.nio.file.Files.createTempDirectory("graft_mv_w2").toString
+    val narrow = java.nio.file.Files.createTempDirectory("graft_mv_n2").toString
+    def q() = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    MaterializedAgg.register(base, Seq("l_returnflag", "l_linestatus"), s"$wide/mv")
+    MaterializedAgg.register(base, Seq("l_returnflag"), s"$narrow/mv")
+    try {
+      assert(scannedPaths(q()).exists(_.contains("graft_mv_n2")))
+      MaterializedAgg.unregister(base, mvRoot = s"$narrow/mv")
+      val paths = scannedPaths(q())
+      assert(paths.exists(_.contains("graft_mv_w2")),
+        s"surviving lattice member must serve the roll-up: $paths")
+      assert(!paths.exists(_.contains("graft_mv_n2")),
+        s"dropped member still scanned: $paths")
+    } finally MaterializedAgg.unregister(base)
+  }
+
   test("streaming-maintained MV: appended epochs are live, compaction re-folds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -123,7 +123,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateful sessions: cross-batch late rows extend the start, distant " +
-      "stragglers close alone, and a far-advanced watermark cannot crash the timeout") {
+      "stragglers sessionize among themselves, and a far-advanced watermark " +
+      "cannot crash the timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
@@ -133,29 +134,64 @@ class StreamingSpec extends SparkSpec {
       // batch 1: user 1 opens a session [10:00, 10:02]; watermark → 09:52
       in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:02:00"))
       q.processAllAvailable()
-      // batch 2 (input filtered against the PREVIOUS watermark, so both
-      // admitted): 09:58 is within gap of the interval → the session
-      // start must move BACK to 09:58; 09:53 is > gap before the start →
-      // its own singleton, closed immediately
-      in.addData(ev(3, "2024-01-01 09:58:00"), ev(4, "2024-01-01 09:53:00"))
+      // batch 2 (input filtered against the PREVIOUS watermark 09:52, so
+      // both admitted): two stragglers > gap before the open session but
+      // within gap of EACH OTHER must close as ONE 2-event session, not
+      // two singletons (the r11 advice fix)
+      in.addData(ev(3, "2024-01-01 09:53:00"), ev(4, "2024-01-01 09:53:30"))
       q.processAllAvailable()
-      val singletons = spark.table("late_sess").filter(col("user_id") === 1).collect()
-      assert(singletons.length == 1 && singletons(0).getAs[Long]("n_events") == 1L,
-        s"distant straggler must close alone: ${singletons.toSeq}")
-      assert(singletons(0).getAs[Timestamp]("start") == ts("2024-01-01 09:53:00"))
-      // batch 3: another user far in the future — the eviction watermark
+      val pair = spark.table("late_sess").filter(col("user_id") === 1).collect()
+      assert(pair.length == 1 && pair(0).getAs[Long]("n_events") == 2L,
+        s"straggler pair must close as one session: ${pair.toSeq}")
+      assert(pair(0).getAs[Timestamp]("start") == ts("2024-01-01 09:53:00"))
+      assert(pair(0).getAs[Timestamp]("end") == ts("2024-01-01 09:53:30"))
+      // batch 3: a late row within gap of the open interval → the session
+      // start must move BACK to 09:58 (watermark still 09:52 — max event
+      // time hasn't advanced)
+      in.addData(ev(5, "2024-01-01 09:58:00"))
+      q.processAllAvailable()
+      // batch 4+: another user far in the future — the eviction watermark
       // jumps hours past user 1's session end + gap. The un-clamped
       // timeout registration would throw here and kill the query.
-      in.addData(ev(5, "2024-01-01 20:00:00", user = 99))
+      in.addData(ev(6, "2024-01-01 20:00:00", user = 99))
       q.processAllAvailable()
-      in.addData(ev(6, "2024-01-01 23:00:00", user = 99))
+      in.addData(ev(7, "2024-01-01 23:00:00", user = 99))
       q.processAllAvailable()
       val closed = spark.table("late_sess")
-        .filter(col("user_id") === 1 && col("n_events") > 1).collect()
+        .filter(col("user_id") === 1 && col("n_events") > 2).collect()
       assert(closed.length == 1, s"main session not closed: ${closed.toSeq}")
       assert(closed(0).getAs[Timestamp]("start") == ts("2024-01-01 09:58:00"),
         "late row must extend the session start backward")
       assert(closed(0).getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
+  test("stateful sessions: a bridging late row chains a straggler into the " +
+      "open session instead of splitting it off") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Jobs.statefulSessions(in.toDS(), gapMinutes = 5)
+      .writeStream.format("memory").queryName("bridge_sess").outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      // 09:53 is > gap before the open session's 10:00 start, but 09:57
+      // bridges (09:53→09:57 and 09:57→10:00 both ≤ gap): gap-chaining
+      // makes all four events ONE session — nothing may close here
+      in.addData(ev(3, "2024-01-01 09:53:00"), ev(4, "2024-01-01 09:57:00"))
+      q.processAllAvailable()
+      assert(spark.table("bridge_sess").filter(col("user_id") === 1).isEmpty,
+        "bridged straggler must not close early")
+      in.addData(ev(5, "2024-01-01 20:00:00", user = 99))
+      q.processAllAvailable()
+      in.addData(ev(6, "2024-01-01 23:00:00", user = 99))
+      q.processAllAvailable()
+      val closed = spark.table("bridge_sess").filter(col("user_id") === 1).collect()
+      assert(closed.length == 1, s"expected one chained session: ${closed.toSeq}")
+      assert(closed(0).getAs[Long]("n_events") == 4L)
+      assert(closed(0).getAs[Timestamp]("start") == ts("2024-01-01 09:53:00"))
+      assert(closed(0).getAs[Timestamp]("end") == ts("2024-01-01 10:02:00"))
     } finally q.stop()
   }
 
