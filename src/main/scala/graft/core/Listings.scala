@@ -115,9 +115,20 @@ object Listings {
       .filter(col("id").isNotNull)
 
   /** Read the per-record pretty-printed JSON layout (S3's output). Explicit
-    * schema — never inference in production paths. */
-  def readJson(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(schema).option("multiLine", "true").json(s"$dir/house_*.json")
+    * schema — never inference in production paths. The matching files are
+    * enumerated driver-side and passed as an explicit list: handing Spark
+    * the `house_*.json` glob makes the FileStreamSink metadata probe
+    * stat the glob string itself, which fails and logs an error-shaped
+    * stack on every first read of the directory (cosmetic, but it lands
+    * in run logs looking like a failure). */
+  def readJson(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/house_*.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .map(_.getPath.toString)
+    require(files.nonEmpty, s"no house_*.json files under $dir")
+    spark.read.schema(schema).option("multiLine", "true").json(files: _*)
+  }
 
   /** Read the aggregate CSV (S4's output): header + UTF-8 + quoted
     * multiline descriptions. */

@@ -112,9 +112,62 @@ object MiscCatalog {
       |ORDER BY r_name""".stripMargin
 
   /** Time-range join (J1 range variant): per-user event pairs within 10
-    * minutes — hash join on user_id with the range as a residual filter,
-    * never a cross product. */
+    * minutes. The r11 shape was a self-join on user_id with the range as
+    * a residual filter — correct, but the join materializes every
+    * per-(user, key-match) row pair BEFORE the filter prunes it, a
+    * |events-per-user|² blowup that a hot user turns into the dominant
+    * cost at scale. This is the scale-safe replacement: ONE hash
+    * exchange on user_id (shuffle == |input| rows, measured in
+    * MiscSpec), a per-partition sort by (user, ts, id), and a forward
+    * merge over a bounded look-back deque holding only the trailing
+    * 10-minute window — the [[graft.plans.AsOfJoinExec]] single-
+    * candidate merge generalized to an interval buffer. Pair semantics
+    * (id1 < id2 ∧ ts1 ≤ ts2 ≤ ts1 + 10 min) fold per partition into a
+    * tiny (t1, t2) count map, so the second exchange carries ≤ |types|²
+    * rows per partition, never pairs. Memory is bounded by events per
+    * user per 10 minutes (the deque), not events per user. */
   def eventPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val windowUs = 10L * 60L * 1000000L
+    val partial = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { rows =>
+        def us(t: java.sql.Timestamp): Long =
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        // (tsUs, event_id, event_type) of the trailing window, ts-ascending
+        val buf = scala.collection.mutable.ArrayDeque.empty[(Long, Long, String)]
+        var curUser = Long.MinValue
+        var any = false
+        rows.foreach { case (user, id, ts, tp) =>
+          if (!any || user != curUser) { buf.clear(); curUser = user; any = true }
+          val tUs = us(ts)
+          while (buf.nonEmpty && buf.head._1 < tUs - windowUs) buf.removeHead()
+          buf.foreach { case (dUs, dId, dTp) =>
+            // earlier-or-equal event d vs current event e, exactly one
+            // orientation can satisfy (id1 < id2, ts2 ≥ ts1): d as the
+            // lower id (always in-window here), or — only at EQUAL ts,
+            // since ts2 ≥ ts1 needs dUs ≥ tUs — e as the lower id
+            if (dId < id) counts((dTp, tp)) = counts.getOrElse((dTp, tp), 0L) + 1L
+            else if (dUs == tUs) counts((tp, dTp)) = counts.getOrElse((tp, dTp), 0L) + 1L
+          }
+          buf.append((tUs, id, tp))
+        }
+        counts.iterator.map { case ((t1, t2), n) => (t1, t2, n) }
+      }
+      .toDF("t1", "t2", "n")
+    partial.groupBy(col("t1"), col("t2"))
+      .agg(sum(col("n")).as("n_pairs"))
+      .orderBy("t1", "t2")
+  }
+
+  /** The r11 self-join form of [[eventPairs]], kept as the semantic twin
+    * MiscSpec proves the merge against (and the shape whose pair-
+    * expansion exchange the merge exists to avoid). */
+  def eventPairsJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
     val a = e.select(col("user_id"), col("event_id").as("id1"),
       col("ts").as("ts1"), col("event_type").as("t1"))

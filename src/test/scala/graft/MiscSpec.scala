@@ -11,6 +11,27 @@ import graft.queries.MiscCatalog
   * correctness story. */
 class MiscSpec extends SparkSpec {
 
+  test("event pairs: forward-merge equals the self-join twin and shuffles " +
+      "|input| rows, never pairs") {
+    val merge = MiscCatalog.eventPairs(spark, sf0001)
+    val join = MiscCatalog.eventPairsJoin(spark, sf0001)
+    assert(merge.collect().map(_.toSeq).toSeq ==
+      join.collect().map(_.toSeq).toSeq,
+      "interval merge diverged from the join semantics")
+    // the whole plan's shuffle: one |input|-row hash exchange on user_id
+    // plus the tiny per-partition (t1,t2) count rows through the final
+    // aggregate/sort exchanges — NO pair-expansion exchange. The join twin
+    // is allowed its 2·|input| key exchange; what it materializes in
+    // memory per matching key-pair is exactly what this bound proves the
+    // merge never creates.
+    val n = graft.core.Tables.events(spark, sf0001).count()
+    val prof = graft.core.Metrics.measure(MiscCatalog.eventPairs(spark, sf0001))
+    assert(prof.shuffleRecords >= n,
+      s"merge must shuffle each input row once: ${prof.shuffleRecords} < $n")
+    assert(prof.shuffleRecords <= n + 1000,
+      s"pair expansion leaked into a shuffle: ${prof.shuffleRecords} vs input $n")
+  }
+
   test("q_percentiles_approx: every value is a group element within the GK rank guarantee") {
     val eps = 1.0 / MiscCatalog.PctAccuracy
     val approx = MiscCatalog.percentilesApprox(spark, sf001).collect()
