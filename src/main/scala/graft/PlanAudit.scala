@@ -290,6 +290,28 @@ object PlanAudit {
     check("partition_pruning", pread, "date predicate prunes partitions at the scan",
       p => p.contains("PartitionFilters: [isnotnull(d") && p.contains("= 2024-01-05"))
 
+    // DSv2 epochstore connector (r12): the q_doc_search probe must read
+    // through a pinned EpochStoreScan whose bucket In-filter is pushed
+    // (partition filters present, no data-filter duplicate) and whose
+    // dir pruning keeps no more bucket dirs than the probed terms hash
+    // to — the engine-grade form of the persisted-index pruning proof
+    val search = TextCatalog.docSearch(spark, sfDir)
+    val storeScans = search.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect { case s: graft.sources.EpochStoreScan => s }
+    audits += Audit("q_doc_search", "probe reads through the epochstore DSv2 scan",
+      storeScans.size == 1)
+    storeScans.foreach { s =>
+      audits += Audit("q_doc_search",
+        s"bucket filter pushed to the connector (${s.partFilters.mkString(", ")})",
+        s.partFilters.nonEmpty)
+      val (sel, tot) = s.selectedPartitionDirs
+      audits += Audit("q_doc_search",
+        s"partition dirs pruned at scan planning ($sel/$tot kept)",
+        sel <= 5 * s.entries.size && sel < tot)
+    }
+
     audits.result()
   }
 

@@ -106,6 +106,26 @@ object EpochManifest {
   def entries(spark: SparkSession, root: String): Seq[Entry] =
     manifests(spark, root).lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)
 
+  /** The RETAINED manifest generations, ascending — the store's time-
+    * travel horizon. [[gc]] keeps the two newest manifests (and every
+    * dir either references), so after any single commit or compaction
+    * the previous generation is still fully resolvable; older ones are
+    * gone by design. */
+  def generations(spark: SparkSession, root: String): Seq[Long] =
+    manifests(spark, root).map(_._1)
+
+  /** Entries of one retained generation — snapshot time travel. Fails
+    * loudly for a gc'd (or never-committed) generation rather than
+    * answering from a different snapshot. */
+  def entriesAt(spark: SparkSession, root: String, generation: Long): Seq[Entry] = {
+    val ms = manifests(spark, root)
+    val m = ms.find(_._1 == generation).getOrElse(throw new IllegalArgumentException(
+      s"generation $generation not retained under $root — " +
+        s"available: ${ms.map(_._1).mkString("[", ", ", "]")} (gc keeps the " +
+        "two newest manifests; older snapshots are reclaimed by design)"))
+    parse(spark, m._2)
+  }
+
   /** Commit a full entry list as the next manifest generation
     * (write-tmp-then-rename — appears atomically or not at all). */
   def commit(spark: SparkSession, root: String, es: Seq[Entry]): Long = {
@@ -149,10 +169,18 @@ object EpochManifest {
     * read per entry (each discovers its OWN inner partition columns, so
     * e.g. list_id pruning stays directory-level), unioned by name. The
     * explicit schema keeps a committed-but-empty epoch dir readable
-    * (schema inference has no files to look at there). */
+    * (schema inference has no files to look at there). `asOfGeneration`
+    * pins the read to a RETAINED manifest generation ([[generations]]):
+    * right after a compaction the previous generation still resolves
+    * (gc's two-manifest lag), so an as-of read returns the
+    * pre-compaction answer while the live read returns the new one —
+    * the audit/debug view every snapshot store owes its operators. */
   def read(spark: SparkSession, root: String, schema: StructType,
-           maxEpoch: Long = Long.MaxValue): DataFrame = {
-    val live = entries(spark, root).filter(_.epoch <= maxEpoch)
+           maxEpoch: Long = Long.MaxValue,
+           asOfGeneration: Long = -1L): DataFrame = {
+    val base = if (asOfGeneration < 0L) entries(spark, root)
+      else entriesAt(spark, root, asOfGeneration)
+    val live = base.filter(_.epoch <= maxEpoch)
     require(live.nonEmpty,
       s"no committed manifest entries under $root with epoch <= $maxEpoch — " +
         "either the store is empty or a compaction folded the requested " +

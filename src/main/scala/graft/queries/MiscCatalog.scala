@@ -522,7 +522,54 @@ object MiscCatalog {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Snapshot time travel through the DSv2 connector (`q_store_timetravel`):
+    * land a two-epoch [[graft.core.EpochManifest]] store over the
+    * documents table ONCE per (session, sfDir) — epoch 0 = even doc_ids
+    * (manifest generation 1), epoch 1 = odd doc_ids (generation 2) —
+    * then answer per-lang counts from BOTH the generation-1 pin
+    * (`option("asOfGeneration", g1)`) and the live read in one result.
+    * DuckDB rebuilds both columns straight from the raw table (the
+    * pinned column is exactly the even-id subset), so a connector that
+    * resolved the wrong manifest, leaked a later epoch into the pin, or
+    * dropped one from the live read fails the oracle.
+    *
+    * Scale notes: both reads are connector scans over immutable dirs —
+    * the pin costs nothing extra (same storage, older manifest); the
+    * [[graft.core.EpochManifest.gc]] two-generation retention bounds how
+    * far back a pin can reach, the same contract the spec pins. */
+  def storeTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val dir = graft.core.Landed.dir(spark, s"tt_store:$sfDir", "graft_tt_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull).select(col("doc_id"), col("lang"))
+      graft.core.EpochManifest.append(docs.filter(col("doc_id") % 2 === 0), d, 0L)
+      graft.core.EpochManifest.append(docs.filter(col("doc_id") % 2 =!= 0), d, 1L)
+    }
+    val g1 = graft.core.EpochManifest.generations(spark, dir).head
+    val pinned = graft.sources.EpochStore.read(spark, dir, schema,
+        asOfGeneration = g1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_pinned"))
+    val live = graft.sources.EpochStore.read(spark, dir, schema)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_live"))
+    live.join(pinned, Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("n_pinned"), lit(0L)).as("n_pinned"),
+        col("n_live"))
+      .orderBy("lang")
+  }
+
+  val storeTimetravelSql: String =
+    """SELECT lang,
+      |  COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS n_pinned,
+      |  COUNT(*) AS n_live
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_timetravel" -> (storeTimetravel _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
     "q_table_diff"    -> (tableDiffQ _),
@@ -544,6 +591,7 @@ object MiscCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_store_timetravel" -> storeTimetravelSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,
     "q_table_diff"    -> tableDiffSql,

@@ -2170,8 +2170,12 @@ object TextCatalog {
                                maxEpoch: Long = Long.MaxValue): DataFrame = {
     val buckets = terms.map(t => java.lang.Long.remainderUnsigned(
       md5Upper64(s"$t|inv"), InvBuckets.toLong).toInt).distinct
-    graft.core.EpochManifest.read(spark, postingsRoot(indexDir),
-        postingsSchema, maxEpoch)
+    // r12: reads through the DSv2 connector — the bucket In-filter pushes
+    // into the scan and prunes the store's partition dirs there
+    // (EpochStoreSpec/TextSpec gate selected == probed), replacing the
+    // per-epoch glob + union the r11 path hand-built
+    graft.sources.EpochStore.read(spark, postingsRoot(indexDir),
+        postingsSchema, "bucket", maxEpoch)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("token"), col("doc_id"))
@@ -2261,14 +2265,14 @@ object TextCatalog {
                               maxEpoch: Long = Long.MaxValue): DataFrame = {
     val buckets = terms.map(t => java.lang.Long.remainderUnsigned(
       md5Upper64(s"$t|inv"), InvBuckets.toLong).toInt).distinct
-    val posts = graft.core.EpochManifest.read(spark, postingsRoot(indexDir),
-        postingsSchema, maxEpoch)
+    val posts = graft.sources.EpochStore.read(spark, postingsRoot(indexDir),
+        postingsSchema, "bucket", maxEpoch)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("token"), col("doc_id"))
       .agg(sum(col("tf")).as("tf"))
-    val lens = graft.core.EpochManifest.read(spark, doclensRoot(indexDir),
-        doclensSchema, maxEpoch)
+    val lens = graft.sources.EpochStore.read(spark, doclensRoot(indexDir),
+        doclensSchema, maxEpoch = maxEpoch)
       .groupBy(col("doc_id")).agg(sum(col("dl")).as("dl"))
     val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tdl"))
     val dfreq = posts.groupBy(col("token")).agg(count(lit(1)).as("df"))

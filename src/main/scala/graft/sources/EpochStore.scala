@@ -1,0 +1,433 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.EpochManifest
+
+/** DataSource V2 connector over an [[graft.core.EpochManifest]] snapshot
+  * store — the engine-grade read surface for every persisted index
+  * (inverted-text postings, IVF-PQ codes, band/shingle stores): instead
+  * of path globs + manual manifest resolution at the call site, a store
+  * root becomes a Spark TABLE whose scan
+  *
+  *  - pins ONE manifest snapshot at scan planning (the generation is
+  *    part of the Scan — a compaction committing mid-query cannot change
+  *    the file set this plan reads; gc's two-manifest lag keeps every
+  *    pinned dir alive, the same isolation contract the manual readers
+  *    carry),
+  *  - prunes the store's partition directories (`bucket=N` / `cell=N`)
+  *    from EXACT pushed filters on the partition column — a probe for 3
+  *    buckets lists and reads exactly those 3 dirs per epoch, never the
+  *    other 61,
+  *  - pushes the remaining data filters and the required-column
+  *    projection into Spark's OWN vectorized parquet reader
+  *    ([[ParquetPartitionReaderFactory]] — this connector plans WHAT to
+  *    read; the battle-tested parquet path does the decoding, so rows
+  *    here are exactly as fast as a native parquet scan),
+  *  - and time-travels: `option("asOfGeneration", g)` resolves a
+  *    RETAINED older manifest ([[EpochManifest.generations]]), giving
+  *    the pre-compaction / pre-append answer from live storage.
+  *
+  * Options: `path` (store root, required), `partitionColumn` (the stored
+  * partition-dir column, e.g. "bucket" — omit for unpartitioned stores),
+  * `maxEpoch` (visibility bound, the [[EpochManifest.read]] contract),
+  * `asOfGeneration` (manifest pin, default latest). Registered as format
+  * `"epochstore"` via DataSourceRegister; read-only by design — writes
+  * go through the manifest commit protocol ([[EpochManifest.append]]),
+  * never through a blind sink.
+  *
+  * Scale shape: listing is one driver-side `listStatus` per visible
+  * epoch dir (+ one per surviving partition dir) — proportional to the
+  * PRUNED file set, not the store; files split at
+  * `spark.sql.files.maxPartitionBytes` boundaries and pack into
+  * [[FilePartition]]s exactly like the native file source, so a
+  * 1000-executor cluster sees the same task geometry it would on a
+  * plain parquet table. */
+class EpochStoreProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "epochstore"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Engine paths always pass the store's declared schema; inference
+    * exists for ad-hoc exploration and reads one pinned entry dir (the
+    * partition column, if any, is discovered from its `col=value`
+    * layout by the normal parquet reader). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val root = EpochStore.rootOf(options)
+    val es = EpochStore.pinnedEntries(spark, root, options)
+    require(es.nonEmpty, s"cannot infer the schema of empty store $root — " +
+      "pass an explicit .schema(...)")
+    spark.read.parquet(s"$root/${es.head.dir}").schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new EpochStoreTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+final class EpochStoreTable(tableSchema: StructType,
+                            options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"epochstore(${EpochStore.rootOf(options)})"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    // table-creation options carry path/partitionColumn/maxEpoch/
+    // asOfGeneration; scan-time options would only add session defaults
+    new EpochStoreScanBuilder(tableSchema, options)
+}
+
+final class EpochStoreScanBuilder(tableSchema: StructType,
+                                  options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val partCol: Option[String] = Option(options.get("partitionColumn"))
+  private var required: StructType = tableSchema
+  private var partFilters: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
+
+  /** Partition-column filters the dir-pruning can answer EXACTLY are
+    * fully handled (not returned as residual); everything else stays
+    * residual. Data-only filters additionally ride into the parquet
+    * reader as row-group/page skip candidates — non-exact there, so
+    * they stay residual too (the native parquet source's contract). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (exact, rest) = filters.partition(f =>
+      partCol.exists(c => EpochStore.exactPartitionFilter(f, c)))
+    partFilters = exact
+    dataFilters = rest.filter(f =>
+      partCol.forall(c => !f.references.contains(c)))
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = partFilters ++ dataFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** The manifest snapshot is resolved HERE — scan planning — and the
+    * pinned entry list travels inside the Scan. */
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val root = EpochStore.rootOf(options)
+    val gens = EpochManifest.generations(spark, root)
+    require(gens.nonEmpty, s"no committed manifest under $root")
+    val asOf = Option(options.get("asOfGeneration")).map(_.toLong).getOrElse(-1L)
+    val gen = if (asOf < 0L) gens.last else asOf
+    val maxEpoch = Option(options.get("maxEpoch")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    val entries = EpochManifest.entriesAt(spark, root, gen)
+      .filter(_.epoch <= maxEpoch)
+    EpochStoreScan(tableSchema, required, partCol, root, gen, entries,
+      partFilters, dataFilters)
+  }
+}
+
+/** One pinned scan: `generation` + `entries` ARE the snapshot. Also the
+  * [[Batch]] (single-phase batch read). */
+final case class EpochStoreScan(
+    fullSchema: StructType, required: StructType, partCol: Option[String],
+    root: String, generation: Long, entries: Seq[EpochManifest.Entry],
+    partFilters: Array[Filter], dataFilters: Array[Filter])
+    extends Scan with Batch {
+
+  private val partField: Option[StructField] =
+    partCol.flatMap(c => fullSchema.fields.find(_.name == c))
+  require(partCol.isEmpty || partField.nonEmpty,
+    s"partitionColumn ${partCol.orNull} is not in the schema")
+
+  /** Files hold every column EXCEPT the partition-dir column. */
+  private val dataSchema: StructType =
+    StructType(fullSchema.filterNot(f => partCol.contains(f.name)))
+  private val readDataSchema: StructType =
+    StructType(required.filterNot(f => partCol.contains(f.name)))
+  private val readPartSchema: StructType =
+    StructType(partField.toSeq.filter(f => required.fieldNames.contains(f.name)))
+
+  // the file-source output convention: data columns then partition columns
+  override def readSchema(): StructType =
+    StructType(readDataSchema ++ readPartSchema)
+
+  override def toBatch: Batch = this
+
+  /** Driver-side listing over the PINNED snapshot: per entry dir, either
+    * its files directly (unpartitioned store) or its `col=value` subdirs
+    * filtered by the pushed partition filters. Returns (value, file)
+    * pairs plus the audit counts. */
+  private lazy val listing: (Seq[(Any, FileStatus)], Int, Int) = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(
+      GraftBridge.sessionHadoopConf(spark))
+    def filesUnder(p: Path): Seq[FileStatus] = {
+      val (dirs, files) = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .partition(_.isDirectory)
+      files.filter(_.getLen > 0) ++ dirs.flatMap(d => filesUnder(d.getPath))
+    }
+    var total = 0
+    var kept = 0
+    val out = Seq.newBuilder[(Any, FileStatus)]
+    entries.foreach { e =>
+      val dir = new Path(s"$root/${e.dir}")
+      partField match {
+        case None =>
+          out ++= filesUnder(dir).map((null: Any, _))
+        case Some(f) =>
+          val prefix = s"${f.name}="
+          fs.listStatus(dir).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+            .foreach { sub =>
+              total += 1
+              val v = EpochStore.parsePartitionValue(
+                sub.getPath.getName.stripPrefix(prefix), f.dataType)
+              if (partFilters.forall(pf =>
+                  EpochStore.evalOnPartition(pf, f.name, v) != Some(false))) {
+                kept += 1
+                out ++= filesUnder(sub.getPath).map((v, _))
+              }
+            }
+      }
+    }
+    (out.result(), kept, total)
+  }
+
+  /** selected/total partition dirs across the pinned epochs — the
+    * pruning proof PlanSpec reads (also surfaced in [[description]]). */
+  def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
+
+  override def description(): String = {
+    val (sel, tot) = selectedPartitionDirs
+    s"epochstore $root gen=$generation epochs=${entries.size} " +
+      s"partitions=$sel/$tot " +
+      s"PushedFilters: [${(partFilters ++ dataFilters).mkString(", ")}], " +
+      s"ReadSchema: ${readSchema().catalogString}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = GraftBridge.sessionConf(spark)
+    val openCost = conf.filesOpenCostInBytes
+    val minParts = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = listing._1.map(_._2.getLen + openCost).sum
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, minParts)))
+    val splits = listing._1.flatMap { case (v, st) =>
+      val pv: InternalRow =
+        if (readPartSchema.isEmpty) InternalRow.empty
+        else new GenericInternalRow(Array[Any](EpochStore.toCatalyst(v)))
+      (0L until st.getLen by maxSplit).map { off =>
+        PartitionedFile(pv, SparkPath.fromPath(st.getPath), off,
+          math.min(maxSplit, st.getLen - off), Array.empty[String],
+          st.getModificationTime, st.getLen, Map.empty)
+      }
+    }
+    FilePartition.getFilePartitions(spark,
+      splits.sortBy(-_.length), maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val conf = GraftBridge.sessionConf(spark)
+    // prime the Hadoop conf exactly the way the native ParquetScan does
+    // before it builds this same factory — the record readers resolve
+    // their ReadSupport class and the requested Catalyst schema from
+    // conf keys, not constructor args
+    val hc = GraftBridge.sessionHadoopConf(spark)
+    hc.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    hc.set("org.apache.spark.sql.parquet.row.requested_schema", readDataSchema.json)
+    hc.set("org.apache.spark.sql.parquet.row.attributes", readDataSchema.json)
+    hc.set("spark.sql.session.timeZone", conf.sessionLocalTimeZone)
+    hc.setBoolean("spark.sql.optimizer.nestedSchemaPruning.enabled",
+      conf.nestedSchemaPruningEnabled)
+    hc.setBoolean("spark.sql.caseSensitive", conf.caseSensitiveAnalysis)
+    hc.setBoolean("spark.sql.parquet.binaryAsString", conf.isParquetBinaryAsString)
+    hc.setBoolean("spark.sql.parquet.int96AsTimestamp",
+      conf.isParquetINT96AsTimestamp)
+    hc.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled",
+      conf.parquetInferTimestampNTZEnabled)
+    hc.setBoolean("spark.sql.legacy.parquet.nanosAsLong",
+      conf.legacyParquetNanosAsLong)
+    val bc = GraftBridge.broadcastHadoopConf(spark, hc)
+    ParquetPartitionReaderFactory(conf, bc, dataSchema, readDataSchema,
+      readPartSchema, dataFilters, None,
+      new ParquetOptions(Map.empty[String, String], conf))
+  }
+}
+
+object EpochStore {
+
+  private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "epochstore requires option(\"path\", <store root>)")
+    p
+  }
+
+  private[sources] def pinnedEntries(spark: SparkSession, root: String,
+      options: CaseInsensitiveStringMap): Seq[EpochManifest.Entry] = {
+    val asOf = Option(options.get("asOfGeneration")).map(_.toLong).getOrElse(-1L)
+    if (asOf < 0L) EpochManifest.entries(spark, root)
+    else EpochManifest.entriesAt(spark, root, asOf)
+  }
+
+  /** The engine's read entry point — what the serving paths call instead
+    * of manual manifest resolution. The manifest generation is resolved
+    * HERE (DataFrame construction), not at first action: a DataFrame
+    * handed out by a serving path is a pinned snapshot — a compaction
+    * committing between construction and execution cannot change what it
+    * reads (TextSpec's probe-through-the-swap proof), the same contract
+    * the manual [[EpochManifest.read]] carries via its eager `entries`
+    * call. */
+  def read(spark: SparkSession, root: String, schema: StructType,
+           partitionColumn: String = null,
+           maxEpoch: Long = Long.MaxValue,
+           asOfGeneration: Long = -1L): DataFrame = {
+    val gen = if (asOfGeneration >= 0L) asOfGeneration
+      else {
+        val gens = EpochManifest.generations(spark, root)
+        require(gens.nonEmpty, s"no committed manifest under $root")
+        gens.last
+      }
+    var r = spark.read.format("epochstore").schema(schema).option("path", root)
+      .option("asOfGeneration", gen.toString)
+    if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
+    if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
+    r.load()
+  }
+
+  /** Parse one `col=value` dir-name value to the column's external type.
+    * Stores partition by small integer hash buckets / cells or short
+    * string labels; the hive null sentinel maps to null. */
+  private[sources] def parsePartitionValue(raw: String, dt: DataType): Any = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return null
+    dt match {
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case ShortType => raw.toShort
+      case StringType => unescape(raw)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other for epochstore")
+    }
+  }
+
+  private[sources] def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  /** Spark escapes special chars in partition dir names as %XX; a `%`
+    * not followed by two hex digits is literal. */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val escaped = c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0
+      if (escaped) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Can the dir-pruning answer `f` EXACTLY (so it needn't be
+    * re-evaluated)? True only when every leaf references `col` alone
+    * with a supported comparison. */
+  private[sources] def exactPartitionFilter(f: Filter, col: String): Boolean =
+    f match {
+      case sources.EqualTo(a, _) => a == col
+      case sources.In(a, _) => a == col
+      case sources.GreaterThan(a, _) => a == col
+      case sources.GreaterThanOrEqual(a, _) => a == col
+      case sources.LessThan(a, _) => a == col
+      case sources.LessThanOrEqual(a, _) => a == col
+      case sources.IsNull(a) => a == col
+      case sources.IsNotNull(a) => a == col
+      case sources.And(l, r) =>
+        exactPartitionFilter(l, col) && exactPartitionFilter(r, col)
+      case sources.Or(l, r) =>
+        exactPartitionFilter(l, col) && exactPartitionFilter(r, col)
+      case sources.Not(c) => exactPartitionFilter(c, col)
+      case _ => false
+    }
+
+  /** Three-valued evaluation of `f` against one partition value: Some
+    * (definite) when the filter is decidable from the partition column
+    * alone, None (keep the dir) otherwise. Pruning drops a dir only on
+    * Some(false). */
+  private[sources] def evalOnPartition(f: Filter, col: String,
+                                       v: Any): Option[Boolean] = {
+    def cmp(x: Any): Option[Int] = (v, x) match {
+      case (null, _) => None
+      case (a: Number, b: Number) =>
+        Some(new java.math.BigDecimal(a.toString)
+          .compareTo(new java.math.BigDecimal(b.toString)))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    f match {
+      case sources.EqualTo(a, x) if a == col => cmp(x).map(_ == 0)
+      case sources.In(a, xs) if a == col =>
+        if (v == null) Some(false)
+        else {
+          val hits = xs.toSeq.map(cmp)
+          if (hits.exists(_.contains(0))) Some(true)
+          else if (hits.forall(_.isDefined)) Some(false)
+          else None
+        }
+      case sources.GreaterThan(a, x) if a == col => cmp(x).map(_ > 0)
+      case sources.GreaterThanOrEqual(a, x) if a == col => cmp(x).map(_ >= 0)
+      case sources.LessThan(a, x) if a == col => cmp(x).map(_ < 0)
+      case sources.LessThanOrEqual(a, x) if a == col => cmp(x).map(_ <= 0)
+      case sources.IsNull(a) if a == col => Some(v == null)
+      case sources.IsNotNull(a) if a == col => Some(v != null)
+      case sources.And(l, r) =>
+        (evalOnPartition(l, col, v), evalOnPartition(r, col, v)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case sources.Or(l, r) =>
+        (evalOnPartition(l, col, v), evalOnPartition(r, col, v)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case sources.Not(c) => evalOnPartition(c, col, v).map(!_)
+      case _ => None
+    }
+  }
+}

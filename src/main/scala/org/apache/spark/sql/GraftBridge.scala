@@ -59,4 +59,25 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's SQLConf — [[graft.sources.EpochStoreScan]] hands it to
+    * Spark's own ParquetPartitionReaderFactory (split sizing, vectorized
+    * reader toggles, session timezone). */
+  def sessionConf(spark: SparkSession): org.apache.spark.sql.internal.SQLConf =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf
+
+  /** The session's Hadoop conf WITH per-session SQL overrides applied
+    * (spark.hadoop.*, spark.sql.* forwards) — what file listings and the
+    * parquet readers must see. */
+  def sessionHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
+  /** Broadcast a Hadoop conf in the `private[spark]` wrapper Spark's
+    * file reader factories require. */
+  def broadcastHadoopConf(spark: SparkSession,
+                          conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration] =
+    spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
 }

@@ -161,6 +161,34 @@ class EpochManifestSpec extends SparkSpec {
       s"fold must span [2,3]: $fold")
   }
 
+  test("time travel: an as-of-generation read returns the pre-commit " +
+      "snapshot while the live read returns the new one") {
+    import spark.implicits._
+    val root = tmp()
+    writeDir(root, "d1-1", 0 until 10)
+    EpochManifest.commit(spark, root, Seq(Entry(1L, "d1-1")))          // gen 1
+    val g1 = EpochManifest.generations(spark, root).last
+    EpochManifest.append(Seq((10L, 0L)).toDF("id", "part"), root, 2L)  // gen 2
+    assert(EpochManifest.read(spark, root, schema).count() == 11)
+    assert(EpochManifest.read(spark, root, schema, asOfGeneration = g1).count() == 10,
+      "pinned generation must answer pre-append")
+    // compaction commits gen 3 and gc retains gens {2, 3}: the pinned
+    // PRE-COMPACTION snapshot (gen 2) still answers with the un-folded
+    // dirs, the live read with the fold — and gen 1 is gone by design
+    EpochManifest.compact(spark, root, schema)
+    val gens = EpochManifest.generations(spark, root)
+    assert(gens.size == 2, s"gc must retain exactly two generations: $gens")
+    assert(EpochManifest.read(spark, root, schema,
+      asOfGeneration = gens.head).count() == 11)
+    assert(EpochManifest.entriesAt(spark, root, gens.head).size == 2,
+      "pre-compaction generation must still name the un-folded dirs")
+    assert(EpochManifest.read(spark, root, schema).count() == 11)
+    assert(EpochManifest.entries(spark, root).size == 1)
+    val e = intercept[IllegalArgumentException](
+      EpochManifest.entriesAt(spark, root, g1))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
   test("gc reclaims a crashed writer's .tmp manifest") {
     val root = tmp()
     writeDir(root, "d0-1", 0 until 5)

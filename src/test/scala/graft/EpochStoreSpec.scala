@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.types._
+import graft.core.EpochManifest
+import graft.sources.{EpochStore, EpochStoreScan}
+
+/** The DSv2 connector over the EpochManifest store
+  * ([[graft.sources.EpochStoreProvider]]): rows must equal the manual
+  * manifest reader's, partition-dir pruning must be provable from the
+  * pinned Scan (selected/total counts), pushed filters must reach the
+  * parquet reader, and `asOfGeneration` must time-travel. */
+class EpochStoreSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("bucket", IntegerType)))
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+
+  /** Two epochs, 4 buckets, 40 rows each epoch. */
+  private def build(root: String): Unit = {
+    import spark.implicits._
+    def rows(off: Int) = (0 until 40)
+      .map(i => ((i + off).toLong, s"v${i + off}", (i + off) % 4))
+      .toDF("id", "v", "bucket")
+    EpochManifest.append(rows(0), root, 0L, partitionBy = Seq("bucket"))
+    EpochManifest.append(rows(40), root, 1L, partitionBy = Seq("bucket"))
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): EpochStoreScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collect { case s: EpochStoreScan => s }.head
+
+  test("connector rows equal the manual manifest reader's") {
+    val root = tmp()
+    build(root)
+    val viaConnector = EpochStore.read(spark, root, schema, "bucket")
+      .collect().map(_.toSeq).toSet
+    val manual = EpochManifest.read(spark, root, schema)
+      .select("id", "v", "bucket")
+      .collect().map(_.toSeq).toSet
+    assert(viaConnector == manual && manual.size == 80)
+  }
+
+  test("partition pruning: a bucket probe reads exactly the probed dirs, " +
+      "fully handled (no residual re-filter needed)") {
+    val root = tmp()
+    build(root)
+    val df = EpochStore.read(spark, root, schema, "bucket")
+      .filter(col("bucket").isin(1, 3))
+    val scan = scanOf(df)
+    assert(scan.selectedPartitionDirs == (4, 8), // 2 buckets × 2 epochs of 4
+      s"pruning: ${scan.selectedPartitionDirs}")
+    assert(scan.partFilters.length == 1 && scan.dataFilters.isEmpty,
+      s"partition filter not recognized: ${scan.partFilters.toSeq}")
+    val got = df.collect()
+    assert(got.length == 40 && got.forall(r => Set(1, 3)(r.getAs[Int]("bucket"))))
+    // single-bucket equality prunes to 1 dir per epoch
+    val one = EpochStore.read(spark, root, schema, "bucket")
+      .filter(col("bucket") === 2)
+    assert(scanOf(one).selectedPartitionDirs == (2, 8))
+    assert(one.count() == 20)
+  }
+
+  test("column pruning and data-filter pushdown reach the parquet reader") {
+    val root = tmp()
+    build(root)
+    val df = EpochStore.read(spark, root, schema, "bucket")
+      .filter(col("id") < 10L).select("v")
+    val scan = scanOf(df)
+    assert(scan.dataFilters.nonEmpty, "id filter must push to parquet")
+    assert(scan.readSchema().fieldNames.toSeq.contains("v") &&
+      !scan.readSchema().fieldNames.toSeq.contains("bucket"),
+      s"pruned read schema: ${scan.readSchema()}")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 10).map(i => s"v$i").sorted)
+    // projecting ONLY the partition column still answers (no data cols read)
+    val partOnly = EpochStore.read(spark, root, schema, "bucket").select("bucket")
+    assert(partOnly.collect().length == 80)
+  }
+
+  test("asOfGeneration time-travels; maxEpoch bounds visibility") {
+    val root = tmp()
+    build(root) // gen 1 = {e0}, gen 2 = {e0, e1}
+    val gens = EpochManifest.generations(spark, root)
+    assert(gens.size == 2)
+    assert(EpochStore.read(spark, root, schema, "bucket",
+      asOfGeneration = gens.head).count() == 40)
+    assert(EpochStore.read(spark, root, schema, "bucket").count() == 80)
+    assert(EpochStore.read(spark, root, schema, "bucket", maxEpoch = 0L)
+      .count() == 40)
+    // the pinned scan survives a compaction committed after planning
+    val pinned = EpochStore.read(spark, root, schema, "bucket",
+      asOfGeneration = gens.last)
+    EpochManifest.compact(spark, root, schema, partitionBy = Seq("bucket"))
+    assert(pinned.count() == 80, "pinned snapshot must survive compaction+gc")
+    val e = intercept[IllegalArgumentException](
+      EpochStore.read(spark, root, schema, "bucket", asOfGeneration = 99L)
+        .collect())
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("unpartitioned store reads through the connector") {
+    import spark.implicits._
+    val root = tmp()
+    val plain = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    EpochManifest.append(
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root, 0L)
+    val df = EpochStore.read(spark, root, plain)
+    assert(df.count() == 10)
+    assert(df.filter(col("id") >= 5L).count() == 5)
+  }
+
+  test("string partition column round-trips escaped dir names") {
+    import spark.implicits._
+    val root = tmp()
+    val s = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType)))
+    EpochManifest.append(
+      Seq((1L, "en"), (2L, "pt:br"), (3L, "pt:br"), (4L, null))
+        .toDF("id", "lang"), root, 0L, partitionBy = Seq("lang"))
+    val df = EpochStore.read(spark, root, s, "lang")
+    assert(df.count() == 4)
+    val probed = df.filter(col("lang") === "pt:br")
+    assert(scanOf(probed).selectedPartitionDirs._1 == 1,
+      "escaped string dir must prune to one")
+    assert(probed.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(df.filter(col("lang").isNull).count() == 1)
+  }
+}

@@ -529,20 +529,25 @@ class TextSpec extends SparkSpec {
     TextCatalog.appendInvertedIndex(corpus.filter(col("doc_id") % 2 === 1), dir, epoch = 1L)
     val terms = Seq("vector", "stream", "join")
     val res = TextCatalog.searchInvertedIndexStore(spark, dir, terms, k = 5)
-    // pruning proof on each per-epoch scan (the persisted-IVF pattern):
-    // partition filters populated, and no scan reads more bucket dirs
-    // than the probe terms hash to
+    // pruning proof on the pinned DSv2 scan (r12: the probe reads through
+    // the epochstore connector): the bucket In-filter must land as a
+    // fully-handled partition filter, and across BOTH epochs the scan
+    // keeps no more bucket dirs than the probe terms hash to
     val buckets = terms.map(t => java.lang.Long.remainderUnsigned(
       graft.functions.TextOps.md5Upper64(s"$t|inv"),
       TextCatalog.InvBuckets.toLong).toInt).distinct.toSet
-    val scans = res.queryExecution.sparkPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
-    assert(scans.size >= 2, s"expected one scan per epoch, got ${scans.size}")
+    val scans = res.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect { case s: graft.sources.EpochStoreScan => s }
+    assert(scans.size == 1, s"expected the postings connector scan, got ${scans.size}")
     scans.foreach { s =>
-      assert(s.partitionFilters.nonEmpty, "scan has no partition filters")
-      assert(s.selectedPartitions.partitionCount <= buckets.size,
-        s"scan reads ${s.selectedPartitions.partitionCount} buckets, probed ${buckets.size}")
+      assert(s.partFilters.nonEmpty, "scan has no partition filters")
+      assert(s.entries.size == 2, s"scan must pin both epochs: ${s.entries}")
+      val (sel, tot) = s.selectedPartitionDirs
+      assert(sel <= buckets.size * s.entries.size && sel < tot,
+        s"scan reads $sel/$tot bucket dirs, probed ${buckets.size} buckets " +
+          s"over ${s.entries.size} epochs")
     }
     // JVM parity: per-term top-5 docs by (tf desc, doc_id asc) over the
     // full corpus — the two epochs must merge to exactly this
