@@ -187,6 +187,20 @@ object PlanAudit {
     check("q_mv_rollup", mvq, "aggregate rewritten to the MV scan (base table gone)",
       p => !p.contains("lineitem.parquet") && p.contains("graft_mv_store"))
 
+    // the time-bucketed roll-up (r12): a month query composed from the
+    // day-bucket store — the base orders scan must be gone
+    val mvt = plan(TpchCatalog.mvTimeRollup(spark, sfDir))
+    check("q_mv_time_rollup", mvt, "month roll-up composed from the day-bucket MV (base gone)",
+      p => !p.contains("orders.parquet") && p.contains("graft_mv_time"))
+
+    // the armed advised join (r12): a PLAIN events⋈dim rewritten by the
+    // optimizer rule into the hybrid hot/cold union — hot slice
+    // broadcast, cold remainder co-partitioned, and the union visible in
+    // the final plan
+    val jauto = plan(EventsCatalog.joinAuto(spark, sfDir))
+    check("q_join_auto", jauto, "hybrid hot/cold union with a broadcast hot slice",
+      p => p.contains("Union") && p.contains("BroadcastHashJoin"))
+
     // BM25: the df table broadcasts back to the tf rows (a SMJ here
     // would shuffle the corpus for a |terms|-row dimension) and the
     // top-20 compiles to TakeOrderedAndProject, never a global sort.

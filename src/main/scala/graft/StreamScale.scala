@@ -129,6 +129,33 @@ object StreamScale {
   private def noop(df: DataFrame, mode: String): StreamingQuery =
     df.writeStream.format("noop").outputMode(mode).start()
 
+  /** Run `body` with the session's state-store provider switched (null =
+    * Spark's default HDFSBackedStateStoreProvider), restoring after. The
+    * conf is read per streaming query at START, so switching between
+    * profile runs is safe — running queries keep their provider. */
+  def withStateProvider[T](spark: SparkSession, provider: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    if (provider == null) spark.conf.unset(key) else spark.conf.set(key, provider)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The out-of-heap scale path: Spark's bundled RocksDB provider. The
+    * default provider holds every state row on the executor HEAP (state
+    * size is bounded by executor memory — fine for key-cardinality-
+    * bounded state, fatal for 100 TB watermark joins whose in-horizon
+    * buffer is GBs per partition); RocksDB spills state to local SSD with
+    * changelog/snapshot files in the checkpoint, so per-partition state
+    * is bounded by DISK, and executor heap holds only block cache.
+    * [[ScaleProfile]] profiles every job under BOTH providers and
+    * SCALE.md carries the two tables; StreamingSpec proves replay
+    * equality (same answers either side). */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Profile every state-store-backed job over the fixture replay. */
   def run(spark: SparkSession, sfDir: String): Seq[JobProfile] = {
     val feed = eventFeed(spark, sfDir)

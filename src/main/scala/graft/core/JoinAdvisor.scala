@@ -1,7 +1,19 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, AttributeReference, Cast, EqualTo, Expression, In, IsNull, Literal,
+  Not, Or}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{
+  BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Sketch-informed join planning: the consultation step that turns the
   * engine's one-pass summaries (exact count + Count-Min sketch +
@@ -122,5 +134,138 @@ object JoinAdvisor {
     val a = advise(left, right, key, broadcastRows = broadcastRows,
       minShare = minShare)
     (build(left, right, key, a), a)
+  }
+
+  // ------------------------------------------------------------------
+  // Planner integration: arm() once, then PLAIN a.join(b, key) calls get
+  // the advised treatment transparently — the MaterializedAgg contract
+  // (profile registered ahead of time, a late optimizer rule consults it,
+  // non-matching joins silently keep their plan). The profile jobs run in
+  // arm(), NEVER at optimize time: an optimizer rule that launched Spark
+  // jobs would turn every explain() into cluster work.
+  // ------------------------------------------------------------------
+
+  /** Armed profiles keyed by (probe-side root paths, dim-side root paths,
+    * join-key column name) — JVM-global like the MV registry, so every
+    * session sharing the warehouse sees the profile; rule injection stays
+    * per-session. */
+  private val armed = TrieMap.empty[(Set[String], Set[String], String), Advice]
+
+  private def pathsOf(df: DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.toSet
+
+  /** Profile both sides now (eager — one narrow aggregate job per side,
+    * the [[advise]] contract), register the advice for the rewrite rule,
+    * and arm the rule on `left`'s session. Both sides must be
+    * file-relation scans (the rule recognizes a join by the scanned root
+    * paths + key name). Re-arming the same shape re-profiles — the
+    * refresh path when the data changed. Returns the advice so callers
+    * can inspect the decision. */
+  def arm(left: DataFrame, right: DataFrame, key: String,
+          broadcastRows: Long = 1L << 20, minShare: Double = 0.05): Advice = {
+    val lp = pathsOf(left)
+    val rp = pathsOf(right)
+    require(lp.nonEmpty && rp.nonEmpty,
+      "JoinAdvisor.arm: both sides must be file-relation scans")
+    val a = advise(left, right, key, broadcastRows = broadcastRows,
+      minShare = minShare)
+    armed.put((lp, rp, key), a)
+    GraftBridge.addOptimization(left.sparkSession, AdvisedJoinRewrite)
+    a
+  }
+
+  /** Drop an armed profile (tests; a production un-arm). */
+  def disarm(left: DataFrame, right: DataFrame, key: String): Unit = {
+    armed.remove((pathsOf(left), pathsOf(right), key)); ()
+  }
+
+  /** The rewrite rule. Runs in the late per-session experimental batch
+    * ([[GraftBridge.addOptimization]]): matches an INNER equi-join whose
+    * two subtrees scan exactly an armed profile's root paths on the
+    * profiled key, and applies the armed strategy —
+    *
+    *  - [[BroadcastDim]]: pin a broadcast hint on the dim side (the
+    *    profile knows the true row count; Catalyst's byte-estimate
+    *    threshold may not);
+    *  - [[HybridSalted]]: split the probe side on the certainly-hot keys
+    *    — hot slice joins a broadcast dim slice (the hot mass never
+    *    shuffles), cold remainder keeps the co-partitioned path, Union
+    *    of the two IS the plain join (the split partitions probe rows
+    *    exactly: `In` for hot, `Not(In) OR IsNull` for the rest, and
+    *    inner join semantics drop the nulls both ways — the
+    *    [[build]] /JoinAdvisorSpec equality, now at plan level);
+    *  - [[ShuffleJoin]]: leave the join untouched (the refusal branch).
+    *
+    * Correctness never depends on profile freshness: the hot/cold split
+    * is an exact row partition whatever the current distribution, and a
+    * stale broadcast hint moves bytes, not answers. Rewritten joins are
+    * tagged so the fixed-point batch converges (the union's two child
+    * joins scan the same armed paths and must not re-match). The hot
+    * `In` filters sit directly over the scans, so FileSourceStrategy
+    * (which plans AFTER this batch) still pushes them into the parquet
+    * readers — each branch scans row-group-pruned input, not the full
+    * table. */
+  object AdvisedJoinRewrite extends Rule[LogicalPlan] {
+    private val rewrittenTag = TreeNodeTag[Boolean]("graft.advisedJoin")
+
+    private def relPaths(p: LogicalPlan): Set[String] = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.toSet
+
+    private def asString(e: Expression): Expression =
+      if (e.dataType == StringType) e else Cast(e, StringType)
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case j @ Join(l, r, Inner,
+          Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
+          if j.getTagValue(rewrittenTag).isEmpty && hint == JoinHint.NONE =>
+        orient(l, r, x, y).flatMap { case (kl, kr) =>
+          armed.get((relPaths(l), relPaths(r), kl.name))
+            .filter(_ => kl.name == kr.name)
+            .map(a => rewrite(j, kl, kr, a))
+        }.getOrElse(j)
+    }
+
+    /** Which side does each equi-key belong to? */
+    private def orient(l: LogicalPlan, r: LogicalPlan,
+                       x: Attribute, y: Attribute)
+        : Option[(Attribute, Attribute)] =
+      if (l.outputSet.contains(x) && r.outputSet.contains(y)) Some((x, y))
+      else if (l.outputSet.contains(y) && r.outputSet.contains(x)) Some((y, x))
+      else None
+
+    private def tag[T <: LogicalPlan](p: T): T = {
+      p.foreach {
+        case jn: Join => jn.setTagValue(rewrittenTag, true)
+        case _ =>
+      }
+      p
+    }
+
+    private def rewrite(j: Join, kl: Attribute, kr: Attribute,
+                        advice: Advice): LogicalPlan = advice.strategy match {
+      case ShuffleJoin => j
+      case BroadcastDim =>
+        tag(j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
+      case HybridSalted =>
+        val lits = advice.hotKeys.map(Literal(_))
+        def hot(k: Attribute) = In(asString(k), lits)
+        def cold(k: Attribute) = Or(Not(In(asString(k), lits)), IsNull(k))
+        val hotJoin = Join(
+          Filter(hot(kl), j.left), Filter(hot(kr), j.right), Inner,
+          j.condition, JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+        val coldJoin = Join(
+          Filter(cold(kl), j.left), Filter(cold(kr), j.right), Inner,
+          j.condition, JoinHint.NONE)
+        tag(Union(Seq(hotJoin, coldJoin)))
+    }
   }
 }

@@ -5,15 +5,15 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression,
-  Literal}
+  ExprId, Literal, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max, min, sum}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Materialized-aggregate (roll-up) rewrite — the warehouse accelerator,
   * engine-native: register a pre-aggregated copy of a fact table once
@@ -69,9 +69,39 @@ object MaterializedAgg {
       minCols: Seq[String],
       maxCols: Seq[String],
       cntCols: Seq[String],
+      timeBuckets: Seq[(String, String)],
       mvRoot: String,
       schema: org.apache.spark.sql.types.StructType,
       freshPlan: () => LogicalPlan)
+
+  // ------------------------------------------------------------- time units
+  // The time dimension of the lattice: a bucket stored at unit F answers a
+  // query truncating to unit C iff trunc_C ∘ trunc_F = trunc_C. That holds
+  // along the calendar chain (second ⊂ minute ⊂ hour ⊂ day ⊂ month ⊂
+  // quarter ⊂ year) and for week-of anything day-or-finer — but NOT across
+  // week/month (a week straddles month boundaries), which is why `week`
+  // sits outside the ranked chain.
+  private val unitRank = Map("second" -> 0, "minute" -> 1, "hour" -> 2,
+    "day" -> 3, "month" -> 4, "quarter" -> 5, "year" -> 6)
+
+  private def canonUnit(u: String): String = u.toLowerCase match {
+    case "yyyy" | "yy"  => "year"
+    case "mon" | "mm"   => "month"
+    case "dd"           => "day"
+    case other          => other
+  }
+
+  private def knownUnit(u: String): Boolean =
+    unitRank.contains(u) || u == "week"
+
+  /** Can a query truncating to `coarse` be answered from buckets stored
+    * at `fine`? */
+  private def composes(coarse: String, fine: String): Boolean =
+    (unitRank.get(coarse), unitRank.get(fine)) match {
+      case (Some(c), Some(f)) => c >= f
+      case _ if coarse == "week" => fine == "week" || unitRank.get(fine).exists(_ <= unitRank("day"))
+      case _ => false
+    }
 
   // keyed by the base relation's root-path set — JVM-global so every
   // session sharing the warehouse sees the store (rule injection itself
@@ -102,8 +132,15 @@ object MaterializedAgg {
       meta.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
       meta.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
       meta.cntCols.map(c => count(col(c)).as(s"__cntn_$c"))
-    rows.groupBy(meta.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val grp = meta.groupCols.map(col) ++
+      meta.timeBuckets.map { case (c, u) => date_trunc(u, col(c)).as(s"__tb_$c") }
+    rows.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The MV store's full grouping-column list: regular columns plus the
+    * materialized time buckets. */
+  private def storedGroupCols(meta: Meta): Seq[String] =
+    meta.groupCols ++ meta.timeBuckets.map { case (c, _) => s"__tb_$c" }
 
   /** Run `body` with every view of `basePaths` unregistered, restoring
     * them after (minus any a concurrent register replaced). The cube
@@ -136,13 +173,17 @@ object MaterializedAgg {
   def register(base: DataFrame, groupCols: Seq[String], mvPath: String,
                sumCols: Seq[String] = Nil, sumLongCols: Seq[String] = Nil,
                minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-               cntCols: Seq[String] = Nil): Unit = {
+               cntCols: Seq[String] = Nil,
+               timeBuckets: Seq[(String, String)] = Nil): Unit = {
     val spark = base.sparkSession
     val basePaths = basePathsOf(base)
     require(basePaths.nonEmpty,
       "MaterializedAgg.register: base is not a file-relation scan")
+    val tbs = timeBuckets.map { case (c, u) => (c, canonUnit(u)) }
+    tbs.foreach { case (c, u) => require(knownUnit(u),
+      s"MaterializedAgg.register: unknown time-bucket unit '$u' for $c") }
     val meta0 = Meta(groupCols, sumCols, sumLongCols, minCols, maxCols,
-      cntCols, mvPath, null, null)
+      cntCols, tbs, mvPath, null, null)
     // build + land the fresh cube with the base's views SUSPENDED (a
     // rebuild's cube aggregate must scan the base, not be answered by
     // the stale view it replaces), and RESET the manifest to exactly
@@ -227,7 +268,7 @@ object MaterializedAgg {
       meta.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
       meta.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c")) ++
       meta.cntCols.map(c => sum(col(s"__cntn_$c")).as(s"__cntn_$c"))
-    val folded = partials.groupBy(meta.groupCols.map(col): _*)
+    val folded = partials.groupBy(storedGroupCols(meta).map(col): _*)
       .agg(refold.head, refold.tail: _*)
       // __cnt re-sums to long — cast back so the fold's schema stays
       // byte-identical to an epoch-0 cube
@@ -271,19 +312,56 @@ object MaterializedAgg {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-    /** Unwrap attribute-only Projects and Filters down to the relation,
-      * accumulating filter conditions. */
-    private def unwrap(p: LogicalPlan, conds: Seq[Expression])
-        : Option[(Seq[Expression], LogicalRelation)] = p match {
-      case lr: LogicalRelation => Some((conds, lr))
-      case Filter(c, ch) => unwrap(ch, conds :+ c)
-      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(ch, conds)
+    /** One pulled-out `date_trunc` grouping alias found on the way down:
+      * the query's truncation unit, the base column truncated, and the
+      * resolved expression's time zone + result type (reused verbatim
+      * when the truncation is re-rooted onto the stored bucket). */
+    private final case class TimeAlias(unit: String, baseCol: String,
+        tz: Option[String], dt: org.apache.spark.sql.types.DataType)
+
+    /** Recognize the shape `PullOutGroupingExpressions` gives a
+      * `date_trunc(unit, ts)` grouping expression (optionally through the
+      * implicit cast a DATE/NTZ column picks up). */
+    private def timeAlias(e: Expression): Option[TimeAlias] = e match {
+      case t @ TruncTimestamp(Literal(fmt, StringType), ts, tz) =>
+        val unit = canonUnit(String.valueOf(fmt))
+        val base = ts match {
+          case a: AttributeReference => Some(a.name)
+          case Cast(a: AttributeReference, _, _, _) => Some(a.name)
+          case _ => None
+        }
+        base.filter(_ => knownUnit(unit))
+          .map(TimeAlias(unit, _, tz, t.dataType))
       case _ => None
     }
 
+    /** Unwrap Projects and Filters down to the relation, accumulating
+      * filter conditions and pulled-out time-bucket grouping aliases.
+      * Projects may carry only bare attributes and recognized
+      * `date_trunc` aliases — anything else keeps the base plan. */
+    private def unwrap(p: LogicalPlan, conds: Seq[Expression],
+        tas: Map[ExprId, TimeAlias])
+        : Option[(Seq[Expression], Map[ExprId, TimeAlias], LogicalRelation)] =
+      p match {
+        case lr: LogicalRelation => Some((conds, tas, lr))
+        case Filter(c, ch) => unwrap(ch, conds :+ c, tas)
+        case Project(pl, ch) =>
+          var m = tas
+          val ok = pl.forall {
+            case _: AttributeReference => true
+            case al @ Alias(e, _) => timeAlias(e) match {
+              case Some(ta) => m += (al.exprId -> ta); true
+              case None => false
+            }
+            case _ => false
+          }
+          if (ok) unwrap(ch, conds, m) else None
+        case _ => None
+      }
+
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-      val (conds, baseRel) = unwrap(agg.child, Nil).getOrElse(return None)
+      val (conds, timeAliases, baseRel) =
+        unwrap(agg.child, Nil, Map.empty).getOrElse(return None)
       val key = rootPaths(baseRel).getOrElse(return None)
       val candidates = registry.getOrElse(key, Nil)
       // narrowest covering view wins: fewer grouping columns = fewer
@@ -294,9 +372,9 @@ object MaterializedAgg {
       // query silently keeps its base plan", so an unreadable view is
       // dropped from the registry and the search falls through to the
       // next candidate or the base table
-      candidates.sortBy(_.groupCols.size).view
+      candidates.sortBy(m => m.groupCols.size + m.timeBuckets.size).view
         .flatMap { m =>
-          try rewriteWith(agg, conds, m)
+          try rewriteWith(agg, conds, timeAliases, m)
           catch {
             case scala.util.control.NonFatal(e) =>
               logWarning(s"materialized view at ${m.mvRoot} is unreadable " +
@@ -309,6 +387,7 @@ object MaterializedAgg {
     }
 
     private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
+                            timeAliases: Map[ExprId, TimeAlias],
                             meta: Meta): Option[LogicalPlan] = {
       // fresh plan per use — fresh exprIds (two rewrites in one query
       // must not collide) AND a fresh manifest snapshot (epochs appended
@@ -320,10 +399,25 @@ object MaterializedAgg {
       def mvAttr(n: String): Attribute =
         mv.output.find(_.name == n).getOrElse(throw new IllegalStateException(
           s"materialized view lost column $n — rebuild via register()"))
-      val grpAttrs = agg.groupingExpressions.map {
-        case a: AttributeReference if meta.groupCols.contains(a.name) => a
-        case _ => return None
-      }
+      // each grouping attr is either a registered regular grouping column
+      // or a pulled-out date_trunc alias whose unit COMPOSES from a
+      // stored bucket (coarser units roll up from finer — the time
+      // dimension of the lattice; a finer-than-stored unit refuses)
+      val grpAttrs: Seq[(Attribute, Option[TimeAlias])] =
+        agg.groupingExpressions.map {
+          case a: AttributeReference if meta.groupCols.contains(a.name) =>
+            (a, None)
+          case a: AttributeReference if timeAliases.contains(a.exprId) =>
+            val ta = timeAliases(a.exprId)
+            meta.timeBuckets.find(_._1 == ta.baseCol) match {
+              case Some((_, stored)) if composes(ta.unit, stored) =>
+                (a, Some(ta))
+              case _ => return None
+            }
+          case _ => return None
+        }
+      val timeGrpIds: Set[ExprId] =
+        grpAttrs.collect { case (a, Some(_)) => a.exprId }.toSet
       // filters must reference only grouping columns AND be deterministic:
       // a nondeterministic condition (rand() < p) evaluated per MV group
       // row instead of per base row silently changes the answer
@@ -357,6 +451,12 @@ object MaterializedAgg {
         }
       }
       val newRes = agg.aggregateExpressions.map {
+        // a time-bucket grouping attr re-resolves against the re-rooted
+        // truncation the new Project below emits under the SAME exprId —
+        // pass it through untouched
+        case a: AttributeReference if timeGrpIds.contains(a.exprId) => a
+        case al @ Alias(a: AttributeReference, _)
+            if timeGrpIds.contains(a.exprId) => al
         case a: AttributeReference if meta.groupCols.contains(a.name) =>
           Alias(mvAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
         case al @ Alias(a: AttributeReference, name)
@@ -403,12 +503,44 @@ object MaterializedAgg {
           Alias(rewritten, name)(exprId = al.exprId, qualifier = al.qualifier)
         case _ => return None
       }
-      val newGrp: Seq[Expression] = grpAttrs.map(a => mvAttr(a.name))
-      val newChild = if (conds.isEmpty) mv
+      val newGrp: Seq[Expression] = grpAttrs.map {
+        case (a, None) => mvAttr(a.name)
+        case (a, Some(_)) => a // resolves against the re-rooting Project
+      }
+      val filtered = if (conds.isEmpty) mv
         else Filter(
           conds.reduceLeft(And).transform {
             case a: AttributeReference => mvAttr(a.name)
           }, mv)
+      // time groupings need a Project between the Aggregate and the MV
+      // scan that re-roots each query truncation onto its stored bucket:
+      //   date_trunc(C, ts)  ⇒  date_trunc(C, __tb_ts)
+      // (sound because composes(C, F) certified trunc_C ∘ trunc_F =
+      // trunc_C), aliased under the ORIGINAL pulled-out exprId so the
+      // grouping attr and every downstream reference stay valid. The
+      // project keeps only the MV columns the rewritten plan actually
+      // references, so the scan still prunes.
+      val timeProj: Seq[Alias] = grpAttrs.collect { case (a, Some(ta)) =>
+        val stored = mvAttr(s"__tb_${ta.baseCol}")
+        val rerooted = TruncTimestamp(
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(ta.unit),
+            StringType), stored, ta.tz)
+        // exact result-type preservation, same contract as the measures
+        if (rerooted.dataType != ta.dt) return None
+        Alias(rerooted, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      }.distinctBy(_.exprId)
+      val newChild =
+        if (timeProj.isEmpty) filtered
+        else {
+          val condRefs = filtered match {
+            case Filter(c, _) => c.references.toSeq
+            case _ => Nil
+          }
+          val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            newRes.flatMap(_.references) ++ newGrp.flatMap(_.references) ++
+              timeProj.flatMap(_.references) ++ condRefs)
+          Project(mv.output.filter(needed.contains) ++ timeProj, filtered)
+        }
       Some(Aggregate(newGrp, newRes, newChild))
     }
   }

@@ -865,11 +865,48 @@ object TpchCatalog {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Time-bucketed MV lattice (`q_mv_time_rollup`): the MV stores orders
+    * pre-aggregated per (o_orderpriority, DAY(o_orderdate)) — the
+    * `timeBuckets` register path — and the query is WRITTEN against the
+    * base table grouped by `date_trunc("month", o_orderdate)`: a coarser
+    * calendar unit AND a grouping subset (priority dropped). The rewrite
+    * recognizes the pulled-out truncation alias, certifies month∘day =
+    * month, and re-roots the truncation onto the stored day bucket — the
+    * base orders scan disappears (PlanAudit + MvSpec prove the plan side;
+    * the DuckDB oracle computes from RAW orders, so the matching row
+    * proves the composed answer). A `date_trunc("hour", …)` query — finer
+    * than stored — refuses and keeps the base plan (MvSpec). Measures are
+    * count + min/max (order-insensitive, re-fold exact); at 100 TB the MV
+    * holds |priorities × days| rows regardless of fact-table size, and
+    * every month/quarter/year dashboard roll-up re-aggregates those. */
+  def mvTimeRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Landed.dir(spark, s"mv_time_store:$sfDir", "graft_mv_time")(
+      d => graft.plans.MaterializedAgg.register(
+        Tables.orders(spark, sfDir), Seq("o_orderpriority"),
+        s"$d/mv", minCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"),
+        timeBuckets = Seq(("o_orderdate", "day"))))
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("omonth"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("omonth")
+  }
+
+  val mvTimeRollupSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS omonth, COUNT(*) AS n_rows,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY omonth
+      |ORDER BY omonth""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, Q] = Map(
     "q_mv_rollup"         -> (mvRollup _),
     "q_mv_rollup_filtered" -> (mvRollupFiltered _),
+    "q_mv_time_rollup"    -> (mvTimeRollup _),
     "q_pricing_summary"   -> (pricingSummary _),
     "q_ship_priority"     -> (shipPriority _),
     "q_revenue_forecast"  -> (revenueForecast _),
@@ -907,6 +944,7 @@ object TpchCatalog {
   val oracle: Map[String, String] = Map(
     "q_mv_rollup"         -> mvRollupSql,
     "q_mv_rollup_filtered" -> mvRollupFilteredSql,
+    "q_mv_time_rollup"    -> mvTimeRollupSql,
     "q_pricing_summary"   -> pricingSummarySql,
     "q_ship_priority"     -> shipPrioritySql,
     "q_revenue_forecast"  -> revenueForecastSql,

@@ -78,6 +78,70 @@ class JoinAdvisorSpec extends SparkSpec {
     assert(advice.leftRows == 10000 && advice.rightRows == 1000)
   }
 
+  // ---------------------------------------------------------------
+  // Planner integration: arm() once, plain .join() gets the treatment
+  // ---------------------------------------------------------------
+
+  private def landTmp(df: DataFrame, name: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_advtest_$name").toString
+    df.coalesce(2).write.mode("overwrite").parquet(s"$d/t")
+    spark.read.parquet(s"$d/t")
+  }
+
+  test("armed hybrid profile rewrites a PLAIN join to the hot/cold union plan") {
+    val fact = landTmp(skewedFact, "fact")
+    val d = landTmp(dim(1000), "dim")
+    val advice = JoinAdvisor.arm(fact, d, "k", broadcastRows = 10, minShare = 0.1)
+    try {
+      assert(advice.strategy == HybridSalted)
+      val joined = fact.join(d, Seq("k"))
+      val opt = joined.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Union => LUnion}
+      assert(opt.collect { case u: LUnion => u }.size == 1,
+        s"expected exactly one Union in\n$opt")
+      assert(opt.collect { case jn: LJoin => jn }.size == 2,
+        s"expected exactly the hot and cold joins in\n$opt")
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"), "hot slice should broadcast")
+      assert(rowsOf(joined) == plainJoin(skewedFact, dim(1000)))
+    } finally JoinAdvisor.disarm(fact, d, "k")
+  }
+
+  test("armed rule refuses the uniform fixture — plan untouched") {
+    import spark.implicits._
+    val uniform = landTmp(
+      (0 until 10000).map(i => ((i % 1000).toLong, i.toLong)).toDF("k", "fact_payload"),
+      "uni")
+    val d = landTmp(dim(1000), "dim2")
+    val advice = JoinAdvisor.arm(uniform, d, "k", broadcastRows = 10, minShare = 0.1)
+    try {
+      assert(advice.strategy == ShuffleJoin)
+      val joined = uniform.join(d, Seq("k"))
+      val opt = joined.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Union => LUnion}
+      assert(opt.collect { case u: LUnion => u }.isEmpty, s"no union expected in\n$opt")
+      assert(opt.collect { case jn: LJoin => jn }.size == 1)
+    } finally JoinAdvisor.disarm(uniform, d, "k")
+  }
+
+  test("armed BroadcastDim profile pins the hint past a disabled auto-threshold") {
+    val fact = landTmp(skewedFact, "fact3")
+    val d = landTmp(dim(50), "dim3")
+    val advice = JoinAdvisor.arm(fact, d, "k", broadcastRows = 1000, minShare = 0.1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      assert(advice.strategy == BroadcastDim)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = fact.join(d, Seq("k"))
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the armed hint must broadcast even with the size threshold disabled")
+      assert(rowsOf(joined) == plainJoin(skewedFact, dim(50)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      JoinAdvisor.disarm(fact, d, "k")
+    }
+  }
+
   test("hybrid keeps null keys out of the result like a plain inner join") {
     import spark.implicits._
     val l = Seq[(java.lang.Long, Long)]((7L, 1L), (7L, 2L), (null, 3L), (5L, 4L))

@@ -227,6 +227,77 @@ class MvSpec extends SparkSpec {
     } finally MaterializedAgg.unregister(base)
   }
 
+  test("time-bucketed lattice: coarser date_trunc roll-ups compose from the stored bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_time").toString
+    def orders = graft.core.Tables.orders(spark, sf001)
+    def q(unit: String, withPri: Boolean = false) = {
+      val grp = if (withPri)
+        Seq(date_trunc(unit, col("o_orderdate")).as("bucket"), col("o_orderpriority"))
+      else Seq(date_trunc(unit, col("o_orderdate")).as("bucket"))
+      orders.groupBy(grp: _*)
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(Seq(col("bucket")) ++
+          (if (withPri) Seq(col("o_orderpriority")) else Nil): _*)
+    }
+    val wantMonth = q("month").collect().map(_.toSeq).toSeq
+    val wantYear = q("year", withPri = true).collect().map(_.toSeq).toSeq
+    val wantDay = q("day").collect().map(_.toSeq).toSeq
+    MaterializedAgg.register(orders, Seq("o_orderpriority"), s"$dir/mv",
+      minCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"),
+      timeBuckets = Seq(("o_orderdate", "day")))
+    try {
+      // coarser unit + grouping subset: month∘day composes, priority drops
+      val m = q("month")
+      assert(!scannedPaths(m).exists(_.contains("orders.parquet")),
+        s"month roll-up did not rewrite: ${scannedPaths(m)}")
+      assert(m.collect().map(_.toSeq).toSeq == wantMonth,
+        "month-over-day composition changed the answer")
+      // coarser unit + full grouping
+      val y = q("year", withPri = true)
+      assert(!scannedPaths(y).exists(_.contains("orders.parquet")),
+        "year roll-up with priority did not rewrite")
+      assert(y.collect().map(_.toSeq).toSeq == wantYear)
+      // equal unit: day-over-day
+      val d = q("day")
+      assert(!scannedPaths(d).exists(_.contains("orders.parquet")),
+        "same-unit day query did not rewrite")
+      assert(d.collect().map(_.toSeq).toSeq == wantDay)
+      // refusals: finer than stored, and a raw-time filter
+      assert(scannedPaths(q("hour")).exists(_.contains("orders.parquet")),
+        "hour query over a day store must refuse — day buckets can't split")
+      val rawFilter = orders
+        .filter(col("o_orderdate") > lit("1995-06-15").cast("timestamp"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(rawFilter).exists(_.contains("orders.parquet")),
+        "a filter on the raw time column must refuse (mid-bucket boundary)")
+    } finally MaterializedAgg.unregister(orders)
+  }
+
+  test("week composes from day but not from month") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_week").toString
+    def orders = graft.core.Tables.orders(spark, sf001)
+    def weekQ = orders
+      .groupBy(date_trunc("week", col("o_orderdate")).as("bucket"))
+      .agg(count(lit(1)).as("n")).orderBy("bucket")
+    val want = weekQ.collect().map(_.toSeq).toSeq
+    MaterializedAgg.register(orders, Nil, s"$dir/mv",
+      timeBuckets = Seq(("o_orderdate", "day")))
+    try {
+      val w = weekQ
+      assert(!scannedPaths(w).exists(_.contains("orders.parquet")),
+        "week-over-day must compose")
+      assert(w.collect().map(_.toSeq).toSeq == want)
+    } finally MaterializedAgg.unregister(orders)
+    MaterializedAgg.register(orders, Nil, s"$dir/mv_month",
+      timeBuckets = Seq(("o_orderdate", "month")))
+    try {
+      assert(scannedPaths(weekQ).exists(_.contains("orders.parquet")),
+        "week-over-month must refuse — weeks straddle month boundaries")
+    } finally MaterializedAgg.unregister(orders)
+  }
+
   test("streaming-maintained MV: appended epochs are live, compaction re-folds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

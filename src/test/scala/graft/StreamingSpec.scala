@@ -240,6 +240,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state-store provider: same replay, same answers as the heap store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the disk-backed scale path must be a pure storage swap — replay the
+    // fixture through a windowed agg (HDFSBacked vs RocksDB state) and a
+    // custom-state funnel (flatMapGroupsWithState) and demand identical
+    // answers. StreamScale profiles the full job matrix under both.
+    val feed = StreamScale.eventFeed(spark, sf0001)
+    def replay(qname: String): (Set[String], Set[String]) = {
+      val winIn = MemoryStream[Event]
+      val wq = Jobs.windowedAgg(winIn.toDF())
+        .writeStream.format("memory").queryName(s"${qname}_w")
+        .outputMode("append").start()
+      val funIn = MemoryStream[Event]
+      val fq = Jobs.statefulFunnel(funIn.toDS()).toDF()
+        .writeStream.format("memory").queryName(s"${qname}_f")
+        .outputMode("update").start()
+      try {
+        feed.grouped(1000).foreach { c =>
+          winIn.addData(c: _*); funIn.addData(c: _*)
+          wq.processAllAvailable(); fq.processAllAvailable()
+        }
+      } finally { wq.stop(); fq.stop() }
+      // funnel is update-mode: keep each user's LAST emitted row
+      val funnel = spark.table(s"${qname}_f").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.toSeq.mkString("|")).toMap
+      (spark.table(s"${qname}_w").collect().map(_.toSeq.mkString("|")).toSet,
+        funnel.values.toSet)
+    }
+    val (heapWin, heapFun) = replay("ssheap")
+    val (rockWin, rockFun) =
+      StreamScale.withStateProvider(spark, StreamScale.RocksDbProvider) {
+        replay("ssrocks")
+      }
+    assert(heapWin.nonEmpty && heapFun.nonEmpty, "replay produced no output")
+    assert(rockWin == heapWin, "windowed agg diverged under RocksDB state")
+    assert(rockFun == heapFun, "stateful funnel diverged under RocksDB state")
+  }
+
   test("foreachBatch dual sink lands raw rows and serving aggregates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream").toString
