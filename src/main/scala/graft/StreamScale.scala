@@ -156,11 +156,18 @@ object StreamScale {
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** Profile every state-store-backed job over the fixture replay. */
-  def run(spark: SparkSession, sfDir: String): Seq[JobProfile] = {
+  /** Profile every state-store-backed job over the fixture replay.
+    * `withTws` adds the transformWithState job — pass it only when the
+    * session's provider is RocksDB (OSS Spark rejects the operator on
+    * the heap provider). */
+  def run(spark: SparkSession, sfDir: String,
+          withTws: Boolean = false): Seq[JobProfile] = {
     val feed = eventFeed(spark, sfDir)
     val dim = graft.core.Tables.customer(spark, sfDir)
-    Seq[JobProfile](
+    (if (withTws)
+      Seq(profileJob(spark, "statefulSessionsTws", feed)(ds =>
+        noop(Jobs.statefulSessionsTws(ds).toDF(), "append")))
+    else Nil) ++ Seq[JobProfile](
       profileJob(spark, "windowedAgg", feed)(ds => noop(Jobs.windowedAgg(ds.toDF()), "append")),
       profileJob(spark, "sessionAgg", feed)(ds => noop(Jobs.sessionAgg(ds.toDF()), "append")),
       profileJob(spark, "dedupStream", feed)(ds => noop(Jobs.dedupStream(ds.toDF()), "append")),

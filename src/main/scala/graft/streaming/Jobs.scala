@@ -47,6 +47,15 @@ object Jobs {
   def eventTimeMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Inverse of [[eventTimeMicros]], same pre-epoch discipline:
+    * floorDiv/floorMod so a negative µs value never hands setNanos a
+    * negative nanos component. */
+  def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -215,15 +224,8 @@ object Jobs {
       .flatMapGroupsWithState[SessState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[Event], state: GroupState[SessState]) =>
-          // floorDiv/floorMod mirror eventTimeMicros' pre-epoch rule:
-          // truncating division would pass setNanos a NEGATIVE value for
-          // µs values below zero (IllegalArgumentException)
-          def tsOf(us: Long): java.sql.Timestamp = {
-            val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-            t
-          }
-          def close(s: SessState) = ClosedSession(user, tsOf(s.startUs), tsOf(s.lastUs), s.n)
+          def close(s: SessState) = ClosedSession(user,
+            microsToTimestamp(s.startUs), microsToTimestamp(s.lastUs), s.n)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -273,6 +275,103 @@ object Jobs {
             closed.result().iterator
           }
       }
+  }
+
+  /** [[statefulSessions]] re-expressed on Spark 4's arbitrary-state v2
+    * API (`transformWithState` / `StatefulProcessor`) — the engine's
+    * coverage of the surface that replaces flatMapGroupsWithState going
+    * forward: NAMED typed state variables resolved from a handle (here a
+    * ValueState for the open session and one for the armed timer),
+    * explicit event-time TIMERS (register/delete; expiry delivered to
+    * [[SessionProcessor.handleExpiredTimer]]) instead of the single
+    * implicit timeout slot, and per-state TTL configs. Semantics are
+    * IDENTICAL to [[statefulSessions]] by construction — the same
+    * interval gap-merge fold and the same watermark clamp — and
+    * StreamingSpec replays the fixture through both and asserts equal
+    * closed-session sets.
+    *
+    * Deployment note: OSS Spark runs this operator only on the RocksDB
+    * state-store provider ([[graft.StreamScale.RocksDbProvider]]) —
+    * which is the 100 TB posture anyway (disk-bounded state, changelog
+    * checkpointing); the heap provider rejects the query at start. */
+  def statefulSessionsTws(ds: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[statefulSessionsTws]] processor. One open-session ValueState +
+    * one armed-timer ValueState per user; every session update re-arms
+    * the single timer at `last + gap` (clamped past the watermark — the
+    * same two-watermark asymmetry the flatMapGroupsWithState form
+    * handles), deleting the previous one so an extended session can
+    * never be closed by a stale expiry. */
+  final class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    private val gapUs = gapMinutes * 60L * 1000000L
+    @transient private var sess: ValueState[SessState] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[SessState]("session",
+        Encoders.product[SessState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("timer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def close(user: Long, s: SessState) = ClosedSession(user,
+      microsToTimestamp(s.startUs), microsToTimestamp(s.lastUs), s.n)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      // identical interval gap-merge to statefulSessions: carried open
+      // session + the batch's points, ascending start, one-sided merge
+      val items = ((if (sess.exists) Seq(sess.get) else Nil) ++
+        rows.toSeq.sortBy(e => (eventTimeMicros(e.ts), e.event_id))
+          .map { e => val t = eventTimeMicros(e.ts); SessState(t, t, 1L) })
+        .sortBy(s => (s.startUs, s.lastUs))
+      var cur: Option[SessState] = None
+      val closed = Seq.newBuilder[ClosedSession]
+      items.foreach { it =>
+        cur match {
+          case Some(s) if it.startUs - s.lastUs <= gapUs =>
+            cur = Some(SessState(s.startUs, math.max(s.lastUs, it.lastUs), s.n + it.n))
+          case Some(s) =>
+            closed += close(user, s)
+            cur = Some(it)
+          case None =>
+            cur = Some(it)
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        val ms = math.max(s.lastUs / 1000L + gapMinutes * 60L * 1000L,
+          timerValues.getCurrentWatermarkInMs() + 1L)
+        if (armed.exists && armed.get != ms) getHandle.deleteTimer(armed.get)
+        if (!armed.exists || armed.get != ms) {
+          getHandle.registerTimer(ms)
+          armed.update(ms)
+        }
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (sess.exists) {
+        val s = sess.get
+        sess.clear(); armed.clear()
+        Iterator.single(close(user, s))
+      } else Iterator.empty
   }
 
   /** Per-user funnel-cascade state. `t1/t2/t3` are the cascade's first-

@@ -240,6 +240,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessions equal the flatMapGroupsWithState form " +
+      "on the bounded-disorder fixture replay") {
+    // the arbitrary-state v2 twin: same gap-merge semantics on the new
+    // StatefulProcessor surface (named ValueStates + explicit event-time
+    // timers). Both engines replay the same perturbed feed; the closed-
+    // session SETS must match exactly. Runs under RocksDB — the only
+    // provider OSS Spark allows for transformWithState.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long = Jobs.eventTimeMicros(t)
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().toSeq
+    val rnd = new scala.util.Random(29L)
+    val perturbed = events.groupBy(e => micros(e.ts) / (120L * 1000000L)).toSeq
+      .sortBy(_._1).flatMap { case (_, g) => rnd.shuffle(g) }
+    val lastUs = events.map(e => micros(e.ts)).max
+    val sentinel = Event(-1L,
+      new Timestamp((lastUs + 7L * 3600 * 1000000L) / 1000L), -999L, "view", 0.0, "{}")
+    def replay(qname: String,
+               job: org.apache.spark.sql.Dataset[Event] =>
+                 org.apache.spark.sql.Dataset[Jobs.ClosedSession]): Set[(Long, Long, Long, Long)] = {
+      val in = MemoryStream[Event]
+      val q = job(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        perturbed.grouped(250).foreach { c => in.addData(c: _*); q.processAllAvailable() }
+        in.addData(sentinel)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qname).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          micros(r.getAs[Timestamp]("start")), micros(r.getAs[Timestamp]("end")),
+          r.getAs[Long]("n_events")))
+        .filter(_._1 != -999L).toSet
+    }
+    StreamScale.withStateProvider(spark, StreamScale.RocksDbProvider) {
+      val fmgws = replay("tws_base", ds => Jobs.statefulSessions(ds, gapMinutes = 360))
+      val tws = replay("tws_new", ds => Jobs.statefulSessionsTws(ds, gapMinutes = 360))
+      assert(fmgws.nonEmpty, "replay closed no sessions — fixture lost its teeth")
+      assert(tws == fmgws, {
+        val onlyT = (tws -- fmgws).take(3); val onlyF = (fmgws -- tws).take(3)
+        s"TWS diverged: onlyTws=$onlyT onlyFmgws=$onlyF"
+      })
+    }
+  }
+
   test("RocksDB state-store provider: same replay, same answers as the heap store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
