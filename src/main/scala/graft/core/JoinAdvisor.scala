@@ -242,13 +242,10 @@ object JoinAdvisor {
       else if (l.outputSet.contains(y) && r.outputSet.contains(x)) Some((y, x))
       else None
 
-    private def tag[T <: LogicalPlan](p: T): T = {
-      p.foreach {
-        case jn: Join => jn.setTagValue(rewrittenTag, true)
-        case _ =>
-      }
-      p
-    }
+    /** Tag exactly the join nodes THIS rewrite created — never a
+      * traversal: pre-existing joins nested in the subtrees may be armed
+      * shapes of their own and must stay eligible. */
+    private def tag(j: Join): Join = { j.setTagValue(rewrittenTag, true); j }
 
     private def rewrite(j: Join, kl: Attribute, kr: Attribute,
                         advice: Advice): LogicalPlan = advice.strategy match {
@@ -259,13 +256,13 @@ object JoinAdvisor {
         val lits = advice.hotKeys.map(Literal(_))
         def hot(k: Attribute) = In(asString(k), lits)
         def cold(k: Attribute) = Or(Not(In(asString(k), lits)), IsNull(k))
-        val hotJoin = Join(
+        val hotJoin = tag(Join(
           Filter(hot(kl), j.left), Filter(hot(kr), j.right), Inner,
-          j.condition, JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
-        val coldJoin = Join(
+          j.condition, JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
+        val coldJoin = tag(Join(
           Filter(cold(kl), j.left), Filter(cold(kr), j.right), Inner,
-          j.condition, JoinHint.NONE)
-        tag(Union(Seq(hotJoin, coldJoin)))
+          j.condition, JoinHint.NONE))
+        Union(Seq(hotJoin, coldJoin))
     }
   }
 }

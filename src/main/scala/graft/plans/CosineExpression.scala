@@ -113,8 +113,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushLeftFiltersThroughAsOfJoin)
     ext.injectOptimizerRule(_ => PruneAsOfJoinColumns)
-    // no-op until a view is registered (the registry starts empty)
+    // no-ops until a view / join profile is registered (registries start
+    // empty)
     ext.injectOptimizerRule(_ => MaterializedAgg.RewriteToMaterializedAgg)
+    ext.injectOptimizerRule(_ => graft.core.JoinAdvisor.AdvisedJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
