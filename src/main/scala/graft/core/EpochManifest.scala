@@ -234,17 +234,33 @@ object EpochManifest {
   def append(df: DataFrame, root: String, epoch: Long,
              partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    guardNotFold(spark, root, epoch)
+    val dir = newDataDir(spark, root, epoch)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(s"$root/$dir")
+    commitEpochDir(spark, root, epoch, dir)
+  }
+
+  /** [[append]]'s fold guard, callable before any files are written —
+    * the DSv2 sink checks it at write planning so a doomed job fails
+    * before executor work, then again at commit. */
+  def guardNotFold(spark: SparkSession, root: String, epoch: Long): Unit =
     entries(spark, root).find(_.epoch == epoch).foreach { e =>
       require(!e.dir.startsWith("f") && e.minEpoch == e.epoch,
         s"epoch $epoch under $root is a compaction fold covering epochs " +
           s"[${e.minEpoch}, ${e.epoch}] — a retried append must not replace it")
     }
-    val dir = newDataDir(spark, root, epoch)
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-      .parquet(s"$root/$dir")
+
+  /** [[append]]'s manifest step for writers that land the attempt dir's
+    * files themselves (the DSv2 epochstore sink): re-check the fold
+    * guard, then commit `dir` as `epoch`'s (replacement) entry. */
+  def commitEpochDir(spark: SparkSession, root: String, epoch: Long,
+                     dir: String): Unit = {
+    guardNotFold(spark, root, epoch)
     val kept = entries(spark, root).filterNot(_.epoch == epoch)
     commit(spark, root, kept :+ Entry(epoch, dir))
+    ()
   }
 
   /** Delete data dirs referenced by NEITHER of the two newest manifests,

@@ -568,8 +568,52 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** DSv2 sink round-trip (`q_store_write`): the connector's WRITE half
+    * ([[graft.sources.EpochStore.write]]) lands two epochs of the
+    * documents table as lang-partitioned attempt dirs published by
+    * atomic manifest commits — the `EpochManifest.append` protocol with
+    * Spark's own parquet encoder doing the bytes — and the answer is a
+    * per-lang profile read BACK through the connector (pruned,
+    * pinned-snapshot scan). DuckDB recomputes from the raw table, so a
+    * sink that dropped rows, mangled a type, double-committed a retried
+    * epoch, or wrote a partition dir the read side can't resolve fails
+    * the oracle. The store lands once per (session, sf); at 100 TB the
+    * write cost is the parquet encode + ONE driver-side rename per
+    * epoch, and a reader never sees a half-written epoch. */
+  def storeWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("lang", StringType)))
+    val dir = graft.core.Landed.dir(spark, s"w_store:$sfDir", "graft_w_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("lang"))
+      graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 2 === 0), d, 0L, partitionColumn = "lang")
+      graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 2 =!= 0), d, 1L, partitionColumn = "lang")
+    }
+    graft.sources.EpochStore.read(spark, dir, schema, "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  val storeWriteSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_timetravel" -> (storeTimetravel _),
+    "q_store_write"   -> (storeWrite _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
     "q_table_diff"    -> (tableDiffQ _),
@@ -592,6 +636,7 @@ object MiscCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_store_timetravel" -> storeTimetravelSql,
+    "q_store_write"   -> storeWriteSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,
     "q_table_diff"    -> tableDiffSql,

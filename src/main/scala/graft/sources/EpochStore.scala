@@ -8,11 +8,12 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, Table, TableCapability, TableProvider}
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
@@ -89,19 +90,24 @@ class EpochStoreProvider extends TableProvider with DataSourceRegister {
 
 final class EpochStoreTable(tableSchema: StructType,
                             options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"epochstore(${EpochStore.rootOf(options)})"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     // table-creation options carry path/partitionColumn/maxEpoch/
     // asOfGeneration; scan-time options would only add session defaults
     new EpochStoreScanBuilder(tableSchema, options)
+
+  /** Append = land one epoch + atomic manifest publish (the write half,
+    * [[EpochStoreWriteBuilder]]); requires option("epoch", n). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new EpochStoreWriteBuilder(info)
 }
 
 final class EpochStoreScanBuilder(tableSchema: StructType,
@@ -323,6 +329,20 @@ object EpochStore {
     if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
     r.load()
+  }
+
+  /** The engine's write entry point — `df` lands as `epoch`'s attempt
+    * dir + one atomic manifest publish through the DSv2 sink
+    * ([[EpochStoreWriteBuilder]]): [[EpochManifest.append]] semantics
+    * (epoch replacement on retry, fold guard) with Spark writing the
+    * parquet bytes. `partitionColumn` materializes the `col=value` dirs
+    * the read side prunes. */
+  def write(df: DataFrame, root: String, epoch: Long,
+            partitionColumn: String = null): Unit = {
+    var w = df.write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", epoch.toString)
+    if (partitionColumn != null) w = w.option("partitionColumn", partitionColumn)
+    w.save()
   }
 
   /** Parse one `col=value` dir-name value to the column's external type.

@@ -1,0 +1,224 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.EpochManifest
+
+/** The write half of the epochstore connector: a DSv2 batch sink that IS
+  * the manifest commit protocol —
+  *
+  *   df.write.format("epochstore")
+  *     .option("path", root).option("epoch", e)
+  *     [.option("partitionColumn", c)]
+  *     .mode("append").save()
+  *
+  * lands the batch as one immutable attempt dir (tasks write Spark's own
+  * parquet encoding via [[GraftBridge.parquetRowWriter]] — the engine
+  * plans WHAT to write, the battle-tested parquet path does the bytes)
+  * and the driver-side [[EpochStoreBatchWrite.commit]] publishes it with
+  * ONE atomic manifest rename as `epoch`'s (replacement) entry — the
+  * exact [[EpochManifest.append]] semantics, so a retried job replaces
+  * its epoch instead of duplicating it, the fold guard refuses to
+  * overwrite a compaction, and a concurrent reader's pinned snapshot
+  * never observes the half-written dir (it is not in any manifest until
+  * the commit). A failed/aborted job leaves only an uncommitted orphan
+  * dir for the next gc.
+  *
+  * `partitionColumn` materializes `col=value` subdirectories (the store
+  * bucket/cell layout the read side prunes); rows are written WITHOUT
+  * the partition column, matching the read side's dir-derived column.
+  * Only append mode is supported — epoch replacement is the protocol's
+  * own idempotence; there is nothing for Overwrite to add.
+  *
+  * Scale shape: one parquet file per (task, partition value) with lazy
+  * creation (empty tasks write nothing); commit cost is one driver-side
+  * manifest rename regardless of file count; speculative duplicate
+  * attempts are resolved by Spark's output commit coordinator and the
+  * losing attempt's [[EpochStoreDataWriter.abort]] deletes its files. */
+final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val opts = info.options()
+      val root = EpochStore.rootOf(opts)
+      val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "epochstore write requires option(\"epoch\", <n>)"))
+      val partCol = Option(opts.get("partitionColumn"))
+      partCol.foreach(c => require(info.schema().fieldNames.contains(c),
+        s"partitionColumn $c is not in the written schema"))
+      new EpochStoreBatchWrite(root, epoch, info.schema(), partCol)
+    }
+  }
+}
+
+final class EpochStoreBatchWrite(root: String, epoch: Long,
+                                 schema: StructType, partCol: Option[String])
+    extends BatchWrite {
+
+  // fail a doomed job before any executor work
+  EpochManifest.guardNotFold(SparkSession.active, root, epoch)
+
+  /** The attempt dir is allocated ONCE here (driver, write planning) —
+    * every task writes under it; commit publishes it or gc reclaims it. */
+  private val dir: String =
+    EpochManifest.newDataDir(SparkSession.active, root, epoch)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val spark = SparkSession.active
+    val conf = GraftBridge.sessionConf(spark)
+    val hc = GraftBridge.sessionHadoopConf(spark)
+    // mirror ParquetFileFormat.prepareWrite: the record writers resolve
+    // the write-support class, the Catalyst schema, and the format knobs
+    // from conf keys, not constructor args
+    val dataSchema = StructType(schema.filterNot(f => partCol.contains(f.name)))
+    hc.set("parquet.write.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport")
+    hc.set("org.apache.spark.sql.parquet.row.attributes", dataSchema.json)
+    hc.set("spark.sql.parquet.writeLegacyFormat",
+      conf.writeLegacyParquetFormat.toString)
+    hc.set("spark.sql.parquet.outputTimestampType",
+      conf.parquetOutputTimestampType.toString)
+    hc.set("spark.sql.parquet.fieldId.write.enabled",
+      conf.parquetFieldIdWriteEnabled.toString)
+    hc.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      conf.getConfString(
+        "spark.sql.parquet.variant.annotateLogicalType.enabled", "false"))
+    hc.set("spark.sql.session.timeZone", conf.sessionLocalTimeZone)
+    hc.set("parquet.compression", conf.parquetCompressionCodec)
+    new EpochStoreWriterFactory(s"$root/$dir", schema, partCol,
+      GraftBridge.broadcastHadoopConf(spark, hc))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect { case m: EpochFilesWritten => m.nFiles }.sum
+    if (files == 0) {
+      // an all-empty batch still commits a (readable) empty epoch dir —
+      // the explicit-schema read contract keeps it resolvable
+      val fs = new Path(root).getFileSystem(
+        GraftBridge.sessionHadoopConf(spark))
+      fs.mkdirs(new Path(s"$root/$dir")): Unit
+    }
+    EpochManifest.commitEpochDir(spark, root, epoch, dir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    fs.delete(new Path(s"$root/$dir"), true): Unit
+  }
+}
+
+/** One task's written-file tally. */
+final case class EpochFilesWritten(nFiles: Int, nRows: Long)
+    extends WriterCommitMessage
+
+final class EpochStoreWriterFactory(dirPath: String, schema: StructType,
+                                    partCol: Option[String],
+                                    bc: Broadcast[SerializableConfiguration])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new EpochStoreDataWriter(dirPath, schema, partCol, bc, partitionId, taskId)
+}
+
+final class EpochStoreDataWriter(dirPath: String, schema: StructType,
+                                 partCol: Option[String],
+                                 bc: Broadcast[SerializableConfiguration],
+                                 partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val partIdx: Int = partCol.map(schema.fieldIndex).getOrElse(-1)
+  private val partType = partCol.map(c => schema(c).dataType).orNull
+  // data columns = everything except the partition column, in order
+  private val dataIdx: Array[Int] =
+    schema.fields.indices.filter(_ != partIdx).toArray
+  private val dataTypes = dataIdx.map(i => schema.fields(i).dataType)
+  private val rowBuf = new Array[Any](dataIdx.length)
+  private val outRow = new GenericInternalRow(rowBuf)
+
+  // one lazy writer per partition-dir value (null key = unpartitioned)
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, (InternalRow => Unit, () => Unit)]
+  private val paths = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private var rows = 0L
+
+  private def fs = new Path(dirPath).getFileSystem(bc.value.value)
+
+  private def writerFor(subdir: String): InternalRow => Unit =
+    writers.getOrElseUpdate(subdir, {
+      val name = f"part-$partitionId%05d-$taskId.parquet"
+      val p = new Path(if (subdir.isEmpty) s"$dirPath/$name"
+        else s"$dirPath/$subdir/$name")
+      fs.mkdirs(p.getParent)
+      paths += p
+      val ctx = new TaskAttemptContextImpl(bc.value.value,
+        new TaskAttemptID(new TaskID(new JobID("graft-epochstore", 0),
+          TaskType.MAP, partitionId), taskId.toInt & Int.MaxValue))
+      GraftBridge.parquetRowWriter(p.toString, ctx)
+    })._1
+
+  /** `col=value` subdir name, the read side's [[EpochStore]] escaping
+    * contract (%XX for anything outside [A-Za-z0-9._-], hive sentinel
+    * for null). */
+  private def subdirOf(row: InternalRow): String = partCol match {
+    case None => ""
+    case Some(c) =>
+      val v = if (row.isNullAt(partIdx)) null else row.get(partIdx, partType)
+      val raw = v match {
+        case null => "__HIVE_DEFAULT_PARTITION__"
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          u.toString.flatMap(ch =>
+            if (ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-')
+              ch.toString
+            else f"%%${ch.toInt}%02X")
+        case other => other.toString
+      }
+      s"$c=$raw"
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val w = writerFor(subdirOf(row))
+    if (partIdx < 0) w(row)
+    else {
+      var i = 0
+      while (i < dataIdx.length) {
+        rowBuf(i) = if (row.isNullAt(dataIdx(i))) null
+          else row.get(dataIdx(i), dataTypes(i))
+        i += 1
+      }
+      w(outRow)
+    }
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.valuesIterator.foreach(_._2())
+    EpochFilesWritten(writers.size, rows)
+  }
+
+  override def abort(): Unit = {
+    try writers.valuesIterator.foreach(_._2()) catch {
+      case scala.util.control.NonFatal(_) => ()
+    }
+    paths.foreach(p => try { fs.delete(p, false): Unit } catch {
+      case scala.util.control.NonFatal(_) => ()
+    })
+  }
+
+  override def close(): Unit = ()
+}

@@ -80,4 +80,18 @@ object GraftBridge {
         org.apache.spark.util.SerializableConfiguration] =
     spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
+
+  /** One parquet row writer at `path` — Spark's own ParquetOutputWriter
+    * (the encoder the native file sink uses), surfaced as (write, close)
+    * thunks so the DSv2 epochstore sink ([[graft.sources.EpochStore]])
+    * never references the `private[sql]` class from outside this shim.
+    * The TaskAttemptContext's conf must carry the write-support class +
+    * row schema keys (the sink primes them, mirroring `prepareWrite`).
+    * Executor-side: no session access here. */
+  def parquetRowWriter(path: String,
+                       context: org.apache.hadoop.mapreduce.TaskAttemptContext)
+      : (org.apache.spark.sql.catalyst.InternalRow => Unit, () => Unit) = {
+    val w = new execution.datasources.parquet.ParquetOutputWriter(path, context)
+    (r => w.write(r), () => w.close())
+  }
 }

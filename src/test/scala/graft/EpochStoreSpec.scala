@@ -115,6 +115,82 @@ class EpochStoreSpec extends SparkSpec {
     assert(df.filter(col("id") >= 5L).count() == 5)
   }
 
+  // ------------------------------------------------------------ write half
+
+  test("DSv2 write: epochs land through the sink and read back exactly") {
+    import spark.implicits._
+    val root = tmp()
+    def rows(off: Int) = (0 until 40)
+      .map(i => ((i + off).toLong, s"v${i + off}", (i + off) % 4))
+      .toDF("id", "v", "bucket")
+    EpochStore.write(rows(0), root, epoch = 0L, partitionColumn = "bucket")
+    EpochStore.write(rows(40), root, epoch = 1L, partitionColumn = "bucket")
+    val df = EpochStore.read(spark, root, schema, "bucket")
+    assert(df.count() == 80)
+    assert(df.collect().map(_.toSeq).toSet ==
+      (rows(0).collect() ++ rows(40).collect()).map(_.toSeq).toSet,
+      "sink-written rows must round-trip bit-exactly")
+    // the written layout prunes exactly like an EpochManifest.append store
+    val probe = df.filter(col("bucket") === 2)
+    assert(scanOf(probe).selectedPartitionDirs == (2, 8),
+      s"written dirs must prune: ${scanOf(probe).selectedPartitionDirs}")
+    assert(probe.count() == 20)
+  }
+
+  test("DSv2 write: a re-written epoch REPLACES its entry (retry idempotence)") {
+    import spark.implicits._
+    val root = tmp()
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"a$i", i % 2))
+      .toDF("id", "v", "bucket"), root, 0L, partitionColumn = "bucket")
+    // the retry writes different rows — the manifest must carry ONLY them
+    EpochStore.write((0 until 7).map(i => (i.toLong, s"b$i", i % 2))
+      .toDF("id", "v", "bucket"), root, 0L, partitionColumn = "bucket")
+    val df = EpochStore.read(spark, root, schema, "bucket")
+    assert(df.count() == 7, "replaced epoch still shows stale rows")
+    assert(df.collect().forall(_.getString(1).startsWith("b")))
+    assert(EpochManifest.entries(spark, root).size == 1)
+  }
+
+  test("DSv2 write: the fold guard refuses to replace a compaction") {
+    import spark.implicits._
+    val root = tmp()
+    def df(n: Int) = (0 until n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val plain = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    EpochStore.write(df(5), root, 0L)
+    EpochStore.write(df(5), root, 1L)
+    EpochManifest.compact(spark, root, plain)
+    val e = intercept[Exception](EpochStore.write(df(3), root, 1L))
+    assert(e.getMessage.contains("fold"),
+      s"fold guard must fire at write planning: ${e.getMessage}")
+  }
+
+  test("DSv2 write: unpartitioned + null partition values + mixed types round-trip") {
+    import spark.implicits._
+    val root = tmp()
+    val s = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("score", DoubleType), StructField("lang", StringType)))
+    val src = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 0.5, "en"),
+      (2L, java.sql.Timestamp.valueOf("2024-06-15 23:59:59"), -1.25, "pt:br"),
+      (3L, null.asInstanceOf[java.sql.Timestamp], Double.NaN, null))
+      .toDF("id", "ts", "score", "lang")
+    EpochStore.write(src, root, 0L, partitionColumn = "lang")
+    val back = EpochStore.read(spark, root, s, "lang")
+    assert(back.count() == 3)
+    assert(back.filter(col("lang") === "pt:br").count() == 1,
+      "escaped string partition dir must answer")
+    assert(back.filter(col("lang").isNull).count() == 1)
+    val r1 = back.filter(col("id") === 1L).head
+    assert(r1.getAs[java.sql.Timestamp]("ts") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))
+    // unpartitioned write of the same frame
+    val root2 = tmp()
+    EpochStore.write(src, root2, 0L)
+    assert(EpochStore.read(spark, root2, s).count() == 3)
+  }
+
   test("string partition column round-trips escaped dir names") {
     import spark.implicits._
     val root = tmp()
