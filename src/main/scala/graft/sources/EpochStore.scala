@@ -97,7 +97,8 @@ final class EpochStoreTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     // table-creation options carry path/partitionColumn/maxEpoch/

@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -49,6 +51,13 @@ import graft.core.EpochManifest
 final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     extends WriteBuilder {
 
+  private def partColOf(): Option[String] = {
+    val partCol = Option(info.options().get("partitionColumn"))
+    partCol.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"partitionColumn $c is not in the written schema"))
+    partCol
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val opts = info.options()
@@ -56,11 +65,58 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
         throw new IllegalArgumentException(
           "epochstore write requires option(\"epoch\", <n>)"))
-      val partCol = Option(opts.get("partitionColumn"))
-      partCol.foreach(c => require(info.schema().fieldNames.contains(c),
-        s"partitionColumn $c is not in the written schema"))
-      new EpochStoreBatchWrite(root, epoch, info.schema(), partCol)
+      new EpochStoreBatchWrite(root, epoch, info.schema(), partColOf())
     }
+
+    /** Streaming: each micro-batch is one manifest epoch (epoch id =
+      * batch id, no `epoch` option) — `writeStream.format("epochstore")`
+      * is the connector form of the engine's foreachBatch ingest flows.
+      * Exactly-once across restarts for free: a replayed batch's commit
+      * REPLACES its epoch's entry ([[EpochManifest.commitEpochDir]]),
+      * the same idempotence every epoch-keyed `Jobs` sink proves. */
+    override def toStreaming: StreamingWrite = {
+      val opts = info.options()
+      new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
+        info.schema(), partColOf())
+    }
+  }
+}
+
+/** Streaming epochs: tasks write each batch under an uncommitted
+  * `.w<queryId>-e<batch>` staging dir; `commit(batch)` renames it to a
+  * fresh attempt dir and publishes it as epoch `batch`'s (replacement)
+  * manifest entry — one atomic rename pair per micro-batch, invisible to
+  * readers until published. */
+final class EpochStoreStreamingWrite(root: String, queryId: String,
+                                     schema: StructType,
+                                     partCol: Option[String])
+    extends StreamingWrite {
+
+  private def stagingDir(epochId: Long) = s"$root/.w$queryId-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCol,
+      EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCol))
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val dir = EpochManifest.newDataDir(spark, root, epochId)
+    val staged = new Path(stagingDir(epochId))
+    if (fs.exists(staged))
+      require(fs.rename(staged, new Path(s"$root/$dir")),
+        s"epochstore streaming commit rename $staged -> $root/$dir failed")
+    else fs.mkdirs(new Path(s"$root/$dir")): Unit // empty batch, still an epoch
+    EpochManifest.commitEpochDir(spark, root, epochId, dir)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    fs.delete(new Path(stagingDir(epochId)), true): Unit
   }
 }
 
@@ -77,31 +133,9 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     EpochManifest.newDataDir(SparkSession.active, root, epoch)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = {
-    val spark = SparkSession.active
-    val conf = GraftBridge.sessionConf(spark)
-    val hc = GraftBridge.sessionHadoopConf(spark)
-    // mirror ParquetFileFormat.prepareWrite: the record writers resolve
-    // the write-support class, the Catalyst schema, and the format knobs
-    // from conf keys, not constructor args
-    val dataSchema = StructType(schema.filterNot(f => partCol.contains(f.name)))
-    hc.set("parquet.write.support.class",
-      "org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport")
-    hc.set("org.apache.spark.sql.parquet.row.attributes", dataSchema.json)
-    hc.set("spark.sql.parquet.writeLegacyFormat",
-      conf.writeLegacyParquetFormat.toString)
-    hc.set("spark.sql.parquet.outputTimestampType",
-      conf.parquetOutputTimestampType.toString)
-    hc.set("spark.sql.parquet.fieldId.write.enabled",
-      conf.parquetFieldIdWriteEnabled.toString)
-    hc.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
-      conf.getConfString(
-        "spark.sql.parquet.variant.annotateLogicalType.enabled", "false"))
-    hc.set("spark.sql.session.timeZone", conf.sessionLocalTimeZone)
-    hc.set("parquet.compression", conf.parquetCompressionCodec)
+      : DataWriterFactory =
     new EpochStoreWriterFactory(s"$root/$dir", schema, partCol,
-      GraftBridge.broadcastHadoopConf(spark, hc))
-  }
+      EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCol))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -120,6 +154,48 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     val spark = SparkSession.active
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     fs.delete(new Path(s"$root/$dir"), true): Unit
+  }
+}
+
+/** Ships to executors: one staged writer per (epoch, partition, task)
+  * under `<stageRoot>-e<epoch>`. */
+final class EpochStoreStreamingWriterFactory(
+    stageRoot: String, schema: StructType, partCol: Option[String],
+    bc: Broadcast[SerializableConfiguration])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new EpochStoreDataWriter(s"$stageRoot-e$epochId", schema, partCol,
+      bc, partitionId, taskId)
+}
+
+object EpochStoreBatchWrite {
+  /** The broadcastable Hadoop conf the parquet record writers need —
+    * mirror of ParquetFileFormat.prepareWrite: the writers resolve the
+    * write-support class, the Catalyst schema, and the format knobs from
+    * conf keys, not constructor args. Shared by the batch and streaming
+    * factories. */
+  def primedConf(spark: SparkSession, schema: StructType,
+                 partCol: Option[String])
+      : Broadcast[SerializableConfiguration] = {
+    val conf = GraftBridge.sessionConf(spark)
+    val hc = GraftBridge.sessionHadoopConf(spark)
+    val dataSchema = StructType(schema.filterNot(f => partCol.contains(f.name)))
+    hc.set("parquet.write.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport")
+    hc.set("org.apache.spark.sql.parquet.row.attributes", dataSchema.json)
+    hc.set("spark.sql.parquet.writeLegacyFormat",
+      conf.writeLegacyParquetFormat.toString)
+    hc.set("spark.sql.parquet.outputTimestampType",
+      conf.parquetOutputTimestampType.toString)
+    hc.set("spark.sql.parquet.fieldId.write.enabled",
+      conf.parquetFieldIdWriteEnabled.toString)
+    hc.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      conf.getConfString(
+        "spark.sql.parquet.variant.annotateLogicalType.enabled", "false"))
+    hc.set("spark.sql.session.timeZone", conf.sessionLocalTimeZone)
+    hc.set("parquet.compression", conf.parquetCompressionCodec)
+    GraftBridge.broadcastHadoopConf(spark, hc)
   }
 }
 
