@@ -79,6 +79,26 @@ object Jobs {
       .withColumn("k",
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k"))
 
+  /** S7's connector form (r12): the cleaned event stream lands in an
+    * [[graft.core.EpochManifest]] store THROUGH the DSv2 epochstore sink
+    * — one manifest epoch per micro-batch, published by one atomic
+    * rename, partition dirs the read side prunes. Exactly-once across a
+    * REAL restart: the checkpoint replays the in-flight batch and its
+    * commit REPLACES that epoch's entry (StreamingSpec stops the query
+    * mid-feed, restarts from the same checkpoint, and the store equals
+    * the batch truth with no duplicates). The foreachBatch dual-sink
+    * flows keep their multi-store fan-out; this is the single-store
+    * standard-API path a deployment reaches for first. */
+  def eventStoreIngest(stream: DataFrame, root: String, checkpoint: String,
+                       partitionCol: String = "event_type"): StreamingQuery =
+    clean(stream)
+      .writeStream.format("epochstore")
+      .option("path", root)
+      .option("partitionColumn", partitionCol)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** S5: decode a Kafka-shaped frame (binary key/value + metadata — the
     * exact schema `format("kafka")` produces) into typed events. Swap
     * `readEventStream` for the Kafka source and insert this; everything

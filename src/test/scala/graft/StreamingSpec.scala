@@ -327,6 +327,43 @@ class StreamingSpec extends SparkSpec {
     assert(rockFun == heapFun, "stateful funnel diverged under RocksDB state")
   }
 
+  test("eventStoreIngest: DSv2 epochstore sink ingest survives a restart " +
+      "with no duplicates and reads back pruned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_esi").toString
+    val events = (1 to 40).map(i => ev(i, f"2024-01-01 00:${i % 60}%02d:00",
+      user = i % 7, typ = Seq("view", "click", "purchase")(i % 3)))
+    val (first, second) = events.splitAt(20)
+    val store = s"$dir/store"
+    val cp = s"$dir/cp"
+    def run(): Unit = {
+      val q = Jobs.eventStoreIngest(
+        Jobs.readEventStream(spark, s"$dir/src", maxFilesPerTrigger = 2),
+        store, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.createDataset(first).write.mode("append").json(s"$dir/src")
+    run() // first run lands the first half, multiple micro-batch epochs
+    spark.createDataset(second).write.mode("append").json(s"$dir/src")
+    run() // RESTART from the same checkpoint: only the new files land
+    import org.apache.spark.sql.types._
+    val schema = StructType(Jobs.eventSchema.fields.toSeq :+
+      StructField("k", IntegerType))
+    val got = graft.sources.EpochStore.read(spark, store, schema, "event_type")
+    val truth = Jobs.clean(spark.createDataset(events).toDF())
+    assert(got.count() == events.size, "restart duplicated or dropped rows")
+    assert(got.collect().map(_.toSeq).toSet ==
+      truth.collect().map(_.toSeq).toSet,
+      "sink-landed rows must equal the cleaned batch truth")
+    val epochs = graft.core.EpochManifest.entries(spark, store).map(_.epoch)
+    assert(epochs.size >= 2 && epochs.distinct.size == epochs.size,
+      s"per-micro-batch epochs expected: $epochs")
+    // the landed layout prunes like any epochstore
+    val probe = graft.sources.EpochStore.read(spark, store, schema, "event_type")
+      .filter(col("event_type") === "click")
+    assert(probe.count() == events.count(_.event_id % 3 == 1))
+  }
+
   test("foreachBatch dual sink lands raw rows and serving aggregates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream").toString
