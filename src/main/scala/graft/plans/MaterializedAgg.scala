@@ -70,6 +70,7 @@ object MaterializedAgg {
       maxCols: Seq[String],
       cntCols: Seq[String],
       timeBuckets: Seq[(String, String)],
+      buildTz: String,
       mvRoot: String,
       schema: org.apache.spark.sql.types.StructType,
       freshPlan: () => LogicalPlan)
@@ -182,8 +183,14 @@ object MaterializedAgg {
     val tbs = timeBuckets.map { case (c, u) => (c, canonUnit(u)) }
     tbs.foreach { case (c, u) => require(knownUnit(u),
       s"MaterializedAgg.register: unknown time-bucket unit '$u' for $c") }
+    // time buckets truncate under the REGISTERING session's zone; a
+    // query truncating under a different zone must refuse (day/week/
+    // month boundaries shift with the zone), so the build zone is part
+    // of the view's identity
+    val buildTz = org.apache.spark.sql.GraftBridge
+      .sessionConf(spark).sessionLocalTimeZone
     val meta0 = Meta(groupCols, sumCols, sumLongCols, minCols, maxCols,
-      cntCols, tbs, mvPath, null, null)
+      cntCols, tbs, buildTz, mvPath, null, null)
     // build + land the fresh cube with the base's views SUSPENDED (a
     // rebuild's cube aggregate must scan the base, not be answered by
     // the stale view it replaces), and RESET the manifest to exactly
@@ -409,8 +416,13 @@ object MaterializedAgg {
             (a, None)
           case a: AttributeReference if timeAliases.contains(a.exprId) =>
             val ta = timeAliases(a.exprId)
+            // unit must compose AND the query must truncate in the SAME
+            // zone the buckets were built in — a different session zone
+            // shifts day/week/month boundaries and the stored buckets
+            // cannot answer it
             meta.timeBuckets.find(_._1 == ta.baseCol) match {
-              case Some((_, stored)) if composes(ta.unit, stored) =>
+              case Some((_, stored)) if composes(ta.unit, stored) &&
+                  ta.tz.contains(meta.buildTz) =>
                 (a, Some(ta))
               case _ => return None
             }

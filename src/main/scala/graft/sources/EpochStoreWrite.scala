@@ -95,9 +95,21 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
   private def stagingDir(epochId: Long) = s"$root/.w$queryId-e$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : StreamingDataWriterFactory =
+      : StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    // a PREVIOUS run of this query that crashed between staging and
+    // commit left .w<queryId>-e* dirs behind; the restart replays those
+    // epochs into the same staging paths, so stale attempt files must go
+    // BEFORE any new task writes (the checkpoint lock guarantees no
+    // concurrent run of this queryId)
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    if (fs.exists(new Path(root)))
+      fs.listStatus(new Path(root)).toSeq
+        .filter(_.getPath.getName.startsWith(s".w$queryId-e"))
+        .foreach(s => fs.delete(s.getPath, true))
     new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCol,
-      EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCol))
+      EpochStoreBatchWrite.primedConf(spark, schema, partCol))
+  }
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -105,6 +117,9 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val dir = EpochManifest.newDataDir(spark, root, epochId)
     val staged = new Path(stagingDir(epochId))
+    // a dead task's partial files never appear in a commit message —
+    // drop them so the published epoch holds exactly the committed files
+    EpochStoreWrite.pruneToCommitted(fs, staged, messages)
     if (fs.exists(staged))
       require(fs.rename(staged, new Path(s"$root/$dir")),
         s"epochstore streaming commit rename $staged -> $root/$dir failed")
@@ -139,12 +154,14 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val files = messages.collect { case m: EpochFilesWritten => m.nFiles }.sum
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // a dead task's partial files never appear in a commit message —
+    // drop them so the published epoch holds exactly the committed files
+    EpochStoreWrite.pruneToCommitted(fs, new Path(s"$root/$dir"), messages)
+    val files = messages.collect { case m: EpochFilesWritten => m.files.size }.sum
     if (files == 0) {
       // an all-empty batch still commits a (readable) empty epoch dir —
       // the explicit-schema read contract keeps it resolvable
-      val fs = new Path(root).getFileSystem(
-        GraftBridge.sessionHadoopConf(spark))
       fs.mkdirs(new Path(s"$root/$dir")): Unit
     }
     EpochManifest.commitEpochDir(spark, root, epoch, dir)
@@ -199,9 +216,39 @@ object EpochStoreBatchWrite {
   }
 }
 
-/** One task's written-file tally. */
-final case class EpochFilesWritten(nFiles: Int, nRows: Long)
+/** One task's committed files (paths relative to the attempt/staging
+  * dir) — the driver prunes anything else before the manifest commit, so
+  * a task that died mid-write without running abort (executor loss)
+  * cannot leak a footerless partial parquet into the published epoch. */
+final case class EpochFilesWritten(files: Seq[String], nRows: Long)
     extends WriterCommitMessage
+
+object EpochStoreWrite {
+  /** Delete every file under `dir` that no committed task claims —
+    * leftovers of dead/speculative attempts whose abort never ran. The
+    * claimed set is exactly what the epoch publishes. */
+  private[graft] def pruneToCommitted(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (!fs.exists(dir)) return
+    val claimed = messages.collect {
+      case m: EpochFilesWritten => m.files
+    }.flatten.toSet
+    // compare fully-qualified path strings: listStatus returns qualified
+    // URIs (file:/..., hdfs://...) while the incoming dir may be a bare
+    // path — a naive strip would mismatch every file and delete the lot
+    val qdir = fs.makeQualified(dir).toString
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else {
+        val rel = fs.makeQualified(s.getPath).toString
+          .stripPrefix(qdir).stripPrefix("/")
+        if (!claimed.contains(rel)) fs.delete(s.getPath, false): Unit
+      }
+    }
+    walk(dir)
+  }
+}
 
 final class EpochStoreWriterFactory(dirPath: String, schema: StructType,
                                     partCol: Option[String],
@@ -231,6 +278,7 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, (InternalRow => Unit, () => Unit)]
   private val paths = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private val relFiles = scala.collection.mutable.ArrayBuffer.empty[String]
   private var rows = 0L
 
   private def fs = new Path(dirPath).getFileSystem(bc.value.value)
@@ -238,10 +286,11 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
   private def writerFor(subdir: String): InternalRow => Unit =
     writers.getOrElseUpdate(subdir, {
       val name = f"part-$partitionId%05d-$taskId.parquet"
-      val p = new Path(if (subdir.isEmpty) s"$dirPath/$name"
-        else s"$dirPath/$subdir/$name")
+      val rel = if (subdir.isEmpty) name else s"$subdir/$name"
+      val p = new Path(s"$dirPath/$rel")
       fs.mkdirs(p.getParent)
       paths += p
+      relFiles += rel
       val ctx = new TaskAttemptContextImpl(bc.value.value,
         new TaskAttemptID(new TaskID(new JobID("graft-epochstore", 0),
           TaskType.MAP, partitionId), taskId.toInt & Int.MaxValue))
@@ -284,7 +333,7 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     writers.valuesIterator.foreach(_._2())
-    EpochFilesWritten(writers.size, rows)
+    EpochFilesWritten(relFiles.toSeq, rows)
   }
 
   override def abort(): Unit = {

@@ -191,6 +191,39 @@ class EpochStoreSpec extends SparkSpec {
     assert(EpochStore.read(spark, root2, s).count() == 3)
   }
 
+  test("commit prunes files no task committed (dead-attempt partials never publish)") {
+    import spark.implicits._
+    val root = tmp()
+    // land epoch 0 through the sink, then verify the published dir holds
+    // EXACTLY the committed files by planting an orphan "partial" into a
+    // staged epoch-1 write path before its commit: simulate via the
+    // pruning primitive directly (the commit paths call it)
+    EpochStore.write((0 until 8).map(i => (i.toLong, s"v$i", i % 2))
+      .toDF("id", "v", "bucket"), root, 0L, partitionColumn = "bucket")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$root/stage")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stage, "bucket=0"))
+    def put(rel: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(stage, rel), true)
+      out.write("not parquet".getBytes("UTF-8")); out.close()
+    }
+    put("bucket=0/part-00000-1.parquet")  // committed
+    put("bucket=0/part-00001-9.parquet")  // dead attempt — unclaimed
+    put("orphan-root-level.parquet")      // unclaimed
+    graft.sources.EpochStoreWrite.pruneToCommitted(fs, stage,
+      Array(graft.sources.EpochFilesWritten(
+        Seq("bucket=0/part-00000-1.parquet"), 4L)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stage,
+      "bucket=0/part-00000-1.parquet")), "claimed file must survive")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stage,
+      "bucket=0/part-00001-9.parquet")), "dead-attempt partial must be pruned")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stage,
+      "orphan-root-level.parquet")), "root-level orphan must be pruned")
+    // the real sink-landed epoch is untouched and still exact
+    assert(EpochStore.read(spark, root, schema, "bucket").count() == 8)
+  }
+
   test("DSv2 streaming sink: each micro-batch commits one epoch, exactly-once shape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

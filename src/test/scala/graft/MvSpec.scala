@@ -266,6 +266,14 @@ class MvSpec extends SparkSpec {
       // refusals: finer than stored, and a raw-time filter
       assert(scannedPaths(q("hour")).exists(_.contains("orders.parquet")),
         "hour query over a day store must refuse — day buckets can't split")
+      // a query truncating under a DIFFERENT session zone than the
+      // buckets were built in must refuse (day boundaries shift)
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert(scannedPaths(q("month")).exists(_.contains("orders.parquet")),
+          "cross-zone truncation must refuse the rewrite")
+      } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
       val rawFilter = orders
         .filter(col("o_orderdate") > lit("1995-06-15").cast("timestamp"))
         .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
