@@ -611,9 +611,48 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Catalog-plugin SQL (`q_store_sql`): the warehouse of manifest
+    * stores addressed as PLAIN SQL — `spark.sql.catalog.graftcat` points
+    * [[graft.sources.EpochStoreCatalog]] at a landed warehouse holding a
+    * lang-partitioned documents store (written through the DSv2 sink),
+    * and the query is nothing but `SELECT ... FROM graftcat.docs` —
+    * schema and partition column DISCOVERED from the store layout,
+    * manifest pinning/pruning/pushdown all riding under SQL resolution.
+    * DuckDB recomputes from the raw table, so a catalog that resolved
+    * the wrong store, mis-typed a discovered column, or dropped an epoch
+    * fails the oracle. */
+  def storeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = graft.core.Landed.dir(spark, s"cat_wh:$sfDir", "graft_cat_wh") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("lang"))
+      graft.sources.EpochStore.write(docs, s"$d/docs", 0L, partitionColumn = "lang")
+    }
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    spark.sql(
+      """SELECT lang, COUNT(*) AS n,
+        |  SUM(n_chars) AS chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM graftcat.docs
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  val storeSqlSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_write"   -> (storeWrite _),
+    "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
     "q_table_diff"    -> (tableDiffQ _),
@@ -637,6 +676,7 @@ object MiscCatalog {
   val oracle: Map[String, String] = Map(
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_write"   -> storeWriteSql,
+    "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,
     "q_table_diff"    -> tableDiffSql,

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.EpochManifest
+
+/** Catalog-plugin surface over a warehouse of EpochManifest stores — the
+  * third Spark integration tier after the DSv2 read/write connector:
+  *
+  *   spark.sql.catalog.graft           = graft.sources.EpochStoreCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  * makes every store directory under the warehouse a SQL-addressable
+  * table — `SELECT ... FROM graft.mystore WHERE bucket = 3` resolves
+  * through [[EpochStoreTable]], so manifest pinning, bucket-dir pruning,
+  * filter/column pushdown, and the write-side epoch protocol all apply
+  * to plain SQL. Snapshot time travel is SQL-native via
+  * `FOR VERSION AS OF <generation>` (`loadTable(ident, version)` maps
+  * the version string to a retained manifest generation).
+  *
+  * Table layout = directory layout: `warehouse/<ns...>/<name>` is a
+  * table iff it holds a committed `_manifests` dir; the schema and the
+  * partition-dir column are DISCOVERED from a committed entry dir (the
+  * parquet footers + the `col=value` layout), so ad-hoc SQL needs no
+  * declared schema. Engine serving paths keep passing explicit schemas
+  * through [[EpochStore.read]] — discovery is the exploration surface,
+  * with its normal inference caveats (an integer-valued partition dir
+  * infers INT regardless of the writer's wider type).
+  *
+  * DDL posture: stores are CREATED by writing an epoch through the sink
+  * (`df.write.format("epochstore")...`) — `createTable` refuses with
+  * that instruction (a store without data has no inferable schema);
+  * `dropTable` deletes the store dir; rename/alter are refused (a
+  * manifest store's identity is its path). */
+class EpochStoreCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"epochstore catalog '$name' requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+
+  private def fs = new Path(warehouse).getFileSystem(
+    GraftBridge.sessionHadoopConf(spark))
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def isStore(root: String): Boolean =
+    EpochManifest.generations(spark, root).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isStore(s"$nsPath/$n"))
+      .map(n => Identifier.of(namespace, n))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isStore(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, -1L)
+
+  /** SQL `FOR VERSION AS OF g` — g is a retained manifest generation. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, version.toLong)
+
+  private def tableAt(ident: Identifier, asOfGeneration: Long): Table = {
+    val root = rootOf(ident)
+    val gens = EpochManifest.generations(spark, root)
+    if (gens.isEmpty) throw new NoSuchTableException(ident)
+    val entries =
+      if (asOfGeneration < 0L) EpochManifest.entries(spark, root)
+      else EpochManifest.entriesAt(spark, root, asOfGeneration)
+    // discover schema (+ the partition-dir column, from col=value
+    // subdirs) off the first committed entry dir that holds files
+    def hasFiles(p: Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        (s.isFile && s.getLen > 0) ||
+          (s.isDirectory && hasFiles(s.getPath)))
+    val dataEntry = entries.find(e => hasFiles(new Path(s"$root/${e.dir}")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"store $root has only empty epochs — read it through " +
+          "graft.sources.EpochStore.read with an explicit schema"))
+    val entryDir = new Path(s"$root/${dataEntry.dir}")
+    val schema = spark.read.parquet(entryDir.toString).schema
+    val partCol = fs.listStatus(entryDir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collectFirst { case n if n.contains("=") => n.takeWhile(_ != '=') }
+    val opts = Map("path" -> root) ++
+      partCol.map("partitionColumn" -> _) ++
+      (if (asOfGeneration >= 0L) Map("asOfGeneration" -> asOfGeneration.toString)
+       else Map.empty)
+    new EpochStoreTable(schema, new CaseInsensitiveStringMap(opts.asJava))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "epochstore tables are created by writing an epoch through the " +
+        "sink: df.write.format(\"epochstore\").option(\"path\", root)" +
+        ".option(\"epoch\", 0).mode(\"append\").save()")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "epochstore tables evolve through the manifest protocol, not ALTER")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isStore(root)) false
+    else fs.delete(new Path(root), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "an epochstore's identity is its path; copy by re-writing epochs")
+}

@@ -267,6 +267,51 @@ class EpochStoreSpec extends SparkSpec {
     assert(EpochManifest.entries(spark, root).size == 3)
   }
 
+  test("catalog plugin: stores are SQL-addressable with pruning, VERSION AS OF, and DDL posture") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = tmp()
+    def rows(off: Int) = (0 until 40)
+      .map(i => ((i + off).toLong, s"v${i + off}", (i + off) % 4))
+      .toDF("id", "v", "bucket")
+    EpochStore.write(rows(0), s"$wh/ev", 0L, partitionColumn = "bucket")
+    EpochStore.write(rows(40), s"$wh/ev", 1L, partitionColumn = "bucket")
+    EpochStore.write((0 until 5).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
+      s"$wh/plain", 0L)
+    spark.conf.set("spark.sql.catalog.graft_testcat",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_testcat.warehouse", wh)
+    try {
+      // plain SQL resolves the store, prunes its partition dirs, and
+      // discovers the schema from the layout
+      val df = spark.sql("SELECT id, v, bucket FROM graft_testcat.ev WHERE bucket = 2")
+      assert(df.count() == 20)
+      assert(scanOf(df).selectedPartitionDirs == (2, 8),
+        s"SQL probe must prune: ${scanOf(df).selectedPartitionDirs}")
+      // SQL-native snapshot time travel: generation 1 holds epoch 0 only
+      val g1 = EpochManifest.generations(spark, s"$wh/ev").head
+      assert(spark.sql(
+        s"SELECT * FROM graft_testcat.ev VERSION AS OF $g1").count() == 40)
+      assert(spark.sql("SELECT * FROM graft_testcat.ev").count() == 80)
+      // unpartitioned store answers too
+      assert(spark.sql("SELECT * FROM graft_testcat.plain").count() == 5)
+      // listing / existence / drop through the catalog API
+      val cat = new graft.sources.EpochStoreCatalog
+      cat.initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+      assert(cat.listTables(Array.empty).map(_.name()).toSet == Set("ev", "plain"))
+      assert(cat.tableExists(Identifier.of(Array.empty, "ev")))
+      assert(cat.dropTable(Identifier.of(Array.empty, "plain")))
+      assert(!cat.tableExists(Identifier.of(Array.empty, "plain")))
+      intercept[UnsupportedOperationException](
+        cat.createTable(Identifier.of(Array.empty, "nope"), schema,
+          Array.empty, java.util.Map.of()))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_testcat")
+      spark.conf.unset("spark.sql.catalog.graft_testcat.warehouse")
+    }
+  }
+
   test("string partition column round-trips escaped dir names") {
     import spark.implicits._
     val root = tmp()
