@@ -326,6 +326,18 @@ object PlanAudit {
         sel <= 5 * s.entries.size && sel < tot)
     }
 
+    // catalog-plugin SQL (r12): the SQL-resolved store must read through
+    // the SAME pinned EpochStoreScan as the programmatic path — catalog
+    // resolution adds naming, never a different (unpruned) scan
+    val sqlStore = MiscCatalog.storeSql(spark, sfDir)
+    val sqlScans = sqlStore.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect { case s: graft.sources.EpochStoreScan => s }
+    audits += Audit("q_store_sql",
+      "catalog-resolved SQL reads through the epochstore DSv2 scan",
+      sqlScans.size == 1)
+
     audits.result()
   }
 
