@@ -87,7 +87,12 @@ class EpochStoreCatalog extends TableCatalog {
 
   /** SQL `FOR VERSION AS OF g` — g is a retained manifest generation. */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, version.toLong)
+    tableAt(ident, version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"epochstore VERSION AS OF takes a manifest generation number, " +
+          s"got '$version' — retained generations: " +
+          EpochManifest.generations(spark, rootOf(ident))
+            .mkString("[", ", ", "]"))))
 
   private def tableAt(ident: Identifier, asOfGeneration: Long): Table = {
     val root = rootOf(ident)

@@ -307,10 +307,15 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
       val raw = v match {
         case null => "__HIVE_DEFAULT_PARTITION__"
         case u: org.apache.spark.unsafe.types.UTF8String =>
-          u.toString.flatMap(ch =>
+          u.toString.flatMap { ch =>
             if (ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-')
               ch.toString
-            else f"%%${ch.toInt}%02X")
+            else if (ch.toInt <= 0xFF) f"%%${ch.toInt}%02X"
+            else throw new IllegalArgumentException(
+              s"partition value '$u' contains a non-Latin-1 character the " +
+                "%XX dir escaping cannot round-trip — partition on a " +
+                "hash/bucket column instead")
+          }
         case other => other.toString
       }
       s"$c=$raw"
