@@ -9,7 +9,8 @@ import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{
   NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, Table, TableCatalog, TableChange}
+  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
+  TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,7 +45,7 @@ import graft.core.EpochManifest
   * that instruction (a store without data has no inferable schema);
   * `dropTable` deletes the store dir; rename/alter are refused (a
   * manifest store's identity is its path). */
-class EpochStoreCatalog extends TableCatalog {
+class EpochStoreCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -146,4 +147,67 @@ class EpochStoreCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "an epochstore's identity is its path; copy by re-writing epochs")
+
+  // ------------------------------------------------------- namespaces
+  // Namespaces are plain subdirectories of the warehouse that are not
+  // themselves stores — just enough surface for SHOW TABLES / SHOW
+  // NAMESPACES / CREATE NAMESPACE to work against the layout.
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toSeq).mkString("/"))
+
+  private def isNamespaceDir(p: Path): Boolean =
+    fs.getFileStatus(p).isDirectory && !isStore(p.toString)
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(new Path(warehouse)).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        !isStore(s.getPath.toString))
+      .map(s => Array(s.getPath.getName))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      fs.listStatus(nsPath(namespace)).toSeq
+        .filter(s => s.isDirectory && !isStore(s.getPath.toString))
+        .map(s => namespace :+ s.getPath.getName)
+        .toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace)) && isNamespaceDir(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Map.of("location", nsPath(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "epochstore namespaces are directories; nothing to alter")
+
+  /** Drops an EMPTY namespace; `cascade` deletes its stores too. */
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      val p = nsPath(namespace)
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty — use CASCADE")
+      fs.delete(p, true)
+    }
+  }
 }

@@ -295,6 +295,22 @@ class EpochStoreSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM graft_testcat.ev").count() == 80)
       // unpartitioned store answers too
       assert(spark.sql("SELECT * FROM graft_testcat.plain").count() == 5)
+      // SHOW TABLES resolves through SupportsNamespaces
+      val shown = spark.sql("SHOW TABLES IN graft_testcat")
+        .collect().map(_.getString(1)).toSet
+      assert(shown == Set("ev", "plain"), s"SHOW TABLES: $shown")
+      // namespaces are directories: create one, land a store in it,
+      // address it three-part, list it, drop it
+      spark.sql("CREATE NAMESPACE graft_testcat.nested")
+      EpochStore.write((0 until 3).map(i => (i.toLong, s"n$i")).toDF("id", "v"),
+        s"$wh/nested/inner", 0L)
+      assert(spark.sql("SELECT * FROM graft_testcat.nested.inner").count() == 3)
+      assert(spark.sql("SHOW TABLES IN graft_testcat.nested")
+        .collect().map(_.getString(1)).toSeq == Seq("inner"))
+      assert(spark.sql("SHOW NAMESPACES IN graft_testcat")
+        .collect().map(_.getString(0)).contains("nested"))
+      spark.sql("DROP NAMESPACE graft_testcat.nested CASCADE")
+      assert(!new java.io.File(s"$wh/nested").exists())
       // listing / existence / drop through the catalog API
       val cat = new graft.sources.EpochStoreCatalog
       cat.initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
