@@ -73,7 +73,12 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsPath = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    // a warehouse that has not seen its first store yet is a valid,
+    // EMPTY root namespace — only a named sub-namespace can be missing
+    if (!fs.exists(nsPath)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
     fs.listStatus(nsPath).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -162,7 +167,8 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces {
   override def defaultNamespace(): Array[String] = Array.empty
 
   override def listNamespaces(): Array[Array[String]] =
-    fs.listStatus(new Path(warehouse)).toSeq
+    if (!fs.exists(new Path(warehouse))) Array.empty
+    else fs.listStatus(new Path(warehouse)).toSeq
       .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
         !isStore(s.getPath.toString))
       .map(s => Array(s.getPath.getName))

@@ -311,6 +311,12 @@ class EpochStoreSpec extends SparkSpec {
         .collect().map(_.getString(0)).contains("nested"))
       spark.sql("DROP NAMESPACE graft_testcat.nested CASCADE")
       assert(!new java.io.File(s"$wh/nested").exists())
+      // a warehouse that doesn't exist yet lists EMPTY, never throws
+      val emptyCat = new graft.sources.EpochStoreCatalog
+      emptyCat.initialize("t2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", s"$wh/not_created_yet")))
+      assert(emptyCat.listTables(Array.empty).isEmpty)
+      assert(emptyCat.listNamespaces().isEmpty)
       // listing / existence / drop through the catalog API
       val cat = new graft.sources.EpochStoreCatalog
       cat.initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
