@@ -111,6 +111,25 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("r12 scale claims: armed hybrid join shuffles ~nothing; time-MV scans the store") {
+    // q_join_auto: the armed rewrite broadcasts the hot mass — the only
+    // hash-exchange records left are the final per-type aggregates plus
+    // the cold tail (empty on this fixture: every event type is hot at
+    // share 0.2), so shuffled records must be answer-scale, never
+    // input-scale
+    val j = Metrics.measure(graft.queries.EventsCatalog.joinAuto(spark, sf0001))
+    assert(j.rowsOut > 0 && j.scanRows > 0)
+    assert(j.shuffleRecords <= 10L * j.rowsOut,
+      s"hybrid join shuffled input-scale records — hot mass not broadcast: $j")
+    // q_mv_time_rollup: the rewrite must SCAN the day-bucket MV, whose
+    // rows are bounded by |priorities × days| — far under the fact table
+    val m = Metrics.measure(graft.queries.TpchCatalog.mvTimeRollup(spark, sf0001))
+    val factRows = graft.core.Tables.orders(spark, sf0001).count()
+    assert(m.rowsOut > 0)
+    assert(m.scanRows < factRows,
+      s"time roll-up scanned the fact table (scan=${m.scanRows}, fact=$factRows)")
+  }
+
   test("streaming state grows with key cardinality, not lifetime event count") {
     // The SCALE.md streaming section's gate: after replaying the whole
     // events fixture, a custom-state job's state-store rows must track
