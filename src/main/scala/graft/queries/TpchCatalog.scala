@@ -395,6 +395,28 @@ object TpchCatalog {
 
   private val HllP = 6
 
+  /** [[hllRegistersQ]] driven entirely through the SQL surface
+    * (`q_hll_sql`): the session-registered `hll_registers` function
+    * ([[graft.plans.HllRegistersAgg.register]] — the same builder
+    * `GraftExtensions` injects for `spark.sql.extensions` deployments)
+    * called from `spark.sql` over a temp view, with the generator
+    * explode also in SQL. Shares [[hllRegistersSql]]'s oracle — a
+    * SQL-path registration that mangled arguments, lost the aggregate's
+    * partial merge, or mis-bound the function would diverge from the
+    * DataFrame twin's oracle-checked registers. */
+  def hllRegistersSqlQ(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.HllRegistersAgg.register(spark)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_li_sqlv")
+    spark.sql(
+      s"""SELECT CAST(bucket AS BIGINT) AS bucket, rank
+         |FROM (
+         |  SELECT posexplode(regs) AS (bucket, rank)
+         |  FROM (SELECT hll_registers(CAST(l_partkey AS STRING), $HllP) AS regs
+         |        FROM graft_li_sqlv)
+         |)
+         |ORDER BY bucket""".stripMargin)
+  }
+
   val hllRegistersSql: String = {
     val m = 1 << HllP
     val wBits = 64 - HllP
@@ -935,6 +957,7 @@ object TpchCatalog {
     "q_cms_counts"      -> (cmsCountsQ _),
     "q_cms_join_size"   -> (cmsJoinSizeQ _),
     "q_hll_registers"   -> (hllRegistersQ _),
+    "q_hll_sql"         -> (hllRegistersSqlQ _),
     "q_window_lag"      -> (windowLag _),
     "q_string_funcs"    -> (stringFuncs _),
     "q_date_funcs"      -> (dateFuncs _),
@@ -972,6 +995,7 @@ object TpchCatalog {
     "q_cms_counts"      -> cmsCountsSql,
     "q_cms_join_size"   -> cmsJoinSizeSql,
     "q_hll_registers"   -> hllRegistersSql,
+    "q_hll_sql"         -> hllRegistersSql,
     "q_window_lag"      -> windowLagSql,
     "q_string_funcs"    -> stringFuncsSql,
     "q_date_funcs"      -> dateFuncsSql,
