@@ -611,6 +611,66 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming SOURCE through the connector (`q_store_stream`): the
+    * documents table lands as a THREE-epoch lang-partitioned store (the
+    * DSv2 sink), then `readStream.format("epochstore")` tails it with
+    * `maxEpochsPerTrigger = 1` — the manifest epochs arrive as three
+    * separate micro-batches through
+    * [[graft.sources.EpochStoreMicroBatchStream]] — into a streaming
+    * per-lang aggregate drained by Trigger.AvailableNow. The answer is
+    * the aggregate AFTER the stream terminates, so a source that dropped
+    * an epoch, re-delivered one across triggers, split a batch's rows,
+    * or mis-typed the dir-derived partition column fails the DuckDB
+    * oracle (which recomputes from the raw table).
+    *
+    * Scale notes: `latestOffset` is one driver-side manifest read per
+    * trigger; each batch lists and scans ONLY its epoch's dirs, so a
+    * tail over a 100 TB store does per-trigger work proportional to the
+    * new epoch, never the history. The paced catch-up (one epoch per
+    * trigger) is the restart posture: a reader resuming behind a large
+    * backlog processes it as bounded batches. */
+  def storeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("lang", StringType)))
+    val dir = graft.core.Landed.dir(spark, s"s_store:$sfDir", "graft_s_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("lang"))
+      (0 until 3).foreach(e => graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 3 === e), d, e.toLong,
+        partitionColumn = "lang"))
+    }
+    val agg = graft.sources.EpochStore.readStream(spark, dir, schema,
+        partitionColumn = "lang", maxEpochsPerTrigger = 1L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val qn = s"graft_store_stream_${streamRuns.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // copy out of the memory sink so the returned frame survives later runs
+    val rows = spark.table(qn).collect().toSeq
+    spark.catalog.dropTempView(qn)
+    val outSchema = StructType(Seq(StructField("lang", StringType),
+      StructField("n", LongType), StructField("chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
+      .orderBy("lang")
+  }
+
+  val storeStreamSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Catalog-plugin SQL (`q_store_sql`): the warehouse of manifest
     * stores addressed as PLAIN SQL — `spark.sql.catalog.graftcat` points
     * [[graft.sources.EpochStoreCatalog]] at a landed warehouse holding a
@@ -652,6 +712,7 @@ object MiscCatalog {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_write"   -> (storeWrite _),
+    "q_store_stream"  -> (storeStream _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -676,6 +737,7 @@ object MiscCatalog {
   val oracle: Map[String, String] = Map(
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_write"   -> storeWriteSql,
+    "q_store_stream"  -> storeStreamSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

@@ -98,7 +98,7 @@ final class EpochStoreTable(tableSchema: StructType,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     // table-creation options carry path/partitionColumn/maxEpoch/
@@ -154,7 +154,9 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     val entries = EpochManifest.entriesAt(spark, root, gen)
       .filter(_.epoch <= maxEpoch)
     EpochStoreScan(tableSchema, required, partCol, root, gen, entries,
-      partFilters, dataFilters)
+      partFilters, dataFilters,
+      streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
+        .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
   }
 }
 
@@ -163,7 +165,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
 final case class EpochStoreScan(
     fullSchema: StructType, required: StructType, partCol: Option[String],
     root: String, generation: Long, entries: Seq[EpochManifest.Entry],
-    partFilters: Array[Filter], dataFilters: Array[Filter])
+    partFilters: Array[Filter], dataFilters: Array[Filter],
+    streamOptions: Map[String, String] = Map.empty)
     extends Scan with Batch {
 
   private val partField: Option[StructField] =
@@ -185,12 +188,53 @@ final case class EpochStoreScan(
 
   override def toBatch: Batch = this
 
+  /** Incremental tail of the SAME store: each micro-batch is a committed
+    * manifest-epoch range, read through the identical pruned/pushed-down
+    * parquet path ([[EpochStoreMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EpochStoreMicroBatchStream(fullSchema, required, partCol, root,
+      partFilters, dataFilters, streamOptions)
+
   /** Driver-side listing over the PINNED snapshot: per entry dir, either
     * its files directly (unpartitioned store) or its `col=value` subdirs
     * filtered by the pushed partition filters. Returns (value, file)
     * pairs plus the audit counts. */
-  private lazy val listing: (Seq[(Any, FileStatus)], Int, Int) = {
-    val spark = SparkSession.active
+  private lazy val listing: (Seq[(Any, FileStatus)], Int, Int) =
+    EpochStore.listEntryFiles(SparkSession.active, root, entries,
+      partField, partFilters)
+
+  /** selected/total partition dirs across the pinned epochs — the
+    * pruning proof PlanSpec reads (also surfaced in [[description]]). */
+  def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
+
+  override def description(): String = {
+    val (sel, tot) = selectedPartitionDirs
+    s"epochstore $root gen=$generation epochs=${entries.size} " +
+      s"partitions=$sel/$tot " +
+      s"PushedFilters: [${(partFilters ++ dataFilters).mkString(", ")}], " +
+      s"ReadSchema: ${readSchema().catalogString}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    EpochStore.planFilePartitions(SparkSession.active, listing._1, readPartSchema)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    EpochStore.parquetReaderFactory(SparkSession.active, dataSchema,
+      readDataSchema, readPartSchema, dataFilters)
+}
+
+object EpochStore {
+
+  /** Driver-side listing of a set of manifest entries: per entry dir,
+    * either its files directly (unpartitioned store) or its `col=value`
+    * subdirs filtered by the pushed partition filters. Returns (value,
+    * file) pairs plus (kept, total) partition-dir audit counts — shared
+    * by the pinned batch scan and each streaming micro-batch. */
+  private[sources] def listEntryFiles(
+      spark: SparkSession, root: String, entries: Seq[EpochManifest.Entry],
+      partField: Option[StructField], partFilters: Array[Filter])
+      : (Seq[(Any, FileStatus)], Int, Int) = {
     val fs = new Path(root).getFileSystem(
       GraftBridge.sessionHadoopConf(spark))
     def filesUnder(p: Path): Seq[FileStatus] = {
@@ -227,28 +271,20 @@ final case class EpochStoreScan(
     (out.result(), kept, total)
   }
 
-  /** selected/total partition dirs across the pinned epochs — the
-    * pruning proof PlanSpec reads (also surfaced in [[description]]). */
-  def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
-
-  override def description(): String = {
-    val (sel, tot) = selectedPartitionDirs
-    s"epochstore $root gen=$generation epochs=${entries.size} " +
-      s"partitions=$sel/$tot " +
-      s"PushedFilters: [${(partFilters ++ dataFilters).mkString(", ")}], " +
-      s"ReadSchema: ${readSchema().catalogString}"
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
+  /** Split + pack listed files into [[FilePartition]]s exactly like the
+    * native file source (`maxPartitionBytes` bounds, open-cost padding,
+    * largest-first packing). */
+  private[sources] def planFilePartitions(
+      spark: SparkSession, files: Seq[(Any, FileStatus)],
+      readPartSchema: StructType): Array[InputPartition] = {
     val conf = GraftBridge.sessionConf(spark)
     val openCost = conf.filesOpenCostInBytes
     val minParts = conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
-    val totalBytes = listing._1.map(_._2.getLen + openCost).sum
+    val totalBytes = files.map(_._2.getLen + openCost).sum
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, totalBytes / math.max(1, minParts)))
-    val splits = listing._1.flatMap { case (v, st) =>
+    val splits = files.flatMap { case (v, st) =>
       val pv: InternalRow =
         if (readPartSchema.isEmpty) InternalRow.empty
         else new GenericInternalRow(Array[Any](EpochStore.toCatalyst(v)))
@@ -262,13 +298,15 @@ final case class EpochStoreScan(
       splits.sortBy(-_.length), maxSplit).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
+  /** Spark's own vectorized parquet reader, primed exactly the way the
+    * native ParquetScan primes it before building this same factory —
+    * the record readers resolve their ReadSupport class and the
+    * requested Catalyst schema from conf keys, not constructor args. */
+  private[sources] def parquetReaderFactory(
+      spark: SparkSession, dataSchema: StructType,
+      readDataSchema: StructType, readPartSchema: StructType,
+      dataFilters: Array[Filter]): PartitionReaderFactory = {
     val conf = GraftBridge.sessionConf(spark)
-    // prime the Hadoop conf exactly the way the native ParquetScan does
-    // before it builds this same factory — the record readers resolve
-    // their ReadSupport class and the requested Catalyst schema from
-    // conf keys, not constructor args
     val hc = GraftBridge.sessionHadoopConf(spark)
     hc.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
@@ -290,9 +328,6 @@ final case class EpochStoreScan(
       readPartSchema, dataFilters, None,
       new ParquetOptions(Map.empty[String, String], conf))
   }
-}
-
-object EpochStore {
 
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -329,6 +364,26 @@ object EpochStore {
       .option("asOfGeneration", gen.toString)
     if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
+    r.load()
+  }
+
+  /** The engine's streaming-read entry point — a micro-batch tail of the
+    * store's committed epochs ([[EpochStoreMicroBatchStream]]): the
+    * initial batch is the current snapshot (or nothing, with
+    * `startingAfterEpoch` at the current max), then each newly committed
+    * epoch arrives as (part of) a trigger, exactly once across restarts.
+    * `maxEpochsPerTrigger` bounds catch-up batch sizes. */
+  def readStream(spark: SparkSession, root: String, schema: StructType,
+                 partitionColumn: String = null,
+                 startingAfterEpoch: Long = -1L,
+                 maxEpochsPerTrigger: Long = -1L): DataFrame = {
+    var r = spark.readStream.format("epochstore").schema(schema)
+      .option("path", root)
+    if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
+    if (startingAfterEpoch >= 0L)
+      r = r.option("startingAfterEpoch", startingAfterEpoch.toString)
+    if (maxEpochsPerTrigger > 0L)
+      r = r.option("maxEpochsPerTrigger", maxEpochsPerTrigger.toString)
     r.load()
   }
 

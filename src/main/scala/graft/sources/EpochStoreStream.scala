@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.core.EpochManifest
+
+/** One stream position: every manifest epoch ≤ `epoch` has been
+  * delivered. Serialized into Spark's offset WAL, so the shape is the
+  * exactly-once contract across restarts. */
+final case class EpochStreamOffset(epoch: Long) extends Offset {
+  override def json(): String = s"""{"epoch":$epoch}"""
+}
+
+/** The streaming READ half of the epochstore connector —
+  *
+  *   spark.readStream.format("epochstore")
+  *     .schema(s).option("path", root)
+  *     [.option("partitionColumn", c)]
+  *     [.option("startingAfterEpoch", n)]   // skip the initial snapshot
+  *     [.option("maxEpochsPerTrigger", k)]  // admission control
+  *     .load()
+  *
+  * tails the manifest: each micro-batch is a committed EPOCH RANGE
+  * `(start, end]`, read through the same pruned file listing + Spark
+  * vectorized parquet path as the batch scan, so the store's write →
+  * stream → serve loop closes entirely inside the connector (the
+  * foreachBatch ingest flows' manual manifest polling, as a source).
+  *
+  * Delivery contract (all loud, none silent):
+  *   - An epoch is delivered EXACTLY ONCE: offsets are the manifest
+  *     epochs themselves, checkpointed in Spark's WAL; a replayed batch
+  *     re-resolves the same epoch range. A RETRIED epoch (replaced
+  *     attempt dir, same epoch id) re-reads the replacement — the
+  *     committed truth, the same idempotence the write side proves.
+  *   - The initial batch is the store's current visible snapshot
+  *     (folds included); `startingAfterEpoch` starts the tail above a
+  *     known epoch instead (the "changes only" form).
+  *   - COMPACTION must stay behind the slowest stream reader: a fold
+  *     whose span straddles the stream offset (minEpoch ≤ start <
+  *     epoch) would re-deliver already-delivered rows, and a fold that
+  *     swallowed undelivered epochs into an entry above the batch end
+  *     would silently drop them — both are detected per batch and fail
+  *     the query with the boundary in the message. Fold up to the
+  *     stream's committed offset and the tail never notices (same rows,
+  *     new dirs — delivered spans are whole either way).
+  *
+  * Scale shape: `latestOffset` is one manifest read (a driver-side
+  * file listing + one small JSON); each batch lists only ITS epoch
+  * dirs; file splitting and packing match the native source, so a
+  * 1000-executor cluster sees normal task geometry per trigger.
+  * `maxEpochsPerTrigger` bounds a catch-up restart (a reader resuming
+  * behind a large backlog processes it as several normal-sized batches
+  * instead of one giant one). */
+final class EpochStoreMicroBatchStream(
+    fullSchema: StructType, required: StructType, partCol: Option[String],
+    root: String, partFilters: Array[Filter], dataFilters: Array[Filter],
+    streamOptions: Map[String, String])
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val partField: Option[StructField] =
+    partCol.flatMap(c => fullSchema.fields.find(_.name == c))
+  require(partCol.isEmpty || partField.nonEmpty,
+    s"partitionColumn ${partCol.orNull} is not in the schema")
+
+  private val dataSchema: StructType =
+    StructType(fullSchema.filterNot(f => partCol.contains(f.name)))
+  private val readDataSchema: StructType =
+    StructType(required.filterNot(f => partCol.contains(f.name)))
+  private val readPartSchema: StructType =
+    StructType(partField.toSeq.filter(f => required.fieldNames.contains(f.name)))
+
+  private val startingAfter: Long =
+    streamOptions.get("startingafterepoch").map(_.toLong).getOrElse(-1L)
+  private val maxPerTrigger: Option[Long] =
+    streamOptions.get("maxepochspertrigger").map(_.toLong)
+  maxPerTrigger.foreach(m => require(m > 0,
+    s"maxEpochsPerTrigger must be positive, got $m"))
+
+  // the stream runs on the driver's stream-execution thread; the session
+  // is captured at stream construction (scan planning)
+  private val spark: SparkSession = SparkSession.active
+
+  /** Highest committed epoch right now (startingAfter when the store has
+    * none yet — the tail starts empty instead of failing). */
+  private def visibleMax(): Long = {
+    val es = EpochManifest.entries(spark, root)
+    if (es.isEmpty) startingAfter
+    else math.max(startingAfter, es.map(_.epoch).max)
+  }
+
+  /** Trigger.AvailableNow pins the catch-up target HERE (query start):
+    * the query drains up to this epoch — in maxEpochsPerTrigger-sized
+    * batches — and terminates, even while a concurrent writer keeps
+    * committing later epochs. */
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(visibleMax())
+  }
+
+  override def initialOffset(): Offset = EpochStreamOffset(startingAfter)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def reportLatestOffset(): Offset = EpochStreamOffset(visibleMax())
+
+  /** The next batch end: everything visible (or the AvailableNow pin),
+    * capped to `start + maxEpochsPerTrigger`. Epoch ids need not be
+    * dense — the cap bounds the id RANGE per trigger, which for the
+    * engine's batch-id/epoch-keyed writers is the batch count too. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EpochStreamOffset].epoch
+    var end = availableNowCap.getOrElse(visibleMax())
+    maxPerTrigger.foreach(m => end = math.min(end, s + m))
+    EpochStreamOffset(math.max(s, end))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[EpochStreamOffset].epoch
+    val e = end.asInstanceOf[EpochStreamOffset].epoch
+    if (e <= s) return Array.empty
+    val all = EpochManifest.entries(spark, root)
+    // a fold above the batch end that swallowed epochs inside it would
+    // make those rows silently undeliverable — refuse
+    all.find(en => en.epoch > e && en.minEpoch <= e).foreach(en =>
+      throw new IllegalStateException(
+        s"epochstore stream over $root: fold ${en.dir} covers epochs " +
+          s"[${en.minEpoch}, ${en.epoch}] across this batch's end $e — " +
+          "compaction overtook the stream reader; compact only up to the " +
+          "stream's committed offset"))
+    val batch = all.filter(en => en.epoch > s && en.epoch <= e)
+    // a fold straddling the start would re-deliver epochs ≤ s — refuse
+    batch.find(_.minEpoch <= s).foreach(en =>
+      throw new IllegalStateException(
+        s"epochstore stream over $root: fold ${en.dir} covers epochs " +
+          s"[${en.minEpoch}, ${en.epoch}] across this stream's offset $s — " +
+          "compaction overtook the stream reader; compact only up to the " +
+          "stream's committed offset"))
+    val (files, _, _) =
+      EpochStore.listEntryFiles(spark, root, batch, partField, partFilters)
+    EpochStore.planFilePartitions(spark, files, readPartSchema)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    EpochStore.parquetReaderFactory(spark, dataSchema, readDataSchema,
+      readPartSchema, dataFilters)
+
+  override def deserializeOffset(json: String): Offset =
+    EpochStreamOffset(json.split("\"epoch\":")(1)
+      .takeWhile(c => c.isDigit || c == '-').toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -350,4 +350,140 @@ class EpochStoreSpec extends SparkSpec {
     assert(probed.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
     assert(df.filter(col("lang").isNull).count() == 1)
   }
+
+  // ---- streaming source (MicroBatchStream over the manifest) ----
+
+  private def startTail(root: String, name: String, ckpt: String,
+                        maxPerTrigger: Long = -1L, after: Long = -1L) =
+    EpochStore.readStream(spark, root, schema, "bucket",
+        startingAfterEpoch = after, maxEpochsPerTrigger = maxPerTrigger)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+  /** Restart tests need a sink that supports checkpoint RECOVERY (the
+    * memory sink refuses an existing checkpoint); the parquet sink's
+    * own manifest also proves end-to-end exactly-once. */
+  private def startTailToFiles(root: String, out: String, ckpt: String,
+                               maxPerTrigger: Long = -1L) =
+    EpochStore.readStream(spark, root, schema, "bucket",
+        maxEpochsPerTrigger = maxPerTrigger)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+  private def sunkIds(out: String): Seq[Long] =
+    spark.read.schema(schema).parquet(out).collect().map(_.getLong(0)).toSeq
+
+  test("stream source: initial snapshot, then each committed epoch " +
+      "arrives exactly once") {
+    import spark.implicits._
+    val root = tmp()
+    build(root) // epochs 0, 1 — 80 rows
+    val ckpt = tmp()
+    val q = startTail(root, "tail1", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail1").count() == 80, "initial snapshot")
+      EpochManifest.append(
+        Seq((100L, "v100", 0), (101L, "v101", 1)).toDF("id", "v", "bucket"),
+        root, 2L, partitionBy = Seq("bucket"))
+      q.processAllAvailable()
+      val got = spark.table("tail1").collect().map(_.getLong(0)).toSeq
+      assert(got.length == 82 && got.distinct.length == 82,
+        s"tail delivered ${got.length} rows (dups: ${got.length - got.distinct.length})")
+      assert(got.toSet.contains(100L) && got.toSet.contains(101L))
+    } finally q.stop()
+  }
+
+  test("stream source: restart from the checkpoint resumes after the " +
+      "delivered epochs — no redelivery, new epochs still arrive") {
+    import spark.implicits._
+    val root = tmp()
+    build(root)
+    val ckpt = tmp()
+    val out = tmp()
+    val q1 = startTailToFiles(root, out, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sunkIds(out).length == 80)
+    EpochManifest.append(
+      Seq((200L, "v200", 2)).toDF("id", "v", "bucket"),
+      root, 2L, partitionBy = Seq("bucket"))
+    val q2 = startTailToFiles(root, out, ckpt) // SAME sink + checkpoint
+    try {
+      q2.processAllAvailable()
+      val got = sunkIds(out)
+      assert(got.length == 81 && got.distinct.length == 81 &&
+        got.contains(200L),
+        s"restart must deliver ONLY the new epoch once, got ${got.length} rows")
+    } finally q2.stop()
+  }
+
+  test("stream source: maxEpochsPerTrigger paces catch-up into bounded " +
+      "batches; startingAfterEpoch skips the snapshot") {
+    import spark.implicits._
+    val root = tmp()
+    build(root)
+    EpochManifest.append(
+      Seq((300L, "v300", 3)).toDF("id", "v", "bucket"),
+      root, 2L, partitionBy = Seq("bucket"))
+    val q = startTail(root, "tail3", tmp(), maxPerTrigger = 1L, after = 0L)
+    try {
+      q.processAllAvailable()
+      // epochs 1 and 2 (snapshot epoch 0 skipped), one epoch per batch
+      val got = spark.table("tail3").collect().map(_.getLong(0)).toSet
+      assert(got.size == 41 && got.contains(300L) && !got.contains(0L))
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        "two paced non-empty batches expected")
+    } finally q.stop()
+  }
+
+  test("stream source: a compaction fold straddling the stream offset " +
+      "fails the query loudly instead of re-delivering") {
+    import spark.implicits._
+    val root = tmp()
+    build(root)
+    val ckpt = tmp()
+    val out = tmp()
+    val q1 = startTailToFiles(root, out, ckpt, maxPerTrigger = 1L)
+    try { q1.processAllAvailable() } finally q1.stop() // delivered through epoch 1
+    // fold epochs 0-2 into one entry spanning the delivered offset 1
+    EpochManifest.append(
+      Seq((400L, "v400", 0)).toDF("id", "v", "bucket"),
+      root, 2L, partitionBy = Seq("bucket"))
+    EpochManifest.compact(spark, root, schema, partitionBy = Seq("bucket"))
+    val q2 = startTailToFiles(root, out, ckpt)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { q2.processAllAvailable() } finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("compaction overtook the stream")),
+      s"wrong failure: ${messages(err).mkString(" | ")}")
+  }
+
+  test("stream source: compaction up to the committed offset is invisible " +
+      "to the tail") {
+    import spark.implicits._
+    val root = tmp()
+    build(root)
+    val ckpt = tmp()
+    val out = tmp()
+    val q1 = startTailToFiles(root, out, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop() // offset at epoch 1
+    // fold everything ≤ offset, then append a new epoch — legal sequence
+    EpochManifest.compact(spark, root, schema, uptoEpoch = 2L,
+      partitionBy = Seq("bucket"))
+    EpochManifest.append(
+      Seq((500L, "v500", 1)).toDF("id", "v", "bucket"),
+      root, 5L, partitionBy = Seq("bucket"))
+    val q2 = startTailToFiles(root, out, ckpt)
+    try {
+      q2.processAllAvailable()
+      val got = sunkIds(out)
+      assert(got.length == 81 && got.contains(500L),
+        s"expected exactly the new epoch on top, got ${got.length} rows")
+    } finally q2.stop()
+  }
 }
