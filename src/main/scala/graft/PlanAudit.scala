@@ -338,6 +338,36 @@ object PlanAudit {
       "catalog-resolved SQL reads through the epochstore DSv2 scan",
       sqlScans.size == 1)
 
+    // dynamic partition pruning through the connector (r12): the dim's
+    // joined lang set must reach EpochStoreScan.filter at RUNTIME (no
+    // static lang predicate exists on the store side) and shrink the
+    // listed dir set — execute first, the filter only lands then
+    val dpp = MiscCatalog.storeDpp(spark, sfDir)
+    dpp.collect()
+    def physNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        physNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: physNodes(q.plan)
+      case other => other +: other.children.flatMap(physNodes)
+    }
+    val dppScans = physNodes(dpp.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case s: graft.sources.EpochStoreScan => s }
+    audits += Audit("q_store_dpp",
+      "join executes through the epochstore DSv2 scan", dppScans.size == 1)
+    dppScans.foreach { s =>
+      audits += Audit("q_store_dpp",
+        "the dim's joined partition set reached the scan at runtime",
+        s.runtimeFiltered)
+      val (sel, tot) = s.selectedPartitionDirs
+      audits += Audit("q_store_dpp",
+        s"runtime pruning shrank the dir listing ($sel/$tot kept)",
+        sel < tot)
+    }
+
     audits.result()
   }
 

@@ -580,12 +580,18 @@ object MiscCatalog {
     * the oracle. The store lands once per (session, sf); at 100 TB the
     * write cost is the parquet encode + ONE driver-side rename per
     * epoch, and a reader never sees a half-written epoch. */
-  def storeWrite(spark: SparkSession, sfDir: String): DataFrame = {
+  private def langStoreSchema = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("doc_id", LongType), StructField("n_chars", LongType),
       StructField("lang", StringType)))
-    val dir = graft.core.Landed.dir(spark, s"w_store:$sfDir", "graft_w_store") { d =>
+  }
+
+  /** The shared two-epoch lang-partitioned documents store (landed once
+    * per (session, sf) through the DSv2 sink) — `q_store_write` proves
+    * its write half, `q_store_dpp` joins against it. */
+  private def langStore(spark: SparkSession, sfDir: String): String =
+    graft.core.Landed.dir(spark, s"w_store:$sfDir", "graft_w_store") { d =>
       val docs = Tables.documents(spark, sfDir)
         .filter(col("lang").isNotNull)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("lang"))
@@ -594,6 +600,10 @@ object MiscCatalog {
       graft.sources.EpochStore.write(
         docs.filter(col("doc_id") % 2 =!= 0), d, 1L, partitionColumn = "lang")
     }
+
+  def storeWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = langStoreSchema
+    val dir = langStore(spark, sfDir)
     graft.sources.EpochStore.read(spark, dir, schema, "lang")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
@@ -608,6 +618,41 @@ object MiscCatalog {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents
       |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Dynamic partition pruning through the connector (`q_store_dpp`):
+    * the lang-partitioned store joined to a FILTERED dim (the distinct
+    * langs below 'f', a real scan + selective predicate, broadcast) —
+    * no lang filter ever touches the store side of the query, yet
+    * [[graft.sources.EpochStoreScan.filter]] receives the dim's joined
+    * lang set at runtime (Spark's PartitionPruning rule + the scan's
+    * SupportsRuntimeFiltering) and the store lists/reads ONLY those
+    * langs' dirs. DuckDB recomputes the equivalent semi-join as a plain
+    * filter, so a scan that pruned a surviving lang or double-read a dir
+    * fails the oracle; PlanAudit executes the join and gates
+    * `runtimeFiltered && selected < total`.
+    *
+    * Scale shape: this is the dashboard/star-join pattern at 100 TB —
+    * the fact store never scans outside the dim's partitions, and the
+    * pruning costs one reused broadcast, not a second pass. */
+  def storeDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = langStore(spark, sfDir)
+    val dims = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull && col("lang") < lit("f"))
+      .select(col("lang")).distinct()
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema, "lang")
+      .join(broadcast(dims), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
+  val storeDppSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE lang IS NOT NULL AND lang < 'f'
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
@@ -713,6 +758,7 @@ object MiscCatalog {
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_write"   -> (storeWrite _),
     "q_store_stream"  -> (storeStream _),
+    "q_store_dpp"     -> (storeDpp _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -738,6 +784,7 @@ object MiscCatalog {
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_write"   -> storeWriteSql,
     "q_store_stream"  -> storeStreamSql,
+    "q_store_dpp"     -> storeDppSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

@@ -167,7 +167,8 @@ final case class EpochStoreScan(
     root: String, generation: Long, entries: Seq[EpochManifest.Entry],
     partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String] = Map.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   private val partField: Option[StructField] =
     partCol.flatMap(c => fullSchema.fields.find(_.name == c))
@@ -196,13 +197,50 @@ final case class EpochStoreScan(
     new EpochStoreMicroBatchStream(fullSchema, required, partCol, root,
       partFilters, dataFilters, streamOptions)
 
+  /** Runtime (DPP) filters on the partition column — delivered by Spark
+    * AFTER the dim side of a join executes ([[filter]]); merged into the
+    * dir pruning exactly like planning-time pushed filters. */
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Dynamic partition pruning, the DSv2 way: Spark's PartitionPruning
+    * rule sees the partition column here, plants a DynamicPruningSubquery
+    * on the dim side of a join over it, and hands the resulting IN-set to
+    * [[filter]] at runtime — so `store JOIN dims-with-a-predicate` lists
+    * and reads only the joined buckets' dirs, the same benefit static
+    * probes get from [[EpochStoreScanBuilder.pushFilters]], without the
+    * query author naming the buckets. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  /** Keep only filters the dir pruning can answer EXACTLY (same contract
+    * as planning-time pushdown); anything else is ignored — Spark
+    * re-evaluates the join itself, so ignoring is safe, never wrong. */
+  override def filter(filters: Array[Filter]): Unit = {
+    val exact = filters.filter(f =>
+      partCol.exists(c => EpochStore.exactPartitionFilter(f, c)))
+    if (exact.nonEmpty) {
+      runtimeFilters = exact
+      cachedListing = null // re-list with the narrowed dir set
+    }
+  }
+
+  /** True once a runtime (DPP) filter narrowed this scan — the audit
+    * hook PlanSpec reads alongside [[selectedPartitionDirs]]. */
+  def runtimeFiltered: Boolean = runtimeFilters.nonEmpty
+
   /** Driver-side listing over the PINNED snapshot: per entry dir, either
     * its files directly (unpartitioned store) or its `col=value` subdirs
-    * filtered by the pushed partition filters. Returns (value, file)
-    * pairs plus the audit counts. */
-  private lazy val listing: (Seq[(Any, FileStatus)], Int, Int) =
-    EpochStore.listEntryFiles(SparkSession.active, root, entries,
-      partField, partFilters)
+    * filtered by the pushed partition filters (planning-time AND
+    * runtime). Cached; invalidated when a runtime filter lands. */
+  @transient private var cachedListing: (Seq[(Any, FileStatus)], Int, Int) = null
+  private def listing: (Seq[(Any, FileStatus)], Int, Int) = {
+    if (cachedListing == null)
+      cachedListing = EpochStore.listEntryFiles(SparkSession.active, root,
+        entries, partField, partFilters ++ runtimeFilters)
+    cachedListing
+  }
 
   /** selected/total partition dirs across the pinned epochs — the
     * pruning proof PlanSpec reads (also surfaced in [[description]]). */

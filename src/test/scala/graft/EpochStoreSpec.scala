@@ -351,6 +351,40 @@ class EpochStoreSpec extends SparkSpec {
     assert(df.filter(col("lang").isNull).count() == 1)
   }
 
+  test("runtime filtering: a join against a filtered dim prunes the " +
+      "store's partition dirs at execution (DPP)") {
+    import spark.implicits._
+    val root = tmp()
+    build(root) // 4 buckets × 2 epochs, 80 rows
+    // the dim must be a SCAN with a residual filter — a LocalRelation
+    // constant-folds the predicate away and DPP sees nothing selective
+    val dimPath = tmp()
+    Seq((1, "keep"), (3, "keep"), (2, "drop")).toDF("bucket", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val df = EpochStore.read(spark, root, schema, "bucket")
+      .join(spark.read.parquet(dimPath).filter(col("tag") === "keep"), "bucket")
+    val got = df.collect()
+    assert(got.length == 40, s"buckets 1 and 3 hold 40 rows, got ${got.length}")
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case s: EpochStoreScan => s }
+    assert(scans.nonEmpty, "no EpochStoreScan in the executed plan")
+    assert(scans.exists(_.runtimeFiltered),
+      "the DPP runtime filter never reached the scan")
+    val pruned = scans.find(_.runtimeFiltered).get.selectedPartitionDirs
+    assert(pruned == (4, 8), // 2 joined buckets × 2 epochs, of 4 × 2 total
+      s"runtime pruning expected 4/8 dirs, got $pruned")
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
