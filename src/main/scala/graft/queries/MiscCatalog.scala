@@ -537,16 +537,27 @@ object MiscCatalog {
     * the pin costs nothing extra (same storage, older manifest); the
     * [[graft.core.EpochManifest.gc]] two-generation retention bounds how
     * far back a pin can reach, the same contract the spec pins. */
-  def storeTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ttStoreSchema = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType)))
-    val dir = graft.core.Landed.dir(spark, s"tt_store:$sfDir", "graft_tt_store") { d =>
+  }
+
+  /** The shared two-generation store (landed once per (session, sf)):
+    * epoch 0 = even doc_ids (manifest generation 1), epoch 1 = odd
+    * doc_ids (generation 2) — `q_store_timetravel` pins generation 1,
+    * `q_store_changes` reads the delta since it. */
+  private def ttStore(spark: SparkSession, sfDir: String): String =
+    graft.core.Landed.dir(spark, s"tt_store:$sfDir", "graft_tt_store") { d =>
       val docs = Tables.documents(spark, sfDir)
         .filter(col("lang").isNotNull).select(col("doc_id"), col("lang"))
       graft.core.EpochManifest.append(docs.filter(col("doc_id") % 2 === 0), d, 0L)
       graft.core.EpochManifest.append(docs.filter(col("doc_id") % 2 =!= 0), d, 1L)
     }
+
+  def storeTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = ttStoreSchema
+    val dir = ttStore(spark, sfDir)
     val g1 = graft.core.EpochManifest.generations(spark, dir).head
     val pinned = graft.sources.EpochStore.read(spark, dir, schema,
         asOfGeneration = g1)
@@ -618,6 +629,34 @@ object MiscCatalog {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents
       |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Generation changefeed through the connector (`q_store_changes`):
+    * per-lang counts of the rows committed AFTER manifest generation 1 —
+    * [[graft.sources.EpochStore.changes]] resolves the base generation's
+    * high-water epoch at scan planning and reads ONLY the entries whose
+    * whole span postdates it (here: epoch 1, the odd doc_ids). DuckDB
+    * rebuilds the delta straight from the raw table, so a changefeed
+    * that leaked a base row, dropped a delta epoch, or mis-handled the
+    * boundary fails the oracle.
+    *
+    * Scale shape: the incremental-consumer contract at 100 TB — cost is
+    * proportional to the DELTA's files (the manifest names them; no
+    * diffing scan over the history), and a compaction across the
+    * boundary fails loudly instead of corrupting the feed. */
+  def storeChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ttStore(spark, sfDir)
+    val g1 = graft.core.EpochManifest.generations(spark, dir).head
+    graft.sources.EpochStore.changes(spark, dir, ttStoreSchema, g1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_changed"))
+      .orderBy("lang")
+  }
+
+  val storeChangesSql: String =
+    """SELECT lang, COUNT(*) AS n_changed
+      |FROM documents
+      |WHERE lang IS NOT NULL AND doc_id % 2 = 1
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
@@ -759,6 +798,7 @@ object MiscCatalog {
     "q_store_write"   -> (storeWrite _),
     "q_store_stream"  -> (storeStream _),
     "q_store_dpp"     -> (storeDpp _),
+    "q_store_changes" -> (storeChanges _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -785,6 +825,7 @@ object MiscCatalog {
     "q_store_write"   -> storeWriteSql,
     "q_store_stream"  -> storeStreamSql,
     "q_store_dpp"     -> storeDppSql,
+    "q_store_changes" -> storeChangesSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

@@ -151,8 +151,28 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     val gen = if (asOf < 0L) gens.last else asOf
     val maxEpoch = Option(options.get("maxEpoch")).map(_.toLong)
       .getOrElse(Long.MaxValue)
-    val entries = EpochManifest.entriesAt(spark, root, gen)
+    val visible = EpochManifest.entriesAt(spark, root, gen)
       .filter(_.epoch <= maxEpoch)
+    // changesSinceGeneration: the CHANGEFEED form — only entries whose
+    // whole epoch span postdates the base generation's high-water mark.
+    // A fold straddling that boundary mixed old rows into new dirs, so
+    // the delta is not reconstructible — fail with the boundary rather
+    // than over- or under-delivering (compact only up to consumed
+    // generations' max epoch and this never trips).
+    val entries = Option(options.get("changesSinceGeneration"))
+      .map(_.toLong) match {
+      case None => visible
+      case Some(base) =>
+        val baseMax = EpochManifest.entriesAt(spark, root, base)
+          .foldLeft(-1L)((m, e) => math.max(m, e.epoch))
+        visible.find(e => e.minEpoch <= baseMax && e.epoch > baseMax)
+          .foreach(e => throw new IllegalStateException(
+            s"epochstore changefeed over $root: fold ${e.dir} covers epochs " +
+              s"[${e.minEpoch}, ${e.epoch}] across generation $base's max " +
+              s"epoch $baseMax — the delta since $base is gone; compact " +
+              "only below consumed generations"))
+        visible.filter(_.minEpoch > baseMax)
+    }
     EpochStoreScan(tableSchema, required, partCol, root, gen, entries,
       partFilters, dataFilters,
       streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
@@ -402,6 +422,29 @@ object EpochStore {
       .option("asOfGeneration", gen.toString)
     if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
+    r.load()
+  }
+
+  /** The engine's changefeed entry point — the rows committed AFTER a
+    * retained manifest `sinceGeneration` (epochs whose whole span
+    * postdates that generation's high-water mark), as one pinned batch
+    * scan with the same pruning/pushdown as [[read]]. The incremental
+    * reconciliation primitive: a consumer that remembers the generation
+    * it last processed reads exactly the delta, never the history —
+    * `q_table_diff`'s full-scan fingerprint compare, for the
+    * append-only store case, at delta cost. Fails loudly when a
+    * compaction folded across the boundary (the delta is gone) or the
+    * base generation was gc'd. */
+  def changes(spark: SparkSession, root: String, schema: StructType,
+              sinceGeneration: Long,
+              partitionColumn: String = null): DataFrame = {
+    val gens = EpochManifest.generations(spark, root)
+    require(gens.nonEmpty, s"no committed manifest under $root")
+    var r = spark.read.format("epochstore").schema(schema)
+      .option("path", root)
+      .option("asOfGeneration", gens.last.toString)
+      .option("changesSinceGeneration", sinceGeneration.toString)
+    if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     r.load()
   }
 

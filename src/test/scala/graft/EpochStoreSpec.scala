@@ -385,6 +385,49 @@ class EpochStoreSpec extends SparkSpec {
       s"runtime pruning expected 4/8 dirs, got $pruned")
   }
 
+  test("changefeed: changes since a generation are exactly the later " +
+      "epochs' rows; retention and straddling folds fail loudly") {
+    import spark.implicits._
+    val root = tmp()
+    build(root) // epoch 0 (gen 1), epoch 1 (gen 2)
+    val g1 = EpochManifest.generations(spark, root).head
+    val delta = EpochStore.changes(spark, root, schema, g1, "bucket")
+    val ids = delta.collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == (40L until 80L), s"delta must be epoch 1's rows, got ${ids.size}")
+    // delta since the LATEST generation is empty, not an error
+    val g2 = EpochManifest.generations(spark, root).last
+    assert(EpochStore.changes(spark, root, schema, g2, "bucket").count() == 0)
+    // pruning composes with the changefeed
+    val pruned = delta.filter(col("bucket") === 1)
+    assert(scanOf(pruned).selectedPartitionDirs == (1, 4))
+    assert(pruned.count() == 10)
+    // compaction gc's the base generation → loud retention error
+    EpochManifest.compact(spark, root, schema, partitionBy = Seq("bucket"))
+    val gone = intercept[IllegalArgumentException](
+      EpochStore.changes(spark, root, schema, g1, "bucket").count())
+    assert(gone.getMessage.contains("not retained"))
+  }
+
+  test("changefeed: a fold straddling the base generation's boundary " +
+      "fails loudly instead of over- or under-delivering") {
+    import spark.implicits._
+    val root = tmp()
+    build(root) // epochs 0 (gen 1), 1 (gen 2) — dirs d0-1, d1-1
+    val g2 = EpochManifest.generations(spark, root).last
+    // fabricate what a mis-sequenced compaction would commit: a fold
+    // spanning [1, 2] — epoch 1 already visible at g2, epoch 2 not
+    (80 until 90).map(i => (i.toLong, s"v$i", i % 4))
+      .toDF("id", "v", "bucket")
+      .write.partitionBy("bucket").parquet(s"$root/f2-1")
+    EpochManifest.commit(spark, root, Seq(
+      EpochManifest.Entry(0L, "d0-1"),
+      EpochManifest.Entry(2L, "f2-1", lo = 1L)))
+    val err = intercept[IllegalStateException](
+      EpochStore.changes(spark, root, schema, g2, "bucket").count())
+    assert(err.getMessage.contains("the delta since"),
+      s"wrong failure: ${err.getMessage}")
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
