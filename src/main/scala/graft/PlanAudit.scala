@@ -368,6 +368,19 @@ object PlanAudit {
         sel < tot)
     }
 
+    // metadata-only aggregation (r12): the pushed COUNT/MIN/MAX must
+    // plan as the footer-statistics scan — if a row scan survives, the
+    // "how big is this table" query is reading the table again
+    val storeAgg = MiscCatalog.storeAgg(spark, sfDir)
+    val aggScans = storeAgg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    audits += Audit("q_store_agg",
+      "aggregate pushed: the plan scans footers, not rows",
+      aggScans.size == 1 &&
+        aggScans.head.isInstanceOf[graft.sources.EpochStoreAggScan])
+
     audits.result()
   }
 

@@ -632,6 +632,35 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Metadata-only aggregation through the connector (`q_store_agg`):
+    * per-lang doc counts and doc_id extrema answered WITHOUT reading a
+    * data page — the pushed aggregation ([[graft.sources
+    * .EpochStoreAggScan]]) folds each parquet file's FOOTER statistics
+    * into a partial row and Spark's partial-final rewrite merges them;
+    * PlanAudit gates that the plan carries the agg scan (no row scan
+    * survives). DuckDB recomputes from the raw table, so a footer fold
+    * that miscounted nulls, mixed a min into a max, or dropped a file
+    * fails the oracle.
+    *
+    * Scale shape: the "how big is this table" class of query at 100 TB
+    * costs one footer read per file — metadata IO, not table IO. */
+  def storeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = langStore(spark, sfDir)
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema, "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  val storeAggSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Generation changefeed through the connector (`q_store_changes`):
     * per-lang counts of the rows committed AFTER manifest generation 1 —
     * [[graft.sources.EpochStore.changes]] resolves the base generation's
@@ -799,6 +828,7 @@ object MiscCatalog {
     "q_store_stream"  -> (storeStream _),
     "q_store_dpp"     -> (storeDpp _),
     "q_store_changes" -> (storeChanges _),
+    "q_store_agg"     -> (storeAgg _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -826,6 +856,7 @@ object MiscCatalog {
     "q_store_stream"  -> storeStreamSql,
     "q_store_dpp"     -> storeDppSql,
     "q_store_changes" -> storeChangesSql,
+    "q_store_agg"     -> storeAggSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

@@ -114,12 +114,62 @@ final class EpochStoreTable(tableSchema: StructType,
 final class EpochStoreScanBuilder(tableSchema: StructType,
                                   options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val partCol: Option[String] = Option(options.get("partitionColumn"))
   private var required: StructType = tableSchema
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    StructType)] = None
+
+  /** Metadata-only aggregation ([[EpochStoreAggScan]]): accepted when
+    * every residual filter is answered by dir pruning (no data filter —
+    * footer counts would be wrong otherwise), grouping (if any) is the
+    * partition column alone (constant per dir, so per-file partials are
+    * exact), and every aggregate is COUNT(*) / non-distinct COUNT(col) /
+    * MIN / MAX over a type whose parquet statistics are trustworthy
+    * as-is (fixed-width numerics, date, boolean — strings and binaries
+    * can carry truncated stats, timestamps carry rebase modes; both
+    * refused, Spark then scans rows as usual). Partial pushdown only:
+    * each file emits one partial row, Spark's rewrite merges. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (options.getBoolean("aggregatePushdown", true) == false) return false
+    if (dataFilters.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    val statSafe: Set[DataType] = Set(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, DateType, BooleanType)
+    def dataColType(n: String): Option[DataType] =
+      tableSchema.fields.find(f => f.name == n && !partCol.contains(n))
+        .map(_.dataType)
+    val funcsOk = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count =>
+          !c.isDistinct && colOf(c.column).exists(dataColType(_).nonEmpty)
+        case m: Min => colOf(m.column).exists(dataColType(_).exists(statSafe))
+        case m: Max => colOf(m.column).exists(dataColType(_).exists(statSafe))
+        case _ => false
+      }
+    if (!funcsOk) return false
+    // grouping ⊆ {partition column} is enforced by the util below
+    org.apache.spark.sql.GraftBridge
+      .pushedAggSchema(agg, tableSchema, partCol.toSet) match {
+      case Some(s) => pushedAgg = Some((agg, s)); true
+      case None => false
+    }
+  }
 
   /** Partition-column filters the dir-pruning can answer EXACTLY are
     * fully handled (not returned as residual); everything else stays
@@ -173,10 +223,16 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
               "only below consumed generations"))
         visible.filter(_.minEpoch > baseMax)
     }
-    EpochStoreScan(tableSchema, required, partCol, root, gen, entries,
-      partFilters, dataFilters,
-      streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
-        .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
+    pushedAgg match {
+      case Some((agg, aggSchema)) =>
+        EpochStoreAggScan(tableSchema, partCol, root, gen, entries,
+          partFilters, agg, aggSchema)
+      case None =>
+        EpochStoreScan(tableSchema, required, partCol, root, gen, entries,
+          partFilters, dataFilters,
+          streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
+            .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
+    }
   }
 }
 

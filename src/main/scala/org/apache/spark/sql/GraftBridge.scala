@@ -94,4 +94,35 @@ object GraftBridge {
     val w = new execution.datasources.parquet.ParquetOutputWriter(path, context)
     (r => w.write(r), () => w.close())
   }
+
+  /** Output schema of a pushed-down aggregation by Spark's OWN
+    * conventions (aggregate columns then grouping columns, the layout
+    * V2ScanRelationPushDown's partial-aggregate rewrite expects), or
+    * None when the util judges the aggregation unsupported. `schema`
+    * must contain the grouping (partition) columns too. */
+  def pushedAggSchema(
+      agg: connector.expressions.aggregate.Aggregation,
+      schema: types.StructType, partitionNames: Set[String])
+      : Option[types.StructType] =
+    execution.datasources.AggregatePushDownUtils
+      .getSchemaForPushedAggregation(agg, schema, partitionNames, Nil)
+
+  /** One partial-aggregate row computed from a parquet FOOTER — Spark's
+    * own footer-statistics fold (row counts, null counts, min/max with
+    * all its type handling), the machinery behind the native source's
+    * aggregate pushdown. Executor-side; throws loudly when the footer
+    * lacks the needed statistics. CORRECTED rebase: the epochstore's
+    * files are always written by modern Spark. */
+  def aggRowFromFooter(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      filePath: String, dataSchema: types.StructType,
+      partitionSchema: types.StructType,
+      agg: connector.expressions.aggregate.Aggregation,
+      aggSchema: types.StructType,
+      partitionValues: catalyst.InternalRow): catalyst.InternalRow =
+    execution.datasources.parquet.ParquetUtils.createAggInternalRowFromFooter(
+      footer, filePath, dataSchema, partitionSchema, agg, aggSchema,
+      partitionValues,
+      catalyst.util.RebaseDateTime.RebaseSpec(
+        internal.LegacyBehaviorPolicy.CORRECTED, None))
 }

@@ -428,6 +428,64 @@ class EpochStoreSpec extends SparkSpec {
       s"wrong failure: ${err.getMessage}")
   }
 
+  private def aggScanOf(df: org.apache.spark.sql.DataFrame)
+      : Option[graft.sources.EpochStoreAggScan] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: graft.sources.EpochStoreAggScan => s }
+
+  test("aggregate pushdown: grouped and global COUNT/MIN/MAX answered " +
+      "from parquet footers, equal to the row-scan answers") {
+    val root = tmp()
+    build(root) // ids 0..79, bucket = id % 4, 2 epochs
+    val t = EpochStore.read(spark, root, schema, "bucket")
+    val grouped = t.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .orderBy("bucket")
+    assert(aggScanOf(grouped).nonEmpty, "grouped aggregate not pushed")
+    val rows = grouped.collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      (0 until 4).map(b => (b, 20L, 20L, b.toLong, (76 + b).toLong)))
+    // global + a partition filter: still metadata-only, dirs pruned first
+    val global = t.filter(col("bucket").isin(1, 3))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"))
+    val gs = aggScanOf(global)
+    assert(gs.nonEmpty, "global aggregate not pushed")
+    assert(global.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((40L, 1L)))
+    assert(gs.get.selectedPartitionDirs == (4, 8))
+  }
+
+  test("aggregate pushdown: a pruned-to-nothing store still counts 0; " +
+      "data filters and stat-unsafe types fall back to the row scan") {
+    val root = tmp()
+    build(root)
+    val t = EpochStore.read(spark, root, schema, "bucket")
+    // every dir pruned away: global count must be 0 (the zero row), not null
+    val none = t.filter(col("bucket") === 99).agg(count(lit(1)).as("n"))
+    assert(aggScanOf(none).nonEmpty)
+    assert(none.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(t.filter(col("bucket") === 99).groupBy(col("bucket"))
+      .agg(count(lit(1))).count() == 0) // grouped: zero groups
+    // a residual DATA filter makes footer counts wrong — must fall back
+    val filtered = t.filter(col("id") > 9).agg(count(lit(1)).as("n"))
+    assert(aggScanOf(filtered).isEmpty, "data-filtered agg must not push")
+    assert(filtered.collect().head.getLong(0) == 70L)
+    // string min/max: parquet stats may truncate — must fall back
+    val strAgg = t.agg(min(col("v")).as("lo"))
+    assert(aggScanOf(strAgg).isEmpty, "string min must not push")
+    assert(strAgg.collect().head.getString(0) == "v0")
+    // the kill switch
+    val off = EpochStore.read(spark, root, schema, "bucket")
+      .sparkSession.read.format("epochstore").schema(schema)
+      .option("path", root).option("partitionColumn", "bucket")
+      .option("aggregatePushdown", "false").load()
+      .agg(count(lit(1)).as("n"))
+    assert(aggScanOf(off).isEmpty && off.collect().head.getLong(0) == 80L)
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
