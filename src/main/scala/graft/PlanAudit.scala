@@ -381,6 +381,15 @@ object PlanAudit {
       aggScans.size == 1 &&
         aggScans.head.isInstanceOf[graft.sources.EpochStoreAggScan])
 
+    // storage-partitioned join (r12): the co-partitioned two-store join
+    // + per-lang roll-up must run with ZERO hash exchange (the only
+    // allowed exchange is the presentation orderBy's range shuffle)
+    val spjProf = graft.core.Metrics.measure(MiscCatalog.storeSpj(spark, sfDir))
+    audits += Audit("q_store_spj",
+      s"co-partitioned store join shuffles nothing (${spjProf.nHashExchanges} " +
+        "hash exchanges)",
+      spjProf.nHashExchanges == 0)
+
     audits.result()
   }
 

@@ -632,6 +632,61 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Storage-partitioned join through the connector (`q_store_spj`):
+    * two lang-partitioned stores — the documents store and a per-lang
+    * sample-profile store — joined on the partition column and rolled
+    * up per lang with ZERO hash exchange: both scans report
+    * KeyGroupedPartitioning ([[graft.sources.EpochStoreScan
+    * .outputPartitioning]]), so Spark's storage-partitioned join plans
+    * one task per lang joining both sides' dirs in place, and the
+    * following groupBy(lang) reuses the same key grouping. DuckDB
+    * recomputes both sides from the raw table, so a key grouping that
+    * mixed two langs' files into one task (wrong join) or dropped one
+    * fails the oracle; PlanAudit gates hashExchanges == 0.
+    *
+    * Scale shape: the co-location win at 100 TB — storage already
+    * aligned the two tables on lang; the engine joins them without the
+    * terabyte shuffle that would re-align what was never misaligned.
+    *
+    * The `v2.bucketing.enabled` set is one-way for the session (the
+    * [[Tables.events]] conf precedent): it only unlocks a plan
+    * improvement on scans that report a key grouping — results of every
+    * other query are unchanged by construction. */
+  def storeSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val docsDir = langStore(spark, sfDir)
+    val sampDir = graft.core.Landed.dir(spark, s"spj_store:$sfDir",
+        "graft_spj_store") { d =>
+      graft.sources.EpochStore.write(
+        Tables.documents(spark, sfDir)
+          .filter(col("lang").isNotNull && col("doc_id") % 7 === 0)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_sample")),
+        d, 0L, partitionColumn = "lang")
+    }
+    val sampSchema = StructType(Seq(
+      StructField("n_sample", LongType), StructField("lang", StringType)))
+    val docs = graft.sources.EpochStore.read(spark, docsDir, langStoreSchema, "lang")
+    val samp = graft.sources.EpochStore.read(spark, sampDir, sampSchema, "lang")
+    docs.join(samp, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        max(col("n_sample")).as("sample_n"))
+      .orderBy("lang")
+  }
+
+  val storeSpjSql: String =
+    """SELECT d.lang AS lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MAX(s.n_sample) AS sample_n
+      |FROM documents d
+      |JOIN (SELECT lang, COUNT(*) AS n_sample FROM documents
+      |      WHERE lang IS NOT NULL AND doc_id % 7 = 0
+      |      GROUP BY lang) s ON d.lang = s.lang
+      |WHERE d.lang IS NOT NULL
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
+
   /** Metadata-only aggregation through the connector (`q_store_agg`):
     * per-lang doc counts and doc_id extrema answered WITHOUT reading a
     * data page — the pushed aggregation ([[graft.sources
@@ -829,6 +884,7 @@ object MiscCatalog {
     "q_store_dpp"     -> (storeDpp _),
     "q_store_changes" -> (storeChanges _),
     "q_store_agg"     -> (storeAgg _),
+    "q_store_spj"     -> (storeSpj _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -857,6 +913,7 @@ object MiscCatalog {
     "q_store_dpp"     -> storeDppSql,
     "q_store_changes" -> storeChangesSql,
     "q_store_agg"     -> storeAggSql,
+    "q_store_spj"     -> storeSpjSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

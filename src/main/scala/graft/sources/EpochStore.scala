@@ -244,7 +244,8 @@ final case class EpochStoreScan(
     partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String] = Map.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val partField: Option[StructField] =
     partCol.flatMap(c => fullSchema.fields.find(_.name == c))
@@ -284,10 +285,14 @@ final case class EpochStoreScan(
     * [[filter]] at runtime — so `store JOIN dims-with-a-predicate` lists
     * and reads only the joined buckets' dirs, the same benefit static
     * probes get from [[EpochStoreScanBuilder.pushFilters]], without the
-    * query author naming the buckets. */
+    * query author naming the buckets. Advertised ONLY when the column
+    * survives the projection: PartitionPruning resolves these refs
+    * against the scan OUTPUT and a pruned-away column crashes the rule
+    * (a join on other columns can't prune dirs anyway). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partCol.map(c =>
+    if (readPartSchema.isEmpty) Array.empty
+    else partCol.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
 
   /** Keep only filters the dir pruning can answer EXACTLY (same contract
@@ -330,12 +335,78 @@ final case class EpochStoreScan(
       s"ReadSchema: ${readSchema().catalogString}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    EpochStore.planFilePartitions(SparkSession.active, listing._1, readPartSchema)
+  /** STORAGE-PARTITIONED execution: when the partition column survives
+    * into the output, the scan reports KeyGroupedPartitioning over it —
+    * with `spark.sql.sources.v2.bucketing.enabled=true`, Spark groups
+    * the input partitions by key and a `groupBy(partCol)` aggregates
+    * with ZERO exchange, while a join of two stores partitioned on the
+    * same column runs as a storage-partitioned join (each task joins one
+    * key's files from both sides — the 100 TB co-location win, no
+    * terabyte shuffle to align what storage already aligned). With the
+    * conf off (default) Spark ignores the report and plans exchanges as
+    * usual — correctness never depends on it. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (readPartSchema.nonEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(partCol.get)),
+        listing._1.map(_._1).distinct.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    if (readPartSchema.isEmpty)
+      EpochStore.planFilePartitions(spark, listing._1, readPartSchema)
+    else {
+      // pack per partition VALUE so every task holds one key's files only
+      // (the HasPartitionKey contract Spark's key-grouping requires);
+      // the key rides on the partition, the row content is unchanged
+      listing._1.groupBy(_._1).toSeq.sortBy(t => String.valueOf(t._1)).flatMap {
+        case (v, files) =>
+          EpochStore.planFilePartitions(spark, files, readPartSchema).map {
+            case fp: FilePartition => KeyedFilePartition(fp, v)
+          }
+      }.toArray
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    EpochStore.parquetReaderFactory(SparkSession.active, dataSchema,
-      readDataSchema, readPartSchema, dataFilters)
+    new KeyedDelegatingReaderFactory(
+      EpochStore.parquetReaderFactory(SparkSession.active, dataSchema,
+        readDataSchema, readPartSchema, dataFilters))
+}
+
+/** A [[FilePartition]] tagged with its partition-column value — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] evidence
+  * Spark's key-grouped (storage-partitioned) execution consumes. */
+final case class KeyedFilePartition(inner: FilePartition, keyValue: Any)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  private val key: InternalRow =
+    new GenericInternalRow(Array[Any](EpochStore.toCatalyst(keyValue)))
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[KeyedFilePartition]] back to the [[FilePartition]] Spark's
+  * own parquet reader factory expects; everything else passes through. */
+final class KeyedDelegatingReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: KeyedFilePartition => k.inner
+    case other => other
+  }
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }
 
 object EpochStore {

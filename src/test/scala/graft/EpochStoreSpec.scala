@@ -486,6 +486,38 @@ class EpochStoreSpec extends SparkSpec {
     assert(aggScanOf(off).isEmpty && off.collect().head.getLong(0) == 80L)
   }
 
+  test("storage-partitioned execution: groupBy and a two-store join on " +
+      "the partition column run with ZERO shuffle") {
+    import spark.implicits._
+    val rootA = tmp()
+    build(rootA) // ids 0..79, bucket = id % 4
+    val rootB = tmp()
+    EpochManifest.append(
+      (0 until 4).map(b => (b.toLong * 100, s"dim$b", b))
+        .toDF("id", "v", "bucket"),
+      rootB, 0L, partitionBy = Seq("bucket"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val a = EpochStore.read(spark, rootA, schema, "bucket")
+      val agg = a.groupBy(col("bucket")).agg(sum(col("id")).as("s"))
+      val aggProf = graft.core.Metrics.measure(agg)
+      assert(aggProf.nExchanges == 0,
+        s"grouped-by-partition-column agg must not shuffle: $aggProf")
+      assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq ==
+        (0 until 4).map(b => (b, (0 until 80).filter(_ % 4 == b).map(_.toLong).sum)))
+      val b = EpochStore.read(spark, rootB, schema, "bucket")
+        .select(col("bucket"), col("v").as("tag"))
+      val joined = a.join(b, Seq("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"), max(col("tag")).as("t"))
+      val joinProf = graft.core.Metrics.measure(joined)
+      assert(joinProf.nExchanges == 0,
+        s"co-partitioned two-store join must not shuffle: $joinProf")
+      assert(joined.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getString(2))).sorted.toSeq ==
+        (0 until 4).map(b => (b, 20L, s"dim$b")))
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
