@@ -632,6 +632,47 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Upsert-by-append through the connector (`q_store_upsert`): epoch 0
+    * lands every document, epoch 1 appends CORRECTIONS (every doc_id
+    * divisible by 5, with n_chars grown by 1000) — and the latest-wins
+    * keyed view ([[graft.sources.EpochStore.readLatest]], ordered by the
+    * `_epoch` metadata column) serves each key's newest payload without
+    * rewriting history: Delta/Iceberg's merge-on-read shape on the
+    * manifest store. The per-lang roll-up over the view is oracled, so a
+    * reader that served a stale version, duplicated an updated key, or
+    * dropped an untouched one fails DuckDB's recomputation.
+    *
+    * Scale shape: corrections cost one appended epoch (delta-sized);
+    * the read pays one max_by aggregate keyed on doc_id — the shuffle
+    * carries each key once per epoch that wrote it, not the history. */
+  def storeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"up_store:$sfDir", "graft_up_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("lang"))
+      graft.sources.EpochStore.write(docs, d, 0L, partitionColumn = "lang")
+      graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L),
+        d, 1L, partitionColumn = "lang")
+    }
+    graft.sources.EpochStore
+      .readLatest(spark, dir, langStoreSchema, Seq("doc_id"), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
+  val storeUpsertSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars
+      |    + CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END AS BIGINT))
+      |    AS BIGINT) AS chars
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Storage-partitioned join through the connector (`q_store_spj`):
     * two lang-partitioned stores — the documents store and a per-lang
     * sample-profile store — joined on the partition column and rolled
@@ -885,6 +926,7 @@ object MiscCatalog {
     "q_store_changes" -> (storeChanges _),
     "q_store_agg"     -> (storeAgg _),
     "q_store_spj"     -> (storeSpj _),
+    "q_store_upsert"  -> (storeUpsert _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -914,6 +956,7 @@ object MiscCatalog {
     "q_store_changes" -> storeChangesSql,
     "q_store_agg"     -> storeAggSql,
     "q_store_spj"     -> storeSpjSql,
+    "q_store_upsert"  -> storeUpsertSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

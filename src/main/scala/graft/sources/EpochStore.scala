@@ -90,11 +90,26 @@ class EpochStoreProvider extends TableProvider with DataSourceRegister {
 
 final class EpochStoreTable(tableSchema: StructType,
                             options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"epochstore(${EpochStore.rootOf(options)})"
 
   override def schema(): StructType = tableSchema
+
+  /** `_epoch`: the manifest epoch that committed each row's file — the
+    * provenance column that turns the append-only store into a
+    * latest-wins keyed table ([[EpochStore.readLatest]]). Served as a
+    * per-file constant; costs nothing unless selected. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = EpochStore.EpochColName
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest epoch that committed this row's file"
+    })
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -180,8 +195,11 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     val (exact, rest) = filters.partition(f =>
       partCol.exists(c => EpochStore.exactPartitionFilter(f, c)))
     partFilters = exact
+    // _epoch is a per-file constant, not a parquet column — filters on it
+    // stay residual (Spark re-evaluates them over the served constant)
     dataFilters = rest.filter(f =>
-      partCol.forall(c => !f.references.contains(c)))
+      partCol.forall(c => !f.references.contains(c)) &&
+        !f.references.contains(EpochStore.EpochColName))
     rest
   }
 
@@ -252,17 +270,31 @@ final case class EpochStoreScan(
   require(partCol.isEmpty || partField.nonEmpty,
     s"partitionColumn ${partCol.orNull} is not in the schema")
 
+  /** The `_epoch` METADATA column ([[EpochStoreTable.metadataColumns]])
+    * — requested only when the query names it; served as a per-file
+    * constant exactly like the partition-dir value. */
+  private val epochRequested: Boolean =
+    required.fieldNames.contains(EpochStore.EpochColName)
+
   /** Files hold every column EXCEPT the partition-dir column. */
   private val dataSchema: StructType =
     StructType(fullSchema.filterNot(f => partCol.contains(f.name)))
   private val readDataSchema: StructType =
-    StructType(required.filterNot(f => partCol.contains(f.name)))
+    StructType(required.filterNot(f =>
+      partCol.contains(f.name) || f.name == EpochStore.EpochColName))
   private val readPartSchema: StructType =
     StructType(partField.toSeq.filter(f => required.fieldNames.contains(f.name)))
+  /** Per-file CONSTANT columns, in output order: the partition-dir value,
+    * then `_epoch` when requested. */
+  private val constSchema: StructType =
+    StructType(readPartSchema ++
+      (if (epochRequested)
+        Seq(StructField(EpochStore.EpochColName, LongType, nullable = false))
+      else Nil))
 
-  // the file-source output convention: data columns then partition columns
+  // the file-source output convention: data columns then constant columns
   override def readSchema(): StructType =
-    StructType(readDataSchema ++ readPartSchema)
+    StructType(readDataSchema ++ constSchema)
 
   override def toBatch: Batch = this
 
@@ -315,8 +347,9 @@ final case class EpochStoreScan(
     * its files directly (unpartitioned store) or its `col=value` subdirs
     * filtered by the pushed partition filters (planning-time AND
     * runtime). Cached; invalidated when a runtime filter lands. */
-  @transient private var cachedListing: (Seq[(Any, FileStatus)], Int, Int) = null
-  private def listing: (Seq[(Any, FileStatus)], Int, Int) = {
+  @transient private var cachedListing
+      : (Seq[EpochStore.ListedFile], Int, Int) = null
+  private def listing: (Seq[EpochStore.ListedFile], Int, Int) = {
     if (cachedListing == null)
       cachedListing = EpochStore.listEntryFiles(SparkSession.active, root,
         entries, partField, partFilters ++ runtimeFilters)
@@ -351,31 +384,37 @@ final case class EpochStoreScan(
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .identity(partCol.get)),
-        listing._1.map(_._1).distinct.size)
+        listing._1.map(_.value).distinct.size)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  private def constantsOf(lf: EpochStore.ListedFile): Array[Any] = {
+    val b = Array.newBuilder[Any]
+    if (readPartSchema.nonEmpty) b += lf.value
+    if (epochRequested) b += lf.epoch
+    b.result()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     if (readPartSchema.isEmpty)
-      EpochStore.planFilePartitions(spark, listing._1, readPartSchema)
+      EpochStore.planFilePartitions(spark, listing._1, constSchema, constantsOf)
     else {
       // pack per partition VALUE so every task holds one key's files only
       // (the HasPartitionKey contract Spark's key-grouping requires);
       // the key rides on the partition, the row content is unchanged
-      listing._1.groupBy(_._1).toSeq.sortBy(t => String.valueOf(t._1)).flatMap {
-        case (v, files) =>
-          EpochStore.planFilePartitions(spark, files, readPartSchema).map {
-            case fp: FilePartition => KeyedFilePartition(fp, v)
-          }
-      }.toArray
+      listing._1.groupBy(_.value).toSeq.sortBy(t => String.valueOf(t._1))
+        .flatMap { case (v, files) =>
+          EpochStore.planFilePartitions(spark, files, constSchema, constantsOf)
+            .map { case fp: FilePartition => KeyedFilePartition(fp, v) }
+        }.toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KeyedDelegatingReaderFactory(
       EpochStore.parquetReaderFactory(SparkSession.active, dataSchema,
-        readDataSchema, readPartSchema, dataFilters))
+        readDataSchema, constSchema, dataFilters))
 }
 
 /** A [[FilePartition]] tagged with its partition-column value — the
@@ -411,15 +450,25 @@ final class KeyedDelegatingReaderFactory(inner: PartitionReaderFactory)
 
 object EpochStore {
 
+  /** Name of the metadata column carrying each row's manifest epoch. */
+  val EpochColName = "_epoch"
+
+  /** One listed file: its partition-dir value (null for unpartitioned
+    * stores), the manifest epoch of the entry that owns it, and the file
+    * itself. */
+  private[sources] final case class ListedFile(
+      value: Any, epoch: Long, status: FileStatus)
+
   /** Driver-side listing of a set of manifest entries: per entry dir,
     * either its files directly (unpartitioned store) or its `col=value`
-    * subdirs filtered by the pushed partition filters. Returns (value,
-    * file) pairs plus (kept, total) partition-dir audit counts — shared
-    * by the pinned batch scan and each streaming micro-batch. */
+    * subdirs filtered by the pushed partition filters. Returns the
+    * listed files plus (kept, total) partition-dir audit counts — shared
+    * by the pinned batch scan, the footer-agg scan, and each streaming
+    * micro-batch. */
   private[sources] def listEntryFiles(
       spark: SparkSession, root: String, entries: Seq[EpochManifest.Entry],
       partField: Option[StructField], partFilters: Array[Filter])
-      : (Seq[(Any, FileStatus)], Int, Int) = {
+      : (Seq[ListedFile], Int, Int) = {
     val fs = new Path(root).getFileSystem(
       GraftBridge.sessionHadoopConf(spark))
     def filesUnder(p: Path): Seq[FileStatus] = {
@@ -431,12 +480,12 @@ object EpochStore {
     }
     var total = 0
     var kept = 0
-    val out = Seq.newBuilder[(Any, FileStatus)]
+    val out = Seq.newBuilder[ListedFile]
     entries.foreach { e =>
       val dir = new Path(s"$root/${e.dir}")
       partField match {
         case None =>
-          out ++= filesUnder(dir).map((null: Any, _))
+          out ++= filesUnder(dir).map(ListedFile(null, e.epoch, _))
         case Some(f) =>
           val prefix = s"${f.name}="
           fs.listStatus(dir).toSeq
@@ -448,7 +497,7 @@ object EpochStore {
               if (partFilters.forall(pf =>
                   EpochStore.evalOnPartition(pf, f.name, v) != Some(false))) {
                 kept += 1
-                out ++= filesUnder(sub.getPath).map((v, _))
+                out ++= filesUnder(sub.getPath).map(ListedFile(v, e.epoch, _))
               }
             }
       }
@@ -458,21 +507,25 @@ object EpochStore {
 
   /** Split + pack listed files into [[FilePartition]]s exactly like the
     * native file source (`maxPartitionBytes` bounds, open-cost padding,
-    * largest-first packing). */
+    * largest-first packing). `constantsOf` supplies each file's
+    * constant-column values (partition dir value, `_epoch`) in
+    * `readPartSchema` order. */
   private[sources] def planFilePartitions(
-      spark: SparkSession, files: Seq[(Any, FileStatus)],
-      readPartSchema: StructType): Array[InputPartition] = {
+      spark: SparkSession, files: Seq[ListedFile],
+      readPartSchema: StructType,
+      constantsOf: ListedFile => Array[Any]): Array[InputPartition] = {
     val conf = GraftBridge.sessionConf(spark)
     val openCost = conf.filesOpenCostInBytes
     val minParts = conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
-    val totalBytes = files.map(_._2.getLen + openCost).sum
+    val totalBytes = files.map(_.status.getLen + openCost).sum
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, totalBytes / math.max(1, minParts)))
-    val splits = files.flatMap { case (v, st) =>
+    val splits = files.flatMap { lf =>
+      val st = lf.status
       val pv: InternalRow =
         if (readPartSchema.isEmpty) InternalRow.empty
-        else new GenericInternalRow(Array[Any](EpochStore.toCatalyst(v)))
+        else new GenericInternalRow(constantsOf(lf).map(EpochStore.toCatalyst))
       (0L until st.getLen by maxSplit).map { off =>
         PartitionedFile(pv, SparkPath.fromPath(st.getPath), off,
           math.min(maxSplit, st.getLen - off), Array.empty[String],
@@ -550,6 +603,32 @@ object EpochStore {
     if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
     r.load()
+  }
+
+  /** The LATEST-WINS keyed view — the read side of upsert-by-append:
+    * each key's row from the HIGHEST manifest epoch that wrote it wins
+    * (the `_epoch` metadata column orders versions; ties inside one
+    * epoch break on the keyed max of `versionCol` when given, else the
+    * writer contract is one row per key per epoch). Appending a
+    * correction epoch thus UPDATES keys without rewriting history —
+    * Delta/Iceberg's merge-on-read shape on the manifest store. One
+    * max_by aggregate per key: the shuffle carries each key once per
+    * file-containing epoch, never the dropped history's width. */
+  def readLatest(spark: SparkSession, root: String, schema: StructType,
+                 keyCols: Seq[String], partitionColumn: String = null,
+                 versionCol: String = null): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    require(keyCols.nonEmpty, "readLatest needs at least one key column")
+    val t = read(spark, root, schema, partitionColumn)
+    val payload = schema.fieldNames.filterNot(keyCols.contains)
+    val order =
+      if (versionCol == null) col(EpochColName)
+      else struct(col(EpochColName), col(versionCol))
+    t.select((keyCols ++ payload).map(col) :+ col(EpochColName): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), order).as("_latest"))
+      .select(keyCols.map(col) ++
+        payload.map(n => col(s"_latest.$n").as(n)): _*)
   }
 
   /** The engine's changefeed entry point — the rows committed AFTER a

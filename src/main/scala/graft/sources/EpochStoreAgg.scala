@@ -81,9 +81,9 @@ final case class EpochStoreAggScan(
       if (aggregation.groupByExpressions.isEmpty)
         Array(EpochAggPartition(null, 0L, null)) // the zero row
       else Array.empty // zero files → zero groups
-    } else files.map { case (v, st) =>
-      EpochAggPartition(st.getPath.toString, st.getLen, v)
-    }.toArray
+    } else files.map(lf =>
+      EpochAggPartition(lf.status.getPath.toString, lf.status.getLen, lf.value)
+    ).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

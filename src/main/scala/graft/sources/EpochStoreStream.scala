@@ -148,7 +148,8 @@ final class EpochStoreMicroBatchStream(
           "stream's committed offset"))
     val (files, _, _) =
       EpochStore.listEntryFiles(spark, root, batch, partField, partFilters)
-    EpochStore.planFilePartitions(spark, files, readPartSchema)
+    EpochStore.planFilePartitions(spark, files, readPartSchema,
+      lf => if (readPartSchema.isEmpty) Array.empty else Array(lf.value))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -518,6 +518,42 @@ class EpochStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
   }
 
+  test("_epoch metadata column: hidden from star, selectable, correct " +
+      "per epoch; readLatest serves the upsert-by-append view") {
+    import spark.implicits._
+    val root = tmp()
+    build(root) // epoch 0 = ids 0..39, epoch 1 = ids 40..79
+    val t = EpochStore.read(spark, root, schema, "bucket")
+    assert(!t.columns.contains("_epoch"), "metadata column must be hidden")
+    val tagged = t.select(col("id"), col("_epoch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0 until 40).forall(i => tagged(i.toLong) == 0L) &&
+      (40 until 80).forall(i => tagged(i.toLong) == 1L))
+    // upsert-by-append: epoch 2 rewrites ids 0..9 with new payloads
+    EpochManifest.append(
+      (0 until 10).map(i => (i.toLong, s"upd$i", i % 4))
+        .toDF("id", "v", "bucket"),
+      root, 2L, partitionBy = Seq("bucket"))
+    val latest = EpochStore.readLatest(spark, root, schema,
+      keyCols = Seq("id"), partitionColumn = "bucket")
+    val got = latest.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 80)
+    assert((0 until 10).forall(i => got(i.toLong) == s"upd$i"),
+      "updated keys must serve the epoch-2 payload")
+    assert((10 until 80).forall(i => got(i.toLong) == s"v$i"),
+      "untouched keys must keep their original payload")
+    // same-epoch duplicates break on versionCol's keyed max
+    val root2 = tmp()
+    EpochManifest.append(
+      Seq((1L, "lo", 0), (1L, "hi", 1)).toDF("id", "v", "bucket"),
+      root2, 0L, partitionBy = Seq("bucket"))
+    val tie = EpochStore.readLatest(spark, root2, schema,
+      keyCols = Seq("id"), partitionColumn = "bucket", versionCol = "v")
+    // keyed max of versionCol: "lo" > "hi" lexicographically
+    assert(tie.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "lo")))
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
