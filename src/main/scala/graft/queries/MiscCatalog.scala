@@ -632,6 +632,43 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Derived store through the connector (`q_store_derived`): the
+    * 3-epoch documents store tailed by [[graft.streaming.Jobs
+    * .derivedStore]] — streaming source → update-mode per-lang aggregate
+    * → epochstore sink, one delta epoch of CHANGED keys per trigger —
+    * and the answer is [[graft.sources.EpochStore.readLatest]] over the
+    * derived store (each lang's newest cumulative row wins). DuckDB
+    * recomputes the aggregate from the raw table, so a pipeline that
+    * dropped a base epoch, double-counted a replay, or served a stale
+    * delta fails the oracle. The full write → tail → derive → serve loop
+    * in the public connector surface; per trigger, IO = the new base
+    * epoch + a changed-keys delta, never the history (EpochStoreSpec
+    * proves both the restart and the delta shape). */
+  def storeDerived(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = streamStore(spark, sfDir)
+    val d = graft.core.Landed.dir(spark, s"derived_store:$sfDir",
+        "graft_derived_store") { dd =>
+      graft.streaming.Jobs.derivedStore(spark, base, langStoreSchema,
+        keyCol = "lang", sumCol = "n_chars",
+        outRoot = s"$dd/out", checkpoint = s"$dd/ckpt",
+        partitionCol = "lang").awaitTermination()
+    }
+    val outSchema = StructType(Seq(StructField("lang", StringType),
+      StructField("n", LongType), StructField("total", LongType)))
+    graft.sources.EpochStore
+      .readLatest(spark, s"$d/out", outSchema, Seq("lang"), "lang")
+      .orderBy("lang")
+  }
+
+  val storeDerivedSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Upsert-by-append through the connector (`q_store_upsert`): epoch 0
     * lands every document, epoch 1 appends CORRECTIONS (every doc_id
     * divisible by 5, with n_chars grown by 1000) — and the latest-wins
@@ -840,12 +877,11 @@ object MiscCatalog {
     * new epoch, never the history. The paced catch-up (one epoch per
     * trigger) is the restart posture: a reader resuming behind a large
     * backlog processes it as bounded batches. */
-  def storeStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("n_chars", LongType),
-      StructField("lang", StringType)))
-    val dir = graft.core.Landed.dir(spark, s"s_store:$sfDir", "graft_s_store") { d =>
+  /** The shared THREE-epoch lang-partitioned documents store (landed
+    * once per (session, sf)): epochs split by doc_id % 3 —
+    * `q_store_stream` tails it, `q_store_derived` derives from it. */
+  private def streamStore(spark: SparkSession, sfDir: String): String =
+    graft.core.Landed.dir(spark, s"s_store:$sfDir", "graft_s_store") { d =>
       val docs = Tables.documents(spark, sfDir)
         .filter(col("lang").isNotNull)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("lang"))
@@ -853,6 +889,11 @@ object MiscCatalog {
         docs.filter(col("doc_id") % 3 === e), d, e.toLong,
         partitionColumn = "lang"))
     }
+
+  def storeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = langStoreSchema
+    val dir = streamStore(spark, sfDir)
     val agg = graft.sources.EpochStore.readStream(spark, dir, schema,
         partitionColumn = "lang", maxEpochsPerTrigger = 1L)
       .groupBy(col("lang"))
@@ -927,6 +968,7 @@ object MiscCatalog {
     "q_store_agg"     -> (storeAgg _),
     "q_store_spj"     -> (storeSpj _),
     "q_store_upsert"  -> (storeUpsert _),
+    "q_store_derived" -> (storeDerived _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -957,6 +999,7 @@ object MiscCatalog {
     "q_store_agg"     -> storeAggSql,
     "q_store_spj"     -> storeSpjSql,
     "q_store_upsert"  -> storeUpsertSql,
+    "q_store_derived" -> storeDerivedSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

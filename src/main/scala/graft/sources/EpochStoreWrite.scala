@@ -49,7 +49,11 @@ import graft.core.EpochManifest
   * attempts are resolved by Spark's output commit coordinator and the
   * losing attempt's [[EpochStoreDataWriter.abort]] deletes its files. */
 final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder
+    // update-mode streaming writes land as APPENDED epochs — exactly the
+    // store's semantics: each epoch carries the keys the batch updated,
+    // and EpochStore.readLatest serves the current value per key
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
   private def partColOf(): Option[String] = {
     val partCol = Option(info.options().get("partitionColumn"))

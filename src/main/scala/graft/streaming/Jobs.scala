@@ -99,6 +99,44 @@ object Jobs {
       .outputMode("append")
       .start()
 
+  /** DERIVED STORE (r12): tail a base epochstore and maintain a keyed
+    * aggregate store downstream — the whole pipeline inside the
+    * connector. [[graft.sources.EpochStoreMicroBatchStream]] delivers
+    * each committed base epoch exactly once; the streaming aggregate
+    * updates per-key state; UPDATE output mode re-emits only the keys a
+    * batch changed, and the epochstore sink lands them as one appended
+    * epoch (the `SupportsStreamingUpdateAsAppend` contract — append IS
+    * update here, because [[graft.sources.EpochStore.readLatest]] serves
+    * each key's newest row). Restart-safe end to end: replayed base
+    * epochs re-aggregate into a commit that REPLACES their output epoch.
+    *
+    * Scale shape: per trigger, IO is the new base epoch's files + one
+    * appended delta epoch of CHANGED keys — base history is never
+    * re-read, derived history never rewritten. The serving read pays one
+    * keyed max_by; compaction re-folds old deltas when they accumulate.
+    * This is the engine's materialized-view maintenance loop expressed
+    * purely in the public connector surface. */
+  def derivedStore(spark: SparkSession, baseRoot: String,
+                   baseSchema: StructType, keyCol: String, sumCol: String,
+                   outRoot: String, checkpoint: String,
+                   partitionCol: String = null): StreamingQuery = {
+    var r = spark.readStream.format("epochstore")
+      .schema(baseSchema).option("path", baseRoot)
+      .option("maxEpochsPerTrigger", "1")
+    if (partitionCol != null) r = r.option("partitionColumn", partitionCol)
+    val agg = r.load()
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("total"))
+    var w = agg.writeStream.format("epochstore")
+      .option("path", outRoot)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+    if (partitionCol != null && partitionCol == keyCol)
+      w = w.option("partitionColumn", keyCol)
+    w.start()
+  }
+
   /** S5: decode a Kafka-shaped frame (binary key/value + metadata — the
     * exact schema `format("kafka")` produces) into typed events. Swap
     * `readEventStream` for the Kafka source and insert this; everything

@@ -554,6 +554,41 @@ class EpochStoreSpec extends SparkSpec {
       Seq((1L, "lo")))
   }
 
+  test("derived store: base-store tail → update-mode aggregate → sink; " +
+      "readLatest serves current per-key aggregates across restarts, " +
+      "deltas carry only changed keys") {
+    import spark.implicits._
+    val base = tmp(); val out = tmp(); val ckpt = tmp()
+    build(base) // epochs 0, 1: ids 0..79, bucket = id % 4
+    val q1 = graft.streaming.Jobs.derivedStore(spark, base, schema,
+      keyCol = "bucket", sumCol = "id", outRoot = out, checkpoint = ckpt,
+      partitionCol = "bucket")
+    q1.awaitTermination()
+    val outSchema = StructType(Seq(StructField("bucket", IntegerType),
+      StructField("n", LongType), StructField("total", LongType)))
+    def served() = EpochStore
+      .readLatest(spark, out, outSchema, Seq("bucket"), "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def expect(ids: Seq[Int]) = (0 until 4).map(b =>
+      (b, ids.count(_ % 4 == b).toLong,
+        ids.filter(_ % 4 == b).map(_.toLong).sum))
+    assert(served() == expect(0 until 80))
+    // new base epoch arrives; the restarted query processes ONLY it
+    EpochManifest.append(
+      Seq((100L, "x", 0), (101L, "y", 1)).toDF("id", "v", "bucket"),
+      base, 2L, partitionBy = Seq("bucket"))
+    val q2 = graft.streaming.Jobs.derivedStore(spark, base, schema,
+      "bucket", "id", out, ckpt, partitionCol = "bucket")
+    q2.awaitTermination()
+    assert(served() == expect((0 until 80) ++ Seq(100, 101)))
+    // the delta epoch carries ONLY the two changed buckets
+    val lastEpoch = EpochManifest.entries(spark, out).map(_.epoch).max
+    val delta = EpochStore.read(spark, out, outSchema, "bucket")
+      .filter(col("_epoch") === lastEpoch)
+    assert(delta.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1),
+      "update mode must re-emit only the keys the batch changed")
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
