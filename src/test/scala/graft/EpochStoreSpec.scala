@@ -589,6 +589,31 @@ class EpochStoreSpec extends SparkSpec {
       "update mode must re-emit only the keys the batch changed")
   }
 
+  test("the SQL catalog path inherits the new scan tiers: COUNT(*) plans " +
+      "the footer-agg scan, _epoch resolves in SQL") {
+    val root = tmp()
+    val wh = new java.io.File(root).getParent
+    val store = new java.io.File(root).getName
+    build(root)
+    spark.conf.set("spark.sql.catalog.graft_fcat",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_fcat.warehouse", wh)
+    try {
+      val cnt = spark.sql(s"SELECT COUNT(*) AS n FROM graft_fcat.`$store`")
+      assert(aggScanOf(cnt).nonEmpty,
+        "catalog-resolved COUNT(*) must plan the footer-agg scan")
+      assert(cnt.collect().head.getLong(0) == 80L)
+      val epochs = spark.sql(
+        s"SELECT _epoch, COUNT(*) AS n FROM graft_fcat.`$store` " +
+          "GROUP BY _epoch ORDER BY _epoch")
+      assert(epochs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((0L, 40L), (1L, 40L)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_fcat")
+      spark.conf.unset("spark.sql.catalog.graft_fcat.warehouse")
+    }
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
