@@ -128,6 +128,19 @@ object Bench {
     (profileJson, stdoutLine)
   }
 
+  /** A streaming query that just terminated (the AvailableNow store
+    * queries) can have a final task report its SQLMetrics AFTER the
+    * accumulators were cleaned up — DAGScheduler logs each as an
+    * ERROR-level "non-existent accumulator" stack, pure termination-race
+    * noise that pollutes driver artifact tails. Real job failures reach
+    * the harness as EXCEPTIONS (recorded under "err"/verify failures),
+    * never only as DAGScheduler log lines, so pinning this one logger to
+    * FATAL hides nothing a measurement run needs. */
+  def silenceBenignStreamingTermination(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -139,6 +152,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.silenceBenignStreamingTermination()
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
     // the query, not JIT compilation of Spark itself.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

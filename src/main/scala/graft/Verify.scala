@@ -61,6 +61,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.silenceBenignStreamingTermination()
     run(spark, SparkEntry.queries, SparkEntry.oracleSql, sfDir, outDir)
     spark.stop()
   }
