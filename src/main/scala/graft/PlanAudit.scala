@@ -381,6 +381,22 @@ object PlanAudit {
       aggScans.size == 1 &&
         aggScans.head.isInstanceOf[graft.sources.EpochStoreAggScan])
 
+    // bloom file-skipping (r12): the point lookup must consult the
+    // sidecars and open fewer files than it listed
+    val bloomQ = MiscCatalog.storeBloomskip(spark, sfDir)
+    val bloomScans = bloomQ.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect { case s: graft.sources.EpochStoreScan => s }
+    audits += Audit("q_store_bloomskip",
+      "lookup reads through the epochstore scan", bloomScans.size == 1)
+    bloomScans.foreach { s =>
+      val (kept, tot) = s.skippedFilesAudit
+      audits += Audit("q_store_bloomskip",
+        s"bloom sidecars skipped files ($kept/$tot kept)",
+        tot >= 5 && kept < tot)
+    }
+
     // storage-partitioned join (r12): the co-partitioned two-store join
     // + per-lang roll-up must run with ZERO hash exchange (the only
     // allowed exchange is the presentation orderBy's range shuffle)

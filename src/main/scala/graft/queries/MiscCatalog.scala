@@ -632,6 +632,43 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Bloom file-skipping through the connector (`q_store_bloomskip`): a
+    * five-epoch UNPARTITIONED documents store written with a
+    * `bloomColumn = doc_id` sidecar (one bloom per data file, landed by
+    * the task and published with the epoch), probed for four doc_ids —
+    * the scan consults each candidate file's sidecar at planning and
+    * opens only the files whose filter might hold a probed key
+    * ([[graft.sources.EpochStoreScan]], no-false-negative skip; the
+    * residual filter still runs). DuckDB recomputes the lookup from the
+    * raw table, so a sidecar that hashed a different representation
+    * than the writer inserted (= a false drop) fails the oracle;
+    * PlanAudit gates files-kept < files-listed.
+    *
+    * Scale shape: the needle-in-100 TB point lookup without partition
+    * dirs — IO is a driver-side sidecar probe per candidate file plus
+    * the few "maybe present" files, not the table. */
+  def storeBloomskip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"bloom_store:$sfDir",
+        "graft_bloom_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      (0 until 5).foreach(e => graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 5 === e), d, e.toLong,
+        bloomColumn = "doc_id"))
+    }
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema,
+        bloomColumn = "doc_id")
+      .filter(col("doc_id").isin(42L, 137L, 256L, 301L))
+      .orderBy("doc_id")
+  }
+
+  val storeBloomskipSql: String =
+    """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+      |FROM documents
+      |WHERE doc_id IN (42, 137, 256, 301)
+      |ORDER BY doc_id""".stripMargin
+
   /** Derived store through the connector (`q_store_derived`): the
     * 3-epoch documents store tailed by [[graft.streaming.Jobs
     * .derivedStore]] — streaming source → update-mode per-lang aggregate
@@ -969,6 +1006,7 @@ object MiscCatalog {
     "q_store_spj"     -> (storeSpj _),
     "q_store_upsert"  -> (storeUpsert _),
     "q_store_derived" -> (storeDerived _),
+    "q_store_bloomskip" -> (storeBloomskip _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -1000,6 +1038,7 @@ object MiscCatalog {
     "q_store_spj"     -> storeSpjSql,
     "q_store_upsert"  -> storeUpsertSql,
     "q_store_derived" -> storeDerivedSql,
+    "q_store_bloomskip" -> storeBloomskipSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

@@ -249,7 +249,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
         EpochStoreScan(tableSchema, required, partCol, root, gen, entries,
           partFilters, dataFilters,
           streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
-            .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
+            .flatMap(k => Option(options.get(k)).map(k -> _)).toMap,
+          bloomCol = Option(options.get("bloomColumn")))
     }
   }
 }
@@ -260,7 +261,8 @@ final case class EpochStoreScan(
     fullSchema: StructType, required: StructType, partCol: Option[String],
     root: String, generation: Long, entries: Seq[EpochManifest.Entry],
     partFilters: Array[Filter], dataFilters: Array[Filter],
-    streamOptions: Map[String, String] = Map.empty)
+    streamOptions: Map[String, String] = Map.empty,
+    bloomCol: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -350,10 +352,63 @@ final case class EpochStoreScan(
   @transient private var cachedListing
       : (Seq[EpochStore.ListedFile], Int, Int) = null
   private def listing: (Seq[EpochStore.ListedFile], Int, Int) = {
-    if (cachedListing == null)
-      cachedListing = EpochStore.listEntryFiles(SparkSession.active, root,
+    if (cachedListing == null) {
+      val spark = SparkSession.active
+      val (files, sel, tot) = EpochStore.listEntryFiles(spark, root,
         entries, partField, partFilters ++ runtimeFilters)
+      cachedListing = (applyBloomSkip(spark, files), sel, tot)
+    }
     cachedListing
+  }
+
+  /** (files kept, files listed) after the bloom-sidecar skip — the
+    * data-skipping audit PlanSpec reads. Equal when no skip applied. */
+  @transient private var filesAudit: (Int, Int) = (0, 0)
+  def skippedFilesAudit: (Int, Int) = { listing; filesAudit }
+
+  /** FILE-skipping on point lookups: when the store was written with a
+    * `bloomColumn` sidecar ([[EpochStoreWriteBuilder]]) and this scan
+    * carries a conjunctive EqualTo/In data filter on that column, each
+    * candidate file's bloom decides "definitely absent" vs "maybe
+    * present" BEFORE the file enters the plan — a needle-in-100 TB probe
+    * opens the few files whose filter might hold the key, not every
+    * file of the (already dir-pruned) candidate set. Bloom filters have
+    * no false negatives, so skipping is exact; false positives only
+    * cost an extra file read, and the residual filter still runs. Files
+    * without a sidecar (pre-bloom epochs, compaction folds) are always
+    * kept. */
+  private def applyBloomSkip(spark: SparkSession,
+      files: Seq[EpochStore.ListedFile]): Seq[EpochStore.ListedFile] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val probes: Seq[Set[Any]] = bloomCol.toSeq.flatMap { c =>
+      dataFilters.collect {
+        case sources.EqualTo(a, v) if a == c && v != null => Set[Any](v)
+        case sources.In(a, vs) if a == c && vs.nonEmpty &&
+          !vs.contains(null) => vs.toSet[Any]
+      }
+    }
+    if (probes.isEmpty) { filesAudit = (files.size, files.size); return files }
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val isString =
+      bloomCol.exists(c => fullSchema(c).dataType == StringType)
+    def might(bf: BloomFilter, v: Any): Boolean =
+      if (isString) bf.mightContainString(v.toString)
+      else bf.mightContainLong(v.asInstanceOf[Number].longValue())
+    val kept = files.filter { lf =>
+      val entryPath =
+        fs.makeQualified(new Path(s"$root/${lf.entryDir}")).toString
+      val rel = fs.makeQualified(lf.status.getPath).toString
+        .stripPrefix(entryPath).stripPrefix("/")
+      val sc = new Path(s"$root/${lf.entryDir}/_skip/$rel.bloom")
+      if (!fs.exists(sc)) true
+      else {
+        val in = fs.open(sc)
+        val bf = try BloomFilter.readFrom(in) finally in.close()
+        probes.forall(p => p.exists(v => might(bf, v)))
+      }
+    }
+    filesAudit = (kept.size, files.size)
+    kept
   }
 
   /** selected/total partition dirs across the pinned epochs — the
@@ -454,10 +509,10 @@ object EpochStore {
   val EpochColName = "_epoch"
 
   /** One listed file: its partition-dir value (null for unpartitioned
-    * stores), the manifest epoch of the entry that owns it, and the file
-    * itself. */
+    * stores), the manifest epoch and root-relative dir of the entry that
+    * owns it, and the file itself. */
   private[sources] final case class ListedFile(
-      value: Any, epoch: Long, status: FileStatus)
+      value: Any, epoch: Long, entryDir: String, status: FileStatus)
 
   /** Driver-side listing of a set of manifest entries: per entry dir,
     * either its files directly (unpartitioned store) or its `col=value`
@@ -485,7 +540,7 @@ object EpochStore {
       val dir = new Path(s"$root/${e.dir}")
       partField match {
         case None =>
-          out ++= filesUnder(dir).map(ListedFile(null, e.epoch, _))
+          out ++= filesUnder(dir).map(ListedFile(null, e.epoch, e.dir, _))
         case Some(f) =>
           val prefix = s"${f.name}="
           fs.listStatus(dir).toSeq
@@ -497,7 +552,8 @@ object EpochStore {
               if (partFilters.forall(pf =>
                   EpochStore.evalOnPartition(pf, f.name, v) != Some(false))) {
                 kept += 1
-                out ++= filesUnder(sub.getPath).map(ListedFile(v, e.epoch, _))
+                out ++= filesUnder(sub.getPath)
+                  .map(ListedFile(v, e.epoch, e.dir, _))
               }
             }
       }
@@ -591,7 +647,8 @@ object EpochStore {
   def read(spark: SparkSession, root: String, schema: StructType,
            partitionColumn: String = null,
            maxEpoch: Long = Long.MaxValue,
-           asOfGeneration: Long = -1L): DataFrame = {
+           asOfGeneration: Long = -1L,
+           bloomColumn: String = null): DataFrame = {
     val gen = if (asOfGeneration >= 0L) asOfGeneration
       else {
         val gens = EpochManifest.generations(spark, root)
@@ -602,6 +659,7 @@ object EpochStore {
       .option("asOfGeneration", gen.toString)
     if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
+    if (bloomColumn != null) r = r.option("bloomColumn", bloomColumn)
     r.load()
   }
 
@@ -681,10 +739,12 @@ object EpochStore {
     * parquet bytes. `partitionColumn` materializes the `col=value` dirs
     * the read side prunes. */
   def write(df: DataFrame, root: String, epoch: Long,
-            partitionColumn: String = null): Unit = {
+            partitionColumn: String = null,
+            bloomColumn: String = null): Unit = {
     var w = df.write.format("epochstore").mode("append")
       .option("path", root).option("epoch", epoch.toString)
     if (partitionColumn != null) w = w.option("partitionColumn", partitionColumn)
+    if (bloomColumn != null) w = w.option("bloomColumn", bloomColumn)
     w.save()
   }
 

@@ -62,6 +62,31 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     partCol
   }
 
+  /** `bloomColumn`: build one bloom-filter SIDECAR per data file over
+    * this column's values (`_skip/<rel>.bloom`) — the read side skips
+    * whole files on point lookups ([[EpochStoreScan]]). Integral and
+    * string columns only (the probe must hash the same representation
+    * the writer inserted); anything else fails at write planning. */
+  private def bloomOf(): Option[BloomSpec] =
+    Option(info.options().get("bloomColumn")).map { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloomColumn $c is not in the written schema"))
+      require(!partColOf().contains(c),
+        s"bloomColumn $c is the partition column — dir pruning already " +
+          "covers it exactly; pick a data column")
+      import org.apache.spark.sql.types._
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType,
+        StringType)(f.dataType),
+        s"bloomColumn $c has type ${f.dataType} — only integral and " +
+          "string columns have a stable cross-side hash representation")
+      BloomSpec(c,
+        Option(info.options().get("bloomExpectedItems")).map(_.toLong)
+          .getOrElse(100000L),
+        Option(info.options().get("bloomFpp")).map(_.toDouble)
+          .getOrElse(0.03))
+    }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val opts = info.options()
@@ -69,7 +94,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
         throw new IllegalArgumentException(
           "epochstore write requires option(\"epoch\", <n>)"))
-      new EpochStoreBatchWrite(root, epoch, info.schema(), partColOf())
+      new EpochStoreBatchWrite(root, epoch, info.schema(), partColOf(),
+        bloomOf())
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -81,10 +107,16 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def toStreaming: StreamingWrite = {
       val opts = info.options()
       new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
-        info.schema(), partColOf())
+        info.schema(), partColOf(), bloomOf())
     }
   }
 }
+
+/** File-skipping sidecar spec: one bloom per data file over `col`,
+  * sized for `expected` items at `fpp`. Overflow past `expected` only
+  * degrades the false-positive rate — never the no-false-negative
+  * guarantee the skipping relies on. */
+final case class BloomSpec(col: String, expected: Long, fpp: Double)
 
 /** Streaming epochs: tasks write each batch under an uncommitted
   * `.w<queryId>-e<batch>` staging dir; `commit(batch)` renames it to a
@@ -93,7 +125,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
   * readers until published. */
 final class EpochStoreStreamingWrite(root: String, queryId: String,
                                      schema: StructType,
-                                     partCol: Option[String])
+                                     partCol: Option[String],
+                                     bloom: Option[BloomSpec] = None)
     extends StreamingWrite {
 
   private def stagingDir(epochId: Long) = s"$root/.w$queryId-e$epochId"
@@ -112,7 +145,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
         .filter(_.getPath.getName.startsWith(s".w$queryId-e"))
         .foreach(s => fs.delete(s.getPath, true))
     new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCol,
-      EpochStoreBatchWrite.primedConf(spark, schema, partCol))
+      EpochStoreBatchWrite.primedConf(spark, schema, partCol), bloom)
   }
 
   override def commit(epochId: Long,
@@ -140,7 +173,8 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
 }
 
 final class EpochStoreBatchWrite(root: String, epoch: Long,
-                                 schema: StructType, partCol: Option[String])
+                                 schema: StructType, partCol: Option[String],
+                                 bloom: Option[BloomSpec] = None)
     extends BatchWrite {
 
   // fail a doomed job before any executor work
@@ -154,7 +188,8 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     new EpochStoreWriterFactory(s"$root/$dir", schema, partCol,
-      EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCol))
+      EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCol),
+      bloom)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -182,12 +217,13 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
   * under `<stageRoot>-e<epoch>`. */
 final class EpochStoreStreamingWriterFactory(
     stageRoot: String, schema: StructType, partCol: Option[String],
-    bc: Broadcast[SerializableConfiguration])
+    bc: Broadcast[SerializableConfiguration],
+    bloom: Option[BloomSpec] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new EpochStoreDataWriter(s"$stageRoot-e$epochId", schema, partCol,
-      bc, partitionId, taskId)
+      bc, partitionId, taskId, bloom)
 }
 
 object EpochStoreBatchWrite {
@@ -223,8 +259,11 @@ object EpochStoreBatchWrite {
 /** One task's committed files (paths relative to the attempt/staging
   * dir) — the driver prunes anything else before the manifest commit, so
   * a task that died mid-write without running abort (executor loss)
-  * cannot leak a footerless partial parquet into the published epoch. */
-final case class EpochFilesWritten(files: Seq[String], nRows: Long)
+  * cannot leak a footerless partial parquet into the published epoch.
+  * `sidecars` are the task's `_skip/<rel>.bloom` file-skipping indexes,
+  * claimed alongside the data files. */
+final case class EpochFilesWritten(files: Seq[String], nRows: Long,
+                                   sidecars: Seq[String] = Nil)
     extends WriterCommitMessage
 
 object EpochStoreWrite {
@@ -236,7 +275,7 @@ object EpochStoreWrite {
       messages: Array[WriterCommitMessage]): Unit = {
     if (!fs.exists(dir)) return
     val claimed = messages.collect {
-      case m: EpochFilesWritten => m.files
+      case m: EpochFilesWritten => m.files ++ m.sidecars
     }.flatten.toSet
     // compare fully-qualified path strings: listStatus returns qualified
     // URIs (file:/..., hdfs://...) while the incoming dir may be a bare
@@ -256,17 +295,20 @@ object EpochStoreWrite {
 
 final class EpochStoreWriterFactory(dirPath: String, schema: StructType,
                                     partCol: Option[String],
-                                    bc: Broadcast[SerializableConfiguration])
+                                    bc: Broadcast[SerializableConfiguration],
+                                    bloom: Option[BloomSpec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new EpochStoreDataWriter(dirPath, schema, partCol, bc, partitionId, taskId)
+    new EpochStoreDataWriter(dirPath, schema, partCol, bc, partitionId,
+      taskId, bloom)
 }
 
 final class EpochStoreDataWriter(dirPath: String, schema: StructType,
                                  partCol: Option[String],
                                  bc: Broadcast[SerializableConfiguration],
-                                 partitionId: Int, taskId: Long)
+                                 partitionId: Int, taskId: Long,
+                                 bloom: Option[BloomSpec] = None)
     extends DataWriter[InternalRow] {
 
   private val partIdx: Int = partCol.map(schema.fieldIndex).getOrElse(-1)
@@ -278,11 +320,20 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
   private val rowBuf = new Array[Any](dataIdx.length)
   private val outRow = new GenericInternalRow(rowBuf)
 
+  private val bloomIdx: Int = bloom.map(b => schema.fieldIndex(b.col)).getOrElse(-1)
+  private val bloomIsString: Boolean =
+    bloom.exists(b => schema(b.col).dataType ==
+      org.apache.spark.sql.types.StringType)
+  // one bloom per output file, keyed like `writers`
+  private val blooms = scala.collection.mutable.LinkedHashMap
+    .empty[String, org.apache.spark.util.sketch.BloomFilter]
+
   // one lazy writer per partition-dir value (null key = unpartitioned)
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, (InternalRow => Unit, () => Unit)]
   private val paths = scala.collection.mutable.ArrayBuffer.empty[Path]
   private val relFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val sidecarRels = scala.collection.mutable.ArrayBuffer.empty[String]
   private var rows = 0L
 
   private def fs = new Path(dirPath).getFileSystem(bc.value.value)
@@ -326,7 +377,19 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    val w = writerFor(subdirOf(row))
+    val subdir = subdirOf(row)
+    val w = writerFor(subdir)
+    if (bloomIdx >= 0 && !row.isNullAt(bloomIdx)) {
+      val bf = blooms.getOrElseUpdate(subdir,
+        org.apache.spark.util.sketch.BloomFilter.create(
+          bloom.get.expected, bloom.get.fpp))
+      // the probe side hashes the SAME representation: long for every
+      // integral width, UTF-8 string bytes for strings
+      if (bloomIsString)
+        bf.putString(row.getUTF8String(bloomIdx).toString)
+      else bf.putLong(row.get(bloomIdx, schema.fields(bloomIdx).dataType)
+        .asInstanceOf[Number].longValue())
+    }
     if (partIdx < 0) w(row)
     else {
       var i = 0
@@ -340,9 +403,26 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
     rows += 1
   }
 
+  /** rel path of the sidecar for data file `rel`. */
+  private def sidecarRelOf(rel: String) = s"_skip/$rel.bloom"
+
   override def commit(): WriterCommitMessage = {
     writers.valuesIterator.foreach(_._2())
-    EpochFilesWritten(relFiles.toSeq, rows)
+    // sidecars land next to the data before the driver publishes the
+    // epoch; written here (task side) so streaming's staging-dir rename
+    // carries them along untouched
+    writers.keysIterator.zip(relFiles.iterator).foreach { case (subdir, rel) =>
+      blooms.get(subdir).foreach { bf =>
+        val screl = sidecarRelOf(rel)
+        val p = new Path(s"$dirPath/$screl")
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try bf.writeTo(out) finally out.close()
+        paths += p
+        sidecarRels += screl
+      }
+    }
+    EpochFilesWritten(relFiles.toSeq, rows, sidecarRels.toSeq)
   }
 
   override def abort(): Unit = {

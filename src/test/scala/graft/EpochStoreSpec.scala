@@ -614,6 +614,63 @@ class EpochStoreSpec extends SparkSpec {
     }
   }
 
+  test("bloom sidecars: point lookups skip files exactly — never a " +
+      "present key, always most absent files; unindexed epochs stay") {
+    import spark.implicits._
+    val root = tmp()
+    // 4 epochs × disjoint id ranges, bloom on id (no partition dirs, so
+    // every file is a skip candidate)
+    (0 until 4).foreach { e =>
+      EpochStore.write(
+        (e * 1000 until e * 1000 + 200).map(i => (i.toLong, s"v$i"))
+          .toDF("id", "v"),
+        root, e.toLong, bloomColumn = "id")
+    }
+    def probed(ids: Long*) = EpochStore.read(spark, root,
+        StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+        bloomColumn = "id")
+      .filter(col("id").isin(ids: _*))
+    // a single-epoch probe keeps ~1 of 4+ files
+    val one = probed(1005L)
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("v1005"))
+    val (kept, total) = scanOf(one).skippedFilesAudit
+    assert(total >= 4 && kept < total,
+      s"skip must drop most files: kept $kept of $total")
+    // no false drops: every present id answers; misses answer empty
+    val hits = (0 until 4).map(e => e * 1000 + 7L)
+    assert(probed(hits: _*).count() == 4)
+    assert(probed(555L).count() == 0)
+    // an epoch written WITHOUT the sidecar is always kept
+    EpochStore.write(Seq((9000L, "nine")).toDF("id", "v"), root, 9L)
+    val mixed = probed(9000L)
+    assert(mixed.collect().map(_.getString(1)).toSeq == Seq("nine"))
+    // streaming-write sidecars ride the staging rename
+    val sroot = tmp()
+    val src = tmp()
+    (0 until 3).foreach { e =>
+      val lines = (e * 100 until e * 100 + 50)
+        .map(i => s"""{"id":$i,"v":"s$i"}""").mkString("", "\n", "\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(src, s"b$e.json"), lines.getBytes("UTF-8"))
+    }
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .option("maxFilesPerTrigger", "1").json(src)
+      .writeStream.format("epochstore")
+      .option("path", sroot).option("bloomColumn", "id")
+      .option("checkpointLocation", tmp())
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val sprobe = EpochStore.read(spark, sroot,
+        StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+        bloomColumn = "id")
+      .filter(col("id") === 205L)
+    assert(sprobe.collect().map(_.getString(1)).toSeq == Seq("s205"))
+    val (skept, stotal) = scanOf(sprobe).skippedFilesAudit
+    assert(stotal >= 3 && skept < stotal,
+      s"streamed sidecars must skip: kept $skept of $stotal")
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
