@@ -250,7 +250,10 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
           partFilters, dataFilters,
           streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
             .flatMap(k => Option(options.get(k)).map(k -> _)).toMap,
-          bloomCol = Option(options.get("bloomColumn")))
+          // the store's own _bloom.json declaration makes skipping work
+          // with no option — SQL/catalog readers included
+          bloomCol = Option(options.get("bloomColumn"))
+            .orElse(BloomSpec.declared(spark, root)))
     }
   }
 }

@@ -118,6 +118,39 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
   * guarantee the skipping relies on. */
 final case class BloomSpec(col: String, expected: Long, fpp: Double)
 
+object BloomSpec {
+  /** Store-level declaration of the sidecar column (`_bloom.json` under
+    * the root): written once by the first bloom-indexed commit, read by
+    * scans so SQL/catalog readers get skipping with NO option. A later
+    * write indexing a DIFFERENT column refuses loudly — probing column
+    * c against sidecars built on c' would false-drop files. */
+  def publish(spark: SparkSession, root: String, col: String): Unit = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    declared(spark, root) match {
+      case Some(existing) =>
+        require(existing == col,
+          s"store $root already declares bloomColumn $existing; writing " +
+            s"sidecars on $col would poison its skip probes")
+      case None =>
+        val out = fs.create(new Path(root, "_bloom.json"), true)
+        try out.write(s"""{"column":"$col"}""".getBytes("UTF-8"))
+        finally out.close()
+    }
+  }
+
+  def declared(spark: SparkSession, root: String): Option[String] = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val p = new Path(root, "_bloom.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(body.split("\"column\":\"")(1).takeWhile(_ != '"'))
+    }
+  }
+}
+
 /** Streaming epochs: tasks write each batch under an uncommitted
   * `.w<queryId>-e<batch>` staging dir; `commit(batch)` renames it to a
   * fresh attempt dir and publishes it as epoch `batch`'s (replacement)
@@ -144,6 +177,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
       fs.listStatus(new Path(root)).toSeq
         .filter(_.getPath.getName.startsWith(s".w$queryId-e"))
         .foreach(s => fs.delete(s.getPath, true))
+    bloom.foreach(b => BloomSpec.publish(spark, root, b.col))
     new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCol,
       EpochStoreBatchWrite.primedConf(spark, schema, partCol), bloom)
   }
@@ -177,8 +211,10 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  bloom: Option[BloomSpec] = None)
     extends BatchWrite {
 
-  // fail a doomed job before any executor work
+  // fail a doomed job before any executor work; declaring the bloom
+  // column early is safe — declared-but-sidecarless files always stay
   EpochManifest.guardNotFold(SparkSession.active, root, epoch)
+  bloom.foreach(b => BloomSpec.publish(SparkSession.active, root, b.col))
 
   /** The attempt dir is allocated ONCE here (driver, write planning) —
     * every task writes under it; commit publishes it or gc reclaims it. */

@@ -671,6 +671,27 @@ class EpochStoreSpec extends SparkSpec {
       s"streamed sidecars must skip: kept $skept of $stotal")
   }
 
+  test("bloom declaration: skipping engages with NO read option via the " +
+      "store's _bloom.json; a conflicting column refuses at write") {
+    import spark.implicits._
+    val root = tmp()
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    (0 until 4).foreach(e => EpochStore.write(
+      (e * 1000 until e * 1000 + 100).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v"),
+      root, e.toLong, bloomColumn = "id"))
+    val noOpt = EpochStore.read(spark, root, s2) // no bloomColumn passed
+      .filter(col("id") === 2005L)
+    assert(noOpt.collect().map(_.getString(1)).toSeq == Seq("v2005"))
+    val (kept, total) = scanOf(noOpt).skippedFilesAudit
+    assert(total >= 4 && kept < total,
+      s"declared bloom must skip without the option: $kept/$total")
+    val err = intercept[IllegalArgumentException](EpochStore.write(
+      Seq((1L, "x")).toDF("id", "v"), root, 9L, bloomColumn = "v"))
+    assert(err.getMessage.contains("poison"))
+  }
+
   // ---- streaming source (MicroBatchStream over the manifest) ----
 
   private def startTail(root: String, name: String, ckpt: String,
