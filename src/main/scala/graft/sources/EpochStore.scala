@@ -130,15 +130,67 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
                                   options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private val partCol: Option[String] = Option(options.get("partitionColumn"))
   private var required: StructType = tableSchema
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[EpochStore.TopNPush] = None
+
+  /** Both pushes are PARTIAL by design: the scan may return a superset
+    * (files without stats disable truncation), so Spark always keeps
+    * its own limit/sort operator. */
+  override def isPartiallyPushed(): Boolean = true
   private var pushedAgg: Option[(
     org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
     StructType)] = None
+
+  /** LIMIT truncation from the stats sidecars' row counts: with no
+    * residual data filter (partition filters are answered exactly, so
+    * every surviving file's rows qualify), the scan plans only a prefix
+    * of the file list whose recorded rows already cover the limit —
+    * `LIMIT 10` over a 10k-file store opens one file. Always PARTIAL
+    * (Spark keeps its limit operator), so files without recorded row
+    * counts simply disable the truncation, never the correctness. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (dataFilters.nonEmpty || limit <= 0) return false
+    pushedLimit = Some(limit)
+    true
+  }
+
+  /** ORDER-BY-LIMIT file bound from the stats sidecars' min/max: for a
+    * single-column sort over a stats column, the scan keeps the minimal
+    * file set PROVABLY containing the top k — sort candidates by
+    * max (asc) / min (desc), take files until their non-null rows cover
+    * k, and drop every file whose range lies wholly beyond that bound
+    * ([[EpochStoreScan.applyRowBound]]). On a store written with
+    * `sortColumns` (range-distributed, per-file disjoint ranges) this
+    * reads the one or two files holding the answer. Partial push —
+    * Spark still sorts the survivors. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{
+      NamedReference, NullOrdering, SortDirection}
+    if (dataFilters.nonEmpty || limit <= 0 || orders.length != 1) return false
+    val o = orders.head
+    val col = o.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames.head
+      case _ => return false
+    }
+    // the bound needs recorded min/max: data columns only
+    if (partCol.contains(col) || col == EpochStore.EpochColName ||
+      !tableSchema.fieldNames.contains(col)) return false
+    pushedTopN = Some(EpochStore.TopNPush(col,
+      o.direction() == SortDirection.DESCENDING,
+      o.nullOrdering() == NullOrdering.NULLS_FIRST, limit))
+    true
+  }
 
   /** Metadata-only aggregation ([[EpochStoreAggScan]]): accepted when
     * every residual filter is answered by dir pruning (no data filter —
@@ -253,7 +305,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
           // the store's own _bloom.json declaration makes skipping work
           // with no option — SQL/catalog readers included
           bloomCol = Option(options.get("bloomColumn"))
-            .orElse(BloomSpec.declared(spark, root)))
+            .orElse(BloomSpec.declared(spark, root)),
+          limit = pushedLimit, topN = pushedTopN)
     }
   }
 }
@@ -265,10 +318,13 @@ final case class EpochStoreScan(
     root: String, generation: Long, entries: Seq[EpochManifest.Entry],
     partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String] = Map.empty,
-    bloomCol: Option[String] = None)
+    bloomCol: Option[String] = None,
+    limit: Option[Int] = None,
+    topN: Option[EpochStore.TopNPush] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val partField: Option[StructField] =
     partCol.flatMap(c => fullSchema.fields.find(_.name == c))
@@ -359,9 +415,138 @@ final case class EpochStoreScan(
       val spark = SparkSession.active
       val (files, sel, tot) = EpochStore.listEntryFiles(spark, root,
         entries, partField, partFilters ++ runtimeFilters)
-      cachedListing = (applyBloomSkip(spark, files), sel, tot)
+      val kept = applyRowBound(spark,
+        applyStatsSkip(spark, applyBloomSkip(spark, files)))
+      filesAudit = (kept.size, files.size)
+      cachedListing = (kept, sel, tot)
     }
     cachedListing
+  }
+
+  /** Per-entry stats sidecars ([[EpochStoreStats]]), loaded lazily once
+    * per scan — one tiny JSON per pinned entry, never per file. */
+  @transient private var cachedStats
+      : Map[String, Map[String, EpochStoreStats.FileStats]] = null
+  private def statsByEntry(spark: SparkSession)
+      : Map[String, Map[String, EpochStoreStats.FileStats]] = {
+    if (cachedStats == null) {
+      val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+      cachedStats =
+        entries.map(e => e.dir -> EpochStoreStats.read(fs, root, e.dir)).toMap
+    }
+    cachedStats
+  }
+
+  /** FILE-skipping on range/equality/null-ness predicates from the
+    * recorded min / max / null counts: a file whose stats PROVE no row
+    * can satisfy some conjunct never enters the plan. Files without a
+    * sidecar or without the probed column always stay; the residual
+    * filter still runs — skipping is exact, never optimistic. */
+  private def applyStatsSkip(spark: SparkSession,
+      files: Seq[EpochStore.ListedFile]): Seq[EpochStore.ListedFile] = {
+    if (dataFilters.isEmpty) return files
+    val se = statsByEntry(spark)
+    if (se.valuesIterator.forall(_.isEmpty)) return files
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    files.filter { lf =>
+      se.getOrElse(lf.entryDir, Map.empty)
+        .get(EpochStore.relOf(fs, root, lf)) match {
+        case None => true
+        case Some(st) => !dataFilters.exists(f =>
+          EpochStoreStats.canMatch(f, st).contains(false))
+      }
+    }
+  }
+
+  /** LIMIT / ORDER-BY-LIMIT truncation from the recorded row counts:
+    * with a pushed limit, plan only a file prefix whose rows cover it;
+    * with a pushed single-column TopN, keep the minimal file set
+    * PROVABLY containing the top k — rank files by max (asc) / min
+    * (desc), cover k non-null rows to fix a value bound, and drop every
+    * file whose whole range lies beyond it (rows ≤ the bound exist in
+    * the cover, so the k-th value cannot). Any file without the needed
+    * stats disables the truncation — both pushes are PARTIAL, Spark
+    * still applies the real limit/sort. */
+  private def applyRowBound(spark: SparkSession,
+      files: Seq[EpochStore.ListedFile]): Seq[EpochStore.ListedFile] = {
+    if (topN.isEmpty && limit.isEmpty) return files
+    val se = statsByEntry(spark)
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val withStats = files.map(lf => lf -> se.getOrElse(lf.entryDir, Map.empty)
+      .get(EpochStore.relOf(fs, root, lf)))
+    if (withStats.exists(_._2.isEmpty)) return files
+    topN match {
+      case Some(t) =>
+        val cs = withStats.map { case (lf, s) =>
+          (lf, s.get, s.get.cols.get(t.col)) }
+        if (cs.exists(_._3.isEmpty)) return files
+        val totalNonNull = cs.map { case (_, f, c) => f.rows - c.get.nulls }.sum
+        // fewer non-null rows than k: null rows fill the tail — every
+        // file may contribute, no bound
+        if (totalNonNull < t.limit) return files
+        // rank by the file's FAR edge in sort direction; all-null files
+        // have no edge and join only through the nulls clause below
+        val ranked = cs.flatMap { case (lf, f, c) =>
+          (if (t.desc) c.get.min else c.get.max).map(k => (f, c.get, k))
+        }.sortWith((a, b) => EpochStoreStats.cmp(a._3, b._3)
+          .exists(x => if (t.desc) x > 0 else x < 0))
+        var acc = 0L
+        var bound: Any = null
+        val it = ranked.iterator
+        while (acc < t.limit && it.hasNext) {
+          val e = it.next(); acc += e._1.rows - e._2.nulls; bound = e._3
+        }
+        if (acc < t.limit || bound == null) return files
+        val b = bound
+        files.filter { lf =>
+          val c = se(lf.entryDir)(EpochStore.relOf(fs, root, lf)).cols(t.col)
+          val inRange = (if (t.desc) c.max else c.min) match {
+            case Some(edge) => EpochStoreStats.cmp(edge, b)
+              .forall(x => if (t.desc) x >= 0 else x <= 0)
+            case None => false // all-null file: only the nulls clause keeps it
+          }
+          inRange || (t.nullsFirst && c.nulls > 0L)
+        }
+      case None =>
+        val k = limit.get.toLong
+        var acc = 0L
+        val out = Seq.newBuilder[EpochStore.ListedFile]
+        val it = withStats.iterator
+        while (acc < k && it.hasNext) {
+          val (lf, s) = it.next(); acc += s.get.rows; out += lf
+        }
+        out.result()
+    }
+  }
+
+  /** Planning-time size/row statistics over the PRUNED file set (dirs,
+    * bloom, stats-range, row bounds all applied) — what Spark's join
+    * planning consumes: a store narrowed to one partition's files
+    * reports that partition's bytes, so the plain auto-broadcast
+    * threshold fires on the post-pruning reality instead of a
+    * whole-table guess. Row counts come from the stats sidecars and are
+    * reported only when every kept file recorded one. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val files = listing._1
+    val size = files.map(_.status.getLen).sum
+    val se = statsByEntry(spark)
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val rows = files.foldLeft(Option(0L)) { (acc, lf) =>
+      for {
+        a <- acc
+        st <- se.getOrElse(lf.entryDir, Map.empty)
+          .get(EpochStore.relOf(fs, root, lf))
+      } yield a + st.rows
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
   }
 
   /** (files kept, files listed) after the bloom-sidecar skip — the
@@ -390,18 +575,15 @@ final case class EpochStoreScan(
           !vs.contains(null) => vs.toSet[Any]
       }
     }
-    if (probes.isEmpty) { filesAudit = (files.size, files.size); return files }
+    if (probes.isEmpty) return files
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val isString =
       bloomCol.exists(c => fullSchema(c).dataType == StringType)
     def might(bf: BloomFilter, v: Any): Boolean =
       if (isString) bf.mightContainString(v.toString)
       else bf.mightContainLong(v.asInstanceOf[Number].longValue())
-    val kept = files.filter { lf =>
-      val entryPath =
-        fs.makeQualified(new Path(s"$root/${lf.entryDir}")).toString
-      val rel = fs.makeQualified(lf.status.getPath).toString
-        .stripPrefix(entryPath).stripPrefix("/")
+    files.filter { lf =>
+      val rel = EpochStore.relOf(fs, root, lf)
       val sc = new Path(s"$root/${lf.entryDir}/_skip/$rel.bloom")
       if (!fs.exists(sc)) true
       else {
@@ -410,8 +592,6 @@ final case class EpochStoreScan(
         probes.forall(p => p.exists(v => might(bf, v)))
       }
     }
-    filesAudit = (kept.size, files.size)
-    kept
   }
 
   /** selected/total partition dirs across the pinned epochs — the
@@ -420,8 +600,11 @@ final case class EpochStoreScan(
 
   override def description(): String = {
     val (sel, tot) = selectedPartitionDirs
+    val bound = topN.map(t => s" PushedTopN: ${t.col} " +
+        s"${if (t.desc) "DESC" else "ASC"} LIMIT ${t.limit},")
+      .orElse(limit.map(l => s" PushedLimit: $l,")).getOrElse("")
     s"epochstore $root gen=$generation epochs=${entries.size} " +
-      s"partitions=$sel/$tot " +
+      s"partitions=$sel/$tot$bound " +
       s"PushedFilters: [${(partFilters ++ dataFilters).mkString(", ")}], " +
       s"ReadSchema: ${readSchema().catalogString}"
   }
@@ -510,6 +693,21 @@ object EpochStore {
 
   /** Name of the metadata column carrying each row's manifest epoch. */
   val EpochColName = "_epoch"
+
+  /** A pushed single-column ORDER-BY-LIMIT ([[EpochStoreScanBuilder
+    * .pushTopN]]): sort column, direction, null placement, k. */
+  final case class TopNPush(col: String, desc: Boolean, nullsFirst: Boolean,
+                            limit: Int)
+
+  /** Root-relative-within-entry path of a listed file — the key both
+    * sidecar families (`_skip/<rel>.bloom`, `_skip/stats.json`) index
+    * by. */
+  private[sources] def relOf(fs: org.apache.hadoop.fs.FileSystem,
+                             root: String, lf: ListedFile): String = {
+    val entryPath = fs.makeQualified(new Path(s"$root/${lf.entryDir}")).toString
+    fs.makeQualified(lf.status.getPath).toString
+      .stripPrefix(entryPath).stripPrefix("/")
+  }
 
   /** One listed file: its partition-dir value (null for unpartitioned
     * stores), the manifest epoch and root-relative dir of the entry that
@@ -743,11 +941,20 @@ object EpochStore {
     * the read side prunes. */
   def write(df: DataFrame, root: String, epoch: Long,
             partitionColumn: String = null,
-            bloomColumn: String = null): Unit = {
+            bloomColumn: String = null,
+            statsColumns: Seq[String] = Nil,
+            sortColumns: Seq[String] = Nil,
+            writePartitions: Int = 0): Unit = {
     var w = df.write.format("epochstore").mode("append")
       .option("path", root).option("epoch", epoch.toString)
     if (partitionColumn != null) w = w.option("partitionColumn", partitionColumn)
     if (bloomColumn != null) w = w.option("bloomColumn", bloomColumn)
+    if (statsColumns.nonEmpty)
+      w = w.option("statsColumns", statsColumns.mkString(","))
+    if (sortColumns.nonEmpty)
+      w = w.option("sortColumns", sortColumns.mkString(","))
+    if (writePartitions > 0)
+      w = w.option("writePartitions", writePartitions.toString)
     w.save()
   }
 

@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+
+/** Per-file statistics sidecars on the epochstore — the manifest-carried
+  * data-skipping layer (Delta's `stats` in the log / Iceberg's manifest
+  * metrics, at this engine's scale):
+  *
+  *  - every committed epoch publishes ONE `_skip/stats.json` in its entry
+  *    dir, written by the DRIVER at commit from the task commit messages
+  *    (no post-hoc footer scans — the tasks already saw every row), with
+  *    a row count per data file and, for the write's declared
+  *    `statsColumns`, per-column min / max / null counts;
+  *  - the scan consults them at PLANNING: a conjunctive range / equality
+  *    / IN / null-ness / prefix predicate over a stats column drops every
+  *    file whose [min, max] + null counts PROVE no row can match — IO is
+  *    one tiny JSON per (already dir-pruned) entry, not the data;
+  *  - row counts alone (recorded for every file, option or not) power
+  *    LIMIT truncation, metadata row-count statistics
+  *    ([[EpochStoreScan.estimateStatistics]]), and the sorted store's
+  *    ORDER-BY-LIMIT file bound ([[EpochStoreScan]]'s TopN push).
+  *
+  * Skipping is EXACT by construction: min/max/null counts are computed
+  * from the written rows with the same comparison the probe uses
+  * (numeric promotion to BigDecimal, java.lang.String ordering for
+  * strings — NOT parquet's possibly-truncated binary stats), a file
+  * without a sidecar or without the probed column is always kept, and
+  * the residual filter still runs on every surviving row. Supported
+  * stats column types: integral widths, float/double, string.
+  *
+  * Format (one line per data file, base64 for anything string-ish so the
+  * fixed-shape parser never meets an escaping edge):
+  * `{"file":"<b64 rel>","rows":N,"cols":[{"c":"<b64 name>","t":"l|d|s",
+  * "nulls":N[,"min":v,"max":v]}]}` — min/max absent = every value null.
+  */
+object EpochStoreStats {
+
+  /** One column's accumulated stats: `min`/`max` are Long, Double, or
+    * String (None = all values null). */
+  final case class ColStats(kind: Char, nulls: Long,
+                            min: Option[Any], max: Option[Any])
+      extends Serializable
+
+  /** One data file's stats: total row count + per-column stats keyed by
+    * column name. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+      extends Serializable
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Serialize one (relFile -> stats) map as the sidecar body. */
+  def render(stats: Seq[(String, FileStats)]): String =
+    stats.map { case (rel, fsr) =>
+      val cols = fsr.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+        val mm = (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            val (a, b) = cs.kind match {
+              case 's' => (s""""${b64(mn.toString)}"""",
+                s""""${b64(mx.toString)}"""")
+              case _ => (mn.toString, mx.toString)
+            }
+            s""","min":$a,"max":$b"""
+          case _ => ""
+        }
+        s"""{"c":"${b64(c)}","t":"${cs.kind}","nulls":${cs.nulls}$mm}"""
+      }.mkString("[", ",", "]")
+      s"""{"file":"${b64(rel)}","rows":${fsr.rows},"cols":$cols}"""
+    }.mkString("", "\n", "\n")
+
+  private val fileRe = """"file":"([^"]*)","rows":(\d+)""".r.unanchored
+  private val colRe =
+    (""""c":"([^"]*)","t":"(.)","nulls":(\d+)""" +
+      """(?:,"min":("[^"]*"|[^,}\]]+),"max":("[^"]*"|[^,}\]]+))?""").r
+
+  /** Parse a sidecar body back to (relFile -> stats). The writer's fixed
+    * shape + base64 values make this regex split exact. */
+  def parse(body: String): Map[String, FileStats] =
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      val m = fileRe.findFirstMatchIn(line).getOrElse(
+        throw new IllegalStateException(s"bad stats line: $line"))
+      val cols = colRe.findAllMatchIn(line).map { cm =>
+        val kind = cm.group(2).charAt(0)
+        def v(g: String): Option[Any] = Option(g).map { raw =>
+          kind match {
+            case 's' => unb64(raw.stripPrefix("\"").stripSuffix("\""))
+            case 'd' => raw.toDouble
+            case _ => raw.toLong
+          }
+        }
+        unb64(cm.group(1)) ->
+          ColStats(kind, cm.group(3).toLong, v(cm.group(4)), v(cm.group(5)))
+      }.toMap
+      unb64(m.group(1)) -> FileStats(m.group(2).toLong, cols)
+    }.toMap
+
+  /** Sidecar path inside one committed entry dir. */
+  def sidecarPath(root: String, entryDir: String): Path =
+    new Path(s"$root/$entryDir/_skip/stats.json")
+
+  /** Driver-side publish at commit: one sidecar for the whole entry. */
+  def write(fs: FileSystem, root: String, entryDir: String,
+            stats: Seq[(String, FileStats)]): Unit = {
+    if (stats.isEmpty) return
+    val p = sidecarPath(root, entryDir)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(render(stats).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load one entry's sidecar (empty when the epoch predates stats). */
+  def read(fs: FileSystem, root: String, entryDir: String)
+      : Map[String, FileStats] = {
+    val p = sidecarPath(root, entryDir)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      parse(body)
+    }
+  }
+
+  /** Numeric/string comparison shared by the skip evaluation and the
+    * TopN file bound — the SAME ordering the writer accumulated min/max
+    * under, so a skip can never be optimistic. Returns None for
+    * incomparable pairs (type confusion = keep the file). */
+  def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Number, y: Number) =>
+      Some(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)))
+    case _ => None
+  }
+
+  /** Can ANY row of a file with stats `fsr` satisfy `f`? Three-valued:
+    * Some(false) = provably no row matches (SKIP the file), anything
+    * else keeps it. Sound under conjunction/disjunction: And skips when
+    * either side proves impossible, Or only when both do; Not is kept
+    * conservative (existence of a non-matching row is not provable from
+    * min/max alone). */
+  def canMatch(f: Filter, fsr: FileStats): Option[Boolean] = {
+    def col(n: String): Option[ColStats] = fsr.cols.get(n)
+    def nonNull(cs: ColStats): Long = fsr.rows - cs.nulls
+    // comparisons against a column with NO non-null value never match
+    def range(n: String)(p: (Any, Any) => Option[Boolean]): Option[Boolean] =
+      col(n).flatMap { cs =>
+        if (nonNull(cs) <= 0L) Some(false)
+        else (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) => p(mn, mx)
+          case _ => Some(false) // no recorded min/max = all null
+        }
+      }
+    f match {
+      case sources.EqualTo(a, v) if v != null =>
+        range(a)((mn, mx) => for {
+          c1 <- cmp(v, mn); c2 <- cmp(v, mx)
+        } yield c1 >= 0 && c2 <= 0)
+      case sources.EqualNullSafe(a, v) =>
+        if (v == null) col(a).map(_.nulls > 0L)
+        else canMatch(sources.EqualTo(a, v), fsr)
+      case sources.In(a, vs) =>
+        val nonNullVs = vs.filter(_ != null)
+        val nullable = vs.length != nonNullVs.length
+        // IN (… , null) matches nothing extra (three-valued SQL), so
+        // only the non-null probes decide; an all-null probe list
+        // matches nothing
+        if (nonNullVs.isEmpty && !nullable) Some(false)
+        else if (nonNullVs.isEmpty) Some(false)
+        else {
+          val hits = nonNullVs.map(v => canMatch(sources.EqualTo(a, v), fsr))
+          if (hits.exists(_.contains(true))) Some(true)
+          else if (hits.forall(_.contains(false))) Some(false)
+          else None
+        }
+      case sources.GreaterThan(a, v) if v != null =>
+        range(a)((_, mx) => cmp(mx, v).map(_ > 0))
+      case sources.GreaterThanOrEqual(a, v) if v != null =>
+        range(a)((_, mx) => cmp(mx, v).map(_ >= 0))
+      case sources.LessThan(a, v) if v != null =>
+        range(a)((mn, _) => cmp(mn, v).map(_ < 0))
+      case sources.LessThanOrEqual(a, v) if v != null =>
+        range(a)((mn, _) => cmp(mn, v).map(_ <= 0))
+      case sources.IsNull(a) => col(a).map(_.nulls > 0L)
+      case sources.IsNotNull(a) => col(a).map(nonNull(_) > 0L)
+      case sources.StringStartsWith(a, prefix) if prefix != null =>
+        // every match is ≥ prefix and shares its first prefix.length
+        // chars — skip when max < prefix or min's prefix-length head
+        // already exceeds it
+        range(a) {
+          case (mn: String, mx: String) =>
+            Some(mx.compareTo(prefix) >= 0 &&
+              mn.take(prefix.length).compareTo(prefix) <= 0)
+          case _ => None
+        }
+      case sources.And(l, r) =>
+        (canMatch(l, fsr), canMatch(r, fsr)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case sources.Or(l, r) =>
+        (canMatch(l, fsr), canMatch(r, fsr)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+}

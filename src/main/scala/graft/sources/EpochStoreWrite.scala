@@ -7,9 +7,13 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{
+  Expressions, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
-  PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+  PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
@@ -87,7 +91,85 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
           .getOrElse(0.03))
     }
 
-  override def build(): Write = new Write {
+  /** `statsColumns`: record per-file min / max / null counts for these
+    * columns in the epoch's `_skip/stats.json` sidecar (written by the
+    * driver at commit from task messages — [[EpochStoreStats]]); the
+    * read side skips whole files on range / equality / null-ness
+    * predicates. Integral, float/double, and string columns only (the
+    * probe compares the same representation the writer accumulated). */
+  private def statsOf(): Seq[(String, Char)] =
+    Option(info.options().get("statsColumns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).map { c =>
+        val f = info.schema().fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"statsColumns column $c is not in the written schema"))
+        require(!partColOf().contains(c),
+          s"statsColumns column $c is the partition column — dir pruning " +
+            "already covers it exactly; pick a data column")
+        import org.apache.spark.sql.types._
+        val kind = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => 'l'
+          case FloatType | DoubleType => 'd'
+          case StringType => 's'
+          case other => throw new IllegalArgumentException(
+            s"statsColumns column $c has type $other — only integral, " +
+              "float/double, and string columns have a stable cross-side " +
+              "comparison")
+        }
+        c -> kind
+      }
+
+  /** `sortColumns`: the write-side LAYOUT declaration — rows are sorted
+    * by these columns within each file, and (absent a partition column)
+    * the job is RANGE-distributed over them, so files cover DISJOINT
+    * value ranges: the layout that makes `statsColumns` skipping and the
+    * ORDER-BY-LIMIT file bound maximally effective. With a partition
+    * column, `clusteredWrite=true` (implied by sortColumns) additionally
+    * clusters rows so each partition VALUE lands in one task — one file
+    * per value instead of one per (task, value), the small-files control
+    * a 1000-executor append needs. */
+  private def sortOf(): Seq[String] =
+    Option(info.options().get("sortColumns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).map { c =>
+        require(info.schema().fieldNames.contains(c),
+          s"sortColumns column $c is not in the written schema")
+        c
+      }
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    private val partCol = partColOf()
+    private val sortCols = sortOf()
+    private val clustered: Boolean = partCol.nonEmpty &&
+      (sortCols.nonEmpty ||
+        java.lang.Boolean.parseBoolean(
+          String.valueOf(info.options().get("clusteredWrite"))))
+
+    private def asc(c: String): SortOrder =
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+        NullOrdering.NULLS_FIRST)
+
+    /** Clustered by the partition column when asked (or when sorting —
+      * a sorted file per dir needs the dir's rows together); globally
+      * RANGE-ordered on the sort columns for unpartitioned sorted
+      * stores; no requirement otherwise (existing writes keep their
+      * plans — the distribution is opt-in). */
+    override def requiredDistribution(): Distribution =
+      if (clustered)
+        Distributions.clustered(
+          Array[org.apache.spark.sql.connector.expressions.Expression](
+            Expressions.identity(partCol.get)))
+      else if (sortCols.nonEmpty) Distributions.ordered(sortCols.map(asc).toArray)
+      else Distributions.unspecified()
+
+    override def requiredOrdering(): Array[SortOrder] =
+      ((if (clustered) partCol.toSeq else Nil) ++ sortCols).map(asc).toArray
+
+    /** `writePartitions` pins the task count of a distributed write —
+      * with an ordered distribution that is the FILE count (file-size
+      * control for the sorted layout); 0 = Spark picks. */
+    override def requiredNumPartitions(): Int =
+      Option(info.options().get("writePartitions")).map(_.toInt).getOrElse(0)
+
     override def toBatch: BatchWrite = {
       val opts = info.options()
       val root = EpochStore.rootOf(opts)
@@ -95,7 +177,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
         throw new IllegalArgumentException(
           "epochstore write requires option(\"epoch\", <n>)"))
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColOf(),
-        bloomOf())
+        bloomOf(), statsOf())
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -107,7 +189,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def toStreaming: StreamingWrite = {
       val opts = info.options()
       new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
-        info.schema(), partColOf(), bloomOf())
+        info.schema(), partColOf(), bloomOf(), statsOf())
     }
   }
 }
@@ -159,7 +241,8 @@ object BloomSpec {
 final class EpochStoreStreamingWrite(root: String, queryId: String,
                                      schema: StructType,
                                      partCol: Option[String],
-                                     bloom: Option[BloomSpec] = None)
+                                     bloom: Option[BloomSpec] = None,
+                                     statsCols: Seq[(String, Char)] = Nil)
     extends StreamingWrite {
 
   private def stagingDir(epochId: Long) = s"$root/.w$queryId-e$epochId"
@@ -179,7 +262,8 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
         .foreach(s => fs.delete(s.getPath, true))
     bloom.foreach(b => BloomSpec.publish(spark, root, b.col))
     new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCol,
-      EpochStoreBatchWrite.primedConf(spark, schema, partCol), bloom)
+      EpochStoreBatchWrite.primedConf(spark, schema, partCol), bloom,
+      statsCols)
   }
 
   override def commit(epochId: Long,
@@ -195,6 +279,11 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
       require(fs.rename(staged, new Path(s"$root/$dir")),
         s"epochstore streaming commit rename $staged -> $root/$dir failed")
     else fs.mkdirs(new Path(s"$root/$dir")): Unit // empty batch, still an epoch
+    // the stats sidecar is driver-written AFTER the staging rename and
+    // BEFORE the manifest publish — the epoch appears with its stats or
+    // not at all
+    EpochStoreStats.write(fs, root, dir,
+      messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
     EpochManifest.commitEpochDir(spark, root, epochId, dir)
   }
 
@@ -208,7 +297,8 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
 
 final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  schema: StructType, partCol: Option[String],
-                                 bloom: Option[BloomSpec] = None)
+                                 bloom: Option[BloomSpec] = None,
+                                 statsCols: Seq[(String, Char)] = Nil)
     extends BatchWrite {
 
   // fail a doomed job before any executor work; declaring the bloom
@@ -225,7 +315,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
       : DataWriterFactory =
     new EpochStoreWriterFactory(s"$root/$dir", schema, partCol,
       EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCol),
-      bloom)
+      bloom, statsCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -239,6 +329,8 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
       // the explicit-schema read contract keeps it resolvable
       fs.mkdirs(new Path(s"$root/$dir")): Unit
     }
+    EpochStoreStats.write(fs, root, dir,
+      messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
     EpochManifest.commitEpochDir(spark, root, epoch, dir)
   }
 
@@ -254,12 +346,13 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
 final class EpochStoreStreamingWriterFactory(
     stageRoot: String, schema: StructType, partCol: Option[String],
     bc: Broadcast[SerializableConfiguration],
-    bloom: Option[BloomSpec] = None)
+    bloom: Option[BloomSpec] = None,
+    statsCols: Seq[(String, Char)] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new EpochStoreDataWriter(s"$stageRoot-e$epochId", schema, partCol,
-      bc, partitionId, taskId, bloom)
+      bc, partitionId, taskId, bloom, statsCols)
 }
 
 object EpochStoreBatchWrite {
@@ -299,7 +392,9 @@ object EpochStoreBatchWrite {
   * `sidecars` are the task's `_skip/<rel>.bloom` file-skipping indexes,
   * claimed alongside the data files. */
 final case class EpochFilesWritten(files: Seq[String], nRows: Long,
-                                   sidecars: Seq[String] = Nil)
+                                   sidecars: Seq[String] = Nil,
+                                   fileStats: Seq[(String,
+                                     EpochStoreStats.FileStats)] = Nil)
     extends WriterCommitMessage
 
 object EpochStoreWrite {
@@ -332,19 +427,21 @@ object EpochStoreWrite {
 final class EpochStoreWriterFactory(dirPath: String, schema: StructType,
                                     partCol: Option[String],
                                     bc: Broadcast[SerializableConfiguration],
-                                    bloom: Option[BloomSpec] = None)
+                                    bloom: Option[BloomSpec] = None,
+                                    statsCols: Seq[(String, Char)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new EpochStoreDataWriter(dirPath, schema, partCol, bc, partitionId,
-      taskId, bloom)
+      taskId, bloom, statsCols)
 }
 
 final class EpochStoreDataWriter(dirPath: String, schema: StructType,
                                  partCol: Option[String],
                                  bc: Broadcast[SerializableConfiguration],
                                  partitionId: Int, taskId: Long,
-                                 bloom: Option[BloomSpec] = None)
+                                 bloom: Option[BloomSpec] = None,
+                                 statsCols: Seq[(String, Char)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val partIdx: Int = partCol.map(schema.fieldIndex).getOrElse(-1)
@@ -363,6 +460,20 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
   // one bloom per output file, keyed like `writers`
   private val blooms = scala.collection.mutable.LinkedHashMap
     .empty[String, org.apache.spark.util.sketch.BloomFilter]
+
+  // per-file stats accumulator (row count always — it powers LIMIT
+  // truncation and metadata row counts; min/max/nulls for the declared
+  // stats columns), keyed like `writers`
+  private val statsIdx: Array[(String, Int, Char)] =
+    statsCols.map { case (c, k) => (c, schema.fieldIndex(c), k) }.toArray
+  private final class FileAcc {
+    var rows = 0L
+    val nulls = new Array[Long](statsIdx.length)
+    val mins = new Array[Any](statsIdx.length)
+    val maxs = new Array[Any](statsIdx.length)
+  }
+  private val accs =
+    scala.collection.mutable.LinkedHashMap.empty[String, FileAcc]
 
   // one lazy writer per partition-dir value (null key = unpartitioned)
   private val writers =
@@ -415,6 +526,34 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     val subdir = subdirOf(row)
     val w = writerFor(subdir)
+    val acc = accs.getOrElseUpdate(subdir, new FileAcc)
+    acc.rows += 1
+    var s = 0
+    while (s < statsIdx.length) {
+      val idx = statsIdx(s)._2
+      if (row.isNullAt(idx)) acc.nulls(s) += 1
+      else {
+        // accumulate under the SAME ordering the scan's skip probe uses:
+        // long for every integral width, double for float widths,
+        // java.lang.String for strings
+        val v: Any = statsIdx(s)._3 match {
+          case 's' => row.getUTF8String(idx).toString
+          case 'd' => row.get(idx, schema.fields(idx).dataType)
+            .asInstanceOf[Number].doubleValue()
+          case _ => row.get(idx, schema.fields(idx).dataType)
+            .asInstanceOf[Number].longValue()
+        }
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: java.lang.Long, y: java.lang.Long) => x < y
+          case (x: java.lang.Double, y: java.lang.Double) => x < y
+          case (x: String, y: String) => x.compareTo(y) < 0
+          case _ => false
+        }
+        if (acc.mins(s) == null || lt(v, acc.mins(s))) acc.mins(s) = v
+        if (acc.maxs(s) == null || lt(acc.maxs(s), v)) acc.maxs(s) = v
+      }
+      s += 1
+    }
     if (bloomIdx >= 0 && !row.isNullAt(bloomIdx)) {
       val bf = blooms.getOrElseUpdate(subdir,
         org.apache.spark.util.sketch.BloomFilter.create(
@@ -458,7 +597,16 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
         sidecarRels += screl
       }
     }
-    EpochFilesWritten(relFiles.toSeq, rows, sidecarRels.toSeq)
+    val fstats = writers.keysIterator.zip(relFiles.iterator)
+      .map { case (subdir, rel) =>
+        val acc = accs(subdir)
+        val cols = statsIdx.indices.map { s =>
+          statsIdx(s)._1 -> EpochStoreStats.ColStats(statsIdx(s)._3,
+            acc.nulls(s), Option(acc.mins(s)), Option(acc.maxs(s)))
+        }.toMap
+        rel -> EpochStoreStats.FileStats(acc.rows, cols)
+      }.toSeq
+    EpochFilesWritten(relFiles.toSeq, rows, sidecarRels.toSeq, fstats)
   }
 
   override def abort(): Unit = {

@@ -827,4 +827,181 @@ class EpochStoreSpec extends SparkSpec {
         s"expected exactly the new epoch on top, got ${got.length} rows")
     } finally q2.stop()
   }
+
+  // ---- stats sidecars / data skipping / row bounds / statistics ----
+
+  private val idvSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  /** 4 epochs × disjoint id ranges [e*1000, e*1000+200), stats on both
+    * columns; epoch 2 additionally carries null ids. */
+  private def statsStore(): String = {
+    import spark.implicits._
+    val root = tmp()
+    (0 until 4).foreach { e =>
+      val rows = (e * 1000 until e * 1000 + 200)
+        .map(i => (java.lang.Long.valueOf(i.toLong), s"v$i")) ++
+        (if (e == 2) Seq((null.asInstanceOf[java.lang.Long], "vnull")) else Nil)
+      EpochStore.write(rows.toDF("id", "v").coalesce(1), root, e.toLong,
+        statsColumns = Seq("id", "v"))
+    }
+    root
+  }
+
+  test("stats sidecars: range/equality/null-ness predicates skip files " +
+      "exactly; statless epochs always stay") {
+    val root = statsStore()
+    def rd() = EpochStore.read(spark, root, idvSchema)
+    // a one-epoch range keeps 1 of 4 files
+    val range = rd().filter(col("id") >= 1010L && col("id") < 1150L)
+    assert(range.count() == 140)
+    val (kept, total) = scanOf(range).skippedFilesAudit
+    assert(total >= 4 && kept == 1, s"range skip: kept $kept of $total")
+    // equality on the STRING column skips too (writer-side java
+    // ordering; lexicographic epoch ranges overlap — "v3123" falls
+    // inside ["v0","v99"] and ["v2000","vnull"] — so exactly epoch 1's
+    // ["v1000","v1199"] is provably impossible)
+    val sv = rd().filter(col("v") === "v3123")
+    assert(sv.collect().map(_.getLong(0)).toSeq == Seq(3123L))
+    assert(scanOf(sv).skippedFilesAudit == (3, 4))
+    // IS NULL keeps only the null-carrying epoch; IS NOT NULL keeps all
+    val nulls = rd().filter(col("id").isNull)
+    assert(nulls.collect().map(_.getString(1)).toSeq == Seq("vnull"))
+    assert(scanOf(nulls).skippedFilesAudit._1 == 1)
+    assert(rd().filter(col("id").isNotNull).count() == 800)
+    // an out-of-every-range probe skips ALL files
+    val miss = rd().filter(col("id") === 555L)
+    assert(miss.count() == 0 && scanOf(miss).skippedFilesAudit._1 == 0)
+    // an epoch appended WITHOUT stats is always kept (no false drops)
+    import spark.implicits._
+    EpochStore.write(Seq((9000L, "nine")).toDF("id", "v"), root, 9L)
+    val mixed = rd().filter(col("id") === 9000L)
+    assert(mixed.collect().map(_.getString(1)).toSeq == Seq("nine"))
+    assert(scanOf(mixed).skippedFilesAudit._1 == 1, "only the statless file")
+  }
+
+  test("sorted write: range distribution gives disjoint per-file ranges; " +
+      "clustered write gives one file per partition value") {
+    import spark.implicits._
+    val root = tmp()
+    val shuffled = new scala.util.Random(7).shuffle((0 until 800).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(8)
+    EpochStore.write(shuffled, root, 0L,
+      statsColumns = Seq("id"), sortColumns = Seq("id"), writePartitions = 4)
+    // exactly writePartitions files, covering disjoint sorted ranges
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val entry = EpochManifest.entries(spark, root).head.dir
+    val stats = graft.sources.EpochStoreStats.read(fs, root, entry)
+    assert(stats.size == 4, s"expected 4 sorted files, got ${stats.keySet}")
+    val ranges = stats.values.map(f => (f.cols("id").min.get.asInstanceOf[Long],
+      f.cols("id").max.get.asInstanceOf[Long])).toSeq.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"overlapping file ranges: $ranges")
+    assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum == 800)
+    // a quartile-interior range query opens ONE file
+    val q = EpochStore.read(spark, root, idvSchema)
+      .filter(col("id") >= ranges(1)._1 + 5L && col("id") <= ranges(1)._1 + 60L)
+    assert(q.count() == 56 && scanOf(q).skippedFilesAudit == (1, 4))
+    // clustered partitioned write: one file per partition VALUE
+    val root2 = tmp()
+    val parted = (0 until 400).map(i => (i.toLong, s"v$i", i % 4))
+      .toDF("id", "v", "bucket").repartition(8)
+    parted.write.format("epochstore").mode("append")
+      .option("path", root2).option("epoch", "0")
+      .option("partitionColumn", "bucket").option("clusteredWrite", "true")
+      .save()
+    val entry2 = EpochManifest.entries(spark, root2).head.dir
+    def parquets(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      files.map(_.getPath.getName).filter(_.endsWith(".parquet")) ++
+        dirs.flatMap(d => parquets(d.getPath))
+    }
+    val nFiles = parquets(new org.apache.hadoop.fs.Path(s"$root2/$entry2")).size
+    assert(nFiles == 4, s"clustered write must land 1 file/value, got $nFiles")
+    assert(EpochStore.read(spark, root2, StructType(idvSchema :+
+      StructField("bucket", IntegerType)), "bucket").count() == 400)
+  }
+
+  test("limit pushdown: LIMIT plans only a row-covering file prefix") {
+    val root = statsStore()
+    val df = EpochStore.read(spark, root, idvSchema).limit(7)
+    assert(df.count() == 7)
+    val (kept, total) = scanOf(df).skippedFilesAudit
+    assert(total >= 4 && kept == 1, s"limit truncation: kept $kept of $total")
+    // a limit past the store keeps everything and still answers exactly
+    val all = EpochStore.read(spark, root, idvSchema).limit(5000)
+    assert(all.count() == 801)
+  }
+
+  test("topN pushdown: ORDER BY LIMIT opens only the bound-covering " +
+      "files, both directions, and equals the full sort") {
+    val root = statsStore()
+    def rd() = EpochStore.read(spark, root, idvSchema)
+    val asc = rd().orderBy(col("id")).limit(5)
+    // nulls first (Spark asc default) — the null-carrying epoch stays
+    val ascScan = scanOf(asc)
+    val (kept, total) = ascScan.skippedFilesAudit
+    assert(total >= 4 && kept == 2, // lowest-range file + the null carrier
+      s"asc topN: kept $kept of $total")
+    assert(asc.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getLong(0)).toSeq ==
+      Seq(null, 0L, 1L, 2L, 3L))
+    val desc = rd().orderBy(col("id").desc).limit(3)
+    assert(scanOf(desc).skippedFilesAudit._1 == 1, "desc keeps the top file")
+    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(3199L, 3198L, 3197L))
+    // ascending with explicit nulls LAST: null file is droppable
+    val nl = rd().orderBy(col("id").asc_nulls_last).limit(5)
+    assert(scanOf(nl).skippedFilesAudit._1 == 1)
+    assert(nl.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("estimateStatistics reports the PRUNED size/rows; a dir-pruned " +
+      "store auto-broadcasts under the plain threshold") {
+    import spark.implicits._
+    val root = tmp()
+    (0 until 2).foreach { e =>
+      EpochStore.write(
+        (0 until 4000).map(i => (i.toLong + e * 4000, s"val$i", i % 8))
+          .toDF("id", "v", "bucket"),
+        root, e.toLong, partitionColumn = "bucket")
+    }
+    val schema3 = StructType(idvSchema :+ StructField("bucket", IntegerType))
+    val full = scanOf(EpochStore.read(spark, root, schema3, "bucket"))
+      .estimateStatistics()
+    val pruned = scanOf(EpochStore.read(spark, root, schema3, "bucket")
+        .filter(col("bucket") === 3))
+      .estimateStatistics()
+    assert(full.numRows.getAsLong == 8000 && pruned.numRows.getAsLong == 1000)
+    assert(pruned.sizeInBytes.getAsLong * 4 < full.sizeInBytes.getAsLong,
+      s"pruned ${pruned.sizeInBytes} vs full ${full.sizeInBytes}")
+    // pick a threshold between pruned and full: the pruned side must
+    // auto-broadcast with NO hint, the full side must not
+    val thr = (pruned.sizeInBytes.getAsLong + full.sizeInBytes.getAsLong) / 2
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // a probe side far over the threshold, so only the dim can broadcast
+      val probe = spark.range(500000L).toDF("id")
+      def joined(dim: org.apache.spark.sql.DataFrame) =
+        probe.join(dim, "id").queryExecution.executedPlan
+      def hasBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case b: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => b }.nonEmpty
+      assert(hasBroadcast(joined(
+        EpochStore.read(spark, root, schema3, "bucket")
+          .filter(col("bucket") === 3))),
+        "pruned store under the threshold must broadcast")
+      assert(!hasBroadcast(joined(
+        EpochStore.read(spark, root, schema3, "bucket"))),
+        "full store over the threshold must not broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
 }
