@@ -397,6 +397,73 @@ object PlanAudit {
         tot >= 5 && kept < tot)
     }
 
+    def storeScansOf(df: org.apache.spark.sql.DataFrame)
+        : Seq[graft.sources.EpochStoreScan] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+      }.collect { case s: graft.sources.EpochStoreScan => s }
+
+    // stats-sidecar file skipping (r12): the range probe must plan only
+    // the files whose recorded [min, max] intersects it
+    val statScans = storeScansOf(MiscCatalog.storeStatskip(spark, sfDir))
+    audits += Audit("q_store_statskip",
+      "range probe reads through the epochstore scan", statScans.size == 1)
+    statScans.foreach { s =>
+      val (kept, tot) = s.skippedFilesAudit
+      audits += Audit("q_store_statskip",
+        s"stats sidecars skipped files ($kept/$tot kept)",
+        tot >= 4 && kept < tot)
+    }
+
+    // sorted store + pushed TopN (r12): ORDER BY n_chars LIMIT 20 must
+    // reach the scan as a TopN and open only the bound-covering files
+    val topScans = storeScansOf(MiscCatalog.storeTopn(spark, sfDir))
+    audits += Audit("q_store_topn",
+      "ORDER BY LIMIT pushed into the scan as a TopN",
+      topScans.size == 1 && topScans.head.topN.nonEmpty)
+    topScans.foreach { s =>
+      val (kept, tot) = s.skippedFilesAudit
+      audits += Audit("q_store_topn",
+        s"TopN file bound skipped files ($kept/$tot kept)",
+        tot >= 8 && kept < tot)
+    }
+
+    // pruned-size statistics → auto-broadcast (r12): under a threshold
+    // the FULL store exceeds, the fr-pruned side must broadcast with NO
+    // hint, purely from the scan's post-pruning size report
+    {
+      import org.apache.spark.sql.types._
+      val lsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("lang", StringType)))
+      val lsDir = MiscCatalog.langStore(spark, sfDir)
+      def sizeOf(df: org.apache.spark.sql.DataFrame): Long =
+        storeScansOf(df).head.estimateStatistics().sizeInBytes.getAsLong
+      val fullSize = sizeOf(
+        graft.sources.EpochStore.read(spark, lsDir, lsSchema, "lang"))
+      val prunedSize = sizeOf(
+        graft.sources.EpochStore.read(spark, lsDir, lsSchema, "lang")
+          .filter(col("lang") === "fr"))
+      audits += Audit("q_store_broadcast",
+        s"pruned scan reports a smaller size ($prunedSize < $fullSize)",
+        prunedSize * 2 < fullSize)
+      val oldThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          ((prunedSize + fullSize) / 2).toString)
+        val bj = MiscCatalog.storeBroadcast(spark, sfDir)
+        val nBroadcast = bj.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => b
+        }.size
+        audits += Audit("q_store_broadcast",
+          "fr-pruned store auto-broadcasts from its reported size (no hint)",
+          nBroadcast == 1)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThr)
+    }
+
     // storage-partitioned join (r12): the co-partitioned two-store join
     // + per-lang roll-up must run with ZERO hash exchange (the only
     // allowed exchange is the presentation orderBy's range shuffle)

@@ -601,7 +601,7 @@ object MiscCatalog {
   /** The shared two-epoch lang-partitioned documents store (landed once
     * per (session, sf) through the DSv2 sink) — `q_store_write` proves
     * its write half, `q_store_dpp` joins against it. */
-  private def langStore(spark: SparkSession, sfDir: String): String =
+  private[graft] def langStore(spark: SparkSession, sfDir: String): String =
     graft.core.Landed.dir(spark, s"w_store:$sfDir", "graft_w_store") { d =>
       val docs = Tables.documents(spark, sfDir)
         .filter(col("lang").isNotNull)
@@ -668,6 +668,119 @@ object MiscCatalog {
       |FROM documents
       |WHERE doc_id IN (42, 137, 256, 301)
       |ORDER BY doc_id""".stripMargin
+
+  /** Stats-sidecar file skipping (`q_store_statskip`): four RANGE-
+    * disjoint epochs (doc_id quartiles) written with `statsColumns =
+    * doc_id` — every committed file carries min / max / null counts in
+    * its epoch's `_skip/stats.json`, published by the DRIVER at commit
+    * from the task messages ([[graft.sources.EpochStoreStats]], the
+    * stats-in-the-log design Delta/Iceberg use) — and a fixed id-range
+    * probe plans only the files whose recorded range intersects it.
+    * DuckDB recomputes the roll-up from the raw table, so a skip that
+    * was optimistic (dropped a file holding matching rows) fails the
+    * oracle; PlanAudit gates files-kept < files-listed.
+    *
+    * Scale shape: the range scan over 100 TB of time/id-ordered data —
+    * planning IO is one tiny JSON per (dir-pruned) epoch, never a
+    * footer, and data IO is only the overlapping files. */
+  def storeStatskip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"stat_store:$sfDir",
+        "graft_stat_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      (0 until 4).foreach { e =>
+        val lo = maxId * e / 4 + (if (e == 0) 0 else 1)
+        val hi = maxId * (e + 1) / 4
+        graft.sources.EpochStore.write(
+          docs.filter(col("doc_id").between(lo, hi)), d, e.toLong,
+          statsColumns = Seq("doc_id"))
+      }
+    }
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema)
+      .filter(col("doc_id").between(100L, 220L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
+  val storeStatskipSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 100 AND 220
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Sorted store + ORDER-BY-LIMIT file bound (`q_store_topn`): the
+    * documents land through the sink with `sortColumns = n_chars` — the
+    * write itself is RANGE-distributed and sorted
+    * ([[graft.sources.EpochStoreWriteBuilder]]'s
+    * RequiresDistributionAndOrdering), so the epoch's files cover
+    * DISJOINT n_chars ranges — and the query is a plain
+    * `ORDER BY n_chars, doc_id LIMIT 20`: Spark pushes the TopN, the
+    * scan ranks files by their recorded max, covers 20 non-null rows to
+    * fix a value bound, and plans ONLY the files that can beat it
+    * ([[graft.sources.EpochStoreScan]]; partial push — Spark still
+    * sorts the survivors, so a missing sidecar costs IO, never
+    * correctness). DuckDB recomputes the top-20 from the raw table.
+    *
+    * Scale shape: "smallest/newest k of 100 TB" at metadata cost — the
+    * sorted layout turns a full-table TopK into opening one or two
+    * files. */
+  def storeTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"sorted_store:$sfDir",
+        "graft_sorted_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs, d, 0L,
+        statsColumns = Seq("n_chars"), sortColumns = Seq("n_chars"),
+        writePartitions = 8)
+    }
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema)
+      .orderBy(col("n_chars"), col("doc_id"))
+      .limit(20)
+  }
+
+  val storeTopnSql: String =
+    """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+      |FROM documents
+      |ORDER BY CAST(n_chars AS BIGINT), doc_id
+      |LIMIT 20""".stripMargin
+
+  /** Pruned-size statistics → auto-broadcast (`q_store_broadcast`): the
+    * scan reports byte/row statistics over its PRUNED file set
+    * ([[graft.sources.EpochStoreScan.estimateStatistics]], fed by dir
+    * pruning + the stats sidecars' row counts), so joining the big
+    * probe against ONE partition of the store lets Spark's plain
+    * autoBroadcastJoinThreshold fire on the post-pruning reality — no
+    * hint, no whole-table size guess. The query itself is a plain
+    * doc_id equi-join of all documents against the store's `fr` slice
+    * with a three-way checksum; DuckDB recomputes it, so a stats path
+    * that mis-listed files (wrong rows under the join) fails the
+    * oracle, and PlanAudit gates that the pruned side auto-broadcasts
+    * under a threshold the FULL store exceeds. */
+  def storeBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = langStore(spark, sfDir)
+    val dim = graft.sources.EpochStore.read(spark, dir, langStoreSchema, "lang")
+      .filter(col("lang") === "fr")
+      .select(col("doc_id"), col("n_chars").as("fr_chars"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .join(dim, "doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(col("fr_chars")).as("fr_chars"))
+  }
+
+  val storeBroadcastSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  CAST(SUM(CAST(v.n_chars AS BIGINT)) AS BIGINT) AS fr_chars
+      |FROM documents d
+      |JOIN (SELECT doc_id, n_chars FROM documents WHERE lang = 'fr') v
+      |  USING (doc_id)""".stripMargin
 
   /** Derived store through the connector (`q_store_derived`): the
     * 3-epoch documents store tailed by [[graft.streaming.Jobs
@@ -1007,6 +1120,9 @@ object MiscCatalog {
     "q_store_upsert"  -> (storeUpsert _),
     "q_store_derived" -> (storeDerived _),
     "q_store_bloomskip" -> (storeBloomskip _),
+    "q_store_statskip" -> (storeStatskip _),
+    "q_store_topn"    -> (storeTopn _),
+    "q_store_broadcast" -> (storeBroadcast _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -1039,6 +1155,9 @@ object MiscCatalog {
     "q_store_upsert"  -> storeUpsertSql,
     "q_store_derived" -> storeDerivedSql,
     "q_store_bloomskip" -> storeBloomskipSql,
+    "q_store_statskip" -> storeStatskipSql,
+    "q_store_topn"    -> storeTopnSql,
+    "q_store_broadcast" -> storeBroadcastSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

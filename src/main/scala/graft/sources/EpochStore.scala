@@ -176,7 +176,11 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{
       NamedReference, NullOrdering, SortDirection}
-    if (dataFilters.nonEmpty || limit <= 0 || orders.length != 1) return false
+    if (dataFilters.nonEmpty || limit <= 0 || orders.isEmpty) return false
+    // bounding on the FIRST sort column alone is sound for a
+    // lexicographic top-k: once ≥ k rows have c1 ≤ B, no row with
+    // c1 > B can rank in the top k whatever the tie-breaks say — and
+    // the push is partial, so Spark re-sorts the survivors fully
     val o = orders.head
     val col = o.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
