@@ -750,6 +750,101 @@ object MiscCatalog {
       |ORDER BY CAST(n_chars AS BIGINT), doc_id
       |LIMIT 20""".stripMargin
 
+  /** Tombstone deletes through the connector (`q_store_delete`): epoch
+    * 0 lands every document, a DELETE tombstone epoch removes every
+    * doc_id divisible by 7 ([[graft.sources.EpochStore.delete]] — key
+    * rows appended to the `_deletes` sub-store, data history untouched),
+    * and a later epoch RE-INSERTS the doc_ids divisible by 14 with
+    * n_chars grown by 1000 (a data epoch above the tombstone resurrects
+    * the key). The served state is `readLatest(applyDeletes = true)` —
+    * latest-wins minus covered tombstones — rolled up per lang; DuckDB
+    * recomputes it from the raw table, so a reader that leaked a deleted
+    * key, dropped a resurrected one, or served a stale payload fails
+    * the oracle.
+    *
+    * Scale shape: merge-on-read row-level DELETE — a deletion costs one
+    * delta-sized tombstone epoch, the read pays one keyed max per side
+    * and a keyed join of live keys against tombstoned keys; history is
+    * rewritten only by the explicit [[graft.sources.EpochStore
+    * .purgeDeletes]] fold (spec-proven answer-preserving). */
+  def storeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"del_store:$sfDir",
+        "graft_del_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs, d, 0L)
+      graft.sources.EpochStore.delete(spark, d,
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), 1L)
+      graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 14 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L),
+        d, 2L)
+    }
+    graft.sources.EpochStore.readLatest(spark, dir, langStoreSchema,
+        Seq("doc_id"), applyDeletes = true)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
+  val storeDeleteSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN doc_id % 14 = 0 THEN CAST(n_chars AS BIGINT) + 1000
+      |                ELSE CAST(n_chars AS BIGINT) END) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE lang IS NOT NULL AND NOT (doc_id % 7 = 0 AND doc_id % 14 <> 0)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Schema evolution through the connector (`q_store_evolve`): epoch 0
+    * lands the EVEN documents as (doc_id, lang) — no n_chars column
+    * existed yet — and epoch 1 lands the ODD documents with the column
+    * added; `readEvolved` merges the per-epoch `_schema.json` records by
+    * name ([[graft.sources.EpochStore.evolvedSchema]] — first-appearance
+    * order, new columns nullable, type changes refuse loudly) and the
+    * old epoch serves the missing column as null through Spark's own
+    * parquet missing-column path. The per-lang roll-up counts rows,
+    * n_chars-bearing rows, and the null-coalesced char mass; DuckDB
+    * rebuilds all three from the raw table, so an evolution that
+    * mis-filled the missing column, dropped an epoch, or mis-merged the
+    * schema fails the oracle.
+    *
+    * Scale shape: ADD COLUMN on 100 TB is a metadata write — zero data
+    * rewritten, old files never touched, readers see the union schema
+    * immediately. */
+  def storeEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"evo_store:$sfDir",
+        "graft_evo_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"), d, 0L)
+      graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "n_chars"), d, 1L)
+    }
+    graft.sources.EpochStore.readEvolved(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("with_chars"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars"))
+      .orderBy("lang")
+  }
+
+  val storeEvolveSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS with_chars,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS BIGINT)
+      |               ELSE 0 END) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Pruned-size statistics → auto-broadcast (`q_store_broadcast`): the
     * scan reports byte/row statistics over its PRUNED file set
     * ([[graft.sources.EpochStoreScan.estimateStatistics]], fed by dir
@@ -1123,6 +1218,8 @@ object MiscCatalog {
     "q_store_statskip" -> (storeStatskip _),
     "q_store_topn"    -> (storeTopn _),
     "q_store_broadcast" -> (storeBroadcast _),
+    "q_store_delete"  -> (storeDelete _),
+    "q_store_evolve"  -> (storeEvolve _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -1158,6 +1255,8 @@ object MiscCatalog {
     "q_store_statskip" -> storeStatskipSql,
     "q_store_topn"    -> storeTopnSql,
     "q_store_broadcast" -> storeBroadcastSql,
+    "q_store_delete"  -> storeDeleteSql,
+    "q_store_evolve"  -> storeEvolveSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

@@ -879,19 +879,140 @@ object EpochStore {
     * file-containing epoch, never the dropped history's width. */
   def readLatest(spark: SparkSession, root: String, schema: StructType,
                  keyCols: Seq[String], partitionColumn: String = null,
-                 versionCol: String = null): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max_by, struct}
+                 versionCol: String = null,
+                 applyDeletes: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, max_by, struct}
     require(keyCols.nonEmpty, "readLatest needs at least one key column")
     val t = read(spark, root, schema, partitionColumn)
     val payload = schema.fieldNames.filterNot(keyCols.contains)
     val order =
       if (versionCol == null) col(EpochColName)
       else struct(col(EpochColName), col(versionCol))
-    t.select((keyCols ++ payload).map(col) :+ col(EpochColName): _*)
+    val latest = t
+      .select((keyCols ++ payload).map(col) :+ col(EpochColName): _*)
       .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), order).as("_latest"))
+      .agg(max_by(struct(payload.map(col): _*), order).as("_latest"),
+        max(col(EpochColName)).as("_data_epoch"))
       .select(keyCols.map(col) ++
-        payload.map(n => col(s"_latest.$n").as(n)): _*)
+        payload.map(n => col(s"_latest.$n").as(n)) :+ col("_data_epoch"): _*)
+    val withDeletes =
+      if (!applyDeletes) latest
+      else {
+        val delRoot = deletesRoot(root)
+        if (EpochManifest.generations(spark, delRoot).isEmpty ||
+          EpochManifest.entries(spark, delRoot).isEmpty) latest
+        else {
+          // a tombstone at epoch e removes keys whose newest DATA epoch
+          // is ≤ e; a later re-insert (data epoch > e) resurrects the
+          // key — merge-on-read row-level deletes, history untouched
+          val keySchema = StructType(schema.filter(f => keyCols.contains(f.name)))
+          val dels = read(spark, delRoot, keySchema)
+            .groupBy(keyCols.map(col): _*)
+            .agg(max(col(EpochColName)).as("_del_epoch"))
+          latest.join(dels, keyCols, "left")
+            .filter(col("_del_epoch").isNull ||
+              col("_data_epoch") > col("_del_epoch"))
+            .drop("_del_epoch")
+        }
+      }
+    withDeletes.drop("_data_epoch")
+  }
+
+  /** The delete sub-store: tombstone epochs under `root/_deletes`, a
+    * manifest store of their own (gc/manifest dirs never collide with
+    * the data entries). */
+  def deletesRoot(root: String): String = s"$root/_deletes"
+
+  /** Row-level DELETE as an appended tombstone epoch: `keys` (the key
+    * columns only, deduplicated here) lands in the delete sub-store
+    * under `epoch`, and [[readLatest]] with `applyDeletes = true` drops
+    * every key whose newest data epoch is ≤ that tombstone's — deletes
+    * at delta cost, history never rewritten (the merge-on-read DELETE
+    * of Delta/Iceberg position/equality deletes, expressed as equality
+    * tombstones). Use an epoch STRICTLY ABOVE every data epoch the
+    * delete should cover; a later data epoch for the same key
+    * resurrects it. [[purgeDeletes]] folds the tombstones into the
+    * data physically. */
+  def delete(spark: SparkSession, root: String, keys: DataFrame,
+             epoch: Long): Unit =
+    write(keys.dropDuplicates(), deletesRoot(root), epoch)
+
+  /** Apply every tombstone PHYSICALLY: fold the store into one entry
+    * holding the current latest-wins, delete-applied state (written
+    * with the partition layout, schema sidecar included so evolution
+    * keeps working), commit it as the single visible entry, clear the
+    * delete sub-store, and gc. Version history collapses to the fold —
+    * the pre-purge snapshot stays readable via the previous manifest
+    * generation until the next gc cycle (the same two-manifest lag
+    * every compaction honors). The next append/delete must use an
+    * epoch above the fold's. */
+  def purgeDeletes(spark: SparkSession, root: String, schema: StructType,
+                   keyCols: Seq[String], partitionColumn: String = null,
+                   versionCol: String = null): Unit = {
+    val es = EpochManifest.entries(spark, root)
+    require(es.nonEmpty, s"no committed manifest under $root")
+    val live = readLatest(spark, root, schema, keyCols, partitionColumn,
+      versionCol, applyDeletes = true)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val maxEpoch = es.map(_.epoch).max
+    val foldDir = EpochManifest.newFoldDir(spark, root, maxEpoch)
+    val w = live.write.mode("overwrite")
+    (if (partitionColumn == null) w else w.partitionBy(partitionColumn))
+      .parquet(s"$root/$foldDir")
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, schema,
+      Option(partitionColumn))
+    EpochManifest.commit(spark, root,
+      Seq(EpochManifest.Entry(maxEpoch, foldDir,
+        lo = es.map(_.minEpoch).min)))
+    EpochManifest.gc(spark, root)
+    val delRoot = deletesRoot(root)
+    if (EpochManifest.generations(spark, delRoot).nonEmpty) {
+      EpochManifest.commit(spark, delRoot, Seq.empty)
+      EpochManifest.gc(spark, delRoot)
+    }
+  }
+
+  /** ADD-COLUMN schema evolution: merge every epoch's recorded
+    * `_schema.json` by name — fields keep first-appearance order, a
+    * column new in a later epoch joins as nullable (older files serve
+    * it as null through Spark's parquet missing-column handling), and a
+    * same-name type conflict refuses loudly (silent coercion corrupts).
+    * Entries without a schema record (pre-evolution epochs, generic
+    * compaction folds) refuse with the explicit-schema escape hatch. */
+  def evolvedSchema(spark: SparkSession, root: String)
+      : (StructType, Option[String]) = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val es = EpochManifest.entries(spark, root)
+    require(es.nonEmpty, s"no committed manifest under $root")
+    val recs = es.map(e =>
+      e.dir -> EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+    val missing = recs.collect { case (d, None) => d }
+    require(missing.isEmpty,
+      s"store $root entries without a _schema.json record: " +
+        s"${missing.mkString(", ")} — pre-evolution epochs; read with an " +
+        "explicit .schema(...) instead")
+    val parts = recs.map(_._2.get._2).distinct
+    require(parts.size == 1,
+      s"partitionColumn changed across epochs of $root: $parts")
+    val merged = recs.map(_._2.get._1).reduceLeft { (a, b) =>
+      val known = a.fields.map(f => f.name -> f).toMap
+      b.fields.foreach(f => known.get(f.name).foreach(g =>
+        require(g.dataType == f.dataType,
+          s"column ${f.name} changed type across epochs of $root: " +
+            s"${g.dataType} vs ${f.dataType} — type evolution is refused")))
+      StructType(a.fields ++
+        b.fields.filterNot(f => known.contains(f.name))
+          .map(_.copy(nullable = true)))
+    }
+    (merged, parts.head)
+  }
+
+  /** [[read]] under the store's own evolved schema — no caller-supplied
+    * schema; epochs written before a column existed serve it as null. */
+  def readEvolved(spark: SparkSession, root: String): DataFrame = {
+    val (schema, part) = evolvedSchema(spark, root)
+    read(spark, root, schema, part.orNull)
   }
 
   /** The engine's changefeed entry point — the rows committed AFTER a

@@ -284,6 +284,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     // not at all
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCol)
     EpochManifest.commitEpochDir(spark, root, epochId, dir)
   }
 
@@ -331,6 +332,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     }
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCol)
     EpochManifest.commitEpochDir(spark, root, epoch, dir)
   }
 
@@ -398,6 +400,42 @@ final case class EpochFilesWritten(files: Seq[String], nRows: Long,
     extends WriterCommitMessage
 
 object EpochStoreWrite {
+
+  /** Driver-side `_schema.json` publish at commit: the epoch's full
+    * logical schema (partition column included) plus the partitioning
+    * declaration — what [[EpochStore.evolvedSchema]] merges across
+    * epochs for add-column evolution. Written before the manifest
+    * publish, so an epoch appears with its schema record or not at
+    * all. */
+  private[sources] def writeSchemaSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String,
+      schema: StructType, partCol: Option[String]): Unit = {
+    val p = new Path(s"$root/$dir/_schema.json")
+    val body = partCol.map(c => s"""{"partitionColumn":"$c"}""")
+      .getOrElse("""{}""") + "\n" + schema.json + "\n"
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Parse one entry's `_schema.json` back to (schema, partitionColumn);
+    * None when the epoch predates schema records. */
+  private[sources] def readSchemaSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
+      : Option[(StructType, Option[String])] = {
+    val p = new Path(s"$root/$dir/_schema.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    val part =
+      if (lines.head.contains("\"partitionColumn\":\""))
+        Some(lines.head.split("\"partitionColumn\":\"")(1).takeWhile(_ != '"'))
+      else None
+    Some((org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType], part))
+  }
+
   /** Delete every file under `dir` that no committed task claims —
     * leftovers of dead/speculative attempts whose abort never ran. The
     * claimed set is exactly what the epoch publishes. */

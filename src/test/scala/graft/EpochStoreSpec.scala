@@ -958,6 +958,84 @@ class EpochStoreSpec extends SparkSpec {
     assert(nl.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("tombstone deletes: merge-on-read drop, resurrection by a later " +
+      "epoch, and physical purge with unchanged answers") {
+    import spark.implicits._
+    val root = tmp()
+    // epoch 0: ids 0..99; epoch 1: corrections for ids % 10 == 0
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    EpochStore.write((0 until 100 by 10).map(i => (i.toLong, s"c$i"))
+      .toDF("id", "v"), root, 1L)
+    // epoch 2: DELETE ids % 7 == 0; epoch 3: re-insert ids % 14 == 0
+    EpochStore.delete(spark, root,
+      (0 until 100 by 7).map(_.toLong).toDF("id"), 2L)
+    EpochStore.write((0 until 100 by 14).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "v"), root, 3L)
+    def state() = EpochStore.readLatest(spark, root, idvSchema, Seq("id"),
+        applyDeletes = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (0 until 100).flatMap { i =>
+      if (i % 14 == 0) Some(i.toLong -> s"r$i") // resurrected
+      else if (i % 7 == 0) None // deleted, not re-inserted
+      else if (i % 10 == 0) Some(i.toLong -> s"c$i") // corrected
+      else Some(i.toLong -> s"v$i")
+    }.toMap
+    val before = state()
+    assert(before == expect, s"merge-on-read state wrong: " +
+      s"missing ${expect.keySet -- before.keySet}, " +
+      s"extra ${before.keySet -- expect.keySet}")
+    // without applyDeletes the view is the plain latest-wins (history honest)
+    assert(EpochStore.readLatest(spark, root, idvSchema, Seq("id"))
+      .count() == 100)
+    // purge: answers unchanged, tombstoned rows PHYSICALLY gone,
+    // delete store emptied
+    EpochStore.purgeDeletes(spark, root, idvSchema, Seq("id"))
+    assert(state() == expect, "purge changed the served state")
+    val raw = EpochStore.read(spark, root, idvSchema)
+    assert(raw.count().toInt == expect.size,
+      "purged store must hold exactly the live rows")
+    assert(EpochManifest.entries(spark,
+      EpochStore.deletesRoot(root)).isEmpty, "delete store must be empty")
+    // the post-purge store keeps working: append above the fold epoch
+    EpochStore.write(Seq((500L, "new")).toDF("id", "v"), root, 10L)
+    assert(state().get(500L).contains("new"))
+  }
+
+  test("schema evolution: epochs merge by name, old files serve nulls, " +
+      "type changes and pre-evolution entries refuse") {
+    import spark.implicits._
+    val root = tmp()
+    EpochStore.write((0 until 50).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    EpochStore.write((50 until 100).map(i => (i.toLong, s"v$i", i * 10L))
+      .toDF("id", "v", "score"), root, 1L)
+    val (schema, part) = EpochStore.evolvedSchema(spark, root)
+    assert(schema.fieldNames.toSeq == Seq("id", "v", "score") &&
+      part.isEmpty && schema("score").nullable)
+    val df = EpochStore.readEvolved(spark, root)
+    assert(df.count() == 100)
+    assert(df.filter(col("score").isNull).count() == 50, "old epoch = nulls")
+    assert(df.filter(col("score") === 990L).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // a same-name type change refuses loudly
+    val bad = tmp()
+    EpochStore.write(Seq((1L, "a")).toDF("id", "v"), bad, 0L)
+    EpochStore.write(Seq((2, "b")).toDF("id", "v")
+      .select(col("id").cast("int").as("id"), col("v")), bad, 1L)
+    val e1 = intercept[IllegalArgumentException] {
+      EpochStore.evolvedSchema(spark, bad)
+    }
+    assert(e1.getMessage.contains("changed type"))
+    // an entry without a schema record (plain manifest append) refuses
+    val old = tmp()
+    EpochManifest.append(Seq((1L, "a")).toDF("id", "v"), old, 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      EpochStore.evolvedSchema(spark, old)
+    }
+    assert(e2.getMessage.contains("_schema.json"))
+  }
+
   test("estimateStatistics reports the PRUNED size/rows; a dir-pruned " +
       "store auto-broadcasts under the plain threshold") {
     import spark.implicits._
