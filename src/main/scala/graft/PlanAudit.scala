@@ -429,6 +429,18 @@ object PlanAudit {
         tot >= 8 && kept < tot)
     }
 
+    // z-ordered store (r12): the 2-D rectangle must skip files on BOTH
+    // dimensions' recorded stats
+    val zScans = storeScansOf(MiscCatalog.storeZorder(spark, sfDir))
+    audits += Audit("q_store_zorder",
+      "2-D probe reads through the epochstore scan", zScans.size == 1)
+    zScans.foreach { s =>
+      val (kept, tot) = s.skippedFilesAudit
+      audits += Audit("q_store_zorder",
+        s"z-curve stats skipped files ($kept/$tot kept)",
+        tot >= 8 && kept < tot)
+    }
+
     // pruned-size statistics → auto-broadcast (r12): under a threshold
     // the FULL store exceeds, the fr-pruned side must broadcast with NO
     // hint, purely from the scan's post-pruning size report

@@ -845,6 +845,46 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Z-ordered store + 2-D skipping (`q_store_zorder`): the documents
+    * land through [[graft.sources.EpochStore.writeZOrdered]] — clustered
+    * along the Morton curve of (doc_id, n_chars) into 8 contiguous
+    * segments with min/max stats on BOTH columns — and a 2-D rectangle
+    * predicate (id range × char range) skips every file whose recorded
+    * rectangle misses it: the multi-dimension pruning a single-column
+    * sort cannot give ([[graft.core.Layout]]'s X29 layout, graduated
+    * from plain parquet onto the connector's stats-skip path). DuckDB
+    * recomputes the roll-up from the raw table, so an optimistic skip
+    * fails the oracle; PlanAudit gates files-kept < files-listed.
+    *
+    * Scale shape: the dashboard slice over 100 TB keyed two ways at
+    * once — both dimensions prune at metadata cost, no second copy of
+    * the data sorted the other way. */
+  def storeZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"zorder_store:$sfDir",
+        "graft_zorder_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.writeZOrdered(docs, d, 0L,
+        xCol = "doc_id", yCol = "n_chars", bits = 13, parts = 8)
+    }
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema)
+      .filter(col("doc_id").between(100L, 300L) &&
+        col("n_chars").between(100L, 250L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
+  val storeZorderSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 100 AND 300
+      |  AND CAST(n_chars AS BIGINT) BETWEEN 100 AND 250
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Pruned-size statistics → auto-broadcast (`q_store_broadcast`): the
     * scan reports byte/row statistics over its PRUNED file set
     * ([[graft.sources.EpochStoreScan.estimateStatistics]], fed by dir
@@ -1220,6 +1260,7 @@ object MiscCatalog {
     "q_store_broadcast" -> (storeBroadcast _),
     "q_store_delete"  -> (storeDelete _),
     "q_store_evolve"  -> (storeEvolve _),
+    "q_store_zorder"  -> (storeZorder _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -1257,6 +1298,7 @@ object MiscCatalog {
     "q_store_broadcast" -> storeBroadcastSql,
     "q_store_delete"  -> storeDeleteSql,
     "q_store_evolve"  -> storeEvolveSql,
+    "q_store_zorder"  -> storeZorderSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

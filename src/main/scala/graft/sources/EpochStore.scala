@@ -1083,6 +1083,31 @@ object EpochStore {
     w.save()
   }
 
+  /** Z-ORDERED epoch write: cluster `df` along the Morton curve of
+    * (`xCol`, `yCol`) ([[graft.core.Layout.zvalue]] — one codegen'd
+    * expression), range-distribute into `parts` contiguous curve
+    * segments, sort within each, and land through the sink with
+    * min/max stats on BOTH dimensions — each file's recorded
+    * [min, max] × [min, max] is then a tight curve-segment rectangle,
+    * so a 2-D range predicate skips every file whose rectangle misses
+    * it ([[EpochStoreScan]]'s stats skip; no single-column sort can
+    * serve both dimensions at once). The curve helper column never
+    * lands; the clustering survives purely as row order + sidecar
+    * stats. */
+  def writeZOrdered(df: DataFrame, root: String, epoch: Long,
+                    xCol: String, yCol: String, bits: Int = 16,
+                    parts: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: input already has a '__z' column — rename it first")
+    val clustered = df
+      .withColumn("__z", graft.core.Layout.zvalue(col(xCol), col(yCol), bits))
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    write(clustered, root, epoch, statsColumns = Seq(xCol, yCol))
+  }
+
   /** Parse one `col=value` dir-name value to the column's external type.
     * Stores partition by small integer hash buckets / cells or short
     * string labels; the hive null sentinel maps to null. */

@@ -82,6 +82,9 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces {
     fs.listStatus(nsPath).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
+      // internal sub-stores (a store's `_deletes` tombstones) are part
+      // of their parent's read path, not tables of their own
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
       .filter(n => isStore(s"$nsPath/$n"))
       .map(n => Identifier.of(namespace, n))
       .toArray
