@@ -441,6 +441,19 @@ object PlanAudit {
         tot >= 8 && kept < tot)
     }
 
+    // stats-preserving compaction (r12): the SAME range probe that the
+    // interleaved history couldn't prune must skip on the re-sorted,
+    // stats-re-derived fold
+    val cScans = storeScansOf(MiscCatalog.storeCompact(spark, sfDir))
+    audits += Audit("q_store_compact",
+      "post-fold probe reads through the epochstore scan", cScans.size == 1)
+    cScans.foreach { s =>
+      val (kept, tot) = s.skippedFilesAudit
+      audits += Audit("q_store_compact",
+        s"re-derived fold stats skipped files ($kept/$tot kept)",
+        tot >= 4 && kept < tot)
+    }
+
     // pruned-size statistics → auto-broadcast (r12): under a threshold
     // the FULL store exceeds, the fr-pruned side must broadcast with NO
     // hint, purely from the scan's post-pruning size report

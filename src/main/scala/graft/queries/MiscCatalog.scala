@@ -845,6 +845,43 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Stats-preserving compaction (`q_store_compact`): four epochs land
+    * INTERLEAVED by doc_id % 4 — every epoch spans the whole id range,
+    * so per-file stats can prune nothing — then
+    * [[graft.sources.EpochStore.compactStore]] folds them re-sorted on
+    * doc_id: the fold records the merged schema, RE-DERIVES per-file
+    * min/max/row counts (one read-back pass grouped by file), and its
+    * files cover disjoint ranges, so the same range probe that kept
+    * everything before the fold now opens one or two files. DuckDB
+    * recomputes the roll-up from the raw table, so a fold that dropped
+    * rows, duplicated an epoch, or mis-derived a stat (false skip)
+    * fails the oracle; PlanAudit gates files-kept < files-listed on
+    * the POST-fold store.
+    *
+    * Scale shape: compaction is where naive stores silently lose their
+    * skipping tier — here the metadata survives the fold, so a store
+    * stays probe-efficient across its whole maintenance lifecycle. */
+  def storeCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"compact_store:$sfDir",
+        "graft_compact_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      (0 until 4).foreach(e => graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 4 === e), d, e.toLong,
+        statsColumns = Seq("doc_id")))
+      graft.sources.EpochStore.compactStore(spark, d,
+        sortColumns = Seq("doc_id"), parts = 4)
+    }
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema)
+      .filter(col("doc_id").between(100L, 220L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
+  val storeCompactSql: String = storeStatskipSql
+
   /** Z-ordered store + 2-D skipping (`q_store_zorder`): the documents
     * land through [[graft.sources.EpochStore.writeZOrdered]] — clustered
     * along the Morton curve of (doc_id, n_chars) into 8 contiguous
@@ -1261,6 +1298,7 @@ object MiscCatalog {
     "q_store_delete"  -> (storeDelete _),
     "q_store_evolve"  -> (storeEvolve _),
     "q_store_zorder"  -> (storeZorder _),
+    "q_store_compact" -> (storeCompact _),
     "q_store_sql"     -> (storeSql _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_zorder"        -> (zorderQ _),
@@ -1299,6 +1337,7 @@ object MiscCatalog {
     "q_store_delete"  -> storeDeleteSql,
     "q_store_evolve"  -> storeEvolveSql,
     "q_store_zorder"  -> storeZorderSql,
+    "q_store_compact" -> storeCompactSql,
     "q_store_sql"     -> storeSqlSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_zorder"        -> zorderSql,

@@ -1083,6 +1083,114 @@ object EpochStore {
     w.save()
   }
 
+  /** STORE-AWARE compaction — [[EpochManifest.compact]] upgraded to
+    * keep the connector's whole metadata tier alive across the fold:
+    *
+    *  - evolution-aware: each covered entry is read under its OWN
+    *    recorded `_schema.json` and unioned by name (missing columns
+    *    null-filled), so compacting an evolved store neither drops the
+    *    added column nor refuses; the fold records the MERGED schema,
+    *    keeping [[readEvolved]] working afterwards;
+    *  - optionally re-clustered: `sortColumns` range-distributes and
+    *    sorts the fold (`parts` files), restoring disjoint per-file
+    *    ranges exactly when history epochs had overlapping ones;
+    *  - stats-preserving: per-file min / max / null counts are
+    *    RE-DERIVED for every numeric column any covered epoch declared
+    *    (one read-back pass grouped by file), so range skipping, LIMIT
+    *    truncation, and row-count statistics survive the fold. String
+    *    stats are dropped (Spark's binary UTF-8 min/max can disagree
+    *    with the probe's java ordering on supplementary characters —
+    *    a dropped stat only costs IO, a wrong one costs rows); bloom
+    *    sidecars are dropped likewise (folded files always stay, the
+    *    documented always-keep fallback).
+    *
+    * Same isolation contract as every compaction here: the swap is ONE
+    * manifest commit, a reader pinned to the previous generation keeps
+    * every dir through the gc lag. */
+  def compactStore(spark: SparkSession, root: String,
+                   uptoEpoch: Long = Long.MaxValue,
+                   sortColumns: Seq[String] = Nil,
+                   parts: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit,
+      max, min, sum, when}
+    val es = EpochManifest.entries(spark, root)
+    val covered = es.filter(_.epoch < uptoEpoch)
+    if (covered.size <= 1) return
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val recs = covered.map(e =>
+      e -> EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+    val missing = recs.collect { case (e, None) => e.dir }
+    require(missing.isEmpty,
+      s"compactStore on $root: entries without a _schema.json record: " +
+        s"${missing.mkString(", ")} — use EpochManifest.compact with an " +
+        "explicit schema for pre-evolution stores")
+    val parts0 = recs.map(_._2.get._2).distinct
+    require(parts0.size == 1,
+      s"partitionColumn changed across epochs of $root: $parts0")
+    val partCol = parts0.head
+    val merged = recs.map(_._2.get._1).reduceLeft { (a, b) =>
+      val known = a.fields.map(f => f.name -> f).toMap
+      b.fields.foreach(f => known.get(f.name).foreach(g =>
+        require(g.dataType == f.dataType,
+          s"column ${f.name} changed type across epochs of $root")))
+      StructType(a.fields ++
+        b.fields.filterNot(f => known.contains(f.name))
+          .map(_.copy(nullable = true)))
+    }
+    val folded0 = recs.map { case (e, Some((s, _))) =>
+      spark.read.schema(s).parquet(s"$root/${e.dir}")
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(merged.fieldNames.map(col): _*)
+    val folded =
+      if (sortColumns.isEmpty) folded0.coalesce(parts)
+      else folded0.repartitionByRange(parts, sortColumns.map(col): _*)
+        .sortWithinPartitions(sortColumns.map(col): _*)
+    val maxCov = covered.map(_.epoch).max
+    val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
+    val w = folded.write.mode("overwrite")
+    partCol.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$foldDir")
+    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, partCol)
+    // re-derive the numeric stats any covered epoch declared
+    val statKinds: Seq[(String, Char)] = covered
+      .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
+        .flatMap(_.cols.toSeq))
+      .map { case (c, cs) => (c, cs.kind) }.distinct
+      .filter(_._2 != 's')
+      .filter { case (c, _) => merged.fieldNames.contains(c) }
+    val statsCols = statKinds.map(_._1)
+    val back = spark.read.schema(merged).parquet(s"$root/$foldDir")
+      .withColumn("__f", input_file_name())
+    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+    val perFile = back.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        // input_file_name's URI spelling (file:///…) differs from
+        // makeQualified's (file:/…) — anchor on the fold dir name
+        // instead of prefix-stripping a qualified path
+        val uri = r.getString(0)
+        val anchor = uri.indexOf(s"/$foldDir/")
+        require(anchor >= 0, s"fold file outside $foldDir: $uri")
+        val rel = uri.substring(anchor + foldDir.length + 2)
+        val cols = statKinds.map { case (c, kind) =>
+          def num(v: Any): Any = (kind, v) match {
+            case (_, null) => null
+            case ('d', n: Number) => n.doubleValue()
+            case (_, n: Number) => n.longValue()
+            case _ => null
+          }
+          c -> EpochStoreStats.ColStats(kind, r.getAs[Long](s"__nulls_$c"),
+            Option(num(r.getAs[Any](s"__min_$c"))),
+            Option(num(r.getAs[Any](s"__max_$c"))))
+        }.toMap
+        rel -> EpochStoreStats.FileStats(r.getAs[Long]("__rows"), cols)
+      }
+    EpochStoreStats.write(fs, root, foldDir, perFile)
+    EpochManifest.commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+
+      EpochManifest.Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min))
+    EpochManifest.gc(spark, root)
+  }
+
   /** Z-ORDERED epoch write: cluster `df` along the Morton curve of
     * (`xCol`, `yCol`) ([[graft.core.Layout.zvalue]] — one codegen'd
     * expression), range-distribute into `parts` contiguous curve

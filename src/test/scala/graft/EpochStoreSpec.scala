@@ -1036,6 +1036,47 @@ class EpochStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("_schema.json"))
   }
 
+  test("compactStore: the fold keeps evolution AND skipping alive — " +
+      "merged schema recorded, numeric stats re-derived, re-sorted " +
+      "ranges disjoint, answers unchanged") {
+    import spark.implicits._
+    val root = tmp()
+    // evolved history: epoch 0 (id, v), epoch 1 adds score; both with
+    // id stats, OVERLAPPING id ranges so only the re-sort restores
+    // disjointness
+    EpochStore.write((0 until 100 by 2).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").coalesce(1), root, 0L, statsColumns = Seq("id"))
+    EpochStore.write((1 until 100 by 2).map(i => (i.toLong, s"v$i", i * 10L))
+      .toDF("id", "v", "score").coalesce(1), root, 1L,
+      statsColumns = Seq("id"))
+    val before = EpochStore.readEvolved(spark, root)
+      .collect().map(_.toSeq).toSet
+    EpochStore.compactStore(spark, root, sortColumns = Seq("id"), parts = 4)
+    // one fold entry; evolved read still resolves and equals pre-fold
+    val es = EpochManifest.entries(spark, root)
+    assert(es.size == 1 && es.head.minEpoch == 0L && es.head.epoch == 1L)
+    assert(EpochStore.readEvolved(spark, root)
+      .collect().map(_.toSeq).toSet == before)
+    // stats were re-derived: 4 disjoint id ranges, and a range query
+    // skips 3 of 4 fold files
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stats = graft.sources.EpochStoreStats.read(fs, root, es.head.dir)
+    assert(stats.size == 4 && stats.values.forall(_.cols.contains("id")))
+    val ranges = stats.values.map(f => (f.cols("id").min.get.asInstanceOf[Long],
+      f.cols("id").max.get.asInstanceOf[Long])).toSeq.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"fold ranges overlap: $ranges")
+    val (schema2, _) = EpochStore.evolvedSchema(spark, root)
+    val probe = EpochStore.read(spark, root, schema2)
+      .filter(col("id").between(ranges(2)._1, ranges(2)._1 + 10L))
+    probe.collect()
+    assert(scanOf(probe).skippedFilesAudit == (1, 4),
+      s"post-fold skip: ${scanOf(probe).skippedFilesAudit}")
+  }
+
   test("estimateStatistics reports the PRUNED size/rows; a dir-pruned " +
       "store auto-broadcasts under the plain threshold") {
     import spark.implicits._
