@@ -441,6 +441,19 @@ object PlanAudit {
         tot >= 8 && kept < tot)
     }
 
+    // sidecar-answered aggregation (r12): the grouped COUNT/MIN/MAX over
+    // the stats-declared store must fold on the driver — zero file opens
+    val metaScans = MiscCatalog.storeAggMeta(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+      }.collect { case s: graft.sources.EpochStoreAggScan => s }
+    audits += Audit("q_store_agg_meta",
+      "aggregate pushed: the plan carries the agg scan", metaScans.size == 1)
+    audits += Audit("q_store_agg_meta",
+      "answer folded from the stats sidecars (no file, no footer opened)",
+      metaScans.headOption.exists(_.answeredFromSidecars))
+
     // stats-preserving compaction (r12): the SAME range probe that the
     // interleaved history couldn't prune must skip on the re-sorted,
     // stats-re-derived fold

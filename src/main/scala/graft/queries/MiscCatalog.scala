@@ -1108,6 +1108,45 @@ object MiscCatalog {
       .orderBy("lang")
   }
 
+  /** Sidecar-answered aggregation (`q_store_agg_meta`): the SAME
+    * grouped COUNT / COUNT(col) / MIN / MAX shape as [[storeAgg]], but
+    * over a store written with `statsColumns = doc_id` — every file's
+    * rows / nulls / min / max are already in its epoch's
+    * `_skip/stats.json`, so [[graft.sources.EpochStoreAggScan]] folds
+    * the whole answer on the DRIVER from the sidecars: zero file opens,
+    * not even a footer (the tier above `q_store_agg`'s footer fold).
+    * DuckDB recomputes from the raw table, so a sidecar fold that
+    * mis-summed nulls, lost a file, or mangled a type fails the
+    * oracle; PlanAudit gates `answeredFromSidecars`.
+    *
+    * Scale shape: the 100 TB dashboard count costs the manifest + one
+    * tiny JSON per epoch — no task even opens a file. */
+  def storeAggMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.Landed.dir(spark, s"meta_store:$sfDir",
+        "graft_meta_store") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      (0 until 2).foreach(e => graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % 2 === e), d, e.toLong,
+        partitionColumn = "lang", statsColumns = Seq("doc_id")))
+    }
+    graft.sources.EpochStore.read(spark, dir, langStoreSchema, "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), count(col("doc_id")).as("n_ids"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  val storeAggMetaSql: String =
+    """SELECT lang, COUNT(*) AS n, COUNT(doc_id) AS n_ids,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val storeAggSql: String =
     """SELECT lang, COUNT(*) AS n,
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
@@ -1288,6 +1327,7 @@ object MiscCatalog {
     "q_store_dpp"     -> (storeDpp _),
     "q_store_changes" -> (storeChanges _),
     "q_store_agg"     -> (storeAgg _),
+    "q_store_agg_meta" -> (storeAggMeta _),
     "q_store_spj"     -> (storeSpj _),
     "q_store_upsert"  -> (storeUpsert _),
     "q_store_derived" -> (storeDerived _),
@@ -1327,6 +1367,7 @@ object MiscCatalog {
     "q_store_dpp"     -> storeDppSql,
     "q_store_changes" -> storeChangesSql,
     "q_store_agg"     -> storeAggSql,
+    "q_store_agg_meta" -> storeAggMetaSql,
     "q_store_spj"     -> storeSpjSql,
     "q_store_upsert"  -> storeUpsertSql,
     "q_store_derived" -> storeDerivedSql,

@@ -75,7 +75,112 @@ final case class EpochStoreAggScan(
 
   def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
 
+  /** SIDECAR-answered aggregation — the tier ABOVE the footer fold:
+    * when every listed file carries a stats record covering the pushed
+    * aggregates (rows for COUNT(*), per-column nulls for COUNT(col),
+    * exact numeric min/max for MIN/MAX), the DRIVER folds the answer
+    * from the `_skip/stats.json` sidecars alone — one partial row per
+    * group, ZERO file opens, not even a footer: a grouped count over
+    * 100 TB costs exactly the manifest + one tiny JSON per epoch. Any
+    * file without the needed record falls the whole scan back to the
+    * footer path (sidecar stats are exact task-side accumulations, so
+    * falling back is about coverage, never correctness). */
+  private lazy val sidecarAnswer: Option[Seq[(Any, Array[Any])]] =
+    computeSidecarAnswer()
+
+  private def computeSidecarAnswer(): Option[Seq[(Any, Array[Any])]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val statsBy = entries.map(e =>
+      e.dir -> EpochStoreStats.read(fs, root, e.dir)).toMap
+    val files = listing._1
+    if (files.isEmpty) return None
+    val sts = files.map(lf => lf ->
+      statsBy.getOrElse(lf.entryDir, Map.empty)
+        .get(EpochStore.relOf(fs, root, lf)))
+    if (sts.exists(_._2.isEmpty)) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def covered(n: String): Boolean = sts.forall(_._2.get.cols.contains(n))
+    val exprs = aggregation.aggregateExpressions.toSeq
+    val answerable = exprs.forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && colOf(c.column).exists(covered)
+      case m: Min => colOf(m.column).exists(covered)
+      case m: Max => colOf(m.column).exists(covered)
+      case _ => false
+    }
+    if (!answerable) return None
+    def conv(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (n: Number, ByteType) => n.byteValue()
+      case (n: Number, ShortType) => n.shortValue()
+      case (n: Number, IntegerType) => n.intValue()
+      case (n: Number, LongType) => n.longValue()
+      case (n: Number, FloatType) => n.floatValue()
+      case (n: Number, DoubleType) => n.doubleValue()
+      case _ => return None // non-numeric stat kind: footer path decides
+    }
+    def better(a: Any, b: Any, takeMin: Boolean): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: Number, y: Number) =>
+        val c = new java.math.BigDecimal(x.toString)
+          .compareTo(new java.math.BigDecimal(y.toString))
+        if (c < 0 == takeMin) x else y
+      case _ => return None
+    }
+    val groups: Seq[(Any, Seq[EpochStoreStats.FileStats])] =
+      if (aggregation.groupByExpressions.isEmpty)
+        Seq((null, sts.map(_._2.get)))
+      else sts.groupBy(_._1.value).toSeq
+        .sortBy(t => String.valueOf(t._1))
+        .map { case (v, l) => (v, l.map(_._2.get)) }
+    Some(groups.map { case (v, fstats) =>
+      val vals: Array[Any] = exprs.map {
+        case _: CountStar => fstats.map(_.rows).sum.asInstanceOf[Any]
+        case c: Count =>
+          val n = colOf(c.column).get
+          fstats.map(f => f.rows - f.cols(n).nulls).sum.asInstanceOf[Any]
+        case m: Min =>
+          val n = colOf(m.column).get
+          conv(fstats.map(_.cols(n).min.orNull)
+            .reduceLeft(better(_, _, takeMin = true)),
+            dataSchema(n).dataType)
+        case m: Max =>
+          val n = colOf(m.column).get
+          conv(fstats.map(_.cols(n).max.orNull)
+            .reduceLeft(better(_, _, takeMin = false)),
+            dataSchema(n).dataType)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }.toArray
+      (v, vals)
+    })
+  }
+
+  /** True when the answer came from the sidecars alone (no file, not
+    * even a footer, was opened) — the audit hook PlanSpec reads. */
+  def answeredFromSidecars: Boolean = sidecarAnswer.nonEmpty
+
   override def planInputPartitions(): Array[InputPartition] = {
+    sidecarAnswer match {
+      case Some(groups) =>
+        // place the group value at its aggSchema position (Spark's
+        // pushed-agg layout conventions own the ordering); aggregates
+        // fill the remaining slots in expression order
+        val groupIdx =
+          if (groupSchema.isEmpty) -1
+          else aggSchema.fieldIndex(partField.get.name)
+        return groups.map { case (v, vals) =>
+          PrecomputedAggPartition(vals, v, groupIdx): InputPartition
+        }.toArray
+      case None => ()
+    }
     val files = listing._1
     if (files.isEmpty) {
       if (aggregation.groupByExpressions.isEmpty)
@@ -99,6 +204,14 @@ final case class EpochStoreAggScan(
 final case class EpochAggPartition(filePath: String, fileLen: Long,
                                    partValue: Any) extends InputPartition
 
+/** One DRIVER-folded partial row (the sidecar-answered path): `values`
+  * are the aggregate results in expression order; `groupIdx` (-1 when
+  * ungrouped) is the aggSchema slot holding `partValue`. The task emits
+  * the assembled row verbatim — no IO at all. */
+final case class PrecomputedAggPartition(values: Array[Any], partValue: Any,
+                                         groupIdx: Int)
+    extends InputPartition
+
 final class EpochAggReaderFactory(
     bc: Broadcast[SerializableConfiguration], dataSchema: StructType,
     groupSchema: StructType, aggregation: Aggregation,
@@ -106,6 +219,29 @@ final class EpochAggReaderFactory(
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case pre: PrecomputedAggPartition =>
+        return new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val row = {
+            val n = pre.values.length + (if (pre.groupIdx >= 0) 1 else 0)
+            val slots = new Array[Any](n)
+            var vi = 0
+            (0 until n).foreach { i =>
+              if (i == pre.groupIdx)
+                slots(i) = EpochStore.toCatalyst(pre.partValue)
+              else { slots(i) = pre.values(vi); vi += 1 }
+            }
+            new GenericInternalRow(slots)
+          }
+          override def next(): Boolean = if (emitted) false else {
+            emitted = true; true
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val part = p.asInstanceOf[EpochAggPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false

@@ -1036,6 +1036,49 @@ class EpochStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("_schema.json"))
   }
 
+  test("sidecar-answered aggregation: COUNT/COUNT(col)/MIN/MAX fold on " +
+      "the driver from stats records, equal to the row scan; a statless " +
+      "file falls back to footers") {
+    import spark.implicits._
+    val root = tmp()
+    val rows = (0 until 300).map(i =>
+      (if (i % 11 == 0) null else java.lang.Long.valueOf(i.toLong),
+        s"v$i", i % 4))
+    EpochStore.write(rows.take(150).toDF("id", "v", "bucket"), root, 0L,
+      partitionColumn = "bucket", statsColumns = Seq("id"))
+    EpochStore.write(rows.drop(150).toDF("id", "v", "bucket"), root, 1L,
+      partitionColumn = "bucket", statsColumns = Seq("id"))
+    val s3 = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("bucket", IntegerType)))
+    def agg() = EpochStore.read(spark, root, s3, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), count(col("id")).as("nn"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .orderBy("bucket")
+    def aggScanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.collect { case s: graft.sources.EpochStoreAggScan => s }.head
+    val meta = agg()
+    assert(aggScanOf(meta).answeredFromSidecars, "must fold from sidecars")
+    val metaRows = meta.collect().map(_.toSeq).toSeq
+    // row-scan truth: the kill switch disables aggregate pushdown
+    val truthRows = spark.read.format("epochstore").schema(s3)
+      .option("path", root).option("partitionColumn", "bucket")
+      .option("aggregatePushdown", "false").load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), count(col("id")).as("nn"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(metaRows == truthRows, s"sidecar fold diverged:\n$metaRows\nvs\n$truthRows")
+    // an epoch appended without any stats record forces the footer path
+    EpochManifest.append(Seq((900L, "x", 1)).toDF("id", "v", "bucket"),
+      root, 5L, partitionBy = Seq("bucket"))
+    val fallback = agg()
+    assert(!aggScanOf(fallback).answeredFromSidecars)
+    assert(fallback.collect().map(_.getAs[Long]("n")).sum == 301L)
+  }
+
   test("compactStore: the fold keeps evolution AND skipping alive — " +
       "merged schema recorded, numeric stats re-derived, re-sorted " +
       "ranges disjoint, answers unchanged") {
