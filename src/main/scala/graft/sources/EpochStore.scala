@@ -91,7 +91,8 @@ class EpochStoreProvider extends TableProvider with DataSourceRegister {
 final class EpochStoreTable(tableSchema: StructType,
                             options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = s"epochstore(${EpochStore.rootOf(options)})"
 
@@ -124,6 +125,21 @@ final class EpochStoreTable(tableSchema: StructType,
     * [[EpochStoreWriteBuilder]]); requires option("epoch", n). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EpochStoreWriteBuilder(info)
+
+  /** SQL `TRUNCATE TABLE` — one empty-entry-list manifest commit: every
+    * row gone atomically, the data dirs themselves reclaimed by the
+    * next gc (a reader pinned to the pre-truncate generation keeps its
+    * snapshot through the usual two-manifest lag). The delete sub-store
+    * truncates with it — tombstones against an empty table are noise. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val root = EpochStore.rootOf(options)
+    EpochManifest.commit(spark, root, Seq.empty)
+    val delRoot = EpochStore.deletesRoot(root)
+    if (EpochManifest.generations(spark, delRoot).nonEmpty)
+      EpochManifest.commit(spark, delRoot, Seq.empty)
+    true
+  }
 }
 
 final class EpochStoreScanBuilder(tableSchema: StructType,
@@ -369,7 +385,7 @@ final case class EpochStoreScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new EpochStoreMicroBatchStream(fullSchema, required, partCol, root,
-      partFilters, dataFilters, streamOptions)
+      partFilters, dataFilters, streamOptions, bloomCol)
 
   /** Runtime (DPP) filters on the partition column — delivered by Spark
     * AFTER the dim side of a join executes ([[filter]]); merged into the
@@ -449,17 +465,8 @@ final case class EpochStoreScan(
   private def applyStatsSkip(spark: SparkSession,
       files: Seq[EpochStore.ListedFile]): Seq[EpochStore.ListedFile] = {
     if (dataFilters.isEmpty) return files
-    val se = statsByEntry(spark)
-    if (se.valuesIterator.forall(_.isEmpty)) return files
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    files.filter { lf =>
-      se.getOrElse(lf.entryDir, Map.empty)
-        .get(EpochStore.relOf(fs, root, lf)) match {
-        case None => true
-        case Some(st) => !dataFilters.exists(f =>
-          EpochStoreStats.canMatch(f, st).contains(false))
-      }
-    }
+    EpochStore.statsSkipFiles(fs, root, statsByEntry(spark), files, dataFilters)
   }
 
   /** LIMIT / ORDER-BY-LIMIT truncation from the recorded row counts:
@@ -571,31 +578,11 @@ final case class EpochStoreScan(
     * kept. */
   private def applyBloomSkip(spark: SparkSession,
       files: Seq[EpochStore.ListedFile]): Seq[EpochStore.ListedFile] = {
-    import org.apache.spark.util.sketch.BloomFilter
-    val probes: Seq[Set[Any]] = bloomCol.toSeq.flatMap { c =>
-      dataFilters.collect {
-        case sources.EqualTo(a, v) if a == c && v != null => Set[Any](v)
-        case sources.In(a, vs) if a == c && vs.nonEmpty &&
-          !vs.contains(null) => vs.toSet[Any]
-      }
-    }
+    val probes = EpochStore.bloomProbes(dataFilters, bloomCol)
     if (probes.isEmpty) return files
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val isString =
-      bloomCol.exists(c => fullSchema(c).dataType == StringType)
-    def might(bf: BloomFilter, v: Any): Boolean =
-      if (isString) bf.mightContainString(v.toString)
-      else bf.mightContainLong(v.asInstanceOf[Number].longValue())
-    files.filter { lf =>
-      val rel = EpochStore.relOf(fs, root, lf)
-      val sc = new Path(s"$root/${lf.entryDir}/_skip/$rel.bloom")
-      if (!fs.exists(sc)) true
-      else {
-        val in = fs.open(sc)
-        val bf = try BloomFilter.readFrom(in) finally in.close()
-        probes.forall(p => p.exists(v => might(bf, v)))
-      }
-    }
+    EpochStore.bloomSkipFiles(fs, root, files, probes,
+      bloomCol.exists(c => fullSchema(c).dataType == StringType))
   }
 
   /** selected/total partition dirs across the pinned epochs — the
@@ -711,6 +698,60 @@ object EpochStore {
     val entryPath = fs.makeQualified(new Path(s"$root/${lf.entryDir}")).toString
     fs.makeQualified(lf.status.getPath).toString
       .stripPrefix(entryPath).stripPrefix("/")
+  }
+
+  /** Conjunctive EqualTo/In probe sets on the bloom column — empty when
+    * the filters carry no point lookup the sidecars can answer. */
+  private[sources] def bloomProbes(dataFilters: Array[Filter],
+      bloomCol: Option[String]): Seq[Set[Any]] =
+    bloomCol.toSeq.flatMap { c =>
+      dataFilters.collect {
+        case sources.EqualTo(a, v) if a == c && v != null => Set[Any](v)
+        case sources.In(a, vs) if a == c && vs.nonEmpty &&
+          !vs.contains(null) => vs.toSet[Any]
+      }
+    }
+
+  /** Drop every file whose bloom sidecar proves the probed keys absent
+    * (no false negatives → exact skip; sidecarless files always stay).
+    * Shared by the batch scan and each streaming micro-batch. */
+  private[sources] def bloomSkipFiles(
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      files: Seq[ListedFile], probes: Seq[Set[Any]],
+      isString: Boolean): Seq[ListedFile] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (probes.isEmpty) return files
+    def might(bf: BloomFilter, v: Any): Boolean =
+      if (isString) bf.mightContainString(v.toString)
+      else bf.mightContainLong(v.asInstanceOf[Number].longValue())
+    files.filter { lf =>
+      val sc = new Path(s"$root/${lf.entryDir}/_skip/${relOf(fs, root, lf)}.bloom")
+      if (!fs.exists(sc)) true
+      else {
+        val in = fs.open(sc)
+        val bf = try BloomFilter.readFrom(in) finally in.close()
+        probes.forall(p => p.exists(v => might(bf, v)))
+      }
+    }
+  }
+
+  /** Drop every file whose recorded stats prove some conjunct
+    * unsatisfiable ([[EpochStoreStats.canMatch]]; statless files always
+    * stay). Shared by the batch scan and each streaming micro-batch. */
+  private[sources] def statsSkipFiles(
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      statsByEntry: Map[String, Map[String, EpochStoreStats.FileStats]],
+      files: Seq[ListedFile], dataFilters: Array[Filter]): Seq[ListedFile] = {
+    if (dataFilters.isEmpty ||
+      statsByEntry.valuesIterator.forall(_.isEmpty)) return files
+    files.filter { lf =>
+      statsByEntry.getOrElse(lf.entryDir, Map.empty)
+        .get(relOf(fs, root, lf)) match {
+        case None => true
+        case Some(st) => !dataFilters.exists(f =>
+          EpochStoreStats.canMatch(f, st).contains(false))
+      }
+    }
   }
 
   /** One listed file: its partition-dir value (null for unpartitioned
@@ -980,10 +1021,12 @@ object EpochStore {
     * same-name type conflict refuses loudly (silent coercion corrupts).
     * Entries without a schema record (pre-evolution epochs, generic
     * compaction folds) refuse with the explicit-schema escape hatch. */
-  def evolvedSchema(spark: SparkSession, root: String)
+  def evolvedSchema(spark: SparkSession, root: String,
+                    asOfGeneration: Long = -1L)
       : (StructType, Option[String]) = {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val es = EpochManifest.entries(spark, root)
+    val es = if (asOfGeneration < 0L) EpochManifest.entries(spark, root)
+      else EpochManifest.entriesAt(spark, root, asOfGeneration)
     require(es.nonEmpty, s"no committed manifest under $root")
     val recs = es.map(e =>
       e.dir -> EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
@@ -1010,9 +1053,12 @@ object EpochStore {
 
   /** [[read]] under the store's own evolved schema — no caller-supplied
     * schema; epochs written before a column existed serve it as null. */
-  def readEvolved(spark: SparkSession, root: String): DataFrame = {
-    val (schema, part) = evolvedSchema(spark, root)
-    read(spark, root, schema, part.orNull)
+  def readEvolved(spark: SparkSession, root: String,
+                  asOfGeneration: Long = -1L): DataFrame = {
+    // time travel composes: the PINNED generation's schemas merge, so
+    // an as-of read predating an ADD COLUMN serves the old shape
+    val (schema, part) = evolvedSchema(spark, root, asOfGeneration)
+    read(spark, root, schema, part.orNull, asOfGeneration = asOfGeneration)
   }
 
   /** The engine's changefeed entry point — the rows committed AFTER a

@@ -117,6 +117,12 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces {
         (s.isFile && s.getLen > 0) ||
           (s.isDirectory && hasFiles(s.getPath)))
     val dataEntry = entries.find(e => hasFiles(new Path(s"$root/${e.dir}")))
+      // a just-TRUNCATEd (or all-empty) store: discover the schema from
+      // any RETAINED generation's entry — truncate is one manifest
+      // commit, the previous snapshot's dirs live until the next gc
+      .orElse(gens.reverse.iterator
+        .flatMap(g => EpochManifest.entriesAt(spark, root, g))
+        .find(e => hasFiles(new Path(s"$root/${e.dir}"))))
       .getOrElse(throw new IllegalArgumentException(
         s"store $root has only empty epochs — read it through " +
           "graft.sources.EpochStore.read with an explicit schema"))

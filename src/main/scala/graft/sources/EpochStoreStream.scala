@@ -60,7 +60,8 @@ final case class EpochStreamOffset(epoch: Long) extends Offset {
 final class EpochStoreMicroBatchStream(
     fullSchema: StructType, required: StructType, partCol: Option[String],
     root: String, partFilters: Array[Filter], dataFilters: Array[Filter],
-    streamOptions: Map[String, String])
+    streamOptions: Map[String, String],
+    bloomCol: Option[String] = None)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -148,7 +149,18 @@ final class EpochStoreMicroBatchStream(
           "stream's committed offset"))
     val (files, _, _) =
       EpochStore.listEntryFiles(spark, root, batch, partField, partFilters)
-    EpochStore.planFilePartitions(spark, files, readPartSchema,
+    // the tail skips files exactly like the batch scan: a filtered
+    // stream consumer pays only for the epochs' matching files
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
+    val statsBy = batch.map(en =>
+      en.dir -> EpochStoreStats.read(fs, root, en.dir)).toMap
+    val kept = EpochStore.bloomSkipFiles(fs, root,
+      EpochStore.statsSkipFiles(fs, root, statsBy, files, dataFilters),
+      EpochStore.bloomProbes(dataFilters, bloomCol),
+      bloomCol.exists(c => fullSchema(c).dataType ==
+        org.apache.spark.sql.types.StringType))
+    EpochStore.planFilePartitions(spark, kept, readPartSchema,
       lf => if (readPartSchema.isEmpty) Array.empty else Array(lf.value))
   }
 

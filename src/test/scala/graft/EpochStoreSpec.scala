@@ -1079,6 +1079,64 @@ class EpochStoreSpec extends SparkSpec {
     assert(fallback.collect().map(_.getAs[Long]("n")).sum == 301L)
   }
 
+  test("streaming tail skips files from the stats sidecars; evolution " +
+      "composes with time travel") {
+    import graft.sources.{EpochStoreMicroBatchStream, EpochStreamOffset}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = statsStore()
+    def filesPlanned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+      val st = new EpochStoreMicroBatchStream(idvSchema, idvSchema, None,
+        root, Array.empty, filters, Map.empty)
+      st.planInputPartitions(EpochStreamOffset(-1L), EpochStreamOffset(3L))
+        .collect { case fp: FilePartition => fp.files.length }.sum
+    }
+    assert(filesPlanned(Array.empty) == 4)
+    assert(filesPlanned(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 1010L),
+      org.apache.spark.sql.sources.LessThan("id", 1150L))) == 1,
+      "the filtered tail must open only the matching epoch's file")
+    // evolution × time travel: the generation before the ADD COLUMN
+    // serves the old shape, the live read the merged one
+    import spark.implicits._
+    val evoRoot = tmp()
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), evoRoot, 0L)
+    val genBefore = EpochManifest.generations(spark, evoRoot).last
+    EpochStore.write((10 until 20).map(i => (i.toLong, s"v$i", i * 2L))
+      .toDF("id", "v", "extra"), evoRoot, 1L)
+    assert(EpochStore.evolvedSchema(spark, evoRoot, genBefore)
+      ._1.fieldNames.toSeq == Seq("id", "v"))
+    assert(EpochStore.readEvolved(spark, evoRoot, genBefore).count() == 10)
+    assert(EpochStore.evolvedSchema(spark, evoRoot)
+      ._1.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(EpochStore.readEvolved(spark, evoRoot).count() == 20)
+  }
+
+  test("SQL TRUNCATE TABLE: one manifest commit empties the store, the " +
+      "pre-truncate generation stays readable, tombstones clear too") {
+    import spark.implicits._
+    val wh = tmp()
+    EpochStore.write((0 until 40).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), s"$wh/t", 0L)
+    EpochStore.delete(spark, s"$wh/t", Seq(3L).toDF("id"), 1L)
+    val genBefore = EpochManifest.generations(spark, s"$wh/t").last
+    spark.conf.set("spark.sql.catalog.trunccat",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.trunccat.warehouse", wh)
+    assert(spark.sql("SELECT COUNT(*) FROM trunccat.t").head.getLong(0) == 40)
+    spark.sql("TRUNCATE TABLE trunccat.t")
+    // live read: empty, schema still discoverable; pinned: pre-truncate
+    assert(spark.sql("SELECT COUNT(*) FROM trunccat.t").head.getLong(0) == 0)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM trunccat.t VERSION AS OF $genBefore")
+      .head.getLong(0) == 40)
+    assert(EpochManifest.entries(spark,
+      EpochStore.deletesRoot(s"$wh/t")).isEmpty)
+    // the store accepts new epochs after the truncate
+    EpochStore.write(Seq((100L, "new")).toDF("id", "v"), s"$wh/t", 5L)
+    assert(spark.sql("SELECT COUNT(*) FROM trunccat.t").head.getLong(0) == 1)
+  }
+
   test("compactStore: the fold keeps evolution AND skipping alive — " +
       "merged schema recorded, numeric stats re-derived, re-sorted " +
       "ranges disjoint, answers unchanged") {
