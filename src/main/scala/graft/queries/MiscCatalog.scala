@@ -1320,7 +1320,123 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  private val dmlRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One FRESH lang-partitioned documents store per call (DML mutates
+    * it, so bench re-runs must not see a prior run's edits), addressed
+    * through a run-unique catalog name. Returns (catalog, table ref). */
+  private def freshDmlStore(spark: SparkSession, sfDir: String,
+                            epochs: Int): (Long, String) = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_dml_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    (0 until epochs).foreach(e => graft.sources.EpochStore.write(
+      docs.filter(col("doc_id") % epochs === e), root, e.toLong,
+      partitionColumn = "lang", statsColumns = Seq("doc_id")))
+    val c = s"graftdml$run"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    (run, s"$c.docs")
+  }
+
+  /** SQL DML through the store catalog (`q_store_dml`): DELETE (the
+    * partition-dir condition classifies every dir from metadata; mixed
+    * entries rewrite copy-on-write, each as ONE atomic manifest
+    * commit), UPDATE (an untranslatable predicate → the group-based
+    * row-level rewrite, `plans`' whole-kept-set copy-on-write), then
+    * INSERT (auto-allocated next epoch) — and the final aggregate must
+    * equal DuckDB replaying the same three statements as relational
+    * algebra over the raw table. A delete that leaked a row, an update
+    * that dropped a carried-over row, or an insert that landed outside
+    * the partition layout all fail the oracle.
+    *
+    * Scale shape: the delete rewrites only entries whose dirs mix
+    * matching and non-matching rows (epoch/partition-aligned deletes
+    * are pure manifest edits); the update's copy-on-write is bounded by
+    * the kept-entry set; every statement is one manifest commit, and
+    * the pre-DML snapshot stays time-travelable. */
+  def storeDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, t) = freshDmlStore(spark, sfDir, epochs = 2)
+    spark.sql(s"DELETE FROM $t WHERE lang = 'en'")
+    spark.sql(s"UPDATE $t SET n_chars = -1 WHERE doc_id % 100 = 0")
+    spark.sql(s"INSERT INTO $t VALUES (9000001, 11, 'zz'), (9000002, 22, 'zz')")
+    spark.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+         |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeDmlSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+      |  FROM documents WHERE lang IS NOT NULL
+      |), afterdel AS (
+      |  SELECT * FROM base WHERE lang <> 'en'
+      |), upd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 100 = 0 THEN -1 ELSE n_chars END AS n_chars,
+      |    lang
+      |  FROM afterdel
+      |), fin AS (
+      |  SELECT * FROM upd
+      |  UNION ALL SELECT 9000001, 11, 'zz'
+      |  UNION ALL SELECT 9000002, 22, 'zz'
+      |)
+      |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** SQL MERGE INTO through the store catalog (`q_store_merge`): the
+    * group-based row-level rewrite driving upsert — matched target rows
+    * take the source's doubled n_chars, unmatched source rows insert
+    * into their partition dirs, unmatched target rows carry over
+    * untouched, all published as ONE manifest generation. DuckDB
+    * replays the merge as a union of the two row classes, so a dropped
+    * carry-over row, a double-applied update, or a misplaced insert
+    * fails the oracle. */
+  def storeMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val (run, t) = freshDmlStore(spark, sfDir, epochs = 1)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    val src = docs.select(col("doc_id"), (col("n_chars") * 2).as("n_chars"),
+        col("lang"))
+      .union(docs.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("n_chars"), lit("xx").as("lang")))
+    val v = s"graft_merge_src_$run"
+    src.createOrReplaceTempView(v)
+    spark.sql(
+      s"""MERGE INTO $t t USING $v s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
+         |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+         |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeMergeSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+      |  FROM documents WHERE lang IS NOT NULL
+      |), merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END AS n_chars,
+      |    lang
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, n_chars, 'xx' FROM base WHERE lang = 'en'
+      |)
+      |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_dml"     -> (storeDml _),
+    "q_store_merge"   -> (storeMerge _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_write"   -> (storeWrite _),
     "q_store_stream"  -> (storeStream _),
@@ -1361,6 +1477,8 @@ object MiscCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_store_dml"     -> storeDmlSql,
+    "q_store_merge"   -> storeMergeSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_write"   -> storeWriteSql,
     "q_store_stream"  -> storeStreamSql,

@@ -607,6 +607,32 @@ object TpchCatalog {
       |GROUP BY l_returnflag
       |ORDER BY est DESC, item ASC""".stripMargin
 
+  /** `approx_top_k`-style SQL surface (`q_topk_sql`): the registered
+    * `heavy_hitters` aggregate driven entirely through `spark.sql`,
+    * explode + ORDER BY est + LIMIT k in SQL — the one-call "top k
+    * frequent items" a dashboard issues. m = 16 exceeds l_returnflag's
+    * cardinality, so the sketch is in its exact deterministic regime
+    * and DuckDB recomputes the same top 2 from a plain GROUP BY
+    * (tie-broken identically); the SpaceSaving eviction/merge bounds
+    * beyond that regime stay pinned by SpaceSavingSpec. */
+  def topkSqlQ(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.HeavyHittersAgg.register(spark)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_li_topkv")
+    spark.sql(
+      """SELECT h.item AS item, h.est AS est
+        |FROM (SELECT explode(heavy_hitters(l_returnflag, 16)) AS h
+        |      FROM graft_li_topkv)
+        |ORDER BY est DESC, item ASC
+        |LIMIT 2""".stripMargin)
+  }
+
+  val topkSqlSql: String =
+    """SELECT l_returnflag AS item, COUNT(*) AS est
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY est DESC, item ASC
+      |LIMIT 2""".stripMargin
+
   /** Count-Min point estimates over `l_suppkey`
     * ([[graft.plans.CountMinAgg]]): the per-key frequency complement to
     * [[heavyHittersQ]] — 4×64 counters total regardless of key
@@ -954,6 +980,7 @@ object TpchCatalog {
     "q_window_topk"     -> (windowTopK _),
     "q_group_topk"      -> (groupTopK _),
     "q_heavy_hitters"   -> (heavyHittersQ _),
+    "q_topk_sql"        -> (topkSqlQ _),
     "q_cms_counts"      -> (cmsCountsQ _),
     "q_cms_join_size"   -> (cmsJoinSizeQ _),
     "q_hll_registers"   -> (hllRegistersQ _),
@@ -992,6 +1019,7 @@ object TpchCatalog {
     "q_window_topk"     -> windowTopKSql,
     "q_group_topk"      -> groupTopKSql,
     "q_heavy_hitters"   -> heavyHittersSql,
+    "q_topk_sql"        -> topkSqlSql,
     "q_cms_counts"      -> cmsCountsSql,
     "q_cms_join_size"   -> cmsJoinSizeSql,
     "q_hll_registers"   -> hllRegistersSql,

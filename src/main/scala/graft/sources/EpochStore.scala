@@ -92,11 +92,21 @@ final class EpochStoreTable(tableSchema: StructType,
                             options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"epochstore(${EpochStore.rootOf(options)})"
 
   override def schema(): StructType = tableSchema
+
+  /** The store's dir layout as DECLARED partitioning — what lets SQL
+    * validate `PARTITION (col=...)` clauses and route dynamic
+    * partition overwrite at this table. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    Option(options.get("partitionColumn")).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   /** `_epoch`: the manifest epoch that committed each row's file — the
     * provenance column that turns the append-only store into a
@@ -114,7 +124,9 @@ final class EpochStoreTable(tableSchema: StructType,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     // table-creation options carry path/partitionColumn/maxEpoch/
@@ -122,9 +134,51 @@ final class EpochStoreTable(tableSchema: StructType,
     new EpochStoreScanBuilder(tableSchema, options)
 
   /** Append = land one epoch + atomic manifest publish (the write half,
-    * [[EpochStoreWriteBuilder]]); requires option("epoch", n). */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new EpochStoreWriteBuilder(info)
+    * [[EpochStoreWriteBuilder]]). The TABLE's own options (path,
+    * partitionColumn, …) merge UNDER the per-write options, so catalog
+    * SQL (`INSERT INTO cat.t …`) reaches the sink with the store's
+    * identity and layout even though the statement carries no options;
+    * without option("epoch", n) the next epoch is auto-allocated
+    * (single-writer contract — concurrent INSERTs race the allocation,
+    * use explicit epochs for multi-writer pipelines). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.putAll(info.options().asCaseSensitiveMap())
+    val merged = new CaseInsensitiveStringMap(m)
+    require(merged.get("asOfGeneration") == null,
+      "cannot write to a time-traveled epochstore table — drop VERSION AS OF")
+    new EpochStoreWriteBuilder(new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = merged
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = info.schema()
+    })
+  }
+
+  /** SQL `DELETE FROM … WHERE …`, metadata-first: entries provably
+    * all-matching drop from the manifest, provably untouched ones stay,
+    * and only mixed entries rewrite copy-on-write — published as ONE
+    * manifest commit ([[EpochStoreDml.resolveDelete]]), pre-delete
+    * snapshot retained. Untranslatable conditions (subqueries, exotic
+    * expressions) refuse here and Spark falls back to the row-level
+    * rewrite ([[newRowLevelOperationBuilder]]). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => EpochStoreDml.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val root = EpochStore.rootOf(options)
+    EpochManifest.commit(spark, root,
+      EpochStoreDml.resolveDelete(spark, root, filters))
+    ()
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and DELETEs the metadata path
+    * refuses): group-based copy-on-write where the group is a manifest
+    * entry ([[EpochStoreRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new EpochStoreRowLevelOperationBuilder(tableSchema, options, info)
 
   /** SQL `TRUNCATE TABLE` — one empty-entry-list manifest commit: every
     * row gone atomically, the data dirs themselves reclaimed by the
@@ -143,7 +197,8 @@ final class EpochStoreTable(tableSchema: StructType,
 }
 
 final class EpochStoreScanBuilder(tableSchema: StructType,
-                                  options: CaseInsensitiveStringMap)
+                                  options: CaseInsensitiveStringMap,
+                                  rlo: EpochStoreRowLevelOperation = null)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -154,6 +209,10 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
   private var required: StructType = tableSchema
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
+  /** rlo mode only: the command condition, used EXCLUSIVELY to skip
+    * whole entries (groups) — never dirs or files within a kept entry,
+    * which the rewrite must read in full. */
+  private var groupFilters: Array[Filter] = Array.empty
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[EpochStore.TopNPush] = None
 
@@ -173,7 +232,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     * (Spark keeps its limit operator), so files without recorded row
     * counts simply disable the truncation, never the correctness. */
   override def pushLimit(limit: Int): Boolean = {
-    if (dataFilters.nonEmpty || limit <= 0) return false
+    if (rlo != null || dataFilters.nonEmpty || limit <= 0) return false
     pushedLimit = Some(limit)
     true
   }
@@ -192,7 +251,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{
       NamedReference, NullOrdering, SortDirection}
-    if (dataFilters.nonEmpty || limit <= 0 || orders.isEmpty) return false
+    if (rlo != null || dataFilters.nonEmpty || limit <= 0 || orders.isEmpty)
+      return false
     // bounding on the FIRST sort column alone is sound for a
     // lexicographic top-k: once ≥ k rows have c1 ≤ B, no row with
     // c1 > B can rank in the top k whatever the tie-breaks say — and
@@ -227,6 +287,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
+    if (rlo != null) return false
     if (options.getBoolean("aggregatePushdown", true) == false) return false
     if (dataFilters.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -264,6 +325,13 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     * reader as row-group/page skip candidates — non-exact there, so
     * they stay residual too (the native parquet source's contract). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (rlo != null) {
+      // group contract: the condition may prune whole ENTRIES only —
+      // using it for dir/file skipping inside a kept entry would drop
+      // rows the copy-on-write rewrite must carry over
+      groupFilters = filters
+      return filters
+    }
     val (exact, rest) = filters.partition(f =>
       partCol.exists(c => EpochStore.exactPartitionFilter(f, c)))
     partFilters = exact
@@ -284,6 +352,24 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     * pinned entry list travels inside the Scan. */
   override def build(): Scan = {
     val spark = SparkSession.active
+    if (rlo != null) {
+      // the row-level rewrite's read: pin the operation's generation,
+      // skip entries the condition PROVABLY cannot touch (entry-level
+      // classification — the same metadata the delete fast path uses),
+      // record the kept set as the groups the paired write replaces,
+      // and read those entries in full (no dir/file pruning, no
+      // runtime narrowing)
+      val fs = new Path(rlo.root).getFileSystem(
+        GraftBridge.sessionHadoopConf(spark))
+      val partField = partCol.flatMap(c => tableSchema.fields.find(_.name == c))
+      val kept = rlo.pinned.filter(e =>
+        EpochStoreDml.classify(spark, fs, rlo.root, e, partField,
+          groupFilters) != EpochStoreDml.Untouched)
+      rlo.kept = kept
+      return EpochStoreScan(tableSchema, required, partCol, rlo.root,
+        rlo.generation, kept, Array.empty, Array.empty,
+        runtimeFilterable = false)
+    }
     val root = EpochStore.rootOf(options)
     val gens = EpochManifest.generations(spark, root)
     require(gens.nonEmpty, s"no committed manifest under $root")
@@ -340,7 +426,8 @@ final case class EpochStoreScan(
     streamOptions: Map[String, String] = Map.empty,
     bloomCol: Option[String] = None,
     limit: Option[Int] = None,
-    topN: Option[EpochStore.TopNPush] = None)
+    topN: Option[EpochStore.TopNPush] = None,
+    runtimeFilterable: Boolean = true)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -404,7 +491,7 @@ final case class EpochStoreScan(
     * (a join on other columns can't prune dirs anyway). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (readPartSchema.isEmpty) Array.empty
+    if (!runtimeFilterable || readPartSchema.isEmpty) Array.empty
     else partCol.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
 
@@ -1306,6 +1393,7 @@ object EpochStore {
   private[sources] def exactPartitionFilter(f: Filter, col: String): Boolean =
     f match {
       case sources.EqualTo(a, _) => a == col
+      case sources.EqualNullSafe(a, _) => a == col
       case sources.In(a, _) => a == col
       case sources.GreaterThan(a, _) => a == col
       case sources.GreaterThanOrEqual(a, _) => a == col
@@ -1337,6 +1425,11 @@ object EpochStore {
     }
     f match {
       case sources.EqualTo(a, x) if a == col => cmp(x).map(_ == 0)
+      case sources.EqualNullSafe(a, x) if a == col =>
+        // null-safe: decidable even when either side is null — the form
+        // static partition overwrite pushes
+        if (x == null || v == null) Some(x == null && v == null)
+        else cmp(x).map(_ == 0)
       case sources.In(a, xs) if a == col =>
         if (v == null) Some(false)
         else {

@@ -1,0 +1,344 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.EpochManifest
+
+/** SQL DML over the epochstore — the machinery behind `DELETE FROM`,
+  * `INSERT OVERWRITE`, `UPDATE` and `MERGE INTO` on
+  * [[EpochStoreTable]]:
+  *
+  *  - [[resolveDelete]] computes the post-delete MANIFEST entry list
+  *    for a conjunctive filter: entries whose rows PROVABLY all match
+  *    are dropped (metadata-only — partition-dir evaluation, exactly
+  *    like scan pruning), entries provably untouched (dir evaluation
+  *    or per-file stats sidecars) are kept as-is, and only MIXED
+  *    entries are rewritten copy-on-write (their surviving rows land
+  *    in a replacement dir at the SAME epoch). The caller publishes
+  *    the result as ONE manifest commit, so the delete appears
+  *    atomically and the pre-delete snapshot stays readable via the
+  *    previous generation — time travel across DML for free.
+  *  - [[EpochStoreRowLevelOperation]] is the group-based
+  *    (copy-on-write) `SupportsRowLevelOperations` implementation that
+  *    Spark's RewriteUpdateTable / RewriteMergeIntoTable /
+  *    RewriteDeleteFromTable rules drive: the GROUP is a manifest
+  *    entry — the operation's scan skips entries the command's
+  *    condition provably cannot touch (recording the KEPT set), the
+  *    rewrite reads every row of the kept entries, and the paired
+  *    write commits (untouched entries) + (one fold entry holding the
+  *    rewritten rows) in one atomic manifest generation, refusing on a
+  *    concurrent commit (optimistic concurrency on the pinned
+  *    generation).
+  *
+  * Scale shape: a DELETE/UPDATE aligned with partitions or epochs is
+  * metadata-only or rewrites just the affected entries' data; nothing
+  * ever rewrites history it can prove untouched, and the single
+  * manifest commit keeps readers snapshot-isolated throughout. */
+private[sources] object EpochStoreDml {
+
+  /** v1 Filter → Column, for the copy-on-write survivor filter. None =
+    * untranslatable (canDeleteWhere / canOverwrite refuse there and
+    * Spark falls back to the row-level-operation rewrite). */
+  def filterToColumn(f: Filter): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+      case sources.Or(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case _ => None
+    }
+  }
+
+  /** What a conjunctive delete condition PROVABLY does to one entry's
+    * rows, from metadata alone (partition-dir values + stats
+    * sidecars) — never a file open. */
+  sealed trait EntryFate
+  /** No row of the entry can match — keep it untouched. */
+  case object Untouched extends EntryFate
+  /** Every row of the entry matches — drop it from the manifest. */
+  case object AllDead extends EntryFate
+  /** Unprovable either way — the copy-on-write case. */
+  case object Mixed extends EntryFate
+
+  private def filesUnder(fs: org.apache.hadoop.fs.FileSystem,
+                         p: Path): Seq[FileStatus] = {
+    val (dirs, files) = fs.listStatus(p).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .partition(_.isDirectory)
+    files.filter(_.getLen > 0) ++ dirs.flatMap(d => filesUnder(fs, d.getPath))
+  }
+
+  private def relIn(fs: org.apache.hadoop.fs.FileSystem, entryPath: String,
+                    st: FileStatus): String = {
+    val q = fs.makeQualified(new Path(entryPath)).toString
+    fs.makeQualified(st.getPath).toString.stripPrefix(q).stripPrefix("/")
+  }
+
+  /** Classify one entry against the AND of `filters` — `partField` is
+    * the entry's OWN recorded partition column (entries of an evolved
+    * store are classified under their own layout). With no filters
+    * nothing is provable → Mixed. */
+  def classify(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+               root: String, e: EpochManifest.Entry,
+               partField: Option[StructField],
+               filters: Array[Filter]): EntryFate = {
+    if (filters.isEmpty) return Mixed
+    val entryPath = s"$root/${e.dir}"
+    if (!fs.exists(new Path(entryPath))) return Untouched
+    lazy val stats = EpochStoreStats.read(fs, root, e.dir)
+    // a file is CLEAN when its stats prove some conjunct unsatisfiable
+    def fileClean(st: FileStatus): Boolean =
+      stats.get(relIn(fs, entryPath, st)).exists(cs =>
+        filters.exists(fl => EpochStoreStats.canMatch(fl, cs).contains(false)))
+    partField match {
+      case None =>
+        val fls = filesUnder(fs, new Path(entryPath))
+        if (fls.forall(fileClean)) Untouched else Mixed
+      case Some(f) =>
+        val prefix = s"${f.name}="
+        val subs = fs.listStatus(new Path(entryPath)).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        if (subs.isEmpty) return Untouched
+        val fates = subs.map { sub =>
+          val v = EpochStore.parsePartitionValue(
+            sub.getPath.getName.stripPrefix(prefix), f.dataType)
+          val evals = filters.map(fl =>
+            EpochStore.evalOnPartition(fl, f.name, v))
+          if (evals.exists(_.contains(false))) 'u'
+          else if (evals.forall(_.contains(true))) 'd'
+          else if (filesUnder(fs, sub.getPath).forall(fileClean)) 'u'
+          else 'm'
+        }
+        if (fates.forall(_ == 'u')) Untouched
+        else if (fates.forall(_ == 'd')) AllDead
+        else Mixed
+    }
+  }
+
+  /** The post-delete entry list for `DELETE WHERE and(filters)`:
+    * untouched entries pass through, all-dead entries drop, mixed
+    * entries are rewritten copy-on-write (survivors = rows where the
+    * condition is not TRUE — SQL DELETE keeps null-evaluating rows) to
+    * a replacement dir at the same epoch, schema sidecar preserved.
+    * The CALLER commits the returned list (one atomic manifest
+    * generation); an abandoned rewrite dir is just an uncommitted
+    * orphan for the next gc. */
+  def resolveDelete(spark: SparkSession, root: String,
+                    filters: Array[Filter]): Seq[EpochManifest.Entry] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val es = EpochManifest.entries(spark, root)
+    if (filters.isEmpty || es.isEmpty) return es
+    if (filters.exists { case sources.AlwaysFalse() => true; case _ => false })
+      return es
+    if (filters.forall { case sources.AlwaysTrue() => true; case _ => false })
+      return Seq.empty
+    val cond = filters.map(f => filterToColumn(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"epochstore DELETE cannot translate filter $f"))).reduce(_ && _)
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    es.flatMap { e =>
+      val rec = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
+      val pf = rec.flatMap { case (s, pc) => pc.map(c => s(c)) }
+      classify(spark, fs, root, e, pf, filters) match {
+        case Untouched => Some(e)
+        case AllDead => None
+        case Mixed =>
+          val (schema, pc) = rec.getOrElse(throw new IllegalStateException(
+            s"DELETE over $root: entry ${e.dir} predates schema records and " +
+              "its rows cannot be proven untouched — compact the store first"))
+          val full = spark.read.schema(schema).parquet(s"$root/${e.dir}")
+          val surv = full.filter(not(coalesce(cond, lit(false))))
+          val dir2 =
+            if (e.minEpoch < e.epoch) EpochManifest.newFoldDir(spark, root, e.epoch)
+            else EpochManifest.newDataDir(spark, root, e.epoch)
+          val w = surv.write.mode("overwrite")
+          pc.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$dir2")
+          EpochStoreWrite.writeSchemaSidecar(fs, root, dir2, schema, pc)
+          Some(e.copy(dir = dir2))
+      }
+    }
+  }
+}
+
+/** Group-based (copy-on-write) row-level operation over the store: the
+  * GROUP is a manifest entry. Spark's UPDATE / MERGE / DELETE rewrites
+  * drive this when a metadata-only delete is impossible:
+  * [[newScanBuilder]] pins the CURRENT generation and skips entries the
+  * command's pushed condition provably cannot touch (recording the kept
+  * set — the groups to replace); the paired [[EpochStoreReplaceWrite]]
+  * reads back that set at commit and publishes (untouched entries) +
+  * (one fold entry with the rewritten rows) as one atomic manifest
+  * generation. A commit that observes a DIFFERENT live generation than
+  * the one the scan pinned refuses — optimistic concurrency, never a
+  * lost update. */
+final class EpochStoreRowLevelOperation(
+    tableSchema: StructType, tableOptions: CaseInsensitiveStringMap,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  require(tableOptions.get("asOfGeneration") == null,
+    "cannot UPDATE/MERGE/DELETE a time-traveled epochstore table — " +
+      "drop VERSION AS OF")
+
+  private[sources] val root: String = EpochStore.rootOf(tableOptions)
+  private[sources] val partCol: Option[String] =
+    Option(tableOptions.get("partitionColumn"))
+
+  private[sources] val generation: Long = {
+    val spark = SparkSession.active
+    val gens = EpochManifest.generations(spark, root)
+    require(gens.nonEmpty, s"no committed manifest under $root")
+    gens.last
+  }
+  private[sources] val pinned: Seq[EpochManifest.Entry] =
+    EpochManifest.entriesAt(SparkSession.active, root, generation)
+
+  /** The entries whose rows the rewrite READS — set by the scan
+    * builder at build time, consumed by the write at commit: exactly
+    * the groups the commit replaces. Defaults to everything (a write
+    * planned without a scan-side proof replaces the whole table). */
+  @volatile private[sources] var kept: Seq[EpochManifest.Entry] = pinned
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"epochstore $cmd gen=$generation ($root)"
+
+  /** Require the `_epoch` metadata column: this routes Spark's
+    * ReplaceData through the metadata-projecting write task, whose
+    * contract hands the writer a PROJECTED data row (without it, the
+    * raw rewrite row — `__row_operation` included — reaches the sink
+    * unprojected). The writer ignores the metadata row itself
+    * ([[EpochStoreDataWriter]]'s two-arg write). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(EpochStore.EpochColName))
+
+  /** The rewrite's read half: the normal pinned scan, with two
+    * group-contract deviations ([[EpochStoreScanBuilder]]'s `rlo`
+    * mode) — pushed filters prune WHOLE entries only (a group must be
+    * read in full once any of its rows might match), and runtime
+    * filtering is off (a runtime-narrowed read would desynchronize
+    * from what the commit replaces). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EpochStoreScanBuilder(tableSchema, tableOptions, rlo = this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val op = this
+    new WriteBuilder {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // cluster by the partition dir column so the rewrite lands one
+        // file per (task, value) with values collected per task
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          partCol match {
+            case Some(c) =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .identity(c)))
+            case None =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+          }
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def toBatch: BatchWrite =
+          new EpochStoreReplaceWrite(op, info.schema(), info.queryId())
+      }
+    }
+  }
+}
+
+/** The write half of a group-based row-level operation: tasks stage the
+  * rewritten rows under `.rlo<queryId>`; commit renames the staging dir
+  * to a FOLD entry spanning the kept entries' epoch range and publishes
+  * (pinned minus kept) + that entry atomically. Fold naming keeps the
+  * append-retry guard protecting it ([[EpochManifest.guardNotFold]]). */
+final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
+                                   schema: StructType, queryId: String)
+    extends BatchWrite {
+
+  private def staging = s"${op.root}/.rlo$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new Path(op.root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    fs.delete(new Path(staging), true): Unit // stale staging of a dead attempt
+    new EpochStoreWriterFactory(staging, schema, op.partCol,
+      EpochStoreBatchWrite.primedConf(spark, schema, op.partCol))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(op.root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val live = EpochManifest.generations(spark, op.root).lastOption
+    require(live.contains(op.generation),
+      s"epochstore ${op.command()} over ${op.root}: generation " +
+        s"${op.generation} was pinned at planning but $live is live — " +
+        "a concurrent commit landed; re-run the statement")
+    val keptDirs = op.kept.map(_.dir).toSet
+    val survivors = op.pinned.filterNot(e => keptDirs.contains(e.dir))
+    val epoch =
+      if (op.kept.nonEmpty) op.kept.map(_.epoch).max
+      else op.pinned.map(_.epoch).maxOption.getOrElse(-1L) + 1L
+    val lo =
+      if (op.kept.nonEmpty) math.min(op.kept.map(_.minEpoch).min, epoch)
+      else epoch
+    val dir = EpochManifest.newFoldDir(spark, op.root, epoch)
+    EpochStoreWrite.pruneToCommitted(fs, new Path(staging), messages)
+    if (fs.exists(new Path(staging)))
+      require(fs.rename(new Path(staging), new Path(s"${op.root}/$dir")),
+        s"epochstore replace rename $staging -> ${op.root}/$dir failed")
+    else fs.mkdirs(new Path(s"${op.root}/$dir")): Unit
+    EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, schema, op.partCol)
+    EpochManifest.commit(spark, op.root,
+      survivors :+ EpochManifest.Entry(epoch, dir, lo = lo))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(op.root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    fs.delete(new Path(staging), true): Unit
+  }
+}
+
+/** Builder indirection required by the SupportsRowLevelOperations
+  * contract — one operation instance per planned command. */
+final class EpochStoreRowLevelOperationBuilder(
+    tableSchema: StructType, tableOptions: CaseInsensitiveStringMap,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new EpochStoreRowLevelOperation(tableSchema, tableOptions, info.command())
+}

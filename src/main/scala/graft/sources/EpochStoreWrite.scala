@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.write.{
   WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -57,7 +58,32 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     // update-mode streaming writes land as APPENDED epochs — exactly the
     // store's semantics: each epoch carries the keys the batch updated,
     // and EpochStore.readLatest serves the current value per key
-    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  /** `INSERT OVERWRITE` (static mode / `TRUNCATE`-then-append): the
+    * commit publishes (post-delete survivors of the filter) + the new
+    * epoch as ONE manifest generation — the overwrite appears
+    * atomically and the previous snapshot stays time-travelable.
+    * Filter handling is [[EpochStoreDml.resolveDelete]]'s
+    * metadata-first contract. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    filters.foreach(f => require(EpochStoreDml.filterToColumn(f).isDefined,
+      s"epochstore INSERT OVERWRITE cannot translate filter $f"))
+    overwriteMode = EpochOverwrite.ByFilters(filters)
+    this
+  }
+
+  /** `INSERT OVERWRITE` under dynamic partition-overwrite mode: only
+    * the partition values the batch actually WRITES are replaced — the
+    * filter is derived at commit from the committed files' dirs. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwriteMode = EpochOverwrite.DynamicParts
+    this
+  }
+
+  private var overwriteMode: EpochOverwrite = EpochOverwrite.AppendOnly
 
   private def partColOf(): Option[String] = {
     val partCol = Option(info.options().get("partitionColumn"))
@@ -173,11 +199,14 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def toBatch: BatchWrite = {
       val opts = info.options()
       val root = EpochStore.rootOf(opts)
+      // no explicit epoch (catalog SQL INSERT): auto-allocate the next
+      // one — single-writer contract; explicit epochs remain the
+      // multi-writer / retry-idempotent protocol
       val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          "epochstore write requires option(\"epoch\", <n>)"))
+        EpochManifest.entries(SparkSession.active, root)
+          .map(_.epoch).maxOption.map(_ + 1L).getOrElse(0L))
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColOf(),
-        bloomOf(), statsOf())
+        bloomOf(), statsOf(), overwriteMode)
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -296,15 +325,33 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
   }
 }
 
+/** How a batch epoch PUBLISHES: plain append (epoch replacement on
+  * retry), or an overwrite whose commit atomically pairs the new epoch
+  * with the removal of what it replaces. */
+sealed trait EpochOverwrite
+object EpochOverwrite {
+  case object AppendOnly extends EpochOverwrite
+  /** Static `INSERT OVERWRITE` — replace rows matching the AND of the
+    * filters (AlwaysTrue = whole-table truncate-and-append). */
+  final case class ByFilters(filters: Array[Filter]) extends EpochOverwrite
+  /** Dynamic partition overwrite — replace exactly the partition
+    * values the batch wrote. */
+  case object DynamicParts extends EpochOverwrite
+}
+
 final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  schema: StructType, partCol: Option[String],
                                  bloom: Option[BloomSpec] = None,
-                                 statsCols: Seq[(String, Char)] = Nil)
+                                 statsCols: Seq[(String, Char)] = Nil,
+                                 overwrite: EpochOverwrite =
+                                   EpochOverwrite.AppendOnly)
     extends BatchWrite {
 
   // fail a doomed job before any executor work; declaring the bloom
   // column early is safe — declared-but-sidecarless files always stay
-  EpochManifest.guardNotFold(SparkSession.active, root, epoch)
+  // (overwrites never replace BY epoch, so the fold guard is append-only)
+  if (overwrite == EpochOverwrite.AppendOnly)
+    EpochManifest.guardNotFold(SparkSession.active, root, epoch)
   bloom.foreach(b => BloomSpec.publish(SparkSession.active, root, b.col))
 
   /** The attempt dir is allocated ONCE here (driver, write planning) —
@@ -333,7 +380,55 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCol)
-    EpochManifest.commitEpochDir(spark, root, epoch, dir)
+    overwrite match {
+      case EpochOverwrite.AppendOnly =>
+        EpochManifest.commitEpochDir(spark, root, epoch, dir)
+      case EpochOverwrite.ByFilters(filters) =>
+        commitOverwrite(spark, filters)
+      case EpochOverwrite.DynamicParts =>
+        // replace exactly the partition values the batch wrote — their
+        // dirs are the first path segment of every committed file
+        val fl: Array[Filter] = partCol match {
+          case None =>
+            // an unpartitioned table has one "partition": everything
+            Array(org.apache.spark.sql.sources.AlwaysTrue)
+          case Some(c) =>
+            val dt = schema(c).dataType
+            val values = messages
+              .collect { case m: EpochFilesWritten => m.files }.flatten
+              .flatMap(rel => rel.split('/').headOption.filter(_.contains("=")))
+              .distinct.toSeq
+              .map(seg => EpochStore.parsePartitionValue(
+                seg.substring(seg.indexOf('=') + 1), dt))
+            if (values.isEmpty) Array(org.apache.spark.sql.sources.AlwaysFalse)
+            else {
+              val (nulls, nn) = values.partition(_ == null)
+              val base: Option[Filter] =
+                if (nn.nonEmpty)
+                  Some(org.apache.spark.sql.sources.In(c, nn.toArray))
+                else None
+              val nul: Option[Filter] =
+                if (nulls.nonEmpty)
+                  Some(org.apache.spark.sql.sources.IsNull(c)) else None
+              Array((base ++ nul).reduce(org.apache.spark.sql.sources.Or(_, _)))
+            }
+        }
+        commitOverwrite(spark, fl)
+    }
+  }
+
+  /** One atomic manifest generation: what survives the replaced-rows
+    * delete, plus this batch's epoch. */
+  private def commitOverwrite(spark: SparkSession,
+                              filters: Array[Filter]): Unit = {
+    val survivors = EpochStoreDml.resolveDelete(spark, root, filters)
+    require(!survivors.exists(_.epoch == epoch),
+      s"epochstore overwrite at epoch $epoch would collide with a " +
+        s"surviving entry at the same epoch under $root — use a fresh " +
+        "epoch (omit the option to auto-allocate)")
+    EpochManifest.commit(spark, root,
+      survivors :+ EpochManifest.Entry(epoch, dir))
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -560,6 +655,14 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
       }
       s"$c=$raw"
   }
+
+  /** The metadata-carrying form Spark's row-level rewrite tasks call
+    * (`DataAndMetadataWritingSparkTask`): the data row is already
+    * projected to this writer's schema; the metadata row (the pinned
+    * `_epoch` the operation requested purely to select this task shape)
+    * carries nothing the replacement epoch keeps. */
+  override def write(metadata: InternalRow, record: InternalRow): Unit =
+    write(record)
 
   override def write(row: InternalRow): Unit = {
     val subdir = subdirOf(row)

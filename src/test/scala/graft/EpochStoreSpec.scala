@@ -1224,4 +1224,188 @@ class EpochStoreSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
   }
+
+  // ------------------------------------------------------------ SQL DML
+
+  /** Four epochs, one bucket each (epoch e = bucket e, ids e*10..e*10+9),
+    * id stats recorded — the partition/epoch-aligned fixture where DML
+    * can PROVE touch sets from metadata. */
+  private def bucketEpochStore(root: String): Unit = {
+    import spark.implicits._
+    (0 until 4).foreach { b =>
+      EpochStore.write(
+        (0 until 10).map(i => ((b * 10 + i).toLong, s"v$b$i", b))
+          .toDF("id", "v", "bucket"),
+        root, b.toLong, partitionColumn = "bucket",
+        statsColumns = Seq("id"))
+    }
+  }
+
+  private def cat(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  private def hfs(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("SQL INSERT INTO auto-allocates the next epoch; INSERT OVERWRITE " +
+      "replaces atomically with the old snapshot retained") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml1", wh)
+    assert(spark.sql("SELECT COUNT(*) FROM dml1.t").head.getLong(0) == 40)
+    spark.sql("INSERT INTO dml1.t VALUES (100, 'new', 1)")
+    assert(EpochManifest.entries(spark, root).map(_.epoch).max == 4L,
+      "INSERT must land as the next auto-allocated epoch")
+    assert(spark.sql("SELECT COUNT(*) FROM dml1.t").head.getLong(0) == 41)
+    // the inserted epoch has the partitioned layout: pruning still exact
+    assert(spark.sql("SELECT COUNT(*) FROM dml1.t WHERE bucket = 1")
+      .head.getLong(0) == 11)
+    val genBefore = EpochManifest.generations(spark, root).last
+    spark.sql("INSERT OVERWRITE dml1.t VALUES (7, 'only', 0)")
+    assert(spark.sql("SELECT v FROM dml1.t").collect()
+      .map(_.getString(0)).toSeq == Seq("only"))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM dml1.t VERSION AS OF $genBefore")
+      .head.getLong(0) == 41,
+      "the pre-overwrite generation must stay readable")
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces exactly that partition, " +
+      "metadata-only on the aligned fixture") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml2", wh)
+    val dirsBefore = EpochManifest.entries(spark, root)
+      .map(e => e.epoch -> e.dir).toMap
+    spark.sql("INSERT OVERWRITE dml2.t PARTITION (bucket = 2) " +
+      "VALUES (200, 'b2')")
+    val after = EpochManifest.entries(spark, root)
+    // bucket 2's aligned epoch dropped from the manifest, nothing else
+    // rewritten (same dirs), the new epoch appended — one commit
+    assert(after.map(_.epoch).toSet == Set(0L, 1L, 3L, 4L))
+    assert(after.filter(_.epoch != 4L)
+      .forall(e => dirsBefore(e.epoch) == e.dir),
+      "untouched partitions' entries must keep their dirs")
+    assert(spark.sql("SELECT COUNT(*) FROM dml2.t").head.getLong(0) == 31)
+    assert(spark.sql("SELECT v FROM dml2.t WHERE bucket = 2").collect()
+      .map(_.getString(0)).toSeq == Seq("b2"))
+  }
+
+  test("dynamic partition overwrite replaces exactly the written " +
+      "partitions") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml6", wh)
+    val old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE dml6.t VALUES (300, 'dyn', 1)")
+      assert(spark.sql("SELECT COUNT(*) FROM dml6.t").head.getLong(0) == 31)
+      assert(spark.sql("SELECT v FROM dml6.t WHERE bucket = 1").collect()
+        .map(_.getString(0)).toSeq == Seq("dyn"),
+        "only the written partition may be replaced")
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM dml6.t WHERE bucket IN (0, 2, 3)")
+        .head.getLong(0) == 30, "unwritten partitions must be untouched")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+  }
+
+  test("DELETE FROM: partition-aligned deletes are metadata-only; " +
+      "stats-screened entries stay; mixed entries rewrite copy-on-write " +
+      "keeping null-evaluating rows") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml3", wh)
+    val dirsBefore = EpochManifest.entries(spark, root)
+      .map(e => e.epoch -> e.dir).toMap
+    spark.sql("DELETE FROM dml3.t WHERE bucket = 2")
+    val after1 = EpochManifest.entries(spark, root)
+    assert(after1.map(_.epoch).toSet == Set(0L, 1L, 3L))
+    assert(after1.forall(e => dirsBefore(e.epoch) == e.dir),
+      "a metadata-only delete must not rewrite surviving entries")
+    assert(hfs(root).exists(new org.apache.hadoop.fs.Path(
+      s"$root/${dirsBefore(2L)}")),
+      "metadata-only: the dropped entry's data stays for the pinned snapshot")
+    assert(spark.sql("SELECT COUNT(*) FROM dml3.t").head.getLong(0) == 30)
+    // data-filter delete: id < 3 lives only in bucket 0's epoch — the id
+    // stats prove buckets 1/3 untouched, so exactly ONE entry rewrites
+    spark.sql("DELETE FROM dml3.t WHERE id < 3")
+    val after2 = EpochManifest.entries(spark, root)
+    assert(after2.map(_.epoch).toSet == Set(0L, 1L, 3L))
+    assert(after2.filter(_.epoch != 0L)
+      .forall(e => dirsBefore(e.epoch) == e.dir),
+      "stats-clean entries must not rewrite")
+    assert(after2.find(_.epoch == 0L).get.dir != dirsBefore(0L),
+      "the mixed entry must rewrite copy-on-write")
+    assert(spark.sql("SELECT COUNT(*) FROM dml3.t").head.getLong(0) == 27)
+    assert(spark.sql("SELECT MIN(id) FROM dml3.t").head.getLong(0) == 3L)
+    // SQL three-valued DELETE: a null-evaluating condition KEEPS the row
+    EpochStore.write(Seq((Option(1L), "a"), (Option.empty[Long], "n"),
+      (Option(5L), "b")).toDF("id", "v"), s"$wh/u", 0L)
+    spark.sql("DELETE FROM dml3.u WHERE id < 3")
+    assert(spark.sql("SELECT v FROM dml3.u").collect()
+      .map(_.getString(0)).toSet == Set("n", "b"),
+      "null-id row must survive the delete")
+  }
+
+  test("SQL UPDATE rewrites only the groups the condition can touch") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml4", wh)
+    val dirsBefore = EpochManifest.entries(spark, root)
+      .map(e => e.epoch -> e.dir).toMap
+    val genBefore = EpochManifest.generations(spark, root).last
+    spark.sql("UPDATE dml4.t SET v = 'upd' WHERE bucket = 2")
+    val after = EpochManifest.entries(spark, root)
+    assert(after.size == 4)
+    assert(after.filter(_.epoch != 2L)
+      .forall(e => dirsBefore(e.epoch) == e.dir),
+      "entries the condition provably cannot touch must keep their dirs")
+    val fold = after.find(_.epoch == 2L).get
+    assert(fold.dir != dirsBefore(2L) && fold.dir.startsWith("f"),
+      s"the touched group must land as a protected fold entry: ${fold.dir}")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dml4.t WHERE bucket = 2 AND v = 'upd'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM dml4.t WHERE v = 'upd'")
+      .head.getLong(0) == 10, "no other row may change")
+    assert(spark.sql("SELECT COUNT(*) FROM dml4.t").head.getLong(0) == 40)
+    assert(EpochManifest.generations(spark, root).last == genBefore + 1,
+      "the update must be ONE manifest commit")
+  }
+
+  test("SQL MERGE INTO: matched rows update, unmatched source rows " +
+      "insert, one atomic generation") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml5", wh)
+    val genBefore = EpochManifest.generations(spark, root).last
+    Seq((5L, "m5", 0), (100L, "m100", 9)).toDF("id", "v", "bucket")
+      .createOrReplaceTempView("dml5src")
+    spark.sql(
+      """MERGE INTO dml5.t t USING dml5src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v, bucket)
+        |  VALUES (s.id, s.v, s.bucket)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM dml5.t").head.getLong(0) == 41)
+    assert(spark.sql("SELECT v FROM dml5.t WHERE id = 5").head
+      .getString(0) == "m5")
+    assert(spark.sql("SELECT bucket FROM dml5.t WHERE id = 100").head
+      .getInt(0) == 9, "the inserted row must land in its partition dir")
+    assert(spark.sql("SELECT COUNT(*) FROM dml5.t WHERE v LIKE 'v%'")
+      .head.getLong(0) == 39, "unmatched target rows must carry over")
+    assert(EpochManifest.generations(spark, root).last == genBefore + 1,
+      "the merge must be ONE manifest commit")
+  }
 }
