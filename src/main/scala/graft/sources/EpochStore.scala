@@ -368,7 +368,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       rlo.kept = kept
       return EpochStoreScan(tableSchema, required, partCol, rlo.root,
         rlo.generation, kept, Array.empty, Array.empty,
-        runtimeFilterable = false)
+        runtimeFilterable = false, rloRef = rlo)
     }
     val root = EpochStore.rootOf(options)
     val gens = EpochManifest.generations(spark, root)
@@ -427,7 +427,8 @@ final case class EpochStoreScan(
     bloomCol: Option[String] = None,
     limit: Option[Int] = None,
     topN: Option[EpochStore.TopNPush] = None,
-    runtimeFilterable: Boolean = true)
+    runtimeFilterable: Boolean = true,
+    rloRef: EpochStoreRowLevelOperation = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -491,14 +492,42 @@ final case class EpochStoreScan(
     * (a join on other columns can't prune dirs anyway). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (!runtimeFilterable || readPartSchema.isEmpty) Array.empty
+    if (rloRef != null)
+      // row-level rewrite: advertise the GROUP identifier (`_epoch`, in
+      // the scan output via requiredMetadataAttributes) — Spark's
+      // runtime group filtering evaluates the command condition once
+      // and hands back the matched epochs ([[filter]])
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(EpochStore.EpochColName))
+    else if (!runtimeFilterable || readPartSchema.isEmpty) Array.empty
     else partCol.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
 
   /** Keep only filters the dir pruning can answer EXACTLY (same contract
     * as planning-time pushdown); anything else is ignored — Spark
-    * re-evaluates the join itself, so ignoring is safe, never wrong. */
+    * re-evaluates the join itself, so ignoring is safe, never wrong.
+    * In rlo mode the delivered `_epoch` In-set is the RUNTIME group
+    * narrowing: the scan drops whole entries no matching row lives in,
+    * and the recorded kept set shrinks with it — an UPDATE/MERGE whose
+    * condition is statically unprovable still rewrites only the entries
+    * that actually contain matches. */
   override def filter(filters: Array[Filter]): Unit = {
+    if (rloRef != null) {
+      val epochs: Option[Set[Long]] = filters.collectFirst {
+        case sources.In(a, vs) if a == EpochStore.EpochColName &&
+          !vs.contains(null) =>
+          vs.map(_.asInstanceOf[Number].longValue()).toSet
+        case sources.EqualTo(a, v: Number)
+          if a == EpochStore.EpochColName => Set(v.longValue())
+      }
+      epochs.foreach { es =>
+        val narrowed = entries.filter(e => es.contains(e.epoch))
+        rloRef.kept = narrowed
+        runtimeEntries = narrowed
+        cachedListing = null
+      }
+      return
+    }
     val exact = filters.filter(f =>
       partCol.exists(c => EpochStore.exactPartitionFilter(f, c)))
     if (exact.nonEmpty) {
@@ -517,11 +546,14 @@ final case class EpochStoreScan(
     * runtime). Cached; invalidated when a runtime filter lands. */
   @transient private var cachedListing
       : (Seq[EpochStore.ListedFile], Int, Int) = null
+  /** rlo mode: entries narrowed by the runtime group filter. */
+  @transient private var runtimeEntries: Seq[EpochManifest.Entry] = null
   private def listing: (Seq[EpochStore.ListedFile], Int, Int) = {
     if (cachedListing == null) {
       val spark = SparkSession.active
       val (files, sel, tot) = EpochStore.listEntryFiles(spark, root,
-        entries, partField, partFilters ++ runtimeFilters)
+        if (runtimeEntries != null) runtimeEntries else entries,
+        partField, partFilters ++ runtimeFilters)
       val kept = applyRowBound(spark,
         applyStatsSkip(spark, applyBloomSkip(spark, files)))
       filesAudit = (kept.size, files.size)

@@ -1383,6 +1383,31 @@ class EpochStoreSpec extends SparkSpec {
       "the update must be ONE manifest commit")
   }
 
+  test("runtime group filtering narrows an unprovable UPDATE to the " +
+      "entries that actually contain matches") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml7", wh)
+    val dirsBefore = EpochManifest.entries(spark, root)
+      .map(e => e.epoch -> e.dir).toMap
+    // no stats cover v, so the static entry classification keeps ALL
+    // entries; only the runtime _epoch group filter can prove v25 lives
+    // in bucket 2's epoch alone
+    spark.sql("UPDATE dml7.t SET v = 'rt' WHERE v = 'v25'")
+    val after = EpochManifest.entries(spark, root)
+    assert(after.filter(_.epoch != 2L)
+      .forall(e => dirsBefore(e.epoch) == e.dir),
+      "entries without matches must keep their dirs (runtime narrowing)")
+    assert(after.find(_.epoch == 2L).get.dir != dirsBefore(2L),
+      "the matched entry must rewrite")
+    assert(spark.sql("SELECT COUNT(*) FROM dml7.t").head.getLong(0) == 40)
+    assert(spark.sql("SELECT COUNT(*) FROM dml7.t WHERE v = 'rt'")
+      .head.getLong(0) == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM dml7.t WHERE v = 'v25'")
+      .head.getLong(0) == 0)
+  }
+
   test("SQL MERGE INTO: matched rows update, unmatched source rows " +
       "insert, one atomic generation") {
     import spark.implicits._
