@@ -1389,6 +1389,38 @@ object MiscCatalog {
       |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** SQL CALL maintenance through the store catalog (`q_store_call`):
+    * the full store lifecycle driven by SQL alone — a fresh two-epoch
+    * store is compacted (`CALL …system.compact`, re-clustered on
+    * doc_id) and gc'd (`CALL …system.gc`), then answered. The oracle is
+    * the proof that maintenance preserves answers: DuckDB computes the
+    * same aggregate from the raw table, so a fold that dropped an
+    * epoch, double-counted a file, or lost a partition dir fails
+    * cell-exact; the procedure result rows themselves (entries 2→1,
+    * two retained manifests) are asserted in EpochStoreSpec. */
+  def storeCall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (run, t) = freshDmlStore(spark, sfDir, epochs = 2)
+    val cat = t.split('.').head
+    val folded = spark.sql(
+      s"CALL $cat.system.compact(table => 'docs', " +
+        "sort_columns => 'doc_id', parts => 4)").head
+    require(folded.getInt(1) == 1, s"compact must fold to one entry: $folded")
+    spark.sql(s"CALL $cat.system.gc('docs')").collect()
+    spark.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeCallSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** SQL MERGE INTO through the store catalog (`q_store_merge`): the
     * group-based row-level rewrite driving upsert — matched target rows
     * take the source's doubled n_chars, unmatched source rows insert
@@ -1436,6 +1468,7 @@ object MiscCatalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_dml"     -> (storeDml _),
+    "q_store_call"    -> (storeCall _),
     "q_store_merge"   -> (storeMerge _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_write"   -> (storeWrite _),
@@ -1478,6 +1511,7 @@ object MiscCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_store_dml"     -> storeDmlSql,
+    "q_store_call"    -> storeCallSql,
     "q_store_merge"   -> storeMergeSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_write"   -> storeWriteSql,

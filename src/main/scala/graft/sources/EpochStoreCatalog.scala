@@ -45,7 +45,22 @@ import graft.core.EpochManifest
   * that instruction (a store without data has no inferable schema);
   * `dropTable` deletes the store dir; rename/alter are refused (a
   * manifest store's identity is its path). */
-class EpochStoreCatalog extends TableCatalog with SupportsNamespaces {
+class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** SQL `CALL <cat>.system.<proc>(…)` — the maintenance tier
+    * ([[EpochStoreProcedures]]): snapshots / compact / gc /
+    * purge_deletes drive the same engine entry points the Scala APIs
+    * expose, each returning a small observable result row. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    EpochStoreProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      EpochStoreProcedures.names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   private var catName: String = _
   private var warehouse: String = _

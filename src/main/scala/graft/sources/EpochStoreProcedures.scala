@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.core.EpochManifest
+
+/** The store catalog's SQL `CALL` surface (Spark 4's ProcedureCatalog —
+  * the maintenance tier Iceberg exposes the same way):
+  *
+  *   CALL cat.system.snapshots('t')                 -- retained generations
+  *   CALL cat.system.compact('t', sort_columns => 'id', parts => 2)
+  *   CALL cat.system.gc('t')                        -- reclaim unreferenced dirs
+  *   CALL cat.system.purge_deletes('t', 'id')       -- fold tombstones physically
+  *
+  * Each procedure resolves `table` against the catalog's warehouse,
+  * drives the SAME engine entry points the APIs expose
+  * ([[EpochStore.compactStore]], [[EpochManifest.gc]],
+  * [[EpochStore.purgeDeletes]]) — so SQL-only operators can run the
+  * full store lifecycle — and returns a small result-set row (via
+  * [[LocalScan]]) so the effect is observable in the CALL's own output.
+  * Maintenance keeps every documented isolation contract: compaction
+  * and purge are one-manifest-commit swaps, gc honors the two-manifest
+  * retention lag. */
+private[sources] object EpochStoreProcedures {
+
+  val names: Seq[String] = Seq("snapshots", "compact", "gc", "purge_deletes")
+
+  private def spark = SparkSession.active
+
+  private def str(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+
+  private def result(schema: StructType, out: Array[InternalRow])
+      : java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = out
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  /** A no-frills procedure: unbound == bound (the parameter list is
+    * static; Spark's analyzer coerces arguments to the declared
+    * types). */
+  private abstract class Proc(procName: String,
+                              params: Array[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+  }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType)
+      .comment("store name within this catalog's warehouse").build()
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"epochstore procedures live under <catalog>.system, got " +
+        s"${ident.namespace().mkString(".")}.${ident.name()}")
+    def rootOf(table: String): String =
+      (warehouse +: table.split('.').toSeq).mkString("/")
+    ident.name() match {
+
+      case "snapshots" => new Proc("snapshots", Array(tableParam)) {
+        override def description(): String =
+          "retained manifest generations of a store: " +
+            "(generation, entries, max_epoch)"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val out = EpochManifest.generations(spark, root).map { g =>
+            val es = EpochManifest.entriesAt(spark, root, g)
+            row(g, es.size, es.map(_.epoch).maxOption.getOrElse(-1L))
+          }
+          result(StructType(Seq(
+            StructField("generation", LongType, nullable = false),
+            StructField("entries", IntegerType, nullable = false),
+            StructField("max_epoch", LongType, nullable = false))),
+            out.toArray)
+        }
+      }
+
+      case "compact" => new Proc("compact", Array(
+        tableParam,
+        ProcedureParameter.in("upto_epoch", LongType)
+          .defaultValue(Long.MaxValue.toString)
+          .comment("fold entries with epoch < this bound").build(),
+        ProcedureParameter.in("sort_columns", StringType)
+          .defaultValue("NULL")
+          .comment("comma-separated re-cluster columns").build(),
+        ProcedureParameter.in("parts", IntegerType)
+          .defaultValue("8").comment("fold file count").build())) {
+        override def description(): String =
+          "stats-preserving, evolution-aware fold of a store's history " +
+            "(one atomic manifest swap; the previous snapshot stays " +
+            "readable one gc cycle)"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val before = EpochManifest.entries(spark, root).size
+          val sortCols = Option(str(input, 2)).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          EpochStore.compactStore(spark, root,
+            uptoEpoch = input.getLong(1), sortColumns = sortCols,
+            parts = input.getInt(3))
+          result(StructType(Seq(
+            StructField("entries_before", IntegerType, nullable = false),
+            StructField("entries_after", IntegerType, nullable = false))),
+            Array(row(before, EpochManifest.entries(spark, root).size)))
+        }
+      }
+
+      case "gc" => new Proc("gc", Array(tableParam)) {
+        override def description(): String =
+          "reclaim dirs referenced by neither of the two newest manifests"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          EpochManifest.gc(spark, root)
+          result(StructType(Seq(
+            StructField("generations_retained", IntegerType,
+              nullable = false))),
+            Array(row(EpochManifest.generations(spark, root).size)))
+        }
+      }
+
+      case "purge_deletes" => new Proc("purge_deletes", Array(
+        tableParam,
+        ProcedureParameter.in("key_columns", StringType)
+          .comment("comma-separated key columns of the latest-wins view")
+          .build(),
+        ProcedureParameter.in("version_column", StringType)
+          .defaultValue("NULL")
+          .comment("same-epoch tie-break column").build())) {
+        override def description(): String =
+          "apply tombstones physically: fold the live latest-wins state " +
+            "into one entry and clear the delete sub-store"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val keys = str(input, 1).split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          require(keys.nonEmpty, "purge_deletes: key_columns is empty")
+          val (schema, partCol) = EpochStore.evolvedSchema(spark, root)
+          EpochStore.purgeDeletes(spark, root, schema, keys,
+            partCol.orNull, str(input, 2))
+          result(StructType(Seq(
+            StructField("entries_after", IntegerType, nullable = false))),
+            Array(row(EpochManifest.entries(spark, root).size)))
+        }
+      }
+
+      case other => throw new IllegalArgumentException(
+        s"unknown epochstore procedure system.$other — available: " +
+          names.mkString(", "))
+    }
+  }
+}

@@ -1408,6 +1408,36 @@ class EpochStoreSpec extends SparkSpec {
       .head.getLong(0) == 0)
   }
 
+  test("SQL CALL procedures: snapshots lists generations, compact folds " +
+      "with answers unchanged, gc retains two manifests, purge_deletes " +
+      "applies tombstones physically") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dmlp", wh)
+    val snaps = spark.sql("CALL dmlp.system.snapshots('t')").collect()
+    assert(snaps.length == 4 && snaps.last.getLong(2) == 3L,
+      s"4 generations with max_epoch 3 expected: ${snaps.toSeq}")
+    val c = spark.sql(
+      "CALL dmlp.system.compact(table => 't', sort_columns => 'id', " +
+        "parts => 2)").collect()
+    assert(c.head.getInt(0) == 4 && c.head.getInt(1) == 1,
+      s"compact must fold 4 entries into 1: ${c.toSeq}")
+    assert(spark.sql("SELECT COUNT(*) FROM dmlp.t").head.getLong(0) == 40,
+      "compaction must not change answers")
+    val g = spark.sql("CALL dmlp.system.gc('t')").collect()
+    assert(g.head.getInt(0) == 2, "gc retains exactly two manifests")
+    EpochStore.delete(spark, root, Seq(5L, 15L).toDF("id"), 10L)
+    val p = spark.sql(
+      "CALL dmlp.system.purge_deletes('t', 'id')").collect()
+    assert(p.head.getInt(0) == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM dmlp.t").head.getLong(0) == 38,
+      "purged keys must be physically gone")
+    assert(EpochManifest.entries(spark,
+      EpochStore.deletesRoot(root)).isEmpty, "tombstone store must clear")
+  }
+
   test("SQL MERGE INTO: matched rows update, unmatched source rows " +
       "insert, one atomic generation") {
     import spark.implicits._
