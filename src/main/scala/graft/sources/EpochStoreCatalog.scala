@@ -122,6 +122,22 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     val root = rootOf(ident)
     val gens = EpochManifest.generations(spark, root)
     if (gens.isEmpty) throw new NoSuchTableException(ident)
+    // EVOLVED schema first: when every pinned entry carries a
+    // _schema.json record, the table serves the merged (add-column
+    // aware) schema — epochs written before a column existed serve it
+    // as null, and ALTER TABLE ADD COLUMNS is visible immediately.
+    // Pre-evolution stores fall back to footer discovery below.
+    scala.util.Try(
+      EpochStore.evolvedSchema(spark, root, asOfGeneration)).toOption
+      .foreach { case (schema, partCol) =>
+        val opts = Map("path" -> root) ++
+          partCol.map("partitionColumn" -> _) ++
+          (if (asOfGeneration >= 0L)
+            Map("asOfGeneration" -> asOfGeneration.toString)
+          else Map.empty)
+        return new EpochStoreTable(schema,
+          new CaseInsensitiveStringMap(opts.asJava))
+      }
     val entries =
       if (asOfGeneration < 0L) EpochManifest.entries(spark, root)
       else EpochManifest.entriesAt(spark, root, asOfGeneration)
@@ -162,10 +178,44 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         "sink: df.write.format(\"epochstore\").option(\"path\", root)" +
         ".option(\"epoch\", 0).mode(\"append\").save()")
 
+  /** `ALTER TABLE … ADD COLUMNS (…)` — the SQL face of the store's
+    * add-column evolution: the widened schema lands as one EMPTY epoch
+    * whose `_schema.json` records it, so [[EpochStore.evolvedSchema]]
+    * (and [[tableAt]]'s evolved discovery) serve the new column from
+    * the next resolution on, with every older file serving null — a
+    * pure metadata operation, zero data rewritten. Nullable top-level
+    * columns only (old files cannot serve a non-null default); every
+    * other change keeps refusing. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "epochstore tables evolve through the manifest protocol, not ALTER")
+                          changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"epochstore ALTER supports top-level columns only, got " +
+            a.fieldNames().mkString("."))
+        require(a.isNullable,
+          s"epochstore ALTER ADD COLUMNS must be nullable — files written " +
+            s"before ${a.fieldNames().head} existed serve it as null")
+        a
+      case other => throw new UnsupportedOperationException(
+        s"epochstore tables support only ALTER TABLE ADD COLUMNS " +
+          s"(nullable); got $other")
+    }
+    val (schema, partCol) = EpochStore.evolvedSchema(spark, root)
+    adds.foreach(a => require(!schema.fieldNames.contains(a.fieldNames().head),
+      s"column ${a.fieldNames().head} already exists"))
+    val widened = StructType(schema.fields ++ adds.map(a =>
+      org.apache.spark.sql.types.StructField(a.fieldNames().head,
+        a.dataType(), nullable = true)))
+    val epoch = EpochManifest.entries(spark, root)
+      .map(_.epoch).maxOption.getOrElse(-1L) + 1L
+    val dir = EpochManifest.newDataDir(spark, root, epoch)
+    fs.mkdirs(new Path(s"$root/$dir"))
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, widened, partCol)
+    EpochManifest.commitEpochDir(spark, root, epoch, dir)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -1408,6 +1408,34 @@ class EpochStoreSpec extends SparkSpec {
       .head.getLong(0) == 0)
   }
 
+  test("ALTER TABLE ADD COLUMNS: one empty metadata epoch widens the " +
+      "schema, old files serve null, INSERT fills it, the pre-ALTER " +
+      "generation keeps the old shape") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml8", wh)
+    val genBefore = EpochManifest.generations(spark, root).last
+    spark.sql("ALTER TABLE dml8.t ADD COLUMNS (extra BIGINT)")
+    assert(spark.table("dml8.t").schema.fieldNames.toSeq ==
+      Seq("id", "v", "bucket", "extra"),
+      "the widened schema must be catalog-visible immediately")
+    assert(spark.sql("SELECT COUNT(*) FROM dml8.t WHERE extra IS NULL")
+      .head.getLong(0) == 40, "pre-ALTER files must serve null")
+    spark.sql("INSERT INTO dml8.t VALUES (500, 'n', 1, 77)")
+    assert(spark.sql("SELECT extra FROM dml8.t WHERE id = 500")
+      .head.getLong(0) == 77L)
+    // metadata-only: no data rewritten — the ALTER epoch dir is empty
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM dml8.t VERSION AS OF $genBefore")
+      .head.getLong(0) == 40)
+    // non-nullable and nested adds refuse
+    intercept[Exception](
+      spark.sql("ALTER TABLE dml8.t ADD COLUMNS (must NOT NULL)"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE dml8.t ALTER COLUMN v TYPE INT"))
+  }
+
   test("SQL CALL procedures: snapshots lists generations, compact folds " +
       "with answers unchanged, gc retains two manifests, purge_deletes " +
       "applies tombstones physically") {
