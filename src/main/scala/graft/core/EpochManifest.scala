@@ -102,6 +102,74 @@ object EpochManifest {
     }.toSeq
   }
 
+  // ------------------------------------------------------------- tags
+  // Named snapshot tags: `_manifests/tags.json` maps name → generation.
+  // A tag is a RETENTION ANCHOR — [[gc]] keeps every tagged manifest and
+  // the dirs it references alive alongside the two newest, so 'v1' stays
+  // readable through any number of later commits and compactions until
+  // untagged. Names are [A-Za-z0-9._-]+ (no escaping needed in the
+  // fixed-shape JSON); writes are tmp-then-rename like every manifest
+  // artifact, under the store's single-writer contract.
+
+  private def tagsPath(root: String) = new Path(manifestDir(root), "tags.json")
+
+  /** The store's named tags, name → pinned generation. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val fs = fsOf(spark, root)
+    val p = tagsPath(root)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      // fixed shape {"name":"...","generation":N} per line
+      val n = line.split("\"name\":\"")(1).takeWhile(_ != '"')
+      val g = line.split("\"generation\":")(1).takeWhile(_.isDigit).toLong
+      n -> g
+    }.toMap
+  }
+
+  private def writeTags(spark: SparkSession, root: String,
+                        ts: Map[String, Long]): Unit = {
+    val fs = fsOf(spark, root)
+    if (ts.isEmpty) { fs.delete(tagsPath(root), false); return }
+    val body = ts.toSeq.sortBy(_._1)
+      .map { case (n, g) => s"""{"name":"$n","generation":$g}""" }
+      .mkString("", "\n", "\n")
+    val tmp = new Path(manifestDir(root), ".tags.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(tagsPath(root), false)
+    require(fs.rename(tmp, tagsPath(root)),
+      s"tag write rename failed under $root")
+  }
+
+  /** Pin `name` to a RETAINED `generation` (default: the current one).
+    * Re-tagging an existing name moves it. */
+  def tag(spark: SparkSession, root: String, name: String,
+          generation: Long = -1L): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag name '$name' — use [A-Za-z0-9._-]+")
+    val ms = manifests(spark, root)
+    require(ms.nonEmpty, s"no committed manifest under $root")
+    val g = if (generation < 0L) ms.last._1 else generation
+    require(ms.exists(_._1 == g),
+      s"generation $g not retained under $root — available: " +
+        ms.map(_._1).mkString("[", ", ", "]"))
+    writeTags(spark, root, tags(spark, root) + (name -> g))
+    g
+  }
+
+  /** Drop `name`; its generation becomes reclaimable by the next gc
+    * (unless it is among the two newest or otherwise tagged). */
+  def untag(spark: SparkSession, root: String, name: String): Unit = {
+    val ts = tags(spark, root)
+    require(ts.contains(name),
+      s"no tag '$name' under $root — tags: ${ts.keys.toSeq.sorted}")
+    writeTags(spark, root, ts - name)
+  }
+
   /** The current snapshot: entries of the highest complete manifest. */
   def entries(spark: SparkSession, root: String): Seq[Entry] =
     manifests(spark, root).lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)
@@ -271,7 +339,11 @@ object EpochManifest {
     val fs = fsOf(spark, root)
     val ms = manifests(spark, root)
     if (ms.isEmpty) return
-    val keepManifests = ms.takeRight(2)
+    // tagged generations are retention anchors: their manifests and the
+    // dirs they reference survive every gc until untagged
+    val tagged = tags(spark, root).values.toSet
+    val keepManifests =
+      ms.takeRight(2) ++ ms.dropRight(2).filter(m => tagged(m._1))
     val keepDirs = keepManifests.flatMap(m => parse(spark, m._2)).map(_.dir).toSet
     fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory &&

@@ -1421,6 +1421,39 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Named snapshot tags through SQL (`q_store_tag`): tag the initial
+    * snapshot (`CALL …system.tag`), DELETE one language, compact and gc
+    * — then answer per-lang counts from `VERSION AS OF 'v1'` (the tag,
+    * a gc retention anchor whose generation survived the fold) joined
+    * with the live read. DuckDB rebuilds both columns from the raw
+    * table, so a tag that drifted to the wrong generation, a gc that
+    * reclaimed an anchored snapshot, or a delete that leaked into the
+    * pin fails cell-exact. */
+  def storeTag(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, t) = freshDmlStore(spark, sfDir, epochs = 2)
+    val c = t.split('.').head
+    spark.sql(s"CALL $c.system.tag('docs', 'v1')").collect()
+    spark.sql(s"DELETE FROM $t WHERE lang = 'en'")
+    spark.sql(s"CALL $c.system.compact('docs')").collect()
+    spark.sql(s"CALL $c.system.gc('docs')").collect()
+    spark.sql(
+      s"""SELECT l.lang, COALESCE(p.n_tagged, 0) AS n_tagged, l.n_live
+         |FROM (SELECT lang, COUNT(*) AS n_live FROM $t GROUP BY lang) l
+         |LEFT JOIN (SELECT lang, COUNT(*) AS n_tagged
+         |           FROM $t VERSION AS OF 'v1' GROUP BY lang) p
+         |  ON l.lang = p.lang
+         |ORDER BY l.lang""".stripMargin)
+  }
+
+  val storeTagSql: String =
+    """SELECT lang,
+      |  COUNT(*) AS n_tagged,
+      |  COUNT(*) AS n_live
+      |FROM documents
+      |WHERE lang IS NOT NULL AND lang <> 'en'
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** SQL MERGE INTO through the store catalog (`q_store_merge`): the
     * group-based row-level rewrite driving upsert — matched target rows
     * take the source's doubled n_chars, unmatched source rows insert
@@ -1469,6 +1502,7 @@ object MiscCatalog {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_dml"     -> (storeDml _),
     "q_store_call"    -> (storeCall _),
+    "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_write"   -> (storeWrite _),
@@ -1512,6 +1546,7 @@ object MiscCatalog {
   val oracle: Map[String, String] = Map(
     "q_store_dml"     -> storeDmlSql,
     "q_store_call"    -> storeCallSql,
+    "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_write"   -> storeWriteSql,

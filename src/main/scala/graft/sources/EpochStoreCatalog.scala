@@ -109,14 +109,21 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, -1L)
 
-  /** SQL `FOR VERSION AS OF g` — g is a retained manifest generation. */
+  /** SQL `FOR VERSION AS OF v` — a retained manifest generation number,
+    * or a named tag ([[EpochManifest.tag]] — a gc retention anchor, so
+    * `VERSION AS OF 'v1'` stays answerable through any number of later
+    * commits and compactions until untagged). */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"epochstore VERSION AS OF takes a manifest generation number, " +
-          s"got '$version' — retained generations: " +
-          EpochManifest.generations(spark, rootOf(ident))
-            .mkString("[", ", ", "]"))))
+    tableAt(ident, version.toLongOption.getOrElse {
+      val root = rootOf(ident)
+      EpochManifest.tags(spark, root).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"epochstore VERSION AS OF takes a manifest generation number " +
+            s"or a tag name, got '$version' — retained generations: " +
+            EpochManifest.generations(spark, root)
+              .mkString("[", ", ", "]") +
+            s", tags: ${EpochManifest.tags(spark, root).keys.toSeq.sorted}"))
+    })
 
   private def tableAt(ident: Identifier, asOfGeneration: Long): Table = {
     val root = rootOf(ident)

@@ -30,7 +30,8 @@ import graft.core.EpochManifest
   * retention lag. */
 private[sources] object EpochStoreProcedures {
 
-  val names: Seq[String] = Seq("snapshots", "compact", "gc", "purge_deletes")
+  val names: Seq[String] =
+    Seq("snapshots", "compact", "gc", "purge_deletes", "tag", "untag", "tags")
 
   private def spark = SparkSession.active
 
@@ -153,6 +154,55 @@ private[sources] object EpochStoreProcedures {
           result(StructType(Seq(
             StructField("entries_after", IntegerType, nullable = false))),
             Array(row(EpochManifest.entries(spark, root).size)))
+        }
+      }
+
+      case "tag" => new Proc("tag", Array(
+        tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("tag name, [A-Za-z0-9._-]+").build(),
+        ProcedureParameter.in("generation", LongType)
+          .defaultValue("NULL")
+          .comment("retained generation to pin; default = current")
+          .build())) {
+        override def description(): String =
+          "pin a named tag to a manifest generation — a gc retention " +
+            "anchor: VERSION AS OF 'name' stays answerable until untag"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val g = EpochManifest.tag(spark, root, str(input, 1),
+            if (input.isNullAt(2)) -1L else input.getLong(2))
+          result(StructType(Seq(
+            StructField("generation", LongType, nullable = false))),
+            Array(row(g)))
+        }
+      }
+
+      case "untag" => new Proc("untag", Array(
+        tableParam,
+        ProcedureParameter.in("name", StringType).build())) {
+        override def description(): String =
+          "drop a tag; its generation becomes reclaimable by the next gc"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          EpochManifest.untag(spark, root, str(input, 1))
+          result(StructType(Seq(
+            StructField("tags_remaining", IntegerType, nullable = false))),
+            Array(row(EpochManifest.tags(spark, root).size)))
+        }
+      }
+
+      case "tags" => new Proc("tags", Array(tableParam)) {
+        override def description(): String = "list the store's named tags"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val out = EpochManifest.tags(spark, root).toSeq.sortBy(_._1)
+            .map { case (n, g) =>
+              row(org.apache.spark.unsafe.types.UTF8String.fromString(n), g) }
+          result(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("generation", LongType, nullable = false))),
+            out.toArray)
         }
       }
 

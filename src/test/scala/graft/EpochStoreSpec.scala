@@ -1466,6 +1466,39 @@ class EpochStoreSpec extends SparkSpec {
       EpochStore.deletesRoot(root)).isEmpty, "tombstone store must clear")
   }
 
+  test("named snapshot tags: VERSION AS OF 'name' resolves, gc keeps " +
+      "tagged generations alive through compactions, untag releases") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml9", wh)
+    spark.sql("CALL dml9.system.tag('t', 'v1')").collect()
+    // mutate well past the two-manifest window: overwrite, compact, gc
+    spark.sql("INSERT OVERWRITE dml9.t VALUES (1, 'new', 0)")
+    spark.sql("INSERT INTO dml9.t VALUES (2, 'new2', 0)")
+    spark.sql("CALL dml9.system.compact('t')").collect()
+    spark.sql("CALL dml9.system.gc('t')").collect()
+    spark.sql("INSERT INTO dml9.t VALUES (3, 'new3', 0)")
+    spark.sql("CALL dml9.system.gc('t')").collect()
+    assert(spark.sql("SELECT COUNT(*) FROM dml9.t").head.getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dml9.t VERSION AS OF 'v1'").head.getLong(0) == 40,
+      "the tagged generation must survive overwrite+compact+gc×2")
+    val ts = spark.sql("CALL dml9.system.tags('t')").collect()
+    assert(ts.length == 1 && ts.head.getString(0) == "v1")
+    // unknown tag fails with the available names
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM dml9.t VERSION AS OF 'nope'").collect())
+    assert(err.getMessage.contains("v1"), err.getMessage)
+    // untag → the generation is reclaimable; the next gc drops it
+    spark.sql("CALL dml9.system.untag('t', 'v1')").collect()
+    spark.sql("CALL dml9.system.gc('t')").collect()
+    intercept[Exception](
+      spark.sql("SELECT COUNT(*) FROM dml9.t VERSION AS OF 'v1'").collect())
+    assert(spark.sql("SELECT COUNT(*) FROM dml9.t").head.getLong(0) == 3,
+      "the live table must be untouched by tag lifecycle")
+  }
+
   test("SQL MERGE INTO: matched rows update, unmatched source rows " +
       "insert, one atomic generation") {
     import spark.implicits._
