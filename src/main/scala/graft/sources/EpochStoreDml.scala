@@ -117,10 +117,20 @@ private[sources] object EpochStoreDml {
     def fileClean(st: FileStatus): Boolean =
       stats.get(relIn(fs, entryPath, st)).exists(cs =>
         filters.exists(fl => EpochStoreStats.canMatch(fl, cs).contains(false)))
+    // `_epoch` is a per-entry constant (rows of a fold carry the fold's
+    // epoch), so filters on it are decidable HERE — an epoch-aligned
+    // DELETE is pure metadata, same as a partition-aligned one
+    def epochEval(fl: Filter): Option[Boolean] =
+      EpochStore.evalOnPartition(fl, EpochStore.EpochColName, e.epoch)
     partField match {
       case None =>
-        val fls = filesUnder(fs, new Path(entryPath))
-        if (fls.forall(fileClean)) Untouched else Mixed
+        val evals = filters.map(epochEval)
+        if (evals.exists(_.contains(false))) Untouched
+        else if (evals.forall(_.contains(true))) AllDead
+        else {
+          val fls = filesUnder(fs, new Path(entryPath))
+          if (fls.forall(fileClean)) Untouched else Mixed
+        }
       case Some(f) =>
         val prefix = s"${f.name}="
         val subs = fs.listStatus(new Path(entryPath)).toSeq
@@ -129,8 +139,11 @@ private[sources] object EpochStoreDml {
         val fates = subs.map { sub =>
           val v = EpochStore.parsePartitionValue(
             sub.getPath.getName.stripPrefix(prefix), f.dataType)
+          // each conjunct decides from whichever constant it references
+          // (partition value or entry epoch); a composite referencing
+          // both stays None → conservative
           val evals = filters.map(fl =>
-            EpochStore.evalOnPartition(fl, f.name, v))
+            EpochStore.evalOnPartition(fl, f.name, v).orElse(epochEval(fl)))
           if (evals.exists(_.contains(false))) 'u'
           else if (evals.forall(_.contains(true))) 'd'
           else if (filesUnder(fs, sub.getPath).forall(fileClean)) 'u'
@@ -173,8 +186,20 @@ private[sources] object EpochStoreDml {
           val (schema, pc) = rec.getOrElse(throw new IllegalStateException(
             s"DELETE over $root: entry ${e.dir} predates schema records and " +
               "its rows cannot be proven untouched — compact the store first"))
-          val full = spark.read.schema(schema).parquet(s"$root/${e.dir}")
-          val surv = full.filter(not(coalesce(cond, lit(false))))
+          // the condition may reference columns this (older) entry's
+          // schema lacks — `_epoch` binds to the entry's constant, an
+          // evolved-away column to null (exactly what its rows serve)
+          val present = schema.fieldNames.toSet
+          val bound = filters.flatMap(_.references).distinct
+            .filterNot(present)
+            .foldLeft(spark.read.schema(schema).parquet(s"$root/${e.dir}")) {
+              (d, c) =>
+                if (c == EpochStore.EpochColName) d.withColumn(c, lit(e.epoch))
+                else d.withColumn(c, lit(null))
+            }
+          val surv = bound.filter(not(coalesce(cond, lit(false))))
+            .select(schema.fieldNames.map(
+              org.apache.spark.sql.functions.col): _*)
           val dir2 =
             if (e.minEpoch < e.epoch) EpochManifest.newFoldDir(spark, root, e.epoch)
             else EpochManifest.newDataDir(spark, root, e.epoch)

@@ -1466,6 +1466,32 @@ class EpochStoreSpec extends SparkSpec {
       EpochStore.deletesRoot(root)).isEmpty, "tombstone store must clear")
   }
 
+  test("DELETE composes with _epoch and evolution: epoch-aligned deletes " +
+      "are metadata-only; a condition on an ALTERed column binds null " +
+      "on pre-ALTER entries") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml10", wh)
+    val dirsBefore = EpochManifest.entries(spark, root)
+      .map(e => e.epoch -> e.dir).toMap
+    spark.sql("DELETE FROM dml10.t WHERE _epoch = 1")
+    val after = EpochManifest.entries(spark, root)
+    assert(after.map(_.epoch).toSet == Set(0L, 2L, 3L),
+      "the epoch-aligned delete must drop exactly that entry")
+    assert(after.forall(e => dirsBefore(e.epoch) == e.dir),
+      "other entries must keep their dirs (metadata-only)")
+    assert(spark.sql("SELECT COUNT(*) FROM dml10.t").head.getLong(0) == 30)
+    // evolution: deleting on a column pre-ALTER entries lack must bind
+    // null there (SQL three-valued: their rows all survive), not crash
+    spark.sql("ALTER TABLE dml10.t ADD COLUMNS (extra BIGINT)")
+    spark.sql("INSERT INTO dml10.t VALUES (600, 'x', 0, 7), (601, 'y', 0, 8)")
+    spark.sql("DELETE FROM dml10.t WHERE extra = 7")
+    assert(spark.sql("SELECT COUNT(*) FROM dml10.t").head.getLong(0) == 31)
+    assert(spark.sql("SELECT COUNT(*) FROM dml10.t WHERE extra = 8")
+      .head.getLong(0) == 1, "the non-matching evolved row must survive")
+  }
+
   test("named snapshot tags: VERSION AS OF 'name' resolves, gc keeps " +
       "tagged generations alive through compactions, untag releases") {
     val wh = tmp()
