@@ -129,25 +129,28 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     val root = rootOf(ident)
     val gens = EpochManifest.generations(spark, root)
     if (gens.isEmpty) throw new NoSuchTableException(ident)
+    val entries =
+      if (asOfGeneration < 0L) EpochManifest.entries(spark, root)
+      else EpochManifest.entriesAt(spark, root, asOfGeneration)
     // EVOLVED schema first: when every pinned entry carries a
     // _schema.json record, the table serves the merged (add-column
     // aware) schema — epochs written before a column existed serve it
     // as null, and ALTER TABLE ADD COLUMNS is visible immediately.
-    // Pre-evolution stores fall back to footer discovery below.
-    scala.util.Try(
-      EpochStore.evolvedSchema(spark, root, asOfGeneration)).toOption
-      .foreach { case (schema, partCol) =>
-        val opts = Map("path" -> root) ++
-          partCol.map("partitionColumn" -> _) ++
-          (if (asOfGeneration >= 0L)
-            Map("asOfGeneration" -> asOfGeneration.toString)
-          else Map.empty)
-        return new EpochStoreTable(schema,
-          new CaseInsensitiveStringMap(opts.asJava))
-      }
-    val entries =
-      if (asOfGeneration < 0L) EpochManifest.entries(spark, root)
-      else EpochManifest.entriesAt(spark, root, asOfGeneration)
+    // Only MISSING records fall back to footer discovery below; a
+    // recorded type conflict or partition-column change refuses loudly
+    // (a silent footer fallback would serve one epoch's arbitrary shape)
+    if (entries.nonEmpty && entries.forall(e =>
+        EpochStoreWrite.readSchemaSidecar(fs, root, e.dir).isDefined)) {
+      val (schema, partCol) =
+        EpochStore.evolvedSchema(spark, root, asOfGeneration)
+      val opts = Map("path" -> root) ++
+        partCol.map("partitionColumn" -> _) ++
+        (if (asOfGeneration >= 0L)
+          Map("asOfGeneration" -> asOfGeneration.toString)
+        else Map.empty)
+      return new EpochStoreTable(schema,
+        new CaseInsensitiveStringMap(opts.asJava))
+    }
     // discover schema (+ the partition-dir column, from col=value
     // subdirs) off the first committed entry dir that holds files
     def hasFiles(p: Path): Boolean =

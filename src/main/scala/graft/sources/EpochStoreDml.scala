@@ -319,7 +319,14 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
       : DataWriterFactory = {
     val spark = SparkSession.active
     val fs = new Path(op.root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    fs.delete(new Path(staging), true): Unit // stale staging of a dead attempt
+    // reclaim EVERY stale .rlo staging dir (a crashed driver's query id
+    // never repeats, so own-id cleanup alone would leak them forever);
+    // safe under the store's single-writer contract — a concurrent DML
+    // statement would lose the optimistic generation check anyway
+    if (fs.exists(new Path(op.root)))
+      fs.listStatus(new Path(op.root)).toSeq
+        .filter(_.getPath.getName.startsWith(".rlo"))
+        .foreach(s => fs.delete(s.getPath, true))
     new EpochStoreWriterFactory(staging, schema, op.partCol,
       EpochStoreBatchWrite.primedConf(spark, schema, op.partCol))
   }
