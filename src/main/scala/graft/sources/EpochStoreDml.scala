@@ -353,6 +353,9 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
       require(fs.rename(new Path(staging), new Path(s"${op.root}/$dir")),
         s"epochstore replace rename $staging -> ${op.root}/$dir failed")
     else fs.mkdirs(new Path(s"${op.root}/$dir")): Unit
+    // quality gate: an UPDATE/MERGE whose rewritten rows violate a
+    // declared CHECK fails HERE with the pre-statement state intact
+    EpochStoreConstraints.enforce(spark, op.root, s"${op.root}/$dir", schema)
     EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, schema, op.partCol)
     EpochManifest.commit(spark, op.root,
       survivors :+ EpochManifest.Entry(epoch, dir, lo = lo))

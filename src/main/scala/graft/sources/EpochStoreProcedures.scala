@@ -31,7 +31,8 @@ import graft.core.EpochManifest
 private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
-    Seq("snapshots", "compact", "gc", "purge_deletes", "tag", "untag", "tags")
+    Seq("snapshots", "compact", "gc", "purge_deletes", "tag", "untag",
+      "tags", "add_constraint", "drop_constraint", "constraints")
 
   private def spark = SparkSession.active
 
@@ -202,6 +203,54 @@ private[sources] object EpochStoreProcedures {
           result(StructType(Seq(
             StructField("name", StringType, nullable = false),
             StructField("generation", LongType, nullable = false))),
+            out.toArray)
+        }
+      }
+
+      case "add_constraint" => new Proc("add_constraint", Array(
+        tableParam,
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("expression", StringType)
+          .comment("SQL predicate over the store's columns — a row " +
+            "violates only when it evaluates FALSE").build())) {
+        override def description(): String =
+          "declare a write-time CHECK constraint: every future epoch is " +
+            "validated before its manifest publish"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          EpochStoreConstraints.add(spark, root, str(input, 1), str(input, 2))
+          result(StructType(Seq(
+            StructField("constraints", IntegerType, nullable = false))),
+            Array(row(EpochStoreConstraints.list(spark, root).size)))
+        }
+      }
+
+      case "drop_constraint" => new Proc("drop_constraint", Array(
+        tableParam,
+        ProcedureParameter.in("name", StringType).build())) {
+        override def description(): String =
+          "drop a declared CHECK constraint; future writes stop checking"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          EpochStoreConstraints.drop(spark, root, str(input, 1))
+          result(StructType(Seq(
+            StructField("constraints", IntegerType, nullable = false))),
+            Array(row(EpochStoreConstraints.list(spark, root).size)))
+        }
+      }
+
+      case "constraints" => new Proc("constraints", Array(tableParam)) {
+        override def description(): String =
+          "list the store's declared CHECK constraints"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val out = EpochStoreConstraints.list(spark, root).map { case (n, e) =>
+            row(org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              org.apache.spark.unsafe.types.UTF8String.fromString(e))
+          }
+          result(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("expression", StringType, nullable = false))),
             out.toArray)
         }
       }

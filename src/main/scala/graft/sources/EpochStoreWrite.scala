@@ -223,6 +223,141 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
   }
 }
 
+/** Write-time CHECK constraints — the store's data-quality gate
+  * (Delta's CHECK constraints on the manifest protocol): declared
+  * predicates live in `_manifests/constraints.json`, and EVERY commit
+  * path (batch sink, streaming epoch, overwrite, row-level rewrite)
+  * validates its staged epoch against all of them BEFORE the manifest
+  * publish — a violating write throws with the constraint name and
+  * violation count, and the epoch never becomes visible (the staged dir
+  * is an unreferenced orphan for gc). SQL CHECK semantics: a row
+  * violates only when the expression is FALSE — null passes.
+  *
+  * Scale shape: enforcement reads only the NEW epoch's staged files
+  * (delta-sized, one pass for ALL constraints via a fused aggregate) —
+  * the 100 TB history is never re-validated; declaring a constraint
+  * gates future writes, it does not retro-scan. */
+object EpochStoreConstraints {
+
+  private def path(root: String) = new Path(s"$root/_manifests/constraints.json")
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c => c.toString
+  }
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        sb.append(s.charAt(i + 1) match {
+          case 'n' => '\n'; case c => c
+        }); i += 2
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Declared constraints, (name, SQL expression), declaration order. */
+  def list(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val p = path(root)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      // fixed shape {"name":"...","expr":"..."} with \-escaping
+      val n = line.split("\"name\":\"")(1)
+      val name = unesc(n.substring(0, unescEnd(n)))
+      val e = line.split("\"expr\":\"")(1)
+      (name, unesc(e.substring(0, unescEnd(e))))
+    }.toSeq
+  }
+
+  /** Index of the closing unescaped quote. */
+  private def unescEnd(s: String): Int = {
+    var i = 0
+    while (i < s.length && s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') i += 1
+      i += 1
+    }
+    i
+  }
+
+  private def write(spark: SparkSession, root: String,
+                    cs: Seq[(String, String)]): Unit = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    fs.mkdirs(new Path(s"$root/_manifests"))
+    if (cs.isEmpty) { fs.delete(path(root), false); return }
+    val body = cs.map { case (n, e) =>
+      s"""{"name":"${esc(n)}","expr":"${esc(e)}"}""" }
+      .mkString("", "\n", "\n")
+    val tmp = new Path(s"$root/_manifests/.constraints.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(path(root), false)
+    require(fs.rename(tmp, path(root)),
+      s"constraint write rename failed under $root")
+  }
+
+  /** Declare `name CHECK (expr)`. The expression is ANALYZED against
+    * the store's evolved schema when one is recorded — a typo fails
+    * here, not at the first write. */
+  def add(spark: SparkSession, root: String, name: String,
+          expression: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"constraint name '$name' — use [A-Za-z0-9._-]+")
+    val existing = list(spark, root)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already declared under $root")
+    scala.util.Try(EpochStore.evolvedSchema(spark, root)._1).toOption
+      .foreach { s =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+          .filter(org.apache.spark.sql.functions.expr(expression))
+          .queryExecution.analyzed
+      }
+    write(spark, root, existing :+ (name, expression))
+  }
+
+  /** Drop a declared constraint; future writes stop checking it. */
+  def drop(spark: SparkSession, root: String, name: String): Unit = {
+    val existing = list(spark, root)
+    require(existing.exists(_._1 == name),
+      s"no constraint '$name' under $root — declared: " +
+        existing.map(_._1).mkString(", "))
+    write(spark, root, existing.filterNot(_._1 == name))
+  }
+
+  /** Validate one staged epoch dir against every declared constraint —
+    * ONE fused aggregate pass over the staged files; throws (epoch
+    * unpublished) naming the first violated constraint and its row
+    * count. Called by every commit path before its manifest publish. */
+  def enforce(spark: SparkSession, root: String, stagedDir: String,
+              schema: StructType): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val cs = list(spark, root)
+    if (cs.isEmpty) return
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    if (!fs.exists(new Path(stagedDir))) return
+    val df = spark.read.schema(schema).parquet(stagedDir)
+    val aggs = cs.zipWithIndex.map { case ((_, ex), i) =>
+      sum(when(not(coalesce(expr(ex).cast("boolean"), lit(true))), 1L)
+        .otherwise(0L)).as(s"c$i")
+    }
+    val counts = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, ex), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (bad > 0L) throw new IllegalStateException(
+        s"epochstore CHECK constraint '$n' violated by $bad row(s) of " +
+          s"this write: CHECK ($ex) — the epoch was NOT published")
+    }
+  }
+}
+
 /** File-skipping sidecar spec: one bloom per data file over `col`,
   * sized for `expected` items at `fpp`. Overflow past `expected` only
   * degrades the false-positive rate — never the no-false-negative
@@ -308,6 +443,10 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
       require(fs.rename(staged, new Path(s"$root/$dir")),
         s"epochstore streaming commit rename $staged -> $root/$dir failed")
     else fs.mkdirs(new Path(s"$root/$dir")): Unit // empty batch, still an epoch
+    // quality gate per micro-batch: a violating batch fails the QUERY
+    // with its epoch unpublished (exactly-once intact — the restart
+    // replays the batch against the fixed constraint set)
+    EpochStoreConstraints.enforce(spark, root, s"$root/$dir", schema)
     // the stats sidecar is driver-written AFTER the staging rename and
     // BEFORE the manifest publish — the epoch appears with its stats or
     // not at all
@@ -371,6 +510,9 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     // a dead task's partial files never appear in a commit message —
     // drop them so the published epoch holds exactly the committed files
     EpochStoreWrite.pruneToCommitted(fs, new Path(s"$root/$dir"), messages)
+    // quality gate: the staged epoch must satisfy every declared CHECK
+    // constraint or it is never published
+    EpochStoreConstraints.enforce(spark, root, s"$root/$dir", schema)
     val files = messages.collect { case m: EpochFilesWritten => m.files.size }.sum
     if (files == 0) {
       // an all-empty batch still commits a (readable) empty epoch dir —

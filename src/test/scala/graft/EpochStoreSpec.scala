@@ -1492,6 +1492,52 @@ class EpochStoreSpec extends SparkSpec {
       .head.getLong(0) == 1, "the non-matching evolved row must survive")
   }
 
+  test("write-time CHECK constraints: violating INSERT/UPDATE never " +
+      "publish, nulls pass, typos refuse at declaration, drop re-allows") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml11", wh)
+    spark.sql(
+      "CALL dml11.system.add_constraint('t', 'id_pos', 'id >= 0')").collect()
+    spark.sql(
+      "CALL dml11.system.add_constraint('t', 'v_min', 'length(v) >= 2')")
+      .collect()
+    // a typo'd expression refuses at declaration, not at the first write
+    intercept[Exception](spark.sql(
+      "CALL dml11.system.add_constraint('t', 'typo', 'no_such_col > 0')")
+      .collect())
+    val genBefore = EpochManifest.generations(spark, root).last
+    // valid insert passes
+    spark.sql("INSERT INTO dml11.t VALUES (900, 'ok', 1)")
+    assert(spark.sql("SELECT COUNT(*) FROM dml11.t").head.getLong(0) == 41)
+    // violating insert fails and publishes NOTHING
+    val err = intercept[Exception](
+      spark.sql("INSERT INTO dml11.t VALUES (-5, 'bad', 1)"))
+    assert(err.getMessage.contains("id_pos") ||
+      Option(err.getCause).exists(_.getMessage.contains("id_pos")),
+      s"violation must name the constraint: ${err.getMessage}")
+    assert(spark.sql("SELECT COUNT(*) FROM dml11.t").head.getLong(0) == 41,
+      "the violating epoch must not be visible")
+    assert(EpochManifest.generations(spark, root).last == genBefore + 1,
+      "only the valid insert may have committed")
+    // SQL CHECK: a null-evaluating constraint does not violate
+    spark.sql("INSERT INTO dml11.t VALUES (901, NULL, 1)")
+    assert(spark.sql("SELECT COUNT(*) FROM dml11.t").head.getLong(0) == 42)
+    // an UPDATE whose rewritten rows violate fails with pre-state intact
+    intercept[Exception](
+      spark.sql("UPDATE dml11.t SET id = -1 WHERE bucket = 2"))
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dml11.t WHERE bucket = 2 AND id >= 0")
+      .head.getLong(0) == 10, "the failed UPDATE must change nothing")
+    // drop re-allows
+    spark.sql("CALL dml11.system.drop_constraint('t', 'id_pos')").collect()
+    spark.sql("INSERT INTO dml11.t VALUES (-5, 'now_ok', 1)")
+    assert(spark.sql("SELECT COUNT(*) FROM dml11.t").head.getLong(0) == 43)
+    val left = spark.sql("CALL dml11.system.constraints('t')").collect()
+    assert(left.length == 1 && left.head.getString(0) == "v_min")
+  }
+
   test("named snapshot tags: VERSION AS OF 'name' resolves, gc keeps " +
       "tagged generations alive through compactions, untag releases") {
     val wh = tmp()
