@@ -108,6 +108,40 @@ final class EpochStoreTable(tableSchema: StructType,
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
 
+  /** Operator-facing metadata for `DESCRIBE TABLE EXTENDED` / `SHOW
+    * TBLPROPERTIES`: the manifest posture (generation, epochs, retained
+    * snapshots), the declared skip column, named tags, and CHECK
+    * constraints — the store's whole control surface, readable from
+    * SQL. Resolved fresh per call; costs a few driver-side metadata
+    * reads, never a file listing. */
+  override def properties(): util.Map[String, String] = {
+    val spark = SparkSession.active
+    val root = EpochStore.rootOf(options)
+    val m = new java.util.HashMap[String, String]()
+    m.put("path", root)
+    Option(options.get("partitionColumn"))
+      .foreach(m.put("partitionColumn", _))
+    Option(options.get("asOfGeneration"))
+      .foreach(m.put("asOfGeneration", _))
+    val gens = EpochManifest.generations(spark, root)
+    if (gens.nonEmpty) {
+      m.put("generation", gens.last.toString)
+      m.put("retainedGenerations", gens.mkString(", "))
+      val es = EpochManifest.entries(spark, root)
+      m.put("epochs", es.size.toString)
+      es.map(_.epoch).maxOption.foreach(e => m.put("maxEpoch", e.toString))
+    }
+    BloomSpec.declared(spark, root).foreach(m.put("bloomColumn", _))
+    val ts = EpochManifest.tags(spark, root)
+    if (ts.nonEmpty)
+      m.put("tags", ts.toSeq.sortBy(_._1)
+        .map { case (n, g) => s"$n=$g" }.mkString(", "))
+    EpochStoreConstraints.list(spark, root).foreach { case (n, e) =>
+      m.put(s"constraint.$n", e)
+    }
+    m
+  }
+
   /** `_epoch`: the manifest epoch that committed each row's file — the
     * provenance column that turns the append-only store into a
     * latest-wins keyed table ([[EpochStore.readLatest]]). Served as a

@@ -1538,6 +1538,58 @@ class EpochStoreSpec extends SparkSpec {
     assert(left.length == 1 && left.head.getString(0) == "v_min")
   }
 
+  test("DESCRIBE surfaces the store's control plane: generation, " +
+      "epochs, tags, constraints as table properties") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml12", wh)
+    graft.core.EpochManifest.tag(spark, root, "rel-1")
+    graft.sources.EpochStoreConstraints.add(spark, root, "id_pos", "id >= 0")
+    val props = spark.sql("DESCRIBE TABLE EXTENDED dml12.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val tp = props.getOrElse("Table Properties", "")
+    assert(tp.contains("generation=4") && tp.contains("epochs=4") &&
+      tp.contains("maxEpoch=3") && tp.contains("rel-1=4") &&
+      tp.contains("constraint.id_pos=id >= 0") &&
+      tp.contains("partitionColumn=bucket"),
+      s"control-plane properties missing: $tp")
+  }
+
+  test("CHECK constraints gate the STREAMING sink: a violating " +
+      "micro-batch fails the query with its epoch unpublished") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp() + "/store"
+    val cp = tmp() + "/cp"
+    // seed the store + declare the gate before the stream starts
+    EpochStore.write(Seq((1L, "a", 0)).toDF("id", "v", "bucket"), root, 100L,
+      partitionColumn = "bucket")
+    graft.sources.EpochStoreConstraints.add(spark, root, "id_pos", "id >= 0")
+    val in = MemoryStream[(Long, String, Int)]
+    val q = in.toDF().toDF("id", "v", "bucket")
+      .writeStream.format("epochstore")
+      .option("path", root).option("partitionColumn", "bucket")
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      in.addData((2L, "ok", 1))
+      q.processAllAvailable()
+      assert(EpochStore.read(spark, root, schema, "bucket").count() == 2)
+      in.addData((-9L, "bad", 1))
+      val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { in.addData(); q.processAllAvailable() }
+      assert(err.getMessage.contains("id_pos") ||
+        Option(err.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("id_pos")),
+        s"the failure must name the constraint: ${err.getMessage}")
+    } finally q.stop()
+    // the violating batch's epoch never published
+    assert(EpochStore.read(spark, root, schema, "bucket").count() == 2,
+      "the violating micro-batch must not be visible")
+  }
+
   test("named snapshot tags: VERSION AS OF 'name' resolves, gc keeps " +
       "tagged generations alive through compactions, untag releases") {
     val wh = tmp()
