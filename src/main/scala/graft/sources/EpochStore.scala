@@ -1309,9 +1309,15 @@ object EpochStore {
   def compactStore(spark: SparkSession, root: String,
                    uptoEpoch: Long = Long.MaxValue,
                    sortColumns: Seq[String] = Nil,
-                   parts: Int = 8): Unit = {
+                   parts: Int = 8,
+                   zorderColumns: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit,
       max, min, sum, when}
+    require(sortColumns.isEmpty || zorderColumns.isEmpty,
+      "compactStore: sortColumns and zorderColumns are exclusive layouts")
+    require(zorderColumns.isEmpty || zorderColumns.length == 2,
+      s"compactStore: zorderColumns takes exactly two columns, got " +
+        zorderColumns.mkString(", "))
     val es = EpochManifest.entries(spark, root)
     val covered = es.filter(_.epoch < uptoEpoch)
     if (covered.size <= 1) return
@@ -1340,8 +1346,22 @@ object EpochStore {
       spark.read.schema(s).parquet(s"$root/${e.dir}")
     }.reduce(_.unionByName(_, allowMissingColumns = true))
       .select(merged.fieldNames.map(col): _*)
+    // z-order re-clustering (X59's layout as a MAINTENANCE move): the
+    // fold is range-distributed along the Morton curve of the two
+    // columns and stats are re-derived on BOTH, so a 2-D range probe
+    // prunes fold files no linear sort order could serve
     val folded =
-      if (sortColumns.isEmpty) folded0.coalesce(parts)
+      if (zorderColumns.nonEmpty) {
+        require(!folded0.columns.contains("__z"),
+          "compactStore: input already has a '__z' column — rename it first")
+        folded0
+          .withColumn("__z", graft.core.Layout.zvalue(
+            col(zorderColumns.head), col(zorderColumns(1)), 16))
+          .repartitionByRange(parts, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
+      else if (sortColumns.isEmpty) folded0.coalesce(parts)
       else folded0.repartitionByRange(parts, sortColumns.map(col): _*)
         .sortWithinPartitions(sortColumns.map(col): _*)
     val maxCov = covered.map(_.epoch).max
@@ -1349,11 +1369,26 @@ object EpochStore {
     val w = folded.write.mode("overwrite")
     partCol.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$foldDir")
     EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, partCol)
-    // re-derive the numeric stats any covered epoch declared
-    val statKinds: Seq[(String, Char)] = covered
+    // re-derive the numeric stats any covered epoch declared — plus the
+    // z-order dimensions (their per-file rectangles ARE the layout's
+    // pruning payoff, whether or not history declared them)
+    val zKinds: Seq[(String, Char)] = zorderColumns.map { c =>
+      val f = merged.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"compactStore: zorderColumns column $c is not in the schema"))
+      import org.apache.spark.sql.types._
+      c -> (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => 'l'
+        case FloatType | DoubleType => 'd'
+        case other => throw new IllegalArgumentException(
+          s"compactStore: zorderColumns column $c has type $other — " +
+            "z-order needs a numeric dimension")
+      })
+    }
+    val statKinds: Seq[(String, Char)] = (covered
       .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
         .flatMap(_.cols.toSeq))
-      .map { case (c, cs) => (c, cs.kind) }.distinct
+      .map { case (c, cs) => (c, cs.kind) } ++ zKinds).distinct
       .filter(_._2 != 's')
       .filter { case (c, _) => merged.fieldNames.contains(c) }
     val statsCols = statKinds.map(_._1)

@@ -100,7 +100,12 @@ private[sources] object EpochStoreProcedures {
           .defaultValue("NULL")
           .comment("comma-separated re-cluster columns").build(),
         ProcedureParameter.in("parts", IntegerType)
-          .defaultValue("8").comment("fold file count").build())) {
+          .defaultValue("8").comment("fold file count").build(),
+        ProcedureParameter.in("zorder_columns", StringType)
+          .defaultValue("NULL")
+          .comment("two comma-separated numeric columns — Morton-curve " +
+            "re-clustering with 2-D stats (exclusive with sort_columns)")
+          .build())) {
         override def description(): String =
           "stats-preserving, evolution-aware fold of a store's history " +
             "(one atomic manifest swap; the previous snapshot stays " +
@@ -110,9 +115,11 @@ private[sources] object EpochStoreProcedures {
           val before = EpochManifest.entries(spark, root).size
           val sortCols = Option(str(input, 2)).toSeq
             .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          val zCols = Option(str(input, 4)).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
           EpochStore.compactStore(spark, root,
             uptoEpoch = input.getLong(1), sortColumns = sortCols,
-            parts = input.getInt(3))
+            parts = input.getInt(3), zorderColumns = zCols)
           result(StructType(Seq(
             StructField("entries_before", IntegerType, nullable = false),
             StructField("entries_after", IntegerType, nullable = false))),

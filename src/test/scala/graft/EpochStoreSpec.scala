@@ -1538,6 +1538,35 @@ class EpochStoreSpec extends SparkSpec {
     assert(left.length == 1 && left.head.getString(0) == "v_min")
   }
 
+  test("z-order compaction: CALL compact(zorder_columns) re-clusters " +
+      "the fold so a 2-D range probe prunes files exactly") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    val n = 64
+    val pts = (for { x <- 0 until n; y <- 0 until n }
+      yield (x.toLong, y.toLong, s"p$x-$y")).toDF("x", "y", "v")
+    EpochStore.write(pts.filter($"x" % 2 === 0), root, 0L,
+      statsColumns = Seq("x", "y"))
+    EpochStore.write(pts.filter($"x" % 2 === 1), root, 1L,
+      statsColumns = Seq("x", "y"))
+    cat("dml13", wh)
+    spark.sql("CALL dml13.system.compact(table => 't', " +
+      "zorder_columns => 'x,y', parts => 8)").collect()
+    val sch = StructType(Seq(StructField("x", LongType),
+      StructField("y", LongType), StructField("v", StringType)))
+    val q = EpochStore.read(spark, root, sch)
+      .filter($"x" >= 8L && $"x" < 16L && $"y" >= 8L && $"y" < 16L)
+    assert(q.count() == 64, "the probe square holds 8x8 points")
+    val (kept, listed) = scanOf(q).skippedFilesAudit
+    assert(listed == 8 && kept < listed,
+      s"the z-ordered fold must prune 2-D probes: kept $kept of $listed")
+    // exclusive layouts refuse
+    intercept[Exception](spark.sql("CALL dml13.system.compact(" +
+      "table => 't', sort_columns => 'x', zorder_columns => 'x,y')")
+      .collect())
+  }
+
   test("DESCRIBE surfaces the store's control plane: generation, " +
       "epochs, tags, constraints as table properties") {
     val wh = tmp()
