@@ -111,37 +111,56 @@ object EpochManifest {
   // fixed-shape JSON); writes are tmp-then-rename like every manifest
   // artifact, under the store's single-writer contract.
 
-  private def tagsPath(root: String) = new Path(manifestDir(root), "tags.json")
+  // tags are VERSIONED like the manifests themselves (tags.v<N>.json,
+  // highest complete file wins; older versions deleted after the new
+  // one lands) — there is never a moment with NO tag file visible, so
+  // a concurrent reader (or gc resolving its retention anchors) cannot
+  // observe an empty in-between state
+  private def tagFiles(spark: SparkSession, root: String): Seq[(Long, Path)] = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("tags.v") && n.endsWith(".json"))
+        n.stripPrefix("tags.v").stripSuffix(".json").toLongOption
+          .map(_ -> s.getPath)
+      else None
+    }.sortBy(_._1)
+  }
 
   /** The store's named tags, name → pinned generation. */
   def tags(spark: SparkSession, root: String): Map[String, Long] = {
     val fs = fsOf(spark, root)
-    val p = tagsPath(root)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.filter(_.nonEmpty).map { line =>
-      // fixed shape {"name":"...","generation":N} per line
-      val n = line.split("\"name\":\"")(1).takeWhile(_ != '"')
-      val g = line.split("\"generation\":")(1).takeWhile(_.isDigit).toLong
-      n -> g
-    }.toMap
+    tagFiles(spark, root).lastOption match {
+      case None => Map.empty
+      case Some((_, p)) =>
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        body.linesIterator.filter(_.nonEmpty).map { line =>
+          // fixed shape {"name":"...","generation":N} per line
+          val n = line.split("\"name\":\"")(1).takeWhile(_ != '"')
+          val g = line.split("\"generation\":")(1).takeWhile(_.isDigit).toLong
+          n -> g
+        }.toMap
+    }
   }
 
   private def writeTags(spark: SparkSession, root: String,
                         ts: Map[String, Long]): Unit = {
     val fs = fsOf(spark, root)
-    if (ts.isEmpty) { fs.delete(tagsPath(root), false); return }
+    val old = tagFiles(spark, root)
+    val next = old.lastOption.map(_._1).getOrElse(0L) + 1L
     val body = ts.toSeq.sortBy(_._1)
       .map { case (n, g) => s"""{"name":"$n","generation":$g}""" }
-      .mkString("", "\n", "\n")
-    val tmp = new Path(manifestDir(root), ".tags.json.tmp")
+      .mkString("", "\n", if (ts.isEmpty) "" else "\n")
+    val tmp = new Path(manifestDir(root), s".tags.v$next.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.delete(tagsPath(root), false)
-    require(fs.rename(tmp, tagsPath(root)),
+    require(fs.rename(tmp, new Path(manifestDir(root), s"tags.v$next.json")),
       s"tag write rename failed under $root")
+    old.foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** Pin `name` to a RETAINED `generation` (default: the current one).
@@ -151,6 +170,9 @@ object EpochManifest {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
       s"tag name '$name' — use [A-Za-z0-9._-]+")
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — VERSION AS OF would read it as " +
+        "a generation number, shadowing the tag")
     val ms = manifests(spark, root)
     require(ms.nonEmpty, s"no committed manifest under $root")
     val g = if (generation < 0L) ms.last._1 else generation

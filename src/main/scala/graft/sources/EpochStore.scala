@@ -396,9 +396,10 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       val fs = new Path(rlo.root).getFileSystem(
         GraftBridge.sessionHadoopConf(spark))
       val partField = partCol.flatMap(c => tableSchema.fields.find(_.name == c))
-      val kept = rlo.pinned.filter(e =>
-        EpochStoreDml.classify(spark, fs, rlo.root, e, partField,
-          groupFilters) != EpochStoreDml.Untouched)
+      val kept = EpochStore.spanClosure(rlo.pinned,
+        rlo.pinned.filter(e =>
+          EpochStoreDml.classify(spark, fs, rlo.root, e, partField,
+            groupFilters) != EpochStoreDml.Untouched))
       rlo.kept = kept
       return EpochStoreScan(tableSchema, required, partCol, rlo.root,
         rlo.generation, kept, Array.empty, Array.empty,
@@ -555,7 +556,8 @@ final case class EpochStoreScan(
           if a == EpochStore.EpochColName => Set(v.longValue())
       }
       epochs.foreach { es =>
-        val narrowed = entries.filter(e => es.contains(e.epoch))
+        val narrowed = EpochStore.spanClosure(entries,
+          entries.filter(e => es.contains(e.epoch)))
         rloRef.kept = narrowed
         runtimeEntries = narrowed
         cachedListing = null
@@ -851,6 +853,32 @@ object EpochStore {
     val entryPath = fs.makeQualified(new Path(s"$root/${lf.entryDir}")).toString
     fs.makeQualified(lf.status.getPath).toString
       .stripPrefix(entryPath).stripPrefix("/")
+  }
+
+  /** Close a row-level-op kept set over epoch-SPAN containment: the
+    * replace fold commits at [min kept minEpoch, max kept epoch], and
+    * `_epoch` is served as a per-entry constant — so an entry SKIPPED
+    * inside that span would rank BELOW the fold even where it holds a
+    * key's newer row, and latest-wins reads would serve stale values.
+    * Any pinned entry whose own span intersects the kept span is pulled
+    * into the rewrite (carried over unchanged), iterating to a
+    * fixpoint; entries strictly outside stay skipped. */
+  private[sources] def spanClosure(
+      pinned: Seq[EpochManifest.Entry],
+      kept0: Seq[EpochManifest.Entry]): Seq[EpochManifest.Entry] = {
+    if (kept0.isEmpty) return kept0
+    var kept = kept0
+    var changed = true
+    while (changed) {
+      val lo = kept.map(_.minEpoch).min
+      val hi = kept.map(_.epoch).max
+      val inDirs = kept.map(_.dir).toSet
+      val more = pinned.filterNot(e => inDirs.contains(e.dir))
+        .filter(e => e.epoch >= lo && e.minEpoch <= hi)
+      changed = more.nonEmpty
+      kept ++= more
+    }
+    kept.sortBy(_.epoch)
   }
 
   /** Conjunctive EqualTo/In probe sets on the bloom column — empty when
@@ -1188,10 +1216,22 @@ object EpochStore {
       s"store $root entries without a _schema.json record: " +
         s"${missing.mkString(", ")} — pre-evolution epochs; read with an " +
         "explicit .schema(...) instead")
-    val parts = recs.map(_._2.get._2).distinct
+    mergeRecorded(root, recs.map(_._2.get))
+  }
+
+  /** Merge per-entry recorded (schema, partitionColumn) pairs by NAME —
+    * first-appearance field order, later-added columns nullable,
+    * same-name type conflicts and partition-column changes refused
+    * loudly. Shared by [[evolvedSchema]] and the catalog's discovery
+    * (which pre-reads the sidecars it existence-checked — one read per
+    * entry, not two). */
+  private[sources] def mergeRecorded(root: String,
+      recs: Seq[(StructType, Option[String])])
+      : (StructType, Option[String]) = {
+    val parts = recs.map(_._2).distinct
     require(parts.size == 1,
       s"partitionColumn changed across epochs of $root: $parts")
-    val merged = recs.map(_._2.get._1).reduceLeft { (a, b) =>
+    val merged = recs.map(_._1).reduceLeft { (a, b) =>
       val known = a.fields.map(f => f.name -> f).toMap
       b.fields.foreach(f => known.get(f.name).foreach(g =>
         require(g.dataType == f.dataType,
@@ -1391,8 +1431,25 @@ object EpochStore {
       .map { case (c, cs) => (c, cs.kind) } ++ zKinds).distinct
       .filter(_._2 != 's')
       .filter { case (c, _) => merged.fieldNames.contains(c) }
+    rederiveStats(spark, fs, root, foldDir, merged, statKinds)
+    EpochManifest.commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+
+      EpochManifest.Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min))
+    EpochManifest.gc(spark, root)
+  }
+
+  /** RE-DERIVE an entry dir's per-file stats sidecar from its data: row
+    * counts always (LIMIT truncation + metadata rows), min / max / null
+    * counts for `statKinds` — one read-back pass grouped by file.
+    * Shared by [[compactStore]] folds and the DML rewrites
+    * ([[EpochStoreDml.resolveDelete]]), so file skipping survives every
+    * data-rewriting maintenance move. */
+  private[sources] def rederiveStats(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String,
+      schema: StructType, statKinds: Seq[(String, Char)]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit,
+      max, min, sum, when}
     val statsCols = statKinds.map(_._1)
-    val back = spark.read.schema(merged).parquet(s"$root/$foldDir")
+    val back = spark.read.schema(schema).parquet(s"$root/$dir")
       .withColumn("__f", input_file_name())
     val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
@@ -1400,12 +1457,12 @@ object EpochStore {
     val perFile = back.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         // input_file_name's URI spelling (file:///…) differs from
-        // makeQualified's (file:/…) — anchor on the fold dir name
-        // instead of prefix-stripping a qualified path
+        // makeQualified's (file:/…) — anchor on the dir name instead of
+        // prefix-stripping a qualified path
         val uri = r.getString(0)
-        val anchor = uri.indexOf(s"/$foldDir/")
-        require(anchor >= 0, s"fold file outside $foldDir: $uri")
-        val rel = uri.substring(anchor + foldDir.length + 2)
+        val anchor = uri.indexOf(s"/$dir/")
+        require(anchor >= 0, s"rewritten file outside $dir: $uri")
+        val rel = uri.substring(anchor + dir.length + 2)
         val cols = statKinds.map { case (c, kind) =>
           def num(v: Any): Any = (kind, v) match {
             case (_, null) => null
@@ -1419,10 +1476,7 @@ object EpochStore {
         }.toMap
         rel -> EpochStoreStats.FileStats(r.getAs[Long]("__rows"), cols)
       }
-    EpochStoreStats.write(fs, root, foldDir, perFile)
-    EpochManifest.commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+
-      EpochManifest.Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min))
-    EpochManifest.gc(spark, root)
+    EpochStoreStats.write(fs, root, dir, perFile)
   }
 
   /** Z-ORDERED epoch write: cluster `df` along the Morton curve of

@@ -139,10 +139,11 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     // Only MISSING records fall back to footer discovery below; a
     // recorded type conflict or partition-column change refuses loudly
     // (a silent footer fallback would serve one epoch's arbitrary shape)
-    if (entries.nonEmpty && entries.forall(e =>
-        EpochStoreWrite.readSchemaSidecar(fs, root, e.dir).isDefined)) {
+    val recs = entries.map(e =>
+      EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+    if (entries.nonEmpty && recs.forall(_.isDefined)) {
       val (schema, partCol) =
-        EpochStore.evolvedSchema(spark, root, asOfGeneration)
+        EpochStore.mergeRecorded(root, recs.map(_.get))
       val opts = Map("path" -> root) ++
         partCol.map("partitionColumn" -> _) ++
         (if (asOfGeneration >= 0L)

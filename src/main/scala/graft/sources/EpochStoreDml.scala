@@ -206,6 +206,14 @@ private[sources] object EpochStoreDml {
           val w = surv.write.mode("overwrite")
           pc.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$dir2")
           EpochStoreWrite.writeSchemaSidecar(fs, root, dir2, schema, pc)
+          // keep file skipping alive across the rewrite: re-derive the
+          // numeric stats the ORIGINAL entry declared (string stats and
+          // blooms drop honestly — the documented always-keep fallback)
+          val kinds = EpochStoreStats.read(fs, root, e.dir).valuesIterator
+            .flatMap(_.cols.toSeq).map { case (c, cs) => (c, cs.kind) }
+            .toSeq.distinct
+            .filter(_._2 != 's').filter(k => present.contains(k._1))
+          EpochStore.rederiveStats(spark, fs, root, dir2, schema, kinds)
           Some(e.copy(dir = dir2))
       }
     }
@@ -315,6 +323,38 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
 
   private def staging = s"${op.root}/.rlo$queryId"
 
+  /** Sidecars the fold KEEPS writing: per-file stats for every column
+    * any pinned entry declared (kind re-resolved from the write schema)
+    * and blooms on the store's declared column — a DML rewrite must not
+    * degrade file skipping on the data it carries over. */
+  private def statsColsOf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[(String, Char)] = {
+    val declared = op.pinned.flatMap(e =>
+      EpochStoreStats.read(fs, op.root, e.dir).valuesIterator
+        .flatMap(_.cols.keysIterator)).toSet
+    schema.fields.toSeq
+      .filter(f => declared(f.name) && !op.partCol.contains(f.name))
+      .flatMap { f =>
+        import org.apache.spark.sql.types._
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(f.name -> 'l')
+          case FloatType | DoubleType => Some(f.name -> 'd')
+          case StringType => Some(f.name -> 's')
+          case _ => None
+        }
+      }
+  }
+
+  private def bloomOf(spark: SparkSession): Option[BloomSpec] =
+    BloomSpec.declared(spark, op.root).flatMap { c =>
+      import org.apache.spark.sql.types._
+      schema.fields.find(_.name == c)
+        .filter(f => Set[DataType](ByteType, ShortType, IntegerType,
+          LongType, StringType)(f.dataType) && !op.partCol.contains(c))
+        .map(_ => BloomSpec(c, 100000L, 0.03))
+    }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val spark = SparkSession.active
@@ -328,7 +368,8 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
         .filter(_.getPath.getName.startsWith(".rlo"))
         .foreach(s => fs.delete(s.getPath, true))
     new EpochStoreWriterFactory(staging, schema, op.partCol,
-      EpochStoreBatchWrite.primedConf(spark, schema, op.partCol))
+      EpochStoreBatchWrite.primedConf(spark, schema, op.partCol),
+      bloomOf(spark), statsColsOf(spark, fs))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -356,6 +397,9 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
     // quality gate: an UPDATE/MERGE whose rewritten rows violate a
     // declared CHECK fails HERE with the pre-statement state intact
     EpochStoreConstraints.enforce(spark, op.root, s"${op.root}/$dir", schema)
+    EpochStoreStats.write(fs, op.root, dir,
+      messages.collect { case m: EpochFilesWritten => m.fileStats }
+        .flatten.toSeq)
     EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, schema, op.partCol)
     EpochManifest.commit(spark, op.root,
       survivors :+ EpochManifest.Entry(epoch, dir, lo = lo))

@@ -69,8 +69,15 @@ private[sources] object EpochStoreProcedures {
     require(ident.namespace().toSeq == Seq("system"),
       s"epochstore procedures live under <catalog>.system, got " +
         s"${ident.namespace().mkString(".")}.${ident.name()}")
-    def rootOf(table: String): String =
-      (warehouse +: table.split('.').toSeq).mkString("/")
+    def rootOf(table: String): String = {
+      val segs = table.split('.').toSeq
+      segs.foreach(s => require(s.nonEmpty && s != "." && s != ".." &&
+        !s.contains('/') && !s.contains('\\'),
+        s"procedure table argument '$table' must name a store INSIDE " +
+          "this catalog's warehouse — path segments cannot be empty, " +
+          "'..', or contain separators"))
+      (warehouse +: segs).mkString("/")
+    }
     ident.name() match {
 
       case "snapshots" => new Proc("snapshots", Array(tableParam)) {

@@ -239,7 +239,22 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
   * gates future writes, it does not retro-scan. */
 object EpochStoreConstraints {
 
-  private def path(root: String) = new Path(s"$root/_manifests/constraints.json")
+  // versioned like the manifests (constraints.v<N>.json, highest wins,
+  // older versions deleted AFTER the new one lands): a commit path's
+  // enforce() racing an add/drop always sees a complete constraint set,
+  // never an empty in-between window
+  private def files(fs: org.apache.hadoop.fs.FileSystem,
+                    root: String): Seq[(Long, Path)] = {
+    val md = new Path(s"$root/_manifests")
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("constraints.v") && n.endsWith(".json"))
+        n.stripPrefix("constraints.v").stripSuffix(".json").toLongOption
+          .map(_ -> s.getPath)
+      else None
+    }.sortBy(_._1)
+  }
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -263,18 +278,20 @@ object EpochStoreConstraints {
   /** Declared constraints, (name, SQL expression), declaration order. */
   def list(spark: SparkSession, root: String): Seq[(String, String)] = {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val p = path(root)
-    if (!fs.exists(p)) return Seq.empty
-    val in = fs.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.filter(_.nonEmpty).map { line =>
-      // fixed shape {"name":"...","expr":"..."} with \-escaping
-      val n = line.split("\"name\":\"")(1)
-      val name = unesc(n.substring(0, unescEnd(n)))
-      val e = line.split("\"expr\":\"")(1)
-      (name, unesc(e.substring(0, unescEnd(e))))
-    }.toSeq
+    files(fs, root).lastOption match {
+      case None => Seq.empty
+      case Some((_, p)) =>
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        body.linesIterator.filter(_.nonEmpty).map { line =>
+          // fixed shape {"name":"...","expr":"..."} with \-escaping
+          val n = line.split("\"name\":\"")(1)
+          val name = unesc(n.substring(0, unescEnd(n)))
+          val e = line.split("\"expr\":\"")(1)
+          (name, unesc(e.substring(0, unescEnd(e))))
+        }.toSeq
+    }
   }
 
   /** Index of the closing unescaped quote. */
@@ -291,16 +308,18 @@ object EpochStoreConstraints {
                     cs: Seq[(String, String)]): Unit = {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     fs.mkdirs(new Path(s"$root/_manifests"))
-    if (cs.isEmpty) { fs.delete(path(root), false); return }
+    val old = files(fs, root)
+    val next = old.lastOption.map(_._1).getOrElse(0L) + 1L
     val body = cs.map { case (n, e) =>
       s"""{"name":"${esc(n)}","expr":"${esc(e)}"}""" }
-      .mkString("", "\n", "\n")
-    val tmp = new Path(s"$root/_manifests/.constraints.json.tmp")
+      .mkString("", "\n", if (cs.isEmpty) "" else "\n")
+    val tmp = new Path(s"$root/_manifests/.constraints.v$next.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.delete(path(root), false)
-    require(fs.rename(tmp, path(root)),
+    require(fs.rename(tmp,
+      new Path(s"$root/_manifests/constraints.v$next.json")),
       s"constraint write rename failed under $root")
+    old.foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** Declare `name CHECK (expr)`. The expression is ANALYZED against

@@ -1652,6 +1652,44 @@ class EpochStoreSpec extends SparkSpec {
       "the live table must be untouched by tag lifecycle")
   }
 
+  test("a row-level rewrite never folds ACROSS a skipped entry: the " +
+      "kept set closes over its epoch span, so _epoch ordering (and " +
+      "latest-wins reads) survive the DML") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml14", wh)
+    val dirsBefore = EpochManifest.entries(spark, root)
+      .map(e => e.epoch -> e.dir).toMap
+    // touches epochs 0 and 2 — epoch 1 sits INSIDE the fold span and
+    // must be carried along (span closure), never outranked by it
+    spark.sql("UPDATE dml14.t SET v = 'gap' WHERE bucket IN (0, 2)")
+    val after = EpochManifest.entries(spark, root)
+    assert(after.map(_.epoch).toSet == Set(2L, 3L),
+      s"epochs 0..2 must fold together: ${after.map(e => e.epoch -> e.dir)}")
+    val fold = after.find(_.epoch == 2L).get
+    assert(fold.minEpoch == 0L && fold.dir.startsWith("f"),
+      s"the fold must cover the whole span: $fold")
+    assert(after.find(_.epoch == 3L).get.dir == dirsBefore(3L),
+      "the entry outside the span must stay skipped")
+    assert(spark.sql("SELECT COUNT(*) FROM dml14.t WHERE v = 'gap'")
+      .head.getLong(0) == 20)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dml14.t WHERE bucket = 1 AND v LIKE 'v1%'")
+      .head.getLong(0) == 10, "the carried-over entry's rows must survive")
+    assert(spark.sql("SELECT COUNT(*) FROM dml14.t").head.getLong(0) == 40)
+    // the carried rows' _epoch now equals the fold's — but no SKIPPED
+    // entry holds a newer version of any carried key, which is exactly
+    // what the closure guarantees
+    val latest = EpochStore.readLatest(spark, root,
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType), StructField("bucket", IntegerType))),
+      Seq("id"), partitionColumn = "bucket")
+    assert(latest.count() == 40)
+    assert(latest.filter(col("id") === 15L).head.getAs[String]("v") == "v15",
+      "latest-wins must serve the untouched entry's value")
+  }
+
   test("SQL MERGE INTO: matched rows update, unmatched source rows " +
       "insert, one atomic generation") {
     import spark.implicits._
