@@ -1429,7 +1429,6 @@ object EpochStore {
       .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
         .flatMap(_.cols.toSeq))
       .map { case (c, cs) => (c, cs.kind) } ++ zKinds).distinct
-      .filter(_._2 != 's')
       .filter { case (c, _) => merged.fieldNames.contains(c) }
     rederiveStats(spark, fs, root, foldDir, merged, statKinds)
     EpochManifest.commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+
@@ -1464,8 +1463,12 @@ object EpochStore {
         require(anchor >= 0, s"rewritten file outside $dir: $uri")
         val rel = uri.substring(anchor + dir.length + 2)
         val cols = statKinds.map { case (c, kind) =>
+          // Spark's min/max on StringType compares UTF8String bytes —
+          // the same UTF-8 binary order the skip probe uses, so the
+          // re-derived string bounds are exact
           def num(v: Any): Any = (kind, v) match {
             case (_, null) => null
+            case ('s', s: String) => s
             case ('d', n: Number) => n.doubleValue()
             case (_, n: Number) => n.longValue()
             case _ => null
@@ -1564,55 +1567,89 @@ object EpochStore {
       case _ => false
     }
 
-  /** Three-valued evaluation of `f` against one partition value: Some
-    * (definite) when the filter is decidable from the partition column
-    * alone, None (keep the dir) otherwise. Pruning drops a dir only on
-    * Some(false). */
-  private[sources] def evalOnPartition(f: Filter, col: String,
-                                       v: Any): Option[Boolean] = {
+  /** SQL three-valued evaluation of `f` against one partition value.
+    * Outer None = not decidable from the partition column alone (keep
+    * the dir). Some(inner) = the predicate evaluates to the SAME SQL
+    * value for every row of the dir: Some(Some(b)) a definite boolean,
+    * Some(None) SQL NULL — a null partition value under a non-null-safe
+    * comparison (`col = v`, ranges, IN) is NULL, which the top level
+    * treats as prune (a WHERE drops NULL rows) but which composes as
+    * NULL through And/Or/Not first, so `NOT (col = v)` over a
+    * `__HIVE_DEFAULT_PARTITION__` dir stays NULL (pruned) instead of
+    * flipping to "keep everything". This is what makes
+    * [[exactPartitionFilter]]'s fully-handled claim self-sufficiently
+    * exact even with `spark.sql.constraintPropagation.enabled=false`
+    * (no inferred IsNotNull companion to mask a kept null dir). */
+  private[sources] def eval3OnPartition(f: Filter, col: String,
+                                        v: Any): Option[Option[Boolean]] = {
     def cmp(x: Any): Option[Int] = (v, x) match {
-      case (null, _) => None
       case (a: Number, b: Number) =>
         Some(new java.math.BigDecimal(a.toString)
           .compareTo(new java.math.BigDecimal(b.toString)))
-      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: String, b: String) => Some(EpochStoreStats.utf8Cmp(a, b))
       case _ => None
     }
+    // non-null-safe comparison: either side null => SQL NULL; otherwise
+    // the definite comparison (None from cmp = type confusion = keep)
+    def threeVal(x: Any)(p: => Option[Boolean]): Option[Option[Boolean]] =
+      if (v == null || x == null) Some(None) else p.map(Some(_))
     f match {
-      case sources.EqualTo(a, x) if a == col => cmp(x).map(_ == 0)
+      case sources.EqualTo(a, x) if a == col => threeVal(x)(cmp(x).map(_ == 0))
       case sources.EqualNullSafe(a, x) if a == col =>
-        // null-safe: decidable even when either side is null — the form
-        // static partition overwrite pushes
-        if (x == null || v == null) Some(x == null && v == null)
-        else cmp(x).map(_ == 0)
+        // null-safe: a definite boolean even when either side is null —
+        // the form static partition overwrite pushes
+        if (x == null || v == null) Some(Some(x == null && v == null))
+        else cmp(x).map(c => Some(c == 0))
       case sources.In(a, xs) if a == col =>
-        if (v == null) Some(false)
+        if (v == null) Some(None)
         else {
-          val hits = xs.toSeq.map(cmp)
-          if (hits.exists(_.contains(0))) Some(true)
-          else if (hits.forall(_.isDefined)) Some(false)
+          val hits = xs.toSeq.filter(_ != null).map(cmp)
+          if (hits.exists(_.contains(0))) Some(Some(true))
+          else if (hits.forall(_.isDefined))
+            // no match: IN (…, null) is NULL, a null-free list is false
+            Some(if (xs.contains(null)) None else Some(false))
           else None
         }
-      case sources.GreaterThan(a, x) if a == col => cmp(x).map(_ > 0)
-      case sources.GreaterThanOrEqual(a, x) if a == col => cmp(x).map(_ >= 0)
-      case sources.LessThan(a, x) if a == col => cmp(x).map(_ < 0)
-      case sources.LessThanOrEqual(a, x) if a == col => cmp(x).map(_ <= 0)
-      case sources.IsNull(a) if a == col => Some(v == null)
-      case sources.IsNotNull(a) if a == col => Some(v != null)
+      case sources.GreaterThan(a, x) if a == col =>
+        threeVal(x)(cmp(x).map(_ > 0))
+      case sources.GreaterThanOrEqual(a, x) if a == col =>
+        threeVal(x)(cmp(x).map(_ >= 0))
+      case sources.LessThan(a, x) if a == col =>
+        threeVal(x)(cmp(x).map(_ < 0))
+      case sources.LessThanOrEqual(a, x) if a == col =>
+        threeVal(x)(cmp(x).map(_ <= 0))
+      case sources.IsNull(a) if a == col => Some(Some(v == null))
+      case sources.IsNotNull(a) if a == col => Some(Some(v != null))
       case sources.And(l, r) =>
-        (evalOnPartition(l, col, v), evalOnPartition(r, col, v)) match {
-          case (Some(false), _) | (_, Some(false)) => Some(false)
-          case (Some(true), Some(true)) => Some(true)
+        // Kleene AND: false dominates even an undecidable side
+        (eval3OnPartition(l, col, v), eval3OnPartition(r, col, v)) match {
+          case (Some(Some(false)), _) | (_, Some(Some(false))) =>
+            Some(Some(false))
+          case (Some(a), Some(b)) =>
+            Some(if (a.contains(true) && b.contains(true)) Some(true)
+            else None) // true AND null / null AND null => NULL
           case _ => None
         }
       case sources.Or(l, r) =>
-        (evalOnPartition(l, col, v), evalOnPartition(r, col, v)) match {
-          case (Some(true), _) | (_, Some(true)) => Some(true)
-          case (Some(false), Some(false)) => Some(false)
+        (eval3OnPartition(l, col, v), eval3OnPartition(r, col, v)) match {
+          case (Some(Some(true)), _) | (_, Some(Some(true))) =>
+            Some(Some(true))
+          case (Some(a), Some(b)) =>
+            Some(if (a.contains(false) && b.contains(false)) Some(false)
+            else None) // false OR null / null OR null => NULL
           case _ => None
         }
-      case sources.Not(c) => evalOnPartition(c, col, v).map(!_)
+      case sources.Not(c) =>
+        eval3OnPartition(c, col, v).map(_.map(!_)) // NOT NULL stays NULL
       case _ => None
     }
   }
+
+  /** Pruning view of [[eval3OnPartition]]: Some(definite keep/prune)
+    * when decidable, None (keep the dir) otherwise. A predicate that is
+    * SQL NULL for the whole dir prunes it — but only AFTER full Kleene
+    * composition above. */
+  private[sources] def evalOnPartition(f: Filter, col: String,
+                                       v: Any): Option[Boolean] =
+    eval3OnPartition(f, col, v).map(_.getOrElse(false))
 }

@@ -116,51 +116,64 @@ final case class EpochStoreAggScan(
       case _ => false
     }
     if (!answerable) return None
-    def conv(v: Any, dt: DataType): Any = (v, dt) match {
-      case (null, _) => null
-      case (n: Number, ByteType) => n.byteValue()
-      case (n: Number, ShortType) => n.shortValue()
-      case (n: Number, IntegerType) => n.intValue()
-      case (n: Number, LongType) => n.longValue()
-      case (n: Number, FloatType) => n.floatValue()
-      case (n: Number, DoubleType) => n.doubleValue()
-      case _ => return None // non-numeric stat kind: footer path decides
+    // Option-typed converters: a stat value the sidecar tier cannot
+    // place exactly (non-numeric kind, incomparable pair) bails the
+    // WHOLE sidecar answer to the footer path — never a raw None/other
+    // marker smuggled into the InternalRow as an aggregate value.
+    // (statSafe keeps strings/dates/booleans off this path today; the
+    // Option shape keeps that an invariant, not a hope, if someone
+    // widens the gate.)
+    def conv(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+      case (null, _) => Some(null)
+      case (n: Number, ByteType) => Some(n.byteValue())
+      case (n: Number, ShortType) => Some(n.shortValue())
+      case (n: Number, IntegerType) => Some(n.intValue())
+      case (n: Number, LongType) => Some(n.longValue())
+      case (n: Number, FloatType) => Some(n.floatValue())
+      case (n: Number, DoubleType) => Some(n.doubleValue())
+      case _ => None // non-numeric stat kind: footer path decides
     }
-    def better(a: Any, b: Any, takeMin: Boolean): Any = (a, b) match {
-      case (null, x) => x
-      case (x, null) => x
+    def better(a: Any, b: Any, takeMin: Boolean): Option[Any] = (a, b) match {
+      case (null, x) => Some(x)
+      case (x, null) => Some(x)
       case (x: Number, y: Number) =>
         val c = new java.math.BigDecimal(x.toString)
           .compareTo(new java.math.BigDecimal(y.toString))
-        if (c < 0 == takeMin) x else y
-      case _ => return None
+        Some(if (c < 0 == takeMin) x else y)
+      case _ => None
     }
+    def reduceBetter(vs: Seq[Any], takeMin: Boolean): Option[Any] =
+      // seed with SQL null (all-null column => null aggregate), which
+      // better() treats as "missing — take the other side"
+      vs.foldLeft[Option[Any]](Some(null)) { (acc, v) =>
+        acc.flatMap(better(_, v, takeMin))
+      }
     val groups: Seq[(Any, Seq[EpochStoreStats.FileStats])] =
       if (aggregation.groupByExpressions.isEmpty)
         Seq((null, sts.map(_._2.get)))
       else sts.groupBy(_._1.value).toSeq
         .sortBy(t => String.valueOf(t._1))
         .map { case (v, l) => (v, l.map(_._2.get)) }
-    Some(groups.map { case (v, fstats) =>
-      val vals: Array[Any] = exprs.map {
-        case _: CountStar => fstats.map(_.rows).sum.asInstanceOf[Any]
+    val rows = groups.map { case (v, fstats) =>
+      val vals: Seq[Option[Any]] = exprs.map {
+        case _: CountStar => Some(fstats.map(_.rows).sum)
         case c: Count =>
           val n = colOf(c.column).get
-          fstats.map(f => f.rows - f.cols(n).nulls).sum.asInstanceOf[Any]
+          Some(fstats.map(f => f.rows - f.cols(n).nulls).sum)
         case m: Min =>
           val n = colOf(m.column).get
-          conv(fstats.map(_.cols(n).min.orNull)
-            .reduceLeft(better(_, _, takeMin = true)),
-            dataSchema(n).dataType)
+          reduceBetter(fstats.map(_.cols(n).min.orNull), takeMin = true)
+            .flatMap(conv(_, dataSchema(n).dataType))
         case m: Max =>
           val n = colOf(m.column).get
-          conv(fstats.map(_.cols(n).max.orNull)
-            .reduceLeft(better(_, _, takeMin = false)),
-            dataSchema(n).dataType)
+          reduceBetter(fstats.map(_.cols(n).max.orNull), takeMin = false)
+            .flatMap(conv(_, dataSchema(n).dataType))
         case other => throw new IllegalStateException(s"unreachable: $other")
-      }.toArray
-      (v, vals)
-    })
+      }
+      if (vals.exists(_.isEmpty)) None
+      else Some((v, vals.map(_.get).toArray))
+    }
+    if (rows.exists(_.isEmpty)) None else Some(rows.map(_.get))
   }
 
   /** True when the answer came from the sidecars alone (no file, not

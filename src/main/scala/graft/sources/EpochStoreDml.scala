@@ -44,7 +44,14 @@ import graft.core.EpochManifest
   * metadata-only or rewrites just the affected entries' data; nothing
   * ever rewrites history it can prove untouched, and the single
   * manifest commit keeps readers snapshot-isolated throughout. */
-private[sources] object EpochStoreDml {
+private[graft] object EpochStoreDml {
+
+  /** How old an orphaned `.rlo` staging dir must be before another
+    * statement's write planning reclaims it — comfortably longer than
+    * any statement this engine runs, so only a crashed driver's leavings
+    * qualify (a LIVE concurrent operation keeps its staging dir intact
+    * and fails loudly on its own generation check instead). */
+  val StagingReclaimAfterMs: Long = 6L * 3600L * 1000L
 
   /** v1 Filter → Column, for the copy-on-write survivor filter. None =
     * untranslatable (canDeleteWhere / canOverwrite refuse there and
@@ -206,13 +213,13 @@ private[sources] object EpochStoreDml {
           val w = surv.write.mode("overwrite")
           pc.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$dir2")
           EpochStoreWrite.writeSchemaSidecar(fs, root, dir2, schema, pc)
-          // keep file skipping alive across the rewrite: re-derive the
-          // numeric stats the ORIGINAL entry declared (string stats and
-          // blooms drop honestly — the documented always-keep fallback)
+          // keep file skipping alive across the rewrite: re-derive every
+          // stat the ORIGINAL entry declared — strings included, now that
+          // both sides compare under UTF-8 binary order (blooms still
+          // drop honestly — the documented always-keep fallback)
           val kinds = EpochStoreStats.read(fs, root, e.dir).valuesIterator
             .flatMap(_.cols.toSeq).map { case (c, cs) => (c, cs.kind) }
-            .toSeq.distinct
-            .filter(_._2 != 's').filter(k => present.contains(k._1))
+            .toSeq.distinct.filter(k => present.contains(k._1))
           EpochStore.rederiveStats(spark, fs, root, dir2, schema, kinds)
           Some(e.copy(dir = dir2))
       }
@@ -359,14 +366,20 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
       : DataWriterFactory = {
     val spark = SparkSession.active
     val fs = new Path(op.root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    // reclaim EVERY stale .rlo staging dir (a crashed driver's query id
-    // never repeats, so own-id cleanup alone would leak them forever);
-    // safe under the store's single-writer contract — a concurrent DML
-    // statement would lose the optimistic generation check anyway
-    if (fs.exists(new Path(op.root)))
+    // reclaim ABANDONED .rlo staging dirs (a crashed driver's query id
+    // never repeats, so own-id cleanup alone would leak them forever) —
+    // but only ones old enough that no live statement can still be
+    // writing into them: deleting a CONCURRENT operation's staging dir
+    // would let that op commit a fold silently missing its task files
+    // (its pinned-generation check sees nothing wrong), turning the
+    // loud optimistic-concurrency failure into quiet row loss
+    if (fs.exists(new Path(op.root))) {
+      val cutoff = System.currentTimeMillis() - EpochStoreDml.StagingReclaimAfterMs
       fs.listStatus(new Path(op.root)).toSeq
-        .filter(_.getPath.getName.startsWith(".rlo"))
+        .filter(s => s.getPath.getName.startsWith(".rlo") &&
+          s.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, true))
+    }
     new EpochStoreWriterFactory(staging, schema, op.partCol,
       EpochStoreBatchWrite.primedConf(spark, schema, op.partCol),
       bloomOf(spark), statsColsOf(spark, fs))

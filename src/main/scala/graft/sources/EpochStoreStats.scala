@@ -27,8 +27,9 @@ import org.apache.spark.sql.sources.Filter
   *
   * Skipping is EXACT by construction: min/max/null counts are computed
   * from the written rows with the same comparison the probe uses
-  * (numeric promotion to BigDecimal, java.lang.String ordering for
-  * strings — NOT parquet's possibly-truncated binary stats), a file
+  * (numeric promotion to BigDecimal, UTF-8 BINARY ordering for strings
+  * — the order Spark's own string comparisons use, see [[utf8Cmp]] —
+  * NOT parquet's possibly-truncated binary stats), a file
   * without a sidecar or without the probed column is always kept, and
   * the residual filter still runs on every surviving row. Supported
   * stats column types: integral widths, float/double, string.
@@ -129,12 +130,26 @@ object EpochStoreStats {
     }
   }
 
+  /** UTF-8 binary string ordering — the order Spark evaluates string
+    * `<`/`>` under (`UTF8String.compareTo` compares the encoded bytes
+    * unsigned). Java's `String.compareTo` (UTF-16 code units) DISAGREES
+    * for supplementary characters: surrogates (0xD800-0xDFFF) sort
+    * below U+E000..U+FFFF in UTF-16 but a supplementary code point's
+    * UTF-8 bytes (0xF0..) sort above every BMP character's — so a
+    * min/max recorded under one order and probed under the other can
+    * wrongly skip a file. Every stats accumulation AND probe in this
+    * store compares strings through here. */
+  def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
   /** Numeric/string comparison shared by the skip evaluation and the
     * TopN file bound — the SAME ordering the writer accumulated min/max
-    * under, so a skip can never be optimistic. Returns None for
-    * incomparable pairs (type confusion = keep the file). */
+    * under (and, for strings, the UTF-8 binary order Spark's row-level
+    * comparisons use), so a skip can never be optimistic. Returns None
+    * for incomparable pairs (type confusion = keep the file). */
   def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case (x: Number, y: Number) =>
       Some(new java.math.BigDecimal(x.toString)
         .compareTo(new java.math.BigDecimal(y.toString)))
@@ -192,13 +207,19 @@ object EpochStoreStats {
       case sources.IsNull(a) => col(a).map(_.nulls > 0L)
       case sources.IsNotNull(a) => col(a).map(nonNull(_) > 0L)
       case sources.StringStartsWith(a, prefix) if prefix != null =>
-        // every match is ≥ prefix and shares its first prefix.length
-        // chars — skip when max < prefix or min's prefix-length head
-        // already exceeds it
+        // in UTF-8 byte order every match is ≥ prefix and its first
+        // prefix-BYTE-length bytes equal the prefix's — skip when max <
+        // prefix or min's byte-truncated head already exceeds it (byte
+        // truncation is monotone under byte-lexicographic order, so
+        // mnHead bounds every value's head from below; char-level
+        // take() would split surrogate pairs and break that)
         range(a) {
           case (mn: String, mx: String) =>
-            Some(mx.compareTo(prefix) >= 0 &&
-              mn.take(prefix.length).compareTo(prefix) <= 0)
+            val p = prefix.getBytes(StandardCharsets.UTF_8)
+            val mnB = mn.getBytes(StandardCharsets.UTF_8)
+            val mnHead = java.util.Arrays.copyOf(mnB, math.min(p.length, mnB.length))
+            Some(utf8Cmp(mx, prefix) >= 0 &&
+              java.util.Arrays.compareUnsigned(mnHead, p) <= 0)
           case _ => None
         }
       case sources.And(l, r) =>

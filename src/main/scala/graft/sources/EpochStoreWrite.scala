@@ -836,10 +836,15 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
       if (row.isNullAt(idx)) acc.nulls(s) += 1
       else {
         // accumulate under the SAME ordering the scan's skip probe uses:
-        // long for every integral width, double for float widths,
-        // java.lang.String for strings
+        // long for every integral width, double for float widths, and
+        // UTF-8 BINARY order for strings (UTF8String.compareTo — the
+        // order Spark's row-level string comparisons use; java.lang
+        // .String.compareTo disagrees for supplementary characters, see
+        // [[EpochStoreStats.utf8Cmp]]). Strings stay UTF8String here
+        // (cloned on store — getUTF8String may return a reused buffer)
+        // and become java Strings only at commit().
         val v: Any = statsIdx(s)._3 match {
-          case 's' => row.getUTF8String(idx).toString
+          case 's' => row.getUTF8String(idx)
           case 'd' => row.get(idx, schema.fields(idx).dataType)
             .asInstanceOf[Number].doubleValue()
           case _ => row.get(idx, schema.fields(idx).dataType)
@@ -848,11 +853,17 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
         def lt(a: Any, b: Any): Boolean = (a, b) match {
           case (x: java.lang.Long, y: java.lang.Long) => x < y
           case (x: java.lang.Double, y: java.lang.Double) => x < y
-          case (x: String, y: String) => x.compareTo(y) < 0
+          case (x: org.apache.spark.unsafe.types.UTF8String,
+                y: org.apache.spark.unsafe.types.UTF8String) =>
+            x.compareTo(y) < 0
           case _ => false
         }
-        if (acc.mins(s) == null || lt(v, acc.mins(s))) acc.mins(s) = v
-        if (acc.maxs(s) == null || lt(acc.maxs(s), v)) acc.maxs(s) = v
+        def keep(x: Any): Any = x match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+          case other => other
+        }
+        if (acc.mins(s) == null || lt(v, acc.mins(s))) acc.mins(s) = keep(v)
+        if (acc.maxs(s) == null || lt(acc.maxs(s), v)) acc.maxs(s) = keep(v)
       }
       s += 1
     }
@@ -902,9 +913,15 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
     val fstats = writers.keysIterator.zip(relFiles.iterator)
       .map { case (subdir, rel) =>
         val acc = accs(subdir)
+        // UTF8String accumulators become java Strings here — the
+        // sidecar and the commit message carry plain JVM values
+        def jv(x: Any): Any = x match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        }
         val cols = statsIdx.indices.map { s =>
           statsIdx(s)._1 -> EpochStoreStats.ColStats(statsIdx(s)._3,
-            acc.nulls(s), Option(acc.mins(s)), Option(acc.maxs(s)))
+            acc.nulls(s), Option(acc.mins(s)).map(jv), Option(acc.maxs(s)).map(jv))
         }.toMap
         rel -> EpochStoreStats.FileStats(acc.rows, cols)
       }.toSeq

@@ -857,8 +857,8 @@ class EpochStoreSpec extends SparkSpec {
     assert(range.count() == 140)
     val (kept, total) = scanOf(range).skippedFilesAudit
     assert(total >= 4 && kept == 1, s"range skip: kept $kept of $total")
-    // equality on the STRING column skips too (writer-side java
-    // ordering; lexicographic epoch ranges overlap — "v3123" falls
+    // equality on the STRING column skips too (UTF-8 binary ordering
+    // on both sides; lexicographic epoch ranges overlap — "v3123" falls
     // inside ["v0","v99"] and ["v2000","vnull"] — so exactly epoch 1's
     // ["v1000","v1199"] is provably impossible)
     val sv = rd().filter(col("v") === "v3123")
@@ -1714,5 +1714,96 @@ class EpochStoreSpec extends SparkSpec {
       .head.getLong(0) == 39, "unmatched target rows must carry over")
     assert(EpochManifest.generations(spark, root).last == genBefore + 1,
       "the merge must be ONE manifest commit")
+  }
+
+  // ---- r13 ADVICE closures ----
+
+  test("null partition dirs prune exactly under non-null-safe comparisons " +
+      "even with constraint propagation OFF (no inferred IsNotNull mask), " +
+      "and NOT composes as Kleene NULL") {
+    import spark.implicits._
+    val root = tmp()
+    EpochStore.write(Seq(
+      (0L, "a", java.lang.Integer.valueOf(1)),
+      (1L, "b", java.lang.Integer.valueOf(2)),
+      (2L, "c", null.asInstanceOf[java.lang.Integer]))
+      .toDF("id", "v", "bucket"), root, 0L, partitionColumn = "bucket")
+    def rd() = EpochStore.read(spark, root, schema, "bucket")
+    val key = "spark.sql.constraintPropagation.enabled"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // col = v over the __HIVE_DEFAULT_PARTITION__ dir is SQL NULL for
+      // every row — the dir must prune (the filter is fully handled, so
+      // a kept dir's rows would be RETURNED unfiltered)
+      val eq = rd().filter(col("bucket") === 1)
+      assert(eq.collect().map(_.getLong(0)).toSeq == Seq(0L))
+      assert(scanOf(eq).selectedPartitionDirs == (1, 3))
+      val gt = rd().filter(col("bucket") > 0)
+      assert(gt.count() == 2 && scanOf(gt).selectedPartitionDirs == (2, 3))
+      // NOT(col = 1): NULL stays NULL under Not (pruned), 2 passes
+      val ne = rd().filter(!(col("bucket") === 1))
+      assert(ne.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(scanOf(ne).selectedPartitionDirs == (1, 3))
+      // IN with a null probe: no-match dirs are NULL, matches still hit
+      val in = rd().filter(col("bucket").isin(1, null))
+      assert(in.collect().map(_.getLong(0)).toSeq == Seq(0L))
+      // IS NULL keeps exactly the default dir
+      val nl = rd().filter(col("bucket").isNull)
+      assert(nl.collect().map(_.getLong(0)).toSeq == Seq(2L))
+      assert(scanOf(nl).selectedPartitionDirs == (1, 3))
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("string stats compare in UTF-8 binary order: a supplementary-char " +
+      "file survives range and prefix probes UTF-16 ordering would skip") {
+    import spark.implicits._
+    val root = tmp()
+    // U+1F600's UTF-16 head (0xD83D) sorts BELOW U+E000, but its UTF-8
+    // bytes (F0 9F 98 80) sort ABOVE U+E000's (EE 80 80) — the two
+    // orders disagree exactly where the old String.compareTo probe
+    // wrongly proved "max < bound" and dropped the file
+    val emoji = "😀"
+    EpochStore.write(Seq((0L, emoji)).toDF("id", "v").coalesce(1), root, 0L,
+      statsColumns = Seq("v"))
+    EpochStore.write(Seq((1L, "ascii")).toDF("id", "v").coalesce(1), root, 1L,
+      statsColumns = Seq("v"))
+    def rd() = EpochStore.read(spark, root, idvSchema)
+    val gt = rd().filter(col("v") > "\uE000")
+    assert(gt.collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "the emoji row must survive the stats skip")
+    assert(scanOf(gt).skippedFilesAudit == (1, 2),
+      "the ascii file is still provably below the bound")
+    val pre = rd().filter(col("v").startsWith(emoji))
+    assert(pre.count() == 1 && scanOf(pre).skippedFilesAudit == (1, 2))
+    // compaction now RE-DERIVES string stats (UTF-8 order on both
+    // sides) instead of dropping them
+    EpochStore.compactStore(spark, root)
+    val gt2 = rd().filter(col("v") > "\uE000")
+    assert(gt2.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val audit2 = scanOf(gt2).skippedFilesAudit
+    assert(audit2._1 < audit2._2,
+      s"post-compaction string stats must still skip: $audit2")
+  }
+
+  test("a LIVE concurrent row-level op's staging dir survives another " +
+      "statement's reclaim; an abandoned one is collected") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root)
+    cat("dml15", wh)
+    val fs = hfs(root)
+    val fresh = new org.apache.hadoop.fs.Path(s"$root/.rlo-live-query")
+    val stale = new org.apache.hadoop.fs.Path(s"$root/.rlo-crashed-query")
+    fs.mkdirs(fresh); fs.mkdirs(stale)
+    val old = System.currentTimeMillis() -
+      graft.sources.EpochStoreDml.StagingReclaimAfterMs - 60000L
+    fs.setTimes(stale, old, old)
+    spark.sql("UPDATE dml15.t SET v = 'x' WHERE bucket = 1")
+    assert(fs.exists(fresh),
+      "a fresh staging dir (a live concurrent op) must NOT be reclaimed")
+    assert(!fs.exists(stale), "an abandoned staging dir must be reclaimed")
+    fs.delete(fresh, true)
   }
 }
