@@ -23,15 +23,26 @@ import org.apache.spark.sql.types.StructType
   *                                 replace these — they hold many epochs)
   *   _manifests/m<G>.json          one complete entry list per commit
   *
-  * Writer contract: ONE writer process per root at a time. commit() is a
-  * read-modify-write of the entry list and generation allocation is
-  * last+1 with no lock — two concurrent writers can allocate the same
-  * generation and the later rename silently wins (local-FS rename
-  * overwrites), losing the other's entries. The shipped flows satisfy
-  * this by construction (each store is maintained by one checkpointed
-  * streaming query, whose foreachBatch serializes append + compact);
-  * multi-writer deployments need a coordination layer, the same contract
-  * as Delta on a filesystem without a lock provider.
+  * Writer contract: MULTI-WRITER with optimistic concurrency. Every
+  * commit is a CAS on the manifest generation: the next generation's
+  * file is published create-if-absent (hard-link on a local FS — atomic
+  * EEXIST; plain rename elsewhere — HDFS rename is atomic and fails
+  * when the destination exists, the same primitive Delta's HDFS
+  * LogStore relies on), so two writers racing the same generation get
+  * exactly one winner. The loser re-reads the new head and REBASES:
+  * commuting operations (two appends of distinct epochs, an append vs
+  * a tag, an append above a compaction's fold span) all land, each
+  * exactly once; conflicting ones (a compaction/row-level rewrite whose
+  * folded entries were touched, an append landing INSIDE a fold's epoch
+  * span where the fold would outrank its newer rows, any commit racing
+  * an overwrite/truncate) refuse loudly with the pre-statement state
+  * intact — re-run the statement against the new snapshot. Data-dir
+  * names are claimed through exclusive markers (`_claims/`) so racing
+  * writers never share an attempt dir, and [[gc]] reclaims only
+  * committed-and-superseded dirs immediately — never-committed dirs
+  * (a crashed OR in-flight writer's) age out instead, so a concurrent
+  * writer's staged-but-uncommitted attempt is never deleted from under
+  * its commit.
   *
   * Rules:
   *   - A data dir is VISIBLE iff the highest complete manifest names it.
@@ -102,6 +113,156 @@ object EpochManifest {
     }.toSeq
   }
 
+  // ------------------------------------------------- OCC primitives
+
+  /** How old a never-committed artifact (orphan data dir, manifest tmp,
+    * stale claim) must be before [[gc]] reclaims it. Younger ones may
+    * belong to a LIVE concurrent writer that simply hasn't committed
+    * yet — deleting those would yank staged files out from under an
+    * in-flight commit. Committed-and-superseded dirs are exempt (their
+    * manifests prove no writer still needs them) and reclaim
+    * immediately. */
+  val OrphanReclaimAfterMs: Long = 3600L * 1000L
+
+  private def isLocal(fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val scheme = fs.getUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  /** Create `path` (empty) if and only if it does not exist — the claim
+    * primitive. Local FS goes through `File.createNewFile` (O_EXCL —
+    * atomic; Hadoop's local `create(path, false)` is check-then-create
+    * with a race window); remote FSs use `create(overwrite = false)`,
+    * which HDFS implements atomically in the NameNode. */
+  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+                              path: Path): Boolean = {
+    fs.mkdirs(path.getParent)
+    if (isLocal(fs))
+      new java.io.File(fs.makeQualified(path).toUri.getPath).createNewFile()
+    else {
+      try { fs.create(path, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.FileNotFoundException => false
+      }
+    }
+  }
+
+  /** Move the fully-written `src` to `dst` if and only if `dst` does not
+    * exist — the publish primitive behind every manifest CAS. Local FS:
+    * hard-link (atomic EEXIST on POSIX; a plain local rename silently
+    * OVERWRITES, which is exactly the lost-update this closes). Remote:
+    * Hadoop rename, which HDFS makes atomic-and-failing when `dst`
+    * exists. Returns false when another writer won the generation; `src`
+    * is cleaned up either way. */
+  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+                          src: Path, dst: Path): Boolean = {
+    val won =
+      if (isLocal(fs)) {
+        val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+        try { java.nio.file.Files.createLink(d, s); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(dst) && fs.rename(src, dst)
+    fs.delete(src, false)
+    won
+  }
+
+  private def render(es: Seq[Entry]): String =
+    es.sortBy(_.epoch)
+      .map(e => if (e.minEpoch != e.epoch)
+        s"""{"epoch":${e.epoch},"lo":${e.minEpoch},"dir":"${e.dir}"}"""
+      else s"""{"epoch":${e.epoch},"dir":"${e.dir}"}""")
+      .mkString("", "\n", "\n")
+
+  /** CAS-publish `body` as generation `gen`: true iff this writer won
+    * the generation. */
+  private def publish(spark: SparkSession, root: String, gen: Long,
+                      body: String): Boolean = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    fs.mkdirs(md)
+    val tmp = new Path(md,
+      s".m$gen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    atomicClaim(fs, tmp, new Path(md, s"m$gen.json"))
+  }
+
+  /** The optimistic-concurrency commit every mutation goes through:
+    * read the head, let `rebase` derive the next entry list FROM THE
+    * CURRENT entries, CAS-publish head+1. A lost race re-reads and
+    * re-rebases against the new head — commuting operations converge
+    * (each lands exactly once, in some order); a `rebase` that cannot
+    * commute with what landed throws (nothing published, loud refusal).
+    * Returns the published generation. */
+  def commitWith(spark: SparkSession, root: String)
+                (rebase: Seq[Entry] => Seq[Entry]): Long = {
+    var attempt = 0
+    while (true) {
+      val ms = manifests(spark, root)
+      val gen = ms.lastOption.map(_._1).getOrElse(0L)
+      val cur = ms.lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)
+      val next = rebase(cur)
+      if (publish(spark, root, gen + 1L, render(next))) return gen + 1L
+      attempt += 1
+      require(attempt < 64,
+        s"manifest commit under $root lost $attempt straight CAS races — " +
+          "giving up (a writer storm or a livelock; retry the operation)")
+      Thread.sleep(math.min(50L, attempt.toLong)) // tiny contention backoff
+    }
+    -1L // unreachable
+  }
+
+  /** Rebase for FOLD-style commits (compaction, row-level rewrites,
+    * delete purges): the `replaced` entries' rows were copied into
+    * `fold` from a pinned snapshot, so they must be UNTOUCHED in the
+    * current head (a concurrent replacement there means the fold holds
+    * stale rows — refuse); entries that landed since `base` commute iff
+    * their whole epoch span sits ABOVE the fold's epoch (an entry
+    * inside the span would be outranked by the fold under latest-wins
+    * reads — the straddle hazard — refuse); with `strictBase` every
+    * change to `base` refuses (row-level ops: their WHERE was evaluated
+    * against the pinned snapshot, so even a not-folded entry changing
+    * is a serializability conflict). */
+  def rebaseFold(base: Seq[Entry], replaced: Seq[Entry], fold: Entry,
+                 strictBase: Boolean = false)
+                (cur: Seq[Entry]): Seq[Entry] = {
+    val curByDir = cur.map(e => e.dir -> e).toMap
+    val mustHold = if (strictBase) base else replaced
+    mustHold.foreach { r =>
+      require(curByDir.get(r.dir).contains(r),
+        s"concurrent commit touched entry ${r.dir} (epoch ${r.epoch}) " +
+          "that this operation read from its pinned snapshot — re-run " +
+          "the operation against the new snapshot")
+    }
+    val baseDirs = base.map(_.dir).toSet
+    cur.filterNot(e => baseDirs(e.dir) || e.dir == fold.dir).foreach { e =>
+      require(e.minEpoch > fold.epoch,
+        s"concurrent commit landed entry ${e.dir} at epoch span " +
+          s"[${e.minEpoch}, ${e.epoch}] inside this fold's covered span " +
+          s"(.. ${fold.epoch}] — the fold would outrank its newer rows " +
+          "under latest-wins reads; re-run the operation")
+    }
+    val replacedDirs = replaced.map(_.dir).toSet
+    cur.filterNot(e => replacedDirs(e.dir)) :+ fold
+  }
+
+  /** Strict full-replace: publish `next` if and only if the head still
+    * equals `base` — overwrite/truncate semantics, where ANY concurrent
+    * commit is a conflict (its rows would be silently clobbered). */
+  def commitIfUnchanged(spark: SparkSession, root: String,
+                        base: Seq[Entry], next: Seq[Entry]): Long = {
+    val baseSet = base.toSet
+    commitWith(spark, root) { cur =>
+      require(cur.toSet == baseSet,
+        s"concurrent commit landed under $root since this statement " +
+          "planned (overwrite/truncate replaces the WHOLE snapshot, so " +
+          "any racing commit conflicts) — re-run the statement")
+      next
+    }
+  }
+
   // ------------------------------------------------------------- tags
   // Named snapshot tags: `_manifests/tags.json` maps name → generation.
   // A tag is a RETENTION ANCHOR — [[gc]] keeps every tagged manifest and
@@ -147,20 +308,35 @@ object EpochManifest {
     }
   }
 
-  private def writeTags(spark: SparkSession, root: String,
-                        ts: Map[String, Long]): Unit = {
+  /** OCC tag mutation: re-read the current tag map, apply `transform`,
+    * CAS-publish the next tags version (same create-if-absent primitive
+    * as manifest generations) — two concurrent single-tag operations
+    * both land, each exactly once, in some order. */
+  private def writeTagsWith(spark: SparkSession, root: String)
+                           (transform: Map[String, Long] => Map[String, Long])
+      : Map[String, Long] = {
     val fs = fsOf(spark, root)
-    val old = tagFiles(spark, root)
-    val next = old.lastOption.map(_._1).getOrElse(0L) + 1L
-    val body = ts.toSeq.sortBy(_._1)
-      .map { case (n, g) => s"""{"name":"$n","generation":$g}""" }
-      .mkString("", "\n", if (ts.isEmpty) "" else "\n")
-    val tmp = new Path(manifestDir(root), s".tags.v$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, new Path(manifestDir(root), s"tags.v$next.json")),
-      s"tag write rename failed under $root")
-    old.foreach { case (_, p) => fs.delete(p, false) }
+    var attempt = 0
+    while (true) {
+      val old = tagFiles(spark, root)
+      val next = old.lastOption.map(_._1).getOrElse(0L) + 1L
+      val ts = transform(tags(spark, root))
+      val body = ts.toSeq.sortBy(_._1)
+        .map { case (n, g) => s"""{"name":"$n","generation":$g}""" }
+        .mkString("", "\n", if (ts.isEmpty) "" else "\n")
+      val tmp = new Path(manifestDir(root),
+        s".tags.v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      fs.mkdirs(manifestDir(root))
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (atomicClaim(fs, tmp, new Path(manifestDir(root), s"tags.v$next.json"))) {
+        old.foreach { case (_, p) => fs.delete(p, false) }
+        return ts
+      }
+      attempt += 1
+      require(attempt < 64, s"tag write under $root lost $attempt CAS races")
+    }
+    Map.empty // unreachable
   }
 
   /** Pin `name` to a RETAINED `generation` (default: the current one).
@@ -179,17 +355,19 @@ object EpochManifest {
     require(ms.exists(_._1 == g),
       s"generation $g not retained under $root — available: " +
         ms.map(_._1).mkString("[", ", ", "]"))
-    writeTags(spark, root, tags(spark, root) + (name -> g))
+    writeTagsWith(spark, root)(_ + (name -> g))
     g
   }
 
   /** Drop `name`; its generation becomes reclaimable by the next gc
     * (unless it is among the two newest or otherwise tagged). */
   def untag(spark: SparkSession, root: String, name: String): Unit = {
-    val ts = tags(spark, root)
-    require(ts.contains(name),
-      s"no tag '$name' under $root — tags: ${ts.keys.toSeq.sorted}")
-    writeTags(spark, root, ts - name)
+    writeTagsWith(spark, root) { ts =>
+      require(ts.contains(name),
+        s"no tag '$name' under $root — tags: ${ts.keys.toSeq.sorted}")
+      ts - name
+    }
+    ()
   }
 
   /** The current snapshot: entries of the highest complete manifest. */
@@ -216,44 +394,43 @@ object EpochManifest {
     parse(spark, m._2)
   }
 
-  /** Commit a full entry list as the next manifest generation
-    * (write-tmp-then-rename — appears atomically or not at all). */
-  def commit(spark: SparkSession, root: String, es: Seq[Entry]): Long = {
-    val fs = fsOf(spark, root)
-    val md = manifestDir(root)
-    fs.mkdirs(md)
-    val next = manifests(spark, root).lastOption.map(_._1).getOrElse(0L) + 1L
-    val body = es.sortBy(_.epoch)
-      .map(e => if (e.minEpoch != e.epoch)
-        s"""{"epoch":${e.epoch},"lo":${e.minEpoch},"dir":"${e.dir}"}"""
-      else s"""{"epoch":${e.epoch},"dir":"${e.dir}"}""")
-      .mkString("", "\n", "\n")
-    val tmp = new Path(md, s".m$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(md, s"m$next.json")
-    require(fs.rename(tmp, dst), s"manifest commit rename $tmp -> $dst failed")
-    next
+  /** Commit a full entry list as the next manifest generation — BLIND
+    * last-write-wins replace (initial publishes, views a single logical
+    * maintainer owns). The CAS keeps two racers from sharing a
+    * generation file, but the content replaces whatever landed between
+    * read and publish; flows that must not clobber concurrent commits
+    * go through [[commitWith]] / [[commitIfUnchanged]] / [[rebaseFold]]
+    * instead. */
+  def commit(spark: SparkSession, root: String, es: Seq[Entry]): Long =
+    commitWith(spark, root)(_ => es)
+
+  /** Claim-or-probe loop shared by the dir allocators: the first name
+    * whose `_claims/<name>` marker THIS writer exclusively creates —
+    * racing writers land on distinct attempt numbers instead of
+    * silently writing into the same dir. */
+  private def claimDir(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                       prefix: String, epoch: Long): String = {
+    var a = 1
+    while (true) {
+      val name = s"$prefix$epoch-$a"
+      if (!fs.exists(new Path(s"$root/$name")) &&
+        exclusiveCreate(fs, new Path(s"$root/_claims/$name"))) return name
+      a += 1
+    }
+    "" // unreachable
   }
 
-  /** An unused data-dir name for `epoch` (retries bump the attempt). */
-  def newDataDir(spark: SparkSession, root: String, epoch: Long): String = {
-    val fs = fsOf(spark, root)
-    var a = 1
-    while (fs.exists(new Path(s"$root/d$epoch-$a"))) a += 1
-    s"d$epoch-$a"
-  }
+  /** An unused data-dir name for `epoch` (retries bump the attempt),
+    * exclusively claimed so concurrent writers never share it. */
+  def newDataDir(spark: SparkSession, root: String, epoch: Long): String =
+    claimDir(fsOf(spark, root), root, "d", epoch)
 
   /** An unused FOLD-dir name for `epoch` — the `f` prefix marks an
     * entry that holds MANY folded epochs' rows, which [[append]] must
     * never replace (a retried epoch that replaced a fold would silently
     * discard every earlier epoch the fold covered). */
-  def newFoldDir(spark: SparkSession, root: String, epoch: Long): String = {
-    val fs = fsOf(spark, root)
-    var a = 1
-    while (fs.exists(new Path(s"$root/f$epoch-$a"))) a += 1
-    s"f$epoch-$a"
-  }
+  def newFoldDir(spark: SparkSession, root: String, epoch: Long): String =
+    claimDir(fsOf(spark, root), root, "f", epoch)
 
   /** Read the snapshot's dirs with epochs ≤ `maxEpoch` — one parquet
     * read per entry (each discovers its OWN inner partition columns, so
@@ -303,8 +480,10 @@ object EpochManifest {
     val w = folded.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(s"$root/$foldDir")
-    commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+
-      Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min))
+    // OCC fold commit: concurrent appends ABOVE the fold span rebase in
+    // (both land); a touched covered entry or an in-span append refuses
+    commitWith(spark, root)(rebaseFold(es, covered,
+      Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min)))
     gc(spark, root)
   }
 
@@ -347,17 +526,43 @@ object EpochManifest {
     * guard, then commit `dir` as `epoch`'s (replacement) entry. */
   def commitEpochDir(spark: SparkSession, root: String, epoch: Long,
                      dir: String): Unit = {
-    guardNotFold(spark, root, epoch)
-    val kept = entries(spark, root).filterNot(_.epoch == epoch)
-    commit(spark, root, kept :+ Entry(epoch, dir))
+    commitWith(spark, root) { cur =>
+      // fold guard re-checked against the head EVERY rebase attempt — a
+      // compaction that overtakes this epoch mid-retry still refuses
+      cur.find(_.epoch == epoch).foreach { e =>
+        require(!e.dir.startsWith("f") && e.minEpoch == e.epoch,
+          s"epoch $epoch under $root is a compaction fold covering epochs " +
+            s"[${e.minEpoch}, ${e.epoch}] — a retried append must not replace it")
+      }
+      // straddle guard: an epoch strictly INSIDE another entry's fold
+      // span would be outranked by the fold under latest-wins reads
+      cur.filter(e => e.minEpoch < e.epoch &&
+        e.minEpoch <= epoch && epoch < e.epoch).foreach { e =>
+        throw new IllegalArgumentException(
+          s"epoch $epoch under $root falls inside fold ${e.dir}'s covered " +
+            s"span [${e.minEpoch}, ${e.epoch}] — the fold would outrank " +
+            "its rows; append above the compaction boundary instead")
+      }
+      cur.filterNot(_.epoch == epoch) :+ Entry(epoch, dir)
+    }
     ()
   }
 
   /** Delete data dirs referenced by NEITHER of the two newest manifests,
     * then manifests older than those two. Called from compaction — never
     * from appends — so between compactions nothing is ever deleted, and
-    * across one compaction the previous snapshot's dirs all survive. */
-  def gc(spark: SparkSession, root: String): Unit = {
+    * across one compaction the previous snapshot's dirs all survive.
+    *
+    * Multi-writer safety: a candidate dir referenced by SOME retained
+    * manifest is committed-and-superseded history — no writer can still
+    * be staging into it, reclaim immediately. A dir referenced by NO
+    * manifest is either a crashed writer's orphan or a LIVE concurrent
+    * writer's staged-but-uncommitted attempt — those reclaim only past
+    * [[OrphanReclaimAfterMs]] (same for manifest tmps and claim
+    * markers), so gc can never yank files out from under an in-flight
+    * commit. */
+  def gc(spark: SparkSession, root: String,
+         orphanAgeMs: Long = OrphanReclaimAfterMs): Unit = {
     val fs = fsOf(spark, root)
     val ms = manifests(spark, root)
     if (ms.isEmpty) return
@@ -367,19 +572,35 @@ object EpochManifest {
     val keepManifests =
       ms.takeRight(2) ++ ms.dropRight(2).filter(m => tagged(m._1))
     val keepDirs = keepManifests.flatMap(m => parse(spark, m._2)).map(_.dir).toSet
-    fs.listStatus(new Path(root)).toSeq
+    // every dir ANY retained manifest names — the committed-history set
+    val committedDirs = ms.flatMap(m => parse(spark, m._2)).map(_.dir).toSet
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
+    val deleted = fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith("d") || s.getPath.getName.startsWith("f")))
       .filterNot(s => keepDirs.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true))
+      .filter(s => committedDirs.contains(s.getPath.getName) ||
+        s.getModificationTime < cutoff)
+    deleted.foreach(s => fs.delete(s.getPath, true))
     val keepGen = keepManifests.map(_._1).toSet
     ms.filterNot(m => keepGen.contains(m._1)).foreach(m => fs.delete(m._2, false))
-    // a writer that crashed between creating .m<G>.tmp and the rename
-    // leaves the tmp behind forever otherwise (gen() filters it from
-    // listings, so nothing else ever touches it); under the
-    // single-writer contract no live writer's tmp can be here
+    // a crashed writer's manifest tmp (gen() filters it from listings,
+    // so nothing else ever touches it) — but a LIVE writer's in-flight
+    // tmp is also here, so only aged ones go
     fs.listStatus(manifestDir(root)).toSeq
-      .filter(_.getPath.getName.endsWith(".tmp"))
+      .filter(s => s.getPath.getName.endsWith(".tmp") &&
+        s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, false))
+    // claim markers whose dir is gone (just deleted, or long gone) have
+    // served their purpose; aged ones without a dir are crash leavings
+    val claims = new Path(s"$root/_claims")
+    if (fs.exists(claims)) {
+      val deletedNames = deleted.map(_.getPath.getName).toSet
+      fs.listStatus(claims).toSeq
+        .filter(s => deletedNames.contains(s.getPath.getName) ||
+          (s.getModificationTime < cutoff &&
+            !fs.exists(new Path(s"$root/${s.getPath.getName}"))))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
   }
 }

@@ -283,10 +283,11 @@ object MaterializedAgg {
       .select(meta.schema.fieldNames.map(col).toSeq: _*)
     val foldDir = EpochManifest.newFoldDir(spark, meta.mvRoot, maxCov)
     folded.write.mode("overwrite").parquet(s"${meta.mvRoot}/$foldDir")
-    EpochManifest.commit(spark, meta.mvRoot,
-      es.filterNot(_.epoch < uptoEpoch) :+
-        graft.core.EpochManifest.Entry(maxCov, foldDir,
-          lo = covered.map(_.minEpoch).min))
+    // OCC fold commit — a concurrent refresh's delta epoch above the
+    // fold span rebases in; a touched covered partial refuses
+    EpochManifest.commitWith(spark, meta.mvRoot)(EpochManifest.rebaseFold(
+      es, covered, graft.core.EpochManifest.Entry(maxCov, foldDir,
+        lo = covered.map(_.minEpoch).min)))
     EpochManifest.gc(spark, meta.mvRoot)
   }
 

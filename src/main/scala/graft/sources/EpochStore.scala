@@ -201,7 +201,11 @@ final class EpochStoreTable(tableSchema: StructType,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
     val root = EpochStore.rootOf(options)
-    EpochManifest.commit(spark, root,
+    // pin the snapshot the delete resolves against; a commit racing in
+    // between refuses loudly (the rewrite's survivor dirs would carry
+    // stale rows otherwise) — the generation recheck appends/RLO have
+    val base = EpochManifest.entries(spark, root)
+    EpochManifest.commitIfUnchanged(spark, root, base,
       EpochStoreDml.resolveDelete(spark, root, filters))
     ()
   }
@@ -222,7 +226,10 @@ final class EpochStoreTable(tableSchema: StructType,
   override def truncateTable(): Boolean = {
     val spark = SparkSession.active
     val root = EpochStore.rootOf(options)
-    EpochManifest.commit(spark, root, Seq.empty)
+    // replace exactly the snapshot this statement saw — an append that
+    // lands mid-truncate refuses instead of being silently clobbered
+    EpochManifest.commitIfUnchanged(spark, root,
+      EpochManifest.entries(spark, root), Seq.empty)
     val delRoot = EpochStore.deletesRoot(root)
     if (EpochManifest.generations(spark, delRoot).nonEmpty)
       EpochManifest.commit(spark, delRoot, Seq.empty)
@@ -1184,7 +1191,9 @@ object EpochStore {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, schema,
       Option(partitionColumn))
-    EpochManifest.commit(spark, root,
+    // the purge folded EVERY entry AND the tombstone sub-store it read —
+    // any commit racing in (data or tombstone) conflicts; refuse loudly
+    EpochManifest.commitIfUnchanged(spark, root, es,
       Seq(EpochManifest.Entry(maxEpoch, foldDir,
         lo = es.map(_.minEpoch).min)))
     EpochManifest.gc(spark, root)
@@ -1431,8 +1440,11 @@ object EpochStore {
       .map { case (c, cs) => (c, cs.kind) } ++ zKinds).distinct
       .filter { case (c, _) => merged.fieldNames.contains(c) }
     rederiveStats(spark, fs, root, foldDir, merged, statKinds)
-    EpochManifest.commit(spark, root, es.filterNot(_.epoch < uptoEpoch) :+
-      EpochManifest.Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min))
+    // OCC fold commit: appends above the fold span rebase in, touched
+    // covered entries / in-span appends refuse ([[EpochManifest.rebaseFold]])
+    EpochManifest.commitWith(spark, root)(EpochManifest.rebaseFold(
+      es, covered,
+      EpochManifest.Entry(maxCov, foldDir, lo = covered.map(_.minEpoch).min)))
     EpochManifest.gc(spark, root)
   }
 

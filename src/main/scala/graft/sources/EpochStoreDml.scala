@@ -388,13 +388,6 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val fs = new Path(op.root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val live = EpochManifest.generations(spark, op.root).lastOption
-    require(live.contains(op.generation),
-      s"epochstore ${op.command()} over ${op.root}: generation " +
-        s"${op.generation} was pinned at planning but $live is live — " +
-        "a concurrent commit landed; re-run the statement")
-    val keptDirs = op.kept.map(_.dir).toSet
-    val survivors = op.pinned.filterNot(e => keptDirs.contains(e.dir))
     val epoch =
       if (op.kept.nonEmpty) op.kept.map(_.epoch).max
       else op.pinned.map(_.epoch).maxOption.getOrElse(-1L) + 1L
@@ -414,8 +407,13 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
       messages.collect { case m: EpochFilesWritten => m.fileStats }
         .flatten.toSeq)
     EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, schema, op.partCol)
-    EpochManifest.commit(spark, op.root,
-      survivors :+ EpochManifest.Entry(epoch, dir, lo = lo))
+    // OCC commit, strict on the pinned snapshot: the WHERE was
+    // evaluated against op.pinned, so ANY touched pinned entry is a
+    // serializability conflict (loud refusal); appends that landed
+    // ABOVE the fold span commute and both statements land
+    EpochManifest.commitWith(spark, op.root)(EpochManifest.rebaseFold(
+      op.pinned, op.kept, EpochManifest.Entry(epoch, dir, lo = lo),
+      strictBase = true))
     ()
   }
 

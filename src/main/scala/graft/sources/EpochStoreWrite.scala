@@ -582,12 +582,16 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     * delete, plus this batch's epoch. */
   private def commitOverwrite(spark: SparkSession,
                               filters: Array[Filter]): Unit = {
+    // pin the snapshot the replaced-rows resolution reads; any commit
+    // racing in refuses loudly (generation recheck, same as the
+    // row-level-op path) instead of being clobbered by the overwrite
+    val base = EpochManifest.entries(spark, root)
     val survivors = EpochStoreDml.resolveDelete(spark, root, filters)
     require(!survivors.exists(_.epoch == epoch),
       s"epochstore overwrite at epoch $epoch would collide with a " +
         s"surviving entry at the same epoch under $root — use a fresh " +
         "epoch (omit the option to auto-allocate)")
-    EpochManifest.commit(spark, root,
+    EpochManifest.commitIfUnchanged(spark, root, base,
       survivors :+ EpochManifest.Entry(epoch, dir))
     ()
   }

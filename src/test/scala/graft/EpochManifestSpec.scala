@@ -104,8 +104,17 @@ class EpochManifestSpec extends SparkSpec {
     writeDir(root, "d1-1", 5 until 50) // crashed before its commit
     assert(EpochManifest.read(spark, root, schema).count() == 5)
     EpochManifest.commit(spark, root, EpochManifest.entries(spark, root)) // m2
+    // a FRESH never-committed dir might be a LIVE writer's staged
+    // attempt — gc must leave it alone
     EpochManifest.gc(spark, root)
-    assert(!fs.exists(new Path(s"$root/d1-1")), "orphan survived gc")
+    assert(fs.exists(new Path(s"$root/d1-1")),
+      "gc deleted a fresh never-committed dir (could be an in-flight write)")
+    // aged past the orphan threshold it is crash leavings — reclaimed
+    val old = System.currentTimeMillis() -
+      EpochManifest.OrphanReclaimAfterMs - 60000L
+    fs.setTimes(new Path(s"$root/d1-1"), old, old)
+    EpochManifest.gc(spark, root)
+    assert(!fs.exists(new Path(s"$root/d1-1")), "aged orphan survived gc")
     assert(EpochManifest.read(spark, root, schema).count() == 5)
   }
 
@@ -197,8 +206,147 @@ class EpochManifestSpec extends SparkSpec {
     val orphanTmp = new Path(s"$root/_manifests/.m99.tmp")
     fs.create(orphanTmp, true).close() // writer died before its rename
     assert(EpochManifest.read(spark, root, schema).count() == 5)
+    // fresh tmp = possibly a LIVE writer mid-publish: survives
+    EpochManifest.gc(spark, root)
+    assert(fs.exists(orphanTmp),
+      "gc deleted a fresh manifest tmp (could be an in-flight publish)")
+    val old = System.currentTimeMillis() -
+      EpochManifest.OrphanReclaimAfterMs - 60000L
+    fs.setTimes(orphanTmp, old, old)
     EpochManifest.gc(spark, root)
     assert(!fs.exists(orphanTmp), "crashed writer's tmp manifest survived gc")
     assert(EpochManifest.read(spark, root, schema).count() == 5)
+  }
+
+  // ---- multi-writer optimistic concurrency (r13) ----
+
+  /** Run `n` thunks truly concurrently (cyclic-barrier start) and
+    * propagate the first failure. */
+  private def race(thunks: (() => Unit)*): Unit = {
+    val barrier = new java.util.concurrent.CyclicBarrier(thunks.size)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = thunks.map { t =>
+      new Thread(() => {
+        barrier.await()
+        try t() catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  test("two racing appends of distinct epochs both land exactly once " +
+      "(the CAS loser rebases)") {
+    import spark.implicits._
+    val root = tmp()
+    def df(off: Int) = (off until off + 10).map(i => (i.toLong, (i % 2).toLong))
+      .toDF("id", "part")
+    (1 to 3).foreach { round =>
+      race(
+        () => EpochManifest.append(df(round * 100), root, round * 2L),
+        () => EpochManifest.append(df(round * 100 + 50), root, round * 2L + 1L))
+      val es = EpochManifest.entries(spark, root)
+      assert(es.map(_.epoch).sorted == (2L to round * 2L + 1L).toSeq,
+        s"round $round: both racing epochs must be visible, got " +
+          es.map(_.epoch).sorted.mkString(", "))
+    }
+    // every commit published a DISTINCT generation file (a lost update
+    // would leave fewer than 6 for the 6 appends) and all rows are there
+    assert(EpochManifest.read(spark, root, schema).count() == 60)
+    assert(EpochManifest.generations(spark, root).size == 6,
+      s"6 appends => 6 generations, got " +
+        EpochManifest.generations(spark, root).mkString(", "))
+  }
+
+  test("same-epoch racing appends: exactly one replacement wins, nothing " +
+      "is lost at the manifest-file level") {
+    import spark.implicits._
+    val root = tmp()
+    def df(tag: Long) = Seq((tag, 0L)).toDF("id", "part")
+    race(
+      () => EpochManifest.append(df(111L), root, 5L),
+      () => EpochManifest.append(df(222L), root, 5L))
+    val es = EpochManifest.entries(spark, root)
+    assert(es.size == 1 && es.head.epoch == 5L,
+      s"one entry for the contested epoch, got $es")
+    // the surviving dir is exactly one of the two attempts, readable
+    val id = EpochManifest.read(spark, root, schema)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(id == Seq(111L) || id == Seq(222L), s"surviving rows: $id")
+    // and TWO generations were published (no lost update of the file)
+    assert(EpochManifest.generations(spark, root).size == 2)
+  }
+
+  test("a compact racing an append resolves deterministically: the " +
+      "above-span append rebases in, both land") {
+    import spark.implicits._
+    val root = tmp()
+    (0 to 2).foreach { e =>
+      EpochManifest.append(Seq((e.toLong, 0L)).toDF("id", "part"), root, e.toLong)
+    }
+    race(
+      () => EpochManifest.compact(spark, root, schema, uptoEpoch = 3L),
+      () => EpochManifest.append(Seq((99L, 0L)).toDF("id", "part"), root, 9L))
+    val es = EpochManifest.entries(spark, root)
+    assert(es.map(_.epoch).sorted == Seq(2L, 9L),
+      s"fold [0,2] plus the rebased epoch-9 append, got $es")
+    assert(EpochManifest.read(spark, root, schema).count() == 4)
+  }
+
+  test("conflicting rebases refuse loudly: a touched covered entry, an " +
+      "in-span append, a changed base under strict full-replace") {
+    import spark.implicits._
+    val root = tmp()
+    (0 to 3).foreach { e =>
+      EpochManifest.append(Seq((e.toLong, 0L)).toDF("id", "part"), root, e.toLong)
+    }
+    val base = EpochManifest.entries(spark, root)
+    val covered = base.filter(_.epoch < 3L)
+    val fold = Entry(2L, "f2-9", lo = 0L)
+    // concurrent replacement of a covered epoch => the fold holds stale rows
+    EpochManifest.append(Seq((100L, 0L)).toDF("id", "part"), root, 1L)
+    val cur = EpochManifest.entries(spark, root)
+    val e1 = intercept[IllegalArgumentException] {
+      EpochManifest.rebaseFold(base, covered, fold)(cur)
+    }
+    assert(e1.getMessage.contains("pinned snapshot"), e1.getMessage)
+    // a newcomer INSIDE the fold span => straddle refusal
+    val inSpan = cur.filterNot(_.epoch == 1L) :+
+      base.find(_.epoch == 1L).get.copy(dir = "d1-7")
+    val e2 = intercept[IllegalArgumentException] {
+      EpochManifest.rebaseFold(base.filterNot(_.epoch == 1L),
+        covered.filterNot(_.epoch == 1L), fold)(inSpan)
+    }
+    assert(e2.getMessage.contains("fold"), e2.getMessage)
+    // strict full-replace (truncate/overwrite) against a changed head
+    val e3 = intercept[IllegalArgumentException] {
+      EpochManifest.commitIfUnchanged(spark, root, base, Seq.empty)
+    }
+    assert(e3.getMessage.contains("concurrent commit"), e3.getMessage)
+    // the straddle guard holds on the APPEND side too: appending into a
+    // committed fold's span refuses
+    EpochManifest.compact(spark, root, schema, uptoEpoch = 3L)
+    val e4 = intercept[IllegalArgumentException] {
+      EpochManifest.append(Seq((7L, 0L)).toDF("id", "part"), root, 1L)
+    }
+    assert(e4.getMessage.contains("span"), e4.getMessage)
+  }
+
+  test("racing dir claims never share an attempt dir; racing tag writes " +
+      "both land") {
+    import spark.implicits._
+    val root = tmp()
+    EpochManifest.append(Seq((1L, 0L)).toDF("id", "part"), root, 0L)
+    val names = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    race(
+      () => { names.add(EpochManifest.newDataDir(spark, root, 7L)); () },
+      () => { names.add(EpochManifest.newDataDir(spark, root, 7L)); () },
+      () => { names.add(EpochManifest.newDataDir(spark, root, 7L)); () })
+    assert(names.size == 3, s"claimed dirs must be distinct: $names")
+    EpochManifest.commit(spark, root, EpochManifest.entries(spark, root))
+    race(
+      () => { EpochManifest.tag(spark, root, "a", 1L); () },
+      () => { EpochManifest.tag(spark, root, "b", 2L); () })
+    assert(EpochManifest.tags(spark, root) == Map("a" -> 1L, "b" -> 2L))
   }
 }

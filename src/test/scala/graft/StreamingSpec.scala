@@ -1085,8 +1085,14 @@ class StreamingSpec extends SparkSpec {
     assert(Set(3L, 100003L, 200003L, 300003L)
       .subsetOf(pre.map(_.head.asInstanceOf[Long]).toSet), s"probe: $pre")
     // crash DURING a fold write: an orphan uncommitted dir must be
-    // invisible to probes and reclaimed by the next compaction's gc
+    // invisible to probes and reclaimed by the next compaction's gc —
+    // aged past the in-flight-writer grace window first (a FRESH
+    // never-committed dir could be a live concurrent writer's staging
+    // and must survive; EpochManifestSpec pins that side)
     fs.mkdirs(new Path(s"$dir/idx/bands/d3-9"))
+    val orphanAge = System.currentTimeMillis() -
+      graft.core.EpochManifest.OrphanReclaimAfterMs - 60000L
+    fs.setTimes(new Path(s"$dir/idx/bands/d3-9"), orphanAge, orphanAge)
     // a probe PINNED before the compaction (its manifest snapshot and
     // file listing resolved now) must read through the swap unchanged
     val pinned = graft.queries.TextCatalog.dedupAgainstIndex(probeBatch, s"$dir/idx")
