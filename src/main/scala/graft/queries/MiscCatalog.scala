@@ -1389,6 +1389,57 @@ object MiscCatalog {
       |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CTAS / RTAS through the staging catalog (`q_store_ctas`):
+    * `CREATE TABLE … PARTITIONED BY (lang) AS SELECT` over a store
+    * table stages the SELECT's rows into a claimed-but-unreferenced
+    * dir and publishes the manifest only as the staged commit's LAST
+    * step ([[graft.sources.StagedEpochStoreTable]]) — then
+    * `REPLACE TABLE … AS SELECT` swaps the whole table in one
+    * generation (the pre-replace snapshot stays time-travelable). The
+    * final aggregate reads the REPLACED table back, so a CTAS that
+    * dropped rows, leaked the staged write early, or a replace that
+    * half-applied fails the oracle; the nothing-published-on-failure
+    * and race-refusal sides are EpochStoreSpec proofs.
+    *
+    * Scale shape: the staged write is the connector's normal task
+    * writer (partition dirs + stats sidecars); commit cost is one
+    * manifest CAS regardless of file count. */
+  def storeCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_ctas_wh").toString
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs, s"$wh/docs", 0L,
+      partitionColumn = "lang")
+    val c = s"graftctas$run"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    spark.sql(
+      s"""CREATE TABLE $c.big PARTITIONED BY (lang) AS
+         |SELECT doc_id, n_chars, lang FROM $c.docs
+         |WHERE n_chars > 500""".stripMargin)
+    spark.sql(
+      s"""REPLACE TABLE $c.big PARTITIONED BY (lang) AS
+         |SELECT doc_id, n_chars, lang FROM $c.docs
+         |WHERE n_chars > 1000 AND doc_id % 3 = 0""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MIN(doc_id) AS min_id
+         |FROM $c.big GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeCtasSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id
+      |FROM documents
+      |WHERE lang IS NOT NULL AND CAST(n_chars AS BIGINT) > 1000
+      |  AND doc_id % 3 = 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** SQL CALL maintenance through the store catalog (`q_store_call`):
     * the full store lifecycle driven by SQL alone — a fresh two-epoch
     * store is compacted (`CALL …system.compact`, re-clustered on
@@ -1501,6 +1552,7 @@ object MiscCatalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_dml"     -> (storeDml _),
+    "q_store_ctas"    -> (storeCtas _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -1545,6 +1597,7 @@ object MiscCatalog {
 
   val oracle: Map[String, String] = Map(
     "q_store_dml"     -> storeDmlSql,
+    "q_store_ctas"    -> storeCtasSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

@@ -40,13 +40,18 @@ import graft.core.EpochManifest
   * with its normal inference caveats (an integer-valued partition dir
   * infers INT regardless of the writer's wider type).
   *
-  * DDL posture: stores are CREATED by writing an epoch through the sink
-  * (`df.write.format("epochstore")...`) — `createTable` refuses with
-  * that instruction (a store without data has no inferable schema);
-  * `dropTable` deletes the store dir; rename/alter are refused (a
-  * manifest store's identity is its path). */
+  * DDL posture: `CREATE TABLE` publishes an empty epoch-0 store whose
+  * `_schema.json` carries the declared schema; `CREATE TABLE … AS
+  * SELECT` / `REPLACE TABLE … AS SELECT` stage through
+  * [[StagedEpochStoreTable]] (the first manifest publish IS the commit,
+  * so a failing SELECT leaves nothing); the sink write path
+  * (`df.write.format("epochstore")...`) remains the engine-side
+  * creation route. `dropTable` deletes the store dir; rename is refused
+  * (a manifest store's identity is its path); alter supports nullable
+  * ADD COLUMNS. */
 class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   /** SQL `CALL <cat>.system.<proc>(…)` — the maintenance tier
     * ([[EpochStoreProcedures]]): snapshots / compact / gc /
@@ -181,13 +186,113 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     new EpochStoreTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
+  /** Identity partition columns from the declared transforms (the only
+    * partitioning the store's `col=value` dir layout expresses). */
+  private def partColOf(schema: StructType,
+                        partitions: Array[Transform]): Option[String] = {
+    val cols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+        refs.head.fieldNames().length == 1,
+        s"epochstore supports PARTITIONED BY (column) identity " +
+          s"partitioning only, got $t")
+      refs.head.fieldNames().head
+    }
+    require(cols.size <= 1,
+      s"epochstore supports one partition column, got ${cols.mkString(", ")}")
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
+    cols.headOption
+  }
+
+  /** Write-tuning options carried as table properties (`OPTIONS(...)`
+    * lands them plain AND `option.`-prefixed; accept either). */
+  private def propOpt(properties: util.Map[String, String],
+                      key: String): Option[String] =
+    Option(properties.get(key)).orElse(Option(properties.get(s"option.$key")))
+
+  private def statsColsOf(schema: StructType,
+                          properties: util.Map[String, String])
+      : Seq[(String, Char)] =
+    propOpt(properties, "statsColumns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"statsColumns column $c is not in the table schema"))
+        import org.apache.spark.sql.types._
+        val kind = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => 'l'
+          case FloatType | DoubleType => 'd'
+          case StringType => 's'
+          case other => throw new IllegalArgumentException(
+            s"statsColumns column $c has type $other")
+        }
+        c -> kind
+      }
+
+  /** Plain `CREATE TABLE t (cols…)` — an EMPTY store: one committed
+    * epoch-0 dir with no files and a `_schema.json` record, so the
+    * declared schema (and partition column) serve discovery exactly
+    * like an evolved store's. The commit is the CTAS CAS (`cur` must
+    * be empty), so two racing CREATEs get exactly one winner. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "epochstore tables are created by writing an epoch through the " +
-        "sink: df.write.format(\"epochstore\").option(\"path\", root)" +
-        ".option(\"epoch\", 0).mode(\"append\").save()")
+                           properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (isStore(root))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val partCol = partColOf(schema, partitions)
+    val dir = EpochManifest.newDataDir(spark, root, 0L)
+    fs.mkdirs(new Path(s"$root/$dir"))
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCol)
+    EpochManifest.commitWith(spark, root) { cur =>
+      require(cur.isEmpty,
+        s"CREATE TABLE: a table appeared at $root concurrently — " +
+          "exactly one creator wins")
+      Seq(EpochManifest.Entry(0L, dir))
+    }
+    loadTable(ident)
+  }
+
+  // ---------------------------------------------- CTAS / RTAS staging
+  // `CREATE TABLE … AS SELECT` and `REPLACE TABLE … AS SELECT` stage
+  // their write into a claimed-but-unreferenced dir; the staged table's
+  // commit IS the first manifest publish, so a failing SELECT (or a
+  // lost commit race) leaves nothing visible ([[StagedEpochStoreTable]]).
+
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = rootOf(ident)
+    if (isStore(root))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    new StagedEpochStoreTable(root, info.schema(),
+      partColOf(info.schema(), info.partitions()),
+      statsColsOf(info.schema(), info.properties()), replaceBase = None)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = rootOf(ident)
+    if (!isStore(root)) throw new NoSuchTableException(ident)
+    new StagedEpochStoreTable(root, info.schema(),
+      partColOf(info.schema(), info.partitions()),
+      statsColsOf(info.schema(), info.properties()),
+      replaceBase = Some(EpochManifest.entries(spark, root)))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = rootOf(ident)
+    new StagedEpochStoreTable(root, info.schema(),
+      partColOf(info.schema(), info.partitions()),
+      statsColsOf(info.schema(), info.properties()),
+      replaceBase = Some(EpochManifest.entries(spark, root)))
+  }
 
   /** `ALTER TABLE … ADD COLUMNS (…)` — the SQL face of the store's
     * add-column evolution: the widened schema lands as one EMPTY epoch

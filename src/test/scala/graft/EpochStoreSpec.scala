@@ -1786,6 +1786,65 @@ class EpochStoreSpec extends SparkSpec {
       s"post-compaction string stats must still skip: $audit2")
   }
 
+  // ---- CTAS / RTAS via the staging catalog (r13) ----
+
+  test("CTAS: the staged write publishes as its LAST step; a failing " +
+      "SELECT leaves NOTHING (no manifest, no table)") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("ctas1", wh)
+    bucketEpochStore(s"$wh/src")
+    spark.sql("CREATE TABLE ctas1.t PARTITIONED BY (bucket) AS " +
+      "SELECT id, v, bucket FROM ctas1.src WHERE bucket IN (1, 2)")
+    assert(spark.sql("SELECT COUNT(*) FROM ctas1.t").head.getLong(0) == 20)
+    assert(EpochManifest.generations(spark, s"$wh/t") == Seq(1L),
+      "CTAS = exactly one manifest publish")
+    // partition layout materialized: bucket dirs prune
+    val pruned = spark.sql("SELECT id FROM ctas1.t WHERE bucket = 1")
+    assert(scanOf(pruned).selectedPartitionDirs._1 == 1)
+    // a CTAS whose SELECT fails publishes nothing
+    spark.udf.register("ctas_boom",
+      (i: Long) => if (i >= 0) throw new RuntimeException("boom") else i)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE ctas1.dead AS " +
+        "SELECT ctas_boom(id) AS id FROM ctas1.src")
+    }
+    assert(!spark.catalog.tableExists("ctas1.dead"))
+    assert(EpochManifest.generations(spark, s"$wh/dead").isEmpty,
+      "a failing CTAS must leave no manifest")
+    // CTAS over an existing table refuses
+    val dup = intercept[Exception] {
+      spark.sql("CREATE TABLE ctas1.t AS SELECT 1 AS x")
+    }
+    assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+  }
+
+  test("RTAS: one atomic generation swap, pre-replace snapshot " +
+      "time-travelable; plain CREATE TABLE makes an empty insertable store") {
+    val wh = tmp()
+    cat("ctas2", wh)
+    bucketEpochStore(s"$wh/src")
+    spark.sql("CREATE TABLE ctas2.t AS SELECT id, v FROM ctas2.src")
+    val gen1 = EpochManifest.generations(spark, s"$wh/t").last
+    spark.sql("REPLACE TABLE ctas2.t AS " +
+      "SELECT id, v FROM ctas2.src WHERE id < 5")
+    assert(spark.sql("SELECT COUNT(*) FROM ctas2.t").head.getLong(0) == 5)
+    assert(spark.sql(s"SELECT COUNT(*) FROM ctas2.t VERSION AS OF $gen1")
+      .head.getLong(0) == 40, "the pre-replace snapshot must stay readable")
+    // plain CREATE TABLE: empty store with the declared schema, ready
+    // for INSERT (schema served from the _schema.json record)
+    spark.sql("CREATE TABLE ctas2.fresh (k BIGINT, s STRING, b INT) " +
+      "PARTITIONED BY (b)")
+    assert(spark.sql("SELECT * FROM ctas2.fresh").count() == 0)
+    spark.sql("INSERT INTO ctas2.fresh VALUES (1, 'a', 7), (2, 'b', 8)")
+    assert(spark.sql("SELECT COUNT(*) FROM ctas2.fresh WHERE b = 7")
+      .head.getLong(0) == 1)
+    val again = intercept[Exception] {
+      spark.sql("CREATE TABLE ctas2.fresh (k BIGINT)")
+    }
+    assert(again.getMessage.toLowerCase.contains("already exists"))
+  }
+
   test("a LIVE concurrent row-level op's staging dir survives another " +
       "statement's reclaim; an abandoned one is collected") {
     import spark.implicits._
