@@ -548,6 +548,51 @@ object EpochManifest {
     ()
   }
 
+  /** Snapshot-retention policy — `CALL expire_snapshots(...)`'s engine:
+    * delete retained manifest GENERATIONS (and the data dirs only they
+    * reference) beyond the policy, where [[gc]] alone would keep them
+    * forever once tagged history accumulates. Rules:
+    *
+    *  - the `keepLast` newest generations always survive, floor 2 — the
+    *    documented two-manifest isolation window is never shrunk;
+    *  - TAGGED generations are immune (drop the tag first — tags are
+    *    retention anchors by contract, [[tag]]);
+    *  - only generations whose manifest file is older than `olderThanMs`
+    *    (epoch millis; MaxValue = any age) expire — the Iceberg
+    *    `expire_snapshots(older_than, retain_last)` shape;
+    *  - manifests delete BEFORE their now-orphaned dirs, so a crash in
+    *    between leaves unreferenced dirs for the next aged gc, never a
+    *    manifest pointing at deleted data.
+    *
+    * A read pinned to an expired generation fails loudly from then on
+    * ([[entriesAt]]'s not-retained error) — including a CHANGEFEED
+    * consumer whose base generation expired: it refuses rather than
+    * over- or under-delivering, the same contract compaction honors.
+    * Returns the expired generation ids. */
+  def expireSnapshots(spark: SparkSession, root: String,
+                      olderThanMs: Long = Long.MaxValue,
+                      keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 2,
+      s"expireSnapshots keepLast = $keepLast — the floor is 2 (the " +
+        "two-manifest isolation window every reader is promised)")
+    val fs = fsOf(spark, root)
+    val ms = manifests(spark, root)
+    val tagged = tags(spark, root).values.toSet
+    val keepNewest = ms.takeRight(keepLast).map(_._1).toSet
+    val expired = ms
+      .filterNot(m => keepNewest(m._1) || tagged(m._1))
+      .filter(m => fs.getFileStatus(m._2).getModificationTime < olderThanMs)
+    if (expired.isEmpty) return Seq.empty
+    val expiredGens = expired.map(_._1).toSet
+    val keepDirs = ms.filterNot(m => expiredGens(m._1))
+      .flatMap(m => parse(spark, m._2)).map(_.dir).toSet
+    val orphaned = expired.flatMap(m => parse(spark, m._2)).map(_.dir)
+      .distinct.filterNot(keepDirs)
+    expired.foreach(m => fs.delete(m._2, false))
+    orphaned.foreach(d => fs.delete(new Path(s"$root/$d"), true))
+    expired.map(_._1)
+  }
+
   /** Delete data dirs referenced by NEITHER of the two newest manifests,
     * then manifests older than those two. Called from compaction — never
     * from appends — so between compactions nothing is ever deleted, and

@@ -1389,6 +1389,58 @@ object MiscCatalog {
       |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Composite-key (multi-column) partitioning (`q_store_multipart`):
+    * documents land in a `bucket=…/lang=…` two-level dir layout (one
+    * sink write, `partitionColumn = "bucket,lang"`), and the query
+    * probes a PREFIX predicate (bucket), a SUFFIX predicate (lang) and
+    * a mixed one — every probe is answered by dir pruning alone
+    * (PlanAudit-gated in EpochStoreSpec: a bucket predicate never even
+    * LISTS the pruned buckets' lang dirs), with the final aggregate
+    * grouping by both key columns. DuckDB recomputes from the raw
+    * table, so a mis-nested dir, a value that round-tripped wrong
+    * through the `col=value` escaping, or a wrongly-pruned subtree
+    * fails cell-exact.
+    *
+    * Scale shape: at 100 TB a (date, lang) layout is the normal
+    * training-corpus shape — prefix pruning bounds the listing cost by
+    * the surviving subtree, and the composite key reports
+    * KeyGroupedPartitioning so same-layout joins/aggs run
+    * exchange-free. */
+  def storeMultipart(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = graft.core.Landed.dir(spark, s"mp_wh:$sfDir", "graft_mp_wh") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          (col("doc_id") % 4).cast("int").as("bucket"), col("lang"))
+      graft.sources.EpochStore.write(docs, s"$d/docs", 0L,
+        partitionColumn = "bucket,lang")
+    }
+    val t = graft.sources.EpochStore.read(spark, s"$wh/docs",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))),
+      "bucket,lang")
+    t.filter(col("bucket").isin(1, 2) && col("lang") =!= "de")
+      .groupBy("bucket", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        min("doc_id").as("min_id"))
+      .orderBy("bucket", "lang")
+  }
+
+  val storeMultipartSql: String =
+    """SELECT CAST(doc_id % 4 AS INT) AS bucket, lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id
+      |FROM documents
+      |WHERE lang IS NOT NULL AND doc_id % 4 IN (1, 2) AND lang <> 'de'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CTAS / RTAS through the staging catalog (`q_store_ctas`):
     * `CREATE TABLE … PARTITIONED BY (lang) AS SELECT` over a store
     * table stages the SELECT's rows into a claimed-but-unreferenced
@@ -1420,11 +1472,11 @@ object MiscCatalog {
     spark.sql(
       s"""CREATE TABLE $c.big PARTITIONED BY (lang) AS
          |SELECT doc_id, n_chars, lang FROM $c.docs
-         |WHERE n_chars > 500""".stripMargin)
+         |WHERE n_chars > 100""".stripMargin)
     spark.sql(
       s"""REPLACE TABLE $c.big PARTITIONED BY (lang) AS
          |SELECT doc_id, n_chars, lang FROM $c.docs
-         |WHERE n_chars > 1000 AND doc_id % 3 = 0""".stripMargin)
+         |WHERE n_chars > 300 AND doc_id % 3 = 0""".stripMargin)
     spark.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
          |  MIN(doc_id) AS min_id
@@ -1436,7 +1488,7 @@ object MiscCatalog {
       |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
       |  MIN(doc_id) AS min_id
       |FROM documents
-      |WHERE lang IS NOT NULL AND CAST(n_chars AS BIGINT) > 1000
+      |WHERE lang IS NOT NULL AND CAST(n_chars AS BIGINT) > 300
       |  AND doc_id % 3 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -1553,6 +1605,7 @@ object MiscCatalog {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_dml"     -> (storeDml _),
     "q_store_ctas"    -> (storeCtas _),
+    "q_store_multipart" -> (storeMultipart _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -1598,6 +1651,7 @@ object MiscCatalog {
   val oracle: Map[String, String] = Map(
     "q_store_dml"     -> storeDmlSql,
     "q_store_ctas"    -> storeCtasSql,
+    "q_store_multipart" -> storeMultipartSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

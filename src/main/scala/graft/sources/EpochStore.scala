@@ -104,7 +104,7 @@ final class EpochStoreTable(tableSchema: StructType,
     * partition overwrite at this table. */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    Option(options.get("partitionColumn")).map(c =>
+    EpochStore.partColsOf(options).map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
 
@@ -246,7 +246,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
-  private val partCol: Option[String] = Option(options.get("partitionColumn"))
+  private val partCols: Seq[String] = EpochStore.partColsOf(options)
   private var required: StructType = tableSchema
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
@@ -305,7 +305,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       case _ => return false
     }
     // the bound needs recorded min/max: data columns only
-    if (partCol.contains(col) || col == EpochStore.EpochColName ||
+    if (partCols.contains(col) || col == EpochStore.EpochColName ||
       !tableSchema.fieldNames.contains(col)) return false
     pushedTopN = Some(EpochStore.TopNPush(col,
       o.direction() == SortDirection.DESCENDING,
@@ -340,7 +340,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     val statSafe: Set[DataType] = Set(ByteType, ShortType, IntegerType,
       LongType, FloatType, DoubleType, DateType, BooleanType)
     def dataColType(n: String): Option[DataType] =
-      tableSchema.fields.find(f => f.name == n && !partCol.contains(n))
+      tableSchema.fields.find(f => f.name == n && !partCols.contains(n))
         .map(_.dataType)
     val funcsOk = agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
@@ -352,9 +352,9 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
         case _ => false
       }
     if (!funcsOk) return false
-    // grouping ⊆ {partition column} is enforced by the util below
+    // grouping ⊆ partition columns is enforced by the util below
     org.apache.spark.sql.GraftBridge
-      .pushedAggSchema(agg, tableSchema, partCol.toSet) match {
+      .pushedAggSchema(agg, tableSchema, partCols.toSet) match {
       case Some(s) => pushedAgg = Some((agg, s)); true
       case None => false
     }
@@ -374,12 +374,13 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       return filters
     }
     val (exact, rest) = filters.partition(f =>
-      partCol.exists(c => EpochStore.exactPartitionFilter(f, c)))
+      partCols.nonEmpty &&
+        EpochStore.exactPartitionFilter(f, partCols.toSet))
     partFilters = exact
     // _epoch is a per-file constant, not a parquet column — filters on it
     // stay residual (Spark re-evaluates them over the served constant)
     dataFilters = rest.filter(f =>
-      partCol.forall(c => !f.references.contains(c)) &&
+      !f.references.exists(partCols.contains) &&
         !f.references.contains(EpochStore.EpochColName))
     rest
   }
@@ -402,13 +403,14 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       // runtime narrowing)
       val fs = new Path(rlo.root).getFileSystem(
         GraftBridge.sessionHadoopConf(spark))
-      val partField = partCol.flatMap(c => tableSchema.fields.find(_.name == c))
+      val partFields =
+        partCols.flatMap(c => tableSchema.fields.find(_.name == c))
       val kept = EpochStore.spanClosure(rlo.pinned,
         rlo.pinned.filter(e =>
-          EpochStoreDml.classify(spark, fs, rlo.root, e, partField,
+          EpochStoreDml.classify(spark, fs, rlo.root, e, partFields,
             groupFilters) != EpochStoreDml.Untouched))
       rlo.kept = kept
-      return EpochStoreScan(tableSchema, required, partCol, rlo.root,
+      return EpochStoreScan(tableSchema, required, partCols, rlo.root,
         rlo.generation, kept, Array.empty, Array.empty,
         runtimeFilterable = false, rloRef = rlo)
     }
@@ -443,10 +445,10 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     }
     pushedAgg match {
       case Some((agg, aggSchema)) =>
-        EpochStoreAggScan(tableSchema, partCol, root, gen, entries,
+        EpochStoreAggScan(tableSchema, partCols, root, gen, entries,
           partFilters, agg, aggSchema)
       case None =>
-        EpochStoreScan(tableSchema, required, partCol, root, gen, entries,
+        EpochStoreScan(tableSchema, required, partCols, root, gen, entries,
           partFilters, dataFilters,
           streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
             .flatMap(k => Option(options.get(k)).map(k -> _)).toMap,
@@ -462,7 +464,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
 /** One pinned scan: `generation` + `entries` ARE the snapshot. Also the
   * [[Batch]] (single-phase batch read). */
 final case class EpochStoreScan(
-    fullSchema: StructType, required: StructType, partCol: Option[String],
+    fullSchema: StructType, required: StructType, partCols: Seq[String],
     root: String, generation: Long, entries: Seq[EpochManifest.Entry],
     partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String] = Map.empty,
@@ -476,10 +478,10 @@ final case class EpochStoreScan(
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  private val partField: Option[StructField] =
-    partCol.flatMap(c => fullSchema.fields.find(_.name == c))
-  require(partCol.isEmpty || partField.nonEmpty,
-    s"partitionColumn ${partCol.orNull} is not in the schema")
+  private val partFields: Seq[StructField] =
+    partCols.map(c => fullSchema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"partitionColumn $c is not in the schema")))
 
   /** The `_epoch` METADATA column ([[EpochStoreTable.metadataColumns]])
     * — requested only when the query names it; served as a per-file
@@ -487,14 +489,19 @@ final case class EpochStoreScan(
   private val epochRequested: Boolean =
     required.fieldNames.contains(EpochStore.EpochColName)
 
-  /** Files hold every column EXCEPT the partition-dir column. */
+  /** Files hold every column EXCEPT the partition-dir columns. */
   private val dataSchema: StructType =
-    StructType(fullSchema.filterNot(f => partCol.contains(f.name)))
+    StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
   private val readDataSchema: StructType =
     StructType(required.filterNot(f =>
-      partCol.contains(f.name) || f.name == EpochStore.EpochColName))
+      partCols.contains(f.name) || f.name == EpochStore.EpochColName))
   private val readPartSchema: StructType =
-    StructType(partField.toSeq.filter(f => required.fieldNames.contains(f.name)))
+    StructType(partFields.filter(f => required.fieldNames.contains(f.name)))
+  /** Positions (within the partition-value tuple) of the REQUESTED
+    * partition columns, in [[readPartSchema]] order. */
+  private val requestedPartIdx: Seq[Int] = partFields.zipWithIndex
+    .filter { case (f, _) => required.fieldNames.contains(f.name) }
+    .map(_._2)
   /** Per-file CONSTANT columns, in output order: the partition-dir value,
     * then `_epoch` when requested. */
   private val constSchema: StructType =
@@ -514,7 +521,7 @@ final case class EpochStoreScan(
     * parquet path ([[EpochStoreMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EpochStoreMicroBatchStream(fullSchema, required, partCol, root,
+    new EpochStoreMicroBatchStream(fullSchema, required, partCols, root,
       partFilters, dataFilters, streamOptions, bloomCol)
 
   /** Runtime (DPP) filters on the partition column — delivered by Spark
@@ -542,8 +549,9 @@ final case class EpochStoreScan(
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(EpochStore.EpochColName))
     else if (!runtimeFilterable || readPartSchema.isEmpty) Array.empty
-    else partCol.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+    else readPartSchema.fieldNames.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray[org.apache.spark.sql.connector.expressions.NamedReference]
 
   /** Keep only filters the dir pruning can answer EXACTLY (same contract
     * as planning-time pushdown); anything else is ignored — Spark
@@ -572,7 +580,8 @@ final case class EpochStoreScan(
       return
     }
     val exact = filters.filter(f =>
-      partCol.exists(c => EpochStore.exactPartitionFilter(f, c)))
+      partCols.nonEmpty &&
+        EpochStore.exactPartitionFilter(f, partCols.toSet))
     if (exact.nonEmpty) {
       runtimeFilters = exact
       cachedListing = null // re-list with the narrowed dir set
@@ -596,7 +605,7 @@ final case class EpochStoreScan(
       val spark = SparkSession.active
       val (files, sel, tot) = EpochStore.listEntryFiles(spark, root,
         if (runtimeEntries != null) runtimeEntries else entries,
-        partField, partFilters ++ runtimeFilters)
+        partFields, partFilters ++ runtimeFilters)
       val kept = applyRowBound(spark,
         applyStatsSkip(spark, applyBloomSkip(spark, files)))
       filesAudit = (kept.size, files.size)
@@ -774,33 +783,37 @@ final case class EpochStoreScan(
     * usual — correctness never depends on it. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (readPartSchema.nonEmpty)
+    // report the COMPOSITE key only when every partition column survives
+    // into the output (a partial key is not the storage partitioning)
+    if (partFields.nonEmpty && readPartSchema.size == partFields.size)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .identity(partCol.get)),
-        listing._1.map(_.value).distinct.size)
+        partCols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression],
+        listing._1.map(_.values).distinct.size)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   private def constantsOf(lf: EpochStore.ListedFile): Array[Any] = {
     val b = Array.newBuilder[Any]
-    if (readPartSchema.nonEmpty) b += lf.value
+    requestedPartIdx.foreach(i => b += lf.values(i))
     if (epochRequested) b += lf.epoch
     b.result()
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    if (readPartSchema.isEmpty)
+    if (partFields.isEmpty || readPartSchema.size != partFields.size)
       EpochStore.planFilePartitions(spark, listing._1, constSchema, constantsOf)
     else {
-      // pack per partition VALUE so every task holds one key's files only
-      // (the HasPartitionKey contract Spark's key-grouping requires);
-      // the key rides on the partition, the row content is unchanged
-      listing._1.groupBy(_.value).toSeq.sortBy(t => String.valueOf(t._1))
-        .flatMap { case (v, files) =>
+      // pack per partition VALUE tuple so every task holds one key's
+      // files only (the HasPartitionKey contract Spark's key-grouping
+      // requires); the key rides on the partition, the rows unchanged
+      listing._1.groupBy(_.values).toSeq
+        .sortBy(t => t._1.map(String.valueOf).mkString("\u0000"))
+        .flatMap { case (vs, files) =>
           EpochStore.planFilePartitions(spark, files, constSchema, constantsOf)
-            .map { case fp: FilePartition => KeyedFilePartition(fp, v) }
+            .map { case fp: FilePartition => KeyedFilePartition(fp, vs) }
         }.toArray
     }
   }
@@ -814,11 +827,12 @@ final case class EpochStoreScan(
 /** A [[FilePartition]] tagged with its partition-column value — the
   * [[org.apache.spark.sql.connector.read.HasPartitionKey]] evidence
   * Spark's key-grouped (storage-partitioned) execution consumes. */
-final case class KeyedFilePartition(inner: FilePartition, keyValue: Any)
+final case class KeyedFilePartition(inner: FilePartition,
+                                    keyValues: Seq[Any])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   private val key: InternalRow =
-    new GenericInternalRow(Array[Any](EpochStore.toCatalyst(keyValue)))
+    new GenericInternalRow(keyValues.map(EpochStore.toCatalyst).toArray)
   override def partitionKey(): InternalRow = key
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -846,6 +860,21 @@ object EpochStore {
 
   /** Name of the metadata column carrying each row's manifest epoch. */
   val EpochColName = "_epoch"
+
+  /** The declared partition columns, in nesting order: `partitionColumn`
+    * takes one or a comma-separated list (`"date,lang"` materializes
+    * `date=v/lang=v` composite dirs); `partitionColumns` is an explicit
+    * plural alias. */
+  private[sources] def partColsOf(options: CaseInsensitiveStringMap)
+      : Seq[String] =
+    Option(options.get("partitionColumn"))
+      .orElse(Option(options.get("partitionColumns"))).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** The comma-joined spelling used by options and schema sidecars →
+    * column list (None/empty → Nil). */
+  private[graft] def splitPartCols(pc: Option[String]): Seq[String] =
+    pc.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
   /** A pushed single-column ORDER-BY-LIMIT ([[EpochStoreScanBuilder
     * .pushTopN]]): sort column, direction, null placement, k. */
@@ -942,21 +971,26 @@ object EpochStore {
     }
   }
 
-  /** One listed file: its partition-dir value (null for unpartitioned
-    * stores), the manifest epoch and root-relative dir of the entry that
-    * owns it, and the file itself. */
+  /** One listed file: its partition-dir values in partition-column
+    * order (empty for unpartitioned stores), the manifest epoch and
+    * root-relative dir of the entry that owns it, and the file itself. */
   private[sources] final case class ListedFile(
-      value: Any, epoch: Long, entryDir: String, status: FileStatus)
+      values: Seq[Any], epoch: Long, entryDir: String, status: FileStatus)
 
   /** Driver-side listing of a set of manifest entries: per entry dir,
-    * either its files directly (unpartitioned store) or its `col=value`
-    * subdirs filtered by the pushed partition filters. Returns the
-    * listed files plus (kept, total) partition-dir audit counts — shared
-    * by the pinned batch scan, the footer-agg scan, and each streaming
+    * either its files directly (unpartitioned store) or its NESTED
+    * `col1=v/col2=v/…` subdirs filtered by the pushed partition filters
+    * AT EVERY LEVEL — a filter decidable from the columns bound so far
+    * ([[evalOnPartitions]]' partial binding) prunes the subtree without
+    * ever listing below it, so a date-level predicate on a
+    * (date, lang)-partitioned store never even enumerates the pruned
+    * dates' lang dirs. Returns the listed files plus (kept, examined)
+    * partition-dir audit counts across all levels — shared by the
+    * pinned batch scan, the footer-agg scan, and each streaming
     * micro-batch. */
   private[sources] def listEntryFiles(
       spark: SparkSession, root: String, entries: Seq[EpochManifest.Entry],
-      partField: Option[StructField], partFilters: Array[Filter])
+      partFields: Seq[StructField], partFilters: Array[Filter])
       : (Seq[ListedFile], Int, Int) = {
     val fs = new Path(root).getFileSystem(
       GraftBridge.sessionHadoopConf(spark))
@@ -970,28 +1004,30 @@ object EpochStore {
     var total = 0
     var kept = 0
     val out = Seq.newBuilder[ListedFile]
-    entries.foreach { e =>
-      val dir = new Path(s"$root/${e.dir}")
-      partField match {
-        case None =>
-          out ++= filesUnder(dir).map(ListedFile(null, e.epoch, e.dir, _))
-        case Some(f) =>
-          val prefix = s"${f.name}="
-          fs.listStatus(dir).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-            .foreach { sub =>
-              total += 1
-              val v = EpochStore.parsePartitionValue(
-                sub.getPath.getName.stripPrefix(prefix), f.dataType)
-              if (partFilters.forall(pf =>
-                  EpochStore.evalOnPartition(pf, f.name, v) != Some(false))) {
-                kept += 1
-                out ++= filesUnder(sub.getPath)
-                  .map(ListedFile(v, e.epoch, e.dir, _))
-              }
+    def descend(p: Path, level: Int, bound: Map[String, Any],
+                values: Seq[Any], e: EpochManifest.Entry): Unit = {
+      if (level == partFields.length) {
+        out ++= filesUnder(p).map(ListedFile(values, e.epoch, e.dir, _))
+      } else {
+        val f = partFields(level)
+        val prefix = s"${f.name}="
+        fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+          .foreach { sub =>
+            total += 1
+            val v = EpochStore.parsePartitionValue(
+              sub.getPath.getName.stripPrefix(prefix), f.dataType)
+            val b2 = bound + (f.name -> v)
+            if (partFilters.forall(pf =>
+                EpochStore.evalOnPartitions(pf, b2) != Some(false))) {
+              kept += 1
+              descend(sub.getPath, level + 1, b2, values :+ v, e)
             }
+          }
       }
     }
+    entries.foreach(e =>
+      descend(new Path(s"$root/${e.dir}"), 0, Map.empty, Vector.empty, e))
     (out.result(), kept, total)
   }
 
@@ -1186,11 +1222,11 @@ object EpochStore {
     val maxEpoch = es.map(_.epoch).max
     val foldDir = EpochManifest.newFoldDir(spark, root, maxEpoch)
     val w = live.write.mode("overwrite")
-    (if (partitionColumn == null) w else w.partitionBy(partitionColumn))
+    val pcs = splitPartCols(Option(partitionColumn))
+    (if (pcs.isEmpty) w else w.partitionBy(pcs: _*))
       .parquet(s"$root/$foldDir")
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, schema,
-      Option(partitionColumn))
+    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, schema, pcs)
     // the purge folded EVERY entry AND the tombstone sub-store it read —
     // any commit racing in (data or tombstone) conflicts; refuse loudly
     EpochManifest.commitIfUnchanged(spark, root, es,
@@ -1416,8 +1452,10 @@ object EpochStore {
     val maxCov = covered.map(_.epoch).max
     val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
     val w = folded.write.mode("overwrite")
-    partCol.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$foldDir")
-    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, partCol)
+    val pcs = splitPartCols(partCol)
+    (if (pcs.isEmpty) w else w.partitionBy(pcs: _*))
+      .parquet(s"$root/$foldDir")
+    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs)
     // re-derive the numeric stats any covered epoch declared — plus the
     // z-order dimensions (their per-file rectangles ARE the layout's
     // pruning payoff, whether or not history declared them)
@@ -1558,24 +1596,26 @@ object EpochStore {
   }
 
   /** Can the dir-pruning answer `f` EXACTLY (so it needn't be
-    * re-evaluated)? True only when every leaf references `col` alone
-    * with a supported comparison. */
-  private[sources] def exactPartitionFilter(f: Filter, col: String): Boolean =
+    * re-evaluated)? True only when every leaf references some column of
+    * `cols` (any subset, any mix — the composite-key layout answers all
+    * of them from dir names) with a supported comparison. */
+  private[sources] def exactPartitionFilter(f: Filter,
+                                            cols: Set[String]): Boolean =
     f match {
-      case sources.EqualTo(a, _) => a == col
-      case sources.EqualNullSafe(a, _) => a == col
-      case sources.In(a, _) => a == col
-      case sources.GreaterThan(a, _) => a == col
-      case sources.GreaterThanOrEqual(a, _) => a == col
-      case sources.LessThan(a, _) => a == col
-      case sources.LessThanOrEqual(a, _) => a == col
-      case sources.IsNull(a) => a == col
-      case sources.IsNotNull(a) => a == col
+      case sources.EqualTo(a, _) => cols(a)
+      case sources.EqualNullSafe(a, _) => cols(a)
+      case sources.In(a, _) => cols(a)
+      case sources.GreaterThan(a, _) => cols(a)
+      case sources.GreaterThanOrEqual(a, _) => cols(a)
+      case sources.LessThan(a, _) => cols(a)
+      case sources.LessThanOrEqual(a, _) => cols(a)
+      case sources.IsNull(a) => cols(a)
+      case sources.IsNotNull(a) => cols(a)
       case sources.And(l, r) =>
-        exactPartitionFilter(l, col) && exactPartitionFilter(r, col)
+        exactPartitionFilter(l, cols) && exactPartitionFilter(r, cols)
       case sources.Or(l, r) =>
-        exactPartitionFilter(l, col) && exactPartitionFilter(r, col)
-      case sources.Not(c) => exactPartitionFilter(c, col)
+        exactPartitionFilter(l, cols) && exactPartitionFilter(r, cols)
+      case sources.Not(c) => exactPartitionFilter(c, cols)
       case _ => false
     }
 
@@ -1592,49 +1632,64 @@ object EpochStore {
     * [[exactPartitionFilter]]'s fully-handled claim self-sufficiently
     * exact even with `spark.sql.constraintPropagation.enabled=false`
     * (no inferred IsNotNull companion to mask a kept null dir). */
-  private[sources] def eval3OnPartition(f: Filter, col: String,
-                                        v: Any): Option[Option[Boolean]] = {
-    def cmp(x: Any): Option[Int] = (v, x) match {
+  private[sources] def eval3OnPartitions(f: Filter,
+                                         bound: Map[String, Any])
+      : Option[Option[Boolean]] = {
+    def cmp(v: Any, x: Any): Option[Int] = (v, x) match {
       case (a: Number, b: Number) =>
         Some(new java.math.BigDecimal(a.toString)
           .compareTo(new java.math.BigDecimal(b.toString)))
       case (a: String, b: String) => Some(EpochStoreStats.utf8Cmp(a, b))
       case _ => None
     }
-    // non-null-safe comparison: either side null => SQL NULL; otherwise
-    // the definite comparison (None from cmp = type confusion = keep)
-    def threeVal(x: Any)(p: => Option[Boolean]): Option[Option[Boolean]] =
-      if (v == null || x == null) Some(None) else p.map(Some(_))
+    // non-null-safe comparison on a BOUND column: either side null =>
+    // SQL NULL; otherwise the definite comparison (None from cmp = type
+    // confusion = keep). An UNBOUND column (a deeper nesting level not
+    // yet descended into) is undecidable — outer None.
+    def threeVal(a: String, x: Any)(p: Any => Option[Boolean])
+        : Option[Option[Boolean]] =
+      bound.get(a) match {
+        case None => None
+        case Some(v) =>
+          if (v == null || x == null) Some(None) else p(v).map(Some(_))
+      }
     f match {
-      case sources.EqualTo(a, x) if a == col => threeVal(x)(cmp(x).map(_ == 0))
-      case sources.EqualNullSafe(a, x) if a == col =>
+      case sources.EqualTo(a, x) =>
+        threeVal(a, x)(v => cmp(v, x).map(_ == 0))
+      case sources.EqualNullSafe(a, x) =>
         // null-safe: a definite boolean even when either side is null —
         // the form static partition overwrite pushes
-        if (x == null || v == null) Some(Some(x == null && v == null))
-        else cmp(x).map(c => Some(c == 0))
-      case sources.In(a, xs) if a == col =>
-        if (v == null) Some(None)
-        else {
-          val hits = xs.toSeq.filter(_ != null).map(cmp)
-          if (hits.exists(_.contains(0))) Some(Some(true))
-          else if (hits.forall(_.isDefined))
-            // no match: IN (…, null) is NULL, a null-free list is false
-            Some(if (xs.contains(null)) None else Some(false))
-          else None
+        bound.get(a) match {
+          case None => None
+          case Some(v) =>
+            if (x == null || v == null) Some(Some(x == null && v == null))
+            else cmp(v, x).map(c => Some(c == 0))
         }
-      case sources.GreaterThan(a, x) if a == col =>
-        threeVal(x)(cmp(x).map(_ > 0))
-      case sources.GreaterThanOrEqual(a, x) if a == col =>
-        threeVal(x)(cmp(x).map(_ >= 0))
-      case sources.LessThan(a, x) if a == col =>
-        threeVal(x)(cmp(x).map(_ < 0))
-      case sources.LessThanOrEqual(a, x) if a == col =>
-        threeVal(x)(cmp(x).map(_ <= 0))
-      case sources.IsNull(a) if a == col => Some(Some(v == null))
-      case sources.IsNotNull(a) if a == col => Some(Some(v != null))
+      case sources.In(a, xs) =>
+        bound.get(a) match {
+          case None => None
+          case Some(null) => Some(None)
+          case Some(v) =>
+            val hits = xs.toSeq.filter(_ != null).map(cmp(v, _))
+            if (hits.exists(_.contains(0))) Some(Some(true))
+            else if (hits.forall(_.isDefined))
+              // no match: IN (…, null) is NULL, a null-free list is false
+              Some(if (xs.contains(null)) None else Some(false))
+            else None
+        }
+      case sources.GreaterThan(a, x) =>
+        threeVal(a, x)(v => cmp(v, x).map(_ > 0))
+      case sources.GreaterThanOrEqual(a, x) =>
+        threeVal(a, x)(v => cmp(v, x).map(_ >= 0))
+      case sources.LessThan(a, x) =>
+        threeVal(a, x)(v => cmp(v, x).map(_ < 0))
+      case sources.LessThanOrEqual(a, x) =>
+        threeVal(a, x)(v => cmp(v, x).map(_ <= 0))
+      case sources.IsNull(a) => bound.get(a).map(v => Some(v == null))
+      case sources.IsNotNull(a) => bound.get(a).map(v => Some(v != null))
       case sources.And(l, r) =>
         // Kleene AND: false dominates even an undecidable side
-        (eval3OnPartition(l, col, v), eval3OnPartition(r, col, v)) match {
+        (eval3OnPartitions(l, bound), eval3OnPartitions(r, bound)) match {
           case (Some(Some(false)), _) | (_, Some(Some(false))) =>
             Some(Some(false))
           case (Some(a), Some(b)) =>
@@ -1643,7 +1698,7 @@ object EpochStore {
           case _ => None
         }
       case sources.Or(l, r) =>
-        (eval3OnPartition(l, col, v), eval3OnPartition(r, col, v)) match {
+        (eval3OnPartitions(l, bound), eval3OnPartitions(r, bound)) match {
           case (Some(Some(true)), _) | (_, Some(Some(true))) =>
             Some(Some(true))
           case (Some(a), Some(b)) =>
@@ -1652,16 +1707,26 @@ object EpochStore {
           case _ => None
         }
       case sources.Not(c) =>
-        eval3OnPartition(c, col, v).map(_.map(!_)) // NOT NULL stays NULL
+        eval3OnPartitions(c, bound).map(_.map(!_)) // NOT NULL stays NULL
       case _ => None
     }
   }
 
-  /** Pruning view of [[eval3OnPartition]]: Some(definite keep/prune)
-    * when decidable, None (keep the dir) otherwise. A predicate that is
-    * SQL NULL for the whole dir prunes it — but only AFTER full Kleene
-    * composition above. */
+  /** Pruning view of [[eval3OnPartitions]]: Some(definite keep/prune)
+    * when decidable from the columns bound so far, None (keep / descend)
+    * otherwise. A predicate that is SQL NULL for the whole dir prunes it
+    * — but only AFTER full Kleene composition above, so NOT over a null
+    * partition value stays NULL. Partial binding makes PREFIX pruning
+    * free: at nesting level i only columns 0..i are bound, a filter on
+    * a deeper column is undecidable there and the walk descends. */
+  private[sources] def evalOnPartitions(f: Filter,
+                                        bound: Map[String, Any])
+      : Option[Boolean] =
+    eval3OnPartitions(f, bound).map(_.getOrElse(false))
+
+  /** Single-column view (the one-level layouts and the DML entry
+    * classifier). */
   private[sources] def evalOnPartition(f: Filter, col: String,
                                        v: Any): Option[Boolean] =
-    eval3OnPartition(f, col, v).map(_.getOrElse(false))
+    evalOnPartitions(f, Map(col -> v))
 }

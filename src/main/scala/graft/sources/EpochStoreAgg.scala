@@ -38,23 +38,26 @@ import graft.core.EpochManifest
   * into NULL counts otherwise; with grouping, zero files correctly
   * yield zero groups. */
 final case class EpochStoreAggScan(
-    fullSchema: StructType, partCol: Option[String],
+    fullSchema: StructType, partCols: Seq[String],
     root: String, generation: Long, entries: Seq[EpochManifest.Entry],
     partFilters: Array[Filter], aggregation: Aggregation,
     aggSchema: StructType)
     extends Scan with Batch {
 
-  private val partField: Option[StructField] =
-    partCol.flatMap(c => fullSchema.fields.find(_.name == c))
+  private val partFields: Seq[StructField] =
+    partCols.flatMap(c => fullSchema.fields.find(_.name == c))
 
   private val dataSchema: StructType =
-    StructType(fullSchema.filterNot(f => partCol.contains(f.name)))
+    StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
 
-  /** Grouping carries the partition column into the output; an ungrouped
-    * aggregation reads no partition values at all. */
+  /** Grouping (any SUBSET of the partition columns — each is constant
+    * per leaf dir, so per-file partials stay exact) carries the full
+    * partition schema into the footer fold; Spark's util resolves each
+    * grouped column from it by name. An ungrouped aggregation reads no
+    * partition values at all. */
   private val groupSchema: StructType =
     if (aggregation.groupByExpressions.isEmpty) new StructType()
-    else StructType(partField.toSeq)
+    else StructType(partFields)
 
   override def readSchema(): StructType = aggSchema
 
@@ -71,7 +74,7 @@ final case class EpochStoreAggScan(
 
   private lazy val listing =
     EpochStore.listEntryFiles(SparkSession.active, root, entries,
-      partField, partFilters)
+      partFields, partFilters)
 
   def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
 
@@ -85,10 +88,23 @@ final case class EpochStoreAggScan(
     * file without the needed record falls the whole scan back to the
     * footer path (sidecar stats are exact task-side accumulations, so
     * falling back is about coverage, never correctness). */
-  private lazy val sidecarAnswer: Option[Seq[(Any, Array[Any])]] =
+  private lazy val sidecarAnswer: Option[Seq[(Seq[Any], Array[Any])]] =
     computeSidecarAnswer()
 
-  private def computeSidecarAnswer(): Option[Seq[(Any, Array[Any])]] = {
+  /** The grouped columns (⊆ partCols, enforced at pushdown) and their
+    * positions within the partition-value tuples. */
+  private val groupCols: Seq[String] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    aggregation.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames.head
+      case other => throw new IllegalStateException(
+        s"unexpected pushed grouping expression $other")
+    }
+  }
+  private val groupIdxInPart: Seq[Int] = groupCols.map(partCols.indexOf)
+
+  private def computeSidecarAnswer(): Option[Seq[(Seq[Any], Array[Any])]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     val spark = SparkSession.active
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
@@ -148,12 +164,12 @@ final case class EpochStoreAggScan(
       vs.foldLeft[Option[Any]](Some(null)) { (acc, v) =>
         acc.flatMap(better(_, v, takeMin))
       }
-    val groups: Seq[(Any, Seq[EpochStoreStats.FileStats])] =
+    val groups: Seq[(Seq[Any], Seq[EpochStoreStats.FileStats])] =
       if (aggregation.groupByExpressions.isEmpty)
-        Seq((null, sts.map(_._2.get)))
-      else sts.groupBy(_._1.value).toSeq
-        .sortBy(t => String.valueOf(t._1))
-        .map { case (v, l) => (v, l.map(_._2.get)) }
+        Seq((Seq.empty[Any], sts.map(_._2.get)))
+      else sts.groupBy(t => groupIdxInPart.map(t._1.values(_))).toSeq
+        .sortBy(t => t._1.map(String.valueOf).mkString("\u0000"))
+        .map { case (vs, l) => (vs, l.map(_._2.get)) }
     val rows = groups.map { case (v, fstats) =>
       val vals: Seq[Option[Any]] = exprs.map {
         case _: CountStar => Some(fstats.map(_.rows).sum)
@@ -183,14 +199,12 @@ final case class EpochStoreAggScan(
   override def planInputPartitions(): Array[InputPartition] = {
     sidecarAnswer match {
       case Some(groups) =>
-        // place the group value at its aggSchema position (Spark's
-        // pushed-agg layout conventions own the ordering); aggregates
-        // fill the remaining slots in expression order
-        val groupIdx =
-          if (groupSchema.isEmpty) -1
-          else aggSchema.fieldIndex(partField.get.name)
-        return groups.map { case (v, vals) =>
-          PrecomputedAggPartition(vals, v, groupIdx): InputPartition
+        // place each grouped column's value at its aggSchema position
+        // (Spark's pushed-agg layout conventions own the ordering);
+        // aggregates fill the remaining slots in expression order
+        return groups.map { case (vs, vals) =>
+          PrecomputedAggPartition(vals, vs.toArray,
+            groupCols.map(aggSchema.fieldIndex).toArray): InputPartition
         }.toArray
       case None => ()
     }
@@ -200,7 +214,8 @@ final case class EpochStoreAggScan(
         Array(EpochAggPartition(null, 0L, null)) // the zero row
       else Array.empty // zero files → zero groups
     } else files.map(lf =>
-      EpochAggPartition(lf.status.getPath.toString, lf.status.getLen, lf.value)
+      EpochAggPartition(lf.status.getPath.toString, lf.status.getLen,
+        lf.values.toArray)
     ).toArray
   }
 
@@ -213,16 +228,20 @@ final case class EpochStoreAggScan(
   }
 }
 
-/** One footer to fold; `filePath == null` is the empty-store zero row. */
+/** One footer to fold; `filePath == null` is the empty-store zero row.
+  * `partValues` are the file's partition-dir values in partition-column
+  * order (the footer fold resolves grouped columns from them by name). */
 final case class EpochAggPartition(filePath: String, fileLen: Long,
-                                   partValue: Any) extends InputPartition
+                                   partValues: Array[Any])
+    extends InputPartition
 
 /** One DRIVER-folded partial row (the sidecar-answered path): `values`
-  * are the aggregate results in expression order; `groupIdx` (-1 when
-  * ungrouped) is the aggSchema slot holding `partValue`. The task emits
-  * the assembled row verbatim — no IO at all. */
-final case class PrecomputedAggPartition(values: Array[Any], partValue: Any,
-                                         groupIdx: Int)
+  * are the aggregate results in expression order; `groupValues(i)`
+  * goes to aggSchema slot `groupSlots(i)` (empty when ungrouped). The
+  * task emits the assembled row verbatim — no IO at all. */
+final case class PrecomputedAggPartition(values: Array[Any],
+                                         groupValues: Array[Any],
+                                         groupSlots: Array[Int])
     extends InputPartition
 
 final class EpochAggReaderFactory(
@@ -237,13 +256,16 @@ final class EpochAggReaderFactory(
         return new PartitionReader[InternalRow] {
           private var emitted = false
           private val row = {
-            val n = pre.values.length + (if (pre.groupIdx >= 0) 1 else 0)
+            val n = pre.values.length + pre.groupSlots.length
             val slots = new Array[Any](n)
+            val slotOf = pre.groupSlots.zipWithIndex.toMap
             var vi = 0
             (0 until n).foreach { i =>
-              if (i == pre.groupIdx)
-                slots(i) = EpochStore.toCatalyst(pre.partValue)
-              else { slots(i) = pre.values(vi); vi += 1 }
+              slotOf.get(i) match {
+                case Some(gi) =>
+                  slots(i) = EpochStore.toCatalyst(pre.groupValues(gi))
+                case None => slots(i) = pre.values(vi); vi += 1
+              }
             }
             new GenericInternalRow(slots)
           }
@@ -276,7 +298,7 @@ final class EpochAggReaderFactory(
           val pv: InternalRow =
             if (groupSchema.isEmpty) InternalRow.empty
             else new GenericInternalRow(
-              Array[Any](EpochStore.toCatalyst(part.partValue)))
+              part.partValues.map(EpochStore.toCatalyst))
           GraftBridge.aggRowFromFooter(footer, part.filePath, dataSchema,
             groupSchema, aggregation, aggSchema, pv)
         }

@@ -175,10 +175,18 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
           "graft.sources.EpochStore.read with an explicit schema"))
     val entryDir = new Path(s"$root/${dataEntry.dir}")
     val schema = spark.read.parquet(entryDir.toString).schema
-    val partCol = fs.listStatus(entryDir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collectFirst { case n if n.contains("=") => n.takeWhile(_ != '=') }
+    // chase the nested col1=v/col2=v/… chain for the partition columns
+    // in nesting order (pre-sidecar stores only; recorded stores take
+    // the evolved path above)
+    def chase(p: Path, acc: Seq[String]): Seq[String] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .collectFirst { case d if d.getName.contains("=") => d } match {
+        case Some(d) => chase(d, acc :+ d.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    val partCol = Some(chase(entryDir, Nil)).filter(_.nonEmpty)
+      .map(_.mkString(","))
     val opts = Map("path" -> root) ++
       partCol.map("partitionColumn" -> _) ++
       (if (asOfGeneration >= 0L) Map("asOfGeneration" -> asOfGeneration.toString)
@@ -187,22 +195,21 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Identity partition columns from the declared transforms (the only
-    * partitioning the store's `col=value` dir layout expresses). */
-  private def partColOf(schema: StructType,
-                        partitions: Array[Transform]): Option[String] = {
+    * partitioning the store's nested `col=value` dir layout expresses),
+    * in declaration = nesting order. */
+  private def partColsOf(schema: StructType,
+                         partitions: Array[Transform]): Seq[String] = {
     val cols = partitions.toSeq.map { t =>
       val refs = t.references()
       require(t.name() == "identity" && refs.length == 1 &&
         refs.head.fieldNames().length == 1,
-        s"epochstore supports PARTITIONED BY (column) identity " +
+        s"epochstore supports PARTITIONED BY (columns…) identity " +
           s"partitioning only, got $t")
       refs.head.fieldNames().head
     }
-    require(cols.size <= 1,
-      s"epochstore supports one partition column, got ${cols.mkString(", ")}")
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
-    cols.headOption
+    cols
   }
 
   /** Write-tuning options carried as table properties (`OPTIONS(...)`
@@ -242,10 +249,10 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     if (isStore(root))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val partCol = partColOf(schema, partitions)
+    val partCols = partColsOf(schema, partitions)
     val dir = EpochManifest.newDataDir(spark, root, 0L)
     fs.mkdirs(new Path(s"$root/$dir"))
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCol)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
     EpochManifest.commitWith(spark, root) { cur =>
       require(cur.isEmpty,
         s"CREATE TABLE: a table appeared at $root concurrently — " +
@@ -269,7 +276,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     new StagedEpochStoreTable(root, info.schema(),
-      partColOf(info.schema(), info.partitions()),
+      partColsOf(info.schema(), info.partitions()),
       statsColsOf(info.schema(), info.properties()), replaceBase = None)
   }
 
@@ -279,7 +286,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     val root = rootOf(ident)
     if (!isStore(root)) throw new NoSuchTableException(ident)
     new StagedEpochStoreTable(root, info.schema(),
-      partColOf(info.schema(), info.partitions()),
+      partColsOf(info.schema(), info.partitions()),
       statsColsOf(info.schema(), info.properties()),
       replaceBase = Some(EpochManifest.entries(spark, root)))
   }
@@ -289,7 +296,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = rootOf(ident)
     new StagedEpochStoreTable(root, info.schema(),
-      partColOf(info.schema(), info.partitions()),
+      partColsOf(info.schema(), info.partitions()),
       statsColsOf(info.schema(), info.properties()),
       replaceBase = Some(EpochManifest.entries(spark, root)))
   }
@@ -319,6 +326,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
           s"(nullable); got $other")
     }
     val (schema, partCol) = EpochStore.evolvedSchema(spark, root)
+    val partColsSeq = EpochStore.splitPartCols(partCol)
     adds.foreach(a => require(!schema.fieldNames.contains(a.fieldNames().head),
       s"column ${a.fieldNames().head} already exists"))
     val widened = StructType(schema.fields ++ adds.map(a =>
@@ -328,7 +336,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       .map(_.epoch).maxOption.getOrElse(-1L) + 1L
     val dir = EpochManifest.newDataDir(spark, root, epoch)
     fs.mkdirs(new Path(s"$root/$dir"))
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, widened, partCol)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, widened, partColsSeq)
     EpochManifest.commitEpochDir(spark, root, epoch, dir)
     loadTable(ident)
   }

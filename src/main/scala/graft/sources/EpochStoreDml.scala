@@ -108,13 +108,13 @@ private[graft] object EpochStoreDml {
     fs.makeQualified(st.getPath).toString.stripPrefix(q).stripPrefix("/")
   }
 
-  /** Classify one entry against the AND of `filters` — `partField` is
-    * the entry's OWN recorded partition column (entries of an evolved
-    * store are classified under their own layout). With no filters
-    * nothing is provable → Mixed. */
+  /** Classify one entry against the AND of `filters` — `partFields`
+    * are the entry's OWN recorded partition columns in nesting order
+    * (entries of an evolved store are classified under their own
+    * layout). With no filters nothing is provable → Mixed. */
   def classify(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                root: String, e: EpochManifest.Entry,
-               partField: Option[StructField],
+               partFields: Seq[StructField],
                filters: Array[Filter]): EntryFate = {
     if (filters.isEmpty) return Mixed
     val entryPath = s"$root/${e.dir}"
@@ -125,40 +125,48 @@ private[graft] object EpochStoreDml {
       stats.get(relIn(fs, entryPath, st)).exists(cs =>
         filters.exists(fl => EpochStoreStats.canMatch(fl, cs).contains(false)))
     // `_epoch` is a per-entry constant (rows of a fold carry the fold's
-    // epoch), so filters on it are decidable HERE — an epoch-aligned
-    // DELETE is pure metadata, same as a partition-aligned one
-    def epochEval(fl: Filter): Option[Boolean] =
-      EpochStore.evalOnPartition(fl, EpochStore.EpochColName, e.epoch)
-    partField match {
-      case None =>
-        val evals = filters.map(epochEval)
-        if (evals.exists(_.contains(false))) Untouched
-        else if (evals.forall(_.contains(true))) AllDead
+    // epoch), so it joins the bound map and filters on it — or composite
+    // filters mixing it with partition columns — decide HERE: an
+    // epoch-aligned DELETE is pure metadata, same as a dir-aligned one
+    val epochBound: Map[String, Any] =
+      Map(EpochStore.EpochColName -> e.epoch)
+    if (partFields.isEmpty) {
+      val evals =
+        filters.map(fl => EpochStore.evalOnPartitions(fl, epochBound))
+      if (evals.exists(_.contains(false))) Untouched
+      else if (evals.forall(_.contains(true))) AllDead
+      else {
+        val fls = filesUnder(fs, new Path(entryPath))
+        if (fls.forall(fileClean)) Untouched else Mixed
+      }
+    } else {
+      // enumerate the entry's LEAF dirs (full composite tuples)
+      def leafDirs(p: Path, level: Int, bound: Map[String, Any])
+          : Seq[(Path, Map[String, Any])] =
+        if (level == partFields.length) Seq((p, bound))
         else {
-          val fls = filesUnder(fs, new Path(entryPath))
-          if (fls.forall(fileClean)) Untouched else Mixed
+          val f = partFields(level)
+          val prefix = s"${f.name}="
+          fs.listStatus(p).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+            .flatMap { sub =>
+              val v = EpochStore.parsePartitionValue(
+                sub.getPath.getName.stripPrefix(prefix), f.dataType)
+              leafDirs(sub.getPath, level + 1, bound + (f.name -> v))
+            }
         }
-      case Some(f) =>
-        val prefix = s"${f.name}="
-        val subs = fs.listStatus(new Path(entryPath)).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-        if (subs.isEmpty) return Untouched
-        val fates = subs.map { sub =>
-          val v = EpochStore.parsePartitionValue(
-            sub.getPath.getName.stripPrefix(prefix), f.dataType)
-          // each conjunct decides from whichever constant it references
-          // (partition value or entry epoch); a composite referencing
-          // both stays None → conservative
-          val evals = filters.map(fl =>
-            EpochStore.evalOnPartition(fl, f.name, v).orElse(epochEval(fl)))
-          if (evals.exists(_.contains(false))) 'u'
-          else if (evals.forall(_.contains(true))) 'd'
-          else if (filesUnder(fs, sub.getPath).forall(fileClean)) 'u'
-          else 'm'
-        }
-        if (fates.forall(_ == 'u')) Untouched
-        else if (fates.forall(_ == 'd')) AllDead
-        else Mixed
+      val subs = leafDirs(new Path(entryPath), 0, epochBound)
+      if (subs.isEmpty) return Untouched
+      val fates = subs.map { case (p, bound) =>
+        val evals = filters.map(fl => EpochStore.evalOnPartitions(fl, bound))
+        if (evals.exists(_.contains(false))) 'u'
+        else if (evals.forall(_.contains(true))) 'd'
+        else if (filesUnder(fs, p).forall(fileClean)) 'u'
+        else 'm'
+      }
+      if (fates.forall(_ == 'u')) Untouched
+      else if (fates.forall(_ == 'd')) AllDead
+      else Mixed
     }
   }
 
@@ -185,7 +193,8 @@ private[graft] object EpochStoreDml {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     es.flatMap { e =>
       val rec = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
-      val pf = rec.flatMap { case (s, pc) => pc.map(c => s(c)) }
+      val pf = rec.toSeq.flatMap { case (s, pc) =>
+        EpochStore.splitPartCols(pc).map(c => s(c)) }
       classify(spark, fs, root, e, pf, filters) match {
         case Untouched => Some(e)
         case AllDead => None
@@ -211,8 +220,10 @@ private[graft] object EpochStoreDml {
             if (e.minEpoch < e.epoch) EpochManifest.newFoldDir(spark, root, e.epoch)
             else EpochManifest.newDataDir(spark, root, e.epoch)
           val w = surv.write.mode("overwrite")
-          pc.fold(w)(c => w.partitionBy(c)).parquet(s"$root/$dir2")
-          EpochStoreWrite.writeSchemaSidecar(fs, root, dir2, schema, pc)
+          val pcs = EpochStore.splitPartCols(pc)
+          (if (pcs.isEmpty) w else w.partitionBy(pcs: _*))
+            .parquet(s"$root/$dir2")
+          EpochStoreWrite.writeSchemaSidecar(fs, root, dir2, schema, pcs)
           // keep file skipping alive across the rewrite: re-derive every
           // stat the ORIGINAL entry declared — strings included, now that
           // both sides compare under UTF-8 binary order (blooms still
@@ -247,8 +258,8 @@ final class EpochStoreRowLevelOperation(
       "drop VERSION AS OF")
 
   private[sources] val root: String = EpochStore.rootOf(tableOptions)
-  private[sources] val partCol: Option[String] =
-    Option(tableOptions.get("partitionColumn"))
+  private[sources] val partCols: Seq[String] =
+    EpochStore.partColsOf(tableOptions)
 
   private[sources] val generation: Long = {
     val spark = SparkSession.active
@@ -299,16 +310,15 @@ final class EpochStoreRowLevelOperation(
         // file per (task, value) with values collected per task
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          partCol match {
-            case Some(c) =>
-              org.apache.spark.sql.connector.distributions.Distributions
-                .clustered(Array(
-                  org.apache.spark.sql.connector.expressions.Expressions
-                    .identity(c)))
-            case None =>
-              org.apache.spark.sql.connector.distributions.Distributions
-                .unspecified()
-          }
+          if (partCols.nonEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(partCols.map(c =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(c))
+                .toArray[org.apache.spark.sql.connector.expressions.Expression])
+          else
+            org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified()
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           Array.empty
@@ -340,7 +350,7 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
       EpochStoreStats.read(fs, op.root, e.dir).valuesIterator
         .flatMap(_.cols.keysIterator)).toSet
     schema.fields.toSeq
-      .filter(f => declared(f.name) && !op.partCol.contains(f.name))
+      .filter(f => declared(f.name) && !op.partCols.contains(f.name))
       .flatMap { f =>
         import org.apache.spark.sql.types._
         f.dataType match {
@@ -358,7 +368,7 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
       import org.apache.spark.sql.types._
       schema.fields.find(_.name == c)
         .filter(f => Set[DataType](ByteType, ShortType, IntegerType,
-          LongType, StringType)(f.dataType) && !op.partCol.contains(c))
+          LongType, StringType)(f.dataType) && !op.partCols.contains(c))
         .map(_ => BloomSpec(c, 100000L, 0.03))
     }
 
@@ -380,8 +390,8 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
           s.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, true))
     }
-    new EpochStoreWriterFactory(staging, schema, op.partCol,
-      EpochStoreBatchWrite.primedConf(spark, schema, op.partCol),
+    new EpochStoreWriterFactory(staging, schema, op.partCols,
+      EpochStoreBatchWrite.primedConf(spark, schema, op.partCols),
       bloomOf(spark), statsColsOf(spark, fs))
   }
 
@@ -406,7 +416,7 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
     EpochStoreStats.write(fs, op.root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }
         .flatten.toSeq)
-    EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, schema, op.partCol)
+    EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, schema, op.partCols)
     // OCC commit, strict on the pinned snapshot: the WHERE was
     // evaluated against op.pinned, so ANY touched pinned entry is a
     // serializability conflict (loud refusal); appends that landed

@@ -31,8 +31,9 @@ import graft.core.EpochManifest
 private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
-    Seq("snapshots", "compact", "gc", "purge_deletes", "tag", "untag",
-      "tags", "add_constraint", "drop_constraint", "constraints")
+    Seq("snapshots", "compact", "gc", "expire_snapshots", "purge_deletes",
+      "tag", "untag", "tags", "add_constraint", "drop_constraint",
+      "constraints")
 
   private def spark = SparkSession.active
 
@@ -144,6 +145,34 @@ private[sources] object EpochStoreProcedures {
             StructField("generations_retained", IntegerType,
               nullable = false))),
             Array(row(EpochManifest.generations(spark, root).size)))
+        }
+      }
+
+      case "expire_snapshots" => new Proc("expire_snapshots", Array(
+        tableParam,
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue(Long.MaxValue.toString)
+          .comment("expire only generations whose manifest predates this " +
+            "epoch-millis timestamp; default = any age").build(),
+        ProcedureParameter.in("keep_last", IntegerType)
+          .defaultValue("2")
+          .comment("newest generations always retained (floor 2 — the " +
+            "isolation window); tagged generations are always immune")
+          .build())) {
+        override def description(): String =
+          "retention policy over the manifest history: expire old " +
+            "generations beyond keep_last (tag-aware; pinned reads on " +
+            "expired generations fail loudly afterwards)"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val expired = EpochManifest.expireSnapshots(spark, root,
+            olderThanMs = input.getLong(1), keepLast = input.getInt(2))
+          result(StructType(Seq(
+            StructField("expired", IntegerType, nullable = false),
+            StructField("generations_retained", IntegerType,
+              nullable = false))),
+            Array(row(expired.size,
+              EpochManifest.generations(spark, root).size)))
         }
       }
 

@@ -39,14 +39,14 @@ import graft.core.EpochManifest
   * write, so a CTAS'd table is indistinguishable from one built by
   * epoch appends. */
 final class StagedEpochStoreTable(
-    root: String, tableSchema: StructType, partCol: Option[String],
+    root: String, tableSchema: StructType, partCols: Seq[String],
     statsCols: Seq[(String, Char)],
     // None = CREATE (the root must still be table-free at commit);
     // Some(base) = REPLACE (the head must still equal `base` at commit)
     replaceBase: Option[Seq[EpochManifest.Entry]])
     extends StagedTable with SupportsWrite {
 
-  partCol.foreach(c => require(tableSchema.fieldNames.contains(c),
+  partCols.foreach(c => require(tableSchema.fieldNames.contains(c),
     s"partition column $c is not in the CTAS schema"))
   statsCols.foreach { case (c, _) =>
     require(tableSchema.fieldNames.contains(c),
@@ -91,8 +91,8 @@ final class StagedEpochStoreTable(
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
         : DataWriterFactory =
-      new EpochStoreWriterFactory(s"$root/$dir", tableSchema, partCol,
-        EpochStoreBatchWrite.primedConf(spark, tableSchema, partCol),
+      new EpochStoreWriterFactory(s"$root/$dir", tableSchema, partCols,
+        EpochStoreBatchWrite.primedConf(spark, tableSchema, partCols),
         None, statsCols)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -106,7 +106,7 @@ final class StagedEpochStoreTable(
       EpochStoreStats.write(fs, root, dir,
         messages.collect { case m: EpochFilesWritten => m.fileStats }
           .flatten.toSeq)
-      EpochStoreWrite.writeSchemaSidecar(fs, root, dir, tableSchema, partCol)
+      EpochStoreWrite.writeSchemaSidecar(fs, root, dir, tableSchema, partCols)
       stagedEpoch = epoch
       stagedDir = Some(dir)
     }

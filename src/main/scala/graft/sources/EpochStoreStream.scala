@@ -58,24 +58,27 @@ final case class EpochStreamOffset(epoch: Long) extends Offset {
   * behind a large backlog processes it as several normal-sized batches
   * instead of one giant one). */
 final class EpochStoreMicroBatchStream(
-    fullSchema: StructType, required: StructType, partCol: Option[String],
+    fullSchema: StructType, required: StructType, partCols: Seq[String],
     root: String, partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String],
     bloomCol: Option[String] = None)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private val partField: Option[StructField] =
-    partCol.flatMap(c => fullSchema.fields.find(_.name == c))
-  require(partCol.isEmpty || partField.nonEmpty,
-    s"partitionColumn ${partCol.orNull} is not in the schema")
+  private val partFields: Seq[StructField] =
+    partCols.map(c => fullSchema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"partitionColumn $c is not in the schema")))
 
   private val dataSchema: StructType =
-    StructType(fullSchema.filterNot(f => partCol.contains(f.name)))
+    StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
   private val readDataSchema: StructType =
-    StructType(required.filterNot(f => partCol.contains(f.name)))
+    StructType(required.filterNot(f => partCols.contains(f.name)))
   private val readPartSchema: StructType =
-    StructType(partField.toSeq.filter(f => required.fieldNames.contains(f.name)))
+    StructType(partFields.filter(f => required.fieldNames.contains(f.name)))
+  private val requestedPartIdx: Seq[Int] = partFields.zipWithIndex
+    .filter { case (f, _) => required.fieldNames.contains(f.name) }
+    .map(_._2)
 
   private val startingAfter: Long =
     streamOptions.get("startingafterepoch").map(_.toLong).getOrElse(-1L)
@@ -148,7 +151,7 @@ final class EpochStoreMicroBatchStream(
           "compaction overtook the stream reader; compact only up to the " +
           "stream's committed offset"))
     val (files, _, _) =
-      EpochStore.listEntryFiles(spark, root, batch, partField, partFilters)
+      EpochStore.listEntryFiles(spark, root, batch, partFields, partFilters)
     // the tail skips files exactly like the batch scan: a filtered
     // stream consumer pays only for the epochs' matching files
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
@@ -161,7 +164,7 @@ final class EpochStoreMicroBatchStream(
       bloomCol.exists(c => fullSchema(c).dataType ==
         org.apache.spark.sql.types.StringType))
     EpochStore.planFilePartitions(spark, kept, readPartSchema,
-      lf => if (readPartSchema.isEmpty) Array.empty else Array(lf.value))
+      lf => requestedPartIdx.map(lf.values(_)).toArray)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

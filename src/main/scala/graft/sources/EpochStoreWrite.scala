@@ -85,11 +85,11 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
 
   private var overwriteMode: EpochOverwrite = EpochOverwrite.AppendOnly
 
-  private def partColOf(): Option[String] = {
-    val partCol = Option(info.options().get("partitionColumn"))
-    partCol.foreach(c => require(info.schema().fieldNames.contains(c),
+  private def partColsOf(): Seq[String] = {
+    val cols = EpochStore.partColsOf(info.options())
+    cols.foreach(c => require(info.schema().fieldNames.contains(c),
       s"partitionColumn $c is not in the written schema"))
-    partCol
+    cols
   }
 
   /** `bloomColumn`: build one bloom-filter SIDECAR per data file over
@@ -102,8 +102,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"bloomColumn $c is not in the written schema"))
-      require(!partColOf().contains(c),
-        s"bloomColumn $c is the partition column — dir pruning already " +
+      require(!partColsOf().contains(c),
+        s"bloomColumn $c is a partition column — dir pruning already " +
           "covers it exactly; pick a data column")
       import org.apache.spark.sql.types._
       require(Set[DataType](ByteType, ShortType, IntegerType, LongType,
@@ -129,8 +129,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
         val f = info.schema().fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"statsColumns column $c is not in the written schema"))
-        require(!partColOf().contains(c),
-          s"statsColumns column $c is the partition column — dir pruning " +
+        require(!partColsOf().contains(c),
+          s"statsColumns column $c is a partition column — dir pruning " +
             "already covers it exactly; pick a data column")
         import org.apache.spark.sql.types._
         val kind = f.dataType match {
@@ -163,9 +163,9 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
-    private val partCol = partColOf()
+    private val partCols = partColsOf()
     private val sortCols = sortOf()
-    private val clustered: Boolean = partCol.nonEmpty &&
+    private val clustered: Boolean = partCols.nonEmpty &&
       (sortCols.nonEmpty ||
         java.lang.Boolean.parseBoolean(
           String.valueOf(info.options().get("clusteredWrite"))))
@@ -182,13 +182,13 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def requiredDistribution(): Distribution =
       if (clustered)
         Distributions.clustered(
-          Array[org.apache.spark.sql.connector.expressions.Expression](
-            Expressions.identity(partCol.get)))
+          partCols.map(c => Expressions.identity(c))
+            .toArray[org.apache.spark.sql.connector.expressions.Expression])
       else if (sortCols.nonEmpty) Distributions.ordered(sortCols.map(asc).toArray)
       else Distributions.unspecified()
 
     override def requiredOrdering(): Array[SortOrder] =
-      ((if (clustered) partCol.toSeq else Nil) ++ sortCols).map(asc).toArray
+      ((if (clustered) partCols else Nil) ++ sortCols).map(asc).toArray
 
     /** `writePartitions` pins the task count of a distributed write —
       * with an ordered distribution that is the FILE count (file-size
@@ -205,7 +205,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
         EpochManifest.entries(SparkSession.active, root)
           .map(_.epoch).maxOption.map(_ + 1L).getOrElse(0L))
-      new EpochStoreBatchWrite(root, epoch, info.schema(), partColOf(),
+      new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
         bloomOf(), statsOf(), overwriteMode)
     }
 
@@ -218,7 +218,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def toStreaming: StreamingWrite = {
       val opts = info.options()
       new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
-        info.schema(), partColOf(), bloomOf(), statsOf())
+        info.schema(), partColsOf(), bloomOf(), statsOf())
     }
   }
 }
@@ -423,7 +423,7 @@ object BloomSpec {
   * readers until published. */
 final class EpochStoreStreamingWrite(root: String, queryId: String,
                                      schema: StructType,
-                                     partCol: Option[String],
+                                     partCols: Seq[String],
                                      bloom: Option[BloomSpec] = None,
                                      statsCols: Seq[(String, Char)] = Nil)
     extends StreamingWrite {
@@ -444,8 +444,8 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
         .filter(_.getPath.getName.startsWith(s".w$queryId-e"))
         .foreach(s => fs.delete(s.getPath, true))
     bloom.foreach(b => BloomSpec.publish(spark, root, b.col))
-    new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCol,
-      EpochStoreBatchWrite.primedConf(spark, schema, partCol), bloom,
+    new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCols,
+      EpochStoreBatchWrite.primedConf(spark, schema, partCols), bloom,
       statsCols)
   }
 
@@ -471,7 +471,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     // not at all
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCol)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
     EpochManifest.commitEpochDir(spark, root, epochId, dir)
   }
 
@@ -498,7 +498,7 @@ object EpochOverwrite {
 }
 
 final class EpochStoreBatchWrite(root: String, epoch: Long,
-                                 schema: StructType, partCol: Option[String],
+                                 schema: StructType, partCols: Seq[String],
                                  bloom: Option[BloomSpec] = None,
                                  statsCols: Seq[(String, Char)] = Nil,
                                  overwrite: EpochOverwrite =
@@ -519,8 +519,8 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new EpochStoreWriterFactory(s"$root/$dir", schema, partCol,
-      EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCol),
+    new EpochStoreWriterFactory(s"$root/$dir", schema, partCols,
+      EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCols),
       bloom, statsCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -540,40 +540,39 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     }
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCol)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
     overwrite match {
       case EpochOverwrite.AppendOnly =>
         EpochManifest.commitEpochDir(spark, root, epoch, dir)
       case EpochOverwrite.ByFilters(filters) =>
         commitOverwrite(spark, filters)
       case EpochOverwrite.DynamicParts =>
-        // replace exactly the partition values the batch wrote — their
-        // dirs are the first path segment of every committed file
-        val fl: Array[Filter] = partCol match {
-          case None =>
+        // replace exactly the partition-value TUPLES the batch wrote —
+        // their dirs are the first partCols.length path segments of
+        // every committed file; each tuple becomes a conjunction of
+        // null-safe equalities, the tuples disjoin
+        val fl: Array[Filter] =
+          if (partCols.isEmpty)
             // an unpartitioned table has one "partition": everything
             Array(org.apache.spark.sql.sources.AlwaysTrue)
-          case Some(c) =>
-            val dt = schema(c).dataType
-            val values = messages
+          else {
+            val tuples = messages
               .collect { case m: EpochFilesWritten => m.files }.flatten
-              .flatMap(rel => rel.split('/').headOption.filter(_.contains("=")))
-              .distinct.toSeq
-              .map(seg => EpochStore.parsePartitionValue(
-                seg.substring(seg.indexOf('=') + 1), dt))
-            if (values.isEmpty) Array(org.apache.spark.sql.sources.AlwaysFalse)
-            else {
-              val (nulls, nn) = values.partition(_ == null)
-              val base: Option[Filter] =
-                if (nn.nonEmpty)
-                  Some(org.apache.spark.sql.sources.In(c, nn.toArray))
-                else None
-              val nul: Option[Filter] =
-                if (nulls.nonEmpty)
-                  Some(org.apache.spark.sql.sources.IsNull(c)) else None
-              Array((base ++ nul).reduce(org.apache.spark.sql.sources.Or(_, _)))
-            }
-        }
+              .map(_.split('/').toSeq.take(partCols.length))
+              .filter(segs => segs.length == partCols.length &&
+                segs.forall(_.contains("=")))
+              .distinct
+              .map(_.zip(partCols).map { case (seg, c) =>
+                c -> EpochStore.parsePartitionValue(
+                  seg.substring(seg.indexOf('=') + 1), schema(c).dataType)
+              })
+            if (tuples.isEmpty) Array(org.apache.spark.sql.sources.AlwaysFalse)
+            else Array(tuples.map(t =>
+              t.map { case (c, v) => org.apache.spark.sql.sources
+                .EqualNullSafe(c, v): Filter }
+                .reduce(org.apache.spark.sql.sources.And(_, _)))
+              .reduce(org.apache.spark.sql.sources.Or(_, _)))
+          }
         commitOverwrite(spark, fl)
     }
   }
@@ -606,14 +605,14 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
 /** Ships to executors: one staged writer per (epoch, partition, task)
   * under `<stageRoot>-e<epoch>`. */
 final class EpochStoreStreamingWriterFactory(
-    stageRoot: String, schema: StructType, partCol: Option[String],
+    stageRoot: String, schema: StructType, partCols: Seq[String],
     bc: Broadcast[SerializableConfiguration],
     bloom: Option[BloomSpec] = None,
     statsCols: Seq[(String, Char)] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new EpochStoreDataWriter(s"$stageRoot-e$epochId", schema, partCol,
+    new EpochStoreDataWriter(s"$stageRoot-e$epochId", schema, partCols,
       bc, partitionId, taskId, bloom, statsCols)
 }
 
@@ -624,11 +623,12 @@ object EpochStoreBatchWrite {
     * conf keys, not constructor args. Shared by the batch and streaming
     * factories. */
   def primedConf(spark: SparkSession, schema: StructType,
-                 partCol: Option[String])
+                 partCols: Seq[String])
       : Broadcast[SerializableConfiguration] = {
     val conf = GraftBridge.sessionConf(spark)
     val hc = GraftBridge.sessionHadoopConf(spark)
-    val dataSchema = StructType(schema.filterNot(f => partCol.contains(f.name)))
+    val dataSchema =
+      StructType(schema.filterNot(f => partCols.contains(f.name)))
     hc.set("parquet.write.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport")
     hc.set("org.apache.spark.sql.parquet.row.attributes", dataSchema.json)
@@ -669,10 +669,13 @@ object EpochStoreWrite {
     * all. */
   private[sources] def writeSchemaSidecar(
       fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String,
-      schema: StructType, partCol: Option[String]): Unit = {
+      schema: StructType, partCols: Seq[String]): Unit = {
+    partCols.foreach(c => require(!c.contains(",") && !c.contains("\""),
+      s"partition column name '$c' cannot be recorded"))
     val p = new Path(s"$root/$dir/_schema.json")
-    val body = partCol.map(c => s"""{"partitionColumn":"$c"}""")
-      .getOrElse("""{}""") + "\n" + schema.json + "\n"
+    val body = (if (partCols.isEmpty) """{}"""
+      else s"""{"partitionColumn":"${partCols.mkString(",")}"}""") +
+      "\n" + schema.json + "\n"
     val out = fs.create(p, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -723,30 +726,30 @@ object EpochStoreWrite {
 }
 
 final class EpochStoreWriterFactory(dirPath: String, schema: StructType,
-                                    partCol: Option[String],
+                                    partCols: Seq[String],
                                     bc: Broadcast[SerializableConfiguration],
                                     bloom: Option[BloomSpec] = None,
                                     statsCols: Seq[(String, Char)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new EpochStoreDataWriter(dirPath, schema, partCol, bc, partitionId,
+    new EpochStoreDataWriter(dirPath, schema, partCols, bc, partitionId,
       taskId, bloom, statsCols)
 }
 
 final class EpochStoreDataWriter(dirPath: String, schema: StructType,
-                                 partCol: Option[String],
+                                 partCols: Seq[String],
                                  bc: Broadcast[SerializableConfiguration],
                                  partitionId: Int, taskId: Long,
                                  bloom: Option[BloomSpec] = None,
                                  statsCols: Seq[(String, Char)] = Nil)
     extends DataWriter[InternalRow] {
 
-  private val partIdx: Int = partCol.map(schema.fieldIndex).getOrElse(-1)
-  private val partType = partCol.map(c => schema(c).dataType).orNull
-  // data columns = everything except the partition column, in order
+  private val partIdxs: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val partTypes = partIdxs.map(i => schema.fields(i).dataType)
+  // data columns = everything except the partition columns, in order
   private val dataIdx: Array[Int] =
-    schema.fields.indices.filter(_ != partIdx).toArray
+    schema.fields.indices.filterNot(partIdxs.contains(_)).toArray
   private val dataTypes = dataIdx.map(i => schema.fields(i).dataType)
   private val rowBuf = new Array[Any](dataIdx.length)
   private val outRow = new GenericInternalRow(rowBuf)
@@ -797,13 +800,16 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
       GraftBridge.parquetRowWriter(p.toString, ctx)
     })._1
 
-  /** `col=value` subdir name, the read side's [[EpochStore]] escaping
-    * contract (%XX for anything outside [A-Za-z0-9._-], hive sentinel
-    * for null). */
-  private def subdirOf(row: InternalRow): String = partCol match {
-    case None => ""
-    case Some(c) =>
-      val v = if (row.isNullAt(partIdx)) null else row.get(partIdx, partType)
+  /** `col1=v/col2=v/…` nested subdir path in partition-column order,
+    * the read side's [[EpochStore]] escaping contract (%XX for anything
+    * outside [A-Za-z0-9._-], hive sentinel for null). */
+  private def subdirOf(row: InternalRow): String = {
+    if (partIdxs.isEmpty) return ""
+    val segs = new Array[String](partIdxs.length)
+    var i = 0
+    while (i < partIdxs.length) {
+      val v = if (row.isNullAt(partIdxs(i))) null
+        else row.get(partIdxs(i), partTypes(i))
       val raw = v match {
         case null => "__HIVE_DEFAULT_PARTITION__"
         case u: org.apache.spark.unsafe.types.UTF8String =>
@@ -818,7 +824,10 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
           }
         case other => other.toString
       }
-      s"$c=$raw"
+      segs(i) = s"${partCols(i)}=$raw"
+      i += 1
+    }
+    segs.mkString("/")
   }
 
   /** The metadata-carrying form Spark's row-level rewrite tasks call
@@ -882,7 +891,7 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
       else bf.putLong(row.get(bloomIdx, schema.fields(bloomIdx).dataType)
         .asInstanceOf[Number].longValue())
     }
-    if (partIdx < 0) w(row)
+    if (partIdxs.isEmpty) w(row)
     else {
       var i = 0
       while (i < dataIdx.length) {

@@ -332,6 +332,40 @@ class EpochManifestSpec extends SparkSpec {
     assert(e4.getMessage.contains("span"), e4.getMessage)
   }
 
+  test("expire_snapshots: retained set exact, tagged generations immune, " +
+      "pinned reads on expired generations fail loudly") {
+    import spark.implicits._
+    val root = tmp()
+    (0 to 5).foreach { e =>
+      EpochManifest.append(Seq((e.toLong, 0L)).toDF("id", "part"),
+        root, e.toLong)
+    } // generations 1..6
+    EpochManifest.tag(spark, root, "keepme", 2L)
+    // keep_last floor
+    intercept[IllegalArgumentException](
+      EpochManifest.expireSnapshots(spark, root, keepLast = 1))
+    // expire everything beyond the 2 newest except the tagged gen
+    val expired = EpochManifest.expireSnapshots(spark, root)
+    assert(expired == Seq(1L, 3L, 4L), s"expired: $expired")
+    assert(EpochManifest.generations(spark, root) == Seq(2L, 5L, 6L),
+      "retained = 2 newest + the tagged generation")
+    // the tagged snapshot still answers; an expired one fails loudly
+    assert(EpochManifest.entriesAt(spark, root, 2L).size == 2)
+    val e1 = intercept[IllegalArgumentException](
+      EpochManifest.entriesAt(spark, root, 3L))
+    assert(e1.getMessage.contains("not retained"), e1.getMessage)
+    // the LIVE head still reads in full (expired generations' dirs that
+    // newer manifests still reference survive the expiry)
+    assert(EpochManifest.read(spark, root, schema).count() == 6)
+    // age-bounded expiry: nothing is younger than a past cutoff
+    assert(EpochManifest.expireSnapshots(spark, root,
+      olderThanMs = 1000L).isEmpty)
+    // untag => the anchor becomes expirable
+    EpochManifest.untag(spark, root, "keepme")
+    assert(EpochManifest.expireSnapshots(spark, root) == Seq(2L))
+    assert(EpochManifest.generations(spark, root) == Seq(5L, 6L))
+  }
+
   test("racing dir claims never share an attempt dir; racing tag writes " +
       "both land") {
     import spark.implicits._

@@ -260,7 +260,7 @@ class EpochStoreSpec extends SparkSpec {
     // instead of duplicating it — drive the streaming commit path
     // directly with the replay's (empty) state
     new graft.sources.EpochStoreStreamingWrite(root, "replay-q", schema,
-      Some("bucket")).commit(0L, Array.empty)
+      Seq("bucket")).commit(0L, Array.empty)
     val after = EpochStore.read(spark, root, schema, "bucket")
     assert(after.count() == 20,
       "replayed epoch 0 must REPLACE the original epoch 0, not add to it")
@@ -325,9 +325,14 @@ class EpochStoreSpec extends SparkSpec {
       assert(cat.tableExists(Identifier.of(Array.empty, "ev")))
       assert(cat.dropTable(Identifier.of(Array.empty, "plain")))
       assert(!cat.tableExists(Identifier.of(Array.empty, "plain")))
-      intercept[UnsupportedOperationException](
-        cat.createTable(Identifier.of(Array.empty, "nope"), schema,
-          Array.empty, java.util.Map.of()))
+      // r13: plain CREATE TABLE now publishes an empty epoch-0 store
+      // with the declared schema (CTAS/RTAS stage; EpochStoreSpec's
+      // CTAS tests pin those) — no refusal any more
+      cat.createTable(Identifier.of(Array.empty, "fresh0"), schema,
+        Array.empty, java.util.Map.of())
+      assert(cat.tableExists(Identifier.of(Array.empty, "fresh0")))
+      assert(cat.loadTable(Identifier.of(Array.empty, "fresh0"))
+        .schema() == schema)
     } finally {
       spark.conf.unset("spark.sql.catalog.graft_testcat")
       spark.conf.unset("spark.sql.catalog.graft_testcat.warehouse")
@@ -1085,7 +1090,7 @@ class EpochStoreSpec extends SparkSpec {
     import org.apache.spark.sql.execution.datasources.FilePartition
     val root = statsStore()
     def filesPlanned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
-      val st = new EpochStoreMicroBatchStream(idvSchema, idvSchema, None,
+      val st = new EpochStoreMicroBatchStream(idvSchema, idvSchema, Nil,
         root, Array.empty, filters, Map.empty)
       st.planInputPartitions(EpochStreamOffset(-1L), EpochStreamOffset(3L))
         .collect { case fp: FilePartition => fp.files.length }.sum
@@ -1784,6 +1789,170 @@ class EpochStoreSpec extends SparkSpec {
     val audit2 = scanOf(gt2).skippedFilesAudit
     assert(audit2._1 < audit2._2,
       s"post-compaction string stats must still skip: $audit2")
+  }
+
+  test("SQL CALL expire_snapshots: retention policy drives through the " +
+      "procedure catalog, tag-aware") {
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root) // 4 epochs => generations 1..4
+    cat("exp1", wh)
+    spark.sql("CALL exp1.system.tag('t', 'pin', 1)").collect()
+    val r = spark.sql("CALL exp1.system.expire_snapshots('t')").head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3,
+      s"gen 2 expires; 1 (tagged) + 3 + 4 retained: $r")
+    assert(EpochManifest.generations(spark, root) == Seq(1L, 3L, 4L))
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM exp1.t VERSION AS OF 2").collect())
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    assert(spark.sql("SELECT COUNT(*) FROM exp1.t VERSION AS OF 'pin'")
+      .head.getLong(0) == 10, "the tagged snapshot must stay answerable")
+  }
+
+  // ---- multi-column (composite-key) partitioning (r13) ----
+
+  private val dlSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("day", IntegerType), StructField("lang", StringType)))
+
+  /** One epoch, 3 days × 3 langs, 9 rows per (day, lang) leaf. */
+  private def multiPartStore(): String = {
+    import spark.implicits._
+    val root = tmp()
+    val rows = for {
+      d <- 0 until 3; l <- Seq("de", "en", "fr"); i <- 0 until 9
+    } yield ((d * 100 + i).toLong, s"v$d$l$i", d, l)
+    EpochStore.write(rows.toDF("id", "v", "day", "lang"), root, 0L,
+      partitionColumn = "day,lang")
+    root
+  }
+
+  test("composite partitioning: prefix, suffix, and mixed predicates " +
+      "prune exactly at both levels, fully handled") {
+    val root = multiPartStore()
+    def rd() = EpochStore.read(spark, root, dlSchema, "day,lang")
+    assert(rd().count() == 81)
+    // PREFIX (day only): level-1 prunes 2/3 dirs WITHOUT listing the
+    // pruned days' lang dirs — examined = 3 (days) + 3 (kept day's
+    // langs), kept = 1 + 3
+    val prefix = rd().filter(col("day") === 1)
+    assert(prefix.count() == 27)
+    assert(scanOf(prefix).selectedPartitionDirs == (4, 6),
+      s"prefix pruning: ${scanOf(prefix).selectedPartitionDirs}")
+    assert(scanOf(prefix).partFilters.nonEmpty &&
+      scanOf(prefix).dataFilters.isEmpty, "prefix filter must be exact")
+    // SUFFIX (lang only): every day listed, leaf level prunes 2/3 —
+    // examined = 3 + 9, kept = 3 + 3
+    val suffix = rd().filter(col("lang") === "en")
+    assert(suffix.count() == 27)
+    assert(scanOf(suffix).selectedPartitionDirs == (6, 12),
+      s"suffix pruning: ${scanOf(suffix).selectedPartitionDirs}")
+    // MIXED (both columns, one composite filter): one leaf survives —
+    // examined = 3 + 3, kept = 1 + 1
+    val mixed = rd().filter(col("day") === 2 && col("lang") === "fr")
+    assert(mixed.count() == 9)
+    assert(scanOf(mixed).selectedPartitionDirs == (2, 6),
+      s"mixed pruning: ${scanOf(mixed).selectedPartitionDirs}")
+    assert(scanOf(mixed).dataFilters.isEmpty, "composite filter fully handled")
+    // rows carry both dir-derived columns correctly
+    val got = mixed.collect()
+    assert(got.forall(r => r.getAs[Int]("day") == 2 &&
+      r.getAs[String]("lang") == "fr"))
+    // OR across levels stays exact
+    val or = rd().filter(col("day") === 0 || col("lang") === "de")
+    assert(or.count() == 27 + 27 - 9)
+    assert(scanOf(or).dataFilters.isEmpty)
+  }
+
+  test("composite partitioning: SQL catalog discovery, DML, dynamic " +
+      "overwrite, and compaction keep the two-level layout") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    val rows = for {
+      d <- 0 until 2; l <- Seq("de", "en"); i <- 0 until 5
+    } yield ((d * 100 + i).toLong, s"v$d$l$i", d, l)
+    EpochStore.write(rows.toDF("id", "v", "day", "lang"), root, 0L,
+      partitionColumn = "day,lang")
+    cat("mp1", wh)
+    // discovery serves both partition columns (recorded sidecar path)
+    assert(spark.sql("SELECT COUNT(*) FROM mp1.t WHERE day = 0 AND lang = 'en'")
+      .head.getLong(0) == 5)
+    // metadata-first DELETE aligned to a leaf tuple: no rewrite dirs
+    val gens0 = EpochManifest.generations(spark, root).size
+    spark.sql("DELETE FROM mp1.t WHERE day = 1 AND lang = 'de'")
+    assert(spark.sql("SELECT COUNT(*) FROM mp1.t").head.getLong(0) == 15)
+    // INSERT OVERWRITE dynamic: replaces exactly the written tuples
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      "INSERT OVERWRITE mp1.t VALUES (900, 'new', 0, 'en'), (901, 'new2', 0, 'en')")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(spark.sql("SELECT COUNT(*) FROM mp1.t WHERE day = 0 AND lang = 'en'")
+      .head.getLong(0) == 2, "dynamic overwrite must replace only (0, en)")
+    assert(spark.sql("SELECT COUNT(*) FROM mp1.t WHERE day = 0 AND lang = 'de'")
+      .head.getLong(0) == 5, "the untouched leaf must survive")
+    assert(EpochManifest.generations(spark, root).size == gens0 + 2)
+    // compaction preserves the composite layout
+    EpochStore.compactStore(spark, root)
+    val after = spark.sql("SELECT COUNT(*) FROM mp1.t WHERE lang = 'en'")
+    assert(after.head.getLong(0) == 2 + 5)
+    // CTAS with two partition columns materializes the nested layout
+    spark.sql("CREATE TABLE mp1.t2 PARTITIONED BY (day, lang) AS " +
+      "SELECT id, v, day, lang FROM mp1.t")
+    val fs2 = hfs(s"$wh/t2")
+    val entry = EpochManifest.entries(spark, s"$wh/t2").head.dir
+    val level1 = fs2.listStatus(new org.apache.hadoop.fs.Path(s"$wh/t2/$entry"))
+      .map(_.getPath.getName).filter(_.startsWith("day=")).toSeq
+    assert(level1.nonEmpty, "CTAS must nest day= dirs")
+    val level2 = fs2.listStatus(new org.apache.hadoop.fs.Path(
+      s"$wh/t2/$entry/${level1.head}"))
+      .map(_.getPath.getName).filter(_.startsWith("lang=")).toSeq
+    assert(level2.nonEmpty, "CTAS must nest lang= under day=")
+  }
+
+  test("composite partitioning: SPJ zero-exchange grouped agg and DPP " +
+      "over the composite key") {
+    import spark.implicits._
+    val root = multiPartStore()
+    def rd() = EpochStore.read(spark, root, dlSchema, "day,lang")
+    // storage-partitioned grouped agg over BOTH key columns: zero
+    // hash exchanges with v2 bucketing on
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = rd().groupBy("day", "lang")
+        .agg(sum("id").as("s"), count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"composite-key grouped agg must not exchange:\n$plan")
+      assert(agg.count() == 9)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    // DPP: a selective dim joined on a partition column narrows the
+    // scan at runtime
+    val dimDir = tmp()
+    Seq((1, "keep"), (2, "drop")).toDF("day", "tag").write.mode("overwrite")
+      .parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val joined = rd().join(dim, "day")
+    assert(joined.collect().length == 27)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case s: EpochStoreScan => s }
+    assert(scans.exists(_.runtimeFiltered),
+      "the composite-key scan must receive a runtime (DPP) filter")
+    val pruned = scans.find(_.runtimeFiltered).get.selectedPartitionDirs
+    assert(pruned == (4, 6), s"DPP must prune to day=1's subtree: $pruned")
   }
 
   // ---- CTAS / RTAS via the staging catalog (r13) ----
