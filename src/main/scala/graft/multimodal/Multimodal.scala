@@ -342,8 +342,10 @@ object Multimodal {
   def mediaDedupAgainstIndex(newSigs: DataFrame, indexDir: String,
       maxDist: Int = 12, maxEpoch: Long = Long.MaxValue): DataFrame =
     mediaProbe(
-      graft.core.EpochManifest.read(newSigs.sparkSession,
-        mediaBandsRoot(indexDir), mediaBandsSchema, maxEpoch),
+      // r13: the signature index reads through the DSv2 connector
+      // (pinned manifest scan, maxEpoch pruned at planning)
+      graft.sources.EpochStore.read(newSigs.sparkSession,
+        mediaBandsRoot(indexDir), mediaBandsSchema, maxEpoch = maxEpoch),
       newSigs, maxDist)
 
   /** Incremental media dedup (`q_media_dedup_incr`) — the probe-shaped

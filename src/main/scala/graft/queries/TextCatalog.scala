@@ -509,9 +509,14 @@ object TextCatalog {
                         maxEpoch: Long = Long.MaxValue): DataFrame = {
     val spark = newDocs.sparkSession
     val newSh = shingleFrame(newDocs).localCheckpoint(false)
+    // r13: both index sides read through the DSv2 connector (pinned
+    // manifest scan; epochs above maxEpoch pruned at planning) — the
+    // same EpochStoreScan surface every store table uses
     dedupProbe(
-      graft.core.EpochManifest.read(spark, bandsRoot(indexDir), bandsSchema, maxEpoch),
-      graft.core.EpochManifest.read(spark, shinglesRoot(indexDir), shinglesSchema, maxEpoch),
+      graft.sources.EpochStore.read(spark, bandsRoot(indexDir), bandsSchema,
+        maxEpoch = maxEpoch),
+      graft.sources.EpochStore.read(spark, shinglesRoot(indexDir),
+        shinglesSchema, maxEpoch = maxEpoch),
       newSh, t)
   }
 

@@ -1767,8 +1767,12 @@ object VectorCatalog {
     val touched = probes.map(_._2).distinct.sorted
     val probeDf = probes.toDF("qid", "probe")
     val bc = spark.sparkContext.broadcast(luts)
-    graft.core.EpochManifest.read(spark, codesRoot(indexDir), codesSchema, maxEpoch)
-      // partition-column predicate → directory-level pruning per entry dir
+    // r13: the probe reads through the DSv2 connector — the pinned
+    // EpochStoreScan pushes the probed-cell In() as an EXACT partition
+    // filter, so the plan lists only the probed list_id dirs (VectorSpec
+    // asserts selectedPartitionDirs == probed cells × epochs)
+    graft.sources.EpochStore.read(spark, codesRoot(indexDir), codesSchema,
+        "list_id", maxEpoch)
       .filter(col("list_id").isin(touched: _*))
       .join(broadcast(probeDf),
         col("probe") === col("list_id") && col("vec_id") =!= col("qid"))

@@ -217,19 +217,23 @@ class VectorSpec extends SparkSpec {
       .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
     val res = VectorCatalog.searchIvfPqIndex(spark, s"$dir/index", assigner,
       queries, geo.nprobe)
-    // the search never reads the floats: the scanned schema carries only
-    // (vec_id, code) + partition cols — no embedding column anywhere
-    val scan = res.queryExecution.sparkPlan.collectLeaves().collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.getOrElse(fail("no parquet scan in the search plan"))
-    assert(!scan.schema.fieldNames.contains("embedding"),
-      s"code-only search read ${scan.schema.fieldNames.mkString(",")}")
+    // r13: the probe reads through the DSv2 CONNECTOR — one pinned
+    // EpochStoreScan whose schema carries only (vec_id, code) +
+    // partition cols (the floats are never read) and whose dir listing
+    // is probed-cells-only (the pushed In() prunes exactly)
+    val scan = res.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: graft.sources.EpochStoreScan => s }
+      .getOrElse(fail("the search must read through EpochStoreScan"))
+    assert(!scan.readSchema().fieldNames.contains("embedding"),
+      s"code-only search read ${scan.readSchema().fieldNames.mkString(",")}")
     // directory-level pruning on list_id, as in the raw-float index
     val touched = queries.flatMap { case (_, qe) => assigner.probe(qe, geo.nprobe) }
       .distinct.toSet
-    assert(scan.partitionFilters.nonEmpty, "scan has no partition filters")
-    assert(scan.selectedPartitions.partitionCount == touched.size,
-      s"scan reads ${scan.selectedPartitions.partitionCount} cells, probed ${touched.size}")
+    val (sel, tot) = scan.selectedPartitionDirs
+    assert(sel == touched.size && tot > sel,
+      s"scan lists $sel of $tot cells, probed ${touched.size}")
     // and code-only ADC ranking is cell-identical to the in-memory plan
     val a = res.collect().map(_.toSeq).toSeq
     val b = VectorCatalog.annIvfPq(spark, sf0001).collect().map(_.toSeq).toSeq
