@@ -548,6 +548,164 @@ object EpochManifest {
     ()
   }
 
+  // ------------------------------------------------------- branches
+  // Write-audit-publish (the Iceberg WAP workflow on the manifest
+  // store): a BRANCH is a separate manifest lineage under
+  // `_manifests/branch-<name>/`, seeded by copying main's head manifest
+  // as its base generation. Writers commit epochs INTO the branch
+  // (same CAS + rebase protocol, scoped to the branch dir) while main
+  // readers never see them; audits read the branch head (`VERSION AS
+  // OF 'branch-name'` in SQL); [[publishBranch]] fast-forwards main to
+  // the branch head in ONE main-lineage CAS commit — refusing if main
+  // advanced past the branch base (re-branch and replay) — then drops
+  // the branch ref. CHECK constraints gate branch commits exactly like
+  // main ones (the staged-epoch enforcement runs before any manifest
+  // publish), so "audit" composes declared gates with ad-hoc queries.
+  // [[gc]] keeps every dir a live branch references.
+
+  private def branchPath(root: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"branch name '$name' — use [A-Za-z0-9._-]+")
+    new Path(s"${manifestDir(root)}/branch-$name")
+  }
+
+  /** Live branch names under `root`. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("branch-"))
+      .map(_.getPath.getName.stripPrefix("branch-")).sorted
+  }
+
+  private def branchManifests(spark: SparkSession, root: String,
+                              name: String): Seq[(Long, Path)] = {
+    val fs = fsOf(spark, root)
+    val bd = branchPath(root, name)
+    if (!fs.exists(bd)) Seq.empty
+    else fs.listStatus(bd).toSeq
+      .flatMap(s => gen(s.getPath).map(_ -> s.getPath)).sortBy(_._1)
+  }
+
+  /** Create `name` at main's current head (the branch's BASE): the head
+    * manifest body is copied in as the branch's first generation, so
+    * the branch starts as an exact snapshot and its lowest generation
+    * IS the recorded base. Exclusive — a second create refuses. */
+  def createBranch(spark: SparkSession, root: String, name: String): Long = {
+    val fs = fsOf(spark, root)
+    val ms = manifests(spark, root)
+    require(ms.nonEmpty, s"no committed manifest under $root")
+    val (baseGen, basePath) = ms.last
+    val bd = branchPath(root, name)
+    require(!fs.exists(bd),
+      s"branch '$name' already exists under $root — drop or publish it first")
+    val body = {
+      val in = fs.open(basePath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val tmp = new Path(bd,
+      s".m$baseGen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    fs.mkdirs(bd)
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(atomicClaim(fs, tmp, new Path(bd, s"m$baseGen.json")),
+      s"branch '$name' appeared concurrently under $root")
+    baseGen
+  }
+
+  /** (base generation, head generation, head entries) of a live branch. */
+  def branchState(spark: SparkSession, root: String, name: String)
+      : (Long, Long, Seq[Entry]) = {
+    val bms = branchManifests(spark, root, name)
+    require(bms.nonEmpty,
+      s"no branch '$name' under $root — branches: ${branches(spark, root)}")
+    (bms.head._1, bms.last._1, parse(spark, bms.last._2))
+  }
+
+  /** [[commitWith]], scoped to a branch lineage — same CAS, same rebase
+    * convergence, invisible to main readers. */
+  def commitBranchWith(spark: SparkSession, root: String, name: String)
+                      (rebase: Seq[Entry] => Seq[Entry]): Long = {
+    val fs = fsOf(spark, root)
+    val bd = branchPath(root, name)
+    var attempt = 0
+    while (true) {
+      val bms = branchManifests(spark, root, name)
+      require(bms.nonEmpty,
+        s"no branch '$name' under $root — create it before writing to it")
+      val gen = bms.last._1
+      val next = rebase(parse(spark, bms.last._2))
+      val tmp = new Path(bd,
+        s".m${gen + 1L}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(render(next).getBytes("UTF-8")) finally out.close()
+      if (atomicClaim(fs, tmp, new Path(bd, s"m${gen + 1L}.json")))
+        return gen + 1L
+      attempt += 1
+      require(attempt < 64,
+        s"branch '$name' commit under $root lost $attempt CAS races")
+      Thread.sleep(math.min(50L, attempt.toLong))
+    }
+    -1L // unreachable
+  }
+
+  /** Epoch-append into a branch — [[commitEpochDir]]'s rebase, scoped. */
+  def commitBranchEpochDir(spark: SparkSession, root: String, name: String,
+                           epoch: Long, dir: String): Unit = {
+    commitBranchWith(spark, root, name) { cur =>
+      cur.find(_.epoch == epoch).foreach { e =>
+        require(!e.dir.startsWith("f") && e.minEpoch == e.epoch,
+          s"epoch $epoch on branch '$name' of $root is a compaction fold " +
+            s"covering [${e.minEpoch}, ${e.epoch}] — a retried append must " +
+            "not replace it")
+      }
+      cur.filter(e => e.minEpoch < e.epoch &&
+        e.minEpoch <= epoch && epoch < e.epoch).foreach { e =>
+        throw new IllegalArgumentException(
+          s"epoch $epoch falls inside fold ${e.dir}'s span " +
+            s"[${e.minEpoch}, ${e.epoch}] on branch '$name' of $root")
+      }
+      cur.filterNot(_.epoch == epoch) :+ Entry(epoch, dir)
+    }
+    ()
+  }
+
+  /** Entries of a branch head — the audit read. */
+  def branchEntries(spark: SparkSession, root: String, name: String)
+      : Seq[Entry] = branchState(spark, root, name)._3
+
+  /** PUBLISH: fast-forward main to the branch head in one main-lineage
+    * CAS commit, then drop the branch ref. Refuses when main advanced
+    * past the branch base — the branch's epochs were laid out against
+    * the base snapshot, so a silently-merged publish could clobber or
+    * straddle what landed since (re-branch from the new head and replay
+    * instead). The published generation is a normal main generation:
+    * time-travelable, taggable, gc-managed. */
+  def publishBranch(spark: SparkSession, root: String, name: String): Long = {
+    val (baseGen, _, headEntries) = branchState(spark, root, name)
+    val g = commitWith(spark, root) { _ =>
+      val liveGen = manifests(spark, root).last._1
+      require(liveGen == baseGen,
+        s"branch '$name' of $root was created at generation $baseGen but " +
+          s"main is now at $liveGen — a commit landed since the branch; " +
+          "re-branch from the new head and replay the writes")
+      headEntries
+    }
+    dropBranch(spark, root, name)
+    g
+  }
+
+  /** Drop a branch ref; its never-published dirs become aged-gc
+    * orphans. */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val fs = fsOf(spark, root)
+    fs.delete(branchPath(root, name), true)
+    ()
+  }
+
   /** Snapshot-retention policy — `CALL expire_snapshots(...)`'s engine:
     * delete retained manifest GENERATIONS (and the data dirs only they
     * reference) beyond the policy, where [[gc]] alone would keep them
@@ -585,7 +743,10 @@ object EpochManifest {
     if (expired.isEmpty) return Seq.empty
     val expiredGens = expired.map(_._1).toSet
     val keepDirs = ms.filterNot(m => expiredGens(m._1))
-      .flatMap(m => parse(spark, m._2)).map(_.dir).toSet
+      .flatMap(m => parse(spark, m._2)).map(_.dir).toSet ++
+      branches(spark, root).flatMap(b =>
+        branchManifests(spark, root, b).flatMap(m => parse(spark, m._2)))
+        .map(_.dir).toSet
     val orphaned = expired.flatMap(m => parse(spark, m._2)).map(_.dir)
       .distinct.filterNot(keepDirs)
     expired.foreach(m => fs.delete(m._2, false))
@@ -616,7 +777,14 @@ object EpochManifest {
     val tagged = tags(spark, root).values.toSet
     val keepManifests =
       ms.takeRight(2) ++ ms.dropRight(2).filter(m => tagged(m._1))
-    val keepDirs = keepManifests.flatMap(m => parse(spark, m._2)).map(_.dir).toSet
+    // live BRANCHES are retention anchors too: an in-flight
+    // write-audit-publish lineage references dirs no main manifest
+    // names yet
+    val branchDirs = branches(spark, root).flatMap(b =>
+      branchManifests(spark, root, b).flatMap(m => parse(spark, m._2)))
+      .map(_.dir).toSet
+    val keepDirs = keepManifests.flatMap(m => parse(spark, m._2))
+      .map(_.dir).toSet ++ branchDirs
     // every dir ANY retained manifest names — the committed-history set
     val committedDirs = ms.flatMap(m => parse(spark, m._2)).map(_.dir).toSet
     val cutoff = System.currentTimeMillis() - orphanAgeMs

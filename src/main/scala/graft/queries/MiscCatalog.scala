@@ -1492,6 +1492,51 @@ object MiscCatalog {
       |  AND doc_id % 3 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Write-audit-publish branches (`q_store_wap`): half the corpus
+    * lands as the base store, the other half is written onto a BRANCH
+    * (`CALL create_branch` + the sink's `branch` option — a separate
+    * manifest lineage main readers never see), then
+    * `CALL publish_branch` fast-forwards main to the audited head in
+    * ONE atomic commit. The final aggregate reads the published table,
+    * so a branch write that leaked early, a publish that lost either
+    * half, or a fast-forward that double-applied fails the DuckDB
+    * cell-compare; isolation, CHECK-gated audits, stale-base refusal,
+    * and gc protection are EpochStoreSpec proofs.
+    *
+    * Scale shape: branching copies ONE manifest file (no data); the
+    * audit reads the branch head through the same pruned scan; publish
+    * is one manifest CAS regardless of branch size. */
+  def storeWap(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_wap_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L, partitionColumn = "lang")
+    val c = s"graftwap$run"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    spark.sql(s"CALL $c.system.create_branch('docs', 'ingest')").collect()
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+      root, 1L, partitionColumn = "lang", branch = "ingest")
+    spark.sql(s"CALL $c.system.publish_branch('docs', 'ingest')").collect()
+    spark.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MIN(doc_id) AS min_id
+         |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeWapSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id
+      |FROM documents WHERE lang IS NOT NULL
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** SQL CALL maintenance through the store catalog (`q_store_call`):
     * the full store lifecycle driven by SQL alone — a fresh two-epoch
     * store is compacted (`CALL …system.compact`, re-clustered on
@@ -1606,6 +1651,7 @@ object MiscCatalog {
     "q_store_dml"     -> (storeDml _),
     "q_store_ctas"    -> (storeCtas _),
     "q_store_multipart" -> (storeMultipart _),
+    "q_store_wap"     -> (storeWap _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -1652,6 +1698,7 @@ object MiscCatalog {
     "q_store_dml"     -> storeDmlSql,
     "q_store_ctas"    -> storeCtasSql,
     "q_store_multipart" -> storeMultipartSql,
+    "q_store_wap"     -> storeWapSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

@@ -418,10 +418,21 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     val gens = EpochManifest.generations(spark, root)
     require(gens.nonEmpty, s"no committed manifest under $root")
     val asOf = Option(options.get("asOfGeneration")).map(_.toLong).getOrElse(-1L)
+    // a BRANCH read (write-audit-publish audit): the pinned snapshot is
+    // the branch head's entry list — exclusive with time travel /
+    // changefeed (those are main-lineage concepts)
+    val branch = Option(options.get("branch"))
+    branch.foreach { b =>
+      require(asOf < 0L && options.get("changesSinceGeneration") == null,
+        s"branch '$b' read cannot combine with asOfGeneration / " +
+          "changesSinceGeneration")
+    }
     val gen = if (asOf < 0L) gens.last else asOf
     val maxEpoch = Option(options.get("maxEpoch")).map(_.toLong)
       .getOrElse(Long.MaxValue)
-    val visible = EpochManifest.entriesAt(spark, root, gen)
+    val visible = branch
+      .map(b => EpochManifest.branchEntries(spark, root, b))
+      .getOrElse(EpochManifest.entriesAt(spark, root, gen))
       .filter(_.epoch <= maxEpoch)
     // changesSinceGeneration: the CHANGEFEED form — only entries whose
     // whole epoch span postdates the base generation's high-water mark.
@@ -1118,7 +1129,18 @@ object EpochStore {
            partitionColumn: String = null,
            maxEpoch: Long = Long.MaxValue,
            asOfGeneration: Long = -1L,
-           bloomColumn: String = null): DataFrame = {
+           bloomColumn: String = null,
+           branch: String = null): DataFrame = {
+    if (branch != null) {
+      require(asOfGeneration < 0L,
+        "branch reads cannot combine with asOfGeneration")
+      var r = spark.read.format("epochstore").schema(schema)
+        .option("path", root).option("branch", branch)
+      if (partitionColumn != null)
+        r = r.option("partitionColumn", partitionColumn)
+      if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
+      return r.load()
+    }
     val gen = if (asOfGeneration >= 0L) asOfGeneration
       else {
         val gens = EpochManifest.generations(spark, root)
@@ -1353,9 +1375,11 @@ object EpochStore {
             bloomColumn: String = null,
             statsColumns: Seq[String] = Nil,
             sortColumns: Seq[String] = Nil,
-            writePartitions: Int = 0): Unit = {
+            writePartitions: Int = 0,
+            branch: String = null): Unit = {
     var w = df.write.format("epochstore").mode("append")
       .option("path", root).option("epoch", epoch.toString)
+    if (branch != null) w = w.option("branch", branch)
     if (partitionColumn != null) w = w.option("partitionColumn", partitionColumn)
     if (bloomColumn != null) w = w.option("bloomColumn", bloomColumn)
     if (statsColumns.nonEmpty)

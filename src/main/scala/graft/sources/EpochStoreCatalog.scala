@@ -119,24 +119,38 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     * `VERSION AS OF 'v1'` stays answerable through any number of later
     * commits and compactions until untagged). */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, version.toLongOption.getOrElse {
-      val root = rootOf(ident)
-      EpochManifest.tags(spark, root).getOrElse(version,
-        throw new IllegalArgumentException(
-          s"epochstore VERSION AS OF takes a manifest generation number " +
-            s"or a tag name, got '$version' — retained generations: " +
-            EpochManifest.generations(spark, root)
-              .mkString("[", ", ", "]") +
-            s", tags: ${EpochManifest.tags(spark, root).keys.toSeq.sorted}"))
-    })
+    version.toLongOption match {
+      case Some(g) => tableAt(ident, g)
+      case None =>
+        val root = rootOf(ident)
+        EpochManifest.tags(spark, root).get(version) match {
+          case Some(g) => tableAt(ident, g)
+          case None if EpochManifest.branches(spark, root)
+            .contains(version) =>
+            // write-audit-publish audit read: the branch head's snapshot
+            tableAt(ident, -1L, branch = Some(version))
+          case None => throw new IllegalArgumentException(
+            s"epochstore VERSION AS OF takes a manifest generation " +
+              s"number, a tag, or a branch name, got '$version' — " +
+              "retained generations: " +
+              EpochManifest.generations(spark, root)
+                .mkString("[", ", ", "]") +
+              s", tags: ${EpochManifest.tags(spark, root).keys.toSeq.sorted}" +
+              s", branches: ${EpochManifest.branches(spark, root)}")
+        }
+    }
 
-  private def tableAt(ident: Identifier, asOfGeneration: Long): Table = {
+  private def tableAt(ident: Identifier, asOfGeneration: Long,
+                      branch: Option[String] = None): Table = {
     val root = rootOf(ident)
     val gens = EpochManifest.generations(spark, root)
     if (gens.isEmpty) throw new NoSuchTableException(ident)
-    val entries =
-      if (asOfGeneration < 0L) EpochManifest.entries(spark, root)
-      else EpochManifest.entriesAt(spark, root, asOfGeneration)
+    val entries = branch match {
+      case Some(b) => EpochManifest.branchEntries(spark, root, b)
+      case None =>
+        if (asOfGeneration < 0L) EpochManifest.entries(spark, root)
+        else EpochManifest.entriesAt(spark, root, asOfGeneration)
+    }
     // EVOLVED schema first: when every pinned entry carries a
     // _schema.json record, the table serves the merged (add-column
     // aware) schema — epochs written before a column existed serve it
@@ -151,6 +165,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         EpochStore.mergeRecorded(root, recs.map(_.get))
       val opts = Map("path" -> root) ++
         partCol.map("partitionColumn" -> _) ++
+        branch.map("branch" -> _) ++
         (if (asOfGeneration >= 0L)
           Map("asOfGeneration" -> asOfGeneration.toString)
         else Map.empty)
@@ -189,6 +204,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       .map(_.mkString(","))
     val opts = Map("path" -> root) ++
       partCol.map("partitionColumn" -> _) ++
+      branch.map("branch" -> _) ++
       (if (asOfGeneration >= 0L) Map("asOfGeneration" -> asOfGeneration.toString)
        else Map.empty)
     new EpochStoreTable(schema, new CaseInsensitiveStringMap(opts.asJava))

@@ -256,6 +256,9 @@ final class EpochStoreRowLevelOperation(
   require(tableOptions.get("asOfGeneration") == null,
     "cannot UPDATE/MERGE/DELETE a time-traveled epochstore table — " +
       "drop VERSION AS OF")
+  require(tableOptions.get("branch") == null,
+    "cannot UPDATE/MERGE/DELETE a branch-pinned epochstore table — " +
+      "branches take epoch appends; publish, then mutate main")
 
   private[sources] val root: String = EpochStore.rootOf(tableOptions)
   private[sources] val partCols: Seq[String] =

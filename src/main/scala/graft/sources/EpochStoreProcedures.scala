@@ -33,7 +33,8 @@ private[sources] object EpochStoreProcedures {
   val names: Seq[String] =
     Seq("snapshots", "compact", "gc", "expire_snapshots", "purge_deletes",
       "tag", "untag", "tags", "add_constraint", "drop_constraint",
-      "constraints")
+      "constraints", "create_branch", "publish_branch", "drop_branch",
+      "branches")
 
   private def spark = SparkSession.active
 
@@ -246,6 +247,71 @@ private[sources] object EpochStoreProcedures {
           result(StructType(Seq(
             StructField("name", StringType, nullable = false),
             StructField("generation", LongType, nullable = false))),
+            out.toArray)
+        }
+      }
+
+      case "create_branch" => new Proc("create_branch", Array(
+        tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("branch name, [A-Za-z0-9._-]+").build())) {
+        override def description(): String =
+          "start a write-audit-publish branch at the current snapshot: " +
+            "writes with option branch=<name> stay invisible to main " +
+            "readers until publish_branch fast-forwards"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val base = EpochManifest.createBranch(spark, root, str(input, 1))
+          result(StructType(Seq(
+            StructField("base_generation", LongType, nullable = false))),
+            Array(row(base)))
+        }
+      }
+
+      case "publish_branch" => new Proc("publish_branch", Array(
+        tableParam,
+        ProcedureParameter.in("name", StringType).build())) {
+        override def description(): String =
+          "fast-forward main to the audited branch head in one atomic " +
+            "commit (refuses if main advanced past the branch base), " +
+            "then drop the branch"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val g = EpochManifest.publishBranch(spark, root, str(input, 1))
+          result(StructType(Seq(
+            StructField("published_generation", LongType, nullable = false))),
+            Array(row(g)))
+        }
+      }
+
+      case "drop_branch" => new Proc("drop_branch", Array(
+        tableParam,
+        ProcedureParameter.in("name", StringType).build())) {
+        override def description(): String =
+          "abandon a branch; its never-published dirs age out via gc"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          EpochManifest.dropBranch(spark, root, str(input, 1))
+          result(StructType(Seq(
+            StructField("branches_remaining", IntegerType, nullable = false))),
+            Array(row(EpochManifest.branches(spark, root).size)))
+        }
+      }
+
+      case "branches" => new Proc("branches", Array(tableParam)) {
+        override def description(): String = "list live branches"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val out = EpochManifest.branches(spark, root).map { b =>
+            val (base, head, es) = EpochManifest.branchState(spark, root, b)
+            row(org.apache.spark.unsafe.types.UTF8String.fromString(b),
+              base, head, es.size)
+          }
+          result(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("base_generation", LongType, nullable = false),
+            StructField("head_generation", LongType, nullable = false),
+            StructField("entries", IntegerType, nullable = false))),
             out.toArray)
         }
       }

@@ -202,11 +202,18 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       // no explicit epoch (catalog SQL INSERT): auto-allocate the next
       // one — single-writer contract; explicit epochs remain the
       // multi-writer / retry-idempotent protocol
-      val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
-        EpochManifest.entries(SparkSession.active, root)
-          .map(_.epoch).maxOption.map(_ + 1L).getOrElse(0L))
+      val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse {
+        val base = Option(opts.get("branch"))
+          .map(b => EpochManifest.branchEntries(SparkSession.active, root, b))
+          .getOrElse(EpochManifest.entries(SparkSession.active, root))
+        base.map(_.epoch).maxOption.map(_ + 1L).getOrElse(0L)
+      }
+      val branch = Option(opts.get("branch"))
+      branch.foreach(b => require(overwriteMode == EpochOverwrite.AppendOnly,
+        s"INSERT OVERWRITE onto branch '$b' is not supported — branches " +
+          "take epoch appends; publish replaces main atomically"))
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
-        bloomOf(), statsOf(), overwriteMode)
+        bloomOf(), statsOf(), overwriteMode, branch)
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -502,13 +509,15 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  bloom: Option[BloomSpec] = None,
                                  statsCols: Seq[(String, Char)] = Nil,
                                  overwrite: EpochOverwrite =
-                                   EpochOverwrite.AppendOnly)
+                                   EpochOverwrite.AppendOnly,
+                                 branch: Option[String] = None)
     extends BatchWrite {
 
   // fail a doomed job before any executor work; declaring the bloom
   // column early is safe — declared-but-sidecarless files always stay
-  // (overwrites never replace BY epoch, so the fold guard is append-only)
-  if (overwrite == EpochOverwrite.AppendOnly)
+  // (overwrites never replace BY epoch, so the fold guard is append-only;
+  // branch appends re-check inside their own CAS rebase)
+  if (overwrite == EpochOverwrite.AppendOnly && branch.isEmpty)
     EpochManifest.guardNotFold(SparkSession.active, root, epoch)
   bloom.foreach(b => BloomSpec.publish(SparkSession.active, root, b.col))
 
@@ -543,7 +552,14 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
     overwrite match {
       case EpochOverwrite.AppendOnly =>
-        EpochManifest.commitEpochDir(spark, root, epoch, dir)
+        branch match {
+          case Some(b) =>
+            // write-audit-publish: the epoch lands on the branch lineage,
+            // invisible to main readers until publishBranch fast-forwards
+            EpochManifest.commitBranchEpochDir(spark, root, b, epoch, dir)
+          case None =>
+            EpochManifest.commitEpochDir(spark, root, epoch, dir)
+        }
       case EpochOverwrite.ByFilters(filters) =>
         commitOverwrite(spark, filters)
       case EpochOverwrite.DynamicParts =>

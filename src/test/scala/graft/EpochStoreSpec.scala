@@ -1791,6 +1791,77 @@ class EpochStoreSpec extends SparkSpec {
       s"post-compaction string stats must still skip: $audit2")
   }
 
+  test("write-audit-publish branches: invisible staging, CHECK-gated " +
+      "audit, atomic fast-forward, stale-base refusal, gc protection") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root) // epochs 0-3, generations 1-4, 40 rows
+    cat("wap1", wh)
+    val base = spark.sql("CALL wap1.system.create_branch('t', 'audit')")
+      .head.getLong(0)
+    assert(base == 4L)
+    // a second create refuses (exclusive)
+    intercept[Exception](
+      spark.sql("CALL wap1.system.create_branch('t', 'audit')").collect())
+    // the branch write: invisible to main, visible on the branch
+    EpochStore.write((100 until 110).map(i => (i.toLong, s"b$i", 9))
+      .toDF("id", "v", "bucket"), root, 100L,
+      partitionColumn = "bucket", branch = "audit")
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.t").head.getLong(0) == 40,
+      "main readers must not see branch epochs")
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 50, "the audit read sees base + branch epochs")
+    assert(EpochManifest.generations(spark, root).last == 4L,
+      "no main generation was published by the branch write")
+    // write-time CHECK constraints gate BRANCH commits too
+    spark.sql("CALL wap1.system.add_constraint('t', 'id_pos', 'id >= 0')")
+      .collect()
+    intercept[Exception] {
+      EpochStore.write(Seq((-1L, "bad", 9)).toDF("id", "v", "bucket"),
+        root, 101L, partitionColumn = "bucket", branch = "audit")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 50, "the violating epoch must not land")
+    // gc keeps LIVE branch dirs even when aged (retention anchor)
+    val fs = hfs(root)
+    val branchDir = EpochManifest.branchEntries(spark, root, "audit")
+      .find(_.epoch == 100L).get.dir
+    val old = System.currentTimeMillis() -
+      EpochManifest.OrphanReclaimAfterMs - 60000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/$branchDir"), old, old)
+    EpochManifest.gc(spark, root)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$branchDir")),
+      "gc must keep a live branch's dirs")
+    // publish: one atomic main fast-forward; the branch ref drops
+    val pub = spark.sql("CALL wap1.system.publish_branch('t', 'audit')")
+      .head.getLong(0)
+    assert(pub == 5L)
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.t").head.getLong(0) == 50)
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.t WHERE bucket = 9")
+      .head.getLong(0) == 10)
+    assert(spark.sql("CALL wap1.system.branches('t')").collect().isEmpty)
+    // stale base: main advances after branching => publish refuses
+    spark.sql("CALL wap1.system.create_branch('t', 'late')").collect()
+    EpochStore.write(Seq((200L, "m", 0)).toDF("id", "v", "bucket"),
+      root, 200L, partitionColumn = "bucket")
+    EpochStore.write(Seq((201L, "b", 0)).toDF("id", "v", "bucket"),
+      root, 201L, partitionColumn = "bucket", branch = "late")
+    val e = intercept[Exception](
+      spark.sql("CALL wap1.system.publish_branch('t', 'late')").collect())
+    assert(e.getMessage.contains("re-branch"), e.getMessage)
+    // abandon: drop, then an aged gc reclaims the never-published dir
+    val lateDir = EpochManifest.branchEntries(spark, root, "late")
+      .find(_.epoch == 201L).get.dir
+    spark.sql("CALL wap1.system.drop_branch('t', 'late')").collect()
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/$lateDir"), old, old)
+    EpochManifest.gc(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$lateDir")),
+      "a dropped branch's dirs must age out")
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.t").head.getLong(0) == 51,
+      "main keeps its own committed epochs through the branch lifecycle")
+  }
+
   test("SQL CALL expire_snapshots: retention policy drives through the " +
       "procedure catalog, tag-aware") {
     val wh = tmp()
