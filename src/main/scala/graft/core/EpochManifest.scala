@@ -175,18 +175,69 @@ object EpochManifest {
       else s"""{"epoch":${e.epoch},"dir":"${e.dir}"}""")
       .mkString("", "\n", "\n")
 
-  /** CAS-publish `body` as generation `gen`: true iff this writer won
-    * the generation. */
-  private def publish(spark: SparkSession, root: String, gen: Long,
-                      body: String): Boolean = {
-    val fs = fsOf(spark, root)
-    val md = manifestDir(root)
+  /** CAS-publish `body` as generation `gen` under manifest dir `md`
+    * (main lineage or a branch's): true iff this writer won the
+    * generation. */
+  private def publishAt(fs: org.apache.hadoop.fs.FileSystem, md: Path,
+                        gen: Long, body: String): Boolean = {
     fs.mkdirs(md)
     val tmp = new Path(md,
       s".m$gen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     atomicClaim(fs, tmp, new Path(md, s"m$gen.json"))
+  }
+
+  /** The ONE CAS/retry loop both lineages share: read the head under
+    * `md`, rebase, CAS-publish head+1; `seeded` = false allows an empty
+    * lineage (main's first commit), true requires one (branch commits
+    * need their base). */
+  private def commitAtDir(spark: SparkSession, md: Path, what: String,
+                          seeded: Boolean)
+                         (rebase: Seq[Entry] => Seq[Entry]): Long = {
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val ms =
+        if (!fs.exists(md)) Seq.empty
+        else fs.listStatus(md).toSeq
+          .flatMap(s => gen(s.getPath).map(_ -> s.getPath)).sortBy(_._1)
+      require(!seeded || ms.nonEmpty, s"no manifest under $what — " +
+        "create the branch before writing to it")
+      val g = ms.lastOption.map(_._1).getOrElse(0L)
+      val cur = ms.lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)
+      val next = rebase(cur)
+      if (publishAt(fs, md, g + 1L, render(next))) return g + 1L
+      attempt += 1
+      require(attempt < 64,
+        s"commit under $what lost $attempt straight CAS races — " +
+          "giving up (a writer storm or a livelock; retry the operation)")
+      Thread.sleep(math.min(50L, attempt.toLong)) // tiny contention backoff
+    }
+    -1L // unreachable
+  }
+
+  /** [[commitEpochDir]]'s rebase — fold-replacement guard, straddle
+    * guard, epoch replacement — shared verbatim by both lineages. */
+  private def appendRebase(where: String, epoch: Long, dir: String)
+                          (cur: Seq[Entry]): Seq[Entry] = {
+    // fold guard re-checked against the head EVERY rebase attempt — a
+    // compaction that overtakes this epoch mid-retry still refuses
+    cur.find(_.epoch == epoch).foreach { e =>
+      require(!e.dir.startsWith("f") && e.minEpoch == e.epoch,
+        s"epoch $epoch $where is a compaction fold covering epochs " +
+          s"[${e.minEpoch}, ${e.epoch}] — a retried append must not replace it")
+    }
+    // straddle guard: an epoch strictly INSIDE another entry's fold
+    // span would be outranked by the fold under latest-wins reads
+    cur.filter(e => e.minEpoch < e.epoch &&
+      e.minEpoch <= epoch && epoch < e.epoch).foreach { e =>
+      throw new IllegalArgumentException(
+        s"epoch $epoch $where falls inside fold ${e.dir}'s covered " +
+          s"span [${e.minEpoch}, ${e.epoch}] — the fold would outrank " +
+          "its rows; append above the compaction boundary instead")
+    }
+    cur.filterNot(_.epoch == epoch) :+ Entry(epoch, dir)
   }
 
   /** The optimistic-concurrency commit every mutation goes through:
@@ -197,22 +248,8 @@ object EpochManifest {
     * commute with what landed throws (nothing published, loud refusal).
     * Returns the published generation. */
   def commitWith(spark: SparkSession, root: String)
-                (rebase: Seq[Entry] => Seq[Entry]): Long = {
-    var attempt = 0
-    while (true) {
-      val ms = manifests(spark, root)
-      val gen = ms.lastOption.map(_._1).getOrElse(0L)
-      val cur = ms.lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)
-      val next = rebase(cur)
-      if (publish(spark, root, gen + 1L, render(next))) return gen + 1L
-      attempt += 1
-      require(attempt < 64,
-        s"manifest commit under $root lost $attempt straight CAS races — " +
-          "giving up (a writer storm or a livelock; retry the operation)")
-      Thread.sleep(math.min(50L, attempt.toLong)) // tiny contention backoff
-    }
-    -1L // unreachable
-  }
+                (rebase: Seq[Entry] => Seq[Entry]): Long =
+    commitAtDir(spark, manifestDir(root), root, seeded = false)(rebase)
 
   /** Rebase for FOLD-style commits (compaction, row-level rewrites,
     * delete purges): the `replaced` entries' rows were copied into
@@ -290,22 +327,33 @@ object EpochManifest {
     }.sortBy(_._1)
   }
 
-  /** The store's named tags, name → pinned generation. */
+  /** The store's named tags, name → pinned generation. Retries once
+    * when the listed version vanished between the listing and the open
+    * (a concurrent tag write published a newer version and reclaimed
+    * this one) — the re-list sees the newer, still-consistent file. */
   def tags(spark: SparkSession, root: String): Map[String, Long] = {
     val fs = fsOf(spark, root)
-    tagFiles(spark, root).lastOption match {
-      case None => Map.empty
-      case Some((_, p)) =>
-        val in = fs.open(p)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        body.linesIterator.filter(_.nonEmpty).map { line =>
-          // fixed shape {"name":"...","generation":N} per line
-          val n = line.split("\"name\":\"")(1).takeWhile(_ != '"')
-          val g = line.split("\"generation\":")(1).takeWhile(_.isDigit).toLong
-          n -> g
-        }.toMap
+    def readAt(p: Path): Map[String, Long] = {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        // fixed shape {"name":"...","generation":N} per line
+        val n = line.split("\"name\":\"")(1).takeWhile(_ != '"')
+        val g = line.split("\"generation\":")(1).takeWhile(_.isDigit).toLong
+        n -> g
+      }.toMap
     }
+    def attempt(retriesLeft: Int): Map[String, Long] =
+      tagFiles(spark, root).lastOption match {
+        case None => Map.empty
+        case Some((_, p)) =>
+          try readAt(p) catch {
+            case _: java.io.FileNotFoundException if retriesLeft > 0 =>
+              attempt(retriesLeft - 1)
+          }
+      }
+    attempt(2)
   }
 
   /** OCC tag mutation: re-read the current tag map, apply `transform`,
@@ -330,7 +378,10 @@ object EpochManifest {
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       if (atomicClaim(fs, tmp, new Path(manifestDir(root), s"tags.v$next.json"))) {
-        old.foreach { case (_, p) => fs.delete(p, false) }
+        // keep the PREVIOUS version alive one write longer: a concurrent
+        // reader that listed it just before this publish can still open
+        // it (reads also retry a vanished file — [[tags]])
+        old.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
         return ts
       }
       attempt += 1
@@ -526,25 +577,7 @@ object EpochManifest {
     * guard, then commit `dir` as `epoch`'s (replacement) entry. */
   def commitEpochDir(spark: SparkSession, root: String, epoch: Long,
                      dir: String): Unit = {
-    commitWith(spark, root) { cur =>
-      // fold guard re-checked against the head EVERY rebase attempt — a
-      // compaction that overtakes this epoch mid-retry still refuses
-      cur.find(_.epoch == epoch).foreach { e =>
-        require(!e.dir.startsWith("f") && e.minEpoch == e.epoch,
-          s"epoch $epoch under $root is a compaction fold covering epochs " +
-            s"[${e.minEpoch}, ${e.epoch}] — a retried append must not replace it")
-      }
-      // straddle guard: an epoch strictly INSIDE another entry's fold
-      // span would be outranked by the fold under latest-wins reads
-      cur.filter(e => e.minEpoch < e.epoch &&
-        e.minEpoch <= epoch && epoch < e.epoch).foreach { e =>
-        throw new IllegalArgumentException(
-          s"epoch $epoch under $root falls inside fold ${e.dir}'s covered " +
-            s"span [${e.minEpoch}, ${e.epoch}] — the fold would outrank " +
-            "its rows; append above the compaction boundary instead")
-      }
-      cur.filterNot(_.epoch == epoch) :+ Entry(epoch, dir)
-    }
+    commitWith(spark, root)(appendRebase(s"under $root", epoch, dir))
     ()
   }
 
@@ -606,12 +639,7 @@ object EpochManifest {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
-    val tmp = new Path(bd,
-      s".m$baseGen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    fs.mkdirs(bd)
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(atomicClaim(fs, tmp, new Path(bd, s"m$baseGen.json")),
+    require(publishAt(fs, bd, baseGen, body),
       s"branch '$name' appeared concurrently under $root")
     baseGen
   }
@@ -625,51 +653,51 @@ object EpochManifest {
     (bms.head._1, bms.last._1, parse(spark, bms.last._2))
   }
 
-  /** [[commitWith]], scoped to a branch lineage — same CAS, same rebase
-    * convergence, invisible to main readers. */
+  /** [[commitWith]], scoped to a branch lineage — the SAME CAS/retry
+    * loop ([[commitAtDir]]), same rebase convergence, invisible to main
+    * readers. */
   def commitBranchWith(spark: SparkSession, root: String, name: String)
-                      (rebase: Seq[Entry] => Seq[Entry]): Long = {
-    val fs = fsOf(spark, root)
-    val bd = branchPath(root, name)
-    var attempt = 0
-    while (true) {
-      val bms = branchManifests(spark, root, name)
-      require(bms.nonEmpty,
-        s"no branch '$name' under $root — create it before writing to it")
-      val gen = bms.last._1
-      val next = rebase(parse(spark, bms.last._2))
-      val tmp = new Path(bd,
-        s".m${gen + 1L}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(render(next).getBytes("UTF-8")) finally out.close()
-      if (atomicClaim(fs, tmp, new Path(bd, s"m${gen + 1L}.json")))
-        return gen + 1L
-      attempt += 1
-      require(attempt < 64,
-        s"branch '$name' commit under $root lost $attempt CAS races")
-      Thread.sleep(math.min(50L, attempt.toLong))
+                      (rebase: Seq[Entry] => Seq[Entry]): Long =
+    commitAtDir(spark, branchPath(root, name),
+      s"branch '$name' of $root", seeded = true)(rebase)
+
+  /** AUTO-allocated epoch append: the epoch is chosen INSIDE the CAS
+    * rebase as max(head)+1 — preferring `atLeast` — so two racing
+    * auto-epoch writers land on DISTINCT fresh epochs (both visible)
+    * instead of one silently replacing the other via the explicit-epoch
+    * retry-replacement semantics. Returns the allocated epoch. */
+  def commitFreshEpochDir(spark: SparkSession, root: String, dir: String,
+                          atLeast: Long = 0L): Long = {
+    var allocated = -1L
+    commitWith(spark, root) { cur =>
+      val e = math.max(atLeast,
+        cur.map(_.epoch).maxOption.map(_ + 1L).getOrElse(0L))
+      allocated = e
+      cur :+ Entry(e, dir)
     }
-    -1L // unreachable
+    allocated
   }
 
-  /** Epoch-append into a branch — [[commitEpochDir]]'s rebase, scoped. */
+  /** [[commitFreshEpochDir]], scoped to a branch lineage. */
+  def commitBranchFreshEpochDir(spark: SparkSession, root: String,
+                                name: String, dir: String,
+                                atLeast: Long = 0L): Long = {
+    var allocated = -1L
+    commitBranchWith(spark, root, name) { cur =>
+      val e = math.max(atLeast,
+        cur.map(_.epoch).maxOption.map(_ + 1L).getOrElse(0L))
+      allocated = e
+      cur :+ Entry(e, dir)
+    }
+    allocated
+  }
+
+  /** Epoch-append into a branch — [[commitEpochDir]]'s EXACT rebase
+    * (fold + straddle guards shared, not copied), scoped. */
   def commitBranchEpochDir(spark: SparkSession, root: String, name: String,
                            epoch: Long, dir: String): Unit = {
-    commitBranchWith(spark, root, name) { cur =>
-      cur.find(_.epoch == epoch).foreach { e =>
-        require(!e.dir.startsWith("f") && e.minEpoch == e.epoch,
-          s"epoch $epoch on branch '$name' of $root is a compaction fold " +
-            s"covering [${e.minEpoch}, ${e.epoch}] — a retried append must " +
-            "not replace it")
-      }
-      cur.filter(e => e.minEpoch < e.epoch &&
-        e.minEpoch <= epoch && epoch < e.epoch).foreach { e =>
-        throw new IllegalArgumentException(
-          s"epoch $epoch falls inside fold ${e.dir}'s span " +
-            s"[${e.minEpoch}, ${e.epoch}] on branch '$name' of $root")
-      }
-      cur.filterNot(_.epoch == epoch) :+ Entry(epoch, dir)
-    }
+    commitBranchWith(spark, root, name)(
+      appendRebase(s"on branch '$name' of $root", epoch, dir))
     ()
   }
 

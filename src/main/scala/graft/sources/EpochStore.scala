@@ -434,6 +434,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       .map(b => EpochManifest.branchEntries(spark, root, b))
       .getOrElse(EpochManifest.entriesAt(spark, root, gen))
       .filter(_.epoch <= maxEpoch)
+    val branchPinned = branch.nonEmpty
     // changesSinceGeneration: the CHANGEFEED form — only entries whose
     // whole epoch span postdates the base generation's high-water mark.
     // A fold straddling that boundary mixed old rows into new dirs, so
@@ -463,6 +464,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
           partFilters, dataFilters,
           streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
             .flatMap(k => Option(options.get(k)).map(k -> _)).toMap,
+          branchPinned = branchPinned,
           // the store's own _bloom.json declaration makes skipping work
           // with no option — SQL/catalog readers included
           bloomCol = Option(options.get("bloomColumn"))
@@ -479,6 +481,7 @@ final case class EpochStoreScan(
     root: String, generation: Long, entries: Seq[EpochManifest.Entry],
     partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String] = Map.empty,
+    branchPinned: Boolean = false,
     bloomCol: Option[String] = None,
     limit: Option[Int] = None,
     topN: Option[EpochStore.TopNPush] = None,
@@ -531,9 +534,16 @@ final case class EpochStoreScan(
     * manifest-epoch range, read through the identical pruned/pushed-down
     * parquet path ([[EpochStoreMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the micro-batch tail resolves MAIN-lineage epochs per trigger — a
+    // branch-pinned stream would silently audit the wrong lineage
+    if (branchPinned) throw new UnsupportedOperationException(
+      s"epochstore streaming over a BRANCH of $root is not supported — " +
+        "branches are write-audit-publish staging; tail main (publish " +
+        "first) or batch-read the branch head")
     new EpochStoreMicroBatchStream(fullSchema, required, partCols, root,
       partFilters, dataFilters, streamOptions, bloomCol)
+  }
 
   /** Runtime (DPP) filters on the partition column — delivered by Spark
     * AFTER the dim side of a join executes ([[filter]]); merged into the
@@ -672,7 +682,10 @@ final case class EpochStoreScan(
       case Some(t) =>
         val cs = withStats.map { case (lf, s) =>
           (lf, s.get, s.get.cols.get(t.col)) }
-        if (cs.exists(_._3.isEmpty)) return files
+        // legacy UTF-16-ordered string bounds ('s') cannot bound a
+        // UTF-8-ordered sort — treat them as absent
+        if (cs.exists(c => c._3.isEmpty || c._3.exists(_.kind == 's')))
+          return files
         val totalNonNull = cs.map { case (_, f, c) => f.rows - c.get.nulls }.sum
         // fewer non-null rows than k: null rows fill the tail — every
         // file may contribute, no bound
@@ -1139,6 +1152,7 @@ object EpochStore {
       if (partitionColumn != null)
         r = r.option("partitionColumn", partitionColumn)
       if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
+      if (bloomColumn != null) r = r.option("bloomColumn", bloomColumn)
       return r.load()
     }
     val gen = if (asOfGeneration >= 0L) asOfGeneration
@@ -1238,6 +1252,10 @@ object EpochStore {
                    versionCol: String = null): Unit = {
     val es = EpochManifest.entries(spark, root)
     require(es.nonEmpty, s"no committed manifest under $root")
+    // pin the TOMBSTONE sub-store alongside the data: a delete committed
+    // after this read would be silently wiped by the clearing commit
+    // below — refuse it loudly instead (same posture as the data side)
+    val delBase = EpochManifest.entries(spark, deletesRoot(root))
     val live = readLatest(spark, root, schema, keyCols, partitionColumn,
       versionCol, applyDeletes = true)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
@@ -1257,7 +1275,7 @@ object EpochStore {
     EpochManifest.gc(spark, root)
     val delRoot = deletesRoot(root)
     if (EpochManifest.generations(spark, delRoot).nonEmpty) {
-      EpochManifest.commit(spark, delRoot, Seq.empty)
+      EpochManifest.commitIfUnchanged(spark, delRoot, delBase, Seq.empty)
       EpochManifest.gc(spark, delRoot)
     }
   }
@@ -1499,7 +1517,11 @@ object EpochStore {
     val statKinds: Seq[(String, Char)] = (covered
       .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
         .flatMap(_.cols.toSeq))
-      .map { case (c, cs) => (c, cs.kind) } ++ zKinds).distinct
+      // legacy 's' (pre-r13 UTF-16-ordered string bounds) re-derives as
+      // 'S' — Spark's min/max compares UTF8String bytes, so the fold's
+      // recorded bounds are exact under the new order
+      .map { case (c, cs) => (c, if (cs.kind == 's') 'S' else cs.kind) }
+      ++ zKinds).distinct
       .filter { case (c, _) => merged.fieldNames.contains(c) }
     rederiveStats(spark, fs, root, foldDir, merged, statKinds)
     // OCC fold commit: appends above the fold span rebase in, touched
@@ -1542,7 +1564,7 @@ object EpochStore {
           // re-derived string bounds are exact
           def num(v: Any): Any = (kind, v) match {
             case (_, null) => null
-            case ('s', s: String) => s
+            case ('S', s: String) => s
             case ('d', n: Number) => n.doubleValue()
             case (_, n: Number) => n.longValue()
             case _ => null

@@ -246,7 +246,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         val kind = f.dataType match {
           case ByteType | ShortType | IntegerType | LongType => 'l'
           case FloatType | DoubleType => 'd'
-          case StringType => 's'
+          case StringType => 'S'
           case other => throw new IllegalArgumentException(
             s"statsColumns column $c has type $other")
         }

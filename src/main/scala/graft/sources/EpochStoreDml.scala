@@ -229,7 +229,9 @@ private[graft] object EpochStoreDml {
           // both sides compare under UTF-8 binary order (blooms still
           // drop honestly — the documented always-keep fallback)
           val kinds = EpochStoreStats.read(fs, root, e.dir).valuesIterator
-            .flatMap(_.cols.toSeq).map { case (c, cs) => (c, cs.kind) }
+            .flatMap(_.cols.toSeq)
+            // legacy 's' re-derives as 'S' (Spark min/max = UTF-8 order)
+            .map { case (c, cs) => (c, if (cs.kind == 's') 'S' else cs.kind) }
             .toSeq.distinct.filter(k => present.contains(k._1))
           EpochStore.rederiveStats(spark, fs, root, dir2, schema, kinds)
           Some(e.copy(dir = dir2))
@@ -360,7 +362,7 @@ final class EpochStoreReplaceWrite(op: EpochStoreRowLevelOperation,
           case ByteType | ShortType | IntegerType | LongType =>
             Some(f.name -> 'l')
           case FloatType | DoubleType => Some(f.name -> 'd')
-          case StringType => Some(f.name -> 's')
+          case StringType => Some(f.name -> 'S')
           case _ => None
         }
       }

@@ -36,8 +36,12 @@ import org.apache.spark.sql.sources.Filter
   *
   * Format (one line per data file, base64 for anything string-ish so the
   * fixed-shape parser never meets an escaping edge):
-  * `{"file":"<b64 rel>","rows":N,"cols":[{"c":"<b64 name>","t":"l|d|s",
+  * `{"file":"<b64 rel>","rows":N,"cols":[{"c":"<b64 name>","t":"l|d|S",
   * "nulls":N[,"min":v,"max":v]}]}` — min/max absent = every value null.
+  * Kind `S` = string bounds under UTF-8 binary order (r13+ writers);
+  * legacy kind `s` (pre-r13, UTF-16 `String.compareTo` order) still
+  * parses but contributes only null-count proofs — its bounds prove
+  * nothing under the UTF-8 probe until a compaction re-derives them.
   */
 object EpochStoreStats {
 
@@ -64,7 +68,7 @@ object EpochStoreStats {
         val mm = (cs.min, cs.max) match {
           case (Some(mn), Some(mx)) =>
             val (a, b) = cs.kind match {
-              case 's' => (s""""${b64(mn.toString)}"""",
+              case 's' | 'S' => (s""""${b64(mn.toString)}"""",
                 s""""${b64(mx.toString)}"""")
               case _ => (mn.toString, mx.toString)
             }
@@ -91,7 +95,7 @@ object EpochStoreStats {
         val kind = cm.group(2).charAt(0)
         def v(g: String): Option[Any] = Option(g).map { raw =>
           kind match {
-            case 's' => unb64(raw.stripPrefix("\"").stripSuffix("\""))
+            case 's' | 'S' => unb64(raw.stripPrefix("\"").stripSuffix("\""))
             case 'd' => raw.toDouble
             case _ => raw.toLong
           }
@@ -169,6 +173,12 @@ object EpochStoreStats {
     def range(n: String)(p: (Any, Any) => Option[Boolean]): Option[Boolean] =
       col(n).flatMap { cs =>
         if (nonNull(cs) <= 0L) Some(false)
+        // LEGACY kind 's': bounds were accumulated under UTF-16
+        // String.compareTo order (pre-r13 writers) — order/range/prefix
+        // proofs under the UTF-8 probe would be unsound, so the file is
+        // always kept until a compaction re-derives its stats as 'S'.
+        // (null-count proofs above stay valid — counts have no order.)
+        else if (cs.kind == 's') None
         else (cs.min, cs.max) match {
           case (Some(mn), Some(mx)) => p(mn, mx)
           case _ => Some(false) // no recorded min/max = all null

@@ -136,7 +136,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
         val kind = f.dataType match {
           case ByteType | ShortType | IntegerType | LongType => 'l'
           case FloatType | DoubleType => 'd'
-          case StringType => 's'
+          case StringType => 'S'
           case other => throw new IllegalArgumentException(
             s"statsColumns column $c has type $other — only integral, " +
               "float/double, and string columns have a stable cross-side " +
@@ -202,7 +202,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       // no explicit epoch (catalog SQL INSERT): auto-allocate the next
       // one — single-writer contract; explicit epochs remain the
       // multi-writer / retry-idempotent protocol
-      val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse {
+      val explicitEpoch = Option(opts.get("epoch")).map(_.toLong)
+      val epoch = explicitEpoch.getOrElse {
         val base = Option(opts.get("branch"))
           .map(b => EpochManifest.branchEntries(SparkSession.active, root, b))
           .getOrElse(EpochManifest.entries(SparkSession.active, root))
@@ -213,7 +214,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
         s"INSERT OVERWRITE onto branch '$b' is not supported — branches " +
           "take epoch appends; publish replaces main atomically"))
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
-        bloomOf(), statsOf(), overwriteMode, branch)
+        bloomOf(), statsOf(), overwriteMode, branch,
+        autoEpoch = explicitEpoch.isEmpty)
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -510,7 +512,8 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  statsCols: Seq[(String, Char)] = Nil,
                                  overwrite: EpochOverwrite =
                                    EpochOverwrite.AppendOnly,
-                                 branch: Option[String] = None)
+                                 branch: Option[String] = None,
+                                 autoEpoch: Boolean = false)
     extends BatchWrite {
 
   // fail a doomed job before any executor work; declaring the bloom
@@ -552,13 +555,23 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
     overwrite match {
       case EpochOverwrite.AppendOnly =>
+        // epoch-REPLACEMENT is retry idempotence for EXPLICIT epochs; an
+        // AUTO-allocated epoch is chosen INSIDE the commit's CAS rebase
+        // instead, so two racing INSERTs land on distinct fresh epochs —
+        // both succeed, both visible, nothing silently replaced
         branch match {
           case Some(b) =>
             // write-audit-publish: the epoch lands on the branch lineage,
             // invisible to main readers until publishBranch fast-forwards
-            EpochManifest.commitBranchEpochDir(spark, root, b, epoch, dir)
+            if (autoEpoch)
+              EpochManifest.commitBranchFreshEpochDir(spark, root, b, dir,
+                atLeast = epoch): Unit
+            else EpochManifest.commitBranchEpochDir(spark, root, b, epoch, dir)
           case None =>
-            EpochManifest.commitEpochDir(spark, root, epoch, dir)
+            if (autoEpoch)
+              EpochManifest.commitFreshEpochDir(spark, root, dir,
+                atLeast = epoch): Unit
+            else EpochManifest.commitEpochDir(spark, root, epoch, dir)
         }
       case EpochOverwrite.ByFilters(filters) =>
         commitOverwrite(spark, filters)
@@ -873,7 +886,7 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
         // (cloned on store — getUTF8String may return a reused buffer)
         // and become java Strings only at commit().
         val v: Any = statsIdx(s)._3 match {
-          case 's' => row.getUTF8String(idx)
+          case 'S' => row.getUTF8String(idx)
           case 'd' => row.get(idx, schema.fields(idx).dataType)
             .asInstanceOf[Number].doubleValue()
           case _ => row.get(idx, schema.fields(idx).dataType)

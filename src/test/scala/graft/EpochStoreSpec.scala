@@ -1880,6 +1880,108 @@ class EpochStoreSpec extends SparkSpec {
       .head.getLong(0) == 10, "the tagged snapshot must stay answerable")
   }
 
+  // ---- r13 self-review closures ----
+
+  test("legacy UTF-16-ordered string sidecars ('s') contribute no order " +
+      "proofs; compaction re-derives them as 'S' and skipping resumes") {
+    import spark.implicits._
+    val root = tmp()
+    // replay a PRE-r13 sidecar: bounds recorded under UTF-16
+    // String.compareTo order, kind 's'
+    EpochStore.write(Seq((0L, "😀"), (1L, "x")).toDF("id", "v")
+      .coalesce(1), root, 0L)
+    // a second epoch so the later compaction actually folds (it no-ops
+    // on a single entry)
+    EpochStore.write(Seq((2L, "zz")).toDF("id", "v").coalesce(1), root, 1L,
+      statsColumns = Seq("v"))
+    val fs = hfs(root)
+    val entry = EpochManifest.entries(spark, root)
+      .find(_.epoch == 0L).get.dir
+    val rel = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$entry"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
+    graft.sources.EpochStoreStats.write(fs, root, entry, Seq(rel ->
+      graft.sources.EpochStoreStats.FileStats(2L, Map("v" ->
+        graft.sources.EpochStoreStats.ColStats('s', 0L,
+          Some("a"), Some("x")))))) // legacy bounds [a, x]
+    def rd() = EpochStore.read(spark, root, idvSchema)
+    // under the UTF-8 probe the legacy bound would wrongly prove
+    // "max < bound" and drop the emoji row — the kind gate keeps the
+    // file; the 'S' epoch ("zz" < bound under BOTH orders) still skips
+    val gt = rd().filter(col("v") > "\uF000")
+    assert(gt.collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "the emoji row must survive despite the legacy sidecar")
+    assert(scanOf(gt).skippedFilesAudit == (1, 2),
+      s"legacy file kept, 'S' file skipped: ${scanOf(gt).skippedFilesAudit}")
+    // null-count proofs from the legacy sidecar still work
+    val nn = rd().filter(col("v").isNull)
+    assert(nn.count() == 0 && scanOf(nn).skippedFilesAudit == (0, 2),
+      "legacy null counts still prove IS NULL impossible")
+    // compaction re-derives the bounds under UTF-8 ('S') — order
+    // skipping resumes, exactly
+    EpochStore.compactStore(spark, root)
+    val entry2 = EpochManifest.entries(spark, root).head.dir
+    val st2 = graft.sources.EpochStoreStats.read(fs, root, entry2)
+    assert(st2.nonEmpty && st2.values.forall(_.cols("v").kind == 'S'),
+      s"re-derived kind: ${st2.values.map(_.cols("v").kind)}")
+    val gt2 = rd().filter(col("v") > "\uF000")
+    assert(gt2.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("two racing auto-epoch INSERTs both land on distinct epochs " +
+      "(allocation inside the CAS rebase — no silent replacement)") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root) // epochs 0-3
+    cat("auto1", wh)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until 2).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try spark.sql(
+          s"INSERT INTO auto1.t VALUES (${900 + i}, 'r$i', $i)").collect()
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racing INSERTs must both succeed: ${errs.peek()}")
+    assert(spark.sql("SELECT COUNT(*) FROM auto1.t WHERE id >= 900")
+      .head.getLong(0) == 2, "both inserted rows must be visible")
+    val epochs = EpochManifest.entries(spark, root).map(_.epoch).sorted
+    assert(epochs == Seq(0L, 1L, 2L, 3L, 4L, 5L),
+      s"distinct fresh epochs expected, got $epochs")
+  }
+
+  test("purgeDeletes pins the tombstone sub-store: a tombstone that " +
+      "lands after the pin refuses instead of being silently wiped") {
+    import spark.implicits._
+    val root = tmp()
+    val s2 = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      root, 0L)
+    EpochStore.delete(spark, root, Seq(Tuple1(1L)).toDF("id"), epoch = 1L)
+    EpochStore.delete(spark, root, Seq(Tuple1(2L)).toDF("id"), epoch = 2L)
+    val delRoot = EpochStore.deletesRoot(root)
+    // the pin is commitIfUnchanged on the sub-store: replay the race by
+    // checking a STALE base refuses exactly (purge's internal shape)
+    val staleBase = EpochManifest.entries(spark, delRoot)
+    EpochStore.delete(spark, root, Seq(Tuple1(3L)).toDF("id"), epoch = 3L)
+    val e = intercept[IllegalArgumentException] {
+      EpochManifest.commitIfUnchanged(spark, delRoot, staleBase, Seq.empty)
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    // a clean purge applies EVERY tombstone it pinned and clears
+    EpochStore.purgeDeletes(spark, root, s2, Seq("id"))
+    val left = EpochStore.read(spark, root, s2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 10L).toSet -- Set(1L, 2L, 3L),
+      s"all pinned tombstones must fold: $left")
+    assert(EpochManifest.entries(spark, delRoot).isEmpty,
+      "the delete sub-store must be cleared after a clean purge")
+  }
+
   // ---- multi-column (composite-key) partitioning (r13) ----
 
   private val dlSchema = StructType(Seq(
