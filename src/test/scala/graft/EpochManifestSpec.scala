@@ -332,6 +332,25 @@ class EpochManifestSpec extends SparkSpec {
     assert(e4.getMessage.contains("span"), e4.getMessage)
   }
 
+  test("OCC stress: 4 writers x 5 appends each all land exactly once, " +
+      "20 distinct generations, no lost update") {
+    import spark.implicits._
+    val root = tmp()
+    race((0 until 4).map { w =>
+      () => (0 until 5).foreach { i =>
+        val e = (w * 100 + i).toLong
+        EpochManifest.append(Seq((e, 0L)).toDF("id", "part"), root, e)
+      }
+    }: _*)
+    val es = EpochManifest.entries(spark, root)
+    assert(es.size == 20, s"all 20 appends must be visible, got ${es.size}")
+    assert(es.map(_.epoch).toSet ==
+      (for (w <- 0 until 4; i <- 0 until 5) yield (w * 100 + i).toLong).toSet)
+    assert(EpochManifest.generations(spark, root).size == 20,
+      "each commit must have published its own generation file")
+    assert(EpochManifest.read(spark, root, schema).count() == 20)
+  }
+
   test("expire_snapshots: retained set exact, tagged generations immune, " +
       "pinned reads on expired generations fail loudly") {
     import spark.implicits._
