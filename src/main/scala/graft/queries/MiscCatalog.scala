@@ -1492,6 +1492,56 @@ object MiscCatalog {
       |  AND doc_id % 3 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Hash-bucket layout + storage-partitioned join (`q_store_bucket`):
+    * documents and embeddings-metadata land as two stores BUCKETED
+    * alike (`bucket(8, doc_id)` / `bucket(8, vec_id)` — `<col>_bucket=K`
+    * dirs, murmur3 pmod, the column kept in the files), read through
+    * the SQL catalog whose FunctionCatalog face resolves the bucket
+    * transform — so the equi-join runs STORAGE-PARTITIONED: zero
+    * shuffle on either side (EpochStoreSpec gates the no-exchange
+    * plan), plus a point probe that opens exactly one bucket dir.
+    * DuckDB recomputes the joined aggregate from the raw tables, so a
+    * row hashed into the wrong bucket, a bucket dir dropped by the
+    * probe, or a join that lost a bucket's rows fails cell-exact.
+    *
+    * Scale shape: THE high-cardinality co-location layout — point
+    * lookups open |probes| buckets instead of the table, and two 100 TB
+    * stores bucketed alike join with no terabyte shuffle, the same win
+    * Spark bucketed tables/Iceberg bucket transforms buy. */
+  def storeBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_bk_wh").toString
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.writeBucketed(docs, s"$wh/docs", 0L,
+      bucketColumn = "doc_id", bucketCount = 8)
+    val scores = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 97).cast("long").as("score"))
+    graft.sources.EpochStore.writeBucketed(scores, s"$wh/scores", 0L,
+      bucketColumn = "vec_id", bucketCount = 8)
+    val c = s"graftbk$run"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      s"""SELECT d.lang, COUNT(*) AS n, SUM(d.n_chars) AS chars,
+         |  SUM(s.score) AS score_sum
+         |FROM $c.docs d JOIN $c.scores s ON d.doc_id = s.vec_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+  }
+
+  val storeBucketSql: String =
+    """SELECT d.lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  CAST(SUM(s.doc_id % 97) AS BIGINT) AS score_sum
+      |FROM documents d JOIN documents s ON d.doc_id = s.doc_id
+      |WHERE d.lang IS NOT NULL
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Write-audit-publish branches (`q_store_wap`): half the corpus
     * lands as the base store, the other half is written onto a BRANCH
     * (`CALL create_branch` + the sink's `branch` option — a separate
@@ -1652,6 +1702,7 @@ object MiscCatalog {
     "q_store_ctas"    -> (storeCtas _),
     "q_store_multipart" -> (storeMultipart _),
     "q_store_wap"     -> (storeWap _),
+    "q_store_bucket"  -> (storeBucket _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -1699,6 +1750,7 @@ object MiscCatalog {
     "q_store_ctas"    -> storeCtasSql,
     "q_store_multipart" -> storeMultipartSql,
     "q_store_wap"     -> storeWapSql,
+    "q_store_bucket"  -> storeBucketSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

@@ -104,8 +104,11 @@ final class EpochStoreTable(tableSchema: StructType,
     * partition overwrite at this table. */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    EpochStore.partColsOf(options).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    (EpochStore.partColsOf(options).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)) ++
+      EpochStore.bucketOf(options).map(b =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(b.n, b.col)))
       .toArray
 
   /** Operator-facing metadata for `DESCRIBE TABLE EXTENDED` / `SHOW
@@ -247,6 +250,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private val partCols: Seq[String] = EpochStore.partColsOf(options)
+  private val bucket: Option[EpochStore.StoreBucket] =
+    EpochStore.bucketOf(options)
   private var required: StructType = tableSchema
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
@@ -465,6 +470,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
           streamOptions = Seq("startingafterepoch", "maxepochspertrigger")
             .flatMap(k => Option(options.get(k)).map(k -> _)).toMap,
           branchPinned = branchPinned,
+          bucket = bucket,
           // the store's own _bloom.json declaration makes skipping work
           // with no option — SQL/catalog readers included
           bloomCol = Option(options.get("bloomColumn"))
@@ -482,6 +488,7 @@ final case class EpochStoreScan(
     partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String] = Map.empty,
     branchPinned: Boolean = false,
+    bucket: Option[EpochStore.StoreBucket] = None,
     bloomCol: Option[String] = None,
     limit: Option[Int] = None,
     topN: Option[EpochStore.TopNPush] = None,
@@ -569,9 +576,14 @@ final case class EpochStoreScan(
       // and hands back the matched epochs ([[filter]])
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(EpochStore.EpochColName))
-    else if (!runtimeFilterable || readPartSchema.isEmpty) Array.empty
-    else readPartSchema.fieldNames.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(c))
+    else if (!runtimeFilterable) Array.empty
+    else (readPartSchema.fieldNames.toSeq ++
+      // the bucket column stays a DATA column (it survives projection
+      // or it would not be joinable) — a runtime In() on it narrows the
+      // bucket-dir listing exactly like a static probe
+      bucket.map(_.col).filter(required.fieldNames.contains).toSeq)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(c))
       .toArray[org.apache.spark.sql.connector.expressions.NamedReference]
 
   /** Keep only filters the dir pruning can answer EXACTLY (same contract
@@ -603,8 +615,16 @@ final case class EpochStoreScan(
     val exact = filters.filter(f =>
       partCols.nonEmpty &&
         EpochStore.exactPartitionFilter(f, partCols.toSet))
-    if (exact.nonEmpty) {
-      runtimeFilters = exact
+    // bucket layouts: EqualTo/In runtime filters on the bucket column
+    // are NOT exact (many values share a bucket — Spark re-evaluates
+    // the join anyway) but they narrow the bucket-dir listing
+    val bucketNarrow = bucket.toSeq.flatMap(b => filters.filter {
+      case sources.EqualTo(a, _) => a == b.col
+      case sources.In(a, _) => a == b.col
+      case _ => false
+    })
+    if (exact.nonEmpty || bucketNarrow.nonEmpty) {
+      runtimeFilters = exact ++ bucketNarrow
       cachedListing = null // re-list with the narrowed dir set
     }
   }
@@ -626,7 +646,10 @@ final case class EpochStoreScan(
       val spark = SparkSession.active
       val (files, sel, tot) = EpochStore.listEntryFiles(spark, root,
         if (runtimeEntries != null) runtimeEntries else entries,
-        partFields, partFilters ++ runtimeFilters)
+        partFields, partFilters ++ runtimeFilters,
+        bucket = bucket,
+        bucketKeep = bucket.flatMap(b => EpochStore.bucketProbes(
+          dataFilters ++ runtimeFilters, b, fullSchema(b.col).dataType)))
       val kept = applyRowBound(spark,
         applyStatsSkip(spark, applyBloomSkip(spark, files)))
       filesAudit = (kept.size, files.size)
@@ -807,9 +830,26 @@ final case class EpochStoreScan(
     * usual — correctness never depends on it. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    // hash-bucket layout: report bucket(n, col) so two same-bucketed
+    // stores join storage-partitioned (zero shuffle on either side) —
+    // only when the column survives projection and every listed file
+    // sits in a real bucket dir (a -1 = an unbucketed rewrite entry)
+    if (bucket.nonEmpty) {
+      val b = bucket.get
+      if (required.fieldNames.contains(b.col) &&
+        listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0))
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+          Array[org.apache.spark.sql.connector.expressions.Expression](
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(b.n, b.col)),
+          listing._1.map(_.bucketId).distinct.size)
+      else new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    }
     // report the COMPOSITE key only when every partition column survives
     // into the output (a partial key is not the storage partitioning)
-    if (partFields.nonEmpty && readPartSchema.size == partFields.size)
+    else if (partFields.nonEmpty && readPartSchema.size == partFields.size)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         partCols.map(c => org.apache.spark.sql.connector.expressions
           .Expressions.identity(c))
@@ -827,6 +867,16 @@ final case class EpochStoreScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    if (bucket.nonEmpty && required.fieldNames.contains(bucket.get.col) &&
+      listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0)) {
+      // pack per BUCKET so every task holds one key's files only (the
+      // HasPartitionKey contract key-grouped execution requires)
+      return listing._1.groupBy(_.bucketId).toSeq.sortBy(_._1)
+        .flatMap { case (k, files) =>
+          EpochStore.planFilePartitions(spark, files, constSchema, constantsOf)
+            .map { case fp: FilePartition => KeyedFilePartition(fp, Seq(k)) }
+        }.toArray
+    }
     if (partFields.isEmpty || readPartSchema.size != partFields.size)
       EpochStore.planFilePartitions(spark, listing._1, constSchema, constantsOf)
     else {
@@ -899,6 +949,67 @@ object EpochStore {
     * column list (None/empty → Nil). */
   private[graft] def splitPartCols(pc: Option[String]): Seq[String] =
     pc.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** HASH-BUCKET layout spec — `bucketColumn`/`bucketCount` options or
+    * SQL `PARTITIONED BY (bucket(n, col))`: rows land under
+    * `<col>_bucket=K` dirs with K = pmod(murmur3(value), n) (Spark's
+    * own `hash()` murmur3, seed 42 — the null row hashes to the bare
+    * seed, exactly like `hash(NULL)`). Unlike identity partitioning the
+    * column STAYS in the data files (many values share a bucket); the
+    * payoff is high-cardinality layouts: equality/IN probes open only
+    * the probed buckets, and two stores bucketed (n, col) alike join
+    * storage-partitioned — zero shuffle on either side. */
+  final case class StoreBucket(col: String, n: Int) {
+    require(n > 0, s"bucketCount must be positive, got $n")
+    def dirPrefix: String = s"${col}_bucket="
+  }
+
+  private[sources] def bucketOf(options: CaseInsensitiveStringMap)
+      : Option[StoreBucket] = {
+    val c = Option(options.get("bucketColumn"))
+    val n = Option(options.get("bucketCount")).map(_.toInt)
+    require(c.isEmpty == n.isEmpty,
+      "bucketColumn and bucketCount come together")
+    c.map { col =>
+      require(partColsOf(options).isEmpty,
+        "bucket layout and identity partitionColumn are exclusive")
+      StoreBucket(col, n.get)
+    }
+  }
+
+  /** The bucket of one CATALYST-internal value (UTF8String for strings,
+    * primitives for integrals; null = the seed's bucket, matching
+    * `hash(NULL)` = seed). */
+  private[sources] def bucketIdOf(v: Any, dt: DataType, n: Int): Int = {
+    val h =
+      if (v == null) 42L
+      else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(v, dt, 42L)
+    (((h % n) + n) % n).toInt
+  }
+
+  /** The buckets a conjunctive filter set can still reach: Some(set)
+    * when some conjunct is EqualTo/In on the bucket column (hash each
+    * probed value — the reachable set is exact for that conjunct),
+    * None = no bounding conjunct, keep every bucket. Null probes bound
+    * nothing (EqualTo(c, null) matches no row anyway; IsNull rows DO
+    * live in the seed bucket but the conservative answer stays sound). */
+  private[sources] def bucketProbes(filters: Array[Filter],
+                                    b: StoreBucket, dt: DataType)
+      : Option[Set[Int]] = {
+    def toCat(v: Any): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v)
+    val sets = filters.collect {
+      case sources.EqualTo(a, v) if a == b.col && v != null =>
+        Set(bucketIdOf(toCat(v), dt, b.n))
+      case sources.EqualNullSafe(a, v) if a == b.col && v != null =>
+        Set(bucketIdOf(toCat(v), dt, b.n))
+      case sources.In(a, vs) if a == b.col && vs.nonEmpty &&
+        !vs.contains(null) =>
+        vs.map(v => bucketIdOf(toCat(v), dt, b.n)).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
 
   /** A pushed single-column ORDER-BY-LIMIT ([[EpochStoreScanBuilder
     * .pushTopN]]): sort column, direction, null placement, k. */
@@ -999,7 +1110,11 @@ object EpochStore {
     * order (empty for unpartitioned stores), the manifest epoch and
     * root-relative dir of the entry that owns it, and the file itself. */
   private[sources] final case class ListedFile(
-      values: Seq[Any], epoch: Long, entryDir: String, status: FileStatus)
+      values: Seq[Any], epoch: Long, entryDir: String, status: FileStatus,
+      // hash-bucket layouts only: the file's `<col>_bucket=K` id, or -1
+      // for a file outside any bucket dir (e.g. a DML rewrite that
+      // landed unbucketed — always kept, disables SPJ reporting)
+      bucketId: Int = -1)
 
   /** Driver-side listing of a set of manifest entries: per entry dir,
     * either its files directly (unpartitioned store) or its NESTED
@@ -1014,7 +1129,9 @@ object EpochStore {
     * micro-batch. */
   private[sources] def listEntryFiles(
       spark: SparkSession, root: String, entries: Seq[EpochManifest.Entry],
-      partFields: Seq[StructField], partFilters: Array[Filter])
+      partFields: Seq[StructField], partFilters: Array[Filter],
+      bucket: Option[StoreBucket] = None,
+      bucketKeep: Option[Set[Int]] = None)
       : (Seq[ListedFile], Int, Int) = {
     val fs = new Path(root).getFileSystem(
       GraftBridge.sessionHadoopConf(spark))
@@ -1028,10 +1145,32 @@ object EpochStore {
     var total = 0
     var kept = 0
     val out = Seq.newBuilder[ListedFile]
+    // hash-bucket leaf level: prune `<col>_bucket=K` dirs against the
+    // probed bucket set; an entry WITHOUT bucket dirs (a DML rewrite
+    // that landed unbucketed) serves all its files, always kept
+    def bucketLeaf(p: Path, values: Seq[Any],
+                   e: EpochManifest.Entry): Unit = {
+      val b = bucket.get
+      val subs = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(b.dirPrefix))
+      if (subs.isEmpty) {
+        out ++= filesUnder(p).map(ListedFile(values, e.epoch, e.dir, _))
+      } else subs.foreach { sub =>
+        total += 1
+        val k = sub.getPath.getName.stripPrefix(b.dirPrefix).toIntOption
+          .getOrElse(-1)
+        if (bucketKeep.forall(_.contains(k))) {
+          kept += 1
+          out ++= filesUnder(sub.getPath)
+            .map(ListedFile(values, e.epoch, e.dir, _, bucketId = k))
+        }
+      }
+    }
     def descend(p: Path, level: Int, bound: Map[String, Any],
                 values: Seq[Any], e: EpochManifest.Entry): Unit = {
       if (level == partFields.length) {
-        out ++= filesUnder(p).map(ListedFile(values, e.epoch, e.dir, _))
+        if (bucket.nonEmpty) bucketLeaf(p, values, e)
+        else out ++= filesUnder(p).map(ListedFile(values, e.epoch, e.dir, _))
       } else {
         val f = partFields(level)
         val prefix = s"${f.name}="
@@ -1167,6 +1306,33 @@ object EpochStore {
     if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
     if (bloomColumn != null) r = r.option("bloomColumn", bloomColumn)
     r.load()
+  }
+
+  /** [[read]] over a hash-bucket store ([[StoreBucket]]): equality/IN
+    * probes on the bucket column open only the probed buckets, and two
+    * stores bucketed alike join storage-partitioned. */
+  def readBucketed(spark: SparkSession, root: String, schema: StructType,
+                   bucketColumn: String, bucketCount: Int,
+                   maxEpoch: Long = Long.MaxValue): DataFrame = {
+    var r = spark.read.format("epochstore").schema(schema)
+      .option("path", root)
+      .option("bucketColumn", bucketColumn)
+      .option("bucketCount", bucketCount.toString)
+    if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
+    r.load()
+  }
+
+  /** [[write]] into a hash-bucket layout. */
+  def writeBucketed(df: DataFrame, root: String, epoch: Long,
+                    bucketColumn: String, bucketCount: Int,
+                    statsColumns: Seq[String] = Nil): Unit = {
+    var w = df.write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", epoch.toString)
+      .option("bucketColumn", bucketColumn)
+      .option("bucketCount", bucketCount.toString)
+    if (statsColumns.nonEmpty)
+      w = w.option("statsColumns", statsColumns.mkString(","))
+    w.save()
   }
 
   /** The LATEST-WINS keyed view — the read side of upsert-by-append:
@@ -1456,6 +1622,13 @@ object EpochStore {
       s"compactStore on $root: entries without a _schema.json record: " +
         s"${missing.mkString(", ")} — use EpochManifest.compact with an " +
         "explicit schema for pre-evolution stores")
+    covered.find(e =>
+      EpochStoreWrite.readBucketSidecar(fs, root, e.dir).nonEmpty)
+      .foreach(e => throw new IllegalArgumentException(
+        s"compactStore on $root: entry ${e.dir} records a hash-bucket " +
+          "layout — plain folds would drop the bucket dirs (reads stay " +
+          "correct but unpruned); fold by re-writing through " +
+          "EpochStore.writeBucketed instead"))
     val parts0 = recs.map(_._2.get._2).distinct
     require(parts0.size == 1,
       s"partitionColumn changed across epochs of $root: $parts0")

@@ -51,7 +51,25 @@ import graft.core.EpochManifest
   * ADD COLUMNS. */
 class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The V2 FUNCTION face — what lets Spark resolve a bucketed table's
+    * `bucket(n, col)` KeyGroupedPartitioning to a catalyst transform:
+    * storage-partitioned joins of two same-bucketed stores need the
+    * catalog to expose the bucket function (the Iceberg SPJ pattern).
+    * `produceResult` computes the SAME pmod(murmur3) the writer laid
+    * dirs out with, so Spark-side evaluations agree with storage. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") EpochStoreBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
 
   /** SQL `CALL <cat>.system.<proc>(…)` — the maintenance tier
     * ([[EpochStoreProcedures]]): snapshots / compact / gc /
@@ -163,8 +181,20 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     if (entries.nonEmpty && recs.forall(_.isDefined)) {
       val (schema, partCol) =
         EpochStore.mergeRecorded(root, recs.map(_.get))
+      // the hash-bucket layout is served only when EVERY pinned entry
+      // records the same spec (a DML-rewritten or pre-bucket entry
+      // degrades the table to an unbucketed scan — correct, unpruned)
+      val buckets = entries
+        .map(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
+        .distinct
+      val bucket = buckets match {
+        case Seq(Some(b)) => Some(b)
+        case _ => None
+      }
       val opts = Map("path" -> root) ++
         partCol.map("partitionColumn" -> _) ++
+        bucket.map(b => "bucketColumn" -> b.col) ++
+        bucket.map(b => "bucketCount" -> b.n.toString) ++
         branch.map("branch" -> _) ++
         (if (asOfGeneration >= 0L)
           Map("asOfGeneration" -> asOfGeneration.toString)
@@ -210,23 +240,47 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     new EpochStoreTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
-  /** Identity partition columns from the declared transforms (the only
-    * partitioning the store's nested `col=value` dir layout expresses),
-    * in declaration = nesting order. */
-  private def partColsOf(schema: StructType,
-                         partitions: Array[Transform]): Seq[String] = {
-    val cols = partitions.toSeq.map { t =>
+  /** Declared transforms → (identity partition columns in nesting
+    * order, optional hash-bucket spec). `PARTITIONED BY (date, lang)`
+    * gives the nested `col=value` layout; `PARTITIONED BY
+    * (bucket(16, id))` the `id_bucket=K` hash layout — exclusive. */
+  private def partitioningOf(schema: StructType,
+                             partitions: Array[Transform])
+      : (Seq[String], Option[EpochStore.StoreBucket]) = {
+    var bucket: Option[EpochStore.StoreBucket] = None
+    val cols = partitions.toSeq.flatMap { t =>
       val refs = t.references()
-      require(t.name() == "identity" && refs.length == 1 &&
-        refs.head.fieldNames().length == 1,
-        s"epochstore supports PARTITIONED BY (columns…) identity " +
-          s"partitioning only, got $t")
-      refs.head.fieldNames().head
+      t.name() match {
+        case "identity" if refs.length == 1 &&
+          refs.head.fieldNames().length == 1 =>
+          Some(refs.head.fieldNames().head)
+        case "bucket" if refs.length == 1 &&
+          refs.head.fieldNames().length == 1 =>
+          require(bucket.isEmpty, "one bucket transform only")
+          val n = t.arguments().collectFirst {
+            case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              lv.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a count: $t"))
+          bucket = Some(EpochStore.StoreBucket(
+            refs.head.fieldNames().head, n))
+          None
+        case _ => throw new UnsupportedOperationException(
+          s"epochstore supports PARTITIONED BY (columns…) identity " +
+            s"partitioning or ONE bucket(n, col), got $t")
+      }
     }
-    cols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c is not in the table schema"))
-    cols
+    require(cols.isEmpty || bucket.isEmpty,
+      "identity partition columns and bucket(n, col) are exclusive")
+    (cols ++ bucket.map(_.col)).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c is not in the table schema"))
+    (cols, bucket)
   }
+
+  private def partColsOf(schema: StructType,
+                         partitions: Array[Transform]): Seq[String] =
+    partitioningOf(schema, partitions)._1
 
   /** Write-tuning options carried as table properties (`OPTIONS(...)`
     * lands them plain AND `option.`-prefixed; accept either). */
@@ -265,10 +319,10 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     if (isStore(root))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val partCols = partColsOf(schema, partitions)
+    val (partCols, bucket) = partitioningOf(schema, partitions)
     val dir = EpochManifest.newDataDir(spark, root, 0L)
     fs.mkdirs(new Path(s"$root/$dir"))
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols, bucket)
     EpochManifest.commitWith(spark, root) { cur =>
       require(cur.isEmpty,
         s"CREATE TABLE: a table appeared at $root concurrently — " +
@@ -291,9 +345,10 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     if (isStore(root))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    new StagedEpochStoreTable(root, info.schema(),
-      partColsOf(info.schema(), info.partitions()),
-      statsColsOf(info.schema(), info.properties()), replaceBase = None)
+    val (pcs, bkt) = partitioningOf(info.schema(), info.partitions())
+    new StagedEpochStoreTable(root, info.schema(), pcs,
+      statsColsOf(info.schema(), info.properties()), replaceBase = None,
+      bucketSpec = bkt)
   }
 
   override def stageReplace(ident: Identifier,
@@ -301,20 +356,22 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = rootOf(ident)
     if (!isStore(root)) throw new NoSuchTableException(ident)
-    new StagedEpochStoreTable(root, info.schema(),
-      partColsOf(info.schema(), info.partitions()),
+    val (pcs, bkt) = partitioningOf(info.schema(), info.partitions())
+    new StagedEpochStoreTable(root, info.schema(), pcs,
       statsColsOf(info.schema(), info.properties()),
-      replaceBase = Some(EpochManifest.entries(spark, root)))
+      replaceBase = Some(EpochManifest.entries(spark, root)),
+      bucketSpec = bkt)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
                                     info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = rootOf(ident)
-    new StagedEpochStoreTable(root, info.schema(),
-      partColsOf(info.schema(), info.partitions()),
+    val (pcs, bkt) = partitioningOf(info.schema(), info.partitions())
+    new StagedEpochStoreTable(root, info.schema(), pcs,
       statsColsOf(info.schema(), info.properties()),
-      replaceBase = Some(EpochManifest.entries(spark, root)))
+      replaceBase = Some(EpochManifest.entries(spark, root)),
+      bucketSpec = bkt)
   }
 
   /** `ALTER TABLE … ADD COLUMNS (…)` — the SQL face of the store's
@@ -428,6 +485,45 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalStateException(
           s"namespace ${namespace.mkString(".")} is not empty — use CASCADE")
       fs.delete(p, true)
+    }
+  }
+}
+
+
+/** The epochstore bucket function as a Spark V2 function — bound per
+  * value type, result = the bucket id [[EpochStore.bucketIdOf]] lays
+  * dirs out with. Its canonical name is what KeyGroupedPartitioning
+  * compatibility compares across the two sides of a
+  * storage-partitioned join. */
+private[sources] object EpochStoreBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "epochstore hash bucket: pmod(murmur3(value, seed 42), n)"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(n, col) takes two arguments, got $inputType")
+    val dt = inputType.fields(1).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType,
+      StringType)(dt),
+      s"bucket over $dt — only integral and string columns bucket")
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[
+      java.lang.Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.epochstore.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): java.lang.Integer = {
+        val n = input.getInt(0)
+        val v = if (input.isNullAt(1)) null else input.get(1, dt)
+        EpochStore.bucketIdOf(v, dt, n)
+      }
     }
   }
 }

@@ -43,7 +43,8 @@ final class StagedEpochStoreTable(
     statsCols: Seq[(String, Char)],
     // None = CREATE (the root must still be table-free at commit);
     // Some(base) = REPLACE (the head must still equal `base` at commit)
-    replaceBase: Option[Seq[EpochManifest.Entry]])
+    replaceBase: Option[Seq[EpochManifest.Entry]],
+    bucketSpec: Option[EpochStore.StoreBucket] = None)
     extends StagedTable with SupportsWrite {
 
   partCols.foreach(c => require(tableSchema.fieldNames.contains(c),
@@ -93,7 +94,7 @@ final class StagedEpochStoreTable(
         : DataWriterFactory =
       new EpochStoreWriterFactory(s"$root/$dir", tableSchema, partCols,
         EpochStoreBatchWrite.primedConf(spark, tableSchema, partCols),
-        None, statsCols)
+        None, statsCols, bucketSpec)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // everything EXCEPT the manifest publish — that is
@@ -106,7 +107,8 @@ final class StagedEpochStoreTable(
       EpochStoreStats.write(fs, root, dir,
         messages.collect { case m: EpochFilesWritten => m.fileStats }
           .flatten.toSeq)
-      EpochStoreWrite.writeSchemaSidecar(fs, root, dir, tableSchema, partCols)
+      EpochStoreWrite.writeSchemaSidecar(fs, root, dir, tableSchema,
+        partCols, bucketSpec)
       stagedEpoch = epoch
       stagedDir = Some(dir)
     }

@@ -92,6 +92,25 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     cols
   }
 
+  /** `bucketColumn`/`bucketCount`: the hash-bucket layout
+    * ([[EpochStore.StoreBucket]]) — `<col>_bucket=K` dirs, the column
+    * KEPT in the files. Integral and string columns (the bucket hash
+    * needs a stable catalyst representation on both sides). */
+  private def bucketOf2(): Option[EpochStore.StoreBucket] = {
+    val b = EpochStore.bucketOf(info.options())
+    b.foreach { sb =>
+      val f = info.schema().fields.find(_.name == sb.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucketColumn ${sb.col} is not in the written schema"))
+      import org.apache.spark.sql.types._
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType,
+        StringType)(f.dataType),
+        s"bucketColumn ${sb.col} has type ${f.dataType} — only integral " +
+          "and string columns have a stable cross-side bucket hash")
+    }
+    b
+  }
+
   /** `bloomColumn`: build one bloom-filter SIDECAR per data file over
     * this column's values (`_skip/<rel>.bloom`) — the read side skips
     * whole files on point lookups ([[EpochStoreScan]]). Integral and
@@ -215,7 +234,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
           "take epoch appends; publish replaces main atomically"))
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
         bloomOf(), statsOf(), overwriteMode, branch,
-        autoEpoch = explicitEpoch.isEmpty)
+        autoEpoch = explicitEpoch.isEmpty, bucketSpec = bucketOf2())
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -513,7 +532,9 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  overwrite: EpochOverwrite =
                                    EpochOverwrite.AppendOnly,
                                  branch: Option[String] = None,
-                                 autoEpoch: Boolean = false)
+                                 autoEpoch: Boolean = false,
+                                 bucketSpec: Option[EpochStore.StoreBucket] =
+                                   None)
     extends BatchWrite {
 
   // fail a doomed job before any executor work; declaring the bloom
@@ -533,7 +554,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
       : DataWriterFactory =
     new EpochStoreWriterFactory(s"$root/$dir", schema, partCols,
       EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCols),
-      bloom, statsCols)
+      bloom, statsCols, bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -552,7 +573,8 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     }
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols,
+      bucketSpec)
     overwrite match {
       case EpochOverwrite.AppendOnly =>
         // epoch-REPLACEMENT is retry idempotence for EXPLICIT epochs; an
@@ -698,15 +720,39 @@ object EpochStoreWrite {
     * all. */
   private[sources] def writeSchemaSidecar(
       fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String,
-      schema: StructType, partCols: Seq[String]): Unit = {
+      schema: StructType, partCols: Seq[String],
+      bucket: Option[EpochStore.StoreBucket] = None): Unit = {
     partCols.foreach(c => require(!c.contains(",") && !c.contains("\""),
       s"partition column name '$c' cannot be recorded"))
+    bucket.foreach(b => require(!b.col.contains("\""),
+      s"bucket column name '${b.col}' cannot be recorded"))
     val p = new Path(s"$root/$dir/_schema.json")
-    val body = (if (partCols.isEmpty) """{}"""
-      else s"""{"partitionColumn":"${partCols.mkString(",")}"}""") +
-      "\n" + schema.json + "\n"
+    val head = Seq(
+      if (partCols.isEmpty) None
+      else Some(s""""partitionColumn":"${partCols.mkString(",")}""""),
+      bucket.map(b =>
+        s""""bucketColumn":"${b.col}","bucketCount":${b.n}""")
+    ).flatten.mkString("{", ",", "}")
+    val body = head + "\n" + schema.json + "\n"
     val out = fs.create(p, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The bucket layout an entry's `_schema.json` records (None for
+    * identity-partitioned / unbucketed entries). */
+  private[sources] def readBucketSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
+      : Option[EpochStore.StoreBucket] = {
+    val p = new Path(s"$root/$dir/_schema.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val head = body.linesIterator.filter(_.nonEmpty).toSeq.head
+    if (!head.contains("\"bucketColumn\":\"")) None
+    else Some(EpochStore.StoreBucket(
+      head.split("\"bucketColumn\":\"")(1).takeWhile(_ != '"'),
+      head.split("\"bucketCount\":")(1).takeWhile(_.isDigit).toInt))
   }
 
   /** Parse one entry's `_schema.json` back to (schema, partitionColumn);
@@ -758,12 +804,14 @@ final class EpochStoreWriterFactory(dirPath: String, schema: StructType,
                                     partCols: Seq[String],
                                     bc: Broadcast[SerializableConfiguration],
                                     bloom: Option[BloomSpec] = None,
-                                    statsCols: Seq[(String, Char)] = Nil)
+                                    statsCols: Seq[(String, Char)] = Nil,
+                                    bucketSpec: Option[EpochStore.StoreBucket] =
+                                      None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new EpochStoreDataWriter(dirPath, schema, partCols, bc, partitionId,
-      taskId, bloom, statsCols)
+      taskId, bloom, statsCols, bucketSpec)
 }
 
 final class EpochStoreDataWriter(dirPath: String, schema: StructType,
@@ -771,11 +819,17 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
                                  bc: Broadcast[SerializableConfiguration],
                                  partitionId: Int, taskId: Long,
                                  bloom: Option[BloomSpec] = None,
-                                 statsCols: Seq[(String, Char)] = Nil)
+                                 statsCols: Seq[(String, Char)] = Nil,
+                                 bucketSpec: Option[EpochStore.StoreBucket] =
+                                   None)
     extends DataWriter[InternalRow] {
 
   private val partIdxs: Array[Int] = partCols.map(schema.fieldIndex).toArray
   private val partTypes = partIdxs.map(i => schema.fields(i).dataType)
+  private val bucketIdx: Int =
+    bucketSpec.map(b => schema.fieldIndex(b.col)).getOrElse(-1)
+  private val bucketType =
+    bucketSpec.map(b => schema(b.col).dataType).orNull
   // data columns = everything except the partition columns, in order
   private val dataIdx: Array[Int] =
     schema.fields.indices.filterNot(partIdxs.contains(_)).toArray
@@ -833,6 +887,13 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
     * the read side's [[EpochStore]] escaping contract (%XX for anything
     * outside [A-Za-z0-9._-], hive sentinel for null). */
   private def subdirOf(row: InternalRow): String = {
+    // hash-bucket layout: one `<col>_bucket=K` level, the column kept
+    // in the files (exclusive with identity partitioning)
+    bucketSpec.foreach { b =>
+      val v = if (row.isNullAt(bucketIdx)) null
+        else row.get(bucketIdx, bucketType)
+      return b.dirPrefix + EpochStore.bucketIdOf(v, bucketType, b.n)
+    }
     if (partIdxs.isEmpty) return ""
     val segs = new Array[String](partIdxs.length)
     var i = 0

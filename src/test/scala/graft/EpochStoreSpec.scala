@@ -1880,6 +1880,134 @@ class EpochStoreSpec extends SparkSpec {
       .head.getLong(0) == 10, "the tagged snapshot must stay answerable")
   }
 
+  // ---- hash-bucket layout (r13) ----
+
+  test("bucket layout: equality/IN probes open only the probed buckets; " +
+      "residual filters still run; nulls and bucketless entries stay safe") {
+    import spark.implicits._
+    val root = tmp()
+    val rows: Seq[(java.lang.Long, String)] =
+      (0 until 400).map(i => (java.lang.Long.valueOf(i.toLong), s"v$i")) :+
+        ((null.asInstanceOf[java.lang.Long], "vnull"))
+    EpochStore.writeBucketed(rows.toDF("id", "v"), root, 0L,
+      bucketColumn = "id", bucketCount = 8)
+    def rd() = EpochStore.readBucketed(spark, root, idvSchema, "id", 8)
+    assert(rd().count() == 401)
+    // a point probe opens ONE bucket dir; the residual filter still
+    // runs (many ids share the bucket)
+    val eq = rd().filter(col("id") === 37L)
+    assert(eq.collect().map(_.getString(1)).toSeq == Seq("v37"))
+    assert(scanOf(eq).selectedPartitionDirs == (1, 8),
+      s"probe must open one bucket: ${scanOf(eq).selectedPartitionDirs}")
+    // IN opens at most |probes| buckets
+    val in = rd().filter(col("id").isin(1L, 2L, 3L))
+    assert(in.count() == 3)
+    assert(scanOf(in).selectedPartitionDirs._1 <= 3)
+    // null-matching probes never prune wrongly
+    assert(rd().filter(col("id").isNull).count() == 1)
+    assert(rd().filter(col("id") === 999999L).count() == 0)
+    // an UNBUCKETED entry (e.g. a DML rewrite) is always kept whole
+    import graft.core.EpochManifest
+    EpochManifest.append(Seq((9000L, "plain")).toDF("id", "v"), root, 1L)
+    val mixed = rd().filter(col("id") === 9000L)
+    assert(mixed.collect().map(_.getString(1)).toSeq == Seq("plain"),
+      "a bucketless entry's rows must always be served")
+  }
+
+  test("bucket layout: two same-bucketed stores join storage-partitioned " +
+      "(zero shuffle) with v2 bucketing on; DPP narrows the bucket listing") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("bkspj", wh)
+    val left = s"$wh/l"
+    val right = s"$wh/r"
+    EpochStore.writeBucketed((0 until 400).map(i => (i.toLong, s"L$i"))
+      .toDF("id", "v"), left, 0L, bucketColumn = "id", bucketCount = 8)
+    EpochStore.writeBucketed((0 until 400).map(i => (i.toLong, s"R$i"))
+      .toDF("id", "v"), right, 0L, bucketColumn = "id", bucketCount = 8)
+    // SPJ needs the FUNCTION-CATALOG route: the table's bucket(n, col)
+    // partitioning resolves through EpochStoreBucketFunction, so read
+    // via the catalog, not format().load()
+    def l() = spark.table("bkspj.l")
+    def r() = spark.table("bkspj.r").withColumnRenamed("v", "w")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = l().join(r(), "id")
+      assert(j.count() == 400)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val exchanges = nodes(j.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"same-bucket join must be storage-partitioned (no shuffle):\n" +
+          j.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // DPP: a selective parquet dim joined on the bucket column narrows
+    // the bucket listing at runtime
+    val dimDir = tmp()
+    Seq((5L, "keep"), (6L, "drop")).toDF("id", "tag").write
+      .mode("overwrite").parquet(dimDir)
+    val joined = EpochStore.readBucketed(spark, left, idvSchema, "id", 8)
+      .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"), "id")
+    assert(joined.collect().length == 1)
+    def nodes2(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes2(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes2(q.plan)
+      case other => other +: other.children.flatMap(nodes2)
+    }
+    val scans = nodes2(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case s: EpochStoreScan => s }
+    assert(scans.exists(_.runtimeFiltered),
+      "the bucket scan must receive a runtime (DPP) filter")
+    assert(scans.find(_.runtimeFiltered).get.selectedPartitionDirs._1 == 1,
+      "DPP must narrow the listing to the probed bucket")
+  }
+
+  test("bucket layout through SQL: PARTITIONED BY (bucket(8, id)) CTAS, " +
+      "discovery, probe pruning") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("bk1", wh)
+    (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("bk1src")
+    spark.sql("CREATE TABLE bk1.t PARTITIONED BY (bucket(8, id)) AS " +
+      "SELECT id, v FROM bk1src")
+    assert(spark.sql("SELECT COUNT(*) FROM bk1.t").head.getLong(0) == 200)
+    // discovery serves the recorded bucket spec: probes prune
+    val probe = spark.sql("SELECT v FROM bk1.t WHERE id = 77")
+    assert(probe.collect().map(_.getString(0)).toSeq == Seq("v77"))
+    assert(scanOf(probe).selectedPartitionDirs == (1, 8),
+      s"SQL probe pruning: ${scanOf(probe).selectedPartitionDirs}")
+    // the dir layout is the bucket layout
+    val entry = EpochManifest.entries(spark, s"$wh/t").head.dir
+    val dirs = hfs(s"$wh/t")
+      .listStatus(new org.apache.hadoop.fs.Path(s"$wh/t/$entry"))
+      .map(_.getPath.getName).filter(_.startsWith("id_bucket=")).toSeq
+    assert(dirs.size == 8, s"bucket dirs: $dirs")
+    // INSERT keeps bucketing (options carried by the table)
+    spark.sql("INSERT INTO bk1.t VALUES (9000, 'nine')")
+    val p2 = spark.sql("SELECT v FROM bk1.t WHERE id = 9000")
+    assert(p2.collect().map(_.getString(0)).toSeq == Seq("nine"))
+    assert(scanOf(p2).selectedPartitionDirs._1 <= 2,
+      "the probe must open at most one bucket per entry")
+  }
+
   // ---- r13 self-review closures ----
 
   test("legacy UTF-16-ordered string sidecars ('s') contribute no order " +
