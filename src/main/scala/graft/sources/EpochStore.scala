@@ -549,7 +549,7 @@ final case class EpochStoreScan(
         "branches are write-audit-publish staging; tail main (publish " +
         "first) or batch-read the branch head")
     new EpochStoreMicroBatchStream(fullSchema, required, partCols, root,
-      partFilters, dataFilters, streamOptions, bloomCol)
+      partFilters, dataFilters, streamOptions, bloomCol, bucket)
   }
 
   /** Runtime (DPP) filters on the partition column — delivered by Spark

@@ -31,10 +31,10 @@ import graft.core.EpochManifest
 private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
-    Seq("snapshots", "compact", "gc", "expire_snapshots", "purge_deletes",
-      "tag", "untag", "tags", "add_constraint", "drop_constraint",
-      "constraints", "create_branch", "publish_branch", "drop_branch",
-      "branches")
+    Seq("snapshots", "partitions", "compact", "gc", "expire_snapshots",
+      "purge_deletes", "tag", "untag", "tags", "add_constraint",
+      "drop_constraint", "constraints", "create_branch", "publish_branch",
+      "drop_branch", "branches")
 
   private def spark = SparkSession.active
 
@@ -247,6 +247,70 @@ private[sources] object EpochStoreProcedures {
           result(StructType(Seq(
             StructField("name", StringType, nullable = false),
             StructField("generation", LongType, nullable = false))),
+            out.toArray)
+        }
+      }
+
+      case "partitions" => new Proc("partitions", Array(tableParam)) {
+        override def description(): String =
+          "the store's partition/bucket dirs with file and recorded row " +
+            "counts (rows = -1 when some file lacks a stats record) — " +
+            "SHOW PARTITIONS for the epochstore layout, metadata-only"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+            org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
+          val entries = EpochManifest.entries(spark, root)
+          // every entry's leaf partition dirs (identity chains AND
+          // bucket dirs), with file + sidecar-recorded row counts
+          def leaves(p: org.apache.hadoop.fs.Path, rel: String)
+              : Seq[(String, org.apache.hadoop.fs.Path)] = {
+            val subs = fs.listStatus(p).toSeq.filter(st =>
+              st.isDirectory && st.getPath.getName.contains("=") &&
+                !st.getPath.getName.startsWith("_"))
+            if (subs.isEmpty) Seq((rel, p))
+            else subs.flatMap(st => leaves(st.getPath,
+              if (rel.isEmpty) st.getPath.getName
+              else s"$rel/${st.getPath.getName}"))
+          }
+          def filesUnder(p: org.apache.hadoop.fs.Path)
+              : Seq[org.apache.hadoop.fs.FileStatus] = {
+            val (dirs, files) = fs.listStatus(p).toSeq
+              .filterNot(st => st.getPath.getName.startsWith("_") ||
+                st.getPath.getName.startsWith("."))
+              .partition(_.isDirectory)
+            files.filter(_.getLen > 0) ++
+              dirs.flatMap(d => filesUnder(d.getPath))
+          }
+          val rows = entries.flatMap { e =>
+            val ep = new org.apache.hadoop.fs.Path(s"$root/${e.dir}")
+            if (!fs.exists(ep)) Nil
+            else {
+              val stats = EpochStoreStats.read(fs, root, e.dir)
+              val qe = fs.makeQualified(ep).toString
+              leaves(ep, "").map { case (part, p) =>
+                val fls = filesUnder(p)
+                val recorded = fls.map { st =>
+                  stats.get(fs.makeQualified(st.getPath).toString
+                    .stripPrefix(qe).stripPrefix("/")).map(_.rows)
+                }
+                val n: Long =
+                  if (recorded.forall(_.isDefined)) recorded.flatten.sum
+                  else -1L
+                ((if (part.isEmpty) "<unpartitioned>" else part),
+                  e.epoch, fls.size, n)
+              }
+            }
+          }.sortBy(t => (t._1, t._2))
+          val out = rows.map { case (part, epoch, files, n) =>
+            row(org.apache.spark.unsafe.types.UTF8String.fromString(part),
+              epoch, files, n)
+          }
+          result(StructType(Seq(
+            StructField("partition", StringType, nullable = false),
+            StructField("epoch", LongType, nullable = false),
+            StructField("files", IntegerType, nullable = false),
+            StructField("rows", LongType, nullable = false))),
             out.toArray)
         }
       }

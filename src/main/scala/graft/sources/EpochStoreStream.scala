@@ -61,7 +61,8 @@ final class EpochStoreMicroBatchStream(
     fullSchema: StructType, required: StructType, partCols: Seq[String],
     root: String, partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String],
-    bloomCol: Option[String] = None)
+    bloomCol: Option[String] = None,
+    bucket: Option[EpochStore.StoreBucket] = None)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -151,7 +152,12 @@ final class EpochStoreMicroBatchStream(
           "compaction overtook the stream reader; compact only up to the " +
           "stream's committed offset"))
     val (files, _, _) =
-      EpochStore.listEntryFiles(spark, root, batch, partFields, partFilters)
+      EpochStore.listEntryFiles(spark, root, batch, partFields, partFilters,
+        bucket = bucket,
+        // a filtered bucket-store tail pays only the probed buckets per
+        // trigger, same as the batch scan
+        bucketKeep = bucket.flatMap(b => EpochStore.bucketProbes(
+          dataFilters, b, fullSchema(b.col).dataType)))
     // the tail skips files exactly like the batch scan: a filtered
     // stream consumer pays only for the epochs' matching files
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(

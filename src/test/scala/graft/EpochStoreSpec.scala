@@ -2008,6 +2008,26 @@ class EpochStoreSpec extends SparkSpec {
       "the probe must open at most one bucket per entry")
   }
 
+  test("CALL partitions: metadata-only SHOW PARTITIONS across identity, " +
+      "bucket, and unpartitioned layouts") {
+    import spark.implicits._
+    val wh = tmp()
+    bucketEpochStore(s"$wh/ident") // 4 epochs × bucket=K identity dirs
+    EpochStore.writeBucketed((0 until 40).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), s"$wh/hashed", 0L,
+      bucketColumn = "id", bucketCount = 4)
+    cat("parts1", wh)
+    val ident = spark.sql("CALL parts1.system.partitions('ident')").collect()
+    assert(ident.length == 4, s"one leaf dir per epoch's bucket: ${ident.length}")
+    assert(ident.forall(_.getLong(3) == 10L),
+      "recorded row counts from the stats sidecars")
+    val hashed = spark.sql("CALL parts1.system.partitions('hashed')").collect()
+    assert(hashed.length == 4 &&
+      hashed.forall(_.getString(0).startsWith("id_bucket=")),
+      s"bucket dirs listed: ${hashed.map(_.getString(0)).toSeq}")
+    assert(hashed.map(_.getLong(3)).sum == 40L)
+  }
+
   // ---- r13 self-review closures ----
 
   test("legacy UTF-16-ordered string sidecars ('s') contribute no order " +
