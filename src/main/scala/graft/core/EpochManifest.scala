@@ -622,6 +622,27 @@ object EpochManifest {
       .flatMap(s => gen(s.getPath).map(_ -> s.getPath)).sortBy(_._1)
   }
 
+  /** Every dir referenced by a live branch lineage OR an in-flight
+    * publish fence (`.publishing-*` — [[publishBranch]]'s retired
+    * lineage): the branch-side retention anchors [[gc]] and
+    * [[expireSnapshots]] share. A crashed publish leaves its fence dir
+    * behind; anchoring it means the data is still there when an
+    * operator renames the fence back to `branch-<name>` to recover. */
+  private def branchAnchoredDirs(spark: SparkSession,
+                                 root: String): Set[String] = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) return Set.empty
+    fs.listStatus(md).toSeq
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("branch-") ||
+          s.getPath.getName.startsWith(".publishing-")))
+      .flatMap(b => fs.listStatus(b.getPath).toSeq
+        .flatMap(s => gen(s.getPath).map(_ -> s.getPath)).sortBy(_._1)
+        .flatMap(m => parse(spark, m._2)))
+      .map(_.dir).toSet
+  }
+
   /** Create `name` at main's current head (the branch's BASE): the head
     * manifest body is copied in as the branch's first generation, so
     * the branch starts as an exact snapshot and its lowest generation
@@ -711,19 +732,51 @@ object EpochManifest {
     * the base snapshot, so a silently-merged publish could clobber or
     * straddle what landed since (re-branch from the new head and replay
     * instead). The published generation is a normal main generation:
-    * time-travelable, taggable, gc-managed. */
+    * time-travelable, taggable, gc-managed.
+    *
+    * Concurrent branch WRITERS are fenced by RETIRING the lineage
+    * first: the branch dir is atomically renamed to a hidden
+    * `.publishing-` name BEFORE the head is read, so a
+    * commitBranchWith / commitBranchFreshEpochDir racing the publish
+    * either lands before the rename (its epoch is in the published
+    * head) or fails loudly ("no manifest under branch" — its CAS
+    * target dir is gone). Without the fence, a branch commit landing
+    * between the head read and the drop would return success yet its
+    * epoch would be silently discarded. A refused publish (stale main
+    * base) renames the lineage back, branch intact. */
   def publishBranch(spark: SparkSession, root: String, name: String): Long = {
-    val (baseGen, _, headEntries) = branchState(spark, root, name)
-    val g = commitWith(spark, root) { _ =>
-      val liveGen = manifests(spark, root).last._1
-      require(liveGen == baseGen,
-        s"branch '$name' of $root was created at generation $baseGen but " +
-          s"main is now at $liveGen — a commit landed since the branch; " +
-          "re-branch from the new head and replay the writes")
-      headEntries
+    val fs = fsOf(spark, root)
+    val bd = branchPath(root, name)
+    require(fs.exists(bd),
+      s"no branch '$name' under $root — branches: ${branches(spark, root)}")
+    val retired = new Path(bd.getParent,
+      s".publishing-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    require(fs.rename(bd, retired),
+      s"branch '$name' of $root: retire rename failed — a concurrent " +
+        "publish or drop took the branch; re-check branchState")
+    val bms = fs.listStatus(retired).toSeq
+      .flatMap(s => gen(s.getPath).map(_ -> s.getPath)).sortBy(_._1)
+    require(bms.nonEmpty, s"branch '$name' of $root has no manifest")
+    val baseGen = bms.head._1
+    val headEntries = parse(spark, bms.last._2)
+    try {
+      val g = commitWith(spark, root) { _ =>
+        val liveGen = manifests(spark, root).last._1
+        require(liveGen == baseGen,
+          s"branch '$name' of $root was created at generation $baseGen but " +
+            s"main is now at $liveGen — a commit landed since the branch; " +
+            "re-branch from the new head and replay the writes")
+        headEntries
+      }
+      fs.delete(retired, true)
+      g
+    } catch {
+      case e: Throwable =>
+        // publish refused/failed: restore the lineage so the branch's
+        // audited epochs are not lost (re-branch-and-replay needs them)
+        fs.rename(retired, bd)
+        throw e
     }
-    dropBranch(spark, root, name)
-    g
   }
 
   /** Drop a branch ref; its never-published dirs become aged-gc
@@ -772,9 +825,7 @@ object EpochManifest {
     val expiredGens = expired.map(_._1).toSet
     val keepDirs = ms.filterNot(m => expiredGens(m._1))
       .flatMap(m => parse(spark, m._2)).map(_.dir).toSet ++
-      branches(spark, root).flatMap(b =>
-        branchManifests(spark, root, b).flatMap(m => parse(spark, m._2)))
-        .map(_.dir).toSet
+      branchAnchoredDirs(spark, root)
     val orphaned = expired.flatMap(m => parse(spark, m._2)).map(_.dir)
       .distinct.filterNot(keepDirs)
     expired.foreach(m => fs.delete(m._2, false))
@@ -805,12 +856,10 @@ object EpochManifest {
     val tagged = tags(spark, root).values.toSet
     val keepManifests =
       ms.takeRight(2) ++ ms.dropRight(2).filter(m => tagged(m._1))
-    // live BRANCHES are retention anchors too: an in-flight
-    // write-audit-publish lineage references dirs no main manifest
-    // names yet
-    val branchDirs = branches(spark, root).flatMap(b =>
-      branchManifests(spark, root, b).flatMap(m => parse(spark, m._2)))
-      .map(_.dir).toSet
+    // live BRANCHES (and in-flight publish fences) are retention
+    // anchors too: a write-audit-publish lineage references dirs no
+    // main manifest names yet
+    val branchDirs = branchAnchoredDirs(spark, root)
     val keepDirs = keepManifests.flatMap(m => parse(spark, m._2))
       .map(_.dir).toSet ++ branchDirs
     // every dir ANY retained manifest names — the committed-history set

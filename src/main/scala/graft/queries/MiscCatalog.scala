@@ -1048,13 +1048,12 @@ object MiscCatalog {
     * aligned the two tables on lang; the engine joins them without the
     * terabyte shuffle that would re-align what was never misaligned.
     *
-    * The `v2.bucketing.enabled` set is one-way for the session (the
-    * [[Tables.events]] conf precedent): it only unlocks a plan
-    * improvement on scans that report a key grouping — results of every
-    * other query are unchanged by construction. */
+    * `v2.bucketing.enabled` is set on a THROWAWAY child session (shared
+    * SparkContext, private SQLConf) and the returned DataFrame executes
+    * there — the flag can never leak into the shared session and shadow
+    * a later query's plan shape. */
   def storeSpj(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val docsDir = langStore(spark, sfDir)
     val sampDir = graft.core.Landed.dir(spark, s"spj_store:$sfDir",
         "graft_spj_store") { d =>
@@ -1066,8 +1065,10 @@ object MiscCatalog {
     }
     val sampSchema = StructType(Seq(
       StructField("n_sample", LongType), StructField("lang", StringType)))
-    val docs = graft.sources.EpochStore.read(spark, docsDir, langStoreSchema, "lang")
-    val samp = graft.sources.EpochStore.read(spark, sampDir, sampSchema, "lang")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val docs = graft.sources.EpochStore.read(s2, docsDir, langStoreSchema, "lang")
+    val samp = graft.sources.EpochStore.read(s2, sampDir, sampSchema, "lang")
     docs.join(samp, Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
@@ -1324,9 +1325,13 @@ object MiscCatalog {
 
   /** One FRESH lang-partitioned documents store per call (DML mutates
     * it, so bench re-runs must not see a prior run's edits), addressed
-    * through a run-unique catalog name. Returns (catalog, table ref). */
+    * through a THROWAWAY child session (shared SparkContext, private
+    * SQLConf) so the per-run catalog registration dies with the session
+    * instead of accumulating on — and shadowing plan shapes in — the
+    * shared one. Returns (child session, table ref); run the statements
+    * on that session. */
   private def freshDmlStore(spark: SparkSession, sfDir: String,
-                            epochs: Int): (Long, String) = {
+                            epochs: Int): (SparkSession, String) = {
     val run = dmlRuns.incrementAndGet()
     val wh = java.nio.file.Files.createTempDirectory("graft_dml_wh").toString
     val root = s"$wh/docs"
@@ -1337,11 +1342,12 @@ object MiscCatalog {
     (0 until epochs).foreach(e => graft.sources.EpochStore.write(
       docs.filter(col("doc_id") % epochs === e), root, e.toLong,
       partitionColumn = "lang", statsColumns = Seq("doc_id")))
+    val s2 = spark.newSession()
     val c = s"graftdml$run"
-    spark.conf.set(s"spark.sql.catalog.$c",
+    s2.conf.set(s"spark.sql.catalog.$c",
       classOf[graft.sources.EpochStoreCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
-    (run, s"$c.docs")
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    (s2, s"$c.docs")
   }
 
   /** SQL DML through the store catalog (`q_store_dml`): DELETE (the
@@ -1361,11 +1367,11 @@ object MiscCatalog {
     * the kept-entry set; every statement is one manifest commit, and
     * the pre-DML snapshot stays time-travelable. */
   def storeDml(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, t) = freshDmlStore(spark, sfDir, epochs = 2)
-    spark.sql(s"DELETE FROM $t WHERE lang = 'en'")
-    spark.sql(s"UPDATE $t SET n_chars = -1 WHERE doc_id % 100 = 0")
-    spark.sql(s"INSERT INTO $t VALUES (9000001, 11, 'zz'), (9000002, 22, 'zz')")
-    spark.sql(
+    val (s2, t) = freshDmlStore(spark, sfDir, epochs = 2)
+    s2.sql(s"DELETE FROM $t WHERE lang = 'en'")
+    s2.sql(s"UPDATE $t SET n_chars = -1 WHERE doc_id % 100 = 0")
+    s2.sql(s"INSERT INTO $t VALUES (9000001, 11, 'zz'), (9000002, 22, 'zz')")
+    s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
   }
@@ -1465,19 +1471,20 @@ object MiscCatalog {
         col("lang"))
     graft.sources.EpochStore.write(docs, s"$wh/docs", 0L,
       partitionColumn = "lang")
+    val s2 = spark.newSession()
     val c = s"graftctas$run"
-    spark.conf.set(s"spark.sql.catalog.$c",
+    s2.conf.set(s"spark.sql.catalog.$c",
       classOf[graft.sources.EpochStoreCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
-    spark.sql(
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(
       s"""CREATE TABLE $c.big PARTITIONED BY (lang) AS
          |SELECT doc_id, n_chars, lang FROM $c.docs
          |WHERE n_chars > 100""".stripMargin)
-    spark.sql(
+    s2.sql(
       s"""REPLACE TABLE $c.big PARTITIONED BY (lang) AS
          |SELECT doc_id, n_chars, lang FROM $c.docs
          |WHERE n_chars > 300 AND doc_id % 3 = 0""".stripMargin)
-    spark.sql(
+    s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
          |  MIN(doc_id) AS min_id
          |FROM $c.big GROUP BY lang ORDER BY lang""".stripMargin)
@@ -1522,12 +1529,13 @@ object MiscCatalog {
         (col("doc_id") % 97).cast("long").as("score"))
     graft.sources.EpochStore.writeBucketed(scores, s"$wh/scores", 0L,
       bucketColumn = "vec_id", bucketCount = 8)
+    val s2 = spark.newSession()
     val c = s"graftbk$run"
-    spark.conf.set(s"spark.sql.catalog.$c",
+    s2.conf.set(s"spark.sql.catalog.$c",
       classOf[graft.sources.EpochStoreCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.sql(
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.sql(
       s"""SELECT d.lang, COUNT(*) AS n, SUM(d.n_chars) AS chars,
          |  SUM(s.score) AS score_sum
          |FROM $c.docs d JOIN $c.scores s ON d.doc_id = s.vec_id
@@ -1566,15 +1574,16 @@ object MiscCatalog {
         col("lang"))
     graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
       root, 0L, partitionColumn = "lang")
+    val s2 = spark.newSession()
     val c = s"graftwap$run"
-    spark.conf.set(s"spark.sql.catalog.$c",
+    s2.conf.set(s"spark.sql.catalog.$c",
       classOf[graft.sources.EpochStoreCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
-    spark.sql(s"CALL $c.system.create_branch('docs', 'ingest')").collect()
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(s"CALL $c.system.create_branch('docs', 'ingest')").collect()
     graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
       root, 1L, partitionColumn = "lang", branch = "ingest")
-    spark.sql(s"CALL $c.system.publish_branch('docs', 'ingest')").collect()
-    spark.sql(
+    s2.sql(s"CALL $c.system.publish_branch('docs', 'ingest')").collect()
+    s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
          |  MIN(doc_id) AS min_id
          |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
@@ -1597,14 +1606,14 @@ object MiscCatalog {
     * cell-exact; the procedure result rows themselves (entries 2→1,
     * two retained manifests) are asserted in EpochStoreSpec. */
   def storeCall(spark: SparkSession, sfDir: String): DataFrame = {
-    val (run, t) = freshDmlStore(spark, sfDir, epochs = 2)
+    val (s2, t) = freshDmlStore(spark, sfDir, epochs = 2)
     val cat = t.split('.').head
-    val folded = spark.sql(
+    val folded = s2.sql(
       s"CALL $cat.system.compact(table => 'docs', " +
         "sort_columns => 'doc_id', parts => 4)").head
     require(folded.getInt(1) == 1, s"compact must fold to one entry: $folded")
-    spark.sql(s"CALL $cat.system.gc('docs')").collect()
-    spark.sql(
+    s2.sql(s"CALL $cat.system.gc('docs')").collect()
+    s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
          |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
@@ -1628,13 +1637,13 @@ object MiscCatalog {
     * reclaimed an anchored snapshot, or a delete that leaked into the
     * pin fails cell-exact. */
   def storeTag(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, t) = freshDmlStore(spark, sfDir, epochs = 2)
+    val (s2, t) = freshDmlStore(spark, sfDir, epochs = 2)
     val c = t.split('.').head
-    spark.sql(s"CALL $c.system.tag('docs', 'v1')").collect()
-    spark.sql(s"DELETE FROM $t WHERE lang = 'en'")
-    spark.sql(s"CALL $c.system.compact('docs')").collect()
-    spark.sql(s"CALL $c.system.gc('docs')").collect()
-    spark.sql(
+    s2.sql(s"CALL $c.system.tag('docs', 'v1')").collect()
+    s2.sql(s"DELETE FROM $t WHERE lang = 'en'")
+    s2.sql(s"CALL $c.system.compact('docs')").collect()
+    s2.sql(s"CALL $c.system.gc('docs')").collect()
+    s2.sql(
       s"""SELECT l.lang, COALESCE(p.n_tagged, 0) AS n_tagged, l.n_live
          |FROM (SELECT lang, COUNT(*) AS n_live FROM $t GROUP BY lang) l
          |LEFT JOIN (SELECT lang, COUNT(*) AS n_tagged
@@ -1661,8 +1670,8 @@ object MiscCatalog {
     * carry-over row, a double-applied update, or a misplaced insert
     * fails the oracle. */
   def storeMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val (run, t) = freshDmlStore(spark, sfDir, epochs = 1)
-    val docs = Tables.documents(spark, sfDir)
+    val (s2, t) = freshDmlStore(spark, sfDir, epochs = 1)
+    val docs = Tables.documents(s2, sfDir)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
         col("lang"))
@@ -1670,14 +1679,14 @@ object MiscCatalog {
         col("lang"))
       .union(docs.select((col("doc_id") + 20000000L).as("doc_id"),
         col("n_chars"), lit("xx").as("lang")))
-    val v = s"graft_merge_src_$run"
+    val v = "graft_merge_src"
     src.createOrReplaceTempView(v)
-    spark.sql(
+    s2.sql(
       s"""MERGE INTO $t t USING $v s ON t.doc_id = s.doc_id
          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
          |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
          |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
-    spark.sql(
+    s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
   }

@@ -980,7 +980,7 @@ object EpochStore {
   /** The bucket of one CATALYST-internal value (UTF8String for strings,
     * primitives for integrals; null = the seed's bucket, matching
     * `hash(NULL)` = seed). */
-  private[sources] def bucketIdOf(v: Any, dt: DataType, n: Int): Int = {
+  private[graft] def bucketIdOf(v: Any, dt: DataType, n: Int): Int = {
     val h =
       if (v == null) 42L
       else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction

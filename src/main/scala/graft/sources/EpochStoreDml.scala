@@ -170,6 +170,117 @@ private[graft] object EpochStoreDml {
     }
   }
 
+  /** The post-overwrite entry list for a DYNAMIC `INSERT OVERWRITE`
+    * that wrote into `replaced` buckets of a hash-bucket layout: the
+    * generic tuple path cannot express "bucket K" as a column filter
+    * (many values share a bucket), so survival is resolved on the
+    * `<col>_bucket=K` dirs themselves —
+    *
+    *  - an entry whose bucket dirs are ALL replaced drops;
+    *  - one with NO replaced bucket stays untouched;
+    *  - a mixed entry carries its kept buckets over by FILE-LEVEL copy
+    *    into a replacement dir at the same epoch (no rows decoded —
+    *    the kept files, their bloom sidecars, and the stats slice move
+    *    as bytes);
+    *  - an UNBUCKETED entry (a CoW rewrite's honest downgrade) may hold
+    *    any bucket's rows — its survivors are rewritten by the same
+    *    pmod(murmur3) predicate the dirs are laid out with.
+    *
+    * The caller commits the result + the new epoch as ONE manifest
+    * generation (refusing on a racing commit), so the overwrite
+    * replaces exactly the written buckets — never the whole table. */
+  def resolveBucketOverwrite(spark: SparkSession, root: String,
+                             b: EpochStore.StoreBucket,
+                             replaced: Set[Int]): Seq[EpochManifest.Entry] = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    val es = EpochManifest.entries(spark, root)
+    if (replaced.isEmpty || es.isEmpty) return es
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val conf = GraftBridge.sessionHadoopConf(spark)
+    es.flatMap { e =>
+      val entryPath = new Path(s"$root/${e.dir}")
+      if (!fs.exists(entryPath)) Some(e)
+      else {
+        val subs = fs.listStatus(entryPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(b.dirPrefix))
+        if (subs.nonEmpty) {
+          val (dead, kept) = subs.partition(s =>
+            s.getPath.getName.stripPrefix(b.dirPrefix).toIntOption
+              .exists(replaced))
+          if (dead.isEmpty) Some(e)
+          else if (kept.isEmpty) None
+          else {
+            val dir2 =
+              if (e.minEpoch < e.epoch)
+                EpochManifest.newFoldDir(spark, root, e.epoch)
+              else EpochManifest.newDataDir(spark, root, e.epoch)
+            val dst = new Path(s"$root/$dir2")
+            fs.mkdirs(dst)
+            val keptNames = kept.map(_.getPath.getName).toSet
+            kept.foreach(s => org.apache.hadoop.fs.FileUtil.copy(
+              fs, s.getPath, fs, new Path(dst, s.getPath.getName),
+              false, conf))
+            // sidecars ride along: the schema record verbatim, the
+            // stats sidecar sliced to the kept files, kept blooms copied
+            val sc = new Path(entryPath, "_schema.json")
+            if (fs.exists(sc))
+              org.apache.hadoop.fs.FileUtil.copy(fs, sc, fs,
+                new Path(dst, "_schema.json"), false, conf)
+            val keptRel: String => Boolean =
+              rel => rel.split('/').headOption.exists(keptNames)
+            val sliced = EpochStoreStats.read(fs, root, e.dir).toSeq
+              .filter { case (rel, _) => keptRel(rel) }
+            EpochStoreStats.write(fs, root, dir2, sliced)
+            val skip = new Path(entryPath, "_skip")
+            if (fs.exists(skip)) {
+              def walk(p: Path): Seq[FileStatus] =
+                fs.listStatus(p).toSeq.flatMap(s =>
+                  if (s.isDirectory) walk(s.getPath) else Seq(s))
+              val qskip = fs.makeQualified(skip).toString
+              walk(skip)
+                .filter(_.getPath.getName.endsWith(".bloom"))
+                .foreach { s =>
+                  val rel = fs.makeQualified(s.getPath).toString
+                    .stripPrefix(qskip).stripPrefix("/")
+                  if (keptRel(rel)) {
+                    val d = new Path(s"$root/$dir2/_skip/$rel")
+                    fs.mkdirs(d.getParent)
+                    org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath,
+                      fs, d, false, conf)
+                  }
+                }
+            }
+            Some(e.copy(dir = dir2))
+          }
+        } else if (filesUnder(fs, entryPath).isEmpty) Some(e)
+        else {
+          // unbucketed entry: rows of any bucket may live here — keep
+          // the rows whose bucket is NOT replaced, by the layout's hash
+          val (schema, pc) = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
+            .getOrElse(throw new IllegalStateException(
+              s"dynamic INSERT OVERWRITE over bucket store $root: entry " +
+                s"${e.dir} predates schema records — compact the store first"))
+          val surv = spark.read.schema(schema).parquet(s"$root/${e.dir}")
+            .filter(not(expr(s"pmod(hash(`${b.col}`), ${b.n})")
+              .isin(replaced.toSeq: _*)))
+          val dir2 =
+            if (e.minEpoch < e.epoch)
+              EpochManifest.newFoldDir(spark, root, e.epoch)
+            else EpochManifest.newDataDir(spark, root, e.epoch)
+          surv.write.mode("overwrite").parquet(s"$root/$dir2")
+          EpochStoreWrite.writeSchemaSidecar(fs, root, dir2, schema,
+            EpochStore.splitPartCols(pc))
+          val kinds = EpochStoreStats.read(fs, root, e.dir).valuesIterator
+            .flatMap(_.cols.toSeq)
+            .map { case (c, cs) => (c, if (cs.kind == 's') 'S' else cs.kind) }
+            .toSeq.distinct.filter(k => schema.fieldNames.contains(k._1))
+          EpochStore.rederiveStats(spark, fs, root, dir2, schema, kinds)
+          Some(e.copy(dir = dir2))
+        }
+      }
+    }
+  }
+
   /** The post-delete entry list for `DELETE WHERE and(filters)`:
     * untouched entries pass through, all-dead entries drop, mixed
     * entries are rewritten copy-on-write (survivors = rows where the

@@ -232,6 +232,11 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       branch.foreach(b => require(overwriteMode == EpochOverwrite.AppendOnly,
         s"INSERT OVERWRITE onto branch '$b' is not supported — branches " +
           "take epoch appends; publish replaces main atomically"))
+      // dynamic overwrite on a hash-bucket layout: the replaced set is
+      // the WRITTEN BUCKETS (derived at commit from the committed files'
+      // `<col>_bucket=K` path segments), never the whole table — the
+      // commit path resolves it bucket-aware ([[EpochStoreBatchWrite]])
+      // instead of falling into the unpartitioned AlwaysTrue branch
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
         bloomOf(), statsOf(), overwriteMode, branch,
         autoEpoch = explicitEpoch.isEmpty, bucketSpec = bucketOf2())
@@ -597,6 +602,29 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
         }
       case EpochOverwrite.ByFilters(filters) =>
         commitOverwrite(spark, filters)
+      case EpochOverwrite.DynamicParts if bucketSpec.nonEmpty =>
+        // hash-bucket layout: the replaced set is the WRITTEN BUCKETS,
+        // derived from the committed files' `<col>_bucket=K` path
+        // segments — the tuple path below would see no partCols and
+        // truncate the whole table (the Iceberg contract replaces only
+        // the written bucket partitions)
+        val b = bucketSpec.get
+        val written = messages
+          .collect { case m: EpochFilesWritten => m.files }.flatten
+          .flatMap(_.split('/').headOption)
+          .filter(_.startsWith(b.dirPrefix))
+          .flatMap(_.stripPrefix(b.dirPrefix).toIntOption)
+          .toSet
+        val base = EpochManifest.entries(spark, root)
+        val survivors =
+          EpochStoreDml.resolveBucketOverwrite(spark, root, b, written)
+        require(!survivors.exists(_.epoch == epoch),
+          s"epochstore overwrite at epoch $epoch would collide with a " +
+            s"surviving entry at the same epoch under $root — use a fresh " +
+            "epoch (omit the option to auto-allocate)")
+        EpochManifest.commitIfUnchanged(spark, root, base,
+          survivors :+ EpochManifest.Entry(epoch, dir))
+        ()
       case EpochOverwrite.DynamicParts =>
         // replace exactly the partition-value TUPLES the batch wrote —
         // their dirs are the first partCols.length path segments of

@@ -2355,4 +2355,113 @@ class EpochStoreSpec extends SparkSpec {
     assert(!fs.exists(stale), "an abandoned staging dir must be reclaimed")
     fs.delete(fresh, true)
   }
+
+  test("dynamic INSERT OVERWRITE on a hash-bucket layout replaces exactly " +
+      "the written buckets — never the whole table") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    // 16 rows across 8 buckets of doc-style ids
+    val rows = (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    EpochStore.writeBucketed(rows, root, 0L, "id", 8)
+    cat("dyn1", wh)
+    val bucketOf: Long => Int =
+      id => graft.sources.EpochStore.bucketIdOf(id, LongType, 8)
+    // overwrite rows that all land in ONE bucket: every other bucket's
+    // rows must survive (the pre-fix path committed AlwaysTrue here,
+    // silently truncating all of them)
+    val victim = bucketOf(0L)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE dyn1.t VALUES (0, 'new0')")
+      val got = spark.sql("SELECT id, v FROM dyn1.t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val survivors = (0 until 16).map(_.toLong)
+        .filterNot(id => bucketOf(id) == victim)
+      assert(survivors.forall(id => got.get(id).contains(s"v$id")),
+        s"unwritten buckets' rows must survive: $got")
+      assert(got(0L) == "new0", "the written bucket is replaced")
+      assert((0 until 16).map(_.toLong)
+        .filter(id => bucketOf(id) == victim && id != 0L)
+        .forall(id => !got.contains(id)),
+        "the written bucket's OLD rows are replaced")
+      // bucket pruning still works on the carried-over entry: a point
+      // probe on a surviving id opens only its bucket dir
+      val sid = survivors.head
+      assert(spark.sql(s"SELECT v FROM dyn1.t WHERE id = $sid")
+        .head.getString(0) == s"v$sid")
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("publishBranch fences concurrent branch writers: a branch commit " +
+      "racing the publish window refuses loudly, never silently vanishes; " +
+      "a refused publish restores the branch") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    bucketEpochStore(root) // epochs 0-3
+    val fs = hfs(root)
+    EpochManifest.createBranch(spark, root, "b")
+    EpochStore.write(Seq((100L, "x", 0)).toDF("id", "v", "bucket"),
+      root, 100L, partitionColumn = "bucket", branch = "b")
+    // simulate the publish fence: the lineage dir is renamed away before
+    // the head read — exactly what publishBranch does first
+    val bd = new org.apache.hadoop.fs.Path(s"$root/_manifests/branch-b")
+    val fence = new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/.publishing-b-test")
+    assert(fs.rename(bd, fence))
+    val e = intercept[Exception] {
+      EpochManifest.commitBranchFreshEpochDir(spark, root, "b", "d999-1")
+    }
+    assert(e.getMessage.contains("no manifest"),
+      s"a fenced branch commit must refuse loudly: ${e.getMessage}")
+    // the fence is a gc retention anchor: the branch's never-published
+    // dir survives an aged gc while the publish is in flight
+    val bDir = {
+      val ms = fs.listStatus(fence).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      // resolve the epoch-100 dir from the head manifest body
+      val in = fs.open(ms.last)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.linesIterator.find(_.contains("\"epoch\":100"))
+        .map(_.split("\"dir\":\"")(1).takeWhile(_ != '"')).get
+    }
+    val old = System.currentTimeMillis() -
+      EpochManifest.OrphanReclaimAfterMs - 60000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/$bDir"), old, old)
+    EpochManifest.gc(spark, root)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$bDir")),
+      "an in-flight publish fence must anchor its dirs against gc")
+    assert(fs.rename(fence, bd)) // un-fence for the rest of the test
+    // a REFUSED publish (stale main base) restores the branch intact
+    EpochStore.write(Seq((200L, "m", 0)).toDF("id", "v", "bucket"),
+      root, 200L, partitionColumn = "bucket")
+    val refused = intercept[Exception](
+      EpochManifest.publishBranch(spark, root, "b"))
+    assert(refused.getMessage.contains("re-branch"), refused.getMessage)
+    assert(EpochManifest.branches(spark, root) == Seq("b"),
+      "a refused publish must leave the branch in place")
+    assert(EpochManifest.branchEntries(spark, root, "b")
+      .exists(_.epoch == 100L),
+      "the branch's audited epochs survive a refused publish")
+  }
+
+  test("catalog queries leave the shared session untouched: no conf " +
+      "bleed, no accumulated catalog registrations") {
+    val sf = "/root/testdata/sf0.001"
+    val before = spark.conf.getAll
+    Seq[(org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame](
+      graft.queries.MiscCatalog.storeDml _,
+      graft.queries.MiscCatalog.storeBucket _,
+      graft.queries.MiscCatalog.storeSpj _
+    ).foreach { q =>
+      val df = q(spark, sf)
+      assert(df.collect().nonEmpty)
+      assert(spark.conf.getAll == before,
+        "a catalog query must not mutate the shared session's conf")
+    }
+  }
 }
