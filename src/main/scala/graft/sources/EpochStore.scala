@@ -1116,17 +1116,28 @@ object EpochStore {
       // landed unbucketed — always kept, disables SPJ reporting)
       bucketId: Int = -1)
 
-  /** Driver-side listing of a set of manifest entries: per entry dir,
+  /** Driver-side planning of a set of manifest entries: per entry dir,
     * either its files directly (unpartitioned store) or its NESTED
     * `col1=v/col2=v/…` subdirs filtered by the pushed partition filters
     * AT EVERY LEVEL — a filter decidable from the columns bound so far
     * ([[evalOnPartitions]]' partial binding) prunes the subtree without
-    * ever listing below it, so a date-level predicate on a
+    * ever examining below it, so a date-level predicate on a
     * (date, lang)-partitioned store never even enumerates the pruned
-    * dates' lang dirs. Returns the listed files plus (kept, examined)
+    * dates' lang dirs. Returns the planned files plus (kept, examined)
     * partition-dir audit counts across all levels — shared by the
     * pinned batch scan, the footer-agg scan, and each streaming
-    * micro-batch. */
+    * micro-batch.
+    *
+    * An INDEXED entry — one whose stats sidecar records every file's
+    * length ([[EpochStoreStats.FileStats.len]], written at commit by
+    * every connector path) — is planned from that index alone: the
+    * partition/bucket walk runs over the VIRTUAL tree implied by the
+    * recorded relative paths, with identical pruning and audit-count
+    * semantics and ZERO `listStatus` below the entry root. At 100 TB
+    * this is the difference between O(manifest-bytes) planning and
+    * re-walking millions of files per query (and per streaming
+    * trigger); pre-index entries (core-tier appends, old stores) fall
+    * back to the recursive listing. */
   private[sources] def listEntryFiles(
       spark: SparkSession, root: String, entries: Seq[EpochManifest.Entry],
       partFields: Seq[StructField], partFilters: Array[Filter],
@@ -1189,8 +1200,74 @@ object EpochStore {
           }
       }
     }
-    entries.foreach(e =>
-      descend(new Path(s"$root/${e.dir}"), 0, Map.empty, Vector.empty, e))
+    // ---- index path: the same walk over the sidecar's virtual tree —
+    // emitted FileStatuses are SYNTHESIZED from the recorded len/mtime.
+    // Each element is (full rel path — the status path, tail rel below
+    // the level walked so far — the tree position, recorded stats).
+    def statusOf(e: EpochManifest.Entry, rel: String,
+                 st: EpochStoreStats.FileStats): FileStatus =
+      new FileStatus(st.len, false, 1, 128L * 1024 * 1024, st.mtime,
+        new Path(s"$root/${e.dir}/$rel"))
+    def emitIdx(values: Seq[Any], e: EpochManifest.Entry,
+                rels: Seq[(String, String, EpochStoreStats.FileStats)],
+                bucketId: Int = -1): Unit =
+      out ++= rels.filter(_._3.len > 0L).sortBy(_._1)
+        .map { case (rel, _, st) =>
+          ListedFile(values, e.epoch, e.dir, statusOf(e, rel, st), bucketId)
+        }
+    def headSeg(rel: String): String = {
+      val i = rel.indexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    def descendIdx(level: Int, bound: Map[String, Any], values: Seq[Any],
+                   e: EpochManifest.Entry,
+                   rels: Seq[(String, String, EpochStoreStats.FileStats)])
+        : Unit = {
+      if (level == partFields.length) {
+        if (bucket.isEmpty) { emitIdx(values, e, rels); return }
+        val b = bucket.get
+        val (inBucket, bare) =
+          rels.partition(r => headSeg(r._2).startsWith(b.dirPrefix))
+        if (inBucket.isEmpty) { emitIdx(values, e, bare); return }
+        inBucket.groupBy(r => headSeg(r._2)).toSeq.sortBy(_._1)
+          .foreach { case (seg, fls) =>
+            total += 1
+            val k = seg.stripPrefix(b.dirPrefix).toIntOption.getOrElse(-1)
+            if (bucketKeep.forall(_.contains(k))) {
+              kept += 1
+              emitIdx(values, e, fls, bucketId = k)
+            }
+          }
+      } else {
+        val f = partFields(level)
+        val prefix = s"${f.name}="
+        rels.groupBy(r => headSeg(r._2)).toSeq
+          .filter(_._1.startsWith(prefix)).sortBy(_._1)
+          .foreach { case (seg, fls) =>
+            total += 1
+            val v = EpochStore.parsePartitionValue(
+              seg.stripPrefix(prefix), f.dataType)
+            val b2 = bound + (f.name -> v)
+            if (partFilters.forall(pf =>
+                EpochStore.evalOnPartitions(pf, b2) != Some(false))) {
+              kept += 1
+              descendIdx(level + 1, b2, values :+ v, e,
+                fls.map(t => (t._1, t._2.stripPrefix(seg + "/"), t._3)))
+            }
+          }
+      }
+    }
+    entries.foreach { e =>
+      EpochStoreStats.readIndexed(fs, root, e.dir) match {
+        case Some(ix) if ix.valuesIterator.forall(_.len >= 0L) =>
+          descendIdx(0, Map.empty, Vector.empty, e,
+            ix.toSeq.map { case (rel, st) => (rel, rel, st) })
+        case _ =>
+          val p = new Path(s"$root/${e.dir}")
+          if (fs.exists(p))
+            descend(p, 0, Map.empty, Vector.empty, e)
+      }
+    }
     (out.result(), kept, total)
   }
 
@@ -1433,6 +1510,9 @@ object EpochStore {
       .parquet(s"$root/$foldDir")
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, schema, pcs)
+    // row counts + the file-level index for the fold (no column stats —
+    // the purged store's declared kinds fold through compactStore)
+    rederiveStats(spark, fs, root, foldDir, schema, Nil)
     // the purge folded EVERY entry AND the tombstone sub-store it read —
     // any commit racing in (data or tombstone) conflicts; refuse loudly
     EpochManifest.commitIfUnchanged(spark, root, es,
@@ -1748,7 +1828,27 @@ object EpochStore {
         }.toMap
         rel -> EpochStoreStats.FileStats(r.getAs[Long]("__rows"), cols)
       }
-    EpochStoreStats.write(fs, root, dir, perFile)
+    // ONE listing at commit completes the file-level index: lengths +
+    // mtimes for the rows above, plus any row-LESS parquet files the
+    // groupBy never saw (the index must name every data file — scan
+    // planning reads it instead of listing)
+    val byRel = perFile.toMap
+    val entryPath = new org.apache.hadoop.fs.Path(s"$root/$dir")
+    def walk(p: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    val qdir = fs.makeQualified(entryPath).toString
+    val indexed = walk(entryPath).map { st =>
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(qdir).stripPrefix("/")
+      rel -> byRel.getOrElse(rel,
+          EpochStoreStats.FileStats(0L, Map.empty))
+        .copy(len = st.getLen, mtime = st.getModificationTime)
+    }
+    EpochStoreStats.write(fs, root, dir, indexed)
   }
 
   /** Z-ORDERED epoch write: cluster `df` along the Morton curve of

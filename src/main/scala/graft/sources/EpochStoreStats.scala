@@ -52,8 +52,16 @@ object EpochStoreStats {
       extends Serializable
 
   /** One data file's stats: total row count + per-column stats keyed by
-    * column name. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+    * column name. `len`/`mtime` (bytes, epoch millis; len = -1 on
+    * pre-r14 sidecars) make the sidecar a FILE-LEVEL MANIFEST INDEX:
+    * an entry whose every file records a length is planned straight
+    * from this sidecar — partition values parsed from the recorded
+    * relative paths, splits sized from `len` — with ZERO `listStatus`
+    * below the entry root ([[EpochStore.listEntryFiles]]), the
+    * Delta/Iceberg metadata-in-the-log property that keeps planning
+    * O(manifest) instead of O(files-on-disk). */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+                             len: Long = -1L, mtime: Long = 0L)
       extends Serializable
 
   private def b64(s: String): String =
@@ -77,10 +85,14 @@ object EpochStoreStats {
         }
         s"""{"c":"${b64(c)}","t":"${cs.kind}","nulls":${cs.nulls}$mm}"""
       }.mkString("[", ",", "]")
-      s"""{"file":"${b64(rel)}","rows":${fsr.rows},"cols":$cols}"""
+      val ix = if (fsr.len >= 0L) s""","len":${fsr.len},"mt":${fsr.mtime}"""
+        else ""
+      s"""{"file":"${b64(rel)}","rows":${fsr.rows}$ix,"cols":$cols}"""
     }.mkString("", "\n", "\n")
 
-  private val fileRe = """"file":"([^"]*)","rows":(\d+)""".r.unanchored
+  private val fileRe =
+    (""""file":"([^"]*)","rows":(\d+)""" +
+      """(?:,"len":(\d+),"mt":(\d+))?""").r.unanchored
   private val colRe =
     (""""c":"([^"]*)","t":"(.)","nulls":(\d+)""" +
       """(?:,"min":("[^"]*"|[^,}\]]+),"max":("[^"]*"|[^,}\]]+))?""").r
@@ -103,17 +115,22 @@ object EpochStoreStats {
         unb64(cm.group(1)) ->
           ColStats(kind, cm.group(3).toLong, v(cm.group(4)), v(cm.group(5)))
       }.toMap
-      unb64(m.group(1)) -> FileStats(m.group(2).toLong, cols)
+      unb64(m.group(1)) -> FileStats(m.group(2).toLong, cols,
+        len = Option(m.group(3)).map(_.toLong).getOrElse(-1L),
+        mtime = Option(m.group(4)).map(_.toLong).getOrElse(0L))
     }.toMap
 
   /** Sidecar path inside one committed entry dir. */
   def sidecarPath(root: String, entryDir: String): Path =
     new Path(s"$root/$entryDir/_skip/stats.json")
 
-  /** Driver-side publish at commit: one sidecar for the whole entry. */
+  /** Driver-side publish at commit: one sidecar for the whole entry.
+    * An EMPTY stats list still writes (a zero-byte sidecar) — it is the
+    * index record that lets [[readIndexed]] distinguish an indexed
+    * empty epoch (plan: no files, no listing) from a pre-index entry
+    * (fall back to listing). */
   def write(fs: FileSystem, root: String, entryDir: String,
             stats: Seq[(String, FileStats)]): Unit = {
-    if (stats.isEmpty) return
     val p = sidecarPath(root, entryDir)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
@@ -123,14 +140,21 @@ object EpochStoreStats {
 
   /** Load one entry's sidecar (empty when the epoch predates stats). */
   def read(fs: FileSystem, root: String, entryDir: String)
-      : Map[String, FileStats] = {
+      : Map[String, FileStats] = readIndexed(fs, root, entryDir)
+    .getOrElse(Map.empty)
+
+  /** [[read]], distinguishing a MISSING sidecar (None — a pre-index
+    * entry, scan planning must list the dirs) from a present one (the
+    * authoritative file-level index, possibly empty). */
+  def readIndexed(fs: FileSystem, root: String, entryDir: String)
+      : Option[Map[String, FileStats]] = {
     val p = sidecarPath(root, entryDir)
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      parse(body)
+      Some(parse(body))
     }
   }
 

@@ -1054,7 +1054,13 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
           statsIdx(s)._1 -> EpochStoreStats.ColStats(statsIdx(s)._3,
             acc.nulls(s), Option(acc.mins(s)).map(jv), Option(acc.maxs(s)).map(jv))
         }.toMap
-        rel -> EpochStoreStats.FileStats(acc.rows, cols)
+        // the closed file's length + mtime make the sidecar a file-level
+        // manifest index ([[EpochStoreStats.FileStats]]): the scan plans
+        // splits from these, never from a listStatus (a streaming
+        // staging-dir rename preserves both)
+        val st = fs.getFileStatus(new Path(s"$dirPath/$rel"))
+        rel -> EpochStoreStats.FileStats(acc.rows, cols,
+          len = st.getLen, mtime = st.getModificationTime)
       }.toSeq
     EpochFilesWritten(relFiles.toSeq, rows, sidecarRels.toSeq, fstats)
   }
