@@ -1702,13 +1702,21 @@ object EpochStore {
       s"compactStore on $root: entries without a _schema.json record: " +
         s"${missing.mkString(", ")} — use EpochManifest.compact with an " +
         "explicit schema for pre-evolution stores")
-    covered.find(e =>
-      EpochStoreWrite.readBucketSidecar(fs, root, e.dir).nonEmpty)
-      .foreach(e => throw new IllegalArgumentException(
-        s"compactStore on $root: entry ${e.dir} records a hash-bucket " +
-          "layout — plain folds would drop the bucket dirs (reads stay " +
-          "correct but unpruned); fold by re-writing through " +
-          "EpochStore.writeBucketed instead"))
+    // hash-bucket layouts fold PER BUCKET: the fold keeps the
+    // `<col>_bucket=K` dirs (probe pruning, SPJ, streaming-tail
+    // narrowing all survive), re-hashing any unbucketed DML-rewrite
+    // entry's rows back into their buckets with the layout's own hash
+    val bucketLayouts = covered
+      .flatMap(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
+      .distinct
+    require(bucketLayouts.size <= 1,
+      s"compactStore on $root: covered epochs record different bucket " +
+        s"layouts: ${bucketLayouts.mkString(", ")}")
+    val bucketLayout = bucketLayouts.headOption
+    require(bucketLayout.isEmpty || zorderColumns.isEmpty,
+      s"compactStore on $root: z-order re-clustering would scatter rows " +
+        "across bucket dirs — a bucket layout folds per bucket (within-" +
+        "bucket sortColumns are fine)")
     val parts0 = recs.map(_._2.get._2).distinct
     require(parts0.size == 1,
       s"partitionColumn changed across epochs of $root: $parts0")
@@ -1746,11 +1754,39 @@ object EpochStore {
         .sortWithinPartitions(sortColumns.map(col): _*)
     val maxCov = covered.map(_.epoch).max
     val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
-    val w = folded.write.mode("overwrite")
     val pcs = splitPartCols(partCol)
-    (if (pcs.isEmpty) w else w.partitionBy(pcs: _*))
-      .parquet(s"$root/$foldDir")
-    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs)
+    bucketLayout match {
+      case Some(b) =>
+        // per-bucket fold: recompute each row's bucket with the
+        // layout's own hash (`pmod(hash(col), n)` — the exact writer
+        // function, [[bucketIdOf]]; unbucketed DML-rewrite rows re-home
+        // deterministically), range-partition 1:1 on it, and land the
+        // standard `<col>_bucket=K` dirs via partitionBy. One shuffle
+        // whose width is the bucket count — never a cross-bucket sort.
+        val bcol = s"${b.col}_bucket"
+        require(!merged.fieldNames.contains(bcol),
+          s"compactStore: schema already has a '$bcol' column — it " +
+            "collides with the bucket layout's dir encoding")
+        val perBucket = folded0
+          .withColumn(bcol, org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(col(b.col)), lit(b.n)))
+          .repartitionByRange(b.n, col(bcol))
+        // sort leads with the bucket col: the dynamic-partition writer
+        // requires its ordering to start there — satisfying it up front
+        // keeps the within-bucket sortColumns order through the write
+        (if (sortColumns.isEmpty) perBucket
+         else perBucket.sortWithinPartitions(
+           (bcol +: sortColumns).map(col): _*))
+          .write.mode("overwrite").partitionBy(bcol)
+          .parquet(s"$root/$foldDir")
+        EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, Nil,
+          bucketLayout)
+      case None =>
+        val w = folded.write.mode("overwrite")
+        (if (pcs.isEmpty) w else w.partitionBy(pcs: _*))
+          .parquet(s"$root/$foldDir")
+        EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs)
+    }
     // re-derive the numeric stats any covered epoch declared — plus the
     // z-order dimensions (their per-file rectangles ARE the layout's
     // pruning payoff, whether or not history declared them)

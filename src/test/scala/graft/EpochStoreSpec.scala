@@ -2464,4 +2464,74 @@ class EpochStoreSpec extends SparkSpec {
         "a catalog query must not mutate the shared session's conf")
     }
   }
+
+  test("bucket-preserving compaction: CALL compact folds a bucketed store " +
+      "per bucket — probe pruning, SPJ zero-exchange, rows, and " +
+      "index planning all survive the fold") {
+    import spark.implicits._
+    CountingFs.install(spark)
+    val wh = "cfs://" +
+      java.nio.file.Files.createTempDirectory("graft_bkcomp").toString
+    cat("bkcomp", wh)
+    val left = s"$wh/l"
+    val right = s"$wh/r"
+    def mk(off: Int, tag: String) = (0 until 200)
+      .map(i => ((i + off).toLong, s"$tag${i + off}")).toDF("id", "v")
+    EpochStore.writeBucketed(mk(0, "L"), left, 0L, "id", 8)
+    EpochStore.writeBucketed(mk(200, "L"), left, 1L, "id", 8)
+    EpochStore.writeBucketed(mk(0, "R"), right, 0L, "id", 8)
+    val before = EpochStore.readBucketed(spark, left, idvSchema, "id", 8)
+      .collect().map(_.toSeq).toSet
+    spark.sql("CALL bkcomp.system.compact(table => 'l', " +
+      "sort_columns => 'id')").collect()
+    val es = EpochManifest.entries(spark, left)
+    assert(es.size == 1 && es.head.minEpoch == 0L && es.head.epoch == 1L,
+      s"expected one fold entry covering [0,1], got $es")
+    // the fold keeps the physical <col>_bucket=K dirs
+    val foldSubs = hfs(left)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$left/${es.head.dir}"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("id_bucket=")).sorted
+    assert(foldSubs.length == 8, s"fold bucket dirs: ${foldSubs.toSeq}")
+    val after = EpochStore.readBucketed(spark, left, idvSchema, "id", 8)
+    assert(after.collect().map(_.toSeq).toSet == before)
+    // 1-of-8 probe pruning survives, planned from the fold's index
+    // with zero listing below the store root
+    val probe = after.filter(col("id") === 7L)
+    CountingFs.reset()
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(CountingFs.listedBelow(left).isEmpty,
+      s"fold must be index-planned: ${CountingFs.listedBelow(left).take(5)}")
+    val scan = probe.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collect { case s: EpochStoreScan => s }.head
+    assert(scan.selectedPartitionDirs == (1, 8),
+      s"post-fold bucket pruning: ${scan.selectedPartitionDirs}")
+    // SPJ: the folded store still joins a same-bucketed store with
+    // zero shuffle through the FunctionCatalog route
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkcomp.l")
+        .join(spark.table("bkcomp.r").withColumnRenamed("v", "w"), "id")
+      assert(j.count() == 200)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val exchanges = nodes(j.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"post-fold same-bucket join must stay storage-partitioned:\n" +
+          j.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
