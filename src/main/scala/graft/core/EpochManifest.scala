@@ -433,6 +433,38 @@ object EpochManifest {
   def generations(spark: SparkSession, root: String): Seq[Long] =
     manifests(spark, root).map(_._1)
 
+  /** The retained generations with their commit instants (manifest file
+    * mtime, epoch millis), ascending — the observable timeline
+    * `TIMESTAMP AS OF` resolves against. */
+  def snapshots(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq
+      .flatMap(s => gen(s.getPath).map(g => (g, s.getModificationTime)))
+      .sortBy(_._1)
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest RETAINED generation whose
+    * manifest landed at or before `tsMillis`. A timestamp before the
+    * oldest retained manifest refuses loudly — the snapshot it names is
+    * reclaimed (gc keeps the two newest generations plus tag/branch
+    * anchors), and answering from a newer one would silently serve the
+    * wrong point in time. */
+  def generationAsOf(spark: SparkSession, root: String,
+                     tsMillis: Long): Long = {
+    val snaps = snapshots(spark, root)
+    require(snaps.nonEmpty, s"no committed manifest under $root")
+    val at = snaps.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} is " +
+        s"beyond the retention horizon of $root — the oldest retained " +
+        s"snapshot landed at " +
+        s"${java.time.Instant.ofEpochMilli(snaps.head._2)}; older ones " +
+        "are gc'd by design (tag a generation to retain it)")
+    at.map(_._1).max
+  }
+
   /** Entries of one retained generation — snapshot time travel. Fails
     * loudly for a gc'd (or never-committed) generation rather than
     * answering from a different snapshot. */

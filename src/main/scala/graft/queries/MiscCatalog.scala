@@ -1596,6 +1596,47 @@ object MiscCatalog {
       |FROM documents WHERE lang IS NOT NULL
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** `FOR TIMESTAMP AS OF` time travel (`q_store_ts_asof`): a
+    * two-epoch store queried at the FIRST commit's own instant —
+    * resolution is newest-manifest-mtime <= ts
+    * ([[graft.core.EpochManifest.generationAsOf]], exercised through
+    * `EpochStoreCatalog.loadTable(ident, timestamp)`), so the answer is
+    * exactly the even-doc_id half the first epoch wrote while the live
+    * table already holds both; the oracle recomputes that half
+    * relationally. */
+  def storeTsAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_tt_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L, partitionColumn = "lang")
+    Thread.sleep(60) // distinct manifest mtimes: the boundary must be real
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+      root, 1L, partitionColumn = "lang")
+    val firstTs = graft.core.EpochManifest.snapshots(spark, root).head._2
+    val s2 = spark.newSession()
+    val c = s"grafttt$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MAX(doc_id) AS max_id
+         |FROM $c.docs TIMESTAMP AS OF timestamp_millis($firstTs)
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeTsAsOfSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MAX(doc_id) AS max_id
+      |FROM documents WHERE lang IS NOT NULL AND doc_id % 2 = 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** SQL CALL maintenance through the store catalog (`q_store_call`):
     * the full store lifecycle driven by SQL alone — a fresh two-epoch
     * store is compacted (`CALL …system.compact`, re-clustered on
@@ -1716,6 +1757,7 @@ object MiscCatalog {
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
     "q_store_timetravel" -> (storeTimetravel _),
+    "q_store_ts_asof" -> (storeTsAsOf _),
     "q_store_write"   -> (storeWrite _),
     "q_store_stream"  -> (storeStream _),
     "q_store_dpp"     -> (storeDpp _),
@@ -1764,6 +1806,7 @@ object MiscCatalog {
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,
     "q_store_timetravel" -> storeTimetravelSql,
+    "q_store_ts_asof" -> storeTsAsOfSql,
     "q_store_write"   -> storeWriteSql,
     "q_store_stream"  -> storeStreamSql,
     "q_store_dpp"     -> storeDppSql,

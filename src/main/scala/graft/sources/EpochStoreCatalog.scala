@@ -158,6 +158,18 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         }
     }
 
+  /** SQL `FOR TIMESTAMP AS OF ts` — Spark hands micros since the epoch;
+    * resolves to the newest retained generation whose manifest landed
+    * at or before it ([[EpochManifest.generationAsOf]]), refusing
+    * beyond the retention horizon rather than answering from a newer
+    * snapshot. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isStore(root)) throw new NoSuchTableException(ident)
+    tableAt(ident, EpochManifest.generationAsOf(spark, root,
+      Math.floorDiv(timestamp, 1000L)))
+  }
+
   private def tableAt(ident: Identifier, asOfGeneration: Long,
                       branch: Option[String] = None): Table = {
     val root = rootOf(ident)

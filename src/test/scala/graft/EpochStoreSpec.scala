@@ -2465,6 +2465,34 @@ class EpochStoreSpec extends SparkSpec {
     }
   }
 
+  test("FOR TIMESTAMP AS OF: exact boundary resolution to the newest " +
+      "manifest at-or-before the instant; beyond-horizon refuses loudly") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("tt1", wh)
+    val root = s"$wh/t"
+    EpochStore.write(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    Thread.sleep(60) // distinct manifest mtimes (local-FS ms granularity)
+    EpochStore.write(Seq((2L, "b")).toDF("id", "v"), root, 1L)
+    val snaps = EpochManifest.snapshots(spark, root)
+    assert(snaps.size == 2 && snaps.head._2 < snaps.last._2,
+      s"expected two snapshots with ordered instants: $snaps")
+    def idsAt(ms: Long): Seq[Long] =
+      spark.sql(s"SELECT id FROM tt1.t TIMESTAMP AS OF timestamp_millis(${ms}) " +
+        "ORDER BY id").collect().map(_.getLong(0)).toSeq
+    // exactly the first manifest's instant resolves TO it (<=, not <)
+    assert(idsAt(snaps.head._2) == Seq(1L))
+    // between the two commits: still the first snapshot
+    assert(idsAt(snaps.last._2 - 1) == Seq(1L))
+    // at/after the second: both epochs
+    assert(idsAt(snaps.last._2) == Seq(1L, 2L))
+    assert(idsAt(System.currentTimeMillis() + 1000) == Seq(1L, 2L))
+    // before the horizon: loud refusal naming the retention contract
+    val err = intercept[Exception](idsAt(snaps.head._2 - 1))
+    assert(err.getMessage.contains("retention horizon"),
+      s"unexpected: ${err.getMessage}")
+  }
+
   test("bucket-preserving compaction: CALL compact folds a bucketed store " +
       "per bucket — probe pruning, SPJ zero-exchange, rows, and " +
       "index planning all survive the fold") {
