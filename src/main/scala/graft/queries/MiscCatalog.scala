@@ -1447,6 +1447,52 @@ object MiscCatalog {
       |WHERE lang IS NOT NULL AND doc_id % 4 IN (1, 2) AND lang <> 'de'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Composite identity+bucket layout (`q_store_compbucket`): the
+    * canonical 100 TB fact layout `lang=v/doc_id_bucket=K` — identity
+    * partitioning on the outer level, hash buckets innermost, BOTH
+    * levels pruned independently at scan time (the lang equality is an
+    * exact partition filter; the doc_id IN probe hashes to its buckets
+    * and opens only those dirs under the surviving lang). The oracle
+    * recomputes the probe relationally, so a bucket router that
+    * misplaced a row at write OR a walk that pruned a live dir fails
+    * cell-exact. SPJ/DPP on the bucketed level and the exact pruned-dir
+    * audit are EpochStoreSpec gates. */
+  def storeCompBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = graft.core.Landed.dir(spark, s"cb_wh:$sfDir", "graft_cb_wh") { d =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.writeBucketed(docs, s"$d/docs", 0L,
+        bucketColumn = "doc_id", bucketCount = 8, partitionColumn = "lang")
+    }
+    val t = graft.sources.EpochStore.readBucketed(spark, s"$wh/docs",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))),
+      "doc_id", 8, partitionColumn = "lang")
+    t.filter(col("lang") === "en" &&
+        col("doc_id").isin(6L, 50L, 100L, 150L, 200L, 250L, 300L,
+          350L, 400L, 450L, 498L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
+  val storeCompBucketSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE lang = 'en' AND doc_id IN
+      |  (6, 50, 100, 150, 200, 250, 300, 350, 400, 450, 498)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** CTAS / RTAS through the staging catalog (`q_store_ctas`):
     * `CREATE TABLE … PARTITIONED BY (lang) AS SELECT` over a store
     * table stages the SELECT's rows into a claimed-but-unreferenced
@@ -1751,6 +1797,7 @@ object MiscCatalog {
     "q_store_dml"     -> (storeDml _),
     "q_store_ctas"    -> (storeCtas _),
     "q_store_multipart" -> (storeMultipart _),
+    "q_store_compbucket" -> (storeCompBucket _),
     "q_store_wap"     -> (storeWap _),
     "q_store_bucket"  -> (storeBucket _),
     "q_store_call"    -> (storeCall _),
@@ -1800,6 +1847,7 @@ object MiscCatalog {
     "q_store_dml"     -> storeDmlSql,
     "q_store_ctas"    -> storeCtasSql,
     "q_store_multipart" -> storeMultipartSql,
+    "q_store_compbucket" -> storeCompBucketSql,
     "q_store_wap"     -> storeWapSql,
     "q_store_bucket"  -> storeBucketSql,
     "q_store_call"    -> storeCallSql,

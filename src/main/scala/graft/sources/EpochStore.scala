@@ -836,14 +836,21 @@ final case class EpochStoreScan(
     // sits in a real bucket dir (a -1 = an unbucketed rewrite entry)
     if (bucket.nonEmpty) {
       val b = bucket.get
+      // composite identity+bucket: the storage key is the FULL tuple
+      // (identity values…, bucket id) — reported only when every level's
+      // column survives projection and every file sits in a real bucket
+      // dir; a bucket-only layout reports bucket(n, col) alone
       if (required.fieldNames.contains(b.col) &&
+        readPartSchema.size == partFields.size &&
         listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0))
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-          Array[org.apache.spark.sql.connector.expressions.Expression](
+          (partCols.map(c => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(c)) :+
             org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(b.n, b.col)),
-          listing._1.map(_.bucketId).distinct.size)
+              .bucket(b.n, b.col))
+            .toArray[org.apache.spark.sql.connector.expressions.Expression],
+          listing._1.map(f => (f.values, f.bucketId)).distinct.size)
       else new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
     }
@@ -868,13 +875,18 @@ final case class EpochStoreScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     if (bucket.nonEmpty && required.fieldNames.contains(bucket.get.col) &&
+      readPartSchema.size == partFields.size &&
       listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0)) {
-      // pack per BUCKET so every task holds one key's files only (the
-      // HasPartitionKey contract key-grouped execution requires)
-      return listing._1.groupBy(_.bucketId).toSeq.sortBy(_._1)
-        .flatMap { case (k, files) =>
+      // pack per (identity values…, bucket) KEY so every task holds one
+      // key's files only (the HasPartitionKey contract key-grouped
+      // execution requires); bucket-only layouts key by bucket alone
+      return listing._1.groupBy(f => (f.values, f.bucketId)).toSeq
+        .sortBy { case ((vs, k), _) =>
+          (vs.map(String.valueOf).mkString(" "), k) }
+        .flatMap { case ((vs, k), files) =>
           EpochStore.planFilePartitions(spark, files, constSchema, constantsOf)
-            .map { case fp: FilePartition => KeyedFilePartition(fp, Seq(k)) }
+            .map { case fp: FilePartition =>
+              KeyedFilePartition(fp, vs :+ k) }
         }.toArray
     }
     if (partFields.isEmpty || readPartSchema.size != partFields.size)
@@ -971,8 +983,8 @@ object EpochStore {
     require(c.isEmpty == n.isEmpty,
       "bucketColumn and bucketCount come together")
     c.map { col =>
-      require(partColsOf(options).isEmpty,
-        "bucket layout and identity partitionColumn are exclusive")
+      require(!partColsOf(options).contains(col),
+        s"bucket column $col is already an identity partition column")
       StoreBucket(col, n.get)
     }
   }
@@ -1390,23 +1402,32 @@ object EpochStore {
     * stores bucketed alike join storage-partitioned. */
   def readBucketed(spark: SparkSession, root: String, schema: StructType,
                    bucketColumn: String, bucketCount: Int,
-                   maxEpoch: Long = Long.MaxValue): DataFrame = {
+                   maxEpoch: Long = Long.MaxValue,
+                   partitionColumn: String = null): DataFrame = {
     var r = spark.read.format("epochstore").schema(schema)
       .option("path", root)
       .option("bucketColumn", bucketColumn)
       .option("bucketCount", bucketCount.toString)
+    if (partitionColumn != null)
+      r = r.option("partitionColumn", partitionColumn)
     if (maxEpoch != Long.MaxValue) r = r.option("maxEpoch", maxEpoch.toString)
     r.load()
   }
 
-  /** [[write]] into a hash-bucket layout. */
+  /** [[write]] into a hash-bucket layout — alone, or composed under
+    * identity partition levels (`partitionColumn`): the canonical
+    * 100 TB fact layout `date=v/<col>_bucket=K`, both levels pruned
+    * independently at scan time. */
   def writeBucketed(df: DataFrame, root: String, epoch: Long,
                     bucketColumn: String, bucketCount: Int,
-                    statsColumns: Seq[String] = Nil): Unit = {
+                    statsColumns: Seq[String] = Nil,
+                    partitionColumn: String = null): Unit = {
     var w = df.write.format("epochstore").mode("append")
       .option("path", root).option("epoch", epoch.toString)
       .option("bucketColumn", bucketColumn)
       .option("bucketCount", bucketCount.toString)
+    if (partitionColumn != null)
+      w = w.option("partitionColumn", partitionColumn)
     if (statsColumns.nonEmpty)
       w = w.option("statsColumns", statsColumns.mkString(","))
     w.save()
@@ -1771,15 +1792,18 @@ object EpochStore {
           .withColumn(bcol, org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.hash(col(b.col)), lit(b.n)))
           .repartitionByRange(b.n, col(bcol))
-        // sort leads with the bucket col: the dynamic-partition writer
-        // requires its ordering to start there — satisfying it up front
-        // keeps the within-bucket sortColumns order through the write
+        // dir levels: identity partCols (composite layouts), bucket
+        // innermost. The sort leads with those levels: the dynamic-
+        // partition writer requires its ordering to start there —
+        // satisfying it up front keeps the within-bucket sortColumns
+        // order through the write
+        val levels = pcs :+ bcol
         (if (sortColumns.isEmpty) perBucket
          else perBucket.sortWithinPartitions(
-           (bcol +: sortColumns).map(col): _*))
-          .write.mode("overwrite").partitionBy(bcol)
+           (levels ++ sortColumns).map(col): _*))
+          .write.mode("overwrite").partitionBy(levels: _*)
           .parquet(s"$root/$foldDir")
-        EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, Nil,
+        EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs,
           bucketLayout)
       case None =>
         val w = folded.write.mode("overwrite")

@@ -255,12 +255,15 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
   /** Declared transforms → (identity partition columns in nesting
     * order, optional hash-bucket spec). `PARTITIONED BY (date, lang)`
     * gives the nested `col=value` layout; `PARTITIONED BY
-    * (bucket(16, id))` the `id_bucket=K` hash layout — exclusive. */
+    * (bucket(16, id))` the `id_bucket=K` hash layout; `PARTITIONED BY
+    * (date, bucket(16, id))` composes them with the bucket as the
+    * INNERMOST level (`date=v/id_bucket=K` — the canonical 100 TB fact
+    * layout), so the bucket transform must come last. */
   private def partitioningOf(schema: StructType,
                              partitions: Array[Transform])
       : (Seq[String], Option[EpochStore.StoreBucket]) = {
     var bucket: Option[EpochStore.StoreBucket] = None
-    val cols = partitions.toSeq.flatMap { t =>
+    val cols = partitions.toSeq.zipWithIndex.flatMap { case (t, i) =>
       val refs = t.references()
       t.name() match {
         case "identity" if refs.length == 1 &&
@@ -269,6 +272,10 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         case "bucket" if refs.length == 1 &&
           refs.head.fieldNames().length == 1 =>
           require(bucket.isEmpty, "one bucket transform only")
+          require(i == partitions.length - 1,
+            "bucket(n, col) is the INNERMOST level of a composite " +
+              "layout — declare it last: PARTITIONED BY (cols…, " +
+              "bucket(n, col))")
           val n = t.arguments().collectFirst {
             case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
               lv.value().asInstanceOf[Number].intValue()
@@ -282,8 +289,8 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
             s"partitioning or ONE bucket(n, col), got $t")
       }
     }
-    require(cols.isEmpty || bucket.isEmpty,
-      "identity partition columns and bucket(n, col) are exclusive")
+    bucket.foreach(b => require(!cols.contains(b.col),
+      s"bucket column ${b.col} is already an identity partition column"))
     (cols ++ bucket.map(_.col)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"partition column $c is not in the table schema"))

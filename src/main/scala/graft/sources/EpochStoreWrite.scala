@@ -79,6 +79,14 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     * the partition values the batch actually WRITES are replaced — the
     * filter is derived at commit from the committed files' dirs. */
   override def overwriteDynamicPartitions(): WriteBuilder = {
+    // composite identity+bucket: the replaced set would be (identity
+    // tuple, bucket) PAIRS — unimplemented; refuse at write PLANNING so
+    // the doomed job never runs executor work (commit re-checks)
+    require(EpochStore.bucketOf(info.options()).isEmpty ||
+      EpochStore.partColsOf(info.options()).isEmpty,
+      "dynamic INSERT OVERWRITE on a composite identity+bucket layout " +
+        "is not supported — use a static PARTITION clause on the " +
+        "identity columns, or append + compact")
     overwriteMode = EpochOverwrite.DynamicParts
     this
   }
@@ -603,6 +611,15 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
       case EpochOverwrite.ByFilters(filters) =>
         commitOverwrite(spark, filters)
       case EpochOverwrite.DynamicParts if bucketSpec.nonEmpty =>
+        // composite identity+bucket: the replaced set would be
+        // (identity tuple, bucket) PAIRS — neither the tuple path
+        // (whole dates, deleting untouched buckets) nor the bucket path
+        // (whole buckets across all dates) is it; refuse loudly the way
+        // branch writes refuse INSERT OVERWRITE rather than over-delete
+        require(partCols.isEmpty,
+          s"dynamic INSERT OVERWRITE on the composite identity+bucket " +
+            s"layout of $root is not supported — use a static PARTITION " +
+            "clause on the identity columns, or append + compact")
         // hash-bucket layout: the replaced set is the WRITTEN BUCKETS,
         // derived from the committed files' `<col>_bucket=K` path
         // segments — the tuple path below would see no partCols and
@@ -915,14 +932,17 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
     * the read side's [[EpochStore]] escaping contract (%XX for anything
     * outside [A-Za-z0-9._-], hive sentinel for null). */
   private def subdirOf(row: InternalRow): String = {
-    // hash-bucket layout: one `<col>_bucket=K` level, the column kept
-    // in the files (exclusive with identity partitioning)
-    bucketSpec.foreach { b =>
+    // hash-bucket level: one `<col>_bucket=K` segment, the column kept
+    // in the files. Alone it is the whole layout; composed with
+    // identity partitioning it is the INNERMOST level — the canonical
+    // 100 TB fact layout `PARTITIONED BY (date, bucket(n, id))` nests
+    // `date=v/id_bucket=K` and both levels prune independently.
+    val bseg: Option[String] = bucketSpec.map { b =>
       val v = if (row.isNullAt(bucketIdx)) null
         else row.get(bucketIdx, bucketType)
-      return b.dirPrefix + EpochStore.bucketIdOf(v, bucketType, b.n)
+      b.dirPrefix + EpochStore.bucketIdOf(v, bucketType, b.n)
     }
-    if (partIdxs.isEmpty) return ""
+    if (partIdxs.isEmpty) return bseg.getOrElse("")
     val segs = new Array[String](partIdxs.length)
     var i = 0
     while (i < partIdxs.length) {
@@ -945,7 +965,7 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
       segs(i) = s"${partCols(i)}=$raw"
       i += 1
     }
-    segs.mkString("/")
+    (segs.toSeq ++ bseg).mkString("/")
   }
 
   /** The metadata-carrying form Spark's row-level rewrite tasks call

@@ -2465,6 +2465,138 @@ class EpochStoreSpec extends SparkSpec {
     }
   }
 
+  test("composite identity+bucket layout: date=v/id_bucket=K nests, both " +
+      "levels prune with exact audit counts, index-planned with zero " +
+      "listing") {
+    import spark.implicits._
+    CountingFs.install(spark)
+    val root = "cfs://" +
+      java.nio.file.Files.createTempDirectory("graft_comp").toString + "/t"
+    def mk(off: Int) = (0 until 120).map { i =>
+      val id = (i + off).toLong
+      (id, s"v$id", s"d${i % 3}")
+    }.toDF("id", "v", "date")
+    EpochStore.writeBucketed(mk(0), root, 0L, "id", 4,
+      partitionColumn = "date")
+    EpochStore.writeBucketed(mk(120), root, 1L, "id", 4,
+      partitionColumn = "date")
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("date", StringType)))
+    def rd() = EpochStore.readBucketed(spark, root, sch, "id", 4,
+      partitionColumn = "date")
+    assert(rd().count() == 240)
+    // identity-level prune: 1-of-3 dates kept per epoch, all buckets under
+    val q1 = rd().filter(col("date") === "d1")
+    assert(q1.count() == 80)
+    assert(scanOf(q1).selectedPartitionDirs == (10, 14),
+      s"date-level pruning audit: ${scanOf(q1).selectedPartitionDirs}")
+    // bucket-level probe: every date examined, one bucket kept under each
+    val q2 = rd().filter(col("id") === 7L)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(scanOf(q2).selectedPartitionDirs == (12, 30),
+      s"bucket-level pruning audit: ${scanOf(q2).selectedPartitionDirs}")
+    // both levels compose; planned from the index with zero listing
+    val q3 = rd().filter(col("date") === "d1" && col("id") === 7L)
+    CountingFs.reset()
+    assert(q3.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(CountingFs.listedBelow(root).isEmpty,
+      s"composite scan must be index-planned: " +
+        s"${CountingFs.listedBelow(root).take(5)}")
+    assert(scanOf(q3).selectedPartitionDirs == (4, 14),
+      s"composed pruning audit: ${scanOf(q3).selectedPartitionDirs}")
+  }
+
+  test("composite identity+bucket through SQL: PARTITIONED BY (date, " +
+      "bucket(4, id)) CTAS, SPJ zero-exchange join, DPP narrows the " +
+      "bucketed level; bucket-not-last refuses") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("compbk", wh)
+    (0 until 120).map { i =>
+      (i.toLong, s"v$i", s"d${i % 3}")
+    }.toDF("id", "v", "date").createOrReplaceTempView("compbksrc")
+    spark.sql("CREATE TABLE compbk.a PARTITIONED BY (date, bucket(4, id)) " +
+      "AS SELECT id, v, date FROM compbksrc")
+    spark.sql("CREATE TABLE compbk.b PARTITIONED BY (date, bucket(4, id)) " +
+      "AS SELECT id, v AS w, date FROM compbksrc")
+    assert(spark.table("compbk.a").count() == 120)
+    // the declared composite layout round-trips through the catalog
+    val parts = spark.sql("SHOW CREATE TABLE compbk.a").head.getString(0)
+    assert(parts.contains("date") && parts.toLowerCase.contains("bucket"),
+      s"declared partitioning lost: $parts")
+    // SPJ: same-layout stores join on (date, id) with ZERO exchange
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("compbk.a")
+        .join(spark.table("compbk.b"), Seq("date", "id"))
+      assert(j.count() == 120)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val exchanges = nodes(j.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"same-composite-layout join must be storage-partitioned:\n" +
+          j.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // DPP: a selective parquet dim on the bucket column narrows the
+    // bucketed level at runtime while every date dir stays
+    val dimDir = tmp()
+    Seq((5L, "keep"), (6L, "drop")).toDF("id", "tag").write
+      .mode("overwrite").parquet(dimDir)
+    val joined = spark.table("compbk.a")
+      .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"), "id")
+    assert(joined.collect().length == 1)
+    def nodes2(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes2(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes2(q.plan)
+      case other => other +: other.children.flatMap(nodes2)
+    }
+    val scans = nodes2(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case s: EpochStoreScan => s }
+    assert(scans.exists(_.runtimeFiltered),
+      "the composite scan must receive a runtime (DPP) filter")
+    val (kept, total) = scans.find(_.runtimeFiltered).get.selectedPartitionDirs
+    assert(kept == 6 && total == 15,
+      s"DPP must keep all 3 dates and 1-of-4 buckets under each: " +
+        s"($kept, $total)")
+    // a bucket transform anywhere but last refuses loudly
+    val err = intercept[Exception](spark.sql(
+      "CREATE TABLE compbk.bad PARTITIONED BY (bucket(4, id), date) " +
+        "AS SELECT id, v, date FROM compbksrc"))
+    assert(err.getMessage.contains("INNERMOST"),
+      s"unexpected: ${err.getMessage}")
+    // dynamic INSERT OVERWRITE refuses at write planning (pair-granular
+    // replacement is unimplemented; over-deleting untouched buckets
+    // would be worse than refusing)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val err2 = intercept[Exception](spark.sql(
+        "INSERT OVERWRITE compbk.a SELECT id, v, date FROM compbksrc " +
+          "WHERE id < 10"))
+      assert(err2.getMessage.contains("composite identity+bucket"),
+        s"unexpected: ${err2.getMessage}")
+      // and the refused statement left the table intact
+      assert(spark.table("compbk.a").count() == 120)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("FOR TIMESTAMP AS OF: exact boundary resolution to the newest " +
       "manifest at-or-before the instant; beyond-horizon refuses loudly") {
     import spark.implicits._
