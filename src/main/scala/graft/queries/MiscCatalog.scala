@@ -1331,7 +1331,8 @@ object MiscCatalog {
     * shared one. Returns (child session, table ref); run the statements
     * on that session. */
   private def freshDmlStore(spark: SparkSession, sfDir: String,
-                            epochs: Int): (SparkSession, String) = {
+                            epochs: Int, rowId: Seq[String] = Nil)
+      : (SparkSession, String) = {
     val run = dmlRuns.incrementAndGet()
     val wh = java.nio.file.Files.createTempDirectory("graft_dml_wh").toString
     val root = s"$wh/docs"
@@ -1342,6 +1343,8 @@ object MiscCatalog {
     (0 until epochs).foreach(e => graft.sources.EpochStore.write(
       docs.filter(col("doc_id") % epochs === e), root, e.toLong,
       partitionColumn = "lang", statsColumns = Seq("doc_id")))
+    if (rowId.nonEmpty)
+      graft.sources.EpochStoreDelta.declare(spark, root, rowId)
     val s2 = spark.newSession()
     val c = s"graftdml$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1778,6 +1781,38 @@ object MiscCatalog {
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** MERGE-ON-READ twin of `q_store_merge` (`q_store_merge_mor`): the
+    * same relational replay, but the store declares `doc_id` as its row
+    * identity so the MERGE routes through `SupportsDelta`
+    * ([[graft.sources.EpochStoreDelta]]) — ONE delta epoch holding only
+    * the touched rows plus equality tombstones, history entries never
+    * rewritten, the scan applying the tombstones. Sharing the CoW
+    * twin's oracle IS the equivalence proof: both strategies must serve
+    * identical answers; the O(delta)-not-O(entry) write-cost side is an
+    * EpochStoreDeltaSpec gate. */
+  def storeMergeMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val (s2, t) = freshDmlStore(spark, sfDir, epochs = 1,
+      rowId = Seq("doc_id"))
+    val docs = Tables.documents(s2, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    val src = docs.select(col("doc_id"), (col("n_chars") * 2).as("n_chars"),
+        col("lang"))
+      .union(docs.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("n_chars"), lit("xx").as("lang")))
+    val v = "graft_merge_mor_src"
+    src.createOrReplaceTempView(v)
+    s2.sql(
+      s"""MERGE INTO $t t USING $v s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
+         |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+         |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val storeMergeSql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
@@ -1803,6 +1838,7 @@ object MiscCatalog {
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
+    "q_store_merge_mor" -> (storeMergeMor _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_ts_asof" -> (storeTsAsOf _),
     "q_store_write"   -> (storeWrite _),
@@ -1853,6 +1889,7 @@ object MiscCatalog {
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,
+    "q_store_merge_mor" -> storeMergeSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_ts_asof" -> storeTsAsOfSql,
     "q_store_write"   -> storeWriteSql,

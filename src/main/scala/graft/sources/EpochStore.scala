@@ -218,8 +218,15 @@ final class EpochStoreTable(tableSchema: StructType,
     * entry ([[EpochStoreRowLevelOperation]]). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new EpochStoreRowLevelOperationBuilder(tableSchema, options, info)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // a declared row identity routes UPDATE/MERGE/DELETE merge-on-read
+    // ([[EpochStoreDelta]] — one delta epoch at delta cost); stores
+    // without one keep the group-based copy-on-write rewrite
+    val keys = EpochStoreDelta.morKeysOf(SparkSession.active, options)
+    if (keys.nonEmpty)
+      new EpochStoreDeltaOperationBuilder(tableSchema, options, info, keys)
+    else new EpochStoreRowLevelOperationBuilder(tableSchema, options, info)
+  }
 
   /** SQL `TRUNCATE TABLE` — one empty-entry-list manifest commit: every
     * row gone atomically, the data dirs themselves reclaimed by the
@@ -277,8 +284,18 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     * `LIMIT 10` over a 10k-file store opens one file. Always PARTIAL
     * (Spark keeps its limit operator), so files without recorded row
     * counts simply disable the truncation, never the correctness. */
+  /** Row-identity (merge-on-read) keys this read must honor — explicit
+    * option or the store's `_rowid.json` declaration. Nonempty keys
+    * disable row-count-dependent pushes (limit/top-N truncation, footer
+    * aggregation): live tombstones may drop rows AFTER the file bound,
+    * so a prefix proven to cover k raw rows may cover fewer live ones.
+    * File skipping (stats/bloom) stays on — supersets are re-filtered. */
+  private lazy val morKeys: Seq[String] =
+    EpochStoreDelta.morKeysOf(SparkSession.active, options)
+
   override def pushLimit(limit: Int): Boolean = {
-    if (rlo != null || dataFilters.nonEmpty || limit <= 0) return false
+    if (rlo != null || dataFilters.nonEmpty || limit <= 0 ||
+      morKeys.nonEmpty) return false
     pushedLimit = Some(limit)
     true
   }
@@ -297,7 +314,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{
       NamedReference, NullOrdering, SortDirection}
-    if (rlo != null || dataFilters.nonEmpty || limit <= 0 || orders.isEmpty)
+    if (rlo != null || dataFilters.nonEmpty || limit <= 0 ||
+      orders.isEmpty || morKeys.nonEmpty)
       return false
     // bounding on the FIRST sort column alone is sound for a
     // lexicographic top-k: once ≥ k rows have c1 ≤ B, no row with
@@ -336,6 +354,9 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     if (rlo != null) return false
     if (options.getBoolean("aggregatePushdown", true) == false) return false
     if (dataFilters.nonEmpty) return false
+    // a row-identity store may carry live tombstones — footer counts
+    // would include killed rows; Spark scans rows as usual
+    if (morKeys.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -475,7 +496,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
           // with no option — SQL/catalog readers included
           bloomCol = Option(options.get("bloomColumn"))
             .orElse(BloomSpec.declared(spark, root)),
-          limit = pushedLimit, topN = pushedTopN)
+          limit = pushedLimit, topN = pushedTopN,
+          mergeKeys = morKeys)
     }
   }
 }
@@ -493,7 +515,8 @@ final case class EpochStoreScan(
     limit: Option[Int] = None,
     topN: Option[EpochStore.TopNPush] = None,
     runtimeFilterable: Boolean = true,
-    rloRef: EpochStoreRowLevelOperation = null)
+    rloRef: EpochStoreRowLevelOperation = null,
+    mergeKeys: Seq[String] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -535,11 +558,50 @@ final case class EpochStoreScan(
   override def readSchema(): StructType =
     StructType(readDataSchema ++ constSchema)
 
+  /** MERGE-ON-READ: the pinned snapshot's equality tombstones
+    * ([[EpochStoreDelta]]), loaded once per scan (driver, delta-sized —
+    * one tiny parquet per DELTA entry only; zero cost for stores
+    * without a row identity). When nonempty, the readers run with the
+    * key columns and `_epoch` temporarily widened in, drop rows whose
+    * key a strictly-later epoch tombstoned, and project back — row-based
+    * until `CALL compact` folds the tombstones into the data. */
+  @transient private lazy val tombstones: Map[Seq[Any], Long] =
+    if (mergeKeys.isEmpty) Map.empty
+    else {
+      val keySchema = StructType(mergeKeys.map(k =>
+        dataSchema.fields.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"rowid column $k is not a data column of the store"))))
+      EpochStoreDelta.loadTombstones(SparkSession.active, root, entries,
+        keySchema)
+    }
+  private def morFiltering: Boolean = tombstones.nonEmpty
+  /** rowid columns the projection pruned — widened back in for the
+    * tombstone probe, projected away before rows leave the reader. */
+  @transient private lazy val morAddedFields: Seq[StructField] =
+    if (!morFiltering) Nil
+    else mergeKeys.filterNot(readDataSchema.fieldNames.contains)
+      .map(k => dataSchema.fields.find(_.name == k).get)
+  @transient private lazy val readDataEff: StructType =
+    if (!morFiltering) readDataSchema
+    else StructType(readDataSchema ++ morAddedFields)
+  @transient private lazy val constEff: StructType =
+    if (!morFiltering || epochRequested) constSchema
+    else StructType(constSchema :+
+      StructField(EpochStore.EpochColName, LongType, nullable = false))
+  private def constantsOfEff(lf: EpochStore.ListedFile): Array[Any] =
+    if (!morFiltering || epochRequested) constantsOf(lf)
+    else constantsOf(lf) :+ (lf.epoch: Any)
+
   override def toBatch: Batch = this
 
   /** Incremental tail of the SAME store: each micro-batch is a committed
     * manifest-epoch range, read through the identical pruned/pushed-down
-    * parquet path ([[EpochStoreMicroBatchStream]]). */
+    * parquet path ([[EpochStoreMicroBatchStream]]). Row-identity stores
+    * ([[EpochStoreDelta]]) tail the RAW epoch stream — the changefeed
+    * contract: a merge-on-read delete arrives as its delta epoch's
+    * reinserted rows, never as a retro-filter of already-emitted
+    * batches. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // the micro-batch tail resolves MAIN-lineage epochs per trigger — a
@@ -884,13 +946,15 @@ final case class EpochStoreScan(
         .sortBy { case ((vs, k), _) =>
           (vs.map(String.valueOf).mkString(" "), k) }
         .flatMap { case ((vs, k), files) =>
-          EpochStore.planFilePartitions(spark, files, constSchema, constantsOf)
+          EpochStore.planFilePartitions(spark, files, constEff,
+              constantsOfEff)
             .map { case fp: FilePartition =>
               KeyedFilePartition(fp, vs :+ k) }
         }.toArray
     }
     if (partFields.isEmpty || readPartSchema.size != partFields.size)
-      EpochStore.planFilePartitions(spark, listing._1, constSchema, constantsOf)
+      EpochStore.planFilePartitions(spark, listing._1, constEff,
+        constantsOfEff)
     else {
       // pack per partition VALUE tuple so every task holds one key's
       // files only (the HasPartitionKey contract Spark's key-grouping
@@ -898,16 +962,39 @@ final case class EpochStoreScan(
       listing._1.groupBy(_.values).toSeq
         .sortBy(t => t._1.map(String.valueOf).mkString("\u0000"))
         .flatMap { case (vs, files) =>
-          EpochStore.planFilePartitions(spark, files, constSchema, constantsOf)
+          EpochStore.planFilePartitions(spark, files, constEff,
+              constantsOfEff)
             .map { case fp: FilePartition => KeyedFilePartition(fp, vs) }
         }.toArray
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedDelegatingReaderFactory(
-      EpochStore.parquetReaderFactory(SparkSession.active, dataSchema,
-        readDataSchema, constSchema, dataFilters))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = EpochStore.parquetReaderFactory(SparkSession.active,
+      dataSchema, readDataEff, constEff, dataFilters)
+    val wrapped =
+      if (!morFiltering) inner
+      else {
+        val n0 = readDataSchema.size
+        val a = morAddedFields.size
+        val keyIdx = mergeKeys.map { k =>
+          val i = readDataSchema.fieldNames.indexOf(k)
+          if (i >= 0) i else n0 + morAddedFields.indexWhere(_.name == k)
+        }.toArray
+        val keyTypes = mergeKeys
+          .map(k => dataSchema.fields.find(_.name == k).get.dataType).toArray
+        val total = n0 + a + constEff.size
+        val outIdx = ((0 until n0) ++
+          (n0 + a until n0 + a + constSchema.size)).toArray
+        val outTypes = outIdx.map { i =>
+          if (i < n0) readDataSchema.fields(i).dataType
+          else constSchema.fields(i - n0 - a).dataType
+        }
+        new TombstoneFilteringFactory(inner, keyIdx, keyTypes,
+          epochIdx = total - 1, outIdx, outTypes, tombstones)
+      }
+    new KeyedDelegatingReaderFactory(wrapped)
+  }
 }
 
 /** A [[FilePartition]] tagged with its partition-column value — the
@@ -1751,10 +1838,46 @@ object EpochStore {
         b.fields.filterNot(f => known.contains(f.name))
           .map(_.copy(nullable = true)))
     }
-    val folded0 = recs.map { case (e, Some((s, _))) =>
-      spark.read.schema(s).parquet(s"$root/${e.dir}")
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
-      .select(merged.fieldNames.map(col): _*)
+    // merge-on-read tombstones ([[EpochStoreDelta]]) fold PHYSICALLY:
+    // covered rows whose key a strictly-later covered epoch tombstoned
+    // are dropped here (an equality tombstone only ever reaches lower
+    // epochs, and the fold covers a prefix — so applying the covered
+    // tombstones inside the fold is complete and they are NOT carried);
+    // tombstone entries above uptoEpoch still apply to the fold at read
+    // time (its epoch is below theirs)
+    val deltaEntries = covered.filter(e =>
+      EpochStoreDelta.tombstoneFiles(fs, root, e.dir).nonEmpty)
+    val folded0 = {
+      val raw = recs.map { case (e, Some((s, _))) =>
+        val r = spark.read.schema(s).parquet(s"$root/${e.dir}")
+        if (deltaEntries.isEmpty) r
+        else r.withColumn("__graft_e", lit(e.epoch))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      if (deltaEntries.isEmpty) raw.select(merged.fieldNames.map(col): _*)
+      else {
+        val keys = EpochStoreDelta.declared(spark, root).getOrElse(
+          throw new IllegalStateException(
+            s"compactStore on $root: covered entries carry _delta " +
+              "tombstones but the store declares no rowid"))
+        val keySchema = StructType(merged.filter(f => keys.contains(f.name)))
+        val tomb = EpochStoreDelta
+          .loadTombstones(spark, root, deltaEntries, keySchema).toSeq
+        val tombDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(tomb.map { case (k, e) =>
+            org.apache.spark.sql.Row.fromSeq(k.map {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case v => v
+            } :+ e)
+          }, 1),
+          StructType(keys.map(k => keySchema(k)) :+
+            StructField("__graft_del", LongType, nullable = false)))
+        val cond = keys.map(k => raw(k) <=> tombDf(k))
+          .reduce(_ && _) && raw("__graft_e") < tombDf("__graft_del")
+        raw.join(org.apache.spark.sql.functions.broadcast(tombDf), cond,
+            "left_anti")
+          .select(merged.fieldNames.map(col): _*)
+      }
+    }
     // z-order re-clustering (X59's layout as a MAINTENANCE move): the
     // fold is range-distributed along the Morton curve of the two
     // columns and stats are re-derived on BOTH, so a 2-D range probe

@@ -170,6 +170,17 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       Math.floorDiv(timestamp, 1000L)))
   }
 
+  /** A declared row identity ([[EpochStoreDelta]]) is a non-null,
+    * unique-key contract — serve its columns non-nullable so Spark's
+    * row-level rewrites accept them as row IDs. */
+  private def withRowIdNullability(root: String,
+                                   schema: StructType): StructType =
+    EpochStoreDelta.declared(spark, root) match {
+      case Some(keys) => StructType(schema.map(f =>
+        if (keys.contains(f.name)) f.copy(nullable = false) else f))
+      case None => schema
+    }
+
   private def tableAt(ident: Identifier, asOfGeneration: Long,
                       branch: Option[String] = None): Table = {
     val root = rootOf(ident)
@@ -211,7 +222,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         (if (asOfGeneration >= 0L)
           Map("asOfGeneration" -> asOfGeneration.toString)
         else Map.empty)
-      return new EpochStoreTable(schema,
+      return new EpochStoreTable(withRowIdNullability(root, schema),
         new CaseInsensitiveStringMap(opts.asJava))
     }
     // discover schema (+ the partition-dir column, from col=value
@@ -342,6 +353,21 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     val dir = EpochManifest.newDataDir(spark, root, 0L)
     fs.mkdirs(new Path(s"$root/$dir"))
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols, bucket)
+    // OPTIONS('rowid'='k1,k2') declares a row identity: UPDATE/MERGE/
+    // DELETE run merge-on-read ([[EpochStoreDelta]])
+    propOpt(properties, "rowid").foreach { cols =>
+      val keys = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      keys.foreach { k =>
+        require(schema.fieldNames.contains(k),
+          s"rowid column $k is not in the table schema")
+        // the bucket column lives IN the data files, so it can key;
+        // identity partition levels don't
+        require(!partCols.contains(k),
+          s"rowid column $k is a partition-dir level — equality " +
+            "tombstones need the key in the data files")
+      }
+      EpochStoreDelta.declare(spark, root, keys)
+    }
     EpochManifest.commitWith(spark, root) { cur =>
       require(cur.isEmpty,
         s"CREATE TABLE: a table appeared at $root concurrently — " +

@@ -1,0 +1,413 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
+  PartitionReaderFactory, ScanBuilder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.EpochManifest
+
+/** MERGE-ON-READ row-level operations ([[SupportsDelta]]): a store that
+  * declares a ROW IDENTITY (`_rowid.json` — key columns that uniquely
+  * identify a row, the caller's primary-key contract) takes SQL
+  * UPDATE / MERGE / DELETE as ONE DELTA EPOCH instead of copy-on-write
+  * entry rewrites: the epoch dir holds the reinserted rows as normal
+  * data files plus EQUALITY TOMBSTONES (key rows) under `_delta/`, and
+  * the commit is a single manifest CAS — a 1-row MERGE writes O(1 row),
+  * never O(entry). Updates are represented as delete+insert
+  * ([[SupportsDelta.representUpdateAsDeleteAndInsert]]), the Iceberg
+  * equality-delete model.
+  *
+  * Read side: every scan of a row-identity store applies the pinned
+  * snapshot's tombstones — a tombstone carried by epoch `t` kills rows
+  * of its key in epochs STRICTLY BELOW `t` (the delta epoch's own
+  * reinserts survive; a later re-insert resurrects the key). Because
+  * tombstones ride INSIDE the delta entry, time travel, branches, WAP
+  * and gc are all consistent for free: a pinned generation sees exactly
+  * the tombstones its entries carry. Tombstone application is a
+  * task-side hash filter over the (small, delta-sized) key set —
+  * `CALL compact` folds tombstones into the data physically and
+  * restores the zero-overhead scan.
+  *
+  * The group-based copy-on-write path ([[EpochStoreRowLevelOperation]])
+  * remains the route for stores WITHOUT a declared row identity. */
+object EpochStoreDelta {
+
+  /** Store-level row-identity declaration (`_rowid.json` under the
+    * root): written once (create-table property `rowid` or
+    * [[declare]]), read by scans and the row-level-operation router.
+    * The columns must be DATA columns (not partition-dir levels) and
+    * must uniquely identify rows — equality tombstones kill EVERY row
+    * of a key, so a duplicate key would lose rows on update. */
+  def declare(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "rowid needs at least one column")
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    declared(spark, root) match {
+      case Some(existing) =>
+        require(existing == cols,
+          s"store $root already declares rowid ${existing.mkString(",")}; " +
+            s"re-declaring ${cols.mkString(",")} would strand its tombstones")
+      case None =>
+        val out = fs.create(new Path(root, "_rowid.json"), true)
+        try out.write(
+          s"""{"columns":"${cols.mkString(",")}"}""".getBytes("UTF-8"))
+        finally out.close()
+    }
+  }
+
+  def declared(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val p = new Path(root, "_rowid.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(body.split("\"columns\":\"")(1).takeWhile(_ != '"')
+        .split(',').toSeq)
+    }
+  }
+
+  /** The row-identity columns a reader/operation should honor: the
+    * explicit `rowid` option, else the store's declaration. */
+  def morKeysOf(spark: SparkSession,
+                options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("rowid"))
+      .map(_.split(',').toSeq)
+      .orElse(declared(spark, EpochStore.rootOf(options)))
+      .getOrElse(Nil)
+
+  /** Dir (under one entry) holding the entry's equality tombstones. */
+  private[sources] val DeltaDirName = "_delta"
+
+  /** Tombstone files of one committed entry, if any. */
+  private[graft] def tombstoneFiles(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
+      : Seq[Path] = {
+    val d = new Path(s"$root/$dir/$DeltaDirName")
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(s => s.isFile && s.getLen > 0)
+      .map(_.getPath)
+  }
+
+  /** Load the pinned snapshot's equality tombstones as
+    * key-tuple → newest tombstone epoch (CATALYST values — UTF8String
+    * for strings — so executor-side rows compare directly). Driver-side
+    * and delta-sized: one tiny parquet read per DELTA entry only. */
+  private[sources] def loadTombstones(spark: SparkSession, root: String,
+      entries: Seq[EpochManifest.Entry], keySchema: StructType)
+      : Map[Seq[Any], Long] = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val out = mutable.HashMap.empty[Seq[Any], Long]
+    val conv = keySchema.fields.map(f =>
+      CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    entries.foreach { e =>
+      val fls = tombstoneFiles(fs, root, e.dir)
+      if (fls.nonEmpty) {
+        spark.read.schema(keySchema).parquet(fls.map(_.toString): _*)
+          .collect().foreach { r =>
+            val key = keySchema.indices.map(i => conv(i)(r.get(i)))
+            val prev = out.getOrElse(key, Long.MinValue)
+            if (e.epoch > prev) out(key) = e.epoch
+          }
+      }
+    }
+    out.toMap
+  }
+}
+
+/** One task's delta-write result: the inserted rows' normal commit
+  * message plus the task's tombstone files (rel paths) and count. */
+final case class EpochDeltaWritten(data: EpochFilesWritten,
+                                   delRels: Seq[String], dels: Long)
+    extends WriterCommitMessage
+
+final class EpochStoreDeltaOperationBuilder(
+    tableSchema: StructType, tableOptions: CaseInsensitiveStringMap,
+    info: RowLevelOperationInfo, keys: Seq[String])
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new EpochStoreDeltaOperation(tableSchema, tableOptions, info.command(),
+      keys)
+}
+
+/** The delta (merge-on-read) row-level operation: reads through the
+  * NORMAL pruned scan (no group contract — the commit replaces nothing,
+  * so pushed filters and runtime narrowing stay fully on), writes one
+  * delta epoch. */
+final class EpochStoreDeltaOperation(
+    tableSchema: StructType, tableOptions: CaseInsensitiveStringMap,
+    cmd: RowLevelOperation.Command, keys: Seq[String])
+    extends RowLevelOperation
+    with SupportsDelta {
+
+  require(tableOptions.get("asOfGeneration") == null,
+    "cannot UPDATE/MERGE/DELETE a time-traveled epochstore table — " +
+      "drop VERSION/TIMESTAMP AS OF")
+  require(tableOptions.get("branch") == null,
+    "cannot UPDATE/MERGE/DELETE a branch-pinned epochstore table — " +
+      "branches take epoch appends; publish, then mutate main")
+
+  private[sources] val root: String = EpochStore.rootOf(tableOptions)
+  private[sources] val partCols: Seq[String] =
+    EpochStore.partColsOf(tableOptions)
+  private[sources] val bucketSpec: Option[EpochStore.StoreBucket] =
+    EpochStore.bucketOf(tableOptions)
+
+  keys.foreach { k =>
+    require(tableSchema.fieldNames.contains(k),
+      s"rowid column $k is not in the table schema")
+    require(!partCols.contains(k),
+      s"rowid column $k is a partition-dir level — equality tombstones " +
+        "need the key in the data files")
+  }
+
+  private[sources] def declaredSchema: StructType = tableSchema
+
+  private[sources] val pinned: Seq[EpochManifest.Entry] = {
+    val spark = SparkSession.active
+    require(EpochManifest.generations(spark, root).nonEmpty,
+      s"no committed manifest under $root")
+    EpochManifest.entries(spark, root)
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"epochstore delta $cmd rowid=${keys.mkString(",")} ($root)"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keys.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  /** Updates land as delete+insert — the equality-tombstone model (the
+    * new row may even move partition/bucket dirs). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EpochStoreScanBuilder(tableSchema, tableOptions)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val op = this
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new EpochStoreDeltaBatchWrite(op, info.schema(),
+            info.rowIdSchema().orElseThrow(() =>
+              new IllegalStateException("delta write without a rowId " +
+                "schema")),
+            info.queryId())
+      }
+    }
+  }
+}
+
+/** The delta write: tasks write reinserted rows through the store's
+  * normal partition/bucket-routing writer and tombstones under
+  * `_delta/`; commit publishes ONE new entry via a STRICT snapshot
+  * check — the operation's WHERE/ON was evaluated against the pinned
+  * entry list, so any commit that landed since refuses loudly
+  * (serializability, never a lost update — equality tombstones would
+  * otherwise kill a racing append's rows). */
+final class EpochStoreDeltaBatchWrite(op: EpochStoreDeltaOperation,
+                                      schema: StructType,
+                                      idSchema: StructType,
+                                      queryId: String)
+    extends DeltaBatchWrite {
+
+  private val epoch: Long =
+    op.pinned.map(_.epoch).maxOption.getOrElse(-1L) + 1L
+
+  /** The attempt dir is allocated ONCE here (driver, write planning). */
+  private val dir: String =
+    EpochManifest.newDataDir(SparkSession.active, op.root, epoch)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory = {
+    val spark = SparkSession.active
+    new EpochStoreDeltaWriterFactory(s"${op.root}/$dir", schema, op.partCols,
+      EpochStoreBatchWrite.primedConf(spark, schema, op.partCols),
+      EpochStoreBatchWrite.primedConf(spark, idSchema, Nil),
+      idSchema, op.bucketSpec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(op.root)
+      .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val deltas = messages.collect { case m: EpochDeltaWritten => m }
+    // the claimed set covers data files, their sidecars, AND tombstones
+    val claims: Array[WriterCommitMessage] = deltas.map(m =>
+      m.data.copy(files = m.data.files ++ m.delRels): WriterCommitMessage)
+    EpochStoreWrite.pruneToCommitted(fs, new Path(s"${op.root}/$dir"), claims)
+    if (!fs.exists(new Path(s"${op.root}/$dir")))
+      fs.mkdirs(new Path(s"${op.root}/$dir")): Unit
+    // quality gate: reinserted rows must satisfy declared CHECKs
+    // the sidecar records the TABLE schema (a delete-only delta epoch
+    // has no insert schema of its own) so evolution reads keep working
+    EpochStoreConstraints.enforce(spark, op.root, s"${op.root}/$dir",
+      op.declaredSchema)
+    EpochStoreStats.write(fs, op.root, dir, deltas.flatMap(_.data.fileStats))
+    EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, op.declaredSchema,
+      op.partCols, op.bucketSpec)
+    EpochManifest.commitIfUnchanged(spark, op.root, op.pinned,
+      op.pinned :+ EpochManifest.Entry(epoch, dir))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(op.root)
+      .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    fs.delete(new Path(s"${op.root}/$dir"), true): Unit
+  }
+}
+
+final class EpochStoreDeltaWriterFactory(
+    dirPath: String, schema: StructType, partCols: Seq[String],
+    dataBc: Broadcast[SerializableConfiguration],
+    keyBc: Broadcast[SerializableConfiguration],
+    idSchema: StructType,
+    bucketSpec: Option[EpochStore.StoreBucket])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] =
+    new EpochStoreDeltaWriter(dirPath, schema, partCols, dataBc, keyBc,
+      idSchema, bucketSpec, partitionId, taskId)
+}
+
+/** Task-side delta writer: inserts delegate to the store's normal
+  * [[EpochStoreDataWriter]] (partition/bucket dirs, stats, file index);
+  * deletes append the id row to this task's tombstone parquet. */
+final class EpochStoreDeltaWriter(
+    dirPath: String, schema: StructType, partCols: Seq[String],
+    dataBc: Broadcast[SerializableConfiguration],
+    keyBc: Broadcast[SerializableConfiguration],
+    idSchema: StructType,
+    bucketSpec: Option[EpochStore.StoreBucket],
+    partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  // lazy: a pure DELETE has an EMPTY insert schema and never inserts —
+  // the data writer materializes only when the first reinserted row
+  // arrives
+  private var inner: EpochStoreDataWriter = null
+  private def dataWriter: EpochStoreDataWriter = {
+    if (inner == null)
+      inner = new EpochStoreDataWriter(dirPath, schema, partCols,
+        dataBc, partitionId, taskId, None, Nil, bucketSpec)
+    inner
+  }
+
+  private val delRel =
+    s"${EpochStoreDelta.DeltaDirName}/del-p$partitionId-t$taskId.parquet"
+  private var dels = 0L
+  private var delWriter: (InternalRow => Unit, () => Unit) = null
+  private def tombstones: InternalRow => Unit = {
+    if (delWriter == null) {
+      val p = new Path(s"$dirPath/$delRel")
+      val fs = p.getFileSystem(keyBc.value.value)
+      fs.mkdirs(p.getParent)
+      val ctx = new TaskAttemptContextImpl(keyBc.value.value,
+        new TaskAttemptID(new TaskID(new JobID("graft-epochstore-delta", 0),
+          TaskType.MAP, partitionId), taskId.toInt & Int.MaxValue))
+      delWriter = GraftBridge.parquetRowWriter(p.toString, ctx)
+    }
+    delWriter._1
+  }
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    tombstones(id)
+    dels += 1
+  }
+
+  /** Not reached with [[SupportsDelta.representUpdateAsDeleteAndInsert]]
+    * = true; implemented as its definition anyway. */
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (delWriter != null) delWriter._2()
+    val data =
+      if (inner == null) EpochFilesWritten(Nil, 0L)
+      else inner.commit().asInstanceOf[EpochFilesWritten]
+    EpochDeltaWritten(data, if (dels > 0) Seq(delRel) else Nil, dels)
+  }
+
+  override def abort(): Unit = {
+    if (delWriter != null) delWriter._2()
+    if (inner != null) inner.abort()
+  }
+
+  override def close(): Unit = if (inner != null) inner.close()
+}
+
+/** Executor-side equality-tombstone application: rows whose key has a
+  * tombstone from a STRICTLY LATER epoch are dropped; survivors are
+  * projected back to the scan's declared output (the inner reader runs
+  * with the key columns and `_epoch` temporarily widened in). Row-based
+  * by construction — a scan with live tombstones gives up vectorized
+  * reads until `CALL compact` folds them in. */
+final class TombstoneFilteringFactory(
+    inner: PartitionReaderFactory,
+    keyIdx: Array[Int], keyTypes: Array[DataType],
+    epochIdx: Int,
+    outIdx: Array[Int], outTypes: Array[DataType],
+    tombstones: Map[Seq[Any], Long])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          val key: Seq[Any] = keyIdx.indices
+            .map(i => if (row.isNullAt(keyIdx(i))) null
+              else row.get(keyIdx(i), keyTypes(i)))
+          val killed = tombstones.get(key)
+            .exists(del => row.getLong(epochIdx) < del)
+          if (!killed) {
+            val out = new GenericInternalRow(outIdx.length)
+            var j = 0
+            while (j < outIdx.length) {
+              out.update(j, if (row.isNullAt(outIdx(j))) null
+                else row.get(outIdx(j), outTypes(j)))
+              j += 1
+            }
+            cur = out
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}

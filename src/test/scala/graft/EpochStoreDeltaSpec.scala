@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EpochManifest
+import graft.sources.{EpochStore, EpochStoreDelta}
+
+/** Merge-on-read row-level operations ([[graft.sources.EpochStoreDelta]],
+  * `SupportsDelta`): a store with a declared row identity takes SQL
+  * UPDATE/MERGE/DELETE as ONE delta epoch (reinserted rows + equality
+  * tombstones inside the entry dir) at DELTA cost, scans apply the
+  * tombstones, answers equal the copy-on-write twin, and `CALL compact`
+  * folds tombstones physically. */
+class EpochStoreDeltaSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("n", LongType),
+    StructField("lang", StringType)))
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_delta").toString
+
+  private def cat(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  private def hfs(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** 2 epochs × 500 rows, lang-partitioned. */
+  private def build(root: String, withRowId: Boolean): Unit = {
+    import spark.implicits._
+    def rows(off: Int) = (0 until 500).map { i =>
+      val id = (i + off).toLong
+      (id, id * 10, if (i % 3 == 0) "en" else "de")
+    }.toDF("id", "n", "lang")
+    EpochStore.write(rows(0), root, 0L, partitionColumn = "lang")
+    EpochStore.write(rows(500), root, 1L, partitionColumn = "lang")
+    if (withRowId) EpochStoreDelta.declare(spark, root, Seq("id"))
+  }
+
+  private def dataRowsOf(root: String, dir: String): Long =
+    spark.read.schema(StructType(schema.filterNot(_.name == "lang")))
+      .parquet(s"$root/$dir").count()
+
+  test("a 1-row MERGE on a rowid store writes O(1 row), not O(entry): " +
+      "one delta epoch, untouched history dirs, exact answers") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor1", wh)
+    build(s"$wh/t", withRowId = true)
+    val before = EpochManifest.entries(spark, s"$wh/t")
+    Seq((7L, 777L, "en"), (10007L, 42L, "xx")).toDF("id", "n", "lang")
+      .createOrReplaceTempView("mor1src")
+    spark.sql(
+      """MERGE INTO mor1.t t USING mor1src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT (id, n, lang)
+        |  VALUES (s.id, s.n, s.lang)""".stripMargin)
+    val after = EpochManifest.entries(spark, s"$wh/t")
+    // exactly one NEW entry; every pre-merge dir untouched
+    assert(after.size == before.size + 1 &&
+      before.map(_.dir).forall(after.map(_.dir).contains),
+      s"history must not rewrite: $before -> $after")
+    val delta = after.filterNot(e => before.map(_.dir).contains(e.dir)).head
+    // delta cost: 2 reinserted rows (1 update + 1 insert), 1 tombstone
+    assert(dataRowsOf(s"$wh/t", delta.dir) == 2,
+      s"delta entry must hold exactly the touched rows")
+    val tombs = EpochStoreDelta.tombstoneFiles(
+      hfs(s"$wh/t"), s"$wh/t", delta.dir)
+    assert(tombs.nonEmpty)
+    assert(spark.read.schema(StructType(Seq(StructField("id", LongType))))
+      .parquet(tombs.map(_.toString): _*).collect().map(_.getLong(0)).toSeq
+      == Seq(7L), "one equality tombstone for the updated key")
+    // answers: updated value served, old version gone, insert visible
+    val got = spark.table("mor1.t")
+      .filter(col("id").isin(7L, 10007L, 8L))
+      .select("id", "n").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((7L, 777L), (10007L, 42L), (8L, 80L)), s"got $got")
+    assert(spark.table("mor1.t").count() == 1001)
+  }
+
+  test("delta MERGE answers equal the copy-on-write twin, including " +
+      "partition-dir routing of updated rows") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor2", wh)
+    build(s"$wh/cow", withRowId = false)
+    build(s"$wh/mor", withRowId = true)
+    // the update MOVES rows across the lang partition too
+    (0 until 50).map(i => (i.toLong * 7, i.toLong, "fr"))
+      .toDF("id", "n", "lang").createOrReplaceTempView("mor2src")
+    def merge(t: String): Unit = spark.sql(
+      s"""MERGE INTO mor2.$t t USING mor2src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET n = s.n, lang = s.lang
+         |WHEN NOT MATCHED THEN INSERT (id, n, lang)
+         |  VALUES (s.id, s.n, s.lang)""".stripMargin)
+    merge("cow")
+    merge("mor")
+    val cow = spark.table("mor2.cow").collect().map(_.toSeq).toSet
+    val mor = spark.table("mor2.mor").collect().map(_.toSeq).toSet
+    assert(mor == cow, s"MoR answers diverge from CoW: " +
+      s"only-cow=${(cow -- mor).take(3)} only-mor=${(mor -- cow).take(3)}")
+    // aggregation over the MoR table matches too (filtered scan path)
+    val aggCow = spark.sql(
+      "SELECT lang, COUNT(*) AS c, SUM(n) AS s FROM mor2.cow " +
+        "GROUP BY lang ORDER BY lang").collect().toSeq
+    val aggMor = spark.sql(
+      "SELECT lang, COUNT(*) AS c, SUM(n) AS s FROM mor2.mor " +
+        "GROUP BY lang ORDER BY lang").collect().toSeq
+    assert(aggCow == aggMor)
+  }
+
+  test("UPDATE and an untranslatable DELETE run merge-on-read; time " +
+      "travel serves the pre-delta snapshot; a later append resurrects") {
+    val wh = tmp()
+    cat("mor3", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    val g1 = EpochManifest.generations(spark, root).last
+    spark.sql("UPDATE mor3.t SET n = -1 WHERE id = 11")
+    assert(spark.table("mor3.t").filter(col("id") === 11L)
+      .head.getLong(1) == -1L)
+    // pre-delta generation: tombstones ride in entries, so the pinned
+    // snapshot never sees them
+    assert(EpochStore.read(spark, root, schema, "lang", asOfGeneration = g1)
+      .filter(col("id") === 11L).head.getLong(1) == 110L)
+    // untranslatable DELETE (expression on a data column) → tombstones
+    val pre = spark.table("mor3.t").count()
+    spark.sql("DELETE FROM mor3.t WHERE id % 250 = 13 AND n > 0")
+    val expectDel = (0L until 1000L).count(i => i % 250 == 13)
+    assert(spark.table("mor3.t").count() == pre - expectDel)
+    // a later APPEND of a deleted key resurrects it (epoch above the
+    // tombstone's)
+    import spark.implicits._
+    EpochStore.write(Seq((13L, 1313L, "en")).toDF("id", "n", "lang"),
+      root, 99L, partitionColumn = "lang")
+    val got = spark.table("mor3.t").filter(col("id") === 13L).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 1313L)
+  }
+
+  test("CALL compact folds tombstones physically: same answers, no " +
+      "_delta dirs left, rowid layout preserved") {
+    val wh = tmp()
+    cat("mor4", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    spark.sql("UPDATE mor4.t SET n = -7 WHERE id = 21")
+    spark.sql("DELETE FROM mor4.t WHERE id % 333 = 5 AND n > 0")
+    val pre = spark.table("mor4.t").collect().map(_.toSeq).toSet
+    spark.sql("CALL mor4.system.compact(table => 't')").collect()
+    val es = EpochManifest.entries(spark, root)
+    assert(es.size == 1, s"fold to one entry: $es")
+    assert(EpochStoreDelta.tombstoneFiles(hfs(root), root, es.head.dir)
+      .isEmpty, "tombstones must fold into the data")
+    val post = spark.table("mor4.t").collect().map(_.toSeq).toSet
+    assert(post == pre,
+      s"compaction changed answers: only-pre=${(pre -- post).take(3)} " +
+        s"only-post=${(post -- pre).take(3)}")
+  }
+}
