@@ -179,8 +179,14 @@ object EpochManifest {
     * (main lineage or a branch's): true iff this writer won the
     * generation. */
   private def publishAt(fs: org.apache.hadoop.fs.FileSystem, md: Path,
-                        gen: Long, body: String): Boolean = {
-    fs.mkdirs(md)
+                        gen: Long, body: String,
+                        create: Boolean = true): Boolean = {
+    // a SEEDED lineage (branch) must never be recreated here: a publish
+    // retires the branch dir by rename, and an unconditional mkdirs
+    // would let a racing branch commit CAS into a recreated empty dir
+    // during the publish window instead of refusing
+    if (!create && !fs.exists(md)) return false
+    if (create) fs.mkdirs(md)
     val tmp = new Path(md,
       s".m$gen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -207,7 +213,8 @@ object EpochManifest {
       val g = ms.lastOption.map(_._1).getOrElse(0L)
       val cur = ms.lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)
       val next = rebase(cur)
-      if (publishAt(fs, md, g + 1L, render(next))) return g + 1L
+      if (publishAt(fs, md, g + 1L, render(next), create = !seeded))
+        return g + 1L
       attempt += 1
       require(attempt < 64,
         s"commit under $what lost $attempt straight CAS races — " +
@@ -805,8 +812,15 @@ object EpochManifest {
     } catch {
       case e: Throwable =>
         // publish refused/failed: restore the lineage so the branch's
-        // audited epochs are not lost (re-branch-and-replay needs them)
-        fs.rename(retired, bd)
+        // audited epochs are not lost (re-branch-and-replay needs them).
+        // A failed restore must be LOUD: the lineage would otherwise be
+        // stranded under the hidden retire name
+        if (!fs.rename(retired, bd))
+          throw new IllegalStateException(
+            s"branch '$name' of $root: publish failed AND the restore " +
+              s"rename $retired -> $bd failed (a racing commit recreated " +
+              "the branch dir?) — the audited lineage is preserved at " +
+              s"$retired; recover it manually", e)
         throw e
     }
   }

@@ -1666,7 +1666,14 @@ object MiscCatalog {
     Thread.sleep(60) // distinct manifest mtimes: the boundary must be real
     graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
       root, 1L, partitionColumn = "lang")
-    val firstTs = graft.core.EpochManifest.snapshots(spark, root).head._2
+    val snaps = graft.core.EpochManifest.snapshots(spark, root)
+    // the boundary must be REAL: on a coarse-mtime FS both manifests
+    // could share an instant and AS-OF-the-first would resolve to the
+    // second — fail loudly rather than return the wrong snapshot
+    require(snaps.size == 2 && snaps.head._2 < snaps.last._2,
+      s"q_store_ts_asof needs distinct manifest instants, got $snaps — " +
+        "coarse filesystem mtime granularity?")
+    val firstTs = snaps.head._2
     val s2 = spark.newSession()
     val c = s"grafttt$run"
     s2.conf.set(s"spark.sql.catalog.$c",

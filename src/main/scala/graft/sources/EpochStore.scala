@@ -199,7 +199,12 @@ final class EpochStoreTable(tableSchema: StructType,
     * expressions) refuse here and Spark falls back to the row-level
     * rewrite ([[newRowLevelOperationBuilder]]). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => EpochStoreDml.filterToColumn(f).isDefined)
+    // a row-identity store routes EVERY delete merge-on-read
+    // ([[EpochStoreDelta]]): the metadata-first path drops/rewrites
+    // entries without carrying their _delta tombstones, which would
+    // resurrect rows those tombstones kill
+    EpochStoreDelta.morKeysOf(SparkSession.active, options).isEmpty &&
+      filters.forall(f => EpochStoreDml.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
@@ -572,6 +577,8 @@ final case class EpochStoreScan(
         dataSchema.fields.find(_.name == k).getOrElse(
           throw new IllegalArgumentException(
             s"rowid column $k is not a data column of the store"))))
+      keySchema.fields.foreach(f =>
+        EpochStoreDelta.requireEqualityStableKeyType(f.name, f.dataType))
       EpochStoreDelta.loadTombstones(SparkSession.active, root, entries,
         keySchema)
     }
@@ -990,8 +997,10 @@ final case class EpochStoreScan(
           if (i < n0) readDataSchema.fields(i).dataType
           else constSchema.fields(i - n0 - a).dataType
         }
+        // broadcast: one copy per executor, not one per task closure
         new TombstoneFilteringFactory(inner, keyIdx, keyTypes,
-          epochIdx = total - 1, outIdx, outTypes, tombstones)
+          epochIdx = total - 1, outIdx, outTypes,
+          SparkSession.active.sparkContext.broadcast(tombstones))
       }
     new KeyedDelegatingReaderFactory(wrapped)
   }
@@ -1859,17 +1868,24 @@ object EpochStore {
           throw new IllegalStateException(
             s"compactStore on $root: covered entries carry _delta " +
               "tombstones but the store declares no rowid"))
-        val keySchema = StructType(merged.filter(f => keys.contains(f.name)))
+        // keySchema in DECLARED key order — the tombstone tuples, the
+        // frame schema, and the join condition must all agree on it
+        val keySchema = StructType(keys.map(k =>
+          merged.fields.find(_.name == k).getOrElse(
+            throw new IllegalStateException(
+              s"compactStore on $root: rowid column $k missing from the " +
+                "merged schema"))))
         val tomb = EpochStoreDelta
           .loadTombstones(spark, root, deltaEntries, keySchema).toSeq
         val tombDf = spark.createDataFrame(
           spark.sparkContext.parallelize(tomb.map { case (k, e) =>
-            org.apache.spark.sql.Row.fromSeq(k.map {
-              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-              case v => v
-            } :+ e)
+            org.apache.spark.sql.Row.fromSeq(
+              k.zip(keySchema.fields).map { case (v, f) =>
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToScala(v, f.dataType)
+              } :+ e)
           }, 1),
-          StructType(keys.map(k => keySchema(k)) :+
+          StructType(keySchema.fields.toSeq :+
             StructField("__graft_del", LongType, nullable = false)))
         val cond = keys.map(k => raw(k) <=> tombDf(k))
           .reduce(_ && _) && raw("__graft_e") < tombDf("__graft_del")

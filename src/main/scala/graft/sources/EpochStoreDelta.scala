@@ -79,6 +79,26 @@ object EpochStoreDelta {
     }
   }
 
+  /** The tombstone probe compares CATALYST values by `equals` — only
+    * types with VALUE equality may key (BinaryType's Array[Byte] has
+    * reference equality: every probe would miss and deletes would be
+    * silently ineffective; nested types are refused for the same
+    * reason). */
+  private[sources] def requireEqualityStableKeyType(
+      col: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    require(ok, s"rowid column $col has type $dt — row-identity keys " +
+      "need value-equality-stable types (integral, float, string, " +
+      "boolean, date, timestamp, decimal)")
+  }
+
   /** The row-identity columns a reader/operation should honor: the
     * explicit `rowid` option, else the store's declaration. */
   def morKeysOf(spark: SparkSession,
@@ -109,20 +129,29 @@ object EpochStoreDelta {
       entries: Seq[EpochManifest.Entry], keySchema: StructType)
       : Map[Seq[Any], Long] = {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // ONE read over every delta entry's tombstone files (not a job per
+    // entry): the carrying epoch is recovered per row from the file
+    // path, compared by URI path component (input_file_name spells
+    // file:/// where makeQualified spells file:/)
+    val epochByPath: Map[String, Long] = entries.flatMap(e =>
+      tombstoneFiles(fs, root, e.dir).map(p =>
+        fs.makeQualified(p).toUri.getPath -> e.epoch)).toMap
+    if (epochByPath.isEmpty) return Map.empty
     val out = mutable.HashMap.empty[Seq[Any], Long]
     val conv = keySchema.fields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
-    entries.foreach { e =>
-      val fls = tombstoneFiles(fs, root, e.dir)
-      if (fls.nonEmpty) {
-        spark.read.schema(keySchema).parquet(fls.map(_.toString): _*)
-          .collect().foreach { r =>
-            val key = keySchema.indices.map(i => conv(i)(r.get(i)))
-            val prev = out.getOrElse(key, Long.MinValue)
-            if (e.epoch > prev) out(key) = e.epoch
-          }
+    val fcol = "__graft_tomb_file"
+    spark.read.schema(keySchema).parquet(epochByPath.keys.toSeq: _*)
+      .withColumn(fcol, org.apache.spark.sql.functions.input_file_name())
+      .collect().foreach { r =>
+        val uri = r.getAs[String](fcol)
+        val epoch = epochByPath.getOrElse(new Path(uri).toUri.getPath,
+          throw new IllegalStateException(
+            s"tombstone row from unplanned file $uri under $root"))
+        val key = keySchema.indices.map(i => conv(i)(r.get(i)))
+        val prev = out.getOrElse(key, Long.MinValue)
+        if (epoch > prev) out(key) = epoch
       }
-    }
     out.toMap
   }
 }
@@ -166,6 +195,8 @@ final class EpochStoreDeltaOperation(
     EpochStore.bucketOf(tableOptions)
 
   keys.foreach { k =>
+    tableSchema.fields.find(_.name == k).foreach(f =>
+      EpochStoreDelta.requireEqualityStableKeyType(k, f.dataType))
     require(tableSchema.fieldNames.contains(k),
       s"rowid column $k is not in the table schema")
     require(!partCols.contains(k),
@@ -374,12 +405,13 @@ final class TombstoneFilteringFactory(
     keyIdx: Array[Int], keyTypes: Array[DataType],
     epochIdx: Int,
     outIdx: Array[Int], outTypes: Array[DataType],
-    tombstones: Map[Seq[Any], Long])
+    tombstonesBc: Broadcast[Map[Seq[Any], Long]])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
     val r = inner.createReader(p)
+    val tombstones = tombstonesBc.value
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = {

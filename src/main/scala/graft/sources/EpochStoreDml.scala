@@ -228,9 +228,14 @@ private[graft] object EpochStoreDml {
                 new Path(dst, "_schema.json"), false, conf)
             val keptRel: String => Boolean =
               rel => rel.split('/').headOption.exists(keptNames)
-            val sliced = EpochStoreStats.read(fs, root, e.dir).toSeq
-              .filter { case (rel, _) => keptRel(rel) }
-            EpochStoreStats.write(fs, root, dir2, sliced)
+            // slice only when the SOURCE had a sidecar: an empty sidecar
+            // is now an authoritative "no files" index
+            // ([[EpochStoreStats.readIndexed]]) — writing one for a
+            // pre-index entry would plan its copied rows away
+            EpochStoreStats.readIndexed(fs, root, e.dir).foreach { stats =>
+              EpochStoreStats.write(fs, root, dir2,
+                stats.toSeq.filter { case (rel, _) => keptRel(rel) })
+            }
             val skip = new Path(entryPath, "_skip")
             if (fs.exists(skip)) {
               def walk(p: Path): Seq[FileStatus] =

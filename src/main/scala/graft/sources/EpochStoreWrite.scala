@@ -609,8 +609,18 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
             else EpochManifest.commitEpochDir(spark, root, epoch, dir)
         }
       case EpochOverwrite.ByFilters(filters) =>
+        // a filter overwrite on a store with LIVE merge-on-read
+        // tombstones would drop/rewrite delta entries without their
+        // _delta files, resurrecting rows they kill — refuse loudly
+        // (whole-table truncate is safe: everything goes). Zero cost for
+        // stores without a row identity.
+        if (!filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+          EpochStoreWrite.guardNoLiveTombstones(spark, root,
+            "static INSERT OVERWRITE")
         commitOverwrite(spark, filters)
       case EpochOverwrite.DynamicParts if bucketSpec.nonEmpty =>
+        EpochStoreWrite.guardNoLiveTombstones(spark, root,
+          "dynamic INSERT OVERWRITE")
         // composite identity+bucket: the replaced set would be
         // (identity tuple, bucket) PAIRS — neither the tuple path
         // (whole dates, deleting untouched buckets) nor the bucket path
@@ -643,6 +653,8 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
           survivors :+ EpochManifest.Entry(epoch, dir))
         ()
       case EpochOverwrite.DynamicParts =>
+        EpochStoreWrite.guardNoLiveTombstones(spark, root,
+          "dynamic INSERT OVERWRITE")
         // replace exactly the partition-value TUPLES the batch wrote —
         // their dirs are the first partCols.length path segments of
         // every committed file; each tuple becomes a conjunction of
@@ -756,6 +768,26 @@ final case class EpochFilesWritten(files: Seq[String], nRows: Long,
     extends WriterCommitMessage
 
 object EpochStoreWrite {
+
+  /** Refuse a filter/dynamic overwrite when the store carries LIVE
+    * merge-on-read tombstones ([[EpochStoreDelta]]): the replaced-set
+    * resolution drops or rewrites entries without carrying their
+    * `_delta` files, so rows those tombstones kill would resurrect.
+    * `CALL compact` folds the tombstones in and re-enables the path.
+    * Zero cost for stores without a row identity. */
+  private[sources] def guardNoLiveTombstones(spark: SparkSession,
+      root: String, what: String): Unit = {
+    if (EpochStoreDelta.declared(spark, root).isEmpty) return
+    val fs = new Path(root)
+      .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val carrying = EpochManifest.entries(spark, root)
+      .filter(e => EpochStoreDelta.tombstoneFiles(fs, root, e.dir).nonEmpty)
+    require(carrying.isEmpty,
+      s"$what on $root: entries ${carrying.map(_.dir).mkString(", ")} " +
+        "carry live merge-on-read tombstones the replaced-set resolution " +
+        "would strand (deleted rows would resurrect) — run CALL compact " +
+        "to fold them in first")
+  }
 
   /** Driver-side `_schema.json` publish at commit: the epoch's full
     * logical schema (partition column included) plus the partitioning

@@ -142,6 +142,57 @@ class EpochStoreDeltaSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(1) == 1313L)
   }
 
+  test("a TRANSLATABLE DELETE on a rowid store routes merge-on-read too " +
+      "(the metadata-first path would strand tombstones and resurrect " +
+      "rows); filter overwrites refuse while tombstones are live") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor5", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    // update-then-delete the same key: the delete must NOT drop the
+    // delta entry's tombstone and resurrect the pre-update row
+    spark.sql("UPDATE mor5.t SET n = -1 WHERE id = 11")
+    spark.sql("DELETE FROM mor5.t WHERE id = 11")
+    assert(spark.table("mor5.t").filter(col("id") === 11L).count() == 0,
+      "updated-then-deleted key must stay deleted")
+    assert(spark.table("mor5.t").count() == 999)
+    // static partition overwrite would strand live tombstones — refuse
+    val err = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE mor5.t PARTITION (lang = 'en') " +
+        "SELECT id, n FROM mor5.t WHERE lang = 'de' LIMIT 1"))
+    assert(err.getMessage.contains("tombstones"),
+      s"unexpected: ${err.getMessage}")
+    // whole-table TRUNCATE stays allowed (everything goes, nothing can
+    // resurrect)
+    spark.sql("TRUNCATE TABLE mor5.t")
+    assert(spark.table("mor5.t").count() == 0)
+  }
+
+  test("multi-column rowid declared OUT of schema order: compact folds " +
+      "the right rows (key order agrees between tombstones and join)") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor6", wh)
+    val root = s"$wh/t"
+    // schema order (id, n, lang); rowid declared as (lang, id)
+    (0 until 100).map(i => (i.toLong, i * 10L, s"l${i % 4}"))
+      .toDF("id", "n", "lang")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0").save()
+    EpochStoreDelta.declare(spark, root, Seq("lang", "id"))
+    spark.sql("UPDATE mor6.t SET n = -5 WHERE id = 14")
+    spark.sql("DELETE FROM mor6.t WHERE id = 15 AND n >= 0")
+    val pre = spark.table("mor6.t").collect().map(_.toSeq).toSet
+    assert(pre.exists(r => r.head == 14L && r(1) == -5L) &&
+      !pre.exists(_.head == 15L))
+    spark.sql("CALL mor6.system.compact(table => 't')").collect()
+    val post = spark.table("mor6.t").collect().map(_.toSeq).toSet
+    assert(post == pre,
+      s"multi-col-key fold diverged: only-pre=${(pre -- post).take(3)} " +
+        s"only-post=${(post -- pre).take(3)}")
+  }
+
   test("CALL compact folds tombstones physically: same answers, no " +
       "_delta dirs left, rowid layout preserved") {
     val wh = tmp()
