@@ -1820,6 +1820,77 @@ object MiscCatalog {
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** CDC changefeed with change types (`q_store_cdf`): the changefeed
+    * read over a row-identity store serves `_change_type` — the delta
+    * epoch's reinserted rows as `insert` events and its equality
+    * tombstones as `delete` events (key set, payload null) — the
+    * Delta-CDF / Iceberg-changelog shape, so a downstream consumer can
+    * replay row-level mutations without diffing snapshots. The oracle
+    * recomputes the exact event set relationally from the MERGE's
+    * definition. Scale shape: the feed reads ONLY the since-generation
+    * entries (manifest-pruned) and the tombstone files ride in those
+    * same entries — delta-sized, never a table scan. */
+  def storeCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdf_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs, root, 0L, partitionColumn = "lang")
+    graft.sources.EpochStoreDelta.declare(spark, root, Seq("doc_id"))
+    val g1 = graft.core.EpochManifest.generations(spark, root).last
+    val s2 = spark.newSession()
+    val c = s"graftcdf$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val en = Tables.documents(s2, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    val src = en.select(col("doc_id"), (col("n_chars") * 2).as("n_chars"),
+        col("lang"))
+      .union(en.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("n_chars"), lit("xx").as("lang")))
+    src.createOrReplaceTempView("graft_cdf_src")
+    s2.sql(
+      s"""MERGE INTO $c.docs t USING graft_cdf_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
+         |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    graft.sources.EpochStore.readChanges(s2, root, sch, g1,
+        partitionColumn = "lang")
+      .groupBy(col("_change_type").as("change"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
+        sum("n_chars").as("chars"))
+      .orderBy("change")
+  }
+
+  val storeCdfSql: String =
+    """WITH en AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents WHERE lang = 'en'
+      |), ev AS (
+      |  SELECT 'insert' AS change, doc_id, n_chars * 2 AS n_chars FROM en
+      |  UNION ALL
+      |  SELECT 'insert', doc_id + 20000000, n_chars FROM en
+      |  UNION ALL
+      |  SELECT 'delete', doc_id, NULL FROM en
+      |)
+      |SELECT change, COUNT(*) AS n,
+      |  CAST(SUM(doc_id) AS BIGINT) AS ids,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM ev GROUP BY change ORDER BY change""".stripMargin
+
   val storeMergeSql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
@@ -1846,6 +1917,7 @@ object MiscCatalog {
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
     "q_store_merge_mor" -> (storeMergeMor _),
+    "q_store_cdf"     -> (storeCdf _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_ts_asof" -> (storeTsAsOf _),
     "q_store_write"   -> (storeWrite _),
@@ -1897,6 +1969,7 @@ object MiscCatalog {
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,
     "q_store_merge_mor" -> storeMergeSql,
+    "q_store_cdf"     -> storeCdfSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_ts_asof" -> storeTsAsOfSql,
     "q_store_write"   -> storeWriteSql,

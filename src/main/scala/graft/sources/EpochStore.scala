@@ -151,13 +151,23 @@ final class EpochStoreTable(tableSchema: StructType,
     * per-file constant; costs nothing unless selected. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = EpochStore.EpochColName
-      override def dataType(): org.apache.spark.sql.types.DataType = LongType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "manifest epoch that committed this row's file"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = EpochStore.EpochColName
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest epoch that committed this row's file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = EpochStore.ChangeColName
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "changefeed change type: insert (data row) or delete " +
+            "(equality tombstone)"
+      })
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -412,7 +422,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     // stay residual (Spark re-evaluates them over the served constant)
     dataFilters = rest.filter(f =>
       !f.references.exists(partCols.contains) &&
-        !f.references.contains(EpochStore.EpochColName))
+        !f.references.contains(EpochStore.EpochColName) &&
+        !f.references.contains(EpochStore.ChangeColName))
     rest
   }
 
@@ -538,12 +549,19 @@ final case class EpochStoreScan(
   private val epochRequested: Boolean =
     required.fieldNames.contains(EpochStore.EpochColName)
 
+  /** CDC mode: `_change_type` selected — tombstone files join the plan
+    * as DELETE-event rows and merge-on-read resolution turns OFF (a
+    * changefeed is the RAW stream of changes). */
+  private val changeRequested: Boolean =
+    required.fieldNames.contains(EpochStore.ChangeColName)
+
   /** Files hold every column EXCEPT the partition-dir columns. */
   private val dataSchema: StructType =
     StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
   private val readDataSchema: StructType =
     StructType(required.filterNot(f =>
-      partCols.contains(f.name) || f.name == EpochStore.EpochColName))
+      partCols.contains(f.name) || f.name == EpochStore.EpochColName ||
+        f.name == EpochStore.ChangeColName))
   private val readPartSchema: StructType =
     StructType(partFields.filter(f => required.fieldNames.contains(f.name)))
   /** Positions (within the partition-value tuple) of the REQUESTED
@@ -557,6 +575,10 @@ final case class EpochStoreScan(
     StructType(readPartSchema ++
       (if (epochRequested)
         Seq(StructField(EpochStore.EpochColName, LongType, nullable = false))
+      else Nil) ++
+      (if (changeRequested)
+        Seq(StructField(EpochStore.ChangeColName,
+          org.apache.spark.sql.types.StringType, nullable = false))
       else Nil))
 
   // the file-source output convention: data columns then constant columns
@@ -571,7 +593,7 @@ final case class EpochStoreScan(
     * key a strictly-later epoch tombstoned, and project back — row-based
     * until `CALL compact` folds the tombstones into the data. */
   @transient private lazy val tombstones: Map[Seq[Any], Long] =
-    if (mergeKeys.isEmpty) Map.empty
+    if (mergeKeys.isEmpty || changeRequested) Map.empty
     else {
       val keySchema = StructType(mergeKeys.map(k =>
         dataSchema.fields.find(_.name == k).getOrElse(
@@ -721,8 +743,24 @@ final case class EpochStoreScan(
           dataFilters ++ runtimeFilters, b, fullSchema(b.col).dataType)))
       val kept = applyRowBound(spark,
         applyStatsSkip(spark, applyBloomSkip(spark, files)))
-      filesAudit = (kept.size, files.size)
-      cachedListing = (kept, sel, tot)
+      // CDC mode: every selected entry's equality tombstones join the
+      // plan as DELETE-event files (key columns only — the reader nulls
+      // the rest; partition values null, no bucket id). Skipping tiers
+      // never apply to them: a changefeed must deliver every delete.
+      val withDeletes =
+        if (!changeRequested) kept
+        else {
+          val fs = new Path(root).getFileSystem(
+            GraftBridge.sessionHadoopConf(spark))
+          kept ++ (if (runtimeEntries != null) runtimeEntries else entries)
+            .flatMap { e =>
+              EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).map(st =>
+                EpochStore.ListedFile(partFields.map(_ => null), e.epoch,
+                  e.dir, st, isDelete = true))
+            }
+        }
+      filesAudit = (withDeletes.size, files.size)
+      cachedListing = (withDeletes, sel, tot)
     }
     cachedListing
   }
@@ -938,6 +976,7 @@ final case class EpochStoreScan(
     val b = Array.newBuilder[Any]
     requestedPartIdx.foreach(i => b += lf.values(i))
     if (epochRequested) b += lf.epoch
+    if (changeRequested) b += (if (lf.isDelete) "delete" else "insert")
     b.result()
   }
 
@@ -1042,6 +1081,16 @@ object EpochStore {
 
   /** Name of the metadata column carrying each row's manifest epoch. */
   val EpochColName = "_epoch"
+
+  /** Name of the metadata column carrying each row's CHANGE TYPE in a
+    * changefeed read: "insert" for data rows, "delete" for equality
+    * tombstones ([[EpochStoreDelta]]) — selecting it turns
+    * `changesSinceGeneration` into a full CDC feed (Delta CDF /
+    * Iceberg changelog shape). Served as a per-file constant; tombstone
+    * files carry the key columns with everything else null. Selecting
+    * it reads the RAW change stream — merge-on-read tombstone
+    * resolution is off by definition. */
+  val ChangeColName = "_change_type"
 
   /** The declared partition columns, in nesting order: `partitionColumn`
     * takes one or a comma-separated list (`"date,lang"` materializes
@@ -1222,7 +1271,10 @@ object EpochStore {
       // hash-bucket layouts only: the file's `<col>_bucket=K` id, or -1
       // for a file outside any bucket dir (e.g. a DML rewrite that
       // landed unbucketed — always kept, disables SPJ reporting)
-      bucketId: Int = -1)
+      bucketId: Int = -1,
+      // changefeed reads only: true = an equality-tombstone file whose
+      // rows are DELETE events (key columns only, bucketId always -1)
+      isDelete: Boolean = false)
 
   /** Driver-side planning of a set of manifest entries: per entry dir,
     * either its files directly (unpartitioned store) or its NESTED
@@ -1723,6 +1775,22 @@ object EpochStore {
       .option("changesSinceGeneration", sinceGeneration.toString)
     if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     r.load()
+  }
+
+  /** [[changes]] as a full CDC FEED (the Delta CDF / Iceberg changelog
+    * shape): every row carries `_change_type` ("insert" for data rows,
+    * "delete" for a merge-on-read tombstone's key — key columns set,
+    * everything else null) and `_epoch`. Selecting `_change_type` reads
+    * the RAW change stream: tombstone resolution is off by definition
+    * (the consumer replays the changes itself). Partition values on
+    * delete events are null — the row identity carries the key. */
+  def readChanges(spark: SparkSession, root: String, schema: StructType,
+                  sinceGeneration: Long,
+                  partitionColumn: String = null): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = changes(spark, root, schema, sinceGeneration, partitionColumn)
+    t.select(schema.fieldNames.map(col).toSeq :+
+      col(ChangeColName) :+ col(EpochColName): _*)
   }
 
   /** The engine's streaming-read entry point — a micro-batch tail of the

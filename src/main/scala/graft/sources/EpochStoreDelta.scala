@@ -114,11 +114,14 @@ object EpochStoreDelta {
   /** Tombstone files of one committed entry, if any. */
   private[graft] def tombstoneFiles(
       fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
-      : Seq[Path] = {
+      : Seq[Path] = tombstoneStatuses(fs, root, dir).map(_.getPath)
+
+  private[sources] def tombstoneStatuses(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val d = new Path(s"$root/$dir/$DeltaDirName")
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).toSeq.filter(s => s.isFile && s.getLen > 0)
-      .map(_.getPath)
   }
 
   /** Load the pinned snapshot's equality tombstones as

@@ -193,6 +193,44 @@ class EpochStoreDeltaSpec extends SparkSpec {
         s"only-post=${(post -- pre).take(3)}")
   }
 
+  test("changefeed with change types: _change_type serves data rows as " +
+      "inserts and tombstones as delete events — the RAW stream, with " +
+      "merge-on-read resolution off") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor7", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    val g1 = EpochManifest.generations(spark, root).last
+    Seq((7L, 777L, "de")).toDF("id", "n", "lang")
+      .createOrReplaceTempView("mor7src")
+    spark.sql(
+      """MERGE INTO mor7.t t USING mor7src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    val got = EpochStore.readChanges(spark, root, schema, g1,
+      partitionColumn = "lang")
+      .collect().map(r => (r.getAs[Any]("id"), r.getAs[Any]("n"),
+        r.getAs[Any]("lang"), r.getAs[String]("_change_type"))).toSet
+    // the delta epoch's changes: ONE reinserted row, ONE delete event
+    // (key set, payload and partition value null)
+    assert(got == Set(
+      (7L, 777L, "de", "insert"),
+      (7L, null, null, "delete")), s"got $got")
+    // the resolved (non-CDC) read still applies the tombstone
+    assert(spark.table("mor7.t").filter(col("id") === 7L)
+      .head.getLong(1) == 777L)
+    // a store without a row identity feeds inserts only
+    val root2 = s"$wh/plain"
+    build(root2, withRowId = false)
+    val g2 = EpochManifest.generations(spark, root2).last
+    EpochStore.write(Seq((5000L, 1L, "en")).toDF("id", "n", "lang"),
+      root2, 9L, partitionColumn = "lang")
+    val got2 = EpochStore.readChanges(spark, root2, schema, g2,
+      partitionColumn = "lang").collect()
+    assert(got2.length == 1 &&
+      got2.head.getAs[String]("_change_type") == "insert")
+  }
+
   test("CALL compact folds tombstones physically: same answers, no " +
       "_delta dirs left, rowid layout preserved") {
     val wh = tmp()
