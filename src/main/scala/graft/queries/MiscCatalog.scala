@@ -1693,6 +1693,34 @@ object MiscCatalog {
       |FROM documents WHERE lang IS NOT NULL AND doc_id % 2 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Selective small-file maintenance (`q_store_rewrite`):
+    * `CALL rewrite_data_files` bin-packs the fresh store's adjacent
+    * small epochs (sizes read from the file-level index — zero listing)
+    * into one fold and the aggregate must answer identically — DuckDB
+    * recomputes it from the raw table, so a fold that dropped an epoch,
+    * a file, or a partition dir fails cell-exact. The selectivity
+    * contract (big entries and merge-on-read delta entries untouched,
+    * exact run spans) is an EpochStoreDeltaSpec gate. */
+  def storeRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val (s2, t) = freshDmlStore(spark, sfDir, epochs = 3)
+    val cat = t.split('.').head
+    val r = s2.sql(s"CALL $cat.system.rewrite_data_files(table => 'docs', " +
+      "target_mb => 64, min_entries => 2)").head
+    require(r.getInt(0) == 1 && r.getInt(2) == 1,
+      s"rewrite_data_files must fold the three small epochs: $r")
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeRewriteSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents WHERE lang IS NOT NULL
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** SQL CALL maintenance through the store catalog (`q_store_call`):
     * the full store lifecycle driven by SQL alone — a fresh two-epoch
     * store is compacted (`CALL …system.compact`, re-clustered on
@@ -1918,6 +1946,7 @@ object MiscCatalog {
     "q_store_merge"   -> (storeMerge _),
     "q_store_merge_mor" -> (storeMergeMor _),
     "q_store_cdf"     -> (storeCdf _),
+    "q_store_rewrite" -> (storeRewrite _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_ts_asof" -> (storeTsAsOf _),
     "q_store_write"   -> (storeWrite _),
@@ -1970,6 +1999,7 @@ object MiscCatalog {
     "q_store_merge"   -> storeMergeSql,
     "q_store_merge_mor" -> storeMergeSql,
     "q_store_cdf"     -> storeCdfSql,
+    "q_store_rewrite" -> storeRewriteSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_ts_asof" -> storeTsAsOfSql,
     "q_store_write"   -> storeWriteSql,

@@ -1879,6 +1879,77 @@ object EpochStore {
     val es = EpochManifest.entries(spark, root)
     val covered = es.filter(_.epoch < uptoEpoch)
     if (covered.size <= 1) return
+    foldCovered(spark, root, es, covered, sortColumns, parts, zorderColumns)
+  }
+
+  /** SELECTIVE small-file maintenance — Iceberg's `rewrite_data_files`
+    * shape on the manifest store: bin-pack runs of SMALL entries (total
+    * bytes below `targetBytes`, read from the file-level index — zero
+    * listing) into one fold each, leaving every big entry's dirs
+    * untouched. Candidates must be ADJACENT in epoch order (a fold's
+    * span may not straddle a skipped entry — latest-wins would serve
+    * stale rows) and carry NO merge-on-read tombstones (a mid-table
+    * fold can neither drop them — rows below would resurrect — nor
+    * carry them — their effective epoch would rise and kill the fold's
+    * own reinserts; `CALL compact` folds the full prefix and applies
+    * them instead). Pre-index entries have unknown size and are skipped
+    * honestly. Each run commits as one OCC fold; returns the number of
+    * runs folded.
+    *
+    * This is the streaming-ingest counterpart to [[compactStore]]: a
+    * tail that lands thousands of small epochs folds them continuously
+    * without ever rewriting the big history folds. */
+  def rewriteDataFiles(spark: SparkSession, root: String,
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       minEntries: Int = 2): Int = {
+    require(targetBytes > 0 && minEntries >= 2,
+      "rewriteDataFiles: targetBytes must be positive, minEntries >= 2")
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    def small(e: EpochManifest.Entry): Boolean =
+      (EpochStoreStats.readIndexed(fs, root, e.dir) match {
+        case Some(ix) if ix.valuesIterator.forall(_.len >= 0L) =>
+          ix.valuesIterator.map(_.len).sum < targetBytes
+        case _ => false
+      }) && EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).isEmpty
+    // maximal adjacent runs of small entries, longest-first commit order
+    // is irrelevant (runs are disjoint; each folds under its own OCC)
+    var folded = 0
+    var continue = true
+    while (continue) {
+      val es = EpochManifest.entries(spark, root).sortBy(_.epoch)
+      val run = {
+        var best: Seq[EpochManifest.Entry] = Nil
+        var cur: Vector[EpochManifest.Entry] = Vector.empty
+        es.foreach { e =>
+          if (small(e)) cur :+= e else { if (cur.size > best.size) best = cur; cur = Vector.empty }
+        }
+        if (cur.size > best.size) best = cur
+        best
+      }
+      if (run.size < minEntries) continue = false
+      else {
+        foldCovered(spark, root, EpochManifest.entries(spark, root), run,
+          Nil, math.max(1, (run.iterator.flatMap(e =>
+            EpochStoreStats.read(fs, root, e.dir).valuesIterator
+              .map(_.len.max(0L))).sum / targetBytes).toInt), Nil)
+        folded += 1
+      }
+    }
+    if (folded > 0) EpochManifest.gc(spark, root)
+    folded
+  }
+
+  /** One fold of a CONTIGUOUS covered-entry range into a single entry —
+    * the shared core of [[compactStore]] (full prefix) and
+    * [[rewriteDataFiles]] (selective small-entry runs). `es` must be
+    * the pinned snapshot the commit rebases against. */
+  private def foldCovered(spark: SparkSession, root: String,
+                          es: Seq[EpochManifest.Entry],
+                          covered: Seq[EpochManifest.Entry],
+                          sortColumns: Seq[String],
+                          parts: Int,
+                          zorderColumns: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val recs = covered.map(e =>
       e -> EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))

@@ -31,7 +31,8 @@ import graft.core.EpochManifest
 private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
-    Seq("snapshots", "partitions", "compact", "gc", "expire_snapshots",
+    Seq("snapshots", "partitions", "compact", "rewrite_data_files", "gc",
+      "expire_snapshots",
       "purge_deletes", "tag", "untag", "tags", "add_constraint",
       "drop_constraint", "constraints", "create_branch", "publish_branch",
       "drop_branch", "branches")
@@ -97,6 +98,35 @@ private[sources] object EpochStoreProcedures {
             StructField("entries", IntegerType, nullable = false),
             StructField("max_epoch", LongType, nullable = false))),
             out.toArray)
+        }
+      }
+
+      case "rewrite_data_files" => new Proc("rewrite_data_files", Array(
+        tableParam,
+        ProcedureParameter.in("target_mb", LongType)
+          .defaultValue("128")
+          .comment("bin-pack small entries toward this file size").build(),
+        ProcedureParameter.in("min_entries", IntegerType)
+          .defaultValue("2")
+          .comment("shortest adjacent small-entry run worth folding")
+          .build())) {
+        override def description(): String =
+          "selective small-file maintenance: bin-pack adjacent SMALL " +
+            "entries (sizes from the file-level index, zero listing) " +
+            "into one fold each, leaving big entries untouched — the " +
+            "streaming-ingest counterpart to compact"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val before = EpochManifest.entries(spark, root).size
+          val runs = EpochStore.rewriteDataFiles(spark, root,
+            targetBytes = input.getLong(1) * 1024L * 1024L,
+            minEntries = input.getInt(2))
+          result(StructType(Seq(
+            StructField("runs_folded", IntegerType, nullable = false),
+            StructField("entries_before", IntegerType, nullable = false),
+            StructField("entries_after", IntegerType, nullable = false))),
+            Array(row(runs, before,
+              EpochManifest.entries(spark, root).size)))
         }
       }
 

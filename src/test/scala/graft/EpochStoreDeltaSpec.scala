@@ -231,6 +231,70 @@ class EpochStoreDeltaSpec extends SparkSpec {
       got2.head.getAs[String]("_change_type") == "insert")
   }
 
+  test("rewrite_data_files bin-packs ADJACENT small entries only: big " +
+      "entries and merge-on-read delta entries untouched, answers exact") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("rdf1", wh)
+    val root = s"$wh/t"
+    def smallRows(off: Int) = (0 until 10)
+      .map(i => ((i + off).toLong, s"v${i + off}")).toDF("id", "v")
+    val bigRows = (100000 until 103000)
+      .map(i => (i.toLong, "x" * 120 + i)).toDF("id", "v")
+    EpochStore.write(smallRows(0), root, 0L)
+    EpochStore.write(smallRows(10), root, 1L)
+    EpochStore.write(bigRows, root, 2L)
+    EpochStore.write(smallRows(20), root, 3L)
+    EpochStore.write(smallRows(30), root, 4L)
+    val pre = spark.table("rdf1.t").collect().map(_.toSeq).toSet
+    val bigDir = EpochManifest.entries(spark, root).find(_.epoch == 2L).get.dir
+    // threshold between the ~1 KB small entries and the ~100 KB big one
+    val runs = EpochStore.rewriteDataFiles(spark, root,
+      targetBytes = 20000L, minEntries = 2)
+    assert(runs == 2, s"expected the two adjacent small runs, got $runs")
+    val es = EpochManifest.entries(spark, root)
+    assert(es.size == 3, s"5 entries must fold to 3: $es")
+    assert(es.exists(e => e.epoch == 2L && e.dir == bigDir),
+      "the big entry's dirs must be untouched")
+    assert(es.exists(e => e.epoch == 1L && e.minEpoch == 0L) &&
+      es.exists(e => e.epoch == 4L && e.minEpoch == 3L),
+      s"folds must span exactly their runs: $es")
+    assert(spark.table("rdf1.t").collect().map(_.toSeq).toSet == pre)
+    // a run may not swallow a delta entry: its tombstones can neither
+    // drop (rows below resurrect) nor ride (the fold epoch would kill
+    // the fold's own reinserts)
+    val root2 = s"$wh/u"
+    cat("rdf2", wh)
+    EpochStore.write(smallRows(0).withColumn("lang", lit("en")),
+      root2, 0L, partitionColumn = "lang")
+    EpochStore.write(smallRows(10).withColumn("lang", lit("en")),
+      root2, 1L, partitionColumn = "lang")
+    EpochStoreDelta.declare(spark, root2, Seq("id"))
+    spark.sql("UPDATE rdf2.u SET v = 'upd' WHERE id = 3") // delta epoch 2
+    EpochStore.write(smallRows(20).withColumn("lang", lit("en")),
+      root2, 9L, partitionColumn = "lang")
+    EpochStore.write(smallRows(30).withColumn("lang", lit("en")),
+      root2, 10L, partitionColumn = "lang")
+    val pre2 = spark.table("rdf2.u").collect().map(_.toSeq).toSet
+    val runs2 = EpochStore.rewriteDataFiles(spark, root2,
+      targetBytes = 20000L, minEntries = 2)
+    assert(runs2 == 2, s"two runs around the delta entry, got $runs2")
+    val es2 = EpochManifest.entries(spark, root2)
+    assert(es2.size == 3 && es2.exists(e =>
+      EpochStoreDelta.tombstoneFiles(hfs(root2), root2, e.dir).nonEmpty),
+      s"the delta entry must survive untouched: $es2")
+    assert(spark.table("rdf2.u").collect().map(_.toSeq).toSet == pre2,
+      "answers must hold through selective folding around the delta")
+    // CALL surface: everything-small store folds to one entry
+    val root3 = s"$wh/w"
+    (0 until 3).foreach(e =>
+      EpochStore.write(smallRows(e * 10), s"$root3", e.toLong))
+    val r = spark.sql("CALL rdf1.system.rewrite_data_files(" +
+      "table => 'w', target_mb => 1, min_entries => 2)").head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3 && r.getInt(2) == 1,
+      s"CALL result: $r")
+  }
+
   test("CALL compact folds tombstones physically: same answers, no " +
       "_delta dirs left, rowid layout preserved") {
     val wh = tmp()
