@@ -73,10 +73,39 @@ final class EpochStoreMicroBatchStream(
 
   private val dataSchema: StructType =
     StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
+  /** `_epoch` / `_change_type` metadata columns on the TAIL: the epoch
+    * provenance and — for a row-identity store — the CDC change type
+    * ("insert" data rows, "delete" tombstone events), both served as
+    * per-file constants so a streaming consumer gets the same
+    * changefeed shape as the batch [[EpochStore.readChanges]], one
+    * committed epoch range per trigger. */
+  private val epochRequested: Boolean =
+    required.fieldNames.contains(EpochStore.EpochColName)
+  private val changeRequested: Boolean =
+    required.fieldNames.contains(EpochStore.ChangeColName)
   private val readDataSchema: StructType =
-    StructType(required.filterNot(f => partCols.contains(f.name)))
+    StructType(required.filterNot(f => partCols.contains(f.name) ||
+      f.name == EpochStore.EpochColName ||
+      f.name == EpochStore.ChangeColName))
   private val readPartSchema: StructType =
     StructType(partFields.filter(f => required.fieldNames.contains(f.name)))
+  private val constSchema: StructType =
+    StructType(readPartSchema ++
+      (if (epochRequested)
+        Seq(org.apache.spark.sql.types.StructField(EpochStore.EpochColName,
+          org.apache.spark.sql.types.LongType, nullable = false))
+      else Nil) ++
+      (if (changeRequested)
+        Seq(org.apache.spark.sql.types.StructField(EpochStore.ChangeColName,
+          org.apache.spark.sql.types.StringType, nullable = false))
+      else Nil))
+  private def constantsOf(lf: EpochStore.ListedFile): Array[Any] = {
+    val b = Array.newBuilder[Any]
+    requestedPartIdx.foreach(i => b += lf.values(i))
+    if (epochRequested) b += lf.epoch
+    if (changeRequested) b += (if (lf.isDelete) "delete" else "insert")
+    b.result()
+  }
   private val requestedPartIdx: Seq[Int] = partFields.zipWithIndex
     .filter { case (f, _) => required.fieldNames.contains(f.name) }
     .map(_._2)
@@ -169,13 +198,23 @@ final class EpochStoreMicroBatchStream(
       EpochStore.bloomProbes(dataFilters, bloomCol),
       bloomCol.exists(c => fullSchema(c).dataType ==
         org.apache.spark.sql.types.StringType))
-    EpochStore.planFilePartitions(spark, kept, readPartSchema,
-      lf => requestedPartIdx.map(lf.values(_)).toArray)
+    // CDC tail: the batch's tombstone files join the trigger as DELETE
+    // events, outside the skipping tiers — a changefeed must deliver
+    // every delete
+    val withDeletes =
+      if (!changeRequested) kept
+      else kept ++ batch.flatMap { en =>
+        EpochStoreDelta.tombstoneStatuses(fs, root, en.dir).map(st =>
+          EpochStore.ListedFile(partFields.map(_ => null), en.epoch,
+            en.dir, st, isDelete = true))
+      }
+    EpochStore.planFilePartitions(spark, withDeletes, constSchema,
+      constantsOf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     EpochStore.parquetReaderFactory(spark, dataSchema, readDataSchema,
-      readPartSchema, dataFilters)
+      constSchema, dataFilters)
 
   override def deserializeOffset(json: String): Offset =
     EpochStreamOffset(json.split("\"epoch\":")(1)

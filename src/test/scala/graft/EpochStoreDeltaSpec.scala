@@ -231,6 +231,42 @@ class EpochStoreDeltaSpec extends SparkSpec {
       got2.head.getAs[String]("_change_type") == "insert")
   }
 
+  test("streaming CDC tail: each trigger's epoch range delivers insert " +
+      "rows AND tombstone delete events with _epoch/_change_type") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor8", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    Seq((7L, 777L, "de")).toDF("id", "n", "lang")
+      .createOrReplaceTempView("mor8src")
+    spark.sql(
+      """MERGE INTO mor8.t t USING mor8src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    // CDC stream contract: declare the feed schema = table schema with
+    // _epoch and _change_type APPENDED (streaming relations don't route
+    // metadata-column selection into the source's pruned schema — the
+    // explicit schema is the contract, mirroring readChanges' shape)
+    val cdcSchema = StructType(schema.fields.toSeq ++ Seq(
+      StructField(EpochStore.EpochColName, LongType, nullable = false),
+      StructField(EpochStore.ChangeColName, StringType, nullable = false)))
+    val q = spark.readStream.format("epochstore").schema(cdcSchema)
+      .option("path", root).option("partitionColumn", "lang")
+      .option("startingAfterEpoch", "1") // tail only the delta epoch
+      .load()
+      .select(col("id"), col("n"), col("_epoch"), col("_change_type"))
+      .writeStream.format("memory").queryName("mor8cdc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("mor8cdc").collect()
+      .map(r => (r.getAs[Any]("id"), r.getAs[Any]("n"),
+        r.getAs[Long]("_epoch"), r.getAs[String]("_change_type"))).toSet
+    assert(got == Set(
+      (7L, 777L, 2L, "insert"),
+      (7L, null, 2L, "delete")), s"got $got")
+  }
+
   test("rewrite_data_files bin-packs ADJACENT small entries only: big " +
       "entries and merge-on-read delta entries untouched, answers exact") {
     import spark.implicits._
