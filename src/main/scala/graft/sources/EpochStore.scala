@@ -307,10 +307,20 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     * File skipping (stats/bloom) stays on — supersets are re-filtered. */
   private lazy val morKeys: Seq[String] =
     EpochStoreDelta.morKeysOf(SparkSession.active, options)
+  /** Row-count pushes stay available on a row-identity store with NO
+    * live tombstones (the common, post-compact state). A delta commit
+    * racing in after this check is caught downstream: the scan's own
+    * pinned tombstone map disables limit/top-N truncation race-free,
+    * and the footer-agg scan re-checks its pinned entries and refuses
+    * loudly rather than over-count. */
+  private lazy val morLiveTombstones: Boolean =
+    morKeys.nonEmpty &&
+      EpochStoreDelta.hasLiveTombstones(SparkSession.active,
+        EpochStore.rootOf(options))
 
   override def pushLimit(limit: Int): Boolean = {
     if (rlo != null || dataFilters.nonEmpty || limit <= 0 ||
-      morKeys.nonEmpty) return false
+      morLiveTombstones) return false
     pushedLimit = Some(limit)
     true
   }
@@ -330,7 +340,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     import org.apache.spark.sql.connector.expressions.{
       NamedReference, NullOrdering, SortDirection}
     if (rlo != null || dataFilters.nonEmpty || limit <= 0 ||
-      orders.isEmpty || morKeys.nonEmpty)
+      orders.isEmpty || morLiveTombstones)
       return false
     // bounding on the FIRST sort column alone is sound for a
     // lexicographic top-k: once ≥ k rows have c1 ≤ B, no row with
@@ -369,9 +379,9 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     if (rlo != null) return false
     if (options.getBoolean("aggregatePushdown", true) == false) return false
     if (dataFilters.nonEmpty) return false
-    // a row-identity store may carry live tombstones — footer counts
-    // would include killed rows; Spark scans rows as usual
-    if (morKeys.nonEmpty) return false
+    // a row-identity store with live tombstones — footer counts would
+    // include killed rows; Spark scans rows as usual
+    if (morLiveTombstones) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -803,6 +813,11 @@ final case class EpochStoreScan(
   private def applyRowBound(spark: SparkSession,
       files: Seq[EpochStore.ListedFile]): Seq[EpochStore.ListedFile] = {
     if (topN.isEmpty && limit.isEmpty) return files
+    // LIVE merge-on-read tombstones drop rows AFTER the file bound — a
+    // prefix proven to cover k raw rows may cover fewer live ones. The
+    // pinned snapshot's own tombstone map decides, so this is race-free
+    // even when a delta commit landed between pushdown and planning.
+    if (tombstones.nonEmpty) return files
     val se = statsByEntry(spark)
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val withStats = files.map(lf => lf -> se.getOrElse(lf.entryDir, Map.empty)

@@ -197,6 +197,23 @@ final case class EpochStoreAggScan(
   def answeredFromSidecars: Boolean = sidecarAnswer.nonEmpty
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // the pushdown gate admitted this aggregate when the store carried
+    // no live merge-on-read tombstones; a delta commit racing in before
+    // this scan pinned its snapshot would make the footer counts
+    // include killed rows — refuse loudly rather than over-count (the
+    // statement retries against the settled snapshot)
+    locally {
+      val spark = SparkSession.active
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(org.apache.spark.sql.GraftBridge
+          .sessionHadoopConf(spark))
+      val carrying = entries.filter(e =>
+        EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).nonEmpty)
+      require(carrying.isEmpty,
+        s"epochstore footer aggregation over $root: a merge-on-read " +
+          s"commit (${carrying.map(_.dir).mkString(", ")}) raced this " +
+          "aggregate's planning — retry the statement")
+    }
     sidecarAnswer match {
       case Some(groups) =>
         // place each grouped column's value at its aggSchema position

@@ -108,6 +108,17 @@ object EpochStoreDelta {
       .orElse(declared(spark, EpochStore.rootOf(options)))
       .getOrElse(Nil)
 
+  /** Does the CURRENT snapshot carry any equality tombstones? One
+    * metadata probe per entry — consulted by the pushdown gates so a
+    * row-identity store without pending deltas keeps the whole
+    * row-count push tier (limit / top-N / footer aggregation). */
+  private[sources] def hasLiveTombstones(spark: SparkSession,
+                                         root: String): Boolean = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    EpochManifest.entries(spark, root)
+      .exists(e => tombstoneStatuses(fs, root, e.dir).nonEmpty)
+  }
+
   /** Dir (under one entry) holding the entry's equality tombstones. */
   private[sources] val DeltaDirName = "_delta"
 

@@ -231,6 +231,34 @@ class EpochStoreDeltaSpec extends SparkSpec {
       got2.head.getAs[String]("_change_type") == "insert")
   }
 
+  test("row-count pushes on a row-identity store: footer aggregation " +
+      "stays available while NO tombstones are live, falls back to row " +
+      "scans (right answers) once a delta lands") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val wh = tmp()
+    cat("mor9", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    def scanKinds(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan.getClass.getSimpleName
+      }
+    // no live tombstones: COUNT(*) answers from footers/sidecars
+    val q1 = spark.sql("SELECT COUNT(*) AS n FROM mor9.t")
+    assert(scanKinds(q1).contains("EpochStoreAggScan"),
+      s"tombstone-free rowid store must keep agg pushdown: ${scanKinds(q1)}")
+    assert(q1.head.getLong(0) == 1000L)
+    // a delta lands: the same query routes the row scan and stays exact
+    spark.sql("UPDATE mor9.t SET n = -1 WHERE id = 11")
+    spark.sql("DELETE FROM mor9.t WHERE id = 12")
+    val q2 = spark.sql("SELECT COUNT(*) AS n FROM mor9.t")
+    assert(!scanKinds(q2).contains("EpochStoreAggScan"),
+      s"live tombstones must disable footer counts: ${scanKinds(q2)}")
+    assert(q2.head.getLong(0) == 999L)
+    // LIMIT under live tombstones: truncation off, Spark's limit exact
+    assert(spark.sql("SELECT id FROM mor9.t LIMIT 5").collect().length == 5)
+  }
+
   test("streaming CDC tail: each trigger's epoch range delivers insert " +
       "rows AND tombstone delete events with _epoch/_change_type") {
     import spark.implicits._
