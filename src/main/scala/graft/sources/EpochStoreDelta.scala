@@ -108,15 +108,48 @@ object EpochStoreDelta {
       .orElse(declared(spark, EpochStore.rootOf(options)))
       .getOrElse(Nil)
 
+  /** Driver-side caches keyed by the ENTRY-DIR SET (committed entries
+    * are immutable — a delta commit creates a NEW entry, never mutates
+    * one — so a dir set's tombstone content never changes): repeated
+    * queries and streaming triggers over the same snapshot skip both
+    * the per-entry existence probes and the tombstone parquet re-read.
+    * Bounded LRU; thread-safe via the map's own monitor. */
+  private val tombMapCache =
+    new java.util.LinkedHashMap[(String, Seq[String], Seq[String]),
+      Map[Seq[Any], Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String], Seq[String]),
+            Map[Seq[Any], Long]]): Boolean = size > 64
+    }
+  // BOXED values: a primitive-Boolean map's get() would unbox a missing
+  // key's null to false and the null check could never see the miss
+  private val tombAnyCache =
+    new java.util.LinkedHashMap[(String, Seq[String]), java.lang.Boolean](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String]), java.lang.Boolean])
+          : Boolean = size > 256
+    }
+
   /** Does the CURRENT snapshot carry any equality tombstones? One
-    * metadata probe per entry — consulted by the pushdown gates so a
-    * row-identity store without pending deltas keeps the whole
-    * row-count push tier (limit / top-N / footer aggregation). */
+    * metadata probe per entry on a cache miss — consulted by the
+    * pushdown gates so a row-identity store without pending deltas
+    * keeps the whole row-count push tier (limit / top-N / footer
+    * aggregation). */
   private[sources] def hasLiveTombstones(spark: SparkSession,
                                          root: String): Boolean = {
+    val es = EpochManifest.entries(spark, root)
+    val key = (root, es.map(_.dir).sorted)
+    tombAnyCache.synchronized {
+      val hit: java.lang.Boolean = tombAnyCache.get(key)
+      if (hit != null) return hit.booleanValue
+    }
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    EpochManifest.entries(spark, root)
-      .exists(e => tombstoneStatuses(fs, root, e.dir).nonEmpty)
+    val any = es.exists(e => tombstoneStatuses(fs, root, e.dir).nonEmpty)
+    tombAnyCache.synchronized {
+      tombAnyCache.put(key, java.lang.Boolean.valueOf(any)): Unit
+    }
+    any
   }
 
   /** Dir (under one entry) holding the entry's equality tombstones. */
@@ -142,6 +175,12 @@ object EpochStoreDelta {
   private[sources] def loadTombstones(spark: SparkSession, root: String,
       entries: Seq[EpochManifest.Entry], keySchema: StructType)
       : Map[Seq[Any], Long] = {
+    val cacheKey = (root, entries.map(_.dir).sorted,
+      keySchema.fieldNames.toSeq)
+    tombMapCache.synchronized {
+      val hit = tombMapCache.get(cacheKey)
+      if (hit != null) return hit
+    }
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     // ONE read over every delta entry's tombstone files (not a job per
     // entry): the carrying epoch is recovered per row from the file
@@ -150,7 +189,12 @@ object EpochStoreDelta {
     val epochByPath: Map[String, Long] = entries.flatMap(e =>
       tombstoneFiles(fs, root, e.dir).map(p =>
         fs.makeQualified(p).toUri.getPath -> e.epoch)).toMap
-    if (epochByPath.isEmpty) return Map.empty
+    if (epochByPath.isEmpty) {
+      tombMapCache.synchronized {
+        tombMapCache.put(cacheKey, Map.empty): Unit
+      }
+      return Map.empty
+    }
     val out = mutable.HashMap.empty[Seq[Any], Long]
     val conv = keySchema.fields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
@@ -166,7 +210,9 @@ object EpochStoreDelta {
         val prev = out.getOrElse(key, Long.MinValue)
         if (epoch > prev) out(key) = epoch
       }
-    out.toMap
+    val m = out.toMap
+    tombMapCache.synchronized { tombMapCache.put(cacheKey, m) }
+    m
   }
 }
 

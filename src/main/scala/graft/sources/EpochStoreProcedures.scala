@@ -85,16 +85,21 @@ private[sources] object EpochStoreProcedures {
 
       case "snapshots" => new Proc("snapshots", Array(tableParam)) {
         override def description(): String =
-          "retained manifest generations of a store: " +
-            "(generation, entries, max_epoch)"
+          "retained manifest generations of a store: (generation, " +
+            "committed_at, entries, max_epoch) — committed_at is the " +
+            "instant TIMESTAMP AS OF resolves against"
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val root = rootOf(str(input, 0))
+          val instants = EpochManifest.snapshots(spark, root).toMap
           val out = EpochManifest.generations(spark, root).map { g =>
             val es = EpochManifest.entriesAt(spark, root, g)
-            row(g, es.size, es.map(_.epoch).maxOption.getOrElse(-1L))
+            row(g, instants.getOrElse(g, 0L) * 1000L, es.size,
+              es.map(_.epoch).maxOption.getOrElse(-1L))
           }
           result(StructType(Seq(
             StructField("generation", LongType, nullable = false),
+            StructField("committed_at",
+              org.apache.spark.sql.types.TimestampType, nullable = false),
             StructField("entries", IntegerType, nullable = false),
             StructField("max_epoch", LongType, nullable = false))),
             out.toArray)

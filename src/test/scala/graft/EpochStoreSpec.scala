@@ -1450,8 +1450,14 @@ class EpochStoreSpec extends SparkSpec {
     bucketEpochStore(root)
     cat("dmlp", wh)
     val snaps = spark.sql("CALL dmlp.system.snapshots('t')").collect()
-    assert(snaps.length == 4 && snaps.last.getLong(2) == 3L,
+    assert(snaps.length == 4 && snaps.last.getLong(3) == 3L,
       s"4 generations with max_epoch 3 expected: ${snaps.toSeq}")
+    // committed_at: nondecreasing real instants — what TIMESTAMP AS OF
+    // resolves against
+    val instants = snaps.map(_.getTimestamp(1).getTime)
+    assert(instants.forall(_ > 0) &&
+      instants.zip(instants.tail).forall { case (a, b) => a <= b },
+      s"commit instants must be set and ordered: ${instants.toSeq}")
     val c = spark.sql(
       "CALL dmlp.system.compact(table => 't', sort_columns => 'id', " +
         "parts => 2)").collect()
