@@ -189,7 +189,19 @@ object EpochManifest {
     if (create) fs.mkdirs(md)
     val tmp = new Path(md,
       s".m$gen-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
+    // seeded lineages write NON-recursively: a plain create would
+    // silently rebuild the parent dirs, re-opening the publish-window
+    // hole the exists check above narrows (the retire rename can land
+    // between the check and the write) — failing into the retry loop
+    // surfaces the loud branch-gone refusal instead
+    val out =
+      if (create) fs.create(tmp, true)
+      else try fs.createNonRecursive(tmp, true, 4096,
+        fs.getDefaultReplication(md), fs.getDefaultBlockSize(md), null)
+      catch {
+        case _: java.io.FileNotFoundException => return false
+        case _: java.io.IOException => return false
+      }
     try out.write(body.getBytes("UTF-8")) finally out.close()
     atomicClaim(fs, tmp, new Path(md, s"m$gen.json"))
   }

@@ -759,16 +759,10 @@ final case class EpochStoreScan(
       // never apply to them: a changefeed must deliver every delete.
       val withDeletes =
         if (!changeRequested) kept
-        else {
-          val fs = new Path(root).getFileSystem(
-            GraftBridge.sessionHadoopConf(spark))
-          kept ++ (if (runtimeEntries != null) runtimeEntries else entries)
-            .flatMap { e =>
-              EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).map(st =>
-                EpochStore.ListedFile(partFields.map(_ => null), e.epoch,
-                  e.dir, st, isDelete = true))
-            }
-        }
+        else kept ++ EpochStoreDelta.deleteEventFiles(
+          new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark)),
+          root, if (runtimeEntries != null) runtimeEntries else entries,
+          partFields)
       filesAudit = (withDeletes.size, files.size)
       cachedListing = (withDeletes, sel, tot)
     }
@@ -1798,7 +1792,13 @@ object EpochStore {
     * everything else null) and `_epoch`. Selecting `_change_type` reads
     * the RAW change stream: tombstone resolution is off by definition
     * (the consumer replays the changes itself). Partition values on
-    * delete events are null — the row identity carries the key. */
+    * delete events are null — the row identity carries the key.
+    *
+    * FILTER the feed on KEY columns only: standard changelog semantics
+    * — a predicate on a payload or partition column evaluates against
+    * a delete event's nulls and drops it, so a filtered replica would
+    * keep rows the source deleted. Filter the REPLAYED state instead,
+    * or the feed by key. */
   def readChanges(spark: SparkSession, root: String, schema: StructType,
                   sinceGeneration: Long,
                   partitionColumn: String = null): DataFrame = {
@@ -1920,35 +1920,54 @@ object EpochStore {
     require(targetBytes > 0 && minEntries >= 2,
       "rewriteDataFiles: targetBytes must be positive, minEntries >= 2")
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // committed entry dirs are immutable — memoize the per-dir size /
+    // tombstone probe so the pass costs one sidecar read per entry
+    // TOTAL, not per fold round
+    val sizeByDir = scala.collection.mutable.HashMap.empty[String, Long]
+    def bytesOf(e: EpochManifest.Entry): Long =
+      sizeByDir.getOrElseUpdate(e.dir,
+        EpochStoreStats.readIndexed(fs, root, e.dir) match {
+          case Some(ix) if ix.valuesIterator.forall(_.len >= 0L) =>
+            ix.valuesIterator.map(_.len).sum
+          case _ => -1L // pre-index: unknown size, never a candidate
+        })
+    val smallByDir = scala.collection.mutable.HashMap.empty[String, Boolean]
     def small(e: EpochManifest.Entry): Boolean =
-      (EpochStoreStats.readIndexed(fs, root, e.dir) match {
-        case Some(ix) if ix.valuesIterator.forall(_.len >= 0L) =>
-          ix.valuesIterator.map(_.len).sum < targetBytes
-        case _ => false
-      }) && EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).isEmpty
-    // maximal adjacent runs of small entries, longest-first commit order
-    // is irrelevant (runs are disjoint; each folds under its own OCC)
+      smallByDir.getOrElseUpdate(e.dir, {
+        val b = bytesOf(e)
+        b >= 0L && b < targetBytes &&
+          EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).isEmpty
+      })
+    // all maximal adjacent runs from ONE listing; each folds under its
+    // own OCC against a fresh manifest read (one tiny file) — a racing
+    // commit refuses loudly in rebaseFold rather than folding stale.
+    // One more round picks up runs a fold newly made adjacent; fold
+    // results are excluded as candidates (their dirs are fresh, but a
+    // re-fold of a just-folded run would churn), so rounds converge.
     var folded = 0
-    var continue = true
-    while (continue) {
+    var progressed = true
+    val foldedDirs = scala.collection.mutable.HashSet.empty[String]
+    while (progressed) {
+      progressed = false
       val es = EpochManifest.entries(spark, root).sortBy(_.epoch)
-      val run = {
-        var best: Seq[EpochManifest.Entry] = Nil
+      val runs = {
+        val out = Seq.newBuilder[Seq[EpochManifest.Entry]]
         var cur: Vector[EpochManifest.Entry] = Vector.empty
-        es.foreach { e =>
-          if (small(e)) cur :+= e else { if (cur.size > best.size) best = cur; cur = Vector.empty }
+        (es :+ null).foreach { e =>
+          if (e != null && small(e) && !foldedDirs(e.dir)) cur :+= e
+          else { if (cur.size >= minEntries) out += cur; cur = Vector.empty }
         }
-        if (cur.size > best.size) best = cur
-        best
+        out.result()
       }
-      if (run.size < minEntries) continue = false
-      else {
+      runs.foreach { run =>
         foldCovered(spark, root, EpochManifest.entries(spark, root), run,
-          Nil, math.max(1, (run.iterator.flatMap(e =>
-            EpochStoreStats.read(fs, root, e.dir).valuesIterator
-              .map(_.len.max(0L))).sum / targetBytes).toInt), Nil)
+          Nil, math.max(1,
+            (run.iterator.map(e => bytesOf(e).max(0L)).sum
+              / targetBytes).toInt), Nil)
         folded += 1
+        progressed = true
       }
+      runs.foreach(_.foreach(e => foldedDirs += e.dir))
     }
     if (folded > 0) EpochManifest.gc(spark, root)
     folded

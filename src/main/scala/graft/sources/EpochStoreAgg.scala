@@ -204,15 +204,20 @@ final case class EpochStoreAggScan(
     // statement retries against the settled snapshot)
     locally {
       val spark = SparkSession.active
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(org.apache.spark.sql.GraftBridge
-          .sessionHadoopConf(spark))
-      val carrying = entries.filter(e =>
-        EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).nonEmpty)
-      require(carrying.isEmpty,
-        s"epochstore footer aggregation over $root: a merge-on-read " +
-          s"commit (${carrying.map(_.dir).mkString(", ")}) raced this " +
-          "aggregate's planning — retry the statement")
+      // one sidecar read gates the whole check: stores without a row
+      // identity can never carry tombstones — the metadata-only path
+      // stays metadata-only for them
+      if (EpochStoreDelta.declared(spark, root).nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(org.apache.spark.sql.GraftBridge
+            .sessionHadoopConf(spark))
+        val carrying = entries.filter(e =>
+          EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).nonEmpty)
+        require(carrying.isEmpty,
+          s"epochstore footer aggregation over $root: a merge-on-read " +
+            s"commit (${carrying.map(_.dir).mkString(", ")}) raced this " +
+            "aggregate's planning — retry the statement")
+      }
     }
     sidecarAnswer match {
       case Some(groups) =>

@@ -462,7 +462,13 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
     if (!isStore(root)) false
-    else fs.delete(new Path(root), true)
+    else {
+      // a re-created store at this path can reuse attempt-dir names
+      // (the _claims markers die with the root) — stale cached
+      // tombstone views must die with it
+      EpochStoreDelta.invalidate(root)
+      fs.delete(new Path(root), true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

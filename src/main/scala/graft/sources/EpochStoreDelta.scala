@@ -131,6 +131,21 @@ object EpochStoreDelta {
           : Boolean = size > 256
     }
 
+  /** Drop every cached tombstone view of `root` — REQUIRED when the
+    * store directory itself is deleted (DROP TABLE): attempt-dir names
+    * restart once `_claims/` is gone, so a re-created store at the same
+    * path can reuse dir names and a stale entry would serve the OLD
+    * store's tombstones. Commits never need this (a new commit is a new
+    * dir set = a new key). */
+  private[sources] def invalidate(root: String): Unit = {
+    tombMapCache.synchronized {
+      tombMapCache.keySet.removeIf(_._1 == root): Unit
+    }
+    tombAnyCache.synchronized {
+      tombAnyCache.keySet.removeIf(_._1 == root): Unit
+    }
+  }
+
   /** Does the CURRENT snapshot carry any equality tombstones? One
     * metadata probe per entry on a cache miss — consulted by the
     * pushdown gates so a row-identity store without pending deltas
@@ -154,6 +169,21 @@ object EpochStoreDelta {
 
   /** Dir (under one entry) holding the entry's equality tombstones. */
   private[sources] val DeltaDirName = "_delta"
+
+  /** The given entries' tombstone files as CDC DELETE-event listed
+    * files (key columns only — the reader nulls the rest; partition
+    * values null, no bucket id) — shared by the batch changefeed scan
+    * and the streaming tail so the two feeds can never diverge. */
+  private[sources] def deleteEventFiles(
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      entries: Seq[EpochManifest.Entry],
+      partFields: Seq[org.apache.spark.sql.types.StructField])
+      : Seq[EpochStore.ListedFile] =
+    entries.flatMap { e =>
+      tombstoneStatuses(fs, root, e.dir).map(st =>
+        EpochStore.ListedFile(partFields.map(_ => null), e.epoch, e.dir,
+          st, isDelete = true))
+    }
 
   /** Tombstone files of one committed entry, if any. */
   private[graft] def tombstoneFiles(
@@ -183,13 +213,16 @@ object EpochStoreDelta {
     }
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     // ONE read over every delta entry's tombstone files (not a job per
-    // entry): the carrying epoch is recovered per row from the file
-    // path, compared by URI path component (input_file_name spells
-    // file:/// where makeQualified spells file:/)
-    val epochByPath: Map[String, Long] = entries.flatMap(e =>
-      tombstoneFiles(fs, root, e.dir).map(p =>
-        fs.makeQualified(p).toUri.getPath -> e.epoch)).toMap
-    if (epochByPath.isEmpty) {
+    // entry): the carrying epoch is recovered per row by anchoring on
+    // the "<entryDir>/_delta/" path segment — never by comparing full
+    // URI strings, whose scheme/encoding spelling differs between
+    // input_file_name (file:///, percent-encoded) and makeQualified
+    // (file:/, decoded); entry-dir names are [a-z0-9-], encoding-proof
+    val paths = entries.flatMap(e =>
+      tombstoneFiles(fs, root, e.dir).map(p => fs.makeQualified(p).toString))
+    val epochByDir: Map[String, Long] =
+      entries.map(e => e.dir -> e.epoch).toMap
+    if (paths.isEmpty) {
       tombMapCache.synchronized {
         tombMapCache.put(cacheKey, Map.empty): Unit
       }
@@ -199,11 +232,14 @@ object EpochStoreDelta {
     val conv = keySchema.fields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val fcol = "__graft_tomb_file"
-    spark.read.schema(keySchema).parquet(epochByPath.keys.toSeq: _*)
+    spark.read.schema(keySchema).parquet(paths: _*)
       .withColumn(fcol, org.apache.spark.sql.functions.input_file_name())
       .collect().foreach { r =>
         val uri = r.getAs[String](fcol)
-        val epoch = epochByPath.getOrElse(new Path(uri).toUri.getPath,
+        val anchor = uri.lastIndexOf(s"/$DeltaDirName/")
+        val entryDir = if (anchor < 0) "" else
+          uri.substring(0, anchor).split('/').last
+        val epoch = epochByDir.getOrElse(entryDir,
           throw new IllegalStateException(
             s"tombstone row from unplanned file $uri under $root"))
         val key = keySchema.indices.map(i => conv(i)(r.get(i)))

@@ -203,11 +203,8 @@ final class EpochStoreMicroBatchStream(
     // every delete
     val withDeletes =
       if (!changeRequested) kept
-      else kept ++ batch.flatMap { en =>
-        EpochStoreDelta.tombstoneStatuses(fs, root, en.dir).map(st =>
-          EpochStore.ListedFile(partFields.map(_ => null), en.epoch,
-            en.dir, st, isDelete = true))
-      }
+      else kept ++ EpochStoreDelta.deleteEventFiles(fs, root, batch,
+        partFields)
     EpochStore.planFilePartitions(spark, withDeletes, constSchema,
       constantsOf)
   }

@@ -359,6 +359,33 @@ class EpochStoreDeltaSpec extends SparkSpec {
       s"CALL result: $r")
   }
 
+  test("DROP TABLE invalidates cached tombstone views: a re-created " +
+      "store at the same path (same attempt-dir names) never serves " +
+      "the old store's deletes") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor10", wh)
+    val root = s"$wh/t"
+    def mk(): Unit = {
+      EpochStore.write((0 until 20).map(i => (i.toLong, i * 10L, "en"))
+        .toDF("id", "n", "lang"), root, 0L, partitionColumn = "lang")
+      EpochStoreDelta.declare(spark, root, Seq("id"))
+    }
+    mk()
+    spark.sql("DELETE FROM mor10.t WHERE id = 5")
+    // populate the caches under this dir set
+    assert(spark.table("mor10.t").count() == 19)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM mor10.t").head.getLong(0)
+      == 19)
+    spark.sql("DROP TABLE mor10.t")
+    // same path, same epoch, same attempt-dir names — fresh store
+    mk()
+    assert(spark.table("mor10.t").filter(col("id") === 5L).count() == 1,
+      "a re-created store must not inherit the dropped store's deletes")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM mor10.t").head.getLong(0)
+      == 20)
+  }
+
   test("CALL compact folds tombstones physically: same answers, no " +
       "_delta dirs left, rowid layout preserved") {
     val wh = tmp()
