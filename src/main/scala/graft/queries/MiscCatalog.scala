@@ -1599,6 +1599,68 @@ object MiscCatalog {
       |WHERE d.lang IS NOT NULL
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Sorted-bucketed storage-partitioned join (`q_store_sorted`, X83):
+    * two stores land bucketed ALIKE on the join key AND sorted by it
+    * (`sortColumns` + `statsColumns` — each file internally ordered,
+    * range-distributed tasks making per-bucket files range-disjoint,
+    * the layout recorded in the entry's `_schema.json`), each across
+    * TWO disjoint-range epochs. The scan proves every planned partition
+    * sorted from the recorded per-file bounds and reports the order
+    * ([[graft.sources.EpochStoreScan.outputOrdering]] —
+    * `SupportsReportOrdering`), so with broadcast off the equi-join
+    * runs as a sort-merge join with ZERO exchange (storage-partitioned)
+    * and ZERO sort (OrderingSpec gates the plan). DuckDB recomputes the
+    * joined aggregate from the raw tables — a file packed out of order,
+    * a boundary row misplaced across the epoch chain, or an elided sort
+    * that was actually load-bearing fails cell-exact.
+    *
+    * Scale shape: the sorted-bucketed-table contract — two 100 TB
+    * stores laid out alike join as a per-bucket streaming MERGE: no
+    * shuffle, no sort, O(bucket) memory, the plan Hive SMB / Iceberg
+    * sorted tables exist to reach. */
+  def storeSorted(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_srt_wh").toString
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    val median = 10000000L // doc_id space splits around the synth midpoint
+    def land(df: DataFrame, root: String, keyCol: String): Unit = {
+      graft.sources.EpochStore.writeBucketed(df.filter(col(keyCol) < median),
+        root, 0L, bucketColumn = keyCol, bucketCount = 8,
+        statsColumns = Seq(keyCol), sortColumns = Seq(keyCol))
+      graft.sources.EpochStore.writeBucketed(df.filter(col(keyCol) >= median),
+        root, 1L, bucketColumn = keyCol, bucketCount = 8,
+        statsColumns = Seq(keyCol), sortColumns = Seq(keyCol))
+    }
+    land(docs, s"$wh/docs", "doc_id")
+    land(Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 89).cast("long").as("score")),
+      s"$wh/scores", "vec_id")
+    val s2 = spark.newSession()
+    val c = s"graftsrt$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.sql(
+      s"""SELECT d.lang, COUNT(*) AS n, SUM(d.n_chars) AS chars,
+         |  SUM(s.score) AS score_sum
+         |FROM $c.docs d JOIN $c.scores s ON d.doc_id = s.vec_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+  }
+
+  val storeSortedSql: String =
+    """SELECT d.lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  CAST(SUM(s.doc_id % 89) AS BIGINT) AS score_sum
+      |FROM documents d JOIN documents s ON d.doc_id = s.doc_id
+      |WHERE d.lang IS NOT NULL
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Write-audit-publish branches (`q_store_wap`): half the corpus
     * lands as the base store, the other half is written onto a BRANCH
     * (`CALL create_branch` + the sink's `branch` option — a separate
@@ -1941,6 +2003,7 @@ object MiscCatalog {
     "q_store_compbucket" -> (storeCompBucket _),
     "q_store_wap"     -> (storeWap _),
     "q_store_bucket"  -> (storeBucket _),
+    "q_store_sorted"  -> (storeSorted _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -1994,6 +2057,7 @@ object MiscCatalog {
     "q_store_compbucket" -> storeCompBucketSql,
     "q_store_wap"     -> storeWapSql,
     "q_store_bucket"  -> storeBucketSql,
+    "q_store_sorted"  -> storeSortedSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

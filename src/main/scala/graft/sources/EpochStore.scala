@@ -546,6 +546,7 @@ final case class EpochStoreScan(
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val partFields: Seq[StructField] =
@@ -709,7 +710,7 @@ final case class EpochStoreScan(
           entries.filter(e => es.contains(e.epoch)))
         rloRef.kept = narrowed
         runtimeEntries = narrowed
-        cachedListing = null
+        cachedListing = null; cachedOrderedPlan = null
       }
       return
     }
@@ -726,7 +727,7 @@ final case class EpochStoreScan(
     })
     if (exact.nonEmpty || bucketNarrow.nonEmpty) {
       runtimeFilters = exact ++ bucketNarrow
-      cachedListing = null // re-list with the narrowed dir set
+      cachedListing = null; cachedOrderedPlan = null // re-list with the narrowed dir set
     }
   }
 
@@ -989,39 +990,148 @@ final case class EpochStoreScan(
     b.result()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    if (bucket.nonEmpty && required.fieldNames.contains(bucket.get.col) &&
+  /** True when planInputPartitions keys partitions by the composite
+    * (identity values…, bucket) tuple — the SPJ packing. */
+  private def spjBucketKeyed: Boolean =
+    bucket.nonEmpty && required.fieldNames.contains(bucket.get.col) &&
       readPartSchema.size == partFields.size &&
-      listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0)) {
+      listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0)
+
+  /** The file groups [[planInputPartitions]] packs — SPJ bucket-keyed,
+    * identity-keyed, or one global group. The ordering feasibility
+    * check below MUST group the same way: a reported per-partition sort
+    * order only has to hold within each packed group. */
+  private def fileGroups: Seq[(Seq[Any], Seq[EpochStore.ListedFile])] =
+    if (spjBucketKeyed)
       // pack per (identity values…, bucket) KEY so every task holds one
       // key's files only (the HasPartitionKey contract key-grouped
       // execution requires); bucket-only layouts key by bucket alone
-      return listing._1.groupBy(f => (f.values, f.bucketId)).toSeq
+      listing._1.groupBy(f => (f.values, f.bucketId)).toSeq
         .sortBy { case ((vs, k), _) =>
-          (vs.map(String.valueOf).mkString(" "), k) }
-        .flatMap { case ((vs, k), files) =>
-          EpochStore.planFilePartitions(spark, files, constEff,
-              constantsOfEff)
-            .map { case fp: FilePartition =>
-              KeyedFilePartition(fp, vs :+ k) }
-        }.toArray
-    }
-    if (partFields.isEmpty || readPartSchema.size != partFields.size)
-      EpochStore.planFilePartitions(spark, listing._1, constEff,
-        constantsOfEff)
-    else {
+          (vs.map(String.valueOf).mkString("\u0000"), k) }
+        .map { case ((vs, k), files) => (vs :+ (k: Any), files) }
+    else if (partFields.isEmpty || readPartSchema.size != partFields.size)
+      Seq((Seq.empty[Any], listing._1))
+    else
       // pack per partition VALUE tuple so every task holds one key's
       // files only (the HasPartitionKey contract Spark's key-grouping
       // requires); the key rides on the partition, the rows unchanged
       listing._1.groupBy(_.values).toSeq
         .sortBy(t => t._1.map(String.valueOf).mkString("\u0000"))
-        .flatMap { case (vs, files) =>
-          EpochStore.planFilePartitions(spark, files, constEff,
-              constantsOfEff)
-            .map { case fp: FilePartition => KeyedFilePartition(fp, vs) }
-        }.toArray
+        .map { case (vs, files) => ((vs: Seq[Any]), files) }
+
+  /** SORT-ORDER REPORT ([[org.apache.spark.sql.connector.read
+    * .SupportsReportOrdering]]): when every planned partition can be
+    * packed provably sorted, the scan reports `sortColumns` ascending
+    * (nulls first) and Spark ELIDES the matching SortExec — a sort-merge
+    * join of two same-bucketed, sorted, compacted stores runs with zero
+    * exchange AND zero sort, the sorted-bucketed-table property that
+    * turns a 100 TB join into a streaming per-bucket merge.
+    *
+    * Provably sorted =
+    *  - every listed entry records the same `sortColumns` prefix in its
+    *    `_schema.json` (each data FILE is internally ordered — the write
+    *    enforced it), and the prefix survives projection; and
+    *  - within each packed group, either one file, or every file has
+    *    recorded min/max for the leading sort column ('S'/numeric — the
+    *    same UTF-8/decimal order the rows compare under), no nulls, and
+    *    the min-ordered chain is range-disjoint. Strictly disjoint
+    *    (max < next min) proves the FULL prefix; a touching boundary
+    *    (max == next min) still proves the single leading column (equal
+    *    keys may interleave across the boundary, their suborder may not).
+    * Anything unprovable reports nothing — plans keep today's shape.
+    * Recomputed when a runtime filter narrows the listing (a subset of
+    * a disjoint chain stays disjoint, so a reported order never breaks).
+    */
+  @transient private var cachedOrderedPlan
+      : Option[(Seq[String], Map[Seq[Any], Seq[EpochStore.ListedFile]])] = null
+  private def orderedPlan
+      : Option[(Seq[String], Map[Seq[Any], Seq[EpochStore.ListedFile]])] = {
+    if (cachedOrderedPlan == null) cachedOrderedPlan = computeOrderedPlan()
+    cachedOrderedPlan
+  }
+  private def computeOrderedPlan()
+      : Option[(Seq[String], Map[Seq[Any], Seq[EpochStore.ListedFile]])] = {
+    val spark = SparkSession.active
+    val files = listing._1
+    if (files.isEmpty || changeRequested) return None
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val sortsByDir = files.map(_.entryDir).distinct
+      .map(d => d -> EpochStoreWrite.readSortSidecar(fs, root, d)).toMap
+    if (sortsByDir.valuesIterator.exists(_.isEmpty)) return None
+    val common = sortsByDir.valuesIterator.reduceLeft { (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1) }
+    val prefix0 = common.takeWhile(readDataSchema.fieldNames.contains)
+    if (prefix0.isEmpty) return None
+    val s1 = prefix0.head
+    val se = statsByEntry(spark)
+    def statOf(lf: EpochStore.ListedFile): Option[EpochStoreStats.ColStats] =
+      se.getOrElse(lf.entryDir, Map.empty)
+        .get(EpochStore.relOf(fs, root, lf)).flatMap(_.cols.get(s1))
+        // legacy UTF-16-ordered string bounds prove nothing under the
+        // UTF-8 row order
+        .filterNot(_.kind == 's')
+    var len = prefix0.length
+    val out = Map.newBuilder[Seq[Any], Seq[EpochStore.ListedFile]]
+    fileGroups.foreach { case (key, g) =>
+      if (g.size <= 1) out += key -> g
+      else {
+        val withStats = g.map(lf => statOf(lf).map(lf -> _))
+        if (withStats.exists(_.isEmpty)) return None
+        val gs = withStats.flatten
+        // any null in a multi-file group defeats the cross-file
+        // NULLS FIRST proof — conservative, sorted keys are rarely null
+        if (gs.exists(x => x._2.nulls > 0L || x._2.min.isEmpty)) return None
+        val sortedG = gs.sortWith((a, b) =>
+          EpochStoreStats.cmp(a._2.min.get, b._2.min.get).exists(_ < 0))
+        sortedG.sliding(2).foreach {
+          case Seq(p, n) =>
+            EpochStoreStats.cmp(p._2.max.get, n._2.min.get) match {
+              case Some(x) if x < 0 => ()
+              case Some(0) => len = math.min(len, 1)
+              case _ => return None
+            }
+          case _ => ()
+        }
+        out += key -> sortedG.map(_._1)
+      }
     }
+    Some((prefix0.take(len), out.result()))
+  }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderedPlan match {
+      case Some((cols, _)) => cols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+        .toArray
+      case None => Array.empty
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val ordered = orderedPlan.map(_._2)
+    // ordered packing feeds each group's files min-ordered and keeps
+    // their splits contiguous, so every packed partition stays sorted;
+    // the default packs longest-first for balance
+    def pack(key: Seq[Any], files: Seq[EpochStore.ListedFile])
+        : Array[InputPartition] = ordered match {
+      case Some(m) => EpochStore.planFilePartitions(spark, m(key), constEff,
+        constantsOfEff, preserveOrder = true)
+      case None => EpochStore.planFilePartitions(spark, files, constEff,
+        constantsOfEff)
+    }
+    if (spjBucketKeyed ||
+      (partFields.nonEmpty && readPartSchema.size == partFields.size))
+      fileGroups.flatMap { case (key, files) =>
+        pack(key, files).map { case fp: FilePartition =>
+          KeyedFilePartition(fp, key) }
+      }.toArray
+    else
+      pack(Seq.empty, listing._1)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1448,7 +1558,8 @@ object EpochStore {
   private[sources] def planFilePartitions(
       spark: SparkSession, files: Seq[ListedFile],
       readPartSchema: StructType,
-      constantsOf: ListedFile => Array[Any]): Array[InputPartition] = {
+      constantsOf: ListedFile => Array[Any],
+      preserveOrder: Boolean = false): Array[InputPartition] = {
     val conf = GraftBridge.sessionConf(spark)
     val openCost = conf.filesOpenCostInBytes
     val minParts = conf.filesMinPartitionNum
@@ -1467,8 +1578,13 @@ object EpochStore {
           st.getModificationTime, st.getLen, Map.empty)
       }
     }
+    // preserveOrder: the caller's file order is a PROVEN sort order —
+    // keep splits contiguous (getFilePartitions packs consecutively) so
+    // every packed partition stays internally ordered; the default
+    // longest-first order packs better-balanced partitions
     FilePartition.getFilePartitions(spark,
-      splits.sortBy(-_.length), maxSplit).toArray
+      if (preserveOrder) splits else splits.sortBy(-_.length),
+      maxSplit).toArray
   }
 
   /** Spark's own vectorized parquet reader, primed exactly the way the
@@ -1578,7 +1694,8 @@ object EpochStore {
   def writeBucketed(df: DataFrame, root: String, epoch: Long,
                     bucketColumn: String, bucketCount: Int,
                     statsColumns: Seq[String] = Nil,
-                    partitionColumn: String = null): Unit = {
+                    partitionColumn: String = null,
+                    sortColumns: Seq[String] = Nil): Unit = {
     var w = df.write.format("epochstore").mode("append")
       .option("path", root).option("epoch", epoch.toString)
       .option("bucketColumn", bucketColumn)
@@ -1587,6 +1704,8 @@ object EpochStore {
       w = w.option("partitionColumn", partitionColumn)
     if (statsColumns.nonEmpty)
       w = w.option("statsColumns", statsColumns.mkString(","))
+    if (sortColumns.nonEmpty)
+      w = w.option("sortColumns", sortColumns.mkString(","))
     w.save()
   }
 
@@ -2116,12 +2235,16 @@ object EpochStore {
           .write.mode("overwrite").partitionBy(levels: _*)
           .parquet(s"$root/$foldDir")
         EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs,
-          bucketLayout)
+          bucketLayout, sortCols = sortColumns)
       case None =>
         val w = folded.write.mode("overwrite")
         (if (pcs.isEmpty) w else w.partitionBy(pcs: _*))
           .parquet(s"$root/$foldDir")
-        EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs)
+        // a sorted fold's files are each internally ordered (the range
+        // repartition + sortWithinPartitions above) — record the layout
+        // so the scan can report it; z-order is NOT a linear order
+        EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs,
+          sortCols = sortColumns)
     }
     // re-derive the numeric stats any covered epoch declared — plus the
     // z-order dimensions (their per-file rectangles ARE the layout's
@@ -2139,6 +2262,22 @@ object EpochStore {
             "z-order needs a numeric dimension")
       })
     }
+    // a SORTED fold always records bounds on its sort columns (where
+    // the type supports them): range skipping AND the scan's sort-order
+    // report ([[EpochStoreScan.outputOrdering]]) both plan from them —
+    // they ARE the layout's payoff, whether or not history declared them
+    val sortKinds: Seq[(String, Char)] = sortColumns.flatMap { c =>
+      merged.fields.find(_.name == c).map(_.dataType).flatMap {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => Some(c -> 'l')
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => Some(c -> 'd')
+        case org.apache.spark.sql.types.StringType => Some(c -> 'S')
+        case _ => None
+      }
+    }
     val statKinds: Seq[(String, Char)] = (covered
       .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
         .flatMap(_.cols.toSeq))
@@ -2146,7 +2285,7 @@ object EpochStore {
       // 'S' — Spark's min/max compares UTF8String bytes, so the fold's
       // recorded bounds are exact under the new order
       .map { case (c, cs) => (c, if (cs.kind == 's') 'S' else cs.kind) }
-      ++ zKinds).distinct
+      ++ zKinds ++ sortKinds).distinct
       .filter { case (c, _) => merged.fieldNames.contains(c) }
     rederiveStats(spark, fs, root, foldDir, merged, statKinds)
     // OCC fold commit: appends above the fold span rebase in, touched

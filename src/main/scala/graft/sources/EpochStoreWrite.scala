@@ -247,7 +247,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       // instead of falling into the unpartitioned AlwaysTrue branch
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
         bloomOf(), statsOf(), overwriteMode, branch,
-        autoEpoch = explicitEpoch.isEmpty, bucketSpec = bucketOf2())
+        autoEpoch = explicitEpoch.isEmpty, bucketSpec = bucketOf2(),
+        sortCols = sortCols)
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -259,7 +260,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def toStreaming: StreamingWrite = {
       val opts = info.options()
       new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
-        info.schema(), partColsOf(), bloomOf(), statsOf())
+        info.schema(), partColsOf(), bloomOf(), statsOf(), sortCols)
     }
   }
 }
@@ -466,7 +467,8 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
                                      schema: StructType,
                                      partCols: Seq[String],
                                      bloom: Option[BloomSpec] = None,
-                                     statsCols: Seq[(String, Char)] = Nil)
+                                     statsCols: Seq[(String, Char)] = Nil,
+                                     sortCols: Seq[String] = Nil)
     extends StreamingWrite {
 
   private def stagingDir(epochId: Long) = s"$root/.w$queryId-e$epochId"
@@ -512,7 +514,8 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     // not at all
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols,
+      sortCols = sortCols)
     EpochManifest.commitEpochDir(spark, root, epochId, dir)
   }
 
@@ -547,7 +550,8 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  branch: Option[String] = None,
                                  autoEpoch: Boolean = false,
                                  bucketSpec: Option[EpochStore.StoreBucket] =
-                                   None)
+                                   None,
+                                 sortCols: Seq[String] = Nil)
     extends BatchWrite {
 
   // fail a doomed job before any executor work; declaring the bloom
@@ -587,7 +591,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols,
-      bucketSpec)
+      bucketSpec, sortCols)
     overwrite match {
       case EpochOverwrite.AppendOnly =>
         // epoch-REPLACEMENT is retry idempotence for EXPLICIT epochs; an
@@ -798,21 +802,49 @@ object EpochStoreWrite {
   private[sources] def writeSchemaSidecar(
       fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String,
       schema: StructType, partCols: Seq[String],
-      bucket: Option[EpochStore.StoreBucket] = None): Unit = {
+      bucket: Option[EpochStore.StoreBucket] = None,
+      sortCols: Seq[String] = Nil): Unit = {
     partCols.foreach(c => require(!c.contains(",") && !c.contains("\""),
       s"partition column name '$c' cannot be recorded"))
     bucket.foreach(b => require(!b.col.contains("\""),
       s"bucket column name '${b.col}' cannot be recorded"))
+    sortCols.foreach(c => require(!c.contains(",") && !c.contains("\""),
+      s"sort column name '$c' cannot be recorded"))
     val p = new Path(s"$root/$dir/_schema.json")
     val head = Seq(
       if (partCols.isEmpty) None
       else Some(s""""partitionColumn":"${partCols.mkString(",")}""""),
       bucket.map(b =>
-        s""""bucketColumn":"${b.col}","bucketCount":${b.n}""")
+        s""""bucketColumn":"${b.col}","bucketCount":${b.n}"""),
+      // the entry's SORT LAYOUT: every data file in this dir holds rows
+      // ordered by these columns (ascending, nulls first) — the write
+      // enforced it ([[RequiresDistributionAndOrdering]] / the fold's
+      // sortWithinPartitions), the scan reports it
+      // ([[EpochStoreScan.outputOrdering]]) so Spark elides sorts
+      if (sortCols.isEmpty) None
+      else Some(s""""sortColumns":"${sortCols.mkString(",")}"""")
     ).flatten.mkString("{", ",", "}")
     val body = head + "\n" + schema.json + "\n"
     val out = fs.create(p, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The sort layout an entry's `_schema.json` records: the columns
+    * every data file in the dir is internally ordered by (ascending,
+    * nulls first); Nil for unsorted entries and pre-sort-record
+    * sidecars. */
+  private[sources] def readSortSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
+      : Seq[String] = {
+    val p = new Path(s"$root/$dir/_schema.json")
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val head = body.linesIterator.filter(_.nonEmpty).toSeq.head
+    if (!head.contains("\"sortColumns\":\"")) Nil
+    else head.split("\"sortColumns\":\"")(1).takeWhile(_ != '"')
+      .split(",").toSeq.filter(_.nonEmpty)
   }
 
   /** The bucket layout an entry's `_schema.json` records (None for

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.execution.SparkPlan
+import graft.sources.{EpochStore, EpochStoreScan}
+
+/** X83 — `SupportsReportOrdering` on the epochstore scan: a store whose
+  * entries record a sort layout (and whose per-file stats prove the
+  * planned partitions range-disjoint) reports `sortColumns` ascending,
+  * so Spark ELIDES matching SortExec nodes. The flagship shape: two
+  * same-bucketed, sorted stores sort-merge join with ZERO exchange and
+  * ZERO sort — the classic sorted-bucketed-table property that turns a
+  * 100 TB join into a per-bucket streaming merge. Soundness gates: an
+  * overlapping multi-epoch store, a missing-stats store, and a
+  * mixed-layout store must all report NOTHING. */
+class OrderingSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_ord").toString
+
+  private def cat(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): EpochStoreScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collect { case s: EpochStoreScan => s }.head
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      nodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: nodes(q.plan)
+    case other => other +: other.children.flatMap(nodes)
+  }
+  private def sorts(p: SparkPlan) = nodes(p).collect {
+    case s: org.apache.spark.sql.execution.SortExec => s
+  }
+  private def exchanges(p: SparkPlan) = nodes(p).collect {
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+  }
+
+  private def sortedWrite(df: org.apache.spark.sql.DataFrame, root: String,
+                          epoch: Long): Unit =
+    df.write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", epoch.toString)
+      .option("sortColumns", "id").option("statsColumns", "id")
+      .save()
+
+  test("sorted store with disjoint epochs reports its sort order; " +
+      "overlapping epochs / missing sort record report nothing") {
+    import spark.implicits._
+    val root = tmp()
+    // two epochs with DISJOINT id ranges — the stats chain proves order
+    sortedWrite((0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      root, 0L)
+    sortedWrite((100 until 200).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      root, 1L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val df = EpochStore.read(spark, root, schema)
+    val ord = scanOf(df).outputOrdering()
+    assert(ord.length == 1 && ord.head.toString.contains("id"),
+      s"disjoint sorted store must report its order, got " +
+        ord.mkString("[", ",", "]"))
+    // rows stay correct under the ordered packing
+    assert(df.count() == 200)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0L until 200L).sum)
+    // every planned partition is internally sorted by id
+    val perPart = df.select("id").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach(p => assert(p == p.sorted,
+      s"partition not internally sorted: $p"))
+
+    // OVERLAPPING epoch kills the proof
+    val root2 = tmp()
+    sortedWrite((0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      root2, 0L)
+    sortedWrite((50 until 150).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      root2, 1L)
+    assert(scanOf(EpochStore.read(spark, root2, schema)).outputOrdering().isEmpty,
+      "overlapping epochs must not report an order")
+
+    // an UNSORTED entry in the mix kills it too
+    val root3 = tmp()
+    sortedWrite((0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      root3, 0L)
+    EpochStore.write((100 until 200).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      root3, 1L)
+    assert(scanOf(EpochStore.read(spark, root3, schema)).outputOrdering().isEmpty,
+      "an unsorted entry must not report an order")
+  }
+
+  test("sorted same-bucketed stores sort-merge join with zero exchange " +
+      "and zero sort") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("ordspj", wh)
+    val left = s"$wh/l"
+    val right = s"$wh/r"
+    EpochStore.writeBucketed((0 until 400).map(i => (i.toLong, s"L$i"))
+      .toDF("id", "v"), left, 0L, bucketColumn = "id", bucketCount = 8,
+      statsColumns = Seq("id"), sortColumns = Seq("id"))
+    EpochStore.writeBucketed((0 until 400).map(i => (i.toLong, s"R$i"))
+      .toDF("id", "v"), right, 0L, bucketColumn = "id", bucketCount = 8,
+      statsColumns = Seq("id"), sortColumns = Seq("id"))
+    def l() = spark.table("ordspj.l")
+    def r() = spark.table("ordspj.r").withColumnRenamed("v", "w")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = l().join(r(), "id")
+      assert(j.count() == 400)
+      val plan = j.queryExecution.executedPlan
+      val smj = nodes(plan).collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+      assert(exchanges(plan).isEmpty,
+        s"same-bucket sorted join must run storage-partitioned:\n$plan")
+      assert(sorts(plan).isEmpty,
+        s"reported sort order must elide both SMJ sorts:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucket-preserving compaction keeps (and a sorted fold creates) " +
+      "the reported order") {
+    import spark.implicits._
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // OVERLAPPING unsorted epochs — no order reportable pre-compaction
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      root, 0L)
+    EpochStore.write((50 until 150).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      root, 1L)
+    assert(scanOf(EpochStore.read(spark, root, schema)).outputOrdering().isEmpty)
+    // a SORTED compaction fold re-establishes it (single fold entry:
+    // every file internally sorted, ranges disjoint by the range
+    // repartition)
+    EpochStore.compactStore(spark, root, sortColumns = Seq("id"), parts = 3)
+    val ord = scanOf(EpochStore.read(spark, root, schema)).outputOrdering()
+    assert(ord.length == 1 && ord.head.toString.contains("id"),
+      s"sorted fold must report its order, got ${ord.mkString("[", ",", "]")}")
+    val df = EpochStore.read(spark, root, schema)
+    assert(df.count() == 200)
+  }
+
+  test("q_store_sorted matches the raw-table recomputation of its oracle") {
+    val res = graft.queries.MiscCatalog.storeSorted(spark, sf0001)
+    val got = res.collect().toSeq.map(_.toSeq)
+    // production-shape plan gate: the TWO-epoch bucketed catalog route
+    // must still join merge-style with zero exchange below the final
+    // ORDER BY/aggregate and zero SMJ sorts (the only allowed sorts
+    // serve the query's own ORDER BY)
+    val plan = res.queryExecution.executedPlan
+    assert(nodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"expected a sort-merge join:\n$plan")
+    val smjSorts = nodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        nodes(j).tail.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s }
+    }.flatten
+    assert(smjSorts.isEmpty, s"SMJ inputs must arrive pre-sorted:\n$plan")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val want = docs.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("chars"),
+        sum((col("doc_id") % 89).cast("long")).as("score_sum"))
+      .orderBy("lang").collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty && got == want, s"got=$got\nwant=$want")
+  }
+}
