@@ -1661,6 +1661,44 @@ object MiscCatalog {
       |WHERE d.lang IS NOT NULL
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Metadata tables (`q_store_meta`, X84): the corpus lands as a
+    * lang-partitioned store across two epochs, then the query reads the
+    * `$partitions` METADATA table — per-partition row counts computed
+    * on the driver from the manifest + stats sidecars, planned as a
+    * LocalTableScan (no tasks, no data I/O). DuckDB recounts the raw
+    * table, so a stats sidecar that lost rows, a partition tuple the
+    * grouping dropped, or a double-counted multi-epoch dir fails
+    * cell-exact.
+    *
+    * Scale shape: inspecting a 100 TB store costs a few KiB of sidecar
+    * reads — `SHOW PARTITIONS`-with-measurements never touches data
+    * (MetaTablesSpec gates the LocalTableScan plan). */
+  def storeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_meta_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L, partitionColumn = "lang")
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+      root, 1L, partitionColumn = "lang")
+    val s2 = spark.newSession()
+    val c = s"graftmeta$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(
+      s"""SELECT lang, rows AS n FROM $c.`docs$$partitions`
+         |ORDER BY lang""".stripMargin)
+  }
+
+  val storeMetaSql: String =
+    """SELECT lang, COUNT(*) AS n FROM documents
+      |WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Write-audit-publish branches (`q_store_wap`): half the corpus
     * lands as the base store, the other half is written onto a BRANCH
     * (`CALL create_branch` + the sink's `branch` option — a separate
@@ -2004,6 +2042,7 @@ object MiscCatalog {
     "q_store_wap"     -> (storeWap _),
     "q_store_bucket"  -> (storeBucket _),
     "q_store_sorted"  -> (storeSorted _),
+    "q_store_meta"    -> (storeMeta _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -2058,6 +2097,7 @@ object MiscCatalog {
     "q_store_wap"     -> storeWapSql,
     "q_store_bucket"  -> storeBucketSql,
     "q_store_sorted"  -> storeSortedSql,
+    "q_store_meta"    -> storeMetaSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

@@ -99,6 +99,11 @@ final class EpochStoreTable(tableSchema: StructType,
 
   override def schema(): StructType = tableSchema
 
+  /** The resolved creation options (path, layout, pins) — what the
+    * metadata tables ([[EpochStoreMetadata]]) derive their typed
+    * partition/bucket columns from. */
+  private[sources] def storeOptions: CaseInsensitiveStringMap = options
+
   /** The store's dir layout as DECLARED partitioning — what lets SQL
     * validate `PARTITION (col=...)` clauses and route dynamic
     * partition overwrite at this table. */

@@ -130,7 +130,43 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = isStore(rootOf(ident))
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, -1L)
+  override def loadTable(ident: Identifier): Table =
+    metaKindOf(ident) match {
+      case Some((baseIdent, kind)) =>
+        val base = tableAt(baseIdent, -1L) match {
+          case t: EpochStoreTable => t
+          case other => throw new IllegalStateException(
+            s"metadata table over non-store table ${other.name()}")
+        }
+        EpochStoreMetadata.table(spark, rootOf(baseIdent), kind,
+          base.schema(), base.storeOptions)
+      case None => tableAt(ident, -1L)
+    }
+
+  /** Metadata-table resolution ([[EpochStoreMetadata]]): either the
+    * Hive-style suffix `` `store$files` `` or the Iceberg-style nested
+    * `cat.store.files` (recognized only when `store` IS a store and no
+    * real store shadows the nested name — a table literally named
+    * `files` always wins). */
+  private def metaKindOf(ident: Identifier)
+      : Option[(Identifier, String)] = {
+    val n = ident.name()
+    val dollar = n.lastIndexOf('$')
+    if (dollar > 0) {
+      val (b, k) = (n.substring(0, dollar), n.substring(dollar + 1))
+      val baseIdent = Identifier.of(ident.namespace(), b)
+      if (EpochStoreMetadata.Kinds(k.toLowerCase) && isStore(rootOf(baseIdent)))
+        return Some((baseIdent, k.toLowerCase))
+    }
+    if (ident.namespace().nonEmpty && EpochStoreMetadata.Kinds(n.toLowerCase)
+      && !isStore(rootOf(ident))) {
+      val baseIdent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (isStore(rootOf(baseIdent)))
+        return Some((baseIdent, n.toLowerCase))
+    }
+    None
+  }
 
   /** SQL `FOR VERSION AS OF v` — a retained manifest generation number,
     * or a named tag ([[EpochManifest.tag]] — a gc retention anchor, so

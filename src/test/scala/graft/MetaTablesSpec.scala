@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.EpochStore
+import graft.core.EpochManifest
+
+/** X84 — metadata tables over a manifest store (`$history` / `$files` /
+  * `$partitions` / `$refs`): SQL-readable, driver-computed, planned as
+  * a LocalTableScan (no tasks). Counts must agree with the data, the
+  * nested `cat.store.kind` spelling must resolve, and a real store
+  * named like a kind must shadow the metadata resolution. */
+class MetaTablesSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_meta").toString
+
+  private def cat(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  test("partitions/files/history/refs agree with the data and plan " +
+      "as LocalTableScan") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("metac", wh)
+    val root = s"$wh/docs"
+    val df0 = (0 until 60).map(i => (i.toLong, s"v$i", if (i % 3 == 0) "en"
+      else if (i % 3 == 1) "de" else "fr")).toDF("id", "v", "lang")
+    EpochStore.write(df0.filter($"id" < 30), root, 0L,
+      partitionColumn = "lang")
+    EpochStore.write(df0.filter($"id" >= 30), root, 1L,
+      partitionColumn = "lang")
+    EpochManifest.tag(spark, root, "gold")
+    EpochManifest.createBranch(spark, root, "audit")
+
+    // $partitions: per-lang row counts equal the data's
+    val parts = spark.sql(
+      "SELECT lang, rows FROM metac.`docs$partitions` ORDER BY lang")
+    val planStr = parts.queryExecution.executedPlan.toString
+    assert(planStr.contains("LocalTableScan"),
+      s"metadata table must plan as LocalTableScan:\n$planStr")
+    val got = parts.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = df0.groupBy("lang").count().orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+
+    // $files: row-count sum equals the table's count; bytes positive
+    val files = spark.sql("SELECT * FROM metac.`docs$files`")
+    assert(files.agg(sum("rows")).head.getLong(0) == 60L)
+    assert(files.filter($"bytes" <= 0L).count() == 0)
+    assert(files.select("epoch").distinct().count() == 2)
+
+    // nested Iceberg-style spelling resolves the same rows
+    assert(spark.sql("SELECT sum(rows) FROM metac.docs.files")
+      .head.getLong(0) == 60L)
+
+    // $history: one row per retained generation, head flagged
+    val hist = spark.sql(
+      "SELECT generation, entries, is_current FROM metac.`docs$history` " +
+        "ORDER BY generation").collect()
+    assert(hist.nonEmpty && hist.last.getBoolean(2) &&
+      hist.init.forall(!_.getBoolean(2)))
+    assert(hist.last.getInt(1) == 2) // two live entries at head
+
+    // $refs: the tag pins a generation, the branch pins none
+    val refs = spark.sql(
+      "SELECT name, type, generation FROM metac.`docs$refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.isNullAt(2)))
+    assert(refs.toSeq == Seq(("audit", "branch", true),
+      ("gold", "tag", false)))
+  }
+
+  test("bucketed store's partitions carry bucket_id; a real store named " +
+      "'files' shadows the nested metadata spelling") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("metab", wh)
+    EpochStore.writeBucketed((0 until 64).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), s"$wh/docs", 0L, bucketColumn = "id",
+      bucketCount = 4)
+    val parts = spark.sql(
+      "SELECT bucket_id, rows FROM metab.`docs$partitions` ORDER BY bucket_id")
+      .collect()
+    assert(parts.length == 4 && parts.map(_.getLong(1)).sum == 64L)
+
+    // a real nested store named "files" wins over the metadata kind
+    val inner = s"$wh/ns/files"
+    EpochStore.write(Seq((1L, "x")).toDF("id", "v"), inner, 0L)
+    assert(spark.sql("SELECT count(*) FROM metab.ns.files")
+      .head.getLong(0) == 1L)
+  }
+
+  test("q_store_meta matches the raw-table recomputation of its oracle") {
+    val got = graft.queries.MiscCatalog.storeMeta(spark, sf0001)
+      .collect().toSeq.map(_.toSeq)
+    val want = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty && got == want, s"got=$got\nwant=$want")
+  }
+}
