@@ -440,6 +440,114 @@ object EpochManifest {
     ()
   }
 
+  // Column-evolution ops: `_manifests/columns.v<N>.json` — an ordered,
+  // append-only log of RENAME / DROP operations applied ON TOP of the
+  // per-entry schema records (which stay immutable with their data).
+  // Same versioned-CAS discipline as tags: highest complete file wins,
+  // publish is create-if-absent, the previous version outlives the
+  // publish by one write so concurrent readers never see a gap. The
+  // log is the table-level schema authority Iceberg keeps in its
+  // metadata JSON — entries keep their as-written (physical) names,
+  // the ops map them to the current (logical) names at read planning.
+
+  /** One column-evolution operation, in application order. */
+  sealed trait ColumnOp
+  object ColumnOp {
+    final case class Rename(from: String, to: String) extends ColumnOp
+    final case class Drop(name: String) extends ColumnOp
+  }
+
+  private def columnFiles(spark: SparkSession, root: String)
+      : Seq[(Long, Path)] = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("columns.v") && n.endsWith(".json"))
+        n.stripPrefix("columns.v").stripSuffix(".json").toLongOption
+          .map(_ -> s.getPath)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** The store's column-evolution ops, oldest first. Empty for stores
+    * that never renamed/dropped a column (the overwhelmingly common
+    * case — one existence probe, no read). */
+  def columnOps(spark: SparkSession, root: String): Seq[ColumnOp] = {
+    val fs = fsOf(spark, root)
+    def readAt(p: Path): Seq[ColumnOp] = {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        // fixed shape per line, names validated at append
+        if (line.contains("\"op\":\"rename\""))
+          ColumnOp.Rename(
+            line.split("\"from\":\"")(1).takeWhile(_ != '"'),
+            line.split("\"to\":\"")(1).takeWhile(_ != '"'))
+        else
+          ColumnOp.Drop(line.split("\"name\":\"")(1).takeWhile(_ != '"'))
+      }.toSeq
+    }
+    def attempt(retriesLeft: Int): Seq[ColumnOp] =
+      columnFiles(spark, root).lastOption match {
+        case None => Seq.empty
+        case Some((_, p)) =>
+          try readAt(p) catch {
+            case _: java.io.FileNotFoundException if retriesLeft > 0 =>
+              attempt(retriesLeft - 1)
+          }
+      }
+    attempt(2)
+  }
+
+  private def renderColumnOp(op: ColumnOp): String = op match {
+    case ColumnOp.Rename(f, t) => s"""{"op":"rename","from":"$f","to":"$t"}"""
+    case ColumnOp.Drop(n) => s"""{"op":"drop","name":"$n"}"""
+  }
+
+  /** OCC append to the column-ops log: re-read, validate against the
+    * CURRENT log via `validate` (runs inside the CAS loop, so two
+    * racing ALTERs both land, each validated against what it actually
+    * follows), publish the next version. */
+  def appendColumnOps(spark: SparkSession, root: String,
+                      ops: Seq[ColumnOp],
+                      validate: Seq[ColumnOp] => Unit = _ => ()): Unit = {
+    ops.foreach {
+      case ColumnOp.Rename(f, t) => Seq(f, t).foreach(requireRecordable)
+      case ColumnOp.Drop(n) => requireRecordable(n)
+    }
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < 64) {
+      val old = columnFiles(spark, root)
+      val next = old.lastOption.map(_._1).getOrElse(0L) + 1L
+      val cur = columnOps(spark, root)
+      validate(cur)
+      val body = (cur ++ ops).map(renderColumnOp)
+        .mkString("", "\n", "\n")
+      val tmp = new Path(manifestDir(root),
+        s".columns.v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      fs.mkdirs(manifestDir(root))
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (atomicClaim(fs, tmp,
+        new Path(manifestDir(root), s"columns.v$next.json"))) {
+        old.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
+        return
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"column-op append under $root lost $attempt CAS races")
+  }
+
+  private def requireRecordable(name: String): Unit =
+    require(name.nonEmpty && !name.contains("\"") && !name.contains(",") &&
+      !name.contains("\n"),
+      s"column name '$name' cannot be recorded in the ops log")
+
   /** The current snapshot: entries of the highest complete manifest. */
   def entries(spark: SparkSession, root: String): Seq[Entry] =
     manifests(spark, root).lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)

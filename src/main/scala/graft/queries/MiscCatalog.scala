@@ -1699,6 +1699,57 @@ object MiscCatalog {
     """SELECT lang, COUNT(*) AS n FROM documents
       |WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** RENAME/DROP column evolution (`q_store_rename`, X85): half the
+    * corpus lands with columns (doc_id, nc, lang, junk), then
+    * `ALTER TABLE … RENAME COLUMN nc TO chars` and `DROP COLUMN junk`
+    * land as column-ops commits (no data touched), and the OTHER half
+    * inserts under the new name. The aggregate reads both halves
+    * through one logical schema — the pre-rename entries serve `chars`
+    * through their per-profile reader factory (physical name `nc`,
+    * translated requested schema + translated parquet push), the
+    * post-rename ones natively — with a residual filter on the renamed
+    * column. DuckDB recomputes from the raw table, so a profile that
+    * read nulls, a filter that bound the wrong spelling, or a dropped
+    * column that leaked fails cell-exact.
+    *
+    * Scale shape: rename/drop are ONE tiny metadata commit on a 100 TB
+    * store — zero rewrite, vectorized reads preserved on both sides of
+    * the rename (RenameDropSpec proves serving, guards, and that
+    * compaction folds the old spellings away). */
+  def storeRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_ren_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"),
+        col("lang"), lit("noise").as("junk"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L)
+    val s2 = spark.newSession()
+    val c = s"graftren$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(s"ALTER TABLE $c.docs RENAME COLUMN nc TO chars")
+    s2.sql(s"ALTER TABLE $c.docs DROP COLUMN junk")
+    graft.sources.EpochStore.write(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("nc").as("chars"), col("lang")),
+      root, 1L)
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(chars) AS chars
+         |FROM $c.docs WHERE chars > 300
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeRenameSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE lang IS NOT NULL AND CAST(n_chars AS BIGINT) > 300
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Write-audit-publish branches (`q_store_wap`): half the corpus
     * lands as the base store, the other half is written onto a BRANCH
     * (`CALL create_branch` + the sink's `branch` option — a separate
@@ -2043,6 +2094,7 @@ object MiscCatalog {
     "q_store_bucket"  -> (storeBucket _),
     "q_store_sorted"  -> (storeSorted _),
     "q_store_meta"    -> (storeMeta _),
+    "q_store_rename"  -> (storeRename _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -2098,6 +2150,7 @@ object MiscCatalog {
     "q_store_bucket"  -> storeBucketSql,
     "q_store_sorted"  -> storeSortedSql,
     "q_store_meta"    -> storeMetaSql,
+    "q_store_rename"  -> storeRenameSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

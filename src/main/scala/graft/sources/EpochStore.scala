@@ -217,8 +217,12 @@ final class EpochStoreTable(tableSchema: StructType,
     // a row-identity store routes EVERY delete merge-on-read
     // ([[EpochStoreDelta]]): the metadata-first path drops/rewrites
     // entries without carrying their _delta tombstones, which would
-    // resurrect rows those tombstones kill
+    // resurrect rows those tombstones kill. A RENAMED store routes to
+    // the row-level rewrite too — its scan is alias-aware, the
+    // metadata path's per-entry classification is not.
     EpochStoreDelta.morKeysOf(SparkSession.active, options).isEmpty &&
+      EpochStore.columnAliases(SparkSession.active,
+        EpochStore.rootOf(options)).chains.isEmpty &&
       filters.forall(f => EpochStoreDml.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -387,6 +391,10 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     // a row-identity store with live tombstones — footer counts would
     // include killed rows; Spark scans rows as usual
     if (morLiveTombstones) return false
+    // a renamed/dropped-column store: footers and sidecars speak each
+    // entry's PHYSICAL names — the agg path doesn't translate; scan rows
+    if (EpochStore.columnAliases(SparkSession.active,
+      EpochStore.rootOf(options)).chains.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -655,6 +663,21 @@ final case class EpochStoreScan(
       s"epochstore streaming over a BRANCH of $root is not supported — " +
         "branches are write-audit-publish staging; tail main (publish " +
         "first) or batch-read the branch head")
+    // the tail's reader speaks the CURRENT names only — entries written
+    // under a pre-rename name would silently serve null; refuse until a
+    // compaction rewrites them to the current names (post-rename epochs
+    // need no aliasing, so a maintained tail keeps flowing)
+    if (!aliases.isEmpty) {
+      val needy = entries.filter { e =>
+        val efs = entryFieldsByDir(e.dir)
+        dataSchema.fieldNames.exists(nm => aliases.resolve(nm, efs) != nm)
+      }
+      if (needy.nonEmpty) throw new UnsupportedOperationException(
+        s"epochstore streaming over $root: entries " +
+          s"${needy.map(_.dir).mkString(", ")} predate a RENAME COLUMN — " +
+          "run CALL compact to rewrite them to the current names, then " +
+          "start the tail")
+    }
     new EpochStoreMicroBatchStream(fullSchema, required, partCols, root,
       partFilters, dataFilters, streamOptions, bloomCol, bucket)
   }
@@ -1119,30 +1142,91 @@ final case class EpochStoreScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val ordered = orderedPlan.map(_._2)
-    // ordered packing feeds each group's files min-ordered and keeps
-    // their splits contiguous, so every packed partition stays sorted;
-    // the default packs longest-first for balance
+    // per group: the proven-sorted order when reported (ordered packing
+    // keeps splits contiguous so every packed partition stays sorted;
+    // the default packs longest-first for balance), then sub-split by
+    // name profile (rename evolution) so no packed partition mixes
+    // entries that spell a column differently — a subsequence of a
+    // sorted chain stays sorted
     def pack(key: Seq[Any], files: Seq[EpochStore.ListedFile])
-        : Array[InputPartition] = ordered match {
-      case Some(m) => EpochStore.planFilePartitions(spark, m(key), constEff,
-        constantsOfEff, preserveOrder = true)
-      case None => EpochStore.planFilePartitions(spark, files, constEff,
-        constantsOfEff)
+        : Seq[(FilePartition, Int)] = {
+      val fseq = ordered.map(_(key)).getOrElse(files)
+      val byProfile: Seq[(Seq[EpochStore.ListedFile], Int)] =
+        if (aliases.isEmpty) Seq((fseq, 0))
+        else fseq.map(f => profileIdxOf(f.entryDir)).distinct
+          .map(pid => (fseq.filter(f => profileIdxOf(f.entryDir) == pid), pid))
+      byProfile.flatMap { case (fs2, pid) =>
+        EpochStore.planFilePartitions(spark, fs2, constEff, constantsOfEff,
+          preserveOrder = ordered.isDefined)
+          .map { case fp: FilePartition => (fp, pid) }
+      }
     }
     if (spjBucketKeyed ||
       (partFields.nonEmpty && readPartSchema.size == partFields.size))
       fileGroups.flatMap { case (key, files) =>
-        pack(key, files).map { case fp: FilePartition =>
-          KeyedFilePartition(fp, key) }
+        pack(key, files).map { case (fp, pid) =>
+          KeyedFilePartition(fp, key, pid) }
       }.toArray
     else
-      pack(Seq.empty, listing._1)
+      pack(Seq.empty, listing._1).map { case (fp, pid) =>
+        if (pid == 0 && aliases.isEmpty) fp: InputPartition
+        else ProfiledFilePartition(fp, pid): InputPartition
+      }.toArray
   }
 
+  /** RENAME/DROP evolution (X85) — the store's alias chains
+    * ([[EpochStore.columnAliases]]); empty for the overwhelmingly
+    * common never-renamed store (one existence probe). */
+  @transient private lazy val aliases: EpochStore.ColumnAliases =
+    EpochStore.columnAliases(SparkSession.active, root)
+
+  /** Per pinned entry: its RECORDED field names — what alias chains
+    * resolve against. Entries without a record resolve identity. */
+  @transient private lazy val entryFieldsByDir: Map[String, Set[String]] = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    entries.map(_.dir).map { d =>
+      d -> EpochStoreWrite.readSchemaSidecar(fs, root, d)
+        .map(_._1.fieldNames.toSet).getOrElse(Set.empty[String])
+    }.toMap
+  }
+
+  /** The distinct per-entry PHYSICAL-NAME PROFILES (one resolved name
+    * per data column, in [[dataSchema]] order) plus each entry dir's
+    * profile index. A renamed store typically has two: pre-rename
+    * entries and post-rename ones; each profile gets its own reader
+    * factory with the requested schema translated to ITS names, so old
+    * files keep vectorized reads and serve the logical column — no
+    * row-level shims, no rewrite. */
+  @transient private lazy val profiles
+      : (IndexedSeq[Seq[String]], Map[String, Int]) = {
+    val byDir = entries.map(_.dir).map { d =>
+      val efs = entryFieldsByDir(d)
+      d -> dataSchema.fieldNames.toSeq.map(n => aliases.resolve(n, efs))
+    }.toMap
+    val distinct = byDir.values.toSeq.distinct.toIndexedSeq
+    (distinct, byDir.map { case (d, p) => d -> distinct.indexOf(p) })
+  }
+
+  private def profileIdxOf(dir: String): Int =
+    if (aliases.isEmpty) 0 else profiles._2.getOrElse(dir, 0)
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    val inner = EpochStore.parquetReaderFactory(SparkSession.active,
-      dataSchema, readDataEff, constEff, dataFilters)
-    val wrapped =
+    val spark = SparkSession.active
+    def factoryFor(profile: Option[Seq[String]]): PartitionReaderFactory = {
+      val (ds, rds, flt) = profile match {
+        case None => (dataSchema, readDataEff, dataFilters)
+        case Some(p) =>
+          val m = dataSchema.fieldNames.zip(p).toMap
+          (StructType(dataSchema.fields.map(f => f.copy(name = m(f.name)))),
+            StructType(readDataEff.fields.map(f =>
+              f.copy(name = m.getOrElse(f.name, f.name)))),
+            // untranslatable shapes just drop from the parquet push —
+            // data filters are residual, Spark re-evaluates them
+            dataFilters.flatMap(EpochStore.renameFilter(_, m)))
+      }
+      val inner = EpochStore.parquetReaderFactory(spark, ds, rds, constEff,
+        flt)
       if (!morFiltering) inner
       else {
         val n0 = readDataSchema.size
@@ -1163,9 +1247,13 @@ final case class EpochStoreScan(
         // broadcast: one copy per executor, not one per task closure
         new TombstoneFilteringFactory(inner, keyIdx, keyTypes,
           epochIdx = total - 1, outIdx, outTypes,
-          SparkSession.active.sparkContext.broadcast(tombstones))
+          spark.sparkContext.broadcast(tombstones))
       }
-    new KeyedDelegatingReaderFactory(wrapped)
+    }
+    if (aliases.isEmpty)
+      new KeyedDelegatingReaderFactory(IndexedSeq(factoryFor(None)))
+    else new KeyedDelegatingReaderFactory(
+      profiles._1.map(p => factoryFor(Some(p))))
   }
 }
 
@@ -1173,7 +1261,8 @@ final case class EpochStoreScan(
   * [[org.apache.spark.sql.connector.read.HasPartitionKey]] evidence
   * Spark's key-grouped (storage-partitioned) execution consumes. */
 final case class KeyedFilePartition(inner: FilePartition,
-                                    keyValues: Seq[Any])
+                                    keyValues: Seq[Any],
+                                    profile: Int = 0)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   private val key: InternalRow =
@@ -1182,23 +1271,39 @@ final case class KeyedFilePartition(inner: FilePartition,
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Unwraps [[KeyedFilePartition]] back to the [[FilePartition]] Spark's
-  * own parquet reader factory expects; everything else passes through. */
-final class KeyedDelegatingReaderFactory(inner: PartitionReaderFactory)
+/** A [[FilePartition]] tagged with its name-profile index (rename
+  * evolution) — routes the partition to the reader factory whose
+  * requested schema speaks its entries' physical names. */
+final case class ProfiledFilePartition(inner: FilePartition, profile: Int)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[KeyedFilePartition]] / [[ProfiledFilePartition]] back to
+  * the [[FilePartition]] Spark's own parquet reader factory expects and
+  * routes to the partition's name-profile factory (index 0 = the
+  * untranslated common case). */
+final class KeyedDelegatingReaderFactory(
+    inners: IndexedSeq[PartitionReaderFactory])
     extends PartitionReaderFactory {
-  private def unwrap(p: InputPartition): InputPartition = p match {
-    case k: KeyedFilePartition => k.inner
-    case other => other
-  }
+  private def route(p: InputPartition): (InputPartition, PartitionReaderFactory) =
+    p match {
+      case k: KeyedFilePartition => (k.inner, inners(k.profile))
+      case pr: ProfiledFilePartition => (pr.inner, inners(pr.profile))
+      case other => (other, inners(0))
+    }
   override def createReader(p: InputPartition)
-      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
-    inner.createReader(unwrap(p))
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val (q, f) = route(p); f.createReader(q)
+  }
   override def createColumnarReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
-        org.apache.spark.sql.vectorized.ColumnarBatch] =
-    inner.createColumnarReader(unwrap(p))
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    inner.supportColumnarReads(unwrap(p))
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (q, f) = route(p); f.createColumnarReader(q)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (q, f) = route(p); f.supportColumnarReads(q)
+  }
 }
 
 object EpochStore {
@@ -1596,12 +1701,60 @@ object EpochStore {
     * native ParquetScan primes it before building this same factory —
     * the record readers resolve their ReadSupport class and the
     * requested Catalyst schema from conf keys, not constructor args. */
+  /** Rewrite a pushed filter's attribute names through `m` (logical →
+    * one profile's physical names) for the parquet row-group push.
+    * Unsupported shapes return None — data filters stay residual, so
+    * dropping one costs pushdown, never correctness. Under Not (and in
+    * strict mode generally) a partial And translation is refused: Not
+    * of a weaker filter is not implied by the original. */
+  private[sources] def renameFilter(f: Filter, m: Map[String, String],
+                                    strict: Boolean = false)
+      : Option[Filter] = {
+    def n(a: String): String = m.getOrElse(a, a)
+    f match {
+      case sources.EqualTo(a, v) => Some(sources.EqualTo(n(a), v))
+      case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(n(a), v))
+      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(n(a), v))
+      case sources.GreaterThanOrEqual(a, v) =>
+        Some(sources.GreaterThanOrEqual(n(a), v))
+      case sources.LessThan(a, v) => Some(sources.LessThan(n(a), v))
+      case sources.LessThanOrEqual(a, v) =>
+        Some(sources.LessThanOrEqual(n(a), v))
+      case sources.In(a, vs) => Some(sources.In(n(a), vs))
+      case sources.IsNull(a) => Some(sources.IsNull(n(a)))
+      case sources.IsNotNull(a) => Some(sources.IsNotNull(n(a)))
+      case sources.StringStartsWith(a, v) =>
+        Some(sources.StringStartsWith(n(a), v))
+      case sources.StringEndsWith(a, v) =>
+        Some(sources.StringEndsWith(n(a), v))
+      case sources.StringContains(a, v) =>
+        Some(sources.StringContains(n(a), v))
+      case sources.And(l, r) =>
+        (renameFilter(l, m, strict), renameFilter(r, m, strict)) match {
+          case (Some(a), Some(b)) => Some(sources.And(a, b))
+          case (a, b) => if (strict) None else a.orElse(b)
+        }
+      case sources.Or(l, r) =>
+        for { a <- renameFilter(l, m, strict)
+              b <- renameFilter(r, m, strict) } yield sources.Or(a, b)
+      case sources.Not(c) =>
+        renameFilter(c, m, strict = true).map(sources.Not)
+      case sources.AlwaysTrue() => Some(f)
+      case sources.AlwaysFalse() => Some(f)
+      case _ => None
+    }
+  }
+
   private[sources] def parquetReaderFactory(
       spark: SparkSession, dataSchema: StructType,
       readDataSchema: StructType, readPartSchema: StructType,
       dataFilters: Array[Filter]): PartitionReaderFactory = {
     val conf = GraftBridge.sessionConf(spark)
-    val hc = GraftBridge.sessionHadoopConf(spark)
+    // a PRIVATE copy: factories for different per-entry name profiles
+    // (rename evolution) prime different requested schemas — priming
+    // the shared session conf would let the last one win for all
+    val hc = new org.apache.hadoop.conf.Configuration(
+      GraftBridge.sessionHadoopConf(spark))
     hc.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     hc.set("org.apache.spark.sql.parquet.row.requested_schema", readDataSchema.json)
@@ -1849,8 +2002,74 @@ object EpochStore {
       s"store $root entries without a _schema.json record: " +
         s"${missing.mkString(", ")} — pre-evolution epochs; read with an " +
         "explicit .schema(...) instead")
-    mergeRecorded(root, recs.map(_._2.get))
+    val (merged, pc) = mergeRecorded(root, recs.map(_._2.get))
+    val ops = EpochManifest.columnOps(spark, root)
+    (if (ops.isEmpty) merged else applyColumnOps(root, merged, ops), pc)
   }
+
+  /** RENAME/DROP column evolution (X85) — the replayed view of the
+    * store's column-ops log ([[EpochManifest.columnOps]]): for every
+    * CURRENT (logical) column, the chain of historical (physical) names
+    * an old entry may have written it under, plus every name ever
+    * retired (renamed-away or dropped — re-adding one would let an old
+    * entry's physical column leak into the new logical column, so DDL
+    * refuses it). */
+  final case class ColumnAliases(chains: Map[String, List[String]],
+                                 retired: Set[String]) {
+    def isEmpty: Boolean = chains.isEmpty && retired.isEmpty
+    /** The physical name `logical` resolves to in an entry whose
+      * recorded fields are `entryFields` — the newest chain name the
+      * entry actually has; the logical name itself when none match
+      * (the column is simply absent there and serves null). */
+    def resolve(logical: String, entryFields: Set[String]): String =
+      (logical :: chains.getOrElse(logical, Nil))
+        .find(entryFields.contains).getOrElse(logical)
+  }
+
+  /** Replay the ops log into alias chains. */
+  def columnAliases(spark: SparkSession, root: String): ColumnAliases = {
+    var chains = Map.empty[String, List[String]]
+    var retired = Set.empty[String]
+    EpochManifest.columnOps(spark, root).foreach {
+      case EpochManifest.ColumnOp.Rename(a, b) =>
+        chains = chains - a + (b -> (a :: chains.getOrElse(a, Nil)))
+        retired += a
+      case EpochManifest.ColumnOp.Drop(c) =>
+        retired ++= (c :: chains.getOrElse(c, Nil))
+        chains -= c
+    }
+    ColumnAliases(chains, retired)
+  }
+
+  /** Apply the ops log to the MERGED physical record set: a rename
+    * whose old name still appears (pre-rename entries live) drops the
+    * old field — its data serves through the alias chain — and keeps
+    * (or creates) the new; a drop removes the field. Type agreement
+    * between both sides of a live rename is required (the alias read
+    * serves old files' values AS the new column). */
+  private[sources] def applyColumnOps(root: String, schema: StructType,
+      ops: Seq[EpochManifest.ColumnOp]): StructType =
+    ops.foldLeft(schema) { (s, op) =>
+      op match {
+        case EpochManifest.ColumnOp.Rename(a, b) =>
+          val fa = s.fields.find(_.name == a)
+          val fb = s.fields.find(_.name == b)
+          (fa, fb) match {
+            case (Some(f), None) =>
+              StructType(s.fields.map(x =>
+                if (x.name == a) f.copy(name = b) else x))
+            case (Some(f), Some(g)) =>
+              require(f.dataType == g.dataType,
+                s"rename $a -> $b on $root: pre-rename entries hold $a: " +
+                  s"${f.dataType}, post-rename $b: ${g.dataType} — type " +
+                  "evolution through rename is refused")
+              StructType(s.fields.filterNot(_.name == a))
+            case (None, _) => s
+          }
+        case EpochManifest.ColumnOp.Drop(c) =>
+          StructType(s.fields.filterNot(_.name == c))
+      }
+    }
 
   /** Merge per-entry recorded (schema, partitionColumn) pairs by NAME —
     * first-appearance field order, later-added columns nullable,
@@ -2135,7 +2354,7 @@ object EpochStore {
     require(parts0.size == 1,
       s"partitionColumn changed across epochs of $root: $parts0")
     val partCol = parts0.head
-    val merged = recs.map(_._2.get._1).reduceLeft { (a, b) =>
+    val mergedPhys = recs.map(_._2.get._1).reduceLeft { (a, b) =>
       val known = a.fields.map(f => f.name -> f).toMap
       b.fields.foreach(f => known.get(f.name).foreach(g =>
         require(g.dataType == f.dataType,
@@ -2144,6 +2363,22 @@ object EpochStore {
         b.fields.filterNot(f => known.contains(f.name))
           .map(_.copy(nullable = true)))
     }
+    // RENAME/DROP evolution: the fold lands under the CURRENT (logical)
+    // names — each covered entry projects its physical spellings to
+    // logical below, dropped columns' data folds away, and the fold's
+    // record needs no aliasing ever after (compaction is how a renamed
+    // store sheds its old spellings)
+    val colOps = EpochManifest.columnOps(spark, root)
+    val colAliases = columnAliases(spark, root)
+    val merged =
+      if (colOps.isEmpty) mergedPhys
+      else applyColumnOps(root, mergedPhys, colOps)
+    /** The logical column a PHYSICAL name serves (itself when never
+      * renamed). */
+    def logicalOf(phys: String): Option[String] =
+      if (colAliases.isEmpty) Some(phys).filter(merged.fieldNames.contains)
+      else merged.fieldNames.find(l =>
+        l == phys || colAliases.chains.getOrElse(l, Nil).contains(phys))
     // merge-on-read tombstones ([[EpochStoreDelta]]) fold PHYSICALLY:
     // covered rows whose key a strictly-later covered epoch tombstoned
     // are dropped here (an equality tombstone only ever reaches lower
@@ -2155,7 +2390,19 @@ object EpochStore {
       EpochStoreDelta.tombstoneFiles(fs, root, e.dir).nonEmpty)
     val folded0 = {
       val raw = recs.map { case (e, Some((s, _))) =>
-        val r = spark.read.schema(s).parquet(s"$root/${e.dir}")
+        val r0 = spark.read.schema(s).parquet(s"$root/${e.dir}")
+        // project this entry's physical spellings to the logical names
+        // (identity for never-renamed stores); retired-only columns
+        // fold away here
+        val r =
+          if (colAliases.isEmpty) r0
+          else {
+            val efs = s.fieldNames.toSet
+            r0.select(merged.fieldNames.toSeq.flatMap { l =>
+              val phys = colAliases.resolve(l, efs)
+              if (efs.contains(phys)) Some(col(phys).as(l)) else None
+            }: _*)
+          }
         if (deltaEntries.isEmpty) r
         else r.withColumn("__graft_e", lit(e.epoch))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2290,6 +2537,9 @@ object EpochStore {
       // 'S' — Spark's min/max compares UTF8String bytes, so the fold's
       // recorded bounds are exact under the new order
       .map { case (c, cs) => (c, if (cs.kind == 's') 'S' else cs.kind) }
+      // a stat column recorded under a pre-rename spelling re-derives
+      // on the LOGICAL column it now serves
+      .flatMap { case (c, k) => logicalOf(c).map(_ -> k) }
       ++ zKinds ++ sortKinds).distinct
       .filter { case (c, _) => merged.fieldNames.contains(c) }
     rederiveStats(spark, fs, root, foldDir, merged, statKinds)

@@ -238,8 +238,15 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     val recs = entries.map(e =>
       EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
     if (entries.nonEmpty && recs.forall(_.isDefined)) {
-      val (schema, partCol) =
+      val (schemaPhys, partCol) =
         EpochStore.mergeRecorded(root, recs.map(_.get))
+      // RENAME/DROP ops apply to EVERY snapshot (time travel included) —
+      // the table-level schema is current, the data is time-traveled,
+      // the Iceberg semantics
+      val colOps = EpochManifest.columnOps(spark, root)
+      val schema =
+        if (colOps.isEmpty) schemaPhys
+        else EpochStore.applyColumnOps(root, schemaPhys, colOps)
       // the hash-bucket layout is served only when EVERY pinned entry
       // records the same spec (a DML-rewritten or pre-bucket entry
       // degrades the table to an unbucketed scan — correct, unpruned)
@@ -263,6 +270,10 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     }
     // discover schema (+ the partition-dir column, from col=value
     // subdirs) off the first committed entry dir that holds files
+    require(entries.isEmpty || EpochManifest.columnOps(spark, root).isEmpty,
+      s"store $root has RENAME/DROP column ops but entries without " +
+        "_schema.json records — alias resolution needs the per-entry " +
+        "records; ALTER is refused on pre-evolution stores")
     def hasFiles(p: Path): Boolean =
       fs.exists(p) && fs.listStatus(p).exists(s =>
         (s.isFile && s.getLen > 0) ||
@@ -466,23 +477,102 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val root = rootOf(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"epochstore ALTER supports top-level columns only, got " +
-            a.fieldNames().mkString("."))
-        require(a.isNullable,
-          s"epochstore ALTER ADD COLUMNS must be nullable — files written " +
-            s"before ${a.fieldNames().head} existed serve it as null")
-        a
-      case other => throw new UnsupportedOperationException(
-        s"epochstore tables support only ALTER TABLE ADD COLUMNS " +
-          s"(nullable); got $other")
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + renames.size + drops.size == changes.size,
+      "epochstore tables support ALTER TABLE ADD COLUMNS (nullable), " +
+        s"RENAME COLUMN, and DROP COLUMN; got ${changes.mkString(", ")}")
+    require(adds.isEmpty || (renames.isEmpty && drops.isEmpty),
+      "mixing ADD with RENAME/DROP in one ALTER is not supported")
+
+    if (renames.nonEmpty || drops.nonEmpty) {
+      (renames ++ drops).foreach(c => require(c.fieldNames().length == 1,
+        s"epochstore ALTER supports top-level columns only, got " +
+          c.fieldNames().mkString(".")))
+      val ops = renames.map(r => EpochManifest.ColumnOp.Rename(
+        r.fieldNames().head, r.newName()): EpochManifest.ColumnOp) ++
+        drops.map(d => EpochManifest.ColumnOp.Drop(d.fieldNames().head))
+      // the guards re-run inside the CAS loop against the log the ops
+      // actually land on — two racing ALTERs are both validated
+      EpochManifest.appendColumnOps(spark, root, ops, cur => {
+        val (merged, partCol) = EpochStore.evolvedSchema(spark, root)
+        // evolvedSchema already applied `cur`; re-derive the retired set
+        var retired = Set.empty[String]
+        var chains = Map.empty[String, List[String]]
+        cur.foreach {
+          case EpochManifest.ColumnOp.Rename(a, b) =>
+            chains = chains - a + (b -> (a :: chains.getOrElse(a, Nil)))
+            retired += a
+          case EpochManifest.ColumnOp.Drop(c) =>
+            retired ++= (c :: chains.getOrElse(c, Nil)); retired += c
+            chains -= c
+        }
+        val partCols = EpochStore.splitPartCols(partCol).toSet
+        val bucketCols = EpochManifest.entries(spark, root)
+          .flatMap(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
+          .map(_.col).toSet
+        val rowIds = EpochStoreDelta.declared(spark, root)
+          .getOrElse(Nil).toSet
+        val bloomCol = BloomSpec.declared(spark, root).toSet
+        val constraints = EpochStoreConstraints.list(spark, root)
+        def guardSource(n: String): Unit = {
+          require(merged.fieldNames.contains(n),
+            s"no column $n on $root — columns: " +
+              merged.fieldNames.mkString(", "))
+          require(!partCols(n), s"column $n partitions $root's dir " +
+            "layout — partition columns cannot be renamed or dropped")
+          require(!bucketCols(n), s"column $n is $root's bucket column " +
+            "— bucket columns cannot be renamed or dropped")
+          require(!rowIds(n), s"column $n is $root's declared row " +
+            "identity — rowid columns cannot be renamed or dropped")
+          require(!bloomCol(n), s"column $n carries $root's bloom " +
+            "sidecars — drop them first")
+          constraints.foreach { case (cn, expr) =>
+            require(!s"\\b${java.util.regex.Pattern.quote(n)}\\b".r
+              .findFirstIn(expr).isDefined,
+              s"column $n is referenced by CHECK constraint $cn ($expr) " +
+                "— drop the constraint first")
+          }
+        }
+        renames.foreach { r =>
+          val (from, to) = (r.fieldNames().head, r.newName())
+          guardSource(from)
+          require(!merged.fieldNames.contains(to),
+            s"rename $from -> $to on $root: $to already exists")
+          require(!retired(to),
+            s"rename $from -> $to on $root: $to is a RETIRED name " +
+              "(an old entry may still hold it physically — reusing it " +
+              "would leak that entry's values into the new column)")
+        }
+        drops.foreach { d =>
+          guardSource(d.fieldNames().head)
+          require(merged.fields.length > 1,
+            s"cannot drop the last column of $root")
+        }
+      })
+      return loadTable(ident)
+    }
+
+    adds.foreach { a =>
+      require(a.fieldNames().length == 1,
+        s"epochstore ALTER supports top-level columns only, got " +
+          a.fieldNames().mkString("."))
+      require(a.isNullable,
+        s"epochstore ALTER ADD COLUMNS must be nullable — files written " +
+          s"before ${a.fieldNames().head} existed serve it as null")
     }
     val (schema, partCol) = EpochStore.evolvedSchema(spark, root)
     val partColsSeq = EpochStore.splitPartCols(partCol)
-    adds.foreach(a => require(!schema.fieldNames.contains(a.fieldNames().head),
-      s"column ${a.fieldNames().head} already exists"))
+    val retired = EpochStore.columnAliases(spark, root).retired
+    adds.foreach { a =>
+      val n = a.fieldNames().head
+      require(!schema.fieldNames.contains(n), s"column $n already exists")
+      require(!retired(n),
+        s"column name $n was renamed away or dropped on $root — an old " +
+          "entry may still hold it physically; re-adding it would leak " +
+          "that entry's values into the new column")
+    }
     val widened = StructType(schema.fields ++ adds.map(a =>
       org.apache.spark.sql.types.StructField(a.fieldNames().head,
         a.dataType(), nullable = true)))

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.EpochStore
+import graft.core.EpochManifest
+
+/** X85 — RENAME / DROP column evolution: the column-ops log
+  * (`_manifests/columns.v<N>.json`) maps entries' as-written (physical)
+  * names to the current (logical) schema. Old entries keep their files
+  * untouched and serve the renamed column through per-profile reader
+  * factories; dropped names (and renamed-away ones) can never be
+  * re-added; layout-critical columns refuse the DDL; compaction folds
+  * a renamed store back to single-profile. */
+class RenameDropSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_ren").toString
+
+  private def cat(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  test("RENAME COLUMN serves old entries' data under the new name, " +
+      "filters stay correct, INSERTs land under it, compaction folds " +
+      "the spellings away") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("renc", wh)
+    val root = s"$wh/docs"
+    EpochStore.write((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      root, 0L)
+    spark.sql("ALTER TABLE renc.docs RENAME COLUMN v TO val")
+
+    // logical schema speaks the new name; the old one is gone
+    val cols = spark.table("renc.docs").columns.toSeq
+    assert(cols == Seq("id", "val"), s"got $cols")
+    // old entries' values serve under the new name
+    assert(spark.sql("SELECT val FROM renc.docs WHERE id = 7")
+      .head.getString(0) == "v7")
+    // a residual filter on the renamed column stays correct over the
+    // pre-rename entry (the pushed filter translates per profile)
+    assert(spark.sql("SELECT count(*) FROM renc.docs WHERE val = 'v33'")
+      .head.getLong(0) == 1L)
+
+    // post-rename INSERT writes the new name; both profiles read in one
+    // query
+    spark.sql("INSERT INTO renc.docs VALUES (100, 'v100')")
+    assert(spark.sql("SELECT count(*) FROM renc.docs WHERE val LIKE 'v%'")
+      .head.getLong(0) == 51L)
+    assert(spark.sql(
+      "SELECT val FROM renc.docs WHERE id IN (7, 100) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("v7", "v100"))
+
+    // time travel serves the CURRENT names over the old snapshot
+    val gens = EpochManifest.generations(spark, root)
+    val tt = spark.sql(
+      s"SELECT * FROM renc.docs VERSION AS OF ${gens.head}")
+    assert(tt.columns.toSeq == Seq("id", "val") && tt.count() == 50)
+
+    // compaction rewrites to the logical spelling: the fold's record
+    // has no alias left and the data still reads
+    EpochStore.compactStore(spark, root, parts = 2)
+    assert(spark.sql("SELECT count(*) FROM renc.docs WHERE val = 'v100'")
+      .head.getLong(0) == 1L)
+    val foldRecs = EpochManifest.entries(spark, root).map { e =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, e.dir, "_schema.json")), "UTF-8")
+    }
+    assert(foldRecs.forall(b => b.contains("\"val\"") && !b.contains("\"v\"")),
+      s"fold must record the logical spelling only:\n${foldRecs.mkString}")
+  }
+
+  test("DROP COLUMN removes the column; dropped and renamed-away names " +
+      "refuse re-ADD; layout columns refuse the DDL") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("rend", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 20).map(i => (i.toLong, s"v$i", i * 2.0))
+      .toDF("id", "v", "score"), root, 0L, partitionColumn = null)
+    spark.sql("ALTER TABLE rend.t DROP COLUMN score")
+    assert(spark.table("rend.t").columns.toSeq == Seq("id", "v"))
+    assert(spark.sql("SELECT sum(id) FROM rend.t").head.getLong(0) == 190L)
+    // re-adding the dropped name refuses (an old entry still holds it)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE rend.t ADD COLUMNS (score DOUBLE)") }
+    assert(e1.getMessage.contains("renamed away or dropped"))
+    // renamed-away names refuse re-add and re-use
+    spark.sql("ALTER TABLE rend.t RENAME COLUMN v TO w")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE rend.t ADD COLUMNS (v STRING)") }
+    assert(e2.getMessage.contains("renamed away or dropped"))
+    spark.sql("ALTER TABLE rend.t RENAME COLUMN w TO u")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE rend.t RENAME COLUMN u TO v") }
+    assert(e3.getMessage.contains("RETIRED"))
+    // the twice-renamed chain still serves the original data
+    assert(spark.sql("SELECT u FROM rend.t WHERE id = 3")
+      .head.getString(0) == "v3")
+
+    // partition and bucket columns refuse
+    val proot = s"$wh/p"
+    EpochStore.write((0 until 9).map(i => (i.toLong, s"L${i % 3}"))
+      .toDF("id", "lang"), proot, 0L, partitionColumn = "lang")
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE rend.p RENAME COLUMN lang TO language") }
+    assert(e4.getMessage.contains("partition"))
+    val broot = s"$wh/b"
+    EpochStore.writeBucketed((0 until 16).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), broot, 0L, bucketColumn = "id", bucketCount = 4)
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE rend.b DROP COLUMN id") }
+    assert(e5.getMessage.contains("bucket"))
+  }
+
+  test("DELETE and UPDATE stay correct on a renamed store (row-level " +
+      "rewrite route); filtered INSERT OVERWRITE refuses") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("renu", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 30).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    spark.sql("ALTER TABLE renu.t RENAME COLUMN v TO val")
+    spark.sql("DELETE FROM renu.t WHERE val = 'v5'")
+    assert(spark.sql("SELECT count(*) FROM renu.t").head.getLong(0) == 29L)
+    spark.sql("UPDATE renu.t SET val = 'updated' WHERE id = 6")
+    assert(spark.sql("SELECT val FROM renu.t WHERE id = 6")
+      .head.getString(0) == "updated")
+    assert(spark.sql("SELECT count(*) FROM renu.t").head.getLong(0) == 29L)
+    // the filtered replaced-set resolution (static filtered INSERT
+    // OVERWRITE / metadata DELETE) refuses on rename history — its
+    // per-entry binding speaks physical names
+    val e = intercept[Exception] {
+      graft.sources.EpochStoreDml.resolveDelete(spark, root,
+        Array(org.apache.spark.sql.sources.EqualTo("val", "v9")))
+    }
+    assert(e.getMessage.contains("RENAME COLUMN"))
+  }
+
+  test("q_store_rename matches the raw-table recomputation of its oracle") {
+    val got = graft.queries.MiscCatalog.storeRename(spark, sf0001)
+      .collect().toSeq.map(_.toSeq)
+    val want = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("lang").isNotNull)
+      .filter(col("n_chars").cast("long") > 300)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("chars"))
+      .orderBy("lang").collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty && got == want, s"got=$got\nwant=$want")
+  }
+}
