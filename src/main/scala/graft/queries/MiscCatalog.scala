@@ -1750,6 +1750,52 @@ object MiscCatalog {
       |WHERE lang IS NOT NULL AND CAST(n_chars AS BIGINT) > 300
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Column DEFAULT values (`q_store_default`, X86): half the corpus
+    * lands WITHOUT the `boost` column, `ALTER TABLE ADD COLUMNS (boost
+    * BIGINT DEFAULT 5)` records the default as one metadata commit, and
+    * the other half inserts explicit values. The aggregate mixes both:
+    * pre-ADD files serve the EXISTENCE default straight from the
+    * parquet readers (never null, zero rewrite), post-ADD rows their
+    * written values. DuckDB recomputes with an explicit CASE on the
+    * halves, so a default served as null, applied to the wrong rows,
+    * or leaking over explicit values fails cell-exact.
+    *
+    * Scale shape: Iceberg/Delta's initial-default — backfilling a new
+    * column on a 100 TB store is one sidecar commit, not a rewrite. */
+  def storeDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_def_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L)
+    val s2 = spark.newSession()
+    val c = s"graftdef$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(s"ALTER TABLE $c.docs ADD COLUMNS (boost BIGINT DEFAULT 5)")
+    // epoch 2: the ALTER committed its schema-record epoch at 1 (an
+    // explicit epoch-1 write would REPLACE it — epoch replacement is
+    // the retry-idempotence contract)
+    graft.sources.EpochStore.write(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("boost", (col("doc_id") % 7).cast("long")),
+      root, 2L)
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(boost) AS boost_sum
+         |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeDefaultSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE doc_id % 7 END)
+      |    AS BIGINT) AS boost_sum
+      |FROM documents WHERE lang IS NOT NULL
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Write-audit-publish branches (`q_store_wap`): half the corpus
     * lands as the base store, the other half is written onto a BRANCH
     * (`CALL create_branch` + the sink's `branch` option — a separate
@@ -2095,6 +2141,7 @@ object MiscCatalog {
     "q_store_sorted"  -> (storeSorted _),
     "q_store_meta"    -> (storeMeta _),
     "q_store_rename"  -> (storeRename _),
+    "q_store_default" -> (storeDefault _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -2151,6 +2198,7 @@ object MiscCatalog {
     "q_store_sorted"  -> storeSortedSql,
     "q_store_meta"    -> storeMetaSql,
     "q_store_rename"  -> storeRenameSql,
+    "q_store_default" -> storeDefaultSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

@@ -585,7 +585,14 @@ final case class EpochStoreScan(
   private val readDataSchema: StructType =
     StructType(required.filterNot(f =>
       partCols.contains(f.name) || f.name == EpochStore.EpochColName ||
-        f.name == EpochStore.ChangeColName))
+        f.name == EpochStore.ChangeColName)
+      // re-attach the TABLE's field metadata (EXISTS_DEFAULT et al.) —
+      // column pruning may hand back bare fields, and the parquet
+      // readers fill missing columns from the requested schema's
+      // existence defaults (X86)
+      .map(f => fullSchema.fields.find(_.name == f.name)
+        .filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
+        .map(g => f.copy(metadata = g.metadata)).getOrElse(f)))
   private val readPartSchema: StructType =
     StructType(partFields.filter(f => required.fieldNames.contains(f.name)))
   /** Positions (within the partition-value tuple) of the REQUESTED

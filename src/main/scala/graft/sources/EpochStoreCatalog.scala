@@ -98,6 +98,20 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catName
 
+  /** DEFAULT values on columns (X86): `CREATE TABLE (… c INT DEFAULT 7)`
+    * and `ALTER TABLE ADD COLUMNS (c INT DEFAULT 7)` — the default
+    * rides as the standard CURRENT_DEFAULT / EXISTS_DEFAULT field
+    * metadata inside the recorded `_schema.json`, so INSERTs fill it
+    * (Spark's own default resolution reads the table schema) and files
+    * written BEFORE the column existed serve the EXISTENCE default
+    * instead of null (Spark's parquet readers fill missing requested
+    * columns from that metadata — zero rewrite, vectorized). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def spark = SparkSession.active
 
   private def fs = new Path(warehouse).getFileSystem(
@@ -573,14 +587,37 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
           "entry may still hold it physically; re-adding it would leak " +
           "that entry's values into the new column")
     }
-    val widened = StructType(schema.fields ++ adds.map(a =>
+    val widened = StructType(schema.fields ++ adds.map { a =>
+      // a DEFAULT rides as the standard field metadata: CURRENT_DEFAULT
+      // fills future INSERTs, EXISTS_DEFAULT (the constant-folded form,
+      // validated foldable here) fills the column for every file written
+      // before it existed — the readers consume it, no data rewrite
+      val meta = Option(a.defaultValue()) match {
+        case Some(d) =>
+          val sql = d.getSql
+          require(sql != null && sql.nonEmpty,
+            s"DEFAULT for ${a.fieldNames().head} has no SQL form")
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql)
+            .build()
+        case None => org.apache.spark.sql.types.Metadata.empty
+      }
       org.apache.spark.sql.types.StructField(a.fieldNames().head,
-        a.dataType(), nullable = true)))
+        a.dataType(), nullable = true, metadata = meta)
+    })
+    // constant-fold EXISTS_DEFAULT (and refuse a non-foldable DEFAULT):
+    // the existence default must be a fixed literal — it is what every
+    // pre-existing file serves forever, not re-evaluated per read
+    val widenedFolded = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.constantFoldCurrentDefaultsToExistDefaults(
+        widened, "ALTER TABLE ADD COLUMNS")
     val epoch = EpochManifest.entries(spark, root)
       .map(_.epoch).maxOption.getOrElse(-1L) + 1L
     val dir = EpochManifest.newDataDir(spark, root, epoch)
     fs.mkdirs(new Path(s"$root/$dir"))
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, widened, partColsSeq)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, widenedFolded,
+      partColsSeq)
     EpochManifest.commitEpochDir(spark, root, epoch, dir)
     loadTable(ident)
   }
