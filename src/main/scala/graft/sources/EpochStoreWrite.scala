@@ -201,13 +201,35 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
         NullOrdering.NULLS_FIRST)
 
+    /** `clusterByBucket=true` (bucket layouts, CATALOG-routed writes
+      * only): cluster the job on the bucket TRANSFORM itself, so each
+      * bucket's rows land in one task — ≤ n files per write instead of
+      * tasks × n, the 1000-executor small-files control (Iceberg's
+      * hash distribution mode). Resolution of `bucket(n, col)` needs
+      * the FunctionCatalog face, which only catalog-routed writes
+      * carry — a path-based write with this option fails loudly at
+      * planning rather than landing an unclustered layout silently. */
+    private val clusterByBucket: Boolean =
+      java.lang.Boolean.parseBoolean(
+        String.valueOf(info.options().get("clusterByBucket"))) && {
+        require(bucketOf2().nonEmpty,
+          "clusterByBucket=true needs a bucketColumn/bucketCount layout")
+        true
+      }
+    private def bucketExpr =
+      Expressions.bucket(bucketOf2().get.n, bucketOf2().get.col)
+
     /** Clustered by the partition column when asked (or when sorting —
       * a sorted file per dir needs the dir's rows together); globally
       * RANGE-ordered on the sort columns for unpartitioned sorted
       * stores; no requirement otherwise (existing writes keep their
       * plans — the distribution is opt-in). */
     override def requiredDistribution(): Distribution =
-      if (clustered)
+      if (clusterByBucket)
+        Distributions.clustered(
+          (partCols.map(c => Expressions.identity(c)) :+ bucketExpr)
+            .toArray[org.apache.spark.sql.connector.expressions.Expression])
+      else if (clustered)
         Distributions.clustered(
           partCols.map(c => Expressions.identity(c))
             .toArray[org.apache.spark.sql.connector.expressions.Expression])
@@ -215,7 +237,13 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       else Distributions.unspecified()
 
     override def requiredOrdering(): Array[SortOrder] =
-      ((if (clustered) partCols else Nil) ++ sortCols).map(asc).toArray
+      if (clusterByBucket)
+        // bucket-major so each task's (single) bucket writes one
+        // contiguous, internally sorted file
+        (Expressions.sort(bucketExpr, SortDirection.ASCENDING,
+          NullOrdering.NULLS_FIRST) +:
+          (partCols ++ sortCols).map(asc)).toArray
+      else ((if (clustered) partCols else Nil) ++ sortCols).map(asc).toArray
 
     /** `writePartitions` pins the task count of a distributed write —
       * with an ordered distribution that is the FILE count (file-size
@@ -260,7 +288,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def toStreaming: StreamingWrite = {
       val opts = info.options()
       new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
-        info.schema(), partColsOf(), bloomOf(), statsOf(), sortCols)
+        info.schema(), partColsOf(), bloomOf(), statsOf(), sortCols,
+        bucketOf2())
     }
   }
 }
@@ -468,7 +497,9 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
                                      partCols: Seq[String],
                                      bloom: Option[BloomSpec] = None,
                                      statsCols: Seq[(String, Char)] = Nil,
-                                     sortCols: Seq[String] = Nil)
+                                     sortCols: Seq[String] = Nil,
+                                     bucketSpec: Option[EpochStore.StoreBucket] =
+                                       None)
     extends StreamingWrite {
 
   private def stagingDir(epochId: Long) = s"$root/.w$queryId-e$epochId"
@@ -489,7 +520,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     bloom.foreach(b => BloomSpec.publish(spark, root, b.col))
     new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCols,
       EpochStoreBatchWrite.primedConf(spark, schema, partCols), bloom,
-      statsCols)
+      statsCols, bucketSpec)
   }
 
   override def commit(epochId: Long,
@@ -515,7 +546,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols,
-      sortCols = sortCols)
+      bucketSpec, sortCols)
     EpochManifest.commitEpochDir(spark, root, epochId, dir)
   }
 
@@ -720,12 +751,13 @@ final class EpochStoreStreamingWriterFactory(
     stageRoot: String, schema: StructType, partCols: Seq[String],
     bc: Broadcast[SerializableConfiguration],
     bloom: Option[BloomSpec] = None,
-    statsCols: Seq[(String, Char)] = Nil)
+    statsCols: Seq[(String, Char)] = Nil,
+    bucketSpec: Option[EpochStore.StoreBucket] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new EpochStoreDataWriter(s"$stageRoot-e$epochId", schema, partCols,
-      bc, partitionId, taskId, bloom, statsCols)
+      bc, partitionId, taskId, bloom, statsCols, bucketSpec)
 }
 
 object EpochStoreBatchWrite {

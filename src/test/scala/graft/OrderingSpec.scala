@@ -159,6 +159,90 @@ class OrderingSpec extends SparkSpec {
     assert(df.count() == 200)
   }
 
+  test("streaming sink lands BUCKETED (and sorted) epochs: bucket dirs, " +
+      "probe pruning, and the tail layout survive each trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp() + "/store"
+    val cp = tmp() + "/cp"
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v")
+      .writeStream.format("epochstore")
+      .option("path", root)
+      .option("bucketColumn", "id").option("bucketCount", "4")
+      .option("statsColumns", "id").option("sortColumns", "id")
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      (0 until 2).foreach { b =>
+        in.addData((0 until 40).map(i => ((b * 40 + i).toLong, s"v$b-$i")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // every streamed epoch landed the bucket layout
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    graft.core.EpochManifest.entries(spark, root).foreach { e =>
+      val buckets = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/${e.dir}")).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("id_bucket="))
+      assert(buckets.nonEmpty, s"epoch ${e.dir} must land bucket dirs")
+    }
+    // a point probe opens 1-of-4 buckets; rows stay exact
+    val df = graft.sources.EpochStore.readBucketed(spark, root, schema,
+      "id", 4)
+    assert(df.count() == 80)
+    val probe = df.filter($"id" === 7L)
+    assert(probe.count() == 1)
+    val sc = scanOf(probe)
+    val (sel, tot) = sc.selectedPartitionDirs
+    assert(sel * 4 <= tot && tot == 8,
+      s"probe must open 1 bucket per epoch: $sel/$tot")
+    // disjoint-epoch sorted buckets report their order
+    assert(scanOf(df).outputOrdering().nonEmpty,
+      "streamed sorted disjoint epochs must report the order")
+  }
+
+  test("clusterByBucket: a catalog-routed bucketed write lands at most " +
+      "one file per bucket regardless of input partitioning") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("ordcb", wh)
+    val root = s"$wh/t"
+    // seed the layout, then append a deliberately 8-way-shuffled batch
+    EpochStore.writeBucketed((0 until 4).map(i => (i.toLong, s"s$i"))
+      .toDF("id", "v"), root, 0L, bucketColumn = "id", bucketCount = 4,
+      statsColumns = Seq("id"), sortColumns = Seq("id"))
+    (4 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8)
+      .writeTo("ordcb.t")
+      .option("clusterByBucket", "true")
+      .option("sortColumns", "id").option("statsColumns", "id")
+      .append()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val newest = graft.core.EpochManifest.entries(spark, root)
+      .maxBy(_.epoch)
+    val filesPerBucket = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${newest.dir}")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("id_bucket="))
+      .map(d => d.getPath.getName ->
+        fs.listStatus(d.getPath).count(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet")))
+    assert(filesPerBucket.size == 4 && filesPerBucket.forall(_._2 == 1),
+      s"bucket-clustered write must land one file per bucket: " +
+        s"$filesPerBucket")
+    // rows exact through the layout
+    assert(spark.table("ordcb.t").count() == 400)
+  }
+
   test("q_store_sorted matches the raw-table recomputation of its oracle") {
     val res = graft.queries.MiscCatalog.storeSorted(spark, sf0001)
     val got = res.collect().toSeq.map(_.toSeq)
