@@ -921,12 +921,76 @@ final case class EpochStoreScan(
           .get(EpochStore.relOf(fs, root, lf))
       } yield a + st.rows
     }
+    // COLUMN-LEVEL statistics for the cost-based optimizer (X88): fold
+    // the pruned file set's recorded per-file min/max/null counts into
+    // one v2 ColumnStatistics per requested numeric data column — what
+    // Spark's transformV2Stats turns into attributeStats for CBO join
+    // sizing and filter selectivity. A column any planned file lacks
+    // stats for (or a string/legacy kind — representation mismatch)
+    // reports nothing; values are folded with the same comparison the
+    // skip tiers prove exactness under, so the bounds are never wrong,
+    // only absent. Alias chains resolve renamed columns per entry.
+    val colStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      new java.util.HashMap()
+    if (files.nonEmpty) readDataSchema.fields.foreach { f =>
+      import org.apache.spark.sql.types._
+      val widen: Option[Any => Any] = f.dataType match {
+        case ByteType => Some(v => v.asInstanceOf[Long].toByte)
+        case ShortType => Some(v => v.asInstanceOf[Long].toShort)
+        case IntegerType => Some(v => v.asInstanceOf[Long].toInt)
+        case LongType => Some(identity)
+        case FloatType => Some(v => v.asInstanceOf[Double].toFloat)
+        case DoubleType => Some(identity)
+        case _ => None
+      }
+      if (widen.nonEmpty) {
+        val perFile = files.map { lf =>
+          se.getOrElse(lf.entryDir, Map.empty)
+            .get(EpochStore.relOf(fs, root, lf))
+            .flatMap(_.cols.get(aliases.resolve(f.name,
+              entryFieldsByDir.getOrElse(lf.entryDir, Set.empty))))
+            .filter(cs => cs.kind == 'l' || cs.kind == 'd')
+        }
+        if (perFile.forall(_.isDefined)) {
+          val cs = perFile.flatten
+          val nulls = cs.map(_.nulls).sum
+          val mins = cs.flatMap(_.min)
+          val maxs = cs.flatMap(_.max)
+          val lo = mins.reduceOption((a, b) =>
+            if (EpochStoreStats.cmp(a, b).exists(_ <= 0)) a else b)
+          val hi = maxs.reduceOption((a, b) =>
+            if (EpochStoreStats.cmp(a, b).exists(_ >= 0)) a else b)
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nulls)
+              override def min(): java.util.Optional[Object] =
+                lo.map(v => widen.get(v).asInstanceOf[Object])
+                  .map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                hi.map(v => widen.get(v).asInstanceOf[Object])
+                  .map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+        }
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

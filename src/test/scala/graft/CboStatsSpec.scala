@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import graft.sources.EpochStore
+
+/** X88 — column-level statistics for CBO: the scan folds the pruned
+  * file set's per-file sidecar min/max/null counts into v2
+  * ColumnStatistics, which Spark's transformV2Stats turns into
+  * attributeStats. Bounds must be exact over the PRUNED set, absent
+  * (never wrong) when any planned file lacks them. */
+class CboStatsSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_cbo").toString
+
+  test("attributeStats carry exact folded min/max/nullCount; narrowing " +
+      "the scan narrows the bounds; a stats-less store reports none") {
+    import spark.implicits._
+    val root = tmp()
+    def df0(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, if (i % 10 == 0) None else Some(i * 2.0), s"v$i"))
+      .toDF("id", "score", "v")
+    EpochStore.write(df0(0, 100), root, 0L,
+      statsColumns = Seq("id", "score"))
+    EpochStore.write(df0(100, 200), root, 1L,
+      statsColumns = Seq("id", "score"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+    val st = statsOf(EpochStore.read(spark, root, schema))
+    assert(st.rowCount.contains(BigInt(200)))
+    val attrs = st.attributeStats.toSeq.map { case (a, cs) => a.name -> cs }
+      .toMap
+    assert(attrs.contains("id") && attrs.contains("score"),
+      s"numeric stats columns must report: ${attrs.keys}")
+    assert(attrs("id").min.contains(0L) && attrs("id").max.contains(199L))
+    assert(attrs("id").nullCount.contains(BigInt(0)))
+    assert(attrs("score").nullCount.contains(BigInt(20)))
+    assert(attrs("score").min.contains(2.0) &&
+      attrs("score").max.contains(398.0))
+    // v is a string column — no representation-safe bounds
+    assert(!attrs.contains("v"))
+
+    // a stats-range-narrowed scan reports the SURVIVING files' bounds
+    val narrowed = statsOf(EpochStore.read(spark, root, schema)
+      .filter(org.apache.spark.sql.functions.col("id") >= 100L))
+    val nid = narrowed.attributeStats.toSeq
+      .collectFirst { case (a, cs) if a.name == "id" => cs }.get
+    assert(nid.min.contains(100L) && nid.max.contains(199L),
+      s"pruned scan must fold pruned bounds: ${nid.min} .. ${nid.max}")
+
+    // no statsColumns -> no column stats, row counts still exact
+    val root2 = tmp()
+    EpochStore.write(df0(0, 50), root2, 0L)
+    val st2 = statsOf(EpochStore.read(spark, root2, schema))
+    assert(st2.attributeStats.isEmpty && st2.rowCount.contains(BigInt(50)))
+  }
+}
