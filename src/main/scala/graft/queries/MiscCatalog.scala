@@ -1796,6 +1796,52 @@ object MiscCatalog {
       |FROM documents WHERE lang IS NOT NULL
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Layout migration (`q_store_migrate`, X89): the corpus lands
+    * lang-PARTITIONED across two epochs, then `CALL migrate_layout`
+    * rewrites the whole store into a sorted `bucket(8, doc_id)` layout
+    * as ONE OCC fold — partition-spec evolution the honest-rewrite way
+    * (mixed layouts cannot share a snapshot when partition values are
+    * served as dir constants; the old layout stays time-travelable one
+    * gc cycle). The aggregate reads the migrated store — lang now a
+    * FILE column, doc_id bucket dirs serving probes/SPJ — and DuckDB
+    * recomputes from the raw table, so a row lost or duplicated by the
+    * rewrite, or a lang value mangled crossing from dir-constant to
+    * file column, fails cell-exact. MigrateLayoutSpec gates the
+    * 1-of-8 probe, the order report, stats survival, the time-traveled
+    * old layout, and the live-tombstone refusal. */
+  def storeMigrate(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_mig_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L, partitionColumn = "lang")
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+      root, 1L, partitionColumn = "lang")
+    val s2 = spark.newSession()
+    val c = s"graftmig$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(s"CALL $c.system.migrate_layout('docs', " +
+      "bucket_column => 'doc_id', bucket_count => 8, " +
+      "sort_columns => 'doc_id')").collect()
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MIN(doc_id) AS min_id
+         |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeMigrateSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id
+      |FROM documents WHERE lang IS NOT NULL
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Write-audit-publish branches (`q_store_wap`): half the corpus
     * lands as the base store, the other half is written onto a BRANCH
     * (`CALL create_branch` + the sink's `branch` option — a separate
@@ -2142,6 +2188,7 @@ object MiscCatalog {
     "q_store_meta"    -> (storeMeta _),
     "q_store_rename"  -> (storeRename _),
     "q_store_default" -> (storeDefault _),
+    "q_store_migrate" -> (storeMigrate _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -2199,6 +2246,7 @@ object MiscCatalog {
     "q_store_meta"    -> storeMetaSql,
     "q_store_rename"  -> storeRenameSql,
     "q_store_default" -> storeDefaultSql,
+    "q_store_migrate" -> storeMigrateSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

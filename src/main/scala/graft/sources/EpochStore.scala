@@ -2311,6 +2311,103 @@ object EpochStore {
     foldCovered(spark, root, es, covered, sortColumns, parts, zorderColumns)
   }
 
+  /** LAYOUT MIGRATION (X89) — partition-spec evolution the honest-
+    * rewrite way: fold the WHOLE store into one entry laid out under a
+    * NEW spec (identity partition columns, hash buckets, sort order —
+    * any combination the writers support), committed as ONE OCC fold.
+    * Iceberg evolves specs metadata-only by letting old files keep the
+    * old layout; this engine's scan serves partition values as per-dir
+    * constants, so mixed layouts cannot share a snapshot — the
+    * migration rewrites instead, the previous layout stays readable via
+    * time travel until gc, and every skipping/SPJ/probe tier
+    * immediately serves the new layout. A racing commit refuses loudly
+    * (the fold resolves against the pinned snapshot). */
+  def migrateLayout(spark: SparkSession, root: String,
+                    partitionColumns: Seq[String] = Nil,
+                    bucketColumn: String = null, bucketCount: Int = 0,
+                    sortColumns: Seq[String] = Nil,
+                    parts: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val es = EpochManifest.entries(spark, root)
+    require(es.nonEmpty, s"no committed manifest under $root")
+    // live merge-on-read tombstones: the fold would strand them (rows
+    // below would resurrect) — CALL compact applies them first
+    EpochStoreWrite.guardNoLiveTombstones(spark, root, "migrate_layout")
+    require((bucketColumn == null) == (bucketCount <= 0),
+      "bucketColumn and bucketCount come together")
+    val (schema, _) = evolvedSchema(spark, root)
+    (partitionColumns ++ Option(bucketColumn) ++ sortColumns).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"migrate_layout on $root: column $c is not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    val df = readEvolved(spark, root)
+      .select(schema.fieldNames.map(col): _*)
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val maxCov = es.map(_.epoch).max
+    val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
+    val bucket = Option(bucketColumn).map(c => StoreBucket(c, bucketCount))
+    bucket match {
+      case Some(b) =>
+        val bcol = s"${b.col}_bucket"
+        require(!schema.fieldNames.contains(bcol),
+          s"migrate_layout: schema already has a '$bcol' column — it " +
+            "collides with the bucket layout's dir encoding")
+        val levels = partitionColumns :+ bcol
+        val perBucket = df
+          .withColumn(bcol, pmod(hash(col(b.col)), lit(b.n)))
+          .repartitionByRange(b.n, col(bcol))
+        (if (sortColumns.isEmpty) perBucket
+         else perBucket.sortWithinPartitions(
+           (levels ++ sortColumns).map(col): _*))
+          .write.mode("overwrite").partitionBy(levels: _*)
+          .parquet(s"$root/$foldDir")
+      case None =>
+        val shaped =
+          if (sortColumns.nonEmpty)
+            df.repartitionByRange(parts, sortColumns.map(col): _*)
+              .sortWithinPartitions(sortColumns.map(col): _*)
+          else if (partitionColumns.nonEmpty) df
+          else df.coalesce(parts)
+        val w = shaped.write.mode("overwrite")
+        (if (partitionColumns.isEmpty) w
+         else w.partitionBy(partitionColumns: _*))
+          .parquet(s"$root/$foldDir")
+    }
+    EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, schema,
+      partitionColumns, bucket, sortColumns)
+    // keep skipping alive: every stat kind history declared that still
+    // names a schema column, plus bounds on the new sort columns
+    val aliasesNow = columnAliases(spark, root)
+    def logicalOf(phys: String): Option[String] =
+      if (aliasesNow.isEmpty) Some(phys).filter(schema.fieldNames.contains)
+      else schema.fieldNames.find(l =>
+        l == phys || aliasesNow.chains.getOrElse(l, Nil).contains(phys))
+    val sortKinds: Seq[(String, Char)] = sortColumns.flatMap { c =>
+      schema.fields.find(_.name == c).map(_.dataType).flatMap {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => Some(c -> 'l')
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => Some(c -> 'd')
+        case org.apache.spark.sql.types.StringType => Some(c -> 'S')
+        case _ => None
+      }
+    }
+    val statKinds = (es
+      .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
+        .flatMap(_.cols.toSeq))
+      .map { case (c, cs) => (c, if (cs.kind == 's') 'S' else cs.kind) }
+      .flatMap { case (c, k) => logicalOf(c).map(_ -> k) }
+      ++ sortKinds).distinct
+      .filterNot { case (c, _) => partitionColumns.contains(c) }
+    rederiveStats(spark, fs, root, foldDir, schema, statKinds)
+    EpochManifest.commitIfUnchanged(spark, root, es,
+      Seq(EpochManifest.Entry(maxCov, foldDir,
+        lo = es.map(_.minEpoch).min)))
+    EpochManifest.gc(spark, root)
+  }
+
   /** SELECTIVE small-file maintenance — Iceberg's `rewrite_data_files`
     * shape on the manifest store: bin-pack runs of SMALL entries (total
     * bytes below `targetBytes`, read from the file-level index — zero

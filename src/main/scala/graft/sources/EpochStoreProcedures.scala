@@ -31,7 +31,8 @@ import graft.core.EpochManifest
 private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
-    Seq("snapshots", "partitions", "compact", "rewrite_data_files", "gc",
+    Seq("snapshots", "partitions", "compact", "rewrite_data_files",
+      "migrate_layout", "gc",
       "expire_snapshots",
       "purge_deletes", "tag", "untag", "tags", "add_constraint",
       "drop_constraint", "constraints", "create_branch", "publish_branch",
@@ -132,6 +133,46 @@ private[sources] object EpochStoreProcedures {
             StructField("entries_after", IntegerType, nullable = false))),
             Array(row(runs, before,
               EpochManifest.entries(spark, root).size)))
+        }
+      }
+
+      case "migrate_layout" => new Proc("migrate_layout", Array(
+        tableParam,
+        ProcedureParameter.in("partition_columns", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("comma-separated identity partition columns for the " +
+            "NEW layout (empty/null = unpartitioned)").build(),
+        ProcedureParameter.in("bucket_column", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("hash-bucket column for the new layout").build(),
+        ProcedureParameter.in("bucket_count", IntegerType)
+          .defaultValue("0").build(),
+        ProcedureParameter.in("sort_columns", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("within-file sort order for the new layout").build(),
+        ProcedureParameter.in("parts", IntegerType)
+          .defaultValue("8").build())) {
+        override def description(): String =
+          "partition-spec evolution by rewrite: fold the whole store " +
+            "into ONE entry under a new identity/bucket/sort layout " +
+            "(one atomic commit; the old layout stays time-travelable " +
+            "one gc cycle)"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          def csv(i: Int): Seq[String] = Option(str(input, i)).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          val before = EpochManifest.entries(spark, root).size
+          EpochStore.migrateLayout(spark, root,
+            partitionColumns = csv(1),
+            bucketColumn = Option(str(input, 2)).map(_.trim)
+              .filter(_.nonEmpty).orNull,
+            bucketCount = input.getInt(3),
+            sortColumns = csv(4),
+            parts = input.getInt(5))
+          result(StructType(Seq(
+            StructField("entries_before", IntegerType, nullable = false),
+            StructField("entries_after", IntegerType, nullable = false))),
+            Array(row(before, EpochManifest.entries(spark, root).size)))
         }
       }
 

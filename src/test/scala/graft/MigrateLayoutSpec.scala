@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import graft.sources.{EpochStore, EpochStoreScan}
+import graft.core.EpochManifest
+
+/** X89 — `CALL migrate_layout`: partition-spec evolution by rewrite.
+  * The whole store folds into one entry under a NEW identity/bucket/
+  * sort layout in one atomic commit; answers are unchanged, the new
+  * layout's pruning tiers serve immediately, the OLD layout stays
+  * time-travelable one gc cycle, and racing commits refuse. */
+class MigrateLayoutSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_mig").toString
+
+  private def cat(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): EpochStoreScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collect { case s: EpochStoreScan => s }.head
+
+  test("lang-partitioned store migrates to a sorted bucket layout: " +
+      "answers unchanged, bucket probe prunes, old layout time-travels") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("migc", wh)
+    val root = s"$wh/docs"
+    val rows = (0 until 120).map(i =>
+      (i.toLong, s"v$i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de"
+      else "fr"))
+    EpochStore.write(rows.take(60).toDF("id", "v", "lang"), root, 0L,
+      partitionColumn = "lang")
+    EpochStore.write(rows.drop(60).toDF("id", "v", "lang"), root, 1L,
+      partitionColumn = "lang")
+    val gOld = EpochManifest.generations(spark, root).last
+
+    spark.sql("CALL migc.system.migrate_layout('docs', " +
+      "bucket_column => 'id', bucket_count => 8, sort_columns => 'id')")
+      .collect()
+
+    // answers unchanged; lang now a FILE column (still filterable)
+    val t = spark.table("migc.docs")
+    assert(t.count() == 120)
+    assert(t.filter($"lang" === "en").count() == 40)
+    // the new layout's bucket probe opens 1-of-8 dirs
+    val probe = t.filter($"id" === 17L)
+    assert(probe.count() == 1)
+    assert(scanOf(probe).selectedPartitionDirs == (1, 8),
+      s"probe must open one bucket: ${scanOf(probe).selectedPartitionDirs}")
+    // sorted single-entry layout reports its order
+    assert(scanOf(t).outputOrdering().nonEmpty)
+    // the old lang-partitioned layout stays time-travelable
+    val old = spark.sql(s"SELECT * FROM migc.docs VERSION AS OF $gOld")
+    assert(old.count() == 120)
+    assert(scanOf(old.filter($"lang" === "en"))
+      .selectedPartitionDirs == (2, 6),
+      "the pre-migration snapshot must keep its lang-dir pruning")
+  }
+
+  test("bucket store migrates back to identity partitioning; stats " +
+      "survive the rewrite; live MoR tombstones refuse") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("migd", wh)
+    val root = s"$wh/t"
+    EpochStore.writeBucketed((0 until 80).map(i =>
+      (i.toLong, s"L${i % 4}")).toDF("id", "grp"), root, 0L,
+      bucketColumn = "id", bucketCount = 4, statsColumns = Seq("id"))
+    EpochStore.migrateLayout(spark, root, partitionColumns = Seq("grp"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType)))
+    val df = EpochStore.read(spark, root, schema, "grp")
+    assert(df.count() == 80)
+    val pruned = df.filter(col("grp") === "L2")
+    assert(pruned.count() == 20)
+    assert(scanOf(pruned).selectedPartitionDirs == (1, 4))
+    // id stats re-derived: a range probe skips files
+    val st = scanOf(df).estimateStatistics()
+    assert(!st.columnStats().isEmpty,
+      "migrated store must keep its column stats")
+
+    // a row-identity store with LIVE tombstones refuses migration
+    val root2 = s"$wh/u"
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root2, 0L)
+    graft.sources.EpochStoreDelta.declare(spark, root2, Seq("id"))
+    spark.sql("DELETE FROM migd.u WHERE id = 3")
+    val e = intercept[Exception] {
+      EpochStore.migrateLayout(spark, root2, partitionColumns = Seq("v")) }
+    assert(e.getMessage.contains("tombstone"),
+      s"live tombstones must refuse migration: ${e.getMessage}")
+  }
+}
