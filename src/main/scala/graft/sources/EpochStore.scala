@@ -936,22 +936,26 @@ final case class EpochStoreScan(
       new java.util.HashMap()
     if (files.nonEmpty) readDataSchema.fields.foreach { f =>
       import org.apache.spark.sql.types._
-      val widen: Option[Any => Any] = f.dataType match {
-        case ByteType => Some(v => v.asInstanceOf[Long].toByte)
-        case ShortType => Some(v => v.asInstanceOf[Long].toShort)
-        case IntegerType => Some(v => v.asInstanceOf[Long].toInt)
-        case LongType => Some(identity)
-        case FloatType => Some(v => v.asInstanceOf[Double].toFloat)
-        case DoubleType => Some(identity)
+      // the widening AND the accepted sidecar kind come from the column
+      // type together — a kind that disagrees with the type (a confused
+      // legacy sidecar) reports nothing rather than casting wrong
+      val widenKind: Option[(Any => Any, Char)] = f.dataType match {
+        case ByteType => Some((v => v.asInstanceOf[Long].toByte, 'l'))
+        case ShortType => Some((v => v.asInstanceOf[Long].toShort, 'l'))
+        case IntegerType => Some((v => v.asInstanceOf[Long].toInt, 'l'))
+        case LongType => Some((identity, 'l'))
+        case FloatType => Some((v => v.asInstanceOf[Double].toFloat, 'd'))
+        case DoubleType => Some((identity, 'd'))
         case _ => None
       }
-      if (widen.nonEmpty) {
+      val widen = widenKind.map(_._1)
+      if (widenKind.nonEmpty) {
         val perFile = files.map { lf =>
           se.getOrElse(lf.entryDir, Map.empty)
             .get(EpochStore.relOf(fs, root, lf))
             .flatMap(_.cols.get(aliases.resolve(f.name,
               entryFieldsByDir.getOrElse(lf.entryDir, Set.empty))))
-            .filter(cs => cs.kind == 'l' || cs.kind == 'd')
+            .filter(_.kind == widenKind.get._2)
         }
         if (perFile.forall(_.isDefined)) {
           val cs = perFile.flatten

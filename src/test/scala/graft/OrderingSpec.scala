@@ -243,6 +243,36 @@ class OrderingSpec extends SparkSpec {
     assert(spark.table("ordcb.t").count() == 400)
   }
 
+  test("a runtime (DPP) narrowing recomputes the ordered plan: results " +
+      "exact, surviving partitions still internally sorted") {
+    import spark.implicits._
+    val root = tmp()
+    // four disjoint sorted epochs; a selective dim narrows at runtime
+    (0 until 4).foreach { e =>
+      sortedWrite((e * 100 until (e + 1) * 100)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v"), root, e.toLong)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val df = EpochStore.read(spark, root, schema)
+    assert(scanOf(df).outputOrdering().nonEmpty)
+    val dimDir = tmp()
+    Seq((150L, "keep"), (151L, "keep")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = df.join(org.apache.spark.sql.functions.broadcast(dim), "id")
+    assert(j.count() == 2)
+    assert(j.select("v").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("v150", "v151"))
+    // the full frame keeps per-partition sortedness after any replan
+    val perPart = df.select("id").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach(p => assert(p == p.sorted))
+  }
+
   test("q_store_sorted matches the raw-table recomputation of its oracle") {
     val res = graft.queries.MiscCatalog.storeSorted(spark, sf0001)
     val got = res.collect().toSeq.map(_.toSeq)
