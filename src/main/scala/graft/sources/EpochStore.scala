@@ -416,6 +416,34 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
         case _ => false
       }
     if (!funcsOk) return false
+    // every aggregated COLUMN must exist in every pinned entry's
+    // recorded schema: an entry predating an ADD COLUMN has neither
+    // footer stats nor sidecar entries for it, and the footer fold
+    // cannot serve the rows' value (null — or the EXISTENCE default);
+    // an entry without a record proves nothing. COUNT(*) has no column
+    // and stays eligible.
+    val aggCols = agg.aggregateExpressions.toSeq.flatMap {
+      case c: Count => colOf(c.column)
+      case m: Min => colOf(m.column)
+      case m: Max => colOf(m.column)
+      case _ => Nil
+    }.distinct
+    if (aggCols.nonEmpty) {
+      val spark = SparkSession.active
+      val root = EpochStore.rootOf(options)
+      val fs = new Path(root)
+        .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+      val ok = EpochStore.pinnedEntries(spark, root, options).forall { e =>
+        EpochStoreWrite.readSchemaSidecar(fs, root, e.dir) match {
+          case Some((s, _)) => aggCols.forall(s.fieldNames.contains)
+          // pre-evolution entries have no record AND no ALTER history
+          // (ALTER refuses without records) — the explicit-schema
+          // contract makes their files uniform, footers carry the column
+          case None => true
+        }
+      }
+      if (!ok) return false
+    }
     // grouping ⊆ partition columns is enforced by the util below
     org.apache.spark.sql.GraftBridge
       .pushedAggSchema(agg, tableSchema, partCols.toSet) match {
@@ -1177,6 +1205,13 @@ final case class EpochStoreScan(
     var len = prefix0.length
     val out = Map.newBuilder[Seq[Any], Seq[EpochStore.ListedFile]]
     fileGroups.foreach { case (key, g) =>
+      // a group spanning several NAME PROFILES (rename evolution) packs
+      // one partition per profile — key-grouped execution may merge
+      // same-key partitions back-to-back, which would interleave the
+      // proven chain; no report rather than a false one (compaction
+      // collapses the profiles and restores it)
+      if (!aliases.isEmpty &&
+        g.map(f => profileIdxOf(f.entryDir)).distinct.size > 1) return None
       if (g.size <= 1) out += key -> g
       else {
         val withStats = g.map(lf => statOf(lf).map(lf -> _))
@@ -2116,6 +2151,29 @@ object EpochStore {
     ColumnAliases(chains, retired)
   }
 
+  /** The stat-sidecar kind a column of this type accumulates under —
+    * None for types without a stable cross-side comparison. Shared by
+    * the write option parser, the fold paths, and migrate_layout. */
+  private[sources] def statKindOf(dt: org.apache.spark.sql.types.DataType)
+      : Option[Char] = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => Some('l')
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => Some('d')
+    case org.apache.spark.sql.types.StringType => Some('S')
+    case _ => None
+  }
+
+  /** The LOGICAL column a PHYSICAL spelling serves under `aliases`
+    * (itself when never renamed); None when the name was dropped. */
+  private[sources] def logicalNameOf(aliases: ColumnAliases,
+      schema: StructType, phys: String): Option[String] =
+    if (aliases.isEmpty) Some(phys).filter(schema.fieldNames.contains)
+    else schema.fieldNames.find(l =>
+      l == phys || aliases.chains.getOrElse(l, Nil).contains(phys))
+
   /** Apply the ops log to the MERGED physical record set: a rename
     * whose old name still appears (pre-rename entries live) drops the
     * old field — its data serves through the alias chain — and keeps
@@ -2368,8 +2426,13 @@ object EpochStore {
       case None =>
         val shaped =
           if (sortColumns.nonEmpty)
+            // partition columns lead the sort — the dynamic-partition
+            // writer's ordering requirement must be satisfied up front
+            // or Spark re-sorts by them alone, voiding the recorded
+            // within-file order
             df.repartitionByRange(parts, sortColumns.map(col): _*)
-              .sortWithinPartitions(sortColumns.map(col): _*)
+              .sortWithinPartitions(
+                (partitionColumns ++ sortColumns).map(col): _*)
           else if (partitionColumns.nonEmpty) df
           else df.coalesce(parts)
         val w = shaped.write.mode("overwrite")
@@ -2383,21 +2446,10 @@ object EpochStore {
     // names a schema column, plus bounds on the new sort columns
     val aliasesNow = columnAliases(spark, root)
     def logicalOf(phys: String): Option[String] =
-      if (aliasesNow.isEmpty) Some(phys).filter(schema.fieldNames.contains)
-      else schema.fieldNames.find(l =>
-        l == phys || aliasesNow.chains.getOrElse(l, Nil).contains(phys))
-    val sortKinds: Seq[(String, Char)] = sortColumns.flatMap { c =>
-      schema.fields.find(_.name == c).map(_.dataType).flatMap {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => Some(c -> 'l')
-        case org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.DoubleType => Some(c -> 'd')
-        case org.apache.spark.sql.types.StringType => Some(c -> 'S')
-        case _ => None
-      }
-    }
+      logicalNameOf(aliasesNow, schema, phys)
+    val sortKinds: Seq[(String, Char)] = sortColumns.flatMap(c =>
+      schema.fields.find(_.name == c).map(_.dataType)
+        .flatMap(statKindOf).map(c -> _))
     val statKinds = (es
       .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
         .flatMap(_.cols.toSeq))
@@ -2545,12 +2597,8 @@ object EpochStore {
     val merged =
       if (colOps.isEmpty) mergedPhys
       else applyColumnOps(root, mergedPhys, colOps)
-    /** The logical column a PHYSICAL name serves (itself when never
-      * renamed). */
     def logicalOf(phys: String): Option[String] =
-      if (colAliases.isEmpty) Some(phys).filter(merged.fieldNames.contains)
-      else merged.fieldNames.find(l =>
-        l == phys || colAliases.chains.getOrElse(l, Nil).contains(phys))
+      logicalNameOf(colAliases, merged, phys)
     // merge-on-read tombstones ([[EpochStoreDelta]]) fold PHYSICALLY:
     // covered rows whose key a strictly-later covered epoch tombstoned
     // are dropped here (an equality tombstone only ever reaches lower
@@ -2566,7 +2614,7 @@ object EpochStore {
         // project this entry's physical spellings to the logical names
         // (identity for never-renamed stores); retired-only columns
         // fold away here
-        val r =
+        val r1 =
           if (colAliases.isEmpty) r0
           else {
             val efs = s.fieldNames.toSet
@@ -2575,6 +2623,17 @@ object EpochStore {
               if (efs.contains(phys)) Some(col(phys).as(l)) else None
             }: _*)
           }
+        // a column this entry PREDATES that was added with a DEFAULT
+        // serves its EXISTENCE default at read time — the fold must
+        // materialize that value, not the null unionByName would fill
+        // (compaction may never change what a query returns)
+        val have = r1.columns.toSet
+        val r = merged.fields.toSeq
+          .filter(f => !have(f.name) && f.metadata.contains("EXISTS_DEFAULT"))
+          .foldLeft(r1)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions
+              .expr(f.metadata.getString("EXISTS_DEFAULT"))
+              .cast(f.dataType)))
         if (deltaEntries.isEmpty) r
         else r.withColumn("__graft_e", lit(e.epoch))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2626,8 +2685,17 @@ object EpochStore {
           .drop("__z")
       }
       else if (sortColumns.isEmpty) folded0.coalesce(parts)
-      else folded0.repartitionByRange(parts, sortColumns.map(col): _*)
-        .sortWithinPartitions(sortColumns.map(col): _*)
+      else {
+        // partitioned folds lead the sort with the partition columns:
+        // the dynamic-partition writer REQUIRES its ordering to start
+        // there — an unsatisfied requirement makes Spark re-sort by the
+        // partition columns alone, voiding the within-file sortColumns
+        // order the sidecar records (a FALSE order report elides
+        // load-bearing SMJ sorts)
+        val lead = splitPartCols(partCol)
+        folded0.repartitionByRange(parts, sortColumns.map(col): _*)
+          .sortWithinPartitions((lead ++ sortColumns).map(col): _*)
+      }
     val maxCov = covered.map(_.epoch).max
     val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
     val pcs = splitPartCols(partCol)
@@ -2690,18 +2758,9 @@ object EpochStore {
     // the type supports them): range skipping AND the scan's sort-order
     // report ([[EpochStoreScan.outputOrdering]]) both plan from them —
     // they ARE the layout's payoff, whether or not history declared them
-    val sortKinds: Seq[(String, Char)] = sortColumns.flatMap { c =>
-      merged.fields.find(_.name == c).map(_.dataType).flatMap {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => Some(c -> 'l')
-        case org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.DoubleType => Some(c -> 'd')
-        case org.apache.spark.sql.types.StringType => Some(c -> 'S')
-        case _ => None
-      }
-    }
+    val sortKinds: Seq[(String, Char)] = sortColumns.flatMap(c =>
+      merged.fields.find(_.name == c).map(_.dataType)
+        .flatMap(statKindOf).map(c -> _))
     val statKinds: Seq[(String, Char)] = (covered
       .flatMap(e => EpochStoreStats.read(fs, root, e.dir).valuesIterator
         .flatMap(_.cols.toSeq))

@@ -531,9 +531,6 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         val bloomCol = BloomSpec.declared(spark, root).toSet
         val constraints = EpochStoreConstraints.list(spark, root)
         def guardSource(n: String): Unit = {
-          require(merged.fieldNames.contains(n),
-            s"no column $n on $root — columns: " +
-              merged.fieldNames.mkString(", "))
           require(!partCols(n), s"column $n partitions $root's dir " +
             "layout — partition columns cannot be renamed or dropped")
           require(!bucketCols(n), s"column $n is $root's bucket column " +
@@ -549,20 +546,35 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
                 "— drop the constraint first")
           }
         }
-        renames.foreach { r =>
-          val (from, to) = (r.fieldNames().head, r.newName())
-          guardSource(from)
-          require(!merged.fieldNames.contains(to),
-            s"rename $from -> $to on $root: $to already exists")
-          require(!retired(to),
-            s"rename $from -> $to on $root: $to is a RETIRED name " +
-              "(an old entry may still hold it physically — reusing it " +
-              "would leak that entry's values into the new column)")
-        }
-        drops.foreach { d =>
-          guardSource(d.fieldNames().head)
-          require(merged.fields.length > 1,
-            s"cannot drop the last column of $root")
+        // validate the batch SEQUENTIALLY against the evolving state —
+        // two renames to one target, a rename chained onto a drop, or a
+        // batch that drops every column must refuse even though each op
+        // passes against the pre-batch schema alone
+        var live = merged.fieldNames.toSet
+        var retiredNow = retired
+        ops.foreach {
+          case EpochManifest.ColumnOp.Rename(from, to) =>
+            require(live(from),
+              s"rename $from -> $to on $root: no column $from — " +
+                s"columns: ${live.toSeq.sorted.mkString(", ")}")
+            guardSource(from)
+            require(!live(to),
+              s"rename $from -> $to on $root: $to already exists")
+            require(!retiredNow(to),
+              s"rename $from -> $to on $root: $to is a RETIRED name " +
+                "(an old entry may still hold it physically — reusing " +
+                "it would leak that entry's values into the new column)")
+            live = live - from + to
+            retiredNow += from
+          case EpochManifest.ColumnOp.Drop(name) =>
+            require(live(name),
+              s"drop $name on $root: no column $name — columns: " +
+                live.toSeq.sorted.mkString(", "))
+            guardSource(name)
+            require(live.size > 1,
+              s"cannot drop the last column of $root")
+            live -= name
+            retiredNow += name
         }
       })
       return loadTable(ident)

@@ -317,6 +317,18 @@ private[graft] object EpochStoreDml {
       throw new IllegalArgumentException(
         s"epochstore DELETE cannot translate filter $f"))).reduce(_ && _)
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // a column ADDED with a DEFAULT serves its EXISTENCE default for
+    // files that predate it — the per-entry binding below must agree
+    // with what the scan serves, or `DELETE WHERE added = default`
+    // silently keeps the rows it shows. Absent records (pre-evolution
+    // stores, where ALTER is refused anyway) mean no defaults exist.
+    val existsDefaults: Map[String, (String, org.apache.spark.sql.types
+      .DataType)] =
+      (try EpochStore.evolvedSchema(spark, root)._1.fields.toSeq
+       catch { case _: IllegalArgumentException => Nil })
+        .filter(_.metadata.contains("EXISTS_DEFAULT"))
+        .map(f => f.name ->
+          (f.metadata.getString("EXISTS_DEFAULT"), f.dataType)).toMap
     es.flatMap { e =>
       val rec = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
       val pf = rec.toSeq.flatMap { case (s, pc) =>
@@ -337,7 +349,13 @@ private[graft] object EpochStoreDml {
             .foldLeft(spark.read.schema(schema).parquet(s"$root/${e.dir}")) {
               (d, c) =>
                 if (c == EpochStore.EpochColName) d.withColumn(c, lit(e.epoch))
-                else d.withColumn(c, lit(null))
+                else existsDefaults.get(c) match {
+                  // the value this entry's rows actually SERVE for the
+                  // evolved-added column
+                  case Some((sql, dt)) => d.withColumn(c,
+                    org.apache.spark.sql.functions.expr(sql).cast(dt))
+                  case None => d.withColumn(c, lit(null))
+                }
             }
           val surv = bound.filter(not(coalesce(cond, lit(false))))
             .select(schema.fieldNames.map(

@@ -86,7 +86,14 @@ final class EpochStoreMicroBatchStream(
   private val readDataSchema: StructType =
     StructType(required.filterNot(f => partCols.contains(f.name) ||
       f.name == EpochStore.EpochColName ||
-      f.name == EpochStore.ChangeColName))
+      f.name == EpochStore.ChangeColName)
+      // re-attach the TABLE's field metadata (EXISTS_DEFAULT et al.) so
+      // a tailed epoch that predates an ADD COLUMN … DEFAULT serves the
+      // default exactly like the batch scan — pruning hands back bare
+      // fields (same fix as [[EpochStoreScan.readDataSchema]])
+      .map(f => fullSchema.fields.find(_.name == f.name)
+        .filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
+        .map(g => f.copy(metadata = g.metadata)).getOrElse(f)))
   private val readPartSchema: StructType =
     StructType(partFields.filter(f => required.fieldNames.contains(f.name)))
   private val constSchema: StructType =

@@ -69,6 +69,55 @@ class DefaultsSpec extends SparkSpec {
     assert(got == Seq((1L, "none"), (2L, "none"), (3L, "set")), s"got $got")
   }
 
+  test("defaults agree across every tier: metadata DELETE, compaction, " +
+      "aggregates, and the streaming tail all serve the existence default") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmp()
+    cat("defx", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      root, 0L)
+    spark.sql("ALTER TABLE defx.t ADD COLUMNS (score INT DEFAULT 7)")
+    spark.sql("INSERT INTO defx.t VALUES (100, 'x', 9)")
+
+    // aggregate over the defaulted column counts pre-ADD rows at 7
+    assert(spark.sql("SELECT min(score) FROM defx.t").head.getInt(0) == 7)
+    assert(spark.sql("SELECT sum(score) FROM defx.t").head.getLong(0)
+      == 20L * 7 + 9)
+
+    // the streaming tail serves the default for pre-ADD epochs
+    val tail = spark.readStream.format("epochstore")
+      .option("path", root).option("maxEpochsPerTrigger", "10")
+      .schema(spark.table("defx.t").schema).load()
+      .groupBy().sum("score")
+    val q = tail.writeStream.format("memory").queryName("defx_tail")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("defx_tail").head.getLong(0) == 20L * 7 + 9,
+      "the tail must serve the existence default like the batch scan")
+
+    // metadata-first DELETE on the defaulted value drops the rows the
+    // scan SHOWS as 7 (and DELETE WHERE score IS NULL drops nothing)
+    spark.sql("DELETE FROM defx.t WHERE score IS NULL")
+    assert(spark.sql("SELECT count(*) FROM defx.t").head.getLong(0) == 21L)
+    spark.sql("DELETE FROM defx.t WHERE score = 7")
+    assert(spark.sql("SELECT count(*) FROM defx.t").head.getLong(0) == 1L)
+    assert(spark.sql("SELECT id FROM defx.t").head.getLong(0) == 100L)
+
+    // compaction must not change what a query returns
+    val root2 = s"$wh/u"
+    EpochStore.write((0 until 15).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      root2, 0L)
+    spark.sql("ALTER TABLE defx.u ADD COLUMNS (boost BIGINT DEFAULT 5)")
+    spark.sql("INSERT INTO defx.u VALUES (99, 'y', 11)")
+    val before = spark.sql("SELECT sum(boost) FROM defx.u").head.getLong(0)
+    EpochStore.compactStore(spark, root2, parts = 2)
+    val after = spark.sql("SELECT sum(boost) FROM defx.u").head.getLong(0)
+    assert(before == 15L * 5 + 11 && after == before,
+      s"compaction changed the answer: $before -> $after")
+  }
+
   test("q_store_default matches the raw-table recomputation of its oracle") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.MiscCatalog.storeDefault(spark, sf0001)

@@ -273,6 +273,38 @@ class OrderingSpec extends SparkSpec {
     perPart.foreach(p => assert(p == p.sorted))
   }
 
+  test("a PARTITIONED sorted fold's files are physically ordered (the " +
+      "dynamic-partition writer must not re-sort the claim away)") {
+    import spark.implicits._
+    val root = tmp()
+    // values deliberately shuffled so an unsorted write would show;
+    // two epochs — a single covered entry makes compact a no-op
+    val rows = scala.util.Random.shuffle((0 until 3000).toList)
+      .map(i => (i.toLong, s"L${i % 3}"))
+    EpochStore.write(rows.take(1500).toDF("id", "lang"), root, 0L,
+      partitionColumn = "lang")
+    EpochStore.write(rows.drop(1500).toDF("id", "lang"), root, 1L,
+      partitionColumn = "lang")
+    EpochStore.compactStore(spark, root, sortColumns = Seq("id"), parts = 2)
+    // every FILE of the fold must be internally id-sorted — the sidecar
+    // records sortColumns, so an unsorted file is a FALSE order proof
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val entry = graft.core.EpochManifest.entries(spark, root).head
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else Nil)
+    val files = walk(new org.apache.hadoop.fs.Path(s"$root/${entry.dir}"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.toString).select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"fold file $f is not internally sorted")
+    }
+  }
+
   test("q_store_sorted matches the raw-table recomputation of its oracle") {
     val res = graft.queries.MiscCatalog.storeSorted(spark, sf0001)
     val got = res.collect().toSeq.map(_.toSeq)

@@ -140,6 +140,29 @@ class RenameDropSpec extends SparkSpec {
     assert(e.getMessage.contains("RENAME COLUMN"))
   }
 
+  test("one ALTER batch validates sequentially: dropping every column " +
+      "and double-renames to one target refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val wh = tmp()
+    cat("renb", wh)
+    EpochStore.write(Seq((1L, "a", "b")).toDF("id", "x", "y"), s"$wh/t", 0L)
+    val c = spark.sessionState.catalogManager.catalog("renb")
+      .asInstanceOf[graft.sources.EpochStoreCatalog]
+    val ident = Identifier.of(Array.empty, "t")
+    val e1 = intercept[Exception] { c.alterTable(ident,
+      TableChange.deleteColumn(Array("id"), false),
+      TableChange.deleteColumn(Array("x"), false),
+      TableChange.deleteColumn(Array("y"), false)) }
+    assert(e1.getMessage.contains("last column"), e1.getMessage)
+    val e2 = intercept[Exception] { c.alterTable(ident,
+      TableChange.renameColumn(Array("x"), "z"),
+      TableChange.renameColumn(Array("y"), "z")) }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // nothing landed: the table still has its three columns
+    assert(spark.table("renb.t").columns.toSeq == Seq("id", "x", "y"))
+  }
+
   test("q_store_rename matches the raw-table recomputation of its oracle") {
     val got = graft.queries.MiscCatalog.storeRename(spark, sf0001)
       .collect().toSeq.map(_.toSeq)
