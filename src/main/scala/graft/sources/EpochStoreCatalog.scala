@@ -186,7 +186,20 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     * or a named tag ([[EpochManifest.tag]] — a gc retention anchor, so
     * `VERSION AS OF 'v1'` stays answerable through any number of later
     * commits and compactions until untagged). */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    metaKindOf(ident) match {
+      case Some((baseIdent, kind)) =>
+        // metadata tables compose with time travel: `files`/`partitions`
+        // describe the pinned snapshot (history/refs are timeless)
+        val base = loadTable(baseIdent, version) match {
+          case t: EpochStoreTable => t
+          case other => throw new IllegalStateException(
+            s"metadata table over non-store table ${other.name()}")
+        }
+        return EpochStoreMetadata.table(spark, rootOf(baseIdent), kind,
+          base.schema(), base.storeOptions)
+      case None => ()
+    }
     version.toLongOption match {
       case Some(g) => tableAt(ident, g)
       case None =>
@@ -207,6 +220,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
               s", branches: ${EpochManifest.branches(spark, root)}")
         }
     }
+  }
 
   /** SQL `FOR TIMESTAMP AS OF ts` — Spark hands micros since the epoch;
     * resolves to the newest retained generation whose manifest landed

@@ -110,7 +110,9 @@ object EpochStoreMetadata {
       .getOrElse(throw new IllegalArgumentException(
         s"partition column $c missing from the schema of $root")))
     val bucket = EpochStore.bucketOf(options)
-    val entries = EpochManifest.entries(spark, root)
+    // honor a VERSION AS OF pin riding in the base table's options —
+    // `files`/`partitions` describe the pinned snapshot, not the head
+    val entries = EpochStore.pinnedEntries(spark, root, options)
     val (files, _, _) = EpochStore.listEntryFiles(spark, root, entries,
       partFields, Array.empty, bucket = bucket)
     val fs = new Path(root)

@@ -92,6 +92,25 @@ class MetaTablesSpec extends SparkSpec {
       .head.getLong(0) == 1L)
   }
 
+  test("metadata tables compose with VERSION AS OF: files describes the " +
+      "pinned snapshot") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("metav", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 30).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      root, 0L)
+    val g0 = graft.core.EpochManifest.generations(spark, root).last
+    EpochStore.write((30 until 50).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      root, 1L)
+    assert(spark.sql("SELECT sum(rows) FROM metav.`t$files`")
+      .head.getLong(0) == 50L)
+    assert(spark.sql(
+      s"SELECT sum(rows) FROM metav.`t$$files` VERSION AS OF $g0")
+      .head.getLong(0) == 30L,
+      "a pinned files table must describe the pinned snapshot")
+  }
+
   test("q_store_meta matches the raw-table recomputation of its oracle") {
     val got = graft.queries.MiscCatalog.storeMeta(spark, sf0001)
       .collect().toSeq.map(_.toSeq)

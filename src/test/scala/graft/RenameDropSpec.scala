@@ -163,6 +163,32 @@ class RenameDropSpec extends SparkSpec {
     assert(spark.table("renb.t").columns.toSeq == Seq("id", "x", "y"))
   }
 
+  test("column-ops log is multi-writer: racing appends all land exactly " +
+      "once, each validated against the log it actually follows") {
+    import spark.implicits._
+    val wh = tmp()
+    val root = s"$wh/t"
+    EpochStore.write((0 until 8).map(i =>
+      (i.toLong, s"a$i", s"b$i", s"c$i", s"d$i"))
+      .toDF("id", "c1", "c2", "c3", "c4"), root, 0L)
+    val sparkRef = spark
+    val threads = (1 to 4).map { i =>
+      new Thread(() => EpochManifest.appendColumnOps(sparkRef, root,
+        Seq(EpochManifest.ColumnOp.Rename(s"c$i", s"r$i"))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val ops = EpochManifest.columnOps(spark, root)
+    assert(ops.size == 4 && ops.toSet == (1 to 4).map(i =>
+      EpochManifest.ColumnOp.Rename(s"c$i", s"r$i")).toSet,
+      s"all four racing ops must land exactly once: $ops")
+    // and the served schema reflects every rename
+    cat("renocc", wh)
+    assert(spark.table("renocc.t").columns.toSeq ==
+      Seq("id", "r1", "r2", "r3", "r4"))
+    assert(spark.sql("SELECT r3 FROM renocc.t WHERE id = 5")
+      .head.getString(0) == "c5")
+  }
+
   test("q_store_rename matches the raw-table recomputation of its oracle") {
     val got = graft.queries.MiscCatalog.storeRename(spark, sf0001)
       .collect().toSeq.map(_.toSeq)
