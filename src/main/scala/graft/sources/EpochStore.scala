@@ -1894,6 +1894,13 @@ object EpochStore {
 
   private[sources] def pinnedEntries(spark: SparkSession, root: String,
       options: CaseInsensitiveStringMap): Seq[EpochManifest.Entry] = {
+    // a BRANCH pin resolves the branch lineage's head — every options-
+    // driven entry resolution (schema inference, the agg-pushdown
+    // guard, metadata tables) must see the same snapshot the scan reads
+    Option(options.get("branch")) match {
+      case Some(b) => return EpochManifest.branchEntries(spark, root, b)
+      case None => ()
+    }
     val asOf = Option(options.get("asOfGeneration")).map(_.toLong).getOrElse(-1L)
     if (asOf < 0L) EpochManifest.entries(spark, root)
     else EpochManifest.entriesAt(spark, root, asOf)
@@ -2745,14 +2752,10 @@ object EpochStore {
       val f = merged.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"compactStore: zorderColumns column $c is not in the schema"))
-      import org.apache.spark.sql.types._
-      c -> (f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => 'l'
-        case FloatType | DoubleType => 'd'
-        case other => throw new IllegalArgumentException(
-          s"compactStore: zorderColumns column $c has type $other — " +
-            "z-order needs a numeric dimension")
-      })
+      c -> statKindOf(f.dataType).filter(_ != 'S').getOrElse(
+        throw new IllegalArgumentException(
+          s"compactStore: zorderColumns column $c has type ${f.dataType} " +
+            "— z-order needs a numeric dimension"))
     }
     // a SORTED fold always records bounds on its sort columns (where
     // the type supports them): range skipping AND the scan's sort-order

@@ -228,6 +228,17 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     * beyond the retention horizon rather than answering from a newer
     * snapshot. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    metaKindOf(ident) match {
+      case Some((baseIdent, kind)) =>
+        val base = loadTable(baseIdent, timestamp) match {
+          case t: EpochStoreTable => t
+          case other => throw new IllegalStateException(
+            s"metadata table over non-store table ${other.name()}")
+        }
+        return EpochStoreMetadata.table(spark, rootOf(baseIdent), kind,
+          base.schema(), base.storeOptions)
+      case None => ()
+    }
     val root = rootOf(ident)
     if (!isStore(root)) throw new NoSuchTableException(ident)
     tableAt(ident, EpochManifest.generationAsOf(spark, root,

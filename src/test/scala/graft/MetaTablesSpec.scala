@@ -111,6 +111,25 @@ class MetaTablesSpec extends SparkSpec {
       "a pinned files table must describe the pinned snapshot")
   }
 
+  test("metadata tables honor a BRANCH pin: files describes the branch " +
+      "head, not main") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("metab2", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 30).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      root, 0L)
+    graft.core.EpochManifest.createBranch(spark, root, "audit")
+    EpochStore.write((30 until 45).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      root, 1L, branch = "audit")
+    assert(spark.sql("SELECT sum(rows) FROM metab2.`t$files`")
+      .head.getLong(0) == 30L, "main's files table must not see the branch")
+    assert(spark.sql(
+      "SELECT sum(rows) FROM metab2.`t$files` VERSION AS OF 'audit'")
+      .head.getLong(0) == 45L,
+      "the branch-pinned files table must describe the branch head")
+  }
+
   test("q_store_meta matches the raw-table recomputation of its oracle") {
     val got = graft.queries.MiscCatalog.storeMeta(spark, sf0001)
       .collect().toSeq.map(_.toSeq)
