@@ -1842,6 +1842,49 @@ object MiscCatalog {
       |FROM documents WHERE lang IS NOT NULL
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Snapshot rollback (`q_store_restore`, X90): the corpus lands
+    * across two epochs and is TAGGED, a destructive DELETE then drops a
+    * third of the rows, and `CALL restore_snapshot(tag)` makes the
+    * tagged generation the head again — ONE manifest commit, no data
+    * movement, the bad commit still time-travelable until gc. The
+    * aggregate reads the restored table; DuckDB recomputes from the
+    * raw corpus, so a restore that resurrected the wrong snapshot,
+    * lost an epoch, or kept the delete fails cell-exact.
+    *
+    * Scale shape: Delta RESTORE / Iceberg rollback — undoing a bad
+    * commit on a 100 TB store costs one tiny manifest write. */
+  def storeRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_res_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L)
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+      root, 1L)
+    val s2 = spark.newSession()
+    val c = s"graftres$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(s"CALL $c.system.tag('docs', 'clean')").collect()
+    s2.sql(s"DELETE FROM $c.docs WHERE doc_id % 3 = 0")
+    s2.sql(s"CALL $c.system.restore_snapshot('docs', tag => 'clean')")
+      .collect()
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+         |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeRestoreSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      |FROM documents WHERE lang IS NOT NULL
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Write-audit-publish branches (`q_store_wap`): half the corpus
     * lands as the base store, the other half is written onto a BRANCH
     * (`CALL create_branch` + the sink's `branch` option — a separate
@@ -2189,6 +2232,7 @@ object MiscCatalog {
     "q_store_rename"  -> (storeRename _),
     "q_store_default" -> (storeDefault _),
     "q_store_migrate" -> (storeMigrate _),
+    "q_store_restore" -> (storeRestore _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
@@ -2247,6 +2291,7 @@ object MiscCatalog {
     "q_store_rename"  -> storeRenameSql,
     "q_store_default" -> storeDefaultSql,
     "q_store_migrate" -> storeMigrateSql,
+    "q_store_restore" -> storeRestoreSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,

@@ -2471,6 +2471,25 @@ object EpochStore {
     EpochManifest.gc(spark, root)
   }
 
+  /** ROLLBACK (X90) — Delta's RESTORE / Iceberg's rollback shape: make a
+    * RETAINED older generation (or tag) the CURRENT head again with ONE
+    * manifest commit — no data moves, the bad commits stay
+    * time-travelable until gc ages them out, and a commit racing the
+    * restore refuses loudly (the restore replaces exactly the snapshot
+    * it saw). Restoring beyond the retention horizon fails loudly
+    * ([[EpochManifest.entriesAt]]) — tag a generation to keep it
+    * restorable forever. An engine-level `_deletes` sub-store (the
+    * keyed-delete tier) keeps its own lineage: tombstones committed
+    * after the restored generation still apply to latest-wins reads —
+    * restore rolls back DATA commits, not the delete journal. */
+  def restoreSnapshot(spark: SparkSession, root: String,
+                      generation: Long): Unit = {
+    val target = EpochManifest.entriesAt(spark, root, generation)
+    val cur = EpochManifest.entries(spark, root)
+    EpochManifest.commitIfUnchanged(spark, root, cur, target)
+    ()
+  }
+
   /** SELECTIVE small-file maintenance — Iceberg's `rewrite_data_files`
     * shape on the manifest store: bin-pack runs of SMALL entries (total
     * bytes below `targetBytes`, read from the file-level index — zero

@@ -32,7 +32,7 @@ private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
     Seq("snapshots", "partitions", "compact", "rewrite_data_files",
-      "migrate_layout", "gc",
+      "migrate_layout", "restore_snapshot", "gc",
       "expire_snapshots",
       "purge_deletes", "tag", "untag", "tags", "add_constraint",
       "drop_constraint", "constraints", "create_branch", "publish_branch",
@@ -132,6 +132,45 @@ private[sources] object EpochStoreProcedures {
             StructField("entries_before", IntegerType, nullable = false),
             StructField("entries_after", IntegerType, nullable = false))),
             Array(row(runs, before,
+              EpochManifest.entries(spark, root).size)))
+        }
+      }
+
+      case "restore_snapshot" => new Proc("restore_snapshot", Array(
+        tableParam,
+        ProcedureParameter.in("generation", LongType)
+          .defaultValue("-1")
+          .comment("retained manifest generation to restore " +
+            "(or pass a tag)").build(),
+        ProcedureParameter.in("tag", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("named tag to restore (alternative to generation)")
+          .build())) {
+        override def description(): String =
+          "make a retained older generation the current head again — " +
+            "one manifest commit, no data moves, the rolled-back " +
+            "commits stay time-travelable until gc"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val tag = Option(str(input, 2)).map(_.trim).filter(_.nonEmpty)
+          val gen = (input.getLong(1), tag) match {
+            case (g, None) if g >= 0L => g
+            case (-1L, Some(t)) =>
+              EpochManifest.tags(spark, root).getOrElse(t,
+                throw new IllegalArgumentException(
+                  s"no tag '$t' on $root — tags: " +
+                    EpochManifest.tags(spark, root).keys.toSeq.sorted
+                      .mkString(", ")))
+            case _ => throw new IllegalArgumentException(
+              "restore_snapshot takes EITHER generation OR tag")
+          }
+          EpochStore.restoreSnapshot(spark, root, gen)
+          result(StructType(Seq(
+            StructField("restored_generation", LongType, nullable = false),
+            StructField("new_head_generation", LongType, nullable = false),
+            StructField("entries", IntegerType, nullable = false))),
+            Array(row(gen,
+              EpochManifest.generations(spark, root).last,
               EpochManifest.entries(spark, root).size)))
         }
       }

@@ -64,6 +64,35 @@ class MigrateLayoutSpec extends SparkSpec {
       "the pre-migration snapshot must keep its lang-dir pruning")
   }
 
+  test("restore_snapshot rolls the head back in one commit: answers " +
+      "revert, the rolled-back commit stays time-travelable, expired " +
+      "generations refuse") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("resc", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      root, 0L)
+    spark.sql("CALL resc.system.tag('t', 'clean')").collect()
+    val gClean = EpochManifest.generations(spark, root).last
+    spark.sql("DELETE FROM resc.t WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM resc.t").head.getLong(0) == 30L)
+    val gBad = EpochManifest.generations(spark, root).last
+    // restore by TAG: the full corpus is back
+    spark.sql("CALL resc.system.restore_snapshot('t', tag => 'clean')")
+      .collect()
+    assert(spark.sql("SELECT count(*) FROM resc.t").head.getLong(0) == 40L)
+    // the rolled-back (deleted) state stays time-travelable
+    assert(spark.sql(s"SELECT count(*) FROM resc.t VERSION AS OF $gBad")
+      .head.getLong(0) == 30L)
+    // restore by generation works too, and an unretained one refuses
+    spark.sql(s"CALL resc.system.restore_snapshot('t', $gClean)").collect()
+    assert(spark.sql("SELECT count(*) FROM resc.t").head.getLong(0) == 40L)
+    val e = intercept[Exception] {
+      spark.sql("CALL resc.system.restore_snapshot('t', 99999)").collect() }
+    assert(e != null)
+  }
+
   test("bucket store migrates back to identity partitioning; stats " +
       "survive the rewrite; live MoR tombstones refuse") {
     import spark.implicits._
