@@ -1012,11 +1012,25 @@ object EpochManifest {
     * [[OrphanReclaimAfterMs]] (same for manifest tmps and claim
     * markers), so gc can never yank files out from under an in-flight
     * commit. */
+  /** Returns the reclaimed dir names (callers may discard). */
   def gc(spark: SparkSession, root: String,
-         orphanAgeMs: Long = OrphanReclaimAfterMs): Unit = {
+         orphanAgeMs: Long = OrphanReclaimAfterMs): Seq[String] =
+    reclaim(spark, root, orphanAgeMs, dryRun = false)
+
+  /** The dirs [[gc]] would reclaim right now, WITHOUT deleting anything
+    * — the operator's pre-flight (`CALL remove_orphan_files(dry_run)`).
+    * Same resolution as the real pass: committed-and-superseded dirs
+    * plus never-committed ones older than `orphanAgeMs`, minus every
+    * retention anchor (two newest manifests, tags, live branches). */
+  def orphanCandidates(spark: SparkSession, root: String,
+                       orphanAgeMs: Long = OrphanReclaimAfterMs)
+      : Seq[String] = reclaim(spark, root, orphanAgeMs, dryRun = true)
+
+  private def reclaim(spark: SparkSession, root: String,
+                      orphanAgeMs: Long, dryRun: Boolean): Seq[String] = {
     val fs = fsOf(spark, root)
     val ms = manifests(spark, root)
-    if (ms.isEmpty) return
+    if (ms.isEmpty) return Seq.empty
     // tagged generations are retention anchors: their manifests and the
     // dirs they reference survive every gc until untagged
     val tagged = tags(spark, root).values.toSet
@@ -1037,6 +1051,7 @@ object EpochManifest {
       .filterNot(s => keepDirs.contains(s.getPath.getName))
       .filter(s => committedDirs.contains(s.getPath.getName) ||
         s.getModificationTime < cutoff)
+    if (dryRun) return deleted.map(_.getPath.getName).sorted
     deleted.foreach(s => fs.delete(s.getPath, true))
     val keepGen = keepManifests.map(_._1).toSet
     ms.filterNot(m => keepGen.contains(m._1)).foreach(m => fs.delete(m._2, false))
@@ -1058,5 +1073,6 @@ object EpochManifest {
             !fs.exists(new Path(s"$root/${s.getPath.getName}"))))
         .foreach(s => fs.delete(s.getPath, false))
     }
+    deleted.map(_.getPath.getName).sorted
   }
 }

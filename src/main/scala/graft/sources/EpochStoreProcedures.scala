@@ -32,7 +32,7 @@ private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
     Seq("snapshots", "partitions", "compact", "rewrite_data_files",
-      "migrate_layout", "restore_snapshot", "gc",
+      "migrate_layout", "restore_snapshot", "gc", "remove_orphan_files",
       "expire_snapshots",
       "purge_deletes", "tag", "untag", "tags", "add_constraint",
       "drop_constraint", "constraints", "create_branch", "publish_branch",
@@ -248,6 +248,39 @@ private[sources] object EpochStoreProcedures {
             StructField("entries_before", IntegerType, nullable = false),
             StructField("entries_after", IntegerType, nullable = false))),
             Array(row(before, EpochManifest.entries(spark, root).size)))
+        }
+      }
+
+      case "remove_orphan_files" => new Proc("remove_orphan_files", Array(
+        tableParam,
+        ProcedureParameter.in("older_than_hours", LongType)
+          .defaultValue((EpochManifest.OrphanReclaimAfterMs
+            / 3600000L).toString)
+          .comment("never-committed dirs younger than this survive (a " +
+            "live writer may still be staging them); committed-and-" +
+            "superseded dirs reclaim regardless").build(),
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false")
+          .comment("list the reclaimable dirs without deleting")
+          .build())) {
+        override def description(): String =
+          "reclaim (or, dry_run, list) dirs no retention anchor " +
+            "references: superseded data/fold dirs plus aged " +
+            "never-committed orphans — tags, live branches, and the " +
+            "two newest manifests always survive"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val ageMs = input.getLong(1) * 3600000L
+          val dry = input.getBoolean(2)
+          val dirs =
+            if (dry) EpochManifest.orphanCandidates(spark, root, ageMs)
+            else EpochManifest.gc(spark, root, ageMs)
+          result(StructType(Seq(
+            StructField("dir", StringType, nullable = false),
+            StructField("removed", BooleanType, nullable = false))),
+            dirs.map(d => row(
+              org.apache.spark.unsafe.types.UTF8String.fromString(d),
+              !dry)).toArray)
         }
       }
 

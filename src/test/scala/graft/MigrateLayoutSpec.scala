@@ -93,6 +93,43 @@ class MigrateLayoutSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("remove_orphan_files: dry_run lists without deleting, the real " +
+      "pass reclaims superseded dirs and spares retention anchors") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("orph", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      root, 0L)
+    EpochStore.write((20 until 40).map(i => (i.toLong, s"w$i")).toDF("id", "v"),
+      root, 1L)
+    EpochStore.write((40 until 60).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
+      root, 2L)
+    // three epochs + compaction = superseded dirs beyond the
+    // two-manifest window
+    EpochStore.compactStore(spark, root, parts = 1)
+    spark.sql("INSERT INTO orph.t VALUES (100, 'y')")
+    spark.sql("INSERT INTO orph.t VALUES (101, 'z')")
+    val dry = spark.sql(
+      "CALL orph.system.remove_orphan_files('t', dry_run => true)")
+      .collect()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // dry_run deleted nothing
+    dry.foreach(r => assert(!r.getBoolean(1)))
+    dry.foreach(r => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/${r.getString(0)}")),
+      s"dry_run must not delete ${r.getString(0)}"))
+    val real = spark.sql(
+      "CALL orph.system.remove_orphan_files('t')").collect()
+    assert(real.map(_.getString(0)).toSet == dry.map(_.getString(0)).toSet,
+      "the real pass reclaims exactly what dry_run listed")
+    real.foreach(r => assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/${r.getString(0)}"))))
+    // the table still answers exactly
+    assert(spark.sql("SELECT count(*) FROM orph.t").head.getLong(0) == 62L)
+  }
+
   test("bucket store migrates back to identity partitioning; stats " +
       "survive the rewrite; live MoR tombstones refuse") {
     import spark.implicits._
