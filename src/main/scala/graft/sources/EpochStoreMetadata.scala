@@ -170,7 +170,7 @@ object EpochStoreMetadata {
       .getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val rows = fls.groupBy(lf => (lf.values, lf.bucketId)).toSeq
       .sortBy { case ((vs, k), _) =>
-        (vs.map(String.valueOf).mkString(" "), k) }
+        (vs.map(String.valueOf).mkString("\u0000"), k) }
       .map { case ((vs, k), group) =>
         val counted = group.map(lf => stats.getOrElse(lf.entryDir, Map.empty)
           .get(EpochStore.relOf(fs, root, lf)).map(_.rows))
