@@ -1015,19 +1015,37 @@ object EpochManifest {
   /** Returns the reclaimed dir names (callers may discard). */
   def gc(spark: SparkSession, root: String,
          orphanAgeMs: Long = OrphanReclaimAfterMs): Seq[String] =
-    reclaim(spark, root, orphanAgeMs, dryRun = false)
+    reclaim(spark, root, orphanAgeMs)
 
-  /** The dirs [[gc]] would reclaim right now, WITHOUT deleting anything
-    * — the operator's pre-flight (`CALL remove_orphan_files(dry_run)`).
-    * Same resolution as the real pass: committed-and-superseded dirs
-    * plus never-committed ones older than `orphanAgeMs`, minus every
-    * retention anchor (two newest manifests, tags, live branches). */
-  def orphanCandidates(spark: SparkSession, root: String,
-                       orphanAgeMs: Long = OrphanReclaimAfterMs)
-      : Seq[String] = reclaim(spark, root, orphanAgeMs, dryRun = true)
+  /** `CALL remove_orphan_files` — the Iceberg semantics: delete ONLY
+    * dirs NO retained manifest (and no live branch) ever committed —
+    * crashed/abandoned writers' staging leftovers — and only past the
+    * age threshold (a younger one may belong to a LIVE in-flight
+    * writer). Committed history is NEVER touched: superseded-dir
+    * reclaim and manifest expiry stay [[gc]]/[[expireSnapshots]]'
+    * explicitly-history-affecting job. `dryRun` lists without
+    * deleting. */
+  def removeOrphans(spark: SparkSession, root: String,
+                    orphanAgeMs: Long = OrphanReclaimAfterMs,
+                    dryRun: Boolean = false): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val ms = manifests(spark, root)
+    if (ms.isEmpty) return Seq.empty
+    val committed = ms.flatMap(m => parse(spark, m._2)).map(_.dir).toSet ++
+      branchAnchoredDirs(spark, root)
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
+    val orphans = fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("d") ||
+          s.getPath.getName.startsWith("f")))
+      .filterNot(s => committed.contains(s.getPath.getName))
+      .filter(_.getModificationTime < cutoff)
+    if (!dryRun) orphans.foreach(s => fs.delete(s.getPath, true))
+    orphans.map(_.getPath.getName).sorted
+  }
 
   private def reclaim(spark: SparkSession, root: String,
-                      orphanAgeMs: Long, dryRun: Boolean): Seq[String] = {
+                      orphanAgeMs: Long): Seq[String] = {
     val fs = fsOf(spark, root)
     val ms = manifests(spark, root)
     if (ms.isEmpty) return Seq.empty
@@ -1051,7 +1069,6 @@ object EpochManifest {
       .filterNot(s => keepDirs.contains(s.getPath.getName))
       .filter(s => committedDirs.contains(s.getPath.getName) ||
         s.getModificationTime < cutoff)
-    if (dryRun) return deleted.map(_.getPath.getName).sorted
     deleted.foreach(s => fs.delete(s.getPath, true))
     val keepGen = keepManifests.map(_._1).toSet
     ms.filterNot(m => keepGen.contains(m._1)).foreach(m => fs.delete(m._2, false))

@@ -2483,11 +2483,45 @@ object EpochStore {
     * after the restored generation still apply to latest-wins reads —
     * restore rolls back DATA commits, not the delete journal. */
   def restoreSnapshot(spark: SparkSession, root: String,
-                      generation: Long): Unit = {
+                      generation: Long): Long = {
     val target = EpochManifest.entriesAt(spark, root, generation)
     val cur = EpochManifest.entries(spark, root)
-    EpochManifest.commitIfUnchanged(spark, root, cur, target)
-    ()
+    val oldMax = cur.map(_.epoch).maxOption.getOrElse(-1L)
+    val tgtMax = target.map(_.epoch).maxOption.getOrElse(-1L)
+    if (oldMax <= tgtMax)
+      return EpochManifest.commitIfUnchanged(spark, root, cur, target)
+    // EPOCH HIGH-WATER MARKER: the restored snapshot's max epoch is
+    // LOWER than the rolled-back head's, and the next append allocates
+    // max+1 — without a marker it would REUSE the rolled-back commits'
+    // epoch numbers, silently corrupting every epoch-ordered consumer
+    // (a changefeed whose base generation predates the restore would
+    // drop the re-used epochs forever; a _deletes tombstone at epoch T
+    // would kill fresh post-restore rows landing at reused epochs ≤ T).
+    // The marker is an EMPTY entry pinned at the old max, carrying the
+    // restored snapshot's schema/bucket/sort records so evolution,
+    // SPJ serving, and the ordering report see a uniform entry set,
+    // plus an empty stats index so planning stays zero-listing.
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val dir = EpochManifest.newDataDir(spark, root, oldMax)
+    fs.mkdirs(new Path(s"$root/$dir"))
+    val recs = target.map(e =>
+      EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+    if (target.nonEmpty && recs.forall(_.isDefined)) {
+      val (sch, pc) = mergeRecorded(root, recs.map(_.get))
+      val buckets = target
+        .map(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
+        .distinct
+      val sorts = target
+        .map(e => EpochStoreWrite.readSortSidecar(fs, root, e.dir))
+        .distinct
+      EpochStoreWrite.writeSchemaSidecar(fs, root, dir, sch,
+        splitPartCols(pc),
+        bucket = buckets match { case Seq(b) => b; case _ => None },
+        sortCols = sorts match { case Seq(s) => s; case _ => Nil })
+    }
+    EpochStoreStats.write(fs, root, dir, Seq.empty)
+    EpochManifest.commitIfUnchanged(spark, root, cur,
+      target :+ EpochManifest.Entry(oldMax, dir))
   }
 
   /** SELECTIVE small-file maintenance — Iceberg's `rewrite_data_files`

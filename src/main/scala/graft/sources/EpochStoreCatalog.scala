@@ -145,16 +145,22 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean = isStore(rootOf(ident))
 
   override def loadTable(ident: Identifier): Table =
-    metaKindOf(ident) match {
-      case Some((baseIdent, kind)) =>
-        val base = tableAt(baseIdent, -1L) match {
-          case t: EpochStoreTable => t
-          case other => throw new IllegalStateException(
-            s"metadata table over non-store table ${other.name()}")
-        }
-        EpochStoreMetadata.table(spark, rootOf(baseIdent), kind,
-          base.schema(), base.storeOptions)
-      case None => tableAt(ident, -1L)
+    metaTableOf(ident, b => tableAt(b, -1L))
+      .getOrElse(tableAt(ident, -1L))
+
+  /** Resolve a metadata-table identifier against `loadBase` (the plain,
+    * version-, or timestamp-pinned base loader); None when `ident` is
+    * not a metadata spelling. */
+  private def metaTableOf(ident: Identifier,
+                          loadBase: Identifier => Table): Option[Table] =
+    metaKindOf(ident).map { case (baseIdent, kind) =>
+      val base = loadBase(baseIdent) match {
+        case t: EpochStoreTable => t
+        case other => throw new IllegalStateException(
+          s"metadata table over non-store table ${other.name()}")
+      }
+      EpochStoreMetadata.table(spark, rootOf(baseIdent), kind,
+        base.schema(), base.storeOptions)
     }
 
   /** Metadata-table resolution ([[EpochStoreMetadata]]): either the
@@ -187,19 +193,9 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     * `VERSION AS OF 'v1'` stays answerable through any number of later
     * commits and compactions until untagged). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    metaKindOf(ident) match {
-      case Some((baseIdent, kind)) =>
-        // metadata tables compose with time travel: `files`/`partitions`
-        // describe the pinned snapshot (history/refs are timeless)
-        val base = loadTable(baseIdent, version) match {
-          case t: EpochStoreTable => t
-          case other => throw new IllegalStateException(
-            s"metadata table over non-store table ${other.name()}")
-        }
-        return EpochStoreMetadata.table(spark, rootOf(baseIdent), kind,
-          base.schema(), base.storeOptions)
-      case None => ()
-    }
+    // metadata tables compose with time travel: `files`/`partitions`
+    // describe the pinned snapshot (history/refs are timeless)
+    metaTableOf(ident, b => loadTable(b, version)).foreach(t => return t)
     version.toLongOption match {
       case Some(g) => tableAt(ident, g)
       case None =>
@@ -228,17 +224,7 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     * beyond the retention horizon rather than answering from a newer
     * snapshot. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    metaKindOf(ident) match {
-      case Some((baseIdent, kind)) =>
-        val base = loadTable(baseIdent, timestamp) match {
-          case t: EpochStoreTable => t
-          case other => throw new IllegalStateException(
-            s"metadata table over non-store table ${other.name()}")
-        }
-        return EpochStoreMetadata.table(spark, rootOf(baseIdent), kind,
-          base.schema(), base.storeOptions)
-      case None => ()
-    }
+    metaTableOf(ident, b => loadTable(b, timestamp)).foreach(t => return t)
     val root = rootOf(ident)
     if (!isStore(root)) throw new NoSuchTableException(ident)
     tableAt(ident, EpochManifest.generationAsOf(spark, root,

@@ -164,14 +164,13 @@ private[sources] object EpochStoreProcedures {
             case _ => throw new IllegalArgumentException(
               "restore_snapshot takes EITHER generation OR tag")
           }
-          EpochStore.restoreSnapshot(spark, root, gen)
+          val newHead = EpochStore.restoreSnapshot(spark, root, gen)
           result(StructType(Seq(
             StructField("restored_generation", LongType, nullable = false),
             StructField("new_head_generation", LongType, nullable = false),
             StructField("entries", IntegerType, nullable = false))),
-            Array(row(gen,
-              EpochManifest.generations(spark, root).last,
-              EpochManifest.entries(spark, root).size)))
+            Array(row(gen, newHead,
+              EpochManifest.entriesAt(spark, root, newHead).size)))
         }
       }
 
@@ -256,25 +255,24 @@ private[sources] object EpochStoreProcedures {
         ProcedureParameter.in("older_than_hours", LongType)
           .defaultValue((EpochManifest.OrphanReclaimAfterMs
             / 3600000L).toString)
-          .comment("never-committed dirs younger than this survive (a " +
-            "live writer may still be staging them); committed-and-" +
-            "superseded dirs reclaim regardless").build(),
+          .comment("orphans younger than this survive - a live " +
+            "writer may still be staging them").build(),
         ProcedureParameter.in("dry_run", BooleanType)
           .defaultValue("false")
           .comment("list the reclaimable dirs without deleting")
           .build())) {
         override def description(): String =
-          "reclaim (or, dry_run, list) dirs no retention anchor " +
-            "references: superseded data/fold dirs plus aged " +
-            "never-committed orphans — tags, live branches, and the " +
-            "two newest manifests always survive"
+          "delete (or, dry_run, list) dirs NO retained manifest or " +
+            "live branch ever committed - crashed writers' staging " +
+            "leftovers past the age threshold. Committed history is " +
+            "never touched (gc / expire_snapshots are the " +
+            "history-affecting moves, and say so)"
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val root = rootOf(str(input, 0))
           val ageMs = input.getLong(1) * 3600000L
           val dry = input.getBoolean(2)
-          val dirs =
-            if (dry) EpochManifest.orphanCandidates(spark, root, ageMs)
-            else EpochManifest.gc(spark, root, ageMs)
+          val dirs = EpochManifest.removeOrphans(spark, root, ageMs,
+            dryRun = dry)
           result(StructType(Seq(
             StructField("dir", StringType, nullable = false),
             StructField("removed", BooleanType, nullable = false))),

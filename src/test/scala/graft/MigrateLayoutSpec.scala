@@ -91,10 +91,28 @@ class MigrateLayoutSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql("CALL resc.system.restore_snapshot('t', 99999)").collect() }
     assert(e != null)
+    // EPOCH HIGH-WATER: roll back an APPEND (the epoch counter had
+    // advanced) — post-restore appends must NOT reuse the rolled-back
+    // epoch numbers, or a changefeed based before the restore would
+    // silently drop the reused epochs forever
+    spark.sql("CALL resc.system.tag('t', 'pre_bad')").collect()
+    spark.sql("INSERT INTO resc.t VALUES (400, 'bad')")
+    val badMax = EpochManifest.entries(spark, root).map(_.epoch).max
+    spark.sql("CALL resc.system.restore_snapshot('t', tag => 'pre_bad')")
+      .collect()
+    assert(spark.sql("SELECT count(*) FROM resc.t").head.getLong(0) == 40L)
+    spark.sql("INSERT INTO resc.t VALUES (500, 'fresh')")
+    val es = EpochManifest.entries(spark, root)
+    assert(es.map(_.epoch).max > badMax,
+      s"post-restore append must allocate ABOVE the rolled-back high " +
+        s"water $badMax: ${es.map(_.epoch).sorted}")
+    assert(spark.sql("SELECT count(*) FROM resc.t").head.getLong(0) == 41L)
+    assert(spark.sql("SELECT count(*) FROM resc.t WHERE id = 500")
+      .head.getLong(0) == 1L)
   }
 
-  test("remove_orphan_files: dry_run lists without deleting, the real " +
-      "pass reclaims superseded dirs and spares retention anchors") {
+  test("remove_orphan_files: deletes only aged NEVER-COMMITTED dirs — " +
+      "committed history and retained generations are untouchable") {
     import spark.implicits._
     val wh = tmp()
     cat("orph", wh)
@@ -103,31 +121,31 @@ class MigrateLayoutSpec extends SparkSpec {
       root, 0L)
     EpochStore.write((20 until 40).map(i => (i.toLong, s"w$i")).toDF("id", "v"),
       root, 1L)
-    EpochStore.write((40 until 60).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
-      root, 2L)
-    // three epochs + compaction = superseded dirs beyond the
-    // two-manifest window
-    EpochStore.compactStore(spark, root, parts = 1)
-    spark.sql("INSERT INTO orph.t VALUES (100, 'y')")
-    spark.sql("INSERT INTO orph.t VALUES (101, 'z')")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a crashed writer's staging leftover: never committed, aged out
+    val orphan = new org.apache.hadoop.fs.Path(s"$root/d9-99")
+    fs.mkdirs(orphan)
+    fs.setTimes(orphan, System.currentTimeMillis() - 10L * 3600000L, -1)
+    val gens = graft.core.EpochManifest.generations(spark, root)
     val dry = spark.sql(
       "CALL orph.system.remove_orphan_files('t', dry_run => true)")
       .collect()
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    // dry_run deleted nothing
-    dry.foreach(r => assert(!r.getBoolean(1)))
-    dry.foreach(r => assert(fs.exists(
-      new org.apache.hadoop.fs.Path(s"$root/${r.getString(0)}")),
-      s"dry_run must not delete ${r.getString(0)}"))
+    assert(dry.map(_.getString(0)).toSeq == Seq("d9-99"),
+      s"only the aged orphan is a candidate: ${dry.toSeq}")
+    assert(!dry.head.getBoolean(1) && fs.exists(orphan),
+      "dry_run must not delete")
     val real = spark.sql(
       "CALL orph.system.remove_orphan_files('t')").collect()
-    assert(real.map(_.getString(0)).toSet == dry.map(_.getString(0)).toSet,
-      "the real pass reclaims exactly what dry_run listed")
-    real.foreach(r => assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$root/${r.getString(0)}"))))
-    // the table still answers exactly
-    assert(spark.sql("SELECT count(*) FROM orph.t").head.getLong(0) == 62L)
+    assert(real.map(_.getString(0)).toSeq == Seq("d9-99") &&
+      !fs.exists(orphan))
+    // committed history untouched: every retained generation still
+    // resolves and the data answers exactly
+    assert(graft.core.EpochManifest.generations(spark, root) == gens,
+      "remove_orphan_files must never expire manifests")
+    gens.foreach(g => assert(spark.sql(
+      s"SELECT count(*) FROM orph.t VERSION AS OF $g").head.getLong(0) > 0))
+    assert(spark.sql("SELECT count(*) FROM orph.t").head.getLong(0) == 40L)
   }
 
   test("bucket store migrates back to identity partitioning; stats " +
