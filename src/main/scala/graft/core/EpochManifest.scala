@@ -1024,10 +1024,25 @@ object EpochManifest {
     * writer). Committed history is NEVER touched: superseded-dir
     * reclaim and manifest expiry stay [[gc]]/[[expireSnapshots]]'
     * explicitly-history-affecting job. `dryRun` lists without
-    * deleting. */
+    * deleting.
+    *
+    * Recent-file protection (Iceberg's rule): an age below
+    * [[OrphanReclaimAfterMs]] would set the cutoff inside the window a
+    * LIVE concurrent writer needs to stage-then-commit — its staged
+    * d-/f-prefixed attempt dirs look like orphans right up to the
+    * manifest publish, so `older_than_hours => 0` would delete data an
+    * imminent commit references. Short ages refuse unless `force`
+    * (dry runs may peek). */
   def removeOrphans(spark: SparkSession, root: String,
                     orphanAgeMs: Long = OrphanReclaimAfterMs,
-                    dryRun: Boolean = false): Seq[String] = {
+                    dryRun: Boolean = false,
+                    force: Boolean = false): Seq[String] = {
+    require(dryRun || force || orphanAgeMs >= OrphanReclaimAfterMs,
+      s"remove_orphan_files on $root: age ${orphanAgeMs}ms is below the " +
+        s"${OrphanReclaimAfterMs}ms in-flight-writer window — a concurrent " +
+        "writer's staged-but-uncommitted dirs would be deleted out from " +
+        "under its imminent commit; pass force => true only when no " +
+        "writer can be live")
     val fs = fsOf(spark, root)
     val ms = manifests(spark, root)
     if (ms.isEmpty) return Seq.empty

@@ -217,12 +217,15 @@ final class EpochStoreTable(tableSchema: StructType,
     // a row-identity store routes EVERY delete merge-on-read
     // ([[EpochStoreDelta]]): the metadata-first path drops/rewrites
     // entries without carrying their _delta tombstones, which would
-    // resurrect rows those tombstones kill. A RENAMED store routes to
-    // the row-level rewrite too — its scan is alias-aware, the
-    // metadata path's per-entry classification is not.
+    // resurrect rows those tombstones kill. A store with live entries
+    // still NEEDING alias resolution routes to the row-level rewrite
+    // too — its scan is alias-aware, the metadata path's per-entry
+    // classification is not (after CALL compact rewrites every entry
+    // to current names, the path reopens — liveAliasNeed, not the
+    // immutable ops log, is the gate).
     EpochStoreDelta.morKeysOf(SparkSession.active, options).isEmpty &&
-      EpochStore.columnAliases(SparkSession.active,
-        EpochStore.rootOf(options)).chains.isEmpty &&
+      !EpochStore.liveAliasNeed(SparkSession.active,
+        EpochStore.rootOf(options)) &&
       filters.forall(f => EpochStoreDml.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -391,10 +394,6 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     // a row-identity store with live tombstones — footer counts would
     // include killed rows; Spark scans rows as usual
     if (morLiveTombstones) return false
-    // a renamed/dropped-column store: footers and sidecars speak each
-    // entry's PHYSICAL names — the agg path doesn't translate; scan rows
-    if (EpochStore.columnAliases(SparkSession.active,
-      EpochStore.rootOf(options)).chains.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -417,7 +416,10 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       }
     if (!funcsOk) return false
     // every aggregated COLUMN must exist in every pinned entry's
-    // recorded schema: an entry predating an ADD COLUMN has neither
+    // recorded schema — possibly under a historical PHYSICAL name (the
+    // footer/sidecar fold resolves each entry's spelling through the
+    // alias chains, so a rename history no longer disables the
+    // metadata-only path): an entry predating an ADD COLUMN has neither
     // footer stats nor sidecar entries for it, and the footer fold
     // cannot serve the rows' value (null — or the EXISTENCE default);
     // an entry without a record proves nothing. COUNT(*) has no column
@@ -428,18 +430,22 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       case m: Max => colOf(m.column)
       case _ => Nil
     }.distinct
-    if (aggCols.nonEmpty) {
+    val aliases = EpochStore.columnAliases(SparkSession.active,
+      EpochStore.rootOf(options))
+    if (aggCols.nonEmpty || !aliases.isEmpty) {
       val spark = SparkSession.active
       val root = EpochStore.rootOf(options)
       val fs = new Path(root)
         .getFileSystem(GraftBridge.sessionHadoopConf(spark))
       val ok = EpochStore.pinnedEntries(spark, root, options).forall { e =>
         EpochStoreWrite.readSchemaSidecar(fs, root, e.dir) match {
-          case Some((s, _)) => aggCols.forall(s.fieldNames.contains)
+          case Some((s, _)) =>
+            val efs = s.fieldNames.toSet
+            aggCols.forall(l => efs.contains(aliases.resolve(l, efs)))
           // pre-evolution entries have no record AND no ALTER history
           // (ALTER refuses without records) — the explicit-schema
           // contract makes their files uniform, footers carry the column
-          case None => true
+          case None => aliases.isEmpty
         }
       }
       if (!ok) return false
@@ -2039,6 +2045,24 @@ object EpochStore {
     * the data entries). */
   def deletesRoot(root: String): String = s"$root/_deletes"
 
+  /** Rows in the `_deletes` journal (0 when none) — the post-restore
+    * tombstone count `restore_snapshot` surfaces: the journal keeps its
+    * own lineage across a restore, so these keys STILL suppress
+    * restored rows in latest-wins reads (the documented divergence from
+    * Delta RESTORE). Answered from the sub-store's stats sidecars
+    * (zero data IO); pre-index entries fall back to one count. */
+  def liveDeleteJournalRows(spark: SparkSession, root: String): Long = {
+    val dr = deletesRoot(root)
+    val fs = new Path(dr).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    if (!fs.exists(new Path(dr))) return 0L
+    EpochManifest.entries(spark, dr).map { e =>
+      EpochStoreStats.readIndexed(fs, dr, e.dir) match {
+        case Some(ix) => ix.valuesIterator.map(_.rows).sum
+        case None => spark.read.parquet(s"$dr/${e.dir}").count()
+      }
+    }.sum
+  }
+
   /** Row-level DELETE as an appended tombstone epoch: `keys` (the key
     * columns only, deduplicated here) lands in the delete sub-store
     * under `epoch`, and [[readLatest]] with `applyDeletes = true` drops
@@ -2141,6 +2165,35 @@ object EpochStore {
     def resolve(logical: String, entryFields: Set[String]): String =
       (logical :: chains.getOrElse(logical, Nil))
         .find(entryFields.contains).getOrElse(logical)
+  }
+
+  /** Whether ANY live (latest-snapshot) entry still serves a current
+    * logical column under a historical physical name — the question
+    * the rename gates actually ask. The column-ops log is immutable
+    * (its `retired` set must outlive compaction to keep the re-add
+    * refusal sound), so `chains.nonEmpty` stays true forever; but once
+    * `CALL compact` rewrites every entry to the current names, no live
+    * entry needs aliasing and the gated paths — filtered INSERT
+    * OVERWRITE, metadata-first DELETE, footer/sidecar aggregation —
+    * must reopen, exactly as their refusal messages promise. An entry
+    * predating schema records can't be proven current and counts as
+    * needing aliases. One sidecar read per entry, and only on stores
+    * whose ops log has live chains (rare). */
+  def liveAliasNeed(spark: SparkSession, root: String): Boolean = {
+    val aliases = columnAliases(spark, root)
+    if (aliases.chains.isEmpty) return false
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val logical =
+      try evolvedSchema(spark, root)._1.fieldNames.toSeq
+      catch { case _: IllegalArgumentException => return true }
+    EpochManifest.entries(spark, root).exists { e =>
+      EpochStoreWrite.readSchemaSidecar(fs, root, e.dir) match {
+        case None => true
+        case Some((s, _)) =>
+          val efs = s.fieldNames.toSet
+          logical.exists(l => aliases.resolve(l, efs) != l)
+      }
+    }
   }
 
   /** Replay the ops log into alias chains. */
@@ -2502,16 +2555,32 @@ object EpochStore {
     // SPJ serving, and the ordering report see a uniform entry set,
     // plus an empty stats index so planning stays zero-listing.
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // the marker's schema/bucket/sort records come from the TARGET
+    // snapshot; restoring to an EMPTY generation derives them from the
+    // CURRENT entries instead (same logical schema by construction —
+    // evolution only ever widens from the first commit), so the marker
+    // never lands record-less and catalog loads never degrade to the
+    // discovery path. A store whose entries predate schema records
+    // cannot restore ACROSS the high-water edge at all — a record-less
+    // marker would flip evolvedSchema from working to refusing — so
+    // that refuses loudly rather than committing a degraded store.
+    val recSource = if (target.nonEmpty) target else cur
+    val recs = recSource.map(e =>
+      EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+    require(recs.forall(_.isDefined),
+      s"restore_snapshot on $root to generation $generation: entries " +
+        s"${recSource.zip(recs).collect { case (e, None) => e.dir }
+          .mkString(", ")} predate schema records, so the epoch " +
+        "high-water marker the restore must commit would leave the " +
+        "store unreadable through the catalog — run CALL compact first")
     val dir = EpochManifest.newDataDir(spark, root, oldMax)
     fs.mkdirs(new Path(s"$root/$dir"))
-    val recs = target.map(e =>
-      EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
-    if (target.nonEmpty && recs.forall(_.isDefined)) {
+    locally {
       val (sch, pc) = mergeRecorded(root, recs.map(_.get))
-      val buckets = target
+      val buckets = recSource
         .map(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
         .distinct
-      val sorts = target
+      val sorts = recSource
         .map(e => EpochStoreWrite.readSortSidecar(fs, root, e.dir))
         .distinct
       EpochStoreWrite.writeSchemaSidecar(fs, root, dir, sch,

@@ -78,6 +78,34 @@ final case class EpochStoreAggScan(
 
   def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
 
+  /** RENAME evolution (X85) over the metadata-only path: footers and
+    * sidecars speak each entry's PHYSICAL spellings, so the fold asks
+    * each entry for the alias chains' resolution of every aggregated
+    * column — pre-rename entries answer under their recorded historical
+    * name, post-rename (and compacted) entries under the current one.
+    * Empty for never-renamed stores: one ops-log probe, no sidecar
+    * reads. */
+  @transient private lazy val aliases: EpochStore.ColumnAliases =
+    EpochStore.columnAliases(SparkSession.active, root)
+
+  @transient private lazy val entryFieldsByDir: Map[String, Set[String]] =
+    if (aliases.isEmpty) Map.empty
+    else {
+      val spark = SparkSession.active
+      val fs = new Path(root)
+        .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+      entries.map(_.dir).map { d =>
+        d -> EpochStoreWrite.readSchemaSidecar(fs, root, d)
+          .map(_._1.fieldNames.toSet).getOrElse(Set.empty[String])
+      }.toMap
+    }
+
+  /** The physical spelling `logical` carries in `entryDir`'s files. */
+  private def physOf(entryDir: String, logical: String): String =
+    if (aliases.isEmpty) logical
+    else aliases.resolve(logical,
+      entryFieldsByDir.getOrElse(entryDir, Set.empty))
+
   /** SIDECAR-answered aggregation — the tier ABOVE the footer fold:
     * when every listed file carries a stats record covering the pushed
     * aggregates (rows for COUNT(*), per-column nulls for COUNT(col),
@@ -122,7 +150,10 @@ final case class EpochStoreAggScan(
         Some(nr.fieldNames.head)
       case _ => None
     }
-    def covered(n: String): Boolean = sts.forall(_._2.get.cols.contains(n))
+    // a renamed store covers column l when every file's sidecar records
+    // it under the file's OWN physical spelling (alias-resolved per entry)
+    def covered(n: String): Boolean = sts.forall { case (lf, st) =>
+      st.get.cols.contains(physOf(lf.entryDir, n)) }
     val exprs = aggregation.aggregateExpressions.toSeq
     val answerable = exprs.forall {
       case _: CountStar => true
@@ -164,25 +195,30 @@ final case class EpochStoreAggScan(
       vs.foldLeft[Option[Any]](Some(null)) { (acc, v) =>
         acc.flatMap(better(_, v, takeMin))
       }
-    val groups: Seq[(Seq[Any], Seq[EpochStoreStats.FileStats])] =
+    // each FileStats rides with its owning entry dir so the folds below
+    // can ask for the entry's physical spelling of a renamed column
+    val groups: Seq[(Seq[Any], Seq[(String, EpochStoreStats.FileStats)])] =
       if (aggregation.groupByExpressions.isEmpty)
-        Seq((Seq.empty[Any], sts.map(_._2.get)))
+        Seq((Seq.empty[Any], sts.map(t => (t._1.entryDir, t._2.get))))
       else sts.groupBy(t => groupIdxInPart.map(t._1.values(_))).toSeq
         .sortBy(t => t._1.map(String.valueOf).mkString("\u0000"))
-        .map { case (vs, l) => (vs, l.map(_._2.get)) }
+        .map { case (vs, l) => (vs, l.map(t => (t._1.entryDir, t._2.get))) }
     val rows = groups.map { case (v, fstats) =>
       val vals: Seq[Option[Any]] = exprs.map {
-        case _: CountStar => Some(fstats.map(_.rows).sum)
+        case _: CountStar => Some(fstats.map(_._2.rows).sum)
         case c: Count =>
           val n = colOf(c.column).get
-          Some(fstats.map(f => f.rows - f.cols(n).nulls).sum)
+          Some(fstats.map { case (d, f) =>
+            f.rows - f.cols(physOf(d, n)).nulls }.sum)
         case m: Min =>
           val n = colOf(m.column).get
-          reduceBetter(fstats.map(_.cols(n).min.orNull), takeMin = true)
+          reduceBetter(fstats.map { case (d, f) =>
+            f.cols(physOf(d, n)).min.orNull }, takeMin = true)
             .flatMap(conv(_, dataSchema(n).dataType))
         case m: Max =>
           val n = colOf(m.column).get
-          reduceBetter(fstats.map(_.cols(n).max.orNull), takeMin = false)
+          reduceBetter(fstats.map { case (d, f) =>
+            f.cols(physOf(d, n)).max.orNull }, takeMin = false)
             .flatMap(conv(_, dataSchema(n).dataType))
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
@@ -235,10 +271,19 @@ final case class EpochStoreAggScan(
       if (aggregation.groupByExpressions.isEmpty)
         Array(EpochAggPartition(null, 0L, null)) // the zero row
       else Array.empty // zero files → zero groups
-    } else files.map(lf =>
+    } else files.map { lf =>
+      // renamed stores: ship the (logical -> this file's physical)
+      // pairs so the task-side footer fold reads the entry's spelling;
+      // empty (the common case) keeps the partition payload unchanged
+      val pairs: Array[(String, String)] =
+        if (aliases.isEmpty) Array.empty
+        else dataSchema.fieldNames.flatMap { l =>
+          val p = physOf(lf.entryDir, l)
+          if (p == l) None else Some((l, p))
+        }
       EpochAggPartition(lf.status.getPath.toString, lf.status.getLen,
-        lf.values.toArray)
-    ).toArray
+        lf.values.toArray, pairs): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -252,9 +297,14 @@ final case class EpochStoreAggScan(
 
 /** One footer to fold; `filePath == null` is the empty-store zero row.
   * `partValues` are the file's partition-dir values in partition-column
-  * order (the footer fold resolves grouped columns from them by name). */
+  * order (the footer fold resolves grouped columns from them by name).
+  * `physPairs` (RENAME evolution) maps each logical data column this
+  * file spells differently to its physical name — the fold translates
+  * the schema and aggregate references before touching the footer. */
 final case class EpochAggPartition(filePath: String, fileLen: Long,
-                                   partValues: Array[Any])
+                                   partValues: Array[Any],
+                                   physPairs: Array[(String, String)] =
+                                     Array.empty)
     extends InputPartition
 
 /** One DRIVER-folded partial row (the sidecar-answered path): `values`
@@ -321,8 +371,30 @@ final class EpochAggReaderFactory(
             if (groupSchema.isEmpty) InternalRow.empty
             else new GenericInternalRow(
               part.partValues.map(EpochStore.toCatalyst))
-          GraftBridge.aggRowFromFooter(footer, part.filePath, dataSchema,
-            groupSchema, aggregation, aggSchema, pv)
+          // a pre-rename file's footer speaks its historical spellings:
+          // rename the schema fields and aggregate references to match
+          // (grouped columns are partition columns, which cannot be
+          // renamed — groupSchema stays untouched)
+          val (ds, ag, aggS) =
+            if (part.physPairs.isEmpty) (dataSchema, aggregation, aggSchema)
+            else {
+              val m = part.physPairs.toMap
+              // Spark's footer fold matches the OUTPUT schema's field
+              // names ("min(score)") against the aggregate expressions,
+              // so the translated spelling must appear there too; the
+              // row it returns is positional with unchanged types, so
+              // the upstream partial-merge is unaffected
+              val aggS2 = StructType(aggSchema.fields.map { f =>
+                f.copy(name = m.foldLeft(f.name) { case (nm, (l, p)) =>
+                  nm.replace("(" + l + ")", "(" + p + ")")
+                })
+              })
+              (StructType(dataSchema.fields.map(f =>
+                m.get(f.name).map(p => f.copy(name = p)).getOrElse(f))),
+                EpochAggReaderFactory.translate(aggregation, m), aggS2)
+            }
+          GraftBridge.aggRowFromFooter(footer, part.filePath, ds,
+            groupSchema, ag, aggS, pv)
         }
 
       override def next(): Boolean = if (emitted) false else {
@@ -331,5 +403,31 @@ final class EpochAggReaderFactory(
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }
+  }
+}
+
+object EpochAggReaderFactory {
+  /** The pushed aggregation with every single-column reference a
+    * renamed file spells differently rewritten to that file's physical
+    * name ([[EpochAggPartition.physPairs]]); grouping references are
+    * partition columns (never renameable) and pass through. */
+  private[sources] def translate(agg: Aggregation,
+      m: Map[String, String]): Aggregation = {
+    import org.apache.spark.sql.connector.expressions.{
+      Expression, Expressions, NamedReference}
+    def tr(e: Expression): Expression = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          m.contains(nr.fieldNames.head) =>
+        Expressions.column(m(nr.fieldNames.head))
+      case other => other
+    }
+    new Aggregation(
+      agg.aggregateExpressions.map {
+        case c: Count => new Count(tr(c.column), c.isDistinct)
+        case mn: Min => new Min(tr(mn.column))
+        case mx: Max => new Max(tr(mx.column))
+        case other => other
+      },
+      agg.groupByExpressions)
   }
 }

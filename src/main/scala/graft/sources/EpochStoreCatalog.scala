@@ -172,7 +172,11 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       : Option[(Identifier, String)] = {
     val n = ident.name()
     val dollar = n.lastIndexOf('$')
-    if (dollar > 0) {
+    // a real store whose directory is literally named `docs$files`
+    // always wins over the metadata spelling — same rule as the nested
+    // form below (the metadata table stays reachable by first renaming
+    // the clashing store away)
+    if (dollar > 0 && !isStore(rootOf(ident))) {
       val (b, k) = (n.substring(0, dollar), n.substring(dollar + 1))
       val baseIdent = Identifier.of(ident.namespace(), b)
       if (EpochStoreMetadata.Kinds(k.toLowerCase) && isStore(rootOf(baseIdent)))
@@ -299,10 +303,52 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       s"store $root has RENAME/DROP column ops but entries without " +
         "_schema.json records — alias resolution needs the per-entry " +
         "records; ALTER is refused on pre-evolution stores")
+    // an EMPTY snapshot (TRUNCATE, delete-all): serve the RECORDED
+    // schema/layout from the newest retained generation whose entries
+    // all carry records — exact and zero file IO, and it keeps a
+    // CREATE TABLE-origin store (whose entries may hold only sidecars,
+    // never inferable parquet) loadable and insertable after TRUNCATE
+    if (entries.isEmpty) {
+      gens.reverse.iterator
+        .map(g => EpochManifest.entriesAt(spark, root, g))
+        .find(es => es.nonEmpty && es.forall(e =>
+          EpochStoreWrite.readSchemaSidecar(fs, root, e.dir).isDefined))
+        .foreach { es =>
+          val recs = es.map(e =>
+            EpochStoreWrite.readSchemaSidecar(fs, root, e.dir).get)
+          val (schemaPhys, partCol) = EpochStore.mergeRecorded(root, recs)
+          val colOps = EpochManifest.columnOps(spark, root)
+          val schema =
+            if (colOps.isEmpty) schemaPhys
+            else EpochStore.applyColumnOps(root, schemaPhys, colOps)
+          val buckets = es
+            .map(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
+            .distinct
+          val bucket = buckets match {
+            case Seq(Some(b)) => Some(b)
+            case _ => None
+          }
+          val opts = Map("path" -> root) ++
+            partCol.map("partitionColumn" -> _) ++
+            bucket.map(b => "bucketColumn" -> b.col) ++
+            bucket.map(b => "bucketCount" -> b.n.toString) ++
+            branch.map("branch" -> _) ++
+            (if (asOfGeneration >= 0L)
+              Map("asOfGeneration" -> asOfGeneration.toString)
+            else Map.empty)
+          return new EpochStoreTable(withRowIdNullability(root, schema),
+            new CaseInsensitiveStringMap(opts.asJava))
+        }
+    }
+    // DATA files only: sidecars (_schema.json, _skip/…) don't make an
+    // entry inferable — parquet inference over a sidecar-only dir fails
     def hasFiles(p: Path): Boolean =
       fs.exists(p) && fs.listStatus(p).exists(s =>
-        (s.isFile && s.getLen > 0) ||
-          (s.isDirectory && hasFiles(s.getPath)))
+        (s.isFile && s.getLen > 0 &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) ||
+          (s.isDirectory && !s.getPath.getName.startsWith("_") &&
+            hasFiles(s.getPath)))
     val dataEntry = entries.find(e => hasFiles(new Path(s"$root/${e.dir}")))
       // a just-TRUNCATEd (or all-empty) store: discover the schema from
       // any RETAINED generation's entry — truncate is one manifest

@@ -303,16 +303,19 @@ private[graft] object EpochStoreDml {
       return es
     if (filters.forall { case sources.AlwaysTrue() => true; case _ => false })
       return Seq.empty
-    // RENAMED store: the per-entry binding below speaks each entry's
-    // recorded (physical) names — a logical condition on a renamed
-    // column would bind null in pre-rename entries and silently keep
-    // their matching rows. SQL DELETE routes to the alias-aware
-    // row-level rewrite (canDeleteWhere); the static filtered INSERT
-    // OVERWRITE refuses loudly here instead.
-    require(EpochStore.columnAliases(spark, root).chains.isEmpty,
-      s"filtered overwrite/delete on $root: the store has RENAME COLUMN " +
-        "history — run CALL compact to rewrite entries to the current " +
-        "names first")
+    // RENAMED store with live pre-rename entries: the per-entry binding
+    // below speaks each entry's recorded (physical) names — a logical
+    // condition on a renamed column would bind null in those entries
+    // and silently keep their matching rows. SQL DELETE routes to the
+    // alias-aware row-level rewrite (canDeleteWhere); the static
+    // filtered INSERT OVERWRITE refuses loudly here instead. The gate
+    // is liveAliasNeed, NOT the immutable ops log: once CALL compact
+    // rewrites every entry to the current names the binding is sound
+    // again and the path reopens, as the message promises.
+    require(!EpochStore.liveAliasNeed(spark, root),
+      s"filtered overwrite/delete on $root: live entries still serve " +
+        "columns under pre-RENAME names — run CALL compact to rewrite " +
+        "them to the current names first")
     val cond = filters.map(f => filterToColumn(f).getOrElse(
       throw new IllegalArgumentException(
         s"epochstore DELETE cannot translate filter $f"))).reduce(_ && _)

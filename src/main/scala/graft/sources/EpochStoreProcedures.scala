@@ -149,7 +149,11 @@ private[sources] object EpochStoreProcedures {
         override def description(): String =
           "make a retained older generation the current head again — " +
             "one manifest commit, no data moves, the rolled-back " +
-            "commits stay time-travelable until gc"
+            "commits stay time-travelable until gc. Restores DATA " +
+            "commits only: on a row-identity store, keyed-DELETE " +
+            "tombstones journaled after the restored generation STILL " +
+            "APPLY to latest-wins reads (the live_tombstones result " +
+            "column reports how many; purge_deletes clears the journal)"
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val root = rootOf(str(input, 0))
           val tag = Option(str(input, 2)).map(_.trim).filter(_.nonEmpty)
@@ -165,12 +169,18 @@ private[sources] object EpochStoreProcedures {
               "restore_snapshot takes EITHER generation OR tag")
           }
           val newHead = EpochStore.restoreSnapshot(spark, root, gen)
+          // the divergence from Delta RESTORE the scaladoc documents,
+          // surfaced at the call site: a non-zero count means the
+          // delete journal still suppresses restored rows
+          val liveTombstones = EpochStore.liveDeleteJournalRows(spark, root)
           result(StructType(Seq(
             StructField("restored_generation", LongType, nullable = false),
             StructField("new_head_generation", LongType, nullable = false),
-            StructField("entries", IntegerType, nullable = false))),
+            StructField("entries", IntegerType, nullable = false),
+            StructField("live_tombstones", LongType, nullable = false))),
             Array(row(gen, newHead,
-              EpochManifest.entriesAt(spark, root, newHead).size)))
+              EpochManifest.entriesAt(spark, root, newHead).size,
+              liveTombstones)))
         }
       }
 
@@ -260,19 +270,26 @@ private[sources] object EpochStoreProcedures {
         ProcedureParameter.in("dry_run", BooleanType)
           .defaultValue("false")
           .comment("list the reclaimable dirs without deleting")
+          .build(),
+        ProcedureParameter.in("force", BooleanType)
+          .defaultValue("false")
+          .comment("allow an age below the in-flight-writer window - " +
+            "ONLY when no concurrent writer can be live (a short age " +
+            "deletes dirs a racing commit is about to reference)")
           .build())) {
         override def description(): String =
           "delete (or, dry_run, list) dirs NO retained manifest or " +
             "live branch ever committed - crashed writers' staging " +
-            "leftovers past the age threshold. Committed history is " +
-            "never touched (gc / expire_snapshots are the " +
-            "history-affecting moves, and say so)"
+            "leftovers past the age threshold (ages below the " +
+            "in-flight-writer window refuse without force => true). " +
+            "Committed history is never touched (gc / expire_snapshots " +
+            "are the history-affecting moves, and say so)"
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val root = rootOf(str(input, 0))
           val ageMs = input.getLong(1) * 3600000L
           val dry = input.getBoolean(2)
           val dirs = EpochManifest.removeOrphans(spark, root, ageMs,
-            dryRun = dry)
+            dryRun = dry, force = input.getBoolean(3))
           result(StructType(Seq(
             StructField("dir", StringType, nullable = false),
             StructField("removed", BooleanType, nullable = false))),

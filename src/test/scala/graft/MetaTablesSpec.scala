@@ -90,6 +90,18 @@ class MetaTablesSpec extends SparkSpec {
     EpochStore.write(Seq((1L, "x")).toDF("id", "v"), inner, 0L)
     assert(spark.sql("SELECT count(*) FROM metab.ns.files")
       .head.getLong(0) == 1L)
+
+    // the SAME rule for the dollar spelling: a real store whose
+    // directory is literally `docs$files` wins over docs' metadata
+    // table — before the fix, the $ branch shadowed it unconditionally
+    EpochStore.write((0 until 7).map(i => (i.toLong, s"d$i"))
+      .toDF("id", "v"), s"$wh/docs$$files", 0L)
+    assert(spark.sql("SELECT count(*) FROM metab.`docs$files`")
+      .head.getLong(0) == 7L,
+      "a real store named docs$files must stay reachable")
+    // and a store with no such clash keeps its metadata table
+    assert(spark.sql("SELECT count(*) FROM metab.`docs$partitions`")
+      .head.getLong(0) == 4L)
   }
 
   test("metadata tables compose with VERSION AS OF: files describes the " +

@@ -184,4 +184,80 @@ class MigrateLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("tombstone"),
       s"live tombstones must refuse migration: ${e.getMessage}")
   }
+
+  test("remove_orphan_files refuses an age inside the in-flight-writer " +
+      "window without force; dry_run may peek; force proceeds") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("orpf", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      root, 0L)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a FRESH staging dir — exactly what a live concurrent writer looks
+    // like right before its manifest commit
+    val staged = new org.apache.hadoop.fs.Path(s"$root/d7-77")
+    fs.mkdirs(staged)
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL orpf.system.remove_orphan_files('t', older_than_hours => 0)")
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("in-flight-writer"),
+      s"short age must refuse with the reason: $msgs")
+    assert(fs.exists(staged), "nothing may be deleted on refusal")
+    // dry_run may peek below the floor without deleting
+    val dry = spark.sql("CALL orpf.system.remove_orphan_files('t', " +
+      "older_than_hours => 0, dry_run => true)").collect()
+    assert(dry.map(_.getString(0)).contains("d7-77") && fs.exists(staged))
+    // force proceeds (caller asserts no writer can be live)
+    val forced = spark.sql("CALL orpf.system.remove_orphan_files('t', " +
+      "older_than_hours => 0, force => true)").collect()
+    assert(forced.map(_.getString(0)).contains("d7-77") && !fs.exists(staged))
+    assert(spark.sql("SELECT count(*) FROM orpf.t").head.getLong(0) == 10L)
+  }
+
+  test("restore_snapshot surfaces the still-applied delete journal " +
+      "(live_tombstones column) and restores ACROSS a TRUNCATE to an " +
+      "empty snapshot without degrading the store") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("resj", wh)
+    val root = s"$wh/t"
+    spark.sql("CREATE TABLE resj.t (id BIGINT, v STRING) USING epochstore")
+    spark.sql("INSERT INTO resj.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CALL resj.system.tag('t', 'full')").collect()
+    // an engine-level keyed-delete journal entry lands AFTER the tag
+    EpochStore.delete(spark, root, Seq(2L).toDF("id"), epoch = 100L)
+    val res = spark.sql(
+      "CALL resj.system.restore_snapshot('t', tag => 'full')").collect()
+    assert(res.head.schema.fieldNames.contains("live_tombstones"),
+      "the divergence from Delta RESTORE must be surfaced in the result")
+    assert(res.head.getAs[Long]("live_tombstones") == 1L,
+      s"one journaled key still applies: ${res.head}")
+
+    // restore-to-empty: TRUNCATE commits a ZERO-entry generation; the
+    // high-water marker the restore commits must still carry a schema
+    // record (derived from the CURRENT snapshot) so catalog loads and
+    // evolvedSchema keep working
+    spark.sql("INSERT INTO resj.t VALUES (4, 'd')")
+    spark.sql("CALL resj.system.tag('t', 'pre_empty')").collect()
+    spark.sql("TRUNCATE TABLE resj.t")
+    spark.sql("CALL resj.system.tag('t', 'empty')").collect()
+    spark.sql("INSERT INTO resj.t VALUES (9, 'z')")
+    val r2 = spark.sql(
+      "CALL resj.system.restore_snapshot('t', tag => 'empty')").collect()
+    assert(r2.head.getAs[Int]("entries") >= 1,
+      "the restore-to-empty head carries the marker entry")
+    assert(spark.sql("SELECT count(*) FROM resj.t").head.getLong(0) == 0L,
+      "restored-to-empty table must read empty")
+    assert(spark.table("resj.t").schema.fieldNames.toSeq ==
+      Seq("id", "v"), "schema must survive the restore-to-empty")
+    // appends keep working above the preserved high water
+    spark.sql("INSERT INTO resj.t VALUES (10, 'post')")
+    assert(spark.sql("SELECT count(*) FROM resj.t").head.getLong(0) == 1L)
+  }
 }

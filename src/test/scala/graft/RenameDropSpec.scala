@@ -124,20 +124,29 @@ class RenameDropSpec extends SparkSpec {
     EpochStore.write((0 until 30).map(i => (i.toLong, s"v$i"))
       .toDF("id", "v"), root, 0L)
     spark.sql("ALTER TABLE renu.t RENAME COLUMN v TO val")
+    // the filtered replaced-set resolution (static filtered INSERT
+    // OVERWRITE / metadata DELETE) refuses while a live entry still
+    // spells `val` as physical `v` — its per-entry binding speaks
+    // physical names
+    val e = intercept[Exception] {
+      graft.sources.EpochStoreDml.resolveDelete(spark, root,
+        Array(org.apache.spark.sql.sources.EqualTo("val", "v9")))
+    }
+    assert(e.getMessage.contains("pre-RENAME"), e.getMessage)
     spark.sql("DELETE FROM renu.t WHERE val = 'v5'")
     assert(spark.sql("SELECT count(*) FROM renu.t").head.getLong(0) == 29L)
     spark.sql("UPDATE renu.t SET val = 'updated' WHERE id = 6")
     assert(spark.sql("SELECT val FROM renu.t WHERE id = 6")
       .head.getString(0) == "updated")
     assert(spark.sql("SELECT count(*) FROM renu.t").head.getLong(0) == 29L)
-    // the filtered replaced-set resolution (static filtered INSERT
-    // OVERWRITE / metadata DELETE) refuses on rename history — its
-    // per-entry binding speaks physical names
-    val e = intercept[Exception] {
-      graft.sources.EpochStoreDml.resolveDelete(spark, root,
-        Array(org.apache.spark.sql.sources.EqualTo("val", "v9")))
-    }
-    assert(e.getMessage.contains("RENAME COLUMN"))
+    // the row-level rewrites re-landed every live entry under the
+    // CURRENT names — the gate keys on live entry need (liveAliasNeed),
+    // not the immutable ops log, so the metadata path reopens
+    assert(!EpochStore.liveAliasNeed(spark, root),
+      "the CoW rewrites normalized the spellings")
+    val surv = graft.sources.EpochStoreDml.resolveDelete(spark, root,
+      Array(org.apache.spark.sql.sources.EqualTo("val", "v9")))
+    assert(surv.nonEmpty, "post-rewrite resolution must work")
   }
 
   test("one ALTER batch validates sequentially: dropping every column " +
@@ -199,5 +208,67 @@ class RenameDropSpec extends SparkSpec {
         sum(col("n_chars").cast("long")).as("chars"))
       .orderBy("lang").collect().toSeq.map(_.toSeq)
     assert(got.nonEmpty && got == want, s"got=$got\nwant=$want")
+  }
+
+  test("aggregate pushdown is alias-aware: COUNT/MIN/MAX over a renamed " +
+      "store stay metadata-only and exact; the rename gates reopen after " +
+      "compaction (liveAliasNeed, not the immutable ops log)") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("rag", wh)
+    val root = s"$wh/t"
+    // pre-rename epoch: column `x`, with x-stats in the sidecars
+    EpochStore.write((0 until 40).map(i => (i.toLong, i * 2L,
+      if (i % 2 == 0) "a" else "b")).toDF("id", "x", "p"),
+      root, 0L, partitionColumn = "p", statsColumns = Seq("x"))
+    spark.sql("ALTER TABLE rag.t RENAME COLUMN x TO score")
+    // post-rename epoch written under the current name
+    spark.sql("INSERT INTO rag.t VALUES (100, 999, 'a')")
+    assert(EpochStore.liveAliasNeed(spark, root),
+      "the pre-rename epoch still serves `score` as physical `x`")
+
+    // the aggregate must PUSH (pre-fix the rename history disabled the
+    // metadata path forever) and fold each entry under its OWN spelling
+    val agg = spark.sql("SELECT count(*) AS n, count(score) AS ns, " +
+      "min(score) AS mn, max(score) AS mx FROM rag.t")
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.EpochStoreAggScan]),
+      s"aggregate must push on the renamed store: $scans")
+    assert(agg.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(41L, 41L, 0L, 999L)), s"alias-aware fold diverged")
+    // grouped by the (never-renamed) partition column too
+    val grouped = spark.sql("SELECT p, max(score) AS mx FROM rag.t " +
+      "GROUP BY p ORDER BY p").collect().map(_.toSeq).toSeq
+    assert(grouped == Seq(Seq("a", 999L), Seq("b", 78L)), s"got $grouped")
+
+    // filtered INSERT OVERWRITE refuses while a live entry needs
+    // aliasing — with the message's promise...
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE rag.t PARTITION (p = 'a') " +
+        "VALUES (500, 1)")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("CALL compact"),
+      s"refusal must name the remedy:\n$msgs")
+    // ...actually KEPT: after compaction rewrites entries to current
+    // names, the gate reopens (pre-fix it keyed on the immutable ops
+    // log and refused forever)
+    EpochStore.compactStore(spark, root, parts = 1)
+    assert(!EpochStore.liveAliasNeed(spark, root),
+      "compaction rewrote every entry to the current names")
+    spark.sql("INSERT OVERWRITE rag.t PARTITION (p = 'a') " +
+      "VALUES (100, 999)")
+    val post = spark.sql(
+      "SELECT p, count(*) AS n FROM rag.t GROUP BY p ORDER BY p")
+      .collect().map(_.toSeq).toSeq
+    assert(post == Seq(Seq("a", 1L), Seq("b", 20L)),
+      s"overwrite must replace only p='a': $post")
+    // and the metadata-first DELETE path reopens with it
+    spark.sql("DELETE FROM rag.t WHERE p = 'b'")
+    assert(spark.sql("SELECT count(*) FROM rag.t").head.getLong(0) == 1L)
   }
 }
