@@ -548,6 +548,103 @@ object EpochManifest {
       !name.contains("\n"),
       s"column name '$name' cannot be recorded in the ops log")
 
+  // Partition-SPEC evolution: `_manifests/layout.v<N>.json` — the
+  // table-level CURRENT layout, recorded ON TOP of the per-entry
+  // layout records (each entry's `_schema.json`/`_bucket.json` stay
+  // immutable with its data, exactly like column renames). New writes
+  // land under the current layout; scans evaluate every pinned entry
+  // under its OWN recorded spec — Iceberg's mixed-spec snapshots, no
+  // data rewrite. Same versioned-CAS discipline as the columns log.
+
+  /** One recorded table-level layout: identity partition columns in
+    * nesting order, optional hash-bucket spec (col, n). */
+  final case class LayoutSpec(partCols: Seq[String],
+                              bucketCol: Option[String],
+                              bucketCount: Int)
+
+  private def layoutFiles(spark: SparkSession, root: String)
+      : Seq[(Long, Path)] = {
+    val fs = fsOf(spark, root)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("layout.v") && n.endsWith(".json"))
+        n.stripPrefix("layout.v").stripSuffix(".json").toLongOption
+          .map(_ -> s.getPath)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** The CURRENT declared layout, when the store ever evolved its
+    * partition spec; None for the overwhelmingly common never-evolved
+    * store (one directory probe, no read). */
+  def currentLayout(spark: SparkSession, root: String): Option[LayoutSpec] = {
+    val fs = fsOf(spark, root)
+    def readAt(p: Path): LayoutSpec = {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      def field(k: String): Option[String] =
+        if (!body.contains("\"" + k + "\":\"")) None
+        else Some(body.split("\"" + k + "\":\"")(1).takeWhile(_ != '"'))
+      val pc = field("partCols").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      val bc = field("bucketCol").filter(_.nonEmpty)
+      val bn =
+        if (!body.contains("\"bucketCount\":")) 0
+        else body.split("\"bucketCount\":")(1).takeWhile(_.isDigit).toInt
+      LayoutSpec(pc, bc, bn)
+    }
+    def attempt(retriesLeft: Int): Option[LayoutSpec] =
+      layoutFiles(spark, root).lastOption match {
+        case None => None
+        case Some((_, p)) =>
+          try Some(readAt(p)) catch {
+            case _: java.io.FileNotFoundException if retriesLeft > 0 =>
+              attempt(retriesLeft - 1)
+            case _: java.io.FileNotFoundException => None
+          }
+      }
+    attempt(2)
+  }
+
+  /** OCC publish of a new table-level layout (`CALL evolve_layout`):
+    * re-read, validate the CURRENT layout via `validate` inside the CAS
+    * loop, publish the next version. Metadata-only — no entry is
+    * touched; old entries keep serving under their recorded specs. */
+  def publishLayout(spark: SparkSession, root: String, spec: LayoutSpec,
+                    validate: Option[LayoutSpec] => Unit = _ => ()): Unit = {
+    spec.partCols.foreach(requireRecordable)
+    spec.bucketCol.foreach(requireRecordable)
+    require(spec.bucketCol.isEmpty == (spec.bucketCount <= 0),
+      "bucketCol and a positive bucketCount go together")
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < 64) {
+      val old = layoutFiles(spark, root)
+      val next = old.lastOption.map(_._1).getOrElse(0L) + 1L
+      validate(currentLayout(spark, root))
+      val body = s"""{"partCols":"${spec.partCols.mkString(",")}"""" +
+        spec.bucketCol.map(c =>
+          s""","bucketCol":"$c","bucketCount":${spec.bucketCount}""")
+          .getOrElse("") + "}\n"
+      val tmp = new Path(manifestDir(root),
+        s".layout.v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      fs.mkdirs(manifestDir(root))
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (atomicClaim(fs, tmp,
+        new Path(manifestDir(root), s"layout.v$next.json"))) {
+        old.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
+        return
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"layout publish under $root lost $attempt CAS races")
+  }
+
   /** The current snapshot: entries of the highest complete manifest. */
   def entries(spark: SparkSession, root: String): Seq[Entry] =
     manifests(spark, root).lastOption.map(m => parse(spark, m._2)).getOrElse(Seq.empty)

@@ -1842,6 +1842,54 @@ object MiscCatalog {
       |FROM documents WHERE lang IS NOT NULL
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Partition-spec evolution WITHOUT rewrite (`q_store_spec_evolve`,
+    * X92): the even half of the corpus lands lang-PARTITIONED, `CALL
+    * evolve_layout` publishes `bucket(8, doc_id)` as METADATA ONLY (one
+    * tiny versioned log file — no data moves, the Iceberg mixed-spec
+    * shape), and the odd half INSERTs through the catalog under the new
+    * spec. The final aggregate reads the MIXED snapshot: old entries
+    * serve `lang` from their dirs and prune by lang; the new entry
+    * serves it from its files and prunes by doc_id buckets — each entry
+    * under its OWN recorded spec (SpecEvolveSpec gates the per-entry
+    * pruned-dir audits, the SPJ/order withholding, the streaming
+    * refusal, and migrate_layout as the physical normalizer). DuckDB
+    * recomputes from the raw table, so a row lost or duplicated across
+    * the spec boundary, or a lang value mangled crossing dir-constant
+    * to file column, fails cell-exact.
+    *
+    * Scale shape: re-partitioning a 100 TB store costs ONE metadata
+    * write up front; the rewrite (migrate_layout) becomes an optional,
+    * incremental background move instead of a blocking prerequisite. */
+  def storeSpecEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_sev_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L, partitionColumn = "lang")
+    val s2 = spark.newSession()
+    val c = s"graftsev$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(s"CALL $c.system.evolve_layout('docs', " +
+      "bucket_column => 'doc_id', bucket_count => 8)").collect()
+    Tables.documents(s2, sfDir)
+      .filter(col("lang").isNotNull && col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+      .createOrReplaceTempView(s"sev_new_$run")
+    s2.sql(s"INSERT INTO $c.docs " +
+      s"SELECT doc_id, n_chars, lang FROM sev_new_$run")
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MIN(doc_id) AS min_id
+         |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** Snapshot rollback (`q_store_restore`, X90): the corpus lands
     * across two epochs and is TAGGED, a destructive DELETE then drops a
     * third of the rows, and `CALL restore_snapshot(tag)` makes the
@@ -2232,6 +2280,7 @@ object MiscCatalog {
     "q_store_rename"  -> (storeRename _),
     "q_store_default" -> (storeDefault _),
     "q_store_migrate" -> (storeMigrate _),
+    "q_store_spec_evolve" -> (storeSpecEvolve _),
     "q_store_restore" -> (storeRestore _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
@@ -2291,6 +2340,7 @@ object MiscCatalog {
     "q_store_rename"  -> storeRenameSql,
     "q_store_default" -> storeDefaultSql,
     "q_store_migrate" -> storeMigrateSql,
+    "q_store_spec_evolve" -> storeMigrateSql,
     "q_store_restore" -> storeRestoreSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,

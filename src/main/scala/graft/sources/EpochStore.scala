@@ -394,6 +394,10 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     // a row-identity store with live tombstones — footer counts would
     // include killed rows; Spark scans rows as usual
     if (morLiveTombstones) return false
+    // a spec-evolved store: the metadata-agg listing and its grouping
+    // assume ONE layout — Spark scans rows (per-entry-correct) instead
+    if (EpochManifest.currentLayout(SparkSession.active,
+      EpochStore.rootOf(options)).nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -471,9 +475,26 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       groupFilters = filters
       return filters
     }
+    // spec-evolved stores: a filter on ANY entry's identity columns is
+    // dir-prunable for THAT entry (the per-entry walk partially binds;
+    // entries without those dirs conservatively keep) — so the
+    // prunable set is the union of the current layout's and every
+    // pinned entry's recorded identity columns
+    val prunable: Set[String] = {
+      val spark = SparkSession.active
+      val root = EpochStore.rootOf(options)
+      if (EpochManifest.currentLayout(spark, root).isEmpty) partCols.toSet
+      else {
+        val fs = new Path(root)
+          .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+        partCols.toSet ++ EpochStore.pinnedEntries(spark, root, options)
+          .flatMap(e => EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+          .flatMap(r => EpochStore.splitPartCols(r._2))
+      }
+    }
     val (exact, rest) = filters.partition(f =>
-      partCols.nonEmpty &&
-        EpochStore.exactPartitionFilter(f, partCols.toSet))
+      prunable.nonEmpty &&
+        EpochStore.exactPartitionFilter(f, prunable))
     partFilters = exact
     // _epoch is a per-file constant, not a parquet column — filters on it
     // stay residual (Spark re-evaluates them over the served constant)
@@ -481,7 +502,16 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       !f.references.exists(partCols.contains) &&
         !f.references.contains(EpochStore.EpochColName) &&
         !f.references.contains(EpochStore.ChangeColName))
-    rest
+    // PARTITION-SPEC evolution: a store with a layout log may hold
+    // entries whose files carry the current partition columns IN-ROW —
+    // a claimed-exact dir filter would silently pass their rows, so
+    // every filter stays RESIDUAL (Spark re-evaluates over the served
+    // values) while `partFilters` still prunes each entry's dirs under
+    // its own spec. Costs one re-evaluation on fully-migrated stores;
+    // never-evolved stores keep today's exact handling.
+    if (EpochManifest.currentLayout(SparkSession.active,
+      EpochStore.rootOf(options)).nonEmpty) filters
+    else rest
   }
 
   override def pushedFilters(): Array[Filter] = partFilters ++ dataFilters
@@ -719,6 +749,18 @@ final case class EpochStoreScan(
           "run CALL compact to rewrite them to the current names, then " +
           "start the tail")
     }
+    // same rule for partition-SPEC evolution: the micro-batch reader
+    // plans under the CURRENT layout — entries recorded under a foreign
+    // spec refuse until migrate_layout/compaction normalizes them
+    if (hasLayoutProfiles) {
+      val foreign = entries.filter(e => layoutOfDir(e.dir).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"epochstore streaming over $root: entries " +
+          s"${foreign.map(_.dir).mkString(", ")} were written under a " +
+          "previous partition spec — run CALL migrate_layout (or " +
+          "compact) to rewrite them to the current layout, then start " +
+          "the tail")
+    }
     new EpochStoreMicroBatchStream(fullSchema, required, partCols, root,
       partFilters, dataFilters, streamOptions, bloomCol, bucket)
   }
@@ -820,7 +862,18 @@ final case class EpochStoreScan(
         partFields, partFilters ++ runtimeFilters,
         bucket = bucket,
         bucketKeep = bucket.flatMap(b => EpochStore.bucketProbes(
-          dataFilters ++ runtimeFilters, b, fullSchema(b.col).dataType)))
+          dataFilters ++ runtimeFilters, b, fullSchema(b.col).dataType)),
+        // spec evolution: each entry walks under its OWN recorded
+        // layout; filters on columns an entry doesn't dir-serve keep
+        // its subtree (they run residually over the served rows)
+        layoutOf = entryLayoutsOpt.map(m => (e: graft.core.EpochManifest
+          .Entry) => {
+          val (pcs, bkt) = m.getOrElse(e.dir, (partCols, bucket))
+          (pcs.map(c => fullSchema.fields.find(_.name == c).getOrElse(
+            throw new IllegalStateException(
+              s"entry ${e.dir} records partition column $c missing " +
+                s"from the schema of $root"))), bkt)
+        }))
       val kept = applyRowBound(spark,
         applyStatsSkip(spark, applyBloomSkip(spark, files)))
       // CDC mode: every selected entry's equality tombstones join the
@@ -1096,7 +1149,8 @@ final case class EpochStoreScan(
       // dir; a bucket-only layout reports bucket(n, col) alone
       if (required.fieldNames.contains(b.col) &&
         readPartSchema.size == partFields.size &&
-        listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0))
+        listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0) &&
+        !hasLayoutProfiles)
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
           (partCols.map(c => org.apache.spark.sql.connector.expressions
@@ -1110,7 +1164,10 @@ final case class EpochStoreScan(
     }
     // report the COMPOSITE key only when every partition column survives
     // into the output (a partial key is not the storage partitioning)
-    else if (partFields.nonEmpty && readPartSchema.size == partFields.size)
+    // AND every planned entry reads under the current layout — a mixed
+    // store's foreign-layout entries are not key-clustered on this key
+    else if (partFields.nonEmpty && readPartSchema.size == partFields.size &&
+      !hasLayoutProfiles)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         partCols.map(c => org.apache.spark.sql.connector.expressions
           .Expressions.identity(c))
@@ -1132,7 +1189,8 @@ final case class EpochStoreScan(
   private def spjBucketKeyed: Boolean =
     bucket.nonEmpty && required.fieldNames.contains(bucket.get.col) &&
       readPartSchema.size == partFields.size &&
-      listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0)
+      listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0) &&
+      !hasLayoutProfiles
 
   /** The file groups [[planInputPartitions]] packs — SPJ bucket-keyed,
     * identity-keyed, or one global group. The ordering feasibility
@@ -1147,7 +1205,8 @@ final case class EpochStoreScan(
         .sortBy { case ((vs, k), _) =>
           (vs.map(String.valueOf).mkString("\u0000"), k) }
         .map { case ((vs, k), files) => (vs :+ (k: Any), files) }
-    else if (partFields.isEmpty || readPartSchema.size != partFields.size)
+    else if (partFields.isEmpty || readPartSchema.size != partFields.size ||
+      hasLayoutProfiles)
       Seq((Seq.empty[Any], listing._1))
     else
       // pack per partition VALUE tuple so every task holds one key's
@@ -1192,6 +1251,10 @@ final case class EpochStoreScan(
     val spark = SparkSession.active
     val files = listing._1
     if (files.isEmpty || changeRequested) return None
+    // mixed partition specs: a sort order proven under one layout says
+    // nothing across foreign-layout groups — no report (migrate_layout
+    // or compaction restores it)
+    if (hasLayoutProfiles) return None
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val sortsByDir = files.map(_.entryDir).distinct
       .map(d => d -> EpochStoreWrite.readSortSidecar(fs, root, d)).toMap
@@ -1216,7 +1279,7 @@ final case class EpochStoreScan(
       // same-key partitions back-to-back, which would interleave the
       // proven chain; no report rather than a false one (compaction
       // collapses the profiles and restores it)
-      if (!aliases.isEmpty &&
+      if (anyProfiles &&
         g.map(f => profileIdxOf(f.entryDir)).distinct.size > 1) return None
       if (g.size <= 1) out += key -> g
       else {
@@ -1268,11 +1331,20 @@ final case class EpochStoreScan(
         : Seq[(FilePartition, Int)] = {
       val fseq = ordered.map(_(key)).getOrElse(files)
       val byProfile: Seq[(Seq[EpochStore.ListedFile], Int)] =
-        if (aliases.isEmpty) Seq((fseq, 0))
+        if (!anyProfiles) Seq((fseq, 0))
         else fseq.map(f => profileIdxOf(f.entryDir)).distinct
           .map(pid => (fseq.filter(f => profileIdxOf(f.entryDir) == pid), pid))
       byProfile.flatMap { case (fs2, pid) =>
-        EpochStore.planFilePartitions(spark, fs2, constEff, constantsOfEff,
+        // a FOREIGN-layout profile rides its own constant split (its
+        // dir-served values); same-layout profiles ride the table's
+        val (cs, cof) =
+          if (!anyProfiles) (constEff, constantsOfEff _)
+          else profiles._1.lift(pid).flatMap(_._2) match {
+            case Some((pcE, _)) =>
+              (constSchemaFor(pcE), constantsForLayout(pcE))
+            case None => (constEff, constantsOfEff _)
+          }
+        EpochStore.planFilePartitions(spark, fs2, cs, cof,
           preserveOrder = ordered.isDefined)
           .map { case fp: FilePartition => (fp, pid) }
       }
@@ -1285,7 +1357,7 @@ final case class EpochStoreScan(
       }.toArray
     else
       pack(Seq.empty, listing._1).map { case (fp, pid) =>
-        if (pid == 0 && aliases.isEmpty) fp: InputPartition
+        if (pid == 0 && !anyProfiles) fp: InputPartition
         else ProfiledFilePartition(fp, pid): InputPartition
       }.toArray
   }
@@ -1307,42 +1379,168 @@ final case class EpochStoreScan(
     }.toMap
   }
 
-  /** The distinct per-entry PHYSICAL-NAME PROFILES (one resolved name
-    * per data column, in [[dataSchema]] order) plus each entry dir's
-    * profile index. A renamed store typically has two: pre-rename
-    * entries and post-rename ones; each profile gets its own reader
-    * factory with the requested schema translated to ITS names, so old
-    * files keep vectorized reads and serve the logical column — no
-    * row-level shims, no rewrite. */
-  @transient private lazy val profiles
-      : (IndexedSeq[Seq[String]], Map[String, Int]) = {
+  /** PARTITION-SPEC evolution (X92) — per pinned entry, its RECORDED
+    * layout (identity partition columns in nesting order + optional
+    * hash-bucket spec), resolved only when the store carries a layout
+    * log ([[EpochManifest.currentLayout]] — one directory probe for the
+    * overwhelmingly common never-evolved store). Each entry is pruned,
+    * served, and read under its OWN spec; the table-level `partCols`/
+    * `bucket` are the CURRENT layout new writes land under. */
+  @transient private lazy val entryLayoutsOpt
+      : Option[Map[String, (Seq[String], Option[EpochStore.StoreBucket])]] =
+    if (EpochManifest.currentLayout(SparkSession.active, root).isEmpty) None
+    else {
+      val spark = SparkSession.active
+      val fs = new Path(root)
+        .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+      Some(entries.map(_.dir).map { d =>
+        val pc = EpochStoreWrite.readSchemaSidecar(fs, root, d)
+          .map(r => EpochStore.splitPartCols(r._2))
+          .getOrElse(partCols)
+        d -> (pc, EpochStoreWrite.readBucketSidecar(fs, root, d))
+      }.toMap)
+    }
+
+  /** The entry's layout when it DIFFERS from the table-level one;
+    * None for same-layout (and all never-evolved) entries. */
+  private def layoutOfDir(d: String)
+      : Option[(Seq[String], Option[EpochStore.StoreBucket])] =
+    entryLayoutsOpt.flatMap(_.get(d))
+      .filter(l => l._1 != partCols || l._2 != bucket)
+
+  /** True when any pinned entry reads under a layout other than the
+    * current one — SPJ/ordering reports and value-keyed grouping are
+    * withheld (they describe ONE layout), per-entry pruning still runs. */
+  @transient private lazy val hasLayoutProfiles: Boolean =
+    entryLayoutsOpt.nonEmpty && entries.exists(e => layoutOfDir(e.dir).nonEmpty)
+
+  /** The distinct per-entry READ PROFILES: the entry's physical NAME
+    * spelling of every data column (X85 rename evolution; [[dataSchema]]
+    * order) plus its layout when ≠ table-level (X92 spec evolution).
+    * Index 0 is always the identity profile (untranslated names, current
+    * layout). Each profile gets its own reader factory — translated
+    * requested schema for renames, a file/dir column re-split plus an
+    * output permutation for foreign layouts — so old files keep
+    * vectorized reads and serve the logical shape with no rewrite. */
+  @transient private lazy val profiles: (IndexedSeq[(Seq[String],
+      Option[(Seq[String], Option[EpochStore.StoreBucket])])],
+      Map[String, Int]) = {
+    val identityNames = dataSchema.fieldNames.toSeq
     val byDir = entries.map(_.dir).map { d =>
-      val efs = entryFieldsByDir(d)
-      d -> dataSchema.fieldNames.toSeq.map(n => aliases.resolve(n, efs))
+      val names =
+        if (aliases.isEmpty) identityNames
+        else dataSchema.fieldNames.toSeq
+          .map(n => aliases.resolve(n, entryFieldsByDir(d)))
+      d -> ((names, layoutOfDir(d)))
     }.toMap
-    val distinct = byDir.values.toSeq.distinct.toIndexedSeq
+    val identity = (identityNames,
+      None: Option[(Seq[String], Option[EpochStore.StoreBucket])])
+    val distinct = (identity +:
+      byDir.values.toSeq.distinct.filterNot(_ == identity)).toIndexedSeq
     (distinct, byDir.map { case (d, p) => d -> distinct.indexOf(p) })
   }
 
   private def profileIdxOf(dir: String): Int =
-    if (aliases.isEmpty) 0 else profiles._2.getOrElse(dir, 0)
+    if (aliases.isEmpty && !hasLayoutProfiles) 0
+    else profiles._2.getOrElse(dir, 0)
+
+  /** Whether ANY non-identity profile exists (renames or foreign
+    * layouts) — the gate the packing/routing fast path keys on. */
+  private def anyProfiles: Boolean = !aliases.isEmpty || hasLayoutProfiles
+
+  /** FOREIGN-layout profile split: the declared output columns the
+    * entry serves from its partition DIRS (requested ones, in the
+    * entry's nesting order) and from its FILES (declared order), plus
+    * the per-file constant extras (`_epoch` / `_change_type` / the MoR
+    * epoch) in [[constEff]] order. The factory, the packing constants,
+    * and the output permutation all derive from this one split. */
+  private def layoutSplit(pcE: Seq[String])
+      : (Seq[StructField], Seq[StructField], Seq[StructField]) = {
+    val declaredAll = readDataEff.fields ++ constEff.fields
+    val dirServed = pcE.toSet
+    val extraNames = Set(EpochStore.EpochColName, EpochStore.ChangeColName)
+    val dataF = declaredAll.toSeq.filter(f =>
+      !dirServed(f.name) && !extraNames(f.name))
+    val dirF = pcE.flatMap(c => declaredAll.find(_.name == c))
+    val extras = constEff.fields.toSeq.filter(f => extraNames(f.name))
+    (dirF, dataF, extras)
+  }
+
+  /** The constant-column schema a FOREIGN-layout profile's files ride
+    * with (dir-served values + extras) — planFilePartitions pairs it
+    * with [[constantsForLayout]]. */
+  private def constSchemaFor(pcE: Seq[String]): StructType = {
+    val (dirF, _, extras) = layoutSplit(pcE)
+    StructType(dirF ++ extras)
+  }
+
+  private def constantsForLayout(pcE: Seq[String])
+      : EpochStore.ListedFile => Array[Any] = {
+    val (dirF, _, _) = layoutSplit(pcE)
+    val idx = dirF.map(f => pcE.indexOf(f.name))
+    lf => {
+      val b = Array.newBuilder[Any]
+      idx.foreach(i => b += lf.values(i))
+      if (epochRequested) b += lf.epoch
+      if (changeRequested) b += (if (lf.isDelete) "delete" else "insert")
+      if (morFiltering && !epochRequested) b += (lf.epoch: Any)
+      b.result()
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    def factoryFor(profile: Option[Seq[String]]): PartitionReaderFactory = {
-      val (ds, rds, flt) = profile match {
-        case None => (dataSchema, readDataEff, dataFilters)
-        case Some(p) =>
-          val m = dataSchema.fieldNames.zip(p).toMap
-          (StructType(dataSchema.fields.map(f => f.copy(name = m(f.name)))),
-            StructType(readDataEff.fields.map(f =>
-              f.copy(name = m.getOrElse(f.name, f.name)))),
-            // untranslatable shapes just drop from the parquet push —
-            // data filters are residual, Spark re-evaluates them
-            dataFilters.flatMap(EpochStore.renameFilter(_, m)))
+    def factoryFor(profile: (Seq[String],
+        Option[(Seq[String], Option[EpochStore.StoreBucket])]))
+        : PartitionReaderFactory = {
+      val m = dataSchema.fieldNames.zip(profile._1).toMap
+      val identityNames = m.forall { case (k, v) => k == v }
+      val inner = profile._2 match {
+        case None =>
+          val (ds, rds, flt) =
+            if (identityNames) (dataSchema, readDataEff, dataFilters)
+            else
+              (StructType(dataSchema.fields.map(f =>
+                f.copy(name = m(f.name)))),
+                StructType(readDataEff.fields.map(f =>
+                  f.copy(name = m.getOrElse(f.name, f.name)))),
+                // untranslatable shapes just drop from the parquet push —
+                // data filters are residual, Spark re-evaluates them
+                dataFilters.flatMap(EpochStore.renameFilter(_, m)))
+          EpochStore.parquetReaderFactory(spark, ds, rds, constEff, flt)
+        case Some((pcE, _)) =>
+          // FOREIGN layout: this entry's files hold every column except
+          // ITS OWN identity dirs — re-split the declared output into
+          // file-served vs dir-served, read under that split, then
+          // permute back to the declared order (vectorized end to end)
+          val (dirF, dataF, _) = layoutSplit(pcE)
+          val dirServed = pcE.toSet
+          def tr(n: String): String = m.getOrElse(n, n)
+          val dsE = StructType(fullSchema.fields.toSeq
+            .filterNot(f => dirServed(f.name))
+            .map(f => f.copy(name = tr(f.name))))
+          val rdsE = StructType(dataF.map(f => f.copy(name = tr(f.name))))
+          // filters referencing this entry's dir-served columns can't
+          // reach its files; all data filters stay residual anyway
+          val fltE = dataFilters
+            .filterNot(_.references.exists(dirServed))
+            .flatMap(EpochStore.renameFilter(_, m))
+          val raw = EpochStore.parquetReaderFactory(spark, dsE, rdsE,
+            constSchemaFor(pcE), fltE)
+          val declared = readDataEff.fields ++ constEff.fields
+          val produced = (dataF ++ dirF ++
+            constEff.fields.toSeq.filter(f =>
+              f.name == EpochStore.EpochColName ||
+                f.name == EpochStore.ChangeColName)).map(_.name)
+          val perm = declared.map(f => produced.indexOf(f.name))
+          require(perm.forall(_ >= 0),
+            s"layout profile lost a declared column: " +
+              s"${declared.map(_.name).mkString(",")} vs " +
+              s"${produced.mkString(",")}")
+          if (perm.zipWithIndex.forall { case (p, i) => p == i }) raw
+          else new PermutingReaderFactory(raw, perm.toArray,
+            declared.map(_.dataType).toArray)
       }
-      val inner = EpochStore.parquetReaderFactory(spark, ds, rds, constEff,
-        flt)
       if (!morFiltering) inner
       else {
         val n0 = readDataSchema.size
@@ -1366,10 +1564,10 @@ final case class EpochStoreScan(
           spark.sparkContext.broadcast(tombstones))
       }
     }
-    if (aliases.isEmpty)
-      new KeyedDelegatingReaderFactory(IndexedSeq(factoryFor(None)))
-    else new KeyedDelegatingReaderFactory(
-      profiles._1.map(p => factoryFor(Some(p))))
+    if (!anyProfiles)
+      new KeyedDelegatingReaderFactory(IndexedSeq(factoryFor(
+        (dataSchema.fieldNames.toSeq, None))))
+    else new KeyedDelegatingReaderFactory(profiles._1.map(factoryFor))
   }
 }
 
@@ -1393,6 +1591,61 @@ final case class KeyedFilePartition(inner: FilePartition,
 final case class ProfiledFilePartition(inner: FilePartition, profile: Int)
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** FOREIGN-layout output alignment (X92): the wrapped factory's readers
+  * emit (file-served columns ++ dir-served constants) in the ENTRY's
+  * split order; this wrapper permutes each row/batch back to the scan's
+  * declared output order. Columnar batches permute the column-vector
+  * ARRAY (zero copy, vectorized reads preserved); rows project through
+  * an index map. `perm(i)` = the produced slot serving declared slot i,
+  * `types(i)` = the declared slot's data type. */
+final class PermutingReaderFactory(inner: PartitionReaderFactory,
+                                   perm: Array[Int],
+                                   types: Array[org.apache.spark.sql.types
+                                     .DataType])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = {
+        val row = r.get()
+        val out = new Array[Any](perm.length)
+        var i = 0
+        while (i < perm.length) {
+          out(i) =
+            if (row.isNullAt(perm(i))) null else row.get(perm(i), types(i))
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = r.get()
+        val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](
+          perm.length)
+        var i = 0
+        while (i < perm.length) { cols(i) = b.column(perm(i)); i += 1 }
+        val out = new org.apache.spark.sql.vectorized.ColumnarBatch(cols)
+        out.setNumRows(b.numRows())
+        out
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
 }
 
 /** Unwraps [[KeyedFilePartition]] / [[ProfiledFilePartition]] back to
@@ -1647,7 +1900,9 @@ object EpochStore {
       spark: SparkSession, root: String, entries: Seq[EpochManifest.Entry],
       partFields: Seq[StructField], partFilters: Array[Filter],
       bucket: Option[StoreBucket] = None,
-      bucketKeep: Option[Set[Int]] = None)
+      bucketKeep: Option[Set[Int]] = None,
+      layoutOf: Option[EpochManifest.Entry =>
+        (Seq[StructField], Option[StoreBucket])] = None)
       : (Seq[ListedFile], Int, Int) = {
     val fs = new Path(root).getFileSystem(
       GraftBridge.sessionHadoopConf(spark))
@@ -1661,12 +1916,22 @@ object EpochStore {
     var total = 0
     var kept = 0
     val out = Seq.newBuilder[ListedFile]
+    // MIXED-SPEC snapshots (X92): each entry is walked under its OWN
+    // recorded layout — `layoutOf` resolves it (identity: the uniform
+    // table-level layout, the overwhelmingly common case). Bucket
+    // probes apply only to entries bucketed under the PROBED spec; an
+    // entry under another spec keeps all its files (conservative —
+    // residual filters still run).
+    def layoutFor(e: EpochManifest.Entry)
+        : (Seq[StructField], Option[StoreBucket]) =
+      layoutOf.map(_(e)).getOrElse((partFields, bucket))
+    def keepFor(bktE: Option[StoreBucket]): Option[Set[Int]] =
+      if (bktE == bucket) bucketKeep else None
     // hash-bucket leaf level: prune `<col>_bucket=K` dirs against the
     // probed bucket set; an entry WITHOUT bucket dirs (a DML rewrite
     // that landed unbucketed) serves all its files, always kept
-    def bucketLeaf(p: Path, values: Seq[Any],
-                   e: EpochManifest.Entry): Unit = {
-      val b = bucket.get
+    def bucketLeaf(p: Path, values: Seq[Any], e: EpochManifest.Entry,
+                   b: StoreBucket, keep: Option[Set[Int]]): Unit = {
       val subs = fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(b.dirPrefix))
       if (subs.isEmpty) {
@@ -1675,7 +1940,7 @@ object EpochStore {
         total += 1
         val k = sub.getPath.getName.stripPrefix(b.dirPrefix).toIntOption
           .getOrElse(-1)
-        if (bucketKeep.forall(_.contains(k))) {
+        if (keep.forall(_.contains(k))) {
           kept += 1
           out ++= filesUnder(sub.getPath)
             .map(ListedFile(values, e.epoch, e.dir, _, bucketId = k))
@@ -1683,12 +1948,13 @@ object EpochStore {
       }
     }
     def descend(p: Path, level: Int, bound: Map[String, Any],
-                values: Seq[Any], e: EpochManifest.Entry): Unit = {
-      if (level == partFields.length) {
-        if (bucket.nonEmpty) bucketLeaf(p, values, e)
+                values: Seq[Any], e: EpochManifest.Entry,
+                pfE: Seq[StructField], bktE: Option[StoreBucket]): Unit = {
+      if (level == pfE.length) {
+        if (bktE.nonEmpty) bucketLeaf(p, values, e, bktE.get, keepFor(bktE))
         else out ++= filesUnder(p).map(ListedFile(values, e.epoch, e.dir, _))
       } else {
-        val f = partFields(level)
+        val f = pfE(level)
         val prefix = s"${f.name}="
         fs.listStatus(p).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
@@ -1700,7 +1966,7 @@ object EpochStore {
             if (partFilters.forall(pf =>
                 EpochStore.evalOnPartitions(pf, b2) != Some(false))) {
               kept += 1
-              descend(sub.getPath, level + 1, b2, values :+ v, e)
+              descend(sub.getPath, level + 1, b2, values :+ v, e, pfE, bktE)
             }
           }
       }
@@ -1726,11 +1992,13 @@ object EpochStore {
     }
     def descendIdx(level: Int, bound: Map[String, Any], values: Seq[Any],
                    e: EpochManifest.Entry,
-                   rels: Seq[(String, String, EpochStoreStats.FileStats)])
+                   rels: Seq[(String, String, EpochStoreStats.FileStats)],
+                   pfE: Seq[StructField], bktE: Option[StoreBucket])
         : Unit = {
-      if (level == partFields.length) {
-        if (bucket.isEmpty) { emitIdx(values, e, rels); return }
-        val b = bucket.get
+      if (level == pfE.length) {
+        if (bktE.isEmpty) { emitIdx(values, e, rels); return }
+        val b = bktE.get
+        val keep = keepFor(bktE)
         val (inBucket, bare) =
           rels.partition(r => headSeg(r._2).startsWith(b.dirPrefix))
         if (inBucket.isEmpty) { emitIdx(values, e, bare); return }
@@ -1738,13 +2006,13 @@ object EpochStore {
           .foreach { case (seg, fls) =>
             total += 1
             val k = seg.stripPrefix(b.dirPrefix).toIntOption.getOrElse(-1)
-            if (bucketKeep.forall(_.contains(k))) {
+            if (keep.forall(_.contains(k))) {
               kept += 1
               emitIdx(values, e, fls, bucketId = k)
             }
           }
       } else {
-        val f = partFields(level)
+        val f = pfE(level)
         val prefix = s"${f.name}="
         rels.groupBy(r => headSeg(r._2)).toSeq
           .filter(_._1.startsWith(prefix)).sortBy(_._1)
@@ -1757,20 +2025,22 @@ object EpochStore {
                 EpochStore.evalOnPartitions(pf, b2) != Some(false))) {
               kept += 1
               descendIdx(level + 1, b2, values :+ v, e,
-                fls.map(t => (t._1, t._2.stripPrefix(seg + "/"), t._3)))
+                fls.map(t => (t._1, t._2.stripPrefix(seg + "/"), t._3)),
+                pfE, bktE)
             }
           }
       }
     }
     entries.foreach { e =>
+      val (pfE, bktE) = layoutFor(e)
       EpochStoreStats.readIndexed(fs, root, e.dir) match {
         case Some(ix) if ix.valuesIterator.forall(_.len >= 0L) =>
           descendIdx(0, Map.empty, Vector.empty, e,
-            ix.toSeq.map { case (rel, st) => (rel, rel, st) })
+            ix.toSeq.map { case (rel, st) => (rel, rel, st) }, pfE, bktE)
         case _ =>
           val p = new Path(s"$root/${e.dir}")
           if (fs.exists(p))
-            descend(p, 0, Map.empty, Vector.empty, e)
+            descend(p, 0, Map.empty, Vector.empty, e, pfE, bktE)
       }
     }
     (out.result(), kept, total)
@@ -2143,7 +2413,14 @@ object EpochStore {
       s"store $root entries without a _schema.json record: " +
         s"${missing.mkString(", ")} — pre-evolution epochs; read with an " +
         "explicit .schema(...) instead")
-    val (merged, pc) = mergeRecorded(root, recs.map(_._2.get))
+    val layout = EpochManifest.currentLayout(spark, root)
+    val (merged, pc0) = mergeRecorded(root, recs.map(_._2.get),
+      allowMixedPartitioning = layout.nonEmpty)
+    // a layout log owns the CURRENT partitioning (entries may disagree)
+    val pc = layout match {
+      case Some(l) => Some(l.partCols.mkString(",")).filter(_.nonEmpty)
+      case None => pc0
+    }
     val ops = EpochManifest.columnOps(spark, root)
     (if (ops.isEmpty) merged else applyColumnOps(root, merged, ops), pc)
   }
@@ -2271,9 +2548,16 @@ object EpochStore {
     * (which pre-reads the sidecars it existence-checked — one read per
     * entry, not two). */
   private[sources] def mergeRecorded(root: String,
-      recs: Seq[(StructType, Option[String])])
+      recs: Seq[(StructType, Option[String])],
+      allowMixedPartitioning: Boolean = false)
       : (StructType, Option[String]) = {
-    val parts = recs.map(_._2).distinct
+    val parts0 = recs.map(_._2).distinct
+    // a LAYOUT LOG makes mixed per-entry partitioning a declared state,
+    // not corruption: the merged pc is meaningless then (each entry
+    // serves under its own spec; the caller takes the CURRENT layout
+    // from the log) — report None rather than refusing
+    val parts = if (allowMixedPartitioning && parts0.size > 1)
+      Seq(None) else parts0
     require(parts.size == 1,
       s"partitionColumn changed across epochs of $root: $parts")
     val merged = recs.map(_._1).reduceLeft { (a, b) =>
@@ -2444,6 +2728,76 @@ object EpochStore {
     * time travel until gc, and every skipping/SPJ/probe tier
     * immediately serves the new layout. A racing commit refuses loudly
     * (the fold resolves against the pinned snapshot). */
+  /** PARTITION-SPEC evolution WITHOUT rewriting (X92 — Iceberg's
+    * mixed-spec snapshots): publish the new table-level layout to the
+    * versioned layout log ([[graft.core.EpochManifest.publishLayout]]).
+    * Metadata-only — no entry moves. New writes land under the new
+    * spec; every scan prunes and serves each pinned entry under its OWN
+    * recorded spec (foreign-layout entries read through a re-split +
+    * permuted reader profile). SPJ/sort-order reports and metadata-only
+    * aggregation are withheld while specs are mixed; `CALL
+    * migrate_layout` (or compaction) physically normalizes and restores
+    * them. Returns a rendering of the PREVIOUS layout. */
+  def evolveLayout(spark: SparkSession, root: String,
+                   partitionColumns: Seq[String],
+                   bucketColumn: Option[String],
+                   bucketCount: Int): String = {
+    val es = EpochManifest.entries(spark, root)
+    require(es.nonEmpty, s"no committed manifest under $root")
+    require(bucketColumn.isEmpty == (bucketCount <= 0),
+      "bucket_column and a positive bucket_count come together")
+    val (schema, _) = evolvedSchema(spark, root) // refuses record-less stores
+    (partitionColumns ++ bucketColumn).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"evolve_layout on $root: column $c is not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+    require(partitionColumns.distinct.size == partitionColumns.size,
+      s"evolve_layout on $root: duplicate partition column")
+    bucketColumn.foreach { c =>
+      val dt = schema(c).dataType
+      import org.apache.spark.sql.types._
+      require(Set[DataType](StringType, ByteType, ShortType, IntegerType,
+        LongType).contains(dt),
+        s"evolve_layout on $root: bucket column $c must be integral or " +
+          s"string, got $dt")
+      require(!partitionColumns.contains(c),
+        s"evolve_layout on $root: $c cannot be both identity and bucket")
+    }
+    // rowid keys must live IN the data files for equality tombstones —
+    // an identity level strips the column from new files
+    EpochStoreDelta.declared(spark, root).foreach { keys =>
+      val clash = partitionColumns.filter(keys.contains)
+      require(clash.isEmpty,
+        s"evolve_layout on $root: ${clash.mkString(", ")} are rowid " +
+          "columns — merge-on-read needs them in the data files, not " +
+          "as identity dir levels")
+    }
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val prev = EpochManifest.currentLayout(spark, root) match {
+      case Some(l) =>
+        (l.partCols.map(c => s"identity($c)") ++
+          l.bucketCol.map(c => s"bucket(${l.bucketCount}, $c)"))
+          .mkString(", ")
+      case None =>
+        // the pre-log layout: whatever the (uniform) entries record
+        val pcs = es.flatMap(e =>
+          EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+          .flatMap(r => splitPartCols(r._2)).distinct
+        val bks = es.map(e =>
+          EpochStoreWrite.readBucketSidecar(fs, root, e.dir)).distinct
+        (pcs.map(c => s"identity($c)") ++
+          (bks match {
+            case Seq(Some(b)) => Seq(s"bucket(${b.n}, ${b.col})")
+            case _ => Nil
+          })).mkString(", ")
+    }
+    EpochManifest.publishLayout(spark, root,
+      EpochManifest.LayoutSpec(partitionColumns, bucketColumn,
+        math.max(bucketCount, 0)))
+    if (prev.isEmpty) "(unpartitioned)" else prev
+  }
+
   def migrateLayout(spark: SparkSession, root: String,
                     partitionColumns: Seq[String] = Nil,
                     bucketColumn: String = null, bucketCount: Int = 0,
@@ -2576,7 +2930,9 @@ object EpochStore {
     val dir = EpochManifest.newDataDir(spark, root, oldMax)
     fs.mkdirs(new Path(s"$root/$dir"))
     locally {
-      val (sch, pc) = mergeRecorded(root, recs.map(_.get))
+      val (sch, pc) = mergeRecorded(root, recs.map(_.get),
+        allowMixedPartitioning =
+          EpochManifest.currentLayout(spark, root).nonEmpty)
       val buckets = recSource
         .map(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
         .distinct

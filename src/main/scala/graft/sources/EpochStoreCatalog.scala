@@ -266,9 +266,18 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     // (a silent footer fallback would serve one epoch's arbitrary shape)
     val recs = entries.map(e =>
       EpochStoreWrite.readSchemaSidecar(fs, root, e.dir))
+    // a LAYOUT LOG (partition-spec evolution, X92) owns the table-level
+    // partitioning: new writes land under it, the scan prunes each
+    // entry under its own recorded spec
+    val layoutLog = EpochManifest.currentLayout(spark, root)
     if (entries.nonEmpty && recs.forall(_.isDefined)) {
-      val (schemaPhys, partCol) =
-        EpochStore.mergeRecorded(root, recs.map(_.get))
+      val (schemaPhys, partCol0) =
+        EpochStore.mergeRecorded(root, recs.map(_.get),
+          allowMixedPartitioning = layoutLog.nonEmpty)
+      val partCol = layoutLog match {
+        case Some(l) => Some(l.partCols.mkString(",")).filter(_.nonEmpty)
+        case None => partCol0
+      }
       // RENAME/DROP ops apply to EVERY snapshot (time travel included) —
       // the table-level schema is current, the data is time-traveled,
       // the Iceberg semantics
@@ -278,13 +287,19 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         else EpochStore.applyColumnOps(root, schemaPhys, colOps)
       // the hash-bucket layout is served only when EVERY pinned entry
       // records the same spec (a DML-rewritten or pre-bucket entry
-      // degrades the table to an unbucketed scan — correct, unpruned)
+      // degrades the table to an unbucketed scan — correct, unpruned) —
+      // unless the layout log declares one (the scan handles foreign
+      // entries itself)
       val buckets = entries
         .map(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
         .distinct
-      val bucket = buckets match {
-        case Seq(Some(b)) => Some(b)
-        case _ => None
+      val bucket = layoutLog match {
+        case Some(l) => l.bucketCol.map(c =>
+          EpochStore.StoreBucket(c, l.bucketCount))
+        case None => buckets match {
+          case Seq(Some(b)) => Some(b)
+          case _ => None
+        }
       }
       val opts = Map("path" -> root) ++
         partCol.map("partitionColumn" -> _) ++

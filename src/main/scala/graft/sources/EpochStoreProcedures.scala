@@ -32,7 +32,8 @@ private[sources] object EpochStoreProcedures {
 
   val names: Seq[String] =
     Seq("snapshots", "partitions", "compact", "rewrite_data_files",
-      "migrate_layout", "restore_snapshot", "gc", "remove_orphan_files",
+      "migrate_layout", "evolve_layout", "restore_snapshot", "gc",
+      "remove_orphan_files",
       "expire_snapshots",
       "purge_deletes", "tag", "untag", "tags", "add_constraint",
       "drop_constraint", "constraints", "create_branch", "publish_branch",
@@ -221,6 +222,47 @@ private[sources] object EpochStoreProcedures {
             StructField("entries_before", IntegerType, nullable = false),
             StructField("entries_after", IntegerType, nullable = false))),
             Array(row(before, EpochManifest.entries(spark, root).size)))
+        }
+      }
+
+      case "evolve_layout" => new Proc("evolve_layout", Array(
+        tableParam,
+        ProcedureParameter.in("partition_columns", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("comma-separated identity partition columns for the " +
+            "NEW layout (empty/null = unpartitioned)").build(),
+        ProcedureParameter.in("bucket_column", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("hash-bucket column for the new layout").build(),
+        ProcedureParameter.in("bucket_count", IntegerType)
+          .defaultValue("0").build())) {
+        override def description(): String =
+          "partition-spec evolution WITHOUT rewriting: publish a new " +
+            "table-level layout as metadata only (Iceberg's mixed-spec " +
+            "snapshots) - new writes land under it, existing entries " +
+            "keep their recorded specs and every scan prunes each " +
+            "entry under its own; migrate_layout stays the physical " +
+            "re-clustering option"
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = rootOf(str(input, 0))
+          val pcs = Option(str(input, 1)).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          val bCol = Option(str(input, 2)).map(_.trim).filter(_.nonEmpty)
+          val bN = input.getInt(3)
+          val prev = EpochStore.evolveLayout(spark, root, pcs, bCol, bN)
+          def render(pc: Seq[String], b: Option[(String, Int)]): String =
+            (pc.map(c => s"identity($c)") ++
+              b.map { case (c, n) => s"bucket($n, $c)" })
+              .mkString(", ")
+          result(StructType(Seq(
+            StructField("previous_layout", StringType, nullable = false),
+            StructField("new_layout", StringType, nullable = false),
+            StructField("entries_kept", IntegerType, nullable = false))),
+            Array(row(
+              org.apache.spark.unsafe.types.UTF8String.fromString(prev),
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                render(pcs, bCol.map(_ -> bN))),
+              EpochManifest.entries(spark, root).size)))
         }
       }
 

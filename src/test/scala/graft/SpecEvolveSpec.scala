@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import graft.sources.EpochStore
+import graft.core.EpochManifest
+
+/** X92 — partition-spec evolution WITHOUT rewriting: `CALL
+  * evolve_layout` publishes a new table-level layout as metadata only
+  * (`_manifests/layout.v<N>.json`). New writes land under it; existing
+  * entries keep their recorded specs; scans prune and serve every entry
+  * under its OWN spec (Iceberg's mixed-spec snapshots). SPJ/ordering
+  * reports and metadata-only aggregation are withheld while specs are
+  * mixed; migrate_layout stays the physical normalization. */
+class SpecEvolveSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_sev").toString
+
+  private def cat(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : graft.sources.EpochStoreScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: graft.sources.EpochStoreScan => s }.get
+
+  test("identity(lang) -> bucket(id): mixed snapshot reads exactly, " +
+      "each entry prunes under its OWN spec, old rows serve lang from " +
+      "dirs and new rows from files") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev", wh)
+    val root = s"$wh/docs"
+    val langs = IndexedSeq("en", "de", "fr")
+    // two lang-partitioned epochs (the OLD spec: lang dirs, lang NOT in
+    // files)
+    val old = (0 until 60).map(i => (i.toLong, s"v$i", langs(i % 3)))
+    EpochStore.write(old.take(30).toDF("id", "v", "lang"), root, 0L,
+      partitionColumn = "lang")
+    EpochStore.write(old.drop(30).toDF("id", "v", "lang"), root, 1L,
+      partitionColumn = "lang")
+
+    val res = spark.sql("CALL sev.system.evolve_layout('docs', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    assert(res.head.getString(0).contains("identity(lang)"),
+      s"previous layout reported: ${res.head}")
+    assert(res.head.getString(1) == "bucket(4, id)")
+    // metadata-only: entry count unchanged, no dirs moved
+    assert(res.head.getInt(2) == 2)
+
+    // new epoch lands BUCKETED, lang in the files
+    spark.sql("INSERT INTO sev.docs VALUES " +
+      (100 until 112).map(i => s"($i, 'n$i', '${langs(i % 3)}')")
+        .mkString(", "))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val newest = EpochManifest.entries(spark, root).maxBy(_.epoch)
+    val newDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${newest.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(newDirs.nonEmpty && newDirs.forall(_.startsWith("id_bucket=")),
+      s"post-evolution epoch must land bucketed: $newDirs")
+
+    // the FULL read crosses both specs exactly
+    val all = spark.sql(
+      "SELECT id, v, lang FROM sev.docs ORDER BY id").collect()
+    assert(all.length == 72)
+    assert(all.take(60).forall(r =>
+      r.getString(2) == langs((r.getLong(0) % 3).toInt)),
+      "old entries must serve lang from their dirs")
+    assert(all.drop(60).forall(r =>
+      r.getString(2) == langs((r.getLong(0) % 3).toInt)),
+      "new entries must serve lang from their files")
+
+    // per-entry pruning, OLD spec side: lang = 'en' prunes the two old
+    // entries to their en dirs (1 of 3 each); the bucketed entry keeps
+    // all 4 bucket dirs (lang is a file column there — residual filter)
+    val en = spark.sql("SELECT id FROM sev.docs WHERE lang = 'en'")
+    assert(scanOf(en).selectedPartitionDirs == (2 + 4, 6 + 4),
+      s"audit: ${scanOf(en).selectedPartitionDirs}")
+    assert(en.collect().map(_.getLong(0)).sorted.toSeq ==
+      (old.filter(_._3 == "en").map(_._1) ++
+        (100 until 112).filter(_ % 3 == 0).map(_.toLong)).sorted.toSeq)
+
+    // per-entry pruning, NEW spec side: an id probe prunes the bucketed
+    // entry to 1 of its 4 bucket dirs; old lang entries keep all dirs
+    val probe = spark.sql("SELECT v FROM sev.docs WHERE id = 103")
+    assert(scanOf(probe).selectedPartitionDirs == (6 + 1, 6 + 4),
+      s"audit: ${scanOf(probe).selectedPartitionDirs}")
+    assert(probe.head.getString(0) == "n103")
+
+    // mixed specs: no storage-partitioning claim, no order report,
+    // no metadata-only aggregation — but the aggregate stays EXACT
+    import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+    assert(!scanOf(en).outputPartitioning()
+      .isInstanceOf[KeyGroupedPartitioning],
+      "mixed specs must not claim key-grouped partitioning")
+    val agg = spark.sql(
+      "SELECT lang, count(*) AS n FROM sev.docs GROUP BY lang ORDER BY lang")
+    assert(!agg.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.exists(_.isInstanceOf[graft.sources.EpochStoreAggScan]),
+      "metadata-only aggregation is withheld on a spec-evolved store")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 24L), ("en", 24L), ("fr", 24L)))
+
+    // time travel: the pre-evolution snapshot keeps its exact lang
+    // pruning
+    val g0 = EpochManifest.generations(spark, root).head
+    val tt = spark.sql(
+      s"SELECT count(*) FROM sev.docs VERSION AS OF $g0 WHERE lang = 'de'")
+    assert(tt.head.getLong(0) == 10L)
+
+    // streaming refuses while foreign-spec entries are live, and names
+    // the remedy
+    val e = intercept[Exception] {
+      spark.readStream.format("epochstore").option("path", root)
+        .schema(spark.table("sev.docs").schema).load()
+        .writeStream.format("memory").queryName("sev_t")
+        .option("checkpointLocation", s"$wh/ckpt")
+        .start().processAllAvailable()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("previous partition spec"), msgs)
+
+    // migrate_layout stays the PHYSICAL normalization: after it, one
+    // spec again — bucket probes prune everything, SPJ report returns
+    spark.sql("CALL sev.system.migrate_layout('docs', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    val probe2 = spark.sql("SELECT v FROM sev.docs WHERE id = 103")
+    assert(probe2.head.getString(0) == "n103")
+    assert(scanOf(probe2).selectedPartitionDirs == (1, 4),
+      s"post-migrate audit: ${scanOf(probe2).selectedPartitionDirs}")
+    assert(spark.sql("SELECT count(*) FROM sev.docs").head.getLong(0) == 72L)
+  }
+
+  test("bucket -> identity(lang) evolution (the reverse direction) and " +
+      "DML over a mixed snapshot stay exact") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev2", wh)
+    val root = s"$wh/t"
+    val langs = IndexedSeq("en", "de", "fr")
+    EpochStore.writeBucketed(
+      (0 until 40).map(i => (i.toLong, langs(i % 3), i * 10L))
+        .toDF("id", "lang", "score"),
+      root, 0L, bucketColumn = "id", bucketCount = 4)
+    spark.sql("CALL sev2.system.evolve_layout('t', " +
+      "partition_columns => 'lang')").collect()
+    spark.sql("INSERT INTO sev2.t VALUES " +
+      (100 until 109).map(i => s"($i, '${langs(i % 3)}', ${i * 10})")
+        .mkString(", "))
+    // new epoch landed lang-partitioned
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val newest = EpochManifest.entries(spark, root).maxBy(_.epoch)
+    val dirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${newest.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dirs == Seq("lang=de", "lang=en", "lang=fr"), s"$dirs")
+
+    // lang filter: prunes the NEW entry's dirs (1 of 3); the old
+    // bucketed entry keeps its 4 bucket dirs, residual filters its rows
+    val en = spark.sql(
+      "SELECT id, score FROM sev2.t WHERE lang = 'en' ORDER BY id")
+    assert(scanOf(en).selectedPartitionDirs == (4 + 1, 4 + 3))
+    val want = ((0 until 40) ++ (100 until 109))
+      .filter(_ % 3 == 0).map(i => (i.toLong, i * 10L))
+    assert(en.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+
+    // DML over the mixed snapshot: DELETE binds per entry (old entries
+    // carry lang in files, new ones in dirs)
+    spark.sql("DELETE FROM sev2.t WHERE lang = 'fr'")
+    assert(spark.sql("SELECT count(*) FROM sev2.t WHERE lang = 'fr'")
+      .head.getLong(0) == 0L)
+    val left = ((0 until 40) ++ (100 until 109)).filterNot(_ % 3 == 2)
+    assert(spark.sql("SELECT count(*) FROM sev2.t").head.getLong(0) ==
+      left.size.toLong)
+    // an UPDATE through the row-level path too
+    spark.sql("UPDATE sev2.t SET score = -1 WHERE id = 100")
+    assert(spark.sql("SELECT score FROM sev2.t WHERE id = 100")
+      .head.getLong(0) == -1L)
+    assert(spark.sql("SELECT count(*) FROM sev2.t").head.getLong(0) ==
+      left.size.toLong)
+
+    // evolve_layout refuses junk: unknown column, rowid identity
+    val bad = intercept[Exception] {
+      spark.sql("CALL sev2.system.evolve_layout('t', " +
+        "partition_columns => 'nope')").collect()
+    }
+    assert(String.valueOf(bad.getMessage).contains("not in the schema"))
+  }
+}
