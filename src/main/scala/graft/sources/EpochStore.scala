@@ -3135,22 +3135,16 @@ object EpochStore {
             throw new IllegalStateException(
               s"compactStore on $root: rowid column $k missing from the " +
                 "merged schema"))))
-        val tomb = EpochStoreDelta
-          .loadTombstones(spark, root, deltaEntries, keySchema).toSeq
-        val tombDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(tomb.map { case (k, e) =>
-            org.apache.spark.sql.Row.fromSeq(
-              k.zip(keySchema.fields).map { case (v, f) =>
-                org.apache.spark.sql.catalyst.CatalystTypeConverters
-                  .convertToScala(v, f.dataType)
-              } :+ e)
-          }, 1),
-          StructType(keySchema.fields.toSeq :+
-            StructField("__graft_del", LongType, nullable = false)))
+        // DISTRIBUTED tombstone application: the journal reads as a
+        // frame and anti-joins — nothing materializes on the driver, so
+        // a GDPR-scale delete folds like any other data (this is the
+        // remedy the read path's size-bound refusal names). Spark picks
+        // broadcast vs shuffle from the journal's actual size.
+        val tombDf = EpochStoreDelta.tombstoneFrame(spark, root,
+          deltaEntries, keySchema)
         val cond = keys.map(k => raw(k) <=> tombDf(k))
           .reduce(_ && _) && raw("__graft_e") < tombDf("__graft_del")
-        raw.join(org.apache.spark.sql.functions.broadcast(tombDf), cond,
-            "left_anti")
+        raw.join(tombDf, cond, "left_anti")
           .select(merged.fieldNames.map(col): _*)
       }
     }

@@ -185,6 +185,43 @@ object EpochStoreDelta {
           st, isDelete = true))
     }
 
+  /** Default bound on the driver-materialized tombstone map
+    * ([[loadTombstones]]) — override with the SQL conf
+    * `spark.graft.mor.maxDriverTombstoneBytes`. */
+  private[sources] val MaxDriverTombstoneBytes: Long = 256L * 1024 * 1024
+
+  /** The pinned entries' equality tombstones as a DISTRIBUTED frame —
+    * (key columns…, `__graft_del` = the newest tombstoning epoch per
+    * key) — for the unbounded anti-join path ([[EpochStore
+    * .compactStore]] and any mass-delete fold): nothing materializes on
+    * the driver, so a GDPR-scale journal folds like any other data. */
+  private[sources] def tombstoneFrame(spark: SparkSession, root: String,
+      entries: Seq[EpochManifest.Entry], keySchema: StructType)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
+      max, regexp_extract}
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val paths = entries.flatMap(e =>
+      tombstoneFiles(fs, root, e.dir).map(p => fs.makeQualified(p).toString))
+    val epochByDir = entries.map(e => (e.dir, e.epoch))
+    import spark.implicits._
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(keySchema.fields.toSeq :+
+          org.apache.spark.sql.types.StructField("__graft_del",
+            org.apache.spark.sql.types.LongType)))
+    val dirDf = epochByDir.toDF("__graft_dir", "__graft_del_e")
+    spark.read.schema(keySchema).parquet(paths: _*)
+      // the carrying entry dir, anchored on "/<dir>/_delta/" — dir
+      // names are [a-z0-9-], immune to URI-encoding spelling
+      .withColumn("__graft_dir",
+        regexp_extract(input_file_name(), s"/([a-z0-9-]+)/$DeltaDirName/", 1))
+      .join(broadcast(dirDf), "__graft_dir")
+      .groupBy(keySchema.fieldNames.map(col).toSeq: _*)
+      .agg(max(col("__graft_del_e")).as("__graft_del"))
+  }
+
   /** Tombstone files of one committed entry, if any. */
   private[graft] def tombstoneFiles(
       fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
@@ -207,11 +244,31 @@ object EpochStoreDelta {
       : Map[Seq[Any], Long] = {
     val cacheKey = (root, entries.map(_.dir).sorted,
       keySchema.fieldNames.toSeq)
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // SIZE-BOUNDED driver materialization: this map becomes the
+    // driver's (and every executor's, via broadcast) largest allocation
+    // after a mass keyed DELETE. Past the bound, refuse with the sizes
+    // and the remedy — CALL compact applies tombstones through a fully
+    // DISTRIBUTED anti-join ([[tombstoneFrame]], no driver map at any
+    // size) and re-opens the read path. Checked BEFORE the cache so a
+    // shrunk bound takes effect on the next scan, not the next store.
+    locally {
+      val totalBytes = entries.flatMap(e =>
+        tombstoneStatuses(fs, root, e.dir)).map(_.getLen).sum
+      val maxBytes = spark.conf.getOption(
+        "spark.graft.mor.maxDriverTombstoneBytes")
+        .map(_.toLong).getOrElse(MaxDriverTombstoneBytes)
+      require(totalBytes <= maxBytes,
+        s"epochstore merge-on-read over $root: live equality tombstones " +
+          s"total $totalBytes bytes, beyond the $maxBytes-byte driver " +
+          "materialization bound — run CALL compact (it applies " +
+          "tombstones as a distributed anti-join) to fold them in, or " +
+          "raise spark.graft.mor.maxDriverTombstoneBytes")
+    }
     tombMapCache.synchronized {
       val hit = tombMapCache.get(cacheKey)
       if (hit != null) return hit
     }
-    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     // ONE read over every delta entry's tombstone files (not a job per
     // entry): the carrying epoch is recovered per row by anchoring on
     // the "<entryDir>/_delta/" path segment — never by comparing full

@@ -189,6 +189,98 @@ private[graft] object EpochStoreDml {
     * The caller commits the result + the new epoch as ONE manifest
     * generation (refusing on a racing commit), so the overwrite
     * replaces exactly the written buckets — never the whole table. */
+  /** PAIR-granular dynamic INSERT OVERWRITE on COMPOSITE
+    * identity+bucket layouts: replace exactly the (identity tuple,
+    * bucket) PAIRS the batch wrote. `replaced` holds their dir-path
+    * prefixes (`date=v/…/col_bucket=K` — the first partLevels+1
+    * segments of every committed file, verbatim: both sides came from
+    * the same dir encoder, so segment equality IS pair equality).
+    * Entries with no dead pair pass through untouched (their dirs
+    * byte-identical); all-dead entries drop; mixed entries copy their
+    * KEPT files into a replacement dir at the same epoch with sidecars
+    * sliced (the schema record verbatim — it carries the layout —
+    * stats cut to the kept files, kept blooms copied). An entry holding
+    * files OUTSIDE the composite layout refuses loudly: such a file may
+    * hold rows of any pair. */
+  def resolvePairOverwrite(spark: SparkSession, root: String,
+                           partLevels: Int, replaced: Set[String])
+      : Seq[EpochManifest.Entry] = {
+    val es = EpochManifest.entries(spark, root)
+    if (replaced.isEmpty || es.isEmpty) return es
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val conf = GraftBridge.sessionHadoopConf(spark)
+    val depth = partLevels + 1
+    def prefixOf(rel: String): Option[String] = {
+      val segs = rel.split('/')
+      if (segs.length > depth && segs.take(depth).forall(_.contains("=")))
+        Some(segs.take(depth).mkString("/"))
+      else None
+    }
+    es.flatMap { e =>
+      val entryPath = new Path(s"$root/${e.dir}")
+      val rels: Seq[String] =
+        EpochStoreStats.readIndexed(fs, root, e.dir) match {
+          case Some(ix) => ix.keys.toSeq.sorted
+          case None if fs.exists(entryPath) =>
+            val qe = fs.makeQualified(entryPath).toString
+            filesUnder(fs, entryPath).map(s =>
+              fs.makeQualified(s.getPath).toString
+                .stripPrefix(qe).stripPrefix("/"))
+          case None => Nil
+        }
+      val pairs = rels.map(r => r -> prefixOf(r))
+      require(pairs.forall(_._2.nonEmpty),
+        s"dynamic INSERT OVERWRITE over composite store $root: entry " +
+          s"${e.dir} holds files outside the identity+bucket layout — " +
+          "run CALL compact first")
+      val (dead, kept) = pairs.partition { case (_, p) => p.exists(replaced) }
+      if (dead.isEmpty) Some(e)
+      else if (kept.isEmpty) None
+      else {
+        val dir2 =
+          if (e.minEpoch < e.epoch)
+            EpochManifest.newFoldDir(spark, root, e.epoch)
+          else EpochManifest.newDataDir(spark, root, e.epoch)
+        val dst = new Path(s"$root/$dir2")
+        fs.mkdirs(dst)
+        kept.foreach { case (rel, _) =>
+          val d = new Path(dst, rel)
+          fs.mkdirs(d.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new Path(entryPath, rel), fs, d, false, conf)
+        }
+        val sc = new Path(entryPath, "_schema.json")
+        if (fs.exists(sc))
+          org.apache.hadoop.fs.FileUtil.copy(fs, sc, fs,
+            new Path(dst, "_schema.json"), false, conf)
+        val keptSet = kept.map(_._1).toSet
+        EpochStoreStats.readIndexed(fs, root, e.dir).foreach { stats =>
+          EpochStoreStats.write(fs, root, dir2,
+            stats.toSeq.filter { case (rel, _) => keptSet(rel) })
+        }
+        val skip = new Path(entryPath, "_skip")
+        if (fs.exists(skip)) {
+          def walk(p: Path): Seq[FileStatus] =
+            fs.listStatus(p).toSeq.flatMap(s =>
+              if (s.isDirectory) walk(s.getPath) else Seq(s))
+          val qskip = fs.makeQualified(skip).toString
+          walk(skip).filter(_.getPath.getName.endsWith(".bloom"))
+            .foreach { s =>
+              val rel = fs.makeQualified(s.getPath).toString
+                .stripPrefix(qskip).stripPrefix("/")
+              if (keptSet(rel.stripSuffix(".bloom"))) {
+                val d = new Path(s"$root/$dir2/_skip/$rel")
+                fs.mkdirs(d.getParent)
+                org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath,
+                  fs, d, false, conf)
+              }
+            }
+        }
+        Some(e.copy(dir = dir2))
+      }
+    }
+  }
+
   def resolveBucketOverwrite(spark: SparkSession, root: String,
                              b: EpochStore.StoreBucket,
                              replaced: Set[Int]): Seq[EpochManifest.Entry] = {

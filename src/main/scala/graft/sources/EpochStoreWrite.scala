@@ -79,14 +79,6 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     * the partition values the batch actually WRITES are replaced — the
     * filter is derived at commit from the committed files' dirs. */
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    // composite identity+bucket: the replaced set would be (identity
-    // tuple, bucket) PAIRS — unimplemented; refuse at write PLANNING so
-    // the doomed job never runs executor work (commit re-checks)
-    require(EpochStore.bucketOf(info.options()).isEmpty ||
-      EpochStore.partColsOf(info.options()).isEmpty,
-      "dynamic INSERT OVERWRITE on a composite identity+bucket layout " +
-        "is not supported — use a static PARTITION clause on the " +
-        "identity columns, or append + compact")
     overwriteMode = EpochOverwrite.DynamicParts
     this
   }
@@ -653,18 +645,36 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
           EpochStoreWrite.guardNoLiveTombstones(spark, root,
             "static INSERT OVERWRITE")
         commitOverwrite(spark, filters)
+      case EpochOverwrite.DynamicParts if bucketSpec.nonEmpty &&
+          partCols.nonEmpty =>
+        EpochStoreWrite.guardNoLiveTombstones(spark, root,
+          "dynamic INSERT OVERWRITE")
+        // COMPOSITE identity+bucket: the replaced set is the (identity
+        // tuple, bucket) PAIRS the batch wrote — their dir prefixes are
+        // the first partCols.length+1 path segments of every committed
+        // file; untouched pairs' dirs survive byte-identical
+        // ([[EpochStoreDml.resolvePairOverwrite]])
+        val depth = partCols.length + 1
+        val prefixes = messages
+          .collect { case m: EpochFilesWritten => m.files }.flatten
+          .map(_.split('/').take(depth))
+          .filter(segs => segs.length == depth &&
+            segs.forall(_.contains("=")))
+          .map(_.mkString("/"))
+          .toSet
+        val base = EpochManifest.entries(spark, root)
+        val survivors = EpochStoreDml.resolvePairOverwrite(spark, root,
+          partCols.length, prefixes)
+        require(!survivors.exists(_.epoch == epoch),
+          s"epochstore overwrite at epoch $epoch would collide with a " +
+            s"surviving entry at the same epoch under $root — use a fresh " +
+            "epoch (omit the option to auto-allocate)")
+        EpochManifest.commitIfUnchanged(spark, root, base,
+          survivors :+ EpochManifest.Entry(epoch, dir))
+        ()
       case EpochOverwrite.DynamicParts if bucketSpec.nonEmpty =>
         EpochStoreWrite.guardNoLiveTombstones(spark, root,
           "dynamic INSERT OVERWRITE")
-        // composite identity+bucket: the replaced set would be
-        // (identity tuple, bucket) PAIRS — neither the tuple path
-        // (whole dates, deleting untouched buckets) nor the bucket path
-        // (whole buckets across all dates) is it; refuse loudly the way
-        // branch writes refuse INSERT OVERWRITE rather than over-delete
-        require(partCols.isEmpty,
-          s"dynamic INSERT OVERWRITE on the composite identity+bucket " +
-            s"layout of $root is not supported — use a static PARTITION " +
-            "clause on the identity columns, or append + compact")
         // hash-bucket layout: the replaced set is the WRITTEN BUCKETS,
         // derived from the committed files' `<col>_bucket=K` path
         // segments — the tuple path below would see no partCols and

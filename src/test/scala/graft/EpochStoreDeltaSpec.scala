@@ -405,4 +405,46 @@ class EpochStoreDeltaSpec extends SparkSpec {
       s"compaction changed answers: only-pre=${(pre -- post).take(3)} " +
         s"only-post=${(post -- pre).take(3)}")
   }
+
+  test("size-bounded tombstone materialization: an oversized journal " +
+      "refuses the read path naming the sizes; CALL compact folds it " +
+      "through the distributed anti-join with identical answers") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor11", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    // a mass keyed DELETE: 300 tombstones in one delta epoch
+    spark.sql("DELETE FROM mor11.t WHERE id % 3 = 1 AND id < 900")
+    val expected = (0 until 1000).map(_.toLong)
+      .filterNot(id => id % 3 == 1 && id < 900)
+    val got0 = spark.sql("SELECT id FROM mor11.t").collect()
+      .map(_.getLong(0)).toSet
+    assert(got0.size == expected.size && got0 == expected.toSet,
+      s"post-delete diff: missing=${expected.toSet -- got0} " +
+        s"extra=${got0 -- expected.toSet}")
+    // shrink the driver bound below the journal size: the read path
+    // refuses, naming both sizes and the remedy
+    spark.conf.set("spark.graft.mor.maxDriverTombstoneBytes", "10")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM mor11.t").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msgs.contains("driver materialization bound") &&
+        msgs.contains("CALL compact") && msgs.contains("bytes"),
+        s"refusal must name sizes and remedy: $msgs")
+      // the remedy works UNDER the tiny bound: compact applies the
+      // journal through the distributed anti-join (no driver map)
+      EpochStore.compactStore(spark, root, parts = 2)
+      val after = spark.sql("SELECT id FROM mor11.t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(after == expected,
+        s"join-path fold diverged: ${after.size} vs ${expected.size}")
+      // and the read path is open again (tombstones folded away)
+      assert(spark.sql("SELECT count(*) FROM mor11.t WHERE id = 3")
+        .head.getLong(0) == 1L)
+    } finally spark.conf.unset("spark.graft.mor.maxDriverTombstoneBytes")
+  }
 }

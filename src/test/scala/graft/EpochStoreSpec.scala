@@ -2588,18 +2588,66 @@ class EpochStoreSpec extends SparkSpec {
         "AS SELECT id, v, date FROM compbksrc"))
     assert(err.getMessage.contains("INNERMOST"),
       s"unexpected: ${err.getMessage}")
-    // dynamic INSERT OVERWRITE refuses at write planning (pair-granular
-    // replacement is unimplemented; over-deleting untouched buckets
-    // would be worse than refusing)
+    // PAIR-granular dynamic INSERT OVERWRITE: exactly the
+    // (date, bucket) PAIRS the batch writes are replaced; an entry
+    // with no replaced pair stays in place (same dir, untouched), and
+    // a mixed entry's kept pairs survive as verbatim file copies
+    val root = s"$wh/a"
+    // a second epoch whose pairs the overwrite never touches
+    spark.sql("INSERT INTO compbk.a VALUES (200, 'x200', 'd9')")
+    val entriesBefore = EpochManifest.entries(spark, root)
+    val untouched = entriesBefore.maxBy(_.epoch)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val err2 = intercept[Exception](spark.sql(
-        "INSERT OVERWRITE compbk.a SELECT id, v, date FROM compbksrc " +
-          "WHERE id < 10"))
-      assert(err2.getMessage.contains("composite identity+bucket"),
-        s"unexpected: ${err2.getMessage}")
-      // and the refused statement left the table intact
-      assert(spark.table("compbk.a").count() == 120)
+      spark.sql("INSERT OVERWRITE compbk.a VALUES (0, 'NEW0', 'd0'), " +
+        "(1, 'NEW1', 'd1')")
+      // expected: source rows minus the two written (date, bucket)
+      // pairs, plus the new rows and the untouched second epoch
+      val bOf: Long => Int = id => spark.sql(
+        s"SELECT pmod(hash(CAST($id AS BIGINT)), 4)").head.getInt(0)
+      val (b0, b1) = (bOf(0L), bOf(1L))
+      val want = ((0 until 120).map(i => (i.toLong, s"v$i", s"d${i % 3}"))
+        .filterNot { case (id, _, d) =>
+          (d == "d0" && bOf(id) == b0) || (d == "d1" && bOf(id) == b1) } ++
+        Seq((0L, "NEW0", "d0"), (1L, "NEW1", "d1"), (200L, "x200", "d9")))
+        .sortBy(_._1)
+      val got = spark.table("compbk.a").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      assert(got == want.toList,
+        s"pair overwrite diverged: got ${got.size}, want ${want.size}")
+      // the untouched entry survived IN PLACE — same dir, not rewritten
+      val entriesAfter = EpochManifest.entries(spark, root)
+      assert(entriesAfter.exists(_.dir == untouched.dir),
+        s"untouched entry must keep its dir: before=${untouched.dir}, " +
+          s"after=${entriesAfter.map(_.dir).mkString(", ")}")
+      // kept pairs' files are verbatim copies: same rel paths and sizes
+      // minus the two dead prefixes
+      val fs2 = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val mixedBefore = entriesBefore.minBy(_.epoch)
+      val mixedAfter = entriesAfter
+        .find(e => e.epoch == mixedBefore.epoch && e.dir != mixedBefore.dir)
+        .getOrElse(fail(s"the CTAS entry must have been pair-rewritten: " +
+          s"${entriesAfter.map(_.dir)}"))
+      val ixBefore = graft.sources.EpochStoreStats
+        .readIndexed(fs2, root, mixedBefore.dir).get
+      val ixAfter = graft.sources.EpochStoreStats
+        .readIndexed(fs2, root, mixedAfter.dir).get
+      val deadPrefixes = Set(s"date=d0/id_bucket=$b0",
+        s"date=d1/id_bucket=$b1")
+      val keptBefore = ixBefore.filterNot { case (rel, _) =>
+        deadPrefixes.exists(rel.startsWith) }
+      assert(ixAfter.keySet == keptBefore.keySet,
+        s"kept rel paths must survive verbatim:\n${ixAfter.keySet}\nvs\n" +
+          s"${keptBefore.keySet}")
+      assert(ixAfter.forall { case (rel, st) =>
+        keptBefore(rel).len == st.len },
+        "kept files must be byte-identical copies")
+      // bucket probes still prune through the rewritten entry (sliced
+      // sidecars intact)
+      val probe = spark.sql("SELECT v FROM compbk.a WHERE id = 7")
+      assert(probe.head.getString(0) == "v7")
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
