@@ -734,22 +734,11 @@ final case class EpochStoreScan(
       s"epochstore streaming over a BRANCH of $root is not supported — " +
         "branches are write-audit-publish staging; tail main (publish " +
         "first) or batch-read the branch head")
-    // the tail's reader speaks the CURRENT names only — entries written
-    // under a pre-rename name would silently serve null; refuse until a
-    // compaction rewrites them to the current names (post-rename epochs
-    // need no aliasing, so a maintained tail keeps flowing)
-    if (!aliases.isEmpty) {
-      val needy = entries.filter { e =>
-        val efs = entryFieldsByDir(e.dir)
-        dataSchema.fieldNames.exists(nm => aliases.resolve(nm, efs) != nm)
-      }
-      if (needy.nonEmpty) throw new UnsupportedOperationException(
-        s"epochstore streaming over $root: entries " +
-          s"${needy.map(_.dir).mkString(", ")} predate a RENAME COLUMN — " +
-          "run CALL compact to rewrite them to the current names, then " +
-          "start the tail")
-    }
-    // same rule for partition-SPEC evolution: the micro-batch reader
+    // RENAME/DROP history is no prerequisite: the micro-batch stream
+    // pins the alias mapping at start and routes each entry to its
+    // name-profile reader, exactly like this batch scan — a mid-stream
+    // rename refuses per batch inside the stream instead.
+    // Partition-SPEC evolution still refuses: the micro-batch reader
     // plans under the CURRENT layout — entries recorded under a foreign
     // spec refuse until migrate_layout/compaction normalizes them
     if (hasLayoutProfiles) {
@@ -1033,6 +1022,17 @@ final case class EpochStoreScan(
         case LongType => Some((identity, 'l'))
         case FloatType => Some((v => v.asInstanceOf[Double].toFloat, 'd'))
         case DoubleType => Some((identity, 'd'))
+        // 'S' string bounds are EXACT task-side accumulations under
+        // UTF-8 binary order (never parquet's truncated binary stats) —
+        // the same contract the skip tier proves row skipping under.
+        // Estimation consumes nullCount for string IS [NOT] NULL
+        // selectivity; the bounds ride along as catalyst UTF8Strings
+        // (ValueInterval treats string ranges as unbounded, so a
+        // present bound can never mis-estimate). Legacy 's' (UTF-16
+        // order) sidecars report nothing.
+        case StringType => Some((v =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(v.asInstanceOf[String]), 'S'))
         case _ => None
       }
       val widen = widenKind.map(_._1)
@@ -1240,14 +1240,17 @@ final case class EpochStoreScan(
     * a disjoint chain stays disjoint, so a reported order never breaks).
     */
   @transient private var cachedOrderedPlan
-      : Option[(Seq[String], Map[Seq[Any], Seq[EpochStore.ListedFile]])] = null
+      : Option[(Seq[(String, Boolean)],
+        Map[Seq[Any], Seq[EpochStore.ListedFile]])] = null
   private def orderedPlan
-      : Option[(Seq[String], Map[Seq[Any], Seq[EpochStore.ListedFile]])] = {
+      : Option[(Seq[(String, Boolean)],
+        Map[Seq[Any], Seq[EpochStore.ListedFile]])] = {
     if (cachedOrderedPlan == null) cachedOrderedPlan = computeOrderedPlan()
     cachedOrderedPlan
   }
   private def computeOrderedPlan()
-      : Option[(Seq[String], Map[Seq[Any], Seq[EpochStore.ListedFile]])] = {
+      : Option[(Seq[(String, Boolean)],
+        Map[Seq[Any], Seq[EpochStore.ListedFile]])] = {
     val spark = SparkSession.active
     val files = listing._1
     if (files.isEmpty || changeRequested) return None
@@ -1256,14 +1259,18 @@ final case class EpochStoreScan(
     // or compaction restores it)
     if (hasLayoutProfiles) return None
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // recorded entries are `name` (asc) or `name DESC` — direction is
+    // part of the layout, so the common prefix agrees on BOTH
     val sortsByDir = files.map(_.entryDir).distinct
-      .map(d => d -> EpochStoreWrite.readSortSidecar(fs, root, d)).toMap
+      .map(d => d -> EpochStoreWrite.readSortSidecar(fs, root, d)
+        .map(EpochStore.parseSortCol)).toMap
     if (sortsByDir.valuesIterator.exists(_.isEmpty)) return None
     val common = sortsByDir.valuesIterator.reduceLeft { (a, b) =>
       a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1) }
-    val prefix0 = common.takeWhile(readDataSchema.fieldNames.contains)
+    val prefix0 = common.takeWhile(p =>
+      readDataSchema.fieldNames.contains(p._1))
     if (prefix0.isEmpty) return None
-    val s1 = prefix0.head
+    val (s1, s1Desc) = prefix0.head
     val se = statsByEntry(spark)
     def statOf(lf: EpochStore.ListedFile): Option[EpochStoreStats.ColStats] =
       se.getOrElse(lf.entryDir, Map.empty)
@@ -1287,13 +1294,22 @@ final case class EpochStoreScan(
         if (withStats.exists(_.isEmpty)) return None
         val gs = withStats.flatten
         // any null in a multi-file group defeats the cross-file
-        // NULLS FIRST proof — conservative, sorted keys are rarely null
+        // nulls-edge proof — conservative, sorted keys are rarely null
         if (gs.exists(x => x._2.nulls > 0L || x._2.min.isEmpty)) return None
-        val sortedG = gs.sortWith((a, b) =>
-          EpochStoreStats.cmp(a._2.min.get, b._2.min.get).exists(_ < 0))
+        // the chain runs in the RECORDED direction: ascending orders
+        // files by min and requires max < next min; descending orders
+        // by max (descending) and requires min > next max
+        val sortedG =
+          if (s1Desc) gs.sortWith((a, b) =>
+            EpochStoreStats.cmp(a._2.max.get, b._2.max.get).exists(_ > 0))
+          else gs.sortWith((a, b) =>
+            EpochStoreStats.cmp(a._2.min.get, b._2.min.get).exists(_ < 0))
         sortedG.sliding(2).foreach {
           case Seq(p, n) =>
-            EpochStoreStats.cmp(p._2.max.get, n._2.min.get) match {
+            val edge =
+              if (s1Desc) EpochStoreStats.cmp(n._2.max.get, p._2.min.get)
+              else EpochStoreStats.cmp(p._2.max.get, n._2.min.get)
+            edge match {
               case Some(x) if x < 0 => ()
               case Some(0) => len = math.min(len, 1)
               case _ => return None
@@ -1309,12 +1325,24 @@ final case class EpochStoreScan(
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     orderedPlan match {
-      case Some((cols, _)) => cols.map(c =>
+      case Some((cols, _)) => cols.map { case (c, desc) =>
         org.apache.spark.sql.connector.expressions.Expressions.sort(
           org.apache.spark.sql.connector.expressions.Expressions.column(c),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
-          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
-        .toArray
+          if (desc)
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .DESCENDING
+          else
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING,
+          // the write's defaults: ascending = nulls first, descending =
+          // nulls last — exactly the order the files were written in
+          if (desc)
+            org.apache.spark.sql.connector.expressions.NullOrdering
+              .NULLS_LAST
+          else
+            org.apache.spark.sql.connector.expressions.NullOrdering
+              .NULLS_FIRST)
+      }.toArray
       case None => Array.empty
     }
 
@@ -1704,6 +1732,18 @@ object EpochStore {
     * column list (None/empty → Nil). */
   private[graft] def splitPartCols(pc: Option[String]): Seq[String] =
     pc.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** One declared/recorded sort entry → (column, descending?): `"c"` /
+    * `"c asc"` → ascending, `"c desc"` (any case) → descending. The
+    * sidecar records the normalized `c DESC` spelling; bare names stay
+    * bare, so pre-r15 sidecars parse unchanged as ascending. */
+  private[sources] def parseSortCol(s: String): (String, Boolean) = {
+    val t = s.trim
+    val l = t.toLowerCase(java.util.Locale.ROOT)
+    if (l.endsWith(" desc")) (t.dropRight(5).trim, true)
+    else if (l.endsWith(" asc")) (t.dropRight(4).trim, false)
+    else (t, false)
+  }
 
   /** HASH-BUCKET layout spec — `bucketColumn`/`bucketCount` options or
     * SQL `PARTITIONED BY (bucket(n, col))`: rows land under

@@ -222,6 +222,33 @@ object EpochStoreDelta {
       .agg(max(col("__graft_del_e")).as("__graft_del"))
   }
 
+  /** EVERY key one entry touches — its data files' key columns
+    * (reinserts/appends) UNIONED with its equality tombstones — as a
+    * distributed frame: the commuting-rebase disjointness probe
+    * ([[EpochStoreDeltaBatchWrite.commit]]) joins two of these and
+    * never materializes keys on the driver. Works on staged
+    * (uncommitted) dirs too. */
+  private[sources] def entryKeys(spark: SparkSession, root: String,
+      dir: String, keySchema: StructType): org.apache.spark.sql.DataFrame = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    def filesUnder(p: Path): Seq[String] = {
+      val (dirs, files) = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .partition(_.isDirectory)
+      files.filter(_.getLen > 0).map(_.getPath.toString) ++
+        dirs.flatMap(d => filesUnder(d.getPath))
+    }
+    val entryPath = new Path(s"$root/$dir")
+    val paths =
+      (if (fs.exists(entryPath)) filesUnder(entryPath) else Nil) ++
+        tombstoneFiles(fs, root, dir).map(_.toString)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keySchema)
+    else spark.read.schema(keySchema).parquet(paths: _*)
+  }
+
   /** Tombstone files of one committed entry, if any. */
   private[graft] def tombstoneFiles(
       fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
@@ -450,8 +477,52 @@ final class EpochStoreDeltaBatchWrite(op: EpochStoreDeltaOperation,
     EpochStoreStats.write(fs, op.root, dir, deltas.flatMap(_.data.fileStats))
     EpochStoreWrite.writeSchemaSidecar(fs, op.root, dir, op.declaredSchema,
       op.partCols, op.bucketSpec)
-    EpochManifest.commitIfUnchanged(spark, op.root, op.pinned,
-      op.pinned :+ EpochManifest.Entry(epoch, dir))
+    // COMMUTING-DELTA REBASE: the pristine case commits as before; a
+    // commit that raced in COMMUTES iff (a) every pinned entry is
+    // untouched (only appended entries landed) and (b) the touched KEY
+    // sets are provably disjoint — tombstoned AND reinserted keys on
+    // both sides, checked by one distributed join (per-key MERGE
+    // semantics make disjoint-key operations order-independent). A
+    // commuting commit re-lands above the new head: the staged dir is
+    // RENAMED to a fresh epoch so two racing MERGEs never share an
+    // epoch id. Anything else — replaced/removed entries, overlapping
+    // keys — refuses loudly exactly as before.
+    var stagedDir = dir
+    var stagedEpoch = epoch
+    EpochManifest.commitWith(spark, op.root) { cur =>
+      val pinnedSet = op.pinned.toSet
+      if (cur.toSet == pinnedSet)
+        op.pinned :+ EpochManifest.Entry(stagedEpoch, stagedDir)
+      else {
+        val curByDir = cur.map(e => e.dir -> e).toMap
+        op.pinned.foreach(p => require(curByDir.get(p.dir).contains(p),
+          s"concurrent commit replaced entry ${p.dir} this row-level " +
+            s"operation read from its pinned snapshot of ${op.root} — " +
+            "re-run the statement"))
+        val added = cur.filterNot(pinnedSet.contains)
+        val mine = EpochStoreDelta.entryKeys(spark, op.root, stagedDir,
+          idSchema)
+        val theirs = added.map(e =>
+          EpochStoreDelta.entryKeys(spark, op.root, e.dir, idSchema))
+          .reduce(_.unionByName(_))
+        val cond = idSchema.fieldNames
+          .map(c => mine(c) <=> theirs(c)).reduce(_ && _)
+        require(mine.join(theirs, cond, "inner").isEmpty,
+          s"concurrent commit under ${op.root} touched keys this " +
+            "row-level operation also touches — re-run the statement " +
+            "against the new snapshot")
+        val needEpoch = cur.map(_.epoch).max + 1L
+        if (needEpoch != stagedEpoch) {
+          val nd = EpochManifest.newDataDir(spark, op.root, needEpoch)
+          require(fs.rename(new Path(s"${op.root}/$stagedDir"),
+            new Path(s"${op.root}/$nd")),
+            s"rebase rename of $stagedDir to $nd under ${op.root} failed")
+          stagedDir = nd
+          stagedEpoch = needEpoch
+        }
+        cur :+ EpochManifest.Entry(stagedEpoch, stagedDir)
+      }
+    }
     ()
   }
 

@@ -128,6 +128,49 @@ final class EpochStoreMicroBatchStream(
   // is captured at stream construction (scan planning)
   private val spark: SparkSession = SparkSession.active
 
+  /** RENAME/DROP evolution (X85) on the TAIL: alias chains and the
+    * per-entry NAME PROFILES are pinned at stream construction — every
+    * entry live then resolves its spelling here, and entries appended
+    * while the stream runs are written under the CURRENT names (the
+    * identity profile, index 0). A rename landing MID-stream changes
+    * the mapping this running query was planned under, so each batch
+    * re-reads the (tiny) ops log and refuses loudly on drift — restart
+    * the query and the new mapping pins. */
+  private val opsAtStart = EpochManifest.columnOps(spark, root)
+  private val aliases: EpochStore.ColumnAliases = {
+    var chains = Map.empty[String, List[String]]
+    var retired = Set.empty[String]
+    opsAtStart.foreach {
+      case EpochManifest.ColumnOp.Rename(a, b) =>
+        chains = chains - a + (b -> (a :: chains.getOrElse(a, Nil)))
+        retired += a
+      case EpochManifest.ColumnOp.Drop(c) =>
+        retired ++= (c :: chains.getOrElse(c, Nil))
+        chains -= c
+    }
+    EpochStore.ColumnAliases(chains, retired)
+  }
+  /** Distinct per-entry physical-name profiles at start (identity is
+    * always index 0) and each entry dir's index. */
+  private val profiles: (IndexedSeq[Seq[String]], Map[String, Int]) = {
+    val identity = dataSchema.fieldNames.toSeq
+    if (aliases.isEmpty) (IndexedSeq(identity), Map.empty)
+    else {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
+      val byDir = EpochManifest.entries(spark, root).map(_.dir).map { d =>
+        val efs = EpochStoreWrite.readSchemaSidecar(fs, root, d)
+          .map(_._1.fieldNames.toSet).getOrElse(Set.empty[String])
+        d -> identity.map(n => aliases.resolve(n, efs))
+      }.toMap
+      val distinct = (identity +:
+        byDir.values.toSeq.distinct.filterNot(_ == identity)).toIndexedSeq
+      (distinct, byDir.map { case (d, p) => d -> distinct.indexOf(p) })
+    }
+  }
+  private def profileIdxOf(dir: String): Int =
+    if (aliases.isEmpty) 0 else profiles._2.getOrElse(dir, 0)
+
   /** Highest committed epoch right now (startingAfter when the store has
     * none yet — the tail starts empty instead of failing). */
   private def visibleMax(): Long = {
@@ -170,6 +213,13 @@ final class EpochStoreMicroBatchStream(
     val s = start.asInstanceOf[EpochStreamOffset].epoch
     val e = end.asInstanceOf[EpochStreamOffset].epoch
     if (e <= s) return Array.empty
+    // a RENAME/DROP landing mid-stream would change the alias mapping
+    // this query's reader profiles were pinned under — refuse loudly
+    if (EpochManifest.columnOps(spark, root) != opsAtStart)
+      throw new IllegalStateException(
+        s"epochstore stream over $root: a RENAME/DROP COLUMN landed " +
+          "while this query was running — restart the stream; the new " +
+          "name mapping pins at start")
     val all = EpochManifest.entries(spark, root)
     // a fold above the batch end that swallowed epochs inside it would
     // make those rows silently undeliverable — refuse
@@ -212,13 +262,46 @@ final class EpochStoreMicroBatchStream(
       if (!changeRequested) kept
       else kept ++ EpochStoreDelta.deleteEventFiles(fs, root, batch,
         partFields)
-    EpochStore.planFilePartitions(spark, withDeletes, constSchema,
-      constantsOf)
+    if (aliases.isEmpty)
+      EpochStore.planFilePartitions(spark, withDeletes, constSchema,
+        constantsOf)
+    else
+      // per-entry NAME profiles: pack each profile's files separately
+      // and route to its translated reader — pre-rename epochs tail
+      // with no compaction prerequisite, exactly like the batch scan
+      withDeletes.map(f => profileIdxOf(f.entryDir)).distinct.sorted
+        .flatMap { pid =>
+          EpochStore.planFilePartitions(spark,
+            withDeletes.filter(f => profileIdxOf(f.entryDir) == pid),
+            constSchema, constantsOf)
+            .map {
+              case fp: org.apache.spark.sql.execution.datasources
+                .FilePartition if pid != 0 =>
+                ProfiledFilePartition(fp, pid): InputPartition
+              case other => other
+            }
+        }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    EpochStore.parquetReaderFactory(spark, dataSchema, readDataSchema,
-      constSchema, dataFilters)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    def factoryFor(profile: Seq[String]): PartitionReaderFactory = {
+      val m = dataSchema.fieldNames.zip(profile).toMap
+      if (m.forall { case (k, v) => k == v })
+        EpochStore.parquetReaderFactory(spark, dataSchema, readDataSchema,
+          constSchema, dataFilters)
+      else
+        EpochStore.parquetReaderFactory(spark,
+          StructType(dataSchema.fields.map(f => f.copy(name = m(f.name)))),
+          StructType(readDataSchema.fields.map(f =>
+            f.copy(name = m.getOrElse(f.name, f.name)))),
+          constSchema,
+          // untranslatable filter shapes drop from the parquet push —
+          // data filters are residual, Spark re-evaluates them
+          dataFilters.flatMap(EpochStore.renameFilter(_, m)))
+    }
+    if (aliases.isEmpty) factoryFor(dataSchema.fieldNames.toSeq)
+    else new KeyedDelegatingReaderFactory(profiles._1.map(factoryFor))
+  }
 
   override def deserializeOffset(json: String): Offset =
     EpochStreamOffset(json.split("\"epoch\":")(1)

@@ -173,17 +173,24 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     * clusters rows so each partition VALUE lands in one task — one file
     * per value instead of one per (task, value), the small-files control
     * a 1000-executor append needs. */
-  private def sortOf(): Seq[String] =
+  private def sortOf(): Seq[(String, Boolean)] =
     Option(info.options().get("sortColumns")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).map { c =>
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).map { s =>
+        // `"price"` / `"price asc"` / `"price desc"` — the direction is
+        // recorded with the layout and reported back at scan time
+        val (c, desc) = EpochStore.parseSortCol(s)
         require(info.schema().fieldNames.contains(c),
           s"sortColumns column $c is not in the written schema")
-        c
+        (c, desc)
       }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val partCols = partColsOf()
-    private val sortCols = sortOf()
+    private val sortPairs = sortOf()
+    private val sortCols = sortPairs.map(_._1)
+    /** The recorded sidecar spelling: `name` (asc) / `name DESC`. */
+    private val sortRecorded: Seq[String] =
+      sortPairs.map { case (c, d) => if (d) s"$c DESC" else c }
     private val clustered: Boolean = partCols.nonEmpty &&
       (sortCols.nonEmpty ||
         java.lang.Boolean.parseBoolean(
@@ -192,6 +199,14 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     private def asc(c: String): SortOrder =
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
         NullOrdering.NULLS_FIRST)
+    /** Directional order: ascending = nulls first, descending = nulls
+      * last (Spark's own defaults for asc/desc), so the written file
+      * order IS the order the scan later reports. */
+    private def dirOrder(p: (String, Boolean)): SortOrder =
+      if (p._2)
+        Expressions.sort(Expressions.column(p._1), SortDirection.DESCENDING,
+          NullOrdering.NULLS_LAST)
+      else asc(p._1)
 
     /** `clusterByBucket=true` (bucket layouts, CATALOG-routed writes
       * only): cluster the job on the bucket TRANSFORM itself, so each
@@ -225,7 +240,8 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
         Distributions.clustered(
           partCols.map(c => Expressions.identity(c))
             .toArray[org.apache.spark.sql.connector.expressions.Expression])
-      else if (sortCols.nonEmpty) Distributions.ordered(sortCols.map(asc).toArray)
+      else if (sortCols.nonEmpty)
+        Distributions.ordered(sortPairs.map(dirOrder).toArray)
       else Distributions.unspecified()
 
     override def requiredOrdering(): Array[SortOrder] =
@@ -234,8 +250,9 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
         // contiguous, internally sorted file
         (Expressions.sort(bucketExpr, SortDirection.ASCENDING,
           NullOrdering.NULLS_FIRST) +:
-          (partCols ++ sortCols).map(asc)).toArray
-      else ((if (clustered) partCols else Nil) ++ sortCols).map(asc).toArray
+          (partCols.map(asc) ++ sortPairs.map(dirOrder))).toArray
+      else ((if (clustered) partCols else Nil).map(asc) ++
+        sortPairs.map(dirOrder)).toArray
 
     /** `writePartitions` pins the task count of a distributed write —
       * with an ordered distribution that is the FILE count (file-size
@@ -268,7 +285,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
         bloomOf(), statsOf(), overwriteMode, branch,
         autoEpoch = explicitEpoch.isEmpty, bucketSpec = bucketOf2(),
-        sortCols = sortCols)
+        sortCols = sortRecorded)
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -280,7 +297,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     override def toStreaming: StreamingWrite = {
       val opts = info.options()
       new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
-        info.schema(), partColsOf(), bloomOf(), statsOf(), sortCols,
+        info.schema(), partColsOf(), bloomOf(), statsOf(), sortRecorded,
         bucketOf2())
     }
   }

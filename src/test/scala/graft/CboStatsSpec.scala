@@ -46,7 +46,9 @@ class CboStatsSpec extends SparkSpec {
     assert(attrs("score").nullCount.contains(BigInt(20)))
     assert(attrs("score").min.contains(2.0) &&
       attrs("score").max.contains(398.0))
-    // v is a string column — no representation-safe bounds
+    // v carries no sidecar stats here (not in statsColumns) — absent,
+    // never guessed; string columns WITH 'S' sidecars do report (the
+    // dedicated test below)
     assert(!attrs.contains("v"))
 
     // a stats-range-narrowed scan reports the SURVIVING files' bounds
@@ -62,5 +64,47 @@ class CboStatsSpec extends SparkSpec {
     EpochStore.write(df0(0, 50), root2, 0L)
     val st2 = statsOf(EpochStore.read(spark, root2, schema))
     assert(st2.attributeStats.isEmpty && st2.rowCount.contains(BigInt(50)))
+  }
+
+  test("string nullCount drives a plan-gated selectivity change under " +
+      "CBO: IS NOT NULL over a mostly-null string column shrinks the " +
+      "filter's row estimate exactly") {
+    import spark.implicits._
+    val root = tmp()
+    // 40% null strings, stats on the string column
+    EpochStore.write((0 until 100)
+      .map(i => (i.toLong, if (i % 5 < 2) None else Some(s"s$i")))
+      .toDF("id", "v"), root, 0L, statsColumns = Seq("id", "v"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // the 'S' sidecar serves exact UTF-8-binary-order string bounds
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+    val attrs = statsOf(EpochStore.read(spark, root, schema))
+      .attributeStats.toSeq.map { case (a, cs) => a.name -> cs }.toMap
+    assert(attrs.contains("v"), s"string stats must report: ${attrs.keys}")
+    assert(attrs("v").nullCount.contains(BigInt(40)))
+    // byte-lexicographic min: s10/s11 are null, and "s12" < "s2"
+    assert(attrs("v").min.map(String.valueOf).contains("s12") &&
+      attrs("v").max.map(String.valueOf).contains("s99"),
+      s"string bounds: ${attrs("v").min} .. ${attrs("v").max}")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = EpochStore.read(spark, root, schema)
+        .filter(org.apache.spark.sql.functions.col("v").isNotNull)
+      val filterNode = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.head
+      // FilterEstimation: 100 rows * (1 - 40/100) = 60 — only reachable
+      // through the served string nullCount
+      assert(filterNode.stats.rowCount.contains(BigInt(60)),
+        s"IS NOT NULL selectivity must come from the string stats: " +
+          s"${filterNode.stats.rowCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 }

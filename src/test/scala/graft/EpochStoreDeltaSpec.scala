@@ -447,4 +447,99 @@ class EpochStoreDeltaSpec extends SparkSpec {
         .head.getLong(0) == 1L)
     } finally spark.conf.unset("spark.graft.mor.maxDriverTombstoneBytes")
   }
+
+  test("commuting-delta rebase: two racing MERGEs with DISJOINT key " +
+      "sets both land exactly once (distinct epochs); an overlapping-" +
+      "key race still refuses") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wh = tmp()
+    cat("mor12", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    val before = EpochManifest.entries(spark, root)
+
+    // MERGE A's source blocks mid-EXECUTION (after its snapshot pinned
+    // at planning) until MERGE B has fully landed — a deterministic
+    // race, no timing luck
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    spark.udf.register("mor12_slow", (x: Long) => {
+      entered.countDown()
+      gate.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    })
+    Seq((10L, -100L, "en"), (20L, -200L, "en")).toDF("id", "n", "lang")
+      .createOrReplaceTempView("mor12a")
+    Seq((30L, -300L, "en"), (5000L, -500L, "xx")).toDF("id", "n", "lang")
+      .createOrReplaceTempView("mor12b")
+    val a = Future {
+      spark.sql(
+        """MERGE INTO mor12.t t
+          |USING (SELECT mor12_slow(id) AS id, n, lang FROM mor12a) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    }
+    entered.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    // B: disjoint keys {30 update, 5000 insert} — lands first
+    spark.sql(
+      """MERGE INTO mor12.t t USING mor12b s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT (id, n, lang)
+        |  VALUES (s.id, s.n, s.lang)""".stripMargin)
+    gate.countDown()
+    Await.result(a, 120.seconds) // A commits through the rebase
+
+    // both landed exactly once
+    val got = spark.table("mor12.t")
+      .filter(col("id").isin(10L, 20L, 30L, 5000L))
+      .select("id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, -100L), (20L, -200L), (30L, -300L),
+      (5000L, -500L)), s"got $got")
+    assert(spark.table("mor12.t").count() == 1001L)
+    val after = EpochManifest.entries(spark, root)
+    assert(after.size == before.size + 2, s"${after.map(_.dir)}")
+    val newEpochs = after.filterNot(e => before.exists(_.dir == e.dir))
+      .map(_.epoch)
+    assert(newEpochs.distinct.size == 2,
+      s"racing deltas must never share an epoch id: $newEpochs")
+
+    // the OVERLAPPING-key race still refuses: C holds key 30, D also
+    // touches 30 and lands first -> C must refuse loudly
+    val entered2 = new java.util.concurrent.CountDownLatch(1)
+    val gate2 = new java.util.concurrent.CountDownLatch(1)
+    spark.udf.register("mor12_slow2", (x: Long) => {
+      entered2.countDown()
+      gate2.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    })
+    Seq((30L, -31L, "en")).toDF("id", "n", "lang")
+      .createOrReplaceTempView("mor12c")
+    Seq((30L, -32L, "en")).toDF("id", "n", "lang")
+      .createOrReplaceTempView("mor12d")
+    val cFut = Future {
+      spark.sql(
+        """MERGE INTO mor12.t t
+          |USING (SELECT mor12_slow2(id) AS id, n, lang FROM mor12c) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    }
+    entered2.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    spark.sql(
+      """MERGE INTO mor12.t t USING mor12d s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    gate2.countDown()
+    val e = intercept[Exception] { Await.result(cFut, 120.seconds) }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("overlapping") || msgs.contains("also touches"),
+      s"overlapping-key race must refuse: $msgs")
+    // D's value holds; C landed nothing
+    assert(spark.table("mor12.t").filter(col("id") === 30L)
+      .head.getAs[Long]("n") == -32L)
+    assert(spark.table("mor12.t").count() == 1001L)
+  }
 }

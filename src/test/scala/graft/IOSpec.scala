@@ -178,6 +178,38 @@ class IOSpec extends SparkSpec {
     assert(l.get("errors").asInt == 1 && l.get("n").asInt == 2)
   }
 
+  test("Bench stall adjudication: a contiguous elevated window (>=3) is " +
+      "flagged for re-run; isolated slow queries and honest spreads are " +
+      "not; the profile records the reruns") {
+    def q(n: String, a: Double, b: Double) =
+      Bench.QResult(n, Seq(Right(a), Right(b)))
+    // 20 normal ~0.2s queries with an alphabetically contiguous 4-query
+    // stall window where BOTH runs are elevated (min-of-2 is blind)
+    val normal = (0 until 20).filterNot(i => (8 to 11).contains(i))
+      .map(i => q(f"q_$i%02d", 0.2, 0.25))
+    val stalled = (8 to 11).map(i => q(f"q_$i%02d", 2.4, 2.8))
+    val results = (normal ++ stalled).sortBy(_.name)
+    val flagged = Bench.stallSuspects(results)
+    assert(flagged == (8 to 11).map(i => f"q_$i%02d"),
+      s"the contiguous window must flag: $flagged")
+    // a single slow query is NOT a stall window (it may just be slow)
+    val single = (0 until 20).map(i =>
+      q(f"q_$i%02d", if (i == 9) 2.5 else 0.2, if (i == 9) 2.7 else 0.25))
+    assert(Bench.stallSuspects(single).isEmpty)
+    // two adjacent slow queries still under the window length: no flag
+    val pair = (0 until 20).map(i =>
+      q(f"q_$i%02d", if (i == 9 || i == 10) 2.5 else 0.2, 2.7))
+    assert(Bench.stallSuspects(pair.map(r =>
+      r.copy(runs = r.runs.take(1)))).isEmpty)
+    // the profile carries the adjudicated names
+    val (profile, _) = Bench.render(results, "sf", "unused.json",
+      reruns = flagged)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = mapper.readTree(profile)
+    assert(p.get("reruns").size() == 4 &&
+      p.get("reruns").get(0).asText == "q_08")
+  }
+
   test("train/val split is a partition of the input") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val (tr, va) = Sampling.split(docs, 0.8, seed = 7)

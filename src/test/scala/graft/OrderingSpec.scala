@@ -331,4 +331,85 @@ class OrderingSpec extends SparkSpec {
       .orderBy("lang").collect().toSeq.map(_.toSeq)
     assert(got.nonEmpty && got == want, s"got=$got\nwant=$want")
   }
+
+  test("DESCENDING sort layouts report DESC NULLS LAST: a matching " +
+      "sortWithinPartitions is ELIDED (zero sort); mixed directions " +
+      "report nothing") {
+    import spark.implicits._
+    val root = tmp()
+    def descWrite(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      df.write.format("epochstore").mode("append")
+        .option("path", root).option("epoch", epoch.toString)
+        .option("sortColumns", "id desc").option("statsColumns", "id")
+        .option("writePartitions", "2")
+        .save()
+    // DISJOINT ranges; within each file rows are written id-DESC
+    descWrite((0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v"), 0L)
+    descWrite((100 until 200).map(i => (i.toLong, s"b$i")).toDF("id", "v"), 1L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // the sidecar records the direction
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rec = graft.core.EpochManifest.entries(spark, root).map { e =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, e.dir, "_schema.json")), "UTF-8")
+    }
+    assert(rec.forall(_.contains("\"sortColumns\":\"id DESC\"")),
+      s"recorded: $rec")
+
+    // the scan REPORTS id DESC NULLS LAST
+    val df0 = EpochStore.read(spark, root, schema)
+    val ord = scanOf(df0).outputOrdering()
+    assert(ord.length == 1 &&
+      ord.head.direction() == org.apache.spark.sql.connector.expressions
+        .SortDirection.DESCENDING &&
+      ord.head.nullOrdering() == org.apache.spark.sql.connector.expressions
+        .NullOrdering.NULLS_LAST,
+      s"report: ${ord.mkString(",")}")
+
+    // zero-sort gate: a DESC NULLS LAST per-partition sort is elided
+    val q = EpochStore.read(spark, root, schema)
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("id")
+        .desc_nulls_last)
+    q.collect()
+    assert(sorts(q.queryExecution.executedPlan).isEmpty,
+      s"the reported DESC order must elide the sort:\n" +
+        q.queryExecution.executedPlan)
+    // and the served rows ARE descending within every partition
+    import org.apache.spark.sql.functions.spark_partition_id
+    val rows = EpochStore.read(spark, root, schema)
+      .select(spark_partition_id().as("p"),
+        org.apache.spark.sql.functions.col("id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (_, part) =>
+      val ids = part.map(_._2).toSeq
+      assert(ids == ids.sortBy(-_),
+        s"partition rows must be id-DESC: ${ids.take(10)}")
+    }
+    // an ASC-matching sort over the DESC store is NOT elided
+    val q2 = EpochStore.read(spark, root, schema)
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("id"))
+    q2.collect()
+    assert(sorts(q2.queryExecution.executedPlan).nonEmpty,
+      "an ascending sort cannot be served by the DESC layout")
+
+    // soundness: MIXED directions across entries report nothing
+    val root2 = tmp()
+    descWrite((0 until 50).map(i => (i.toLong, s"a$i")).toDF("id", "v"), 0L)
+    (50 until 100).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", root2).option("epoch", "1")
+      .option("sortColumns", "id").option("statsColumns", "id").save()
+    (0 until 50).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", root2).option("epoch", "0")
+      .option("sortColumns", "id desc").option("statsColumns", "id").save()
+    assert(scanOf(EpochStore.read(spark, root2, schema))
+      .outputOrdering().isEmpty,
+      "mixed asc/desc entries must not report an order")
+  }
 }

@@ -271,4 +271,62 @@ class RenameDropSpec extends SparkSpec {
     spark.sql("DELETE FROM rag.t WHERE p = 'b'")
     assert(spark.sql("SELECT count(*) FROM rag.t").head.getLong(0) == 1L)
   }
+
+  test("streaming tail over a RENAME-history store: pre-rename epochs " +
+      "serve the current names per profile, no compaction prerequisite; " +
+      "a mid-stream rename refuses loudly") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("rst", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 20).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    spark.sql("ALTER TABLE rst.t RENAME COLUMN v TO val")
+    spark.sql("INSERT INTO rst.t VALUES (100, 'v100')")
+    // the tail starts on the MIXED-spelling history and drains both
+    // epochs — the pre-rename epoch's rows serve under `val`
+    val q = spark.readStream.format("epochstore")
+      .schema(spark.table("rst.t").schema)
+      .option("path", root).load()
+      .select(col("id"), col("val"))
+      .writeStream.format("memory").queryName("rst_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("rst_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = ((0 until 20).map(i => (i.toLong, s"v$i")) :+
+      (100L, "v100")).sortBy(_._1)
+    assert(got == want, s"tail must serve the current names over both " +
+      s"profiles: got ${got.take(5)}…")
+
+    // mid-stream rename: the running query's mapping is pinned at
+    // start — a rename landing between triggers refuses loudly
+    val q2 = spark.readStream.format("epochstore")
+      .schema(spark.table("rst.t").schema)
+      .option("path", root).option("maxEpochsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("rst_tail2").start()
+    try {
+      q2.processAllAvailable()
+      spark.sql("ALTER TABLE rst.t RENAME COLUMN val TO value")
+      spark.sql("INSERT INTO rst.t VALUES (200, 'v200')")
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msgs.contains("landed") && msgs.contains("restart"),
+        s"mid-stream rename must refuse with the remedy: $msgs")
+    } finally q2.stop()
+    // a RESTARTED tail picks up the new mapping and serves `value`
+    val q3 = spark.readStream.format("epochstore")
+      .schema(spark.table("rst.t").schema)
+      .option("path", root).load()
+      .select(col("id"), col("value"))
+      .writeStream.format("memory").queryName("rst_tail3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination(60000)
+    assert(spark.table("rst_tail3").count() == 22)
+    assert(spark.table("rst_tail3").filter(col("id") === 7L)
+      .head.getString(1) == "v7")
+  }
 }
