@@ -2804,15 +2804,16 @@ object EpochStore {
       require(!partitionColumns.contains(c),
         s"evolve_layout on $root: $c cannot be both identity and bucket")
     }
-    // rowid keys must live IN the data files for equality tombstones —
-    // an identity level strips the column from new files
-    EpochStoreDelta.declared(spark, root).foreach { keys =>
-      val clash = partitionColumns.filter(keys.contains)
-      require(clash.isEmpty,
-        s"evolve_layout on $root: ${clash.mkString(", ")} are rowid " +
-          "columns — merge-on-read needs them in the data files, not " +
-          "as identity dir levels")
-    }
+    // a ROW-IDENTITY store refuses spec evolution outright: its delta
+    // entries' tombstone-event files and merge-on-read resolution are
+    // planned under ONE layout, and a pre-evolution delta entry under a
+    // foreign spec would mis-serve CDC constants — migrate_layout (a
+    // physical rewrite, tombstones folded first) is the supported move
+    require(EpochStoreDelta.declared(spark, root).isEmpty,
+      s"evolve_layout on $root: the store declares a row identity — " +
+        "metadata-only spec evolution does not compose with " +
+        "merge-on-read deltas; use CALL migrate_layout (compact folds " +
+        "live tombstones first)")
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val prev = EpochManifest.currentLayout(spark, root) match {
       case Some(l) =>

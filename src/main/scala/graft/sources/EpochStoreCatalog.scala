@@ -331,7 +331,15 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
         .foreach { es =>
           val recs = es.map(e =>
             EpochStoreWrite.readSchemaSidecar(fs, root, e.dir).get)
-          val (schemaPhys, partCol) = EpochStore.mergeRecorded(root, recs)
+          val layoutLog2 = EpochManifest.currentLayout(spark, root)
+          val (schemaPhys, partCol0) = EpochStore.mergeRecorded(root, recs,
+            allowMixedPartitioning = layoutLog2.nonEmpty)
+          // a layout log owns the table-level partitioning here too —
+          // the record generation may predate the evolution
+          val partCol = layoutLog2 match {
+            case Some(l) => Some(l.partCols.mkString(",")).filter(_.nonEmpty)
+            case None => partCol0
+          }
           val colOps = EpochManifest.columnOps(spark, root)
           val schema =
             if (colOps.isEmpty) schemaPhys
@@ -339,9 +347,13 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
           val buckets = es
             .map(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
             .distinct
-          val bucket = buckets match {
-            case Seq(Some(b)) => Some(b)
-            case _ => None
+          val bucket = layoutLog2 match {
+            case Some(l) => l.bucketCol.map(c =>
+              EpochStore.StoreBucket(c, l.bucketCount))
+            case None => buckets match {
+              case Seq(Some(b)) => Some(b)
+              case _ => None
+            }
           }
           val opts = Map("path" -> root) ++
             partCol.map("partitionColumn" -> _) ++

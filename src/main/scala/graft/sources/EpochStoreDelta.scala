@@ -449,6 +449,11 @@ final class EpochStoreDeltaBatchWrite(op: EpochStoreDeltaOperation,
   private val dir: String =
     EpochManifest.newDataDir(SparkSession.active, op.root, epoch)
 
+  /** Where the staged dir CURRENTLY lives — the commuting rebase may
+    * rename it to a fresh epoch mid-commit, and an abort after that
+    * must reclaim the renamed path, not the original. */
+  @volatile private var stagedDir: String = dir
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DeltaWriterFactory = {
     val spark = SparkSession.active
@@ -487,7 +492,7 @@ final class EpochStoreDeltaBatchWrite(op: EpochStoreDeltaOperation,
     // RENAMED to a fresh epoch so two racing MERGEs never share an
     // epoch id. Anything else — replaced/removed entries, overlapping
     // keys — refuses loudly exactly as before.
-    var stagedDir = dir
+    stagedDir = dir
     var stagedEpoch = epoch
     EpochManifest.commitWith(spark, op.root) { cur =>
       val pinnedSet = op.pinned.toSet
@@ -530,7 +535,7 @@ final class EpochStoreDeltaBatchWrite(op: EpochStoreDeltaOperation,
     val spark = SparkSession.active
     val fs = new Path(op.root)
       .getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    fs.delete(new Path(s"${op.root}/$dir"), true): Unit
+    fs.delete(new Path(s"${op.root}/$stagedDir"), true): Unit
   }
 }
 

@@ -198,4 +198,43 @@ class SpecEvolveSpec extends SparkSpec {
     }
     assert(String.valueOf(bad.getMessage).contains("not in the schema"))
   }
+
+  test("evolve_layout refuses row-identity stores (migrate_layout is " +
+      "the move); TRUNCATE-then-INSERT on an evolved store keeps the " +
+      "logged layout") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev3", wh)
+    // rowid store: metadata-only evolution refuses, names the remedy
+    spark.sql("CREATE TABLE sev3.r (id BIGINT, v STRING) " +
+      "USING epochstore OPTIONS ('rowid'='id')")
+    spark.sql("INSERT INTO sev3.r VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.sql("CALL sev3.system.evolve_layout('r', " +
+        "bucket_column => 'id', bucket_count => 4)").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("migrate_layout"),
+      s"rowid refusal must name the remedy: ${e.getMessage}")
+
+    // evolved store: TRUNCATE empties the snapshot; the catalog's
+    // empty-snapshot fallback must serve the LOGGED layout, so the
+    // next INSERT lands bucketed
+    val root = s"$wh/t"
+    EpochStore.write((0 until 12).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    spark.sql("CALL sev3.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    spark.sql("TRUNCATE TABLE sev3.t")
+    spark.sql("INSERT INTO sev3.t VALUES (100, 'x'), (101, 'y')")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val newest = EpochManifest.entries(spark, root).maxBy(_.epoch)
+    val dirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${newest.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("id_bucket=")),
+      s"post-truncate INSERT must land under the logged layout: $dirs")
+    assert(spark.sql("SELECT count(*) FROM sev3.t").head.getLong(0) == 2L)
+  }
 }
