@@ -283,9 +283,22 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
-  private val partCols: Seq[String] = EpochStore.partColsOf(options)
+  /** The table-level layout: a LAYOUT LOG (partition-spec evolution,
+    * X92) is AUTHORITATIVE over options — a path-based read with no
+    * (or stale) layout options on an evolved store would otherwise
+    * misread every current-layout entry as foreign. Never-evolved
+    * stores read their options exactly as before (one log probe). */
+  private val declaredLayout = EpochManifest.currentLayout(
+    SparkSession.active, EpochStore.rootOf(options))
+  private val partCols: Seq[String] =
+    declaredLayout.map(_.partCols)
+      .getOrElse(EpochStore.partColsOf(options))
   private val bucket: Option[EpochStore.StoreBucket] =
-    EpochStore.bucketOf(options)
+    declaredLayout match {
+      case Some(l) => l.bucketCol.map(c => EpochStore.StoreBucket(c,
+        l.bucketCount))
+      case None => EpochStore.bucketOf(options)
+    }
   private var required: StructType = tableSchema
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
@@ -532,12 +545,23 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       // runtime narrowing)
       val fs = new Path(rlo.root).getFileSystem(
         GraftBridge.sessionHadoopConf(spark))
-      val partFields =
+      // classification binds each entry's OWN recorded partition fields
+      // (exactly like resolveDelete): on a spec-evolved store, walking a
+      // foreign-layout entry under the TABLE's dir prefixes would find
+      // no leaf dirs and misclassify it Untouched — a silently skipped
+      // group, i.e. a lost UPDATE/MERGE. Entries without a record fall
+      // back to the table layout (pre-record stores are uniform).
+      val tableFields =
         partCols.flatMap(c => tableSchema.fields.find(_.name == c))
       val kept = EpochStore.spanClosure(rlo.pinned,
-        rlo.pinned.filter(e =>
-          EpochStoreDml.classify(spark, fs, rlo.root, e, partFields,
-            groupFilters) != EpochStoreDml.Untouched))
+        rlo.pinned.filter { e =>
+          val pf = EpochStoreWrite.readSchemaSidecar(fs, rlo.root, e.dir)
+            .map { case (s, pc) =>
+              EpochStore.splitPartCols(pc).map(c => s(c)) }
+            .getOrElse(tableFields)
+          EpochStoreDml.classify(spark, fs, rlo.root, e, pf,
+            groupFilters) != EpochStoreDml.Untouched
+        })
       rlo.kept = kept
       return EpochStoreScan(tableSchema, required, partCols, rlo.root,
         rlo.generation, kept, Array.empty, Array.empty,
@@ -3089,21 +3113,36 @@ object EpochStore {
     // `<col>_bucket=K` dirs (probe pruning, SPJ, streaming-tail
     // narrowing all survive), re-hashing any unbucketed DML-rewrite
     // entry's rows back into their buckets with the layout's own hash
-    val bucketLayouts = covered
-      .flatMap(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
-      .distinct
-    require(bucketLayouts.size <= 1,
-      s"compactStore on $root: covered epochs record different bucket " +
-        s"layouts: ${bucketLayouts.mkString(", ")}")
-    val bucketLayout = bucketLayouts.headOption
+    // PARTITION-SPEC evolution (X92): a layout log makes the fold a
+    // LAYOUT NORMALIZER — covered entries may record different specs
+    // (each is read under its own: partition discovery serves its dir
+    // columns into the frame) and the fold lands under the CURRENT
+    // logged layout, exactly like migrate_layout but tombstone-aware
+    // and incremental. Without a log, covered specs must agree.
+    val layoutLog = EpochManifest.currentLayout(spark, root)
+    val bucketLayout = layoutLog match {
+      case Some(l) => l.bucketCol.map(c => StoreBucket(c, l.bucketCount))
+      case None =>
+        val bucketLayouts = covered
+          .flatMap(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
+          .distinct
+        require(bucketLayouts.size <= 1,
+          s"compactStore on $root: covered epochs record different bucket " +
+            s"layouts: ${bucketLayouts.mkString(", ")}")
+        bucketLayouts.headOption
+    }
     require(bucketLayout.isEmpty || zorderColumns.isEmpty,
       s"compactStore on $root: z-order re-clustering would scatter rows " +
         "across bucket dirs — a bucket layout folds per bucket (within-" +
         "bucket sortColumns are fine)")
-    val parts0 = recs.map(_._2.get._2).distinct
-    require(parts0.size == 1,
-      s"partitionColumn changed across epochs of $root: $parts0")
-    val partCol = parts0.head
+    val partCol = layoutLog match {
+      case Some(l) => Some(l.partCols.mkString(",")).filter(_.nonEmpty)
+      case None =>
+        val parts0 = recs.map(_._2.get._2).distinct
+        require(parts0.size == 1,
+          s"partitionColumn changed across epochs of $root: $parts0")
+        parts0.head
+    }
     val mergedPhys = recs.map(_._2.get._1).reduceLeft { (a, b) =>
       val known = a.fields.map(f => f.name -> f).toMap
       b.fields.foreach(f => known.get(f.name).foreach(g =>

@@ -18,6 +18,9 @@ import graft.core.EpochManifest
   *   CALL cat.system.compact('t', sort_columns => 'id', parts => 2)
   *   CALL cat.system.gc('t')                        -- reclaim unreferenced dirs
   *   CALL cat.system.purge_deletes('t', 'id')       -- fold tombstones physically
+  *   CALL cat.system.evolve_layout('t', bucket_column => 'id',
+  *                                 bucket_count => 16)  -- metadata-only spec change
+  *   CALL cat.system.migrate_layout('t', …)         -- the physical rewrite form
   *
   * Each procedure resolves `table` against the catalog's warehouse,
   * drives the SAME engine entry points the APIs expose

@@ -230,6 +230,26 @@ final class EpochStoreMicroBatchStream(
           "compaction overtook the stream reader; compact only up to the " +
           "stream's committed offset"))
     val batch = all.filter(en => en.epoch > s && en.epoch <= e)
+    // partition-SPEC drift: an entry recorded under a layout other than
+    // this stream's pinned one would walk the wrong dir prefixes and
+    // serve its dir columns as null — refuse loudly (an evolve_layout
+    // landed mid-stream; after migrate/compact a restarted tail pins
+    // the new layout)
+    if (EpochManifest.currentLayout(spark, root).nonEmpty) {
+      val fs0 = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
+      val foreign = batch.filter { en =>
+        EpochStoreWrite.readSchemaSidecar(fs0, root, en.dir).exists {
+          case (_, pc) => EpochStore.splitPartCols(pc) != partCols
+        } || EpochStoreWrite.readBucketSidecar(fs0, root, en.dir) != bucket
+      }
+      if (foreign.nonEmpty) throw new IllegalStateException(
+        s"epochstore stream over $root: entries " +
+          s"${foreign.map(_.dir).mkString(", ")} were written under a " +
+          "different partition spec than this stream pinned — an " +
+          "evolve_layout landed mid-stream; normalize (CALL " +
+          "migrate_layout or compact) and restart the tail")
+    }
     // a fold straddling the start would re-deliver epochs ≤ s — refuse
     batch.find(_.minEpoch <= s).foreach(en =>
       throw new IllegalStateException(

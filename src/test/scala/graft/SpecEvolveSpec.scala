@@ -184,10 +184,24 @@ class SpecEvolveSpec extends SparkSpec {
     val left = ((0 until 40) ++ (100 until 109)).filterNot(_ % 3 == 2)
     assert(spark.sql("SELECT count(*) FROM sev2.t").head.getLong(0) ==
       left.size.toLong)
-    // an UPDATE through the row-level path too
+    // an UPDATE through the row-level path too — one row in the NEW
+    // entry, and one in the FOREIGN bucketed entry (the group
+    // classification must bind that entry's OWN dir layout, or it
+    // misreads "no matching leaf dirs" as Untouched and silently skips
+    // the group — the lost-update shape)
     spark.sql("UPDATE sev2.t SET score = -1 WHERE id = 100")
     assert(spark.sql("SELECT score FROM sev2.t WHERE id = 100")
       .head.getLong(0) == -1L)
+    spark.sql("UPDATE sev2.t SET score = -2 WHERE id = 6")
+    assert(spark.sql("SELECT score FROM sev2.t WHERE id = 6")
+      .head.getLong(0) == -2L,
+      "a row in the foreign-layout entry must not be skipped")
+    spark.sql("UPDATE sev2.t SET score = -3 WHERE lang = 'en' AND id < 4")
+    assert(spark.sql("SELECT id, score FROM sev2.t WHERE id < 4 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, -3L), (1L, 10L), (3L, -3L)),
+      "a lang-conditioned UPDATE must reach the foreign entry's en rows " +
+        "and leave de untouched (fr was deleted)")
     assert(spark.sql("SELECT count(*) FROM sev2.t").head.getLong(0) ==
       left.size.toLong)
 
@@ -236,5 +250,68 @@ class SpecEvolveSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("id_bucket=")),
       s"post-truncate INSERT must land under the logged layout: $dirs")
     assert(spark.sql("SELECT count(*) FROM sev3.t").head.getLong(0) == 2L)
+  }
+
+  test("CALL compact is a layout NORMALIZER on a mixed-spec store: the " +
+      "fold lands under the logged layout, probes prune again, and the " +
+      "streaming tail can start") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev4", wh)
+    val root = s"$wh/t"
+    val langs = IndexedSeq("en", "de", "fr")
+    EpochStore.write((0 until 30).map(i => (i.toLong, s"v$i", langs(i % 3)))
+      .toDF("id", "v", "lang"), root, 0L, partitionColumn = "lang")
+    spark.sql("CALL sev4.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    spark.sql("INSERT INTO sev4.t VALUES (100, 'n100', 'en')")
+    // normalize via compact (the stream refusal names it as a remedy)
+    spark.sql("CALL sev4.system.compact('t')").collect()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val es = EpochManifest.entries(spark, root)
+    assert(es.size == 1, s"one fold: ${es.map(_.dir)}")
+    val dirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${es.head.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("id_bucket=")),
+      s"the fold must land under the LOGGED bucket layout: $dirs")
+    // answers exact, lang now a file column everywhere
+    assert(spark.sql("SELECT count(*) FROM sev4.t WHERE lang = 'en'")
+      .head.getLong(0) == 11L)
+    // a bucket probe prunes 1-of-4 through the normalized fold
+    val probe = spark.sql("SELECT v FROM sev4.t WHERE id = 100")
+    assert(probe.head.getString(0) == "n100")
+    assert(scanOf(probe).selectedPartitionDirs == (1, 4),
+      s"audit: ${scanOf(probe).selectedPartitionDirs}")
+    // and the tail starts (no foreign-spec entries left)
+    val q = spark.readStream.format("epochstore")
+      .schema(spark.table("sev4.t").schema)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("sev4_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("sev4_tail").count() == 31L)
+
+    // a MID-STREAM evolve_layout refuses per batch: the running tail's
+    // pinned layout no longer matches what new entries record
+    val q2 = spark.readStream.format("epochstore")
+      .schema(spark.table("sev4.t").schema)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("sev4_tail2").start()
+    try {
+      q2.processAllAvailable()
+      spark.sql("CALL sev4.system.evolve_layout('t', " +
+        "partition_columns => 'lang')").collect()
+      spark.sql("INSERT INTO sev4.t VALUES (200, 'n200', 'de')")
+      val e2 = intercept[Exception] { q2.processAllAvailable() }
+      val msgs = Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msgs.contains("different partition spec") &&
+        msgs.contains("restart"),
+        s"mid-stream evolution must refuse with the remedy: $msgs")
+    } finally q2.stop()
   }
 }
