@@ -407,10 +407,15 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     // a row-identity store with live tombstones — footer counts would
     // include killed rows; Spark scans rows as usual
     if (morLiveTombstones) return false
-    // a spec-evolved store: the metadata-agg listing and its grouping
-    // assume ONE layout — Spark scans rows (per-entry-correct) instead
-    if (EpochManifest.currentLayout(SparkSession.active,
-      EpochStore.rootOf(options)).nonEmpty) return false
+    // a spec-evolved store keeps the metadata path where it stays
+    // provably sound: the agg listing walks each entry under its own
+    // spec, so UNGROUPED aggregates always qualify; GROUPED ones (keys
+    // ⊆ the current partition dirs) need every pinned entry on the
+    // CURRENT layout (a foreign entry's tuples aren't those dirs), and
+    // an aggregated COLUMN that any entry dir-serves has no file stats
+    // there — both checked per entry below
+    val specLayout = EpochManifest.currentLayout(SparkSession.active,
+      EpochStore.rootOf(options))
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -449,20 +454,34 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     }.distinct
     val aliases = EpochStore.columnAliases(SparkSession.active,
       EpochStore.rootOf(options))
-    if (aggCols.nonEmpty || !aliases.isEmpty) {
+    if (aggCols.nonEmpty || !aliases.isEmpty || specLayout.nonEmpty) {
       val spark = SparkSession.active
       val root = EpochStore.rootOf(options)
       val fs = new Path(root)
         .getFileSystem(GraftBridge.sessionHadoopConf(spark))
       val ok = EpochStore.pinnedEntries(spark, root, options).forall { e =>
         EpochStoreWrite.readSchemaSidecar(fs, root, e.dir) match {
-          case Some((s, _)) =>
+          case Some((s, pc)) =>
             val efs = s.fieldNames.toSet
-            aggCols.forall(l => efs.contains(aliases.resolve(l, efs)))
+            val pcE = EpochStore.splitPartCols(pc)
+            val layoutOk = specLayout.forall { l =>
+              // grouped: the entry must sit on the CURRENT layout;
+              // ungrouped: any layout, but the aggregated columns must
+              // be FILE-served there (a dir-served column has neither
+              // footer stats nor sidecar entries)
+              (agg.groupByExpressions.isEmpty ||
+                (pcE == l.partCols &&
+                  EpochStoreWrite.readBucketSidecar(fs, root, e.dir) ==
+                    l.bucketCol.map(c => EpochStore.StoreBucket(c,
+                      l.bucketCount)))) &&
+                aggCols.forall(c => !pcE.contains(c))
+            }
+            layoutOk &&
+              aggCols.forall(l => efs.contains(aliases.resolve(l, efs)))
           // pre-evolution entries have no record AND no ALTER history
           // (ALTER refuses without records) — the explicit-schema
           // contract makes their files uniform, footers carry the column
-          case None => aliases.isEmpty
+          case None => aliases.isEmpty && specLayout.isEmpty
         }
       }
       if (!ok) return false

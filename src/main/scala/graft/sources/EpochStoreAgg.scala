@@ -72,9 +72,38 @@ final case class EpochStoreAggScan(
       s"ReadSchema: ${aggSchema.catalogString}"
   }
 
+  /** Spec-evolved stores (X92): the metadata-agg walk, like the row
+    * scan's, visits each entry under its OWN recorded layout — without
+    * this a foreign-layout entry's files sit under dir prefixes the
+    * current layout's walk never matches and the count silently drops
+    * them. The pushdown gate admits only layout-sound shapes (ungrouped
+    * over any mix; grouped only when every entry is current). */
+  @transient private lazy val entryLayoutsOpt
+      : Option[Map[String, (Seq[String], Option[EpochStore.StoreBucket])]] =
+    if (EpochManifest.currentLayout(SparkSession.active, root).isEmpty) None
+    else {
+      val spark = SparkSession.active
+      val fs = new Path(root)
+        .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+      Some(entries.map(_.dir).map { d =>
+        val pc = EpochStoreWrite.readSchemaSidecar(fs, root, d)
+          .map(r => EpochStore.splitPartCols(r._2))
+          .getOrElse(partCols)
+        d -> (pc, EpochStoreWrite.readBucketSidecar(fs, root, d))
+      }.toMap)
+    }
+
   private lazy val listing =
     EpochStore.listEntryFiles(SparkSession.active, root, entries,
-      partFields, partFilters)
+      partFields, partFilters,
+      layoutOf = entryLayoutsOpt.map(m => (e: EpochManifest.Entry) => {
+        val (pcs, bkt) = m.getOrElse(e.dir,
+          (partCols, None: Option[EpochStore.StoreBucket]))
+        (pcs.map(c => fullSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalStateException(
+            s"entry ${e.dir} records partition column $c missing from " +
+              s"the schema of $root"))), bkt)
+      }))
 
   def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
 

@@ -106,9 +106,18 @@ class SpecEvolveSpec extends SparkSpec {
     assert(!agg.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r.scan
     }.exists(_.isInstanceOf[graft.sources.EpochStoreAggScan]),
-      "metadata-only aggregation is withheld on a spec-evolved store")
+      "GROUPED metadata aggregation is withheld while specs are mixed")
     assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("de", 24L), ("en", 24L), ("fr", 24L)))
+    // UNGROUPED aggregates stay METADATA-ONLY even over the mixed
+    // snapshot — the agg walk visits each entry under its own spec
+    val uagg = spark.sql(
+      "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx FROM sev.docs")
+    assert(uagg.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.exists(_.isInstanceOf[graft.sources.EpochStoreAggScan]),
+      "ungrouped aggregates must keep the metadata path on a mixed store")
+    assert(uagg.collect().map(_.toSeq).toSeq == Seq(Seq(72L, 0L, 111L)))
 
     // time travel: the pre-evolution snapshot keeps its exact lang
     // pruning
@@ -211,6 +220,19 @@ class SpecEvolveSpec extends SparkSpec {
         "partition_columns => 'nope')").collect()
     }
     assert(String.valueOf(bad.getMessage).contains("not in the schema"))
+
+    // once compaction normalizes every entry to the logged identity
+    // layout, GROUPED metadata aggregation comes back
+    EpochStore.compactStore(spark, root, parts = 1)
+    val gagg = spark.sql(
+      "SELECT lang, count(*) AS n FROM sev2.t GROUP BY lang ORDER BY lang")
+    assert(gagg.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.exists(_.isInstanceOf[graft.sources.EpochStoreAggScan]),
+      "a normalized store must regain grouped metadata aggregation")
+    assert(gagg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", left.count(_ % 3 == 1).toLong),
+        ("en", left.count(_ % 3 == 0).toLong)))
   }
 
   test("evolve_layout refuses row-identity stores (migrate_layout is " +
