@@ -2829,7 +2829,23 @@ object EpochStore {
     require(es.nonEmpty, s"no committed manifest under $root")
     require(bucketColumn.isEmpty == (bucketCount <= 0),
       "bucket_column and a positive bucket_count come together")
-    val (schema, _) = evolvedSchema(spark, root) // refuses record-less stores
+    val fs0 = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // schema from the entry records, LAYOUT-TOLERANT: the very call that
+    // declares a table-level layout must accept entries that already
+    // record different specs (a store built by explicit per-epoch
+    // layout options has no log yet — evolve_layout IS how it gets one)
+    val recs0 = es.map(e => EpochStoreWrite.readSchemaSidecar(fs0, root, e.dir))
+    require(recs0.forall(_.isDefined),
+      s"evolve_layout on $root: entries " +
+        s"${es.zip(recs0).collect { case (e, None) => e.dir }.mkString(", ")}" +
+        " predate schema records — per-entry spec resolution needs them; " +
+        "run CALL compact first")
+    val (schemaPhys0, _) = mergeRecorded(root, recs0.map(_.get),
+      allowMixedPartitioning = true)
+    val ops0 = EpochManifest.columnOps(spark, root)
+    val schema =
+      if (ops0.isEmpty) schemaPhys0
+      else applyColumnOps(root, schemaPhys0, ops0)
     (partitionColumns ++ bucketColumn).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"evolve_layout on $root: column $c is not in the schema " +

@@ -336,4 +336,74 @@ class SpecEvolveSpec extends SparkSpec {
         s"mid-stream evolution must refuse with the remedy: $msgs")
     } finally q2.stop()
   }
+
+  test("mixed-spec equivalence sweep: four epochs under four DIFFERENT " +
+      "layouts answer every probe exactly like the flat union truth") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev5", wh)
+    val root = s"$wh/t"
+    val langs = IndexedSeq("en", "de", "fr")
+    def slice(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v$i", langs(i % 3),
+        (i % 7).toLong)).toDF("id", "v", "lang", "grp")
+    // epoch 0: unpartitioned; 1: identity(lang); 2: bucket(4, id);
+    // 3: composite identity(lang)+bucket(2, id)
+    slice(0, 25).write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0").save()
+    slice(25, 50).write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "1")
+      .option("partitionColumn", "lang").save()
+    slice(50, 75).write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "2")
+      .option("bucketColumn", "id").option("bucketCount", "4").save()
+    slice(75, 100).write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "3")
+      .option("partitionColumn", "lang")
+      .option("bucketColumn", "id").option("bucketCount", "2").save()
+    // declare a CURRENT layout so the per-entry machinery engages
+    spark.sql("CALL sev5.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+
+    val truth = slice(0, 100).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    def got(where: String): Set[(Long, String, String, Long)] =
+      spark.sql(s"SELECT id, v, lang, grp FROM sev5.t $where")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+    def want(p: ((Long, String, String, Long)) => Boolean) = truth.filter(p)
+
+    assert(got("") == truth, "full read")
+    val probes: Seq[(String, ((Long, String, String, Long)) => Boolean)] =
+      Seq(
+        ("WHERE lang = 'en'", _._3 == "en"),
+        ("WHERE lang <> 'de'", _._3 != "de"),
+        ("WHERE id = 7", _._1 == 7L),
+        ("WHERE id IN (3, 33, 63, 93)", t => Set(3L, 33L, 63L, 93L)(t._1)),
+        ("WHERE id < 20 AND lang = 'fr'", t => t._1 < 20L && t._3 == "fr"),
+        ("WHERE grp = 5", _._4 == 5L),
+        ("WHERE lang = 'en' AND grp >= 4",
+          t => t._3 == "en" && t._4 >= 4L),
+        ("WHERE v LIKE 'v9%'", _._2.startsWith("v9")))
+    probes.foreach { case (w, p) =>
+      assert(got(w) == want(p), s"probe diverged: $w")
+    }
+    // aggregation across all four specs
+    val byLang = spark.sql(
+      "SELECT lang, count(*) AS n, sum(grp) AS g FROM sev5.t " +
+        "GROUP BY lang ORDER BY lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val wantLang = truth.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (l, ts) => (l, ts.size.toLong, ts.toSeq.map(_._4).sum) }
+    assert(byLang == wantLang, s"$byLang vs $wantLang")
+    // joins across the mixed snapshot
+    Seq((7L, "seven"), (80L, "eighty")).toDF("id", "tag")
+      .createOrReplaceTempView("sev5dim")
+    val j = spark.sql("SELECT t.id, d.tag FROM sev5.t t " +
+      "JOIN sev5dim d ON t.id = d.id ORDER BY t.id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(j == Seq((7L, "seven"), (80L, "eighty")))
+  }
 }
