@@ -104,7 +104,8 @@ object EpochStoreMetadata {
                      options: CaseInsensitiveStringMap)
       : (Seq[EpochStore.ListedFile], Seq[String],
          Option[EpochStore.StoreBucket],
-         Map[String, Map[String, EpochStoreStats.FileStats]]) = {
+         Map[String, Map[String, EpochStoreStats.FileStats]],
+         Option[Map[String, (Seq[String], Option[EpochStore.StoreBucket])]]) = {
     val partCols = EpochStore.partColsOf(options)
     val partFields = partCols.map(c => baseSchema.fields.find(_.name == c)
       .getOrElse(throw new IllegalArgumentException(
@@ -113,13 +114,32 @@ object EpochStoreMetadata {
     // honor a VERSION AS OF pin riding in the base table's options —
     // `files`/`partitions` describe the pinned snapshot, not the head
     val entries = EpochStore.pinnedEntries(spark, root, options)
-    val (files, _, _) = EpochStore.listEntryFiles(spark, root, entries,
-      partFields, Array.empty, bucket = bucket)
     val fs = new Path(root)
       .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // spec-evolved stores (X92): walk each entry under its OWN recorded
+    // layout — the current layout's prefixes never match a foreign
+    // entry's dirs, and its files would silently drop from the listing
+    val layouts: Option[Map[String, (Seq[String],
+        Option[EpochStore.StoreBucket])]] =
+      if (graft.core.EpochManifest.currentLayout(spark, root).isEmpty) None
+      else Some(entries.map(_.dir).map { d =>
+        val pc = EpochStoreWrite.readSchemaSidecar(fs, root, d)
+          .map(r => EpochStore.splitPartCols(r._2)).getOrElse(partCols)
+        d -> (pc, EpochStoreWrite.readBucketSidecar(fs, root, d))
+      }.toMap)
+    val (files, _, _) = EpochStore.listEntryFiles(spark, root, entries,
+      partFields, Array.empty, bucket = bucket,
+      layoutOf = layouts.map(m => (e: graft.core.EpochManifest.Entry) => {
+        val (pcs, bkt) = m.getOrElse(e.dir,
+          (partCols, None: Option[EpochStore.StoreBucket]))
+        (pcs.map(c => baseSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"entry ${e.dir} records partition column $c missing from " +
+              s"the schema of $root"))), bkt)
+      }))
     val stats = entries.map(e =>
       e.dir -> EpochStoreStats.read(fs, root, e.dir)).toMap
-    (files, partCols, bucket, stats)
+    (files, partCols, bucket, stats, layouts)
   }
 
   private def files(spark: SparkSession, root: String,
@@ -133,7 +153,8 @@ object EpochStoreMetadata {
       StructField("rows", LongType, nullable = true),
       StructField("partition", StringType, nullable = true),
       StructField("bucket_id", IntegerType, nullable = true)))
-    val (fls, partCols, _, stats) = listed(spark, root, baseSchema, options)
+    val (fls, partCols, _, stats, layouts) =
+      listed(spark, root, baseSchema, options)
     val fs = new Path(root)
       .getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val rows = fls.sortBy(lf => (lf.epoch, lf.status.getPath.toString))
@@ -141,9 +162,13 @@ object EpochStoreMetadata {
         val rel = EpochStore.relOf(fs, root, lf)
         val nRows: Any = stats.getOrElse(lf.entryDir, Map.empty)
           .get(rel).map(_.rows).orNull
+        // each file's partition string renders under ITS entry's
+        // recorded identity columns (values are in that order)
+        val pcE = layouts.flatMap(_.get(lf.entryDir)).map(_._1)
+          .getOrElse(partCols)
         val part: Any =
-          if (partCols.isEmpty) null
-          else utf8(partCols.zip(lf.values)
+          if (pcE.isEmpty) null
+          else utf8(pcE.zip(lf.values)
             .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
         new GenericInternalRow(Array[Any](lf.epoch,
           utf8(s"${lf.entryDir}/$rel"), lf.status.getLen, nRows, part,
@@ -156,8 +181,19 @@ object EpochStoreMetadata {
                          baseSchema: StructType,
                          options: CaseInsensitiveStringMap)
       : (StructType, Array[InternalRow]) = {
-    val (fls, partCols, bucket, stats) =
+    val (fls, partCols, bucket, stats, layouts) =
       listed(spark, root, baseSchema, options)
+    // `$partitions` rows ARE typed current-layout tuples — a foreign-
+    // layout entry's values aren't those tuples; refuse rather than
+    // mis-group (the $files view stays available on mixed stores)
+    layouts.foreach { m =>
+      val foreign = fls.map(_.entryDir).distinct.filter(d =>
+        m.get(d).exists(l => l._1 != partCols || l._2 != bucket))
+      if (foreign.nonEmpty) throw new IllegalStateException(
+        s"$$partitions over $root: entries ${foreign.mkString(", ")} were " +
+          "written under a previous partition spec — normalize (CALL " +
+          "migrate_layout or compact) first, or inspect $files")
+    }
     val partFields = partCols.map(c => baseSchema.fields.find(_.name == c).get)
     val schema = StructType(
       partFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++

@@ -151,4 +151,46 @@ class MetaTablesSpec extends SparkSpec {
       .orderBy("lang").collect().toSeq.map(_.toSeq)
     assert(got.nonEmpty && got == want, s"got=$got\nwant=$want")
   }
+
+  test("metadata tables on a spec-evolved store: $files lists every " +
+      "entry under its own layout; $partitions refuses while mixed and " +
+      "recovers after normalization") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("metae", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 30).map(i => (i.toLong, s"v$i",
+      if (i % 2 == 0) "en" else "de")).toDF("id", "v", "lang"),
+      root, 0L, partitionColumn = "lang")
+    spark.sql("CALL metae.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    spark.sql("INSERT INTO metae.t VALUES (100, 'x', 'fr')")
+    // $files: both specs' files appear, each partition string rendered
+    // under its OWN entry's identity columns
+    val files = spark.sql(
+      "SELECT file, partition, bucket_id FROM metae.`t$files`").collect()
+    assert(files.count(_.getString(1) != null) >= 2 &&
+      files.filter(_.getString(1) != null)
+        .forall(_.getString(1).startsWith("lang=")),
+      s"old files must render lang= partitions: ${files.toSeq}")
+    assert(files.exists(r => r.getString(1) == null && !r.isNullAt(2)),
+      s"the bucketed file must carry its bucket_id: ${files.toSeq}")
+    assert(spark.sql("SELECT sum(rows) FROM metae.`t$files`")
+      .head.getLong(0) == 31L, "every spec's files must be listed")
+    // $partitions refuses while mixed, names the remedy
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM metae.`t$partitions`").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("previous partition spec"), msgs)
+    // normalize -> $partitions serves the current (bucket) tuples
+    spark.sql("CALL metae.system.compact('t')").collect()
+    val parts = spark.sql(
+      "SELECT bucket_id, rows FROM metae.`t$partitions` ORDER BY bucket_id")
+      .collect()
+    assert(parts.map(_.getLong(1)).sum == 31L &&
+      parts.forall(!_.isNullAt(0)),
+      s"normalized partitions: ${parts.toSeq}")
+  }
 }
