@@ -140,6 +140,25 @@ final class EpochStoreTable(tableSchema: StructType,
       es.map(_.epoch).maxOption.foreach(e => m.put("maxEpoch", e.toString))
     }
     BloomSpec.declared(spark, root).foreach(m.put("bloomColumn", _))
+    // partition-spec evolution (X92): the DECLARED current layout plus
+    // how many live entries still read under a previous spec — the
+    // one-glance answer to "is this store mixed, and is migrate/compact
+    // due" in DESCRIBE TABLE EXTENDED
+    EpochManifest.currentLayout(spark, root).foreach { l =>
+      m.put("layout",
+        (l.partCols.map(c => s"identity($c)") ++
+          l.bucketCol.map(c => s"bucket(${l.bucketCount}, $c)"))
+          .mkString(", ") match { case "" => "(unpartitioned)"; case s => s })
+      val fs = new Path(root).getFileSystem(
+        GraftBridge.sessionHadoopConf(spark))
+      val foreign = EpochManifest.entries(spark, root).count { e =>
+        EpochStoreWrite.readSchemaSidecar(fs, root, e.dir).exists {
+          case (_, pc) => EpochStore.splitPartCols(pc) != l.partCols
+        } || EpochStoreWrite.readBucketSidecar(fs, root, e.dir) !=
+          l.bucketCol.map(c => EpochStore.StoreBucket(c, l.bucketCount))
+      }
+      m.put("foreignLayoutEntries", foreign.toString)
+    }
     val ts = EpochManifest.tags(spark, root)
     if (ts.nonEmpty)
       m.put("tags", ts.toSeq.sortBy(_._1)
@@ -2796,21 +2815,35 @@ object EpochStore {
         zorderColumns.mkString(", "))
     val es = EpochManifest.entries(spark, root)
     val covered = es.filter(_.epoch < uptoEpoch)
-    if (covered.size <= 1) return
+    // a single already-current entry has nothing to fold — but a single
+    // FOREIGN-layout entry (spec evolution) still rewrites, or the
+    // normalizing compact the refusal messages promise would no-op
+    val foreignCovered = EpochManifest.currentLayout(spark, root).exists {
+      l =>
+        val fs = new Path(root)
+          .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+        covered.exists { e =>
+          EpochStoreWrite.readSchemaSidecar(fs, root, e.dir).exists {
+            case (_, pc) => splitPartCols(pc) != l.partCols
+          } || EpochStoreWrite.readBucketSidecar(fs, root, e.dir) !=
+            l.bucketCol.map(c => StoreBucket(c, l.bucketCount))
+        }
+    }
+    if (covered.isEmpty || (covered.size == 1 && !foreignCovered)) return
     foldCovered(spark, root, es, covered, sortColumns, parts, zorderColumns)
   }
 
-  /** LAYOUT MIGRATION (X89) — partition-spec evolution the honest-
-    * rewrite way: fold the WHOLE store into one entry laid out under a
-    * NEW spec (identity partition columns, hash buckets, sort order —
-    * any combination the writers support), committed as ONE OCC fold.
-    * Iceberg evolves specs metadata-only by letting old files keep the
-    * old layout; this engine's scan serves partition values as per-dir
-    * constants, so mixed layouts cannot share a snapshot — the
-    * migration rewrites instead, the previous layout stays readable via
-    * time travel until gc, and every skipping/SPJ/probe tier
-    * immediately serves the new layout. A racing commit refuses loudly
-    * (the fold resolves against the pinned snapshot). */
+  /** LAYOUT MIGRATION (X89) — partition-spec evolution the PHYSICAL
+    * way: fold the WHOLE store into one entry laid out under a NEW spec
+    * (identity partition columns, hash buckets, sort order — any
+    * combination the writers support), committed as ONE OCC fold. Since
+    * X92 ([[evolveLayout]]) the metadata-only route exists too — mixed
+    * specs CAN share a snapshot, each entry pruned/served under its own
+    * — so this is the eager re-clustering option: one rewrite and every
+    * skipping/SPJ/ordering tier serves the new layout immediately, with
+    * the previous layout readable via time travel until gc. A racing
+    * commit refuses loudly (the fold resolves against the pinned
+    * snapshot). */
   /** PARTITION-SPEC evolution WITHOUT rewriting (X92 — Iceberg's
     * mixed-spec snapshots): publish the new table-level layout to the
     * versioned layout log ([[graft.core.EpochManifest.publishLayout]]).

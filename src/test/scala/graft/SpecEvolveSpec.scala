@@ -406,4 +406,27 @@ class SpecEvolveSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(j == Seq((7L, "seven"), (80L, "eighty")))
   }
+
+  test("DESCRIBE surfaces the declared layout and the foreign-entry " +
+      "count; normalization zeroes it") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev6", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"v$i",
+      if (i % 2 == 0) "en" else "de")).toDF("id", "v", "lang"),
+      root, 0L, partitionColumn = "lang")
+    spark.sql("CALL sev6.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    def props(): String =
+      spark.sql("DESCRIBE TABLE EXTENDED sev6.t").collect()
+        .collectFirst { case r if r.getString(0) == "Table Properties" =>
+          r.getString(1) }.getOrElse("")
+    val d1 = props()
+    assert(d1.contains("layout=bucket(4, id)") &&
+      d1.contains("foreignLayoutEntries=1"), d1)
+    spark.sql("CALL sev6.system.compact('t')").collect()
+    val d2 = props()
+    assert(d2.contains("foreignLayoutEntries=0"), d2)
+  }
 }
