@@ -796,22 +796,11 @@ final case class EpochStoreScan(
       s"epochstore streaming over a BRANCH of $root is not supported — " +
         "branches are write-audit-publish staging; tail main (publish " +
         "first) or batch-read the branch head")
-    // RENAME/DROP history is no prerequisite: the micro-batch stream
-    // pins the alias mapping at start and routes each entry to its
-    // name-profile reader, exactly like this batch scan — a mid-stream
-    // rename refuses per batch inside the stream instead.
-    // Partition-SPEC evolution still refuses: the micro-batch reader
-    // plans under the CURRENT layout — entries recorded under a foreign
-    // spec refuse until migrate_layout/compaction normalizes them
-    if (hasLayoutProfiles) {
-      val foreign = entries.filter(e => layoutOfDir(e.dir).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"epochstore streaming over $root: entries " +
-          s"${foreign.map(_.dir).mkString(", ")} were written under a " +
-          "previous partition spec — run CALL migrate_layout (or " +
-          "compact) to rewrite them to the current layout, then start " +
-          "the tail")
-    }
+    // neither RENAME/DROP history nor a mixed PARTITION SPEC is a tail
+    // prerequisite: the micro-batch stream pins a template of this
+    // batch scan at start and routes every trigger's files through its
+    // per-entry read profiles; mid-stream DDL refuses per batch inside
+    // the stream instead (restart re-pins).
     new EpochStoreMicroBatchStream(fullSchema, required, partCols, root,
       partFilters, dataFilters, streamOptions, bloomCol, bucket)
   }
@@ -917,14 +906,7 @@ final case class EpochStoreScan(
         // spec evolution: each entry walks under its OWN recorded
         // layout; filters on columns an entry doesn't dir-serve keep
         // its subtree (they run residually over the served rows)
-        layoutOf = entryLayoutsOpt.map(m => (e: graft.core.EpochManifest
-          .Entry) => {
-          val (pcs, bkt) = m.getOrElse(e.dir, (partCols, bucket))
-          (pcs.map(c => fullSchema.fields.find(_.name == c).getOrElse(
-            throw new IllegalStateException(
-              s"entry ${e.dir} records partition column $c missing " +
-                s"from the schema of $root"))), bkt)
-        }))
+        layoutOf = layoutResolver)
       val kept = applyRowBound(spark,
         applyStatsSkip(spark, applyBloomSkip(spark, files)))
       // CDC mode: every selected entry's equality tombstones join the
@@ -1498,6 +1480,23 @@ final case class EpochStoreScan(
     entryLayoutsOpt.flatMap(_.get(d))
       .filter(l => l._1 != partCols || l._2 != bucket)
 
+  /** The per-entry layout resolver [[EpochStore.listEntryFiles]] walks
+    * under — shared by this scan's own listing and the micro-batch
+    * stream's per-trigger listings (the stream delegates all routing to
+    * a pinned template of this scan). None for never-evolved stores.
+    * Entries outside the registry (a stream's later appends) resolve to
+    * the current layout. */
+  private[sources] def layoutResolver
+      : Option[graft.core.EpochManifest.Entry =>
+        (Seq[StructField], Option[EpochStore.StoreBucket])] =
+    entryLayoutsOpt.map(m => (e: graft.core.EpochManifest.Entry) => {
+      val (pcs, bkt) = m.getOrElse(e.dir, (partCols, bucket))
+      (pcs.map(c => fullSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"entry ${e.dir} records partition column $c missing " +
+            s"from the schema of $root"))), bkt)
+    })
+
   /** True when any pinned entry reads under a layout other than the
     * current one — SPJ/ordering reports and value-keyed grouping are
     * withheld (they describe ONE layout), per-entry pruning still runs. */
@@ -1537,6 +1536,38 @@ final case class EpochStoreScan(
   /** Whether ANY non-identity profile exists (renames or foreign
     * layouts) — the gate the packing/routing fast path keys on. */
   private def anyProfiles: Boolean = !aliases.isEmpty || hasLayoutProfiles
+
+  /** Whether `dir` is covered by this scan's profile registry — the
+    * micro-batch stream's drift gate: a late entry outside the registry
+    * must be on the identity profile (current names, current layout) or
+    * the tail refuses. */
+  private[sources] def profileKnown(dir: String): Boolean =
+    !anyProfiles || profiles._2.contains(dir)
+
+  /** Pack an EXTERNALLY-listed file set (the micro-batch stream's
+    * per-trigger epochs) with this scan's full profile routing — name
+    * translations AND foreign-layout re-splits ride exactly like the
+    * batch read; no ordering/SPJ keying (per-trigger batches don't
+    * report either). */
+  private[sources] def packFiles(spark: SparkSession,
+      files: Seq[EpochStore.ListedFile]): Array[InputPartition] = {
+    if (!anyProfiles)
+      return EpochStore.planFilePartitions(spark, files, constEff,
+        constantsOfEff)
+    files.map(f => profileIdxOf(f.entryDir)).distinct.sorted.flatMap { pid =>
+      val (cs, cof) = profiles._1.lift(pid).flatMap(_._2) match {
+        case Some((pcE, _)) => (constSchemaFor(pcE), constantsForLayout(pcE))
+        case None => (constEff, constantsOfEff _)
+      }
+      EpochStore.planFilePartitions(spark,
+        files.filter(f => profileIdxOf(f.entryDir) == pid), cs, cof)
+        .map {
+          case fp: FilePartition if pid != 0 =>
+            ProfiledFilePartition(fp, pid): InputPartition
+          case other => other
+        }
+    }.toArray
+  }
 
   /** FOREIGN-layout profile split: the declared output columns the
     * entry serves from its partition DIRS (requested ones, in the

@@ -71,51 +71,14 @@ final class EpochStoreMicroBatchStream(
       throw new IllegalArgumentException(
         s"partitionColumn $c is not in the schema")))
 
-  private val dataSchema: StructType =
-    StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
-  /** `_epoch` / `_change_type` metadata columns on the TAIL: the epoch
-    * provenance and — for a row-identity store — the CDC change type
-    * ("insert" data rows, "delete" tombstone events), both served as
-    * per-file constants so a streaming consumer gets the same
-    * changefeed shape as the batch [[EpochStore.readChanges]], one
-    * committed epoch range per trigger. */
-  private val epochRequested: Boolean =
-    required.fieldNames.contains(EpochStore.EpochColName)
+  /** `_change_type` on the TAIL (row-identity stores): the trigger's
+    * tombstone files join as DELETE events — the same changefeed shape
+    * as the batch [[EpochStore.readChanges]]. Schema splitting, the
+    * `_epoch`/`_change_type` constants, EXISTS_DEFAULT metadata, and
+    * every per-entry read profile all live in the pinned TEMPLATE scan
+    * ([[EpochStoreScan.packFiles]]) — one code path for batch and tail. */
   private val changeRequested: Boolean =
     required.fieldNames.contains(EpochStore.ChangeColName)
-  private val readDataSchema: StructType =
-    StructType(required.filterNot(f => partCols.contains(f.name) ||
-      f.name == EpochStore.EpochColName ||
-      f.name == EpochStore.ChangeColName)
-      // re-attach the TABLE's field metadata (EXISTS_DEFAULT et al.) so
-      // a tailed epoch that predates an ADD COLUMN … DEFAULT serves the
-      // default exactly like the batch scan — pruning hands back bare
-      // fields (same fix as [[EpochStoreScan.readDataSchema]])
-      .map(f => fullSchema.fields.find(_.name == f.name)
-        .filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
-        .map(g => f.copy(metadata = g.metadata)).getOrElse(f)))
-  private val readPartSchema: StructType =
-    StructType(partFields.filter(f => required.fieldNames.contains(f.name)))
-  private val constSchema: StructType =
-    StructType(readPartSchema ++
-      (if (epochRequested)
-        Seq(org.apache.spark.sql.types.StructField(EpochStore.EpochColName,
-          org.apache.spark.sql.types.LongType, nullable = false))
-      else Nil) ++
-      (if (changeRequested)
-        Seq(org.apache.spark.sql.types.StructField(EpochStore.ChangeColName,
-          org.apache.spark.sql.types.StringType, nullable = false))
-      else Nil))
-  private def constantsOf(lf: EpochStore.ListedFile): Array[Any] = {
-    val b = Array.newBuilder[Any]
-    requestedPartIdx.foreach(i => b += lf.values(i))
-    if (epochRequested) b += lf.epoch
-    if (changeRequested) b += (if (lf.isDelete) "delete" else "insert")
-    b.result()
-  }
-  private val requestedPartIdx: Seq[Int] = partFields.zipWithIndex
-    .filter { case (f, _) => required.fieldNames.contains(f.name) }
-    .map(_._2)
 
   private val startingAfter: Long =
     streamOptions.get("startingafterepoch").map(_.toLong).getOrElse(-1L)
@@ -128,48 +91,22 @@ final class EpochStoreMicroBatchStream(
   // is captured at stream construction (scan planning)
   private val spark: SparkSession = SparkSession.active
 
-  /** RENAME/DROP evolution (X85) on the TAIL: alias chains and the
-    * per-entry NAME PROFILES are pinned at stream construction — every
-    * entry live then resolves its spelling here, and entries appended
-    * while the stream runs are written under the CURRENT names (the
-    * identity profile, index 0). A rename landing MID-stream changes
-    * the mapping this running query was planned under, so each batch
-    * re-reads the (tiny) ops log and refuses loudly on drift — restart
-    * the query and the new mapping pins. */
+  /** RENAME/DROP and PARTITION-SPEC evolution on the TAIL: the tail
+    * delegates its routing to a pinned TEMPLATE batch scan over the
+    * stream-start snapshot — its per-entry READ PROFILES (physical
+    * name spellings × foreign layouts) pack and read every trigger's
+    * files exactly like the batch read, so neither a rename history
+    * nor a mixed partition spec is a tail prerequisite. Entries
+    * appended while the stream runs must be IDENTITY (current names,
+    * current layout at start): the per-batch drift gates refuse a
+    * mid-stream RENAME/DROP or evolve_layout loudly — restart the
+    * query and the new mapping pins. */
   private val opsAtStart = EpochManifest.columnOps(spark, root)
-  private val aliases: EpochStore.ColumnAliases = {
-    var chains = Map.empty[String, List[String]]
-    var retired = Set.empty[String]
-    opsAtStart.foreach {
-      case EpochManifest.ColumnOp.Rename(a, b) =>
-        chains = chains - a + (b -> (a :: chains.getOrElse(a, Nil)))
-        retired += a
-      case EpochManifest.ColumnOp.Drop(c) =>
-        retired ++= (c :: chains.getOrElse(c, Nil))
-        chains -= c
-    }
-    EpochStore.ColumnAliases(chains, retired)
-  }
-  /** Distinct per-entry physical-name profiles at start (identity is
-    * always index 0) and each entry dir's index. */
-  private val profiles: (IndexedSeq[Seq[String]], Map[String, Int]) = {
-    val identity = dataSchema.fieldNames.toSeq
-    if (aliases.isEmpty) (IndexedSeq(identity), Map.empty)
-    else {
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-        org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
-      val byDir = EpochManifest.entries(spark, root).map(_.dir).map { d =>
-        val efs = EpochStoreWrite.readSchemaSidecar(fs, root, d)
-          .map(_._1.fieldNames.toSet).getOrElse(Set.empty[String])
-        d -> identity.map(n => aliases.resolve(n, efs))
-      }.toMap
-      val distinct = (identity +:
-        byDir.values.toSeq.distinct.filterNot(_ == identity)).toIndexedSeq
-      (distinct, byDir.map { case (d, p) => d -> distinct.indexOf(p) })
-    }
-  }
-  private def profileIdxOf(dir: String): Int =
-    if (aliases.isEmpty) 0 else profiles._2.getOrElse(dir, 0)
+  private val layoutAtStart = EpochManifest.currentLayout(spark, root)
+  private val template: EpochStoreScan =
+    EpochStoreScan(fullSchema, required, partCols, root, -1L,
+      EpochManifest.entries(spark, root), partFilters, dataFilters,
+      bucket = bucket, bloomCol = bloomCol, runtimeFilterable = false)
 
   /** Highest committed epoch right now (startingAfter when the store has
     * none yet — the tail starts empty instead of failing). */
@@ -213,13 +150,19 @@ final class EpochStoreMicroBatchStream(
     val s = start.asInstanceOf[EpochStreamOffset].epoch
     val e = end.asInstanceOf[EpochStreamOffset].epoch
     if (e <= s) return Array.empty
-    // a RENAME/DROP landing mid-stream would change the alias mapping
-    // this query's reader profiles were pinned under — refuse loudly
+    // a RENAME/DROP or evolve_layout landing mid-stream would change
+    // the mapping this query's reader profiles were pinned under —
+    // refuse loudly
     if (EpochManifest.columnOps(spark, root) != opsAtStart)
       throw new IllegalStateException(
         s"epochstore stream over $root: a RENAME/DROP COLUMN landed " +
           "while this query was running — restart the stream; the new " +
           "name mapping pins at start")
+    if (EpochManifest.currentLayout(spark, root) != layoutAtStart)
+      throw new IllegalStateException(
+        s"epochstore stream over $root: an evolve_layout landed while " +
+          "this query was running — restart the stream; the new layout " +
+          "mapping pins at start")
     val all = EpochManifest.entries(spark, root)
     // a fold above the batch end that swallowed epochs inside it would
     // make those rows silently undeliverable — refuse
@@ -230,25 +173,24 @@ final class EpochStoreMicroBatchStream(
           "compaction overtook the stream reader; compact only up to the " +
           "stream's committed offset"))
     val batch = all.filter(en => en.epoch > s && en.epoch <= e)
-    // partition-SPEC drift: an entry recorded under a layout other than
-    // this stream's pinned one would walk the wrong dir prefixes and
-    // serve its dir columns as null — refuse loudly (an evolve_layout
-    // landed mid-stream; after migrate/compact a restarted tail pins
-    // the new layout)
-    if (EpochManifest.currentLayout(spark, root).nonEmpty) {
+    // entries OUTSIDE the template's profile registry (appended after
+    // the stream started) must sit on the IDENTITY profile — current
+    // layout, current names; a foreign-layout late arrival would walk
+    // the wrong dir prefixes and serve its dir columns as null
+    if (layoutAtStart.nonEmpty) {
       val fs0 = new org.apache.hadoop.fs.Path(root).getFileSystem(
         org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
       val foreign = batch.filter { en =>
-        EpochStoreWrite.readSchemaSidecar(fs0, root, en.dir).exists {
-          case (_, pc) => EpochStore.splitPartCols(pc) != partCols
-        } || EpochStoreWrite.readBucketSidecar(fs0, root, en.dir) != bucket
+        !template.profileKnown(en.dir) &&
+          (EpochStoreWrite.readSchemaSidecar(fs0, root, en.dir).exists {
+            case (_, pc) => EpochStore.splitPartCols(pc) != partCols
+          } || EpochStoreWrite.readBucketSidecar(fs0, root, en.dir) != bucket)
       }
       if (foreign.nonEmpty) throw new IllegalStateException(
         s"epochstore stream over $root: entries " +
-          s"${foreign.map(_.dir).mkString(", ")} were written under a " +
-          "different partition spec than this stream pinned — an " +
-          "evolve_layout landed mid-stream; normalize (CALL " +
-          "migrate_layout or compact) and restart the tail")
+          s"${foreign.map(_.dir).mkString(", ")} landed mid-stream under " +
+          "a partition spec this tail did not pin — normalize (CALL " +
+          "migrate_layout or compact) or restart the tail")
     }
     // a fold straddling the start would re-deliver epochs ≤ s — refuse
     batch.find(_.minEpoch <= s).foreach(en =>
@@ -263,7 +205,11 @@ final class EpochStoreMicroBatchStream(
         // a filtered bucket-store tail pays only the probed buckets per
         // trigger, same as the batch scan
         bucketKeep = bucket.flatMap(b => EpochStore.bucketProbes(
-          dataFilters, b, fullSchema(b.col).dataType)))
+          dataFilters, b, fullSchema(b.col).dataType)),
+        // spec-evolved stores: each trigger's entries walk under their
+        // OWN recorded layouts (the template's resolver — its dir
+        // values feed the per-profile constants in packFiles)
+        layoutOf = template.layoutResolver)
     // the tail skips files exactly like the batch scan: a filtered
     // stream consumer pays only for the epochs' matching files
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
@@ -282,46 +228,13 @@ final class EpochStoreMicroBatchStream(
       if (!changeRequested) kept
       else kept ++ EpochStoreDelta.deleteEventFiles(fs, root, batch,
         partFields)
-    if (aliases.isEmpty)
-      EpochStore.planFilePartitions(spark, withDeletes, constSchema,
-        constantsOf)
-    else
-      // per-entry NAME profiles: pack each profile's files separately
-      // and route to its translated reader — pre-rename epochs tail
-      // with no compaction prerequisite, exactly like the batch scan
-      withDeletes.map(f => profileIdxOf(f.entryDir)).distinct.sorted
-        .flatMap { pid =>
-          EpochStore.planFilePartitions(spark,
-            withDeletes.filter(f => profileIdxOf(f.entryDir) == pid),
-            constSchema, constantsOf)
-            .map {
-              case fp: org.apache.spark.sql.execution.datasources
-                .FilePartition if pid != 0 =>
-                ProfiledFilePartition(fp, pid): InputPartition
-              case other => other
-            }
-        }.toArray
+    // the template's profile routing packs the trigger exactly like
+    // the batch scan reads it — rename spellings AND foreign layouts
+    template.packFiles(spark, withDeletes)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    def factoryFor(profile: Seq[String]): PartitionReaderFactory = {
-      val m = dataSchema.fieldNames.zip(profile).toMap
-      if (m.forall { case (k, v) => k == v })
-        EpochStore.parquetReaderFactory(spark, dataSchema, readDataSchema,
-          constSchema, dataFilters)
-      else
-        EpochStore.parquetReaderFactory(spark,
-          StructType(dataSchema.fields.map(f => f.copy(name = m(f.name)))),
-          StructType(readDataSchema.fields.map(f =>
-            f.copy(name = m.getOrElse(f.name, f.name)))),
-          constSchema,
-          // untranslatable filter shapes drop from the parquet push —
-          // data filters are residual, Spark re-evaluates them
-          dataFilters.flatMap(EpochStore.renameFilter(_, m)))
-    }
-    if (aliases.isEmpty) factoryFor(dataSchema.fieldNames.toSeq)
-    else new KeyedDelegatingReaderFactory(profiles._1.map(factoryFor))
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    template.createReaderFactory()
 
   override def deserializeOffset(json: String): Offset =
     EpochStreamOffset(json.split("\"epoch\":")(1)

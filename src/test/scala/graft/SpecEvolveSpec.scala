@@ -126,18 +126,21 @@ class SpecEvolveSpec extends SparkSpec {
       s"SELECT count(*) FROM sev.docs VERSION AS OF $g0 WHERE lang = 'de'")
     assert(tt.head.getLong(0) == 10L)
 
-    // streaming refuses while foreign-spec entries are live, and names
-    // the remedy
-    val e = intercept[Exception] {
-      spark.readStream.format("epochstore").option("path", root)
-        .schema(spark.table("sev.docs").schema).load()
-        .writeStream.format("memory").queryName("sev_t")
-        .option("checkpointLocation", s"$wh/ckpt")
-        .start().processAllAvailable()
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
-    assert(msgs.contains("previous partition spec"), msgs)
+    // the streaming tail FLOWS over the mixed snapshot: the template
+    // scan's read profiles route each entry — lang from dirs on the old
+    // spec, from files on the new one, no normalization prerequisite
+    val q = spark.readStream.format("epochstore").option("path", root)
+      .schema(spark.table("sev.docs").schema).load()
+      .select(col("id"), col("lang"))
+      .writeStream.format("memory").queryName("sev_t")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val tailed = spark.table("sev_t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(tailed.size == 72 && tailed.forall { case (id, l) =>
+      l == langs((id % 3).toInt) },
+      s"mixed tail must serve both specs: ${tailed.take(6)}…")
 
     // migrate_layout stays the PHYSICAL normalization: after it, one
     // spec again — bucket probes prune everything, SPJ report returns
@@ -331,7 +334,7 @@ class SpecEvolveSpec extends SparkSpec {
       val e2 = intercept[Exception] { q2.processAllAvailable() }
       val msgs = Iterator.iterate(e2: Throwable)(_.getCause)
         .takeWhile(_ != null).map(String.valueOf).mkString("\n")
-      assert(msgs.contains("different partition spec") &&
+      assert(msgs.contains("evolve_layout landed") &&
         msgs.contains("restart"),
         s"mid-stream evolution must refuse with the remedy: $msgs")
     } finally q2.stop()
