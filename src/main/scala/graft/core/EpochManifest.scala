@@ -603,10 +603,20 @@ object EpochManifest {
           try Some(readAt(p)) catch {
             case _: java.io.FileNotFoundException if retriesLeft > 0 =>
               attempt(retriesLeft - 1)
-            case _: java.io.FileNotFoundException => None
+            case e: java.io.FileNotFoundException =>
+              // retry exhaustion means the re-list itself kept racing
+              // publishLayout deletes — returning None here would
+              // silently read an EVOLVED store as never-evolved
+              // (foreign entries walked under options-derived layout →
+              // wrong results). Loud beats wrong.
+              throw new IllegalStateException(
+                s"layout log under $root: every retained layout file " +
+                  "vanished between list and read across retries — " +
+                  "racing evolve_layout publishes; retry the operation",
+                e)
           }
       }
-    attempt(2)
+    attempt(3)
   }
 
   /** OCC publish of a new table-level layout (`CALL evolve_layout`):

@@ -1540,9 +1540,17 @@ final case class EpochStoreScan(
   /** Whether `dir` is covered by this scan's profile registry — the
     * micro-batch stream's drift gate: a late entry outside the registry
     * must be on the identity profile (current names, current layout) or
-    * the tail refuses. */
+    * the tail refuses. Gated on the layout LOG (and alias history), not
+    * on `anyProfiles`: a layout-log store whose pinned entries all sat
+    * on the current layout at stream start has no non-identity profile,
+    * yet a foreign-spec entry appended MID-stream (a path write with
+    * stale layout options) still needs the registry-membership check —
+    * `anyProfiles` alone would wave it through and the tail would list
+    * it under the current layout, matching no dirs, silently delivering
+    * nothing. */
   private[sources] def profileKnown(dir: String): Boolean =
-    !anyProfiles || profiles._2.contains(dir)
+    (aliases.isEmpty && entryLayoutsOpt.isEmpty) ||
+      profiles._2.contains(dir)
 
   /** Pack an EXTERNALLY-listed file set (the micro-batch stream's
     * per-trigger epochs) with this scan's full profile routing — name

@@ -606,10 +606,24 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
             retired ++= (c :: chains.getOrElse(c, Nil)); retired += c
             chains -= c
         }
-        val partCols = EpochStore.splitPartCols(partCol).toSet
-        val bucketCols = EpochManifest.entries(spark, root)
+        // SPEC-EVOLVED stores: live foreign-layout entries still WALK
+        // their recorded identity partition columns (layoutResolver
+        // binds each entry's dir fields by name) — renaming/dropping
+        // one would make every scan throw "records partition column …
+        // missing from the schema". Union the entries' recorded
+        // partition columns and the CURRENT layout's into the guard,
+        // exactly like the bucket columns below.
+        val liveEntries = EpochManifest.entries(spark, root)
+        val partCols = EpochStore.splitPartCols(partCol).toSet ++
+          liveEntries.flatMap(e =>
+            EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
+              .map(r => EpochStore.splitPartCols(r._2)).getOrElse(Nil)) ++
+          EpochManifest.currentLayout(spark, root).toSeq.flatMap(_.partCols)
+        val bucketCols = liveEntries
           .flatMap(e => EpochStoreWrite.readBucketSidecar(fs, root, e.dir))
-          .map(_.col).toSet
+          .map(_.col).toSet ++
+          EpochManifest.currentLayout(spark, root).toSeq
+            .flatMap(_.bucketCol)
         val rowIds = EpochStoreDelta.declared(spark, root)
           .getOrElse(Nil).toSet
         val bloomCol = BloomSpec.declared(spark, root).toSet

@@ -203,13 +203,17 @@ private[graft] object EpochStoreDml {
     * files OUTSIDE the composite layout refuses loudly: such a file may
     * hold rows of any pair. */
   def resolvePairOverwrite(spark: SparkSession, root: String,
-                           partLevels: Int, replaced: Set[String])
+                           partCols: Seq[String],
+                           bucket: EpochStore.StoreBucket,
+                           replaced: Set[String])
       : Seq[EpochManifest.Entry] = {
     val es = EpochManifest.entries(spark, root)
     if (replaced.isEmpty || es.isEmpty) return es
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val conf = GraftBridge.sessionHadoopConf(spark)
-    val depth = partLevels + 1
+    guardCurrentSpecEntries(spark, fs, root, es, partCols, Some(bucket),
+      "dynamic INSERT OVERWRITE")
+    val depth = partCols.length + 1
     def prefixOf(rel: String): Option[String] = {
       val segs = rel.split('/')
       if (segs.length > depth && segs.take(depth).forall(_.contains("=")))
@@ -281,6 +285,37 @@ private[graft] object EpochStoreDml {
     }
   }
 
+  /** SPEC-EVOLVED stores (X92): the composite-pair and bucket dynamic
+    * overwrites above/below resolve entry survival by LITERAL dir-prefix
+    * / bucket-id match — meaningful only for entries RECORDED under the
+    * CURRENT layout. A foreign-spec entry (pre-`evolve_layout` bucket
+    * count, or different identity/bucket columns) would either match a
+    * written prefix spuriously (`id_bucket=3` of 4 vs of 8 — its
+    * never-overwritten rows silently drop) or never match (its rows of
+    * overwritten pairs silently survive as duplicates). Refuse loudly
+    * instead — exactly like `$partitions` does — until the store is
+    * normalized. Zero cost for never-evolved stores (no layout log →
+    * one directory probe, no sidecar reads). */
+  private def guardCurrentSpecEntries(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      es: Seq[EpochManifest.Entry], partCols: Seq[String],
+      bucket: Option[EpochStore.StoreBucket], op: String): Unit = {
+    if (EpochManifest.currentLayout(spark, root).isEmpty) return
+    es.foreach { e =>
+      val rec = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
+        .map(r => EpochStore.splitPartCols(r._2)).getOrElse(partCols)
+      val rb = EpochStoreWrite.readBucketSidecar(fs, root, e.dir)
+      def render(pc: Seq[String], bk: Option[EpochStore.StoreBucket]) =
+        (pc ++ bk.map(b => s"bucket(${b.n}, ${b.col})")).mkString(", ")
+      require(rec == partCols && rb == bucket,
+        s"$op over $root: entry ${e.dir} is recorded under partition " +
+          s"spec (${render(rec, rb)}) but the current layout is " +
+          s"(${render(partCols, bucket)}) — dynamic overwrite survival " +
+          "is resolved on the current layout's dirs; run CALL " +
+          "migrate_layout or compact first")
+    }
+  }
+
   def resolveBucketOverwrite(spark: SparkSession, root: String,
                              b: EpochStore.StoreBucket,
                              replaced: Set[Int]): Seq[EpochManifest.Entry] = {
@@ -289,6 +324,8 @@ private[graft] object EpochStoreDml {
     if (replaced.isEmpty || es.isEmpty) return es
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val conf = GraftBridge.sessionHadoopConf(spark)
+    guardCurrentSpecEntries(spark, fs, root, es, Nil, Some(b),
+      "dynamic INSERT OVERWRITE")
     es.flatMap { e =>
       val entryPath = new Path(s"$root/${e.dir}")
       if (!fs.exists(entryPath)) Some(e)

@@ -681,7 +681,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
           .toSet
         val base = EpochManifest.entries(spark, root)
         val survivors = EpochStoreDml.resolvePairOverwrite(spark, root,
-          partCols.length, prefixes)
+          partCols, bucketSpec.get, prefixes)
         require(!survivors.exists(_.epoch == epoch),
           s"epochstore overwrite at epoch $epoch would collide with a " +
             s"surviving entry at the same epoch under $root — use a fresh " +

@@ -432,4 +432,148 @@ class SpecEvolveSpec extends SparkSpec {
     val d2 = props()
     assert(d2.contains("foreignLayoutEntries=0"), d2)
   }
+
+  test("dynamic INSERT OVERWRITE refuses foreign-spec entries on an " +
+      "evolved bucket store (a 4->8 bucket-count change would drop rows " +
+      "of never-written pairs); compact reopens the path exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val wh = tmp()
+    cat("sev7", wh)
+    val root = s"$wh/t"
+    (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0")
+      .option("bucketColumn", "id").option("bucketCount", "4").save()
+    spark.sql("CALL sev7.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 8)").collect()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE sev7.t VALUES (0, 'new0')")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msgs.contains("migrate_layout or compact"),
+        s"foreign-spec entry must refuse with the remedy: $msgs")
+      // the refusal is atomic — nothing replaced, nothing dropped
+      assert(spark.sql("SELECT count(*) FROM sev7.t").head.getLong(0) == 16L)
+      spark.sql("CALL sev7.system.compact('t')").collect()
+      spark.sql("INSERT OVERWRITE sev7.t VALUES (0, 'new0')")
+      val got = spark.sql("SELECT id, v FROM sev7.t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val victim = EpochStore.bucketIdOf(0L, LongType, 8)
+      val survivors = (0 until 16).map(_.toLong)
+        .filterNot(id => EpochStore.bucketIdOf(id, LongType, 8) == victim)
+      assert(survivors.forall(id => got.get(id).contains(s"v$id")),
+        s"unwritten buckets of the NORMALIZED store survive: $got")
+      assert(got(0L) == "new0")
+      assert((0 until 16).map(_.toLong)
+        .filter(id => EpochStore.bucketIdOf(id, LongType, 8) == victim &&
+          id != 0L)
+        .forall(id => !got.contains(id)),
+        "the written bucket's old rows are replaced")
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("pair-granular dynamic INSERT OVERWRITE refuses foreign-spec " +
+      "entries on an evolved composite store") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev7b", wh)
+    val root = s"$wh/t"
+    val langs = IndexedSeq("en", "de")
+    (0 until 16).map(i => (i.toLong, s"v$i", langs(i % 2)))
+      .toDF("id", "v", "lang")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0")
+      .option("partitionColumn", "lang")
+      .option("bucketColumn", "id").option("bucketCount", "2").save()
+    spark.sql("CALL sev7b.system.evolve_layout('t', " +
+      "partition_columns => 'lang', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE sev7b.t VALUES (0, 'new0', 'en')")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msgs.contains("migrate_layout or compact"), msgs)
+      assert(spark.sql("SELECT count(*) FROM sev7b.t").head.getLong(0) == 16L)
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  test("a layout-log store whose pinned entries ALL sit on the current " +
+      "layout still gates mid-stream foreign-spec appends — the tail " +
+      "refuses loudly instead of silently delivering nothing") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev8", wh)
+    val root = s"$wh/t"
+    (0 until 8).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0")
+      .option("bucketColumn", "id").option("bucketCount", "4").save()
+    // the log matches what the only entry records: at stream start the
+    // template has NO non-identity profile — the gate must key on the
+    // log's existence, not on profiles existing
+    spark.sql("CALL sev8.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    val q = spark.readStream.format("epochstore")
+      .schema(spark.table("sev8.t").schema)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("sev8_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sev8_tail").count() == 8L)
+      // mid-stream PATH write with stale layout options lands a
+      // foreign-spec entry: identity(v) dirs the pinned template would
+      // list under the bucket layout — matching nothing
+      (100 until 104).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+        .write.format("epochstore").mode("append")
+        .option("path", root).option("epoch", "1")
+        .option("partitionColumn", "v").save()
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msgs.contains("partition spec this tail did not pin"),
+        s"mid-stream foreign append must refuse, not vanish: $msgs")
+    } finally q.stop()
+  }
+
+  test("RENAME/DROP of a live foreign-layout entry's recorded partition " +
+      "column refuses (every scan would throw); normalization reopens it") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev9", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"v$i",
+      if (i % 2 == 0) "en" else "de")).toDF("id", "v", "lang"),
+      root, 0L, partitionColumn = "lang")
+    spark.sql("CALL sev9.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    // lang is no partition column of the CURRENT layout, but the live
+    // epoch-0 entry still walks lang= dirs under its recorded spec
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE sev9.t RENAME COLUMN lang TO language")
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE sev9.t DROP COLUMN lang")
+    }
+    assert(e2.getMessage.contains("partition"), e2.getMessage)
+    // the store stayed readable throughout
+    assert(spark.sql("SELECT count(*) FROM sev9.t WHERE lang = 'en'")
+      .head.getLong(0) == 5L)
+    // compact rewrites the entry under the logged layout (lang becomes
+    // a file column) — the rename is safe now and reopens
+    spark.sql("CALL sev9.system.compact('t')").collect()
+    spark.sql("ALTER TABLE sev9.t RENAME COLUMN lang TO language")
+    assert(spark.sql(
+      "SELECT count(*) FROM sev9.t WHERE language = 'en'")
+      .head.getLong(0) == 5L)
+  }
 }
