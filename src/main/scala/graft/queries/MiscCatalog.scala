@@ -1890,6 +1890,55 @@ object MiscCatalog {
          |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** Time-unit partition transforms (`q_store_timepart`, X93): the
+    * events table lands under `PARTITIONED BY (days(ts),
+    * bucket(8, user_id))` — the reference's own date-dir layout
+    * (CrawlData.py:111-113) generalized to raw timestamps, composed
+    * with the hash-bucket level. The probe is a seven-day ts RANGE:
+    * dir pruning converts it to a unit-range dir set at planning time
+    * (7 of 30 day dirs listed, before any footer is touched —
+    * TimePartSpec gates the pruned-dir audits, boundary inclusivity,
+    * the null dir, hours/months/years/truncate kinds, and the
+    * unit-granular dynamic overwrite). DuckDB recomputes from the raw
+    * parquet, so an over-pruned boundary day or a row mis-landed
+    * across a unit boundary fails cell-exact.
+    *
+    * Scale shape: a 100 TB event store probed for one week lists one
+    * week's dirs — O(days-touched × buckets) planning, not O(files). */
+  def storeTimepart(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_tpt_wh").toString
+    val root = s"$wh/ev"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0")
+      .option("transform", "days(ts)")
+      .option("bucketColumn", "user_id").option("bucketCount", "8")
+      .save()
+    val s2 = spark.newSession()
+    val c = s"grafttpt$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(
+      s"""SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+         |  MAX(event_id) AS max_id, COUNT(DISTINCT user_id) AS users
+         |FROM $c.ev
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val storeTimepartSql: String =
+    """SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+      |  MAX(event_id) AS max_id, COUNT(DISTINCT user_id) AS users
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Snapshot rollback (`q_store_restore`, X90): the corpus lands
     * across two epochs and is TAGGED, a destructive DELETE then drops a
     * third of the rows, and `CALL restore_snapshot(tag)` makes the
@@ -2281,6 +2330,7 @@ object MiscCatalog {
     "q_store_default" -> (storeDefault _),
     "q_store_migrate" -> (storeMigrate _),
     "q_store_spec_evolve" -> (storeSpecEvolve _),
+    "q_store_timepart" -> (storeTimepart _),
     "q_store_restore" -> (storeRestore _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
@@ -2341,6 +2391,7 @@ object MiscCatalog {
     "q_store_default" -> storeDefaultSql,
     "q_store_migrate" -> storeMigrateSql,
     "q_store_spec_evolve" -> storeMigrateSql,
+    "q_store_timepart" -> storeTimepartSql,
     "q_store_restore" -> storeRestoreSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,

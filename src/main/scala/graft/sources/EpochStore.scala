@@ -108,13 +108,21 @@ final class EpochStoreTable(tableSchema: StructType,
     * validate `PARTITION (col=...)` clauses and route dynamic
     * partition overwrite at this table. */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    (EpochStore.partColsOf(options).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)) ++
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    (EpochStore.partColsOf(options).map(c => Expressions.identity(c)) ++
+      EpochStore.transformOf(options).map(t => t.kind match {
+        case "year" => Expressions.years(t.col)
+        case "month" => Expressions.months(t.col)
+        case "day" => Expressions.days(t.col)
+        case "hour" => Expressions.hours(t.col)
+        case "trunc" => Expressions.apply("truncate",
+          Expressions.literal(t.width), Expressions.column(t.col))
+      }) ++
       EpochStore.bucketOf(options).map(b =>
-        org.apache.spark.sql.connector.expressions.Expressions
-          .bucket(b.n, b.col)))
+        Expressions.bucket(b.n, b.col)))
       .toArray
+  }
 
   /** Operator-facing metadata for `DESCRIBE TABLE EXTENDED` / `SHOW
     * TBLPROPERTIES`: the manifest posture (generation, epochs, retained
@@ -317,6 +325,17 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       case Some(l) => l.bucketCol.map(c => EpochStore.StoreBucket(c,
         l.bucketCount))
       case None => EpochStore.bucketOf(options)
+    }
+  /** The time-unit/truncate level ([[StoreTransform]], X93) — option-
+    * declared (the catalog serves it when every pinned entry records
+    * the same spelling); never on layout-log stores (writes refuse the
+    * combination). */
+  private val transform: Option[StoreTransform] =
+    if (declaredLayout.nonEmpty) None
+    else EpochStore.transformOf(options).map { t =>
+      tableSchema.fields.find(_.name == t.col).foreach(f =>
+        StoreTransform.validate(t, f.dataType))
+      t
     }
   private var required: StructType = tableSchema
   private var partFilters: Array[Filter] = Array.empty
@@ -657,6 +676,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
             .flatMap(k => Option(options.get(k)).map(k -> _)).toMap,
           branchPinned = branchPinned,
           bucket = bucket,
+          transform = transform,
           // the store's own _bloom.json declaration makes skipping work
           // with no option — SQL/catalog readers included
           bloomCol = Option(options.get("bloomColumn"))
@@ -676,6 +696,7 @@ final case class EpochStoreScan(
     streamOptions: Map[String, String] = Map.empty,
     branchPinned: Boolean = false,
     bucket: Option[EpochStore.StoreBucket] = None,
+    transform: Option[StoreTransform] = None,
     bloomCol: Option[String] = None,
     limit: Option[Int] = None,
     topN: Option[EpochStore.TopNPush] = None,
@@ -802,7 +823,7 @@ final case class EpochStoreScan(
     // per-entry read profiles; mid-stream DDL refuses per batch inside
     // the stream instead (restart re-pins).
     new EpochStoreMicroBatchStream(fullSchema, required, partCols, root,
-      partFilters, dataFilters, streamOptions, bloomCol, bucket)
+      partFilters, dataFilters, streamOptions, bloomCol, bucket, transform)
   }
 
   /** Runtime (DPP) filters on the partition column — delivered by Spark
@@ -903,6 +924,12 @@ final case class EpochStoreScan(
         bucket = bucket,
         bucketKeep = bucket.flatMap(b => EpochStore.bucketProbes(
           dataFilters ++ runtimeFilters, b, fullSchema(b.col).dataType)),
+        transform = transform,
+        // time-unit/truncate pruning: range/equality predicates on the
+        // transform column drop whole unit dirs at PLANNING time —
+        // before any footer or sidecar is touched
+        unitKeep = transform.flatMap(t => TimeTransforms.unitKeep(
+          dataFilters ++ runtimeFilters, t, fullSchema(t.col).dataType)),
         // spec evolution: each entry walks under its OWN recorded
         // layout; filters on columns an entry doesn't dir-serve keep
         // its subtree (they run residually over the served rows)
@@ -1873,6 +1900,23 @@ object EpochStore {
     }
   }
 
+  /** The `transform` option (`days(ts)` / `months(ts)` / `hours(ts)` /
+    * `years(ts)` / `truncate(w, col)`) — the time-unit/truncate
+    * partition level ([[StoreTransform]], X93). Sits BETWEEN the
+    * identity levels and the bucket level; the column stays in the
+    * files. */
+  private[sources] def transformOf(options: CaseInsensitiveStringMap)
+      : Option[StoreTransform] =
+    Option(options.get("transform")).map { s =>
+      val t = StoreTransform.parse(s)
+      require(!partColsOf(options).contains(t.col),
+        s"transform column ${t.col} is already an identity partition " +
+          "column")
+      require(!bucketOf(options).exists(_.col == t.col),
+        s"transform column ${t.col} is already the bucket column")
+      t
+    }
+
   /** The bucket of one CATALYST-internal value (UTF8String for strings,
     * primitives for integrals; null = the seed's bucket, matching
     * `hash(NULL)` = seed). */
@@ -2042,6 +2086,8 @@ object EpochStore {
       partFields: Seq[StructField], partFilters: Array[Filter],
       bucket: Option[StoreBucket] = None,
       bucketKeep: Option[Set[Int]] = None,
+      transform: Option[StoreTransform] = None,
+      unitKeep: Option[String => Boolean] = None,
       layoutOf: Option[EpochManifest.Entry =>
         (Seq[StructField], Option[StoreBucket])] = None)
       : (Seq[ListedFile], Int, Int) = {
@@ -2088,11 +2134,36 @@ object EpochStore {
         }
       }
     }
+    // time-unit/truncate level ([[StoreTransform]]): walk the
+    // `<col>_<kind>=<unit>` dirs between the identity levels and the
+    // bucket, dropping units the pushed predicates PROVABLY cannot
+    // reach. An entry WITHOUT unit dirs at this level (a DML rewrite's
+    // honest downgrade, or a pre-transform epoch) serves all its files
+    // — the column lives in the files, so a transform-unaware subtree
+    // is still read exactly, just unpruned.
+    def transformLeaf(p: Path, values: Seq[Any], e: EpochManifest.Entry,
+                      t: StoreTransform, bktE: Option[StoreBucket]): Unit = {
+      val subs = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(t.dirPrefix))
+      def below(q: Path): Unit =
+        if (bktE.nonEmpty) bucketLeaf(q, values, e, bktE.get, keepFor(bktE))
+        else out ++= filesUnder(q).map(ListedFile(values, e.epoch, e.dir, _))
+      if (subs.isEmpty) below(p)
+      else subs.foreach { sub =>
+        total += 1
+        val raw = sub.getPath.getName.stripPrefix(t.dirPrefix)
+        if (unitKeep.forall(_(raw))) {
+          kept += 1
+          below(sub.getPath)
+        }
+      }
+    }
     def descend(p: Path, level: Int, bound: Map[String, Any],
                 values: Seq[Any], e: EpochManifest.Entry,
                 pfE: Seq[StructField], bktE: Option[StoreBucket]): Unit = {
       if (level == pfE.length) {
-        if (bktE.nonEmpty) bucketLeaf(p, values, e, bktE.get, keepFor(bktE))
+        if (transform.nonEmpty) transformLeaf(p, values, e, transform.get, bktE)
+        else if (bktE.nonEmpty) bucketLeaf(p, values, e, bktE.get, keepFor(bktE))
         else out ++= filesUnder(p).map(ListedFile(values, e.epoch, e.dir, _))
       } else {
         val f = pfE(level)
@@ -2131,27 +2202,52 @@ object EpochStore {
       val i = rel.indexOf('/')
       if (i < 0) "" else rel.substring(0, i)
     }
+    def bucketIdxLeaf(values: Seq[Any], e: EpochManifest.Entry,
+                      rels: Seq[(String, String, EpochStoreStats.FileStats)],
+                      bktE: Option[StoreBucket]): Unit = {
+      if (bktE.isEmpty) { emitIdx(values, e, rels); return }
+      val b = bktE.get
+      val keep = keepFor(bktE)
+      val (inBucket, bare) =
+        rels.partition(r => headSeg(r._2).startsWith(b.dirPrefix))
+      if (inBucket.isEmpty) { emitIdx(values, e, bare); return }
+      inBucket.groupBy(r => headSeg(r._2)).toSeq.sortBy(_._1)
+        .foreach { case (seg, fls) =>
+          total += 1
+          val k = seg.stripPrefix(b.dirPrefix).toIntOption.getOrElse(-1)
+          if (keep.forall(_.contains(k))) {
+            kept += 1
+            emitIdx(values, e, fls, bucketId = k)
+          }
+        }
+    }
     def descendIdx(level: Int, bound: Map[String, Any], values: Seq[Any],
                    e: EpochManifest.Entry,
                    rels: Seq[(String, String, EpochStoreStats.FileStats)],
                    pfE: Seq[StructField], bktE: Option[StoreBucket])
         : Unit = {
       if (level == pfE.length) {
-        if (bktE.isEmpty) { emitIdx(values, e, rels); return }
-        val b = bktE.get
-        val keep = keepFor(bktE)
-        val (inBucket, bare) =
-          rels.partition(r => headSeg(r._2).startsWith(b.dirPrefix))
-        if (inBucket.isEmpty) { emitIdx(values, e, bare); return }
-        inBucket.groupBy(r => headSeg(r._2)).toSeq.sortBy(_._1)
-          .foreach { case (seg, fls) =>
-            total += 1
-            val k = seg.stripPrefix(b.dirPrefix).toIntOption.getOrElse(-1)
-            if (keep.forall(_.contains(k))) {
-              kept += 1
-              emitIdx(values, e, fls, bucketId = k)
-            }
-          }
+        transform match {
+          case None => bucketIdxLeaf(values, e, rels, bktE)
+          case Some(t) =>
+            val (inUnit, bare) =
+              rels.partition(r => headSeg(r._2).startsWith(t.dirPrefix))
+            // a transform-less ENTRY (a rewrite's honest downgrade, a
+            // pre-transform epoch) serves all its files — the column
+            // lives in the files, so it reads exactly, just unpruned
+            if (inUnit.isEmpty) { bucketIdxLeaf(values, e, bare, bktE); return }
+            inUnit.groupBy(r => headSeg(r._2)).toSeq.sortBy(_._1)
+              .foreach { case (seg, fls) =>
+                total += 1
+                val raw = seg.stripPrefix(t.dirPrefix)
+                if (unitKeep.forall(_(raw))) {
+                  kept += 1
+                  bucketIdxLeaf(values, e,
+                    fls.map(r => (r._1, r._2.stripPrefix(seg + "/"), r._3)),
+                    bktE)
+                }
+              }
+        }
       } else {
         val f = pfE(level)
         val prefix = s"${f.name}="
@@ -2945,6 +3041,15 @@ object EpochStore {
         "metadata-only spec evolution does not compose with " +
         "merge-on-read deltas; use CALL migrate_layout (compact folds " +
         "live tombstones first)")
+    // time-unit/truncate transform entries don't compose either: the
+    // per-entry layout registry resolves (partCols, bucket) only — a
+    // transform entry on a layout-log store would be walked wrong
+    require(es.forall(e =>
+      EpochStoreWrite.readTransformSidecar(fs0, root, e.dir).isEmpty),
+      s"evolve_layout on $root: entries record a time-unit/truncate " +
+        "transform level — metadata-only spec evolution does not " +
+        "compose with transforms; use CALL migrate_layout (a physical " +
+        "rewrite) instead")
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val prev = EpochManifest.currentLayout(spark, root) match {
       case Some(l) =>

@@ -301,10 +301,22 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
           case _ => None
         }
       }
+      // the time-unit/truncate level is served only when EVERY pinned
+      // entry records the same spelling — a downgraded or mixed entry
+      // degrades the table to an unpruned (still exact) scan
+      val transform =
+        if (layoutLog.nonEmpty) None
+        else entries.map(e =>
+          EpochStoreWrite.readTransformSidecar(fs, root, e.dir))
+          .distinct match {
+          case Seq(Some(t)) => Some(t)
+          case _ => None
+        }
       val opts = Map("path" -> root) ++
         partCol.map("partitionColumn" -> _) ++
         bucket.map(b => "bucketColumn" -> b.col) ++
         bucket.map(b => "bucketCount" -> b.n.toString) ++
+        transform.map(t => "transform" -> t.spelling) ++
         branch.map("branch" -> _) ++
         (if (asOfGeneration >= 0L)
           Map("asOfGeneration" -> asOfGeneration.toString)
@@ -355,10 +367,19 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
               case _ => None
             }
           }
+          val transform =
+            if (layoutLog2.nonEmpty) None
+            else es.map(e =>
+              EpochStoreWrite.readTransformSidecar(fs, root, e.dir))
+              .distinct match {
+              case Seq(Some(t)) => Some(t)
+              case _ => None
+            }
           val opts = Map("path" -> root) ++
             partCol.map("partitionColumn" -> _) ++
             bucket.map(b => "bucketColumn" -> b.col) ++
             bucket.map(b => "bucketCount" -> b.n.toString) ++
+            transform.map(t => "transform" -> t.spelling) ++
             branch.map("branch" -> _) ++
             (if (asOfGeneration >= 0L)
               Map("asOfGeneration" -> asOfGeneration.toString)
@@ -417,13 +438,19 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     * layout), so the bucket transform must come last. */
   private def partitioningOf(schema: StructType,
                              partitions: Array[Transform])
-      : (Seq[String], Option[EpochStore.StoreBucket]) = {
+      : (Seq[String], Option[EpochStore.StoreBucket],
+         Option[StoreTransform]) = {
     var bucket: Option[EpochStore.StoreBucket] = None
+    var timeT: Option[StoreTransform] = None
     val cols = partitions.toSeq.zipWithIndex.flatMap { case (t, i) =>
       val refs = t.references()
       t.name() match {
         case "identity" if refs.length == 1 &&
           refs.head.fieldNames().length == 1 =>
+          require(timeT.isEmpty && bucket.isEmpty,
+            "identity partition levels come before time-unit/bucket " +
+              "transforms: PARTITIONED BY (cols…, days(ts), " +
+              "bucket(n, col))")
           Some(refs.head.fieldNames().head)
         case "bucket" if refs.length == 1 &&
           refs.head.fieldNames().length == 1 =>
@@ -440,17 +467,50 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
           bucket = Some(EpochStore.StoreBucket(
             refs.head.fieldNames().head, n))
           None
+        // time-unit / truncate level (X93): `PARTITIONED BY (days(ts))`
+        // — the reference's date-dir layout generalized; sits between
+        // the identity levels and the bucket
+        case k @ ("years" | "months" | "days" | "hours")
+          if refs.length == 1 && refs.head.fieldNames().length == 1 =>
+          require(timeT.isEmpty && bucket.isEmpty,
+            "one time-unit transform, before the bucket level")
+          timeT = Some(StoreTransform(refs.head.fieldNames().head,
+            k.stripSuffix("s")))
+          None
+        case "truncate" if refs.length == 1 &&
+          refs.head.fieldNames().length == 1 =>
+          require(timeT.isEmpty && bucket.isEmpty,
+            "one truncate transform, before the bucket level")
+          val w = t.arguments().collectFirst {
+            case lv: org.apache.spark.sql.connector.expressions.Literal[_]
+              if lv.value().isInstanceOf[Number] =>
+              lv.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"truncate transform without a width: $t"))
+          timeT = Some(StoreTransform(refs.head.fieldNames().head,
+            "trunc", w))
+          None
         case _ => throw new UnsupportedOperationException(
           s"epochstore supports PARTITIONED BY (columns…) identity " +
-            s"partitioning or ONE bucket(n, col), got $t")
+            "partitioning, ONE time-unit transform (years/months/days/" +
+            "hours/truncate), and ONE bucket(n, col), got " + t)
       }
     }
     bucket.foreach(b => require(!cols.contains(b.col),
       s"bucket column ${b.col} is already an identity partition column"))
-    (cols ++ bucket.map(_.col)).foreach(c =>
+    timeT.foreach { tt =>
+      require(!cols.contains(tt.col),
+        s"transform column ${tt.col} is already an identity partition " +
+          "column")
+      require(!bucket.exists(_.col == tt.col),
+        s"transform column ${tt.col} is already the bucket column")
+      schema.fields.find(_.name == tt.col).foreach(f =>
+        StoreTransform.validate(tt, f.dataType))
+    }
+    (cols ++ bucket.map(_.col) ++ timeT.map(_.col)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"partition column $c is not in the table schema"))
-    (cols, bucket)
+    (cols, bucket, timeT)
   }
 
   private def partColsOf(schema: StructType,
@@ -494,10 +554,11 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     if (isStore(root))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val (partCols, bucket) = partitioningOf(schema, partitions)
+    val (partCols, bucket, timeT) = partitioningOf(schema, partitions)
     val dir = EpochManifest.newDataDir(spark, root, 0L)
     fs.mkdirs(new Path(s"$root/$dir"))
-    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols, bucket)
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols,
+      bucket, transform = timeT)
     // OPTIONS('rowid'='k1,k2') declares a row identity: UPDATE/MERGE/
     // DELETE run merge-on-read ([[EpochStoreDelta]])
     propOpt(properties, "rowid").foreach { cols =>
@@ -535,10 +596,10 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
     if (isStore(root))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val (pcs, bkt) = partitioningOf(info.schema(), info.partitions())
+    val (pcs, bkt, tt) = partitioningOf(info.schema(), info.partitions())
     new StagedEpochStoreTable(root, info.schema(), pcs,
       statsColsOf(info.schema(), info.properties()), replaceBase = None,
-      bucketSpec = bkt)
+      bucketSpec = bkt, transformSpec = tt)
   }
 
   override def stageReplace(ident: Identifier,
@@ -546,22 +607,22 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = rootOf(ident)
     if (!isStore(root)) throw new NoSuchTableException(ident)
-    val (pcs, bkt) = partitioningOf(info.schema(), info.partitions())
+    val (pcs, bkt, tt) = partitioningOf(info.schema(), info.partitions())
     new StagedEpochStoreTable(root, info.schema(), pcs,
       statsColsOf(info.schema(), info.properties()),
       replaceBase = Some(EpochManifest.entries(spark, root)),
-      bucketSpec = bkt)
+      bucketSpec = bkt, transformSpec = tt)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
                                     info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = rootOf(ident)
-    val (pcs, bkt) = partitioningOf(info.schema(), info.partitions())
+    val (pcs, bkt, tt) = partitioningOf(info.schema(), info.partitions())
     new StagedEpochStoreTable(root, info.schema(), pcs,
       statsColsOf(info.schema(), info.properties()),
       replaceBase = Some(EpochManifest.entries(spark, root)),
-      bucketSpec = bkt)
+      bucketSpec = bkt, transformSpec = tt)
   }
 
   /** `ALTER TABLE … ADD COLUMNS (…)` — the SQL face of the store's

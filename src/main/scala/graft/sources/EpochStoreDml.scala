@@ -204,16 +204,33 @@ private[graft] object EpochStoreDml {
     * hold rows of any pair. */
   def resolvePairOverwrite(spark: SparkSession, root: String,
                            partCols: Seq[String],
-                           bucket: EpochStore.StoreBucket,
+                           transform: Option[StoreTransform],
+                           bucket: Option[EpochStore.StoreBucket],
                            replaced: Set[String])
       : Seq[EpochManifest.Entry] = {
+    require(transform.nonEmpty || bucket.nonEmpty,
+      "prefix-granular dynamic overwrite needs a transform or bucket level")
     val es = EpochManifest.entries(spark, root)
     if (replaced.isEmpty || es.isEmpty) return es
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val conf = GraftBridge.sessionHadoopConf(spark)
-    guardCurrentSpecEntries(spark, fs, root, es, partCols, Some(bucket),
+    guardCurrentSpecEntries(spark, fs, root, es, partCols, bucket,
       "dynamic INSERT OVERWRITE")
-    val depth = partCols.length + 1
+    // TRANSFORM layouts: dir-prefix survival is only meaningful for
+    // entries recorded under the SAME unit function — a days(ts) entry
+    // probed with hours(ts) prefixes (or a different truncate width)
+    // would silently keep rows of overwritten units. Refuse loudly.
+    transform.foreach { t =>
+      es.foreach { e =>
+        val rt = EpochStoreWrite.readTransformSidecar(fs, root, e.dir)
+        require(rt.contains(t),
+          s"dynamic INSERT OVERWRITE over $root: entry ${e.dir} " +
+            s"records transform ${rt.map(_.spelling).getOrElse("(none)")} " +
+            s"but the write lands under ${t.spelling} — run CALL " +
+            "compact first")
+      }
+    }
+    val depth = partCols.length + transform.size + bucket.size
     def prefixOf(rel: String): Option[String] = {
       val segs = rel.split('/')
       if (segs.length > depth && segs.take(depth).forall(_.contains("=")))

@@ -44,7 +44,8 @@ final class StagedEpochStoreTable(
     // None = CREATE (the root must still be table-free at commit);
     // Some(base) = REPLACE (the head must still equal `base` at commit)
     replaceBase: Option[Seq[EpochManifest.Entry]],
-    bucketSpec: Option[EpochStore.StoreBucket] = None)
+    bucketSpec: Option[EpochStore.StoreBucket] = None,
+    transformSpec: Option[StoreTransform] = None)
     extends StagedTable with SupportsWrite {
 
   partCols.foreach(c => require(tableSchema.fieldNames.contains(c),
@@ -94,7 +95,7 @@ final class StagedEpochStoreTable(
         : DataWriterFactory =
       new EpochStoreWriterFactory(s"$root/$dir", tableSchema, partCols,
         EpochStoreBatchWrite.primedConf(spark, tableSchema, partCols),
-        None, statsCols, bucketSpec)
+        None, statsCols, bucketSpec, transformSpec)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // everything EXCEPT the manifest publish — that is
@@ -108,7 +109,7 @@ final class StagedEpochStoreTable(
         messages.collect { case m: EpochFilesWritten => m.fileStats }
           .flatten.toSeq)
       EpochStoreWrite.writeSchemaSidecar(fs, root, dir, tableSchema,
-        partCols, bucketSpec)
+        partCols, bucketSpec, transform = transformSpec)
       stagedEpoch = epoch
       stagedDir = Some(dir)
     }

@@ -62,7 +62,8 @@ final class EpochStoreMicroBatchStream(
     root: String, partFilters: Array[Filter], dataFilters: Array[Filter],
     streamOptions: Map[String, String],
     bloomCol: Option[String] = None,
-    bucket: Option[EpochStore.StoreBucket] = None)
+    bucket: Option[EpochStore.StoreBucket] = None,
+    transform: Option[StoreTransform] = None)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -106,7 +107,8 @@ final class EpochStoreMicroBatchStream(
   private val template: EpochStoreScan =
     EpochStoreScan(fullSchema, required, partCols, root, -1L,
       EpochManifest.entries(spark, root), partFilters, dataFilters,
-      bucket = bucket, bloomCol = bloomCol, runtimeFilterable = false)
+      bucket = bucket, transform = transform, bloomCol = bloomCol,
+      runtimeFilterable = false)
 
   /** Highest committed epoch right now (startingAfter when the store has
     * none yet — the tail starts empty instead of failing). */
@@ -206,6 +208,10 @@ final class EpochStoreMicroBatchStream(
         // trigger, same as the batch scan
         bucketKeep = bucket.flatMap(b => EpochStore.bucketProbes(
           dataFilters, b, fullSchema(b.col).dataType)),
+        // time-unit pruning per trigger, same as the batch scan
+        transform = transform,
+        unitKeep = transform.flatMap(t => TimeTransforms.unitKeep(
+          dataFilters, t, fullSchema(t.col).dataType)),
         // spec-evolved stores: each trigger's entries walk under their
         // OWN recorded layouts (the template's resolver — its dir
         // values feed the per-profile constants in packFiles)

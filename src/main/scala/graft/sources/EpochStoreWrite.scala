@@ -111,6 +111,21 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
     b
   }
 
+  /** The `transform` option — the time-unit/truncate level
+    * ([[StoreTransform]]): `<col>_<kind>=<unit>` dirs, the column KEPT
+    * in the files, range predicates pruned to unit-range dir sets at
+    * scan planning. */
+  private def transformOf2(): Option[StoreTransform] = {
+    val t = EpochStore.transformOf(info.options())
+    t.foreach { tr =>
+      val f = info.schema().fields.find(_.name == tr.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"transform column ${tr.col} is not in the written schema"))
+      StoreTransform.validate(tr, f.dataType)
+    }
+    t
+  }
+
   /** `bloomColumn`: build one bloom-filter SIDECAR per data file over
     * this column's values (`_skip/<rel>.bloom`) — the read side skips
     * whole files on point lookups ([[EpochStoreScan]]). Integral and
@@ -285,7 +300,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       new EpochStoreBatchWrite(root, epoch, info.schema(), partColsOf(),
         bloomOf(), statsOf(), overwriteMode, branch,
         autoEpoch = explicitEpoch.isEmpty, bucketSpec = bucketOf2(),
-        sortCols = sortRecorded)
+        sortCols = sortRecorded, transformSpec = transformOf2())
     }
 
     /** Streaming: each micro-batch is one manifest epoch (epoch id =
@@ -298,7 +313,7 @@ final class EpochStoreWriteBuilder(info: LogicalWriteInfo)
       val opts = info.options()
       new EpochStoreStreamingWrite(EpochStore.rootOf(opts), info.queryId(),
         info.schema(), partColsOf(), bloomOf(), statsOf(), sortRecorded,
-        bucketOf2())
+        bucketOf2(), transformOf2())
     }
   }
 }
@@ -508,6 +523,8 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
                                      statsCols: Seq[(String, Char)] = Nil,
                                      sortCols: Seq[String] = Nil,
                                      bucketSpec: Option[EpochStore.StoreBucket] =
+                                       None,
+                                     transformSpec: Option[StoreTransform] =
                                        None)
     extends StreamingWrite {
 
@@ -529,7 +546,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     bloom.foreach(b => BloomSpec.publish(spark, root, b.col))
     new EpochStoreStreamingWriterFactory(s"$root/.w$queryId", schema, partCols,
       EpochStoreBatchWrite.primedConf(spark, schema, partCols), bloom,
-      statsCols, bucketSpec)
+      statsCols, bucketSpec, transformSpec)
   }
 
   override def commit(epochId: Long,
@@ -555,7 +572,7 @@ final class EpochStoreStreamingWrite(root: String, queryId: String,
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols,
-      bucketSpec, sortCols)
+      bucketSpec, sortCols, transformSpec)
     EpochManifest.commitEpochDir(spark, root, epochId, dir)
   }
 
@@ -591,8 +608,18 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  autoEpoch: Boolean = false,
                                  bucketSpec: Option[EpochStore.StoreBucket] =
                                    None,
-                                 sortCols: Seq[String] = Nil)
+                                 sortCols: Seq[String] = Nil,
+                                 transformSpec: Option[StoreTransform] = None)
     extends BatchWrite {
+
+  // partition-SPEC evolution and transform levels do not compose yet:
+  // the per-entry layout registry resolves (partCols, bucket) only —
+  // a transform entry on a layout-log store would be walked wrong
+  require(transformSpec.isEmpty ||
+    EpochManifest.currentLayout(SparkSession.active, root).isEmpty,
+    s"store $root has a layout log (CALL evolve_layout): transform " +
+      "levels do not compose with metadata-only spec evolution — " +
+      "CALL migrate_layout to a transform-free layout first")
 
   // fail a doomed job before any executor work; declaring the bloom
   // column early is safe — declared-but-sidecarless files always stay
@@ -611,7 +638,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
       : DataWriterFactory =
     new EpochStoreWriterFactory(s"$root/$dir", schema, partCols,
       EpochStoreBatchWrite.primedConf(SparkSession.active, schema, partCols),
-      bloom, statsCols, bucketSpec)
+      bloom, statsCols, bucketSpec, transformSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -631,7 +658,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
     EpochStoreStats.write(fs, root, dir,
       messages.collect { case m: EpochFilesWritten => m.fileStats }.flatten.toSeq)
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, schema, partCols,
-      bucketSpec, sortCols)
+      bucketSpec, sortCols, transformSpec)
     overwrite match {
       case EpochOverwrite.AppendOnly =>
         // epoch-REPLACEMENT is retry idempotence for EXPLICIT epochs; an
@@ -662,6 +689,31 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
           EpochStoreWrite.guardNoLiveTombstones(spark, root,
             "static INSERT OVERWRITE")
         commitOverwrite(spark, filters)
+      case EpochOverwrite.DynamicParts if transformSpec.nonEmpty =>
+        EpochStoreWrite.guardNoLiveTombstones(spark, root,
+          "dynamic INSERT OVERWRITE")
+        // TIME-UNIT/TRUNCATE layouts (X93): replace exactly the
+        // (identity tuple…, unit[, bucket]) prefixes the batch wrote —
+        // the Iceberg dynamic-overwrite contract on days(ts)-style
+        // specs; untouched units' dirs survive byte-identical
+        val depthT = partCols.length + 1 + bucketSpec.size
+        val prefixesT = messages
+          .collect { case m: EpochFilesWritten => m.files }.flatten
+          .map(_.split('/').take(depthT))
+          .filter(segs => segs.length == depthT &&
+            segs.forall(_.contains("=")))
+          .map(_.mkString("/"))
+          .toSet
+        val baseT = EpochManifest.entries(spark, root)
+        val survivorsT = EpochStoreDml.resolvePairOverwrite(spark, root,
+          partCols, transformSpec, bucketSpec, prefixesT)
+        require(!survivorsT.exists(_.epoch == epoch),
+          s"epochstore overwrite at epoch $epoch would collide with a " +
+            s"surviving entry at the same epoch under $root — use a fresh " +
+            "epoch (omit the option to auto-allocate)")
+        EpochManifest.commitIfUnchanged(spark, root, baseT,
+          survivorsT :+ EpochManifest.Entry(epoch, dir))
+        ()
       case EpochOverwrite.DynamicParts if bucketSpec.nonEmpty &&
           partCols.nonEmpty =>
         EpochStoreWrite.guardNoLiveTombstones(spark, root,
@@ -681,7 +733,7 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
           .toSet
         val base = EpochManifest.entries(spark, root)
         val survivors = EpochStoreDml.resolvePairOverwrite(spark, root,
-          partCols, bucketSpec.get, prefixes)
+          partCols, None, bucketSpec, prefixes)
         require(!survivors.exists(_.epoch == epoch),
           s"epochstore overwrite at epoch $epoch would collide with a " +
             s"surviving entry at the same epoch under $root — use a fresh " +
@@ -779,12 +831,13 @@ final class EpochStoreStreamingWriterFactory(
     bc: Broadcast[SerializableConfiguration],
     bloom: Option[BloomSpec] = None,
     statsCols: Seq[(String, Char)] = Nil,
-    bucketSpec: Option[EpochStore.StoreBucket] = None)
+    bucketSpec: Option[EpochStore.StoreBucket] = None,
+    transformSpec: Option[StoreTransform] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new EpochStoreDataWriter(s"$stageRoot-e$epochId", schema, partCols,
-      bc, partitionId, taskId, bloom, statsCols, bucketSpec)
+      bc, partitionId, taskId, bloom, statsCols, bucketSpec, transformSpec)
 }
 
 object EpochStoreBatchWrite {
@@ -862,7 +915,8 @@ object EpochStoreWrite {
       fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String,
       schema: StructType, partCols: Seq[String],
       bucket: Option[EpochStore.StoreBucket] = None,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      transform: Option[StoreTransform] = None): Unit = {
     partCols.foreach(c => require(!c.contains(",") && !c.contains("\""),
       s"partition column name '$c' cannot be recorded"))
     bucket.foreach(b => require(!b.col.contains("\""),
@@ -875,6 +929,9 @@ object EpochStoreWrite {
       else Some(s""""partitionColumn":"${partCols.mkString(",")}""""),
       bucket.map(b =>
         s""""bucketColumn":"${b.col}","bucketCount":${b.n}"""),
+      // the time-unit/truncate level, by its canonical spelling —
+      // parsed back by [[readTransformSidecar]]
+      transform.map(t => s""""transform":"${t.spelling}""""),
       // the entry's SORT LAYOUT: every data file in this dir holds rows
       // ordered by these columns (ascending, nulls first) — the write
       // enforced it ([[RequiresDistributionAndOrdering]] / the fold's
@@ -921,6 +978,22 @@ object EpochStoreWrite {
     else Some(EpochStore.StoreBucket(
       head.split("\"bucketColumn\":\"")(1).takeWhile(_ != '"'),
       head.split("\"bucketCount\":")(1).takeWhile(_.isDigit).toInt))
+  }
+
+  /** The time-unit/truncate layout an entry's `_schema.json` records
+    * (None for entries without one). */
+  private[sources] def readTransformSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, dir: String)
+      : Option[StoreTransform] = {
+    val p = new Path(s"$root/$dir/_schema.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val head = body.linesIterator.filter(_.nonEmpty).toSeq.head
+    if (!head.contains("\"transform\":\"")) None
+    else Some(StoreTransform.parse(
+      head.split("\"transform\":\"")(1).takeWhile(_ != '"')))
   }
 
   /** Parse one entry's `_schema.json` back to (schema, partitionColumn);
@@ -974,12 +1047,14 @@ final class EpochStoreWriterFactory(dirPath: String, schema: StructType,
                                     bloom: Option[BloomSpec] = None,
                                     statsCols: Seq[(String, Char)] = Nil,
                                     bucketSpec: Option[EpochStore.StoreBucket] =
+                                      None,
+                                    transformSpec: Option[StoreTransform] =
                                       None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new EpochStoreDataWriter(dirPath, schema, partCols, bc, partitionId,
-      taskId, bloom, statsCols, bucketSpec)
+      taskId, bloom, statsCols, bucketSpec, transformSpec)
 }
 
 final class EpochStoreDataWriter(dirPath: String, schema: StructType,
@@ -989,7 +1064,8 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
                                  bloom: Option[BloomSpec] = None,
                                  statsCols: Seq[(String, Char)] = Nil,
                                  bucketSpec: Option[EpochStore.StoreBucket] =
-                                   None)
+                                   None,
+                                 transformSpec: Option[StoreTransform] = None)
     extends DataWriter[InternalRow] {
 
   private val partIdxs: Array[Int] = partCols.map(schema.fieldIndex).toArray
@@ -998,6 +1074,10 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
     bucketSpec.map(b => schema.fieldIndex(b.col)).getOrElse(-1)
   private val bucketType =
     bucketSpec.map(b => schema(b.col).dataType).orNull
+  private val transformIdx: Int =
+    transformSpec.map(t => schema.fieldIndex(t.col)).getOrElse(-1)
+  private val transformType =
+    transformSpec.map(t => schema(t.col).dataType).orNull
   // data columns = everything except the partition columns, in order
   private val dataIdx: Array[Int] =
     schema.fields.indices.filterNot(partIdxs.contains(_)).toArray
@@ -1065,7 +1145,17 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
         else row.get(bucketIdx, bucketType)
       b.dirPrefix + EpochStore.bucketIdOf(v, bucketType, b.n)
     }
-    if (partIdxs.isEmpty) return bseg.getOrElse("")
+    // time-unit/truncate level ([[StoreTransform]]): one
+    // `<col>_<kind>=<unit>` segment between the identity levels and the
+    // bucket, the column kept in the files — the reference's date-dir
+    // layout generalized to raw timestamps
+    val tseg: Option[String] = transformSpec.map { t =>
+      val v = if (row.isNullAt(transformIdx)) null
+        else row.get(transformIdx, transformType)
+      t.dirPrefix + TimeTransforms.dirValueOf(v, transformType, t)
+    }
+    val leaf: Seq[String] = (tseg ++ bseg).toSeq
+    if (partIdxs.isEmpty) return leaf.mkString("/")
     val segs = new Array[String](partIdxs.length)
     var i = 0
     while (i < partIdxs.length) {
@@ -1088,7 +1178,7 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
       segs(i) = s"${partCols(i)}=$raw"
       i += 1
     }
-    (segs.toSeq ++ bseg).mkString("/")
+    (segs.toSeq ++ leaf).mkString("/")
   }
 
   /** The metadata-carrying form Spark's row-level rewrite tasks call
