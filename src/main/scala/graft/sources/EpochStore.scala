@@ -1124,6 +1124,19 @@ final case class EpochStoreScan(
             if (EpochStoreStats.cmp(a, b).exists(_ <= 0)) a else b)
           val hi = maxs.reduceOption((a, b) =>
             if (EpochStoreStats.cmp(a, b).exists(_ >= 0)) a else b)
+          // DISTINCT-COUNT for CBO: fold the planned files' per-file
+          // HLL registers (per-register max = lossless union) into one
+          // estimate — the statistic join-reorder and join-cardinality
+          // estimation actually key on; min/max alone under-inform
+          // them. Reported only when EVERY planned file carries a
+          // sketch (pre-NDV epochs simply don't report it).
+          val ndv: Option[Long] =
+            if (cs.exists(_.ndv.isEmpty)) None
+            else {
+              val acc = new Array[Byte](EpochStoreStats.Ndv.M)
+              cs.foreach(c => EpochStoreStats.Ndv.mergeInto(acc, c.ndv.get))
+              Some(EpochStoreStats.Ndv.estimate(acc))
+            }
           colStats.put(
             org.apache.spark.sql.connector.expressions.Expressions
               .column(f.name),
@@ -1131,6 +1144,9 @@ final case class EpochStoreScan(
               .ColumnStatistics {
               override def nullCount(): java.util.OptionalLong =
                 java.util.OptionalLong.of(nulls)
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
               override def min(): java.util.Optional[Object] =
                 lo.map(v => widen.get(v).asInstanceOf[Object])
                   .map(java.util.Optional.of[Object])
@@ -3563,9 +3579,15 @@ object EpochStore {
     val statsCols = statKinds.map(_._1)
     val back = spark.read.schema(schema).parquet(s"$root/$dir")
       .withColumn("__f", input_file_name())
+    val kindOf = statKinds.toMap
     val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      // NDV registers re-derived with the writer's exact hash, so the
+      // rewritten entry's sketches keep merging with original ones
+      org.apache.spark.sql.GraftBridge.column(
+        NdvRegistersAgg(org.apache.spark.sql.GraftBridge.expression(col(c)),
+          kindOf(c)).toAggregateExpression()).as(s"__ndv_$c")))
     val perFile = back.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         // input_file_name's URI spelling (file:///…) differs from
@@ -3588,7 +3610,8 @@ object EpochStore {
           }
           c -> EpochStoreStats.ColStats(kind, r.getAs[Long](s"__nulls_$c"),
             Option(num(r.getAs[Any](s"__min_$c"))),
-            Option(num(r.getAs[Any](s"__max_$c"))))
+            Option(num(r.getAs[Any](s"__max_$c"))),
+            Option(r.getAs[Array[Byte]](s"__ndv_$c")))
         }.toMap
         rel -> EpochStoreStats.FileStats(r.getAs[Long]("__rows"), cols)
       }

@@ -46,10 +46,73 @@ import org.apache.spark.sql.sources.Filter
 object EpochStoreStats {
 
   /** One column's accumulated stats: `min`/`max` are Long, Double, or
-    * String (None = all values null). */
+    * String (None = all values null). `ndv` = the column's per-file HLL
+    * register vector ([[Ndv]], 2^9 bytes) — registers MERGE across any
+    * file subset by per-register max, so the scan folds the PLANNED
+    * files' sketches into one distinct-count estimate for CBO
+    * ([[EpochStoreScan.estimateStatistics]]); absent on pre-NDV
+    * sidecars (distinctCount is then simply not reported). */
   final case class ColStats(kind: Char, nulls: Long,
-                            min: Option[Any], max: Option[Any])
+                            min: Option[Any], max: Option[Any],
+                            ndv: Option[Array[Byte]] = None)
       extends Serializable
+
+  /** The sidecar NDV sketch: a fixed p=9 (512-register) HyperLogLog
+    * over murmur3 of the column's accumulated representation (long for
+    * integral widths, double for floats, UTF-8 bytes for strings — the
+    * same representations the skip tiers compare). ~4.6% standard
+    * error; 512 B raw / ~684 B base64 per (file, column) — manifest-
+    * index-sized, never data-sized. The WRITER accumulates per row
+    * (one murmur3 per value — the bucket-hash cost, not md5), rewrites
+    * re-derive via [[NdvRegistersAgg]] with the identical hash, and
+    * the fold is exact under per-register max regardless of how files
+    * are grouped. */
+  object Ndv {
+    val P = 9
+    val M: Int = 1 << P
+    private val Seed = 9001L
+
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+    /** Hash of one ACCUMULATED value (java.lang.Long / java.lang.Double
+      * / UTF8String — exactly what the writer's stats loop produced).
+      * xxHash64, NOT murmur3: Spark's murmur3 is 32-bit (sign-extended
+      * into the Long), which would collapse the top-bit register index
+      * to two registers. */
+    def hashOf(v: Any): Long = v match {
+      case l: java.lang.Long => XxHash64Function.hash(l, LongType, Seed)
+      case d: java.lang.Double =>
+        XxHash64Function.hash(d, DoubleType, Seed)
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        XxHash64Function.hash(u, StringType, Seed)
+      case s: String => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        StringType, Seed)
+      case other => throw new IllegalStateException(
+        s"ndv sketch over unsupported accumulated value $other")
+    }
+
+    def add(regs: Array[Byte], h: Long): Unit = {
+      val reg = (h >>> (64 - P)).toInt
+      val w = h << P
+      val rank =
+        if (w == 0L) (64 - P + 1)
+        else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rank > regs(reg)) regs(reg) = rank.toByte
+    }
+
+    /** Per-register max — the lossless HLL union. */
+    def mergeInto(into: Array[Byte], from: Array[Byte]): Unit = {
+      var i = 0
+      while (i < M) { if (from(i) > into(i)) into(i) = from(i); i += 1 }
+    }
+
+    /** Bias-corrected estimate (the [[graft.plans.HllRegistersAgg]]
+      * formula, shared). */
+    def estimate(regs: Array[Byte]): Long =
+      math.round(graft.plans.HllRegistersAgg.estimate(regs.map(_.toInt)))
+  }
 
   /** One data file's stats: total row count + per-column stats keyed by
     * column name. `len`/`mtime` (bytes, epoch millis; len = -1 on
@@ -83,7 +146,10 @@ object EpochStoreStats {
             s""","min":$a,"max":$b"""
           case _ => ""
         }
-        s"""{"c":"${b64(c)}","t":"${cs.kind}","nulls":${cs.nulls}$mm}"""
+        val nd = cs.ndv.map(r =>
+          s""","ndv":"${Base64.getEncoder.encodeToString(r)}"""")
+          .getOrElse("")
+        s"""{"c":"${b64(c)}","t":"${cs.kind}","nulls":${cs.nulls}$mm$nd}"""
       }.mkString("[", ",", "]")
       val ix = if (fsr.len >= 0L) s""","len":${fsr.len},"mt":${fsr.mtime}"""
         else ""
@@ -95,7 +161,8 @@ object EpochStoreStats {
       """(?:,"len":(\d+),"mt":(\d+))?""").r.unanchored
   private val colRe =
     (""""c":"([^"]*)","t":"(.)","nulls":(\d+)""" +
-      """(?:,"min":("[^"]*"|[^,}\]]+),"max":("[^"]*"|[^,}\]]+))?""").r
+      """(?:,"min":("[^"]*"|[^,}\]]+),"max":("[^"]*"|[^,}\]]+))?""" +
+      """(?:,"ndv":"([^"]*)")?""").r
 
   /** Parse a sidecar body back to (relFile -> stats). The writer's fixed
     * shape + base64 values make this regex split exact. */
@@ -113,7 +180,8 @@ object EpochStoreStats {
           }
         }
         unb64(cm.group(1)) ->
-          ColStats(kind, cm.group(3).toLong, v(cm.group(4)), v(cm.group(5)))
+          ColStats(kind, cm.group(3).toLong, v(cm.group(4)), v(cm.group(5)),
+            Option(cm.group(6)).map(Base64.getDecoder.decode))
       }.toMap
       unb64(m.group(1)) -> FileStats(m.group(2).toLong, cols,
         len = Option(m.group(3)).map(_.toLong).getOrElse(-1L),
@@ -271,4 +339,64 @@ object EpochStoreStats {
       case _ => None
     }
   }
+}
+
+/** Per-file NDV re-derivation for rewrites and compaction folds
+  * ([[graft.sources.EpochStore.rederiveStats]]): the SAME murmur3 hash
+  * and 512-register shape [[EpochStoreStats.Ndv]] accumulates on the
+  * write path, as a catalyst typed aggregate — a rewritten entry's
+  * sidecar sketches stay mergeable with original-write sketches. */
+private[sources] case class NdvRegistersAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    kind: Char,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Byte]] {
+
+  override def children
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "ndv_registers"
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](EpochStoreStats.Ndv.M)
+
+  override def update(buf: Array[Byte],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val acc: Any = kind match {
+        case 'S' => v // UTF8String
+        case 'd' => java.lang.Double.valueOf(
+          v.asInstanceOf[Number].doubleValue())
+        case _ => java.lang.Long.valueOf(
+          v.asInstanceOf[Number].longValue())
+      }
+      EpochStoreStats.Ndv.add(buf, EpochStoreStats.Ndv.hashOf(acc))
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    EpochStoreStats.Ndv.mergeInto(a, b); a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(o: Int): NdvRegistersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): NdvRegistersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = c(0))
 }

@@ -1103,6 +1103,11 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
     val nulls = new Array[Long](statsIdx.length)
     val mins = new Array[Any](statsIdx.length)
     val maxs = new Array[Any](statsIdx.length)
+    // per-column HLL NDV registers ([[EpochStoreStats.Ndv]]) — merged
+    // across the planned file set at scan time into CBO distinctCount
+    val ndvs: Array[Array[Byte]] =
+      Array.fill(statsIdx.length)(
+        new Array[Byte](EpochStoreStats.Ndv.M))
   }
   private val accs =
     scala.collection.mutable.LinkedHashMap.empty[String, FileAcc]
@@ -1228,6 +1233,7 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
         }
         if (acc.mins(s) == null || lt(v, acc.mins(s))) acc.mins(s) = keep(v)
         if (acc.maxs(s) == null || lt(acc.maxs(s), v)) acc.maxs(s) = keep(v)
+        EpochStoreStats.Ndv.add(acc.ndvs(s), EpochStoreStats.Ndv.hashOf(v))
       }
       s += 1
     }
@@ -1285,7 +1291,8 @@ final class EpochStoreDataWriter(dirPath: String, schema: StructType,
         }
         val cols = statsIdx.indices.map { s =>
           statsIdx(s)._1 -> EpochStoreStats.ColStats(statsIdx(s)._3,
-            acc.nulls(s), Option(acc.mins(s)).map(jv), Option(acc.maxs(s)).map(jv))
+            acc.nulls(s), Option(acc.mins(s)).map(jv),
+            Option(acc.maxs(s)).map(jv), Some(acc.ndvs(s)))
         }.toMap
         // the closed file's length + mtime make the sidecar a file-level
         // manifest index ([[EpochStoreStats.FileStats]]): the scan plans

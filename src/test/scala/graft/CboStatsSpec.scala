@@ -107,4 +107,126 @@ class CboStatsSpec extends SparkSpec {
           s"${filterNode.stats.rowCount}")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
+
+  test("distinctCount folds per-file HLL sketches within sketch error; " +
+      "narrowing the scan narrows it; a sketch-less file silences it") {
+    import spark.implicits._
+    val root = tmp()
+    def df0(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, (i % 10).toLong)).toDF("id", "grp")
+    EpochStore.write(df0(0, 100), root, 0L, statsColumns = Seq("id", "grp"))
+    EpochStore.write(df0(100, 200), root, 1L,
+      statsColumns = Seq("id", "grp"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.LongType)))
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+    def ndvOf(df: org.apache.spark.sql.DataFrame, c: String)
+        : Option[BigInt] =
+      statsOf(df).attributeStats.toSeq
+        .collectFirst { case (a, cs) if a.name == c => cs }
+        .flatMap(_.distinctCount)
+    val full = EpochStore.read(spark, root, schema)
+    val idNdv = ndvOf(full, "id").get.toLong
+    assert(math.abs(idNdv - 200L) <= 20L,
+      s"id ndv within sketch error of 200: $idNdv")
+    val grpNdv = ndvOf(full, "grp").get.toLong
+    assert(grpNdv >= 8L && grpNdv <= 12L,
+      s"grp ndv near-exact at low cardinality: $grpNdv")
+    // the PLANNED-set fold: a stats-narrowed scan re-estimates over the
+    // surviving files only
+    val half = EpochStore.read(spark, root, schema)
+      .filter(org.apache.spark.sql.functions.col("id") >= 100L)
+    val halfNdv = ndvOf(half, "id").get.toLong
+    assert(math.abs(halfNdv - 100L) <= 10L,
+      s"pruned scan folds pruned sketches: $halfNdv")
+    // strip one entry's sketches (a pre-NDV sidecar): distinctCount
+    // goes ABSENT — never guessed — while min/max keep reporting
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val e0 = graft.core.EpochManifest.entries(spark, root).head
+    val stripped = graft.sources.EpochStoreStats.read(fs, root, e0.dir)
+      .toSeq.map { case (rel, st) =>
+        rel -> st.copy(cols = st.cols.map { case (c, cs) =>
+          c -> cs.copy(ndv = None) })
+      }
+    graft.sources.EpochStoreStats.write(fs, root, e0.dir, stripped)
+    val after = EpochStore.read(spark, root, schema)
+    assert(ndvOf(after, "id").isEmpty,
+      "a sketch-less planned file must silence distinctCount")
+    val attrs2 = statsOf(after).attributeStats.toSeq
+      .map { case (a, cs) => a.name -> cs }.toMap
+    assert(attrs2("id").min.contains(0L) && attrs2("id").max.contains(199L),
+      "min/max keep reporting without sketches")
+  }
+
+  test("CBO join reorder keys on the served distinctCount: the planted " +
+      "3-table skewed shape joins the selective dim first") {
+    import spark.implicits._
+    val whF = tmp(); val whA = tmp(); val whB = tmp()
+    // fact: 2000 rows, a in [0,400), b in [0,10)
+    EpochStore.write((0 until 2000)
+      .map(i => (i.toLong, (i % 400).toLong, (i % 10).toLong))
+      .toDF("id", "a", "b"), whF, 0L, statsColumns = Seq("a", "b"))
+    EpochStore.write((0 until 400).map(i => (i.toLong, s"a$i"))
+      .toDF("aid", "aname"), whA, 0L, statsColumns = Seq("aid"))
+    // dimB holds only 2 of the 10 b-values: F JOIN B is the selective
+    // join (2000*2/10 = 400 rows) vs F JOIN A (2000 rows)
+    EpochStore.write(Seq((0L, "b0"), (1L, "b1")).toDF("bid", "bname"),
+      whB, 0L, statsColumns = Seq("bid"))
+    val sf = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType)))
+    val sa = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("aid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("aname",
+        org.apache.spark.sql.types.StringType)))
+    val sb = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bname",
+        org.apache.spark.sql.types.StringType)))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // syntactic order joins A FIRST; the cost-based reorder should
+      // move the selective B join ahead — reachable only through the
+      // join-key ndv the sketches serve
+      val f = EpochStore.read(spark, whF, sf)
+      val a = EpochStore.read(spark, whA, sa)
+      val b = EpochStore.read(spark, whB, sb)
+      val q = f.join(a, f("a") === a("aid"))
+        .join(b, f("b") === b("bid"))
+        .select(f("id"), a("aname"), b("bname"))
+      def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case r: DataSourceV2ScanRelation => r.scan match {
+            case s: graft.sources.EpochStoreScan => s.root
+            case _ => "?"
+          }
+        }
+      val order = leafOrder(q)
+      assert(order.indexOf(whB) < order.indexOf(whA),
+        s"the selective dim must join first under CBO: $order " +
+          "(fact-B intermediate = 400 rows vs fact-A = 2000 — only the " +
+          "served distinctCount exposes that)")
+      // correctness unchanged by the reorder
+      assert(q.count() == 400L)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
