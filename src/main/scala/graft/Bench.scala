@@ -135,12 +135,20 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").take(3).map(_.toDouble).toSeq
     } catch { case _: Throwable => Seq.empty[Double] }
-    val self = ProcessHandle.current().pid()
+    // THIS run's own JVM lineage (the forked bench JVM + the sbt
+    // launcher/server chain that forked it) is part of the measurement,
+    // not contamination — exclude self AND every ancestor, so an idle
+    // box reports 0 and BASELINE.md's "≥ 1 means a shared box" reading
+    // stays mechanical (the old self-only exclusion reported 2 on a
+    // clean run: launcher + server)
+    val own = Iterator.iterate(Option(ProcessHandle.current()))(
+      _.flatMap(h => Option(h.parent().orElse(null))))
+      .takeWhile(_.nonEmpty).flatten.map(_.pid()).toSet
     val jvms = try {
       new java.io.File("/proc").listFiles()
         .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
         .count { f =>
-          if (f.getName.toLong == self) false
+          if (own.contains(f.getName.toLong)) false
           else try {
             val cmd = java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline"))

@@ -503,15 +503,16 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
             val efs = s.fieldNames.toSet
             val pcE = EpochStore.splitPartCols(pc)
             val layoutOk = specLayout.forall { l =>
-              // grouped: the entry must sit on the CURRENT layout;
-              // ungrouped: any layout, but the aggregated columns must
-              // be FILE-served there (a dir-served column has neither
-              // footer stats nor sidecar entries)
+              // grouped: every entry must DIR-SERVE every current
+              // identity partition column (its recorded columns are a
+              // superset — the agg scan re-expresses each entry's
+              // values in current order); the bucket level is inner to
+              // the identity dirs and never affects grouping. Ungrouped:
+              // any layout. Either way the aggregated columns must be
+              // FILE-served in every entry (a dir-served column has
+              // neither footer stats nor sidecar entries).
               (agg.groupByExpressions.isEmpty ||
-                (pcE == l.partCols &&
-                  EpochStoreWrite.readBucketSidecar(fs, root, e.dir) ==
-                    l.bucketCol.map(c => EpochStore.StoreBucket(c,
-                      l.bucketCount)))) &&
+                l.partCols.forall(pcE.contains)) &&
                 aggCols.forall(c => !pcE.contains(c))
             }
             layoutOk &&

@@ -107,6 +107,21 @@ final case class EpochStoreAggScan(
 
   def selectedPartitionDirs: (Int, Int) = (listing._2, listing._3)
 
+  /** A listed file's partition values re-expressed in the CURRENT
+    * layout's column order (X92 grouped aggregation over mixed specs):
+    * the pushdown gate admits grouped shapes only when every entry's
+    * recorded identity columns are a SUPERSET of the current ones, so
+    * the name-indexed remap below is total. Identity (and ungrouped)
+    * scans pass values through untouched. */
+  private def normValues(lf: EpochStore.ListedFile): Seq[Any] =
+    entryLayoutsOpt match {
+      case None => lf.values
+      case Some(m) =>
+        val pcs = m.get(lf.entryDir).map(_._1).getOrElse(partCols)
+        if (pcs == partCols) lf.values
+        else partCols.map(c => lf.values(pcs.indexOf(c)))
+    }
+
   /** RENAME evolution (X85) over the metadata-only path: footers and
     * sidecars speak each entry's PHYSICAL spellings, so the fold asks
     * each entry for the alias chains' resolution of every aggregated
@@ -229,7 +244,7 @@ final case class EpochStoreAggScan(
     val groups: Seq[(Seq[Any], Seq[(String, EpochStoreStats.FileStats)])] =
       if (aggregation.groupByExpressions.isEmpty)
         Seq((Seq.empty[Any], sts.map(t => (t._1.entryDir, t._2.get))))
-      else sts.groupBy(t => groupIdxInPart.map(t._1.values(_))).toSeq
+      else sts.groupBy(t => groupIdxInPart.map(normValues(t._1)(_))).toSeq
         .sortBy(t => t._1.map(String.valueOf).mkString("\u0000"))
         .map { case (vs, l) => (vs, l.map(t => (t._1.entryDir, t._2.get))) }
     val rows = groups.map { case (v, fstats) =>
@@ -311,7 +326,8 @@ final case class EpochStoreAggScan(
           if (p == l) None else Some((l, p))
         }
       EpochAggPartition(lf.status.getPath.toString, lf.status.getLen,
-        lf.values.toArray, pairs): InputPartition
+        (if (groupSchema.isEmpty) lf.values else normValues(lf)).toArray,
+        pairs): InputPartition
     }.toArray
   }
 

@@ -183,16 +183,56 @@ object EpochStoreMetadata {
       : (StructType, Array[InternalRow]) = {
     val (fls, partCols, bucket, stats, layouts) =
       listed(spark, root, baseSchema, options)
-    // `$partitions` rows ARE typed current-layout tuples — a foreign-
-    // layout entry's values aren't those tuples; refuse rather than
-    // mis-group (the $files view stays available on mixed stores)
-    layouts.foreach { m =>
-      val foreign = fls.map(_.entryDir).distinct.filter(d =>
+    val fsM = new Path(root)
+      .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    // MIXED-spec snapshots (X92): typed current-layout tuple columns
+    // cannot describe a foreign-layout entry's dirs — render each
+    // partition under ITS entry's recorded spec instead (the $files
+    // shape): one row per (spec, rendered tuple, bucket id), with the
+    // spec spelled out so the operator sees which layout owns it.
+    // Uniform stores keep the typed tuple schema unchanged.
+    val mixed = layouts.exists { m =>
+      fls.map(_.entryDir).distinct.exists(d =>
         m.get(d).exists(l => l._1 != partCols || l._2 != bucket))
-      if (foreign.nonEmpty) throw new IllegalStateException(
-        s"$$partitions over $root: entries ${foreign.mkString(", ")} were " +
-          "written under a previous partition spec — normalize (CALL " +
-          "migrate_layout or compact) first, or inspect $files")
+    }
+    if (mixed) {
+      val m = layouts.get
+      val schema = StructType(Seq(
+        StructField("spec", StringType, nullable = false),
+        StructField("partition", StringType, nullable = true),
+        StructField("bucket_id", IntegerType, nullable = true),
+        StructField("files", LongType, nullable = false),
+        StructField("rows", LongType, nullable = true),
+        StructField("bytes", LongType, nullable = false)))
+      def specOf(d: String): (Seq[String], Option[EpochStore.StoreBucket]) =
+        m.getOrElse(d, (partCols, bucket))
+      def render(l: (Seq[String], Option[EpochStore.StoreBucket])): String =
+        (l._1.map(c => s"identity($c)") ++
+          l._2.map(b => s"bucket(${b.n}, ${b.col})")).mkString(", ") match {
+          case "" => "(unpartitioned)"
+          case s => s
+        }
+      val rows = fls.groupBy { lf =>
+        val l = specOf(lf.entryDir)
+        val part =
+          if (l._1.isEmpty) null
+          else l._1.zip(lf.values)
+            .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/")
+        (render(l), part, lf.bucketId)
+      }.toSeq
+        .sortBy { case ((sp, part, k), _) =>
+          (sp, String.valueOf(part), k) }
+        .map { case ((sp, part, k), group) =>
+          val counted = group.map(lf =>
+            stats.getOrElse(lf.entryDir, Map.empty)
+              .get(EpochStore.relOf(fsM, root, lf)).map(_.rows))
+          val nRows: Any =
+            if (counted.exists(_.isEmpty)) null else counted.flatten.sum
+          new GenericInternalRow(Array[Any](utf8(sp), utf8(part),
+            if (k >= 0) k else null, group.size.toLong, nRows,
+            group.map(_.status.getLen).sum)): InternalRow
+        }.toArray
+      return (schema, rows)
     }
     val partFields = partCols.map(c => baseSchema.fields.find(_.name == c).get)
     val schema = StructType(

@@ -153,8 +153,8 @@ class MetaTablesSpec extends SparkSpec {
   }
 
   test("metadata tables on a spec-evolved store: $files lists every " +
-      "entry under its own layout; $partitions refuses while mixed and " +
-      "recovers after normalization") {
+      "entry under its own layout; $partitions renders per-entry specs " +
+      "while mixed and serves typed tuples after normalization") {
     import spark.implicits._
     val wh = tmp()
     cat("metae", wh)
@@ -177,13 +177,22 @@ class MetaTablesSpec extends SparkSpec {
       s"the bucketed file must carry its bucket_id: ${files.toSeq}")
     assert(spark.sql("SELECT sum(rows) FROM metae.`t$files`")
       .head.getLong(0) == 31L, "every spec's files must be listed")
-    // $partitions refuses while mixed, names the remedy
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM metae.`t$partitions`").collect()
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
-    assert(msgs.contains("previous partition spec"), msgs)
+    // $partitions while MIXED: one row per (spec, rendered tuple,
+    // bucket id), each partition under ITS entry's recorded layout
+    val mixedParts = spark.sql(
+      "SELECT spec, partition, bucket_id, rows FROM metae.`t$partitions`")
+      .collect()
+    val bySpec = mixedParts.groupBy(_.getString(0))
+    assert(bySpec.keySet == Set("identity(lang)", "bucket(4, id)"),
+      s"both specs must render: ${bySpec.keySet}")
+    assert(bySpec("identity(lang)")
+      .forall(r => r.getString(1).startsWith("lang=") && r.isNullAt(2)),
+      s"identity rows: ${mixedParts.toSeq}")
+    assert(bySpec("bucket(4, id)")
+      .forall(r => r.isNullAt(1) && !r.isNullAt(2)),
+      s"bucket rows: ${mixedParts.toSeq}")
+    assert(mixedParts.map(_.getLong(3)).sum == 31L,
+      s"every spec's rows must be counted: ${mixedParts.toSeq}")
     // normalize -> $partitions serves the current (bucket) tuples
     spark.sql("CALL metae.system.compact('t')").collect()
     val parts = spark.sql(

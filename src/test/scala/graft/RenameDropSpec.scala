@@ -329,4 +329,48 @@ class RenameDropSpec extends SparkSpec {
     assert(spark.table("rst_tail3").filter(col("id") === 7L)
       .head.getString(1) == "v7")
   }
+
+  test("mid-stream ADD COLUMN is pure widening: the running tail keeps " +
+      "flowing under its pinned shape; a restart serves the merged " +
+      "schema with nulls for pre-column rows") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("radd", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 10).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    val q = spark.readStream.format("epochstore")
+      .schema(spark.table("radd.t").schema)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("radd_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("radd_tail").count() == 10L)
+      // ADD COLUMN lands mid-stream (an empty widened epoch + a write
+      // carrying the new column): non-destructive — the running tail
+      // keeps flowing under the shape it pinned at start, the new
+      // column's values simply not selected until a restart re-pins
+      spark.sql("ALTER TABLE radd.t ADD COLUMNS (score DOUBLE)")
+      spark.sql("INSERT INTO radd.t VALUES (100, 'v100', 1.5)")
+      q.processAllAvailable()
+      val got = spark.table("radd_tail").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got.size == 11 && got.last == (100L, "v100"),
+        s"the tail must keep flowing across ADD COLUMN: $got")
+    } finally q.stop()
+    // restart: the merged schema serves — old rows null, new row valued
+    val q2 = spark.readStream.format("epochstore")
+      .schema(spark.table("radd.t").schema)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("radd_tail2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val rows = spark.table("radd_tail2").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows.size == 11)
+    assert(rows(100L).contains(1.5) && rows(0L).isEmpty,
+      s"merged schema after restart: $rows")
+  }
 }

@@ -576,4 +576,49 @@ class SpecEvolveSpec extends SparkSpec {
       "SELECT count(*) FROM sev9.t WHERE language = 'en'")
       .head.getLong(0) == 5L)
   }
+
+  test("GROUPED metadata-only aggregation over a mixed snapshot: every " +
+      "entry dir-serves the current identity columns, each under its " +
+      "own nesting — the agg answers from sidecars, exactly") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev10", wh)
+    val root = s"$wh/t"
+    val langs = IndexedSeq("en", "de", "fr")
+    // epoch 0: identity (lang, grp) — a SUPERSET of the future layout,
+    // lang at a different nesting position than grp
+    (0 until 30).map(i => (i.toLong, langs(i % 3), (i % 2).toString))
+      .toDF("id", "lang", "grp")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0")
+      .option("partitionColumn", "grp,lang").save()
+    spark.sql("CALL sev10.system.evolve_layout('t', " +
+      "partition_columns => 'lang')").collect()
+    spark.sql("INSERT INTO sev10.t VALUES " +
+      (100 until 106).map(i => s"($i, '${langs(i % 3)}', 'x')")
+        .mkString(", "))
+    val agg = spark.sql("SELECT lang, count(*) AS n, min(id) AS mn " +
+      "FROM sev10.t GROUP BY lang ORDER BY lang")
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.EpochStoreAggScan]),
+      "grouped aggregation must stay metadata-only when every entry " +
+        s"dir-serves the grouping columns: ${agg.queryExecution}")
+    val got = agg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(("de", 12L, 1L), ("en", 12L, 0L), ("fr", 12L, 2L))
+    assert(got == want, s"$got vs $want")
+    // the count-only shape answers from the SIDECARS alone (row counts
+    // are always recorded) — not even a footer opens, per entry spec
+    val cnt = spark.sql(
+      "SELECT lang, count(*) AS n FROM sev10.t GROUP BY lang ORDER BY lang")
+    assert(cnt.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst {
+      case s: graft.sources.EpochStoreAggScan => s.answeredFromSidecars
+    }.contains(true), "the sidecar tier must answer the grouped count")
+    assert(cnt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 12L), ("en", 12L), ("fr", 12L)))
+  }
 }
