@@ -2231,16 +2231,19 @@ object MiscCatalog {
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
-  /** CDC changefeed with change types (`q_store_cdf`): the changefeed
-    * read over a row-identity store serves `_change_type` — the delta
-    * epoch's reinserted rows as `insert` events and its equality
-    * tombstones as `delete` events (key set, payload null) — the
-    * Delta-CDF / Iceberg-changelog shape, so a downstream consumer can
-    * replay row-level mutations without diffing snapshots. The oracle
-    * recomputes the exact event set relationally from the MERGE's
-    * definition. Scale shape: the feed reads ONLY the since-generation
-    * entries (manifest-pruned) and the tombstone files ride in those
-    * same entries — delta-sized, never a table scan. */
+  /** CDC changefeed with change types (`q_store_cdf`, X81): the
+    * changefeed over a row-identity store PAIRS a MoR update's
+    * tombstone + reinsert of one key in one delta epoch into
+    * `update_preimage` / `update_postimage` events — the Delta CDF
+    * contract — with the pre-image carrying the key's FULL OLD ROW
+    * (resolved from the pre-epoch merge-on-read state); unpaired
+    * events keep `insert` / `delete`. The oracle recomputes the exact
+    * PAIRED event set — pre-image payloads included — relationally
+    * from the MERGE's definition, so a mis-paired key, a lost event,
+    * or a wrong old payload fails cell-exact. Scale shape: the feed
+    * reads ONLY the since-generation entries (manifest-pruned);
+    * pairing is one delta-sized shuffle; pre-image payloads cost one
+    * broadcast-keys probe of the pre-state per updating epoch. */
   def storeCdf(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
     val wh = java.nio.file.Files.createTempDirectory("graft_cdf_wh").toString
@@ -2291,11 +2294,12 @@ object MiscCatalog {
       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
       |  FROM documents WHERE lang = 'en'
       |), ev AS (
-      |  SELECT 'insert' AS change, doc_id, n_chars * 2 AS n_chars FROM en
+      |  SELECT 'update_postimage' AS change, doc_id,
+      |    n_chars * 2 AS n_chars FROM en
       |  UNION ALL
       |  SELECT 'insert', doc_id + 20000000, n_chars FROM en
       |  UNION ALL
-      |  SELECT 'delete', doc_id, NULL FROM en
+      |  SELECT 'update_preimage', doc_id, n_chars FROM en
       |)
       |SELECT change, COUNT(*) AS n,
       |  CAST(SUM(doc_id) AS BIGINT) AS ids,

@@ -2861,12 +2861,23 @@ object EpochStore {
   }
 
   /** [[changes]] as a full CDC FEED (the Delta CDF / Iceberg changelog
-    * shape): every row carries `_change_type` ("insert" for data rows,
-    * "delete" for a merge-on-read tombstone's key — key columns set,
-    * everything else null) and `_epoch`. Selecting `_change_type` reads
-    * the RAW change stream: tombstone resolution is off by definition
-    * (the consumer replays the changes itself). Partition values on
-    * delete events are null — the row identity carries the key.
+    * shape): every row carries `_change_type` and `_epoch`. On a
+    * row-identity store, a MoR UPDATE/MERGE-update lands as a tombstone
+    * + reinsert of the same key in ONE delta epoch — this feed PAIRS
+    * them (X81, the Delta CDF contract): the reinsert arrives as
+    * `update_postimage` (full new row) and the tombstone as
+    * `update_preimage` carrying the key's FULL OLD ROW, resolved from
+    * the pre-epoch snapshot (`maxEpoch = e-1`, merge-on-read applied) —
+    * a MATCHED key's old row is live there by definition. Unpaired
+    * events keep `insert` / `delete` (delete events: key columns set,
+    * payload null). Selecting `_change_type` at the DSv2 layer remains
+    * the RAW stream (tombstone resolution off by definition); this API
+    * is the paired view over it.
+    *
+    * Scale shape: pairing is one shuffle keyed (epoch, key) over the
+    * delta-sized feed; pre-image payloads cost one broadcast-keys join
+    * against the pre-state PER UPDATING EPOCH, with the store's normal
+    * dir/stats/bloom pruning on the probe side.
     *
     * FILTER the feed on KEY columns only: standard changelog semantics
     * — a predicate on a payload or partition column evaluates against
@@ -2876,10 +2887,66 @@ object EpochStore {
   def readChanges(spark: SparkSession, root: String, schema: StructType,
                   sinceGeneration: Long,
                   partitionColumn: String = null): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, lit, sum, when}
     val t = changes(spark, root, schema, sinceGeneration, partitionColumn)
-    t.select(schema.fieldNames.map(col).toSeq :+
+    val raw = t.select(schema.fieldNames.map(col).toSeq :+
       col(ChangeColName) :+ col(EpochColName): _*)
+    val keys = EpochStoreDelta.declared(spark, root).getOrElse(Nil)
+    if (keys.isEmpty) return raw
+    // classify: a key with BOTH a tombstone and a reinsert in one epoch
+    // is an update — per-key MERGE semantics write at most one of each
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((EpochColName +: keys).map(col): _*)
+    val classified = raw
+      .withColumn("__graft_ins", sum(when(col(ChangeColName) === "insert",
+        1L).otherwise(0L)).over(w))
+      .withColumn("__graft_del", sum(when(col(ChangeColName) === "delete",
+        1L).otherwise(0L)).over(w))
+      .withColumn(ChangeColName,
+        when(col(ChangeColName) === "delete" && col("__graft_ins") > 0,
+          "update_preimage")
+          .when(col(ChangeColName) === "insert" && col("__graft_del") > 0,
+            "update_postimage")
+          .otherwise(col(ChangeColName)))
+      .drop("__graft_ins", "__graft_del")
+    val outCols = (schema.fieldNames.toSeq :+ ChangeColName :+ EpochColName)
+      .map(col)
+    // pre-image PAYLOADS: per updating epoch, the keys' old rows from
+    // the pre-epoch merge-on-read state (the epochs are driver-collected
+    // — one MERGE is one epoch, so this is statement-count-sized)
+    val preEpochs = classified
+      .filter(col(ChangeColName) === "update_preimage")
+      .select(col(EpochColName)).distinct().collect().map(_.getLong(0))
+    if (preEpochs.isEmpty) return classified.select(outCols: _*)
+    val others = classified.filter(col(ChangeColName) =!= "update_preimage")
+    val pres = preEpochs.toSeq.sorted.map { e =>
+      val preKeys = classified
+        .filter(col(ChangeColName) === "update_preimage" &&
+          col(EpochColName) === e)
+        .select(keys.map(col): _*)
+      var r = spark.read.format("epochstore").schema(schema)
+        .option("path", root).option("maxEpoch", (e - 1L).toString)
+      if (partitionColumn != null)
+        r = r.option("partitionColumn", partitionColumn)
+      val oldState = r.load()
+      val filled = oldState.join(broadcast(preKeys), keys.toSeq, "inner")
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .withColumn(ChangeColName, lit("update_preimage"))
+        .withColumn(EpochColName, lit(e))
+      // a MATCHED key's old row is live at e-1 by MERGE semantics; a
+      // key that still resolves nothing (a racing physical purge) keeps
+      // its key-only event shape rather than vanishing from the feed
+      val missing = preKeys.join(
+        oldState.select(keys.map(col): _*), keys.toSeq, "left_anti")
+      val keyOnly = missing.select(schema.fieldNames.map(n =>
+        (if (keys.contains(n)) col(n)
+        else lit(null).cast(schema(n).dataType)).as(n)): _*)
+        .withColumn(ChangeColName, lit("update_preimage"))
+        .withColumn(EpochColName, lit(e))
+      filled.unionByName(keyOnly)
+    }
+    pres.foldLeft(others.select(outCols: _*))(
+      (acc, p) => acc.unionByName(p.select(outCols: _*)))
   }
 
   /** The engine's streaming-read entry point — a micro-batch tail of the

@@ -193,9 +193,9 @@ class EpochStoreDeltaSpec extends SparkSpec {
         s"only-post=${(post -- pre).take(3)}")
   }
 
-  test("changefeed with change types: _change_type serves data rows as " +
-      "inserts and tombstones as delete events — the RAW stream, with " +
-      "merge-on-read resolution off") {
+  test("changefeed with change types: a MoR update's tombstone+reinsert " +
+      "pair arrives as update_preimage (full OLD row) / update_postimage " +
+      "— the Delta CDF contract") {
     import spark.implicits._
     val wh = tmp()
     cat("mor7", wh)
@@ -211,11 +211,11 @@ class EpochStoreDeltaSpec extends SparkSpec {
       partitionColumn = "lang")
       .collect().map(r => (r.getAs[Any]("id"), r.getAs[Any]("n"),
         r.getAs[Any]("lang"), r.getAs[String]("_change_type"))).toSet
-    // the delta epoch's changes: ONE reinserted row, ONE delete event
-    // (key set, payload and partition value null)
+    // the update's pair: the PREIMAGE carries the key's full OLD row
+    // (resolved from the pre-epoch MoR state), the POSTIMAGE the new one
     assert(got == Set(
-      (7L, 777L, "de", "insert"),
-      (7L, null, null, "delete")), s"got $got")
+      (7L, 777L, "de", "update_postimage"),
+      (7L, 70L, "de", "update_preimage")), s"got $got")
     // the resolved (non-CDC) read still applies the tombstone
     assert(spark.table("mor7.t").filter(col("id") === 7L)
       .head.getLong(1) == 777L)
@@ -541,5 +541,51 @@ class EpochStoreDeltaSpec extends SparkSpec {
     assert(spark.table("mor12.t").filter(col("id") === 30L)
       .head.getAs[Long]("n") == -32L)
     assert(spark.table("mor12.t").count() == 1001L)
+  }
+
+  test("CDF pairing is per (epoch, key): one MERGE's updates pair, its " +
+      "pure inserts stay inserts, a separate DELETE's tombstones stay " +
+      "key-only delete events") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("mor20", wh)
+    val root = s"$wh/t"
+    build(root, withRowId = true)
+    val g1 = EpochManifest.generations(spark, root).last
+    // one MERGE: updates ids 3,4 (n -> n*100), inserts ids 5000,5001
+    Seq((3L, 300L, "en"), (4L, 400L, "de"),
+      (5000L, 1L, "xx"), (5001L, 2L, "xx"))
+      .toDF("id", "n", "lang").createOrReplaceTempView("mor20src")
+    spark.sql(
+      """MERGE INTO mor20.t t USING mor20src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT (id, n, lang)
+        |  VALUES (s.id, s.n, s.lang)""".stripMargin)
+    // a SEPARATE delete epoch: pure tombstones, no reinsert to pair with
+    spark.sql("DELETE FROM mor20.t WHERE id = 10 OR id = 11")
+    val feed = EpochStore.readChanges(spark, root, schema, g1,
+      partitionColumn = "lang")
+      .collect().map(r => (r.getAs[Any]("id"), r.getAs[Any]("n"),
+        r.getAs[Any]("lang"), r.getAs[String]("_change_type"))).toSet
+    // old rows from build(): id -> (id, id*10, en when id%3==0 else de)
+    assert(feed == Set(
+      (3L, 30L, "en", "update_preimage"),
+      (3L, 300L, "en", "update_postimage"),
+      (4L, 40L, "de", "update_preimage"),
+      (4L, 400L, "de", "update_postimage"),
+      (5000L, 1L, "xx", "insert"),
+      (5001L, 2L, "xx", "insert"),
+      (10L, null, null, "delete"),
+      (11L, null, null, "delete")), s"feed: $feed")
+    // replaying the feed reproduces the resolved head state for the
+    // touched keys — the CDF consumer contract
+    val touched = Set(3L, 4L, 10L, 11L, 5000L, 5001L)
+    val head = spark.table("mor20.t")
+      .filter(col("id").isin(touched.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val replayed = feed.toSeq
+      .filter(e => e._4 == "insert" || e._4 == "update_postimage")
+      .map(e => (e._1.asInstanceOf[Long], e._2.asInstanceOf[Long])).toSet
+    assert(head == replayed, s"head $head vs replayed $replayed")
   }
 }
