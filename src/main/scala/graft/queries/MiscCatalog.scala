@@ -798,6 +798,62 @@ object MiscCatalog {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Position-delete (deletion-vector) merge-on-read
+    * (`q_store_delete_dv`, X94): two predicate DELETEs under
+    * `spark.graft.deleteVectors.enabled` land as `_dv` entries holding
+    * the matched rows' (file, ordinal) positions — history dirs
+    * byte-untouched, O(matched) write cost (the Iceberg
+    * position-delete / Delta deletion-vector shape for stores WITHOUT
+    * a row identity, where equality tombstones can't apply). The scan
+    * applies the dead ordinals through Spark's parquet row-index
+    * machinery; DuckDB recomputes the post-delete state relationally,
+    * so a mis-applied ordinal, a resurrected row, or a lost delete
+    * fails cell-exact (DvDeleteSpec gates untouched-history,
+    * composition, compaction fold-in, time travel, and the
+    * file-moving-operation refusals).
+    *
+    * Scale shape: a needle DELETE on a 100 TB store writes positions,
+    * not partitions — the copy-on-write rewrite becomes an optional
+    * background compaction instead of the write path. */
+  def storeDeleteDv(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_dv_wh").toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+      root, 0L)
+    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+      root, 1L)
+    val s2 = spark.newSession()
+    val c = s"graftdv$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.conf.set(graft.sources.EpochStoreDv.EnabledConf, "true")
+    try {
+      s2.sql(s"DELETE FROM $c.docs WHERE doc_id >= 40 AND doc_id < 160")
+      // the second DV composes with the first at scan time
+      s2.sql(s"DELETE FROM $c.docs WHERE lang = 'de' AND doc_id < 300")
+    } finally s2.conf.unset(graft.sources.EpochStoreDv.EnabledConf)
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+         |  MIN(doc_id) AS min_id
+         |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val storeDeleteDvSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars,
+      |  MIN(doc_id) AS min_id
+      |FROM documents
+      |WHERE lang IS NOT NULL
+      |  AND NOT (doc_id >= 40 AND doc_id < 160)
+      |  AND NOT (lang = 'de' AND doc_id < 300)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Schema evolution through the connector (`q_store_evolve`): epoch 0
     * lands the EVEN documents as (doc_id, lang) — no n_chars column
     * existed yet — and epoch 1 lands the ODD documents with the column
@@ -2358,6 +2414,7 @@ object MiscCatalog {
     "q_store_topn"    -> (storeTopn _),
     "q_store_broadcast" -> (storeBroadcast _),
     "q_store_delete"  -> (storeDelete _),
+    "q_store_delete_dv" -> (storeDeleteDv _),
     "q_store_evolve"  -> (storeEvolve _),
     "q_store_zorder"  -> (storeZorder _),
     "q_store_compact" -> (storeCompact _),
@@ -2419,6 +2476,7 @@ object MiscCatalog {
     "q_store_topn"    -> storeTopnSql,
     "q_store_broadcast" -> storeBroadcastSql,
     "q_store_delete"  -> storeDeleteSql,
+    "q_store_delete_dv" -> storeDeleteDvSql,
     "q_store_evolve"  -> storeEvolveSql,
     "q_store_zorder"  -> storeZorderSql,
     "q_store_compact" -> storeCompactSql,

@@ -262,8 +262,14 @@ final class EpochStoreTable(tableSchema: StructType,
     // between refuses loudly (the rewrite's survivor dirs would carry
     // stale rows otherwise) — the generation recheck appends/RLO have
     val base = EpochManifest.entries(spark, root)
-    EpochManifest.commitIfUnchanged(spark, root, base,
-      EpochStoreDml.resolveDelete(spark, root, filters))
+    // POSITION-DELETE mode (X94): matched rows' (file, ordinal) land in
+    // one new `_dv` entry — history dirs untouched, O(matched) write
+    val dvMode = java.lang.Boolean.parseBoolean(
+      spark.conf.get(EpochStoreDv.EnabledConf, "false"))
+    val resolved =
+      if (dvMode) EpochStoreDv.resolveDeleteDv(spark, root, filters)
+      else EpochStoreDml.resolveDelete(spark, root, filters)
+    EpochManifest.commitIfUnchanged(spark, root, base, resolved)
     ()
   }
 
@@ -376,6 +382,14 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     * pinned tombstone map disables limit/top-N truncation race-free,
     * and the footer-agg scan re-checks its pinned entries and refuses
     * loudly rather than over-count. */
+  /** X94 position deletes disable row-count-dependent pushes the same
+    * way live equality tombstones do — dead ordinals drop rows after
+    * any file bound. */
+  private lazy val dvLive: Boolean =
+    EpochStoreDv.hasLiveDvs(SparkSession.active,
+      EpochStore.rootOf(options),
+      EpochManifest.entries(SparkSession.active,
+        EpochStore.rootOf(options)))
   private lazy val morLiveTombstones: Boolean =
     morKeys.nonEmpty &&
       EpochStoreDelta.hasLiveTombstones(SparkSession.active,
@@ -383,7 +397,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
 
   override def pushLimit(limit: Int): Boolean = {
     if (rlo != null || dataFilters.nonEmpty || limit <= 0 ||
-      morLiveTombstones) return false
+      morLiveTombstones || dvLive) return false
     pushedLimit = Some(limit)
     true
   }
@@ -403,7 +417,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     import org.apache.spark.sql.connector.expressions.{
       NamedReference, NullOrdering, SortDirection}
     if (rlo != null || dataFilters.nonEmpty || limit <= 0 ||
-      orders.isEmpty || morLiveTombstones)
+      orders.isEmpty || morLiveTombstones || dvLive)
       return false
     // bounding on the FIRST sort column alone is sound for a
     // lexicographic top-k: once ≥ k rows have c1 ≤ B, no row with
@@ -444,7 +458,7 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     if (dataFilters.nonEmpty) return false
     // a row-identity store with live tombstones — footer counts would
     // include killed rows; Spark scans rows as usual
-    if (morLiveTombstones) return false
+    if (morLiveTombstones || dvLive) return false
     // a spec-evolved store keeps the metadata path where it stays
     // provably sound: the agg listing walks each entry under its own
     // spec, so UNGROUPED aggregates always qualify; GROUPED ones (keys
@@ -790,9 +804,25 @@ final case class EpochStoreScan(
     if (!morFiltering) Nil
     else mergeKeys.filterNot(readDataSchema.fieldNames.contains)
       .map(k => dataSchema.fields.find(_.name == k).get)
+  /** X94 position deletes: the pinned snapshot's live (entry dir, file
+    * rel) → dead ordinals — empty for every store that never wrote a
+    * DV (one marker probe). Mutually exclusive with equality MoR by
+    * construction (DV deletes refuse on row-identity stores). */
+  @transient private lazy val dvTargets: Map[(String, String), Array[Long]] =
+    if (!EpochStoreDv.declared(SparkSession.active, root)) Map.empty
+    else EpochStoreDv.load(SparkSession.active, root, entries)
+  private def dvFiltering: Boolean = dvTargets.nonEmpty
   @transient private lazy val readDataEff: StructType =
-    if (!morFiltering) readDataSchema
-    else StructType(readDataSchema ++ morAddedFields)
+    if (morFiltering) StructType(readDataSchema ++ morAddedFields)
+    else if (dvFiltering)
+      // widen the parquet ROW INDEX in (the TEMPORARY-column marker the
+      // parquet readers generate, split-safe, rather than reading) —
+      // the DV wrapper filters on it and projects it away
+      StructType(readDataSchema :+ StructField(
+        org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        LongType, nullable = true))
+    else readDataSchema
   @transient private lazy val constEff: StructType =
     if (!morFiltering || epochRequested) constSchema
     else StructType(constSchema :+
@@ -1238,7 +1268,7 @@ final case class EpochStoreScan(
       if (required.fieldNames.contains(b.col) &&
         readPartSchema.size == partFields.size &&
         listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0) &&
-        !hasLayoutProfiles)
+        !hasLayoutProfiles && !dvFiltering)
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
           (partCols.map(c => org.apache.spark.sql.connector.expressions
@@ -1255,7 +1285,7 @@ final case class EpochStoreScan(
     // AND every planned entry reads under the current layout — a mixed
     // store's foreign-layout entries are not key-clustered on this key
     else if (partFields.nonEmpty && readPartSchema.size == partFields.size &&
-      !hasLayoutProfiles)
+      !hasLayoutProfiles && !dvFiltering)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         partCols.map(c => org.apache.spark.sql.connector.expressions
           .Expressions.identity(c))
@@ -1278,7 +1308,7 @@ final case class EpochStoreScan(
     bucket.nonEmpty && required.fieldNames.contains(bucket.get.col) &&
       readPartSchema.size == partFields.size &&
       listing._1.nonEmpty && listing._1.forall(_.bucketId >= 0) &&
-      !hasLayoutProfiles
+      !hasLayoutProfiles && !dvFiltering
 
   /** The file groups [[planInputPartitions]] packs — SPJ bucket-keyed,
     * identity-keyed, or one global group. The ordering feasibility
@@ -1339,6 +1369,7 @@ final case class EpochStoreScan(
   private def computeOrderedPlan()
       : Option[(Seq[(String, Boolean)],
         Map[Seq[Any], Seq[EpochStore.ListedFile]])] = {
+    if (dvFiltering) return None // DV-targeted files pack their own way
     val spark = SparkSession.active
     val files = listing._1
     if (files.isEmpty || changeRequested) return None
@@ -1443,8 +1474,16 @@ final case class EpochStoreScan(
     // name profile (rename evolution) so no packed partition mixes
     // entries that spell a column differently — a subsequence of a
     // sorted chain stays sorted
+    // X94: a DV-TARGETED file packs alone (possibly split — row indexes
+    // are global within a file) with ITS dead ordinals riding the
+    // partition; untargeted files pack exactly as before
+    lazy val dvFs = new Path(root)
+      .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    def dvPosOf(f: EpochStore.ListedFile): Option[Array[Long]] =
+      if (!dvFiltering) None
+      else dvTargets.get((f.entryDir, EpochStore.relOf(dvFs, root, f)))
     def pack(key: Seq[Any], files: Seq[EpochStore.ListedFile])
-        : Seq[(FilePartition, Int)] = {
+        : Seq[(FilePartition, Int, Option[Array[Long]])] = {
       val fseq = ordered.map(_(key)).getOrElse(files)
       val byProfile: Seq[(Seq[EpochStore.ListedFile], Int)] =
         if (!anyProfiles) Seq((fseq, 0))
@@ -1460,21 +1499,34 @@ final case class EpochStoreScan(
               (constSchemaFor(pcE), constantsForLayout(pcE))
             case None => (constEff, constantsOfEff _)
           }
-        EpochStore.planFilePartitions(spark, fs2, cs, cof,
+        val (dvf, plain) =
+          if (!dvFiltering) (Nil, fs2)
+          else fs2.partition(f => dvPosOf(f).nonEmpty)
+        EpochStore.planFilePartitions(spark, plain, cs, cof,
           preserveOrder = ordered.isDefined)
-          .map { case fp: FilePartition => (fp, pid) }
+          .map { case fp: FilePartition => (fp, pid, None) } ++
+          dvf.flatMap { f =>
+            val ps = dvPosOf(f).get
+            EpochStore.planFilePartitions(spark, Seq(f), cs, cof)
+              .map { case fp: FilePartition => (fp, pid, Some(ps)) }
+          }
       }
     }
     if (spjBucketKeyed ||
-      (partFields.nonEmpty && readPartSchema.size == partFields.size))
+      (partFields.nonEmpty && readPartSchema.size == partFields.size &&
+        !dvFiltering))
       fileGroups.flatMap { case (key, files) =>
-        pack(key, files).map { case (fp, pid) =>
+        pack(key, files).map { case (fp, pid, _) =>
           KeyedFilePartition(fp, key, pid) }
       }.toArray
     else
-      pack(Seq.empty, listing._1).map { case (fp, pid) =>
-        if (pid == 0 && !anyProfiles) fp: InputPartition
-        else ProfiledFilePartition(fp, pid): InputPartition
+      pack(Seq.empty, listing._1).map { case (fp, pid, dvPos) =>
+        val base: InputPartition =
+          if (pid == 0 && !anyProfiles) fp
+          else ProfiledFilePartition(fp, pid)
+        dvPos.map(ps =>
+          EpochStoreDv.DvFilePartition(base, ps): InputPartition)
+          .getOrElse(base)
       }.toArray
   }
 
@@ -1737,10 +1789,26 @@ final case class EpochStoreScan(
           spark.sparkContext.broadcast(tombstones))
       }
     }
-    if (!anyProfiles)
-      new KeyedDelegatingReaderFactory(IndexedSeq(factoryFor(
-        (dataSchema.fieldNames.toSeq, None))))
-    else new KeyedDelegatingReaderFactory(profiles._1.map(factoryFor))
+    val delegating =
+      if (!anyProfiles)
+        new KeyedDelegatingReaderFactory(IndexedSeq(factoryFor(
+          (dataSchema.fieldNames.toSeq, None))))
+      else new KeyedDelegatingReaderFactory(profiles._1.map(factoryFor))
+    if (!dvFiltering) delegating
+    else {
+      // every partition's rows carry the widened row index at n0; the
+      // DV wrapper drops dead ordinals of targeted partitions and
+      // projects the index away everywhere
+      val n0 = readDataSchema.size
+      val total = n0 + 1 + constEff.size
+      val outIdx = ((0 until n0) ++ (n0 + 1 until total)).toArray
+      val outTypes = outIdx.map { i =>
+        if (i < n0) readDataSchema.fields(i).dataType
+        else constEff.fields(i - n0 - 1).dataType
+      }
+      new EpochStoreDv.DvFilteringFactory(delegating, rowIdxPos = n0,
+        outIdx, outTypes)
+    }
   }
 }
 
@@ -3048,6 +3116,15 @@ object EpochStore {
             l.bucketCol.map(c => StoreBucket(c, l.bucketCount))
         }
     }
+    // X94: live position deletes fold IN (the fold applies each
+    // entry's dead ordinals distributed) — but only a FULL fold is
+    // sound: a partial fold could rewrite targeted dirs while the DV
+    // entry (or a target) stays outside, stranding positions
+    if (EpochStoreDv.hasLiveDvs(spark, root, es))
+      require(covered.size == es.size,
+        s"compactStore on $root: live position deletes need a full " +
+          "fold — drop uptoEpoch (a partial fold would strand file " +
+          "positions)")
     if (covered.isEmpty || (covered.size == 1 && !foreignCovered)) return
     foldCovered(spark, root, es, covered, sortColumns, parts, zorderColumns)
   }
@@ -3332,6 +3409,7 @@ object EpochStore {
                        minEntries: Int = 2): Int = {
     require(targetBytes > 0 && minEntries >= 2,
       "rewriteDataFiles: targetBytes must be positive, minEntries >= 2")
+    EpochStoreDv.guardNoLiveDvs(spark, root, "rewrite_data_files")
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     // committed entry dirs are immutable — memoize the per-dir size /
     // tombstone probe so the pass costs one sidecar read per entry
@@ -3349,7 +3427,9 @@ object EpochStore {
       smallByDir.getOrElseUpdate(e.dir, {
         val b = bytesOf(e)
         b >= 0L && b < targetBytes &&
-          EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).isEmpty
+          EpochStoreDelta.tombstoneStatuses(fs, root, e.dir).isEmpty &&
+          // X94: never bin-pack a DV entry or re-home targeted files
+          EpochStoreDv.dvFiles(fs, root, e.dir).isEmpty
       })
     // all maximal adjacent runs from ONE listing; each folds under its
     // own OCC against a fresh manifest read (one tiny file) — a racing
@@ -3469,9 +3549,19 @@ object EpochStore {
     // time (its epoch is below theirs)
     val deltaEntries = covered.filter(e =>
       EpochStoreDelta.tombstoneFiles(fs, root, e.dir).nonEmpty)
+    // X94: live position deletes apply INSIDE the fold (distributed
+    // anti-join on file rel + row index) and are shed — their carrying
+    // entries fold away as empty-data epochs
+    val dvPaths: Seq[String] =
+      if (!EpochStoreDv.declared(spark, root)) Nil
+      else covered.flatMap(e => EpochStoreDv.dvFiles(fs, root, e.dir))
+        .map(p => fs.makeQualified(p).toString)
     val folded0 = {
       val raw = recs.map { case (e, Some((s, _))) =>
-        val r0 = spark.read.schema(s).parquet(s"$root/${e.dir}")
+        val r00 = spark.read.schema(s).parquet(s"$root/${e.dir}")
+        val r0 =
+          if (dvPaths.isEmpty) r00
+          else EpochStoreDv.applyToFold(spark, root, e.dir, r00, dvPaths)
         // project this entry's physical spellings to the logical names
         // (identity for never-renamed stores); retired-only columns
         // fold away here

@@ -287,6 +287,8 @@ final case class EpochStoreAggScan(
       // one sidecar read gates the whole check: stores without a row
       // identity can never carry tombstones — the metadata-only path
       // stays metadata-only for them
+      EpochStoreDv.guardNoLiveDvs(spark, root,
+        "epochstore footer aggregation")
       if (EpochStoreDelta.declared(spark, root).nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(org.apache.spark.sql.GraftBridge

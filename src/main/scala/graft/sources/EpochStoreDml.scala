@@ -462,6 +462,9 @@ private[graft] object EpochStoreDml {
       s"filtered overwrite/delete on $root: live entries still serve " +
         "columns under pre-RENAME names — run CALL compact to rewrite " +
         "them to the current names first")
+    // X94: the CoW rewrite reads survivor rows RAW — live position
+    // deletes would resurrect in the rewritten dirs
+    EpochStoreDv.guardNoLiveDvs(spark, root, "metadata-path DELETE")
     val cond = filters.map(f => filterToColumn(f).getOrElse(
       throw new IllegalArgumentException(
         s"epochstore DELETE cannot translate filter $f"))).reduce(_ && _)
@@ -601,6 +604,13 @@ final class EpochStoreRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val op = this
+    // X94 — guarded HERE, not at construction: Spark builds the
+    // row-level operation during analysis even for statements the
+    // metadata-only delete path later takes over; only a write that
+    // actually PLANS re-homes kept groups' files and must refuse while
+    // position deletes target them
+    EpochStoreDv.guardNoLiveDvs(SparkSession.active, root,
+      "row-level rewrite")
     new WriteBuilder {
       override def build(): Write = new Write
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {

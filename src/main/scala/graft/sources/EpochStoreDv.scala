@@ -1,0 +1,324 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, LongType, StringType,
+  StructField, StructType}
+
+import graft.core.EpochManifest
+
+/** POSITION-DELETE (deletion-vector) merge-on-read for IDENTITY-LESS
+  * stores (X94 — the Iceberg position-delete / Delta deletion-vector
+  * shape): a predicate `DELETE` under
+  * `spark.graft.deleteVectors.enabled=true` writes, instead of
+  * copy-on-write group rewrites, one NEW manifest entry holding
+  * `_dv` parquet files of `(target_dir, target_rel, pos)` rows — the
+  * matched rows' file-relative ORDINALS — and commits it with the
+  * untouched entries in ONE manifest generation. History dirs are
+  * byte-untouched; the write cost is O(matched rows), not O(touched
+  * groups).
+  *
+  * Scan-time application rides Spark's parquet ROW-INDEX machinery
+  * (`ParquetFileFormat.ROW_INDEX_FIELD` — the same mechanism
+  * `_metadata.row_index` and Delta's DVs use): targeted files read
+  * with the row index widened in, a per-file position set drops dead
+  * ordinals, and the index projects away. Row indexes are global
+  * within a file even across splits (the generator seeds from each
+  * row group's first-row index), so targeted files keep normal split
+  * geometry.
+  *
+  * Isolation falls out of the manifest: the DV entry is just an epoch
+  * — pre-delete generations don't reference it (time travel exact),
+  * gc retains it while referenced, TRUNCATE drops it with everything
+  * else. `CALL compact` APPLIES live DVs into the fold and sheds them
+  * — the transitional-state posture equality tombstones already have.
+  * Operations that would move or copy targeted files out from under
+  * their positions (overwrites, bin-packing, migrate, row-level
+  * rewrites, CoW deletes, streaming tails) refuse loudly until
+  * compaction, exactly like the equality-tombstone guards.
+  *
+  * Mutually exclusive with a declared row identity by construction:
+  * rowid stores route every DELETE through equality tombstones
+  * ([[EpochStoreDelta]]); DVs exist precisely for stores WITHOUT one. */
+private[graft] object EpochStoreDv {
+
+  /** SQL conf opting predicate DELETEs into position-delete writes. */
+  val EnabledConf = "spark.graft.deleteVectors.enabled"
+  /** Driver-side bound on materialized positions per scan. */
+  val MaxDriverPositionsConf = "spark.graft.dv.maxDriverPositions"
+  val MaxDriverPositionsDefault = 16L * 1024 * 1024
+
+  /** Dir (under a DV entry) holding the position files. */
+  private[sources] val DvDirName = "_dv"
+
+  private def markerPath(root: String) = new Path(s"$root/_manifests/dv.json")
+
+  /** One existence probe — false for every store that never wrote a
+    * DV, so the scan-side load never runs a job there. The marker
+    * outlives compaction (a stale probe costs one listStatus per
+    * entry, nothing more). */
+  private[sources] def declared(spark: SparkSession, root: String): Boolean = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    fs.exists(markerPath(root))
+  }
+
+  private def publishMarker(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    if (!fs.exists(markerPath(root))) {
+      fs.mkdirs(markerPath(root).getParent)
+      val out = fs.create(markerPath(root), true)
+      try out.write("{\"positionDeletes\":true}\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private val dvSchema = StructType(Seq(
+    StructField("target_dir", StringType, nullable = false),
+    StructField("target_rel", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  private[graft] def dvFiles(fs: org.apache.hadoop.fs.FileSystem,
+                               root: String, dir: String): Seq[Path] = {
+    val p = new Path(s"$root/$dir/$DvDirName")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(s => s.isFile && s.getLen > 0 &&
+      s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+  }
+
+  /** Whether any of `entries` carries live position deletes. */
+  private[sources] def hasLiveDvs(spark: SparkSession, root: String,
+      entries: Seq[EpochManifest.Entry]): Boolean = {
+    if (!declared(spark, root)) return false
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    entries.exists(e => dvFiles(fs, root, e.dir).nonEmpty)
+  }
+
+  /** The guard every file-moving operation calls (mirroring
+    * [[EpochStoreWrite.guardNoLiveTombstones]]): positions target
+    * files BY (dir, rel) — anything that copies, rewrites, or re-homes
+    * a targeted file would resurrect its deleted rows. */
+  private[sources] def guardNoLiveDvs(spark: SparkSession, root: String,
+                                      what: String): Unit = {
+    if (!declared(spark, root)) return
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val carrying = EpochManifest.entries(spark, root)
+      .filter(e => dvFiles(fs, root, e.dir).nonEmpty)
+    require(carrying.isEmpty,
+      s"$what on $root: entries ${carrying.map(_.dir).mkString(", ")} " +
+        "carry live position deletes (deletion vectors) whose file " +
+        "positions this operation would strand — run CALL compact to " +
+        "fold them in first")
+  }
+
+  /** The pinned snapshot's live positions, driver-materialized:
+    * (target entry dir, file rel) → sorted distinct ordinals. Bounded
+    * by [[MaxDriverPositionsConf]] — an oversized journal refuses with
+    * the compact remedy (compaction applies DVs distributed). */
+  private[sources] def load(spark: SparkSession, root: String,
+      entries: Seq[EpochManifest.Entry])
+      : Map[(String, String), Array[Long]] = {
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val paths = entries.flatMap(e => dvFiles(fs, root, e.dir))
+      .map(p => fs.makeQualified(p).toString)
+    if (paths.isEmpty) return Map.empty
+    val bound = Option(spark.conf.get(MaxDriverPositionsConf, null))
+      .map(_.toLong).getOrElse(MaxDriverPositionsDefault)
+    val rows = spark.read.schema(dvSchema).parquet(paths: _*).collect()
+    require(rows.length <= bound,
+      s"position-delete journal under $root holds ${rows.length} " +
+        s"positions — above the driver materialization bound $bound " +
+        s"($MaxDriverPositionsConf); run CALL compact to fold the " +
+        "deletes in (the fold applies them distributed)")
+    rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, g) =>
+        k -> g.map(_.getLong(2)).distinct.sorted
+      }
+  }
+
+  /** The post-DELETE manifest entry list under DV mode: untouched
+    * entries pass, provably all-dead entries drop (metadata-only, as
+    * ever), and MIXED entries get their matched rows' positions
+    * written into ONE new `_dv` entry at a fresh epoch — no data file
+    * moves. Returns the new entry list; the CALLER commits it
+    * atomically. */
+  def resolveDeleteDv(spark: SparkSession, root: String,
+                      filters: Array[Filter]): Seq[EpochManifest.Entry] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name,
+      lit, regexp_replace}
+    val es = EpochManifest.entries(spark, root)
+    if (filters.isEmpty || es.isEmpty) return es
+    if (filters.exists { case org.apache.spark.sql.sources
+      .AlwaysFalse() => true; case _ => false }) return es
+    if (filters.forall { case org.apache.spark.sql.sources
+      .AlwaysTrue() => true; case _ => false }) return Seq.empty
+    require(EpochStoreDelta.declared(spark, root).isEmpty,
+      s"position-delete mode on $root: the store declares a row " +
+        "identity — deletes route through equality tombstones there")
+    require(!EpochStore.liveAliasNeed(spark, root),
+      s"position-delete on $root: live entries still serve columns " +
+        "under pre-RENAME names — run CALL compact first")
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val cond = filters.map(f => EpochStoreDml.filterToColumn(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"epochstore DELETE cannot translate filter $f"))).reduce(_ && _)
+    val fates = es.map { e =>
+      val rec = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
+      val pf = rec.toSeq.flatMap { case (s, pc) =>
+        EpochStore.splitPartCols(pc).map(c => s(c)) }
+      e -> EpochStoreDml.classify(spark, fs, root, e, pf, filters)
+    }
+    val survivors = fates.collect {
+      case (e, EpochStoreDml.Untouched) => e
+      case (e, EpochStoreDml.Mixed) => e
+    }
+    val mixed = fates.collect { case (e, EpochStoreDml.Mixed) => e }
+    if (mixed.isEmpty) return survivors
+    // matched positions, per mixed entry: the file path + in-file row
+    // index come from the file-source metadata column — exactly what
+    // the scan-side row-index application replays
+    val perEntry = mixed.map { e =>
+      val (schema, _) = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
+        .getOrElse(throw new IllegalStateException(
+          s"position-delete on $root: entry ${e.dir} predates schema " +
+            "records — compact the store first"))
+      val present = schema.fieldNames.toSet
+      val base = filters.flatMap(_.references).distinct
+        .filterNot(present)
+        .foldLeft(spark.read.schema(schema).parquet(s"$root/${e.dir}")) {
+          (d, c) =>
+            if (c == EpochStore.EpochColName) d.withColumn(c, lit(e.epoch))
+            else d.withColumn(c, lit(null))
+        }
+      val qdir = fs.makeQualified(new Path(s"$root/${e.dir}")).toString
+      base
+        .withColumn("__graft_f", input_file_name())
+        .withColumn("__graft_i", col("_metadata.row_index"))
+        // SQL DELETE kills rows where the condition is TRUE only
+        .filter(coalesce(cond, lit(false)))
+        .select(lit(e.dir).as("target_dir"),
+          // input_file_name's URI spelling varies (file:/// vs file:/)
+          // — anchor on the entry-dir segment instead of the prefix
+          regexp_replace(col("__graft_f"),
+            "^.*?/" + java.util.regex.Pattern.quote(e.dir) + "/", "")
+            .as("target_rel"),
+          col("__graft_i").as("pos"))
+    }
+    val positions = perEntry.reduce(_ unionByName _)
+    val epoch = es.map(_.epoch).max + 1L
+    val dir = EpochManifest.newDataDir(spark, root, epoch)
+    val dvOut = s"$root/$dir/$DvDirName"
+    // distributed write — nothing materializes on the driver
+    positions.coalesce(1).write.mode("overwrite").parquet(dvOut)
+    // drop _SUCCESS-style markers so the dv dir holds position files
+    // plus nothing the loader has to skip beyond the name filter
+    val matched = spark.read.schema(dvSchema).parquet(dvOut).count()
+    if (matched == 0L) {
+      fs.delete(new Path(s"$root/$dir"), true)
+      return survivors
+    }
+    // the DV entry records the table schema like any epoch — discovery,
+    // evolution merges, and fold coverage treat it as a normal (empty-
+    // data) entry
+    val (tblSchema, pc) = EpochStoreWrite
+      .readSchemaSidecar(fs, root, mixed.head.dir).get
+    EpochStoreWrite.writeSchemaSidecar(fs, root, dir, tblSchema,
+      EpochStore.splitPartCols(pc))
+    publishMarker(spark, root)
+    survivors :+ EpochManifest.Entry(epoch, dir)
+  }
+
+  /** A DV-targeted file's packed partition: the inner split geometry
+    * plus ITS file's dead ordinals (positions ride the partition — a
+    * targeted file's set is matched-rows-sized by construction). */
+  final case class DvFilePartition(inner: InputPartition,
+                                   positions: Array[Long])
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Executor-side position application: the inner reader runs with the
+    * parquet ROW INDEX widened in ([[org.apache.spark.sql.execution
+    * .datasources.parquet.ParquetFileFormat.ROW_INDEX_FIELD]]); rows
+    * whose index is in the partition's dead set drop; survivors project
+    * back to the declared output. Row-based while DVs are live — `CALL
+    * compact` restores vectorized reads, same as equality tombstones. */
+  final class DvFilteringFactory(
+      inner: PartitionReaderFactory,
+      rowIdxPos: Int,
+      outIdx: Array[Int], outTypes: Array[DataType])
+      extends PartitionReaderFactory {
+
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] = {
+      val (ip, dead) = p match {
+        case DvFilePartition(i, pos) => (i, pos)
+        case other => (other, Array.empty[Long])
+      }
+      val r = inner.createReader(ip)
+      val deadSet: java.util.HashSet[java.lang.Long] = {
+        val s = new java.util.HashSet[java.lang.Long](
+          math.max(16, dead.length * 2))
+        dead.foreach(l => s.add(l): Unit)
+        s
+      }
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (r.next()) {
+            val row = r.get()
+            if (deadSet.isEmpty ||
+              !deadSet.contains(row.getLong(rowIdxPos))) {
+              val out = new GenericInternalRow(outIdx.length)
+              var j = 0
+              while (j < outIdx.length) {
+                out.update(j, if (row.isNullAt(outIdx(j))) null
+                  else row.get(outIdx(j), outTypes(j)))
+                j += 1
+              }
+              cur = out
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = r.close()
+      }
+    }
+
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+  }
+
+  /** Apply live DVs to one raw per-entry frame (compaction's fold
+    * path): anti-join on (rel path, row index) — fully distributed,
+    * never a driver map, so a journal of any size folds. */
+  private[sources] def applyToFold(spark: SparkSession, root: String,
+      entryDir: String, raw: DataFrame,
+      dvPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    if (dvPaths.isEmpty) return raw
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val qd = java.util.regex.Pattern.quote(entryDir)
+    val dv = spark.read.schema(dvSchema).parquet(dvPaths: _*)
+      .filter(col("target_dir") === entryDir)
+      .select(col("target_rel").as("__graft_rel"),
+        col("pos").as("__graft_pos"))
+    val withPos = raw
+      .withColumn("__graft_rel", regexp_replace(
+        org.apache.spark.sql.functions.input_file_name(),
+        "^.*?/" + qd + "/", ""))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    withPos.join(broadcast(dv),
+        withPos("__graft_rel") === dv("__graft_rel") &&
+          withPos("__graft_pos") === dv("__graft_pos"), "left_anti")
+      .drop("__graft_rel", "__graft_pos")
+  }
+}

@@ -166,6 +166,13 @@ final class EpochStoreMicroBatchStream(
           "this query was running — restart the stream; the new layout " +
           "mapping pins at start")
     val all = EpochManifest.entries(spark, root)
+    // X94: a position-delete entry cannot be DELIVERED on a tail (a
+    // DV retro-filters rows already emitted) — refuse loudly
+    if (EpochStoreDv.hasLiveDvs(spark, root, all))
+      throw new IllegalStateException(
+        s"epochstore stream over $root: the store carries live " +
+          "position deletes (deletion vectors) a tail cannot replay — " +
+          "run CALL compact to fold them in first")
     // a fold above the batch end that swallowed epochs inside it would
     // make those rows silently undeliverable — refuse
     all.find(en => en.epoch > e && en.minEpoch <= e).foreach(en =>

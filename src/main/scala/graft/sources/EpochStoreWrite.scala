@@ -893,6 +893,9 @@ object EpochStoreWrite {
     * Zero cost for stores without a row identity. */
   private[sources] def guardNoLiveTombstones(spark: SparkSession,
       root: String, what: String): Unit = {
+    // live POSITION deletes (X94) strand the same way equality
+    // tombstones do — every caller of this guard needs both checks
+    EpochStoreDv.guardNoLiveDvs(spark, root, what)
     if (EpochStoreDelta.declared(spark, root).isEmpty) return
     val fs = new Path(root)
       .getFileSystem(GraftBridge.sessionHadoopConf(spark))
