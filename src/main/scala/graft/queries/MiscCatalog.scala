@@ -1968,6 +1968,11 @@ object MiscCatalog {
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"))
+      // no re-clustering shuffle: event ingest is time-ordered, so each
+      // input split already covers a narrow day range and the write
+      // lands few (day, bucket) dirs per task naturally (a measured
+      // repartition(date, bucket) cost MORE than the files it saved);
+      // adversarially-ordered input would use the clustered-write path
       .write.format("epochstore").mode("append")
       .option("path", root).option("epoch", "0")
       .option("transform", "days(ts)")

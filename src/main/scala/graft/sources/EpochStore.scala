@@ -3519,6 +3519,19 @@ object EpochStore {
           s"partitionColumn changed across epochs of $root: $parts0")
         parts0.head
     }
+    // TIME-UNIT/TRUNCATE transforms (X93): a uniformly-recorded
+    // transform is PRESERVED by the fold — the unit dirs are the
+    // layout's pruning payoff. String-truncate folds transform-less
+    // (its %XX dir escaping and hive's disagree on exotic chars —
+    // exact, just unpruned); mixed histories normalize transform-less
+    // too.
+    val transformLayout: Option[StoreTransform] =
+      if (layoutLog.nonEmpty) None
+      else covered.map(e =>
+        EpochStoreWrite.readTransformSidecar(fs, root, e.dir)).distinct match {
+        case Seq(Some(t)) => Some(t)
+        case _ => None
+      }
     val mergedPhys = recs.map(_._2.get._1).reduceLeft { (a, b) =>
       val known = a.fields.map(f => f.name -> f).toMap
       b.fields.foreach(f => known.get(f.name).foreach(g =>
@@ -3644,6 +3657,48 @@ object EpochStore {
     val maxCov = covered.map(_.epoch).max
     val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
     val pcs = splitPartCols(partCol)
+    // the transform's DIR-VALUE column, rendered with the writer's own
+    // UTC truncation (internal micros/days via unix_micros — session-
+    // timezone independent), so fold dirs spell exactly like appends'
+    def withUnitCol(df: DataFrame, t: StoreTransform)
+        : (DataFrame, String) = {
+      import org.apache.spark.sql.functions.{concat, date_add, expr,
+        format_string, lpad, to_date}
+      val tcol = s"${t.col}_${t.kind}"
+      require(!merged.fieldNames.contains(tcol),
+        s"compactStore: schema already has a '$tcol' column — it " +
+          "collides with the transform layout's dir encoding")
+      val dt = merged(t.col).dataType
+      val epochDay =
+        if (dt == org.apache.spark.sql.types.DateType)
+          expr(s"datediff(`${t.col}`, DATE '1970-01-01')")
+        else expr(s"floor(unix_micros(`${t.col}`) / 86400000000)")
+      val dayDate = date_add(to_date(lit("1970-01-01")), epochDay.cast("int"))
+      val v = t.kind match {
+        case "day" => dayDate.cast("string")
+        case "hour" =>
+          val h = expr(s"pmod(floor(unix_micros(`${t.col}`) / " +
+            "3600000000), 24)")
+          concat(dayDate.cast("string"), lit("-"),
+            lpad(h.cast("string"), 2, "0"))
+        case "month" => format_string("%04d-%02d",
+          org.apache.spark.sql.functions.year(dayDate),
+          org.apache.spark.sql.functions.month(dayDate))
+        case "year" => format_string("%04d",
+          org.apache.spark.sql.functions.year(dayDate))
+        case "trunc" =>
+          require(dt != org.apache.spark.sql.types.StringType,
+            "string truncate folds transform-less")
+          (col(t.col).cast("long") -
+            org.apache.spark.sql.functions.pmod(col(t.col).cast("long"),
+              lit(t.width.toLong))).cast("string")
+      }
+      (df.withColumn(tcol, v), tcol)
+    }
+    // string-truncate degrades to a transform-less fold (see above)
+    val foldTransform = transformLayout.filterNot(t =>
+      t.kind == "trunc" &&
+        merged(t.col).dataType == org.apache.spark.sql.types.StringType)
     bucketLayout match {
       case Some(b) =>
         // per-bucket fold: recompute each row's bucket with the
@@ -3656,32 +3711,44 @@ object EpochStore {
         require(!merged.fieldNames.contains(bcol),
           s"compactStore: schema already has a '$bcol' column — it " +
             "collides with the bucket layout's dir encoding")
-        val perBucket = folded0
+        val (withT, tcols) = foldTransform match {
+          case Some(t) =>
+            val (d, c) = withUnitCol(folded0, t); (d, Seq(c))
+          case None => (folded0, Nil)
+        }
+        val perBucket = withT
           .withColumn(bcol, org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.hash(col(b.col)), lit(b.n)))
           .repartitionByRange(b.n, col(bcol))
-        // dir levels: identity partCols (composite layouts), bucket
-        // innermost. The sort leads with those levels: the dynamic-
-        // partition writer requires its ordering to start there —
-        // satisfying it up front keeps the within-bucket sortColumns
-        // order through the write
-        val levels = pcs :+ bcol
+        // dir levels: identity partCols (composite layouts), the
+        // time-unit level, bucket innermost. The sort leads with those
+        // levels: the dynamic-partition writer requires its ordering to
+        // start there — satisfying it up front keeps the within-bucket
+        // sortColumns order through the write
+        val levels = (pcs ++ tcols) :+ bcol
         (if (sortColumns.isEmpty) perBucket
          else perBucket.sortWithinPartitions(
            (levels ++ sortColumns).map(col): _*))
           .write.mode("overwrite").partitionBy(levels: _*)
           .parquet(s"$root/$foldDir")
         EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs,
-          bucketLayout, sortCols = sortColumns)
+          bucketLayout, sortCols = sortColumns,
+          transform = foldTransform)
       case None =>
-        val w = folded.write.mode("overwrite")
-        (if (pcs.isEmpty) w else w.partitionBy(pcs: _*))
+        val (withT, tcols) = foldTransform match {
+          case Some(t) =>
+            val (d, c) = withUnitCol(folded, t); (d, Seq(c))
+          case None => (folded, Nil)
+        }
+        val w = withT.write.mode("overwrite")
+        val levels = pcs ++ tcols
+        (if (levels.isEmpty) w else w.partitionBy(levels: _*))
           .parquet(s"$root/$foldDir")
         // a sorted fold's files are each internally ordered (the range
         // repartition + sortWithinPartitions above) — record the layout
         // so the scan can report it; z-order is NOT a linear order
         EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, merged, pcs,
-          sortCols = sortColumns)
+          sortCols = sortColumns, transform = foldTransform)
     }
     // re-derive the numeric stats any covered epoch declared — plus the
     // z-order dimensions (their per-file rectangles ARE the layout's

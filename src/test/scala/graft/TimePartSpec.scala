@@ -349,4 +349,43 @@ class TimePartSpec extends SparkSpec {
       .takeWhile(_ != null).map(String.valueOf).mkString("\n")
     assert(m3.contains("transform"), m3)
   }
+
+  test("CALL compact PRESERVES the transform layout: the fold lands the " +
+      "same unit dirs (bucket composed), pruning and the catalog-served " +
+      "transform survive") {
+    val wh = tmp()
+    cat("tp8", wh)
+    spark.sql("CREATE TABLE tp8.t (id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (days(ts), bucket(2, id))")
+    spark.sql("INSERT INTO tp8.t VALUES " +
+      (0 until 12).map(i =>
+        s"($i, TIMESTAMP '2024-06-${10 + i % 3} 06:00:00', 'a$i')")
+        .mkString(", "))
+    spark.sql("INSERT INTO tp8.t VALUES " +
+      (100 until 112).map(i =>
+        s"($i, TIMESTAMP '2024-06-${13 + i % 2} 06:00:00', 'b$i')")
+        .mkString(", "))
+    spark.sql("CALL tp8.system.compact('t')").collect()
+    val root = s"$wh/t"
+    val es = graft.core.EpochManifest.entries(spark, root)
+    assert(es.size == 1, s"one fold: ${es.map(_.dir)}")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${es.head.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dirs == Seq("ts_day=2024-06-10", "ts_day=2024-06-11",
+      "ts_day=2024-06-12", "ts_day=2024-06-13", "ts_day=2024-06-14"),
+      s"the fold must land the SAME unit dirs appends do: $dirs")
+    // everything exact, and a day+id probe prunes both levels through
+    // the fold
+    assert(spark.sql("SELECT count(*) FROM tp8.t").head.getLong(0) == 24L)
+    val probe = spark.sql("SELECT v FROM tp8.t WHERE id = 4 AND " +
+      "ts >= TIMESTAMP '2024-06-11 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-06-12 00:00:00'")
+    assert(probe.head.getString(0) == "a4")
+    val (sel, tot) = scanOf(probe).selectedPartitionDirs
+    assert(sel == 2 && tot == 5 + 2, s"audit: ($sel, $tot)")
+  }
 }
