@@ -137,6 +137,8 @@ final class EpochStoreTable(tableSchema: StructType,
     m.put("path", root)
     Option(options.get("partitionColumn"))
       .foreach(m.put("partitionColumn", _))
+    Option(options.get("transform"))
+      .foreach(m.put("transform", _))
     Option(options.get("asOfGeneration"))
       .foreach(m.put("asOfGeneration", _))
     val gens = EpochManifest.generations(spark, root)
@@ -3240,7 +3242,8 @@ object EpochStore {
                     partitionColumns: Seq[String] = Nil,
                     bucketColumn: String = null, bucketCount: Int = 0,
                     sortColumns: Seq[String] = Nil,
-                    parts: Int = 8): Unit = {
+                    parts: Int = 8,
+                    transform: String = null): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val es = EpochManifest.entries(spark, root)
     require(es.nonEmpty, s"no committed manifest under $root")
@@ -3250,12 +3253,34 @@ object EpochStore {
     require((bucketColumn == null) == (bucketCount <= 0),
       "bucketColumn and bucketCount come together")
     val (schema, _) = evolvedSchema(spark, root)
-    (partitionColumns ++ Option(bucketColumn) ++ sortColumns).foreach(c =>
+    // TIME-UNIT/TRUNCATE target (X93): `transform => 'days(ts)'`
+    // migrates an existing store ONTO the unit layout — the SQL
+    // adoption path for the reference's own date-dir shape
+    val timeT: Option[StoreTransform] = Option(transform).map { sp =>
+      val t = StoreTransform.parse(sp)
+      require(!partitionColumns.contains(t.col),
+        s"migrate_layout on $root: ${t.col} cannot be both identity " +
+          "and transform")
+      require(bucketColumn == null || bucketColumn != t.col,
+        s"migrate_layout on $root: ${t.col} cannot be both transform " +
+          "and bucket")
+      schema.fields.find(_.name == t.col).foreach(f =>
+        StoreTransform.validate(t, f.dataType))
+      t
+    }
+    (partitionColumns ++ Option(bucketColumn) ++ sortColumns ++
+      timeT.map(_.col)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"migrate_layout on $root: column $c is not in the schema " +
           s"(${schema.fieldNames.mkString(", ")})"))
-    val df = readEvolved(spark, root)
+    val df0 = readEvolved(spark, root)
       .select(schema.fieldNames.map(col): _*)
+    val (df, tcols) = timeT match {
+      case Some(t) =>
+        val (d, c) = unitDirColumn(df0, t, schema, "migrate_layout")
+        (d, Seq(c))
+      case None => (df0, Nil)
+    }
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val maxCov = es.map(_.epoch).max
     val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
@@ -3266,7 +3291,7 @@ object EpochStore {
         require(!schema.fieldNames.contains(bcol),
           s"migrate_layout: schema already has a '$bcol' column — it " +
             "collides with the bucket layout's dir encoding")
-        val levels = partitionColumns :+ bcol
+        val levels = (partitionColumns ++ tcols) :+ bcol
         val perBucket = df
           .withColumn(bcol, pmod(hash(col(b.col)), lit(b.n)))
           .repartitionByRange(b.n, col(bcol))
@@ -3276,6 +3301,7 @@ object EpochStore {
           .write.mode("overwrite").partitionBy(levels: _*)
           .parquet(s"$root/$foldDir")
       case None =>
+        val levels = partitionColumns ++ tcols
         val shaped =
           if (sortColumns.nonEmpty)
             // partition columns lead the sort — the dynamic-partition
@@ -3284,16 +3310,16 @@ object EpochStore {
             // within-file order
             df.repartitionByRange(parts, sortColumns.map(col): _*)
               .sortWithinPartitions(
-                (partitionColumns ++ sortColumns).map(col): _*)
-          else if (partitionColumns.nonEmpty) df
+                (levels ++ sortColumns).map(col): _*)
+          else if (levels.nonEmpty) df
           else df.coalesce(parts)
         val w = shaped.write.mode("overwrite")
-        (if (partitionColumns.isEmpty) w
-         else w.partitionBy(partitionColumns: _*))
+        (if (levels.isEmpty) w
+         else w.partitionBy(levels: _*))
           .parquet(s"$root/$foldDir")
     }
     EpochStoreWrite.writeSchemaSidecar(fs, root, foldDir, schema,
-      partitionColumns, bucket, sortColumns)
+      partitionColumns, bucket, sortColumns, timeT)
     // keep skipping alive: every stat kind history declared that still
     // names a schema column, plus bounds on the new sort columns
     val aliasesNow = columnAliases(spark, root)
@@ -3470,6 +3496,49 @@ object EpochStore {
     * the shared core of [[compactStore]] (full prefix) and
     * [[rewriteDataFiles]] (selective small-entry runs). `es` must be
     * the pinned snapshot the commit rebases against. */
+  /** A transform's DIR-VALUE column, rendered with the writer's own
+    * UTC truncation (internal micros/days via `unix_micros` — session-
+    * timezone independent), so rewrite dirs spell exactly like
+    * appends'. String truncate is refused here — its %XX dir escaping
+    * and hive's `partitionBy` escaping disagree on exotic characters. */
+  private def unitDirColumn(df: DataFrame, t: StoreTransform,
+                            schema: StructType, what: String)
+      : (DataFrame, String) = {
+    import org.apache.spark.sql.functions.{col, concat, date_add, expr,
+      format_string, lit, lpad, to_date}
+    val tcol = s"${t.col}_${t.kind}"
+    require(!schema.fieldNames.contains(tcol),
+      s"$what: schema already has a '$tcol' column — it collides with " +
+        "the transform layout's dir encoding")
+    val dt = schema(t.col).dataType
+    val epochDay =
+      if (dt == org.apache.spark.sql.types.DateType)
+        expr(s"datediff(`${t.col}`, DATE '1970-01-01')")
+      else expr(s"floor(unix_micros(`${t.col}`) / 86400000000)")
+    val dayDate = date_add(to_date(lit("1970-01-01")), epochDay.cast("int"))
+    val v = t.kind match {
+      case "day" => dayDate.cast("string")
+      case "hour" =>
+        val h = expr(s"pmod(floor(unix_micros(`${t.col}`) / " +
+          "3600000000), 24)")
+        concat(dayDate.cast("string"), lit("-"),
+          lpad(h.cast("string"), 2, "0"))
+      case "month" => format_string("%04d-%02d",
+        org.apache.spark.sql.functions.year(dayDate),
+        org.apache.spark.sql.functions.month(dayDate))
+      case "year" => format_string("%04d",
+        org.apache.spark.sql.functions.year(dayDate))
+      case "trunc" =>
+        require(dt != org.apache.spark.sql.types.StringType,
+          s"$what: a string-truncate dir rewrite is not supported — " +
+            "write through the connector's transform option instead")
+        (col(t.col).cast("long") -
+          org.apache.spark.sql.functions.pmod(col(t.col).cast("long"),
+            lit(t.width.toLong))).cast("string")
+    }
+    (df.withColumn(tcol, v), tcol)
+  }
+
   private def foldCovered(spark: SparkSession, root: String,
                           es: Seq[EpochManifest.Entry],
                           covered: Seq[EpochManifest.Entry],
@@ -3657,44 +3726,8 @@ object EpochStore {
     val maxCov = covered.map(_.epoch).max
     val foldDir = EpochManifest.newFoldDir(spark, root, maxCov)
     val pcs = splitPartCols(partCol)
-    // the transform's DIR-VALUE column, rendered with the writer's own
-    // UTC truncation (internal micros/days via unix_micros — session-
-    // timezone independent), so fold dirs spell exactly like appends'
     def withUnitCol(df: DataFrame, t: StoreTransform)
-        : (DataFrame, String) = {
-      import org.apache.spark.sql.functions.{concat, date_add, expr,
-        format_string, lpad, to_date}
-      val tcol = s"${t.col}_${t.kind}"
-      require(!merged.fieldNames.contains(tcol),
-        s"compactStore: schema already has a '$tcol' column — it " +
-          "collides with the transform layout's dir encoding")
-      val dt = merged(t.col).dataType
-      val epochDay =
-        if (dt == org.apache.spark.sql.types.DateType)
-          expr(s"datediff(`${t.col}`, DATE '1970-01-01')")
-        else expr(s"floor(unix_micros(`${t.col}`) / 86400000000)")
-      val dayDate = date_add(to_date(lit("1970-01-01")), epochDay.cast("int"))
-      val v = t.kind match {
-        case "day" => dayDate.cast("string")
-        case "hour" =>
-          val h = expr(s"pmod(floor(unix_micros(`${t.col}`) / " +
-            "3600000000), 24)")
-          concat(dayDate.cast("string"), lit("-"),
-            lpad(h.cast("string"), 2, "0"))
-        case "month" => format_string("%04d-%02d",
-          org.apache.spark.sql.functions.year(dayDate),
-          org.apache.spark.sql.functions.month(dayDate))
-        case "year" => format_string("%04d",
-          org.apache.spark.sql.functions.year(dayDate))
-        case "trunc" =>
-          require(dt != org.apache.spark.sql.types.StringType,
-            "string truncate folds transform-less")
-          (col(t.col).cast("long") -
-            org.apache.spark.sql.functions.pmod(col(t.col).cast("long"),
-              lit(t.width.toLong))).cast("string")
-      }
-      (df.withColumn(tcol, v), tcol)
-    }
+        : (DataFrame, String) = unitDirColumn(df, t, merged, "compactStore")
     // string-truncate degrades to a transform-less fold (see above)
     val foldTransform = transformLayout.filterNot(t =>
       t.kind == "trunc" &&

@@ -203,12 +203,17 @@ private[sources] object EpochStoreProcedures {
           .defaultValue("CAST(NULL AS STRING)")
           .comment("within-file sort order for the new layout").build(),
         ProcedureParameter.in("parts", IntegerType)
-          .defaultValue("8").build())) {
+          .defaultValue("8").build(),
+        ProcedureParameter.in("transform", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("time-unit/truncate level for the new layout — " +
+            "days(col)/months(col)/hours(col)/years(col)/" +
+            "truncate(w, col)").build())) {
         override def description(): String =
           "partition-spec evolution by rewrite: fold the whole store " +
-            "into ONE entry under a new identity/bucket/sort layout " +
-            "(one atomic commit; the old layout stays time-travelable " +
-            "one gc cycle)"
+            "into ONE entry under a new identity/transform/bucket/sort " +
+            "layout (one atomic commit; the old layout stays " +
+            "time-travelable one gc cycle)"
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val root = rootOf(str(input, 0))
           def csv(i: Int): Seq[String] = Option(str(input, i)).toSeq
@@ -220,7 +225,9 @@ private[sources] object EpochStoreProcedures {
               .filter(_.nonEmpty).orNull,
             bucketCount = input.getInt(3),
             sortColumns = csv(4),
-            parts = input.getInt(5))
+            parts = input.getInt(5),
+            transform = Option(str(input, 6)).map(_.trim)
+              .filter(_.nonEmpty).orNull)
           result(StructType(Seq(
             StructField("entries_before", IntegerType, nullable = false),
             StructField("entries_after", IntegerType, nullable = false))),

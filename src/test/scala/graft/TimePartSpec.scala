@@ -388,4 +388,39 @@ class TimePartSpec extends SparkSpec {
     val (sel, tot) = scanOf(probe).selectedPartitionDirs
     assert(sel == 2 && tot == 5 + 2, s"audit: ($sel, $tot)")
   }
+
+  test("CALL migrate_layout(transform => 'days(ts)') ADOPTS the unit " +
+      "layout on an existing store: unit dirs land, probes prune, the " +
+      "catalog serves the transform, answers exact") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("tp9", wh)
+    val root = s"$wh/t"
+    // an ordinary unpartitioned history
+    (0 until 30).map(i => (i.toLong, ts(f"2024-02-${1 + i % 5}%02d 08:00:00")))
+      .toDF("id", "ts")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0").save()
+    val res = spark.sql("CALL tp9.system.migrate_layout('t', " +
+      "bucket_column => 'id', bucket_count => 2, " +
+      "transform => 'days(ts)')").collect()
+    assert(res.head.getInt(1) == 1, s"one fold: ${res.head}")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val e = graft.core.EpochManifest.entries(spark, root).head
+    val dirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${e.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dirs == (1 to 5).map(d => f"ts_day=2024-02-$d%02d"),
+      s"migrated unit dirs: $dirs")
+    assert(spark.sql("SELECT count(*) FROM tp9.t").head.getLong(0) == 30L)
+    val probe = spark.sql("SELECT count(*) AS n FROM tp9.t WHERE " +
+      "ts >= TIMESTAMP '2024-02-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-02-03 00:00:00'")
+    assert(probe.head.getLong(0) == 6L)
+    val (sel, tot) = scanOf(probe).selectedPartitionDirs
+    assert(sel <= 1 + 2 && tot == 5 + 2 * 1,
+      s"audit: ($sel, $tot)") // 5 day dirs + 2 buckets under the kept day
+  }
 }
