@@ -423,4 +423,105 @@ class TimePartSpec extends SparkSpec {
     assert(sel <= 1 + 2 && tot == 5 + 2 * 1,
       s"audit: ($sel, $tot)") // 5 day dirs + 2 buckets under the kept day
   }
+
+  test("randomized boundary sweep: every predicate over every unit kind " +
+      "answers exactly like the in-memory truth (pruning can only ever " +
+      "drop provably-dead dirs) — pre-1970 values included") {
+    import spark.implicits._
+    val wh = tmp()
+    val rnd = new scala.util.Random(20260816L)
+    // timestamps clustered AT unit boundaries on purpose, spanning
+    // pre-epoch (negative micros) to post-2024
+    val anchors = Seq(
+      "1969-12-31 23:59:59", "1970-01-01 00:00:00", "1970-01-01 00:00:01",
+      "2023-12-31 23:59:59", "2024-01-01 00:00:00", "2024-02-29 12:00:00",
+      "2024-03-01 00:00:00", "2024-06-15 06:30:30")
+    val tss: IndexedSeq[Timestamp] = (0 until 160).map { i =>
+      val base = ts(anchors(i % anchors.length)).getTime
+      new Timestamp(base + (rnd.nextInt(7) - 3) * 1000L +
+        rnd.nextInt(1000))
+    }
+    val rows = tss.zipWithIndex.map { case (t, i) =>
+      (i.toLong, if (i % 19 == 0) null else t)
+    }
+    for ((kind, name) <- Seq(("days(ts)", "d"), ("hours(ts)", "h"),
+      ("months(ts)", "mo"), ("years(ts)", "y"))) {
+      val root = s"$wh/$name"
+      rows.toDF("id", "ts")
+        .write.format("epochstore").mode("append")
+        .option("path", root).option("epoch", "0")
+        .option("transform", kind).save()
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      def readT = spark.read.format("epochstore").schema(sch)
+        .option("path", root).option("transform", kind).load()
+      // 40 random predicates per kind: boundary-anchored probes of
+      // every comparison shape
+      (0 until 40).foreach { k =>
+        val v = new Timestamp(
+          ts(anchors(rnd.nextInt(anchors.length))).getTime +
+            (rnd.nextInt(5) - 2) * 1000L)
+        val hi = new Timestamp(v.getTime + 90L * 3600 * 1000)
+        // (spark predicate, in-memory truth on a NON-NULL value, label)
+        val (p, f, label): (org.apache.spark.sql.Column,
+            Timestamp => Boolean, String) = rnd.nextInt(7) match {
+          case 0 => (col("ts") === lit(v), (_: Timestamp) == v, s"= $v")
+          case 1 => (col("ts") > lit(v),
+            (t: Timestamp) => t.getTime > v.getTime, s"> $v")
+          case 2 => (col("ts") >= lit(v),
+            (t: Timestamp) => t.getTime >= v.getTime, s">= $v")
+          case 3 => (col("ts") < lit(v),
+            (t: Timestamp) => t.getTime < v.getTime, s"< $v")
+          case 4 => (col("ts") <= lit(v),
+            (t: Timestamp) => t.getTime <= v.getTime, s"<= $v")
+          case 5 => (col("ts").isNull, (_: Timestamp) => false, "IS NULL")
+          case 6 => (col("ts") >= lit(v) && col("ts") < lit(hi),
+            (t: Timestamp) => t.getTime >= v.getTime &&
+              t.getTime < hi.getTime, s"[$v, $hi)")
+        }
+        val got = readT.filter(p).select("id").collect()
+          .map(_.getLong(0)).toSet
+        val want = rows.filter { case (_, t) =>
+          if (t == null) label == "IS NULL" else f(t)
+        }.map(_._1).toSet
+        assert(got == want,
+          s"$kind diverged on $label: missing=${want -- got} " +
+            s"extra=${got -- want}")
+      }
+    }
+    // truncate over negative and positive longs, boundary probes
+    val rootT = s"$wh/tr"
+    val vals = (0 until 120).map(i =>
+      (i.toLong, (rnd.nextInt(2001) - 1000).toLong))
+    vals.toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", rootT).option("epoch", "0")
+      .option("transform", "truncate(100, v)").save()
+    val schT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def readTr = spark.read.format("epochstore").schema(schT)
+      .option("path", rootT).option("transform", "truncate(100, v)").load()
+    (0 until 40).foreach { _ =>
+      val b = (rnd.nextInt(21) - 10) * 100L + (rnd.nextInt(3) - 1)
+      val (p, f): (org.apache.spark.sql.Column, Long => Boolean) =
+        rnd.nextInt(5) match {
+          case 0 => (col("v") === b, (_: Long) == b)
+          case 1 => (col("v") > b, (_: Long) > b)
+          case 2 => (col("v") >= b, (_: Long) >= b)
+          case 3 => (col("v") < b, (_: Long) < b)
+          case 4 => (col("v") <= b, (_: Long) <= b)
+        }
+      val got = readTr.filter(p).select("id").collect()
+        .map(_.getLong(0)).toSet
+      val want = vals.filter(t => f(t._2)).map(_._1).toSet
+      assert(got == want, s"truncate diverged on $b: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
 }
