@@ -168,6 +168,17 @@ private[graft] object EpochStoreDv {
     val cond = filters.map(f => EpochStoreDml.filterToColumn(f).getOrElse(
       throw new IllegalArgumentException(
         s"epochstore DELETE cannot translate filter $f"))).reduce(_ && _)
+    // a column ADDED with a DEFAULT serves its EXISTENCE default for
+    // files that predate it — the per-entry binding below must agree
+    // with what the scan serves, or `DELETE WHERE added = default`
+    // would silently keep (yet still display as matching) those rows
+    val existsDefaults: Map[String, (String, org.apache.spark.sql.types
+      .DataType)] =
+      (try EpochStore.evolvedSchema(spark, root)._1.fields.toSeq
+       catch { case _: IllegalArgumentException => Nil })
+        .filter(_.metadata.contains("EXISTS_DEFAULT"))
+        .map(f => f.name ->
+          (f.metadata.getString("EXISTS_DEFAULT"), f.dataType)).toMap
     val fates = es.map { e =>
       val rec = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
       val pf = rec.toSeq.flatMap { case (s, pc) =>
@@ -194,7 +205,13 @@ private[graft] object EpochStoreDv {
         .foldLeft(spark.read.schema(schema).parquet(s"$root/${e.dir}")) {
           (d, c) =>
             if (c == EpochStore.EpochColName) d.withColumn(c, lit(e.epoch))
-            else d.withColumn(c, lit(null))
+            else existsDefaults.get(c) match {
+              // the value this entry's rows actually SERVE for the
+              // evolved-added column
+              case Some((sql, dt)) => d.withColumn(c,
+                expr(sql).cast(dt))
+              case None => d.withColumn(c, lit(null))
+            }
         }
       val qdir = fs.makeQualified(new Path(s"$root/${e.dir}")).toString
       base

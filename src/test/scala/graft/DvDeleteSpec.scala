@@ -201,4 +201,23 @@ class DvDeleteSpec extends SparkSpec {
     }
     assert(spark.sql("SELECT count(*) FROM dv3.rid").head.getLong(0) == 9L)
   }
+
+  test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
+      "SERVED existence default, not a phantom null") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv4", wh)
+    val root = s"$wh/t"
+    spark.sql("CREATE TABLE dv4.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dv4.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("ALTER TABLE dv4.t ADD COLUMNS (tier INT DEFAULT 7)")
+    spark.sql("INSERT INTO dv4.t VALUES (4, 'd', 9), (5, 'e', 7)")
+    // old rows SERVE tier = 7 (the existence default) — a DV delete on
+    // tier = 7 must kill them AND the new tier-7 row
+    dvOn { spark.sql("DELETE FROM dv4.t WHERE tier = 7") }
+    val got = spark.sql("SELECT id, tier FROM dv4.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((4L, 9)),
+      s"rows serving the existence default must die with it: $got")
+  }
 }
