@@ -117,6 +117,17 @@ private[graft] object EpochStoreDv {
         "fold them in first")
   }
 
+  /** Small driver-side cache keyed by the DV file set (committed DV
+    * dirs are immutable, so the key is exact): repeated scans on a
+    * DV-carrying store pay the collect job once, not per planning. */
+  private val loadCache =
+    new java.util.LinkedHashMap[Seq[String],
+      Map[(String, String), Array[Long]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[String],
+            Map[(String, String), Array[Long]]]): Boolean = size() > 8
+    }
+
   /** The pinned snapshot's live positions, driver-materialized:
     * (target entry dir, file rel) → sorted distinct ordinals. Bounded
     * by [[MaxDriverPositionsConf]] — an oversized journal refuses with
@@ -126,8 +137,12 @@ private[graft] object EpochStoreDv {
       : Map[(String, String), Array[Long]] = {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val paths = entries.flatMap(e => dvFiles(fs, root, e.dir))
-      .map(p => fs.makeQualified(p).toString)
+      .map(p => fs.makeQualified(p).toString).sorted
     if (paths.isEmpty) return Map.empty
+    loadCache.synchronized {
+      val hit = loadCache.get(paths)
+      if (hit != null) return hit
+    }
     val bound = Option(spark.conf.get(MaxDriverPositionsConf, null))
       .map(_.toLong).getOrElse(MaxDriverPositionsDefault)
     val rows = spark.read.schema(dvSchema).parquet(paths: _*).collect()
@@ -136,10 +151,12 @@ private[graft] object EpochStoreDv {
         s"positions — above the driver materialization bound $bound " +
         s"($MaxDriverPositionsConf); run CALL compact to fold the " +
         "deletes in (the fold applies them distributed)")
-    rows.groupBy(r => (r.getString(0), r.getString(1)))
+    val out = rows.groupBy(r => (r.getString(0), r.getString(1)))
       .map { case (k, g) =>
         k -> g.map(_.getLong(2)).distinct.sorted
       }
+    loadCache.synchronized { loadCache.put(paths, out): Unit }
+    out
   }
 
   /** The post-DELETE manifest entry list under DV mode: untouched
