@@ -386,12 +386,15 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     * loudly rather than over-count. */
   /** X94 position deletes disable row-count-dependent pushes the same
     * way live equality tombstones do — dead ordinals drop rows after
-    * any file bound. */
+    * any file bound. Decided from the PINNED snapshot (asOfGeneration),
+    * not the current head: after `CALL compact` folds DVs away, a
+    * time-travel read of the DV-carrying generation still drops rows.
+    * The scan's own `dvFiltering` re-checks race-free at planning. */
   private lazy val dvLive: Boolean =
     EpochStoreDv.hasLiveDvs(SparkSession.active,
       EpochStore.rootOf(options),
-      EpochManifest.entries(SparkSession.active,
-        EpochStore.rootOf(options)))
+      EpochStore.pinnedEntries(SparkSession.active,
+        EpochStore.rootOf(options), options))
   private lazy val morLiveTombstones: Boolean =
     morKeys.nonEmpty &&
       EpochStoreDelta.hasLiveTombstones(SparkSession.active,
@@ -672,15 +675,55 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
       .map(_.toLong) match {
       case None => visible
       case Some(base) =>
-        val baseMax = EpochManifest.entriesAt(spark, root, base)
-          .foldLeft(-1L)((m, e) => math.max(m, e.epoch))
+        val baseEs = EpochManifest.entriesAt(spark, root, base)
+        val baseMax = baseEs.foldLeft(-1L)((m, e) => math.max(m, e.epoch))
         visible.find(e => e.minEpoch <= baseMax && e.epoch > baseMax)
           .foreach(e => throw new IllegalStateException(
             s"epochstore changefeed over $root: fold ${e.dir} covers epochs " +
               s"[${e.minEpoch}, ${e.epoch}] across generation $base's max " +
               s"epoch $baseMax — the delta since $base is gone; compact " +
               "only below consumed generations"))
-        visible.filter(_.minEpoch > baseMax)
+        // every base entry must still be visible, or covered by a fold
+        // whose span contains it (compaction below the consumed
+        // boundary): an entry that DISAPPEARED — a metadata-only
+        // all-dead delete, a copy-on-write rewrite, an overwrite, a
+        // truncate, a restore — took rows the consumer already holds,
+        // and this feed has no delete events to replay for them
+        locally {
+          val headDirs = visible.map(_.dir).toSet
+          baseEs.filterNot(e => headDirs.contains(e.dir)).foreach { e =>
+            val covered = visible.exists(h =>
+              h.minEpoch <= e.minEpoch && e.epoch <= h.epoch)
+            if (!covered) throw new IllegalStateException(
+              s"epochstore changefeed over $root: entry ${e.dir} (epochs " +
+                s"[${e.minEpoch}, ${e.epoch}]) left the manifest since " +
+                s"generation $base with no delete events to replay — the " +
+                "delta is not reconstructible (a metadata or copy-on-" +
+                "write delete, an overwrite, a truncate, or a restore " +
+                "landed); re-seed the consumer from a full snapshot")
+          }
+        }
+        val windowed = visible.filter(_.minEpoch > baseMax)
+        // X94: a position-delete journal in the window kills rows
+        // committed BEFORE the base — this RAW feed plans it as an
+        // empty-data entry and would silently deliver no delete
+        // events. [[readChanges]] synthesizes them (it sets the
+        // handled flag); every other changefeed read refuses loudly.
+        if (options.get("dvChangefeedHandled") == null &&
+          EpochStoreDv.declared(spark, root)) {
+          val fsDv = new Path(root).getFileSystem(
+            GraftBridge.sessionHadoopConf(spark))
+          val journals = windowed.filter(e =>
+            EpochStoreDv.dvFiles(fsDv, root, e.dir).nonEmpty)
+          if (journals.nonEmpty) throw new IllegalStateException(
+            s"epochstore changefeed over $root: entries " +
+              s"${journals.map(_.dir).mkString(", ")} since generation " +
+              s"$base carry position deletes (deletion vectors) whose " +
+              "delete events this raw feed cannot deliver — read the " +
+              "CDC feed (EpochStore.readChanges synthesizes them) or " +
+              "run CALL compact below the consumed boundary first")
+        }
+        windowed
     }
     pushedAgg match {
       case Some((agg, aggSchema)) =>
@@ -1028,6 +1071,11 @@ final case class EpochStoreScan(
     // pinned snapshot's own tombstone map decides, so this is race-free
     // even when a delta commit landed between pushdown and planning.
     if (tombstones.nonEmpty) return files
+    // same discipline for position deletes: the pinned snapshot's own
+    // DV map (not the head the pushdown gate saw) disables truncation
+    // — a DV commit racing in, or a time-travel read of a since-
+    // compacted DV generation, never under-delivers a LIMIT/top-N
+    if (dvFiltering) return files
     val se = statsByEntry(spark)
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val withStats = files.map(lf => lf -> se.getOrElse(lf.entryDir, Map.empty)
@@ -2201,6 +2249,23 @@ object EpochStore {
       layoutOf.map(_(e)).getOrElse((partFields, bucket))
     def keepFor(bktE: Option[StoreBucket]): Option[Set[Int]] =
       if (bktE == bucket) bucketKeep else None
+    // truncate-width safety: `col_trunc=` dir names are WIDTH-agnostic,
+    // so a probe built for truncate(4, col) would provably-false-drop
+    // dirs an entry wrote under truncate(8, col) (units bound [o, o+4)
+    // against rows living in [o, o+8)). Truncate units prune only when
+    // the entry RECORDS exactly the probed transform; mismatched
+    // entries degrade to unpruned-but-exact, the mixed-spec invariant.
+    // Time kinds spell the whole unit in the dir value — no width, no
+    // check, no sidecar read.
+    val truncKeepCache =
+      scala.collection.mutable.Map.empty[String, Option[String => Boolean]]
+    def unitKeepFor(e: EpochManifest.Entry, t: StoreTransform)
+        : Option[String => Boolean] =
+      if (unitKeep.isEmpty || t.kind != "trunc") unitKeep
+      else truncKeepCache.getOrElseUpdate(e.dir,
+        if (EpochStoreWrite.readTransformSidecar(fs, root, e.dir)
+          .contains(t)) unitKeep
+        else None)
     // hash-bucket leaf level: prune `<col>_bucket=K` dirs against the
     // probed bucket set; an entry WITHOUT bucket dirs (a DML rewrite
     // that landed unbucketed) serves all its files, always kept
@@ -2236,12 +2301,15 @@ object EpochStore {
         if (bktE.nonEmpty) bucketLeaf(q, values, e, bktE.get, keepFor(bktE))
         else out ++= filesUnder(q).map(ListedFile(values, e.epoch, e.dir, _))
       if (subs.isEmpty) below(p)
-      else subs.foreach { sub =>
-        total += 1
-        val raw = sub.getPath.getName.stripPrefix(t.dirPrefix)
-        if (unitKeep.forall(_(raw))) {
-          kept += 1
-          below(sub.getPath)
+      else {
+        val keep = unitKeepFor(e, t)
+        subs.foreach { sub =>
+          total += 1
+          val raw = sub.getPath.getName.stripPrefix(t.dirPrefix)
+          if (keep.forall(_(raw))) {
+            kept += 1
+            below(sub.getPath)
+          }
         }
       }
     }
@@ -2323,11 +2391,12 @@ object EpochStore {
             // pre-transform epoch) serves all its files — the column
             // lives in the files, so it reads exactly, just unpruned
             if (inUnit.isEmpty) { bucketIdxLeaf(values, e, bare, bktE); return }
+            val keep = unitKeepFor(e, t)
             inUnit.groupBy(r => headSeg(r._2)).toSeq.sortBy(_._1)
               .foreach { case (seg, fls) =>
                 total += 1
                 val raw = seg.stripPrefix(t.dirPrefix)
-                if (unitKeep.forall(_(raw))) {
+                if (keep.forall(_(raw))) {
                   kept += 1
                   bucketIdxLeaf(values, e,
                     fls.map(r => (r._1, r._2.stripPrefix(seg + "/"), r._3)),
@@ -2922,10 +2991,22 @@ object EpochStore {
               partitionColumn: String = null): DataFrame = {
     val gens = EpochManifest.generations(spark, root)
     require(gens.nonEmpty, s"no committed manifest under $root")
+    changesAt(spark, root, schema, sinceGeneration, partitionColumn,
+      asOf = gens.last, dvHandled = false)
+  }
+
+  /** The pinned raw feed [[changes]]/[[readChanges]] share. `dvHandled`
+    * marks the caller as synthesizing position-delete events itself
+    * ([[readChanges]]) — the raw feed otherwise refuses on in-window
+    * DV journals rather than silently dropping their deletes. */
+  private def changesAt(spark: SparkSession, root: String,
+      schema: StructType, sinceGeneration: Long, partitionColumn: String,
+      asOf: Long, dvHandled: Boolean): DataFrame = {
     var r = spark.read.format("epochstore").schema(schema)
       .option("path", root)
-      .option("asOfGeneration", gens.last.toString)
+      .option("asOfGeneration", asOf.toString)
       .option("changesSinceGeneration", sinceGeneration.toString)
+    if (dvHandled) r = r.option("dvChangefeedHandled", "true")
     if (partitionColumn != null) r = r.option("partitionColumn", partitionColumn)
     r.load()
   }
@@ -2958,9 +3039,33 @@ object EpochStore {
                   sinceGeneration: Long,
                   partitionColumn: String = null): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, sum, when}
-    val t = changes(spark, root, schema, sinceGeneration, partitionColumn)
-    val raw = t.select(schema.fieldNames.map(col).toSeq :+
+    val gens = EpochManifest.generations(spark, root)
+    require(gens.nonEmpty, s"no committed manifest under $root")
+    val t = changesAt(spark, root, schema, sinceGeneration, partitionColumn,
+      asOf = gens.last, dvHandled = true)
+    val raw0 = t.select(schema.fieldNames.map(col).toSeq :+
       col(ChangeColName) :+ col(EpochColName): _*)
+    // X94: position-delete journals committed since the base deleted
+    // rows the consumer already ingested — synthesize their `delete`
+    // events (full old payloads) from the targeted files' dead ordinals
+    val dvDeletes: Option[DataFrame] =
+      if (!EpochStoreDv.declared(spark, root)) None
+      else {
+        val head = EpochManifest.entriesAt(spark, root, gens.last)
+        val baseMax = EpochManifest.entriesAt(spark, root, sinceGeneration)
+          .foldLeft(-1L)((m, e) => math.max(m, e.epoch))
+        val fsDv = new Path(root).getFileSystem(
+          GraftBridge.sessionHadoopConf(spark))
+        val journals = head.filter(e => e.minEpoch > baseMax &&
+          EpochStoreDv.dvFiles(fsDv, root, e.dir).nonEmpty)
+        if (journals.isEmpty) None
+        else EpochStoreDv.deleteEvents(spark, root, head, journals,
+          baseMax, schema)
+      }
+    val raw = dvDeletes match {
+      case None => raw0
+      case Some(d) => raw0.unionByName(d)
+    }
     val keys = EpochStoreDelta.declared(spark, root).getOrElse(Nil)
     if (keys.isEmpty) return raw
     // classify: a key with BOTH a tombstone and a reinsert in one epoch

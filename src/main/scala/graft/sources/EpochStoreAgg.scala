@@ -287,7 +287,10 @@ final case class EpochStoreAggScan(
       // one sidecar read gates the whole check: stores without a row
       // identity can never carry tombstones — the metadata-only path
       // stays metadata-only for them
-      EpochStoreDv.guardNoLiveDvs(spark, root,
+      // the PINNED entry list decides (not the current head): a time-
+      // travel aggregate over a DV-carrying generation must refuse even
+      // after compaction cleaned the head
+      EpochStoreDv.guardNoLiveDvsIn(spark, root, entries,
         "epochstore footer aggregation")
       if (EpochStoreDelta.declared(spark, root).nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(root)

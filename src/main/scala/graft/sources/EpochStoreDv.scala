@@ -79,6 +79,22 @@ private[graft] object EpochStoreDv {
     }
   }
 
+  /** `input_file_name()` → the file's path RELATIVE to `$root/$dir`,
+    * matching [[EpochStore.relOf]]'s scan-side key: strip the scheme /
+    * authority (input_file_name's `file:///` vs `file:/` spelling
+    * varies), then the ANCHORED absolute dir prefix. Never a lazy
+    * mid-path match — a store root whose own path contains a segment
+    * spelled like an entry dir must not shift the split point. */
+  private def relUnder(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      dir: String, fileCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val dirPath = fs.makeQualified(new Path(s"$root/$dir")).toUri.getPath
+    regexp_replace(
+      regexp_replace(fileCol, "^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/]*)?", ""),
+      "^" + java.util.regex.Pattern.quote(dirPath + "/"), "")
+  }
+
   private val dvSchema = StructType(Seq(
     StructField("target_dir", StringType, nullable = false),
     StructField("target_rel", StringType, nullable = false),
@@ -98,6 +114,23 @@ private[graft] object EpochStoreDv {
     if (!declared(spark, root)) return false
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     entries.exists(e => dvFiles(fs, root, e.dir).nonEmpty)
+  }
+
+  /** [[guardNoLiveDvs]] over an EXPLICIT entry list — the pinned-
+    * snapshot form: a time-travel / changefeed scan must decide from
+    * the generation it actually reads, not the current head (after
+    * `CALL compact` folds DVs away, the head is clean while the pinned
+    * older generation still carries them). */
+  private[sources] def guardNoLiveDvsIn(spark: SparkSession, root: String,
+      entries: Seq[EpochManifest.Entry], what: String): Unit = {
+    if (!declared(spark, root)) return
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val carrying = entries.filter(e => dvFiles(fs, root, e.dir).nonEmpty)
+    require(carrying.isEmpty,
+      s"$what on $root: pinned entries ${carrying.map(_.dir).mkString(", ")} " +
+        "carry live position deletes (deletion vectors) — the footer " +
+        "counts would include deleted rows; run CALL compact (or read " +
+        "the post-compact generation)")
   }
 
   /** The guard every file-moving operation calls (mirroring
@@ -168,7 +201,7 @@ private[graft] object EpochStoreDv {
   def resolveDeleteDv(spark: SparkSession, root: String,
                       filters: Array[Filter]): Seq[EpochManifest.Entry] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name,
-      lit, regexp_replace}
+      lit}
     val es = EpochManifest.entries(spark, root)
     if (filters.isEmpty || es.isEmpty) return es
     if (filters.exists { case org.apache.spark.sql.sources
@@ -200,7 +233,19 @@ private[graft] object EpochStoreDv {
       val rec = EpochStoreWrite.readSchemaSidecar(fs, root, e.dir)
       val pf = rec.toSeq.flatMap { case (s, pc) =>
         EpochStore.splitPartCols(pc).map(c => s(c)) }
-      e -> EpochStoreDml.classify(spark, fs, root, e, pf, filters)
+      val fate0 = EpochStoreDml.classify(spark, fs, root, e, pf, filters)
+      // an entry CARRYING `_dv` position files never drops here: a
+      // prior DV journal has no visible data rows, so an epoch-aligned
+      // predicate (`DELETE WHERE _epoch >= n`) can classify it AllDead
+      // — dropping it would discard its position files and silently
+      // RESURRECT the rows that earlier DV delete removed. Its journal
+      // stays live (compaction folds and sheds it); the rows a data
+      // entry loses to THIS delete are covered by the new journal.
+      val fate =
+        if (fate0 != EpochStoreDml.Untouched &&
+          dvFiles(fs, root, e.dir).nonEmpty) EpochStoreDml.Untouched
+        else fate0
+      e -> fate
     }
     val survivors = fates.collect {
       case (e, EpochStoreDml.Untouched) => e
@@ -230,18 +275,13 @@ private[graft] object EpochStoreDv {
               case None => d.withColumn(c, lit(null))
             }
         }
-      val qdir = fs.makeQualified(new Path(s"$root/${e.dir}")).toString
       base
         .withColumn("__graft_f", input_file_name())
         .withColumn("__graft_i", col("_metadata.row_index"))
         // SQL DELETE kills rows where the condition is TRUE only
         .filter(coalesce(cond, lit(false)))
         .select(lit(e.dir).as("target_dir"),
-          // input_file_name's URI spelling varies (file:/// vs file:/)
-          // — anchor on the entry-dir segment instead of the prefix
-          regexp_replace(col("__graft_f"),
-            "^.*?/" + java.util.regex.Pattern.quote(e.dir) + "/", "")
-            .as("target_rel"),
+          relUnder(fs, root, e.dir, col("__graft_f")).as("target_rel"),
           col("__graft_i").as("pos"))
     }
     val positions = perEntry.reduce(_ unionByName _)
@@ -266,6 +306,76 @@ private[graft] object EpochStoreDv {
       EpochStore.splitPartCols(pc))
     publishMarker(spark, root)
     survivors :+ EpochManifest.Entry(epoch, dir)
+  }
+
+  /** Synthesized CDC DELETE events for the changefeed (X94 meets X81):
+    * for each position-delete journal committed since the consumer's
+    * base generation, the dead rows' FULL OLD PAYLOADS — the targeted
+    * files read once, inner-joined (broadcast, positions are matched-
+    * rows-sized) on (file rel, row index) against the journal, served
+    * under the caller's schema with `_change_type` = 'delete' and
+    * `_epoch` = the journal's commit epoch. Only PRE-BASE targets
+    * synthesize: an in-window target's insert event is itself dropped
+    * by the scan's DV application, so the pair nets out of the feed
+    * (standard net-change semantics). Returns None when nothing
+    * synthesizes. */
+  private[sources] def deleteEvents(spark: SparkSession, root: String,
+      head: Seq[EpochManifest.Entry], journals: Seq[EpochManifest.Entry],
+      baseMax: Long, schema: StructType): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr,
+      input_file_name, lit}
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val byDir = head.map(e => e.dir -> e).toMap
+    val frames = journals.sortBy(_.epoch).flatMap { j =>
+      val dvPaths = dvFiles(fs, root, j.dir)
+        .map(p => fs.makeQualified(p).toString)
+      if (dvPaths.isEmpty) Nil
+      else {
+        val dv = spark.read.schema(dvSchema).parquet(dvPaths: _*)
+        // distinct target dirs: driver-collected, statement-sized (a
+        // journal targets entries, not rows)
+        val dirs = dv.select(col("target_dir")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        dirs.flatMap { d =>
+          byDir.get(d) match {
+            // in-window target: insert + delete net out of the feed
+            case Some(t) if t.minEpoch > baseMax => None
+            // a target dropped from the manifest trips the feed's
+            // disappeared-entry guard before this runs
+            case None => None
+            case Some(t) =>
+              val (s, _) = EpochStoreWrite.readSchemaSidecar(fs, root, t.dir)
+                .getOrElse(throw new IllegalStateException(
+                  s"epochstore changefeed over $root: target entry " +
+                    s"${t.dir} predates schema records — run CALL " +
+                    "compact first"))
+              val raw = spark.read.schema(s).parquet(s"$root/${t.dir}")
+                .withColumn("__graft_rel",
+                  relUnder(fs, root, t.dir, input_file_name()))
+                .withColumn("__graft_pos", col("_metadata.row_index"))
+              val hits = raw.join(
+                broadcast(dv.filter(col("target_dir") === d)
+                  .select(col("target_rel").as("__graft_rel"),
+                    col("pos").as("__graft_pos"))),
+                Seq("__graft_rel", "__graft_pos"), "inner")
+              val have = s.fieldNames.toSet
+              Some(hits.select(schema.fields.toSeq.map { f =>
+                // a column the target predates serves what its rows
+                // SERVED: the existence default if one is recorded,
+                // null otherwise — the delete event must carry the
+                // payload the consumer ingested
+                (if (have.contains(f.name)) col(f.name)
+                else if (f.metadata.contains("EXISTS_DEFAULT"))
+                  expr(f.metadata.getString("EXISTS_DEFAULT"))
+                    .cast(f.dataType)
+                else lit(null).cast(f.dataType)).as(f.name)
+              } :+ lit("delete").as(EpochStore.ChangeColName)
+                :+ lit(j.epoch).as(EpochStore.EpochColName): _*))
+          }
+        }
+      }
+    }
+    frames.reduceOption(_ unionByName _)
   }
 
   /** A DV-targeted file's packed partition: the inner split geometry
@@ -337,18 +447,16 @@ private[graft] object EpochStoreDv {
   private[sources] def applyToFold(spark: SparkSession, root: String,
       entryDir: String, raw: DataFrame,
       dvPaths: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.functions.{broadcast, col}
     if (dvPaths.isEmpty) return raw
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val qd = java.util.regex.Pattern.quote(entryDir)
     val dv = spark.read.schema(dvSchema).parquet(dvPaths: _*)
       .filter(col("target_dir") === entryDir)
       .select(col("target_rel").as("__graft_rel"),
         col("pos").as("__graft_pos"))
     val withPos = raw
-      .withColumn("__graft_rel", regexp_replace(
-        org.apache.spark.sql.functions.input_file_name(),
-        "^.*?/" + qd + "/", ""))
+      .withColumn("__graft_rel", relUnder(fs, root, entryDir,
+        org.apache.spark.sql.functions.input_file_name()))
       .withColumn("__graft_pos", col("_metadata.row_index"))
     withPos.join(broadcast(dv),
         withPos("__graft_rel") === dv("__graft_rel") &&

@@ -58,12 +58,12 @@ object EpochStoreStats {
       extends Serializable
 
   /** The sidecar NDV sketch: a fixed p=9 (512-register) HyperLogLog
-    * over murmur3 of the column's accumulated representation (long for
+    * over xxHash64 of the column's accumulated representation (long for
     * integral widths, double for floats, UTF-8 bytes for strings — the
     * same representations the skip tiers compare). ~4.6% standard
     * error; 512 B raw / ~684 B base64 per (file, column) — manifest-
     * index-sized, never data-sized. The WRITER accumulates per row
-    * (one murmur3 per value — the bucket-hash cost, not md5), rewrites
+    * (one xxHash64 per value — a bucket-hash-level cost, not md5), rewrites
     * re-derive via [[NdvRegistersAgg]] with the identical hash, and
     * the fold is exact under per-register max regardless of how files
     * are grouped. */
@@ -342,7 +342,7 @@ object EpochStoreStats {
 }
 
 /** Per-file NDV re-derivation for rewrites and compaction folds
-  * ([[graft.sources.EpochStore.rederiveStats]]): the SAME murmur3 hash
+  * ([[graft.sources.EpochStore.rederiveStats]]): the SAME xxHash64 hash
   * and 512-register shape [[EpochStoreStats.Ndv]] accumulates on the
   * write path, as a catalyst typed aggregate — a rewritten entry's
   * sidecar sketches stay mergeable with original-write sketches. */

@@ -202,6 +202,175 @@ class DvDeleteSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dv3.rid").head.getLong(0) == 9L)
   }
 
+  test("an epoch-aligned DV DELETE never drops a prior DV journal — the " +
+      "earlier delete's rows stay dead (no resurrection)") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv5", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    EpochStore.write((100 until 200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 1L)
+    dvOn { spark.sql("DELETE FROM dv5.t WHERE id >= 50 AND id < 60") }
+    // the journal landed at epoch 2; an epoch-aligned delete that
+    // classifies epoch >= 1 ALL-DEAD must drop the epoch-1 DATA entry
+    // metadata-only but KEEP the journal — dropping it would resurrect
+    // ids 50-59
+    dvOn { spark.sql("DELETE FROM dv5.t WHERE _epoch >= 1") }
+    val got = spark.sql("SELECT id FROM dv5.t").collect()
+      .map(_.getLong(0)).toSet
+    val want = (0L until 100L).filterNot(id => id >= 50 && id < 60).toSet
+    assert(got == want,
+      s"resurrected=${got -- want} missing=${want -- got}")
+    val fs = hfs(root)
+    assert(EpochManifest.entries(spark, root).exists(e =>
+      EpochStoreDv.dvFiles(fs, root, e.dir).nonEmpty),
+      "the prior DV journal must survive the epoch-aligned delete")
+  }
+
+  test("a store root containing a segment spelled like an entry dir " +
+      "still keys positions by the exact file rel") {
+    import spark.implicits._
+    // the targeted data entry lands in dir d0-1 — make the store root
+    // itself pass through a parent dir named d0-1, so a first-
+    // occurrence prefix strip would split at the WRONG /d0-1/, record
+    // rels the scan never matches, and serve the deleted rows
+    val wh = s"${tmp()}/d0-1"
+    cat("dv6", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    dvOn { spark.sql("DELETE FROM dv6.t WHERE id < 40") }
+    assert(spark.sql("SELECT id FROM dv6.t").collect()
+      .map(_.getLong(0)).toSet == (40L until 100L).toSet,
+      "deleted rows must stay dead under a look-alike root segment")
+    // compaction's fold application keys the same way
+    spark.sql("CALL dv6.system.compact('t')").collect()
+    assert(spark.sql("SELECT id FROM dv6.t").collect()
+      .map(_.getLong(0)).toSet == (40L until 100L).toSet)
+  }
+
+  test("time travel to a DV generation AFTER compact still withholds " +
+      "limit/top-N truncation and footer aggregation — counts exact") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv7", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 500).map(i => (i.toLong, i * 2L))
+      .toDF("id", "n"), root, 0L, statsColumns = Seq("id", "n"))
+    dvOn { spark.sql("DELETE FROM dv7.t WHERE id >= 400") }
+    val gDv = EpochManifest.generations(spark, root).last
+    spark.sql("CALL dv7.system.compact('t')").collect()
+    // the HEAD is clean now; the pinned older generation still carries
+    // the DV — every row-count-dependent push must stay off there
+    val asOf = spark.sql(s"SELECT count(*) AS c FROM dv7.t VERSION AS OF $gDv")
+    assert(!asOf.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.exists(_.isInstanceOf[graft.sources.EpochStoreAggScan]),
+      "footer aggregation must refuse on the pinned DV generation")
+    assert(asOf.head.getLong(0) == 400L)
+    assert(spark.sql(
+      s"SELECT id FROM dv7.t VERSION AS OF $gDv LIMIT 1000").count() == 400L)
+    assert(spark.sql(
+      s"SELECT id FROM dv7.t VERSION AS OF $gDv ORDER BY id DESC LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq == Seq(399L, 398L, 397L, 396L, 395L))
+    // the live read serves the folded store with pushes back on
+    assert(spark.sql("SELECT count(*) FROM dv7.t").head.getLong(0) == 400L)
+  }
+
+  test("the changefeed over a DV delete: the raw feed refuses loudly, " +
+      "readChanges synthesizes full-payload delete events, in-window " +
+      "insert+delete pairs net out") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv8", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    val g1 = EpochManifest.generations(spark, root).last
+    // in-window append, then one DV delete targeting BOTH the pre-base
+    // entry (ids 10-14) and the in-window entry (ids 100-104)
+    EpochStore.write((100 until 110).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 1L)
+    dvOn {
+      spark.sql("DELETE FROM dv8.t WHERE (id >= 10 AND id < 15) OR " +
+        "(id >= 100 AND id < 105)")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // raw feed: loud refusal naming the CDC feed + compact remedy
+    val e = intercept[Exception](
+      EpochStore.changes(spark, root, schema, g1).collect())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msg.contains("position deletes") && msg.contains("readChanges"),
+      s"raw feed must refuse with the remedy: $msg")
+    // CDC feed: in-window survivors as inserts, pre-base dead rows as
+    // full-payload delete events at the journal's epoch
+    val feed = EpochStore.readChanges(spark, root, schema, g1)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    val journalEpoch = EpochManifest.entries(spark, root)
+      .map(_.epoch).max
+    val wantIns = (105 until 110).map(i =>
+      (i.toLong, s"v$i", "insert", 1L)).toSet
+    val wantDel = (10 until 15).map(i =>
+      (i.toLong, s"v$i", "delete", journalEpoch)).toSet
+    assert(feed == wantIns ++ wantDel,
+      s"extra=${feed -- wantIns -- wantDel} " +
+        s"missing=${(wantIns ++ wantDel) -- feed}")
+    // replay check: base snapshot + feed == current snapshot
+    val replayed = (0L until 100L).toSet ++
+      feed.collect { case (id, _, "insert", _) => id } --
+      feed.collect { case (id, _, "delete", _) => id }
+    val now = spark.sql("SELECT id FROM dv8.t").collect()
+      .map(_.getLong(0)).toSet
+    assert(replayed == now)
+  }
+
+  test("the changefeed refuses when an entry DISAPPEARED since the base " +
+      "(metadata-only all-dead delete) — the delta is not " +
+      "reconstructible") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv9", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 50).map(i => (i.toLong, if (i < 25) "de"
+      else "xx")).toDF("id", "lang"), root, 0L, partitionColumn = "lang")
+    val g1 = EpochManifest.generations(spark, root).last
+    // partition-aligned: the lang=xx half of epoch 0... lands in the
+    // same entry; write a second all-xx entry instead and drop IT
+    EpochStore.write((100 until 120).map(i => (i.toLong, "xx"))
+      .toDF("id", "lang"), root, 1L, partitionColumn = "lang")
+    val g2 = EpochManifest.generations(spark, root).last
+    dvOn { spark.sql("DELETE FROM dv9.t WHERE lang = 'xx'") }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    def feedMsg(base: Long): String = {
+      val e = intercept[Exception](
+        EpochStore.readChanges(spark, root, schema, base).collect())
+      Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    }
+    // g2 saw the dropped all-xx entry — its deletes have no events
+    assert(feedMsg(g2).contains("not reconstructible"), feedMsg(g2))
+    // g1 predates the dropped entry ENTIRELY... the epoch-0 entry is
+    // MIXED (xx rows die by position) so its events DO synthesize; the
+    // epoch-1 entry is in-window and netted — feed must work from g1
+    val feed = EpochStore.readChanges(spark, root, schema, g1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val want = (25 until 50).map(i => (i.toLong, "xx", "delete")).toSet
+    assert(feed == want, s"extra=${feed -- want} missing=${want -- feed}")
+  }
+
   test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
       "SERVED existence default, not a phantom null") {
     import spark.implicits._

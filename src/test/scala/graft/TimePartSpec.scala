@@ -303,6 +303,37 @@ class TimePartSpec extends SparkSpec {
     assert(spark.table("tp6_tail").count() == 8L)
   }
 
+  test("a truncate-width MISMATCH between probe and entry degrades to " +
+      "unpruned, never to dropped rows; matching entries still prune") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("tp6w", wh)
+    val root = s"$wh/t"
+    // epoch 0: width-8 units (v_trunc=0,8,16,24) — the dir names carry
+    // NO width, so a width-4 probe binding [0,4) against v_trunc=0
+    // would provably-false-drop rows 4..7 living in [4,8)
+    (0 until 32).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0")
+      .option("transform", "truncate(8, v)").save()
+    // epoch 1: width-4 units — matches the probe, prunes normally
+    (100 until 132).map(i => (i.toLong, (i - 100).toLong)).toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "1")
+      .option("transform", "truncate(4, v)").save()
+    val probe = spark.read.format("epochstore")
+      .schema(spark.table("tp6w.t").schema)
+      .option("path", root).option("transform", "truncate(4, v)").load()
+      .filter(col("v") >= 4L && col("v") < 8L)
+    assert(probe.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(4L, 5L, 6L, 7L, 104L, 105L, 106L, 107L),
+      "width-mismatched entries must serve their rows")
+    // epoch 0's 4 dirs all kept (mismatch -> unpruned); epoch 1 prunes
+    // to 1 of its 8 width-4 dirs
+    assert(scanOf(probe).selectedPartitionDirs == (5, 12),
+      s"audit: ${scanOf(probe).selectedPartitionDirs}")
+  }
+
   test("guards: transform on a layout-log store refuses; wrong types " +
       "refuse; identity column cannot double as transform column") {
     import spark.implicits._
