@@ -2367,6 +2367,68 @@ object MiscCatalog {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM ev GROUP BY change ORDER BY change""".stripMargin
 
+  /** DV changefeed delete events (`q_store_cdf_dv`, X94 meets X81): a
+    * position-delete DELETE on an IDENTITY-LESS store must not vanish
+    * from the CDC feed — `readChanges` synthesizes full-payload
+    * `delete` events for rows the consumer ingested before its base
+    * generation (read once from the targeted files' dead ordinals,
+    * positions broadcast), while rows inserted AND deleted inside the
+    * window net out (the scan's own DV application drops them). The
+    * oracle recomputes the exact event set — payload sums included —
+    * relationally from the delete's definition, so a lost event, a
+    * resurrected row, or a mis-netted pair fails cell-exact. */
+  def storeCdfDv(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdfdv_wh")
+      .toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs, root, 0L)
+    val g1 = graft.core.EpochManifest.generations(spark, root).last
+    // in-window append: shifted copies land AFTER the consumer's base
+    graft.sources.EpochStore.write(
+      docs.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("n_chars"), col("lang")), root, 1L)
+    val s2 = spark.newSession()
+    val c = s"graftcdfdv$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.conf.set(graft.sources.EpochStoreDv.EnabledConf, "true")
+    try s2.sql(s"DELETE FROM $c.docs WHERE n_chars < 300")
+    finally s2.conf.unset(graft.sources.EpochStoreDv.EnabledConf)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    graft.sources.EpochStore.readChanges(s2, root, sch, g1)
+      .groupBy(col("_change_type").as("change"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
+        sum("n_chars").as("chars"))
+      .orderBy("change")
+  }
+
+  val storeCdfDvSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents WHERE lang IS NOT NULL
+      |), ev AS (
+      |  SELECT 'insert' AS change, doc_id + 20000000 AS doc_id, n_chars
+      |  FROM base WHERE n_chars >= 300
+      |  UNION ALL
+      |  SELECT 'delete', doc_id, n_chars FROM base WHERE n_chars < 300
+      |)
+      |SELECT change, COUNT(*) AS n,
+      |  CAST(SUM(doc_id) AS BIGINT) AS ids,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM ev GROUP BY change ORDER BY change""".stripMargin
+
   val storeMergeSql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
@@ -2402,6 +2464,7 @@ object MiscCatalog {
     "q_store_merge"   -> (storeMerge _),
     "q_store_merge_mor" -> (storeMergeMor _),
     "q_store_cdf"     -> (storeCdf _),
+    "q_store_cdf_dv"  -> (storeCdfDv _),
     "q_store_rewrite" -> (storeRewrite _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_ts_asof" -> (storeTsAsOf _),
@@ -2464,6 +2527,7 @@ object MiscCatalog {
     "q_store_merge"   -> storeMergeSql,
     "q_store_merge_mor" -> storeMergeSql,
     "q_store_cdf"     -> storeCdfSql,
+    "q_store_cdf_dv"  -> storeCdfDvSql,
     "q_store_rewrite" -> storeRewriteSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_ts_asof" -> storeTsAsOfSql,

@@ -1765,19 +1765,24 @@ final case class EpochStoreScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    // `rds0` is the EFFECTIVE read-data schema this factory reads under
+    // — [[readDataEff]] (row-index-widened in DV mode, MoR-key-widened
+    // under tombstones) or the plain [[readDataSchema]] for the DV
+    // routing's untargeted partitions
     def factoryFor(profile: (Seq[String],
-        Option[(Seq[String], Option[EpochStore.StoreBucket])]))
+        Option[(Seq[String], Option[EpochStore.StoreBucket])]),
+        rds0: StructType)
         : PartitionReaderFactory = {
       val m = dataSchema.fieldNames.zip(profile._1).toMap
       val identityNames = m.forall { case (k, v) => k == v }
       val inner = profile._2 match {
         case None =>
           val (ds, rds, flt) =
-            if (identityNames) (dataSchema, readDataEff, dataFilters)
+            if (identityNames) (dataSchema, rds0, dataFilters)
             else
               (StructType(dataSchema.fields.map(f =>
                 f.copy(name = m(f.name)))),
-                StructType(readDataEff.fields.map(f =>
+                StructType(rds0.fields.map(f =>
                   f.copy(name = m.getOrElse(f.name, f.name)))),
                 // untranslatable shapes just drop from the parquet push —
                 // data filters are residual, Spark re-evaluates them
@@ -1788,7 +1793,13 @@ final case class EpochStoreScan(
           // ITS OWN identity dirs — re-split the declared output into
           // file-served vs dir-served, read under that split, then
           // permute back to the declared order (vectorized end to end)
-          val (dirF, dataF, _) = layoutSplit(pcE)
+          val (dirF, dataF0, _) = layoutSplit(pcE)
+          // layoutSplit derives from readDataEff — cut its dataF down
+          // to the columns rds0 actually reads (the plain DV variant
+          // drops the widened row index)
+          val rds0Names = rds0.fieldNames.toSet ++
+            constEff.fieldNames
+          val dataF = dataF0.filter(f => rds0Names.contains(f.name))
           val dirServed = pcE.toSet
           def tr(n: String): String = m.getOrElse(n, n)
           val dsE = StructType(fullSchema.fields.toSeq
@@ -1802,7 +1813,7 @@ final case class EpochStoreScan(
             .flatMap(EpochStore.renameFilter(_, m))
           val raw = EpochStore.parquetReaderFactory(spark, dsE, rdsE,
             constSchemaFor(pcE), fltE)
-          val declared = readDataEff.fields ++ constEff.fields
+          val declared = rds0.fields ++ constEff.fields
           val produced = (dataF ++ dirF ++
             constEff.fields.toSeq.filter(f =>
               f.name == EpochStore.EpochColName ||
@@ -1839,16 +1850,18 @@ final case class EpochStoreScan(
           spark.sparkContext.broadcast(tombstones))
       }
     }
-    val delegating =
+    def delegatingFor(rds0: StructType): KeyedDelegatingReaderFactory =
       if (!anyProfiles)
         new KeyedDelegatingReaderFactory(IndexedSeq(factoryFor(
-          (dataSchema.fieldNames.toSeq, None))))
-      else new KeyedDelegatingReaderFactory(profiles._1.map(factoryFor))
-    if (!dvFiltering) delegating
+          (dataSchema.fieldNames.toSeq, None), rds0)))
+      else new KeyedDelegatingReaderFactory(
+        profiles._1.map(p => factoryFor(p, rds0)))
+    if (!dvFiltering) delegatingFor(readDataEff)
     else {
-      // every partition's rows carry the widened row index at n0; the
-      // DV wrapper drops dead ordinals of targeted partitions and
-      // projects the index away everywhere
+      // TARGETED partitions read with the row index widened at n0; the
+      // DV wrapper drops their dead ordinals and projects the index
+      // away. UNTARGETED partitions route to a PLAIN factory — no
+      // index column, no per-row copy ([[EpochStoreDv.DvRoutingFactory]]).
       val n0 = readDataSchema.size
       val total = n0 + 1 + constEff.size
       val outIdx = ((0 until n0) ++ (n0 + 1 until total)).toArray
@@ -1856,8 +1869,10 @@ final case class EpochStoreScan(
         if (i < n0) readDataSchema.fields(i).dataType
         else constEff.fields(i - n0 - 1).dataType
       }
-      new EpochStoreDv.DvFilteringFactory(delegating, rowIdxPos = n0,
-        outIdx, outTypes)
+      new EpochStoreDv.DvRoutingFactory(
+        delegatingFor(readDataSchema),
+        new EpochStoreDv.DvFilteringFactory(delegatingFor(readDataEff),
+          rowIdxPos = n0, outIdx, outTypes))
     }
   }
 }

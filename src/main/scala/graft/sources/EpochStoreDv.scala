@@ -288,14 +288,30 @@ private[graft] object EpochStoreDv {
     val epoch = es.map(_.epoch).max + 1L
     val dir = EpochManifest.newDataDir(spark, root, epoch)
     val dvOut = s"$root/$dir/$DvDirName"
-    // distributed write — nothing materializes on the driver
-    positions.coalesce(1).write.mode("overwrite").parquet(dvOut)
+    // distributed write — nothing materializes on the driver. The
+    // repartition (not coalesce) keeps the classify-read + filter
+    // upstream PARALLEL while landing one journal file: coalesce(1)
+    // would collapse the whole mixed-entry scan into a single task.
+    positions.repartition(1).write.mode("overwrite").parquet(dvOut)
     // drop _SUCCESS-style markers so the dv dir holds position files
     // plus nothing the loader has to skip beyond the name filter
     val matched = spark.read.schema(dvSchema).parquet(dvOut).count()
     if (matched == 0L) {
       fs.delete(new Path(s"$root/$dir"), true)
       return survivors
+    }
+    // BOUNDED AT WRITE TIME: every scan materializes the journal on
+    // the driver, so a journal past the bound must never PUBLISH —
+    // committing one would leave a store every subsequent read refuses.
+    // An oversized delete auto-routes to the copy-on-write group
+    // rewrite instead (O(touched-groups) write, no positions); with
+    // OTHER journals already live that rewrite would strand their
+    // positions, so it refuses there with the compact remedy.
+    val bound = Option(spark.conf.get(MaxDriverPositionsConf, null))
+      .map(_.toLong).getOrElse(MaxDriverPositionsDefault)
+    if (matched > bound) {
+      fs.delete(new Path(s"$root/$dir"), true)
+      return EpochStoreDml.resolveDelete(spark, root, filters)
     }
     // the DV entry records the table schema like any epoch — discovery,
     // evolution merges, and fold coverage treat it as a normal (empty-
@@ -386,6 +402,27 @@ private[graft] object EpochStoreDv {
       extends InputPartition {
     override def preferredLocations(): Array[String] =
       inner.preferredLocations()
+  }
+
+  /** Routes partitions while DVs are live: TARGETED files (packed as
+    * [[DvFilePartition]]) read through the row-index-widened factory +
+    * dead-ordinal filter; every UNTARGETED partition stays on the PLAIN
+    * factory — no row-index column read, no per-row copy (batch-backed
+    * rows straight from the vectorized reader). Spark's
+    * DataSourceV2ScanExecBase forbids mixing columnar and row-based
+    * partitions in one scan, so the scan as a whole reports row-based
+    * until `CALL compact` sheds the DVs — but only the matched-rows-
+    * sized targeted remainder pays the filtering wrapper. */
+  final class DvRoutingFactory(
+      val plain: PartitionReaderFactory,
+      val dv: DvFilteringFactory)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] = p match {
+      case d: DvFilePartition => dv.createReader(d)
+      case other => plain.createReader(other)
+    }
+    override def supportColumnarReads(p: InputPartition): Boolean = false
   }
 
   /** Executor-side position application: the inner reader runs with the

@@ -371,6 +371,79 @@ class DvDeleteSpec extends SparkSpec {
     assert(feed == want, s"extra=${feed -- want} missing=${want -- feed}")
   }
 
+  test("while DVs live, only TARGETED files pay the filtering wrapper: " +
+      "untargeted partitions route to the plain factory (no row-index " +
+      "widening, no per-row copy)") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv10", wh)
+    val root = s"$wh/t"
+    // two entries; the delete targets only the first
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    EpochStore.write((100 until 200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 1L)
+    dvOn { spark.sql("DELETE FROM dv10.t WHERE id < 10") }
+    val df = spark.sql("SELECT id, v FROM dv10.t")
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: graft.sources.EpochStoreScan => s }.get
+    val parts = scan.planInputPartitions()
+    val (targeted, plain) = parts.partition(
+      _.isInstanceOf[EpochStoreDv.DvFilePartition])
+    assert(targeted.nonEmpty && plain.nonEmpty,
+      s"both kinds must plan: targeted=${targeted.length} " +
+        s"plain=${plain.length}")
+    val f = scan.createReaderFactory()
+    assert(f.isInstanceOf[EpochStoreDv.DvRoutingFactory],
+      s"expected the DV routing factory, got ${f.getClass}")
+    // Spark forbids mixing columnar and row partitions in one scan —
+    // row-based scan-wide while DVs live, but only targeted partitions
+    // go through the filtering wrapper
+    assert(parts.forall(p => !f.supportColumnarReads(p)))
+    // functional routing: a plain partition's reader serves rows
+    // directly; results stay exact end to end
+    assert(df.collect().map(_.getLong(0)).toSet ==
+      (10L until 200L).toSet)
+  }
+
+  test("an OVERSIZED DV DELETE auto-routes to the copy-on-write rewrite " +
+      "instead of publishing a journal reads would refuse; with another " +
+      "journal live it refuses naming compact") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv11", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 300).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    spark.conf.set(EpochStoreDv.MaxDriverPositionsConf, "50")
+    try {
+      // 100 matched positions > bound 50 -> lands as CoW: rows gone,
+      // NO journal anywhere, store fully readable, pushes intact
+      dvOn { spark.sql("DELETE FROM dv11.t WHERE id < 100") }
+      val fs = hfs(root)
+      assert(EpochManifest.entries(spark, root).forall(e =>
+        EpochStoreDv.dvFiles(fs, root, e.dir).isEmpty),
+        "an oversized delete must not publish a journal")
+      assert(spark.sql("SELECT id FROM dv11.t").collect()
+        .map(_.getLong(0)).toSet == (100L until 300L).toSet)
+      // a small delete journals as usual...
+      dvOn { spark.sql("DELETE FROM dv11.t WHERE id >= 290") }
+      assert(EpochManifest.entries(spark, root).exists(e =>
+        EpochStoreDv.dvFiles(fs, root, e.dir).nonEmpty))
+      // ...and an oversized one now REFUSES (CoW would strand the live
+      // journal's positions) with the compact remedy
+      val e = intercept[Exception](dvOn {
+        spark.sql("DELETE FROM dv11.t WHERE id < 200") })
+      val msg = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msg.contains("position deletes") && msg.contains("compact"),
+        s"must name the live journal + remedy: $msg")
+      assert(spark.sql("SELECT count(*) FROM dv11.t").head.getLong(0) ==
+        190L, "the refused delete must not change the store")
+    } finally spark.conf.unset(EpochStoreDv.MaxDriverPositionsConf)
+  }
+
   test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
       "SERVED existence default, not a phantom null") {
     import spark.implicits._
