@@ -68,9 +68,16 @@ object EpochManifest {
     * on the dir-name prefix — coverage travels in the manifest itself,
     * so a store whose fold dirs were written under an older naming
     * scheme is still protected once its NEXT compaction commits. */
-  final case class Entry(epoch: Long, dir: String, lo: Long = -1L) {
+  final case class Entry(epoch: Long, dir: String, lo: Long = -1L,
+                         dv: Seq[String] = Nil) {
     /** Lowest covered epoch ([[lo]] defaulted to [[epoch]]). */
     def minEpoch: Long = if (lo < 0L) epoch else lo
+    // `dv` — the entry's position-delete (deletion-vector) file names
+    // under `<dir>/_dv/`, recorded AT COMMIT so planning decides DV
+    // liveness from the manifest bytes it already read: zero listStatus
+    // probes on the hot path, and a time-travel read of an old
+    // generation sees exactly that generation's journals. Empty for
+    // every data entry and for folds (compaction applies + sheds DVs).
   }
 
   private def fsOf(spark: SparkSession, root: String) =
@@ -109,7 +116,12 @@ object EpochManifest {
         if (line.contains("\"lo\":"))
           line.split("\"lo\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
         else -1L
-      Entry(e, d, lo)
+      val dv =
+        if (line.contains("\"dv\":\""))
+          line.split("\"dv\":\"")(1).takeWhile(_ != '"')
+            .split(",").toSeq.filter(_.nonEmpty)
+        else Nil
+      Entry(e, d, lo, dv)
     }.toSeq
   }
 
@@ -170,9 +182,15 @@ object EpochManifest {
 
   private def render(es: Seq[Entry]): String =
     es.sortBy(_.epoch)
-      .map(e => if (e.minEpoch != e.epoch)
-        s"""{"epoch":${e.epoch},"lo":${e.minEpoch},"dir":"${e.dir}"}"""
-      else s"""{"epoch":${e.epoch},"dir":"${e.dir}"}""")
+      .map { e =>
+        e.dv.foreach(n => require(!n.contains("\"") && !n.contains(","),
+          s"dv file name '$n' cannot be recorded"))
+        val lo = if (e.minEpoch != e.epoch) s""","lo":${e.minEpoch}""" else ""
+        val dv =
+          if (e.dv.isEmpty) ""
+          else s""","dv":"${e.dv.mkString(",")}""""
+        s"""{"epoch":${e.epoch}$lo$dv,"dir":"${e.dir}"}"""
+      }
       .mkString("", "\n", "\n")
 
   /** CAS-publish `body` as generation `gen` under manifest dir `md`

@@ -709,12 +709,8 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
         // empty-data entry and would silently deliver no delete
         // events. [[readChanges]] synthesizes them (it sets the
         // handled flag); every other changefeed read refuses loudly.
-        if (options.get("dvChangefeedHandled") == null &&
-          EpochStoreDv.declared(spark, root)) {
-          val fsDv = new Path(root).getFileSystem(
-            GraftBridge.sessionHadoopConf(spark))
-          val journals = windowed.filter(e =>
-            EpochStoreDv.dvFiles(fsDv, root, e.dir).nonEmpty)
+        if (options.get("dvChangefeedHandled") == null) {
+          val journals = EpochStoreDv.dvCarrying(spark, root, windowed)
           if (journals.nonEmpty) throw new IllegalStateException(
             s"epochstore changefeed over $root: entries " +
               s"${journals.map(_.dir).mkString(", ")} since generation " +
@@ -3069,10 +3065,8 @@ object EpochStore {
         val head = EpochManifest.entriesAt(spark, root, gens.last)
         val baseMax = EpochManifest.entriesAt(spark, root, sinceGeneration)
           .foldLeft(-1L)((m, e) => math.max(m, e.epoch))
-        val fsDv = new Path(root).getFileSystem(
-          GraftBridge.sessionHadoopConf(spark))
-        val journals = head.filter(e => e.minEpoch > baseMax &&
-          EpochStoreDv.dvFiles(fsDv, root, e.dir).nonEmpty)
+        val journals = EpochStoreDv.dvCarrying(spark, root,
+          head.filter(_.minEpoch > baseMax))
         if (journals.isEmpty) None
         else EpochStoreDv.deleteEvents(spark, root, head, journals,
           baseMax, schema)
@@ -3754,10 +3748,7 @@ object EpochStore {
     // X94: live position deletes apply INSIDE the fold (distributed
     // anti-join on file rel + row index) and are shed — their carrying
     // entries fold away as empty-data epochs
-    val dvPaths: Seq[String] =
-      if (!EpochStoreDv.declared(spark, root)) Nil
-      else covered.flatMap(e => EpochStoreDv.dvFiles(fs, root, e.dir))
-        .map(p => fs.makeQualified(p).toString)
+    val dvPaths: Seq[String] = EpochStoreDv.dvPathsFor(spark, root, covered)
     val folded0 = {
       val raw = recs.map { case (e, Some((s, _))) =>
         val r00 = spark.read.schema(s).parquet(s"$root/${e.dir}")

@@ -60,21 +60,52 @@ private[graft] object EpochStoreDv {
 
   private def markerPath(root: String) = new Path(s"$root/_manifests/dv.json")
 
+  /** Marker states: no marker (the store never wrote a DV — nothing
+    * else probes), a LEGACY marker (journals may predate the manifest
+    * `dv` records — fall back to per-entry listing), or a MANIFESTED
+    * marker (every journal is recorded in its manifest entry — DV
+    * liveness and file sets come from the manifest bytes planning
+    * already read, ZERO listStatus probes). */
+  private val MarkerAbsent = 0
+  private val MarkerLegacy = 1
+  private val MarkerManifested = 2
+
+  /** Positive-state cache: a published marker is immutable, so its
+    * state never changes; absence is NOT cached (the first DV delete
+    * creates it). */
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def markerState(spark: SparkSession, root: String): Int = {
+    val hit = markerCache.get(root)
+    if (hit != null) return hit.intValue()
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    val p = markerPath(root)
+    if (!fs.exists(p)) return MarkerAbsent
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val s =
+      if (body.contains("\"manifested\":true")) MarkerManifested
+      else MarkerLegacy
+    markerCache.put(root, s)
+    s
+  }
+
   /** One existence probe — false for every store that never wrote a
     * DV, so the scan-side load never runs a job there. The marker
-    * outlives compaction (a stale probe costs one listStatus per
-    * entry, nothing more). */
-  private[sources] def declared(spark: SparkSession, root: String): Boolean = {
-    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    fs.exists(markerPath(root))
-  }
+    * outlives compaction (on a manifested store a stale probe costs
+    * nothing — liveness reads off the already-loaded entry list). */
+  private[sources] def declared(spark: SparkSession, root: String): Boolean =
+    markerState(spark, root) != MarkerAbsent
 
   private def publishMarker(spark: SparkSession, root: String): Unit = {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     if (!fs.exists(markerPath(root))) {
       fs.mkdirs(markerPath(root).getParent)
       val out = fs.create(markerPath(root), true)
-      try out.write("{\"positionDeletes\":true}\n".getBytes("UTF-8"))
+      try out.write(
+        "{\"positionDeletes\":true,\"manifested\":true}\n".getBytes("UTF-8"))
       finally out.close()
     }
   }
@@ -108,13 +139,36 @@ private[graft] object EpochStoreDv {
       s.getPath.getName.endsWith(".parquet")).map(_.getPath)
   }
 
+  /** One entry's journal paths under the store's marker state: recorded
+    * names straight off the manifest entry on a manifested store (zero
+    * IO), the legacy listing otherwise. */
+  private def dvPathsOf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      e: EpochManifest.Entry): Seq[Path] =
+    markerState(spark, root) match {
+      case MarkerAbsent => Nil
+      case MarkerManifested =>
+        e.dv.map(n => new Path(s"$root/${e.dir}/$DvDirName/$n"))
+      case _ => dvFiles(fs, root, e.dir)
+    }
+
+  /** The pinned entries that carry live journals — manifest-resolved on
+    * manifested stores (no listing). */
+  private[sources] def dvCarrying(spark: SparkSession, root: String,
+      entries: Seq[EpochManifest.Entry]): Seq[EpochManifest.Entry] =
+    markerState(spark, root) match {
+      case MarkerAbsent => Nil
+      case MarkerManifested => entries.filter(_.dv.nonEmpty)
+      case _ =>
+        val fs = new Path(root)
+          .getFileSystem(GraftBridge.sessionHadoopConf(spark))
+        entries.filter(e => dvFiles(fs, root, e.dir).nonEmpty)
+    }
+
   /** Whether any of `entries` carries live position deletes. */
   private[sources] def hasLiveDvs(spark: SparkSession, root: String,
-      entries: Seq[EpochManifest.Entry]): Boolean = {
-    if (!declared(spark, root)) return false
-    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    entries.exists(e => dvFiles(fs, root, e.dir).nonEmpty)
-  }
+      entries: Seq[EpochManifest.Entry]): Boolean =
+    dvCarrying(spark, root, entries).nonEmpty
 
   /** [[guardNoLiveDvs]] over an EXPLICIT entry list — the pinned-
     * snapshot form: a time-travel / changefeed scan must decide from
@@ -123,9 +177,7 @@ private[graft] object EpochStoreDv {
     * older generation still carries them). */
   private[sources] def guardNoLiveDvsIn(spark: SparkSession, root: String,
       entries: Seq[EpochManifest.Entry], what: String): Unit = {
-    if (!declared(spark, root)) return
-    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val carrying = entries.filter(e => dvFiles(fs, root, e.dir).nonEmpty)
+    val carrying = dvCarrying(spark, root, entries)
     require(carrying.isEmpty,
       s"$what on $root: pinned entries ${carrying.map(_.dir).mkString(", ")} " +
         "carry live position deletes (deletion vectors) — the footer " +
@@ -140,9 +192,8 @@ private[graft] object EpochStoreDv {
   private[sources] def guardNoLiveDvs(spark: SparkSession, root: String,
                                       what: String): Unit = {
     if (!declared(spark, root)) return
-    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val carrying = EpochManifest.entries(spark, root)
-      .filter(e => dvFiles(fs, root, e.dir).nonEmpty)
+    val carrying = dvCarrying(spark, root,
+      EpochManifest.entries(spark, root))
     require(carrying.isEmpty,
       s"$what on $root: entries ${carrying.map(_.dir).mkString(", ")} " +
         "carry live position deletes (deletion vectors) whose file " +
@@ -165,12 +216,20 @@ private[graft] object EpochStoreDv {
     * (target entry dir, file rel) → sorted distinct ordinals. Bounded
     * by [[MaxDriverPositionsConf]] — an oversized journal refuses with
     * the compact remedy (compaction applies DVs distributed). */
+  /** The pinned entries' qualified journal paths (manifest-resolved on
+    * manifested stores — no listing). */
+  private[sources] def dvPathsFor(spark: SparkSession, root: String,
+      entries: Seq[EpochManifest.Entry]): Seq[String] = {
+    if (markerState(spark, root) == MarkerAbsent) return Nil
+    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
+    entries.flatMap(e => dvPathsOf(spark, fs, root, e))
+      .map(p => fs.makeQualified(p).toString).sorted
+  }
+
   private[sources] def load(spark: SparkSession, root: String,
       entries: Seq[EpochManifest.Entry])
       : Map[(String, String), Array[Long]] = {
-    val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
-    val paths = entries.flatMap(e => dvFiles(fs, root, e.dir))
-      .map(p => fs.makeQualified(p).toString).sorted
+    val paths = dvPathsFor(spark, root, entries)
     if (paths.isEmpty) return Map.empty
     loadCache.synchronized {
       val hit = loadCache.get(paths)
@@ -243,7 +302,7 @@ private[graft] object EpochStoreDv {
       // entry loses to THIS delete are covered by the new journal.
       val fate =
         if (fate0 != EpochStoreDml.Untouched &&
-          dvFiles(fs, root, e.dir).nonEmpty) EpochStoreDml.Untouched
+          dvPathsOf(spark, fs, root, e).nonEmpty) EpochStoreDml.Untouched
         else fate0
       e -> fate
     }
@@ -320,8 +379,16 @@ private[graft] object EpochStoreDv {
       .readSchemaSidecar(fs, root, mixed.head.dir).get
     EpochStoreWrite.writeSchemaSidecar(fs, root, dir, tblSchema,
       EpochStore.splitPartCols(pc))
+    // an EMPTY stats index: the journal entry holds no data files, and
+    // the index keeps every scan's planning walk off listStatus (the
+    // restore marker's discipline)
+    EpochStoreStats.write(fs, root, dir, Seq.empty)
     publishMarker(spark, root)
-    survivors :+ EpochManifest.Entry(epoch, dir)
+    // the journal's file names ride the manifest entry itself — every
+    // later planning decides DV liveness and loads positions with zero
+    // listStatus probes, and time travel sees per-generation journals
+    val dvNames = dvFiles(fs, root, dir).map(_.getName).sorted
+    survivors :+ EpochManifest.Entry(epoch, dir, dv = dvNames)
   }
 
   /** Synthesized CDC DELETE events for the changefeed (X94 meets X81):
@@ -343,7 +410,7 @@ private[graft] object EpochStoreDv {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val byDir = head.map(e => e.dir -> e).toMap
     val frames = journals.sortBy(_.epoch).flatMap { j =>
-      val dvPaths = dvFiles(fs, root, j.dir)
+      val dvPaths = dvPathsOf(spark, fs, root, j)
         .map(p => fs.makeQualified(p).toString)
       if (dvPaths.isEmpty) Nil
       else {

@@ -144,4 +144,50 @@ class EpochStoreIndexSpec extends SparkSpec {
     assert(CountingFs.listedBelow(root).isEmpty)
     assert(got.length == 40)
   }
+
+  test("a DV store plans with zero listStatus below the entry roots — " +
+      "journals ride the manifest — both while the DV lives and after " +
+      "compact sheds it") {
+    val root = tmp()
+    EpochStore.write(rows(0), root, 0L, partitionColumn = "bucket")
+    EpochStore.write(rows(40), root, 1L, partitionColumn = "bucket")
+    // a predicate DELETE in DV mode, driven through the raw connector
+    // resolve + commit (the SQL catalog route is proven in DvDeleteSpec)
+    val base = EpochManifest.entries(spark, root)
+    spark.conf.set(graft.sources.EpochStoreDv.EnabledConf, "true")
+    val resolved =
+      try graft.sources.EpochStoreDv.resolveDeleteDv(spark, root,
+        Array(org.apache.spark.sql.sources.LessThan("id", 10L)))
+      finally spark.conf.unset(graft.sources.EpochStoreDv.EnabledConf)
+    EpochManifest.commitIfUnchanged(spark, root, base, resolved)
+    // the journal's file names are ON the manifest entry
+    val journal = EpochManifest.entries(spark, root).maxBy(_.epoch)
+    assert(journal.dv.nonEmpty, "journal files must ride the manifest")
+    // DV LIVE: planning never walks an entry dir — the only permitted
+    // touch below the roots is the position load opening the journal's
+    // own RECORDED file paths (file-status probes by spark.read on the
+    // exact paths, once per journal set — the load caches after)
+    val journalPaths = journal.dv.map(n => s"/${journal.dir}/_dv/$n")
+    val df = EpochStore.read(spark, root, schema, "bucket")
+    CountingFs.reset()
+    assert(df.collect().map(_.getLong(0)).toSet == (10L until 80L).toSet)
+    val below = CountingFs.listedBelow(root)
+    assert(below.forall(p => journalPaths.exists(p.endsWith)),
+      s"DV-live scan listed beyond the recorded journal: ${below.take(5)}")
+    // warm position cache: a second scan lists NOTHING below the roots
+    val dfWarm = EpochStore.read(spark, root, schema, "bucket")
+    CountingFs.reset()
+    assert(dfWarm.collect().length == 70)
+    val belowWarm = CountingFs.listedBelow(root)
+    assert(belowWarm.isEmpty, s"warm DV scan listed: ${belowWarm.take(5)}")
+    // post-compact: the fold shed the journal; liveness still decides
+    // off the manifest with zero listing (the marker never clears)
+    EpochStore.compactStore(spark, root)
+    assert(EpochManifest.entries(spark, root).forall(_.dv.isEmpty))
+    val df2 = EpochStore.read(spark, root, schema, "bucket")
+    CountingFs.reset()
+    assert(df2.collect().length == 70)
+    val below2 = CountingFs.listedBelow(root)
+    assert(below2.isEmpty, s"post-compact scan listed: ${below2.take(5)}")
+  }
 }
