@@ -1961,23 +1961,31 @@ object MiscCatalog {
     *
     * Scale shape: a 100 TB event store probed for one week lists one
     * week's dirs — O(days-touched × buckets) planning, not O(files). */
+  /** The (session, sf)-memoized day×bucket events store: the probe is
+    * READ-ONLY, so landing once (the `streamStore` discipline) makes
+    * the bench entry measure the engine's unit-dir pruning, not
+    * `Files.createTempDirectory` + a fresh 30-day ingest per run. */
+  private def timepartWh(spark: SparkSession, sfDir: String): String =
+    graft.core.Landed.dir(spark, s"tpt_store:$sfDir", "graft_tpt_wh") { wh =>
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+        // no re-clustering shuffle: event ingest is time-ordered, so
+        // each input split already covers a narrow day range and the
+        // write lands few (day, bucket) dirs per task naturally (a
+        // measured repartition(date, bucket) cost MORE than the files
+        // it saved); adversarially-ordered input would use the
+        // clustered-write path
+        .write.format("epochstore").mode("append")
+        .option("path", s"$wh/ev").option("epoch", "0")
+        .option("transform", "days(ts)")
+        .option("bucketColumn", "user_id").option("bucketCount", "8")
+        .save()
+    }
+
   def storeTimepart(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_tpt_wh").toString
-    val root = s"$wh/ev"
-    Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"))
-      // no re-clustering shuffle: event ingest is time-ordered, so each
-      // input split already covers a narrow day range and the write
-      // lands few (day, bucket) dirs per task naturally (a measured
-      // repartition(date, bucket) cost MORE than the files it saved);
-      // adversarially-ordered input would use the clustered-write path
-      .write.format("epochstore").mode("append")
-      .option("path", root).option("epoch", "0")
-      .option("transform", "days(ts)")
-      .option("bucketColumn", "user_id").option("bucketCount", "8")
-      .save()
+    val wh = timepartWh(spark, sfDir)
     val s2 = spark.newSession()
     val c = s"grafttpt$run"
     s2.conf.set(s"spark.sql.catalog.$c",

@@ -1158,6 +1158,11 @@ final case class EpochStoreScan(
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
       new java.util.HashMap()
+    // the planned entries' commit-folded NDV sketches (one tiny sidecar
+    // per entry, loaded once per statistics request)
+    val entryNdvByDir: Map[String, Map[String, (Char, Array[Byte])]] =
+      files.map(_.entryDir).distinct
+        .map(d => d -> EpochStoreStats.readEntryNdv(fs, root, d)).toMap
     if (files.nonEmpty) readDataSchema.fields.foreach { f =>
       import org.apache.spark.sql.types._
       // the widening AND the accepted sidecar kind come from the column
@@ -1201,19 +1206,45 @@ final case class EpochStoreScan(
             if (EpochStoreStats.cmp(a, b).exists(_ <= 0)) a else b)
           val hi = maxs.reduceOption((a, b) =>
             if (EpochStoreStats.cmp(a, b).exists(_ >= 0)) a else b)
-          // DISTINCT-COUNT for CBO: fold the planned files' per-file
+          // DISTINCT-COUNT for CBO: fold the planned ENTRIES' merged
           // HLL registers (per-register max = lossless union) into one
           // estimate — the statistic join-reorder and join-cardinality
           // estimation actually key on; min/max alone under-inform
-          // them. Reported only when EVERY planned file carries a
-          // sketch (pre-NDV epochs simply don't report it).
-          val ndv: Option[Long] =
-            if (cs.exists(_.ndv.isEmpty)) None
+          // them. One ~512 B sketch per (entry, column) — commit-time
+          // folded ([[EpochStoreStats.writeEntryNdv]]), so a 10k-file
+          // entry costs one blob at planning, not 10k. Legacy per-file
+          // sketches (pre-fold sidecars) still fold here. Reported only
+          // when EVERY planned entry serves the column's sketch.
+          val ndv: Option[Long] = {
+            val kind = widenKind.get._2
+            val perEntry = files.map(_.entryDir).distinct.map { d =>
+              val phys = aliases.resolve(f.name,
+                entryFieldsByDir.getOrElse(d, Set.empty))
+              entryNdvByDir.getOrElse(d, Map.empty).get(phys)
+                .filter(_._1 == kind).map(_._2)
+                .orElse {
+                  val legacy = files.filter(_.entryDir == d).map(lf =>
+                    se.getOrElse(d, Map.empty)
+                      .get(EpochStore.relOf(fs, root, lf))
+                      .flatMap(_.cols.get(phys))
+                      .filter(_.kind == kind).flatMap(_.ndv))
+                  if (legacy.isEmpty || legacy.exists(_.isEmpty)) None
+                  else {
+                    val acc = new Array[Byte](EpochStoreStats.Ndv.M)
+                    legacy.foreach(r =>
+                      EpochStoreStats.Ndv.mergeInto(acc, r.get))
+                    Some(acc)
+                  }
+                }
+            }
+            if (perEntry.exists(_.isEmpty)) None
             else {
               val acc = new Array[Byte](EpochStoreStats.Ndv.M)
-              cs.foreach(c => EpochStoreStats.Ndv.mergeInto(acc, c.ndv.get))
+              perEntry.foreach(r =>
+                EpochStoreStats.Ndv.mergeInto(acc, r.get))
               Some(EpochStoreStats.Ndv.estimate(acc))
             }
+          }
           colStats.put(
             org.apache.spark.sql.connector.expressions.Expressions
               .column(f.name),

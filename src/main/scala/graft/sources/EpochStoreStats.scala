@@ -146,10 +146,11 @@ object EpochStoreStats {
             s""","min":$a,"max":$b"""
           case _ => ""
         }
-        val nd = cs.ndv.map(r =>
-          s""","ndv":"${Base64.getEncoder.encodeToString(r)}"""")
-          .getOrElse("")
-        s"""{"c":"${b64(c)}","t":"${cs.kind}","nulls":${cs.nulls}$mm$nd}"""
+        // per-file NDV registers do NOT serialize: the sidecar carries
+        // ONE merged sketch per column for the whole entry instead
+        // ([[writeEntryNdv]]) — at 10k files × 8 columns the per-file
+        // form is ~40 MB of planning-time sidecar, the entry form ~5 KB
+        s"""{"c":"${b64(c)}","t":"${cs.kind}","nulls":${cs.nulls}$mm}"""
       }.mkString("[", ",", "]")
       val ix = if (fsr.len >= 0L) s""","len":${fsr.len},"mt":${fsr.mtime}"""
         else ""
@@ -196,7 +197,10 @@ object EpochStoreStats {
     * An EMPTY stats list still writes (a zero-byte sidecar) — it is the
     * index record that lets [[readIndexed]] distinguish an indexed
     * empty epoch (plan: no files, no listing) from a pre-index entry
-    * (fall back to listing). */
+    * (fall back to listing). Per-file NDV registers fold into ONE
+    * entry-level sketch per column here ([[writeEntryNdv]] — register
+    * max is associative, so the commit-time fold is lossless) and never
+    * serialize per file. */
   def write(fs: FileSystem, root: String, entryDir: String,
             stats: Seq[(String, FileStats)]): Unit = {
     val p = sidecarPath(root, entryDir)
@@ -204,6 +208,60 @@ object EpochStoreStats {
     val out = fs.create(p, true)
     try out.write(render(stats).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    writeEntryNdv(fs, root, entryDir, stats)
+  }
+
+  /** Entry-level NDV sidecar path. */
+  def ndvPath(root: String, entryDir: String): Path =
+    new Path(s"$root/$entryDir/_skip/ndv.json")
+
+  /** Fold the per-file register vectors into one sketch per column and
+    * publish — a column reports only when EVERY file holding it carries
+    * a sketch (a partial union proves nothing). Absent/empty = the
+    * entry serves no distinct-count statistic. */
+  private def writeEntryNdv(fs: FileSystem, root: String, entryDir: String,
+                            stats: Seq[(String, FileStats)]): Unit = {
+    val colKinds = stats.flatMap(_._2.cols.toSeq.map { case (c, cs) =>
+      (c, cs.kind) }).distinct
+    val merged = colKinds.flatMap { case (c, kind) =>
+      val per = stats.flatMap(_._2.cols.get(c)).filter(_.kind == kind)
+      if (per.isEmpty || per.exists(_.ndv.isEmpty)) None
+      else {
+        val acc = new Array[Byte](Ndv.M)
+        per.foreach(cs => Ndv.mergeInto(acc, cs.ndv.get))
+        Some((c, kind, acc))
+      }
+    }
+    val p = ndvPath(root, entryDir)
+    if (merged.isEmpty) { if (fs.exists(p)) { fs.delete(p, false); () } }
+    else {
+      val body = merged.sortBy(_._1).map { case (c, kind, regs) =>
+        s"""{"c":"${b64(c)}","t":"$kind","ndv":"${
+          Base64.getEncoder.encodeToString(regs)}"}"""
+      }.mkString("", "\n", "\n")
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private val ndvRe =
+    (""""c":"([^"]*)","t":"(.)","ndv":"([^"]*)"""").r
+
+  /** One entry's merged NDV sketches: column → (kind, registers).
+    * Empty for entries without one (pre-NDV epochs, sliced copies). */
+  def readEntryNdv(fs: FileSystem, root: String, entryDir: String)
+      : Map[String, (Char, Array[Byte])] = {
+    val p = ndvPath(root, entryDir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty).flatMap { line =>
+      ndvRe.findFirstMatchIn(line).map(m =>
+        unb64(m.group(1)) ->
+          (m.group(2).charAt(0), Base64.getDecoder.decode(m.group(3))))
+    }.toMap
   }
 
   /** Load one entry's sidecar (empty when the epoch predates stats). */

@@ -229,4 +229,47 @@ class CboStatsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("NDV sketches fold to ONE blob per (entry, column) at commit — " +
+      "the stats sidecar carries none per file, and sidecar bytes stay " +
+      "flat in the file count") {
+    import spark.implicits._
+    val root = tmp()
+    // many files: force a wide write so the entry holds >1 data file
+    (0 until 2000).map(i => (i.toLong, (i % 50).toLong)).toDF("id", "grp")
+      .repartition(16)
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "0")
+      .option("statsColumns", "id,grp").save()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val e0 = graft.core.EpochManifest.entries(spark, root).head
+    val statsP = graft.sources.EpochStoreStats.sidecarPath(root, e0.dir)
+    val body = {
+      val in = fs.open(statsP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val nFiles = graft.sources.EpochStoreStats.read(fs, root, e0.dir).size
+    assert(nFiles > 1, s"need a multi-file entry, got $nFiles")
+    assert(!body.contains("\"ndv\":"),
+      "stats.json must carry no per-file register vectors")
+    val entryNdv = graft.sources.EpochStoreStats.readEntryNdv(fs, root, e0.dir)
+    assert(entryNdv.keySet == Set("id", "grp"),
+      s"one merged sketch per stats column: ${entryNdv.keySet}")
+    // the merged sketch serves the same estimate the per-file fold did
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.LongType)))
+    val st = EpochStore.read(spark, root, schema)
+      .queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+    val ndv = st.attributeStats.toSeq
+      .collectFirst { case (a, cs) if a.name == "id" => cs }
+      .flatMap(_.distinctCount).get.toLong
+    assert(math.abs(ndv - 2000L) <= 200L, s"id ndv within error: $ndv")
+  }
 }
