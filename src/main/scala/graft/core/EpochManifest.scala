@@ -575,10 +575,15 @@ object EpochManifest {
   // data rewrite. Same versioned-CAS discipline as the columns log.
 
   /** One recorded table-level layout: identity partition columns in
-    * nesting order, optional hash-bucket spec (col, n). */
+    * nesting order, optional hash-bucket spec (col, n), optional
+    * time-unit/truncate transform level (canonical spelling, e.g.
+    * `days(ts)` — X93 composing with X92: the declared layout may
+    * carry a unit level; entries recorded under other specs degrade
+    * to unpruned-but-exact per-entry walks as ever). */
   final case class LayoutSpec(partCols: Seq[String],
                               bucketCol: Option[String],
-                              bucketCount: Int)
+                              bucketCount: Int,
+                              transform: Option[String] = None)
 
   private def layoutFiles(spark: SparkSession, root: String)
       : Seq[(Long, Path)] = {
@@ -612,7 +617,7 @@ object EpochManifest {
       val bn =
         if (!body.contains("\"bucketCount\":")) 0
         else body.split("\"bucketCount\":")(1).takeWhile(_.isDigit).toInt
-      LayoutSpec(pc, bc, bn)
+      LayoutSpec(pc, bc, bn, field("transform").filter(_.nonEmpty))
     }
     def attempt(retriesLeft: Int): Option[LayoutSpec] =
       layoutFiles(spark, root).lastOption match {
@@ -653,10 +658,14 @@ object EpochManifest {
       val old = layoutFiles(spark, root)
       val next = old.lastOption.map(_._1).getOrElse(0L) + 1L
       validate(currentLayout(spark, root))
+      spec.transform.foreach(t => require(!t.contains("\""),
+        s"transform spelling '$t' cannot be recorded"))
       val body = s"""{"partCols":"${spec.partCols.mkString(",")}"""" +
         spec.bucketCol.map(c =>
           s""","bucketCol":"$c","bucketCount":${spec.bucketCount}""")
-          .getOrElse("") + "}\n"
+          .getOrElse("") +
+        spec.transform.map(t => s""","transform":"$t"""").getOrElse("") +
+        "}\n"
       val tmp = new Path(manifestDir(root),
         s".layout.v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       fs.mkdirs(manifestDir(root))

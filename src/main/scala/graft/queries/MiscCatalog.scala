@@ -1946,6 +1946,56 @@ object MiscCatalog {
          |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** Spec evolution TO a time transform (`q_store_evolve_tp`, X92 ∘
+    * X93): half the events land identity-partitioned by event_type;
+    * `CALL evolve_layout(transform => 'days(ts)')` then declares a
+    * day-unit layout as METADATA ONLY, and the other half lands under
+    * `ts_day=` dirs. The probed aggregate carries a ts day-range: the
+    * evolved entry prunes to its matching unit dirs while the identity
+    * entry degrades to the unpruned-but-exact per-entry walk — DuckDB
+    * recomputes from the raw parquet, so a boundary mis-prune on the
+    * mixed snapshot fails cell-exact. */
+  def storeEvolveTp(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_sevtp_wh")
+      .toString
+    val root = s"$wh/ev"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+    graft.sources.EpochStore.write(ev.filter(col("event_id") % 2 === 0),
+      root, 0L, partitionColumn = "event_type")
+    val s2 = spark.newSession()
+    val c = s"graftsevtp$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.sql(s"CALL $c.system.evolve_layout('ev', " +
+      "transform => 'days(ts)')").collect()
+    Tables.events(s2, sfDir)
+      .filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .createOrReplaceTempView(s"sevtp_new_$run")
+    s2.sql(s"INSERT INTO $c.ev " +
+      s"SELECT event_id, ts, user_id, event_type FROM sevtp_new_$run")
+    s2.sql(
+      s"""SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+         |  MAX(event_id) AS max_id
+         |FROM $c.ev
+         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val storeEvolveTpSql: String =
+    """SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+      |  MAX(event_id) AS max_id
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Time-unit partition transforms (`q_store_timepart`, X93): the
     * events table lands under `PARTITIONED BY (days(ts),
     * bucket(8, user_id))` — the reference's own date-dir layout
@@ -2466,6 +2516,7 @@ object MiscCatalog {
     "q_store_migrate" -> (storeMigrate _),
     "q_store_spec_evolve" -> (storeSpecEvolve _),
     "q_store_timepart" -> (storeTimepart _),
+    "q_store_evolve_tp" -> (storeEvolveTp _),
     "q_store_restore" -> (storeRestore _),
     "q_store_call"    -> (storeCall _),
     "q_store_tag"     -> (storeTag _),
@@ -2529,6 +2580,7 @@ object MiscCatalog {
     "q_store_migrate" -> storeMigrateSql,
     "q_store_spec_evolve" -> storeMigrateSql,
     "q_store_timepart" -> storeTimepartSql,
+    "q_store_evolve_tp" -> storeEvolveTpSql,
     "q_store_restore" -> storeRestoreSql,
     "q_store_call"    -> storeCallSql,
     "q_store_tag"     -> storeTagSql,

@@ -157,6 +157,7 @@ final class EpochStoreTable(tableSchema: StructType,
     EpochManifest.currentLayout(spark, root).foreach { l =>
       m.put("layout",
         (l.partCols.map(c => s"identity($c)") ++
+          l.transform.toSeq ++
           l.bucketCol.map(c => s"bucket(${l.bucketCount}, $c)"))
           .mkString(", ") match { case "" => "(unpartitioned)"; case s => s })
       val fs = new Path(root).getFileSystem(
@@ -334,13 +335,16 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
         l.bucketCount))
       case None => EpochStore.bucketOf(options)
     }
-  /** The time-unit/truncate level ([[StoreTransform]], X93) — option-
-    * declared (the catalog serves it when every pinned entry records
-    * the same spelling); never on layout-log stores (writes refuse the
-    * combination). */
+  /** The time-unit/truncate level ([[StoreTransform]], X93) — the
+    * declared layout's transform on layout-log stores (X92 ∘ X93:
+    * entries under other transforms degrade to unpruned-but-exact),
+    * otherwise option-declared (the catalog serves it when every
+    * pinned entry records the same spelling). */
   private val transform: Option[StoreTransform] =
-    if (declaredLayout.nonEmpty) None
-    else EpochStore.transformOf(options).map { t =>
+    (declaredLayout match {
+      case Some(l) => l.transform.map(StoreTransform.parse)
+      case None => EpochStore.transformOf(options)
+    }).map { t =>
       tableSchema.fields.find(_.name == t.col).foreach(f =>
         StoreTransform.validate(t, f.dataType))
       t
@@ -3300,7 +3304,8 @@ object EpochStore {
   def evolveLayout(spark: SparkSession, root: String,
                    partitionColumns: Seq[String],
                    bucketColumn: Option[String],
-                   bucketCount: Int): String = {
+                   bucketCount: Int,
+                   transform: Option[String] = None): String = {
     val es = EpochManifest.entries(spark, root)
     require(es.nonEmpty, s"no committed manifest under $root")
     require(bucketColumn.isEmpty == (bucketCount <= 0),
@@ -3349,19 +3354,31 @@ object EpochStore {
         "metadata-only spec evolution does not compose with " +
         "merge-on-read deltas; use CALL migrate_layout (compact folds " +
         "live tombstones first)")
-    // time-unit/truncate transform entries don't compose either: the
-    // per-entry layout registry resolves (partCols, bucket) only — a
-    // transform entry on a layout-log store would be walked wrong
-    require(es.forall(e =>
-      EpochStoreWrite.readTransformSidecar(fs0, root, e.dir).isEmpty),
-      s"evolve_layout on $root: entries record a time-unit/truncate " +
-        "transform level — metadata-only spec evolution does not " +
-        "compose with transforms; use CALL migrate_layout (a physical " +
-        "rewrite) instead")
+    // TIME-UNIT/TRUNCATE transform target (X93 composing with X92):
+    // the declared layout may carry one unit level — parsed, typed, and
+    // collision-checked here. Entries recorded under OTHER transforms
+    // (or none) stay readable the usual mixed-spec way: a probe prunes
+    // unit dirs only where the entry records exactly the probed
+    // transform, and degrades to unpruned-but-exact everywhere else.
+    val transformSpec: Option[StoreTransform] =
+      transform.map(StoreTransform.parse)
+    transformSpec.foreach { t =>
+      require(schema.fieldNames.contains(t.col),
+        s"evolve_layout on $root: transform column ${t.col} is not in " +
+          s"the schema (${schema.fieldNames.mkString(", ")})")
+      StoreTransform.validate(t, schema(t.col).dataType)
+      require(!partitionColumns.contains(t.col),
+        s"evolve_layout on $root: ${t.col} cannot be both identity and " +
+          "transform column")
+      require(!bucketColumn.contains(t.col),
+        s"evolve_layout on $root: ${t.col} cannot be both bucket and " +
+          "transform column")
+    }
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val prev = EpochManifest.currentLayout(spark, root) match {
       case Some(l) =>
         (l.partCols.map(c => s"identity($c)") ++
+          l.transform.toSeq ++
           l.bucketCol.map(c => s"bucket(${l.bucketCount}, $c)"))
           .mkString(", ")
       case None =>
@@ -3371,7 +3388,13 @@ object EpochStore {
           .flatMap(r => splitPartCols(r._2)).distinct
         val bks = es.map(e =>
           EpochStoreWrite.readBucketSidecar(fs, root, e.dir)).distinct
+        val tfs = es.map(e =>
+          EpochStoreWrite.readTransformSidecar(fs, root, e.dir)).distinct
         (pcs.map(c => s"identity($c)") ++
+          (tfs match {
+            case Seq(Some(t)) => Seq(t.spelling)
+            case _ => Nil
+          }) ++
           (bks match {
             case Seq(Some(b)) => Seq(s"bucket(${b.n}, ${b.col})")
             case _ => Nil
@@ -3379,7 +3402,7 @@ object EpochStore {
     }
     EpochManifest.publishLayout(spark, root,
       EpochManifest.LayoutSpec(partitionColumns, bucketColumn,
-        math.max(bucketCount, 0)))
+        math.max(bucketCount, 0), transformSpec.map(_.spelling)))
     if (prev.isEmpty) "(unpartitioned)" else prev
   }
 

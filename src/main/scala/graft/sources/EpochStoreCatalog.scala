@@ -301,17 +301,19 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
           case _ => None
         }
       }
-      // the time-unit/truncate level is served only when EVERY pinned
-      // entry records the same spelling — a downgraded or mixed entry
-      // degrades the table to an unpruned (still exact) scan
-      val transform =
-        if (layoutLog.nonEmpty) None
-        else entries.map(e =>
+      // the time-unit/truncate level: a layout log's declared transform
+      // wins (X92 ∘ X93 — probes prune matching entries, foreign ones
+      // degrade to unpruned exact); otherwise served only when EVERY
+      // pinned entry records the same spelling
+      val transform = layoutLog match {
+        case Some(l) => l.transform.map(StoreTransform.parse)
+        case None => entries.map(e =>
           EpochStoreWrite.readTransformSidecar(fs, root, e.dir))
           .distinct match {
           case Seq(Some(t)) => Some(t)
           case _ => None
         }
+      }
       val opts = Map("path" -> root) ++
         partCol.map("partitionColumn" -> _) ++
         bucket.map(b => "bucketColumn" -> b.col) ++
@@ -367,14 +369,15 @@ class EpochStoreCatalog extends TableCatalog with SupportsNamespaces
               case _ => None
             }
           }
-          val transform =
-            if (layoutLog2.nonEmpty) None
-            else es.map(e =>
+          val transform = layoutLog2 match {
+            case Some(l) => l.transform.map(StoreTransform.parse)
+            case None => es.map(e =>
               EpochStoreWrite.readTransformSidecar(fs, root, e.dir))
               .distinct match {
               case Seq(Some(t)) => Some(t)
               case _ => None
             }
+          }
           val opts = Map("path" -> root) ++
             partCol.map("partitionColumn" -> _) ++
             bucket.map(b => "bucketColumn" -> b.col) ++

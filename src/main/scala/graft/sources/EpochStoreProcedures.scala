@@ -245,7 +245,11 @@ private[sources] object EpochStoreProcedures {
           .defaultValue("CAST(NULL AS STRING)")
           .comment("hash-bucket column for the new layout").build(),
         ProcedureParameter.in("bucket_count", IntegerType)
-          .defaultValue("0").build())) {
+          .defaultValue("0").build(),
+        ProcedureParameter.in("transform", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("time-unit/truncate level for the new layout, e.g. " +
+            "'days(ts)' or 'truncate(8, v)'").build())) {
         override def description(): String =
           "partition-spec evolution WITHOUT rewriting: publish a new " +
             "table-level layout as metadata only (Iceberg's mixed-spec " +
@@ -259,9 +263,11 @@ private[sources] object EpochStoreProcedures {
             .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
           val bCol = Option(str(input, 2)).map(_.trim).filter(_.nonEmpty)
           val bN = input.getInt(3)
-          val prev = EpochStore.evolveLayout(spark, root, pcs, bCol, bN)
+          val tf = Option(str(input, 4)).map(_.trim).filter(_.nonEmpty)
+          val prev = EpochStore.evolveLayout(spark, root, pcs, bCol, bN, tf)
           def render(pc: Seq[String], b: Option[(String, Int)]): String =
             (pc.map(c => s"identity($c)") ++
+              tf.map(t => StoreTransform.parse(t).spelling) ++
               b.map { case (c, n) => s"bucket($n, $c)" })
               .mkString(", ")
           result(StructType(Seq(

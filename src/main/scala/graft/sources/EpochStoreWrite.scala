@@ -612,14 +612,11 @@ final class EpochStoreBatchWrite(root: String, epoch: Long,
                                  transformSpec: Option[StoreTransform] = None)
     extends BatchWrite {
 
-  // partition-SPEC evolution and transform levels do not compose yet:
-  // the per-entry layout registry resolves (partCols, bucket) only —
-  // a transform entry on a layout-log store would be walked wrong
-  require(transformSpec.isEmpty ||
-    EpochManifest.currentLayout(SparkSession.active, root).isEmpty,
-    s"store $root has a layout log (CALL evolve_layout): transform " +
-      "levels do not compose with metadata-only spec evolution — " +
-      "CALL migrate_layout to a transform-free layout first")
+  // transform levels compose with metadata-only spec evolution (X92 ∘
+  // X93): a layout-log store accepts transform writes like any other —
+  // the entry records its own transform sidecar, probes prune its unit
+  // dirs exactly when they match the probed transform, and every other
+  // reader degrades to the unpruned-but-exact per-entry walk
 
   // fail a doomed job before any executor work; declaring the bloom
   // column early is safe — declared-but-sidecarless files always stay

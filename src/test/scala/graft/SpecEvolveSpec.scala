@@ -410,6 +410,77 @@ class SpecEvolveSpec extends SparkSpec {
     assert(j == Seq((7L, "seven"), (80L, "eighty")))
   }
 
+  test("evolve_layout composes with time transforms (X92 ∘ X93): " +
+      "identity(lang) -> days(ts) -> back, probes exact on the mixed " +
+      "store, new epochs prune under the declared unit level") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("sev11", wh)
+    val root = s"$wh/ev"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val langs = IndexedSeq("en", "de")
+    // epoch 0: the OLD spec — identity(lang) dirs, ts in files
+    val old = (0 until 24).map(i =>
+      (i.toLong, ts(f"2024-03-${10 + i % 4}%02d 06:00:00"), langs(i % 2)))
+    EpochStore.write(old.toDF("id", "ts", "lang"), root, 0L,
+      partitionColumn = "lang")
+
+    val res = spark.sql("CALL sev11.system.evolve_layout('ev', " +
+      "transform => 'days(ts)')").collect()
+    assert(res.head.getString(0).contains("identity(lang)"))
+    assert(res.head.getString(1) == "days(ts)")
+
+    // new epoch lands under ts_day unit dirs (lang now in the files)
+    spark.sql("INSERT INTO sev11.ev VALUES " +
+      (100 until 112).map(i =>
+        s"($i, TIMESTAMP '2024-03-${14 + i % 4} 08:00:00', " +
+          s"'${langs(i % 2)}')").mkString(", "))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val e1 = EpochManifest.entries(spark, root).maxBy(_.epoch)
+    val dayDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${e1.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dayDirs == (14 until 18).map(d => s"ts_day=2024-03-$d"),
+      s"the evolved write must land unit dirs: $dayDirs")
+
+    // probes exact across BOTH specs; the day probe prunes the new
+    // entry's unit dirs while the identity entry degrades to unpruned
+    val truth = old.map(t => (t._1, t._3)) ++
+      (100 until 112).map(i => (i.toLong, langs(i % 2)))
+    def got(w: String) = spark.sql(s"SELECT id, lang FROM sev11.ev $w")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got("") == truth.toSet)
+    val day = spark.sql("SELECT id FROM sev11.ev WHERE " +
+      "ts >= TIMESTAMP '2024-03-14 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-15 00:00:00'")
+    assert(day.collect().map(_.getLong(0)).toSet ==
+      (old.filter(t => t._2.toString.startsWith("2024-03-1") &&
+        t._2.getDate == 14).map(_._1) ++
+        (100 until 112).filter(i => 14 + i % 4 == 14).map(_.toLong)).toSet)
+    val (kept, total) = scanOf(day).selectedPartitionDirs
+    assert(kept < total,
+      s"the unit level must prune the evolved entry's dirs: $kept/$total")
+    assert(got("WHERE lang = 'de'") == truth.filter(_._2 == "de").toSet)
+
+    // DESCRIBE surfaces the composed layout
+    val props = spark.sql("DESCRIBE TABLE EXTENDED sev11.ev").collect()
+      .collectFirst { case r if r.getString(0) == "Table Properties" =>
+        r.getString(1) }.getOrElse("")
+    assert(props.contains("layout=days(ts)"), s"layout property: $props")
+
+    // evolve BACK to a transform-free identity layout: all three
+    // specs keep answering exactly
+    spark.sql("CALL sev11.system.evolve_layout('ev', " +
+      "partition_columns => 'lang')").collect()
+    spark.sql("INSERT INTO sev11.ev VALUES " +
+      "(200, TIMESTAMP '2024-03-20 01:00:00', 'en')")
+    assert(got("") == truth.toSet + ((200L, "en")))
+    assert(got("WHERE ts >= TIMESTAMP '2024-03-20 00:00:00'") ==
+      Set((200L, "en")))
+  }
+
   test("DESCRIBE surfaces the declared layout and the foreign-entry " +
       "count; normalization zeroes it") {
     import spark.implicits._

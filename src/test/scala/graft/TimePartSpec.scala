@@ -334,8 +334,8 @@ class TimePartSpec extends SparkSpec {
       s"audit: ${scanOf(probe).selectedPartitionDirs}")
   }
 
-  test("guards: transform on a layout-log store refuses; wrong types " +
-      "refuse; identity column cannot double as transform column") {
+  test("guards: wrong types refuse; transform writes COMPOSE with a " +
+      "layout log (the X92 mixed-spec posture: exact, per-entry)") {
     import spark.implicits._
     val wh = tmp()
     cat("tp7", wh)
@@ -346,15 +346,14 @@ class TimePartSpec extends SparkSpec {
       .option("bucketColumn", "id").option("bucketCount", "2").save()
     spark.sql("CALL tp7.system.evolve_layout('t', " +
       "bucket_column => 'id', bucket_count => 4)").collect()
-    val e = intercept[Exception] {
-      Seq((9L, "x")).toDF("id", "v")
-        .write.format("epochstore").mode("append")
-        .option("path", root).option("epoch", "1")
-        .option("transform", "truncate(2, v)").save()
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
-    assert(msgs.contains("layout log"), msgs)
+    // a transform write on the layout-log store lands as one more
+    // mixed-spec entry; reads stay exact across all three specs
+    Seq((9L, "xx")).toDF("id", "v")
+      .write.format("epochstore").mode("append")
+      .option("path", root).option("epoch", "1")
+      .option("transform", "truncate(2, v)").save()
+    assert(spark.sql("SELECT id FROM tp7.t").collect()
+      .map(_.getLong(0)).toSet == (0L until 4L).toSet + 9L)
     // hours over a DATE column refuses
     val e2 = intercept[Exception] {
       Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "d")
@@ -365,20 +364,25 @@ class TimePartSpec extends SparkSpec {
     val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
       .takeWhile(_ != null).map(String.valueOf).mkString("\n")
     assert(m2.contains("TIMESTAMP"), m2)
-    // evolve_layout refuses transform entries
+    // evolve_layout on a transform store: composes (the transform
+    // entries keep serving, unpruned under the new identity layout)
     cat("tp7b", wh)
     (0 until 4).map(i => (i.toLong, ts("2024-01-01 05:00:00")))
       .toDF("id", "ts")
       .write.format("epochstore").mode("append")
       .option("path", s"$wh/t3").option("epoch", "0")
       .option("transform", "days(ts)").save()
+    spark.sql("CALL tp7b.system.evolve_layout('t3', " +
+      "partition_columns => '')").collect()
+    assert(spark.sql("SELECT count(*) FROM tp7b.t3").head.getLong(0) == 4L)
+    // ...and an evolve TO a transform validates its column/type
     val e3 = intercept[Exception] {
       spark.sql("CALL tp7b.system.evolve_layout('t3', " +
-        "partition_columns => 'id')").collect()
+        "transform => 'days(id)')").collect()
     }
     val m3 = Iterator.iterate(e3: Throwable)(_.getCause)
       .takeWhile(_ != null).map(String.valueOf).mkString("\n")
-    assert(m3.contains("transform"), m3)
+    assert(m3.contains("TIMESTAMP") || m3.contains("DATE"), m3)
   }
 
   test("CALL compact PRESERVES the transform layout: the fold lands the " +
