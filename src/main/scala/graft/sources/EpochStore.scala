@@ -3696,10 +3696,12 @@ object EpochStore {
         org.apache.spark.sql.functions.month(dayDate))
       case "year" => format_string("%04d",
         org.apache.spark.sql.functions.year(dayDate))
+      case "trunc" if dt == org.apache.spark.sql.types.StringType =>
+        // callers admit this ONLY for dir-safe prefixes (see
+        // [[foldCovered]]'s safety probe): there hive's partitionBy
+        // and the connector's %XX escaping spell identically
+        org.apache.spark.sql.functions.substring(col(t.col), 1, t.width)
       case "trunc" =>
-        require(dt != org.apache.spark.sql.types.StringType,
-          s"$what: a string-truncate dir rewrite is not supported — " +
-            "write through the connector's transform option instead")
         (col(t.col).cast("long") -
           org.apache.spark.sql.functions.pmod(col(t.col).cast("long"),
             lit(t.width.toLong))).cast("string")
@@ -3893,10 +3895,31 @@ object EpochStore {
     val pcs = splitPartCols(partCol)
     def withUnitCol(df: DataFrame, t: StoreTransform)
         : (DataFrame, String) = unitDirColumn(df, t, merged, "compactStore")
-    // string-truncate degrades to a transform-less fold (see above)
-    val foldTransform = transformLayout.filterNot(t =>
-      t.kind == "trunc" &&
-        merged(t.col).dataType == org.apache.spark.sql.types.StringType)
+    // STRING truncate: the fold keeps the unit level exactly when every
+    // covered unit value is DIR-SAFE ([A-Za-z0-9._-], or the null dir)
+    // — on that alphabet hive's partitionBy and the connector's %XX
+    // escaping spell identically (and input_file_name's URL encoding is
+    // the identity), so the fold's dirs, sidecar rel keys, and overwrite
+    // prefix comparisons all stay canonical. Exotic prefixes (the
+    // documented %XX/hive disagreement) and empty-string values (hive
+    // conflates them with null) degrade transform-less — exact, just
+    // unpruned.
+    val foldTransform = transformLayout.filter { t =>
+      t.kind != "trunc" ||
+        merged(t.col).dataType != org.apache.spark.sql.types.StringType || {
+          val safe = "[A-Za-z0-9._\\-]+".r
+          def unitDirsSafe(p: Path): Boolean =
+            !fs.exists(p) || fs.listStatus(p).forall { st =>
+              if (!st.isDirectory) true
+              else if (st.getPath.getName.startsWith(t.dirPrefix)) {
+                val raw = st.getPath.getName.stripPrefix(t.dirPrefix)
+                raw == "__HIVE_DEFAULT_PARTITION__" ||
+                  safe.matches(raw)
+              } else unitDirsSafe(st.getPath) // identity levels above
+            }
+          covered.forall(e => unitDirsSafe(new Path(s"$root/${e.dir}")))
+        }
+    }
     bucketLayout match {
       case Some(b) =>
         // per-bucket fold: recompute each row's bucket with the
@@ -4013,13 +4036,18 @@ object EpochStore {
           kindOf(c)).toAggregateExpression()).as(s"__ndv_$c")))
     val perFile = back.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
-        // input_file_name's URI spelling (file:///…) differs from
-        // makeQualified's (file:/…) — anchor on the dir name instead of
-        // prefix-stripping a qualified path
+        // input_file_name's URI spelling (file:///… vs file:/…) varies —
+        // strip the scheme/authority, then the ANCHORED absolute dir
+        // prefix (a first-occurrence dir-name match would split at the
+        // wrong point when the store root itself contains a same-named
+        // segment)
         val uri = r.getString(0)
-        val anchor = uri.indexOf(s"/$dir/")
-        require(anchor >= 0, s"rewritten file outside $dir: $uri")
-        val rel = uri.substring(anchor + dir.length + 2)
+          .replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/]*)?", "")
+        val dirPath = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(s"$root/$dir")).toUri.getPath
+        require(uri.startsWith(dirPath + "/"),
+          s"rewritten file outside $dir: $uri")
+        val rel = uri.substring(dirPath.length + 1)
         val cols = statKinds.map { case (c, kind) =>
           // Spark's min/max on StringType compares UTF8String bytes —
           // the same UTF-8 binary order the skip probe uses, so the

@@ -424,6 +424,56 @@ class TimePartSpec extends SparkSpec {
     assert(sel == 2 && tot == 5 + 2, s"audit: ($sel, $tot)")
   }
 
+  test("CALL compact preserves a STRING-truncate layout when every " +
+      "prefix is dir-safe; an exotic prefix degrades transform-less " +
+      "but stays exact") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("tp8s", wh)
+    // safe alphabet: fold keeps the unit dirs, pruning survives
+    val rootS = s"$wh/s"
+    def write(root: String, epoch: Int, words: Seq[String]): Unit =
+      words.zipWithIndex.map { case (w, i) =>
+        ((epoch * 100 + i).toLong, w) }.toDF("id", "w")
+        .write.format("epochstore").mode("append")
+        .option("path", root).option("epoch", epoch.toString)
+        .option("transform", "truncate(2, w)").save()
+    write(rootS, 0, Seq("apple", "apricot", "banana"))
+    write(rootS, 1, Seq("blueberry", "cherry", "avocado"))
+    spark.sql("CALL tp8s.system.compact('s')").collect()
+    val fs = new org.apache.hadoop.fs.Path(rootS).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val es = graft.core.EpochManifest.entries(spark, rootS)
+    assert(es.size == 1)
+    val dirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$rootS/${es.head.dir}"))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dirs == Seq("w_trunc=ap", "w_trunc=av", "w_trunc=ba",
+      "w_trunc=bl", "w_trunc=ch"),
+      s"safe-prefix fold must keep the unit dirs: $dirs")
+    val ap = spark.sql("SELECT w FROM tp8s.s WHERE w = 'apricot'")
+    assert(ap.head.getString(0) == "apricot")
+    assert(scanOf(ap).selectedPartitionDirs == (1, 5),
+      s"audit: ${scanOf(ap).selectedPartitionDirs}")
+    // exotic prefixes (space — hive and %XX escaping disagree): the
+    // fold lands transform-less, every row still served exactly
+    val rootX = s"$wh/x"
+    write(rootX, 0, Seq("a b", "a c", "zz top"))
+    write(rootX, 1, Seq("npm pkg", "plain"))
+    spark.sql("CALL tp8s.system.compact('x')").collect()
+    val esX = graft.core.EpochManifest.entries(spark, rootX)
+    assert(esX.size == 1)
+    val allX = spark.sql("SELECT w FROM tp8s.x ORDER BY w")
+    assert(scanOf(allX).transform.isEmpty,
+      "exotic prefixes must degrade the fold to transform-less")
+    assert(allX.collect()
+      .map(_.getString(0)).toSeq ==
+      Seq("a b", "a c", "npm pkg", "plain", "zz top"))
+    assert(spark.sql("SELECT count(*) FROM tp8s.x WHERE w = 'a b'")
+      .head.getLong(0) == 1L)
+  }
+
   test("CALL migrate_layout(transform => 'days(ts)') ADOPTS the unit " +
       "layout on an existing store: unit dirs land, probes prune, the " +
       "catalog serves the transform, answers exact") {
