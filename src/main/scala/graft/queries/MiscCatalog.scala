@@ -2487,6 +2487,51 @@ object MiscCatalog {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM ev GROUP BY change ORDER BY change""".stripMargin
 
+  /** Position-delta MoR MERGE on an IDENTITY-LESS store
+    * (`q_store_update_dv`, X99 — the Iceberg `_file`/`_pos` shape):
+    * under DV mode, MERGE matched rows land as position journal +
+    * reinserted rows in ONE O(matched) entry — history dirs
+    * byte-untouched, no group rewrite, no declared rowid. The exact
+    * merge `q_store_merge_mor` runs on a rowid store runs here
+    * positionally, and shares its oracle — a resurrection, a lost
+    * update, or a double-applied journal fails cell-exact. */
+  def storeUpdateDv(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_udv_wh")
+      .toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs, root, 0L,
+      partitionColumn = "lang")
+    val s2 = spark.newSession()
+    val c = s"graftudv$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    val en = Tables.documents(s2, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    val src = en.select(col("doc_id"), (col("n_chars") * 2).as("n_chars"),
+        col("lang"))
+      .union(en.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("n_chars"), lit("xx").as("lang")))
+    src.createOrReplaceTempView(s"udv_src_$run")
+    s2.conf.set(graft.sources.EpochStoreDv.EnabledConf, "true")
+    try s2.sql(
+      s"""MERGE INTO $c.docs t USING udv_src_$run s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
+         |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+    finally s2.conf.unset(graft.sources.EpochStoreDv.EnabledConf)
+    s2.sql(
+      s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+         |FROM $c.docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val storeMergeSql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
@@ -2522,6 +2567,7 @@ object MiscCatalog {
     "q_store_tag"     -> (storeTag _),
     "q_store_merge"   -> (storeMerge _),
     "q_store_merge_mor" -> (storeMergeMor _),
+    "q_store_update_dv" -> (storeUpdateDv _),
     "q_store_cdf"     -> (storeCdf _),
     "q_store_cdf_dv"  -> (storeCdfDv _),
     "q_store_rewrite" -> (storeRewrite _),
@@ -2586,6 +2632,7 @@ object MiscCatalog {
     "q_store_tag"     -> storeTagSql,
     "q_store_merge"   -> storeMergeSql,
     "q_store_merge_mor" -> storeMergeSql,
+    "q_store_update_dv" -> storeMergeSql,
     "q_store_cdf"     -> storeCdfSql,
     "q_store_cdf_dv"  -> storeCdfDvSql,
     "q_store_rewrite" -> storeRewriteSql,

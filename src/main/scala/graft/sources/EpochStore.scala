@@ -202,6 +202,21 @@ final class EpochStoreTable(tableSchema: StructType,
         override def comment(): String =
           "changefeed change type: insert (data row) or delete " +
             "(equality tombstone)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = EpochStore.RowFileColName
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "root-relative data file path of this row (row lineage)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = EpochStore.RowPosColName
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "parquet row index of this row within its file (row lineage)"
       })
 
   override def capabilities(): util.Set[TableCapability] =
@@ -283,11 +298,17 @@ final class EpochStoreTable(tableSchema: StructType,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     // a declared row identity routes UPDATE/MERGE/DELETE merge-on-read
-    // ([[EpochStoreDelta]] — one delta epoch at delta cost); stores
-    // without one keep the group-based copy-on-write rewrite
+    // ([[EpochStoreDelta]] — one delta epoch at delta cost); an
+    // IDENTITY-LESS store under `spark.graft.deleteVectors.enabled`
+    // routes through POSITION deltas instead (X99 — O(matched) journal
+    // + reinserts, [[EpochStoreDvOperation]]); everything else keeps
+    // the group-based copy-on-write rewrite
     val keys = EpochStoreDelta.morKeysOf(SparkSession.active, options)
     if (keys.nonEmpty)
       new EpochStoreDeltaOperationBuilder(tableSchema, options, info, keys)
+    else if (java.lang.Boolean.parseBoolean(SparkSession.active.conf
+      .get(EpochStoreDv.EnabledConf, "false")))
+      new EpochStoreDvOperationBuilder(tableSchema, options, info)
     else new EpochStoreRowLevelOperationBuilder(tableSchema, options, info)
   }
 
@@ -595,7 +616,9 @@ final class EpochStoreScanBuilder(tableSchema: StructType,
     dataFilters = rest.filter(f =>
       !f.references.exists(partCols.contains) &&
         !f.references.contains(EpochStore.EpochColName) &&
-        !f.references.contains(EpochStore.ChangeColName))
+        !f.references.contains(EpochStore.ChangeColName) &&
+        !f.references.contains(EpochStore.RowFileColName) &&
+        !f.references.contains(EpochStore.RowPosColName))
     // PARTITION-SPEC evolution: a store with a layout log may hold
     // entries whose files carry the current partition columns IN-ROW —
     // a claimed-exact dir filter would silently pass their rows, so
@@ -786,13 +809,33 @@ final case class EpochStoreScan(
   private val changeRequested: Boolean =
     required.fieldNames.contains(EpochStore.ChangeColName)
 
+  /** ROW-LINEAGE columns (X99): `_row_file` (root-relative path — a
+    * per-file constant) and `_row_pos` (the parquet row index, widened
+    * in and SERVED) — the position identity the identity-less MoR
+    * operations key on; selectable by any query. Not served on
+    * row-identity stores (their delta ops key on the declared rowid;
+    * MoR row drops would also make positions non-contiguous to the
+    * served rows) or in CDC mode (tombstone-event rows have no data
+    * position). */
+  private val fileRequested: Boolean =
+    required.fieldNames.contains(EpochStore.RowFileColName)
+  private val posRequested: Boolean =
+    required.fieldNames.contains(EpochStore.RowPosColName)
+  require(!(fileRequested || posRequested) ||
+    (mergeKeys.isEmpty && !changeRequested),
+    s"row-lineage columns (${EpochStore.RowFileColName}/" +
+      s"${EpochStore.RowPosColName}) are not served on row-identity " +
+      "stores or in changefeed mode")
+
   /** Files hold every column EXCEPT the partition-dir columns. */
   private val dataSchema: StructType =
     StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
   private val readDataSchema: StructType =
     StructType(required.filterNot(f =>
       partCols.contains(f.name) || f.name == EpochStore.EpochColName ||
-        f.name == EpochStore.ChangeColName)
+        f.name == EpochStore.ChangeColName ||
+        f.name == EpochStore.RowFileColName ||
+        f.name == EpochStore.RowPosColName)
       // re-attach the TABLE's field metadata (EXISTS_DEFAULT et al.) —
       // column pruning may hand back bare fields, and the parquet
       // readers fill missing columns from the requested schema's
@@ -817,11 +860,21 @@ final case class EpochStoreScan(
       (if (changeRequested)
         Seq(StructField(EpochStore.ChangeColName,
           org.apache.spark.sql.types.StringType, nullable = false))
+      else Nil) ++
+      (if (fileRequested)
+        Seq(StructField(EpochStore.RowFileColName,
+          org.apache.spark.sql.types.StringType, nullable = false))
       else Nil))
 
-  // the file-source output convention: data columns then constant columns
+  // the file-source output convention: data columns then constant
+  // columns; the served ROW INDEX (a pseudo-data column the parquet
+  // readers generate) sits between them
   override def readSchema(): StructType =
-    StructType(readDataSchema ++ constSchema)
+    StructType(readDataSchema ++
+      (if (posRequested)
+        Seq(StructField(EpochStore.RowPosColName, LongType,
+          nullable = true)) else Nil) ++
+      constSchema)
 
   /** MERGE-ON-READ: the pinned snapshot's equality tombstones
     * ([[EpochStoreDelta]]), loaded once per scan (driver, delta-sized —
@@ -859,10 +912,11 @@ final case class EpochStoreScan(
   private def dvFiltering: Boolean = dvTargets.nonEmpty
   @transient private lazy val readDataEff: StructType =
     if (morFiltering) StructType(readDataSchema ++ morAddedFields)
-    else if (dvFiltering)
+    else if (dvFiltering || posRequested)
       // widen the parquet ROW INDEX in (the TEMPORARY-column marker the
       // parquet readers generate, split-safe, rather than reading) —
-      // the DV wrapper filters on it and projects it away
+      // the DV wrapper filters on it, and a requested `_row_pos`
+      // SERVES it (the declared readSchema names it at this position)
       StructType(readDataSchema :+ StructField(
         org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
@@ -1375,11 +1429,18 @@ final case class EpochStoreScan(
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
+  /** Driver-side fs for per-file constant derivation (row lineage). */
+  @transient private lazy val constFs =
+    new Path(root).getFileSystem(
+      GraftBridge.sessionHadoopConf(SparkSession.active))
+
   private def constantsOf(lf: EpochStore.ListedFile): Array[Any] = {
     val b = Array.newBuilder[Any]
     requestedPartIdx.foreach(i => b += lf.values(i))
     if (epochRequested) b += lf.epoch
     if (changeRequested) b += (if (lf.isDelete) "delete" else "insert")
+    if (fileRequested)
+      b += (lf.entryDir + "/" + EpochStore.relOf(constFs, root, lf))
     b.result()
   }
 
@@ -1764,7 +1825,8 @@ final case class EpochStoreScan(
       : (Seq[StructField], Seq[StructField], Seq[StructField]) = {
     val declaredAll = readDataEff.fields ++ constEff.fields
     val dirServed = pcE.toSet
-    val extraNames = Set(EpochStore.EpochColName, EpochStore.ChangeColName)
+    val extraNames = Set(EpochStore.EpochColName, EpochStore.ChangeColName,
+      EpochStore.RowFileColName)
     val dataF = declaredAll.toSeq.filter(f =>
       !dirServed(f.name) && !extraNames(f.name))
     val dirF = pcE.flatMap(c => declaredAll.find(_.name == c))
@@ -1789,6 +1851,8 @@ final case class EpochStoreScan(
       idx.foreach(i => b += lf.values(i))
       if (epochRequested) b += lf.epoch
       if (changeRequested) b += (if (lf.isDelete) "delete" else "insert")
+      if (fileRequested)
+        b += (lf.entryDir + "/" + EpochStore.relOf(constFs, root, lf))
       if (morFiltering && !epochRequested) b += (lf.epoch: Any)
       b.result()
     }
@@ -1848,7 +1912,8 @@ final case class EpochStoreScan(
           val produced = (dataF ++ dirF ++
             constEff.fields.toSeq.filter(f =>
               f.name == EpochStore.EpochColName ||
-                f.name == EpochStore.ChangeColName)).map(_.name)
+                f.name == EpochStore.ChangeColName ||
+                f.name == EpochStore.RowFileColName)).map(_.name)
           val perm = declared.map(f => produced.indexOf(f.name))
           require(perm.forall(_ >= 0),
             s"layout profile lost a declared column: " +
@@ -1891,17 +1956,22 @@ final case class EpochStoreScan(
     else {
       // TARGETED partitions read with the row index widened at n0; the
       // DV wrapper drops their dead ordinals and projects the index
-      // away. UNTARGETED partitions route to a PLAIN factory — no
-      // index column, no per-row copy ([[EpochStoreDv.DvRoutingFactory]]).
+      // away — unless `_row_pos` is itself served, in which case it
+      // stays. UNTARGETED partitions route to a PLAIN factory — no
+      // index column (unless served), no per-row copy
+      // ([[EpochStoreDv.DvRoutingFactory]]).
       val n0 = readDataSchema.size
       val total = n0 + 1 + constEff.size
-      val outIdx = ((0 until n0) ++ (n0 + 1 until total)).toArray
+      val outIdx =
+        (if (posRequested) 0 until total
+        else (0 until n0) ++ (n0 + 1 until total)).toArray
       val outTypes = outIdx.map { i =>
         if (i < n0) readDataSchema.fields(i).dataType
+        else if (i == n0) LongType
         else constEff.fields(i - n0 - 1).dataType
       }
       new EpochStoreDv.DvRoutingFactory(
-        delegatingFor(readDataSchema),
+        delegatingFor(if (posRequested) readDataEff else readDataSchema),
         new EpochStoreDv.DvFilteringFactory(delegatingFor(readDataEff),
           rowIdxPos = n0, outIdx, outTypes))
     }
@@ -2026,6 +2096,15 @@ object EpochStore {
     * it reads the RAW change stream — merge-on-read tombstone
     * resolution is off by definition. */
   val ChangeColName = "_change_type"
+
+  /** ROW-LINEAGE metadata columns (X99 — the Iceberg `_file`/`_pos`
+    * shape): `_row_file` is the row's root-relative data file path (a
+    * per-file constant), `_row_pos` its parquet row index (widened in
+    * and SERVED — split-safe, global within the file). Together they
+    * are the POSITION identity the identity-less merge-on-read
+    * operations key on; selectable by any query. */
+  val RowFileColName = "_row_file"
+  val RowPosColName = "_row_pos"
 
   /** The declared partition columns, in nesting order: `partitionColumn`
     * takes one or a comma-separated list (`"date,lang"` materializes

@@ -99,7 +99,8 @@ private[graft] object EpochStoreDv {
   private[sources] def declared(spark: SparkSession, root: String): Boolean =
     markerState(spark, root) != MarkerAbsent
 
-  private def publishMarker(spark: SparkSession, root: String): Unit = {
+  private[sources] def publishMarker(spark: SparkSession, root: String)
+      : Unit = {
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     if (!fs.exists(markerPath(root))) {
       fs.mkdirs(markerPath(root).getParent)
@@ -126,7 +127,7 @@ private[graft] object EpochStoreDv {
       "^" + java.util.regex.Pattern.quote(dirPath + "/"), "")
   }
 
-  private val dvSchema = StructType(Seq(
+  private[sources] val dvSchema = StructType(Seq(
     StructField("target_dir", StringType, nullable = false),
     StructField("target_rel", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
