@@ -294,16 +294,19 @@ private[graft] object EpochStoreDv {
       val pf = rec.toSeq.flatMap { case (s, pc) =>
         EpochStore.splitPartCols(pc).map(c => s(c)) }
       val fate0 = EpochStoreDml.classify(spark, fs, root, e, pf, filters)
-      // an entry CARRYING `_dv` position files never drops here: a
-      // prior DV journal has no visible data rows, so an epoch-aligned
-      // predicate (`DELETE WHERE _epoch >= n`) can classify it AllDead
-      // — dropping it would discard its position files and silently
-      // RESURRECT the rows that earlier DV delete removed. Its journal
-      // stays live (compaction folds and sheds it); the rows a data
-      // entry loses to THIS delete are covered by the new journal.
+      // an entry CARRYING `_dv` position files never DROPS here: an
+      // epoch-aligned predicate (`DELETE WHERE _epoch >= n`) can
+      // classify a journal-bearing entry AllDead, and dropping it
+      // would discard its position files — silently RESURRECTING the
+      // rows an earlier DV delete removed. It demotes to MIXED
+      // instead: the entry survives (journal intact — compaction folds
+      // and sheds it) and its own matching DATA rows, if any (a
+      // position-delta UPDATE entry holds both), still die by position
+      // through THIS delete's journal. A pure journal entry reads as
+      // zero rows and contributes zero positions.
       val fate =
-        if (fate0 != EpochStoreDml.Untouched &&
-          dvPathsOf(spark, fs, root, e).nonEmpty) EpochStoreDml.Untouched
+        if (fate0 == EpochStoreDml.AllDead &&
+          dvPathsOf(spark, fs, root, e).nonEmpty) EpochStoreDml.Mixed
         else fate0
       e -> fate
     }
