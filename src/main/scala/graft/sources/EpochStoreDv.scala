@@ -316,6 +316,12 @@ private[graft] object EpochStoreDv {
     }
     val mixed = fates.collect { case (e, EpochStoreDml.Mixed) => e }
     if (mixed.isEmpty) return survivors
+    // rows ALREADY DEAD under live journals must never re-match: the
+    // raw per-entry read sees them, the condition can match them, and
+    // a re-recorded position would make the changefeed synthesize a
+    // SECOND delete event for a row the consumer already dropped —
+    // anti-joined out below (broadcast, delta-sized)
+    val livePaths = dvPathsFor(spark, root, es)
     // matched positions, per mixed entry: the file path + in-file row
     // index come from the file-source metadata column — exactly what
     // the scan-side row-index application replays
@@ -338,13 +344,25 @@ private[graft] object EpochStoreDv {
               case None => d.withColumn(c, lit(null))
             }
         }
-      base
+      val withLineage = base
         .withColumn("__graft_f", input_file_name())
         .withColumn("__graft_i", col("_metadata.row_index"))
+        .withColumn("__graft_rel",
+          relUnder(fs, root, e.dir, col("__graft_f")))
+      val alive =
+        if (livePaths.isEmpty) withLineage
+        else withLineage.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.schema(dvSchema).parquet(livePaths: _*)
+              .filter(col("target_dir") === e.dir)
+              .select(col("target_rel").as("__graft_rel"),
+                col("pos").as("__graft_i"))),
+          Seq("__graft_rel", "__graft_i"), "left_anti")
+      alive
         // SQL DELETE kills rows where the condition is TRUE only
         .filter(coalesce(cond, lit(false)))
         .select(lit(e.dir).as("target_dir"),
-          relUnder(fs, root, e.dir, col("__graft_f")).as("target_rel"),
+          col("__graft_rel").as("target_rel"),
           col("__graft_i").as("pos"))
     }
     val positions = perEntry.reduce(_ unionByName _)

@@ -444,6 +444,44 @@ class DvDeleteSpec extends SparkSpec {
     } finally spark.conf.unset(EpochStoreDv.MaxDriverPositionsConf)
   }
 
+  test("overlapping DV DELETEs journal DISJOINT positions — a row dies " +
+      "once, and the CDC feed carries exactly ONE delete event for it") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv12", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    val g1 = EpochManifest.generations(spark, root).last
+    dvOn {
+      spark.sql("DELETE FROM dv12.t WHERE id >= 10 AND id < 30")
+      // overlaps [20, 30): those rows are ALREADY dead — the second
+      // journal must not re-record them
+      spark.sql("DELETE FROM dv12.t WHERE id >= 20 AND id < 40")
+    }
+    val fs = hfs(root)
+    val es = EpochManifest.entries(spark, root).filter(_.dv.nonEmpty)
+      .sortBy(_.epoch)
+    assert(es.size == 2)
+    def positions(e: EpochManifest.Entry): Long =
+      spark.read.parquet(EpochStoreDv.dvFiles(fs, root, e.dir)
+        .map(_.toString): _*).count()
+    assert(positions(es.head) == 20L, "first journal: ids 10..29")
+    assert(positions(es.last) == 10L,
+      "second journal must hold ONLY the newly-dead ids 30..39")
+    // CDC: one delete event per dead row, payload exact
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val feed = EpochStore.readChanges(spark, root, schema, g1).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(feed.length == 30, s"one event per dead row: ${feed.length}")
+    assert(feed.map(_._1).toSet == (10L until 40L).toSet &&
+      feed.forall(_._2 == "delete"))
+  }
+
   test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
       "SERVED existence default, not a phantom null") {
     import spark.implicits._
