@@ -120,4 +120,93 @@ class DvFuzzSpec extends SparkSpec {
       "the final fold must shed every journal")
     assert(compacts + 1 > 0)
   }
+
+  test("a 30-op storm over a PARTITIONED store: partition-aligned " +
+      "metadata drops, cross-dir position-delta updates, and range " +
+      "deletes compose against the truth") {
+    import spark.implicits._
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.dvfz2",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvfz2.warehouse", wh)
+    val root = s"$wh/t"
+    val rnd = new scala.util.Random(424242L)
+    val langs = IndexedSeq("en", "de", "fr")
+
+    // truth: id -> (n, lang)
+    val truth = scala.collection.mutable.LinkedHashMap[Long, (Long, String)]()
+    var nextId = 0L
+    var epoch = 0L
+
+    def append(k: Int): Unit = {
+      val rows = (0 until k).map { _ =>
+        val id = nextId; nextId += 1
+        (id, rnd.nextLong(1000L), langs(rnd.nextInt(3)))
+      }
+      rows.foreach { case (id, n, l) => truth(id) = (n, l) }
+      EpochStore.write(rows.toDF("id", "n", "lang"), root, epoch,
+        partitionColumn = "lang")
+      epoch += 1
+    }
+
+    def dvOn[A](body: => A): A = {
+      spark.conf.set(EpochStoreDv.EnabledConf, "true")
+      try body finally spark.conf.unset(EpochStoreDv.EnabledConf)
+    }
+
+    def check(tag: String): Unit = {
+      val got = spark.sql("SELECT id, n, lang FROM dvfz2.t").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+      assert(got == truth.toMap,
+        s"$tag diverged: sizes got=${got.size} want=${truth.size} " +
+          s"missing=${(truth.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- truth.keySet).take(5)} " +
+          s"valueDiff=${truth.collect { case (k, v)
+            if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(5)}")
+    }
+
+    append(rnd.between(60, 120))
+    def bumpEpoch(): Unit =
+      epoch = EpochManifest.entries(spark, root)
+        .map(_.epoch).maxOption.getOrElse(-1L) + 1
+    (0 until 30).foreach { op =>
+      val hi = if (nextId == 0) 1L else nextId
+      rnd.nextInt(10) match {
+        case 0 | 1 =>
+          append(rnd.between(20, 60))
+        case 2 | 3 =>
+          // id-range delete: MIXED entries journal, whole-dead drop
+          val a = rnd.nextLong(hi)
+          val b = math.min(hi, a + rnd.between(1L, hi / 2 + 1))
+          dvOn { spark.sql(
+            s"DELETE FROM dvfz2.t WHERE id >= $a AND id < $b") }
+          (a until b).foreach(truth.remove)
+          bumpEpoch()
+        case 4 =>
+          // partition-aligned delete: all-dead leafs drop metadata-only
+          val l = langs(rnd.nextInt(3))
+          dvOn { spark.sql(s"DELETE FROM dvfz2.t WHERE lang = '$l'") }
+          truth.filterInPlace { case (_, (_, tl)) => tl != l }
+          bumpEpoch()
+        case 5 | 6 | 7 =>
+          // cross-dir position-delta UPDATE: matched rows change lang
+          val a = rnd.nextLong(hi)
+          val b = math.min(hi, a + rnd.between(1L, hi / 3 + 1))
+          val to = langs(rnd.nextInt(3))
+          dvOn { spark.sql(
+            s"UPDATE dvfz2.t SET lang = '$to', n = n + 7 " +
+              s"WHERE id >= $a AND id < $b") }
+          (a until b).foreach(id => truth.get(id).foreach {
+            case (n, _) => truth(id) = (n + 7, to)
+          })
+          bumpEpoch()
+        case 8 | 9 =>
+          spark.sql("CALL dvfz2.system.compact('t')").collect()
+          bumpEpoch()
+      }
+      check(s"op $op")
+    }
+    spark.sql("CALL dvfz2.system.compact('t')").collect()
+    check("final compact")
+  }
 }
