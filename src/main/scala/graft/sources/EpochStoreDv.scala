@@ -431,6 +431,10 @@ private[graft] object EpochStoreDv {
       input_file_name, lit}
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val byDir = head.map(e => e.dir -> e).toMap
+    // RENAME history: the caller's schema spells LOGICAL names while a
+    // pre-rename target records the PHYSICAL ones — resolve per entry
+    // (the alias chains, X85) or the payloads would silently null
+    val aliases = EpochStore.columnAliases(spark, root)
     val frames = journals.sortBy(_.epoch).flatMap { j =>
       val dvPaths = dvPathsOf(spark, fs, root, j)
         .map(p => fs.makeQualified(p).toString)
@@ -468,8 +472,10 @@ private[graft] object EpochStoreDv {
                 // a column the target predates serves what its rows
                 // SERVED: the existence default if one is recorded,
                 // null otherwise — the delete event must carry the
-                // payload the consumer ingested
-                (if (have.contains(f.name)) col(f.name)
+                // payload the consumer ingested. Historical PHYSICAL
+                // spellings resolve through the alias chains.
+                val phys = aliases.resolve(f.name, have)
+                (if (have.contains(phys)) col(phys)
                 else if (f.metadata.contains("EXISTS_DEFAULT"))
                   expr(f.metadata.getString("EXISTS_DEFAULT"))
                     .cast(f.dataType)

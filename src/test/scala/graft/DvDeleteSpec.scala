@@ -482,6 +482,30 @@ class DvDeleteSpec extends SparkSpec {
       feed.forall(_._2 == "delete"))
   }
 
+  test("a RENAME landing after a journal: synthesized delete events " +
+      "resolve the targets' historical spelling — payloads exact under " +
+      "the new name") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv13", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 50).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    val g1 = EpochManifest.generations(spark, root).last
+    dvOn { spark.sql("DELETE FROM dv13.t WHERE id < 10") }
+    spark.sql("ALTER TABLE dv13.t RENAME COLUMN v TO w")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType)))
+    val feed = EpochStore.readChanges(spark, root, schema, g1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = (0 until 10).map(i => (i.toLong, s"v$i", "delete")).toSet
+    assert(feed == want,
+      s"extra=${feed -- want} missing=${want -- feed}")
+  }
+
   test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
       "SERVED existence default, not a phantom null") {
     import spark.implicits._
