@@ -208,6 +208,43 @@ class DvUpdateSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
 
+  test("a position-delta UPDATE over a MIXED-SPEC snapshot (X99 ∘ X92): " +
+      "foreign-layout targets journal by position, reinserts land under " +
+      "the current layout, answers exact") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dvu6", wh)
+    val root = s"$wh/t"
+    // epoch 0 under identity(lang); then evolve to bucket(4, id) —
+    // the old entry reads through a foreign-layout profile
+    EpochStore.write((0 until 60).map(i =>
+      (i.toLong, i * 2L, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "n", "lang"), root, 0L, partitionColumn = "lang")
+    spark.sql("CALL dvu6.system.evolve_layout('t', " +
+      "bucket_column => 'id', bucket_count => 4)").collect()
+    spark.sql("INSERT INTO dvu6.t VALUES " +
+      (100 until 112).map(i =>
+        s"($i, ${i * 2}, '${if (i % 2 == 0) "en" else "de"}')")
+        .mkString(", "))
+    dvOn {
+      spark.sql("UPDATE dvu6.t SET n = n + 1 WHERE id < 5 OR id >= 110")
+    }
+    val got = spark.sql("SELECT id, n, lang FROM dvu6.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val ids = (0 until 60).map(_.toLong) ++ (100 until 112).map(_.toLong)
+    val want = ids.map { i =>
+      val n = if (i < 5 || i >= 110) i * 2 + 1 else i * 2
+      (i, n, if (i % 2 == 0) "en" else "de")
+    }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the journal targeted BOTH the foreign-layout entry and the
+    // bucketed one; compact normalizes everything
+    assert(EpochManifest.entries(spark, root).maxBy(_.epoch).dv.nonEmpty)
+    spark.sql("CALL dvu6.system.compact('t')").collect()
+    assert(spark.sql("SELECT id, n, lang FROM dvu6.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == want)
+  }
+
   test("position-delta DELETE handles conditions the metadata path " +
       "cannot translate (subquery) at O(matched); racing commits " +
       "refuse the strict snapshot") {
