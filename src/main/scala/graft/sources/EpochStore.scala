@@ -3111,13 +3111,25 @@ object EpochStore {
     * append-only store case, at delta cost. Fails loudly when a
     * compaction folded across the boundary (the delta is gone) or the
     * base generation was gc'd. */
+  /** `untilGeneration` BOUNDS the feed (Delta CDF's
+    * startingVersion/endingVersion shape): the delta covers exactly the
+    * epochs committed after `sinceGeneration` up to and including the
+    * RETAINED generation `untilGeneration` (default -1 = the head) —
+    * a consumer can page history windows deterministically. */
   def changes(spark: SparkSession, root: String, schema: StructType,
               sinceGeneration: Long,
-              partitionColumn: String = null): DataFrame = {
+              partitionColumn: String = null,
+              untilGeneration: Long = -1L): DataFrame = {
     val gens = EpochManifest.generations(spark, root)
     require(gens.nonEmpty, s"no committed manifest under $root")
+    if (untilGeneration >= 0L)
+      require(gens.contains(untilGeneration),
+        s"epochstore changefeed over $root: untilGeneration " +
+          s"$untilGeneration is not a retained generation " +
+          s"(${gens.mkString(", ")})")
     changesAt(spark, root, schema, sinceGeneration, partitionColumn,
-      asOf = gens.last, dvHandled = false)
+      asOf = if (untilGeneration >= 0L) untilGeneration else gens.last,
+      dvHandled = false)
   }
 
   /** The pinned raw feed [[changes]]/[[readChanges]] share. `dvHandled`
@@ -3162,12 +3174,19 @@ object EpochStore {
     * or the feed by key. */
   def readChanges(spark: SparkSession, root: String, schema: StructType,
                   sinceGeneration: Long,
-                  partitionColumn: String = null): DataFrame = {
+                  partitionColumn: String = null,
+                  untilGeneration: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, sum, when}
     val gens = EpochManifest.generations(spark, root)
     require(gens.nonEmpty, s"no committed manifest under $root")
+    if (untilGeneration >= 0L)
+      require(gens.contains(untilGeneration),
+        s"epochstore changefeed over $root: untilGeneration " +
+          s"$untilGeneration is not a retained generation " +
+          s"(${gens.mkString(", ")})")
+    val upto = if (untilGeneration >= 0L) untilGeneration else gens.last
     val t = changesAt(spark, root, schema, sinceGeneration, partitionColumn,
-      asOf = gens.last, dvHandled = true)
+      asOf = upto, dvHandled = true)
     val raw0 = t.select(schema.fieldNames.map(col).toSeq :+
       col(ChangeColName) :+ col(EpochColName): _*)
     // X94: position-delete journals committed since the base deleted
@@ -3176,7 +3195,7 @@ object EpochStore {
     val dvDeletes: Option[DataFrame] =
       if (!EpochStoreDv.declared(spark, root)) None
       else {
-        val head = EpochManifest.entriesAt(spark, root, gens.last)
+        val head = EpochManifest.entriesAt(spark, root, upto)
         val baseMax = EpochManifest.entriesAt(spark, root, sinceGeneration)
           .foldLeft(-1L)((m, e) => math.max(m, e.epoch))
         val journals = EpochStoreDv.dvCarrying(spark, root,

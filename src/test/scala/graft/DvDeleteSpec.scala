@@ -506,6 +506,49 @@ class DvDeleteSpec extends SparkSpec {
       s"extra=${feed -- want} missing=${want -- feed}")
   }
 
+  test("BOUNDED changefeeds page history windows deterministically: " +
+      "(since, until) covers exactly the window's epochs, DV deletes " +
+      "included; a non-retained until refuses") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv14", wh)
+    val root = s"$wh/t"
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    EpochStore.write(batch(0, 20), root, 0L)
+    val g1 = EpochManifest.generations(spark, root).last
+    EpochStore.write(batch(20, 40), root, 1L)
+    val g2 = EpochManifest.generations(spark, root).last
+    dvOn { spark.sql("DELETE FROM dv14.t WHERE id < 5") }
+    val g3 = EpochManifest.generations(spark, root).last
+    EpochStore.write(batch(40, 50), root, 10L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def feed(since: Long, until: Long) =
+      EpochStore.readChanges(spark, root, schema, since,
+        untilGeneration = until)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // window (g1, g2]: only epoch 1's inserts
+    assert(feed(g1, g2) == (20L until 40L).map((_, "insert")).toSet)
+    // window (g2, g3]: only the DV delete's synthesized events
+    assert(feed(g2, g3) == (0L until 5L).map((_, "delete")).toSet)
+    // window (g1, g3]: both
+    assert(feed(g1, g3) ==
+      (20L until 40L).map((_, "insert")).toSet ++
+        (0L until 5L).map((_, "delete")).toSet)
+    // unbounded from g3: the trailing append only
+    assert(feed(g3, -1L) == (40L until 50L).map((_, "insert")).toSet)
+    // paging identity: the union of adjacent windows == the full delta
+    assert(feed(g1, g2) ++ feed(g2, g3) == feed(g1, g3))
+    val e = intercept[IllegalArgumentException](
+      EpochStore.readChanges(spark, root, schema, g1,
+        untilGeneration = 9999L))
+    assert(String.valueOf(e.getMessage).contains("retained"), e.getMessage)
+  }
+
   test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
       "SERVED existence default, not a phantom null") {
     import spark.implicits._
