@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print ONE machine-parsed JSON line on stdout; sbt's
+// logger would prefix it with "[info] ", which breaks line-oriented
+// JSON parsers reading the sbt output. Forked run output passes
+// through verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
