@@ -227,23 +227,50 @@ private[graft] object EpochStoreDv {
       .map(p => fs.makeQualified(p).toString).sorted
   }
 
+  /** Per-path footer row counts (driver-side, no Spark job; committed
+    * journal files are immutable so the count caches forever). */
+  private val footerCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def footerCount(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Long = {
+    val hit = footerCountCache.get(path)
+    if (hit != null) return hit.longValue()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(path), conf))
+    val n = try r.getRecordCount finally r.close()
+    footerCountCache.put(path, n)
+    n
+  }
+
   private[sources] def load(spark: SparkSession, root: String,
       entries: Seq[EpochManifest.Entry])
       : Map[(String, String), Array[Long]] = {
     val paths = dvPathsFor(spark, root, entries)
     if (paths.isEmpty) return Map.empty
+    // BOUND BEFORE ANYTHING MATERIALIZES — and before the positive
+    // cache, so a shrunk bound takes effect on the next scan (the
+    // equality-tombstone loadTombstones discipline). The write-time
+    // bound is per-journal; COMPOSED live journals each under it can
+    // sum past the load bound, and the refusal must be this clean
+    // message, never driver heap pressure from a doomed collect. The
+    // counts come off the parquet FOOTERS, driver-side — no job runs.
+    val bound = Option(spark.conf.get(MaxDriverPositionsConf, null))
+      .map(_.toLong).getOrElse(MaxDriverPositionsDefault)
+    val conf = GraftBridge.sessionHadoopConf(spark)
+    val total = paths.map(p => footerCount(conf, p)).sum
+    require(total <= bound,
+      s"position-delete journals under $root hold $total positions " +
+        s"across ${paths.length} journal file(s) — above the driver " +
+        s"materialization bound $bound ($MaxDriverPositionsConf); run " +
+        "CALL compact to fold the deletes in (the fold applies them " +
+        "distributed)")
     loadCache.synchronized {
       val hit = loadCache.get(paths)
       if (hit != null) return hit
     }
-    val bound = Option(spark.conf.get(MaxDriverPositionsConf, null))
-      .map(_.toLong).getOrElse(MaxDriverPositionsDefault)
     val rows = spark.read.schema(dvSchema).parquet(paths: _*).collect()
-    require(rows.length <= bound,
-      s"position-delete journal under $root holds ${rows.length} " +
-        s"positions — above the driver materialization bound $bound " +
-        s"($MaxDriverPositionsConf); run CALL compact to fold the " +
-        "deletes in (the fold applies them distributed)")
     val out = rows.groupBy(r => (r.getString(0), r.getString(1)))
       .map { case (k, g) =>
         k -> g.map(_.getLong(2)).distinct.sorted
@@ -428,62 +455,76 @@ private[graft] object EpochStoreDv {
       head: Seq[EpochManifest.Entry], journals: Seq[EpochManifest.Entry],
       baseMax: Long, schema: StructType): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col, expr,
-      input_file_name, lit}
+      input_file_name, lit, regexp_extract}
+    import spark.implicits._
     val fs = new Path(root).getFileSystem(GraftBridge.sessionHadoopConf(spark))
     val byDir = head.map(e => e.dir -> e).toMap
     // RENAME history: the caller's schema spells LOGICAL names while a
     // pre-rename target records the PHYSICAL ones — resolve per entry
     // (the alias chains, X85) or the payloads would silently null
     val aliases = EpochStore.columnAliases(spark, root)
-    val frames = journals.sortBy(_.epoch).flatMap { j =>
-      val dvPaths = dvPathsOf(spark, fs, root, j)
-        .map(p => fs.makeQualified(p).toString)
-      if (dvPaths.isEmpty) Nil
-      else {
-        val dv = spark.read.schema(dvSchema).parquet(dvPaths: _*)
-        // distinct target dirs: driver-collected, statement-sized (a
-        // journal targets entries, not rows)
-        val dirs = dv.select(col("target_dir")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-        dirs.flatMap { d =>
-          byDir.get(d) match {
-            // in-window target: insert + delete net out of the feed
-            case Some(t) if t.minEpoch > baseMax => None
-            // a target dropped from the manifest trips the feed's
-            // disappeared-entry guard before this runs
-            case None => None
-            case Some(t) =>
-              val (s, _) = EpochStoreWrite.readSchemaSidecar(fs, root, t.dir)
-                .getOrElse(throw new IllegalStateException(
-                  s"epochstore changefeed over $root: target entry " +
-                    s"${t.dir} predates schema records — run CALL " +
-                    "compact first"))
-              val raw = spark.read.schema(s).parquet(s"$root/${t.dir}")
-                .withColumn("__graft_rel",
-                  relUnder(fs, root, t.dir, input_file_name()))
-                .withColumn("__graft_pos", col("_metadata.row_index"))
-              val hits = raw.join(
-                broadcast(dv.filter(col("target_dir") === d)
-                  .select(col("target_rel").as("__graft_rel"),
-                    col("pos").as("__graft_pos"))),
-                Seq("__graft_rel", "__graft_pos"), "inner")
-              val have = s.fieldNames.toSet
-              Some(hits.select(schema.fields.toSeq.map { f =>
-                // a column the target predates serves what its rows
-                // SERVED: the existence default if one is recorded,
-                // null otherwise — the delete event must carry the
-                // payload the consumer ingested. Historical PHYSICAL
-                // spellings resolve through the alias chains.
-                val phys = aliases.resolve(f.name, have)
-                (if (have.contains(phys)) col(phys)
-                else if (f.metadata.contains("EXISTS_DEFAULT"))
-                  expr(f.metadata.getString("EXISTS_DEFAULT"))
-                    .cast(f.dataType)
-                else lit(null).cast(f.dataType)).as(f.name)
-              } :+ lit("delete").as(EpochStore.ChangeColName)
-                :+ lit(j.epoch).as(EpochStore.EpochColName): _*))
-          }
-        }
+    // ONE scan over EVERY journal's position files, the carrying
+    // journal's commit epoch recovered per row by anchoring on its
+    // "<entryDir>/_dv/" path segment (dir names are [a-z0-9-], immune
+    // to URI-encoding spelling — the equality-tombstone deltaFrame
+    // discipline) and joined from a broadcast dir→epoch map: the
+    // synthesized feed's plan width is O(#target entries), never
+    // O(#journals × #target entries) on a journal-heavy window
+    val allPaths = journals.flatMap(j => dvPathsOf(spark, fs, root, j)
+      .map(p => fs.makeQualified(p).toString))
+    if (allPaths.isEmpty) return None
+    val epochByDir = journals.map(j => (j.dir, j.epoch))
+      .toDF("__graft_jdir", "__graft_e")
+    val dv = spark.read.schema(dvSchema).parquet(allPaths: _*)
+      .withColumn("__graft_jdir",
+        regexp_extract(input_file_name(), s"/([a-z0-9-]+)/$DvDirName/", 1))
+      .join(broadcast(epochByDir), "__graft_jdir")
+    // distinct target dirs: driver-collected, statement-sized (journals
+    // target entries, not rows)
+    val dirs = dv.select(col("target_dir")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val frames = dirs.flatMap { d =>
+      byDir.get(d) match {
+        // in-window target: insert + delete net out of the feed
+        case Some(t) if t.minEpoch > baseMax => None
+        // a target dropped from the manifest trips the feed's
+        // disappeared-entry guard before this runs
+        case None => None
+        case Some(t) =>
+          val (s, _) = EpochStoreWrite.readSchemaSidecar(fs, root, t.dir)
+            .getOrElse(throw new IllegalStateException(
+              s"epochstore changefeed over $root: target entry " +
+                s"${t.dir} predates schema records — run CALL " +
+                "compact first"))
+          // one read of the target entry, joined against ALL journals'
+          // positions for it at once — live journals never share a
+          // (file, ordinal) (a dead position can never re-match), so
+          // each dead row yields exactly one event, stamped with ITS
+          // journal's commit epoch off the broadcast side
+          val raw = spark.read.schema(s).parquet(s"$root/${t.dir}")
+            .withColumn("__graft_rel",
+              relUnder(fs, root, t.dir, input_file_name()))
+            .withColumn("__graft_pos", col("_metadata.row_index"))
+          val hits = raw.join(
+            broadcast(dv.filter(col("target_dir") === d)
+              .select(col("target_rel").as("__graft_rel"),
+                col("pos").as("__graft_pos"), col("__graft_e"))),
+            Seq("__graft_rel", "__graft_pos"), "inner")
+          val have = s.fieldNames.toSet
+          Some(hits.select(schema.fields.toSeq.map { f =>
+            // a column the target predates serves what its rows
+            // SERVED: the existence default if one is recorded,
+            // null otherwise — the delete event must carry the
+            // payload the consumer ingested. Historical PHYSICAL
+            // spellings resolve through the alias chains.
+            val phys = aliases.resolve(f.name, have)
+            (if (have.contains(phys)) col(phys)
+            else if (f.metadata.contains("EXISTS_DEFAULT"))
+              expr(f.metadata.getString("EXISTS_DEFAULT"))
+                .cast(f.dataType)
+            else lit(null).cast(f.dataType)).as(f.name)
+          } :+ lit("delete").as(EpochStore.ChangeColName)
+            :+ col("__graft_e").as(EpochStore.EpochColName): _*))
       }
     }
     frames.reduceOption(_ unionByName _)

@@ -549,6 +549,89 @@ class DvDeleteSpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).contains("retained"), e.getMessage)
   }
 
+  test("composed journals each under the write bound refuse BEFORE any " +
+      "driver materialization when they SUM past the load bound — the " +
+      "clean message, no Spark job") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv15", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    dvOn {
+      spark.sql("DELETE FROM dv15.t WHERE id < 30")
+      spark.sql("DELETE FROM dv15.t WHERE id >= 170")
+    }
+    // each journal holds 30 positions — fine under a bound of 40; their
+    // COMPOSED load (60) is not. The refusal must come off the parquet
+    // footers on the driver, before any collect job runs.
+    spark.conf.set(EpochStoreDv.MaxDriverPositionsConf, "40")
+    try {
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length
+      val e = intercept[Exception](
+        spark.sql("SELECT id FROM dv15.t").collect())
+      val msg = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msg.contains("60 positions") &&
+        msg.contains("bound 40") && msg.contains("compact"),
+        s"must refuse with the composed total + remedy: $msg")
+      Thread.sleep(1000)
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length
+      assert(jobsAfter == jobsBefore,
+        s"the refusal must precede any job ($jobsBefore -> $jobsAfter)")
+    } finally spark.conf.unset(EpochStoreDv.MaxDriverPositionsConf)
+    // with the default bound restored the same journals compose fine
+    assert(spark.sql("SELECT count(*) FROM dv15.t").head.getLong(0) == 140L)
+  }
+
+  test("the synthesized CDC feed reads each target entry ONCE across " +
+      "journals: a 3-journal window's plan width is bounded by target " +
+      "entries, never journals x targets") {
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv16", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    EpochStore.write((100 until 200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 1L)
+    val g1 = EpochManifest.generations(spark, root).last
+    dvOn {
+      // three journals, each targeting BOTH entries
+      spark.sql("DELETE FROM dv16.t WHERE id IN (1, 101)")
+      spark.sql("DELETE FROM dv16.t WHERE id IN (2, 102)")
+      spark.sql("DELETE FROM dv16.t WHERE id IN (3, 103)")
+    }
+    val journalEpochs = EpochManifest.entries(spark, root)
+      .filter(_.dv.nonEmpty).map(_.epoch).sorted
+    assert(journalEpochs.size == 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val feed = EpochStore.readChanges(spark, root, schema, g1)
+    // events exact, each stamped with ITS journal's commit epoch
+    val got = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val want = Seq(1L, 101L, 2L, 102L, 3L, 103L).zipWithIndex.map {
+      case (id, i) => (id, s"v$id", "delete", journalEpochs(i / 2))
+    }.toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // plan width: 2 target reads + 2 references to the ONE journal
+    // scan (one per target branch) — 4 v1 parquet leaves, independent
+    // of the 3 journals (the per-(journal, target) shape had 12)
+    val leaves = feed.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(leaves.length == 4,
+      s"expected 4 parquet leaves (2 targets x (read + journal ref)), " +
+        s"got ${leaves.length}")
+  }
+
   test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
       "SERVED existence default, not a phantom null") {
     import spark.implicits._
