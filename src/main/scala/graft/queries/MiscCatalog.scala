@@ -2289,13 +2289,15 @@ object MiscCatalog {
       |ORDER BY lang""".stripMargin
 
   /** SQL MERGE INTO through the store catalog (`q_store_merge`): the
-    * group-based row-level rewrite driving upsert — matched target rows
-    * take the source's doubled n_chars, unmatched source rows insert
-    * into their partition dirs, unmatched target rows carry over
-    * untouched, all published as ONE manifest generation. DuckDB
-    * replays the merge as a union of the two row classes, so a dropped
-    * carry-over row, a double-applied update, or a misplaced insert
-    * fails the oracle. */
+    * group-based row-level rewrite driving a THREE-WAY merge — matched
+    * target rows take the source's doubled n_chars, unmatched source
+    * rows insert into their partition dirs, and target rows NOT MATCHED
+    * BY SOURCE hit the SCD-style sync clauses (short rows delete, the
+    * rest update in place; first matching clause wins), all published
+    * as ONE manifest generation. DuckDB replays the merge as a union of
+    * the three row classes, so a dropped carry-over row, a
+    * double-applied update, a misplaced insert, or a by-source action
+    * leaking onto matched rows fails the oracle. */
   def storeMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val (s2, t) = freshDmlStore(spark, sfDir, epochs = 1)
     val docs = Tables.documents(s2, sfDir)
@@ -2312,7 +2314,10 @@ object MiscCatalog {
       s"""MERGE INTO $t t USING $v s ON t.doc_id = s.doc_id
          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
          |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
-         |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+         |  VALUES (s.doc_id, s.n_chars, s.lang)
+         |WHEN NOT MATCHED BY SOURCE AND t.n_chars < 200 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = t.n_chars + 1
+         |""".stripMargin)
     s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
@@ -2344,7 +2349,10 @@ object MiscCatalog {
       s"""MERGE INTO $t t USING $v s ON t.doc_id = s.doc_id
          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
          |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
-         |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+         |  VALUES (s.doc_id, s.n_chars, s.lang)
+         |WHEN NOT MATCHED BY SOURCE AND t.n_chars < 200 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = t.n_chars + 1
+         |""".stripMargin)
     s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
          |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
@@ -2525,7 +2533,10 @@ object MiscCatalog {
       s"""MERGE INTO $c.docs t USING udv_src_$run s ON t.doc_id = s.doc_id
          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
          |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
-         |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+         |  VALUES (s.doc_id, s.n_chars, s.lang)
+         |WHEN NOT MATCHED BY SOURCE AND t.n_chars < 200 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = t.n_chars + 1
+         |""".stripMargin)
     finally s2.conf.unset(graft.sources.EpochStoreDv.EnabledConf)
     s2.sql(
       s"""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
@@ -2537,11 +2548,16 @@ object MiscCatalog {
       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
       |  FROM documents WHERE lang IS NOT NULL
       |), merged AS (
-      |  SELECT doc_id,
-      |    CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END AS n_chars,
-      |    lang
-      |  FROM base
+      |  -- WHEN MATCHED: every en row matches its source twin and doubles
+      |  SELECT doc_id, n_chars * 2 AS n_chars, lang
+      |  FROM base WHERE lang = 'en'
       |  UNION ALL
+      |  -- WHEN NOT MATCHED BY SOURCE: short rows delete (first matching
+      |  -- clause wins), the rest bump by 1
+      |  SELECT doc_id, n_chars + 1, lang
+      |  FROM base WHERE lang <> 'en' AND n_chars >= 200
+      |  UNION ALL
+      |  -- WHEN NOT MATCHED: the shifted en rows insert as lang = 'xx'
       |  SELECT doc_id + 20000000, n_chars, 'xx' FROM base WHERE lang = 'en'
       |)
       |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
