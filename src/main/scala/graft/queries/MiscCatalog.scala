@@ -2480,6 +2480,65 @@ object MiscCatalog {
       .orderBy("change")
   }
 
+  /** STREAMING twin of `q_store_cdf_dv` (`q_store_cdf_stream`, X97):
+    * the same store history — base epoch, in-window append, one
+    * position-delete journal — consumed as a CDC TAIL
+    * (`readStream` with `_change_type`, AvailableNow) instead of the
+    * batch feed. The tail nets the in-window targets (their inserts
+    * deliver DV-filtered) and re-reads the pre-window targets at their
+    * dead ordinals as full-payload `delete` events stamped with the
+    * journal's epoch — zero driver materialization, distributed event
+    * synthesis per trigger. Sharing the batch feed's oracle IS the
+    * batch/streaming symmetry proof: one event lost, duplicated, or
+    * mis-netted on either side fails cell-exact. */
+  def storeCdfStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = dmlRuns.incrementAndGet()
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdfs_wh")
+      .toString
+    val root = s"$wh/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    graft.sources.EpochStore.write(docs, root, 0L)
+    graft.sources.EpochStore.write(
+      docs.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("n_chars"), col("lang")), root, 1L)
+    val s2 = spark.newSession()
+    val c = s"graftcdfs$run"
+    s2.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.EpochStoreCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    s2.conf.set(graft.sources.EpochStoreDv.EnabledConf, "true")
+    try s2.sql(s"DELETE FROM $c.docs WHERE n_chars < 300")
+    finally s2.conf.unset(graft.sources.EpochStoreDv.EnabledConf)
+    val cdcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        graft.sources.EpochStore.EpochColName,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        graft.sources.EpochStore.ChangeColName,
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val sink = s"graft_cdfs_tail_$run"
+    val q = s2.readStream.format("epochstore").schema(cdcSchema)
+      .option("path", root).option("startingAfterEpoch", "0").load()
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    s2.table(sink)
+      .groupBy(col("_change_type").as("change"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
+        sum("n_chars").as("chars"))
+      .orderBy("change")
+  }
+
   val storeCdfDvSql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
@@ -2586,6 +2645,7 @@ object MiscCatalog {
     "q_store_update_dv" -> (storeUpdateDv _),
     "q_store_cdf"     -> (storeCdf _),
     "q_store_cdf_dv"  -> (storeCdfDv _),
+    "q_store_cdf_stream" -> (storeCdfStream _),
     "q_store_rewrite" -> (storeRewrite _),
     "q_store_timetravel" -> (storeTimetravel _),
     "q_store_ts_asof" -> (storeTsAsOf _),
@@ -2651,6 +2711,7 @@ object MiscCatalog {
     "q_store_update_dv" -> storeMergeSql,
     "q_store_cdf"     -> storeCdfSql,
     "q_store_cdf_dv"  -> storeCdfDvSql,
+    "q_store_cdf_stream" -> storeCdfDvSql,
     "q_store_rewrite" -> storeRewriteSql,
     "q_store_timetravel" -> storeTimetravelSql,
     "q_store_ts_asof" -> storeTsAsOfSql,

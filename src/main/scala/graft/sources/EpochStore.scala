@@ -1815,6 +1815,29 @@ final case class EpochStoreScan(
     }.toArray
   }
 
+  /** [[packFiles]] with per-trigger DV routing (the CDC tail, X97):
+    * `netted` files are IN-WINDOW journal targets — their inserts
+    * deliver with the dead ordinals dropped (net-change semantics);
+    * `events` files are PRE-WINDOW targets re-read at their dead
+    * ordinals ONLY, packed with `_change_type` = 'delete' and the
+    * journal's epoch as per-file constants. Both kinds keep profile
+    * routing (rename spellings, foreign layouts) and normal split
+    * geometry — row indexes are global within a file. */
+  private[sources] def packFilesDv(spark: SparkSession,
+      plain: Seq[EpochStore.ListedFile],
+      netted: Seq[(EpochStore.ListedFile, Array[Long])],
+      events: Seq[(EpochStore.ListedFile, Array[Long])])
+      : Array[InputPartition] =
+    packFiles(spark, plain) ++
+      netted.flatMap { case (f, ps) =>
+        packFiles(spark, Seq(f)).map(ip =>
+          EpochStoreDv.DvFilePartition(ip, ps): InputPartition)
+      } ++
+      events.flatMap { case (f, ps) =>
+        packFiles(spark, Seq(f)).map(ip =>
+          EpochStoreDv.DvEventPartition(ip, ps): InputPartition)
+      }
+
   /** FOREIGN-layout profile split: the declared output columns the
     * entry serves from its partition DIRS (requested ones, in the
     * entry's nesting order) and from its FILES (declared order), plus
@@ -1858,7 +1881,21 @@ final case class EpochStoreScan(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactoryWith(forceDv = false)
+
+  /** The CDC tail's factory ([[EpochStoreMicroBatchStream]]): DV
+    * routing armed even when THIS scan's pinned snapshot carries no
+    * journal — the stream synthesizes [[EpochStoreDv.DvEventPartition]]s
+    * (and nets in-window targets) for journals that land MID-stream,
+    * which a start-pinned template cannot anticipate. Only consulted
+    * for triggers whose window actually carries journals; clean
+    * triggers keep the plain (columnar) factory. */
+  private[sources] def streamingReaderFactory(): PartitionReaderFactory =
+    readerFactoryWith(forceDv = changeRequested &&
+      EpochStoreDv.declared(SparkSession.active, root))
+
+  private def readerFactoryWith(forceDv: Boolean): PartitionReaderFactory = {
     val spark = SparkSession.active
     // `rds0` is the EFFECTIVE read-data schema this factory reads under
     // — [[readDataEff]] (row-index-widened in DV mode, MoR-key-widened
@@ -1952,16 +1989,26 @@ final case class EpochStoreScan(
           (dataSchema.fieldNames.toSeq, None), rds0)))
       else new KeyedDelegatingReaderFactory(
         profiles._1.map(p => factoryFor(p, rds0)))
-    if (!dvFiltering) delegatingFor(readDataEff)
+    if (!dvFiltering && !forceDv) delegatingFor(readDataEff)
     else {
       // TARGETED partitions read with the row index widened at n0; the
       // DV wrapper drops their dead ordinals and projects the index
       // away — unless `_row_pos` is itself served, in which case it
-      // stays. UNTARGETED partitions route to a PLAIN factory — no
-      // index column (unless served), no per-row copy
+      // stays. Synthesized DELETE-EVENT partitions (the CDC tail) read
+      // the same widened shape but KEEP only the dead ordinals.
+      // UNTARGETED partitions route to a PLAIN factory — no index
+      // column (unless served), no per-row copy
       // ([[EpochStoreDv.DvRoutingFactory]]).
       val n0 = readDataSchema.size
       val total = n0 + 1 + constEff.size
+      // under forceDv without pinned journals, readDataEff is the plain
+      // read schema — widen the row index in explicitly
+      val widened =
+        if (dvFiltering || posRequested) readDataEff
+        else StructType(readDataSchema :+ StructField(
+          org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          LongType, nullable = true))
       val outIdx =
         (if (posRequested) 0 until total
         else (0 until n0) ++ (n0 + 1 until total)).toArray
@@ -1972,8 +2019,10 @@ final case class EpochStoreScan(
       }
       new EpochStoreDv.DvRoutingFactory(
         delegatingFor(if (posRequested) readDataEff else readDataSchema),
-        new EpochStoreDv.DvFilteringFactory(delegatingFor(readDataEff),
-          rowIdxPos = n0, outIdx, outTypes))
+        new EpochStoreDv.DvFilteringFactory(delegatingFor(widened),
+          rowIdxPos = n0, outIdx, outTypes),
+        new EpochStoreDv.DvFilteringFactory(delegatingFor(widened),
+          rowIdxPos = n0, outIdx, outTypes, keepOnly = true))
     }
   }
 }

@@ -540,22 +540,42 @@ private[graft] object EpochStoreDv {
       inner.preferredLocations()
   }
 
+  /** A synthesized CDC DELETE-EVENT partition (X97 on the tail): the
+    * targeted file's split geometry plus the dead ordinals to KEEP —
+    * the inverse selection of [[DvFilePartition]]. The packed file's
+    * per-file constants carry `_change_type` = 'delete' and `_epoch` =
+    * the journal's commit epoch, so the dead rows read back as
+    * full-payload delete events with zero driver materialization. */
+  final case class DvEventPartition(inner: InputPartition,
+                                    positions: Array[Long])
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
   /** Routes partitions while DVs are live: TARGETED files (packed as
     * [[DvFilePartition]]) read through the row-index-widened factory +
-    * dead-ordinal filter; every UNTARGETED partition stays on the PLAIN
-    * factory — no row-index column read, no per-row copy (batch-backed
-    * rows straight from the vectorized reader). Spark's
-    * DataSourceV2ScanExecBase forbids mixing columnar and row-based
-    * partitions in one scan, so the scan as a whole reports row-based
-    * until `CALL compact` sheds the DVs — but only the matched-rows-
-    * sized targeted remainder pays the filtering wrapper. */
+    * dead-ordinal filter, synthesized DELETE-EVENT partitions
+    * ([[DvEventPartition]], CDC tails) through its keep-only twin;
+    * every UNTARGETED partition stays on the PLAIN factory — no
+    * row-index column read, no per-row copy (batch-backed rows straight
+    * from the vectorized reader). Spark's DataSourceV2ScanExecBase
+    * forbids mixing columnar and row-based partitions in one scan, so
+    * the scan as a whole reports row-based until `CALL compact` sheds
+    * the DVs — but only the matched-rows-sized targeted remainder pays
+    * the filtering wrapper. */
   final class DvRoutingFactory(
       val plain: PartitionReaderFactory,
-      val dv: DvFilteringFactory)
+      val dv: DvFilteringFactory,
+      val events: DvFilteringFactory = null)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] = p match {
       case d: DvFilePartition => dv.createReader(d)
+      case e: DvEventPartition =>
+        require(events != null,
+          "DvEventPartition planned without an event reader factory")
+        events.createReader(e)
       case other => plain.createReader(other)
     }
     override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -564,19 +584,24 @@ private[graft] object EpochStoreDv {
   /** Executor-side position application: the inner reader runs with the
     * parquet ROW INDEX widened in ([[org.apache.spark.sql.execution
     * .datasources.parquet.ParquetFileFormat.ROW_INDEX_FIELD]]); rows
-    * whose index is in the partition's dead set drop; survivors project
-    * back to the declared output. Row-based while DVs are live — `CALL
-    * compact` restores vectorized reads, same as equality tombstones. */
+    * whose index is in the partition's dead set drop (`keepOnly =
+    * false`, the live-row scan) or are the ONLY ones emitted
+    * (`keepOnly = true` — the CDC tail's synthesized delete events);
+    * emitted rows project back to the declared output. Row-based while
+    * DVs are live — `CALL compact` restores vectorized reads, same as
+    * equality tombstones. */
   final class DvFilteringFactory(
       inner: PartitionReaderFactory,
       rowIdxPos: Int,
-      outIdx: Array[Int], outTypes: Array[DataType])
+      outIdx: Array[Int], outTypes: Array[DataType],
+      keepOnly: Boolean = false)
       extends PartitionReaderFactory {
 
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] = {
       val (ip, dead) = p match {
         case DvFilePartition(i, pos) => (i, pos)
+        case DvEventPartition(i, pos) => (i, pos)
         case other => (other, Array.empty[Long])
       }
       val r = inner.createReader(ip)
@@ -591,8 +616,9 @@ private[graft] object EpochStoreDv {
         override def next(): Boolean = {
           while (r.next()) {
             val row = r.get()
-            if (deadSet.isEmpty ||
-              !deadSet.contains(row.getLong(rowIdxPos))) {
+            val inSet = !deadSet.isEmpty &&
+              deadSet.contains(row.getLong(rowIdxPos))
+            if (inSet == keepOnly) {
               val out = new GenericInternalRow(outIdx.length)
               var j = 0
               while (j < outIdx.length) {

@@ -166,13 +166,19 @@ final class EpochStoreMicroBatchStream(
           "this query was running — restart the stream; the new layout " +
           "mapping pins at start")
     val all = EpochManifest.entries(spark, root)
-    // X94: a position-delete entry cannot be DELIVERED on a tail (a
-    // DV retro-filters rows already emitted) — refuse loudly
-    if (EpochStoreDv.hasLiveDvs(spark, root, all))
+    // X94/X97: a position-delete journal retro-filters rows already
+    // emitted, which a RESOLVED tail cannot replay — refuse loudly.
+    // The CDC tail (`_change_type` selected) DELIVERS the journals
+    // instead: synthesized full-payload delete events per trigger,
+    // the batch readChanges contract (below).
+    val liveJournals = EpochStoreDv.dvCarrying(spark, root, all)
+    if (liveJournals.nonEmpty && !changeRequested)
       throw new IllegalStateException(
         s"epochstore stream over $root: the store carries live " +
-          "position deletes (deletion vectors) a tail cannot replay — " +
-          "run CALL compact to fold them in first")
+          "position deletes (deletion vectors) a resolved tail cannot " +
+          "replay — read the CDC tail (select _change_type; delete " +
+          "events synthesize per trigger) or run CALL compact to fold " +
+          "them in first")
     // a fold above the batch end that swallowed epochs inside it would
     // make those rows silently undeliverable — refuse
     all.find(en => en.epoch > e && en.minEpoch <= e).foreach(en =>
@@ -241,13 +247,91 @@ final class EpochStoreMicroBatchStream(
       if (!changeRequested) kept
       else kept ++ EpochStoreDelta.deleteEventFiles(fs, root, batch,
         partFields)
-    // the template's profile routing packs the trigger exactly like
-    // the batch scan reads it — rename spellings AND foreign layouts
-    template.packFiles(spark, withDeletes)
+    // X97 — position-delete journals committed IN THIS WINDOW deliver
+    // their delete events with the trigger (the batch readChanges
+    // contract on the tail). Per journal: targets still in EARLIER
+    // batches (epoch ≤ the stream offset — their inserts already went
+    // out) re-read at their dead ordinals only, as full-payload
+    // `delete` events stamped with the journal's commit epoch;
+    // IN-WINDOW targets net instead — their inserts deliver already
+    // DV-filtered, so the pair never reaches the consumer (net-change
+    // semantics, identical to the batch feed's in-window netting).
+    // Journals ≤ the offset delivered their events in their own
+    // trigger; journals above the batch end wait for theirs. Every
+    // piece replans deterministically from the immutable manifest, so
+    // a restarted batch re-delivers the identical event set.
+    val windowJournals = liveJournals.filter(j => j.epoch > s && j.epoch <= e)
+    lastBatchDv = windowJournals.nonEmpty
+    if (windowJournals.isEmpty)
+      // the template's profile routing packs the trigger exactly like
+      // the batch scan reads it — rename spellings AND foreign layouts
+      return template.packFiles(spark, withDeletes)
+    val byDirAll = all.map(en => en.dir -> en).toMap
+    val nettedPos = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Long]]
+    val eventPos = scala.collection.mutable.ArrayBuffer
+      .empty[(EpochManifest.Entry, String, Array[Long], Long)]
+    windowJournals.sortBy(_.epoch).foreach { j =>
+      EpochStoreDv.load(spark, root, Seq(j)).toSeq
+        .sortBy { case ((d, r), _) => (d, r) }
+        .foreach { case ((tdir, trel), ps) =>
+          byDirAll.get(tdir) match {
+            case None => throw new IllegalStateException(
+              s"epochstore stream over $root: journal ${j.dir} targets " +
+                s"entry $tdir which left the manifest — its delete " +
+                "events are not reconstructible; re-seed the consumer " +
+                "from a full snapshot")
+            case Some(t) if t.minEpoch > s =>
+              nettedPos.getOrElseUpdate((tdir, trel),
+                scala.collection.mutable.ArrayBuffer.empty[Long]) ++= ps
+            case Some(t) => eventPos += ((t, trel, ps, j.epoch))
+          }
+        }
+    }
+    // pre-window targets: one unfiltered listing per target entry (a
+    // changefeed must deliver every delete — no skipping tiers, no
+    // partition pruning), keyed by the same rel the journal records
+    val eventFiles: Seq[(EpochStore.ListedFile, Array[Long])] =
+      eventPos.groupBy(_._1.dir).toSeq.sortBy(_._1).flatMap {
+        case (_, evs) =>
+          val t = evs.head._1
+          val (tFiles, _, _) = EpochStore.listEntryFiles(spark, root,
+            Seq(t), partFields, Array.empty, bucket = bucket,
+            transform = transform, layoutOf = template.layoutResolver)
+          val byRel = tFiles.map(f =>
+            EpochStore.relOf(fs, root, f) -> f).toMap
+          evs.toSeq.map { case (_, trel, ps, jEpoch) =>
+            val lf = byRel.getOrElse(trel, throw new IllegalStateException(
+              s"epochstore stream over $root: journal positions target " +
+                s"${t.dir}/$trel which no longer exists — the delete " +
+                "events are not reconstructible"))
+            (lf.copy(epoch = jEpoch, isDelete = true), ps)
+          }
+      }
+    val netted: Map[(String, String), Array[Long]] = nettedPos.map {
+      case (k, b) => k -> b.toArray.distinct.sorted
+    }.toMap
+    val (nettedFiles, plainFiles) =
+      if (netted.isEmpty) (Nil, withDeletes)
+      else withDeletes.partition(f =>
+        netted.contains((f.entryDir, EpochStore.relOf(fs, root, f))))
+    template.packFilesDv(spark, plainFiles,
+      nettedFiles.map(f =>
+        f -> netted((f.entryDir, EpochStore.relOf(fs, root, f)))),
+      eventFiles)
   }
 
+  /** Whether the LAST-planned batch carries window journals — decides
+    * the trigger's reader factory below. planInputPartitions runs
+    * before createReaderFactory inside each trigger's physical plan;
+    * micro-batches execute serially, so the handshake is race-free. A
+    * clean trigger keeps the plain (columnar) factory even on a store
+    * with DV history. */
+  @volatile private var lastBatchDv: Boolean = false
+
   override def createReaderFactory(): PartitionReaderFactory =
-    template.createReaderFactory()
+    if (lastBatchDv) template.streamingReaderFactory()
+    else template.createReaderFactory()
 
   override def deserializeOffset(json: String): Offset =
     EpochStreamOffset(json.split("\"epoch\":")(1)

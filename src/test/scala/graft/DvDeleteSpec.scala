@@ -632,6 +632,158 @@ class DvDeleteSpec extends SparkSpec {
         s"got ${leaves.length}")
   }
 
+  private def cdcSchemaOf(fields: (String,
+      org.apache.spark.sql.types.DataType)*) =
+    org.apache.spark.sql.types.StructType(
+      fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) } ++ Seq(
+        org.apache.spark.sql.types.StructField(EpochStore.EpochColName,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(EpochStore.ChangeColName,
+          org.apache.spark.sql.types.StringType, nullable = false)))
+
+  test("X97 on the tail: a CDC AvailableNow tail over a DV-delete epoch " +
+      "delivers the SAME event set as batch readChanges — synthesized " +
+      "full-payload deletes, in-window pairs netted; a restart " +
+      "re-delivers nothing; the resolved tail still refuses") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv17", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    val g1 = EpochManifest.generations(spark, root).last
+    EpochStore.write((100 until 110).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 1L)
+    dvOn {
+      spark.sql("DELETE FROM dv17.t WHERE (id >= 10 AND id < 15) OR " +
+        "(id >= 100 AND id < 105)")
+    }
+    val journalEpoch = EpochManifest.entries(spark, root).map(_.epoch).max
+    val cdc = cdcSchemaOf("id" -> LongType, "v" -> StringType)
+    val out = tmp()
+    val ckpt = tmp()
+    def tail() = spark.readStream.format("epochstore").schema(cdc)
+      .option("path", root).option("startingAfterEpoch", "0").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = tail()
+    q.processAllAvailable(); q.stop()
+    def sunk() = spark.read.schema(cdc).parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    val got = sunk()
+    // the batch CDC feed over the same window is the contract
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType),
+      org.apache.spark.sql.types.StructField("v", StringType)))
+    val batchFeed = EpochStore.readChanges(spark, root, schema2, g1)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(3), r.getString(2))).toSet
+    assert(got == batchFeed,
+      s"tail=${got -- batchFeed} batch-only=${batchFeed -- got}")
+    // spelled out: in-window survivors as inserts at their epoch,
+    // pre-window dead rows as full-payload deletes at the journal epoch
+    val want = (105 until 110).map(i =>
+      (i.toLong, s"v$i", 1L, "insert")).toSet ++
+      (10 until 15).map(i => (i.toLong, s"v$i", journalEpoch, "delete"))
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // exactly-once: a restarted query finds the checkpoint complete
+    val q2 = tail()
+    q2.processAllAvailable(); q2.stop()
+    assert(sunk() == want, "a restart must re-deliver nothing")
+    // the RESOLVED tail (no _change_type) still refuses loudly
+    val e = intercept[Exception] {
+      val q3 = spark.readStream.format("epochstore")
+        .schema(spark.table("dv17.t").schema)
+        .option("path", root).load()
+        .writeStream.format("memory").queryName("dv17_resolved")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q3.processAllAvailable(); q3.awaitTermination(60000): Unit }
+      finally q3.stop()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msg.contains("resolved tail") && msg.contains("compact"),
+      s"resolved tail must refuse with both remedies: $msg")
+  }
+
+  test("X97 paced triggers telescope: with maxEpochsPerTrigger=1 an " +
+      "earlier trigger delivers the target unfiltered and the journal's " +
+      "trigger synthesizes its delete events — net state == the store") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv18", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    EpochStore.write((100 until 110).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 1L)
+    dvOn {
+      spark.sql("DELETE FROM dv18.t WHERE (id >= 10 AND id < 15) OR " +
+        "(id >= 100 AND id < 105)")
+    }
+    val journalEpoch = EpochManifest.entries(spark, root).map(_.epoch).max
+    val cdc = cdcSchemaOf("id" -> LongType, "v" -> StringType)
+    val q = spark.readStream.format("epochstore").schema(cdc)
+      .option("path", root).option("startingAfterEpoch", "0")
+      .option("maxEpochsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("dv18cdc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("dv18cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    // trigger (0,1] delivered ALL of epoch 1 (the journal was not in
+    // its window); trigger (1,2] then synthesized deletes for BOTH
+    // pre-batch targets — the pair telescopes to the same net state
+    val want = (100 until 110).map(i =>
+      (i.toLong, s"v$i", 1L, "insert")).toSet ++
+      ((10 until 15) ++ (100 until 105)).map(i =>
+        (i.toLong, s"v$i", journalEpoch, "delete"))
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // net replay equals the live store
+    val replayed = (0L until 100L).toSet ++
+      got.collect { case (id, _, _, "insert") => id } --
+      got.collect { case (id, _, _, "delete") => id }
+    val now = spark.sql("SELECT id FROM dv18.t").collect()
+      .map(_.getLong(0)).toSet
+    assert(replayed == now)
+  }
+
+  test("X97/X99 on the tail: a position-delta UPDATE's journal delivers " +
+      "delete events for the OLD payloads and inserts for the " +
+      "reinserted rows, both at the journal epoch") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import spark.implicits._
+    val wh = tmp()
+    cat("dv19", wh)
+    val root = s"$wh/t"
+    EpochStore.write((0 until 20).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root, 0L)
+    dvOn { spark.sql("UPDATE dv19.t SET v = 'new' WHERE id < 3") }
+    val journalEpoch = EpochManifest.entries(spark, root).map(_.epoch).max
+    val cdc = cdcSchemaOf("id" -> LongType, "v" -> StringType)
+    val q = spark.readStream.format("epochstore").schema(cdc)
+      .option("path", root).option("startingAfterEpoch", "0").load()
+      .writeStream.format("memory").queryName("dv19cdc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("dv19cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    val want = (0 until 3).map(i =>
+      (i.toLong, s"v$i", journalEpoch, "delete")).toSet ++
+      (0 until 3).map(i => (i.toLong, "new", journalEpoch, "insert"))
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
   test("a DV DELETE on a column ADDED with a DEFAULT matches old files' " +
       "SERVED existence default, not a phantom null") {
     import spark.implicits._
