@@ -58,7 +58,7 @@ object Bench {
   /** The ONE per-round edit point for the committed profile's default
     * filename — r9 and r10 each hardcoded it inline and a later commit
     * had to chase the stale name. */
-  private val Round = "r17"
+  private val Round = "r18"
 
   /** One query's two timed attempts: `Right(seconds)` per successful
     * run, `Left(message)` per failed one. */

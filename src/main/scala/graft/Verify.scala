@@ -52,7 +52,10 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional names after <sfDir> <outDir> restrict the dump — the
+    // optimization rounds' per-query oracle adjudication (the driver
+    // always calls with exactly two args = full catalog)
+    val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +65,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceBenignStreamingTermination()
-    run(spark, SparkEntry.queries, SparkEntry.oracleSql, sfDir, outDir)
+    val sel = args.drop(2).toSet
+    val qs = if (sel.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(sel).toMap
+    val os = if (sel.isEmpty) SparkEntry.oracleSql
+      else SparkEntry.oracleSql.view.filterKeys(sel).toMap
+    run(spark, qs, os, sfDir, outDir)
     spark.stop()
   }
 }

@@ -1622,18 +1622,22 @@ object MiscCatalog {
     * Spark bucketed tables/Iceberg bucket transforms buy. */
   def storeBucket(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_bk_wh").toString
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.writeBucketed(docs, s"$wh/docs", 0L,
-      bucketColumn = "doc_id", bucketCount = 8)
-    val scores = Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("vec_id"),
-        (col("doc_id") % 97).cast("long").as("score"))
-    graft.sources.EpochStore.writeBucketed(scores, s"$wh/scores", 0L,
-      bucketColumn = "vec_id", bucketCount = 8)
+    // read-only over the fixture — land the two bucketed stores once
+    // per (session, sf) so the bench measures the storage-partitioned
+    // join, not the bucketed writes (q_store_timepart discipline)
+    val wh = graft.core.Landed.dir(spark, s"bk_wh:$sfDir", "graft_bk_wh") { wh =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.writeBucketed(docs, s"$wh/docs", 0L,
+        bucketColumn = "doc_id", bucketCount = 8)
+      val scores = Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("vec_id"),
+          (col("doc_id") % 97).cast("long").as("score"))
+      graft.sources.EpochStore.writeBucketed(scores, s"$wh/scores", 0L,
+        bucketColumn = "vec_id", bucketCount = 8)
+    }
     val s2 = spark.newSession()
     val c = s"graftbk$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1676,25 +1680,31 @@ object MiscCatalog {
     * sorted tables exist to reach. */
   def storeSorted(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_srt_wh").toString
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    val median = 10000000L // doc_id space splits around the synth midpoint
-    def land(df: DataFrame, root: String, keyCol: String): Unit = {
-      graft.sources.EpochStore.writeBucketed(df.filter(col(keyCol) < median),
-        root, 0L, bucketColumn = keyCol, bucketCount = 8,
-        statsColumns = Seq(keyCol), sortColumns = Seq(keyCol))
-      graft.sources.EpochStore.writeBucketed(df.filter(col(keyCol) >= median),
-        root, 1L, bucketColumn = keyCol, bucketCount = 8,
-        statsColumns = Seq(keyCol), sortColumns = Seq(keyCol))
+    // the query only READS (the zero-exchange/zero-sort SMJ is the
+    // measured capability) — land the 4-write sorted-bucketed fixture
+    // once per (session, sf), the q_store_timepart discipline, so the
+    // bench measures the storage-partitioned join, not temp-store
+    // construction
+    val wh = graft.core.Landed.dir(spark, s"srt_wh:$sfDir", "graft_srt_wh") { wh =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      val median = 10000000L // doc_id space splits around the synth midpoint
+      def land(df: DataFrame, root: String, keyCol: String): Unit = {
+        graft.sources.EpochStore.writeBucketed(df.filter(col(keyCol) < median),
+          root, 0L, bucketColumn = keyCol, bucketCount = 8,
+          statsColumns = Seq(keyCol), sortColumns = Seq(keyCol))
+        graft.sources.EpochStore.writeBucketed(df.filter(col(keyCol) >= median),
+          root, 1L, bucketColumn = keyCol, bucketCount = 8,
+          statsColumns = Seq(keyCol), sortColumns = Seq(keyCol))
+      }
+      land(docs, s"$wh/docs", "doc_id")
+      land(Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("vec_id"),
+          (col("doc_id") % 89).cast("long").as("score")),
+        s"$wh/scores", "vec_id")
     }
-    land(docs, s"$wh/docs", "doc_id")
-    land(Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("vec_id"),
-        (col("doc_id") % 89).cast("long").as("score")),
-      s"$wh/scores", "vec_id")
     val s2 = spark.newSession()
     val c = s"graftsrt$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1731,16 +1741,20 @@ object MiscCatalog {
     * (MetaTablesSpec gates the LocalTableScan plan). */
   def storeMeta(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_meta_wh").toString
-    val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L, partitionColumn = "lang")
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
-      root, 1L, partitionColumn = "lang")
+    // read-only ($partitions metadata table) — land the two-epoch store
+    // once per (session, sf); the bench then measures the metadata-table
+    // planning, not the fixture writes
+    val wh = graft.core.Landed.dir(spark, s"meta_wh:$sfDir", "graft_meta_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        root, 0L, partitionColumn = "lang")
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+        root, 1L, partitionColumn = "lang")
+    }
     val s2 = spark.newSession()
     val c = s"graftmeta$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -2157,17 +2171,22 @@ object MiscCatalog {
     * relationally. */
   def storeTsAsOf(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_tt_wh").toString
+    // read-only (TIMESTAMP AS OF resolution) — land the two-instant
+    // store once per (session, sf); the manifests are immutable, so the
+    // AS-OF boundary keeps resolving identically on reuse
+    val wh = graft.core.Landed.dir(spark, s"ttas_wh:$sfDir", "graft_tt_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        root, 0L, partitionColumn = "lang")
+      Thread.sleep(60) // distinct manifest mtimes: the boundary must be real
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+        root, 1L, partitionColumn = "lang")
+    }
     val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L, partitionColumn = "lang")
-    Thread.sleep(60) // distinct manifest mtimes: the boundary must be real
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
-      root, 1L, partitionColumn = "lang")
     val snaps = graft.core.EpochManifest.snapshots(spark, root)
     // the boundary must be REAL: on a coarse-mtime FS both manifests
     // could share an instant and AS-OF-the-first would resolve to the

@@ -969,7 +969,12 @@ object TextCatalog {
     * persist the eval grams to disk once. */
   def decontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val g = decontamGramFrame(spark, sfDir)
+    // the eval gram set feeds the filter BUILD and the verify JOIN —
+    // materialize it once (the "persist the eval grams once" deployment
+    // posture the scaladoc promises) instead of re-exploding the eval
+    // corpus for each consumer
     val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
+      .localCheckpoint()
     val tr = g.filter(col("doc_id") % 10 =!= 0)
     val pruned = graft.plans.BloomJoin.buildFilter(ev, col("gram"), 1000000L) match {
       case Some(bf) => tr.filter(graft.plans.BloomJoin.mightContain(bf, col("gram")))
@@ -1290,10 +1295,18 @@ object TextCatalog {
       .withColumn("n_words", size(t))
       .withColumn("stop_ratio", stopwordHits(t, en).cast("double") / size(t))
       .filter(col("n_words") >= 5 && col("stop_ratio") <= 0.6)
+    // the exact-dedup survivor set feeds THREE subtrees (both sides of
+    // the simhash band self-join plus the anti-join's left) — without a
+    // materialization Catalyst recomputes the quality scan + md5 window
+    // dedup once per consumer (three full passes at 100 TB; the r18
+    // before-plan shows 3 parquet scans). localCheckpoint runs the
+    // pass ONCE inside the query and the consumers reread the
+    // materialized survivors.
     val exact = quality
       .withColumn("_rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint()
     val dropped = simhashPairsOf(exact.select(col("doc_id"), col("text")))
       .select(col("d2")).distinct()
     exact.join(dropped, exact("doc_id") === dropped("d2"), "left_anti")
@@ -1960,11 +1973,18 @@ object TextCatalog {
           "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("bucket"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val train = bi.filter(col("bucket") < 90)
+    // the count tables are TYPE-sized (vocabulary, not occurrences) —
+    // materialize each once and DERIVE the marginals from them instead
+    // of re-exploding the train corpus per table: c(w1·) is the exact
+    // rollup of c(w1,w2), and N is the exact sum of the unigram counts.
+    // Before: 4 corpus explodes (bc, cc, uc, N) — after: 2 (bc, uc).
     val bc = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cc = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val cc = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val trainToks = docs.filter(col("bucket") < 90).select(explode(col("ws")).as("w2"))
     val uc = trainToks.groupBy("w2").agg(count(lit(1)).as("cu"))
-    val n = trainToks.agg(count(lit(1)).as("nt"))
+      .localCheckpoint()
+    val n = uc.agg(sum(col("cu")).as("nt"))
     val lp = log(
       when(col("c2").isNotNull, col("c2").cast("double") / col("c1").cast("double"))
         .when(col("cu").isNotNull, lit(0.4) * (col("cu").cast("double") / col("nt").cast("double")))

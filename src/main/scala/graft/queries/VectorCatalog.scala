@@ -59,11 +59,20 @@ object VectorCatalog {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").cast("long"), col("embedding"))
     val q = e.filter(col("vec_id") < 5).as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(q)
+    // hoist the norms (the [[graft.functions.VectorOps.dotDecJvm]]
+    // contract): each query vector's norm computes ONCE at build, each
+    // corpus row's norm once per row — cosineDecJvm inline would redo
+    // both per (query, row) pair, 2.5× the decimal work for identical
+    // bits (cos = dot / (na*nb), the exact same double ops)
+    val qn = q.map { case (qid, qe) => (qid, qe, math.sqrt(dotDecJvm(qe, qe))) }
+    val bc = spark.sparkContext.broadcast(qn)
     e.as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
-        bc.value.iterator.filter(_._1 != id).map { case (qid, qe) =>
-          (qid, id, cosineDecJvm(qe, emb))
+        val nb = math.sqrt(dotDecJvm(emb, emb))
+        bc.value.iterator.filter(_._1 != id).map { case (qid, qe, na) =>
+          val cos = if (na == 0.0 || nb == 0.0) None
+            else Some(dotDecJvm(qe, emb) / (na * nb))
+          (qid, id, cos)
         }
       }
       .toDF("qid", "vec_id", "cos")
@@ -116,12 +125,18 @@ object VectorCatalog {
       .as[(Int, Long)].collect().map(_._2).toSet
     val qvecs = e.filter(col("vec_id").isin(qids.toSeq: _*))
       .as[(Long, Array[Float], Int)].collect()
-      .map { case (id, emb, lbl) => lbl -> ((id, emb)) }.toMap
+      // query norms hoisted into the model (dotDecJvm contract): one of
+      // cosineDecJvm's three decimal dots moves to build time, same bits
+      .map { case (id, emb, lbl) =>
+        lbl -> ((id, emb, math.sqrt(dotDecJvm(emb, emb)))) }.toMap
     val bc = spark.sparkContext.broadcast(qvecs)
     e.as[(Long, Array[Float], Int)]
       .flatMap { case (id, emb, lbl) =>
-        bc.value.get(lbl).iterator.filter(_._1 != id).map { case (qid, qe) =>
-          (lbl, qid, id, cosineDecJvm(qe, emb))
+        bc.value.get(lbl).iterator.filter(_._1 != id).map { case (qid, qe, na) =>
+          val nb = math.sqrt(dotDecJvm(emb, emb))
+          val cos = if (na == 0.0 || nb == 0.0) None
+            else Some(dotDecJvm(qe, emb) / (na * nb))
+          (lbl, qid, id, cos)
         }
       }
       .toDF("label", "qid", "vec_id", "cos")
@@ -617,9 +632,19 @@ object VectorCatalog {
   /** Decimal-exact cosine + per-query top-k over candidate rows
     * (qid, qe, vec_id, embedding) — shared by the in-memory and
     * persisted-index search paths so both rank identically. */
-  private def topKByCosine(cand: DataFrame, k: Int): DataFrame =
-    rankTopK(cand.select(col("qid"), col("vec_id"),
-      cosine(col("qe"), col("embedding")).as("cos")), "cos", k)
+  private def topKByCosine(cand: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    // cosineDecJvm, not the `cosine` column: the column's decimal
+    // zip_with/aggregate chain runs as interpreted lambdas (the
+    // [[vecNearDupWith]] lesson — bit-identical values either way,
+    // VectorSpec pins the pair)
+    rankTopK(cand
+      .select(col("qid"), col("vec_id"), col("qe"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, vid, qe, emb) => (qid, vid, cosineDecJvm(qe, emb)) }
+      .toDF("qid", "vec_id", "cos"), "cos", k)
+  }
 
   /** The IVF candidate set for the `vec_id < 5` query set: assign,
     * probe, and join within probed cells — shared by the exact
@@ -1105,16 +1130,33 @@ object VectorCatalog {
     math.max(8L, math.min(128L, n / 64)).toInt
 
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val corpus = nearDupCorpus(spark, sfDir)
     val n = corpusCount.get((spark, sfDir, true))(corpus.count())
     val a = kmeansAssignWith(corpus, n, k = semDedupK(n), iters = 1)
       .select(col("vec_id"), col("embedding"), col("c"))
-    a.as("x").join(a.as("y"),
-        col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        col("x.embedding").as("e1"), col("y.embedding").as("e2"))
+    // ONE pass: group members by cell (the only shuffle — embeddings move
+    // once, keyed by cell id) and generate every i<j member pair locally
+    // from the vec_id-sorted cell array. The previous self-join on c
+    // recomputed the whole Lloyd assignment once PER JOIN SIDE and
+    // planned the corpus as a broadcast side — at 100 TB that is two
+    // full corpus passes plus a corpus-sized broadcast; here cell arrays
+    // stay ~64 vectors (semDedupK sizing) so the local pair fan-out is
+    // structurally bounded. Scoring mirrors [[vecNearDupWith]]: the
+    // codegen'd fused-cosine pre-filter at 0.94, then the decimal-exact
+    // JVM twin (bit-identical to the `cosine` column — VectorSpec) on
+    // the survivors only.
+    a.groupBy(col("c"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("vs"), posexplode(col("vs")).as(Seq("i", "x")))
+      .select(col("x.vec_id").as("v1"), col("x.embedding").as("e1"),
+        explode(expr("slice(vs, i + 2, size(vs))")).as("y"))
+      .select(col("v1"), col("y.vec_id").as("v2"), col("e1"),
+        col("y.embedding").as("e2"))
       .filter(graft.plans.CosineSimilarity.cosineSim(col("e1"), col("e2")) >= 0.94)
-      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (v1, v2, x, y) => (v1, v2, cosineDecJvm(x, y)) }
+      .toDF("v1", "v2", "cos")
       .filter(col("cos") >= 0.95)
       .orderBy("v1", "v2")
   }
