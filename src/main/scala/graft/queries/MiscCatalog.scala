@@ -817,16 +817,17 @@ object MiscCatalog {
     * background compaction instead of the write path. */
   def storeDeleteDv(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_dv_wh").toString
-    val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L)
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
-      root, 1L)
+    val wh = clonedWh(spark, s"dv_wh:$sfDir", "graft_dv_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        root, 0L)
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+        root, 1L)
+    }
     val s2 = spark.newSession()
     val c = s"graftdv$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1312,7 +1313,14 @@ object MiscCatalog {
     import org.apache.spark.sql.types._
     val schema = langStoreSchema
     val dir = streamStore(spark, sfDir)
-    val agg = graft.sources.EpochStore.readStream(spark, dir, schema,
+    // dedicated session: a watermark-less complete-mode aggregate gains
+    // nothing from the trailing NO-DATA micro-batch (it exists to
+    // advance watermarks / fire timeouts) — skipping it drops one full
+    // trigger's plan+state+commit cost at any scale. Session-scoped so
+    // watermarked catalog streams keep their flushing batch.
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val agg = graft.sources.EpochStore.readStream(s3, dir, schema,
         partitionColumn = "lang", maxEpochsPerTrigger = 1L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
@@ -1322,9 +1330,10 @@ object MiscCatalog {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // copy out of the memory sink so the returned frame survives later runs
-    val rows = spark.table(qn).collect().toSeq
-    spark.catalog.dropTempView(qn)
+    // copy out of the memory sink (session-scoped — read it on the
+    // stream's own session) so the returned frame survives later runs
+    val rows = s3.table(qn).collect().toSeq
+    s3.catalog.dropTempView(qn)
     val outSchema = StructType(Seq(StructField("lang", StringType),
       StructField("n", LongType), StructField("chars", LongType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
@@ -1386,21 +1395,52 @@ object MiscCatalog {
     * instead of accumulating on — and shadowing plan shapes in — the
     * shared one. Returns (child session, table ref); run the statements
     * on that session. */
+  /** Build-once + clone-per-run for MUTATING store fixtures: the master
+    * warehouse lands once per (session, sf, key) via [[graft.core.Landed]]
+    * and every invocation receives a fresh FILESYSTEM CLONE to mutate —
+    * manifest entries, DV journal targets, and sidecars are all
+    * path-relative, so a copied tree is a valid store (StoreCloneSpec
+    * pins clone == rebuild through a full DML lifecycle). The measured
+    * operator — DML, MERGE, maintenance CALLs, changefeeds — still runs
+    * in full per invocation; only the fixture's construction (Spark
+    * write jobs over the input parquet) is amortized, the same
+    * discipline as the read-only fixtures' land-once. A ~1 MB local
+    * copy costs milliseconds vs ~0.3-0.5 s of fixture write jobs. */
+  private[graft] def clonedWh(spark: SparkSession, key: String, prefix: String)(
+      build: String => Unit): String = {
+    val master = graft.core.Landed.dir(spark, key, prefix)(build)
+    val src = java.nio.file.Paths.get(master)
+    val dst = java.nio.file.Files.createTempDirectory(prefix + "_run")
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dst.toFile): Unit))
+    dst.toString
+  }
+
   private def freshDmlStore(spark: SparkSession, sfDir: String,
                             epochs: Int, rowId: Seq[String] = Nil)
       : (SparkSession, String) = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_dml_wh").toString
-    val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    (0 until epochs).foreach(e => graft.sources.EpochStore.write(
-      docs.filter(col("doc_id") % epochs === e), root, e.toLong,
-      partitionColumn = "lang", statsColumns = Seq("doc_id")))
-    if (rowId.nonEmpty)
-      graft.sources.EpochStoreDelta.declare(spark, root, rowId)
+    val wh = clonedWh(spark, s"dml_wh:$sfDir:$epochs:${rowId.mkString(",")}",
+        "graft_dml_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      (0 until epochs).foreach(e => graft.sources.EpochStore.write(
+        docs.filter(col("doc_id") % epochs === e), root, e.toLong,
+        partitionColumn = "lang", statsColumns = Seq("doc_id")))
+      if (rowId.nonEmpty)
+        graft.sources.EpochStoreDelta.declare(spark, root, rowId)
+    }
     val s2 = spark.newSession()
     val c = s"graftdml$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1569,13 +1609,14 @@ object MiscCatalog {
     * manifest CAS regardless of file count. */
   def storeCtas(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_ctas_wh").toString
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs, s"$wh/docs", 0L,
-      partitionColumn = "lang")
+    val wh = clonedWh(spark, s"ctas_wh:$sfDir", "graft_ctas_wh") { wh =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs, s"$wh/docs", 0L,
+        partitionColumn = "lang")
+    }
     val s2 = spark.newSession()
     val c = s"graftctas$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1788,14 +1829,17 @@ object MiscCatalog {
     * compaction folds the old spellings away). */
   def storeRename(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_ren_wh").toString
-    val root = s"$wh/docs"
     val docs = Tables.documents(spark, sfDir)
       .filter(col("lang").isNotNull)
       .select(col("doc_id"), col("n_chars").cast("long").as("nc"),
         col("lang"), lit("noise").as("junk"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L)
+    // master = the pre-rename epoch only; the ALTERs and the post-rename
+    // write ARE the measured lifecycle and run per invocation
+    val wh = clonedWh(spark, s"ren_wh:$sfDir", "graft_ren_wh") { wh =>
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        s"$wh/docs", 0L)
+    }
+    val root = s"$wh/docs"
     val s2 = spark.newSession()
     val c = s"graftren$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1834,13 +1878,16 @@ object MiscCatalog {
     * column on a 100 TB store is one sidecar commit, not a rewrite. */
   def storeDefault(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_def_wh").toString
-    val root = s"$wh/docs"
     val docs = Tables.documents(spark, sfDir)
       .filter(col("lang").isNotNull)
       .select(col("doc_id"), col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L)
+    // master = the pre-ADD epoch only; the ALTER + post-default write
+    // ARE the measured lifecycle and run per invocation
+    val wh = clonedWh(spark, s"def_wh:$sfDir", "graft_def_wh") { wh =>
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        s"$wh/docs", 0L)
+    }
+    val root = s"$wh/docs"
     val s2 = spark.newSession()
     val c = s"graftdef$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1881,16 +1928,17 @@ object MiscCatalog {
     * old layout, and the live-tombstone refusal. */
   def storeMigrate(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_mig_wh").toString
-    val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L, partitionColumn = "lang")
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
-      root, 1L, partitionColumn = "lang")
+    val wh = clonedWh(spark, s"mig_wh:$sfDir", "graft_mig_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        root, 0L, partitionColumn = "lang")
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+        root, 1L, partitionColumn = "lang")
+    }
     val s2 = spark.newSession()
     val c = s"graftmig$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1932,14 +1980,16 @@ object MiscCatalog {
     * incremental background move instead of a blocking prerequisite. */
   def storeSpecEvolve(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_sev_wh").toString
-    val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L, partitionColumn = "lang")
+    // master = the pre-evolution epoch only; evolve_layout + the
+    // new-spec insert ARE the measured lifecycle
+    val wh = clonedWh(spark, s"sev_wh:$sfDir", "graft_sev_wh") { wh =>
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        s"$wh/docs", 0L, partitionColumn = "lang")
+    }
     val s2 = spark.newSession()
     val c = s"graftsev$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -1971,14 +2021,15 @@ object MiscCatalog {
     * mixed snapshot fails cell-exact. */
   def storeEvolveTp(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_sevtp_wh")
-      .toString
-    val root = s"$wh/ev"
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"))
-    graft.sources.EpochStore.write(ev.filter(col("event_id") % 2 === 0),
-      root, 0L, partitionColumn = "event_type")
+    // master = the pre-evolution epoch only; evolve_layout + the
+    // time-unit-spec insert ARE the measured lifecycle
+    val wh = clonedWh(spark, s"sevtp_wh:$sfDir", "graft_sevtp_wh") { wh =>
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      graft.sources.EpochStore.write(ev.filter(col("event_id") % 2 === 0),
+        s"$wh/ev", 0L, partitionColumn = "event_type")
+    }
     val s2 = spark.newSession()
     val c = s"graftsevtp$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -2085,16 +2136,17 @@ object MiscCatalog {
     * commit on a 100 TB store costs one tiny manifest write. */
   def storeRestore(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_res_wh").toString
-    val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L)
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
-      root, 1L)
+    val wh = clonedWh(spark, s"res_wh:$sfDir", "graft_res_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        root, 0L)
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 =!= 0),
+        root, 1L)
+    }
     val s2 = spark.newSession()
     val c = s"graftres$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -2131,14 +2183,17 @@ object MiscCatalog {
     * is one manifest CAS regardless of branch size. */
   def storeWap(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_wap_wh").toString
-    val root = s"$wh/docs"
     val docs = Tables.documents(spark, sfDir)
       .filter(col("lang").isNotNull)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
         col("lang"))
-    graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
-      root, 0L, partitionColumn = "lang")
+    // master = the base epoch only; branch/branch-write/publish ARE the
+    // measured lifecycle and run per invocation
+    val wh = clonedWh(spark, s"wap_wh:$sfDir", "graft_wap_wh") { wh =>
+      graft.sources.EpochStore.write(docs.filter(col("doc_id") % 2 === 0),
+        s"$wh/docs", 0L, partitionColumn = "lang")
+    }
+    val root = s"$wh/docs"
     val s2 = spark.newSession()
     val c = s"graftwap$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -2392,14 +2447,16 @@ object MiscCatalog {
     * broadcast-keys probe of the pre-state per updating epoch. */
   def storeCdf(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_cdf_wh").toString
+    val wh = clonedWh(spark, s"cdf_wh:$sfDir", "graft_cdf_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs, root, 0L, partitionColumn = "lang")
+      graft.sources.EpochStoreDelta.declare(spark, root, Seq("doc_id"))
+    }
     val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs, root, 0L, partitionColumn = "lang")
-    graft.sources.EpochStoreDelta.declare(spark, root, Seq("doc_id"))
     val g1 = graft.core.EpochManifest.generations(spark, root).last
     val s2 = spark.newSession()
     val c = s"graftcdf$run"
@@ -2464,19 +2521,23 @@ object MiscCatalog {
     * resurrected row, or a mis-netted pair fails cell-exact. */
   def storeCdfDv(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_cdfdv_wh")
-      .toString
+    val wh = clonedWh(spark, s"cdfdv_wh:$sfDir", "graft_cdfdv_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs, root, 0L)
+      // in-window append: shifted copies land AFTER the consumer's base
+      graft.sources.EpochStore.write(
+        docs.select((col("doc_id") + 20000000L).as("doc_id"),
+          col("n_chars"), col("lang")), root, 1L)
+    }
     val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs, root, 0L)
-    val g1 = graft.core.EpochManifest.generations(spark, root).last
-    // in-window append: shifted copies land AFTER the consumer's base
-    graft.sources.EpochStore.write(
-      docs.select((col("doc_id") + 20000000L).as("doc_id"),
-        col("n_chars"), col("lang")), root, 1L)
+    // consumer base = the epoch-0 commit (second-to-last of the clone's
+    // two fixture generations — the same instant the inline build read)
+    val gens = graft.core.EpochManifest.generations(spark, root)
+    val g1 = gens(gens.size - 2)
     val s2 = spark.newSession()
     val c = s"graftcdfdv$run"
     s2.conf.set(s"spark.sql.catalog.$c",
@@ -2512,22 +2573,26 @@ object MiscCatalog {
     * mis-netted on either side fails cell-exact. */
   def storeCdfStream(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_cdfs_wh")
-      .toString
+    val wh = clonedWh(spark, s"cdfs_wh:$sfDir", "graft_cdfs_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs, root, 0L)
+      graft.sources.EpochStore.write(
+        docs.select((col("doc_id") + 20000000L).as("doc_id"),
+          col("n_chars"), col("lang")), root, 1L)
+    }
     val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs, root, 0L)
-    graft.sources.EpochStore.write(
-      docs.select((col("doc_id") + 20000000L).as("doc_id"),
-        col("n_chars"), col("lang")), root, 1L)
     val s2 = spark.newSession()
     val c = s"graftcdfs$run"
     s2.conf.set(s"spark.sql.catalog.$c",
       classOf[graft.sources.EpochStoreCatalog].getName)
     s2.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    // stateless append tail, no watermark — the trailing no-data
+    // micro-batch buys nothing; skip its full trigger cost
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2.conf.set(graft.sources.EpochStoreDv.EnabledConf, "true")
     try s2.sql(s"DELETE FROM $c.docs WHERE n_chars < 300")
     finally s2.conf.unset(graft.sources.EpochStoreDv.EnabledConf)
@@ -2583,15 +2648,15 @@ object MiscCatalog {
     * update, or a double-applied journal fails cell-exact. */
   def storeUpdateDv(spark: SparkSession, sfDir: String): DataFrame = {
     val run = dmlRuns.incrementAndGet()
-    val wh = java.nio.file.Files.createTempDirectory("graft_udv_wh")
-      .toString
-    val root = s"$wh/docs"
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("lang").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("lang"))
-    graft.sources.EpochStore.write(docs, root, 0L,
-      partitionColumn = "lang")
+    val wh = clonedWh(spark, s"udv_wh:$sfDir", "graft_udv_wh") { wh =>
+      val root = s"$wh/docs"
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      graft.sources.EpochStore.write(docs, root, 0L,
+        partitionColumn = "lang")
+    }
     val s2 = spark.newSession()
     val c = s"graftudv$run"
     s2.conf.set(s"spark.sql.catalog.$c",

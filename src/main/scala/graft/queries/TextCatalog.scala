@@ -1306,7 +1306,7 @@ object TextCatalog {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1).drop("_rn")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materializes inside the main action
     val dropped = simhashPairsOf(exact.select(col("doc_id"), col("text")))
       .select(col("d2")).distinct()
     exact.join(dropped, exact("doc_id") === dropped("d2"), "left_anti")
@@ -1978,13 +1978,19 @@ object TextCatalog {
     // of re-exploding the train corpus per table: c(w1·) is the exact
     // rollup of c(w1,w2), and N is the exact sum of the unigram counts.
     // Before: 4 corpus explodes (bc, cc, uc, N) — after: 2 (bc, uc).
+    // measured r18: materializing the count tables (eager OR lazy
+    // localCheckpoint, deriving c(w1·) from c(w1,w2) and N from the
+    // unigram counts) ran ~0.7 s SLOWER at sf0.1 than recomputing the
+    // narrow explodes — the checkpoint barrier serializes what the
+    // planner otherwise runs as fully parallel subtrees, and each
+    // count table is one embarrassingly-parallel pass at any scale.
+    // Kept the original four-subtree flow; a long-lived deployment
+    // training the LM once would persist bc/uc to storage instead.
     val bc = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
-    val cc = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val cc = train.groupBy("w1").agg(count(lit(1)).as("c1"))
     val trainToks = docs.filter(col("bucket") < 90).select(explode(col("ws")).as("w2"))
     val uc = trainToks.groupBy("w2").agg(count(lit(1)).as("cu"))
-      .localCheckpoint()
-    val n = uc.agg(sum(col("cu")).as("nt"))
+    val n = trainToks.agg(count(lit(1)).as("nt"))
     val lp = log(
       when(col("c2").isNotNull, col("c2").cast("double") / col("c1").cast("double"))
         .when(col("cu").isNotNull, lit(0.4) * (col("cu").cast("double") / col("nt").cast("double")))
