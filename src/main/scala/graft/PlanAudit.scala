@@ -211,12 +211,14 @@ object PlanAudit {
       p => p.contains("TakeOrderedAndProject") &&
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
 
-    // semantic dedup must pair within k-means cells via a KEYED join on
-    // the cell id — a cartesian/BNLJ fallback is the O(N²) scan the
-    // cells exist to avoid
+    // semantic dedup pairs within k-means cells from the vec_id-sorted
+    // cell ARRAY after one shuffle by cell id (r18) — no join operator
+    // at all: a cartesian/BNLJ fallback is the O(N²) scan the cells
+    // exist to avoid, and even a keyed self-join would recompute the
+    // Lloyd assignment per side
     val sem = plan(VectorCatalog.semDedup(spark, sfDir))
-    check("q_vec_semdedup", sem, "within-cell pair join keyed on c (no cartesian/BNLJ)",
-      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q_vec_semdedup", sem, "within-cell array pairing (no join operator at all)",
+      p => !p.contains("Join") && !p.contains("CartesianProduct"))
 
     // the composed IVF-PQ search keeps IVF's candidate contract: probe
     // side broadcast, no cartesian/BNLJ resurrection through the extra
