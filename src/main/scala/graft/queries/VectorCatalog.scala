@@ -227,18 +227,30 @@ object VectorCatalog {
     * to materialize while adding eager evaluation and cache lifetime
     * management. Hashing is ~tables×bits×dim flops/vector — trivially
     * rerunnable, exactly the kind of narrow recompute Spark's lineage
-    * model prices at zero. */
-  def bucketize(corpus: DataFrame, geo: LshGeometry): DataFrame = {
+    * model prices at zero.
+    *
+    * `reuse = true` (r19): corpus-side callers whose bucketized frame
+    * feeds MORE than the guard (the ANN candidate side, both near-dup
+    * self-join sides) lazily `localCheckpoint` the raw frame BEFORE the
+    * guard attaches, collapsing guard pass + N consumer passes into ONE
+    * hashing pass + checkpoint rereads. The guard subtree stays OUTSIDE
+    * the checkpoint so its raise_error remains in the final plan
+    * (PlanAudit). Probe-side callers (a handful of query rows) keep
+    * reuse = false — a checkpoint job costs more than re-hashing 5
+    * vectors. */
+  def bucketize(corpus: DataFrame, geo: LshGeometry,
+                reuse: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bk = new Bucketizer(geo.tables, geo.bits)
-    val raw = corpus
+    val raw0 = corpus
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         bk.buckets(emb).zipWithIndex.map { case (b, t) => (id, emb, t, b) }
       }
       .toDF("vec_id", "embedding", "tbl", "bucket")
+    val raw = if (reuse) raw0.localCheckpoint(false) else raw0
     // coalesce: max over an EMPTY corpus is NULL, and assert_true(NULL)
     // throws — an empty frame must pass the guard (0 buckets can't be
     // over-occupied), not die with a misleading "too coarse" error
@@ -284,7 +296,7 @@ object VectorCatalog {
   }
 
   def annLshWith(corpus: DataFrame, geo: LshGeometry): DataFrame = {
-    val e = bucketize(corpus, geo)
+    val e = bucketize(corpus, geo, reuse = true)
     // bucketize ONLY the query rows for the probe side — hyperplane
     // hashing is deterministic and per-row, so this is row-identical to
     // filtering the bucketized corpus, without the broadcast build side
@@ -531,7 +543,7 @@ object VectorCatalog {
   def vecNearDupWith(corpus: DataFrame, geo: LshGeometry): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val e = bucketize(corpus, geo)
+    val e = bucketize(corpus, geo, reuse = true)
     e.as("x").join(e.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -1125,34 +1137,122 @@ object VectorCatalog {
     * geometry derives nlist) — never global O(N²). */
   /** SemDeDup cell count: grows with the corpus so cells stay ~64
     * vectors (the IVF-nlist discipline) and within-cell pair work stays
-    * linear-ish, clamped to [8, 128] for fixture geometry. */
-  private def semDedupK(n: Long): Int =
-    math.max(8L, math.min(128L, n / 64)).toInt
+    * linear-ish. NO upper clamp (r18's 128-cell cap made mean cell size
+    * grow as n/128 unbounded past n=8192, breaking the per-cell
+    * collect_list memory bound this sizing exists to guarantee); the
+    * floor keeps fixture geometry, the Int clamp is overflow defense. */
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(8L, math.min(Int.MaxValue.toLong, n / 64)).toInt
+
+  /** Hard bound on how many same-cell members one pairing group may
+    * collect into a single aggregation buffer (~600 KB of 64-dim float
+    * structs — far under executor task memory, and (2·bound)² caps any
+    * one group's local pair fan-out). k ∝ n keeps MEAN cell size ~64,
+    * but k-means skew can concentrate far more in one cell — any cell
+    * above this bound is salted into sub-cells before collect_list
+    * (see [[semDedupPairs]]), so per-buffer memory and per-task pair
+    * fan-out stay bounded regardless of skew. VectorSpec gates the
+    * collected-group bound on a skewed synthetic. */
+  private[graft] val semDedupCellBound = 2048
 
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val corpus = nearDupCorpus(spark, sfDir)
     val n = corpusCount.get((spark, sfDir, true))(corpus.count())
-    val a = kmeansAssignWith(corpus, n, k = semDedupK(n), iters = 1)
+    val assigned = kmeansAssignWith(corpus, n, k = semDedupK(n), iters = 1)
       .select(col("vec_id"), col("embedding"), col("c"))
-    // ONE pass: group members by cell (the only shuffle — embeddings move
-    // once, keyed by cell id) and generate every i<j member pair locally
-    // from the vec_id-sorted cell array. The previous self-join on c
-    // recomputed the whole Lloyd assignment once PER JOIN SIDE and
-    // planned the corpus as a broadcast side — at 100 TB that is two
-    // full corpus passes plus a corpus-sized broadcast; here cell arrays
-    // stay ~64 vectors (semDedupK sizing) so the local pair fan-out is
-    // structurally bounded. Scoring mirrors [[vecNearDupWith]]: the
-    // codegen'd fused-cosine pre-filter at 0.94, then the decimal-exact
-    // JVM twin (bit-identical to the `cosine` column — VectorSpec) on
-    // the survivors only.
-    a.groupBy(col("c"))
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
-      .select(col("vs"), posexplode(col("vs")).as(Seq("i", "x")))
-      .select(col("x.vec_id").as("v1"), col("x.embedding").as("e1"),
-        explode(expr("slice(vs, i + 2, size(vs))")).as("y"))
-      .select(col("v1"), col("y.vec_id").as("v2"), col("e1"),
-        col("y.embedding").as("e2"))
+    if (n <= semDedupCellBound)
+      // no cell can exceed the bound (cells partition the corpus), so
+      // the skew scan is PROVABLY a no-op: skip its extra jobs and keep
+      // the single-pass r18 plan shape
+      semDedupPairs(assigned, Map.empty)
+    else {
+      // lazy localCheckpoint: ONE Lloyd assignment pass feeds both the
+      // skew scan below and the pairing pass (without it the heavy
+      // assignment subtree — a full corpus pass — would recompute per
+      // consumer, the exact disease r18 cured here). Executor-local,
+      // non-replicated: acceptable for this id+embedding+cell projection
+      // (recompute on executor loss = one Lloyd pass, no correctness
+      // risk).
+      val a = assigned.localCheckpoint(false)
+      semDedupPairs(a, semDedupSplits(a))
+    }
+  }
+
+  /** Heavy-hitter scan (AQE-skew-style) over a cell assignment:
+    * per-cell counts aggregate map-side to k tiny rows; only cells OVER
+    * the bound reach the driver (≤ n/bound entries by construction —
+    * the same order as the per-partition size maps Spark's own driver
+    * already holds). Expected EMPTY at healthy geometry (mean 64 vs
+    * bound 2048 = 32× skew headroom). */
+  private[graft] def semDedupSplits(a: DataFrame): Map[Int, Int] =
+    a.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > semDedupCellBound)
+      .collect()
+      .map(r => r.getInt(0) ->
+        math.ceil(r.getLong(1).toDouble / semDedupCellBound).toInt)
+      .toMap
+
+  /** Within-cell i<j pairing + two-stage scoring over a (checkpointed)
+    * cell assignment `a` = (vec_id, embedding, c). ONE pass: group
+    * members by cell (the only shuffle — embeddings move once, keyed by
+    * cell id) and generate every i<j member pair locally from the
+    * vec_id-sorted cell array. The pre-r18 self-join on c recomputed the
+    * whole Lloyd assignment once PER JOIN SIDE and planned the corpus as
+    * a broadcast side — at 100 TB that is two full corpus passes plus a
+    * corpus-sized broadcast. Scoring mirrors [[vecNearDupWith]]: the
+    * codegen'd fused-cosine pre-filter at 0.94, then the decimal-exact
+    * JVM twin (bit-identical to the `cosine` column — VectorSpec) on
+    * the survivors only.
+    *
+    * `splits` (cell → sub-cell count, from the caller's heavy-hitter
+    * scan) guards the skew case: a member of an oversized cell gets a
+    * deterministic sub-cell g = pmod(xxhash64(vec_id), s) and is
+    * replicated to the s triangle groups (c, min(g,t), max(g,t)),
+    * t ∈ [0, s); group (i, j) then keeps exactly the pairs with
+    * {g₁, g₂} = {i, j}, so every within-cell pair is generated exactly
+    * once while no group collects more than ~2·bound members (two
+    * sub-cells' worth) and no task fans out more than ~(2·bound)²
+    * pairs. Empty `splits` keeps the plain one-group-per-cell shape —
+    * bit-identical plan to r18 on unskewed data, still NO join operator
+    * on either path (PlanAudit). */
+  private[graft] def semDedupPairs(a: DataFrame, splits: Map[Int, Int]): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val pairs =
+      if (splits.isEmpty)
+        a.groupBy(col("c"))
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+          .select(col("vs"), posexplode(col("vs")).as(Seq("i", "x")))
+          .select(col("x.vec_id").as("v1"), col("x.embedding").as("e1"),
+            explode(expr("slice(vs, i + 2, size(vs))")).as("y"))
+          .select(col("v1"), col("y.vec_id").as("v2"), col("e1"),
+            col("y.embedding").as("e2"))
+      else {
+        // the splits map is a driver-built LITERAL map expression
+        // (heavy hitters only — small by construction), not a join:
+        // codegen lookup, and the no-join plan property survives
+        val sMap = map(splits.toSeq
+          .flatMap { case (c, s) => Seq(lit(c), lit(s)) }: _*)
+        val salted = a
+          .withColumn("s", coalesce(element_at(sMap, col("c")), lit(1)))
+          .withColumn("g", pmod(xxhash64(col("vec_id")), col("s")).cast("int"))
+          .select(col("c"), col("vec_id"), col("embedding"), col("g"),
+            explode(sequence(lit(0), col("s") - 1)).as("t"))
+        salted
+          .groupBy(col("c"), least(col("g"), col("t")).as("gi"),
+            greatest(col("g"), col("t")).as("gj"))
+          .agg(array_sort(collect_list(
+            struct(col("vec_id"), col("g"), col("embedding")))).as("vs"))
+          .select(col("gi"), col("gj"), col("vs"), posexplode(col("vs")).as(Seq("i", "x")))
+          .select(col("gi"), col("gj"), col("x.vec_id").as("v1"),
+            col("x.g").as("g1"), col("x.embedding").as("e1"),
+            explode(expr("slice(vs, i + 2, size(vs))")).as("y"))
+          .filter(least(col("g1"), col("y.g")) === col("gi") &&
+            greatest(col("g1"), col("y.g")) === col("gj"))
+          .select(col("v1"), col("y.vec_id").as("v2"), col("e1"),
+            col("y.embedding").as("e2"))
+      }
+    pairs
       .filter(graft.plans.CosineSimilarity.cosineSim(col("e1"), col("e2")) >= 0.94)
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (v1, v2, x, y) => (v1, v2, cosineDecJvm(x, y)) }
@@ -1162,7 +1262,7 @@ object VectorCatalog {
   }
 
   val semDedupSql: String = {
-    val (ctes, fin) = kmeansCtesSql("corpus", 1, "GREATEST(8, LEAST(128, n // 64))")
+    val (ctes, fin) = kmeansCtesSql("corpus", 1, "GREATEST(8, n // 64)")
     s"""WITH corpus AS (
       |$nearDupCorpusSql
       |),

@@ -399,6 +399,51 @@ class VectorSpec extends SparkSpec {
     assert(lsh.subsetOf(truth))
   }
 
+  test("semDedup: oversized cells salt into bounded sub-cell groups with identical pairs") {
+    // r18's shape collected an ENTIRE k-means cell into one aggregation
+    // buffer — fine at the ~64/cell mean the k ∝ n sizing guarantees,
+    // OOM under k-means skew. This gates the salted escape hatch: a
+    // cell at ~2× the bound must produce the EXACT same pair set
+    // through sub-cell triangle groups, each bounded.
+    val dim = 16
+    val bigCell = 2L * VectorCatalog.semDedupCellBound + 2
+    def emb(id: Long): Array[Float] = {
+      val r = (id % 50).toInt
+      Array.tabulate(dim)(i =>
+        (if (i == r % dim) 10f else 0f) + 0.001f * ((id * 13 + i) % 7))
+    }
+    val a = ((0L until bigCell).map(id => (id, emb(id), 0)) ++
+      (900000L until 900040L).map(id => (id, emb(id), 1)))
+      .toDF("vec_id", "embedding", "c")
+    // the heavy-hitter scan flags exactly the oversized cell, with the
+    // ceil split factor
+    val s = math.ceil(bigCell.toDouble / VectorCatalog.semDedupCellBound).toInt
+    assert(s == 3)
+    assert(VectorCatalog.semDedupSplits(a) == Map(0 -> s))
+    def pairs(splits: Map[Int, Int]) =
+      VectorCatalog.semDedupPairs(a, splits).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val salted = pairs(Map(0 -> s))
+    val plain = pairs(Map.empty)
+    // exactly-once triangle coverage: same pairs, same scores, same
+    // order — nothing dropped, nothing generated twice
+    assert(salted.nonEmpty && salted == plain)
+    assert(salted.size == salted.distinct.size)
+    // the collected-group bound the salting exists for: no (c, gi, gj)
+    // group holds more than two sub-cells' worth of members
+    val subs = a.filter(col("c") === 0)
+      .select(pmod(xxhash64(col("vec_id")), lit(s.toLong)).cast("int").as("g"))
+      .groupBy("g").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxGroup = (for { i <- 0 until s; j <- i until s }
+      yield if (i == j) subs(i) else subs(i) + subs(j)).max
+    assert(maxGroup <= 2L * VectorCatalog.semDedupCellBound,
+      s"triangle group of $maxGroup members exceeds 2×bound")
+    // and the uncapped k sizing keeps the ~64/cell mean at ANY corpus
+    // size (the r18 cap froze k at 128, letting cells grow as n/128)
+    assert(VectorCatalog.semDedupK(1L << 20) == (1L << 20) / 64)
+    assert(VectorCatalog.semDedupK(100L) == 8)
+  }
+
   test("vecDecontam: exactly the planted eval copies flag, organic corpus stays clean") {
     val rows = VectorCatalog.vecDecontam(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
