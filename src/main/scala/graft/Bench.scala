@@ -74,6 +74,14 @@ object Bench {
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // store lifecycles are commit-bound (JobProfile r19: 14-18 jobs of
+      // 30-300 ms per DML run, ~40% of wall in driver-side gaps between
+      // them): drop the per-write _SUCCESS marker and the two-phase
+      // v1 rename — standard parquet-sink tuning (guide §6); manifest
+      // commits are the store's own atomicity, the committer's marker
+      // adds nothing
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
 
   /** One query's two timed attempts: `Right(seconds)` per successful
     * run, `Left(message)` per failed one. */

@@ -57,12 +57,10 @@ object Verify {
     // always calls with exactly two args = full catalog)
     val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the SAME session recipe as Bench (join posture, committer tuning):
+    // the oracle gate must exercise the exact configuration the bench
+    // measures, or a config-sensitive result drift would go unchecked
+    val spark = Bench.sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceBenignStreamingTermination()
     val sel = args.drop(2).toSet

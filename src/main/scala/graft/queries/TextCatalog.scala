@@ -1302,6 +1302,14 @@ object TextCatalog {
     // before-plan shows 3 parquet scans). localCheckpoint runs the
     // pass ONCE inside the query and the consumers reread the
     // materialized survivors.
+    // DURABILITY (conscious choice): localCheckpoint stores the blocks
+    // executor-LOCAL, non-replicated — on a cluster, one executor loss
+    // mid-query fails the job instead of recomputing, and this survivor
+    // set is corpus-sized. The query is a single bounded job (retry =
+    // rerun), so availability beats the write-amplification of a
+    // replicated persist(MEMORY_AND_DISK_2) or a checkpoint-to-storage;
+    // a long-lived deployment sharing the survivor set ACROSS jobs
+    // would write it to the store instead.
     val exact = quality
       .withColumn("_rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
