@@ -928,9 +928,9 @@ object TextCatalog {
     * BROADCASTS and the corpus side stays one narrow explode — no
     * corpus-vs-corpus shuffle, no O(n²)). */
   def decontam(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = decontamGramFrame(spark, sfDir)
-    val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
-    g.filter(col("doc_id") % 10 =!= 0)
+    val ev = decontamGrams(spark, sfDir, evalSide = true)
+      .select(col("gram")).distinct()
+    decontamGrams(spark, sfDir, evalSide = false)
       .join(broadcast(ev), "gram")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
@@ -940,9 +940,27 @@ object TextCatalog {
   /** (doc_id, gram) exploded 8-gram frame both decontamination variants
     * share (short docs contribute their whole text, mirroring the
     * oracle's CASE arm). */
-  private[graft] def decontamGramFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def decontamGramFrame(spark: SparkSession, sfDir: String): DataFrame =
+    gramsOf(Tables.documents(spark, sfDir))
+
+  /** One split side's gram frame, with the doc_id % 10 split applied
+    * BEFORE the shingle flatMap: the closure is opaque to Catalyst, so
+    * a filter written above it does NOT push down and each consumer
+    * would shingle the WHOLE corpus and throw its other split away —
+    * r18's shape shingled everything twice (eval pass + train pass).
+    * Filtering the scan first makes the two passes shingle 10% + 90% =
+    * one corpus's worth total; per-row explode commutes with a per-row
+    * filter, so rows are identical (guide §4: project/filter before the
+    * opaque op). */
+  private def decontamGrams(spark: SparkSession, sfDir: String,
+                            evalSide: Boolean): DataFrame =
+    gramsOf(Tables.documents(spark, sfDir).filter(
+      if (evalSide) col("doc_id") % 10 === 0 else col("doc_id") % 10 =!= 0))
+
+  private def gramsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -968,14 +986,14 @@ object TextCatalog {
     * over the corpus scan it saves, and a long-lived pipeline would
     * persist the eval grams to disk once. */
   def decontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = decontamGramFrame(spark, sfDir)
     // the eval gram set feeds the filter BUILD and the verify JOIN —
     // materialize it once (the "persist the eval grams once" deployment
     // posture the scaladoc promises) instead of re-exploding the eval
     // corpus for each consumer
-    val ev = g.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct()
+    val ev = decontamGrams(spark, sfDir, evalSide = true)
+      .select(col("gram")).distinct()
       .localCheckpoint()
-    val tr = g.filter(col("doc_id") % 10 =!= 0)
+    val tr = decontamGrams(spark, sfDir, evalSide = false)
     val pruned = graft.plans.BloomJoin.buildFilter(ev, col("gram"), 1000000L) match {
       case Some(bf) => tr.filter(graft.plans.BloomJoin.mightContain(bf, col("gram")))
       case None     => tr.filter(lit(false))
