@@ -1998,38 +1998,31 @@ object TextCatalog {
         explode(expr(
           "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("bucket"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // ALL four count tables from ONE corpus pass (r19): a tagged union
-    // explode (bigram rows carry (w1, w2); unigram rows (NULL, w2) —
-    // split() never yields NULL tokens, so the NULL w1 is an unambiguous
-    // kind tag) feeds a single groupBy(w1, w2) whose map-side combine
-    // collapses occurrences to the vocabulary-sized count table; that
-    // table localCheckpoints (lazy, tiny) and the marginals DERIVE from
-    // it exactly — c(w1·) = Σ_w2 c(w1,w2), N = Σ cu. Before: 4 train
-    // explodes (bc, cc, uc, N); after: 1 + two vocabulary-sized rollups.
-    // (r18 tried materializing bc/uc as two SEPARATE passes behind a
-    // checkpoint and measured ~0.7 s slower — the barrier serialized
-    // subtrees the planner ran in parallel while still paying 2 corpus
-    // passes; the single fused pass is the shape that actually removes
-    // work, and measures flat-to-better at sf0.1 where scans are
-    // single-task anyway.)
-    val counts = docs.filter(col("bucket") < 90)
-      .select(explode(expr(
-        """concat(
-          |  CASE WHEN size(ws) >= 2
-          |       THEN transform(sequence(1, size(ws)-1),
-          |                      i -> struct(ws[i-1] AS w1, ws[i] AS w2))
-          |       ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END,
-          |  transform(ws, w -> struct(CAST(NULL AS string) AS w1, w AS w2)))"""
-          .stripMargin)).as("t"))
-      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
-    val bc = counts.filter(col("w1").isNotNull)
-      .select(col("w1"), col("w2"), col("cnt").as("c2"))
-    val cc = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val uc = counts.filter(col("w1").isNull)
-      .select(col("w2"), col("cnt").as("cu"))
-    val n = uc.agg(sum(col("cu")).as("nt"))
+    val train = bi.filter(col("bucket") < 90)
+    // the count tables are TYPE-sized (vocabulary, not occurrences) —
+    // materialize each once and DERIVE the marginals from them instead
+    // of re-exploding the train corpus per table: c(w1·) is the exact
+    // rollup of c(w1,w2), and N is the exact sum of the unigram counts.
+    // Before: 4 corpus explodes (bc, cc, uc, N) — after: 2 (bc, uc).
+    // MEASURED AND REVERTED, TWICE: r18 materialized bc/uc behind a
+    // checkpoint (~0.7 s slower — the barrier serialized subtrees the
+    // planner runs in parallel); r19 went further and fused ALL FOUR
+    // tables into ONE tagged-union explode + one groupBy(w1,w2) +
+    // checkpoint + derived marginals (4 corpus explodes → 1) — and it
+    // STILL lost on measurement (alternating same-box micro A/B ×3:
+    // fused {3.23, 3.36, 2.72} vs this flow {3.06, 2.57, 2.75} s;
+    // full-bench min-of-2 1.44 → 2.50 s). At this fixture every scan
+    // is one task, so the four explodes run CONCURRENTLY on idle cores
+    // and cost near-zero wall time, while the fused pass serializes
+    // everything behind one barrier and doubles the pre-combine explode
+    // row count (bigram + unigram rows). A deployment whose scans
+    // parallelize would revisit — and a long-lived one persists bc/uc
+    // to storage, a different op than this per-query score.
+    val bc = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cc = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val trainToks = docs.filter(col("bucket") < 90).select(explode(col("ws")).as("w2"))
+    val uc = trainToks.groupBy("w2").agg(count(lit(1)).as("cu"))
+    val n = trainToks.agg(count(lit(1)).as("nt"))
     val lp = log(
       when(col("c2").isNotNull, col("c2").cast("double") / col("c1").cast("double"))
         .when(col("cu").isNotNull, lit(0.4) * (col("cu").cast("double") / col("nt").cast("double")))
